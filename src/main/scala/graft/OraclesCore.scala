@@ -1,0 +1,256 @@
+package graft
+
+/** DuckDB oracle SQL for [[QueriesCore]] — semantically identical ANSI
+  * SQL over the same parquet tables, with types pinned to match Spark's
+  * output schema exactly (BIGINT for counts, INTEGER where Spark emits
+  * int, DOUBLE via decimal(18,2) for money sums, naive TIMESTAMP for
+  * Spark's timestamp_ntz). DuckDB quirks handled: `regexp_replace`
+  * needs the 'g' flag (Spark replaces globally by default); `length()`
+  * and window `sum(int)` return BIGINT/HUGEINT and are cast.
+  */
+object OraclesCore {
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS ship_date
+        |FROM lineitem
+        |WHERE l_quantity >= 45 AND l_discount > 0.05 AND l_shipdate IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_inlist" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderstatus IN ('O','F') AND o_orderpriority NOT IN ('1-URGENT')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q04_broadcast_dim_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q05_latest_order_per_customer" ->
+      """SELECT o_custkey, o_orderkey, CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q06_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q08_except_distinct" ->
+      """SELECT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT
+        |  SELECT s_nationkey AS nationkey FROM supplier)
+        |ORDER BY nationkey""".stripMargin,
+
+    "q09_except_all" ->
+      """SELECT okey, count(*) AS n FROM (
+        |  SELECT l_orderkey AS okey FROM lineitem
+        |  EXCEPT ALL
+        |  SELECT o_orderkey AS okey FROM orders)
+        |GROUP BY okey ORDER BY okey""".stripMargin,
+
+    "q10_union_tagged" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal,
+        |    'customer' AS src FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey, s_name, s_acctbal, 'supplier' FROM supplier)
+        |ORDER BY src, id""".stripMargin,
+
+    "q11_lead_lag" ->
+      """SELECT o_custkey, o_orderkey, CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date,
+        |  CAST(CAST(lead(o_orderdate, 1) OVER w AS DATE) AS TIMESTAMP) AS next_order_date,
+        |  lag(o_totalprice, 1) OVER w AS prev_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q12_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  CAST(min(ts) AS TIMESTAMP) AS ts_start,
+        |  CAST(max(ts) AS TIMESTAMP) AS ts_end
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q13_elect_primary" ->
+      """SELECT o_custkey, o_orderkey, o_orderstatus AS status
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY
+        |    CASE WHEN o_orderstatus = 'O' THEN 1
+        |         WHEN o_orderstatus = 'P' THEN 2 ELSE 3 END,
+        |    o_orderdate, o_orderkey) AS rn FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q14_keep_one_preferred" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q15_distinct" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q16_symmetric_diff" ->
+      """WITH p AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+        |           WHERE o_orderstatus = 'P'),
+        |o AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+        |      WHERE o_orderstatus = 'O')
+        |SELECT custkey, 'left_only' AS side FROM p
+        |WHERE custkey NOT IN (SELECT custkey FROM o)
+        |UNION ALL
+        |SELECT custkey, 'right_only' AS side FROM o
+        |WHERE custkey NOT IN (SELECT custkey FROM p)
+        |ORDER BY side, custkey""".stripMargin,
+
+    "q17_latest_not_null" ->
+      """SELECT user_id, event_id, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events WHERE value IS NOT NULL AND props IS NOT NULL)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q18_error_rollup" ->
+      """SELECT md5(event_type) AS error_id, event_type, count(*) AS n,
+        |  CAST(max(ts) AS TIMESTAMP) AS last_seen
+        |FROM events WHERE event_type = 'error'
+        |GROUP BY event_type ORDER BY error_id""".stripMargin,
+
+    "q19_multiformat_dates" ->
+      """WITH raw AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+        |         WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%Y-%m')
+        |         ELSE strftime(o_orderdate, '%Y') END AS raw_date
+        |  FROM orders)
+        |SELECT o_orderkey, raw_date,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN strptime(raw_date, '%Y-%m-%d')
+        |       WHEN o_orderkey % 3 = 1 THEN strptime(raw_date, '%Y-%m')
+        |       ELSE strptime(raw_date, '%Y') END AS parsed_ts,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 1
+        |       WHEN o_orderkey % 3 = 1 THEN 31 ELSE 366 END AS precision
+        |FROM raw ORDER BY o_orderkey""".stripMargin,
+
+    "q20_tree_closure" ->
+      """WITH RECURSIVE nodes AS (
+        |  SELECT 'r' || r_regionkey AS id, CAST(NULL AS VARCHAR) AS parent_id
+        |  FROM region
+        |  UNION ALL
+        |  SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation),
+        |t AS (
+        |  SELECT id, id AS root_id, 0 AS depth, id AS path
+        |  FROM nodes WHERE parent_id IS NULL
+        |  UNION ALL
+        |  SELECT n.id, t.root_id, t.depth + 1, t.path || '/' || n.id
+        |  FROM nodes n JOIN t ON n.parent_id = t.id)
+        |SELECT id, root_id, depth, path FROM t ORDER BY id""".stripMargin,
+
+    "q21_scalar_suite" ->
+      """SELECT c_custkey,
+        |  lower(regexp_replace(c_name, '[^a-zA-Z0-9]+', '.', 'g')) || '@example.com' AS email,
+        |  lower(regexp_replace(c_name, '[^a-zA-Z]+', '', 'g')) AS norm_name,
+        |  CASE WHEN c_acctbal > 0 THEN 'Y' ELSE 'N' END AS pos_bal,
+        |  CAST(length(c_name) AS INTEGER) AS name_len,
+        |  CASE WHEN c_mktsegment IS NOT NULL AND trim(c_mktsegment) <> ''
+        |       THEN c_name || ' ' || trim(c_mktsegment) ELSE c_name END AS tagged_name
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q22_rollup" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name)
+        |ORDER BY n_name NULLS FIRST""".stripMargin,
+
+    "q23_distinct_count" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q24_stints" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, ts,
+        |    (event_type <> 'error') AS active,
+        |    (event_type = 'purchase' AND value > 450) AS trunc
+        |  FROM events),
+        |w1 AS (
+        |  SELECT *, row_number() OVER w AS pos, lag(active) OVER w AS prev_active
+        |  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |w2 AS (
+        |  SELECT *, CASE WHEN pos = 1 THEN 1
+        |    WHEN active AND NOT coalesce(prev_active, TRUE) THEN 1
+        |    ELSE 0 END AS ns FROM w1),
+        |w3 AS (
+        |  SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS stint_id,
+        |    min(CASE WHEN trunc THEN pos END) OVER (PARTITION BY user_id) AS cut
+        |  FROM w2)
+        |SELECT user_id, event_id, stint_id FROM w3
+        |WHERE cut IS NULL OR pos <= cut
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q25_json_shred" ->
+      """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q26_freshness_guard" ->
+      """WITH m AS (SELECT user_id, max(value) AS max_value
+        |           FROM events GROUP BY user_id)
+        |SELECT e.user_id, e.event_id, e.value
+        |FROM events e JOIN m ON e.user_id = m.user_id AND e.value = m.max_value
+        |ORDER BY e.user_id, e.event_id""".stripMargin,
+
+    "q27_snapshot_diff" ->
+      """WITH o AS (SELECT o_custkey, o_orderstatus, o_orderpriority,
+        |                  o_orderdate, o_orderkey FROM orders),
+        |cur AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderpriority
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |        FROM o WHERE o_orderdate >= TIMESTAMP '1996-01-01')
+        |  WHERE rn = 1),
+        |hist AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderpriority
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |        FROM o WHERE o_orderdate < TIMESTAMP '1996-01-01')
+        |  WHERE rn = 1)
+        |SELECT * FROM (SELECT * FROM cur EXCEPT SELECT * FROM hist)
+        |ORDER BY o_custkey, o_orderstatus, o_orderpriority""".stripMargin,
+  )
+}

@@ -1,0 +1,376 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+import graft.operators.Relational
+
+/** Core relational query surface — one named query per operator family of
+  * SURVEY.md §2 (scans P*, joins J*, aggregations A*, windows W*, set ops
+  * SO*, dedup D*, election F-ELECT), expressed over the driver testdata
+  * star schema with a DuckDB oracle each.
+  *
+  * Determinism rules shared by all queries (oracle hash parity):
+  *  - money/quantity sums go through decimal(18,2) (associative) and back
+  *    to double — see [[Fns.exactSum]];
+  *  - every output is explicitly ordered by its key columns;
+  *  - timestamps are output as timestamp_ntz (naive, µs) to match
+  *    DuckDB's TIMESTAMP in the driver's pandas compare;
+  *  - window ranks are made total with explicit tie-break columns.
+  */
+object QueriesCore {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** A1/A4-family — TPC-H Q1-shaped pricing summary (grouped aggregates,
+    * partial aggregation map-side; one shuffle on the two group keys).
+    */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Fns.exactSum(col("l_quantity")).as("sum_qty"),
+        Fns.exactSum(col("l_extendedprice")).as("sum_base_price"),
+        // product of two 2-decimal doubles is an exact 4-decimal number:
+        // decimal(18,4) casts identically on Spark and DuckDB, while
+        // (18,2) would sit exactly on .005 boundaries and round apart
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+        Fns.exactAvg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** P1/P2/P5/P6 — predicate + projection; both reach the parquet scan
+    * (PushedFilters / ReadSchema in explain).
+    */
+  def q02FilterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity") >= 45 && col("l_discount") > 0.05 &&
+        col("l_shipdate").isNotNull)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_shipdate").cast("date").cast("timestamp_ntz").as("ship_date"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P3/P4 — IN / NOT-IN list predicates + grouped rollup. */
+  def q03InList(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderstatus").isin("O", "F") &&
+        !col("o_orderpriority").isin("1-URGENT"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        Fns.exactSum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+
+  /** J1/J2 — broadcast dimension join (dim `part` is small → broadcast;
+    * no shuffle of the fact side at any scale).
+    */
+  def q04BroadcastDimJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy("p_brand")
+
+  /** J4/W6/A1 — latest record per key via single window pass. */
+  def q05LatestOrderPerCustomer(s: SparkSession, dir: String): DataFrame =
+    Relational.latestPerKey(Tables.orders(s, dir), Seq("o_custkey"),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").cast("timestamp_ntz").as("order_date"))
+      .orderBy("o_custkey")
+
+  /** J6 — existence probe as left-semi join (no row widening). */
+  def q06SemiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** J7 — NOT EXISTS as left-anti join. */
+  def q07AntiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "P")
+          .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** SO1 — set MINUS (deduplicating EXCEPT). */
+  def q08ExceptDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      .except(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  /** A8/SO5 — multiset difference (EXCEPT ALL), folded to counts. */
+  def q09ExceptAll(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(col("l_orderkey").as("okey"))
+      .exceptAll(Tables.orders(s, dir).select(col("o_orderkey").as("okey")))
+      .groupBy("okey").agg(count(lit(1)).as("n"))
+      .orderBy("okey")
+
+  /** SO6 — union of heterogeneous sources with a tag column. */
+  def q10UnionTagged(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_custkey").as("id"),
+      col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+      lit("customer").as("src"))
+    val sup = Tables.supplier(s, dir).select(col("s_suppkey").as("id"),
+      col("s_name").as("name"), col("s_acctbal").as("acctbal"),
+      lit("supplier").as("src"))
+    c.unionByName(sup).orderBy("src", "id")
+  }
+
+  /** W4 — lead/lag neighborhood within a partition. */
+  def q11LeadLag(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").cast("timestamp_ntz").as("order_date"),
+        lead(col("o_orderdate"), 1).over(w).cast("date").cast("timestamp_ntz").as("next_order_date"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** W2 — run-length sessionization of the event stream (new session when
+    * event_type changes vs previous row per user), folded to per-session
+    * stats. Reference `group_entries` employee_job.py:205-231.
+    */
+  def q12Sessionize(s: SparkSession, dir: String): DataFrame =
+    Relational.sessionize(Tables.events(s, dir), Seq("user_id"),
+        Seq(col("ts"), col("event_id")), Seq("event_type"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).cast("timestamp_ntz").as("ts_start"),
+        max(col("ts")).cast("timestamp_ntz").as("ts_end"))
+      .orderBy("user_id", "session_id")
+
+  /** F-ELECT — deterministic priority election: one primary order per
+    * customer via score cascade + total tie-break (reference
+    * `transform_primary_job` oit_to_edw/person.py:319-459).
+    */
+  def q13ElectPrimary(s: SparkSession, dir: String): DataFrame = {
+    val priority = when(col("o_orderstatus") === "O", 1)
+      .when(col("o_orderstatus") === "P", 2).otherwise(3)
+    Relational.electPrimary(Tables.orders(s, dir), Seq("o_custkey"),
+        priority, Seq(col("o_orderdate").asc, col("o_orderkey").asc))
+      .filter(col("is_primary"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderstatus").as("status"))
+      .orderBy("o_custkey")
+  }
+
+  /** D5 — keep-one-with-preference via map-side max_by (no window). */
+  def q14KeepOnePreferred(s: SparkSession, dir: String): DataFrame =
+    Relational.keepOnePreferred(Tables.orders(s, dir), Seq("o_custkey"),
+        struct(col("o_totalprice"), (lit(0) - col("o_orderkey")).as("nk")))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey")
+
+  /** D1/A9 — distinct projection. */
+  def q15Distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select("user_id", "event_type").distinct()
+      .orderBy("user_id", "event_type")
+
+  /** SO4 — symmetric difference of keyed sets with a side tag. */
+  def q16SymmetricDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    Relational.symmetricDiff(
+        o.filter(col("o_orderstatus") === "P")
+          .select(col("o_custkey").as("custkey")),
+        o.filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("custkey")),
+        Seq("custkey"))
+      .orderBy("side", "custkey")
+  }
+
+  /** W9 — latest not-null record per key. */
+  def q17LatestNotNull(s: SparkSession, dir: String): DataFrame =
+    Relational.latestPerKey(
+        Tables.events(s, dir)
+          .filter(col("value").isNotNull && col("props").isNotNull),
+        Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+      .select(col("user_id"), col("event_id"), col("value"))
+      .orderBy("user_id")
+
+  /** F12/A7 — stable content-addressed error id + occurrence rollup
+    * (reference umn_data_error.py:209-233; md5 here for cross-engine
+    * parity, sha1 in the library).
+    */
+  def q18ErrorRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).filter(col("event_type") === "error")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        max(col("ts")).cast("timestamp_ntz").as("last_seen"))
+      .select(md5(col("event_type")).as("error_id"), col("event_type"),
+        col("n"), col("last_seen"))
+      .orderBy("error_id")
+
+  /** F1/F4 — multi-format date parsing + precision encoding (reference
+    * transformers.py:8-29, pure_api_pub.py:48-62). Date strings of three
+    * shapes are derived deterministically from o_orderkey mod 3.
+    */
+  def q19MultiFormatDates(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val raw = when(pmod(col("o_orderkey"), lit(3)) === 0,
+        date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .when(pmod(col("o_orderkey"), lit(3)) === 1,
+        date_format(col("o_orderdate"), "yyyy-MM"))
+      .otherwise(date_format(col("o_orderdate"), "yyyy"))
+    o.select(col("o_orderkey"), raw.as("raw_date"),
+        Fns.multiFormatTs(raw).cast("timestamp_ntz").as("parsed_ts"),
+        Fns.datePrecision(raw).as("precision"))
+      .orderBy("o_orderkey")
+  }
+
+  /** J12 — iterative parent-pointer tree closure (region→nation modeled
+    * as a 2-level tree; the op loops to a fixpoint, so deeper trees work
+    * unchanged). Reference org DFS pure_api_internal_org.py:117-134.
+    */
+  def q20TreeClosure(s: SparkSession, dir: String): DataFrame = {
+    val roots = Tables.region(s, dir).select(
+      concat(lit("r"), col("r_regionkey").cast("string")).as("id"),
+      lit(null).cast("string").as("parent_id"))
+    val children = Tables.nation(s, dir).select(
+      concat(lit("n"), col("n_nationkey").cast("string")).as("id"),
+      concat(lit("r"), col("n_regionkey").cast("string")).as("parent_id"))
+    Relational.treeClosure(roots.unionByName(children))
+      .orderBy("id")
+  }
+
+  /** F5/F9/F15/F19-family — scalar string derivations in one pass. */
+  def q21ScalarSuite(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+        col("c_custkey"),
+        concat(lower(regexp_replace(col("c_name"), "[^a-zA-Z0-9]+", ".")),
+          lit("@example.com")).as("email"),
+        Fns.normalizeToken(col("c_name")).as("norm_name"),
+        Fns.ynFlag(col("c_acctbal") > 0).as("pos_bal"),
+        length(col("c_name")).as("name_len"),
+        Fns.firstNameWithMi(col("c_name"), col("c_mktsegment")).as("tagged_name"))
+      .orderBy("c_custkey")
+
+  /** Beyond-reference: ROLLUP over the region→nation→customer hierarchy
+    * (free via Catalyst; the reference has no grouping sets).
+    */
+  def q22Rollup(s: SparkSession, dir: String): DataFrame = {
+    // via spark.sql (S2 surface): the DataFrame rollup + orderBy on the
+    // grouping key trips Spark 4's ambiguous-self-join check; SQL ROLLUP
+    // resolves cleanly and plans identically (Expand + hash agg).
+    Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+    Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+    Tables.nation(s, dir).createOrReplaceTempView("v_nation")
+    s.sql("""
+      SELECT n_name, count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM v_orders
+      JOIN v_customer ON o_custkey = c_custkey
+      JOIN v_nation ON c_nationkey = n_nationkey
+      GROUP BY ROLLUP(n_name)
+      ORDER BY n_name ASC NULLS FIRST""")
+  }
+
+  /** A9 + exact distinct count (approx_count_distinct is available but
+    * not oracle-stable across engines).
+    */
+  def q23DistinctCount(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+      .orderBy("l_returnflag")
+
+  /** W3 — stint splitting with truncation (reference
+    * `split_entries_into_stints` affiliate_job.py:111-147): stints
+    * restart at inactive→active transitions; everything after the first
+    * truncation row is dropped.
+    */
+  def q24Stints(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .withColumn("active", col("event_type") =!= "error")
+      .withColumn("trunc", col("event_type") === "purchase" && col("value") > 450)
+    Relational.splitStints(base, Seq("user_id"),
+        Seq(col("ts"), col("event_id")), col("active"), col("trunc"))
+      .select(col("user_id"), col("event_id"), col("stint_id"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** S6-family — JSON shredding of the raw props document column with an
+    * explicit schema (reference from_json of Pure docs,
+    * transformer_loaders/pure_api_pub.py:161-165).
+    */
+  def q25JsonShred(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"))
+      .orderBy("event_id")
+
+  /** P8/A2 — freshness guard: keep only (user, event) rows at the max
+    * observed "version" (value proxy) per user (reference
+    * same_or_newer_db_change_exists pure_api_changes.py:49-64).
+    */
+  def q26FreshnessGuard(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val maxPerUser = ev.groupBy(col("user_id"))
+      .agg(max(col("value")).as("max_value"))
+    ev.join(maxPerUser, "user_id")
+      .filter(col("value") === col("max_value"))
+      .select(col("user_id"), col("event_id"), col("value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** SO2/SO3-family snapshot diff: orders later than a cutoff whose
+    * (custkey fullrow) differs from the latest pre-cutoff order per
+    * customer — the reference's "changed records vs latest history"
+    * MINUS (oit_to_edw/person.py:144-186).
+    */
+  def q27SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderstatus"), col("o_orderpriority"),
+        col("o_orderdate"), col("o_orderkey"))
+    val cutoff = lit("1996-01-01").cast("timestamp")
+    val current = Relational.latestPerKey(
+      o.filter(col("o_orderdate") >= cutoff), Seq("o_custkey"),
+      Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+      .select("o_custkey", "o_orderstatus", "o_orderpriority")
+    val history = o.filter(col("o_orderdate") < cutoff)
+    val changed = Relational.snapshotDiff(
+      current, history, Seq("o_custkey"),
+      Seq(col("o_orderdate").desc, col("o_orderkey").desc),
+      compareCols = Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
+    changed.orderBy("o_custkey", "o_orderstatus", "o_orderpriority")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01PricingSummary _,
+    "q02_filter_project" -> q02FilterProject _,
+    "q03_inlist" -> q03InList _,
+    "q04_broadcast_dim_join" -> q04BroadcastDimJoin _,
+    "q05_latest_order_per_customer" -> q05LatestOrderPerCustomer _,
+    "q06_semi_join" -> q06SemiJoin _,
+    "q07_anti_join" -> q07AntiJoin _,
+    "q08_except_distinct" -> q08ExceptDistinct _,
+    "q09_except_all" -> q09ExceptAll _,
+    "q10_union_tagged" -> q10UnionTagged _,
+    "q11_lead_lag" -> q11LeadLag _,
+    "q12_sessionize" -> q12Sessionize _,
+    "q13_elect_primary" -> q13ElectPrimary _,
+    "q14_keep_one_preferred" -> q14KeepOnePreferred _,
+    "q15_distinct" -> q15Distinct _,
+    "q16_symmetric_diff" -> q16SymmetricDiff _,
+    "q17_latest_not_null" -> q17LatestNotNull _,
+    "q18_error_rollup" -> q18ErrorRollup _,
+    "q19_multiformat_dates" -> q19MultiFormatDates _,
+    "q20_tree_closure" -> q20TreeClosure _,
+    "q21_scalar_suite" -> q21ScalarSuite _,
+    "q22_rollup" -> q22Rollup _,
+    "q23_distinct_count" -> q23DistinctCount _,
+    "q24_stints" -> q24Stints _,
+    "q25_json_shred" -> q25JsonShred _,
+    "q26_freshness_guard" -> q26FreshnessGuard _,
+    "q27_snapshot_diff" -> q27SnapshotDiff _,
+  )
+}

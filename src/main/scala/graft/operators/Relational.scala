@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The core relational-op library (SURVEY.md §7.1 step 3): each op is a
+  * pure `DataFrame => DataFrame` composition of built-in Catalyst
+  * expressions, so pushdown / pruning / whole-stage codegen apply
+  * untouched. Every op is written for 100 TB scale: no driver-side
+  * collection, shuffles only on declared keys, window partitions bounded
+  * by key cardinality.
+  */
+object Relational {
+
+  /** W6/J4/A1: latest row per key. `order` columns are priority-ordered,
+    * highest wins (pass e.g. `col("ts").desc`). Implemented as a single
+    * window `row_number` — one shuffle on `keys`, streaming rank inside
+    * each partition, no materialized sort of the whole relation.
+    *
+    * Reference: correlated `max(timestamp)` subquery
+    * `oit_to_edw/demographics.py:4-14` and desc-order-take-first
+    * `transformer_loaders/pure_api_pub.py:64-72`.
+    */
+  def latestPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** SO1/SO2: snapshot-diff CDC — rows of `current` that are new or
+    * changed versus the latest history row per key (reference
+    * `oit_to_edw/person.py:129-186`: `MINUS` against a correlated
+    * max-timestamp subselect). `compareCols` defaults to all columns of
+    * `current` (full-row diff).
+    */
+  def snapshotDiff(
+      current: DataFrame,
+      history: DataFrame,
+      keys: Seq[String],
+      historyOrder: Seq[Column],
+      compareCols: Seq[String] = Nil): DataFrame = {
+    val cols = if (compareCols.nonEmpty) compareCols else current.columns.toSeq
+    val latestHist =
+      latestPerKey(history, keys, historyOrder).select(cols.map(col): _*)
+    current.select(cols.map(col): _*).except(latestHist)
+  }
+
+  /** W2: run-length sessionization — start a new group whenever any of
+    * `changeKeys` differs from the previous row within the
+    * `partitionKeys` × `order` sequence (reference `group_entries`,
+    * `oit_to_edw/employee_job.py:205-231`). Adds `sessionCol` (long,
+    * 1-based, per partition). One shuffle; lag + running sum are both
+    * single-pass within the partition.
+    */
+  def sessionize(
+      df: DataFrame,
+      partitionKeys: Seq[String],
+      order: Seq[Column],
+      changeKeys: Seq[String],
+      sessionCol: String = "session_id"): DataFrame = {
+    val w = Window.partitionBy(partitionKeys.map(col): _*).orderBy(order: _*)
+    val changed = changeKeys
+      .map(k => !(col(k) <=> lag(col(k), 1).over(w)))
+      .reduce(_ || _)
+    val flag = when(lag(changeKeys.head, 1).over(w).isNull &&
+        row_number().over(w) === 1, lit(1)) // first row always opens a group
+      .otherwise(when(changed, lit(1)).otherwise(lit(0)))
+    df.withColumn("__chg", flag)
+      .withColumn(sessionCol,
+        sum(col("__chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__chg")
+  }
+
+  /** W3: stint splitting (reference `split_entries_into_stints`,
+    * `oit_to_edw/affiliate_job.py:111-147`): within each
+    * `partitionKeys` group ordered by `order`,
+    *  - a new stint starts at an inactive→active transition of
+    *    `activeFlag`;
+    *  - the group is truncated after the first row where `truncFlag`
+    *    is true (later rows dropped).
+    * Adds `stint_id`; keeps surviving rows only.
+    */
+  def splitStints(
+      df: DataFrame,
+      partitionKeys: Seq[String],
+      order: Seq[Column],
+      activeFlag: Column,
+      truncFlag: Column): DataFrame = {
+    val w = Window.partitionBy(partitionKeys.map(col): _*).orderBy(order: _*)
+    val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    val prevActive = lag(activeFlag, 1).over(w)
+    val newStint =
+      when(row_number().over(w) === 1, lit(1))
+        .when(activeFlag && !coalesce(prevActive, lit(true)), lit(1))
+        .otherwise(lit(0))
+    val truncPos = min(when(truncFlag, row_number().over(w)))
+      .over(Window.partitionBy(partitionKeys.map(col): _*))
+    df.withColumn("__pos", row_number().over(w))
+      .withColumn("stint_id", sum(newStint).over(cum))
+      .withColumn("__cut", truncPos)
+      .filter(col("__cut").isNull || col("__pos") <= col("__cut"))
+      .drop("__pos", "__cut")
+  }
+
+  /** F-ELECT: deterministic priority election — exactly one winner per
+    * partition. `priority` is an ascending score (lower = better, build
+    * with a `when` cascade); `tieBreak` columns make the order total,
+    * replacing the reference's "just pick one" nondeterminism
+    * (`oit_to_edw/person.py:319-459`). Adds boolean `isPrimaryCol`.
+    */
+  def electPrimary(
+      df: DataFrame,
+      partitionKeys: Seq[String],
+      priority: Column,
+      tieBreak: Seq[Column],
+      isPrimaryCol: String = "is_primary"): DataFrame = {
+    val w = Window.partitionBy(partitionKeys.map(col): _*)
+      .orderBy(priority +: tieBreak: _*)
+    df.withColumn(isPrimaryCol, row_number().over(w) === 1)
+  }
+
+  /** D5: keep-one-with-preference — one row per key, the row maximizing
+    * `prefer` (build with `struct(...)`; struct ordering is
+    * lexicographic). Reference `transform_staff_org_assoc_id`
+    * `oit_to_edw/person.py:272-317`. Uses `max_by`, which computes with
+    * partial (map-side) aggregation — cheaper than a window at scale.
+    */
+  def keepOnePreferred(df: DataFrame, keys: Seq[String], prefer: Column): DataFrame = {
+    val others = df.columns.filterNot(keys.contains)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(others.map(col): _*), prefer).as("__best"))
+      .select(keys.map(col) ++ others.map(c => col(s"__best.$c")): _*)
+  }
+
+  /** SO4: symmetric difference of two keyed sets → tagged union with a
+    * `side` column: 'left_only' rows to delete, 'right_only' rows to
+    * insert (reference association-set reconciliation
+    * `pure_api_internal_person.py:163-186,292-323`). Both legs are
+    * anti-joins (no row widening); one shuffle each on `keys`.
+    */
+  def symmetricDiff(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame = {
+    val l = left.select(keys.map(col): _*).distinct()
+      .join(right.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .withColumn("side", lit("left_only"))
+    val r = right.select(keys.map(col): _*).distinct()
+      .join(left.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .withColumn("side", lit("right_only"))
+    l.unionByName(r)
+  }
+
+  /** Scratch→target merge (§1.1): rows of `updates` replace same-key rows
+    * of `target`; unmatched target rows survive; new rows append — i.e.
+    * `MERGE INTO` upsert semantics (reference
+    * `oit_to_edw/person.py:67-78`). With a Delta-style table this becomes
+    * a literal MERGE; on plain parquet it is anti-join ∪ updates.
+    */
+  def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    target.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(updates.select(target.columns.map(col): _*))
+
+  /** J12: iterative parent-pointer tree expansion — returns
+    * (id, root_id, depth, path) for every node reachable from the roots.
+    * Breadth-first self-join loop to a fixpoint with a depth cap; each
+    * iteration is one broadcast-able join (org trees are small dims —
+    * reference `db_org_depth_first_search`
+    * `pure_api_internal_org.py:117-134`). For genuinely deep/huge graphs
+    * swap in GraphFrames-style iteration with checkpointing.
+    */
+  def treeClosure(
+      nodes: DataFrame, // columns: id, parent_id (parent null for roots)
+      idCol: String = "id",
+      parentCol: String = "parent_id",
+      maxDepth: Int = 32): DataFrame = {
+    val roots = nodes.filter(col(parentCol).isNull)
+      .select(col(idCol).as("id"), col(idCol).as("root_id"),
+        lit(0).as("depth"), col(idCol).cast("string").as("path"))
+    val edges = nodes.filter(col(parentCol).isNotNull)
+      .select(col(idCol).as("child"), col(parentCol).as("parent"))
+    var frontier = roots
+    var acc = roots
+    var depth = 0
+    var done = false
+    while (!done && depth < maxDepth) {
+      val next = frontier.join(edges, frontier("id") === edges("parent"))
+        .select(col("child").as("id"), col("root_id"),
+          (col("depth") + 1).as("depth"),
+          concat_ws("/", col("path"), col("child")).as("path"))
+      // localCheckpoint truncates lineage so the loop's plan doesn't grow
+      // exponentially; each frontier is small (tree levels).
+      frontier = next.localCheckpoint(eager = true)
+      done = frontier.isEmpty
+      if (!done) { acc = acc.unionByName(frontier); depth += 1 }
+    }
+    acc
+  }
+
+  /** MPTT nested-set labels (left/right/depth) recomputed from parent
+    * pointers (reference mutates them incrementally,
+    * `pure_api_internal_org.py:136-192`; we recompute declaratively).
+    * Orders siblings by `siblingOrder` column name for determinism.
+    * Tree-sized data (a dimension), so the per-root sort is fine.
+    */
+  def mpttLabels(
+      nodes: DataFrame,
+      idCol: String = "id",
+      parentCol: String = "parent_id",
+      siblingOrder: String = "id"): DataFrame = {
+    val closure = treeClosure(nodes, idCol, parentCol)
+    // DFS rank via path sort within each root: left = 2*rank - depth…
+    // Simpler exact construction: sort paths lexicographically (path
+    // segments zero-padded by sibling order), then standard Euler-tour
+    // numbering computed from subtree sizes.
+    val withPath = closure
+      .withColumn("__sortpath", col("path"))
+    val w = Window.partitionBy(col("root_id")).orderBy(col("__sortpath"))
+    val ranked = withPath.withColumn("preorder", row_number().over(w))
+    // subtree size: count of descendants (rows whose path starts with mine)
+    val sizes = ranked.as("a").join(ranked.as("b"),
+        col("b.path").startsWith(concat(col("a.path"), lit("/"))) &&
+          col("a.root_id") === col("b.root_id"), "left")
+      .groupBy(col("a.id").as("id2"))
+      .agg(count(col("b.id")).as("n_desc"))
+    val joined = ranked.join(sizes, ranked(idCol) === sizes("id2"), "left")
+      .drop("id2").withColumn("n_desc", coalesce(col("n_desc"), lit(0L)))
+    // left = preorder + (#strict ancestors before me)… Euler-tour lefts:
+    // compute via running sum of (1 + 2*n_desc) is involved; use the
+    // classical identity: left(v) = 2*preorder(v) - 1 - depth(v)
+    //   ... valid only for chains; instead compute rights from lefts:
+    // For a preorder traversal, left(v) = preorder(v) + (preorder(v)-1
+    // ancestors already opened) — standard: left = 2*preorder - depth - 1
+    // does not hold in general. Correct: left(v) = preorder index in
+    // Euler tour = 2*preorder(v) - depth(v) - 1 holds for preorder DFS
+    // numbering where each earlier node contributes 2 slots minus the
+    // open ancestors. We instead derive: nodes before v in preorder
+    // contribute 2 each, minus one per open ancestor (depth):
+    //   left(v) = 2*(preorder(v)-1) - depth(v) + 1
+    val labeled = joined
+      .withColumn("lft", lit(2) * (col("preorder") - 1) - col("depth") + 1)
+      .withColumn("rgt", col("lft") + lit(2) * col("n_desc") + 1)
+    labeled.select(col(idCol), col("root_id"), col("depth"),
+      col("preorder"), col("n_desc"), col("lft"), col("rgt"))
+  }
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+/** Approximate / exact nearest-neighbor search over an embedding column
+  * (`array<float>`). Brute-force cosine top-k is the exactness baseline;
+  * random-hyperplane LSH bucketing is the 100 TB scale path (candidates
+  * ≪ n per query; buckets shuffle-joinable).
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k (k rows per query): every query row against
+    * every corpus row, rank per query, keep k. The query side is expected
+    * to be small and is broadcast (corpus streams by partition — no
+    * corpus shuffle). Deterministic: ranking orders by (rounded cosine
+    * desc, corpus id) so float noise in the last ulp can't flip ranks vs
+    * an oracle.
+    *
+    * Output: (query_id, neighbor_id, cos_sim, rank).
+    */
+  def topK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(Fns.cosine(col("__qv"), col("__cv")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p,
+    * dimension d): a hash mapped to [-1, 1]. Shared by index and query
+    * sides so buckets agree without any fitted model.
+    */
+  private def planeComponent(p: Int, d: Column): Column =
+    (xxhash64(lit(p), d) % 10001L).cast("double") / 5000.0 - 1.0
+
+  /** Random-hyperplane LSH bucket id: `nPlanes` sign bits packed into a
+    * long. Embeddings land in the same bucket iff they agree on every
+    * hyperplane side — cosine-similar vectors collide with high
+    * probability (SimHash for vectors, Charikar 2002).
+    */
+  def hyperplaneBucket(vec: Column, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val dotp = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (v, i) => v * planeComponent(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(dotp >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN top-k: bucket corpus and queries with
+    * `hyperplaneBucket`, equi-join on bucket, rank within query. With
+    * multi-probe (`probes` > 1) the query also probes buckets at Hamming
+    * distance 1 (flip one bit), trading compute for recall.
+    *
+    * Scale: the bucket join is a plain shuffle/broadcast equi-join; each
+    * query scores only its bucket's corpus slice. At 1000 executors the
+    * corpus bucketing is embarrassingly parallel and the per-bucket join
+    * is skew-bounded by 2^nPlanes buckets.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nPlanes: Int = 8,
+      probes: Int = 1): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      hyperplaneBucket(col(vecCol), nPlanes).as("bucket"))
+    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      hyperplaneBucket(col(vecCol), nPlanes).as("__b0"))
+    // probe buckets: exact bucket + (probes-1) single-bit flips
+    val probeBuckets = (0 until math.min(probes, nPlanes + 1)).map { i =>
+      if (i == 0) col("__b0") else col("__b0").bitwiseXOR(shiftleft(lit(1L), i - 1))
+    }
+    val q = qBase.withColumn("bucket", explode(array(probeBuckets: _*)))
+    val scored = c.join(q, "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(Fns.cosine(col("__qv"), col("__cv")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all pairs with cosine >=
+    * threshold, found via LSH buckets (exact within-bucket verify).
+    */
+  def embeddingNearDups(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nPlanes: Int = 6): DataFrame = {
+    val b = df.select(col(idCol), col(vecCol).as("__v"),
+      hyperplaneBucket(col(vecCol), nPlanes).as("bucket"))
+    val l = b.select(col("bucket"), col(idCol).as("id_a"), col("__v").as("va"))
+    val r = b.select(col("bucket"), col(idCol).as("id_b"), col("__v").as("vb"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(Fns.cosine(col("va"), col("vb")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim").dropDuplicates("id_a", "id_b")
+  }
+}

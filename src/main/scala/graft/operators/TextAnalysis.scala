@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-data-pipeline surface
+  * (BASELINE.json north_star): language id, quality scoring, token
+  * counting, fingerprinting. All built from codegen'd built-ins so they
+  * run inside whole-stage codegen over 100 TB of documents — no UDFs,
+  * no driver involvement.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. Empty / null-safe: '' → 0 (Spark's
+    * split("") yields [""], so count non-empty tokens explicitly).
+    */
+  def tokenCount(text: Column): Column =
+    size(filter(split(trim(text), "\\s+"), t => t =!= ""))
+
+  /** BPE-ish subword count estimate: word-piece regex split on
+    * letter-runs / digit-runs / single punctuation — the classic
+    * GPT-2-style pre-tokenizer shape, as a cheap token estimator.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Stopword-hit count for one language's marker list (word-boundary,
+    * case-insensitive). Counts TOTAL occurrences.
+    */
+  private def markerHits(text: Column, markers: Seq[String]): Column = {
+    val pat = markers.mkString("(?i)\\b(", "|", ")\\b")
+    size(regexp_extract_all(text, lit(pat), lit(0)))
+  }
+
+  /** Language markers: tiny per-language function-word lists — the
+    * classic cheap n-gram/stopword heuristic. Deliberately small and
+    * deterministic so the DuckDB oracle can replicate it.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "que", "pas"),
+    "es" -> Seq("el", "los", "las", "es", "una", "que", "por", "con"))
+
+  /** Language-ID heuristic: argmax of marker hits; 'und' when no marker
+    * fires. Ties break by list order (en > de > fr > es) via greatest-of
+    * structs, replicable in SQL.
+    */
+  def langId(text: Column): Column = {
+    // score structs: (hits, rank) — greatest() picks max hits, and on a
+    // tie the LOWER rank (listed-first language) must win, so use
+    // negative rank as secondary.
+    val scored = langMarkers.zipWithIndex.map { case ((lang, ms), i) =>
+      struct(markerHits(text, ms).as("hits"),
+        lit(-i).as("negrank"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality score in [0,1]: blend of length band, alpha ratio,
+    * punctuation-run absence, and stopword presence — the standard
+    * C4/Gopher-style cheap filters, deterministic and SQL-replicable.
+    * Returns a double rounded to 4 decimals (oracle-stable).
+    */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val nAlpha = (len - length(regexp_replace(text, "[A-Za-z]", ""))).cast("double")
+    val alphaRatio = when(len > 0, nAlpha / len).otherwise(lit(0.0))
+    val lenScore = when(len >= 200 && len <= 20000, lit(1.0))
+      .when(len >= 50, lit(0.5)).otherwise(lit(0.0))
+    val badPunct = when(text.rlike("[!?.]{3,}|#{2,}|\\{|\\}"), lit(0.0))
+      .otherwise(lit(1.0))
+    val stopScore = when(markerHits(text, langMarkers.head._2) >= 2, lit(1.0))
+      .otherwise(lit(0.0))
+    round((alphaRatio + lenScore + badPunct + stopScore) / 4.0, 4)
+  }
+
+  /** Document fingerprint: 64-bit hash of the normalized text
+    * (lowercase, collapse whitespace) — xxhash64 is Spark-native and
+    * codegen'd. For cross-engine (oracle) checks use [[fingerprintMd5]].
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(normalizeText(text))
+
+  /** md5 fingerprint of normalized text — byte-identical in DuckDB. */
+  def fingerprintMd5(text: Column): Column =
+    md5(normalizeText(text))
+
+  /** Normalization used by all fingerprint/dedup ops: lowercase,
+    * collapse runs of whitespace to single spaces, trim.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Word n-gram shingles of the normalized text (distinct). Built with
+    * higher-order array functions — stays in codegen.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = filter(split(normalizeText(text), " "), t => t =!= "")
+    // start indices 0..size-n; empty array when the doc is shorter than n
+    val starts = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(transform(starts,
+      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+}
