@@ -16,8 +16,10 @@ object Fns {
     */
   def multiFormatTs(c: Column): Column = coalesce(
     try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+    try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSSXX")), // +0000 / Z
     try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSS")),
     try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+    try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ssXX")),
     try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss")),
     try_to_timestamp(c, lit("yyyy-MM-dd")),
     try_to_timestamp(c, lit("yyyy-MM")),

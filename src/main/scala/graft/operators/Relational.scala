@@ -237,7 +237,8 @@ object Relational {
     // contribute 2 each, minus one per open ancestor (depth):
     //   left(v) = 2*(preorder(v)-1) - depth(v) + 1
     val labeled = joined
-      .withColumn("lft", lit(2) * (col("preorder") - 1) - col("depth") + 1)
+      .withColumn("lft", (lit(2) * (col("preorder") - 1) - col("depth") + 1)
+        .cast("long"))
       .withColumn("rgt", col("lft") + lit(2) * col("n_desc") + 1)
     labeled.select(col(idCol), col("root_id"), col("depth"),
       col("preorder"), col("n_desc"), col("lft"), col("rgt"))

@@ -1,0 +1,209 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, Path, StandardOpenOption, StandardCopyOption}
+import java.time.format.DateTimeFormatter
+import scala.jdk.CollectionConverters._
+
+/** EDW → Pure XML sync serialization (reference
+  * `edw_to_pure/person.py:33-47`, templates
+  * `templates/{person,user}.xml.j2`): the J10 person×jobs re-assembly is
+  * a join + `collect_list(struct)` per person (set-level, one shuffle),
+  * rendering is a deterministic pure Scala function mapped over the
+  * Dataset (distributed — the reference renders row-at-a-time on one
+  * core), and the single-file contract is honored by streaming the
+  * rendered partitions into one file driver-side (header + parts +
+  * footer) without materializing anything in memory. At true 100 TB
+  * scale the sink would stay partitioned; single-file is the Pure sync
+  * interface contract.
+  */
+object XmlSync {
+
+  private val dateFmt = DateTimeFormatter.ofPattern("dd-MM-yyyy")
+
+  /** XML text escaping equivalent to jinja2 autoescape. */
+  def esc(s: String): String =
+    if (s == null) ""
+    else s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&#34;"
+      case '\'' => "&#39;"
+      case c => c.toString
+    }
+
+  private def fmtDate(ts: java.sql.Timestamp): String =
+    ts.toLocalDateTime.toLocalDate.format(dateFmt)
+
+  /** Render one person element (templates/person.xml.j2:1-61). `jobs`
+    * is the person's ordered association list.
+    */
+  def renderPerson(p: Row, jobs: Seq[Row]): String = {
+    val sb = new StringBuilder
+    def f(r: Row, name: String): String =
+      if (r.schema.fieldNames.contains(name) && !r.isNullAt(r.fieldIndex(name)))
+        r.get(r.fieldIndex(name)).toString
+      else null
+    def fts(r: Row, name: String): java.sql.Timestamp =
+      if (r.schema.fieldNames.contains(name) && !r.isNullAt(r.fieldIndex(name)))
+        r.getAs[java.sql.Timestamp](name)
+      else null
+    val personId = esc(f(p, "person_id"))
+    sb ++= s"""<person id="$personId">\n"""
+    sb ++= s"""  <name>\n    <v3:firstname>${esc(f(p, "first_name"))}</v3:firstname>\n"""
+    sb ++= s"""    <v3:lastname>${esc(f(p, "last_name"))}</v3:lastname>\n  </name>\n"""
+    val postnominal = f(p, "postnominal")
+    if (postnominal != null && postnominal.nonEmpty) {
+      sb ++= s"""  <titles>\n    <title id="${esc(f(p, "emplid"))}">\n"""
+      sb ++= s"""      <typeClassification>postnominal</typeClassification>\n"""
+      sb ++= s"""      <value>\n        <v3:text lang="en" country="US">${esc(postnominal)}</v3:text>\n      </value>\n"""
+      sb ++= s"""    </title>\n  </titles>\n"""
+    }
+    sb ++= "  <gender>unknown</gender>\n"
+    sb ++= "  <organisationAssociations>\n"
+    for (j <- jobs) {
+      sb ++= s"""    <staffOrganisationAssociation id="${esc(f(j, "staff_org_association_id"))}" managedInPure="false">\n"""
+      sb ++= s"""      <affiliationId>${esc(f(j, "affiliation_id"))}</affiliationId>\n"""
+      val email = f(j, "email_address")
+      if (email != null && email.nonEmpty) {
+        sb ++= s"""      <emails>\n        <v3:classifiedEmail id="personStaffAssocEmail1">\n"""
+        sb ++= s"""          <v3:classification>email</v3:classification>\n"""
+        sb ++= s"""          <v3:value>${esc(email)}</v3:value>\n        </v3:classifiedEmail>\n      </emails>\n"""
+      }
+      sb ++= s"""      <employmentType>${esc(f(j, "employment_type"))}</employmentType>\n"""
+      val primary = f(j, "primary_association")
+      sb ++= s"""      <primaryAssociation>${if (primary == "true") "true" else "false"}</primaryAssociation>\n"""
+      sb ++= s"""      <organisation>\n        <v3:source_id>${esc(f(j, "org_id"))}</v3:source_id>\n      </organisation>\n"""
+      sb ++= "      <period>\n"
+      val start = fts(j, "period_start_date")
+      if (start != null) sb ++= s"""        <v3:startDate>${fmtDate(start)}</v3:startDate>\n"""
+      val end = fts(j, "period_end_date")
+      if (end != null) sb ++= s"""        <v3:endDate>${fmtDate(end)}</v3:endDate>\n"""
+      sb ++= "      </period>\n"
+      sb ++= s"""      <staffType>${esc(f(j, "staff_type"))}</staffType>\n"""
+      sb ++= s"""      <jobDescription><v3:text lang="en">${esc(f(j, "job_description"))}</v3:text></jobDescription>\n"""
+      sb ++= "    </staffOrganisationAssociation>\n"
+    }
+    sb ++= "  </organisationAssociations>\n"
+    val internetId = f(p, "internet_id")
+    if (internetId != null && internetId.nonEmpty) {
+      sb ++= s"""  <user id="$personId">\n    <userName>${esc(internetId)}@umn.edu</userName>\n"""
+      sb ++= s"""    <email>${esc(internetId)}@umn.edu</email>\n  </user>\n"""
+    }
+    sb ++= "  <personIds>\n"
+    val emplid = esc(f(p, "emplid"))
+    sb ++= s"""    <v3:id type="employee" id="autoid:$personId-employee-$emplid">$emplid</v3:id>\n"""
+    if (internetId != null && internetId.nonEmpty)
+      sb ++= s"""    <v3:id type="umn" id="autoid:$personId-umn-${esc(internetId)}">${esc(internetId)}</v3:id>\n"""
+    sb ++= "  </personIds>\n"
+    sb ++= s"""  <visibility>${esc(f(p, "visibility"))}</visibility>\n"""
+    sb ++= s"""  <profiled>${if (f(p, "profiled") == "true") "true" else "false"}</profiled>\n"""
+    sb ++= "</person>\n"
+    sb.toString
+  }
+
+  /** Render one user element (templates/user.xml.j2). */
+  def renderUser(u: Row): String = {
+    def f(name: String): String =
+      if (!u.isNullAt(u.fieldIndex(name))) u.get(u.fieldIndex(name)).toString
+      else ""
+    s"""<user id="${esc(f("person_id"))}">
+       |  <userName>${esc(f("user_name"))}@umn.edu</userName>
+       |  <email>${esc(f("email"))}</email>
+       |  <name>
+       |    <v3:firstname>${esc(f("first_name"))}</v3:firstname>
+       |    <v3:lastname>${esc(f("last_name"))}</v3:lastname>
+       |  </name>
+       |</user>
+       |""".stripMargin
+  }
+
+  /** J10: assemble persons with their ordered jobs and render each to an
+    * XML string, distributed. `persons` keyed by person_id; `jobs` rows
+    * carry person_id + the association columns; job order within a
+    * person is pinned by staff_org_association_id (the reference relied
+    * on arbitrary DB order).
+    */
+  def renderPersonsXml(persons: DataFrame, jobs: DataFrame): Dataset[String] = {
+    import persons.sparkSession.implicits._
+    val jobStruct = struct(jobs.columns.filter(_ != "person_id").map(col): _*)
+    val jobsAgg = jobs.groupBy("person_id")
+      .agg(sort_array(collect_list(struct(
+        col("staff_org_association_id").as("__k"), jobStruct.as("j"))))
+        .as("__jobs"))
+    persons.join(jobsAgg, Seq("person_id"), "left")
+      .map { row =>
+        val jobsArr = if (row.isNullAt(row.fieldIndex("__jobs"))) Seq.empty[Row]
+          else row.getAs[scala.collection.Seq[Row]]("__jobs")
+            .map(_.getAs[Row]("j")).toSeq
+        renderPerson(row, jobsArr)
+      }
+  }
+
+  /** Single-file XML sink (S8): write the rendered elements as text
+    * partitions, then stream header + parts + footer into `target`.
+    */
+  def writeSyncFile(
+      elements: Dataset[String],
+      header: String,
+      footer: String,
+      target: String): Unit = {
+    val tmp = target + ".parts"
+    elements.write.mode("overwrite").text(tmp)
+    val out = Paths.get(target)
+    Files.deleteIfExists(out)
+    Files.writeString(out, header, StandardOpenOption.CREATE,
+      StandardOpenOption.TRUNCATE_EXISTING)
+    val parts = Files.list(Paths.get(tmp)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.toString)
+    for (p <- parts) {
+      val in = Files.newInputStream(p)
+      try {
+        val os = Files.newOutputStream(out, StandardOpenOption.APPEND)
+        try in.transferTo(os) finally os.close()
+      } finally in.close()
+    }
+    Files.writeString(out, footer, StandardOpenOption.APPEND)
+  }
+
+  val personsHeader: String =
+    "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>\n" +
+      "<persons xmlns=\"v1.unified-person-sync.pure.atira.dk\" xmlns:v3=\"v3.commons.pure.atira.dk\">\n"
+  val personsFooter: String = "</persons>"
+
+  val usersHeader: String =
+    "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>\n" +
+      "<users xmlns=\"v1.user-sync.pure.atira.dk\" xmlns:v3=\"v3.commons.pure.atira.dk\">\n"
+  val usersFooter: String = "</users>"
+
+  /** S11 (sync_file_rotator.py:32-54): keep the `keep` newest files
+    * matching `prefix` in `dir`, delete the rest, and point
+    * `latest_<prefix>` at the newest.
+    */
+  def rotateSyncFiles(dir: String, prefix: String, keep: Int): Unit = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return
+    val files = Files.list(d).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith(prefix) &&
+        !p.getFileName.toString.startsWith("latest_"))
+      .toSeq.sortBy(p => Files.getLastModifiedTime(p).toMillis).reverse
+    files.drop(keep).foreach(Files.deleteIfExists(_))
+    files.headOption.foreach { newest =>
+      val link = d.resolve(s"latest_$prefix")
+      Files.deleteIfExists(link)
+      try Files.createSymbolicLink(link, newest.getFileName)
+      catch { case _: UnsupportedOperationException =>
+        Files.copy(newest, link, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
+  /** S9: error-report CSV sink (umn_data_error.py:75-99) — a plain
+    * partitioned CSV write; the reference's email attachment is an
+    * operational concern outside the engine.
+    */
+  def writeErrorReport(errors: DataFrame, path: String): Unit =
+    errors.write.mode("overwrite").option("header", "true").csv(path)
+}

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming/incremental semantics (SURVEY.md §2.10): the reference is a
+  * 4-hour batch daemon whose logic is incremental CDC — offset resume,
+  * late/duplicate drops, max-version-per-key consumption. Re-expressed
+  * as Structured Streaming: watermarked event-time processing,
+  * exactly-once-ish dedup within the watermark, and custom session
+  * state via mapGroupsWithState (the data-driven sessionizers W2/W3 stay
+  * batch windows; this module covers the time-driven side).
+  */
+object EventsStream {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+  case class SessionUpdate(user_id: Long, session_start: java.sql.Timestamp,
+    n_events: Long, total_value: Double, closed: Boolean)
+
+  case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  /** Streaming source over a parquet events directory with the
+    * driver-testdata schema (ts arrives as nanos-long; converted here —
+    * same workaround as Tables.events).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked tumbling-window aggregation with in-watermark dedup
+    * (late/duplicate data handling, §2.10 rows 2-3): duplicates by
+    * event_id are dropped inside the watermark, then per-window ×
+    * event_type counts/sums.
+    */
+  def windowedCounts(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      windowLen: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("total_value"))
+
+  /** Gap-based session state per user via mapGroupsWithState
+    * (§2.10 "custom state"): a session closes after `gapMinutes` of
+    * inactivity (processing-time timeout for the tail session).
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapMinutes: Int = 30): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(
+            SessionState(sorted.head.ts.getTime, sorted.head.ts.getTime, 0, 0))
+          var closed = false
+          for (e <- sorted) {
+            if (e.ts.getTime - st.last > gapMs) {
+              closed = true // previous session ended; start a new one
+              st = SessionState(e.ts.getTime, e.ts.getTime, 1, e.value)
+            } else {
+              st = st.copy(last = e.ts.getTime, n = st.n + 1,
+                total = st.total + e.value)
+            }
+          }
+          state.update(st)
+          SessionUpdate(userId, new java.sql.Timestamp(st.start), st.n,
+            math.rint(st.total * 100) / 100, closed)
+      }
+  }
+
+  /** Run a streaming frame to completion against a static directory
+    * (memory sink; local smoke/test harness — §2.10 batch-drives-stream).
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

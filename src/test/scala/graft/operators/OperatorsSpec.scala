@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.etl.FixtureLoader.spark
+import graft.functions.Fns
+import graft.Tables
+
+/** Operator-level specs: the hash-seeded near-dup/ANN operators (no
+  * DuckDB oracle possible) verified against their exact counterparts,
+  * plus scalar-function unit checks and core-op invariants.
+  */
+class OperatorsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val embeddings = Tables.embeddings(spark, sf)
+    .select(col("vec_id"), transform(col("embedding"),
+      x => x.cast("double")).as("embedding"))
+
+  test("minhash LSH finds the exact-jaccard near-dup pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleLen = 3, threshold = 0.8, maxDocFreq = 1000000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashNearDups(docs, "doc_id", "text",
+        shingleLen = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    assert(lsh.subsetOf(exact), "LSH verify step must keep only true pairs")
+    // 16 bands × 4 rows: collision prob at j=0.8 is 1-(1-0.8^4)^16 ≈ 0.9998
+    assert(lsh.size >= exact.size * 9 / 10,
+      s"LSH recall too low: ${lsh.size}/${exact.size}")
+  }
+
+  test("simhash: identical docs collide, near-dups are close, random is far") {
+    val sh = Dedup.simhash(docs.limit(50), "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val one = docs.limit(1).select("doc_id", "text")
+    val dup = Dedup.simhash(
+      one.select((col("doc_id") + 1000).as("doc_id"), col("text"))
+        .unionByName(one),
+      "doc_id", "text").as[(Long, Long)].collect().toMap
+    assert(dup.values.toSet.size == 1, "identical text → identical simhash")
+    val hams = for (Seq(a, b) <- sh.keys.toSeq.sorted.sliding(2).toSeq)
+      yield java.lang.Long.bitCount(sh(a) ^ sh(b))
+    assert(hams.forall(_ > 0), "distinct docs should differ")
+  }
+
+  test("LSH top-k recall against brute force") {
+    val queries = embeddings.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val exact = Similarity.topK(embeddings, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.lshTopK(embeddings, queries, "vec_id", "embedding",
+        5, nPlanes = 6, probes = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (ann & exact).size.toDouble / exact.size
+    // the synthetic embeddings are near-uniform (top-5 cosine ≈ 0.3-0.48)
+    // — the worst case for hyperplane LSH; random guessing would land at
+    // 5/2000 = 0.0025, so ≥ 0.1 still shows the buckets carry signal
+    assert(recall >= 0.1, s"ANN recall collapsed: $recall")
+  }
+
+  test("scalar functions: multi-format parse, precision, locale, flags") {
+    val df = Seq(
+      ("2019-03-07T10:30:00.000+0000", "full-tz"),
+      ("2019-03-07", "date"), ("2019-03", "ym"), ("2019", "y"),
+      ("garbage", "bad"))
+      .toDF("raw", "label")
+      .select(col("label"), Fns.multiFormatTs(col("raw")).as("ts"),
+        Fns.datePrecision(col("raw")).as("prec"))
+    val got = df.as[(String, Option[java.sql.Timestamp], Option[Int])]
+      .collect().map(r => r._1 -> (r._2.map(_.toString), r._3)).toMap
+    assert(got("full-tz")._1.contains("2019-03-07 10:30:00.0"))
+    assert(got("date") == (Some("2019-03-07 00:00:00.0"), Some(1)))
+    assert(got("ym") == (Some("2019-03-01 00:00:00.0"), Some(31)))
+    assert(got("y") == (Some("2019-01-01 00:00:00.0"), Some(366)))
+    assert(got("bad") == (None, None))
+
+    val loc = Seq(Tuple1(Seq(("fr_FR", "Bonjour"), ("en_US", "Hello"))))
+      .toDF("texts")
+      .select(Fns.localeValue(transform(col("texts"),
+        t => struct(t.getField("_1").as("locale"),
+          t.getField("_2").as("value")))).as("v"))
+      .first().getString(0)
+    assert(loc == "Hello")
+
+    val flags = Seq((true, "x y z/a/b", "9", "ann"))
+      .toDF("b", "uri", "d", "id")
+      .select(Fns.ynFlag(col("b")).as("yn"),
+        Fns.uriLast(col("uri")).as("tail"),
+        Fns.isSingleDigit(col("d")).as("sd"),
+        Fns.umnEmail(col("id")).as("em"))
+      .first()
+    assert(flags.getString(0) == "Y")
+    assert(flags.getString(1) == "b")
+    assert(flags.getBoolean(2))
+    assert(flags.getString(3) == "ann@umn.edu")
+  }
+
+  test("sessionize invariants: ids start at 1, contiguous, keys constant") {
+    val ev = Tables.events(spark, sf)
+    val sess = Relational.sessionize(ev, Seq("user_id"),
+      Seq(col("ts"), col("event_id")), Seq("event_type"))
+    // per (user, session): exactly one distinct event_type
+    val bad = sess.groupBy("user_id", "session_id")
+      .agg(countDistinct("event_type").as("n")).filter(col("n") =!= 1)
+    assert(bad.count() == 0)
+    // session ids contiguous 1..max per user
+    val gaps = sess.select("user_id", "session_id").distinct()
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), max("session_id").as("mx"),
+        min("session_id").as("mn"))
+      .filter(col("mn") =!= 1 || col("mx") =!= col("n"))
+    assert(gaps.count() == 0)
+  }
+
+  test("electPrimary elects exactly one winner per partition") {
+    val o = Tables.orders(spark, sf)
+    val elected = Relational.electPrimary(o, Seq("o_custkey"),
+      when(col("o_orderstatus") === "O", 1).otherwise(2),
+      Seq(col("o_orderkey").asc))
+    val counts = elected.groupBy("o_custkey")
+      .agg(sum(when(col("is_primary"), 1).otherwise(0)).as("n"))
+      .filter(col("n") =!= 1)
+    assert(counts.count() == 0)
+  }
+
+  test("exact dedup is idempotent and keeps the preferred row") {
+    val d2 = Dedup.exactDedup(docs, "text", col("doc_id"))
+    val d3 = Dedup.exactDedup(d2, "text", col("doc_id"))
+    assert(d2.count() == d3.count())
+    // keeper is the min doc_id of each duplicate group
+    val fp = graft.operators.TextAnalysis.fingerprintMd5(col("text"))
+    val expected = docs.groupBy(fp.as("f")).agg(min("doc_id").as("k"))
+      .select(sum("k")).first().getLong(0)
+    assert(d2.select(sum("doc_id")).first().getLong(0) == expected)
+  }
+
+  test("upsert: updates replace, inserts append, others survive") {
+    val target = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val updates = Seq((2, "B"), (3, "C")).toDF("k", "v")
+    val got = Relational.upsert(target, updates, Seq("k"))
+      .as[(Int, String)].collect().toSet
+    assert(got == Set((1, "a"), (2, "B"), (3, "C")))
+  }
+
+  test("mptt labels form a valid nested-set encoding") {
+    val nodes = Seq(
+      ("r", null), ("a", "r"), ("b", "r"), ("a1", "a"), ("a2", "a"))
+      .toDF("id", "parent_id")
+    val labels = Relational.mpttLabels(nodes).collect()
+      .map(r => r.getAs[String]("id") ->
+        (r.getAs[Long]("lft"), r.getAs[Long]("rgt"))).toMap
+    assert(labels("r") == (1L, 10L))
+    // children nested strictly inside the parent interval
+    for (c <- Seq("a", "b")) {
+      assert(labels(c)._1 > labels("r")._1 && labels(c)._2 < labels("r")._2)
+    }
+    for (c <- Seq("a1", "a2")) {
+      assert(labels(c)._1 > labels("a")._1 && labels(c)._2 < labels("a")._2)
+    }
+    // leaf width 1
+    assert(labels("a1")._2 == labels("a1")._1 + 1)
+  }
+}

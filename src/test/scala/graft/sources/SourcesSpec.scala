@@ -1,0 +1,103 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.etl.FixtureLoader.spark
+import java.nio.file.{Files, Paths}
+
+class SourcesSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("person XML render matches template shape and escapes") {
+    val persons = Seq(("6030", "Ann & Bo", "O'Neil", "<PhD>", "100", "ann",
+        "Public", "true"))
+      .toDF("person_id", "first_name", "last_name", "postnominal", "emplid",
+        "internet_id", "visibility", "profiled")
+    val jobs = Seq(("6030", "autoid:6030-ORG-x", "9403", "a@umn.edu",
+        "faculty", "true", "ORG",
+        java.sql.Timestamp.valueOf("2015-09-01 00:00:00"),
+        null.asInstanceOf[java.sql.Timestamp], "academic", "Professor"))
+      .toDF("person_id", "staff_org_association_id", "affiliation_id",
+        "email_address", "employment_type", "primary_association", "org_id",
+        "period_start_date", "period_end_date", "staff_type",
+        "job_description")
+    val xml = XmlSync.renderPersonsXml(persons, jobs).collect().head
+    assert(xml.contains("""<person id="6030">"""))
+    assert(xml.contains("<v3:firstname>Ann &amp; Bo</v3:firstname>"))
+    assert(xml.contains("<v3:lastname>O&#39;Neil</v3:lastname>"))
+    assert(xml.contains("&lt;PhD&gt;"))
+    assert(xml.contains("<v3:startDate>01-09-2015</v3:startDate>"))
+    assert(!xml.contains("endDate"))
+    assert(xml.contains("<primaryAssociation>true</primaryAssociation>"))
+    assert(xml.contains("""<v3:id type="employee" id="autoid:6030-employee-100">100</v3:id>"""))
+    assert(xml.contains("<userName>ann@umn.edu</userName>"))
+    assert(xml.contains("<profiled>true</profiled>"))
+  }
+
+  test("single-file sync sink writes header + elements + footer") {
+    val dir = Files.createTempDirectory("xmlsync").toString
+    val target = s"$dir/persons_1.xml"
+    val elems = Seq("<person id=\"a\"/>\n", "<person id=\"b\"/>\n").toDS()
+    XmlSync.writeSyncFile(elems, XmlSync.personsHeader,
+      XmlSync.personsFooter, target)
+    val content = Files.readString(Paths.get(target))
+    assert(content.startsWith("<?xml version"))
+    assert(content.endsWith("</persons>"))
+    assert(content.contains("<person id=\"a\"/>"))
+    assert(content.contains("<person id=\"b\"/>"))
+  }
+
+  test("sync file rotation keeps newest N and maintains latest link") {
+    val dir = Files.createTempDirectory("rot")
+    for (i <- 1 to 5) {
+      val p = dir.resolve(s"persons_$i.xml")
+      Files.writeString(p, s"f$i")
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1000L * i))
+    }
+    XmlSync.rotateSyncFiles(dir.toString, "persons_", keep = 2)
+    val left = Files.list(dir).iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(left)
+      .asScala.map(_.getFileName.toString).toSet
+    assert(names.contains("persons_5.xml") && names.contains("persons_4.xml"))
+    assert(!names.contains("persons_1.xml"))
+    assert(names.contains("latest_persons_"))
+  }
+
+  test("multimodal decode is batched, deterministic, and schema-typed") {
+    val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.packAsMedia(docs, "doc_id", "text")
+    assert(media.schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fields.map(f => (f.name, f.dataType)).toSeq ==
+      Multimodal.metaSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val feats = Multimodal.decodeFeatures(media, dim = 8, batchSize = 2)
+    val byId = feats.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(byId(1L) == byId(2L)) // same bytes → same features
+    assert(byId(1L) != byId(3L))
+    assert(byId(1L).length == 8)
+  }
+
+  test("resizeMeta scales only oversized media; sampleFrames explodes video") {
+    val media = Seq(
+      (1L, Array[Byte](1), "image", 1000, 500, null, null, "c"),
+      (2L, Array[Byte](1), "video", 64, 64, null, Integer.valueOf(2500), "c"))
+      .toDF("media_id", "bytes", "kind", "width", "height", "sample_rate",
+        "duration_ms", "codec")
+      .select(col("media_id"), col("bytes"), struct(col("kind"),
+        col("width").cast("int").as("width"),
+        col("height").cast("int").as("height"),
+        col("sample_rate").cast("int").as("sample_rate"),
+        col("duration_ms").cast("int").as("duration_ms"),
+        col("codec")).as("meta"))
+    val resized = Multimodal.resizeMeta(media, 512)
+    val m1 = resized.filter($"media_id" === 1).select("meta.width", "meta.height")
+      .first()
+    assert(m1.getInt(0) == 512 && m1.getInt(1) == 256)
+    val m2 = resized.filter($"media_id" === 2).select("meta.width").first()
+    assert(m2.getInt(0) == 64)
+    val frames = Multimodal.sampleFrames(media, 1000)
+    assert(frames.count() == 3) // 0, 1000, 2000
+  }
+}
