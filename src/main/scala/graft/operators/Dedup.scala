@@ -53,27 +53,47 @@ object Dedup {
     val withShingles = df
       .select(col(idCol), TextAnalysis.wordShingles(col(textCol), shingleLen).as("__sh"))
       .filter(size(col("__sh")) > 0)
-    val withSig = withShingles
-      .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+    // Signature via explode + groupBy with `numHashes` min-aggregates:
+    // codegen'd with map-side partial aggregation, and each shingle is
+    // hashed exactly numHashes times. The array-typed higher-order
+    // variant ([[minhashSignature]]) is interpreted (no codegen for
+    // lambda functions) AND gets inlined into every band column by
+    // Catalyst's project collapsing — a 16× recompute that turned this
+    // stage quadratic in practice.
+    val posting = withShingles.select(col(idCol), explode(col("__sh")).as("__s"))
+    val minCols = (0 until numHashes).map(i =>
+      min(xxhash64(col("__s"), lit(i))).as(s"__m$i"))
+    val sigRows = posting.groupBy(col(idCol))
+      .agg(minCols.head, minCols.tail: _*)
     val rows = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       xxhash64(concat_ws(",",
-        transform(slice(col("__sig"), b * rows + 1, rows),
-          v => v.cast("string"))), lit(b))
+        (0 until rows).map(r => col(s"__m${b * rows + r}").cast("string")): _*),
+        lit(b))
     }
-    val banded = withSig.select(col(idCol), col("__sh"),
+    // candidate generation joins ONLY (id, band) rows — the shingle
+    // arrays stay out of the shuffle; they are re-attached for the
+    // verify step after dedup + a lossless size-ratio prefilter
+    // (jaccard >= t requires t*|B| <= |A| <= |B|/t)
+    val banded = sigRows.select(col(idCol),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
-    val a = banded.select(col(idCol).as("id_a"), col("__sh").as("sh_a"),
-      col("band_idx"), col("band_hash"))
-    val b = banded.select(col(idCol).as("id_b"), col("__sh").as("sh_b"),
-      col("band_idx"), col("band_hash"))
+    val a = banded.select(col(idCol).as("id_a"), col("band_idx"), col("band_hash"))
+    val b = banded.select(col(idCol).as("id_b"), col("band_idx"), col("band_hash"))
     val cand = a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
-      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b").distinct()
+    val sets = withShingles.select(col(idCol), col("__sh"),
+      size(col("__sh")).as("__n"))
+    val withSets = cand
+      .join(sets.select(col(idCol).as("id_a"), col("__sh").as("sh_a"),
+        col("__n").as("na")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("__sh").as("sh_b"),
+        col("__n").as("nb")), "id_b")
+      .filter(col("na") >= col("nb") * threshold &&
+        col("nb") >= col("na") * threshold)
     // filter on the ROUNDED value so an oracle computing round-then-filter
     // can never disagree at the threshold boundary
-    cand.withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+    withSets.withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -110,9 +130,16 @@ object Dedup {
       .join(pruned.select(col("shingle"), col(idCol).as("id_b")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+    // lossless size-ratio prefilter before the expensive set ops:
+    // jaccard(A,B) >= t implies t*|B| <= |A| <= |B|/t
+    val sets = sh.withColumn("__n", size(col("__sh")))
     val withSets = cand
-      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), "id_b")
+      .join(sets.select(col(idCol).as("id_a"), col("__sh").as("sh_a"),
+        col("__n").as("na")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("__sh").as("sh_b"),
+        col("__n").as("nb")), "id_b")
+      .filter(col("na") >= col("nb") * threshold &&
+        col("nb") >= col("na") * threshold)
     withSets.withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
