@@ -13,8 +13,7 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = SparkEntry.entry(spark)
-    df.show(10, truncate = false)
+    val df = QueriesCore.q02FilterProject(spark, "/root/testdata/sf0.001")
     df.explain("formatted")
     spark.stop()
   }
