@@ -331,6 +331,24 @@ object PureDocs {
     child.join(deletedKeys.select(col(deletedKeys.columns.head).as(keyCol))
       .distinct(), Seq(keyCol), "left_anti")
 
+  /** C9 (extractor_loaders/pure_api_organisational_units.py:56-66):
+    * when an owning org is deleted, its publications are reassigned to
+    * the root org — an update-merge over the pub dim.
+    */
+  def reassignOwnerToRoot(
+      pubs: DataFrame,
+      deletedOrgUuids: DataFrame,
+      rootOrgUuid: String): DataFrame = {
+    val deleted = deletedOrgUuids
+      .select(col(deletedOrgUuids.columns.head).as("owner_pure_org_uuid"))
+      .distinct().withColumn("__del", lit(true))
+    pubs.join(broadcast(deleted), Seq("owner_pure_org_uuid"), "left")
+      .withColumn("owner_pure_org_uuid",
+        when(col("__del"), lit(rootOrgUuid))
+          .otherwise(col("owner_pure_org_uuid")))
+      .drop("__del")
+  }
+
   /** C11: merged-record cleanup — previousUuids of incoming documents
     * are deleted from `target` by `keyCol` (pure_api_persons.py:78-82).
     */
