@@ -88,6 +88,20 @@ object QueriesText {
         maxHamming = 3)
       .orderBy("id_a", "id_b")
 
+  /** Winnowing rolling-hash fingerprints via the custom Catalyst
+    * expression [[graft.functions.RollingWinnow]] (codegen'd; MOSS
+    * algorithm). No DuckDB oracle (rows-only) — semantics verified in
+    * RollingWinnowSpec against an independent direct-hash crosscheck.
+    */
+  def q38Winnow(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.RollingWinnow.rollingWinnow(col("text"), 8, 4)
+          .as("fp"))
+      .select(col("doc_id"), size(col("fp")).cast("long").as("n_fp"),
+        array_min(col("fp")).as("min_fp"), array_max(col("fp")).as("max_fp"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "q30_text_stats" -> q30TextStats _,
     "q31_lang_id" -> q31LangId _,
@@ -97,6 +111,7 @@ object QueriesText {
     "q35_ngram_jaccard" -> q35NgramJaccard _,
     "q36_minhash_lsh" -> q36MinhashLsh _,
     "q37_simhash" -> q37Simhash _,
+    "q38_winnow_fingerprint" -> q38Winnow _,
   )
 
   private val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
