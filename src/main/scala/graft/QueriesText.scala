@@ -68,7 +68,7 @@ object QueriesText {
     // oracle-checkable exact baseline; MinHash LSH (q36) is the scale path.
     Dedup.ngramJaccardPairs(
         Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0),
-        "doc_id", "text", shingleLen = 3, threshold = 0.8, maxDocFreq = 1000000)
+        "doc_id", "text", shingleLen = 3, threshold = 0.8)
       .orderBy("id_a", "id_b")
 
   /** MinHash(64 hashes)+LSH(16 bands) near-dup pairs, verified at exact

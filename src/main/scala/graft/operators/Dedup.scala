@@ -118,31 +118,58 @@ object Dedup {
       textCol: String,
       shingleLen: Int = 3,
       threshold: Double = 0.5,
-      maxDocFreq: Int = 100): DataFrame = {
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
     val sh = df.select(col(idCol),
         TextAnalysis.wordShingles(col(textCol), shingleLen).as("__sh"))
       .filter(size(col("__sh")) > 0)
     val posting = sh.select(col(idCol), explode(col("__sh")).as("shingle"))
-    val freq = posting.groupBy("shingle").count()
-      .filter(col("count") <= maxDocFreq).select("shingle")
-    val pruned = posting.join(freq, "shingle")
-    val cand = pruned.select(col("shingle"), col(idCol).as("id_a"))
-      .join(pruned.select(col("shingle"), col(idCol).as("id_b")), Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    // lossless size-ratio prefilter before the expensive set ops:
-    // jaccard(A,B) >= t implies t*|B| <= |A| <= |B|/t
-    val sets = sh.withColumn("__n", size(col("__sh")))
-    val withSets = cand
-      .join(sets.select(col(idCol).as("id_a"), col("__sh").as("sh_a"),
-        col("__n").as("na")), "id_a")
-      .join(sets.select(col(idCol).as("id_b"), col("__sh").as("sh_b"),
-        col("__n").as("nb")), "id_b")
-      .filter(col("na") >= col("nb") * threshold &&
-        col("nb") >= col("na") * threshold)
-    withSets.withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val sizes = sh.select(col(idCol), size(col("__sh")).as("__n"))
+
+    if (maxDocFreq == Int.MaxValue) {
+      // Exact count-based verify: shingle sets are distinct per doc, so
+      // the number of times a pair co-occurs in the posting join IS
+      // |A ∩ B|, and jaccard = c / (|A| + |B| - c). No shingle array
+      // ever enters a shuffle and there is no per-pair set arithmetic —
+      // the whole operator is two shuffles (posting join + pair count).
+      val counts = posting.select(col("shingle"), col(idCol).as("id_a"))
+        .join(posting.select(col("shingle"), col(idCol).as("id_b")),
+          Seq("shingle"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("__c"))
+      counts
+        .join(sizes.select(col(idCol).as("id_a"), col("__n").as("na")), "id_a")
+        .join(sizes.select(col(idCol).as("id_b"), col("__n").as("nb")), "id_b")
+        // lossless size-ratio prefilter: jaccard >= t ⇒ t|B| <= |A| <= |B|/t
+        .filter(col("na") >= col("nb") * threshold &&
+          col("nb") >= col("na") * threshold)
+        .withColumn("jaccard",
+          round(col("__c") / (col("na") + col("nb") - col("__c")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    } else {
+      // Scale path with boilerplate-shingle pruning (CCNet-style): the
+      // capped posting lists undercount c, so candidates verify against
+      // the full shingle sets.
+      val freq = posting.groupBy("shingle").count()
+        .filter(col("count") <= maxDocFreq).select("shingle")
+      val pruned = posting.join(freq, "shingle")
+      val cand = pruned.select(col("shingle"), col(idCol).as("id_a"))
+        .join(pruned.select(col("shingle"), col(idCol).as("id_b")),
+          Seq("shingle"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val sets = sh.withColumn("__n", size(col("__sh")))
+      val withSets = cand
+        .join(sets.select(col(idCol).as("id_a"), col("__sh").as("sh_a"),
+          col("__n").as("na")), "id_a")
+        .join(sets.select(col(idCol).as("id_b"), col("__sh").as("sh_b"),
+          col("__n").as("nb")), "id_b")
+        .filter(col("na") >= col("nb") * threshold &&
+          col("nb") >= col("na") * threshold)
+      withSets.withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
   }
 
   /** SimHash (64-bit) per document: explode tokens, per-bit signed vote

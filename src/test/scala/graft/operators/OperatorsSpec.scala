@@ -21,7 +21,7 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("minhash LSH finds the exact-jaccard near-dup pairs") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        shingleLen = 3, threshold = 0.8, maxDocFreq = 1000000)
+        shingleLen = 3, threshold = 0.8)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val lsh = Dedup.minhashNearDups(docs, "doc_id", "text",
         shingleLen = 3, numHashes = 64, bands = 16, threshold = 0.8)
