@@ -36,11 +36,17 @@ object QueriesSim {
     // scoped to every 4th vector: all-pairs is quadratic by design — the
     // oracle-checkable exact baseline; LSH (q42) is the scale path.
     val all = vecsD(s, dir).filter(pmod(col("vec_id"), lit(4)) === 0)
+      // normalize once per row: the O(n²) pair stage then needs a single
+      // dot product per pair instead of dot + two norms
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x / sqrt(aggregate(transform(col("embedding"), y => y * y),
+          lit(0.0), (acc, v) => acc + v))).as("embedding"))
     val l = all.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val r = all.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
     l.join(r, col("id_a") < col("id_b"))
       .withColumn("cos_sim",
-        round(graft.functions.Fns.cosine(col("va"), col("vb")), 6))
+        round(aggregate(zip_with(col("va"), col("vb"), (p, q) => p * q),
+          lit(0.0), (acc, v) => acc + v), 6))
       .filter(col("cos_sim") >= 0.42)
       .select("id_a", "id_b", "cos_sim")
       .orderBy("id_a", "id_b")

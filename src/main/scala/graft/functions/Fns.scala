@@ -14,16 +14,21 @@ object Fns {
     * matches (use [[multiFormatTsStrict]] to raise instead, matching the
     * reference's ValueError).
     */
-  def multiFormatTs(c: Column): Column = coalesce(
-    try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
-    try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSSXX")), // +0000 / Z
-    try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSS")),
-    try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
-    try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ssXX")),
-    try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss")),
-    try_to_timestamp(c, lit("yyyy-MM-dd")),
-    try_to_timestamp(c, lit("yyyy-MM")),
-    try_to_timestamp(c, lit("yyyy")))
+  def multiFormatTs(c: Column): Column =
+    // regex dispatch FIRST (as the reference does): a blind coalesce of
+    // try_to_timestamp attempts costs an internal exception per failing
+    // format per row — shape-matching picks the right parser directly
+    when(c.rlike("^\\d{4}$"), try_to_timestamp(c, lit("yyyy")))
+      .when(c.rlike("^\\d{4}-\\d{2}$"), try_to_timestamp(c, lit("yyyy-MM")))
+      .when(c.rlike("^\\d{4}-\\d{2}-\\d{2}$"),
+        try_to_timestamp(c, lit("yyyy-MM-dd")))
+      .otherwise(coalesce(
+        try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+        try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSSXX")), // +0000 / Z
+        try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSS")),
+        try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ssXX")),
+        try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss"))))
 
   /** F1 error branch: `transformers.py:27-29` raises on unparseable input. */
   def multiFormatTsStrict(c: Column): Column =

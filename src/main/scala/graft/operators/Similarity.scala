@@ -11,6 +11,20 @@ import graft.functions.Fns
   */
 object Similarity {
 
+  /** L2-normalize a vector column once per row: downstream cosine
+    * becomes a single dot product per PAIR instead of three (dot + two
+    * norms) — the norms are interpreted higher-order folds, so hoisting
+    * them out of the quadratic pair stage is a ~3x win.
+    */
+  private def unit(vec: Column): Column = {
+    val norm = sqrt(aggregate(transform(vec, x => x * x),
+      lit(0.0), (acc, v) => acc + v))
+    transform(vec, x => x / norm)
+  }
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
   /** Brute-force cosine top-k (k rows per query): every query row against
     * every corpus row, rank per query, keep k. The query side is expected
     * to be small and is broadcast (corpus streams by partition — no
@@ -26,11 +40,13 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      unit(col(vecCol)).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      unit(col(vecCol)).as("__cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", round(Fns.cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("cos_sim", round(dot(col("__qv"), col("__cv")), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
@@ -80,9 +96,11 @@ object Similarity {
       k: Int,
       nPlanes: Int = 8,
       probes: Int = 1): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      unit(col(vecCol)).as("__cv"),
       hyperplaneBucket(col(vecCol), nPlanes).as("bucket"))
-    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+    val qBase = queries.select(col(idCol).as("query_id"),
+      unit(col(vecCol)).as("__qv"),
       hyperplaneBucket(col(vecCol), nPlanes).as("__b0"))
     // probe buckets: exact bucket + (probes-1) single-bit flips
     val probeBuckets = (0 until math.min(probes, nPlanes + 1)).map { i =>
@@ -91,7 +109,7 @@ object Similarity {
     val q = qBase.withColumn("bucket", explode(array(probeBuckets: _*)))
     val scored = c.join(q, "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", round(Fns.cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("cos_sim", round(dot(col("__qv"), col("__cv")), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
@@ -109,13 +127,13 @@ object Similarity {
       vecCol: String,
       threshold: Double,
       nPlanes: Int = 6): DataFrame = {
-    val b = df.select(col(idCol), col(vecCol).as("__v"),
+    val b = df.select(col(idCol), unit(col(vecCol)).as("__v"),
       hyperplaneBucket(col(vecCol), nPlanes).as("bucket"))
     val l = b.select(col("bucket"), col(idCol).as("id_a"), col("__v").as("va"))
     val r = b.select(col("bucket"), col(idCol).as("id_b"), col("__v").as("vb"))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(Fns.cosine(col("va"), col("vb")), 6))
+      .withColumn("cos_sim", round(dot(col("va"), col("vb")), 6))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim").dropDuplicates("id_a", "id_b")
   }
