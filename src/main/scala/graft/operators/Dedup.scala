@@ -51,7 +51,8 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.6): DataFrame = {
     val withShingles = df
-      .select(col(idCol), TextAnalysis.wordShingles(col(textCol), shingleLen).as("__sh"))
+      .select(col(idCol), graft.functions.ShingleHashes
+        .shingleHashes(col(textCol), shingleLen).as("__sh"))
       .filter(size(col("__sh")) > 0)
     // Signature via explode + groupBy with `numHashes` min-aggregates:
     // codegen'd with map-side partial aggregation, and each shingle is
@@ -119,8 +120,10 @@ object Dedup {
       shingleLen: Int = 3,
       threshold: Double = 0.5,
       maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    val sh = df.select(col(idCol),
-        TextAnalysis.wordShingles(col(textCol), shingleLen).as("__sh"))
+    // single-pass codegen shingle hashing (see ShingleHashes scaladoc):
+    // identical set semantics to the string form, ~20x cheaper
+    val sh = df.select(col(idCol), graft.functions.ShingleHashes
+        .shingleHashes(col(textCol), shingleLen).as("__sh"))
       .filter(size(col("__sh")) > 0)
     val posting = sh.select(col(idCol), explode(col("__sh")).as("shingle"))
     val sizes = sh.select(col(idCol), size(col("__sh")).as("__n"))

@@ -56,6 +56,24 @@ class RollingWinnowSpec extends AnyFunSuite {
     assert(viaSql == viaCol)
   }
 
+  test("ShingleHashes matches the composable string-shingle pipeline") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val both = docs.limit(200).select(col("doc_id"),
+      ShingleHashes.shingleHashes(col("text"), 3).as("h"),
+      graft.operators.TextAnalysis.wordShingles(col("text"), 3).as("s"))
+    // identical distinct-set cardinality per document...
+    assert(both.filter(size(col("h")) =!= size(col("s"))).count() == 0)
+    // ...and identical pairwise intersection sizes (set semantics agree)
+    val a = both.select(col("doc_id").as("ida"), col("h").as("ha"),
+      col("s").as("sa"))
+    val b = both.select(col("doc_id").as("idb"), col("h").as("hb"),
+      col("s").as("sb"))
+    val pairs = a.join(b, col("ida") < col("idb")).limit(2000)
+      .select(size(array_intersect(col("ha"), col("hb"))).as("ih"),
+        size(array_intersect(col("sa"), col("sb"))).as("is"))
+    assert(pairs.filter(col("ih") =!= col("is")).count() == 0)
+  }
+
   test("expression participates in codegen plans over real data") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val out = docs.select(col("doc_id"),
