@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.etl.FixtureLoader.spark
+import graft.Tables
+
+class ScaleSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("salted join equals the plain join on skewed data") {
+    // skew: 80% of rows share one key
+    val left = (1 to 1000).map(i => (if (i % 5 == 0) i % 7 else 0, i))
+      .toDF("k", "v")
+    val right = (0 to 6).map(k => (k, s"dim$k")).toDF("k", "d")
+    val plain = left.join(right, Seq("k"))
+      .select("k", "v", "d").as[(Int, Int, String)].collect().toSet
+    val salted = Scale.saltedJoin(left, right, Seq("k"), saltFactor = 8)
+      .select("k", "v", "d").as[(Int, Int, String)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join with zero exchanges") {
+    // managed tables land in the default spark-warehouse dir and are
+    // dropped (with files) in the finally block
+    Scale.writeBucketed(Tables.orders(spark, sf), "b_orders", "o_custkey", 4)
+    Scale.writeBucketed(Tables.customer(spark, sf)
+      .withColumnRenamed("c_custkey", "o_custkey"), "b_customer",
+      "o_custkey", 4)
+    // disable broadcast so the join would otherwise need a shuffle
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"), "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() ==
+        Tables.orders(spark, sf).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+}
