@@ -150,6 +150,17 @@ class PureDocsSpec extends AnyFunSuite {
       .select("person_uuid").as[String].collect().sorted.toSeq == Seq("b", "c"))
   }
 
+  test("shredding is idempotent: re-applying the output makes input stale") {
+    val r1 = shred(Seq(("d1", t1, doc("d1"))))
+    val newDim = r1.pubs.select("uuid", "pure_uuid", "pure_modified")
+    val r2 = shred(Seq(("d1", t1, doc("d1"))),
+      existing = newDim.collect().map(row => (row.getString(0),
+        row.getString(1), row.getTimestamp(2))).toSeq)
+    assert(r2.pubs.count() == 0)
+    assert(r2.skips.as[(String, String)].collect().toSeq ==
+      Seq(("d1", "stale")))
+  }
+
   test("latestDocs keeps newest per uuid") {
     val raw = Seq(("u1", t0, "old"), ("u1", t1, "new"), ("u2", t0, "only"))
       .toDF("uuid", "modified", "json")

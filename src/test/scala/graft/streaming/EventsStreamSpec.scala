@@ -37,6 +37,34 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(g.subsetOf(b))
   }
 
+  test("changes stream consumes per micro-batch and resumes from checkpoint") {
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("chg-src").toString
+    val ckp = Files.createTempDirectory("chg-ckp").toString
+    val hst = Files.createTempDirectory("chg-hst").toString
+    def write(rows: Seq[(String, String, String, Long)]): Unit =
+      rows.toDF("uuid", "family_system_name", "change_type", "version")
+        .write.mode("append").parquet(src)
+    val seen = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    def drain(): Unit = ChangesStream.run(spark, src, ckp, hst,
+      Seq("research-outputs")) { actions =>
+      seen ++= actions.select("uuid", "change_type")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+    }
+    write(Seq(("u1", "research-outputs", "UPDATE", 1L),
+      ("u1", "research-outputs", "DELETE", 2L),
+      ("u2", "persons", "UPDATE", 1L)))
+    drain()
+    assert(seen.toSet == Set(("u1", "DELETE"))) // max version wins, family filtered
+    // second run processes ONLY new data (checkpoint resume)
+    seen.clear()
+    write(Seq(("u3", "research-outputs", "UPDATE", 7L)))
+    drain()
+    assert(seen.toSet == Set(("u3", "UPDATE")))
+    // history archived every filtered row exactly once
+    assert(spark.read.parquet(hst).count() == 3)
+  }
+
   test("stateful gap sessionization emits one state per user") {
     val stream = EventsStream.readEvents(spark, streamDir)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
