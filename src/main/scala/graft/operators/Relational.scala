@@ -64,8 +64,8 @@ object Relational {
     val changed = changeKeys
       .map(k => !(col(k) <=> lag(col(k), 1).over(w)))
       .reduce(_ || _)
-    val flag = when(lag(changeKeys.head, 1).over(w).isNull &&
-        row_number().over(w) === 1, lit(1)) // first row always opens a group
+    // first row always opens a group; later rows open one on any change
+    val flag = when(row_number().over(w) === 1, lit(1))
       .otherwise(when(changed, lit(1)).otherwise(lit(0)))
     df.withColumn("__chg", flag)
       .withColumn(sessionCol,

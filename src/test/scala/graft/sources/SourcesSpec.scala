@@ -79,6 +79,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(byId(1L).length == 8)
   }
 
+  test("decoded media features flow into ANN search end-to-end") {
+    // composition: opaque binary → batched feature extraction → top-k
+    // cosine — the multimodal-to-similarity pipeline shape
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(100)
+    val media = Multimodal.packAsMedia(docs, "doc_id", "text")
+    val feats = Multimodal.decodeFeatures(media, dim = 16)
+      .select(col("media_id").as("vec_id"),
+        transform(col("features"), x => x.cast("double")).as("embedding"))
+    val topk = graft.operators.Similarity.topK(
+      feats, feats.limit(5), "vec_id", "embedding", k = 3)
+    assert(topk.count() == 15)
+    assert(topk.groupBy("query_id").count().select(max("count"))
+      .first().getLong(0) == 3)
+  }
+
   test("resizeMeta scales only oversized media; sampleFrames explodes video") {
     val media = Seq(
       (1L, Array[Byte](1), "image", 1000, 500, null, null, "c"),
