@@ -235,6 +235,16 @@ object OraclesCore {
         |FROM events e JOIN m ON e.user_id = m.user_id AND e.value = m.max_value
         |ORDER BY e.user_id, e.event_id""".stripMargin,
 
+    "q28_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS running_total,
+        |  count(*) OVER w AS running_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
     "q27_snapshot_diff" ->
       """WITH o AS (SELECT o_custkey, o_orderstatus, o_orderpriority,
         |                  o_orderdate, o_orderkey FROM orders),

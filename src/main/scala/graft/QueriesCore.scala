@@ -344,6 +344,22 @@ object QueriesCore {
     changed.orderBy("o_custkey", "o_orderstatus", "o_orderpriority")
   }
 
+  /** W2-family frame spec (rows unbounded preceding): running order
+    * total per customer — decimal-path prefix sums are deterministic at
+    * any partitioning (associative), unlike raw double running sums.
+    */
+  def q28RunningTotal(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("running_total"),
+        count(lit(1)).over(w).as("running_n"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project" -> q02FilterProject _,
@@ -372,5 +388,6 @@ object QueriesCore {
     "q25_json_shred" -> q25JsonShred _,
     "q26_freshness_guard" -> q26FreshnessGuard _,
     "q27_snapshot_diff" -> q27SnapshotDiff _,
+    "q28_running_total" -> q28RunningTotal _,
   )
 }
