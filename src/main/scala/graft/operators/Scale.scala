@@ -32,6 +32,21 @@ object Scale {
     salted.join(exploded, keys :+ "__salt").drop("__salt")
   }
 
+  /** Write a table partitioned by a derived date column: readers
+    * filtering on `partitionCol` scan only matching directories
+    * (partition pruning — PartitionFilters in the plan), the layout
+    * move that turns a 100 TB time-ranged scan into a day's worth.
+    */
+  def writeDatePartitioned(
+      df: DataFrame,
+      path: String,
+      tsCol: String,
+      partitionCol: String = "event_date"): Unit =
+    df.withColumn(partitionCol, to_date(col(tsCol)))
+      .write.mode("overwrite")
+      .partitionBy(partitionCol)
+      .parquet(path)
+
   /** Write a table bucketed + sorted by `key` into the session catalog:
     * subsequent equi-joins between tables bucketed the same way plan
     * with ZERO Exchange on either side (SortMergeJoin over pre-shuffled

@@ -22,6 +22,20 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("date-partitioned layout prunes partitions at scan time") {
+    val dir = java.nio.file.Files.createTempDirectory("part").toString
+    Scale.writeDatePartitioned(graft.Tables.events(spark, sf), dir, "ts")
+    val read = spark.read.parquet(dir)
+      .filter(col("event_date") === "2024-01-02")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("event_date"), "expected partition pruning: " + plan)
+    // pruned read matches the unpartitioned filter exactly
+    val expected = graft.Tables.events(spark, sf)
+      .filter(to_date(col("ts")) === "2024-01-02").count()
+    assert(read.count() == expected && expected > 0)
+  }
+
   test("bucketed tables join with zero exchanges") {
     // managed tables land in the default spark-warehouse dir and are
     // dropped (with files) in the finally block
