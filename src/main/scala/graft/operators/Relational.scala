@@ -160,6 +160,52 @@ object Relational {
     target.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
       .unionByName(updates.select(target.columns.map(col): _*))
 
+  /** As-of join (time-series point lookup): for every left row, attach
+    * the latest right row with `rightTs <= leftTs` within the same
+    * `keys`. Composed from built-ins — tier (a) of the custom-operator
+    * ladder — as a tagged union + running last-known-value window: one
+    * shuffle on (keys), single ordered pass per partition, no range
+    * join explosion and no custom physical operator. `payload` names
+    * the right-side columns to carry (prefixed `asof_`).
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String]): DataFrame = {
+    val lCols = left.columns.toSeq
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1)) // left sorts AFTER right at equal ts
+      .withColumn("__payload",
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          payload.map(p => org.apache.spark.sql.types.StructField(p,
+            right.schema(p).dataType)))))
+    val r = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+      .withColumn("__payload", struct(payload.map(col): _*))
+    val rShaped = r.select(
+      (keys.map(col) ++
+        lCols.filterNot(keys.contains).map(c => lit(null).cast(
+          left.schema(c).dataType).as(c)) ++
+        Seq(col("__ts"), col("__side"), col("__payload"))): _*)
+    val lShaped = l.select(
+      (keys.map(col) ++ lCols.filterNot(keys.contains).map(col) ++
+        Seq(col("__ts"), col("__side"), col("__payload"))): _*)
+    val unioned = lShaped.unionByName(rShaped)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    unioned
+      .withColumn("__last", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((lCols.map(col) ++
+        payload.map(p => col(s"__last.$p").as(s"asof_$p"))): _*)
+  }
+
   /** J12: iterative parent-pointer tree expansion — returns
     * (id, root_id, depth, path) for every node reachable from the roots.
     * Breadth-first self-join loop to a fixpoint with a depth cap; each

@@ -145,6 +145,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Set((1, "a"), (2, "B"), (3, "C")))
   }
 
+  test("as-of join attaches the latest right row at or before each left ts") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val quotes = Seq(
+      ("A", ts("2024-01-01 00:00:00"), 10.0),
+      ("A", ts("2024-01-03 00:00:00"), 12.0),
+      ("B", ts("2024-01-02 00:00:00"), 5.0))
+      .toDF("sym", "qts", "px")
+    val trades = Seq(
+      ("A", ts("2024-01-02 00:00:00"), 100L), // → px 10 (Jan 1)
+      ("A", ts("2024-01-03 00:00:00"), 200L), // → px 12 (same instant)
+      ("B", ts("2024-01-01 00:00:00"), 300L), // → no quote yet
+      ("B", ts("2024-01-05 00:00:00"), 400L)) // → px 5
+      .toDF("sym", "tts", "qty")
+    val got = Relational.asOfJoin(trades, quotes, Seq("sym"),
+        "tts", "qts", Seq("px"))
+      .select("sym", "qty", "asof_px")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    assert(got == Set(
+      ("A", 100L, Some(10.0)), ("A", 200L, Some(12.0)),
+      ("B", 300L, None), ("B", 400L, Some(5.0))))
+  }
+
   test("mptt labels form a valid nested-set encoding") {
     val nodes = Seq(
       ("r", null), ("a", "r"), ("b", "r"), ("a1", "a"), ("a2", "a"))
