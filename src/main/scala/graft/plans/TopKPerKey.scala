@@ -1,0 +1,120 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import scala.jdk.CollectionConverters._
+
+/** Tier (c) of the custom-operator ladder: a whole physical operator —
+  * logical node + planner strategy + SparkPlan — for bounded top-k per
+  * key.
+  *
+  * Spark's native shape for "k best rows per key" is
+  * `row_number().over(Window.partitionBy(key).orderBy(ord)) <= k`,
+  * which SORTS every partition in full (O(n log n) per partition,
+  * spilling at scale) to keep k rows. This operator declares only
+  * `ClusteredDistribution(keys)` — no child ordering — and maintains a
+  * bounded heap per key (O(n log k), memory O(#keys × k)): the right
+  * physical algorithm for ANN top-k and latest-k-per-entity pipelines
+  * at 100 TB, where k ≪ rows-per-key.
+  */
+case class TopKPerKey(
+    k: Int,
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+case class TopKPerKeyExec(
+    k: Int,
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  /** Rows of one key must meet in one partition — but need NOT be
+    * sorted: the heap does the selection.
+    */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kLocal = k
+    val childOutput = child.output
+    val keysLocal = keys
+    val orderLocal = order
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(keysLocal, childOutput)
+      val ordering = RowOrdering.create(orderLocal, childOutput)
+      // heap head = WORST retained row (reverse ordering), evicted when
+      // a better row arrives and the heap is full
+      val heaps = new java.util.HashMap[UnsafeRow,
+        java.util.PriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var pq = heaps.get(key)
+        if (pq == null) {
+          pq = new java.util.PriorityQueue[InternalRow](kLocal + 1,
+            ordering.reverse)
+          heaps.put(key.copy(), pq)
+        }
+        if (pq.size < kLocal) pq.add(row.copy())
+        else if (ordering.compare(row, pq.peek()) < 0) {
+          pq.poll(); pq.add(row.copy())
+        }
+      }
+      heaps.values.asScala.iterator.flatMap(_.iterator.asScala)
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(k, keys, order, child) =>
+      TopKPerKeyExec(k, keys, order, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopK {
+  /** Keep the k best rows per key under `order` (column name →
+    * ascending?; best = first in that order). Column references are
+    * built as catalyst UnresolvedAttributes directly — the Spark 4
+    * Column API wraps expressions in lazy ColumnNodes that the
+    * analyzer only unwraps inside standard operators, not custom
+    * nodes. Output row order within a key is undefined — sort
+    * afterwards if presentation order matters.
+    */
+  def topKPerKey(
+      df: DataFrame,
+      keys: Seq[String],
+      order: Seq[(String, Boolean)],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.Descending
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    val sortOrder = order.map { case (name, asc) =>
+      SortOrder(UnresolvedAttribute.quoted(name),
+        if (asc) Ascending else Descending)
+    }
+    ColumnBridge.ofRows(spark,
+      TopKPerKey(k, keys.map(UnresolvedAttribute.quoted),
+        sortOrder, ColumnBridge.logicalPlan(df)))
+  }
+}

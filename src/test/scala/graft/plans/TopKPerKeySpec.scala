@@ -1,0 +1,48 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.etl.FixtureLoader.spark
+import graft.Tables
+
+class TopKPerKeySpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("custom top-k operator matches the window row_number plan") {
+    val orders = Tables.orders(spark, sf)
+    val got = TopK.topKPerKey(orders, Seq("o_custkey"),
+        Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 3)
+      .select("o_custkey", "o_orderkey")
+      .as[(Long, Long)].collect().toSet
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val expected = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select("o_custkey", "o_orderkey")
+      .as[(Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("physical plan uses the heap operator with no Sort or Window") {
+    val orders = Tables.orders(spark, sf)
+    val df = TopK.topKPerKey(orders, Seq("o_custkey"),
+      Seq("o_totalprice" -> false), k = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Sort "), plan)
+    // the required ClusteredDistribution inserts exactly one exchange
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("ties and k larger than group size behave like the window form") {
+    val df = Seq((1, 10, 5.0), (1, 11, 5.0), (1, 12, 5.0), (2, 20, 1.0))
+      .toDF("k", "id", "score")
+    val got = TopK.topKPerKey(df, Seq("k"),
+        Seq("score" -> false, "id" -> true), k = 2)
+      .select("k", "id").as[(Int, Int)].collect().toSet
+    assert(got == Set((1, 10), (1, 11), (2, 20)))
+  }
+}
