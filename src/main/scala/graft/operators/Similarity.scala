@@ -47,11 +47,22 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", round(dot(col("__qv"), col("__cv")), 6))
+    rankTopK(scored, k)
+  }
+
+  /** Shrink with the bounded-heap custom operator (no full sort of the
+    * scored pairs — [[graft.plans.TopK]]), then rank the ≤k survivors
+    * per query with a window over the tiny result. (cos_sim,
+    * neighbor_id) is a total order, so the heap result and the ranks
+    * are deterministic.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val kept = graft.plans.TopK.topKPerKey(scored, Seq("query_id"),
+      Seq("cos_sim" -> false, "neighbor_id" -> true), k)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    kept.withColumn("rank", row_number().over(w))
       .select("query_id", "neighbor_id", "cos_sim", "rank")
   }
 
@@ -110,12 +121,9 @@ object Similarity {
     val scored = c.join(q, "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", round(dot(col("__qv"), col("__cv")), 6))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      // multi-probe can surface the same neighbor from several buckets
+      .dropDuplicates("query_id", "neighbor_id")
+    rankTopK(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs: all pairs with cosine >=
