@@ -60,7 +60,7 @@ object QueriesSim {
   def q42LshTopk(s: SparkSession, dir: String): DataFrame = {
     val all = vecsD(s, dir)
     Similarity.lshTopK(all, all.filter(pmod(col("vec_id"), lit(50)) === 0),
-        "vec_id", "embedding", k = 5, nPlanes = 6, probes = 3)
+        "vec_id", "embedding", k = 5, nPlanes = 4, probes = 4)
       .withColumn("rank", col("rank").cast("int"))
       .orderBy("query_id", "rank")
   }

@@ -121,13 +121,26 @@ object HrJobs {
         col("ref.um_campus_descr").as("um_campus_descr"))
 
     // J2/J3: jobcode defaults + two-level profiled override
-    // (employee_job.py:152-199).
-    val withDefaults = orgJoined.filter(col("org_id").isNotNull)
+    // (employee_job.py:152-199). The reference's .one() raises on a
+    // missing jobcode; here the row routes to the error channel like
+    // unknown_dept instead of silently vanishing in an inner join.
+    val jcJoined = orgJoined.filter(col("org_id").isNotNull)
       .join(broadcast(jobcodes.select(col("jobcode").as("__jck"),
         col("pure_job_description"), col("default_employed_as"),
         col("default_staff_type"), col("default_visibility"),
         col("default_profiled"), col("default_profiled_overrideable"))),
-        col("ref.jobcode") === col("__jck"))
+        col("ref.jobcode") === col("__jck"), "left")
+    val unknownJobcode = jcJoined.filter(col("__jck").isNull)
+      .select(col("emplid"), lit("unknown_jobcode").as("error_type"),
+        col("ref.jobcode").as("jobcode"),
+        col("ref.jobcode_descr").as("jobcode_descr"),
+        col("ref.deptid").as("deptid"),
+        col("ref.deptid_descr").as("deptid_descr"),
+        col("ref.um_college").as("um_college"),
+        col("ref.um_college_descr").as("um_college_descr"),
+        col("ref.um_campus").as("um_campus"),
+        col("ref.um_campus_descr").as("um_campus_descr"))
+    val withDefaults = jcJoined.filter(col("__jck").isNotNull)
       .join(broadcast(knownOverrideable
           .select(col("jobcode").as("__kj"), col("deptid").as("__kd"),
             lit(true).as("__known"))),
@@ -180,7 +193,8 @@ object HrJobs {
       profiled.as("profiled"),
       col("group_ord"))
 
-    (jobs, unknownDept.unionByName(unknownJobcodeDept))
+    (jobs, unknownDept.unionByName(unknownJobcode)
+      .unionByName(unknownJobcodeDept))
   }
 
   /** POI-job derivation (poi_job.py): employee variant minus
@@ -241,12 +255,23 @@ object HrJobs {
         col("ref.um_campus_descr").as("um_campus_descr"))
 
     val activeJob = col("end_date").isNull
-    val jobs = orgJoined.filter(col("org_id").isNotNull)
+    val jcJoined = orgJoined.filter(col("org_id").isNotNull)
       .join(broadcast(jobcodes.select(col("jobcode").as("__jck"),
         col("pure_job_description"), col("default_employed_as"),
         col("default_staff_type"), col("default_visibility"),
         col("default_profiled"))),
-        col("ref.jobcode") === col("__jck"))
+        col("ref.jobcode") === col("__jck"), "left")
+    val unknownJobcode = jcJoined.filter(col("__jck").isNull)
+      .select(col("emplid"), lit("unknown_jobcode").as("error_type"),
+        col("ref.jobcode").as("jobcode"),
+        col("ref.jobcode_descr").as("jobcode_descr"),
+        col("ref.deptid").as("deptid"),
+        col("ref.deptid_descr").as("deptid_descr"),
+        col("ref.um_college").as("um_college"),
+        col("ref.um_college_descr").as("um_college_descr"),
+        col("ref.um_campus").as("um_campus"),
+        col("ref.um_campus_descr").as("um_campus_descr"))
+    val jobs = jcJoined.filter(col("__jck").isNotNull)
       .select(
         col("emplid"),
         col("g_jobcode").as("affiliation_id"),
@@ -268,7 +293,7 @@ object HrJobs {
           .as("profiled"),
         col("group_ord"))
 
-    (jobs, unknownDept)
+    (jobs, unknownDept.unionByName(unknownJobcode))
   }
 
   /** Affiliate-job derivation (affiliate_job.py): stints within
@@ -320,12 +345,23 @@ object HrJobs {
         col("last.um_campus").as("um_campus"),
         col("last.um_campus_descr").as("um_campus_descr"))
 
-    val jobs = orgJoined.filter(col("org_id").isNotNull)
+    val jcJoined = orgJoined.filter(col("org_id").isNotNull)
       .join(broadcast(jobcodes.select(col("jobcode").as("__jck"),
         col("pure_job_description"), col("default_employed_as"),
         col("default_staff_type"), col("default_visibility"),
         col("default_profiled"))),
-        col("um_affil_relation") === col("__jck"))
+        col("um_affil_relation") === col("__jck"), "left")
+    val unknownJobcode = jcJoined.filter(col("__jck").isNull)
+      .select(col("emplid"), lit("unknown_jobcode").as("error_type"),
+        col("um_affil_relation").as("jobcode"),
+        col("last.title").as("jobcode_descr"),
+        col("deptid"),
+        col("last.deptid_descr").as("deptid_descr"),
+        col("last.um_college").as("um_college"),
+        col("last.um_college_descr").as("um_college_descr"),
+        col("last.um_campus").as("um_campus"),
+        col("last.um_campus_descr").as("um_campus_descr"))
+    val jobs = jcJoined.filter(col("__jck").isNotNull)
       .select(
         col("emplid"),
         col("um_affil_relation").as("affiliation_id"),
@@ -344,6 +380,6 @@ object HrJobs {
         col("default_profiled").as("profiled"),
         col("group_ord"))
 
-    (jobs, unknownDept)
+    (jobs, unknownDept.unionByName(unknownJobcode))
   }
 }

@@ -91,9 +91,19 @@ object PureDocs {
       .unionByName(history.select(col("downloaded")))
       .agg(max(col("downloaded")).as("offset"))
 
+  /** Name-based surrogate uuid (deterministic across plan
+    * re-executions — see shredPubs): md5 of (namespace, source id)
+    * formatted as a uuid string.
+    */
+  def derivedUuid(namespace: Column, sourceId: Column): Column = {
+    val h = md5(concat_ws(":", namespace, sourceId))
+    concat_ws("-",
+      substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+      substring(h, 17, 4), substring(h, 21, 12))
+  }
+
   private def localeEn(textArr: Column): Column =
-    try_element_at(filter(textArr, t => t.getField("locale") === "en_US"),
-      lit(1)).getField("value")
+    Fns.localeValueStrict(textArr)
 
   /** Shred the latest research-output documents into normalized outputs
     * (pure_api_pub.py:138-424). Inputs:
@@ -134,9 +144,15 @@ object PureDocs {
     val stale = withDb.filter(col("__db_modified").isNotNull &&
       col("__db_modified") >= col("modified"))
       .select(col("uuid"), lit("stale").as("skip_reason"))
+    // surrogate for NEW docs is derived (not uuid()): each of the six
+    // shred outputs re-executes this subplan on write, and a
+    // nondeterministic uuid would mint DIFFERENT keys per action,
+    // orphaning child rows. Name-based uuid from the source uuid is
+    // stable across executions and collision-free per source.
     val fresh = withDb.filter(col("__db_modified").isNull ||
         col("__db_modified") < col("modified"))
-      .withColumn("pub_uuid", coalesce(col("__db_uuid"), expr("uuid()")))
+      .withColumn("pub_uuid",
+        coalesce(col("__db_uuid"), derivedUuid(lit("pub"), col("uuid"))))
 
     // owner org validation (pure_api_pub.py:207-225): no owner → skip;
     // owner not in org dim → skip

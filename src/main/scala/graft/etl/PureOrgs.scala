@@ -29,8 +29,7 @@ object PureOrgs {
     """).asInstanceOf[StructType]
 
   private def localeEn(textArr: Column): Column =
-    try_element_at(filter(textArr, t => t.getField("locale") === "en_US"),
-      lit(1)).getField("value")
+    Fns.localeValueStrict(textArr)
 
   /** pure_id: externalId, else the id row with the organisationid
     * source uri (get_pure_id, pure_api_internal_org.py:105-113).

@@ -37,8 +37,7 @@ object PurePersons {
     """).asInstanceOf[StructType]
 
   private def localeEn(textArr: Column): Column =
-    try_element_at(filter(textArr, t => t.getField("locale") === "en_US"),
-      lit(1)).getField("value")
+    Fns.localeValueStrict(textArr)
 
   private def idOfSource(doc: Column, uri: String): Column =
     try_element_at(filter(doc.getField("ids"),
@@ -98,9 +97,12 @@ object PurePersons {
     val skipStale = withDb.filter(col("__db_modified").isNotNull &&
         col("__db_modified") >= col("modified"))
       .select(col("uuid"), lit("stale").as("skip_reason"))
+    // deterministic surrogate (see PureDocs.derivedUuid): outputs are
+    // written separately and must agree on new persons' keys
     val fresh = withDb.filter(col("__db_modified").isNull ||
         col("__db_modified") < col("modified"))
-      .withColumn("person_uuid", coalesce(col("__db_uuid"), expr("uuid()")))
+      .withColumn("person_uuid", coalesce(col("__db_uuid"),
+        PureDocs.derivedUuid(lit("person"), col("emplid"))))
       .withColumn("__existed", col("__db_uuid").isNotNull)
 
     // org-set reconciliation (SO4, :163-186): api vs db association sets

@@ -54,6 +54,14 @@ object Fns {
       .getField("value"),
     try_element_at(arr, lit(1)).getField("value"))
 
+  /** F8 strict variant matching the transformer loaders'
+    * `next((t.value for t in texts if t.locale=='en_US'), None)`:
+    * first en_US match, NULL when absent (no first-element fallback).
+    */
+  def localeValueStrict(arr: Column, locale: String = "en_US"): Column =
+    try_element_at(filter(arr, t => t.getField("locale") === locale),
+      lit(1)).getField("value")
+
   /** F5: middle-initial append with whitespace guard
     * (reference `oit_to_edw/person.py:486-491`).
     */

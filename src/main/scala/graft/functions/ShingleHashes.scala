@@ -10,8 +10,11 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Distinct word n-gram shingle hashes in one pass — the workhorse of
   * the dedup operators ([[graft.operators.Dedup]]).
   *
-  * Semantics match the composable form exactly (normalize to lowercase
-  * with collapsed whitespace, split, n-token windows, distinct), but
+  * Semantics match the composable form exactly for ASCII text
+  * (normalize to lowercase with collapsed whitespace, split, n-token
+  * windows, distinct) — case folding here is ASCII-only ('A'-'Z'),
+  * whereas lower() folds full Unicode; non-ASCII corpora should
+  * lower() the column first. But
   * where the built-in pipeline chains SEVEN interpreted higher-order /
   * regex expressions and allocates every shingle string, this
   * expression scans the bytes once and emits 64-bit shingle hashes

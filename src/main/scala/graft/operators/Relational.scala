@@ -196,8 +196,11 @@ object Relational {
       (keys.map(col) ++ lCols.filterNot(keys.contains).map(col) ++
         Seq(col("__ts"), col("__side"), col("__payload"))): _*)
     val unioned = lShaped.unionByName(rShaped)
+    // payload hash as final tie-break: several right rows at the same
+    // (keys, ts) would otherwise resolve arbitrarily per shuffle
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"),
+        xxhash64(to_json(col("__payload"))))
       .rowsBetween(Window.unboundedPreceding, 0)
     unioned
       .withColumn("__last", last(col("__payload"), ignoreNulls = true).over(w))
@@ -251,15 +254,15 @@ object Relational {
   def mpttLabels(
       nodes: DataFrame,
       idCol: String = "id",
-      parentCol: String = "parent_id",
-      siblingOrder: String = "id"): DataFrame = {
+      parentCol: String = "parent_id"): DataFrame = {
     val closure = treeClosure(nodes, idCol, parentCol)
-    // DFS rank via path sort within each root: left = 2*rank - depth…
-    // Simpler exact construction: sort paths lexicographically (path
-    // segments zero-padded by sibling order), then standard Euler-tour
-    // numbering computed from subtree sizes.
+    // Preorder via lexicographic path sort. The display separator '/'
+    // would break DFS contiguity for sibling ids containing characters
+    // that sort before '/' (e.g. "a" vs "a-x"); sorting on a \u0001
+    // separator keeps every descendant between its ancestor and the
+    // next sibling for any printable ids.
     val withPath = closure
-      .withColumn("__sortpath", col("path"))
+      .withColumn("__sortpath", translate(col("path"), "/", "\u0001"))
     val w = Window.partitionBy(col("root_id")).orderBy(col("__sortpath"))
     val ranked = withPath.withColumn("preorder", row_number().over(w))
     // subtree size: count of descendants (rows whose path starts with mine)

@@ -71,7 +71,10 @@ object Similarity {
     * sides so buckets agree without any fitted model.
     */
   private def planeComponent(p: Int, d: Column): Column =
-    (xxhash64(lit(p), d) % 10001L).cast("double") / 5000.0 - 1.0
+    // pmod, not %: Scala/SQL % keeps the dividend's sign, which would
+    // fold the negative half of xxhash64 into [-3,-1) and bias every
+    // component negative (collapsing all rows into one bucket)
+    pmod(xxhash64(lit(p), d), lit(10001L)).cast("double") / 5000.0 - 1.0
 
   /** Random-hyperplane LSH bucket id: `nPlanes` sign bits packed into a
     * long. Embeddings land in the same bucket iff they agree on every

@@ -102,6 +102,7 @@ object TopK {
       keys: Seq[String],
       order: Seq[(String, Boolean)],
       k: Int): DataFrame = {
+    require(k >= 1, s"topKPerKey requires k >= 1, got $k")
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.Descending
     import org.apache.spark.sql.graftshim.ColumnBridge

@@ -156,8 +156,12 @@ object XmlSync {
     Files.deleteIfExists(out)
     Files.writeString(out, header, StandardOpenOption.CREATE,
       StandardOpenOption.TRUNCATE_EXISTING)
-    val parts = Files.list(Paths.get(tmp)).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.toString)
+    val listing = Files.list(Paths.get(tmp))
+    val parts =
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .toSeq.sortBy(_.toString)
+      finally listing.close()
     for (p <- parts) {
       val in = Files.newInputStream(p)
       try {
@@ -185,10 +189,13 @@ object XmlSync {
   def rotateSyncFiles(dir: String, prefix: String, keep: Int): Unit = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) return
-    val files = Files.list(d).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith(prefix) &&
-        !p.getFileName.toString.startsWith("latest_"))
-      .toSeq.sortBy(p => Files.getLastModifiedTime(p).toMillis).reverse
+    val listing = Files.list(d)
+    val files =
+      try listing.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith(prefix) &&
+          !p.getFileName.toString.startsWith("latest_"))
+        .toSeq.sortBy(p => Files.getLastModifiedTime(p).toMillis).reverse
+      finally listing.close()
     files.drop(keep).foreach(Files.deleteIfExists(_))
     files.headOption.foreach { newest =>
       val link = d.resolve(s"latest_$prefix")

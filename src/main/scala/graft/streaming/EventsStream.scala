@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import scala.collection.mutable.ArrayBuffer
 
 /** Streaming/incremental semantics (SURVEY.md §2.10): the reference is a
   * 4-hour batch daemon whose logic is incremental CDC — offset resume,
@@ -50,9 +51,13 @@ object EventsStream {
       .agg(count(lit(1)).as("n"),
         sum(col("value")).as("total_value"))
 
-  /** Gap-based session state per user via mapGroupsWithState
-    * (§2.10 "custom state"): a session closes after `gapMinutes` of
-    * inactivity (processing-time timeout for the tail session).
+  /** Gap-based session state per user via flatMapGroupsWithState
+    * (§2.10 "custom state"): a session closes when the next event
+    * arrives more than `gapMinutes` after the previous one. Every
+    * CLOSED session is emitted with ITS OWN final stats (closed=true),
+    * plus one update for the still-open tail session (closed=false).
+    * The tail session closes on the next batch's gap; an idle-timeout
+    * variant would register a state timeout here.
     */
   def sessionize(
       events: Dataset[Event],
@@ -60,16 +65,19 @@ object EventsStream {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60L * 1000L
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionUpdate](
-        GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         case (userId, it, state: GroupState[SessionState]) =>
+          val out = ArrayBuffer.empty[SessionUpdate]
+          def emit(st: SessionState, closed: Boolean): Unit =
+            out += SessionUpdate(userId, new java.sql.Timestamp(st.start),
+              st.n, math.rint(st.total * 100) / 100, closed)
           val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
           var st = state.getOption.getOrElse(
             SessionState(sorted.head.ts.getTime, sorted.head.ts.getTime, 0, 0))
-          var closed = false
           for (e <- sorted) {
-            if (e.ts.getTime - st.last > gapMs) {
-              closed = true // previous session ended; start a new one
+            if (st.n > 0 && e.ts.getTime - st.last > gapMs) {
+              emit(st, closed = true) // finished session, final stats
               st = SessionState(e.ts.getTime, e.ts.getTime, 1, e.value)
             } else {
               st = st.copy(last = e.ts.getTime, n = st.n + 1,
@@ -77,8 +85,8 @@ object EventsStream {
             }
           }
           state.update(st)
-          SessionUpdate(userId, new java.sql.Timestamp(st.start), st.n,
-            math.rint(st.total * 100) / 100, closed)
+          emit(st, closed = false)
+          out.iterator
       }
   }
 
