@@ -63,8 +63,17 @@ object Demographics {
     * (F14 person_id, F5 first name) via [[PersonSync.transformPerson]].
     * `scival`: (emplid, scival_id).
     */
-  def extractPersons(history: DataFrame, scival: DataFrame): DataFrame =
+  def extractPersons(history: DataFrame, scival: DataFrame): DataFrame = {
+    // W9 backfill (person.py:216-218): a null internet_id on the latest
+    // row falls back to the latest NOT-NULL one in history
+    val latest = latestDemographics(history)
+    val backfill = latestNotNullInternetId(history)
+      .withColumnRenamed("internet_id", "__fallback_inet")
     PersonSync.transformPerson(
-      latestDemographics(history)
+      latest.join(backfill, Seq("emplid"), "left")
+        .withColumn("internet_id",
+          coalesce(col("internet_id"), col("__fallback_inet")))
+        .drop("__fallback_inet")
         .join(broadcast(scival), Seq("emplid"), "left"))
+  }
 }

@@ -19,12 +19,17 @@ import graft.operators.Relational
   */
 object HrJobs {
 
-  /** empl_status values that mean "employment is active"
-    * (employee_job.py:42).
+  /** empl_status values that mean "employment is active" for the
+    * employee/poi pipelines (employee_job.py:42).
     */
   val activeStates: Seq[String] = Seq("A", "L", "P", "W")
 
+  /** The affiliate pipeline's stricter notion (affiliate_job.py:30). */
+  val affiliateActiveStates: Seq[String] = Seq("A")
+
   private def isActiveStatus(c: Column): Column = c.isin(activeStates: _*)
+  private def isAffiliateActive(c: Column): Column =
+    c.isin(affiliateActiveStates: _*)
 
   /** Sessionization of effective-dated entries (group_entries,
     * employee_job.py:205-231): pandas iterates position_nbr groups in
@@ -33,12 +38,17 @@ object HrJobs {
     * changes. One window pass; `__ord` is the global traversal ordinal.
     */
   private def sessionizeEntries(entries: DataFrame): DataFrame = {
-    val w = Window.partitionBy("emplid")
-      .orderBy(col("position_nbr"), col("effdt"), col("effseq"))
+    // (job_entry_dt, jobcode, deptid, empl_status, status_flg) extend
+    // the reference's (effdt, effseq) DB order into a total order —
+    // ties would otherwise make __ord (and thus reference-entry
+    // election) flip between plan re-executions
+    val order = Seq(col("position_nbr"), col("effdt"), col("effseq"),
+      col("job_entry_dt"), col("jobcode"), col("deptid"),
+      col("empl_status"), col("status_flg"))
+    val w = Window.partitionBy("emplid").orderBy(order: _*)
     Relational.sessionize(
       entries.withColumn("__ord", row_number().over(w)),
-      Seq("emplid"),
-      Seq(col("position_nbr"), col("effdt"), col("effseq")),
+      Seq("emplid"), order,
       Seq("position_nbr", "job_entry_dt", "jobcode", "deptid"),
       sessionCol = "__grp")
   }
@@ -309,12 +319,12 @@ object HrJobs {
 
     val w = Window.partitionBy("emplid").orderBy(
       col("deptid"), col("um_affiliate_id"), col("um_affil_relation"),
-      col("effdt"))
+      col("effdt"), col("status"), col("status_flg"), col("title"))
     val ordered = entries.withColumn("__ord", row_number().over(w))
     val stinted = Relational.splitStints(ordered,
       Seq("emplid", "deptid", "um_affiliate_id", "um_affil_relation"),
       Seq(col("effdt"), col("__ord")),
-      isActiveStatus(col("status")),
+      isAffiliateActive(col("status")),
       col("status_flg") === "C")
 
     val lastStruct = struct(
@@ -366,7 +376,7 @@ object HrJobs {
         col("emplid"),
         col("um_affil_relation").as("affiliation_id"),
         col("start_date"),
-        when(!isActiveStatus(col("last.status")) ||
+        when(!isAffiliateActive(col("last.status")) ||
           col("last.status_flg") === "H", col("last.effdt")).as("end_date"),
         col("deptid"),
         col("org_id"),

@@ -57,7 +57,9 @@ object OitToEdw {
       col("person_id"))
 
     val profiled = PersonSync.transformProfiled(typed)
-    val visibility = PersonSync.personVisibility(typed)
+    // visibility folds over the POST-dedup job list (person.py:255-261
+    // iterates person_dict['jobs'], which is the assoc-id-deduped set)
+    val visibility = PersonSync.personVisibility(withAssoc)
 
     // persons with zero jobs are excluded (reference records a
     // no-job-data error and loads nothing, person.py:48-54)

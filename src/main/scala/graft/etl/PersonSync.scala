@@ -93,8 +93,10 @@ object PersonSync {
     val tkOrd = when(priority.isin(2, 3, 5, 6), -col("jord"))
       .otherwise(col("jord"))
 
+    // nulls LAST on the start-date tie-break: a job with a missing
+    // start_date must not beat every dated job in tier 3
     val wElect = Window.partitionBy("emplid")
-      .orderBy(priority, tkStart, tkRcdno, tkOrd)
+      .orderBy(priority, tkStart.asc_nulls_last, tkRcdno, tkOrd)
     val elected = tagged.withColumn("primary", row_number().over(wElect) === 1)
 
     // reference's post-election list order (person.py:449-452)

@@ -175,13 +175,16 @@ object PureDocs {
       .withColumn("author_ordinal", col("__pos") + 1)
       .filter(col("assoc").isNotNull)
     val isCollab = col("assoc.authorCollaboration.uuid").isNotNull
-    val personPureUuid = coalesce(col("assoc.person.uuid"),
-      col("assoc.externalPerson.uuid"))
+    // externalPerson OVERRIDES person when both are present — the
+    // reference's two sequential ifs (pure_api_pub.py:294-300) make
+    // the external branch win
+    val personPureUuid = coalesce(col("assoc.externalPerson.uuid"),
+      col("assoc.person.uuid"))
 
     val personAssocs = assocs.filter(!isCollab)
       .withColumn("person_pure_uuid", personPureUuid)
       .withColumn("person_pure_internal",
-        when(col("assoc.person.uuid").isNotNull, "Y").otherwise("N"))
+        when(col("assoc.externalPerson.uuid").isNotNull, "N").otherwise("Y"))
       .join(persons.select(col("pure_uuid").as("person_pure_uuid"),
         col("uuid").as("person_uuid"), col("emplid")),
         Seq("person_pure_uuid"), "left")
@@ -256,18 +259,24 @@ object PureDocs {
         s => uris.map(u =>
           Fns.uriLast(s.getField("publicationStatus").getField("uri")) === u)
           .reduce(_ || _))
-      // reference applies statuses in array order, later wins
+      // reference applies statuses in array order, mutating columns
+      // independently (update_pub_state): _current comes from the LAST
+      // matching status of any shape; date/precision come from the last
+      // matching status that CARRIES a publicationDate — a later
+      // dateless status must not erase an earlier date
       val last = try_element_at(matching, lit(-1))
-      val d = last.getField("publicationDate")
+      val lastWithDate = try_element_at(reverse(filter(matching,
+        x => x.getField("publicationDate").isNotNull)), lit(1))
+      val d = lastWithDate.getField("publicationDate")
       Seq(
-        when(last.isNotNull && d.isNotNull,
+        when(lastWithDate.isNotNull,
           make_timestamp(d.getField("year"),
             coalesce(d.getField("month"), lit(1)),
             coalesce(d.getField("day"), lit(1)),
             lit(0), lit(0), lit(0))).as(stem),
         when(last.isNotNull, coalesce(last.getField("current"), lit(false)))
           .as(s"${stem}_current"),
-        when(last.isNotNull && d.isNotNull,
+        when(lastWithDate.isNotNull,
           when(d.getField("day").isNotNull, 1)
             .when(d.getField("month").isNotNull, 31)
             .otherwise(366)).as(s"${stem}_precision"))

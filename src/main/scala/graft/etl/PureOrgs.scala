@@ -71,12 +71,15 @@ object PureOrgs {
       col("modified").as("pure_modified"),
       doc.getField("ids").as("__ids"))
 
-    // J11: parent pure_id via self-join over (new batch ∪ existing dim)
-    val idLookup = base.select(col("pure_uuid").as("__pk"),
-        col("pure_id").as("__pid"))
-      .unionByName(existingOrgs.select(col("pure_uuid").as("__pk"),
-        col("pure_id").as("__pid")))
-      .groupBy("__pk").agg(max(col("__pid")).as("__pid"))
+    // J11: parent pure_id via self-join — the incoming batch's value
+    // takes precedence; the existing dim only fills parents absent from
+    // the batch (max() over the union would let a stale dim id win)
+    val batchIds = base.select(col("pure_uuid").as("__pk"),
+      col("pure_id").as("__pid"))
+    val idLookup = batchIds.unionByName(
+      existingOrgs.select(col("pure_uuid").as("__pk"),
+          col("pure_id").as("__pid"))
+        .join(batchIds.select("__pk"), Seq("__pk"), "left_anti"))
     val orgs = base
       .join(broadcast(idLookup), base("parent_pure_uuid") === idLookup("__pk"),
         "left")

@@ -34,10 +34,14 @@ object ChangesStream {
     val stream = spark.readStream.schema(schema).parquet(sourceDir)
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (actions, toHistory) = PureDocs.consumeChanges(batch, families)
         apply(actions)
-        toHistory.write.mode("append").parquet(historyDir)
+        // foreachBatch is at-least-once: writing each batch to its own
+        // overwritten directory makes checkpoint replay idempotent (a
+        // plain append would duplicate history rows on retry)
+        toHistory.write.mode("overwrite")
+          .parquet(s"$historyDir/batch_id=$batchId")
       }
       .start()
     q.processAllAvailable()

@@ -50,16 +50,19 @@ class DemographicsSpec extends AnyFunSuite {
 
   test("person extraction enriches scival and transforms id/name") {
     val history = Seq(
-      ("1", "Max", "J", "m@x", t1), ("2", "Ann", " ", "a@x", t1))
+      ("1", "Max", "J", "m@x", null, t1),
+      ("1", "Max0", "J", "m@x", "max", t0), // internet-id backfill source
+      ("2", "Ann", " ", "a@x", "ann", t1))
       .toDF("emplid", "first_name", "middle_initial", "instl_email_addr",
-        "timestamp")
+        "internet_id", "timestamp")
     val scival = Seq(("1", "8185")).toDF("emplid", "scival_id")
     val rows = Demographics.extractPersons(history, scival)
-      .select("emplid", "person_id", "first_name")
-      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2)))
+      .select("emplid", "person_id", "first_name", "internet_id")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2), r.getString(3)))
       .toMap
-    assert(rows("1") == ("8185", "Max J"))
-    assert(rows("2") == ("2", "Ann")) // blank middle initial dropped
+    assert(rows("1") == ("8185", "Max J", "max")) // backfilled internet id
+    assert(rows("2") == ("2", "Ann", "ann")) // blank middle initial dropped
 
   }
 }
