@@ -55,7 +55,7 @@ object OraclesCore {
     "q07_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
-  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin,
 
     "q08_except_distinct" ->
@@ -182,7 +182,8 @@ object OraclesCore {
       """SELECT c_custkey,
         |  lower(regexp_replace(c_name, '[^a-zA-Z0-9]+', '.', 'g')) || '@example.com' AS email,
         |  lower(regexp_replace(c_name, '[^a-zA-Z]+', '', 'g')) AS norm_name,
-        |  CASE WHEN c_acctbal > 0 THEN 'Y' ELSE 'N' END AS pos_bal,
+        |  CASE WHEN c_acctbal IS NULL THEN NULL
+        |       WHEN c_acctbal > 0 THEN 'Y' ELSE 'N' END AS pos_bal,
         |  CAST(length(c_name) AS INTEGER) AS name_len,
         |  CASE WHEN c_mktsegment IS NOT NULL AND trim(c_mktsegment) <> ''
         |       THEN c_name || ' ' || trim(c_mktsegment) ELSE c_name END AS tagged_name
@@ -225,7 +226,9 @@ object OraclesCore {
         |ORDER BY user_id, event_id""".stripMargin,
 
     "q25_json_shred" ->
-      """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
+      """SELECT event_id,
+        |  CASE WHEN json_valid(props)
+        |       THEN TRY_CAST(props->>'$.k' AS INTEGER) END AS k
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q26_freshness_guard" ->

@@ -35,18 +35,17 @@ object QueriesSim {
   def q41EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     // scoped to every 4th vector: all-pairs is quadratic by design — the
     // oracle-checkable exact baseline; LSH (q42) is the scale path.
+    // norms precomputed once per row; pair stage = one dot + a divide,
+    // in the same operation order as the oracle's list_cosine_similarity
     val all = vecsD(s, dir).filter(pmod(col("vec_id"), lit(4)) === 0)
-      // normalize once per row: the O(n²) pair stage then needs a single
-      // dot product per pair instead of dot + two norms
-      .select(col("vec_id"), transform(col("embedding"),
-        x => x / sqrt(aggregate(transform(col("embedding"), y => y * y),
-          lit(0.0), (acc, v) => acc + v))).as("embedding"))
-    val l = all.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val r = all.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      .withColumn("__n", Similarity.l2norm(col("embedding")))
+    val l = all.select(col("vec_id").as("id_a"),
+      col("embedding").as("va"), col("__n").as("na"))
+    val r = all.select(col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("__n").as("nb"))
     l.join(r, col("id_a") < col("id_b"))
       .withColumn("cos_sim",
-        round(aggregate(zip_with(col("va"), col("vb"), (p, q) => p * q),
-          lit(0.0), (acc, v) => acc + v), 6))
+        round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos_sim") >= 0.42)
       .select("id_a", "id_b", "cos_sim")
       .orderBy("id_a", "id_b")

@@ -17,10 +17,11 @@ object Dedup {
     */
   def exactDedup(df: DataFrame, textCol: String, keep: Column): DataFrame = {
     val fp = TextAnalysis.fingerprintMd5(col(textCol))
-    Relational.keepOnePreferred(
-      df.withColumn("__fp", fp), Seq("__fp"),
-      struct((lit(0) - keep).as("neg"))) // max_by(-keep) == min_by(keep)
-      .drop("__fp")
+    val others = df.columns.toSeq
+    df.withColumn("__fp", fp)
+      .groupBy(col("__fp"))
+      .agg(min_by(struct(others.map(col): _*), keep).as("__best"))
+      .select(others.map(c => col(s"__best.$c")): _*)
   }
 
   /** MinHash signature: `numHashes` independent min-hashes over the
@@ -50,9 +51,11 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.6): DataFrame = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val withShingles = df
       .select(col(idCol), graft.functions.ShingleHashes
-        .shingleHashes(col(textCol), shingleLen).as("__sh"))
+        .shingleHashes(lower(col(textCol)), shingleLen).as("__sh"))
       .filter(size(col("__sh")) > 0)
     // Signature via explode + groupBy with `numHashes` min-aggregates:
     // codegen'd with map-side partial aggregation, and each shingle is
@@ -122,8 +125,10 @@ object Dedup {
       maxDocFreq: Int = Int.MaxValue): DataFrame = {
     // single-pass codegen shingle hashing (see ShingleHashes scaladoc):
     // identical set semantics to the string form, ~20x cheaper
+    // lower() first: ShingleHashes folds ASCII only; Spark lower()
+    // makes the set semantics full-Unicode, matching the DuckDB oracle
     val sh = df.select(col(idCol), graft.functions.ShingleHashes
-        .shingleHashes(col(textCol), shingleLen).as("__sh"))
+        .shingleHashes(lower(col(textCol)), shingleLen).as("__sh"))
       .filter(size(col("__sh")) > 0)
     val posting = sh.select(col(idCol), explode(col("__sh")).as("shingle"))
     val sizes = sh.select(col(idCol), size(col("__sh")).as("__n"))

@@ -231,7 +231,11 @@ object Relational {
     var acc = roots
     var depth = 0
     var done = false
-    while (!done && depth < maxDepth) {
+    while (!done && depth <= maxDepth) {
+      if (depth == maxDepth)
+        throw new IllegalStateException(
+          s"treeClosure: depth cap $maxDepth reached with a non-empty " +
+            "frontier — deeper nodes would be silently dropped")
       val next = frontier.join(edges, frontier("id") === edges("parent"))
         .select(col("child").as("id"), col("root_id"),
           (col("depth") + 1).as("depth"),
@@ -255,7 +259,12 @@ object Relational {
       nodes: DataFrame,
       idCol: String = "id",
       parentCol: String = "parent_id"): DataFrame = {
-    val closure = treeClosure(nodes, idCol, parentCol)
+    // treeClosure emits canonical (id, root_id, depth, path) column
+    // names regardless of idCol — normalize the input and restore the
+    // caller's name on output
+    val canonical = nodes.select(col(idCol).as("id"),
+      col(parentCol).as("parent_id"))
+    val closure = treeClosure(canonical, "id", "parent_id")
     // Preorder via lexicographic path sort. The display separator '/'
     // would break DFS contiguity for sibling ids containing characters
     // that sort before '/' (e.g. "a" vs "a-x"); sorting on a \u0001
@@ -271,7 +280,7 @@ object Relational {
           col("a.root_id") === col("b.root_id"), "left")
       .groupBy(col("a.id").as("id2"))
       .agg(count(col("b.id")).as("n_desc"))
-    val joined = ranked.join(sizes, ranked(idCol) === sizes("id2"), "left")
+    val joined = ranked.join(sizes, ranked("id") === sizes("id2"), "left")
       .drop("id2").withColumn("n_desc", coalesce(col("n_desc"), lit(0L)))
     // left = preorder + (#strict ancestors before me)… Euler-tour lefts:
     // compute via running sum of (1 + 2*n_desc) is involved; use the
@@ -289,7 +298,7 @@ object Relational {
       .withColumn("lft", (lit(2) * (col("preorder") - 1) - col("depth") + 1)
         .cast("long"))
       .withColumn("rgt", col("lft") + lit(2) * col("n_desc") + 1)
-    labeled.select(col(idCol), col("root_id"), col("depth"),
+    labeled.select(col("id").as(idCol), col("root_id"), col("depth"),
       col("preorder"), col("n_desc"), col("lft"), col("rgt"))
   }
 }

@@ -11,19 +11,27 @@ import graft.functions.Fns
   */
 object Similarity {
 
-  /** L2-normalize a vector column once per row: downstream cosine
-    * becomes a single dot product per PAIR instead of three (dot + two
-    * norms) — the norms are interpreted higher-order folds, so hoisting
-    * them out of the quadratic pair stage is a ~3x win.
+  /** L2 norm of a vector column, computed once per row as its own
+    * column: the quadratic pair stage then needs a single dot product
+    * per pair plus one multiply — not three interpreted O(d) folds.
+    * (Embedding the norm inside a per-element lambda would re-evaluate
+    * it per element: O(d²) per row.)
     */
-  private def unit(vec: Column): Column = {
-    val norm = sqrt(aggregate(transform(vec, x => x * x),
-      lit(0.0), (acc, v) => acc + v))
-    transform(vec, x => x / norm)
-  }
+  def l2norm(vec: Column): Column =
+    sqrt(aggregate(transform(vec, x => x * x), lit(0.0), (acc, v) => acc + v))
 
-  private def dot(a: Column, b: Column): Column =
+  /** Dot product of two double-array columns (codegen-free but single
+    * pass).
+    */
+  def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine from a precomputed-norm pair: dot(a,b)/(|a|·|b|) — the same
+    * operation order as DuckDB's list_cosine_similarity, so the oracle
+    * and Spark share one FP path up to summation order.
+    */
+  private def cosByNorm(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
 
   /** Brute-force cosine top-k (k rows per query): every query row against
     * every corpus row, rank per query, keep k. The query side is expected
@@ -41,12 +49,13 @@ object Similarity {
       vecCol: String,
       k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
-      unit(col(vecCol)).as("__qv"))
+      col(vecCol).as("__qv"), l2norm(col(vecCol)).as("__qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      unit(col(vecCol)).as("__cv"))
+      col(vecCol).as("__cv"), l2norm(col(vecCol)).as("__cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", round(dot(col("__qv"), col("__cv")), 6))
+      .withColumn("cos_sim", round(cosByNorm(col("__qv"), col("__cv"),
+        col("__qn"), col("__cn")), 6))
     rankTopK(scored, k)
   }
 
@@ -111,10 +120,10 @@ object Similarity {
       nPlanes: Int = 8,
       probes: Int = 1): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      unit(col(vecCol)).as("__cv"),
+      col(vecCol).as("__cv"), l2norm(col(vecCol)).as("__cn"),
       hyperplaneBucket(col(vecCol), nPlanes).as("bucket"))
     val qBase = queries.select(col(idCol).as("query_id"),
-      unit(col(vecCol)).as("__qv"),
+      col(vecCol).as("__qv"), l2norm(col(vecCol)).as("__qn"),
       hyperplaneBucket(col(vecCol), nPlanes).as("__b0"))
     // probe buckets: exact bucket + (probes-1) single-bit flips
     val probeBuckets = (0 until math.min(probes, nPlanes + 1)).map { i =>
@@ -123,7 +132,8 @@ object Similarity {
     val q = qBase.withColumn("bucket", explode(array(probeBuckets: _*)))
     val scored = c.join(q, "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", round(dot(col("__qv"), col("__cv")), 6))
+      .withColumn("cos_sim", round(cosByNorm(col("__qv"), col("__cv"),
+        col("__qn"), col("__cn")), 6))
       // multi-probe can surface the same neighbor from several buckets
       .dropDuplicates("query_id", "neighbor_id")
     rankTopK(scored, k)
@@ -138,13 +148,17 @@ object Similarity {
       vecCol: String,
       threshold: Double,
       nPlanes: Int = 6): DataFrame = {
-    val b = df.select(col(idCol), unit(col(vecCol)).as("__v"),
+    val b = df.select(col(idCol), col(vecCol).as("__v"),
+      l2norm(col(vecCol)).as("__n"),
       hyperplaneBucket(col(vecCol), nPlanes).as("bucket"))
-    val l = b.select(col("bucket"), col(idCol).as("id_a"), col("__v").as("va"))
-    val r = b.select(col("bucket"), col(idCol).as("id_b"), col("__v").as("vb"))
+    val l = b.select(col("bucket"), col(idCol).as("id_a"),
+      col("__v").as("va"), col("__n").as("na"))
+    val r = b.select(col("bucket"), col(idCol).as("id_b"),
+      col("__v").as("vb"), col("__n").as("nb"))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(dot(col("va"), col("vb")), 6))
+      .withColumn("cos_sim", round(cosByNorm(col("va"), col("vb"),
+        col("na"), col("nb")), 6))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim").dropDuplicates("id_a", "id_b")
   }
