@@ -57,20 +57,44 @@ object HrJobs {
   private def aggAll(df: org.apache.spark.sql.RelationalGroupedDataset,
       aggs: Seq[Column]): DataFrame = df.agg(aggs.head, aggs.tail: _*)
 
-  /** Employee-job derivation (employee_job.py:9-203).
-    * Inputs: `entries` (FIXTURES.md §1), dims `deptOrg(deptid,
-    * pure_org_id)`, `jobcodes` (defaults incl. overrideable flag),
-    * `knownOverrideable(jobcode, deptid)`, `overrides(jobcode, deptid,
-    * profiled)`. Dims are broadcast — they are small by nature.
-    * Returns (jobs, errors) where errors carries `error_type` ∈
-    * {unknown_dept, unknown_jobcode_deptid}.
+  /** Error-channel projection shared by every pipeline (the reference's
+    * record_unknown_*_errors argument list, umn_data_error.py).
     */
-  def employeeJobs(
+  private def errorRows(df: DataFrame, errorType: String, jobcode: Column,
+      jobcodeDescr: Column, deptid: Column, deptidDescr: Column,
+      college: Column, collegeDescr: Column, campus: Column,
+      campusDescr: Column): DataFrame =
+    df.select(col("emplid"), lit(errorType).as("error_type"),
+      jobcode.as("jobcode"), jobcodeDescr.as("jobcode_descr"),
+      deptid.as("deptid"), deptidDescr.as("deptid_descr"),
+      college.as("um_college"), collegeDescr.as("um_college_descr"),
+      campus.as("um_campus"), campusDescr.as("um_campus_descr"))
+
+  private def refErrors(df: DataFrame, errorType: String): DataFrame =
+    errorRows(df, errorType, col("ref.jobcode"), col("ref.jobcode_descr"),
+      col("ref.deptid"), col("ref.deptid_descr"), col("ref.um_college"),
+      col("ref.um_college_descr"), col("ref.um_campus"),
+      col("ref.um_campus_descr"))
+
+  private case class EmpPoiStage(
+      matched: DataFrame, // one row per job group, dims joined
+      unknownDept: DataFrame,
+      unknownJobcode: DataFrame)
+
+  /** The shared employee/poi derivation: sessionize → collapse groups
+    * (reference-entry election via one max_by: a C row beats non-C, the
+    * earliest C wins, else the latest row — employee_job.py:97-106) →
+    * next-group end-date inference (W4) → dept-org and jobcode
+    * broadcast lookups with error routing. `withLdw` selects the
+    * employee variant (last_date_worked guards); `jcExtraCols` pulls
+    * additional jobcode-dim columns (the employee override flag).
+    */
+  private def empPoiStage(
       entries: DataFrame,
       deptOrg: DataFrame,
       jobcodes: DataFrame,
-      knownOverrideable: DataFrame,
-      overrides: DataFrame): (DataFrame, DataFrame) = {
+      jcExtraCols: Seq[String],
+      withLdw: Boolean): EmpPoiStage = {
 
     val grouped = sessionizeEntries(entries)
     val isC = when(col("status_flg") === "C", 1).otherwise(0)
@@ -81,6 +105,11 @@ object HrJobs {
       col("deptid"), col("deptid_descr"), col("um_campus"),
       col("um_campus_descr"), col("um_college"), col("um_college_descr"),
       col("effdt"), col("empl_status"), col("status_flg"))
+    val ldwAgg =
+      if (withLdw)
+        max(when(col("last_date_worked").isNotNull &&
+          !isActiveStatus(col("empl_status")), col("last_date_worked")))
+      else lit(null).cast("timestamp")
     val collapsed = aggAll(grouped.groupBy(col("emplid"), col("__grp")), Seq(
       min(col("__ord")).as("group_ord"),
       min(col("position_nbr")).as("position_nbr"),
@@ -89,27 +118,29 @@ object HrJobs {
       min(col("deptid")).as("g_deptid"),
       max(isC).as("has_c"),
       max_by(refStruct, refKey).as("ref"),
-      max(when(col("last_date_worked").isNotNull &&
-          !isActiveStatus(col("empl_status")), col("last_date_worked")))
-        .as("ldw_max")))
+      ldwAgg.as("ldw_max")))
 
     // W4: end-date inference from the next group in the same position
     // (employee_job.py:111-116). The traversal is position-major, so
     // lead() within (emplid, position_nbr) is exactly "next group has
-    // the same position_nbr".
+    // the same position_nbr". The employee variant only applies it when
+    // no last-date-worked exists (the poi feed has no such column).
     val wPos = Window.partitionBy("emplid", "position_nbr").orderBy("group_ord")
     val withNext = collapsed
       .withColumn("next_jed", lead(col("job_entry_dt"), 1).over(wPos))
-
     val jobIsActive = col("has_c") === 1 &&
       isActiveStatus(col("ref.empl_status"))
-    val endPre = when(col("has_c") === 0 && col("next_jed").isNotNull &&
-      col("ldw_max").isNull, col("next_jed"))
-    val endDate = coalesce(endPre,
-      when(!jobIsActive, coalesce(col("ldw_max"), col("ref.effdt"))))
-
+    val endPre =
+      if (withLdw)
+        when(col("has_c") === 0 && col("next_jed").isNotNull &&
+          col("ldw_max").isNull, col("next_jed"))
+      else
+        when(col("has_c") === 0 && col("next_jed").isNotNull, col("next_jed"))
+    val endFallback =
+      if (withLdw) coalesce(col("ldw_max"), col("ref.effdt"))
+      else col("ref.effdt")
     val withEnd = withNext
-      .withColumn("end_date", endDate)
+      .withColumn("end_date", coalesce(endPre, when(!jobIsActive, endFallback)))
       .withColumn("start_date", col("job_entry_dt"))
 
     // J1: dept → org broadcast lookup; misses go to the error channel
@@ -118,72 +149,31 @@ object HrJobs {
       broadcast(deptOrg.select(col("deptid").as("__dok"),
         col("pure_org_id").as("org_id"))),
       col("ref.deptid") === col("__dok"), "left")
+    val unknownDept = refErrors(orgJoined.filter(col("org_id").isNull),
+      "unknown_dept")
 
-    val unknownDept = orgJoined.filter(col("org_id").isNull)
-      .select(col("emplid"), lit("unknown_dept").as("error_type"),
-        col("ref.jobcode").as("jobcode"),
-        col("ref.jobcode_descr").as("jobcode_descr"),
-        col("ref.deptid").as("deptid"),
-        col("ref.deptid_descr").as("deptid_descr"),
-        col("ref.um_college").as("um_college"),
-        col("ref.um_college_descr").as("um_college_descr"),
-        col("ref.um_campus").as("um_campus"),
-        col("ref.um_campus_descr").as("um_campus_descr"))
-
-    // J2/J3: jobcode defaults + two-level profiled override
-    // (employee_job.py:152-199). The reference's .one() raises on a
-    // missing jobcode; here the row routes to the error channel like
-    // unknown_dept instead of silently vanishing in an inner join.
+    // J2: jobcode defaults. The reference's .one() raises on a missing
+    // jobcode; here the row routes to the error channel instead of
+    // silently vanishing in an inner join.
+    val jcCols = Seq("pure_job_description", "default_employed_as",
+      "default_staff_type", "default_visibility", "default_profiled") ++
+      jcExtraCols
     val jcJoined = orgJoined.filter(col("org_id").isNotNull)
-      .join(broadcast(jobcodes.select(col("jobcode").as("__jck"),
-        col("pure_job_description"), col("default_employed_as"),
-        col("default_staff_type"), col("default_visibility"),
-        col("default_profiled"), col("default_profiled_overrideable"))),
-        col("ref.jobcode") === col("__jck"), "left")
-    val unknownJobcode = jcJoined.filter(col("__jck").isNull)
-      .select(col("emplid"), lit("unknown_jobcode").as("error_type"),
-        col("ref.jobcode").as("jobcode"),
-        col("ref.jobcode_descr").as("jobcode_descr"),
-        col("ref.deptid").as("deptid"),
-        col("ref.deptid_descr").as("deptid_descr"),
-        col("ref.um_college").as("um_college"),
-        col("ref.um_college_descr").as("um_college_descr"),
-        col("ref.um_campus").as("um_campus"),
-        col("ref.um_campus_descr").as("um_campus_descr"))
-    val withDefaults = jcJoined.filter(col("__jck").isNotNull)
-      .join(broadcast(knownOverrideable
-          .select(col("jobcode").as("__kj"), col("deptid").as("__kd"),
-            lit(true).as("__known"))),
-        col("ref.jobcode") === col("__kj") &&
-          col("ref.deptid") === col("__kd"), "left")
-      .join(broadcast(overrides
-          .select(col("jobcode").as("__oj"), col("deptid").as("__od"),
-            col("profiled").as("__override_profiled"))),
-        col("ref.jobcode") === col("__oj") &&
-          col("ref.deptid") === col("__od"), "left")
+      .join(broadcast(jobcodes.select((col("jobcode").as("__jck") +:
+        jcCols.map(col)): _*)), col("ref.jobcode") === col("__jck"), "left")
+    val unknownJobcode = refErrors(jcJoined.filter(col("__jck").isNull),
+      "unknown_jobcode")
 
+    EmpPoiStage(jcJoined.filter(col("__jck").isNotNull),
+      unknownDept, unknownJobcode)
+  }
+
+  /** C1/C2/C4/C5 output projection shared by employee and poi (only the
+    * profiled derivation differs).
+    */
+  private def jobOutput(df: DataFrame, profiled: Column): DataFrame = {
     val activeJob = col("end_date").isNull
-    val profiled =
-      when(!activeJob, lit(false))
-        .when(col("default_profiled_overrideable") &&
-          col("__known").isNotNull && col("__override_profiled").isNotNull,
-          col("__override_profiled"))
-        .otherwise(col("default_profiled"))
-
-    val unknownJobcodeDept = withDefaults
-      .filter(activeJob && col("default_profiled_overrideable") &&
-        col("__known").isNull)
-      .select(col("emplid"), lit("unknown_jobcode_deptid").as("error_type"),
-        col("ref.jobcode").as("jobcode"),
-        col("ref.jobcode_descr").as("jobcode_descr"),
-        col("ref.deptid").as("deptid"),
-        col("ref.deptid_descr").as("deptid_descr"),
-        col("ref.um_college").as("um_college"),
-        col("ref.um_college_descr").as("um_college_descr"),
-        col("ref.um_campus").as("um_campus"),
-        col("ref.um_campus_descr").as("um_campus_descr"))
-
-    val jobs = withDefaults.select(
+    df.select(
       col("emplid"),
       col("g_jobcode").as("affiliation_id"),
       col("start_date"),
@@ -202,9 +192,54 @@ object HrJobs {
         .as("visibility"),
       profiled.as("profiled"),
       col("group_ord"))
+  }
 
-    (jobs, unknownDept.unionByName(unknownJobcode)
-      .unionByName(unknownJobcodeDept))
+  /** Employee-job derivation (employee_job.py:9-203).
+    * Inputs: `entries` (FIXTURES.md §1), dims `deptOrg(deptid,
+    * pure_org_id)`, `jobcodes` (defaults incl. overrideable flag),
+    * `knownOverrideable(jobcode, deptid)`, `overrides(jobcode, deptid,
+    * profiled)`. Dims are broadcast — they are small by nature.
+    * Returns (jobs, errors) where errors carries `error_type` ∈
+    * {unknown_dept, unknown_jobcode, unknown_jobcode_deptid}.
+    */
+  def employeeJobs(
+      entries: DataFrame,
+      deptOrg: DataFrame,
+      jobcodes: DataFrame,
+      knownOverrideable: DataFrame,
+      overrides: DataFrame): (DataFrame, DataFrame) = {
+
+    val stage = empPoiStage(entries, deptOrg, jobcodes,
+      jcExtraCols = Seq("default_profiled_overrideable"), withLdw = true)
+
+    // J3: two-level profiled override (employee_job.py:166-199)
+    val withDefaults = stage.matched
+      .join(broadcast(knownOverrideable
+          .select(col("jobcode").as("__kj"), col("deptid").as("__kd"),
+            lit(true).as("__known"))),
+        col("ref.jobcode") === col("__kj") &&
+          col("ref.deptid") === col("__kd"), "left")
+      .join(broadcast(overrides
+          .select(col("jobcode").as("__oj"), col("deptid").as("__od"),
+            col("profiled").as("__override_profiled"))),
+        col("ref.jobcode") === col("__oj") &&
+          col("ref.deptid") === col("__od"), "left")
+
+    val activeJob = col("end_date").isNull
+    val profiled =
+      when(!activeJob, lit(false))
+        .when(col("default_profiled_overrideable") &&
+          col("__known").isNotNull && col("__override_profiled").isNotNull,
+          col("__override_profiled"))
+        .otherwise(col("default_profiled"))
+    val unknownJobcodeDept = refErrors(
+      withDefaults.filter(activeJob &&
+        col("default_profiled_overrideable") && col("__known").isNull),
+      "unknown_jobcode_deptid")
+
+    (jobOutput(withDefaults, profiled),
+      stage.unknownDept.unionByName(stage.unknownJobcode)
+        .unionByName(unknownJobcodeDept))
   }
 
   /** POI-job derivation (poi_job.py): employee variant minus
@@ -215,95 +250,12 @@ object HrJobs {
       entries: DataFrame,
       deptOrg: DataFrame,
       jobcodes: DataFrame): (DataFrame, DataFrame) = {
-
-    val grouped = sessionizeEntries(entries)
-    val isC = when(col("status_flg") === "C", 1).otherwise(0)
-    val refKey = struct(isC.as("c"),
-      when(isC === 1, -col("__ord")).otherwise(col("__ord")).as("o"))
-    val refStruct = struct(
-      col("emplid"), col("empl_rcdno"), col("jobcode"), col("jobcode_descr"),
-      col("deptid"), col("deptid_descr"), col("um_campus"),
-      col("um_campus_descr"), col("um_college"), col("um_college_descr"),
-      col("effdt"), col("empl_status"), col("status_flg"))
-    val collapsed = aggAll(grouped.groupBy(col("emplid"), col("__grp")), Seq(
-      min(col("__ord")).as("group_ord"),
-      min(col("position_nbr")).as("position_nbr"),
-      min(col("job_entry_dt")).as("job_entry_dt"),
-      min(col("jobcode")).as("g_jobcode"),
-      min(col("deptid")).as("g_deptid"),
-      max(isC).as("has_c"),
-      max_by(refStruct, refKey).as("ref")))
-
-    val wPos = Window.partitionBy("emplid", "position_nbr").orderBy("group_ord")
-    val withNext = collapsed
-      .withColumn("next_jed", lead(col("job_entry_dt"), 1).over(wPos))
-
-    val jobIsActive = col("has_c") === 1 &&
-      isActiveStatus(col("ref.empl_status"))
-    val endPre = when(col("has_c") === 0 && col("next_jed").isNotNull,
-      col("next_jed"))
-    val endDate = coalesce(endPre, when(!jobIsActive, col("ref.effdt")))
-
-    val withEnd = withNext
-      .withColumn("end_date", endDate)
-      .withColumn("start_date", col("job_entry_dt"))
-
-    val orgJoined = withEnd.join(
-      broadcast(deptOrg.select(col("deptid").as("__dok"),
-        col("pure_org_id").as("org_id"))),
-      col("ref.deptid") === col("__dok"), "left")
-
-    val unknownDept = orgJoined.filter(col("org_id").isNull)
-      .select(col("emplid"), lit("unknown_dept").as("error_type"),
-        col("ref.jobcode").as("jobcode"),
-        col("ref.jobcode_descr").as("jobcode_descr"),
-        col("ref.deptid").as("deptid"),
-        col("ref.deptid_descr").as("deptid_descr"),
-        col("ref.um_college").as("um_college"),
-        col("ref.um_college_descr").as("um_college_descr"),
-        col("ref.um_campus").as("um_campus"),
-        col("ref.um_campus_descr").as("um_campus_descr"))
-
-    val activeJob = col("end_date").isNull
-    val jcJoined = orgJoined.filter(col("org_id").isNotNull)
-      .join(broadcast(jobcodes.select(col("jobcode").as("__jck"),
-        col("pure_job_description"), col("default_employed_as"),
-        col("default_staff_type"), col("default_visibility"),
-        col("default_profiled"))),
-        col("ref.jobcode") === col("__jck"), "left")
-    val unknownJobcode = jcJoined.filter(col("__jck").isNull)
-      .select(col("emplid"), lit("unknown_jobcode").as("error_type"),
-        col("ref.jobcode").as("jobcode"),
-        col("ref.jobcode_descr").as("jobcode_descr"),
-        col("ref.deptid").as("deptid"),
-        col("ref.deptid_descr").as("deptid_descr"),
-        col("ref.um_college").as("um_college"),
-        col("ref.um_college_descr").as("um_college_descr"),
-        col("ref.um_campus").as("um_campus"),
-        col("ref.um_campus_descr").as("um_campus_descr"))
-    val jobs = jcJoined.filter(col("__jck").isNotNull)
-      .select(
-        col("emplid"),
-        col("g_jobcode").as("affiliation_id"),
-        col("start_date"),
-        col("end_date"),
-        col("g_deptid").as("deptid"),
-        col("org_id"),
-        col("ref.um_campus").as("um_campus"),
-        col("ref.jobcode_descr").as("job_title"),
-        col("ref.empl_rcdno").as("empl_rcdno"),
-        col("pure_job_description").as("job_description"),
-        col("default_employed_as").as("employment_type"),
-        when(col("end_date").isNotNull, lit("nonacademic"))
-          .otherwise(col("default_staff_type")).as("staff_type"),
-        when(activeJob && col("ref.um_campus").isin("TXXX", "DXXX"),
-          col("default_visibility")).otherwise(lit("Restricted"))
-          .as("visibility"),
-        when(activeJob, col("default_profiled")).otherwise(lit(false))
-          .as("profiled"),
-        col("group_ord"))
-
-    (jobs, unknownDept.unionByName(unknownJobcode))
+    val stage = empPoiStage(entries, deptOrg, jobcodes,
+      jcExtraCols = Nil, withLdw = false)
+    val profiled = when(col("end_date").isNull, col("default_profiled"))
+      .otherwise(lit(false))
+    (jobOutput(stage.matched, profiled),
+      stage.unknownDept.unionByName(stage.unknownJobcode))
   }
 
   /** Affiliate-job derivation (affiliate_job.py): stints within
@@ -344,16 +296,11 @@ object HrJobs {
         col("pure_org_id").as("org_id"))),
       col("deptid") === col("__dok"), "left")
 
-    val unknownDept = orgJoined.filter(col("org_id").isNull)
-      .select(col("emplid"), lit("unknown_dept").as("error_type"),
-        col("um_affil_relation").as("jobcode"),
-        col("last.title").as("jobcode_descr"),
-        col("deptid"),
-        col("last.deptid_descr").as("deptid_descr"),
-        col("last.um_college").as("um_college"),
-        col("last.um_college_descr").as("um_college_descr"),
-        col("last.um_campus").as("um_campus"),
-        col("last.um_campus_descr").as("um_campus_descr"))
+    val unknownDept = errorRows(orgJoined.filter(col("org_id").isNull),
+      "unknown_dept", col("um_affil_relation"), col("last.title"),
+      col("deptid"), col("last.deptid_descr"), col("last.um_college"),
+      col("last.um_college_descr"), col("last.um_campus"),
+      col("last.um_campus_descr"))
 
     val jcJoined = orgJoined.filter(col("org_id").isNotNull)
       .join(broadcast(jobcodes.select(col("jobcode").as("__jck"),
@@ -361,16 +308,11 @@ object HrJobs {
         col("default_staff_type"), col("default_visibility"),
         col("default_profiled"))),
         col("um_affil_relation") === col("__jck"), "left")
-    val unknownJobcode = jcJoined.filter(col("__jck").isNull)
-      .select(col("emplid"), lit("unknown_jobcode").as("error_type"),
-        col("um_affil_relation").as("jobcode"),
-        col("last.title").as("jobcode_descr"),
-        col("deptid"),
-        col("last.deptid_descr").as("deptid_descr"),
-        col("last.um_college").as("um_college"),
-        col("last.um_college_descr").as("um_college_descr"),
-        col("last.um_campus").as("um_campus"),
-        col("last.um_campus_descr").as("um_campus_descr"))
+    val unknownJobcode = errorRows(jcJoined.filter(col("__jck").isNull),
+      "unknown_jobcode", col("um_affil_relation"), col("last.title"),
+      col("deptid"), col("last.deptid_descr"), col("last.um_college"),
+      col("last.um_college_descr"), col("last.um_campus"),
+      col("last.um_campus_descr"))
     val jobs = jcJoined.filter(col("__jck").isNotNull)
       .select(
         col("emplid"),
