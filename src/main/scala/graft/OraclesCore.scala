@@ -238,6 +238,25 @@ object OraclesCore {
         |FROM events e JOIN m ON e.user_id = m.user_id AND e.value = m.max_value
         |ORDER BY e.user_id, e.event_id""".stripMargin,
 
+    "q29_asof_join" ->
+      """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             max(event_id) AS signup_event_id
+        |      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)
+        |SELECT p.user_id, p.event_id, s.signup_event_id AS asof_signup_event_id
+        |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    "q2a_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q28_running_total" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)

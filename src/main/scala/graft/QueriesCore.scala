@@ -360,6 +360,37 @@ object QueriesCore {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** As-of join ([[Relational.asOfJoin]]): each purchase event picks up
+    * the latest signup event at or before it for the same user —
+    * oracle-checked against DuckDB's native ASOF JOIN. The right side
+    * is first reduced to unique (user, ts) rows so both engines face a
+    * tie-free as-of lookup.
+    */
+  def q29AsOfJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("signup_event_id"))
+    Relational.asOfJoin(purchases, signups, Seq("user_id"), "ts", "ts",
+        Seq("signup_event_id"))
+      .select(col("user_id"), col("event_id"),
+        col("asof_signup_event_id"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** C8-family pivot: one column per event type with per-user counts
+    * (explicit value list keeps the output schema deterministic).
+    */
+  def q2aPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("user_id")
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project" -> q02FilterProject _,
@@ -389,5 +420,7 @@ object QueriesCore {
     "q26_freshness_guard" -> q26FreshnessGuard _,
     "q27_snapshot_diff" -> q27SnapshotDiff _,
     "q28_running_total" -> q28RunningTotal _,
+    "q29_asof_join" -> q29AsOfJoin _,
+    "q2a_pivot" -> q2aPivot _,
   )
 }
