@@ -1,0 +1,112 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The whole-system sync cycle (reference `runner.py:88-169`: sixteen
+  * sequential subprocesses, a changes pool and a collections pool) as
+  * ONE composition of the pipeline modules. The reference serializes
+  * everything through Oracle tables and OS processes; here each stage
+  * is a DataFrame handoff and the engine schedules the work — stages
+  * without data dependencies parallelize naturally inside Spark.
+  *
+  * The composition is pure (DataFrames in → DataFrames out); callers
+  * persist the outputs wherever their EDW lives. [[OitToEdw]] and
+  * [[graft.sources.XmlSync]] handle the serialization edges.
+  */
+object Runner {
+
+  /** Everything a cycle consumes. HR side per FIXTURES.md schemas; CDC
+    * side is the five raw (uuid, modified, json) buffers plus the
+    * current EDW state used for freshness/identity/validation.
+    */
+  case class CycleInputs(
+      // HR feeds
+      demogHistory: DataFrame,
+      scival: DataFrame,
+      empEntries: DataFrame,
+      poiEntries: DataFrame,
+      affEntries: DataFrame,
+      // HR dims
+      deptOrg: DataFrame,
+      empJobcodes: DataFrame,
+      poiJobcodes: DataFrame,
+      affJobcodes: DataFrame,
+      knownOverrideable: DataFrame,
+      overrides: DataFrame,
+      // CDC raw buffers (uuid, modified, json)
+      rawInternalOrgs: DataFrame,
+      rawExternalOrgs: DataFrame,
+      rawInternalPersons: DataFrame,
+      rawExternalPersons: DataFrame,
+      rawPubs: DataFrame,
+      // current EDW state
+      existingOrgs: DataFrame, // (pure_uuid, pure_id, pure_modified)
+      existingPersons: DataFrame, // (uuid, emplid, pure_uuid, pure_modified)
+      existingPubs: DataFrame, // (uuid, pure_uuid, pure_modified)
+      personOrgs: DataFrame,
+      scopusIds: DataFrame)
+
+  case class CycleOutputs(
+      sync: OitToEdw.SyncTables,
+      orgs: DataFrame,
+      deptOrgs: DataFrame,
+      persons: DataFrame,
+      umnPersonPureOrgs: DataFrame,
+      pubShred: PureDocs.PubShred,
+      skips: DataFrame)
+
+  /** One full cycle: org families first (persons validate against
+    * orgs), then person families, then publications (which validate
+    * against both), then the HR → sync-staging derivation and its
+    * downstream XML input tables.
+    */
+  def syncCycle(in: CycleInputs): CycleOutputs = {
+    // 1. orgs (internal + external) — dims for everything downstream
+    val (internalOrgs, deptOrgs) = PureOrgs.shredOrgs(
+      PureExternals.latest(in.rawInternalOrgs), in.existingOrgs)
+    val (externalOrgs, extOrgSkips) = PureExternals.shredExternalOrgs(
+      PureExternals.latest(in.rawExternalOrgs), in.existingOrgs)
+    val orgs = internalOrgs.unionByName(externalOrgs,
+      allowMissingColumns = true)
+    val orgDim = in.existingOrgs.select("pure_uuid")
+      .unionByName(orgs.select("pure_uuid")).distinct()
+
+    // 2. persons (internal + external), validated against the org dim
+    val internal = PurePersons.shredInternalPersons(
+      PureExternals.latest(in.rawInternalPersons),
+      in.existingPersons.select("uuid", "emplid", "pure_modified"),
+      in.personOrgs, in.scopusIds, orgDim)
+    val external = PureExternals.shredExternalPersons(
+      PureExternals.latest(in.rawExternalPersons),
+      in.existingPersons.select("uuid", "pure_uuid", "pure_modified"),
+      in.personOrgs, in.scopusIds, orgDim)
+    // external persons carry no pure_id column; align by name
+    val persons = internal.persons.unionByName(external.persons,
+      allowMissingColumns = true)
+    val personDim = in.existingPersons
+      .select(col("uuid"), col("pure_uuid"), col("emplid"))
+      .unionByName(persons.select("uuid", "pure_uuid", "emplid"))
+      .dropDuplicates("pure_uuid")
+
+    // 3. publications, validated against person + org dims
+    val pubShred = PureDocs.shredPubs(
+      PureDocs.latestDocs(in.rawPubs), in.existingPubs, personDim, orgDim)
+
+    // 4. HR → sync staging (the oit_to_edw person flow)
+    val sync = OitToEdw.personSync(in.demogHistory, in.scival,
+      in.empEntries, in.poiEntries, in.affEntries,
+      in.deptOrg.unionByName(deptOrgs
+          .select(col("deptid"), col("pure_org_id")),
+        allowMissingColumns = true)
+        .dropDuplicates("deptid"),
+      in.empJobcodes, in.poiJobcodes, in.affJobcodes,
+      in.knownOverrideable, in.overrides)
+
+    val skips = internal.skips.unionByName(external.skips)
+      .unionByName(pubShred.skips).unionByName(extOrgSkips)
+
+    CycleOutputs(sync, orgs, deptOrgs, persons,
+      internal.umnPersonPureOrgs, pubShred, skips)
+  }
+}
