@@ -18,27 +18,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rolling_winnow"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[RollingWinnow].getName, "rolling_winnow"),
-      (args: Seq[Expression]) => {
-        def intArg(e: Expression, default: Int): Int = e match {
-          case Literal(v: Int, _) => v
-          case _ => default
-        }
-        val k = if (args.length > 1) intArg(args(1), 8) else 8
-        val w = if (args.length > 2) intArg(args(2), 4) else 4
-        RollingWinnow(args.head, k, w)
-      }))
+      GraftExtensions.buildRollingWinnow))
   }
 }
 
 object GraftExtensions {
+  /** Shared builder for both registration paths. Non-literal k/w raise
+    * at analysis time — silently falling back to defaults would compute
+    * wrong fingerprints without any signal.
+    */
+  private[graft] val buildRollingWinnow: Seq[Expression] => Expression =
+    (args: Seq[Expression]) => {
+      def intArg(pos: Int, default: Int): Int =
+        args.lift(pos).map {
+          case Literal(v: Int, _) => v
+          case other => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "_LEGACY_ERROR_TEMP_2448",
+            messageParameters = Map("errors" ->
+              s"rolling_winnow argument ${pos + 1} must be an integer literal, got $other"))
+        }.getOrElse(default)
+      RollingWinnow(args.head, intArg(1, 8), intArg(2, 4))
+    }
+
   /** Imperative registration for an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_winnow",
-      (args: Seq[Expression]) => {
-        val k = args.lift(1).collect { case Literal(v: Int, _) => v }.getOrElse(8)
-        val w = args.lift(2).collect { case Literal(v: Int, _) => v }.getOrElse(4)
-        RollingWinnow(args.head, k, w)
-      },
-      "built-in")
+      "rolling_winnow", buildRollingWinnow, "built-in")
 }

@@ -34,9 +34,15 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    nanosTsToMicros(apply(s, d, "events"))
   }
+
+  /** Shared nanos-long → microsecond-timestamp conversion (integer
+    * `div`, not `/`: 1.7e18 ns exceeds double's exact-integer range).
+    * Used by the batch loader above and the streaming reader.
+    */
+  def nanosTsToMicros(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

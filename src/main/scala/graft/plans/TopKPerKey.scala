@@ -5,7 +5,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import scala.jdk.CollectionConverters._
 
@@ -40,16 +40,29 @@ case class TopKPerKeyExec(
 
   override def output: Seq[Attribute] = child.output
 
+  /** -0.0/0.0 and NaN bit patterns must land in one group, as they do
+    * for groupBy/Window keys — Spark's NormalizeFloatingNumbers rule
+    * only covers standard operators, so the exec normalizes its own
+    * keys (distribution AND grouping projection must agree).
+    */
+  private def normalizedKeys: Seq[Expression] =
+    keys.map(org.apache.spark.sql.graftshim.ColumnBridge.normalizeFloats)
+
   /** Rows of one key must meet in one partition — but need NOT be
     * sorted: the heap does the selection.
     */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    ClusteredDistribution(normalizedKeys) :: Nil
+
+  /** Output stays clustered exactly as the child was partitioned;
+    * advertising it saves downstream same-key operations a reshuffle.
+    */
+  override def outputPartitioning: Partitioning = child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val childOutput = child.output
-    val keysLocal = keys
+    val keysLocal = normalizedKeys
     val orderLocal = order
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keysLocal, childOutput)
@@ -103,6 +116,7 @@ object TopK {
       order: Seq[(String, Boolean)],
       k: Int): DataFrame = {
     require(k >= 1, s"topKPerKey requires k >= 1, got $k")
+    require(keys.nonEmpty, "topKPerKey requires at least one key column")
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.Descending
     import org.apache.spark.sql.graftshim.ColumnBridge

@@ -31,8 +31,8 @@ object EventsStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
       "event_type STRING, value DOUBLE, props STRING"
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.nanosTsToMicros(
+      spark.readStream.schema(schema).parquet(dir))
   }
 
   /** Watermarked tumbling-window aggregation with in-watermark dedup
@@ -80,8 +80,11 @@ object EventsStream {
               emit(st, closed = true) // finished session, final stats
               st = SessionState(e.ts.getTime, e.ts.getTime, 1, e.value)
             } else {
-              st = st.copy(last = e.ts.getTime, n = st.n + 1,
-                total = st.total + e.value)
+              // max(): a LATE cross-batch event must not move the
+              // session's high-water mark backwards, or the next
+              // on-time event would read as a spurious gap
+              st = st.copy(last = math.max(st.last, e.ts.getTime),
+                n = st.n + 1, total = st.total + e.value)
             }
           }
           state.update(st)
