@@ -18,7 +18,10 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    // events needs its nanos-timestamp workaround on EVERY path,
+    // including generic by-name loads (e.g. the Bench warmup scan).
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
@@ -34,7 +37,7 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    nanosTsToMicros(apply(s, d, "events"))
+    nanosTsToMicros(s.read.parquet(s"$d/events.parquet"))
   }
 
   /** Shared nanos-long → microsecond-timestamp conversion (integer

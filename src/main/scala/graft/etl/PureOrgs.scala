@@ -46,7 +46,9 @@ object PureOrgs {
     * parent, :238-247) becomes one self-join of the shredded batch
     * unioned with the existing dim.
     */
-  def shredOrgs(raw: DataFrame, existingOrgs: DataFrame): (DataFrame, DataFrame) = {
+  def shredOrgs(
+      raw: DataFrame,
+      existingOrgs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val parsed = raw
       .withColumn("doc", from_json(col("json"), orgSchema))
       .select(col("uuid"), col("modified"), col("doc"))
@@ -57,6 +59,12 @@ object PureOrgs {
       Seq("uuid"), "left")
     val fresh = withDb.filter(col("__db_modified").isNull ||
       col("__db_modified") < col("modified"))
+    // stale docs are skipped, not silently dropped — same side-channel
+    // contract as the person/pub shredders (SURVEY.md §7.4.7)
+    val skips = withDb
+      .filter(col("__db_modified").isNotNull &&
+        col("__db_modified") >= col("modified"))
+      .select(col("uuid"), lit("stale_modified").as("skip_reason"))
 
     val doc = col("doc")
     val base = fresh.select(
@@ -69,7 +77,8 @@ object PureOrgs {
       lower(localeEn(doc.getField("type").getField("term").getField("text")))
         .as("type"),
       col("modified").as("pure_modified"),
-      doc.getField("ids").as("__ids"))
+      doc.getField("ids").as("__ids"),
+      col("modified").as("__modified"))
 
     // J11: parent pure_id via self-join — the incoming batch's value
     // takes precedence; the existing dim only fills parents absent from
@@ -84,19 +93,26 @@ object PureOrgs {
       .join(broadcast(idLookup), base("parent_pure_uuid") === idLookup("__pk"),
         "left")
       .withColumn("parent_pure_id", col("__pid"))
-      .drop("__pk", "__pid", "__ids")
+      .drop("__pk", "__pid", "__ids", "__modified")
 
     // dept→org dimension rows (load_db_dept_orgs, :71-91): ids tagged
-    // with the peoplesoft_deptid source become (deptid → org) upserts
-    val deptOrgs = base.select(col("pure_uuid"), col("pure_id"),
-        explode(col("__ids")).as("id"))
-      .filter(Fns.uriLast(col("id.type.uri")) === "peoplesoft_deptid")
-      .select(col("id.value.value").as("deptid"),
-        col("pure_id").as("pure_org_id"),
-        col("pure_uuid").as("pure_org_uuid"))
-      .dropDuplicates("deptid")
+    // with the peoplesoft_deptid source become (deptid → org) upserts.
+    // Two org docs can claim the same deptid — pick the latest-modified
+    // one (tie-break pure_uuid) so the dept→org dim is deterministic
+    // across runs, instead of dropDuplicates' arbitrary winner.
+    val deptOrgs = Relational.latestPerKey(
+      base.select(col("pure_uuid"), col("pure_id"), col("__modified"),
+          explode(col("__ids")).as("id"))
+        .filter(Fns.uriLast(col("id.type.uri")) === "peoplesoft_deptid")
+        .select(col("id.value.value").as("deptid"),
+          col("pure_id").as("pure_org_id"),
+          col("pure_uuid").as("pure_org_uuid"),
+          col("__modified")),
+      Seq("deptid"),
+      Seq(col("__modified").desc, col("pure_org_uuid").asc))
+      .drop("__modified")
 
-    (orgs, deptOrgs)
+    (orgs, deptOrgs, skips)
   }
 
   /** Rebuild the MPTT internal-org table from parent pointers

@@ -63,7 +63,7 @@ object Runner {
     */
   def syncCycle(in: CycleInputs): CycleOutputs = {
     // 1. orgs (internal + external) — dims for everything downstream
-    val (internalOrgs, deptOrgs) = PureOrgs.shredOrgs(
+    val (internalOrgs, deptOrgs, intOrgSkips) = PureOrgs.shredOrgs(
       PureExternals.latest(in.rawInternalOrgs), in.existingOrgs)
     val (externalOrgs, extOrgSkips) = PureExternals.shredExternalOrgs(
       PureExternals.latest(in.rawExternalOrgs), in.existingOrgs)
@@ -105,6 +105,7 @@ object Runner {
 
     val skips = internal.skips.unionByName(external.skips)
       .unionByName(pubShred.skips).unionByName(extOrgSkips)
+      .unionByName(intOrgSkips)
 
     CycleOutputs(sync, orgs, deptOrgs, persons,
       internal.umnPersonPureOrgs, pubShred, skips)

@@ -221,30 +221,57 @@ object Relational {
       nodes: DataFrame, // columns: id, parent_id (parent null for roots)
       idCol: String = "id",
       parentCol: String = "parent_id",
-      maxDepth: Int = 32): DataFrame = {
+      maxDepth: Int = 32): DataFrame =
+    closureWithSortPath(nodes, idCol, parentCol, maxDepth).drop("__sortpath")
+
+  /** treeClosure plus a collision-proof DFS sort key: `__sortpath` is the
+    * concatenation of fixed-width (8-digit) sibling ordinals, ordinals
+    * assigned by id order within each parent. Unlike the display `path`
+    * (id segments joined by '/'), it is unambiguous for ids containing
+    * '/' or any other character, and lexicographic order on it IS
+    * preorder DFS with siblings in id order.
+    */
+  private[operators] def closureWithSortPath(
+      nodes: DataFrame,
+      idCol: String,
+      parentCol: String,
+      maxDepth: Int): DataFrame = {
+    val seg = (ord: Column) => lpad(ord.cast("string"), 8, "0")
+    val rootW = Window.orderBy(col(idCol))
     val roots = nodes.filter(col(parentCol).isNull)
+      .withColumn("__ord", row_number().over(rootW))
       .select(col(idCol).as("id"), col(idCol).as("root_id"),
-        lit(0).as("depth"), col(idCol).cast("string").as("path"))
+        lit(0).as("depth"), col(idCol).cast("string").as("path"),
+        seg(col("__ord")).as("__sortpath"))
+    val sibW = Window.partitionBy(col(parentCol)).orderBy(col(idCol))
     val edges = nodes.filter(col(parentCol).isNotNull)
-      .select(col(idCol).as("child"), col(parentCol).as("parent"))
+      .withColumn("__ord", row_number().over(sibW))
+      .select(col(idCol).as("child"), col(parentCol).as("parent"),
+        seg(col("__ord")).as("__seg"))
     var frontier = roots
     var acc = roots
     var depth = 0
     var done = false
-    while (!done && depth <= maxDepth) {
-      if (depth == maxDepth)
-        throw new IllegalStateException(
-          s"treeClosure: depth cap $maxDepth reached with a non-empty " +
-            "frontier — deeper nodes would be silently dropped")
+    while (!done) {
       val next = frontier.join(edges, frontier("id") === edges("parent"))
         .select(col("child").as("id"), col("root_id"),
           (col("depth") + 1).as("depth"),
-          concat_ws("/", col("path"), col("child")).as("path"))
+          concat_ws("/", col("path"), col("child")).as("path"),
+          concat(col("__sortpath"), col("__seg")).as("__sortpath"))
       // localCheckpoint truncates lineage so the loop's plan doesn't grow
       // exponentially; each frontier is small (tree levels).
       frontier = next.localCheckpoint(eager = true)
       done = frontier.isEmpty
-      if (!done) { acc = acc.unionByName(frontier); depth += 1 }
+      if (!done) {
+        depth += 1
+        // throw only when nodes genuinely exist beyond the cap — a tree
+        // of depth exactly maxDepth (all leaves at the cap) is fine
+        if (depth > maxDepth)
+          throw new IllegalStateException(
+            s"treeClosure: depth cap $maxDepth exceeded with a non-empty " +
+              "frontier — deeper nodes would be silently dropped")
+        acc = acc.unionByName(frontier)
+      }
     }
     acc
   }
@@ -252,31 +279,30 @@ object Relational {
   /** MPTT nested-set labels (left/right/depth) recomputed from parent
     * pointers (reference mutates them incrementally,
     * `pure_api_internal_org.py:136-192`; we recompute declaratively).
-    * Orders siblings by `siblingOrder` column name for determinism.
-    * Tree-sized data (a dimension), so the per-root sort is fine.
+    * Siblings are ordered by id (deterministic across runs). Preorder
+    * and subtree membership use the fixed-width ordinal sort path from
+    * `closureWithSortPath`, so ids containing '/' (or any other
+    * character) are labeled exactly. Tree-sized data (a dimension), so
+    * the per-root sort is fine.
     */
   def mpttLabels(
       nodes: DataFrame,
       idCol: String = "id",
       parentCol: String = "parent_id"): DataFrame = {
-    // treeClosure emits canonical (id, root_id, depth, path) column
+    // the closure emits canonical (id, root_id, depth, path) column
     // names regardless of idCol — normalize the input and restore the
     // caller's name on output
     val canonical = nodes.select(col(idCol).as("id"),
       col(parentCol).as("parent_id"))
-    val closure = treeClosure(canonical, "id", "parent_id")
-    // Preorder via lexicographic path sort. The display separator '/'
-    // would break DFS contiguity for sibling ids containing characters
-    // that sort before '/' (e.g. "a" vs "a-x"); sorting on a \u0001
-    // separator keeps every descendant between its ancestor and the
-    // next sibling for any printable ids.
-    val withPath = closure
-      .withColumn("__sortpath", translate(col("path"), "/", "\u0001"))
+    val closure = closureWithSortPath(canonical, "id", "parent_id", 32)
     val w = Window.partitionBy(col("root_id")).orderBy(col("__sortpath"))
-    val ranked = withPath.withColumn("preorder", row_number().over(w))
-    // subtree size: count of descendants (rows whose path starts with mine)
+    val ranked = closure.withColumn("preorder", row_number().over(w))
+    // subtree size: count of strict descendants — rows whose fixed-width
+    // ordinal path extends mine (segment-aligned prefixes, so no
+    // separator ambiguity for any id content)
     val sizes = ranked.as("a").join(ranked.as("b"),
-        col("b.path").startsWith(concat(col("a.path"), lit("/"))) &&
+        col("b.__sortpath").startsWith(col("a.__sortpath")) &&
+          length(col("b.__sortpath")) > length(col("a.__sortpath")) &&
           col("a.root_id") === col("b.root_id"), "left")
       .groupBy(col("a.id").as("id2"))
       .agg(count(col("b.id")).as("n_desc"))

@@ -152,25 +152,38 @@ object XmlSync {
       target: String): Unit = {
     val tmp = target + ".parts"
     elements.write.mode("overwrite").text(tmp)
-    val out = Paths.get(target)
-    Files.deleteIfExists(out)
-    Files.writeString(out, header, StandardOpenOption.CREATE,
-      StandardOpenOption.TRUNCATE_EXISTING)
-    val listing = Files.list(Paths.get(tmp))
-    val parts =
-      try listing.iterator().asScala
-        .filter(_.getFileName.toString.startsWith("part-"))
-        .toSeq.sortBy(_.toString)
-      finally listing.close()
-    for (p <- parts) {
-      val in = Files.newInputStream(p)
-      try {
-        val os = Files.newOutputStream(out, StandardOpenOption.APPEND)
-        try in.transferTo(os) finally os.close()
-      } finally in.close()
-    }
-    Files.writeString(out, footer, StandardOpenOption.APPEND)
+    try {
+      val out = Paths.get(target)
+      Files.deleteIfExists(out)
+      Files.writeString(out, header, StandardOpenOption.CREATE,
+        StandardOpenOption.TRUNCATE_EXISTING)
+      val listing = Files.list(Paths.get(tmp))
+      val parts =
+        try listing.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-"))
+          .toSeq.sortBy(_.toString)
+        finally listing.close()
+      for (p <- parts) {
+        val in = Files.newInputStream(p)
+        try {
+          val os = Files.newOutputStream(out, StandardOpenOption.APPEND)
+          try in.transferTo(os) finally os.close()
+        } finally in.close()
+      }
+      Files.writeString(out, footer, StandardOpenOption.APPEND)
+    } finally deleteRecursively(Paths.get(tmp))
   }
+
+  /** Remove the assembly staging dir so repeated sync cycles don't
+    * accumulate stale `.parts` directories on disk.
+    */
+  private def deleteRecursively(root: java.nio.file.Path): Unit =
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
 
   val personsHeader: String =
     "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>\n" +

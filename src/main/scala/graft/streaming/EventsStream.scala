@@ -58,6 +58,14 @@ object EventsStream {
     * plus one update for the still-open tail session (closed=false).
     * The tail session closes on the next batch's gap; an idle-timeout
     * variant would register a state timeout here.
+    *
+    * Memory bound: the `it.toSeq.sortBy` buffers ONE user's events from
+    * ONE micro-batch (not the whole stream) — bounded by
+    * `maxOffsetsPerTrigger` / trigger interval, not by data scale. A
+    * pathologically hot key that overflows that envelope needs the
+    * source pre-sorted within partitions (then fold `it` incrementally)
+    * or key salting upstream; for this workload's per-user event rates
+    * the per-batch buffer is a few KB.
     */
   def sessionize(
       events: Dataset[Event],

@@ -34,7 +34,7 @@ class PureOrgsPersonsSpec extends AnyFunSuite {
       .toDF("uuid", "modified", "json")
     val existing = Seq.empty[(String, String, java.sql.Timestamp)]
       .toDF("pure_uuid", "pure_id", "pure_modified")
-    val (orgs, deptOrgs) = PureOrgs.shredOrgs(raw, existing)
+    val (orgs, deptOrgs, _) = PureOrgs.shredOrgs(raw, existing)
     val byId = orgs.collect().map(r => r.getAs[String]("pure_uuid") -> r).toMap
     assert(byId("a").getAs[String]("name_en") == "Org a")
     assert(byId("a").getAs[String]("parent_pure_uuid") == "root")
@@ -55,7 +55,7 @@ class PureOrgsPersonsSpec extends AnyFunSuite {
       .toDF("uuid", "modified", "json")
     val existing0 = Seq.empty[(String, String, java.sql.Timestamp)]
       .toDF("pure_uuid", "pure_id", "pure_modified")
-    val (orgs, _) = PureOrgs.shredOrgs(raw, existing0)
+    val (orgs, _, _) = PureOrgs.shredOrgs(raw, existing0)
     val existingMptt = Seq((7L, "a")).toDF("id", "pure_uuid")
     val mptt = PureOrgs.rebuildInternalOrgs(orgs, existingMptt, "root")
     val rows = mptt.collect().map(r => r.getAs[String]("pure_uuid") -> r).toMap
