@@ -141,16 +141,16 @@ object PureDocs {
       existingPubs.select(col("pure_uuid").as("uuid"),
         col("uuid").as("__db_uuid"), col("pure_modified").as("__db_modified")),
       Seq("uuid"), "left")
-    val stale = withDb.filter(col("__db_modified").isNotNull &&
-      col("__db_modified") >= col("modified"))
+    val stale = withDb.filter(
+      Fns.isNotFresh(col("__db_modified"), col("modified")))
       .select(col("uuid"), lit("stale").as("skip_reason"))
     // surrogate for NEW docs is derived (not uuid()): each of the six
     // shred outputs re-executes this subplan on write, and a
     // nondeterministic uuid would mint DIFFERENT keys per action,
     // orphaning child rows. Name-based uuid from the source uuid is
     // stable across executions and collision-free per source.
-    val fresh = withDb.filter(col("__db_modified").isNull ||
-        col("__db_modified") < col("modified"))
+    val fresh = withDb.filter(
+        Fns.isFresh(col("__db_modified"), col("modified")))
       .withColumn("pub_uuid",
         coalesce(col("__db_uuid"), derivedUuid(lit("pub"), col("uuid"))))
 

@@ -65,11 +65,11 @@ object PureExternals {
       existingPersons.select(col("pure_uuid").as("uuid"),
         col("uuid").as("__db_uuid"), col("pure_modified").as("__db_modified")),
       Seq("uuid"), "left")
-    val skipStale = withDb.filter(col("__db_modified").isNotNull &&
-        col("__db_modified") >= col("modified"))
+    val skipStale = withDb.filter(
+        Fns.isNotFresh(col("__db_modified"), col("modified")))
       .select(col("uuid"), lit("stale").as("skip_reason"))
-    val fresh = withDb.filter(col("__db_modified").isNull ||
-        col("__db_modified") < col("modified"))
+    val fresh = withDb.filter(
+        Fns.isFresh(col("__db_modified"), col("modified")))
       .withColumn("person_uuid", coalesce(col("__db_uuid"),
         PureDocs.derivedUuid(lit("ext-person"), col("uuid"))))
 
@@ -140,11 +140,11 @@ object PureExternals {
       existingOrgs.select(col("pure_uuid").as("uuid"),
         col("pure_modified").as("__db_modified")),
       Seq("uuid"), "left")
-    val stale = withDb.filter(col("__db_modified").isNotNull &&
-        col("__db_modified") >= col("modified"))
+    val stale = withDb.filter(
+        Fns.isNotFresh(col("__db_modified"), col("modified")))
       .select(col("uuid"), lit("stale").as("skip_reason"))
-    val orgs = withDb.filter(col("__db_modified").isNull ||
-        col("__db_modified") < col("modified"))
+    val orgs = withDb.filter(
+        Fns.isFresh(col("__db_modified"), col("modified")))
       .select(
         col("uuid").as("pure_uuid"),
         lit("N").as("pure_internal"),

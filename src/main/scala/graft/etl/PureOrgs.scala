@@ -57,14 +57,15 @@ object PureOrgs {
       existingOrgs.select(col("pure_uuid").as("uuid"),
         col("pure_modified").as("__db_modified")),
       Seq("uuid"), "left")
-    val fresh = withDb.filter(col("__db_modified").isNull ||
-      col("__db_modified") < col("modified"))
+    val fresh = withDb.filter(
+      Fns.isFresh(col("__db_modified"), col("modified")))
     // stale docs are skipped, not silently dropped — same side-channel
-    // contract as the person/pub shredders (SURVEY.md §7.4.7)
+    // contract as the person/pub shredders (SURVEY.md §7.4.7); the skip
+    // filter is the exact complement of fresh so null-modified docs
+    // against an existing DB row surface here instead of vanishing
     val skips = withDb
-      .filter(col("__db_modified").isNotNull &&
-        col("__db_modified") >= col("modified"))
-      .select(col("uuid"), lit("stale_modified").as("skip_reason"))
+      .filter(Fns.isNotFresh(col("__db_modified"), col("modified")))
+      .select(col("uuid"), lit("stale").as("skip_reason"))
 
     val doc = col("doc")
     val base = fresh.select(

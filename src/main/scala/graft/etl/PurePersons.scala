@@ -94,13 +94,13 @@ object PurePersons {
       existingPersons.select(col("emplid"),
         col("uuid").as("__db_uuid"), col("pure_modified").as("__db_modified")),
       Seq("emplid"), "left")
-    val skipStale = withDb.filter(col("__db_modified").isNotNull &&
-        col("__db_modified") >= col("modified"))
+    val skipStale = withDb.filter(
+        Fns.isNotFresh(col("__db_modified"), col("modified")))
       .select(col("uuid"), lit("stale").as("skip_reason"))
     // deterministic surrogate (see PureDocs.derivedUuid): outputs are
     // written separately and must agree on new persons' keys
-    val fresh = withDb.filter(col("__db_modified").isNull ||
-        col("__db_modified") < col("modified"))
+    val fresh = withDb.filter(
+        Fns.isFresh(col("__db_modified"), col("modified")))
       .withColumn("person_uuid", coalesce(col("__db_uuid"),
         PureDocs.derivedUuid(lit("person"), col("emplid"))))
       .withColumn("__existed", col("__db_uuid").isNotNull)

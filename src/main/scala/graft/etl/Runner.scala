@@ -93,13 +93,22 @@ object Runner {
     val pubShred = PureDocs.shredPubs(
       PureDocs.latestDocs(in.rawPubs), in.existingPubs, personDim, orgDim)
 
-    // 4. HR → sync staging (the oit_to_edw person flow)
+    // 4. HR → sync staging (the oit_to_edw person flow). The dept→org
+    // dim merge is deterministic: a freshly shredded row always beats
+    // the existing dim row for the same deptid (dropDuplicates would
+    // pick an arbitrary winner per shuffle, making the HR derivation
+    // nondeterministic across runs).
+    val deptOrgDim = graft.operators.Relational.latestPerKey(
+      in.deptOrg.select(col("deptid"), col("pure_org_id"))
+        .withColumn("__fresh", lit(0))
+        .unionByName(deptOrgs.select(col("deptid"), col("pure_org_id"))
+          .withColumn("__fresh", lit(1))),
+      Seq("deptid"),
+      Seq(col("__fresh").desc, col("pure_org_id").asc))
+      .drop("__fresh")
     val sync = OitToEdw.personSync(in.demogHistory, in.scival,
       in.empEntries, in.poiEntries, in.affEntries,
-      in.deptOrg.unionByName(deptOrgs
-          .select(col("deptid"), col("pure_org_id")),
-        allowMissingColumns = true)
-        .dropDuplicates("deptid"),
+      deptOrgDim,
       in.empJobcodes, in.poiJobcodes, in.affJobcodes,
       in.knownOverrideable, in.overrides)
 

@@ -97,6 +97,22 @@ object Fns {
     */
   def isSingleDigit(c: Column): Column = c.rlike("^[0-9]$")
 
+  /** P8 freshness guard: an incoming document is fresh iff no DB row
+    * exists or the DB row is strictly older (reference
+    * `pure_api_changes.py:49-64`).
+    */
+  def isFresh(dbModified: Column, modified: Column): Column =
+    dbModified.isNull || dbModified < modified
+
+  /** Exact complement of [[isFresh]] under three-valued logic. A doc
+    * with a null `modified` against an existing DB row makes both
+    * `dbModified < modified` and `dbModified >= modified` NULL, so a
+    * naive `>=` skips filter silently drops it — precisely the rows the
+    * skip side-channel exists to surface.
+    */
+  def isNotFresh(dbModified: Column, modified: Column): Column =
+    !(isFresh(dbModified, modified) <=> true)
+
   /** F12: stable content-addressed id over identifying fields — the
     * reference sha1s a sorted-key json dump (`exceptions.py:38-43`).
     * Field order is fixed by the caller passing fields alphabetically.

@@ -88,15 +88,21 @@ object Relational {
       order: Seq[Column],
       activeFlag: Column,
       truncFlag: Column): DataFrame = {
+    // every window shares ONE (partition, order) spec — row_number, lag,
+    // the running stint sum and the whole-frame truncation min all land
+    // in a single WindowExec (one shuffle, one sort, one pass); the
+    // earlier partition-only spec for the truncation min forced a second
+    // whole-partition buffering pass
     val w = Window.partitionBy(partitionKeys.map(col): _*).orderBy(order: _*)
     val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    val full = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
     val prevActive = lag(activeFlag, 1).over(w)
     val newStint =
       when(row_number().over(w) === 1, lit(1))
         .when(activeFlag && !coalesce(prevActive, lit(true)), lit(1))
         .otherwise(lit(0))
-    val truncPos = min(when(truncFlag, row_number().over(w)))
-      .over(Window.partitionBy(partitionKeys.map(col): _*))
+    val truncPos = min(when(truncFlag, row_number().over(w))).over(full)
     df.withColumn("__pos", row_number().over(w))
       .withColumn("stint_id", sum(newStint).over(cum))
       .withColumn("__cut", truncPos)
@@ -229,25 +235,37 @@ object Relational {
     * assigned by id order within each parent. Unlike the display `path`
     * (id segments joined by '/'), it is unambiguous for ids containing
     * '/' or any other character, and lexicographic order on it IS
-    * preorder DFS with siblings in id order.
+    * preorder DFS with siblings in id order — WITHIN one root. The root
+    * segment is a per-root hash (not a globally windowed ordinal, which
+    * would funnel every root through a single partition): cross-root
+    * `__sortpath` order is therefore not meaningful, and every consumer
+    * partitions by `root_id` first ([[mpttLabels]] does).
     */
   private[operators] def closureWithSortPath(
       nodes: DataFrame,
       idCol: String,
       parentCol: String,
       maxDepth: Int): DataFrame = {
-    val seg = (ord: Column) => lpad(ord.cast("string"), 8, "0")
-    val rootW = Window.orderBy(col(idCol))
+    // fixed-width segment; >= 10^8 siblings under one parent would
+    // silently truncate and corrupt the prefix semantics — fail loudly
+    val seg = (ord: Column) =>
+      when(ord >= lit(100000000L), raise_error(lit(
+        "closureWithSortPath: more than 10^8 siblings under one parent " +
+          "— the fixed-width ordinal segment would truncate")))
+        .otherwise(lpad(ord.cast("string"), 8, "0"))
     val roots = nodes.filter(col(parentCol).isNull)
-      .withColumn("__ord", row_number().over(rootW))
       .select(col(idCol).as("id"), col(idCol).as("root_id"),
         lit(0).as("depth"), col(idCol).cast("string").as("path"),
-        seg(col("__ord")).as("__sortpath"))
+        lpad(hex(abs(xxhash64(col(idCol)))), 16, "0").as("__sortpath"))
     val sibW = Window.partitionBy(col(parentCol)).orderBy(col(idCol))
+    // checkpoint the ordinal-labeled edge set ONCE: the loop joins it at
+    // every level, and without materialization the sibling window (and
+    // the scan under it) would re-execute per level
     val edges = nodes.filter(col(parentCol).isNotNull)
       .withColumn("__ord", row_number().over(sibW))
       .select(col(idCol).as("child"), col(parentCol).as("parent"),
         seg(col("__ord")).as("__seg"))
+      .localCheckpoint(eager = true)
     var frontier = roots
     var acc = roots
     var depth = 0

@@ -151,8 +151,11 @@ object XmlSync {
       footer: String,
       target: String): Unit = {
     val tmp = target + ".parts"
-    elements.write.mode("overwrite").text(tmp)
+    // the Spark write itself sits inside the try: a failed job must not
+    // leave a partial .parts directory behind (deleteRecursively is
+    // idempotent on a partial dir)
     try {
+      elements.write.mode("overwrite").text(tmp)
       val out = Paths.get(target)
       Files.deleteIfExists(out)
       Files.writeString(out, header, StandardOpenOption.CREATE,

@@ -102,4 +102,59 @@ class RunnerSpec extends AnyFunSuite {
     assert(out.sync.personData.filter($"emplid" === "4604830").count() == 1)
     assert(out.skips.count() == 0)
   }
+
+  test("conflicting deptid: freshly shredded dept→org row wins, deterministically") {
+    // org doc claims deptid 11179 (also present in the existing dim as
+    // PIXEZPPAPIRGQ) — the fresh shred row must win on every execution
+    val orgDoc =
+      """{"uuid":"orgX","externalId":"FRESHORG",
+         "name":{"text":[{"locale":"en_US","value":"Fresh Org"}]},
+         "type":{"term":{"text":[{"locale":"en_US","value":"department"}]}},
+         "parents":[],
+         "ids":[{"type":{"uri":"/dk/atira/pure/organisation/organisationsources/peoplesoft_deptid"},
+                 "value":{"value":"11179"}}]}"""
+    def emptyRaw = Seq.empty[(String, java.sql.Timestamp, String)]
+      .toDF("uuid", "modified", "json")
+    val demog = Seq(("4604830", "u460", "First", "J", "Last",
+        null.asInstanceOf[String], "u460@umn.edu", "0", t1))
+      .toDF("emplid", "internet_id", "first_name", "middle_initial",
+        "last_name", "name_suffix", "instl_email_addr",
+        "primary_empl_rcdno", "timestamp")
+    val inputs = Runner.CycleInputs(
+      demogHistory = demog,
+      scival = Seq.empty[(String, String)].toDF("emplid", "scival_id"),
+      empEntries = entries("emp_job_entries_4604830"),
+      poiEntries = entries("poi_jobs_5575725").limit(0),
+      affEntries = entries("fake531_aff_job_entries").limit(0),
+      deptOrg = deptOrg,
+      empJobcodes = jobcodes("emp"), poiJobcodes = jobcodes("poi"),
+      affJobcodes = jobcodes("aff"),
+      knownOverrideable = emptyOverrideable, overrides = emptyOverrides,
+      rawInternalOrgs = Seq(("orgX", t1, orgDoc))
+        .toDF("uuid", "modified", "json"),
+      rawExternalOrgs = emptyRaw,
+      rawInternalPersons = emptyRaw,
+      rawExternalPersons = emptyRaw,
+      rawPubs = emptyRaw,
+      existingOrgs = Seq.empty[(String, String, java.sql.Timestamp)]
+        .toDF("pure_uuid", "pure_id", "pure_modified"),
+      existingPersons = Seq.empty[(String, String, String, java.sql.Timestamp)]
+        .toDF("uuid", "emplid", "pure_uuid", "pure_modified"),
+      existingPubs = Seq.empty[(String, String, java.sql.Timestamp)]
+        .toDF("uuid", "pure_uuid", "pure_modified"),
+      personOrgs = Seq.empty[(String, String)]
+        .toDF("person_uuid", "pure_org_uuid"),
+      scopusIds = Seq.empty[(String, String)]
+        .toDF("person_uuid", "scopus_id"))
+    // two independent plan executions must agree on the winner
+    val orgIds = (1 to 2).map { _ =>
+      Runner.syncCycle(inputs).sync.staffOrgAssociations
+        .filter($"org_id".isNotNull)
+        .select("org_id").distinct().as[String].collect().toSet
+    }
+    assert(orgIds(0) == orgIds(1))
+    assert(orgIds(0).contains("FRESHORG"),
+      s"fresh shredded dept→org row must beat the dim row: ${orgIds(0)}")
+    assert(!orgIds(0).contains("PIXEZPPAPIRGQ"))
+  }
 }
