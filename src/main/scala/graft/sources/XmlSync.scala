@@ -104,6 +104,173 @@ object XmlSync {
     sb.toString
   }
 
+  /** Render one organisation element (templates/organisation.xml.j2:1-128,
+    * serializer organisation.py:7-9). Scalar fields: organisation_id,
+    * type, name, start_date, end_date?, visibility,
+    * parent_organisation_id?. Collection fields are optional
+    * array<struct<type,value>> columns (name_variants, profile_infos,
+    * photos, phone_numbers, emails, web_addresses, ids) plus addresses
+    * with its wider struct; absent columns render as absent sections.
+    * Dates are ISO yyyy-MM-dd (the org template's strftime('%Y-%m-%d'),
+    * unlike the person template's dd-MM-yyyy). profile_info values are
+    * emitted raw inside CDATA (the template's autoescape-false block).
+    */
+  def renderOrganisation(o: Row): String = {
+    def f(name: String): String =
+      if (o.schema.fieldNames.contains(name) && !o.isNullAt(o.fieldIndex(name)))
+        o.get(o.fieldIndex(name)).toString
+      else null
+    def fd(name: String): String =
+      if (o.schema.fieldNames.contains(name) && !o.isNullAt(o.fieldIndex(name)))
+        o.get(o.fieldIndex(name)) match {
+          case ts: java.sql.Timestamp => ts.toLocalDateTime.toLocalDate.toString
+          case d: java.sql.Date => d.toLocalDate.toString
+          case other => other.toString
+        }
+      else null
+    def arr(name: String): Seq[Row] =
+      if (o.schema.fieldNames.contains(name) && !o.isNullAt(o.fieldIndex(name)))
+        o.getAs[scala.collection.Seq[Row]](name).toSeq
+      else Seq.empty
+    def sub(r: Row, name: String): String =
+      if (r.schema.fieldNames.contains(name) && !r.isNullAt(r.fieldIndex(name)))
+        r.get(r.fieldIndex(name)).toString
+      else null
+    val sb = new StringBuilder
+    sb ++= "<organisation managedInPure=\"false\">\n"
+    sb ++= s"  <organisationId>${esc(f("organisation_id"))}</organisationId>\n"
+    sb ++= s"  <type>${esc(f("type"))}</type>\n"
+    sb ++= s"""  <name>\n    <v3:text lang="en" country="US">${esc(f("name"))}</v3:text>\n  </name>\n"""
+    sb ++= s"  <startDate>${fd("start_date")}</startDate>\n"
+    val endDate = fd("end_date")
+    if (endDate != null) sb ++= s"  <endDate>$endDate</endDate>\n"
+    sb ++= s"  <visibility>${esc(f("visibility"))}</visibility>\n"
+    val parent = f("parent_organisation_id")
+    if (parent != null)
+      sb ++= s"  <parentOrganisationId>${esc(parent)}</parentOrganisationId>\n"
+    val nameVariants = arr("name_variants")
+    if (nameVariants.nonEmpty) {
+      sb ++= "  <nameVariants>\n"
+      for (nv <- nameVariants) {
+        sb ++= s"    <nameVariant>\n      <type>${esc(sub(nv, "type"))}</type>\n"
+        sb ++= s"""      <name>\n        <v3:text lang="en" country="US">${esc(sub(nv, "value"))}</v3:text>\n      </name>\n"""
+        sb ++= "    </nameVariant>\n"
+      }
+      sb ++= "  </nameVariants>\n"
+    }
+    val profileInfos = arr("profile_infos")
+    if (profileInfos.nonEmpty) {
+      sb ++= "  <profileInfos>\n"
+      for (pi <- profileInfos) {
+        sb ++= s"    <profileInfo>\n      <type>${esc(sub(pi, "type"))}</type>\n"
+        // raw value inside CDATA — template's autoescape-false island
+        sb ++= s"""      <profileInfo>\n        <v3:text lang="en" country="US"><![CDATA[${sub(pi, "value")}]]></v3:text>\n      </profileInfo>\n"""
+        sb ++= "    </profileInfo>\n"
+      }
+      sb ++= "  </profileInfos>\n"
+    }
+    val photos = arr("photos")
+    if (photos.nonEmpty) {
+      sb ++= "  <photos>\n"
+      for (ph <- photos) {
+        sb ++= s"    <photo>\n      <type>${esc(sub(ph, "type"))}</type>\n"
+        sb ++= s"      <photoValue>${esc(sub(ph, "value"))}</photoValue>\n"
+        sb ++= "      <photoProtocol>http</photoProtocol>\n    </photo>\n"
+      }
+      sb ++= "  </photos>\n"
+    }
+    val phones = arr("phone_numbers")
+    if (phones.nonEmpty) {
+      sb ++= "  <phoneNumbers>\n"
+      for (pn <- phones) {
+        sb ++= s"    <phoneNumber>\n      <type>${esc(sub(pn, "type"))}</type>\n"
+        sb ++= s"      <phoneNumber>${esc(sub(pn, "value"))}</phoneNumber>\n    </phoneNumber>\n"
+      }
+      sb ++= "  </phoneNumbers>\n"
+    }
+    val emails = arr("emails")
+    if (emails.nonEmpty) {
+      sb ++= "  <emails>\n"
+      for (em <- emails) {
+        sb ++= s"    <email>\n      <type>${esc(sub(em, "type"))}</type>\n"
+        sb ++= s"      <email>${esc(sub(em, "value"))}</email>\n    </email>\n"
+      }
+      sb ++= "  </emails>\n"
+    }
+    val webs = arr("web_addresses")
+    if (webs.nonEmpty) {
+      sb ++= "  <webAddresses>\n"
+      for (w <- webs) {
+        sb ++= s"    <webAddress>\n      <type>${esc(sub(w, "type"))}</type>\n"
+        sb ++= s"""      <webAddress>\n        <v3:text lang="en" country="US">${esc(sub(w, "value"))}</v3:text>\n      </webAddress>\n"""
+        sb ++= "    </webAddress>\n"
+      }
+      sb ++= "  </webAddresses>\n"
+    }
+    val addresses = arr("addresses")
+    if (addresses.nonEmpty) {
+      sb ++= "  <addresses>\n"
+      for (a <- addresses) {
+        sb ++= s"    <address>\n      <type>${esc(sub(a, "type"))}</type>\n"
+        def opt(field: String, tag: String): Unit = {
+          val v = sub(a, field)
+          if (v != null) sb ++= s"      <$tag>${esc(v)}</$tag>\n"
+        }
+        opt("city", "city")
+        opt("postalcode", "postalCode")
+        opt("street", "street")
+        opt("building", "building")
+        opt("country", "country")
+        opt("subdivision", "subdivision")
+        opt("geospatial_point", "geospatialPoint")
+        sb ++= "    </address>\n"
+      }
+      sb ++= "  </addresses>\n"
+    }
+    val ids = arr("ids")
+    if (ids.nonEmpty) {
+      sb ++= "  <ids>\n"
+      for (id <- ids) {
+        sb ++= s"    <id>\n      <idSource>${esc(sub(id, "type"))}</idSource>\n"
+        sb ++= s"      <id>${esc(sub(id, "value"))}</id>\n    </id>\n"
+      }
+      sb ++= "  </ids>\n"
+    }
+    sb ++= "</organisation>\n"
+    sb.toString
+  }
+
+  /** Render an organisations DataFrame (one row per org, schema per
+    * [[renderOrganisation]]) to XML elements, distributed, ordered by
+    * organisation_id for a deterministic sync file.
+    */
+  def renderOrganisationsXml(orgs: DataFrame): Dataset[String] = {
+    import orgs.sparkSession.implicits._
+    orgs.repartitionByRange(col("organisation_id"))
+      .sortWithinPartitions("organisation_id")
+      .map(renderOrganisation)
+  }
+
+  /** Adapt the [[graft.etl.PureOrgs.shredOrgs]] org dim to the
+    * organisation-sync renderer input: pure_id → organisationId,
+    * parent_pure_id → parentOrganisationId, name_en → name, with a
+    * caller-supplied start date and visibility (the reference builds
+    * its org_dict outside the repo; these two fields have no EDW
+    * source column).
+    */
+  def organisationSyncInput(
+      orgs: DataFrame,
+      startDate: java.sql.Date,
+      visibility: String): DataFrame =
+    orgs.filter(col("pure_id").isNotNull)
+      .select(
+        col("pure_id").as("organisation_id"),
+        coalesce(col("type"), lit("organisation")).as("type"),
+        col("name_en").as("name"),
+        lit(startDate).as("start_date"),
+        col("parent_pure_id").as("parent_organisation_id"),
+        lit(visibility).as("visibility"))
+
   /** Render one user element (templates/user.xml.j2). */
   def renderUser(u: Row): String = {
     def f(name: String): String =
@@ -197,6 +364,11 @@ object XmlSync {
     "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>\n" +
       "<users xmlns=\"v1.user-sync.pure.atira.dk\" xmlns:v3=\"v3.commons.pure.atira.dk\">\n"
   val usersFooter: String = "</users>"
+
+  val organisationsHeader: String =
+    "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>\n" +
+      "<organisations xmlns=\"v1.organisation-sync.pure.atira.dk\" xmlns:v3=\"v3.commons.pure.atira.dk\">\n"
+  val organisationsFooter: String = "</organisations>"
 
   /** S11 (sync_file_rotator.py:32-54): keep the `keep` newest files
     * matching `prefix` in `dir`, delete the rest, and point
