@@ -284,5 +284,24 @@ object OraclesCore {
         |  WHERE rn = 1)
         |SELECT * FROM (SELECT * FROM cur EXCEPT SELECT * FROM hist)
         |ORDER BY o_custkey, o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q43_error_accumulate" ->
+      """WITH err AS (SELECT user_id, ts FROM events
+        |             WHERE event_type = 'error'),
+        |r1 AS (SELECT user_id, count(*) AS c FROM err
+        |       WHERE ts < TIMESTAMP '2024-01-15' GROUP BY user_id),
+        |r2 AS (SELECT user_id, count(*) AS c FROM err
+        |       WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY user_id)
+        |SELECT COALESCE(r1.user_id, r2.user_id) AS user_id,
+        |  COALESCE(r1.c, 0) + COALESCE(r2.c, 0) AS n,
+        |  CASE WHEN r1.user_id IS NOT NULL
+        |       THEN TIMESTAMP '2024-01-15' ELSE TIMESTAMP '2024-02-01'
+        |  END AS first_seen,
+        |  CASE WHEN r2.user_id IS NOT NULL
+        |       THEN TIMESTAMP '2024-02-01' ELSE TIMESTAMP '2024-01-15'
+        |  END AS last_seen,
+        |  (r1.user_id IS NOT NULL) AS reported
+        |FROM r1 FULL OUTER JOIN r2 ON r1.user_id = r2.user_id
+        |ORDER BY user_id""".stripMargin,
   )
 }

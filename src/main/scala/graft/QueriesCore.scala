@@ -391,6 +391,44 @@ object QueriesCore {
       .na.fill(0L)
       .orderBy("user_id")
 
+  /** A7 — cross-run error accumulation ([[graft.operators.Errors]];
+    * reference umn_data_error.py:209-233 find_or_create). Error events
+    * split into two "daemon cycles" at Jan 15; cycle 1 bootstraps the
+    * accumulated table and is marked reported, cycle 2 merges on top.
+    * Exercises: content-addressed identity, count accumulation,
+    * first_seen permanence, last_seen movement, reported survival.
+    */
+  def q43ErrorAccumulate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Errors
+    val t1 = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val errs = Tables.events(s, dir).filter(col("event_type") === "error")
+    def channel(df: DataFrame): DataFrame = df.select(
+      col("user_id").cast("string").as("emplid"),
+      lit("no_job_data").as("error_type"),
+      lit(null).cast("string").as("jobcode"),
+      lit(null).cast("string").as("jobcode_descr"),
+      lit(null).cast("string").as("deptid"),
+      lit(null).cast("string").as("deptid_descr"),
+      lit(null).cast("string").as("um_college"),
+      lit(null).cast("string").as("um_college_descr"),
+      lit(null).cast("string").as("um_campus"),
+      lit(null).cast("string").as("um_campus_descr"))
+    val eligible = channel(errs).select(col("emplid"), col("deptid")).limit(0)
+    val run1 = Errors.errorRecords(channel(errs.filter(col("ts") < lit(t1))),
+      eligible)
+    val run2 = Errors.errorRecords(channel(errs.filter(col("ts") >= lit(t1))),
+      eligible)
+    val cycle1 = Errors.markReported(Errors.firstRun(run1, t1))
+    Errors.accumulate(cycle1, run2, t2)
+      .select(col("emplid").cast("long").as("user_id"),
+        col("count").as("n"),
+        col("first_seen").cast("timestamp_ntz").as("first_seen"),
+        col("last_seen").cast("timestamp_ntz").as("last_seen"),
+        col("reported"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project" -> q02FilterProject _,
@@ -422,5 +460,6 @@ object QueriesCore {
     "q28_running_total" -> q28RunningTotal _,
     "q29_asof_join" -> q29AsOfJoin _,
     "q2a_pivot" -> q2aPivot _,
+    "q43_error_accumulate" -> q43ErrorAccumulate _,
   )
 }

@@ -54,7 +54,12 @@ object Runner {
       persons: DataFrame,
       umnPersonPureOrgs: DataFrame,
       pubShred: PureDocs.PubShred,
-      skips: DataFrame)
+      skips: DataFrame,
+      /** Per-occurrence content-addressed error records (the daemon
+        * merges these into its accumulated table via
+        * [[graft.operators.Errors.accumulate]] with the cycle time).
+        */
+      errorRecords: DataFrame)
 
   /** One full cycle: org families first (persons validate against
     * orgs), then person families, then publications (which validate
@@ -116,7 +121,16 @@ object Runner {
       .unionByName(pubShred.skips).unionByName(extOrgSkips)
       .unionByName(intOrgSkips)
 
+    // 5. error channel → content-addressed exception records. The
+    // persons_in_dept enrichment counts the HR feed's distinct persons
+    // per dept (the reference's count_pure_eligible_persons_in_dept
+    // over EDW — the emp feed is the same population pre-load).
+    val eligible = in.empEntries.select(col("emplid"), col("deptid"))
+      .distinct()
+    val errorRecords = graft.operators.Errors.errorRecords(
+      sync.errors, eligible)
+
     CycleOutputs(sync, orgs, deptOrgs, persons,
-      internal.umnPersonPureOrgs, pubShred, skips)
+      internal.umnPersonPureOrgs, pubShred, skips, errorRecords)
   }
 }
