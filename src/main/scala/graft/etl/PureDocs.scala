@@ -143,7 +143,7 @@ object PureDocs {
       Seq("uuid"), "left")
     val stale = withDb.filter(
       Fns.isNotFresh(col("__db_modified"), col("modified")))
-      .select(col("uuid"), lit("stale").as("skip_reason"))
+      .select(col("uuid"), Fns.staleReason(col("__db_modified"), col("modified")).as("skip_reason"))
     // surrogate for NEW docs is derived (not uuid()): each of the six
     // shred outputs re-executes this subplan on write, and a
     // nondeterministic uuid would mint DIFFERENT keys per action,

@@ -67,7 +67,7 @@ object PureExternals {
       Seq("uuid"), "left")
     val skipStale = withDb.filter(
         Fns.isNotFresh(col("__db_modified"), col("modified")))
-      .select(col("uuid"), lit("stale").as("skip_reason"))
+      .select(col("uuid"), Fns.staleReason(col("__db_modified"), col("modified")).as("skip_reason"))
     val fresh = withDb.filter(
         Fns.isFresh(col("__db_modified"), col("modified")))
       .withColumn("person_uuid", coalesce(col("__db_uuid"),
@@ -142,7 +142,7 @@ object PureExternals {
       Seq("uuid"), "left")
     val stale = withDb.filter(
         Fns.isNotFresh(col("__db_modified"), col("modified")))
-      .select(col("uuid"), lit("stale").as("skip_reason"))
+      .select(col("uuid"), Fns.staleReason(col("__db_modified"), col("modified")).as("skip_reason"))
     val orgs = withDb.filter(
         Fns.isFresh(col("__db_modified"), col("modified")))
       .select(

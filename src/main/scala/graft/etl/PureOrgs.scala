@@ -65,7 +65,7 @@ object PureOrgs {
     // against an existing DB row surface here instead of vanishing
     val skips = withDb
       .filter(Fns.isNotFresh(col("__db_modified"), col("modified")))
-      .select(col("uuid"), lit("stale").as("skip_reason"))
+      .select(col("uuid"), Fns.staleReason(col("__db_modified"), col("modified")).as("skip_reason"))
 
     val doc = col("doc")
     val base = fresh.select(

@@ -96,7 +96,7 @@ object PurePersons {
       Seq("emplid"), "left")
     val skipStale = withDb.filter(
         Fns.isNotFresh(col("__db_modified"), col("modified")))
-      .select(col("uuid"), lit("stale").as("skip_reason"))
+      .select(col("uuid"), Fns.staleReason(col("__db_modified"), col("modified")).as("skip_reason"))
     // deterministic surrogate (see PureDocs.derivedUuid): outputs are
     // written separately and must agree on new persons' keys
     val fresh = withDb.filter(

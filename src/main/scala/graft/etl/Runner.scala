@@ -109,7 +109,9 @@ object Runner {
         .unionByName(deptOrgs.select(col("deptid"), col("pure_org_id"))
           .withColumn("__fresh", lit(1))),
       Seq("deptid"),
-      Seq(col("__fresh").desc, col("pure_org_id").asc))
+      // nulls LAST: a fresh row carrying a real org id must beat a
+      // sibling with a null pure_org_id (plain asc sorts nulls first)
+      Seq(col("__fresh").desc, col("pure_org_id").asc_nulls_last))
       .drop("__fresh")
     val sync = OitToEdw.personSync(in.demogHistory, in.scival,
       in.empEntries, in.poiEntries, in.affEntries,

@@ -113,6 +113,15 @@ object Fns {
   def isNotFresh(dbModified: Column, modified: Column): Column =
     !(isFresh(dbModified, modified) <=> true)
 
+  /** Skip-reason label for the [[isNotFresh]] side-channel. "stale" is
+    * a genuinely older document; a null `modified` against an existing
+    * DB row is NOT stale — it's a missing/unparseable timestamp, a data
+    * quality problem the label must not hide behind a routine skip.
+    */
+  def staleReason(dbModified: Column, modified: Column): Column =
+    when(modified.isNull && dbModified.isNotNull, lit("null_modified"))
+      .otherwise(lit("stale"))
+
   /** F12: stable content-addressed id over identifying fields — the
     * reference sha1s a sorted-key json dump (`exceptions.py:38-43`).
     * Field order is fixed by the caller passing fields alphabetically.

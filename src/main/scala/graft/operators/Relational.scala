@@ -235,11 +235,15 @@ object Relational {
     * assigned by id order within each parent. Unlike the display `path`
     * (id segments joined by '/'), it is unambiguous for ids containing
     * '/' or any other character, and lexicographic order on it IS
-    * preorder DFS with siblings in id order — WITHIN one root. The root
-    * segment is a per-root hash (not a globally windowed ordinal, which
-    * would funnel every root through a single partition): cross-root
-    * `__sortpath` order is therefore not meaningful, and every consumer
-    * partitions by `root_id` first ([[mpttLabels]] does).
+    * preorder DFS with siblings in id order — WITHIN one root. Roots
+    * start with an EMPTY `__sortpath` (no root segment at all — neither
+    * a globally windowed ordinal, which would funnel every root through
+    * a single partition, nor a per-root hash, which would make
+    * correctness depend on hash uniqueness): the path identifies a node
+    * only together with `root_id`, so consumers structurally cannot
+    * compare paths across roots without also joining/partitioning on
+    * `root_id` ([[mpttLabels]] conjoins root_id equality in its prefix
+    * join and partitions its windows by root_id).
     */
   private[operators] def closureWithSortPath(
       nodes: DataFrame,
@@ -256,11 +260,15 @@ object Relational {
     val roots = nodes.filter(col(parentCol).isNull)
       .select(col(idCol).as("id"), col(idCol).as("root_id"),
         lit(0).as("depth"), col(idCol).cast("string").as("path"),
-        lpad(hex(abs(xxhash64(col(idCol)))), 16, "0").as("__sortpath"))
+        lit("").as("__sortpath"))
     val sibW = Window.partitionBy(col(parentCol)).orderBy(col(idCol))
     // checkpoint the ordinal-labeled edge set ONCE: the loop joins it at
     // every level, and without materialization the sibling window (and
-    // the scan under it) would re-execute per level
+    // the scan under it) would re-execute per level. localCheckpoint
+    // stores blocks executor-side with lineage truncated — an executor
+    // loss mid-closure fails the job. Acceptable for tree-sized dims
+    // (this operator's contract); point huge/deep graphs at reliable
+    // checkpoint or persist(DISK_ONLY_2) instead.
     val edges = nodes.filter(col(parentCol).isNotNull)
       .withColumn("__ord", row_number().over(sibW))
       .select(col(idCol).as("child"), col(parentCol).as("parent"),

@@ -146,9 +146,13 @@ class RunnerSpec extends AnyFunSuite {
         .toDF("person_uuid", "pure_org_uuid"),
       scopusIds = Seq.empty[(String, String)]
         .toDF("person_uuid", "scopus_id"))
-    // two independent plan executions must agree on the winner
-    val orgIds = (1 to 2).map { _ =>
-      Runner.syncCycle(inputs).sync.staffOrgAssociations
+    // two independent plan executions must agree on the winner — with
+    // DIFFERENT physical partitionings of the dim side, so an
+    // arbitrary-winner merge (dropDuplicates) would actually get the
+    // chance to pick differently rather than repeating the same shuffle
+    val orgIds = Seq(1, 7).map { n =>
+      Runner.syncCycle(inputs.copy(deptOrg = deptOrg.repartition(n)))
+        .sync.staffOrgAssociations
         .filter($"org_id".isNotNull)
         .select("org_id").distinct().as[String].collect().toSet
     }
