@@ -64,6 +64,12 @@ case class TopKPerKeyExec(
     val childOutput = child.output
     val keysLocal = normalizedKeys
     val orderLocal = order
+    // memory contract: the heap map is O(distinct keys per partition ×
+    // k) with NO spill path — the whole point is avoiding the Window
+    // plan's full per-partition sort. The guard below turns the would-be
+    // OOM into a diagnosable error; resolved driver-side (conf is not
+    // available inside the task closure).
+    val maxKeys = conf.getConfString(TopK.maxKeysConf, "4000000").toLong
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keysLocal, childOutput)
       val ordering = RowOrdering.create(orderLocal, childOutput)
@@ -76,6 +82,13 @@ case class TopKPerKeyExec(
         val key = keyProj(row)
         var pq = heaps.get(key)
         if (pq == null) {
+          if (heaps.size() >= maxKeys)
+            throw new IllegalStateException(
+              s"TopKPerKeyExec: more than $maxKeys distinct keys in one " +
+                s"partition (heap memory is O(keys × k), unspillable). " +
+                s"Use TopK.topKPerKey(..., highCardinality = true) for " +
+                s"the sort-based spillable plan, or raise " +
+                s"${TopK.maxKeysConf}.")
           pq = new java.util.PriorityQueue[InternalRow](kLocal + 1,
             ordering.reverse)
           heaps.put(key.copy(), pq)
@@ -102,6 +115,11 @@ object TopKStrategy extends SparkStrategy {
 }
 
 object TopK {
+  /** Max distinct keys one partition's heap map may hold before the
+    * exec fails fast instead of creeping toward OOM.
+    */
+  val maxKeysConf = "spark.graft.topk.maxKeysPerPartition"
+
   /** Keep the k best rows per key under `order` (column name →
     * ascending?; best = first in that order). Column references are
     * built as catalyst UnresolvedAttributes directly — the Spark 4
@@ -109,14 +127,26 @@ object TopK {
     * analyzer only unwraps inside standard operators, not custom
     * nodes. Output row order within a key is undefined — sort
     * afterwards if presentation order matters.
+    *
+    * Memory contract: the default heap-based plan holds O(distinct
+    * keys per partition × k) rows in executor memory with no spill
+    * path — ideal when keys-per-partition is bounded (ANN query sets,
+    * per-entity latest-k over well-partitioned entities) and guarded
+    * by [[maxKeysConf]] (default 4M keys). For unbounded key
+    * cardinality ("latest-k over 10^9 entities"), pass
+    * `highCardinality = true` to get the sort-based
+    * row_number-over-Window plan, which spills to disk instead of
+    * growing a map.
     */
   def topKPerKey(
       df: DataFrame,
       keys: Seq[String],
       order: Seq[(String, Boolean)],
-      k: Int): DataFrame = {
+      k: Int,
+      highCardinality: Boolean = false): DataFrame = {
     require(k >= 1, s"topKPerKey requires k >= 1, got $k")
     require(keys.nonEmpty, "topKPerKey requires at least one key column")
+    if (highCardinality) return windowTopK(df, keys, order, k)
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.Descending
     import org.apache.spark.sql.graftshim.ColumnBridge
@@ -131,5 +161,23 @@ object TopK {
     ColumnBridge.ofRows(spark,
       TopKPerKey(k, keys.map(UnresolvedAttribute.quoted),
         sortOrder, ColumnBridge.logicalPlan(df)))
+  }
+
+  /** The spillable fallback: same result set via
+    * row_number().over(Window) — full per-partition sort (O(n log n),
+    * disk-backed UnsafeExternalSorter) instead of bounded heaps.
+    */
+  private def windowTopK(
+      df: DataFrame,
+      keys: Seq[String],
+      order: Seq[(String, Boolean)],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(order.map { case (n, asc) =>
+        if (asc) col(n).asc else col(n).desc }: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
   }
 }

@@ -10,12 +10,13 @@ import org.apache.spark.sql.types._
   * transforms (the Scala analog of pandas-batched UDFs: amortize
   * per-batch setup — codec init, model load — across `batchSize` rows).
   *
-  * The byte-level DECODE IS A STUB in this environment (no image/audio
-  * libraries in the container): `decodeFeatures` derives a
-  * deterministic pseudo-feature vector from the bytes. Everything
-  * around it — schema, partitioning, batch shape, null handling — is
-  * real and tested; swapping in a real decoder changes only the body of
-  * [[MediaCodec.decodeBatch]].
+  * Decode: uncompressed 24-bit BMP payloads are REALLY decoded (pure
+  * JVM header parse → RGB pixels, [[MediaCodec.decodeBmp]]); all other
+  * codecs are a declared STUB (no image/audio libraries in this
+  * container) that folds raw payload bytes into a deterministic
+  * pseudo-feature vector. Everything around the boundary — schema,
+  * partitioning, batch shape, null handling — is real and tested;
+  * supporting jpeg/png/wav changes only [[MediaCodec.decodeBatch]].
   */
 object Multimodal {
 
@@ -32,23 +33,103 @@ object Multimodal {
     StructField("bytes", BinaryType),
     StructField("meta", metaSchema)))
 
-  /** STUB decoder boundary: a real implementation would initialize the
-    * codec once per batch and decode `rows` bytes together (GPU/SIMD
-    * batch). Here the "decoded features" are a deterministic fold of
-    * the payload bytes into `dim` floats — stable across runs/engines.
+  /** Decoder boundary. A real deployment would initialize the codec
+    * once per batch and decode `rows` bytes together (GPU/SIMD batch).
+    * Two paths here:
+    *  - uncompressed 24-bit BMP payloads get a REAL pure-JVM decode
+    *    (header parse → top-down RGB pixels) — no external codec
+    *    library needed, so the batch boundary is exercised by genuine
+    *    image bytes;
+    *  - anything else falls back to a deterministic fold of the raw
+    *    payload bytes (STUB — the container ships no image/audio
+    *    libraries; jpeg/png/wav would slot in beside decodeBmp).
     */
   object MediaCodec {
+
+    /** One decoded frame: top-down row-major RGB, 3 bytes per pixel. */
+    final case class DecodedImage(width: Int, height: Int, rgb: Array[Byte])
+
+    private def i32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+        ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+    private def i16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+
+    /** Parse an uncompressed (BI_RGB) 24-bit BMP: 'BM' magic, little-
+      * endian header fields, 4-byte-padded BGR rows stored bottom-up
+      * (or top-down when height is negative). Returns None for
+      * anything that isn't exactly this shape — the caller falls back
+      * to the stub rather than guessing.
+      */
+    def decodeBmp(bytes: Array[Byte]): Option[DecodedImage] = {
+      if (bytes == null || bytes.length < 54 ||
+        bytes(0) != 'B' || bytes(1) != 'M') return None
+      val pixelOff = i32(bytes, 10)
+      val width = i32(bytes, 18)
+      val rawHeight = i32(bytes, 22)
+      val bpp = i16(bytes, 28)
+      val compression = i32(bytes, 30)
+      if (bpp != 24 || compression != 0 || width <= 0 || rawHeight == 0)
+        return None
+      val height = math.abs(rawHeight)
+      val bottomUp = rawHeight > 0
+      val rowSize = ((width * 3 + 3) / 4) * 4 // rows pad to 4 bytes
+      if (pixelOff < 54 || pixelOff.toLong + rowSize.toLong * height >
+        bytes.length) return None
+      val rgb = new Array[Byte](width * height * 3)
+      var y = 0
+      while (y < height) {
+        val srcRow = pixelOff + (if (bottomUp) (height - 1 - y) else y) *
+          rowSize
+        var x = 0
+        while (x < width) {
+          val s = srcRow + x * 3 // BGR on disk
+          val d = (y * width + x) * 3
+          rgb(d) = bytes(s + 2) // R
+          rgb(d + 1) = bytes(s + 1) // G
+          rgb(d + 2) = bytes(s) // B
+          x += 1
+        }
+        y += 1
+      }
+      Some(DecodedImage(width, height, rgb))
+    }
+
+    /** Deterministic byte-fold pseudo-features — the stub path for
+      * codecs this container can't decode.
+      */
+    private def foldBytes(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      if (bytes != null) {
+        var i = 0
+        while (i < bytes.length) {
+          out(i % dim) += (bytes(i) & 0xFF) / 255.0f
+          i += 1
+        }
+      }
+      out
+    }
+
+    /** Features from real pixels: fold normalized RGB intensities into
+      * `dim` buckets in pixel order — a stand-in for an embedding
+      * model, but computed from genuinely decoded image content.
+      */
+    private def pixelFeatures(img: DecodedImage, dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < img.rgb.length) {
+        out(i % dim) += (img.rgb(i) & 0xFF) / 255.0f
+        i += 1
+      }
+      out
+    }
+
     def decodeBatch(payloads: Seq[Array[Byte]], dim: Int): Seq[Array[Float]] =
       payloads.map { bytes =>
-        val out = new Array[Float](dim)
-        if (bytes != null) {
-          var i = 0
-          while (i < bytes.length) {
-            out(i % dim) += (bytes(i) & 0xFF) / 255.0f
-            i += 1
-          }
+        decodeBmp(bytes) match {
+          case Some(img) => pixelFeatures(img, dim)
+          case None => foldBytes(bytes, dim)
         }
-        out
       }
   }
 

@@ -45,4 +45,34 @@ class TopKPerKeySpec extends AnyFunSuite {
       .select("k", "id").as[(Int, Int)].collect().toSet
     assert(got == Set((1, 10), (1, 11), (2, 20)))
   }
+
+  test("max-keys guard fails fast instead of growing the heap map") {
+    val orders = Tables.orders(spark, sf) // ~1500 distinct custkeys
+    spark.conf.set(TopK.maxKeysConf, "100")
+    try {
+      val ex = intercept[org.apache.spark.SparkException] {
+        TopK.topKPerKey(orders.repartition(1), Seq("o_custkey"),
+          Seq("o_totalprice" -> false), k = 2).count()
+      }
+      val msg = ex.getMessage + Option(ex.getCause).fold("")(_.getMessage)
+      assert(msg.contains("distinct keys in one partition"), msg)
+      assert(msg.contains("highCardinality"), msg)
+    } finally spark.conf.unset(TopK.maxKeysConf)
+  }
+
+  test("highCardinality fallback matches the heap plan and is spillable") {
+    val orders = Tables.orders(spark, sf)
+    val keys = Seq("o_custkey")
+    val ord = Seq("o_totalprice" -> false, "o_orderkey" -> true)
+    val viaWindow = TopK.topKPerKey(orders, keys, ord, k = 3,
+      highCardinality = true)
+    val viaHeap = TopK.topKPerKey(orders, keys, ord, k = 3)
+    assert(viaWindow.select("o_custkey", "o_orderkey")
+      .as[(Long, Long)].collect().toSet ==
+      viaHeap.select("o_custkey", "o_orderkey")
+        .as[(Long, Long)].collect().toSet)
+    // the fallback is the disk-backed sort plan, not the heap exec
+    val plan = viaWindow.queryExecution.executedPlan.toString
+    assert(plan.contains("Window") && !plan.contains("TopKPerKey"), plan)
+  }
 }

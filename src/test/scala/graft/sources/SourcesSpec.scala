@@ -95,6 +95,67 @@ class SourcesSpec extends AnyFunSuite {
       .first().getLong(0) == 3)
   }
 
+  /** Hand-assembled uncompressed 24-bit BMP (bottom-up, padded rows). */
+  private def makeBmp(pixels: Array[Array[(Int, Int, Int)]]): Array[Byte] = {
+    val height = pixels.length
+    val width = pixels.head.length
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val dataSize = rowSize * height
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54) // reserved, pixel offset
+    buf.putInt(40).putInt(width).putInt(height) // BITMAPINFOHEADER
+      .putShort(1).putShort(24).putInt(0).putInt(dataSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (y <- (height - 1) to 0 by -1) { // bottom-up row order
+      for (x <- 0 until width) {
+        val (r, g, b) = pixels(y)(x)
+        buf.put(b.toByte).put(g.toByte).put(r.toByte) // BGR on disk
+      }
+      for (_ <- 0 until rowSize - width * 3) buf.put(0.toByte)
+    }
+    buf.array()
+  }
+
+  test("BMP payloads decode to real pixels through the batch boundary") {
+    // 2x2: red, green / blue, white — distinct corners prove row order
+    // and BGR→RGB handling
+    val bmp = makeBmp(Array(
+      Array((255, 0, 0), (0, 255, 0)),
+      Array((0, 0, 255), (255, 255, 255))))
+    val img = Multimodal.MediaCodec.decodeBmp(bmp).get
+    assert(img.width == 2 && img.height == 2)
+    // top-down row-major RGB
+    assert(img.rgb.toSeq.map(_ & 0xFF) == Seq(
+      255, 0, 0, 0, 255, 0, // row 0: red, green
+      0, 0, 255, 255, 255, 255)) // row 1: blue, white
+
+    // non-BMP bytes refuse to decode (fall back to the stub fold)
+    assert(Multimodal.MediaCodec.decodeBmp("not a bmp".getBytes).isEmpty)
+    assert(Multimodal.MediaCodec.decodeBmp(null).isEmpty)
+    // truncated pixel data refuses rather than reading out of bounds
+    assert(Multimodal.MediaCodec.decodeBmp(bmp.dropRight(4)).isEmpty)
+
+    // through the Spark batched boundary: features derive from decoded
+    // pixel content — the all-white image's intensity sum (4.0 over
+    // dim buckets per channel position) is exact and predictable
+    val white = makeBmp(Array(
+      Array((255, 255, 255), (255, 255, 255)),
+      Array((255, 255, 255), (255, 255, 255))))
+    val media = Seq((1L, bmp), (2L, white)).toDF("media_id", "bytes")
+      .select(col("media_id"), col("bytes"), lit(null).cast(
+        org.apache.spark.sql.types.DataTypes.createStructType(
+          Multimodal.metaSchema.fields)).as("meta"))
+    val feats = Multimodal.decodeFeatures(media, dim = 3, batchSize = 1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // white: 12 samples of 1.0 folded into 3 buckets → (4, 4, 4)
+    assert(feats(2L) == Seq(4.0f, 4.0f, 4.0f))
+    // mixed corners: R channel hits bucket 0, G bucket 1, B bucket 2
+    // pixel stream: (255,0,0),(0,255,0),(0,0,255),(255,255,255)
+    assert(feats(1L) == Seq(2.0f, 2.0f, 2.0f))
+  }
+
   test("resizeMeta scales only oversized media; sampleFrames explodes video") {
     val media = Seq(
       (1L, Array[Byte](1), "image", 1000, 500, null, null, "c"),
