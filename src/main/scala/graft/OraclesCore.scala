@@ -303,5 +303,39 @@ object OraclesCore {
         |  (r1.user_id IS NOT NULL) AS reported
         |FROM r1 FULL OUTER JOIN r2 ON r1.user_id = r2.user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q44_mptt_labels" ->
+      """WITH RECURSIVE nodes AS (
+        |  SELECT 'r' || r_regionkey AS id, CAST(NULL AS VARCHAR) AS parent_id
+        |  FROM region
+        |  UNION ALL
+        |  SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation
+        |  UNION ALL
+        |  SELECT 's' || s_suppkey, 'n' || s_nationkey FROM supplier),
+        |edges AS (
+        |  SELECT id, parent_id, lpad(CAST(row_number() OVER
+        |    (PARTITION BY parent_id ORDER BY id) AS VARCHAR), 8, '0') AS seg
+        |  FROM nodes WHERE parent_id IS NOT NULL),
+        |t AS (
+        |  SELECT id, id AS root_id, 0 AS depth, '' AS sortpath
+        |  FROM nodes WHERE parent_id IS NULL
+        |  UNION ALL
+        |  SELECT e.id, t.root_id, t.depth + 1, t.sortpath || e.seg
+        |  FROM edges e JOIN t ON e.parent_id = t.id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY root_id
+        |    ORDER BY sortpath) AS preorder FROM t),
+        |sizes AS (
+        |  SELECT a.id, count(b.id) AS n_desc
+        |  FROM ranked a LEFT JOIN ranked b
+        |    ON b.root_id = a.root_id
+        |   AND b.sortpath LIKE a.sortpath || '%'
+        |   AND length(b.sortpath) > length(a.sortpath)
+        |  GROUP BY a.id)
+        |SELECT r.id, r.root_id, r.depth, r.preorder, z.n_desc,
+        |  2 * (r.preorder - 1) - r.depth + 1 AS lft,
+        |  2 * (r.preorder - 1) - r.depth + 1 + 2 * z.n_desc + 1 AS rgt
+        |FROM ranked r JOIN sizes z ON r.id = z.id
+        |ORDER BY r.id""".stripMargin,
   )
 }

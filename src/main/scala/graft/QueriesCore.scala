@@ -429,6 +429,29 @@ object QueriesCore {
       .orderBy("user_id")
   }
 
+  /** J12/MPTT — nested-set labels recomputed from parent pointers
+    * ([[Relational.mpttLabels]]; reference pure_api_internal_org.py:
+    * 136-192 mutates lft/rgt incrementally, we rebuild declaratively).
+    * Three-level forest: region → nation → supplier, five roots.
+    */
+  def q44MpttLabels(s: SparkSession, dir: String): DataFrame = {
+    val roots = Tables.region(s, dir).select(
+      concat(lit("r"), col("r_regionkey").cast("string")).as("id"),
+      lit(null).cast("string").as("parent_id"))
+    val nations = Tables.nation(s, dir).select(
+      concat(lit("n"), col("n_nationkey").cast("string")).as("id"),
+      concat(lit("r"), col("n_regionkey").cast("string")).as("parent_id"))
+    val sups = Tables.supplier(s, dir).select(
+      concat(lit("s"), col("s_suppkey").cast("string")).as("id"),
+      concat(lit("n"), col("s_nationkey").cast("string")).as("parent_id"))
+    Relational.mpttLabels(roots.unionByName(nations).unionByName(sups))
+      .select(col("id"), col("root_id"), col("depth").cast("int").as("depth"),
+        col("preorder").cast("bigint").as("preorder"),
+        col("n_desc").cast("bigint").as("n_desc"),
+        col("lft"), col("rgt"))
+      .orderBy("id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project" -> q02FilterProject _,
@@ -461,5 +484,6 @@ object QueriesCore {
     "q29_asof_join" -> q29AsOfJoin _,
     "q2a_pivot" -> q2aPivot _,
     "q43_error_accumulate" -> q43ErrorAccumulate _,
+    "q44_mptt_labels" -> q44MpttLabels _,
   )
 }
