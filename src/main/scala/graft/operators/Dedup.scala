@@ -57,30 +57,24 @@ object Dedup {
       .select(col(idCol), graft.functions.ShingleHashes
         .shingleHashes(lower(col(textCol)), shingleLen).as("__sh"))
       .filter(size(col("__sh")) > 0)
-    // Signature via explode + groupBy with `numHashes` min-aggregates:
-    // codegen'd with map-side partial aggregation, and each shingle is
-    // hashed exactly numHashes times. The array-typed higher-order
+    // Signature + banding in ONE codegen expression per document
+    // (SketchSigs.minhashBands, bit-identical to the explode + groupBy
+    // min-aggregate form this replaces): the signature stage needs no
+    // shuffle and no aggregation at all. The array-typed higher-order
     // variant ([[minhashSignature]]) is interpreted (no codegen for
     // lambda functions) AND gets inlined into every band column by
-    // Catalyst's project collapsing — a 16× recompute that turned this
-    // stage quadratic in practice.
-    val posting = withShingles.select(col(idCol), explode(col("__sh")).as("__s"))
-    val minCols = (0 until numHashes).map(i =>
-      min(xxhash64(col("__s"), lit(i))).as(s"__m$i"))
-    val sigRows = posting.groupBy(col(idCol))
-      .agg(minCols.head, minCols.tail: _*)
-    val rows = numHashes / bands
-    val bandCols = (0 until bands).map { b =>
-      xxhash64(concat_ws(",",
-        (0 until rows).map(r => col(s"__m${b * rows + r}").cast("string")): _*),
-        lit(b))
-    }
+    // Catalyst's project collapsing — a 16× recompute that turned that
+    // stage quadratic in practice; the posexplode generator evaluates
+    // its input once per row, so no such fan-out exists here.
+    //
     // candidate generation joins ONLY (id, band) rows — the shingle
     // arrays stay out of the shuffle; they are re-attached for the
     // verify step after dedup + a lossless size-ratio prefilter
     // (jaccard >= t requires t*|B| <= |A| <= |B|/t)
-    val banded = sigRows.select(col(idCol),
-      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+    val banded = withShingles.select(col(idCol),
+      posexplode(graft.functions.SketchSigs
+        .minhashBands(col("__sh"), numHashes, bands))
+        .as(Seq("band_idx", "band_hash")))
     val a = banded.select(col(idCol).as("id_a"), col("band_idx"), col("band_hash"))
     val b = banded.select(col(idCol).as("id_b"), col("band_idx"), col("band_hash"))
     val cand = a.join(b, Seq("band_idx", "band_hash"))
@@ -180,16 +174,29 @@ object Dedup {
     }
   }
 
-  /** SimHash (64-bit) per document: explode tokens, per-bit signed vote
-    * (`+1` if the token hash has the bit set, else `-1`), sum per doc,
-    * sign → bit. The explode + groupBy shape uses map-side partial
-    * aggregation (64 long sums per doc), so it scales linearly in corpus
-    * size — unlike a per-row 64-way nested higher-order expression,
-    * which would re-tokenize 64× per row.
+  /** SimHash (64-bit) per document: per-bit signed vote (`+1` if the
+    * token hash has the bit set, else `-1`) summed over tokens, sign →
+    * bit — computed in ONE codegen pass per document
+    * ([[graft.functions.SketchSigs.simhash64]], bit-identical to the
+    * explode + 64-sum groupBy form it replaces, which shuffled one row
+    * per token and carried 64 aggregation buffers per doc). Token-less
+    * docs are filtered (the explode form emitted no row for them).
     *
     * Returns (idCol, simhash: long).
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        TextAnalysis.normalizeText(col(textCol)).as("__norm"))
+      .filter(col("__norm") =!= "")
+      .select(col(idCol),
+        graft.functions.SketchSigs.simhash64(col("__norm")).as("simhash"))
+
+  /** The explode + groupBy reference forms the codegen expressions
+    * replaced — retained (test-only) so SketchSigsParitySpec can assert
+    * bit-identical results on real corpora.
+    */
+  private[operators] def simhashReference(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol),
       explode(filter(split(TextAnalysis.normalizeText(col(textCol)), " "),
         t => t =!= "")).as("__tok"))
@@ -203,6 +210,25 @@ object Dedup {
       when(col(s"__b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
     summed.select(col(idCol), word.as("simhash"))
+  }
+
+  /** See [[simhashReference]]. */
+  private[operators] def minhashBandsReference(
+      shingled: DataFrame, idCol: String, numHashes: Int,
+      bands: Int): DataFrame = {
+    val posting = shingled.select(col(idCol), explode(col("__sh")).as("__s"))
+    val minCols = (0 until numHashes).map(i =>
+      min(xxhash64(col("__s"), lit(i))).as(s"__m$i"))
+    val sigRows = posting.groupBy(col(idCol))
+      .agg(minCols.head, minCols.tail: _*)
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      xxhash64(concat_ws(",",
+        (0 until rows).map(r => col(s"__m${b * rows + r}").cast("string")): _*),
+        lit(b))
+    }
+    sigRows.select(col(idCol),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
   }
 
   /** Hamming distance between two simhash values. */
