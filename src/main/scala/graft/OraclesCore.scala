@@ -337,5 +337,13 @@ object OraclesCore {
         |  2 * (r.preorder - 1) - r.depth + 1 + 2 * z.n_desc + 1 AS rgt
         |FROM ranked r JOIN sizes z ON r.id = z.id
         |ORDER BY r.id""".stripMargin,
+
+    "q45_salted_join" ->
+      """SELECT l_orderkey, o_orderpriority,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_orderkey, o_orderpriority
+        |ORDER BY l_orderkey""".stripMargin,
   )
 }

@@ -452,6 +452,24 @@ object QueriesCore {
       .orderBy("id")
   }
 
+  /** Skew-salted join ([[graft.operators.Scale.saltedJoin]]): result
+    * must equal the PLAIN inner join — the oracle is exactly that,
+    * making the salt/explode/drop plumbing oracle-checked rather than
+    * only plan-asserted. Lineitem (skewed fact) × orders rolled up per
+    * order key.
+    */
+  def q45SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.operators.Scale.saltedJoin(li, o, Seq("l_orderkey"), saltFactor = 8)
+      .groupBy("l_orderkey", "o_orderpriority")
+      .agg(Fns.exactSum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy("l_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project" -> q02FilterProject _,
@@ -485,5 +503,6 @@ object QueriesCore {
     "q2a_pivot" -> q2aPivot _,
     "q43_error_accumulate" -> q43ErrorAccumulate _,
     "q44_mptt_labels" -> q44MpttLabels _,
+    "q45_salted_join" -> q45SaltedJoin _,
   )
 }
