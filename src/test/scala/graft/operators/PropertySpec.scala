@@ -147,4 +147,75 @@ class PropertySpec extends AnyFunSuite {
       u.foreach { case (k, v) => assert(got(k) == v) }
     }
   }
+
+  test("treeClosure agrees with a sequential DFS on random forests") {
+    // random forest: node i's parent is uniform in {-1 (root)} ∪ [0, i)
+    // — parents always precede children, so no cycles by construction
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      parents <- Gen.sequence[List[Int], Int](
+        (0 until n).map(i => Gen.choose(-1, i - 1)))
+    } yield parents
+    forAll(gen) { parents =>
+      val rows = parents.zipWithIndex.map { case (p, i) =>
+        (s"n$i", if (p < 0) null else s"n$p")
+      }
+      val df = rows.toDF("id", "parent_id").repartition(4)
+      val got = Relational.treeClosure(df)
+        .select("id", "root_id", "depth")
+        .collect().map(r => r.getString(0) -> (r.getString(1), r.getInt(2)))
+        .toMap
+      // sequential reference: follow parent pointers
+      val pmap = rows.map { case (id, p) => id -> Option(p) }.toMap
+      val expected = rows.map { case (id, _) =>
+        var cur = id; var depth = 0
+        while (pmap(cur).isDefined) { cur = pmap(cur).get; depth += 1 }
+        id -> (cur, depth)
+      }.toMap
+      assert(got == expected)
+    }
+  }
+
+  test("errors accumulate: counts sum and first_seen/reported are stable") {
+    // random occurrence streams over a small id space, split into three
+    // runs — the accumulated table must equal one-shot totals on count
+    // and never lose first_seen/reported
+    val gen = for {
+      occ <- Gen.listOfN(40, Gen.choose(0, 6))
+      cut1 <- Gen.choose(0, 40)
+      cut2 <- Gen.choose(0, 40)
+    } yield (occ, math.min(cut1, cut2), math.max(cut1, cut2))
+    val ts = (i: Int) => java.sql.Timestamp.valueOf(s"2026-01-0${i + 1} 00:00:00")
+    forAll(gen, cases = 5) { case (occ, c1, c2) =>
+      whenever(occ.nonEmpty) {
+        def channel(ids: Seq[Int]) = ids.map(i => (s"e$i", "no_job_data",
+            null: String, null: String))
+          .toDF("emplid", "error_type", "jobcode", "deptid")
+          .withColumn("jobcode_descr", lit(null).cast("string"))
+          .withColumn("deptid_descr", lit(null).cast("string"))
+          .withColumn("um_college", lit(null).cast("string"))
+          .withColumn("um_college_descr", lit(null).cast("string"))
+          .withColumn("um_campus", lit(null).cast("string"))
+          .withColumn("um_campus_descr", lit(null).cast("string"))
+        val eligible = Seq.empty[(String, String)].toDF("emplid", "deptid")
+        val runs = Seq(occ.take(c1), occ.slice(c1, c2), occ.drop(c2))
+        var table = Errors.firstRun(
+          Errors.errorRecords(channel(runs.head), eligible), ts(0))
+        for ((r, i) <- runs.tail.zipWithIndex)
+          table = Errors.accumulate(table,
+            Errors.errorRecords(channel(r), eligible), ts(i + 1))
+        val acc = table.select("emplid", "count", "first_seen")
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getTimestamp(2))).toMap
+        // counts match the one-shot totals
+        val totals = occ.groupBy(i => s"e$i").view.mapValues(_.size.toLong)
+        assert(acc.view.mapValues(_._1).toMap == totals.toMap)
+        // first_seen is the timestamp of the first run containing the id
+        occ.map(i => s"e$i").distinct.foreach { id =>
+          val firstRunIdx = runs.indexWhere(_.exists(i => s"e$i" == id))
+          assert(acc(id)._2 == ts(firstRunIdx), id)
+        }
+      }
+    }
+  }
 }
