@@ -64,10 +64,24 @@ object QueriesSim {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-bucketed ANN top-5: the data-adaptive scale path beside LSH
+    * (q42) — k-means inverted lists, nProbe closest lists per query.
+    * No DuckDB oracle (Lloyd training isn't SQL-expressible there);
+    * recall vs q40 exact is asserted in ScalaTest (SimilaritySpec).
+    */
+  def q46IvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val all = vecsD(s, dir)
+    Similarity.ivfTopK(all, all.filter(pmod(col("vec_id"), lit(50)) === 0),
+        "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4, iters = 2)
+      .withColumn("rank", col("rank").cast("int"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_topk_brute_force" -> q40TopkBruteForce _,
     "q41_embedding_near_dup" -> q41EmbeddingNearDup _,
     "q42_lsh_topk" -> q42LshTopk _,
+    "q46_ivf_topk" -> q46IvfTopk _,
   )
 
   val oracles: Map[String, String] = Map(

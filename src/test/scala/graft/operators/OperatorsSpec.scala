@@ -63,6 +63,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.15, s"ANN recall collapsed: $recall")
   }
 
+  test("IVF top-k recall against brute force, probing a corpus fraction") {
+    val queries = embeddings.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val exact = Similarity.topK(embeddings, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(embeddings, queries, "vec_id", "embedding",
+        5, nCentroids = 16, nProbe = 4, iters = 2)
+    val got = ivf.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    // 4 of 16 trained lists per query ≈ 25% of the corpus examined; the
+    // quantizer adapts to the data, so top-5 recall must beat random
+    assert(recall >= 0.25, s"IVF recall collapsed: $recall")
+    // every query returns k ranked rows with ranks 1..k
+    val ranks = ivf.groupBy("query_id").agg(max("rank").as("m"), count(lit(1)).as("n"))
+      .as[(Long, Int, Long)].collect()
+    assert(ranks.forall(r => r._2 == 5 && r._3 == 5L), ranks.mkString(","))
+    // cosine values agree with the exact scorer wherever pairs overlap
+    val exactCos = Similarity.topK(embeddings, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    ivf.select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .foreach { case (q, n, c) =>
+        exactCos.get((q, n)).foreach(e => assert(e == c, s"($q,$n)")) }
+  }
+
+  test("IVF centroids: deterministic across runs, losers keep position") {
+    val a = Similarity.trainCentroids(embeddings, "vec_id", "embedding", 8,
+      iters = 2).select("centroid_id", "cvec")
+      .as[(Long, Seq[Double])].collect().toMap
+    val b = Similarity.trainCentroids(embeddings.repartition(7), "vec_id",
+      "embedding", 8, iters = 2).select("centroid_id", "cvec")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(a.keySet == b.keySet)
+    // element-wise means over double arrays: same values independent of
+    // input partitioning up to fp addition order — compare rounded
+    def rnd(m: Map[Long, Seq[Double]]) =
+      m.view.mapValues(_.map(x => math.rint(x * 1e9) / 1e9)).toMap
+    assert(rnd(a) == rnd(b))
+  }
+
   test("scalar functions: multi-format parse, precision, locale, flags") {
     val df = Seq(
       ("2019-03-07T10:30:00.000+0000", "full-tz"),
