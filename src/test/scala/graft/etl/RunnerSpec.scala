@@ -14,7 +14,7 @@ class RunnerSpec extends AnyFunSuite {
 
   private val t1 = java.sql.Timestamp.valueOf("2020-06-01 00:00:00")
 
-  test("a full sync cycle wires every family through its dependencies") {
+  private lazy val fullCycle: Runner.CycleOutputs = {
     val orgDoc =
       """{"uuid":"org1","externalId":"ORG1",
          "name":{"text":[{"locale":"en_US","value":"Org One"}]},
@@ -59,7 +59,7 @@ class RunnerSpec extends AnyFunSuite {
         "last_name", "name_suffix", "instl_email_addr",
         "primary_empl_rcdno", "timestamp")
 
-    val out = Runner.syncCycle(Runner.CycleInputs(
+    Runner.syncCycle(Runner.CycleInputs(
       demogHistory = demog,
       scival = Seq.empty[(String, String)].toDF("emplid", "scival_id"),
       empEntries = entries("emp_job_entries_4604830"),
@@ -84,7 +84,10 @@ class RunnerSpec extends AnyFunSuite {
         .toDF("person_uuid", "pure_org_uuid"),
       scopusIds = Seq.empty[(String, String)]
         .toDF("person_uuid", "scopus_id")))
+  }
 
+  test("a full sync cycle wires every family through its dependencies") {
+    val out = fullCycle
     // org family shredded and visible downstream
     assert(out.orgs.filter($"pure_uuid" === "org1").count() == 1)
     // person family validated against the shredded org
@@ -101,6 +104,50 @@ class RunnerSpec extends AnyFunSuite {
     // HR side produced sync rows for the fixture person
     assert(out.sync.personData.filter($"emplid" === "4604830").count() == 1)
     assert(out.skips.count() == 0)
+  }
+
+  test("cycle outputs render to XSD-valid Pure sync files") {
+    import graft.sources.XmlSync
+    import java.io.File
+    import java.nio.file.{Files, Paths}
+    val xsdDir = "/root/reference/docs"
+    assume(Files.isDirectory(Paths.get(xsdDir)), "reference docs not present")
+    def validate(xmlPath: String, xsdName: String): Unit = {
+      val factory = javax.xml.validation.SchemaFactory
+        .newInstance(javax.xml.XMLConstants.W3C_XML_SCHEMA_NS_URI)
+      factory.newSchema(new File(s"$xsdDir/$xsdName")).newValidator()
+        .validate(new javax.xml.transform.stream.StreamSource(
+          new File(xmlPath)))
+    }
+    val out = fullCycle
+    val dir = Files.createTempDirectory("cyclexml").toString
+
+    val persons = s"$dir/persons.xml"
+    XmlSync.writeSyncFile(
+      XmlSync.renderPersonsXml(out.sync.personData,
+        out.sync.staffOrgAssociations),
+      XmlSync.personsHeader, XmlSync.personsFooter, persons)
+    validate(persons, "person.xsd")
+
+    val users = s"$dir/users.xml"
+    XmlSync.writeSyncFile(out.sync.userData.map(XmlSync.renderUser),
+      XmlSync.usersHeader, XmlSync.usersFooter, users)
+    validate(users, "user.xsd")
+
+    // no organisation XSD ships in the reference docs — well-formedness
+    // + root namespace over the cycle's shredded orgs
+    val orgs = s"$dir/organisations.xml"
+    XmlSync.writeSyncFile(
+      XmlSync.renderOrganisationsXml(XmlSync.organisationSyncInput(
+        out.orgs, java.sql.Date.valueOf("2020-01-01"), "Public")),
+      XmlSync.organisationsHeader, XmlSync.organisationsFooter, orgs)
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(true)
+    val doc = dbf.newDocumentBuilder().parse(new File(orgs))
+    assert(doc.getDocumentElement.getNamespaceURI ==
+      "v1.organisation-sync.pure.atira.dk")
+    assert(doc.getElementsByTagName("organisationId").getLength == 1)
+    assert(Files.readString(Paths.get(persons)).contains("<person id="))
   }
 
   test("conflicting deptid: freshly shredded dept→org row wins, deterministically") {
