@@ -37,6 +37,33 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(g.subsetOf(b))
   }
 
+  test("streaming error accumulation matches the batch rollup") {
+    val stream = EventsStream.readEvents(spark, streamDir)
+      .filter(col("event_type") === "error")
+      .select(concat(lit("e"), col("user_id")).as("error_id"), col("ts"))
+      .as[ErrorsStream.ErrOccurrence]
+    val updates = EventsStream.runToMemory(
+      ErrorsStream.accumulate(stream).toDF(), "err_acc", OutputMode.Update())
+    // Update mode re-emits a row per id per batch — the LAST row per id
+    // is the accumulated state
+    val got = updates.groupBy("error_id")
+      .agg(max(struct(col("count"), col("first_seen"), col("last_seen")))
+        .as("s"))
+      .select(col("error_id"), col("s.count"), col("s.first_seen"),
+        col("s.last_seen"))
+      .as[(String, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().map { case (id, c, f, l) => id -> (c, f, l) }.toMap
+    val batch = graft.Tables.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .groupBy(concat(lit("e"), col("user_id")).as("error_id"))
+      .agg(count(lit(1)).as("count"), min(col("ts")).as("first_seen"),
+        max(col("ts")).as("last_seen"))
+      .as[(String, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().map { case (id, c, f, l) => id -> (c, f, l) }.toMap
+    assert(got.nonEmpty)
+    assert(got == batch)
+  }
+
   test("changes stream consumes per micro-batch and resumes from checkpoint") {
     import java.nio.file.Files
     val src = Files.createTempDirectory("chg-src").toString
