@@ -23,12 +23,14 @@ object Errors {
     "um_college", "um_college_descr", "um_campus", "um_campus_descr")
 
   /** Identifying fields per exception class (exceptions.py `ids`);
-    * stableId input is (id fields sorted alphabetically, then
-    * exception) — mirroring the reference's sorted-key json sha1.
+    * stableId input is the id fields AND the exception name sorted
+    * together alphabetically — the reference sha1s
+    * `json.dumps(sorted({**ids, 'exception': name}.items()))`, where
+    * 'exception' sorts among the id keys, not after them.
     */
   private def errId(exception: String, idFields: (String, Column)*): Column =
-    Fns.stableId(idFields.sortBy(_._1).map { case (n, c) => c.as(n) } :+
-      lit(exception).as("exception"): _*)
+    Fns.stableId((idFields :+ ("exception" -> lit(exception)))
+      .sortBy(_._1).map { case (n, c) => c.as(n) }: _*)
 
   /** Expand the HR pipelines' error channel (`error_type`, emplid,
     * jobcode…, per HrJobs.errorRows / OitToEdw noJobErrors) into the
@@ -81,8 +83,13 @@ object Errors {
     }
 
     val dept = in.filter(col("error_type") === "unknown_dept")
-    val jcd = in.filter(col("error_type").isin("unknown_jobcode",
-      "unknown_jobcode_deptid"))
+    // unknown_jobcode (jobcode absent from the dim — the reference's
+    // .one() raises; exceptions.py ships the class commented out, keyed
+    // [jobcode]) is a DIFFERENT condition from unknown_jobcode_deptid
+    // (the overrideable-pair miss, employee_job.py:187) and must not
+    // share ids or labels with it
+    val jc = in.filter(col("error_type") === "unknown_jobcode")
+    val jcd = in.filter(col("error_type") === "unknown_jobcode_deptid")
     val noJob = in.filter(col("error_type") === "no_job_data")
 
     val unknownDept = shaped(dept, "ExpertsEtlUnknownDept",
@@ -93,6 +100,10 @@ object Errors {
       "job with unknown department",
       errId("ExpertsEtlJobWithUnknownDept", "deptid" -> col("deptid"),
         "emplid" -> col("emplid"), "jobcode" -> col("jobcode")),
+      pidCount = false)
+    val unknownJc = shaped(jc, "ExpertsEtlUnknownJobcode",
+      "unknown jobcode",
+      errId("ExpertsEtlUnknownJobcode", "jobcode" -> col("jobcode")),
       pidCount = false)
     val unknownJcd = shaped(jcd, "ExpertsEtlUnknownJobcodeDeptid",
       "unknown overrideable jobcode/deptid pair",
@@ -110,8 +121,9 @@ object Errors {
       errId("ExpertsEtlPersonNoJobData", "emplid" -> col("emplid")),
       pidCount = false)
 
-    unknownDept.unionByName(jobUnknownDept).unionByName(unknownJcd)
-      .unionByName(jobUnknownJcd).unionByName(noJobData)
+    unknownDept.unionByName(jobUnknownDept).unionByName(unknownJc)
+      .unionByName(unknownJcd).unionByName(jobUnknownJcd)
+      .unionByName(noJobData)
   }
 
   /** Merge one run's error occurrences into the accumulated table.
@@ -131,27 +143,38 @@ object Errors {
       existing: DataFrame,
       incoming: DataFrame,
       now: java.sql.Timestamp): DataFrame = {
-    // per-id rollup of this run: occurrence count + one deterministic
-    // context row (max over each field — dept-level ids share identical
-    // context; job-level descrs could differ across feeds)
-    val rollAggs = Seq(
-      count(lit(1)).as("__inc"),
-      max(col("exception")).as("__exception"),
-      max(col("message")).as("__message")) ++
-      contextCols.map(c => max(col(c)).as(s"__$c"))
+    // per-id rollup of this run: occurrence count + ONE whole
+    // occurrence's context (lexicographic min of the full struct — a
+    // real row, deterministic; per-field max could stitch together a
+    // context that never occurred)
+    val ctx = struct(col("exception") +: col("message") +:
+      contextCols.map(col): _*)
     val rolled = incoming.groupBy("error_id")
-      .agg(rollAggs.head, rollAggs.tail: _*)
+      .agg(count(lit(1)).as("__inc"), min(ctx).as("__ctx"))
+      .select(Seq(col("error_id"), col("__inc"),
+        col("__ctx.exception").as("__exception"),
+        col("__ctx.message").as("__message")) ++
+        contextCols.map(c => col(s"__ctx.$c").as(s"__$c")): _*)
 
     val ex = existing.columns.foldLeft(existing)((df, c) =>
       if (c == "error_id") df else df.withColumnRenamed(c, s"__ex_$c"))
 
+    // __ex_count is non-null iff the row existed: the discriminator for
+    // "keep the existing row's fields wholesale". Per-field coalesce
+    // would backfill an existing row's NULL context from a new
+    // occurrence — the reference's find_or_create never touches any
+    // field but count/last_seen after insert.
+    val rowExisted = col("__ex_count").isNotNull
     ex.join(rolled, Seq("error_id"), "full_outer")
       .select(Seq(
         col("error_id"),
-        coalesce(col("__ex_exception"), col("__exception")).as("exception"),
-        coalesce(col("__ex_message"), col("__message")).as("message")) ++
+        when(rowExisted, col("__ex_exception"))
+          .otherwise(col("__exception")).as("exception"),
+        when(rowExisted, col("__ex_message"))
+          .otherwise(col("__message")).as("message")) ++
         contextCols.map(c =>
-          coalesce(col(s"__ex_$c"), col(s"__$c")).as(c)) ++ Seq(
+          when(rowExisted, col(s"__ex_$c"))
+            .otherwise(col(s"__$c")).as(c)) ++ Seq(
           (coalesce(col("__ex_count"), lit(0L)) +
             coalesce(col("__inc"), lit(0L))).as("count"),
           coalesce(col("__ex_first_seen"), lit(now)).as("first_seen"),

@@ -174,9 +174,13 @@ object TopK {
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, row_number}
-    val w = Window.partitionBy(keys.map(col): _*)
+    // quote names so a dotted column ("price.usd") resolves as one
+    // attribute, exactly as the heap path's UnresolvedAttribute.quoted
+    // does — the two plans this flag toggles must accept the same input
+    def qcol(n: String) = col(s"`${n.replace("`", "``")}`")
+    val w = Window.partitionBy(keys.map(qcol): _*)
       .orderBy(order.map { case (n, asc) =>
-        if (asc) col(n).asc else col(n).desc }: _*)
+        if (asc) qcol(n).asc else qcol(n).desc }: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k).drop("__rn")
   }

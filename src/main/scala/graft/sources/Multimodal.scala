@@ -69,18 +69,23 @@ object Multimodal {
       val rawHeight = i32(bytes, 22)
       val bpp = i16(bytes, 28)
       val compression = i32(bytes, 30)
-      if (bpp != 24 || compression != 0 || width <= 0 || rawHeight == 0)
-        return None
+      if (bpp != 24 || compression != 0 || width <= 0 ||
+        rawHeight == 0 || rawHeight == Int.MinValue) return None
       val height = math.abs(rawHeight)
       val bottomUp = rawHeight > 0
-      val rowSize = ((width * 3 + 3) / 4) * 4 // rows pad to 4 bytes
-      if (pixelOff < 54 || pixelOff.toLong + rowSize.toLong * height >
-        bytes.length) return None
+      // ALL size math in Long: a crafted width (e.g. 0x2AAAAAAB) makes
+      // width*3 overflow Int negative, sails past a naive bounds check,
+      // and NegativeArraySizeException kills the task — this decoder's
+      // contract on malformed bytes is None, never a throw
+      val rowSize = ((width.toLong * 3 + 3) / 4) * 4 // rows pad to 4 bytes
+      if (pixelOff < 54 || rowSize * height > bytes.length.toLong -
+        pixelOff || width.toLong * height * 3 > Int.MaxValue) return None
       val rgb = new Array[Byte](width * height * 3)
       var y = 0
       while (y < height) {
-        val srcRow = pixelOff + (if (bottomUp) (height - 1 - y) else y) *
-          rowSize
+        // bounds proven above, so the Int narrowing is exact
+        val srcRow = (pixelOff + (if (bottomUp) (height - 1 - y) else y) *
+          rowSize).toInt
         var x = 0
         while (x < width) {
           val s = srcRow + x * 3 // BGR on disk

@@ -37,19 +37,49 @@ object XmlSync {
   private def fmtDate(ts: java.sql.Timestamp): String =
     ts.toLocalDateTime.toLocalDate.format(dateFmt)
 
+  // ---- shared null-safe Row field access for all renderers ----
+
+  /** Field as string, null when absent/null. */
+  private def fieldStr(r: Row, name: String): String =
+    if (r.schema.fieldNames.contains(name) && !r.isNullAt(r.fieldIndex(name)))
+      r.get(r.fieldIndex(name)).toString
+    else null
+
+  private def fieldTs(r: Row, name: String): java.sql.Timestamp =
+    if (r.schema.fieldNames.contains(name) && !r.isNullAt(r.fieldIndex(name)))
+      r.getAs[java.sql.Timestamp](name)
+    else null
+
+  /** Date-ish field as ISO yyyy-MM-dd, null when absent/null. */
+  private def fieldIsoDate(r: Row, name: String): String =
+    if (r.schema.fieldNames.contains(name) && !r.isNullAt(r.fieldIndex(name)))
+      r.get(r.fieldIndex(name)) match {
+        case ts: java.sql.Timestamp => ts.toLocalDateTime.toLocalDate.toString
+        case d: java.sql.Date => d.toLocalDate.toString
+        case other => other.toString
+      }
+    else null
+
+  private def fieldArr(r: Row, name: String): Seq[Row] =
+    if (r.schema.fieldNames.contains(name) && !r.isNullAt(r.fieldIndex(name)))
+      r.getAs[scala.collection.Seq[Row]](name).toSeq
+    else Seq.empty
+
+  /** CDATA-safe raw payload: a value containing "]]>" would close the
+    * CDATA section early and corrupt the document — split it across
+    * two sections (the one escape CDATA needs). The reference's
+    * autoescape-false Jinja block has this hole; a null renders empty.
+    */
+  def cdata(s: String): String =
+    if (s == null) "" else s.replace("]]>", "]]]]><![CDATA[>")
+
   /** Render one person element (templates/person.xml.j2:1-61). `jobs`
     * is the person's ordered association list.
     */
   def renderPerson(p: Row, jobs: Seq[Row]): String = {
     val sb = new StringBuilder
-    def f(r: Row, name: String): String =
-      if (r.schema.fieldNames.contains(name) && !r.isNullAt(r.fieldIndex(name)))
-        r.get(r.fieldIndex(name)).toString
-      else null
-    def fts(r: Row, name: String): java.sql.Timestamp =
-      if (r.schema.fieldNames.contains(name) && !r.isNullAt(r.fieldIndex(name)))
-        r.getAs[java.sql.Timestamp](name)
-      else null
+    def f(r: Row, name: String): String = fieldStr(r, name)
+    def fts(r: Row, name: String): java.sql.Timestamp = fieldTs(r, name)
     val personId = esc(f(p, "person_id"))
     sb ++= s"""<person id="$personId">\n"""
     sb ++= s"""  <name>\n    <v3:firstname>${esc(f(p, "first_name"))}</v3:firstname>\n"""
@@ -116,32 +146,17 @@ object XmlSync {
     * emitted raw inside CDATA (the template's autoescape-false block).
     */
   def renderOrganisation(o: Row): String = {
-    def f(name: String): String =
-      if (o.schema.fieldNames.contains(name) && !o.isNullAt(o.fieldIndex(name)))
-        o.get(o.fieldIndex(name)).toString
-      else null
-    def fd(name: String): String =
-      if (o.schema.fieldNames.contains(name) && !o.isNullAt(o.fieldIndex(name)))
-        o.get(o.fieldIndex(name)) match {
-          case ts: java.sql.Timestamp => ts.toLocalDateTime.toLocalDate.toString
-          case d: java.sql.Date => d.toLocalDate.toString
-          case other => other.toString
-        }
-      else null
-    def arr(name: String): Seq[Row] =
-      if (o.schema.fieldNames.contains(name) && !o.isNullAt(o.fieldIndex(name)))
-        o.getAs[scala.collection.Seq[Row]](name).toSeq
-      else Seq.empty
-    def sub(r: Row, name: String): String =
-      if (r.schema.fieldNames.contains(name) && !r.isNullAt(r.fieldIndex(name)))
-        r.get(r.fieldIndex(name)).toString
-      else null
+    def f(name: String): String = fieldStr(o, name)
+    def fd(name: String): String = fieldIsoDate(o, name)
+    def arr(name: String): Seq[Row] = fieldArr(o, name)
+    def sub(r: Row, name: String): String = fieldStr(r, name)
     val sb = new StringBuilder
     sb ++= "<organisation managedInPure=\"false\">\n"
     sb ++= s"  <organisationId>${esc(f("organisation_id"))}</organisationId>\n"
     sb ++= s"  <type>${esc(f("type"))}</type>\n"
     sb ++= s"""  <name>\n    <v3:text lang="en" country="US">${esc(f("name"))}</v3:text>\n  </name>\n"""
-    sb ++= s"  <startDate>${fd("start_date")}</startDate>\n"
+    // a null start date renders empty content, never the literal "null"
+    sb ++= s"  <startDate>${Option(fd("start_date")).getOrElse("")}</startDate>\n"
     val endDate = fd("end_date")
     if (endDate != null) sb ++= s"  <endDate>$endDate</endDate>\n"
     sb ++= s"  <visibility>${esc(f("visibility"))}</visibility>\n"
@@ -163,8 +178,9 @@ object XmlSync {
       sb ++= "  <profileInfos>\n"
       for (pi <- profileInfos) {
         sb ++= s"    <profileInfo>\n      <type>${esc(sub(pi, "type"))}</type>\n"
-        // raw value inside CDATA — template's autoescape-false island
-        sb ++= s"""      <profileInfo>\n        <v3:text lang="en" country="US"><![CDATA[${sub(pi, "value")}]]></v3:text>\n      </profileInfo>\n"""
+        // raw value inside CDATA — template's autoescape-false island;
+        // cdata() split-escapes embedded "]]>"
+        sb ++= s"""      <profileInfo>\n        <v3:text lang="en" country="US"><![CDATA[${cdata(sub(pi, "value"))}]]></v3:text>\n      </profileInfo>\n"""
         sb ++= "    </profileInfo>\n"
       }
       sb ++= "  </profileInfos>\n"
@@ -273,9 +289,7 @@ object XmlSync {
 
   /** Render one user element (templates/user.xml.j2). */
   def renderUser(u: Row): String = {
-    def f(name: String): String =
-      if (!u.isNullAt(u.fieldIndex(name))) u.get(u.fieldIndex(name)).toString
-      else ""
+    def f(name: String): String = fieldStr(u, name) // esc(null) = ""
     s"""<user id="${esc(f("person_id"))}">
        |  <userName>${esc(f("user_name"))}@umn.edu</userName>
        |  <email>${esc(f("email"))}</email>

@@ -108,17 +108,9 @@ class RunnerSpec extends AnyFunSuite {
 
   test("cycle outputs render to XSD-valid Pure sync files") {
     import graft.sources.XmlSync
-    import java.io.File
+    import graft.XsdSupport.{parseDom, validate, xsdsPresent}
     import java.nio.file.{Files, Paths}
-    val xsdDir = "/root/reference/docs"
-    assume(Files.isDirectory(Paths.get(xsdDir)), "reference docs not present")
-    def validate(xmlPath: String, xsdName: String): Unit = {
-      val factory = javax.xml.validation.SchemaFactory
-        .newInstance(javax.xml.XMLConstants.W3C_XML_SCHEMA_NS_URI)
-      factory.newSchema(new File(s"$xsdDir/$xsdName")).newValidator()
-        .validate(new javax.xml.transform.stream.StreamSource(
-          new File(xmlPath)))
-    }
+    assume(xsdsPresent, "reference docs not present")
     val out = fullCycle
     val dir = Files.createTempDirectory("cyclexml").toString
 
@@ -141,9 +133,7 @@ class RunnerSpec extends AnyFunSuite {
       XmlSync.renderOrganisationsXml(XmlSync.organisationSyncInput(
         out.orgs, java.sql.Date.valueOf("2020-01-01"), "Public")),
       XmlSync.organisationsHeader, XmlSync.organisationsFooter, orgs)
-    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-    dbf.setNamespaceAware(true)
-    val doc = dbf.newDocumentBuilder().parse(new File(orgs))
+    val doc = parseDom(orgs)
     assert(doc.getDocumentElement.getNamespaceURI ==
       "v1.organisation-sync.pure.atira.dk")
     assert(doc.getElementsByTagName("organisationId").getLength == 1)

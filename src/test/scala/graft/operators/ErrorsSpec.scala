@@ -30,19 +30,25 @@ class ErrorsSpec extends AnyFunSuite {
     val errors = errChannel(Seq(
       ("e1", "unknown_dept", "J1", "D1"),
       ("e2", "unknown_dept", "J2", "D1"),
+      ("e7", "unknown_jobcode", "J7", "D2"),
       ("e9", "unknown_jobcode_deptid", "J9", "D2"),
       ("e5", "no_job_data", null, null)))
     val recs = Errors.errorRecords(errors, eligible)
     val byEx = recs.groupBy("exception").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    // 2 dept occurrences -> 2 dept-level + 2 job-level; 1 jcd pair -> 1+1;
-    // 1 no-job -> 1
+    // 2 dept occurrences -> 2 dept-level + 2 job-level; 1 plain-jobcode
+    // miss -> 1 (its own class, NOT the overrideable pair); 1 jcd pair
+    // -> 1+1; 1 no-job -> 1
     assert(byEx == Map(
       "ExpertsEtlUnknownDept" -> 2L,
       "ExpertsEtlJobWithUnknownDept" -> 2L,
+      "ExpertsEtlUnknownJobcode" -> 1L,
       "ExpertsEtlUnknownJobcodeDeptid" -> 1L,
       "ExpertsEtlJobWithUnknownJobcodeDeptid" -> 1L,
       "ExpertsEtlPersonNoJobData" -> 1L))
+    // the two J-families on (J7/D2) vs (J9/D2) stay distinct ids
+    assert(recs.filter($"jobcode".isin("J7", "J9"))
+      .select("error_id").distinct().count() == 3)
     // both D1 occurrences share ONE dept-level error_id but have
     // distinct job-level ids
     val deptIds = recs.filter($"exception" === "ExpertsEtlUnknownDept")
@@ -106,6 +112,29 @@ class ErrorsSpec extends AnyFunSuite {
     assert(d1c.getAs[Long]("count") == 3L)
     assert(d1c.getAs[java.sql.Timestamp]("last_seen") == ts2)
     assert(t3.count() == t2.count())
+  }
+
+  test("existing rows keep their context wholesale — no null backfill") {
+    // run 1 records the error with a null jobcode_descr; run 2's
+    // occurrence carries 'Analyst'. find_or_create only bumps
+    // count/last_seen after insert, so the stored context must stay
+    // null — per-field coalesce would silently backfill it.
+    val run1 = Errors.errorRecords(errChannel(Seq(
+      ("e1", "unknown_jobcode_deptid", "J1", "D1"))), eligible)
+    val t1 = Errors.firstRun(run1, ts1)
+    val run2raw = errChannel(Seq(("e1", "unknown_jobcode_deptid", "J1", "D1")))
+      .withColumn("jobcode_descr", lit("Analyst"))
+    val run2 = Errors.errorRecords(run2raw, eligible)
+    val t2 = Errors.accumulate(t1, run2, ts2)
+    val row = t2.filter($"exception" === "ExpertsEtlJobWithUnknownJobcodeDeptid")
+      .head()
+    assert(row.getAs[Long]("count") == 2L)
+    assert(row.isNullAt(row.fieldIndex("jobcode_descr")),
+      "existing row's null context was backfilled by a new occurrence")
+    // the pair-level record (also pre-existing) keeps its null too
+    val pair = t2.filter($"exception" === "ExpertsEtlUnknownJobcodeDeptid")
+      .head()
+    assert(pair.isNullAt(pair.fieldIndex("jobcode_descr")))
   }
 
   test("unreported selection and csv projection match the reporter") {

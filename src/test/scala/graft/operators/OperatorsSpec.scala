@@ -65,29 +65,29 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("IVF top-k recall against brute force, probing a corpus fraction") {
     val queries = embeddings.filter(pmod(col("vec_id"), lit(50)) === 0)
-    val exact = Similarity.topK(embeddings, queries, "vec_id", "embedding", 5)
-      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // one brute-force run serves both the pair set and the cosine map
+    val exactRows = Similarity.topK(embeddings, queries, "vec_id",
+        "embedding", 5)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    val exact = exactRows.map(r => (r._1, r._2)).toSet
+    val exactCos = exactRows.map(r => (r._1, r._2) -> r._3).toMap
     val ivf = Similarity.ivfTopK(embeddings, queries, "vec_id", "embedding",
         5, nCentroids = 16, nProbe = 4, iters = 2)
-    val got = ivf.select("query_id", "neighbor_id")
-      .as[(Long, Long)].collect().toSet
+    val ivfRows = ivf.select("query_id", "neighbor_id", "cos_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    val got = ivfRows.map(r => (r._1, r._2)).toSet
     val recall = (got & exact).size.toDouble / exact.size
     // 4 of 16 trained lists per query ≈ 25% of the corpus examined; the
     // quantizer adapts to the data, so top-5 recall must beat random
     assert(recall >= 0.25, s"IVF recall collapsed: $recall")
     // every query returns k ranked rows with ranks 1..k
-    val ranks = ivf.groupBy("query_id").agg(max("rank").as("m"), count(lit(1)).as("n"))
-      .as[(Long, Int, Long)].collect()
-    assert(ranks.forall(r => r._2 == 5 && r._3 == 5L), ranks.mkString(","))
+    val byQuery = ivfRows.groupBy(_._1)
+    assert(byQuery.values.forall(rs => rs.length == 5 &&
+      rs.map(_._4).sorted.toSeq == (1 to 5)), "rank structure broken")
     // cosine values agree with the exact scorer wherever pairs overlap
-    val exactCos = Similarity.topK(embeddings, queries, "vec_id", "embedding", 5)
-      .select("query_id", "neighbor_id", "cos_sim")
-      .as[(Long, Long, Double)].collect()
-      .map(r => (r._1, r._2) -> r._3).toMap
-    ivf.select("query_id", "neighbor_id", "cos_sim")
-      .as[(Long, Long, Double)].collect()
-      .foreach { case (q, n, c) =>
-        exactCos.get((q, n)).foreach(e => assert(e == c, s"($q,$n)")) }
+    ivfRows.foreach { case (q, n, c, _) =>
+      exactCos.get((q, n)).foreach(e => assert(e == c, s"($q,$n)")) }
   }
 
   test("IVF centroids: deterministic across runs, losers keep position") {

@@ -75,4 +75,16 @@ class TopKPerKeySpec extends AnyFunSuite {
     val plan = viaWindow.queryExecution.executedPlan.toString
     assert(plan.contains("Window") && !plan.contains("TopKPerKey"), plan)
   }
+
+  test("both plans accept dotted column names identically") {
+    val df = Seq((1, 10, 5.0), (1, 11, 7.0), (2, 20, 1.0))
+      .toDF("the.key", "id", "score.usd")
+    val viaHeap = TopK.topKPerKey(df, Seq("the.key"),
+        Seq("score.usd" -> false), k = 1)
+      .select("id").as[Int].collect().toSet
+    val viaWindow = TopK.topKPerKey(df, Seq("the.key"),
+        Seq("score.usd" -> false), k = 1, highCardinality = true)
+      .select("id").as[Int].collect().toSet
+    assert(viaHeap == Set(11, 20) && viaWindow == viaHeap)
+  }
 }

@@ -136,6 +136,19 @@ class SourcesSpec extends AnyFunSuite {
     assert(Multimodal.MediaCodec.decodeBmp(null).isEmpty)
     // truncated pixel data refuses rather than reading out of bounds
     assert(Multimodal.MediaCodec.decodeBmp(bmp.dropRight(4)).isEmpty)
+    // crafted headers must return None, never throw: width whose *3
+    // overflows Int, Int.MinValue height, giant width*height
+    def patched(off: Int, v: Int): Array[Byte] = {
+      val b = bmp.clone()
+      java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(off, v)
+      b
+    }
+    assert(Multimodal.MediaCodec.decodeBmp(patched(18, 0x2AAAAAAB)).isEmpty)
+    assert(Multimodal.MediaCodec.decodeBmp(patched(22, Int.MinValue)).isEmpty)
+    assert(Multimodal.MediaCodec.decodeBmp(patched(18, 40000))
+      .isEmpty) // 40000*2 rows don't fit the payload
+    assert(Multimodal.MediaCodec.decodeBmp(patched(10, Int.MaxValue)).isEmpty)
 
     // through the Spark batched boundary: features derive from decoded
     // pixel content — the all-white image's intensity sum (4.0 over

@@ -3,12 +3,8 @@ package graft.sources
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.etl.FixtureLoader.spark
-import java.io.File
-import java.nio.file.{Files, Paths}
-import javax.xml.XMLConstants
-import javax.xml.transform.stream.StreamSource
-import javax.xml.validation.SchemaFactory
-import javax.xml.parsers.DocumentBuilderFactory
+import graft.XsdSupport.{parseDom, validate, xsdDir, xsdsPresent}
+import java.nio.file.Files
 
 /** XSD validation of the rendered sync files against the Pure interface
   * contract (reference docs/person.xsd, docs/user.xsd, docs/commons.xsd;
@@ -19,25 +15,8 @@ import javax.xml.parsers.DocumentBuilderFactory
 class XmlSchemaSpec extends AnyFunSuite {
   import spark.implicits._
 
-  private val xsdDir = "/root/reference/docs"
-
-  private def validate(xmlPath: String, xsdName: String): Unit = {
-    val factory = SchemaFactory.newInstance(XMLConstants.W3C_XML_SCHEMA_NS_URI)
-    // resolving commons.xsd works via the xsd's relative schemaLocation
-    // because we hand the factory a file-backed source
-    val schema = factory.newSchema(new File(s"$xsdDir/$xsdName"))
-    val validator = schema.newValidator()
-    validator.validate(new StreamSource(new File(xmlPath)))
-  }
-
   private def assumeXsds(): Unit =
-    assume(Files.isDirectory(Paths.get(xsdDir)), "reference docs not present")
-
-  private def parseDom(path: String): org.w3c.dom.Document = {
-    val dbf = DocumentBuilderFactory.newInstance()
-    dbf.setNamespaceAware(true)
-    dbf.newDocumentBuilder().parse(new File(path))
-  }
+    assume(xsdsPresent, "reference docs not present")
 
   test("rendered person sync file validates against person.xsd") {
     assumeXsds()
@@ -128,6 +107,10 @@ class XmlSchemaSpec extends AnyFunSuite {
     assert(xml.contains("<photoProtocol>http</photoProtocol>"))
     assert(xml.contains("<geospatialPoint>44.98,-93.23</geospatialPoint>"))
     assert(xml.contains("<idSource>peoplesoft_deptid</idSource>"))
+
+    // a profile value containing "]]>" must not close the CDATA early
+    assert(XmlSync.cdata("uses X]]> syntax") == "uses X]]]]><![CDATA[> syntax")
+    assert(XmlSync.cdata(null) == "")
 
     // minimal org: optional sections must be absent, not empty wrappers
     val minimal = Seq(("ORG002", "college", "Science",
