@@ -102,6 +102,15 @@ object QueriesText {
         array_min(col("fp")).as("min_fp"), array_max(col("fp")).as("max_fp"))
       .orderBy("doc_id")
 
+  /** Gopher-style repetition signals ([[TextAnalysis.repetitionStats]]):
+    * distinct-token ratio, top-token fraction, duplicate-trigram
+    * fraction — the classic repetitive-document filters for LLM
+    * training corpora.
+    */
+  def q47Repetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "q30_text_stats" -> q30TextStats _,
     "q31_lang_id" -> q31LangId _,
@@ -112,6 +121,7 @@ object QueriesText {
     "q36_minhash_lsh" -> q36MinhashLsh _,
     "q37_simhash" -> q37Simhash _,
     "q38_winnow_fingerprint" -> q38Winnow _,
+    "q47_repetition" -> q47Repetition _,
   )
 
   private val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -190,6 +200,38 @@ object QueriesText {
            |  FROM cand JOIN sh a ON id_a = a.doc_id JOIN sh b ON id_b = b.doc_id)
            |SELECT id_a, id_b, jaccard FROM verified
            |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+      "q47_repetition" ->
+        """WITH docs AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split(lower(text), ' '), t -> t <> '')
+          |      AS toks
+          |  FROM documents),
+          |tok AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+          |tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+          |ts AS (SELECT doc_id, sum(c) AS n_tokens,
+          |         count(*) AS n_distinct, max(c) AS top
+          |       FROM tc GROUP BY 1),
+          |tri AS (
+          |  SELECT doc_id,
+          |    CASE WHEN len(toks) >= 3 THEN len(list_distinct(list_transform(
+          |      generate_series(1, len(toks) - 2),
+          |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+          |    ELSE 0 END AS tri_distinct,
+          |    greatest(len(toks) - 2, 0) AS tri_total
+          |  FROM docs)
+          |SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+          |  CASE WHEN t.n_tokens > 0
+          |       THEN round(t.n_distinct / CAST(t.n_tokens AS DOUBLE), 6)
+          |       ELSE 0.0 END AS distinct_token_ratio,
+          |  CASE WHEN t.n_tokens > 0
+          |       THEN round(t.top / CAST(t.n_tokens AS DOUBLE), 6)
+          |       ELSE 0.0 END AS top_token_frac,
+          |  CASE WHEN r.tri_total > 0
+          |       THEN round(1.0 - r.tri_distinct / CAST(r.tri_total AS DOUBLE), 6)
+          |       ELSE 0.0 END AS dup_trigram_frac
+          |FROM ts t JOIN tri r USING (doc_id)
+          |ORDER BY doc_id""".stripMargin,
     )
   }
 }

@@ -104,4 +104,49 @@ object TextAnalysis {
     array_distinct(transform(starts,
       i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
+
+  /** Gopher-style repetition signals per document (Rae et al. 2021 §A1
+    * use duplicate line/paragraph/n-gram fractions to drop low-quality
+    * repetitive text; with line-less corpora the token/word-n-gram
+    * forms carry the signal):
+    *  - `n_tokens`       total (lowercased, whitespace) tokens
+    *  - `distinct_token_ratio` distinct/total tokens
+    *  - `top_token_frac` occurrences of the most frequent token / total
+    *  - `dup_trigram_frac` 1 − distinct/total word-trigram occurrences
+    *
+    * Shape: one explode + two keyed aggregations (map-side partial) —
+    * shuffle volume is one row per (doc, distinct token), then one per
+    * doc. Trigram distincts ride the single-pass [[graft.functions
+    * .ShingleHashes]] codegen expression (64-bit hashes stand in for
+    * strings; a distinct-count collision needs ~2^32 trigrams).
+    * Token-less documents produce NO output row (nothing to measure);
+    * left-join the result back if every id must appear.
+    */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol),
+        explode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+          .as("__tok"))
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__c"))
+    val tokStats = toks.groupBy(col(idCol)).agg(
+      sum(col("__c")).as("n_tokens"),
+      count(lit(1)).as("__n_distinct"),
+      max(col("__c")).as("__top"))
+    val triStats = df.select(col(idCol),
+      size(graft.functions.ShingleHashes
+        .shingleHashes(lower(col(textCol)), 3)).as("__tri_distinct"))
+    tokStats.join(triStats, Seq(idCol))
+      .withColumn("__tri_total", greatest(col("n_tokens") - 2, lit(0L)))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        when(col("n_tokens") > 0,
+          round(col("__n_distinct") / col("n_tokens"), 6))
+          .otherwise(lit(0.0)).as("distinct_token_ratio"),
+        when(col("n_tokens") > 0, round(col("__top") / col("n_tokens"), 6))
+          .otherwise(lit(0.0)).as("top_token_frac"),
+        when(col("__tri_total") > 0,
+          round(lit(1.0) - col("__tri_distinct") / col("__tri_total"), 6))
+          .otherwise(lit(0.0)).as("dup_trigram_frac"))
+  }
 }

@@ -105,6 +105,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rnd(a) == rnd(b))
   }
 
+  test("repetition stats match hand-computed Gopher signals") {
+    val docs = Seq(
+      (1L, "a a a a"), // 4 tokens, 1 distinct, trigrams: (a a a)x2 -> 1 distinct of 2
+      (2L, "x y"), // shorter than a trigram
+      (3L, "one two three four"), // all distinct
+      (4L, "")) // empty
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got(1L) == ((4L, 0.25, 1.0, 0.5)))
+    assert(got(2L) == ((2L, 1.0, 0.5, 0.0)))
+    assert(got(3L) == ((4L, 1.0, 0.25, 0.0)))
+    // empty text: split("") yields [""], filtered out -> no token rows;
+    // the doc must still not crash the pipeline (absent from groupBy)
+    assert(!got.contains(4L))
+  }
+
   test("scalar functions: multi-format parse, precision, locale, flags") {
     val df = Seq(
       ("2019-03-07T10:30:00.000+0000", "full-tz"),
