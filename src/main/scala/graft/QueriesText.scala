@@ -111,6 +111,15 @@ object QueriesText {
     TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Compression-ratio redundancy signal (deflate level 6; no DuckDB
+    * twin — zlib isn't exposed there → rows-only for the driver,
+    * value-checked in ScalaTest).
+    */
+  def q48Compression(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.compressionRatio(col("text")).as("deflate_ratio"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "q30_text_stats" -> q30TextStats _,
     "q31_lang_id" -> q31LangId _,
@@ -122,6 +131,7 @@ object QueriesText {
     "q37_simhash" -> q37Simhash _,
     "q38_winnow_fingerprint" -> q38Winnow _,
     "q47_repetition" -> q47Repetition _,
+    "q48_compression" -> q48Compression _,
   )
 
   private val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"

@@ -50,7 +50,8 @@ object Dedup {
       shingleLen: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val withShingles = df
@@ -71,10 +72,25 @@ object Dedup {
     // arrays stay out of the shuffle; they are re-attached for the
     // verify step after dedup + a lossless size-ratio prefilter
     // (jaccard >= t requires t*|B| <= |A| <= |B|/t)
-    val banded = withShingles.select(col(idCol),
+    val bandedAll = withShingles.select(col(idCol),
       posexplode(graft.functions.SketchSigs
         .minhashBands(col("__sh"), numHashes, bands))
         .as(Seq("band_idx", "band_hash")))
+    // hot-bucket cap (off by default): a bucket of B docs yields B²/2
+    // candidates, so one boilerplate-heavy bucket can dominate the whole
+    // join at corpus scale. Capping drops those buckets wholesale —
+    // CCNet-style boilerplate exclusion traded against recall for docs
+    // whose ONLY collisions were in dropped buckets (other bands still
+    // catch them with minhash probability).
+    val banded =
+      if (maxBucketSize == Int.MaxValue) bandedAll
+      else {
+        val ok = bandedAll.groupBy("band_idx", "band_hash")
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= maxBucketSize)
+          .select("band_idx", "band_hash")
+        bandedAll.join(ok, Seq("band_idx", "band_hash"), "left_semi")
+      }
     val a = banded.select(col(idCol).as("id_a"), col("band_idx"), col("band_hash"))
     val b = banded.select(col(idCol).as("id_b"), col("band_idx"), col("band_hash"))
     val cand = a.join(b, Seq("band_idx", "band_hash"))

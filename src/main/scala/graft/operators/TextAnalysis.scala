@@ -105,6 +105,12 @@ object TextAnalysis {
       i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
+  /** Deflate compression ratio — the single-number redundancy signal
+    * (see [[graft.functions.DeflateRatio]]).
+    */
+  def compressionRatio(text: Column): Column =
+    graft.functions.DeflateRatio.deflateRatio(text)
+
   /** Gopher-style repetition signals per document (Rae et al. 2021 §A1
     * use duplicate line/paragraph/n-gram fractions to drop low-quality
     * repetitive text; with line-less corpora the token/word-n-gram

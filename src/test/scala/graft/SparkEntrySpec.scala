@@ -38,6 +38,7 @@ class SparkEntrySpec extends AnyFunSuite {
   test("rows-only queries (no oracle) are the documented hash-seeded set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("q36_minhash_lsh", "q37_simhash",
-      "q38_winnow_fingerprint", "q42_lsh_topk", "q46_ivf_topk"))
+      "q38_winnow_fingerprint", "q42_lsh_topk", "q46_ivf_topk",
+      "q48_compression"))
   }
 }

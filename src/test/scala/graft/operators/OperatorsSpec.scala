@@ -105,6 +105,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rnd(a) == rnd(b))
   }
 
+  test("compression ratio separates repetitive from varied text") {
+    val docs = Seq(
+      (1L, "spam " * 200), // pure repetition compresses hard
+      (2L, (1 to 200).map(i => s"tok${i * 7919 % 9973}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = docs.select(col("doc_id"),
+        TextAnalysis.compressionRatio(col("text")).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(r(1L) < 0.1, s"repetitive ratio: ${r(1L)}")
+    assert(r(2L) > r(1L) * 3, s"varied ${r(2L)} vs repetitive ${r(1L)}")
+    // deterministic across evaluations and empty-safe
+    assert(graft.functions.DeflateRatio.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("")) == 0.0)
+  }
+
+  test("minhash hot-bucket cap drops oversized buckets, keeps the rest") {
+    // 30 copies of one boilerplate text (a giant bucket in every band) +
+    // one genuine near-dup pair of distinct text
+    val boiler = (1 to 30).map(i => (i.toLong, "common boilerplate text " * 10))
+    val pairA = (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    val pairB = (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa extra")
+    val docs = (boiler :+ pairA :+ pairB).toDF("doc_id", "text")
+    val capped = Dedup.minhashNearDups(docs, "doc_id", "text",
+        maxBucketSize = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the boilerplate cluster's buckets exceed the cap -> its pairs gone
+    assert(!capped.exists { case (x, y) => x <= 30 && y <= 30 }, capped)
+    // the small-bucket genuine pair survives
+    assert(capped.contains((100L, 101L)), capped)
+    // uncapped finds the boilerplate cluster (sanity that the cap is
+    // what removed it)
+    val uncapped = Dedup.minhashNearDups(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.exists { case (x, y) => x <= 30 && y <= 30 })
+  }
+
   test("repetition stats match hand-computed Gopher signals") {
     val docs = Seq(
       (1L, "a a a a"), // 4 tokens, 1 distinct, trigrams: (a a a)x2 -> 1 distinct of 2
