@@ -120,6 +120,19 @@ object QueriesText {
         TextAnalysis.compressionRatio(col("text")).as("deflate_ratio"))
       .orderBy("doc_id")
 
+  /** PII redaction over documents salted with synthetic emails/URLs/
+    * phone numbers derived from doc_id (the corpus itself is clean, so
+    * the PII is constructed identically on both engines).
+    */
+  def q49Redaction(s: SparkSession, dir: String): DataFrame = {
+    val dirty = concat(col("text"), lit(" contact user"), col("doc_id"),
+      lit("@example.com via https://ex.org/p/"), col("doc_id"),
+      lit(" or call 612-555-01"), pmod(col("doc_id"), lit(100)))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.redactPii(dirty).as("clean"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_text_stats" -> q30TextStats _,
     "q31_lang_id" -> q31LangId _,
@@ -132,6 +145,7 @@ object QueriesText {
     "q38_winnow_fingerprint" -> q38Winnow _,
     "q47_repetition" -> q47Repetition _,
     "q48_compression" -> q48Compression _,
+    "q49_redaction" -> q49Redaction _,
   )
 
   private val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -242,6 +256,21 @@ object QueriesText {
           |       ELSE 0.0 END AS dup_trigram_frac
           |FROM ts t JOIN tri r USING (doc_id)
           |ORDER BY doc_id""".stripMargin,
+
+      "q49_redaction" ->
+        """WITH dirty AS (
+          |  SELECT doc_id,
+          |    text || ' contact user' || doc_id ||
+          |    '@example.com via https://ex.org/p/' || doc_id ||
+          |    ' or call 612-555-01' || (doc_id % 100) AS t
+          |  FROM documents)
+          |SELECT doc_id,
+          |  regexp_replace(regexp_replace(regexp_replace(t,
+          |    'https?://[^\s]+', '<URL>', 'g'),
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+          |    '<EMAIL>', 'g'),
+          |    '[0-9][0-9 ()+.-]{6,}[0-9]', '<NUMBER>', 'g') AS clean
+          |FROM dirty ORDER BY doc_id""".stripMargin,
     )
   }
 }

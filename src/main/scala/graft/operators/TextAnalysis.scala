@@ -111,6 +111,20 @@ object TextAnalysis {
   def compressionRatio(text: Column): Column =
     graft.functions.DeflateRatio.deflateRatio(text)
 
+  /** PII scrub for training corpora: emails, URLs, and long digit runs
+    * (phone/SSN-ish) replaced with typed placeholder tokens. Plain
+    * `regexp_replace` chain — codegen'd, and the patterns are chosen to
+    * behave identically under Java regex and RE2 so the DuckDB oracle
+    * replicates byte-for-byte. Order matters: URLs first (they may
+    * contain digit runs), then emails, then standalone digit runs.
+    */
+  def redactPii(text: Column): Column = {
+    val noUrl = regexp_replace(text, "https?://[^\\s]+", "<URL>")
+    val noEmail = regexp_replace(noUrl,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(noEmail, "[0-9][0-9 ()+.-]{6,}[0-9]", "<NUMBER>")
+  }
+
   /** Gopher-style repetition signals per document (Rae et al. 2021 §A1
     * use duplicate line/paragraph/n-gram fractions to drop low-quality
     * repetitive text; with line-less corpora the token/word-n-gram
