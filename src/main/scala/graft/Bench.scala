@@ -28,6 +28,16 @@ object Bench {
     Tables.names.foreach { t =>
       try Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
+    // one tiny synthetic job through agg + broadcast join + window +
+    // the noop sink: warms the shared codegen/JIT paths generically so
+    // the alphabetically-first timed query doesn't absorb them
+    try {
+      val warm = spark.range(1000).selectExpr("id", "id % 7 AS g")
+      warm.join(warm.groupBy("g").count().hint("broadcast"), "g")
+        .selectExpr("g", "id", "count",
+          "row_number() OVER (PARTITION BY g ORDER BY id) AS rn")
+        .write.mode("overwrite").format("noop").save()
+    } catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -133,6 +133,18 @@ object QueriesText {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: docs whose trigrams overlap the
+    * "benchmark" slice (doc_id % 100 == 7 stands in for an eval set).
+    */
+  def q50Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bench = docs.filter(pmod(col("doc_id"), lit(100)) === 7)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(100)) =!= 7)
+    Dedup.decontaminate(corpus, bench, "doc_id", "text",
+        shingleLen = 3, minOverlap = 2)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_text_stats" -> q30TextStats _,
     "q31_lang_id" -> q31LangId _,
@@ -146,6 +158,7 @@ object QueriesText {
     "q47_repetition" -> q47Repetition _,
     "q48_compression" -> q48Compression _,
     "q49_redaction" -> q49Redaction _,
+    "q50_decontaminate" -> q50Decontaminate _,
   )
 
   private val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -271,6 +284,25 @@ object QueriesText {
           |    '<EMAIL>', 'g'),
           |    '[0-9][0-9 ()+.-]{6,}[0-9]', '<NUMBER>', 'g') AS clean
           |FROM dirty ORDER BY doc_id""".stripMargin,
+
+      "q50_decontaminate" ->
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS l
+          |  FROM documents),
+          |sh AS (
+          |  SELECT doc_id, list_distinct(list_transform(
+          |    generate_series(1, len(l) - 2),
+          |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS s
+          |  FROM tok WHERE len(l) >= 3),
+          |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh
+          |          WHERE doc_id % 100 = 7),
+          |corp AS (SELECT doc_id, unnest(s) AS g FROM sh
+          |         WHERE doc_id % 100 <> 7)
+          |SELECT doc_id, count(*) AS n_overlap
+          |FROM corp JOIN bench USING (g)
+          |GROUP BY doc_id HAVING count(*) >= 2
+          |ORDER BY doc_id""".stripMargin,
     )
   }
 }

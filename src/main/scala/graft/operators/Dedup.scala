@@ -190,6 +190,36 @@ object Dedup {
     }
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * `minOverlap` word-`shingleLen`-grams with ANY benchmark document —
+    * the standard eval-leakage scrub for LLM training corpora (GPT-3
+    * appendix C / PaLM-style n-gram collision). The benchmark side is
+    * tiny relative to the corpus: its distinct shingles BROADCAST, so
+    * the corpus-side cost is one explode + a broadcast semi-ish join +
+    * per-doc count — no corpus×benchmark shuffle at any scale.
+    *
+    * Returns (idCol, n_overlap) for CONTAMINATED docs only.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      minOverlap: Int = 1): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(graft.functions.ShingleHashes
+        .shingleHashes(lower(col(textCol)), shingleLen)).as("__s"))
+      .distinct()
+    val corpusShingles = corpus
+      .select(col(idCol), explode(graft.functions.ShingleHashes
+        .shingleHashes(lower(col(textCol)), shingleLen)).as("__s"))
+    corpusShingles.join(broadcast(benchShingles), Seq("__s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
   /** SimHash (64-bit) per document: per-bit signed vote (`+1` if the
     * token hash has the bit set, else `-1`) summed over tokens, sign →
     * bit — computed in ONE codegen pass per document
