@@ -190,6 +190,60 @@ object Dedup {
     }
   }
 
+  /** Connected components over a near-dup PAIR graph — the stage that
+    * turns pairwise matches into dedup clusters. Min-label propagation:
+    * every node repeatedly adopts the smallest label among itself and
+    * its neighbors until a fixpoint; converges in O(diameter) rounds
+    * (near-dup clusters are shallow — a handful of rounds), each round
+    * one join + one aggregation, labels localCheckpointed so the loop's
+    * plan stays flat. Input (id_a, id_b) pairs; output (id, component)
+    * with component = min id in the component.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      maxRounds: Int = 20): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // each node pulls the min label over itself and its neighbors
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("component"))
+      val next = labels.unionByName(neighborLabels)
+        .groupBy("id").agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("component", "__old"),
+          Seq("id"))
+        .filter(col("component") =!= col("__old"))
+      converged = changed.isEmpty
+      labels = next
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: no fixpoint after $maxRounds rounds — " +
+          "component diameter exceeds the cap; raise maxRounds")
+    labels
+  }
+
+  /** Dedup keeper election from a pair graph: every clustered id maps
+    * to its component's keeper (the minimum id — matching exactDedup's
+    * min-keeper convention). Ids in no pair are implicitly their own
+    * keeper and absent from the output.
+    */
+  def keeperPerCluster(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .select(col("id"), col("component").as("keeper_id"))
+      .filter(col("id") =!= col("keeper_id"))
+
   /** Benchmark decontamination: flag corpus documents sharing at least
     * `minOverlap` word-`shingleLen`-grams with ANY benchmark document —
     * the standard eval-leakage scrub for LLM training corpora (GPT-3

@@ -105,6 +105,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rnd(a) == rnd(b))
   }
 
+  test("connected components agree with sequential union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val n = 30
+      val pairs = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val got = Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      // sequential union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      // canonicalize: min id per root
+      val byRoot = nodes.groupBy(find)
+      val expected = byRoot.flatMap { case (_, ns) =>
+        val m = ns.min; ns.map(_ -> m)
+      }.toMap
+      assert(got == expected)
+    }
+  }
+
+  test("keeper election composes with near-dup pairs end-to-end") {
+    // three exact-dup clusters via minhash pairs -> one keeper each
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (10L, "one two three four five six seven"),
+      (11L, "one two three four five six seven"),
+      (20L, "totally different content here entirely unrelated"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text")
+    val keepers = Dedup.keeperPerCluster(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(keepers == Map(2L -> 1L, 3L -> 1L, 11L -> 10L))
+  }
+
   test("compression ratio separates repetitive from varied text") {
     val docs = Seq(
       (1L, "spam " * 200), // pure repetition compresses hard
