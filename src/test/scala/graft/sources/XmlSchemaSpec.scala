@@ -153,6 +153,31 @@ class XmlSchemaSpec extends AnyFunSuite {
     assert(unknown.isEmpty, s"elements not in reference examples: $unknown")
   }
 
+  test("escaping round-trips hostile field content through a real parser") {
+    // adversarial strings: markup, quotes, CDATA terminators, unicode —
+    // rendered, wrapped, parsed back with a namespace-aware DOM; the
+    // recovered text must equal the input exactly
+    val hostile = Seq(
+      """<script>alert("x")</script>""",
+      "a & b < c > d 'e' \"f\"",
+      "ünïcödé ✓ 中文 😀",
+      "]]> tricky ]]]]> end",
+      "  leading and trailing  ")
+    val orgs = hostile.zipWithIndex.map { case (s, i) =>
+      (s"ORG$i", "department", s, java.sql.Date.valueOf("2020-01-01"),
+        "Public")
+    }.toDF("organisation_id", "type", "name", "start_date", "visibility")
+    val dir = Files.createTempDirectory("fuzzxml").toString
+    val target = s"$dir/organisations.xml"
+    XmlSync.writeSyncFile(XmlSync.renderOrganisationsXml(orgs),
+      XmlSync.organisationsHeader, XmlSync.organisationsFooter, target)
+    val doc = parseDom(target) // throws on any malformed output
+    val names = doc.getElementsByTagNameNS("v3.commons.pure.atira.dk", "text")
+    val got = (0 until names.getLength)
+      .map(names.item(_).getTextContent).toSet
+    assert(got == hostile.toSet)
+  }
+
   test("organisationSyncInput adapts the shredded org dim to renderer schema") {
     val orgs = Seq(
       ("u1", "Y", "Chemistry", "CHEM", "uroot", "department", "UROOT"),
