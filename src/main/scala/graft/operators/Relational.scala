@@ -143,17 +143,23 @@ object Relational {
   /** SO4: symmetric difference of two keyed sets → tagged union with a
     * `side` column: 'left_only' rows to delete, 'right_only' rows to
     * insert (reference association-set reconciliation
-    * `pure_api_internal_person.py:163-186,292-323`). Both legs are
-    * anti-joins (no row widening); one shuffle each on `keys`.
+    * `pure_api_internal_person.py:163-186,292-323`). ONE shuffle total:
+    * union both sides with presence flags, one keyed aggregation of two
+    * map-side max bits, filter keys present on exactly one side — the
+    * anti-join formulation cost four distinct/anti stages (7 exchanges
+    * in the plan) for the same result.
     */
   def symmetricDiff(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame = {
-    val l = left.select(keys.map(col): _*).distinct()
-      .join(right.select(keys.map(col): _*).distinct(), keys, "left_anti")
-      .withColumn("side", lit("left_only"))
-    val r = right.select(keys.map(col): _*).distinct()
-      .join(left.select(keys.map(col): _*).distinct(), keys, "left_anti")
-      .withColumn("side", lit("right_only"))
-    l.unionByName(r)
+    val tagged = left.select(keys.map(col): _*)
+      .withColumn("__l", lit(1)).withColumn("__r", lit(0))
+      .unionByName(right.select(keys.map(col): _*)
+        .withColumn("__l", lit(0)).withColumn("__r", lit(1)))
+    tagged.groupBy(keys.map(col): _*)
+      .agg(max(col("__l")).as("__inl"), max(col("__r")).as("__inr"))
+      .filter(col("__inl") =!= col("__inr"))
+      .select(keys.map(col) :+
+        when(col("__inl") === 1, lit("left_only"))
+          .otherwise(lit("right_only")).as("side"): _*)
   }
 
   /** Scratch→target merge (§1.1): rows of `updates` replace same-key rows
