@@ -148,6 +148,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("asOfJoin agrees with a sequential scan on random series") {
+    // left events and right quotes with overlapping integer timestamps;
+    // for each left row the expected payload is the greatest right ts
+    // <= left ts within the key (ties to the largest payload hash —
+    // mirror the operator's deterministic tie-break by picking a unique
+    // max value per (key, ts) in the generator instead)
+    val gen = for {
+      nl <- Gen.choose(1, 30)
+      nr <- Gen.choose(0, 30)
+      l <- Gen.listOfN(nl, Gen.zip(Gen.choose(0, 2), Gen.choose(0, 100)))
+      r <- Gen.listOfN(nr, Gen.zip(Gen.choose(0, 2), Gen.choose(0, 100)))
+    } yield (l.distinct, r.distinctBy(x => (x._1, x._2)))
+    forAll(gen, cases = 6) { case (lrows, rrows) =>
+      whenever(lrows.nonEmpty) {
+        val left = lrows.zipWithIndex
+          .map { case ((k, ts), i) => (k, ts, i.toLong) }
+          .toDF("key", "lts", "row_id").repartition(4)
+        val right = rrows.map { case (k, ts) => (k, ts, s"v$k-$ts") }
+          .toDF("key", "rts", "quote").repartition(3)
+        val got = Relational.asOfJoin(left, right, Seq("key"),
+            "lts", "rts", Seq("quote"))
+          .select("row_id", "asof_quote")
+          .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+        val expected = lrows.zipWithIndex.map { case ((k, ts), i) =>
+          val cands = rrows.filter(r => r._1 == k && r._2 <= ts)
+          i.toLong -> (if (cands.isEmpty) None
+            else {
+              val best = cands.map(_._2).max
+              Some(s"v$k-$best")
+            })
+        }.toMap
+        assert(got == expected)
+      }
+    }
+  }
+
   test("treeClosure agrees with a sequential DFS on random forests") {
     // random forest: node i's parent is uniform in {-1 (root)} ∪ [0, i)
     // — parents always precede children, so no cycles by construction
