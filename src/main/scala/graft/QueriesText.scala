@@ -7,12 +7,14 @@ import graft.operators.{Dedup, TextAnalysis}
 /** Text-analysis + deduplication query surface over the `documents`
   * table — the LLM-data-pipeline operators (BASELINE.json north_star):
   * token counting, language id, quality scoring, fingerprinting, exact
-  * dedup, n-gram Jaccard near-dup, MinHash+LSH, SimHash.
+  * dedup, n-gram Jaccard near-dup, MinHash+LSH, SimHash, repetition
+  * signals, compression ratio, PII redaction, decontamination.
   *
-  * Queries q30–q35 have exact DuckDB oracles. q36/q37 are hash-family
-  * dependent (xxhash64 has no DuckDB twin) → declared without oracle,
-  * driver records the weaker rows-only check; their CORRECTNESS is
-  * covered by ScalaTest specs against the exact-Jaccard ground truth.
+  * Queries q30–q35, q47, q49, q50 have exact DuckDB oracles. q36/q37
+  * are hash-family dependent (xxhash64 has no DuckDB twin) and q48
+  * needs zlib → declared without oracle, driver records the weaker
+  * rows-only check; their CORRECTNESS is covered by ScalaTest specs
+  * against exact ground truth.
   */
 object QueriesText {
   import QueriesCore.Q

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus curation — the composition the individual
+  * operators exist for, as one declarative pipeline a 100 TB run would
+  * execute stage by stage:
+  *
+  *   1. quality gate       — language + quality-score + repetition +
+  *                           compression-ratio floors (per-doc codegen,
+  *                           no shuffle beyond repetition's aggregation)
+  *   2. PII redaction      — codegen regexp scrub, no shuffle
+  *   3. exact dedup        — hash-groupBy, one shuffle
+  *   4. near-dup removal   — MinHash+LSH pairs → connected components →
+  *                           drop every non-keeper
+  *   5. decontamination    — drop docs overlapping the benchmark set
+  *
+  * Every stage is a DataFrame→DataFrame function of the operators in
+  * this package; nothing collects; every shuffle is keyed by doc or
+  * hash. Stages prune monotonically, so the expensive pair generation
+  * runs on the already-reduced corpus.
+  */
+object Curation {
+
+  /** Tuning knobs with corpus-pipeline-typical defaults. */
+  case class Params(
+      lang: String = "en",
+      minQuality: Double = 0.3,
+      maxTopTokenFrac: Double = 0.3,
+      maxDupTrigramFrac: Double = 0.5,
+      minCompressionRatio: Double = 0.05,
+      jaccardThreshold: Double = 0.8,
+      decontaminateMinOverlap: Int = 2)
+
+  /** Per-stage surviving-document counts for the run report. */
+  case class Report(
+      input: Long, afterQuality: Long, afterExact: Long,
+      afterNearDup: Long, afterDecontaminate: Long)
+
+  /** Curate `docs` (idCol, textCol) against `benchmark`; returns the
+    * surviving documents with redacted text plus a stage-count report
+    * (the counts trigger evaluation — callers wanting a single lazy
+    * plan use [[curateLazy]]).
+    */
+  def curate(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      p: Params = Params()): (DataFrame, Report) = {
+    val input = docs.count()
+    val clean = curateQuality(docs, idCol, textCol, p)
+    val afterQuality = clean.count()
+    val exact = Dedup.exactDedup(clean, textCol, col(idCol))
+    val afterExact = exact.count()
+    val deduped = dropNearDups(exact, idCol, textCol, p)
+    val afterNearDup = deduped.count()
+    val out = dropContaminated(deduped, benchmark, idCol, textCol, p)
+    (out, Report(input, afterQuality, afterExact, afterNearDup, out.count()))
+  }
+
+  /** The same pipeline as one lazy composition (no counts). */
+  def curateLazy(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      p: Params = Params()): DataFrame =
+    dropContaminated(
+      dropNearDups(
+        Dedup.exactDedup(curateQuality(docs, idCol, textCol, p),
+          textCol, col(idCol)),
+        idCol, textCol, p),
+      benchmark, idCol, textCol, p)
+
+  /** Stage 1+2: quality floors, then redact surviving text. */
+  private def curateQuality(
+      docs: DataFrame, idCol: String, textCol: String, p: Params): DataFrame = {
+    val rep = TextAnalysis.repetitionStats(docs, idCol, textCol)
+      .select(col(idCol), col("top_token_frac"), col("dup_trigram_frac"))
+    docs
+      .filter(TextAnalysis.langId(col(textCol)) === p.lang)
+      .filter(TextAnalysis.qualityScore(col(textCol)) >= p.minQuality)
+      .filter(TextAnalysis.compressionRatio(col(textCol)) >=
+        p.minCompressionRatio)
+      .join(rep, Seq(idCol)) // token-less docs drop here by absence
+      .filter(col("top_token_frac") <= p.maxTopTokenFrac &&
+        col("dup_trigram_frac") <= p.maxDupTrigramFrac)
+      .drop("top_token_frac", "dup_trigram_frac")
+      .withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+  }
+
+  /** Stage 4: LSH pairs → clusters → drop non-keepers. */
+  private def dropNearDups(
+      docs: DataFrame, idCol: String, textCol: String, p: Params): DataFrame = {
+    val pairs = Dedup.minhashNearDups(docs, idCol, textCol,
+      threshold = p.jaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+    val losers = Dedup.keeperPerCluster(pairs)
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Stage 5: benchmark n-gram overlap. */
+  private def dropContaminated(
+      docs: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, p: Params): DataFrame = {
+    val contaminated = Dedup.decontaminate(docs, benchmark, idCol, textCol,
+      minOverlap = p.decontaminateMinOverlap)
+      .select(col(idCol))
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+}

@@ -4,9 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the LLM-data-pipeline surface: exact,
-  * MinHash+LSH, SimHash, and n-gram Jaccard. Each returns DataFrames,
-  * never collects, and banding/bucketing keeps candidate generation at
-  * O(near-duplicates), not O(n²) — the property that matters at 100 TB.
+  * MinHash+LSH, SimHash, n-gram Jaccard, benchmark decontamination,
+  * and pair-graph clustering (connected components → keeper election).
+  * Each returns DataFrames, never collects, and banding/bucketing keeps
+  * candidate generation at O(near-duplicates), not O(n²) — the property
+  * that matters at 100 TB.
   */
 object Dedup {
 

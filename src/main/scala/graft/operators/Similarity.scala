@@ -6,8 +6,11 @@ import graft.functions.Fns
 
 /** Approximate / exact nearest-neighbor search over an embedding column
   * (`array<float>`). Brute-force cosine top-k is the exactness baseline;
-  * random-hyperplane LSH bucketing is the 100 TB scale path (candidates
-  * ≪ n per query; buckets shuffle-joinable).
+  * two scale paths: random-hyperplane LSH bucketing (oblivious hash, no
+  * training) and IVF inverted lists (k-means quantizer trained in
+  * DataFrame ops — better recall per probed fraction on clustered
+  * data). Candidates ≪ n per query on both; buckets/lists
+  * shuffle-joinable.
   */
 object Similarity {
 

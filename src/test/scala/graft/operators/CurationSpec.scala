@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.etl.FixtureLoader.spark
+
+/** End-to-end curation pipeline over a planted corpus: every stage must
+  * drop exactly the documents planted for it and nothing else.
+  */
+class CurationSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  // long-enough VARIED English prose that passes every quality floor
+  // (a naively repeated sentence would trip the dup-trigram and
+  // compression filters — which is exactly what they're for). Seed
+  // words alternate with stopwords so every word-trigram contains a
+  // seed token: prose from different seeds shares ZERO trigrams, which
+  // keeps cross-doc near-dup and decontamination overlap at exactly
+  // the planted relations.
+  private def prose(seed: String): String =
+    (1 to 8).map(i =>
+      s"${seed}a$i the ${seed}b$i of ${seed}c$i is ${seed}d$i that " +
+        s"${seed}e$i in ${seed}f$i and ${seed}g$i it ${seed}h$i")
+      .mkString(" ")
+
+  test("curation drops planted bad docs, keeps and redacts good ones") {
+    val keepA = prose("amber")
+    val keepB = prose("bronze")
+    val docs = Seq(
+      1L -> keepA, // survives
+      2L -> keepB, // survives
+      3L -> keepA, // exact duplicate of 1 -> dropped
+      4L -> (keepA + "unique trailing addendum sentence here today"),
+        // near-dup of 1 -> dropped
+      5L -> ("der die das und ist nicht ein zu " * 20), // German -> dropped
+      6L -> ("spam " * 100), // repetitive: top-token + compression -> dropped
+      7L -> prose("contaminated"), // overlaps benchmark -> dropped
+      8L -> (prose("secret") +
+        " contact alice@example.com or https://leak.example/x 612-555-0100"))
+      .toDF("doc_id", "text")
+    val benchmark = Seq(10L -> prose("contaminated")).toDF("doc_id", "text")
+
+    val (out, report) = Curation.curate(docs, benchmark, "doc_id", "text")
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 8L), s"kept: $kept\nreport: $report")
+
+    // stage accounting: 8 in; quality removes 5 and 6; exact removes 3;
+    // near-dup removes 4; decontamination removes 7
+    assert(report == Curation.Report(8, 6, 5, 4, 3), report)
+
+    // PII in the survivor is redacted, prose is intact
+    val t8 = out.filter($"doc_id" === 8L).select("text").first().getString(0)
+    assert(t8.contains("<EMAIL>") && t8.contains("<URL>") &&
+      t8.contains("<NUMBER>"))
+    assert(!t8.contains("alice@example.com") && !t8.contains("612-555-0100"))
+    assert(t8.contains("secret"))
+
+    // lazy composition selects the same survivors
+    val lazyKept = Curation.curateLazy(docs, benchmark, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(lazyKept == kept)
+  }
+}
