@@ -193,17 +193,19 @@ object Dedup {
   }
 
   /** Connected components over a near-dup PAIR graph — the stage that
-    * turns pairwise matches into dedup clusters. Min-label propagation:
-    * every node repeatedly adopts the smallest label among itself and
-    * its neighbors until a fixpoint; converges in O(diameter) rounds
-    * (near-dup clusters are shallow — a handful of rounds), each round
-    * one join + one aggregation, labels localCheckpointed so the loop's
+    * turns pairwise matches into dedup clusters. Min-label propagation
+    * WITH pointer doubling: each round every node adopts the minimum
+    * over its own label, its neighbors' labels, and its label's label
+    * (the doubling step) — so convergence is O(log diameter) rounds,
+    * not O(diameter): a 1M-node chain settles in ~20 rounds where
+    * plain propagation would need a million. Each round is two keyed
+    * joins + one aggregation, labels localCheckpointed so the loop's
     * plan stays flat. Input (id_a, id_b) pairs; output (id, component)
     * with component = min id in the component.
     */
   def connectedComponents(
       pairs: DataFrame,
-      maxRounds: Int = 20): DataFrame = {
+      maxRounds: Int = 25): DataFrame = {
     // undirected edge list, both directions
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -219,7 +221,12 @@ object Dedup {
       val neighborLabels = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .select(col("src").as("id"), col("component"))
-      val next = labels.unionByName(neighborLabels)
+      // pointer doubling: chase one link of the label chain — my
+      // label's current label is also an upper bound on my component
+      val chased = labels.as("a")
+        .join(labels.as("b"), col("a.component") === col("b.id"))
+        .select(col("a.id").as("id"), col("b.component").as("component"))
+      val next = labels.unionByName(neighborLabels).unionByName(chased)
         .groupBy("id").agg(min(col("component")).as("component"))
         .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("component", "__old"),
@@ -232,7 +239,7 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents: no fixpoint after $maxRounds rounds — " +
-          "component diameter exceeds the cap; raise maxRounds")
+          "component min-label distance exceeds 2^rounds; raise maxRounds")
     labels
   }
 

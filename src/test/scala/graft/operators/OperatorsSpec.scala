@@ -134,6 +134,17 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components converge on a long chain via pointer doubling") {
+    // path graph 0-1-2-...-200: diameter 200, so plain min-label
+    // propagation would need 200 rounds — doubling must finish in
+    // O(log n) well under the default cap
+    val chain = (0L until 200L).map(i => (i, i + 1))
+    val labels = Dedup.connectedComponents(chain.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect()
+    assert(labels.length == 201)
+    assert(labels.forall(_._2 == 0L), labels.filter(_._2 != 0L).take(3).toSeq)
+  }
+
   test("keeper election composes with near-dup pairs end-to-end") {
     // three exact-dup clusters via minhash pairs -> one keeper each
     val docs = Seq(
