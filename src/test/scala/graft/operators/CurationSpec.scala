@@ -60,4 +60,20 @@ class CurationSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(lazyKept == kept)
   }
+
+  test("curation is idempotent: curating the curated corpus is a no-op") {
+    val docs = Seq(
+      1L -> prose("amber"), 2L -> prose("bronze"),
+      3L -> (prose("citrus") + " ping bob@example.com now"))
+      .toDF("doc_id", "text")
+    val benchmark = Seq(10L -> prose("benchmarked")).toDF("doc_id", "text")
+    val (once, _) = Curation.curate(docs, benchmark, "doc_id", "text")
+    val (twice, report2) = Curation.curate(once, benchmark, "doc_id", "text")
+    val a = once.as[(Long, String)].collect().toMap
+    val b = twice.as[(Long, String)].collect().toMap
+    assert(a == b, "second curation changed the corpus")
+    assert(report2.input == report2.afterDecontaminate)
+    // redaction is idempotent too: placeholders don't rematch
+    assert(a(3L).contains("<EMAIL>") && !a(3L).contains("bob@example.com"))
+  }
 }
