@@ -338,6 +338,16 @@ object OraclesCore {
         |FROM ranked r JOIN sizes z ON r.id = z.id
         |ORDER BY r.id""".stripMargin,
 
+    "q51_hash_split" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN b < 80 THEN 'train'
+        |       WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT o_orderkey,
+        |        ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+        |          ::BIGINT % 100 AS b
+        |      FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q45_salted_join" ->
       """SELECT l_orderkey, o_orderpriority,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

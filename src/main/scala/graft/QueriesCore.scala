@@ -470,6 +470,17 @@ object QueriesCore {
       .orderBy("l_orderkey")
   }
 
+  /** Deterministic 80/10/10 train/val/test split by content hash
+    * ([[graft.operators.Scale.hashSplit]]) — reproducible across runs,
+    * engines, and partitionings, unlike rand()-based sampling. The
+    * oracle recomputes the identical md5-prefix bucket in DuckDB.
+    */
+  def q51HashSplit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.hashSplit(
+        Tables.orders(s, dir).select("o_orderkey"), "o_orderkey",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .orderBy("o_orderkey")
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project" -> q02FilterProject _,
@@ -504,5 +515,6 @@ object QueriesCore {
     "q43_error_accumulate" -> q43ErrorAccumulate _,
     "q44_mptt_labels" -> q44MpttLabels _,
     "q45_salted_join" -> q45SaltedJoin _,
+    "q51_hash_split" -> q51HashSplit _,
   )
 }

@@ -47,6 +47,40 @@ object Scale {
       .partitionBy(partitionCol)
       .parquet(path)
 
+  /** Deterministic content-hash bucket in [0, buckets): the reproducible
+    * alternative to `rand()` for sampling and train/val/test splits —
+    * the assignment is a pure function of the key, so it is identical
+    * across runs, engines (md5 everywhere), partitionings, and cluster
+    * sizes, and a key never migrates between splits when data is
+    * re-processed.
+    */
+  def hashBucket(key: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long"), lit(buckets.toLong))
+
+  /** Reproducible weighted split: `splits` are (label, percent) with
+    * percents summing to 100; adds a `split` column assigned by hash
+    * bucket ranges. Pure projection — no shuffle, no state.
+    */
+  def hashSplit(
+      df: DataFrame,
+      keyCol: String,
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.map(_._2).sum == 100,
+      s"split percents must sum to 100: $splits")
+    val b = hashBucket(col(keyCol), 100)
+    val cumulative = splits.scanLeft(0)(_ + _._2).tail
+    val expr = splits.zip(cumulative).foldRight(
+      lit(null).cast("string")) { case (((label, _), upper), els) =>
+      when(b < upper, lit(label)).otherwise(els)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Keep ~pct% of rows, deterministically by key hash. */
+  def hashSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
+    df.filter(hashBucket(col(keyCol), 100) < pct)
+
   /** Write a table bucketed + sorted by `key` into the session catalog:
     * subsequent equi-joins between tables bucketed the same way plan
     * with ZERO Exchange on either side (SortMergeJoin over pre-shuffled

@@ -36,6 +36,35 @@ class ScaleSpec extends AnyFunSuite {
     assert(read.count() == expected && expected > 0)
   }
 
+  test("hash split is exhaustive, disjoint, stable, and roughly weighted") {
+    import spark.implicits._
+    val df = spark.range(10000).toDF("id")
+    val split = Scale.hashSplit(df, "id", Seq("train" -> 80, "val" -> 10,
+      "test" -> 10))
+    val counts = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 10000L) // exhaustive + disjoint
+    assert(counts("train") > 7500 && counts("train") < 8500)
+    assert(counts("val") > 700 && counts("val") < 1300)
+    // stability: identical assignment at a different partitioning and
+    // on a subset (keys never migrate between splits)
+    val again = Scale.hashSplit(df.repartition(13), "id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .as[(Long, String)].collect().toMap
+    val first = split.as[(Long, String)].collect().toMap
+    assert(first == again)
+    val subset = Scale.hashSplit(df.filter($"id" < 100), "id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .as[(Long, String)].collect().toMap
+    assert(subset.forall { case (k, v) => first(k) == v })
+    // sample is the prefix-bucket subset of the same hash
+    val sampled = Scale.hashSample(df, "id", 10).count()
+    assert(sampled > 700 && sampled < 1300)
+    // a no-shuffle projection: no Exchange in the plan
+    assert(!split.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("bucketed tables join with zero exchanges") {
     // managed tables land in the default spark-warehouse dir and are
     // dropped (with files) in the finally block
