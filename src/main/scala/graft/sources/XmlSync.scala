@@ -332,14 +332,15 @@ object XmlSync {
       footer: String,
       target: String): Unit = {
     val tmp = target + ".parts"
-    // the Spark write itself sits inside the try: a failed job must not
-    // leave a partial .parts directory behind (deleteRecursively is
-    // idempotent on a partial dir)
+    // assemble into a sibling temp FILE and atomically move it into
+    // place last: a failure mid-assembly (or a crashed Spark job — the
+    // write sits inside the try) can never leave a truncated file at
+    // `target` where the sync rotator would treat it as the newest
+    // good sync file
+    val assembling = Paths.get(target + ".assembling")
     try {
       elements.write.mode("overwrite").text(tmp)
-      val out = Paths.get(target)
-      Files.deleteIfExists(out)
-      Files.writeString(out, header, StandardOpenOption.CREATE,
+      Files.writeString(assembling, header, StandardOpenOption.CREATE,
         StandardOpenOption.TRUNCATE_EXISTING)
       val listing = Files.list(Paths.get(tmp))
       val parts =
@@ -350,12 +351,23 @@ object XmlSync {
       for (p <- parts) {
         val in = Files.newInputStream(p)
         try {
-          val os = Files.newOutputStream(out, StandardOpenOption.APPEND)
+          val os = Files.newOutputStream(assembling,
+            StandardOpenOption.APPEND)
           try in.transferTo(os) finally os.close()
         } finally in.close()
       }
-      Files.writeString(out, footer, StandardOpenOption.APPEND)
-    } finally deleteRecursively(Paths.get(tmp))
+      Files.writeString(assembling, footer, StandardOpenOption.APPEND)
+      try Files.move(assembling, Paths.get(target),
+        StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(assembling, Paths.get(target),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally {
+      deleteRecursively(Paths.get(tmp))
+      Files.deleteIfExists(assembling)
+    }
   }
 
   /** Remove the assembly staging dir so repeated sync cycles don't
