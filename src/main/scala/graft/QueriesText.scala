@@ -243,8 +243,8 @@ object QueriesText {
       "q47_repetition" ->
         """WITH docs AS (
           |  SELECT doc_id,
-          |    list_filter(string_split(lower(text), ' '), t -> t <> '')
-          |      AS toks
+          |    list_filter(string_split_regex(lower(text), '\s+'),
+          |                t -> t <> '') AS toks
           |  FROM documents),
           |tok AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
           |tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
@@ -290,7 +290,8 @@ object QueriesText {
       "q50_decontaminate" ->
         """WITH tok AS (
           |  SELECT doc_id,
-          |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS l
+          |    list_filter(string_split_regex(lower(text), '\s+'),
+          |                t -> t <> '') AS l
           |  FROM documents),
           |sh AS (
           |  SELECT doc_id, list_distinct(list_transform(

@@ -27,18 +27,24 @@ case class DeflateRatio(child: Expression) extends UnaryExpression {
 }
 
 object DeflateRatio {
+  // one native zlib stream per task thread, reused via reset() — a
+  // fresh Deflater per ROW would allocate/free ~256KB of native state
+  // per document, dominating the cost on short docs at corpus scale
+  private val deflaters = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue = new java.util.zip.Deflater(6, true)
+  }
+
   def compute(text: UTF8String): Double = {
     val bytes = text.getBytes
     if (bytes.isEmpty) return 0.0
-    val d = new java.util.zip.Deflater(6, true)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var compressed = 0L
-      while (!d.finished()) compressed += d.deflate(buf)
-      math.rint(compressed.toDouble / bytes.length * 1e6) / 1e6
-    } finally d.end()
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var compressed = 0L
+    while (!d.finished()) compressed += d.deflate(buf)
+    math.rint(compressed.toDouble / bytes.length * 1e6) / 1e6
   }
 
   def deflateRatio(text: Column): Column = {

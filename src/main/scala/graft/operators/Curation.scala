@@ -49,18 +49,30 @@ object Curation {
       idCol: String,
       textCol: String,
       p: Params = Params()): (DataFrame, Report) = {
+    // each stage is materialized ONCE (localCheckpoint) before its
+    // count — without this, every count() action would re-execute the
+    // whole upstream pipeline (the quality stage alone carries two
+    // shuffles and a join), multiplying total work several-fold
     val input = docs.count()
-    val clean = curateQuality(docs, idCol, textCol, p)
+    val clean = curateQuality(docs, idCol, textCol, p).localCheckpoint(true)
     val afterQuality = clean.count()
     val exact = Dedup.exactDedup(clean, textCol, col(idCol))
+      .localCheckpoint(true)
     val afterExact = exact.count()
-    val deduped = dropNearDups(exact, idCol, textCol, p)
+    val deduped = dropNearDups(exact, idCol, textCol, p).localCheckpoint(true)
     val afterNearDup = deduped.count()
     val out = dropContaminated(deduped, benchmark, idCol, textCol, p)
+      .localCheckpoint(true)
     (out, Report(input, afterQuality, afterExact, afterNearDup, out.count()))
   }
 
-  /** The same pipeline as one lazy composition (no counts). */
+  /** The same pipeline as one composition without stage counts or
+    * checkpoints. NOT fully lazy: the near-dup clustering stage
+    * ([[Dedup.connectedComponents]]) is iterative and runs its
+    * fixpoint jobs — including MinHash pair generation — when this is
+    * CALLED, not when the result is acted on; only the surrounding
+    * stages defer.
+    */
   def curateLazy(
       docs: DataFrame,
       benchmark: DataFrame,

@@ -154,12 +154,24 @@ object Relational {
       .withColumn("__l", lit(1)).withColumn("__r", lit(0))
       .unionByName(right.select(keys.map(col): _*)
         .withColumn("__l", lit(0)).withColumn("__r", lit(1)))
-    tagged.groupBy(keys.map(col): _*)
+    val agged = tagged.groupBy(keys.map(col): _*)
       .agg(max(col("__l")).as("__inl"), max(col("__r")).as("__inr"))
-      .filter(col("__inl") =!= col("__inr"))
+    // SQL join semantics: a key tuple containing NULL matches NOTHING,
+    // so a null-keyed tuple present on both sides is BOTH left_only and
+    // right_only (the anti-join formulation this replaced behaved that
+    // way); grouping alone would silently swallow it as a "match"
+    val nullKey = keys.map(col(_).isNull).reduce(_ || _)
+    val normal = agged.filter(!nullKey && col("__inl") =!= col("__inr"))
       .select(keys.map(col) :+
         when(col("__inl") === 1, lit("left_only"))
           .otherwise(lit("right_only")).as("side"): _*)
+    val nullSides = agged.filter(nullKey)
+      .select(keys.map(col) :+ explode(concat(
+        when(col("__inl") === 1, array(lit("left_only")))
+          .otherwise(array().cast("array<string>")),
+        when(col("__inr") === 1, array(lit("right_only")))
+          .otherwise(array().cast("array<string>")))).as("side"): _*)
+    normal.unionByName(nullSides)
   }
 
   /** Scratch→target merge (§1.1): rows of `updates` replace same-key rows

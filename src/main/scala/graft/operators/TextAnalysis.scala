@@ -144,8 +144,12 @@ object TextAnalysis {
     */
   def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
+    // token stats MUST tokenize exactly like ShingleHashes (ALL
+    // whitespace, not just ' '): a mismatch would make tri_total and
+    // tri_distinct count different token streams and push
+    // dup_trigram_frac outside [0,1] on text with tabs/newlines
     val toks = df.select(col(idCol),
-        explode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+        explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= ""))
           .as("__tok"))
       .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__c"))
     val tokStats = toks.groupBy(col(idCol)).agg(

@@ -213,6 +213,26 @@ class OperatorsSpec extends AnyFunSuite {
     // empty text: split("") yields [""], filtered out -> no token rows;
     // the doc must still not crash the pipeline (absent from groupBy)
     assert(!got.contains(4L))
+
+    // tabs/newlines tokenize exactly like spaces (ShingleHashes and
+    // the token stats must agree or dup_trigram_frac leaves [0,1])
+    val ws = Seq((9L, "w x\ny z\tw x")).toDF("doc_id", "text")
+    val r9 = TextAnalysis.repetitionStats(ws, "doc_id", "text")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(r9._2 == 6L) // n_tokens counts across all whitespace
+    assert(r9._5 >= 0.0 && r9._5 <= 1.0, s"dup_trigram_frac ${r9._5}")
+  }
+
+  test("symmetricDiff surfaces null-keyed rows on both sides") {
+    val l = Seq(Some("a"), None, Some("b")).toDF("k")
+    val r = Seq(Some("a"), None, Some("c")).toDF("k")
+    val got = Relational.symmetricDiff(l, r, Seq("k"))
+      .as[(Option[String], String)].collect().toSet
+    // 'a' matches; b/c are one-sided; the null key matches NOTHING
+    // (SQL join semantics) so it surfaces on BOTH sides
+    assert(got == Set(
+      (Some("b"), "left_only"), (Some("c"), "right_only"),
+      (None, "left_only"), (None, "right_only")))
   }
 
   test("scalar functions: multi-format parse, precision, locale, flags") {
