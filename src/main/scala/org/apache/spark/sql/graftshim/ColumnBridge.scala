@@ -33,4 +33,11 @@ object ColumnBridge {
   def logicalPlan(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan
+
+  /** Block until all queued SparkListener events have been delivered
+    * (`listenerBus` is private[spark]) — metric collectors read
+    * accurate per-query totals only after a drain.
+    */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }
