@@ -175,13 +175,15 @@ object Similarity {
       val assigned = assignNearest(
         corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
           l2norm(col(vecCol)).as("__n")), cents)
+      // element-wise mean via the typed VectorSum aggregator: shuffle
+      // one partial buffer per (partition × centroid), NOT dim rows per
+      // vector as a posexplode would
       val means = assigned
-        .select(col("centroid_id"), posexplode(col("__v")).as(Seq("__p", "__x")))
-        .groupBy("centroid_id", "__p").agg(avg(col("__x")).as("__m"))
         .groupBy("centroid_id")
-        .agg(transform(
-          sort_array(collect_list(struct(col("__p"), col("__m")))),
-          s => s.getField("__m")).as("__newvec"))
+        .agg(graft.functions.VectorAgg.vectorSum(col("__v")).as("__sum"),
+          count(lit(1)).as("__n"))
+        .select(col("centroid_id"),
+          transform(col("__sum"), x => x / col("__n")).as("__newvec"))
       cents = cents.join(means, Seq("centroid_id"), "left")
         .select(col("centroid_id"),
           coalesce(col("__newvec"), col("cvec")).as("cvec"))

@@ -90,6 +90,24 @@ class OperatorsSpec extends AnyFunSuite {
       exactCos.get((q, n)).foreach(e => assert(e == c, s"($q,$n)")) }
   }
 
+  test("VectorSum aggregator sums element-wise at any partitioning") {
+    val df = Seq((0, Seq(1.0, 2.0)), (0, Seq(10.0, 20.0)),
+      (1, Seq(5.0, 5.0)), (0, Seq(100.0, 200.0)))
+      .toDF("g", "v")
+    for (parts <- Seq(1, 3, 7)) {
+      val got = df.repartition(parts).groupBy("g")
+        .agg(graft.functions.VectorAgg.vectorSum(col("v")).as("s"))
+        .as[(Int, Seq[Double])].collect().toMap
+      assert(got(0) == Seq(111.0, 222.0) && got(1) == Seq(5.0, 5.0))
+    }
+    // dimension mismatch fails loudly instead of silently truncating
+    val bad = Seq((0, Seq(1.0)), (0, Seq(1.0, 2.0))).toDF("g", "v")
+    intercept[org.apache.spark.SparkException] {
+      bad.groupBy("g")
+        .agg(graft.functions.VectorAgg.vectorSum(col("v"))).collect()
+    }
+  }
+
   test("IVF centroids: deterministic across runs, losers keep position") {
     val a = Similarity.trainCentroids(embeddings, "vec_id", "embedding", 8,
       iters = 2).select("centroid_id", "cvec")
