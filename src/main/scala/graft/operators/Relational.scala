@@ -136,7 +136,7 @@ object Relational {
   def keepOnePreferred(df: DataFrame, keys: Seq[String], prefer: Column): DataFrame = {
     val others = df.columns.filterNot(keys.contains)
     df.groupBy(keys.map(col): _*)
-      .agg(max_by(struct(others.map(col): _*), prefer).as("__best"))
+      .agg(max_by(struct(others.toSeq.map(col): _*), prefer).as("__best"))
       .select(keys.map(col) ++ others.map(c => col(s"__best.$c")): _*)
   }
 
@@ -182,7 +182,7 @@ object Relational {
     */
   def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
     target.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
-      .unionByName(updates.select(target.columns.map(col): _*))
+      .unionByName(updates.select(target.columns.toSeq.map(col): _*))
 
   /** As-of join (time-series point lookup): for every left row, attach
     * the latest right row with `rightTs <= leftTs` within the same

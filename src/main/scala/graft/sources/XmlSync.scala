@@ -309,7 +309,7 @@ object XmlSync {
     */
   def renderPersonsXml(persons: DataFrame, jobs: DataFrame): Dataset[String] = {
     import persons.sparkSession.implicits._
-    val jobStruct = struct(jobs.columns.filter(_ != "person_id").map(col): _*)
+    val jobStruct = struct(jobs.columns.toSeq.filter(_ != "person_id").map(col): _*)
     val jobsAgg = jobs.groupBy("person_id")
       .agg(sort_array(collect_list(struct(
         col("staff_org_association_id").as("__k"), jobStruct.as("j"))))
