@@ -100,6 +100,46 @@ object Multimodal {
       Some(DecodedImage(width, height, rgb))
     }
 
+    /** Parse a binary PPM (P6, maxval 255): ASCII header `P6 <w> <h>
+      * 255` with #-comments, single whitespace after maxval, then raw
+      * RGB triplets — already top-down row-major, no reordering needed.
+      * None for anything else (P3 ASCII, 16-bit maxval, truncated).
+      */
+    def decodePpm(bytes: Array[Byte]): Option[DecodedImage] = {
+      if (bytes == null || bytes.length < 10 ||
+        bytes(0) != 'P' || bytes(1) != '6') return None
+      var i = 2
+      def skipSpaceAndComments(): Unit = {
+        var more = true
+        while (more && i < bytes.length) {
+          if (bytes(i) == '#') { // comment runs to end of line
+            while (i < bytes.length && bytes(i) != '\n') i += 1
+          } else if (bytes(i) == ' ' || bytes(i) == '\t' ||
+            bytes(i) == '\n' || bytes(i) == '\r') i += 1
+          else more = false
+        }
+      }
+      def readInt(): Long = {
+        skipSpaceAndComments()
+        var v = 0L
+        var any = false
+        while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+          v = v * 10 + (bytes(i) - '0'); i += 1; any = true
+          if (v > Int.MaxValue) return -1
+        }
+        if (any) v else -1
+      }
+      val width = readInt()
+      val height = readInt()
+      val maxval = readInt()
+      if (width <= 0 || height <= 0 || maxval != 255) return None
+      i += 1 // exactly one whitespace byte after maxval
+      val n = width * height * 3
+      if (n > Int.MaxValue || i + n > bytes.length) return None
+      Some(DecodedImage(width.toInt, height.toInt,
+        java.util.Arrays.copyOfRange(bytes, i, i + n.toInt)))
+    }
+
     /** Deterministic byte-fold pseudo-features — the stub path for
       * codecs this container can't decode.
       */
@@ -131,7 +171,7 @@ object Multimodal {
 
     def decodeBatch(payloads: Seq[Array[Byte]], dim: Int): Seq[Array[Float]] =
       payloads.map { bytes =>
-        decodeBmp(bytes) match {
+        decodeBmp(bytes).orElse(decodePpm(bytes)) match {
           case Some(img) => pixelFeatures(img, dim)
           case None => foldBytes(bytes, dim)
         }

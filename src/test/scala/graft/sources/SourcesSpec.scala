@@ -169,6 +169,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(feats(1L) == Seq(2.0f, 2.0f, 2.0f))
   }
 
+  test("PPM payloads decode to the same pixels as the equivalent BMP") {
+    // P6 2x2 with a header comment: red green / blue white — identical
+    // content to the BMP test image, decoded through the other format
+    val header = "P6\n# test image\n2 2\n255\n".getBytes("US-ASCII")
+    val pixels = Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255)
+      .map(_.toByte)
+    val ppm = header ++ pixels
+    val img = Multimodal.MediaCodec.decodePpm(ppm).get
+    assert(img.width == 2 && img.height == 2)
+    assert(img.rgb.toSeq == pixels.toSeq)
+    // same decoded content as the BMP form -> identical features
+    val bmp = makeBmp(Array(
+      Array((255, 0, 0), (0, 255, 0)),
+      Array((0, 0, 255), (255, 255, 255))))
+    val feats = Multimodal.MediaCodec.decodeBatch(Seq(ppm, bmp), dim = 3)
+    assert(feats(0).toSeq == feats(1).toSeq)
+    // refusals: ASCII P3, wrong maxval, truncated pixel data
+    assert(Multimodal.MediaCodec.decodePpm("P3\n2 2\n255\n".getBytes).isEmpty)
+    assert(Multimodal.MediaCodec
+      .decodePpm(("P6\n2 2\n65535\n" + "x" * 24).getBytes).isEmpty)
+    assert(Multimodal.MediaCodec.decodePpm(ppm.dropRight(1)).isEmpty)
+  }
+
   test("resizeMeta scales only oversized media; sampleFrames explodes video") {
     val media = Seq(
       (1L, Array[Byte](1), "image", 1000, 500, null, null, "c"),
