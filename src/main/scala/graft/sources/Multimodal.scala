@@ -10,8 +10,9 @@ import org.apache.spark.sql.types._
   * transforms (the Scala analog of pandas-batched UDFs: amortize
   * per-batch setup — codec init, model load — across `batchSize` rows).
   *
-  * Decode: uncompressed 24-bit BMP payloads are REALLY decoded (pure
-  * JVM header parse → RGB pixels, [[MediaCodec.decodeBmp]]); all other
+  * Decode: uncompressed 24-bit BMP and binary PPM (P6) payloads are
+  * REALLY decoded (pure JVM header parse → RGB pixels,
+  * [[MediaCodec.decodeBmp]] / [[MediaCodec.decodePpm]]); all other
   * codecs are a declared STUB (no image/audio libraries in this
   * container) that folds raw payload bytes into a deterministic
   * pseudo-feature vector. Everything around the boundary — schema,
