@@ -38,13 +38,16 @@ object ShuffleAudit {
       shuffleWrite.set(0); rowsRead.set(0)
       val ok = try {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        // listener events are posted asynchronously; drain before read
-        org.apache.spark.sql.graftshim.ColumnBridge
-          .drainListenerBus(spark.sparkContext)
         true
       } catch { case e: Throwable =>
         System.err.println(s"[shuffle-audit] $name FAILED: ${e.getMessage}")
         false
+      } finally {
+        // listener events are posted asynchronously; drain even on
+        // failure so a failed query's stage events can't bleed into
+        // the NEXT query's counters after the reset
+        org.apache.spark.sql.graftshim.ColumnBridge
+          .drainListenerBus(spark.sparkContext)
       }
       (name, if (ok) shuffleWrite.get() else -1L,
         if (ok) rowsRead.get() else -1L)

@@ -155,16 +155,26 @@ object Similarity {
     *
     * Returns (centroid_id, cvec, cnorm).
     */
+  /** Rows with a null/empty vector or any null element are excluded
+    * from vector math: they would null every cosine and crash the
+    * typed sum encoder (the oracle-side contract is clean embeddings;
+    * this guard makes dirty rows a non-event instead of a job failure).
+    */
+  private def cleanVecs(df: DataFrame, vecCol: String): DataFrame =
+    df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0 &&
+      !exists(col(vecCol), x => x.isNull))
+
   def trainCentroids(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       nCentroids: Int,
       iters: Int = 3): DataFrame = {
+    val corpusClean = cleanVecs(corpus, vecCol)
     // the seed row's own id labels its centroid — unique and
     // deterministic with no global-window ordinal stage; the pre-limit
     // sort plans as a top-n (TakeOrderedAndProject)
-    var cents = corpus
+    var cents = corpusClean
       .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"))
       .orderBy(xxhash64(col("centroid_id")), col("centroid_id"))
       .limit(nCentroids)
@@ -173,20 +183,24 @@ object Similarity {
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val assigned = assignNearest(
-        corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        corpusClean.select(col(idCol).as("__id"), col(vecCol).as("__v"),
           l2norm(col(vecCol)).as("__n")), cents)
       // element-wise mean via the typed VectorSum aggregator: shuffle
       // one partial buffer per (partition × centroid), NOT dim rows per
-      // vector as a posexplode would
+      // vector as a posexplode would. cleanVecs guarantees every __v is
+      // non-empty with no null elements, so count(1) == summed rows.
       val means = assigned
         .groupBy("centroid_id")
         .agg(graft.functions.VectorAgg.vectorSum(col("__v")).as("__sum"),
           count(lit(1)).as("__n"))
         .select(col("centroid_id"),
           transform(col("__sum"), x => x / col("__n")).as("__newvec"))
+      // a memberless centroid keeps its position — guard on size too so
+      // a degenerate empty sum can never overwrite a live centroid
       cents = cents.join(means, Seq("centroid_id"), "left")
         .select(col("centroid_id"),
-          coalesce(col("__newvec"), col("cvec")).as("cvec"))
+          coalesce(when(size(col("__newvec")) > 0, col("__newvec")),
+            col("cvec")).as("cvec"))
         .withColumn("cnorm", l2norm(col("cvec")))
         .localCheckpoint(true)
     }
@@ -229,11 +243,12 @@ object Similarity {
       iters: Int = 3): DataFrame = {
     val cents = trainCentroids(corpus, idCol, vecCol, nCentroids, iters)
     val lists = assignNearest(
-      corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
-        l2norm(col(vecCol)).as("__n")), cents)
+      cleanVecs(corpus, vecCol)
+        .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+          l2norm(col(vecCol)).as("__n")), cents)
       .select(col("__id").as("neighbor_id"), col("__v").as("__cv"),
         col("__n").as("__cn"), col("centroid_id"))
-    val qScored = queries
+    val qScored = cleanVecs(queries, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         l2norm(col(vecCol)).as("__qn"))
       .crossJoin(broadcast(cents))

@@ -134,7 +134,16 @@ object Multimodal {
       val height = readInt()
       val maxval = readInt()
       if (width <= 0 || height <= 0 || maxval != 255) return None
-      i += 1 // exactly one whitespace byte after maxval
+      // ONE whitespace delimiter after maxval — and it must BE
+      // whitespace: skipping blindly would decode pixels shifted by
+      // one for malformed headers instead of refusing. A Windows
+      // text-mode CRLF counts as one logical delimiter (consuming only
+      // the '\r' would also shift every pixel by one).
+      if (i >= bytes.length || !(bytes(i) == ' ' || bytes(i) == '\t' ||
+        bytes(i) == '\n' || bytes(i) == '\r')) return None
+      if (bytes(i) == '\r' && i + 1 < bytes.length && bytes(i + 1) == '\n')
+        i += 1
+      i += 1
       val n = width * height * 3
       if (n > Int.MaxValue || i + n > bytes.length) return None
       Some(DecodedImage(width.toInt, height.toInt,

@@ -185,11 +185,17 @@ class SourcesSpec extends AnyFunSuite {
       Array((0, 0, 255), (255, 255, 255))))
     val feats = Multimodal.MediaCodec.decodeBatch(Seq(ppm, bmp), dim = 3)
     assert(feats(0).toSeq == feats(1).toSeq)
-    // refusals: ASCII P3, wrong maxval, truncated pixel data
+    // CRLF header (Windows text-mode write): decodes unshifted
+    val crlf = "P6\r\n2 2\r\n255\r\n".getBytes("US-ASCII") ++ pixels
+    assert(Multimodal.MediaCodec.decodePpm(crlf).get.rgb.toSeq ==
+      pixels.toSeq)
+    // refusals: ASCII P3, wrong maxval, truncated pixels, non-ws delim
     assert(Multimodal.MediaCodec.decodePpm("P3\n2 2\n255\n".getBytes).isEmpty)
     assert(Multimodal.MediaCodec
       .decodePpm(("P6\n2 2\n65535\n" + "x" * 24).getBytes).isEmpty)
     assert(Multimodal.MediaCodec.decodePpm(ppm.dropRight(1)).isEmpty)
+    assert(Multimodal.MediaCodec
+      .decodePpm(("P6\n2 2\n255" + "x" * 13).getBytes).isEmpty)
   }
 
   test("resizeMeta scales only oversized media; sampleFrames explodes video") {
