@@ -39,7 +39,15 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
     } catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // median of `passes` timings per query (passes interleaved so JIT
+    // warm-up spreads evenly instead of landing on pass 1's first
+    // queries): single-shot numbers on this box swing up to 2×
+    // run-to-run, which is too noisy to steer optimization or detect
+    // regressions round-over-round
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val timings = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (_ <- 1 to passes; (name, fn) <- names) {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
@@ -47,14 +55,22 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
         }
-      // a failed query reports -1 so consumers can't mistake a crash
-      // for a fast run
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      timings(name) = t :: timings.getOrElse(name, Nil)
     }
+    // a query with no successful pass reports -1 so consumers can't
+    // mistake a crash for a fast run
+    def median(xs: List[Double]): Double = {
+      val ok = xs.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0
+      else if (ok.size % 2 == 1) ok(ok.size / 2)
+      else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
+    }
+    val results = names.map { case (name, _) => name -> median(timings(name)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes}""")
     spark.stop()
   }
 }

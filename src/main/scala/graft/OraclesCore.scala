@@ -349,11 +349,22 @@ object OraclesCore {
         |ORDER BY o_orderkey""".stripMargin,
 
     "q45_salted_join" ->
-      """SELECT l_orderkey, o_orderpriority,
+      """WITH li AS (
+        |  SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0
+        |              ELSE l_orderkey END AS k, l_quantity
+        |  FROM lineitem),
+        |o AS (
+        |  SELECT k, min(o_orderpriority) AS priority,
+        |         count(*) AS n_orders
+        |  FROM (SELECT CASE WHEN o_orderkey % 4 = 0 THEN 0
+        |               ELSE o_orderkey END AS k, o_orderpriority
+        |        FROM orders)
+        |  GROUP BY k)
+        |SELECT li.k, priority, n_orders,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  count(*) AS n_items
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY l_orderkey, o_orderpriority
-        |ORDER BY l_orderkey""".stripMargin,
+        |FROM li JOIN o USING (k)
+        |GROUP BY li.k, priority, n_orders
+        |ORDER BY li.k""".stripMargin,
   )
 }

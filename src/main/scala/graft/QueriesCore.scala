@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
 import graft.operators.Relational
@@ -452,22 +452,35 @@ object QueriesCore {
       .orderBy("id")
   }
 
-  /** Skew-salted join ([[graft.operators.Scale.saltedJoin]]): result
-    * must equal the PLAIN inner join — the oracle is exactly that,
-    * making the salt/explode/drop plumbing oracle-checked rather than
-    * only plan-asserted. Lineitem (skewed fact) × orders rolled up per
-    * order key.
+  /** Skew-salted join ([[graft.operators.Scale.saltedJoinSkewAware]]):
+    * result must equal the PLAIN inner join — the oracle is exactly
+    * that, making the hot-key detection + split + salt/explode/union
+    * plumbing oracle-checked rather than only plan-asserted. Skew is
+    * PLANTED: every 4th orderkey collapses onto key 0, so ~25% of
+    * lineitem lands on one key (the hot path, salted 8×) while the
+    * long tail joins plain — the blanket-salting variant
+    * ([[graft.operators.Scale.saltedJoin]]) would replicate the whole
+    * right side 8× for the same answer.
     */
   def q45SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    def collapse(c: Column): Column =
+      when(pmod(c, lit(4)) === 0, lit(0L)).otherwise(c)
     val li = Tables.lineitem(s, dir)
-      .select("l_orderkey", "l_quantity", "l_extendedprice")
+      .select(collapse(col("l_orderkey")).as("k"), col("l_quantity"))
     val o = Tables.orders(s, dir)
-      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-    graft.operators.Scale.saltedJoin(li, o, Seq("l_orderkey"), saltFactor = 8)
-      .groupBy("l_orderkey", "o_orderpriority")
+      .select(collapse(col("o_orderkey")).as("k"), col("o_orderpriority"))
+      .groupBy("k")
+      .agg(min(col("o_orderpriority")).as("priority"),
+        count(lit(1)).as("n_orders"))
+    // threshold 500: key 0 carries ~25% of lineitem (≥1500 rows at the
+    // smallest sf), every natural orderkey ≤ 7 rows — unambiguous at
+    // any scale factor
+    graft.operators.Scale.saltedJoinSkewAware(li, o, Seq("k"),
+        saltFactor = 8, hotKeyThreshold = 500)
+      .groupBy("k", "priority", "n_orders")
       .agg(Fns.exactSum(col("l_quantity")).as("sum_qty"),
         count(lit(1)).as("n_items"))
-      .orderBy("l_orderkey")
+      .orderBy("k")
   }
 
   /** Deterministic 80/10/10 train/val/test split by content hash

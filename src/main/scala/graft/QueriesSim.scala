@@ -71,8 +71,12 @@ object QueriesSim {
     */
   def q46IvfTopk(s: SparkSession, dir: String): DataFrame = {
     val all = vecsD(s, dir)
+    // quantizer trains on a deterministic 50% hash sample — the scale
+    // posture (training cost halves; recall is assertion-covered in
+    // OperatorsSpec at the same sampling)
     Similarity.ivfTopK(all, all.filter(pmod(col("vec_id"), lit(50)) === 0),
-        "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4, iters = 2)
+        "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4, iters = 2,
+        trainSamplePct = 50)
       .withColumn("rank", col("rank").cast("int"))
       .orderBy("query_id", "rank")
   }

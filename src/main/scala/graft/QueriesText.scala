@@ -147,6 +147,64 @@ object QueriesText {
       .orderBy("doc_id")
   }
 
+  /** Connected components over a PLANTED pair graph — the oracle-checked
+    * correctness query for [[Dedup.connectedComponents]] (pointer-
+    * doubling min-label propagation). Edges (doc_id, doc_id+5) for
+    * doc_id % 100 < 40 chain each residue class into 9-node paths
+    * (diameter 8), small enough for a DuckDB recursive-CTE min-label
+    * walk to fix-point, large enough that propagation must cross
+    * multiple rounds.
+    */
+  def q52ConnectedComponents(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.documents(s, dir).select("doc_id")
+    val pairs = ids.filter(pmod(col("doc_id"), lit(100)) < 40)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 5).as("id_b"))
+      // keep only edges whose endpoint exists in the table — the planted
+      // rule must not invent nodes past max(doc_id)
+      .join(ids.select(col("doc_id").as("id_b")), "id_b")
+      .select("id_a", "id_b")
+    Dedup.connectedComponents(pairs).orderBy("id")
+  }
+
+  /** End-to-end curation pipeline (the hash-free stage subset of
+    * [[graft.operators.Curation.curate]]): quality gate → PII redaction
+    * → exact dedup → benchmark decontamination, composed as ONE oracle-
+    * checked query. Exact duplicates are PLANTED (the corpus has none
+    * naturally): every doc_id % 10 == 3 re-enters under doc_id + 1000
+    * and must collapse back to its original in the dedup stage. The
+    * LSH near-dup stage is the one legitimately oracle-free stage and
+    * stays covered by CurationSpec.
+    */
+  def q53CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select("doc_id", "text")
+    val planted = base.filter(pmod(col("doc_id"), lit(10)) === 3)
+      .select((col("doc_id") + 1000).as("doc_id"), col("text"))
+    val corpus = base.unionByName(planted)
+      .filter(pmod(col("doc_id"), lit(100)) =!= 7)
+    val bench = base.filter(pmod(col("doc_id"), lit(100)) === 7)
+      .select(col("doc_id"), col("text").as("clean"))
+    // stage 1: quality gate on the raw text (Curation.curate order)
+    val gated = corpus.filter(TextAnalysis.qualityScore(col("text")) >= 0.7)
+    // stage 2: redact — constant PII salt so redaction provably fires
+    // without perturbing the duplicate structure (a doc_id-derived salt
+    // would make every planted copy unique and neuter the dedup stage)
+    val dirty = concat(col("text"),
+      lit(" see https://curation.example.com/raw or mail admin@example.com"))
+    val redacted = gated.select(col("doc_id"),
+      TextAnalysis.redactPii(dirty).as("clean"))
+    // stage 3: exact dedup, min-doc_id keeper per normalized-clean hash
+    val keepers = redacted
+      .groupBy(TextAnalysis.fingerprintMd5(col("clean")).as("__fp"))
+      .agg(min_by(struct(col("doc_id"), col("clean")), col("doc_id")).as("__k"))
+      .select(col("__k.doc_id").as("doc_id"), col("__k.clean").as("clean"))
+    // stage 4: drop docs sharing >= 2 trigrams with the benchmark slice
+    val contaminated = Dedup.decontaminate(keepers, bench, "doc_id", "clean",
+      shingleLen = 3, minOverlap = 2).select("doc_id")
+    keepers.join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id", "clean")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_text_stats" -> q30TextStats _,
     "q31_lang_id" -> q31LangId _,
@@ -161,6 +219,8 @@ object QueriesText {
     "q48_compression" -> q48Compression _,
     "q49_redaction" -> q49Redaction _,
     "q50_decontaminate" -> q50Decontaminate _,
+    "q52_connected_components" -> q52ConnectedComponents _,
+    "q53_curation_pipeline" -> q53CurationPipeline _,
   )
 
   private val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -286,6 +346,70 @@ object QueriesText {
           |    '<EMAIL>', 'g'),
           |    '[0-9][0-9 ()+.-]{6,}[0-9]', '<NUMBER>', 'g') AS clean
           |FROM dirty ORDER BY doc_id""".stripMargin,
+
+      "q52_connected_components" ->
+        """WITH RECURSIVE
+          |e1 AS (
+          |  SELECT a.doc_id AS src, b.doc_id AS dst
+          |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 5
+          |  WHERE a.doc_id % 100 < 40),
+          |edges AS (SELECT src, dst FROM e1 UNION SELECT dst, src FROM e1),
+          |walk AS (
+          |  SELECT src AS id, src AS label FROM edges
+          |  UNION
+          |  SELECT e.src AS id, w.label FROM walk w JOIN edges e ON e.dst = w.id)
+          |SELECT id, min(label) AS component FROM walk
+          |GROUP BY id ORDER BY id""".stripMargin,
+
+      "q53_curation_pipeline" ->
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM (
+           |    SELECT doc_id, text FROM documents
+           |    UNION ALL
+           |    SELECT doc_id + 1000 AS doc_id, text FROM documents
+           |    WHERE doc_id % 10 = 3)
+           |  WHERE doc_id % 100 <> 7),
+           |qual AS (SELECT doc_id, text, round((
+           |    (CASE WHEN CAST(length(text) AS DOUBLE) > 0
+           |          THEN CAST(length(text) - length(regexp_replace(text,
+           |               '[A-Za-z]', '', 'g')) AS DOUBLE)
+           |               / CAST(length(text) AS DOUBLE) ELSE 0.0 END) +
+           |    (CASE WHEN length(text) >= 200 AND length(text) <= 20000 THEN 1.0
+           |          WHEN length(text) >= 50 THEN 0.5 ELSE 0.0 END) +
+           |    (CASE WHEN regexp_matches(text, '[!?.]{3,}|#{2,}|\\{|\\}')
+           |          THEN 0.0 ELSE 1.0 END) +
+           |    (CASE WHEN ${hits(TextAnalysis.langMarkers.head._2)} >= 2
+           |          THEN 1.0 ELSE 0.0 END)) / 4.0, 4) AS quality
+           |  FROM corpus),
+           |gated AS (SELECT doc_id, text FROM qual WHERE quality >= 0.7),
+           |red AS (SELECT doc_id,
+           |  regexp_replace(regexp_replace(regexp_replace(
+           |    text || ' see https://curation.example.com/raw or mail admin@example.com',
+           |    'https?://[^\\s]+', '<URL>', 'g'),
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           |    '[0-9][0-9 ()+.-]{6,}[0-9]', '<NUMBER>', 'g') AS clean
+           |  FROM gated),
+           |keep AS (SELECT min(doc_id) AS doc_id FROM red
+           |         GROUP BY md5(trim(regexp_replace(lower(clean), '\\s+', ' ', 'g')))),
+           |keepers AS (SELECT r.doc_id, r.clean FROM red r JOIN keep USING (doc_id)),
+           |ktok AS (SELECT doc_id, list_filter(string_split_regex(lower(clean),
+           |           '\\s+'), t -> t <> '') AS l FROM keepers),
+           |ksh AS (SELECT doc_id, list_distinct(list_transform(
+           |          generate_series(1, len(l) - 2),
+           |          i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS s
+           |        FROM ktok WHERE len(l) >= 3),
+           |bsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+           |          generate_series(1, len(l) - 2),
+           |          i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS g
+           |        FROM (SELECT list_filter(string_split_regex(lower(text),
+           |                '\\s+'), t -> t <> '') AS l
+           |              FROM documents WHERE doc_id % 100 = 7)
+           |        WHERE len(l) >= 3),
+           |contam AS (SELECT doc_id FROM (SELECT doc_id, unnest(s) AS g FROM ksh) k
+           |           JOIN bsh USING (g) GROUP BY doc_id HAVING count(*) >= 2)
+           |SELECT doc_id, clean FROM keepers
+           |WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+           |ORDER BY doc_id""".stripMargin,
 
       "q50_decontaminate" ->
         """WITH tok AS (

@@ -29,7 +29,13 @@ case class DeflateRatio(child: Expression) extends UnaryExpression {
 object DeflateRatio {
   // one native zlib stream per task thread, reused via reset() — a
   // fresh Deflater per ROW would allocate/free ~256KB of native state
-  // per document, dominating the cost on short docs at corpus scale
+  // per document, dominating the cost on short docs at corpus scale.
+  // The per-thread Deflater is INTENTIONALLY never end()ed: Spark's
+  // task-runner threads are a fixed long-lived pool, so retention is
+  // bounded at ~256KB × pool size for the executor lifetime, and an
+  // end-of-task cleanup hook would defeat the cross-task reuse this
+  // exists for. If run on an engine that churns executor threads,
+  // swap this for a TaskContext completion listener doing remove()+end().
   private val deflaters = new ThreadLocal[java.util.zip.Deflater] {
     override def initialValue = new java.util.zip.Deflater(6, true)
   }

@@ -23,7 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Tuning knobs with corpus-pipeline-typical defaults. */
+  /** Tuning knobs with corpus-pipeline-typical defaults.
+    * `reliableStorage` switches stage materialization from
+    * localCheckpoint (executor-local blocks — fastest, but one executor
+    * loss fails the run and storage pressure is unbounded) to
+    * `persist(DISK_ONLY_2)`: disk-backed, replicated ×2, lineage
+    * retained so a lost block recomputes instead of failing — the right
+    * setting for a 100 TB run on a real cluster.
+    */
   case class Params(
       lang: String = "en",
       minQuality: Double = 0.3,
@@ -31,7 +38,14 @@ object Curation {
       maxDupTrigramFrac: Double = 0.5,
       minCompressionRatio: Double = 0.05,
       jaccardThreshold: Double = 0.8,
-      decontaminateMinOverlap: Int = 2)
+      decontaminateMinOverlap: Int = 2,
+      reliableStorage: Boolean = false)
+
+  /** Materialize a stage per the Params storage policy (see [[Params]]). */
+  private def mat(df: DataFrame, p: Params): DataFrame =
+    if (p.reliableStorage)
+      df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY_2)
+    else df.localCheckpoint(true)
 
   /** Per-stage surviving-document counts for the run report. */
   case class Report(
@@ -49,20 +63,20 @@ object Curation {
       idCol: String,
       textCol: String,
       p: Params = Params()): (DataFrame, Report) = {
-    // each stage is materialized ONCE (localCheckpoint) before its
-    // count — without this, every count() action would re-execute the
-    // whole upstream pipeline (the quality stage alone carries two
-    // shuffles and a join), multiplying total work several-fold
+    // each stage is materialized ONCE (per the Params storage policy —
+    // localCheckpoint by default, DISK_ONLY_2 persist for large-corpus
+    // reliability) before its count — without this, every count()
+    // action would re-execute the whole upstream pipeline (the quality
+    // stage alone carries two shuffles and a join), multiplying total
+    // work several-fold
     val input = docs.count()
-    val clean = curateQuality(docs, idCol, textCol, p).localCheckpoint(true)
+    val clean = mat(curateQuality(docs, idCol, textCol, p), p)
     val afterQuality = clean.count()
-    val exact = Dedup.exactDedup(clean, textCol, col(idCol))
-      .localCheckpoint(true)
+    val exact = mat(Dedup.exactDedup(clean, textCol, col(idCol)), p)
     val afterExact = exact.count()
-    val deduped = dropNearDups(exact, idCol, textCol, p).localCheckpoint(true)
+    val deduped = mat(dropNearDups(exact, idCol, textCol, p), p)
     val afterNearDup = deduped.count()
-    val out = dropContaminated(deduped, benchmark, idCol, textCol, p)
-      .localCheckpoint(true)
+    val out = mat(dropContaminated(deduped, benchmark, idCol, textCol, p), p)
     (out, Report(input, afterQuality, afterExact, afterNearDup, out.count()))
   }
 

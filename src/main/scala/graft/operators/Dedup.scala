@@ -87,11 +87,15 @@ object Dedup {
     val banded =
       if (maxBucketSize == Int.MaxValue) bandedAll
       else {
-        val ok = bandedAll.groupBy("band_idx", "band_hash")
+        // materialize once: without this the band signatures (the whole
+        // codegen sketch stage) evaluate twice — once for the bucket
+        // counts and once as the probe side of the semi join
+        val bandedOnce = bandedAll.localCheckpoint(true)
+        val ok = bandedOnce.groupBy("band_idx", "band_hash")
           .agg(count(lit(1)).as("__bn"))
           .filter(col("__bn") <= maxBucketSize)
           .select("band_idx", "band_hash")
-        bandedAll.join(ok, Seq("band_idx", "band_hash"), "left_semi")
+        bandedOnce.join(ok, Seq("band_idx", "band_hash"), "left_semi")
       }
     val a = banded.select(col(idCol).as("id_a"), col("band_idx"), col("band_hash"))
     val b = banded.select(col(idCol).as("id_b"), col("band_idx"), col("band_hash"))

@@ -341,17 +341,27 @@ object Relational {
     val closure = closureWithSortPath(canonical, "id", "parent_id", 32)
     val w = Window.partitionBy(col("root_id")).orderBy(col("__sortpath"))
     val ranked = closure.withColumn("preorder", row_number().over(w))
-    // subtree size: count of strict descendants — rows whose fixed-width
-    // ordinal path extends mine (segment-aligned prefixes, so no
-    // separator ambiguity for any id content)
-    val sizes = ranked.as("a").join(ranked.as("b"),
-        col("b.__sortpath").startsWith(col("a.__sortpath")) &&
-          length(col("b.__sortpath")) > length(col("a.__sortpath")) &&
-          col("a.root_id") === col("b.root_id"), "left")
-      .groupBy(col("a.id").as("id2"))
-      .agg(count(col("b.id")).as("n_desc"))
-    val joined = ranked.join(sizes, ranked("id") === sizes("id2"), "left")
-      .drop("id2").withColumn("n_desc", coalesce(col("n_desc"), lit(0L)))
+    // subtree size WITHOUT a quadratic prefix theta join (the naive
+    // form is a BroadcastNestedLoopJoin on startsWith — quadratic
+    // within a root): because segments are fixed-width, a node's strict
+    // ancestors' sort paths are exactly the 8·k-length prefixes of its
+    // own path (k = 0..depth-1, k = 0 being the root's empty path). So
+    // every row EMITS its ancestor prefixes (≤ maxDepth rows each) and
+    // one aggregation keyed by (root_id, prefix) counts each node's
+    // descendants — two uniform keyed shuffles, linear in n·depth, and
+    // safe to point at a billion-node hierarchy.
+    val prefixes = ranked.filter(col("depth") >= 1)
+      .select(col("root_id"),
+        explode(transform(sequence(lit(0), col("depth") - 1),
+          k => col("__sortpath").substr(lit(1), k * lit(8)))).as("__anc"))
+    val sizes = prefixes
+      .groupBy(col("root_id").as("__szroot"), col("__anc"))
+      .agg(count(lit(1)).as("n_desc"))
+    val joined = ranked.join(sizes,
+        ranked("root_id") === sizes("__szroot") &&
+          ranked("__sortpath") === sizes("__anc"), "left")
+      .drop("__szroot", "__anc")
+      .withColumn("n_desc", coalesce(col("n_desc"), lit(0L)))
     // left = preorder + (#strict ancestors before me)… Euler-tour lefts:
     // compute via running sum of (1 + 2*n_desc) is involved; use the
     // classical identity: left(v) = 2*preorder(v) - 1 - depth(v)

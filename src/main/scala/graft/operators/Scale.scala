@@ -32,6 +32,41 @@ object Scale {
     salted.join(exploded, keys :+ "__salt").drop("__salt")
   }
 
+  /** Skew-aware salted inner equi-join: salts ONLY the hot keys. The
+    * blanket [[saltedJoin]] replicates the entire right side
+    * `saltFactor`×, which at 100 TB is itself the scale problem the
+    * operator exists to solve; here left-side key counts (one map-side-
+    * combined aggregation) identify keys with >= `hotKeyThreshold` rows,
+    * that small hot-key list broadcasts to split both sides, the hot
+    * slice joins salted and the long tail joins plain, and the two
+    * unions back together. Right-side replication cost is
+    * saltFactor × |right rows on hot keys| — proportional to the skew,
+    * not the dimension.
+    *
+    * Result equals `left.join(right, keys)` exactly (inner join).
+    */
+  def saltedJoinSkewAware(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      saltFactor: Int,
+      hotKeyThreshold: Long): DataFrame = {
+    require(keys.nonEmpty, "saltedJoinSkewAware: need at least one key")
+    val hot = left.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__kn"))
+      .filter(col("__kn") >= hotKeyThreshold)
+      .select(keys.map(col): _*)
+    // left-semi/left-anti on the broadcast hot-key list: no flag column
+    // survives into the join, so both branches carry identical schemas
+    val lHot = left.join(broadcast(hot), keys, "left_semi")
+    val lCold = left.join(broadcast(hot), keys, "left_anti")
+    val rHot = right.join(broadcast(hot), keys, "left_semi")
+    val rCold = right.join(broadcast(hot), keys, "left_anti")
+    val coldJoined = lCold.join(rCold, keys)
+    val hotJoined = saltedJoin(lHot, rHot, keys, saltFactor)
+    coldJoined.unionByName(hotJoined)
+  }
+
   /** Write a table partitioned by a derived date column: readers
     * filtering on `partitionCol` scan only matching directories
     * (partition pruning — PartitionFilters in the plan), the layout
@@ -53,6 +88,11 @@ object Scale {
     * across runs, engines (md5 everywhere), partitionings, and cluster
     * sizes, and a key never migrates between splits when data is
     * re-processed.
+    *
+    * A null key hashes to a null bucket (md5(null) is null) — callers
+    * that cannot tolerate silent null routing must guard; [[hashSplit]]
+    * labels null keys explicitly and [[hashSample]] documents their
+    * exclusion.
     */
   def hashBucket(key: Column, buckets: Int): Column =
     pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
@@ -60,7 +100,10 @@ object Scale {
 
   /** Reproducible weighted split: `splits` are (label, percent) with
     * percents summing to 100; adds a `split` column assigned by hash
-    * bucket ranges. Pure projection — no shuffle, no state.
+    * bucket ranges. Pure projection — no shuffle, no state. A null key
+    * has no hash bucket, so those rows get the explicit sentinel label
+    * `__null_key__` rather than a silent NULL split — a splitting
+    * utility must never lose rows quietly.
     */
   def hashSplit(
       df: DataFrame,
@@ -74,10 +117,14 @@ object Scale {
       lit(null).cast("string")) { case (((label, _), upper), els) =>
       when(b < upper, lit(label)).otherwise(els)
     }
-    df.withColumn("split", expr)
+    df.withColumn("split",
+      when(col(keyCol).isNull, lit("__null_key__")).otherwise(expr))
   }
 
-  /** Keep ~pct% of rows, deterministically by key hash. */
+  /** Keep ~pct% of rows, deterministically by key hash. Null keys have
+    * no bucket and are EXCLUDED from every sample (documented contract —
+    * use [[hashSplit]]'s sentinel label when null keys must surface).
+    */
   def hashSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
     df.filter(hashBucket(col(keyCol), 100) < pct)
 

@@ -67,9 +67,15 @@ object Similarity {
     * per query with a window over the tiny result. (cos_sim,
     * neighbor_id) is a total order, so the heap result and the ranks
     * are deterministic.
+    *
+    * Projects to the three output columns FIRST: topKPerKey forces a
+    * ClusteredDistribution(query_id) exchange, and shipping the raw
+    * `__qv`/`__cv` vectors (d doubles each) through that shuffle would
+    * multiply its volume by ~2·d/3 for no semantic gain.
     */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
-    val kept = graft.plans.TopK.topKPerKey(scored, Seq("query_id"),
+    val slim = scored.select("query_id", "neighbor_id", "cos_sim")
+    val kept = graft.plans.TopK.topKPerKey(slim, Seq("query_id"),
       Seq("cos_sim" -> false, "neighbor_id" -> true), k)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
@@ -137,6 +143,9 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", round(cosByNorm(col("__qv"), col("__cv"),
         col("__qn"), col("__cn")), 6))
+      // project the vectors away BEFORE the dedup shuffle — cos_sim is
+      // already computed, so only the 3 output columns need to travel
+      .select("query_id", "neighbor_id", "cos_sim")
       // multi-probe can surface the same neighbor from several buckets
       .dropDuplicates("query_id", "neighbor_id")
     rankTopK(scored, k)
@@ -150,8 +159,9 @@ object Similarity {
     * element-wise mean (posexplode → per-dimension avg → re-assemble);
     * centroids are localCheckpointed per iteration so the loop's plan
     * stays flat. A centroid that loses all members keeps its previous
-    * position. At 100 TB train on a sample (`corpus.sample(...)`) —
-    * the quantizer needs representativeness, not the full corpus.
+    * position. At 100 TB set `trainSamplePct` < 100 to train on a
+    * deterministic hash sample — the quantizer needs
+    * representativeness, not the full corpus.
     *
     * Returns (centroid_id, cvec, cnorm).
     */
@@ -169,8 +179,22 @@ object Similarity {
       idCol: String,
       vecCol: String,
       nCentroids: Int,
-      iters: Int = 3): DataFrame = {
-    val corpusClean = cleanVecs(corpus, vecCol)
+      iters: Int = 3,
+      trainSamplePct: Int = 100): DataFrame = {
+    require(trainSamplePct > 0 && trainSamplePct <= 100,
+      s"trainSamplePct must be in (0,100]: $trainSamplePct")
+    // the quantizer needs representativeness, not the full corpus: at
+    // scale train on a deterministic hash sample — every Lloyd
+    // iteration (assign + mean) then touches pct% of the rows, and the
+    // assignment of the FULL corpus to lists happens once, after
+    // training. Scale.hashSample is a pure key-hash filter, so the
+    // sample (hence the centroids) is reproducible across runs and
+    // partitionings.
+    val corpusClean = {
+      val clean = cleanVecs(corpus, vecCol)
+      if (trainSamplePct >= 100) clean
+      else Scale.hashSample(clean, idCol, trainSamplePct)
+    }
     // the seed row's own id labels its centroid — unique and
     // deterministic with no global-window ordinal stage; the pre-limit
     // sort plans as a top-n (TakeOrderedAndProject)
@@ -240,8 +264,10 @@ object Similarity {
       k: Int,
       nCentroids: Int = 16,
       nProbe: Int = 2,
-      iters: Int = 3): DataFrame = {
-    val cents = trainCentroids(corpus, idCol, vecCol, nCentroids, iters)
+      iters: Int = 3,
+      trainSamplePct: Int = 100): DataFrame = {
+    val cents = trainCentroids(corpus, idCol, vecCol, nCentroids, iters,
+      trainSamplePct)
     val lists = assignNearest(
       cleanVecs(corpus, vecCol)
         .select(col(idCol).as("__id"), col(vecCol).as("__v"),

@@ -10,14 +10,16 @@ import org.apache.spark.sql.types._
   * transforms (the Scala analog of pandas-batched UDFs: amortize
   * per-batch setup — codec init, model load — across `batchSize` rows).
   *
-  * Decode: uncompressed 24-bit BMP and binary PPM (P6) payloads are
-  * REALLY decoded (pure JVM header parse → RGB pixels,
-  * [[MediaCodec.decodeBmp]] / [[MediaCodec.decodePpm]]); all other
-  * codecs are a declared STUB (no image/audio libraries in this
+  * Decode: uncompressed 24-bit BMP, binary PPM (P6), and non-
+  * interlaced 8-bit truecolor PNG payloads are REALLY decoded (pure
+  * JVM — header parse / zlib inflate / scanline un-filter → RGB
+  * pixels, [[MediaCodec.decodeBmp]] / [[MediaCodec.decodePpm]] /
+  * [[MediaCodec.decodePng]]); the remaining codecs (jpeg, audio,
+  * video frames) are a declared STUB (no such libraries in this
   * container) that folds raw payload bytes into a deterministic
   * pseudo-feature vector. Everything around the boundary — schema,
   * partitioning, batch shape, null handling — is real and tested;
-  * supporting jpeg/png/wav changes only [[MediaCodec.decodeBatch]].
+  * supporting jpeg/wav changes only [[MediaCodec.decodeBatch]].
   */
 object Multimodal {
 
@@ -37,13 +39,15 @@ object Multimodal {
   /** Decoder boundary. A real deployment would initialize the codec
     * once per batch and decode `rows` bytes together (GPU/SIMD batch).
     * Two paths here:
-    *  - uncompressed 24-bit BMP payloads get a REAL pure-JVM decode
-    *    (header parse → top-down RGB pixels) — no external codec
-    *    library needed, so the batch boundary is exercised by genuine
-    *    image bytes;
+    *  - uncompressed 24-bit BMP, binary P6 PPM, and non-interlaced
+    *    8-bit truecolor PNG payloads get a REAL pure-JVM decode
+    *    (header parse / zlib inflate / un-filter → top-down RGB
+    *    pixels) — no external codec library needed, so the batch
+    *    boundary is exercised by genuine image bytes including a
+    *    compressed real-world format;
     *  - anything else falls back to a deterministic fold of the raw
     *    payload bytes (STUB — the container ships no image/audio
-    *    libraries; jpeg/png/wav would slot in beside decodeBmp).
+    *    libraries; jpeg/wav would slot in beside decodeBmp).
     */
   object MediaCodec {
 
@@ -136,18 +140,162 @@ object Multimodal {
       if (width <= 0 || height <= 0 || maxval != 255) return None
       // ONE whitespace delimiter after maxval — and it must BE
       // whitespace: skipping blindly would decode pixels shifted by
-      // one for malformed headers instead of refusing. A Windows
-      // text-mode CRLF counts as one logical delimiter (consuming only
-      // the '\r' would also shift every pixel by one).
+      // one for malformed headers instead of refusing. A '\r' here is
+      // ambiguous when an '\n' follows: one logical CRLF (text-mode
+      // writer) or a legacy '\r'-delimited raster whose first pixel
+      // byte happens to be 0x0A. Disambiguate by exact payload length;
+      // when trailing bytes leave both framings plausible, refuse
+      // (None) rather than guess a one-byte pixel shift.
       if (i >= bytes.length || !(bytes(i) == ' ' || bytes(i) == '\t' ||
         bytes(i) == '\n' || bytes(i) == '\r')) return None
-      if (bytes(i) == '\r' && i + 1 < bytes.length && bytes(i + 1) == '\n')
-        i += 1
+      val isCr = bytes(i) == '\r'
       i += 1
       val n = width * height * 3
-      if (n > Int.MaxValue || i + n > bytes.length) return None
+      if (n > Int.MaxValue) return None
+      if (isCr && i < bytes.length && bytes(i) == '\n') {
+        if (i + n == bytes.length.toLong) () // '\r' alone frames exactly
+        else if (i + 1 + n == bytes.length.toLong) i += 1 // CRLF framing
+        else return None // ambiguous with trailing bytes
+      }
+      if (i + n > bytes.length) return None
       Some(DecodedImage(width.toInt, height.toInt,
         java.util.Arrays.copyOfRange(bytes, i, i + n.toInt)))
+    }
+
+    /** Parse a non-interlaced 8-bit-depth truecolor PNG (color type 2
+      * RGB or 6 RGBA — alpha dropped): signature check, chunk walk
+      * (IHDR → IDAT* → IEND, ancillary chunks skipped, framing by
+      * declared lengths so CRCs need no verification), zlib inflate of
+      * the concatenated IDAT stream (`java.util.zip.Inflater` — PNG's
+      * method 0 IS zlib, no external codec needed), then per-scanline
+      * un-filtering of all five PNG filter types (None/Sub/Up/Average/
+      * Paeth, RFC 2083 §6). Returns None for any other PNG flavor
+      * (palette, 16-bit, interlaced, grayscale) or malformed bytes —
+      * never throws, same contract as [[decodeBmp]].
+      */
+    def decodePng(bytes: Array[Byte]): Option[DecodedImage] = {
+      val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
+      if (bytes == null || bytes.length < 8 + 12 + 13) return None
+      var s = 0
+      while (s < 8) {
+        if ((bytes(s) & 0xFF) != sig(s)) return None
+        s += 1
+      }
+      def be32(off: Int): Long =
+        ((bytes(off) & 0xFFL) << 24) | ((bytes(off + 1) & 0xFFL) << 16) |
+          ((bytes(off + 2) & 0xFFL) << 8) | (bytes(off + 3) & 0xFFL)
+      var pos = 8
+      var width = -1L
+      var height = -1L
+      var channels = 0
+      val idat = new java.io.ByteArrayOutputStream()
+      var sawEnd = false
+      while (!sawEnd && pos + 12 <= bytes.length) {
+        val len = be32(pos)
+        if (len > bytes.length.toLong || pos + 12 + len > bytes.length) return None
+        val dataOff = pos + 8
+        val ctype = new String(bytes, pos + 4, 4, "US-ASCII")
+        ctype match {
+          case "IHDR" =>
+            if (len != 13) return None
+            width = be32(dataOff)
+            height = be32(dataOff + 4)
+            val bitDepth = bytes(dataOff + 8) & 0xFF
+            val colorType = bytes(dataOff + 9) & 0xFF
+            val compression = bytes(dataOff + 10) & 0xFF
+            val filterMethod = bytes(dataOff + 11) & 0xFF
+            val interlace = bytes(dataOff + 12) & 0xFF
+            if (bitDepth != 8 || compression != 0 || filterMethod != 0 ||
+              interlace != 0) return None
+            channels = colorType match {
+              case 2 => 3
+              case 6 => 4
+              case _ => return None
+            }
+            // all size math in Long, same overflow contract as decodeBmp
+            if (width <= 0 || height <= 0 ||
+              height * (width * channels + 1) > Int.MaxValue ||
+              width * height * 3 > Int.MaxValue) return None
+          case "IDAT" =>
+            if (width < 0) return None // IDAT before IHDR
+            idat.write(bytes, dataOff, len.toInt)
+          case "IEND" => sawEnd = true
+          case _ => () // ancillary chunk (tEXt, gAMA, ...) — skip
+        }
+        pos = dataOff + len.toInt + 4 // + CRC
+      }
+      if (!sawEnd || width < 0 || idat.size == 0) return None
+      val w = width.toInt
+      val h = height.toInt
+      val stride = w * channels
+      val raw = new Array[Byte](h * (stride + 1))
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(idat.toByteArray)
+        var off = 0
+        while (off < raw.length && !inf.finished()) {
+          val nr = inf.inflate(raw, off, raw.length - off)
+          if (nr == 0 && (inf.needsInput() || inf.needsDictionary()))
+            return None // truncated / preset-dictionary stream
+          off += nr
+        }
+        if (off < raw.length) return None
+      } catch {
+        case _: java.util.zip.DataFormatException => return None
+      } finally inf.end()
+      val prev = new Array[Byte](stride)
+      val cur = new Array[Byte](stride)
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        val rowOff = y * (stride + 1)
+        System.arraycopy(raw, rowOff + 1, cur, 0, stride)
+        (raw(rowOff) & 0xFF) match {
+          case 0 => // None
+          case 1 => // Sub: predictor = byte `channels` to the left
+            var x = channels
+            while (x < stride) {
+              cur(x) = (cur(x) + cur(x - channels)).toByte; x += 1
+            }
+          case 2 => // Up: predictor = same byte previous scanline
+            var x = 0
+            while (x < stride) { cur(x) = (cur(x) + prev(x)).toByte; x += 1 }
+          case 3 => // Average: floor((left + up) / 2)
+            var x = 0
+            while (x < stride) {
+              val a = if (x >= channels) cur(x - channels) & 0xFF else 0
+              cur(x) = (cur(x) + ((a + (prev(x) & 0xFF)) >> 1)).toByte
+              x += 1
+            }
+          case 4 => // Paeth: nearest of left/up/up-left to a+b-c
+            var x = 0
+            while (x < stride) {
+              val a = if (x >= channels) cur(x - channels) & 0xFF else 0
+              val b = prev(x) & 0xFF
+              val c = if (x >= channels) prev(x - channels) & 0xFF else 0
+              val p = a + b - c
+              val pa = math.abs(p - a)
+              val pb = math.abs(p - b)
+              val pc = math.abs(p - c)
+              val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+              cur(x) = (cur(x) + pred).toByte
+              x += 1
+            }
+          case _ => return None
+        }
+        var x = 0
+        while (x < w) { // RGBA → RGB just drops the alpha byte
+          val sOff = x * channels
+          val d = (y * w + x) * 3
+          rgb(d) = cur(sOff)
+          rgb(d + 1) = cur(sOff + 1)
+          rgb(d + 2) = cur(sOff + 2)
+          x += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, stride)
+        y += 1
+      }
+      Some(DecodedImage(w, h, rgb))
     }
 
     /** Deterministic byte-fold pseudo-features — the stub path for
@@ -181,7 +329,7 @@ object Multimodal {
 
     def decodeBatch(payloads: Seq[Array[Byte]], dim: Int): Seq[Array[Float]] =
       payloads.map { bytes =>
-        decodeBmp(bytes).orElse(decodePpm(bytes)) match {
+        decodeBmp(bytes).orElse(decodePpm(bytes)).orElse(decodePng(bytes)) match {
           case Some(img) => pixelFeatures(img, dim)
           case None => foldBytes(bytes, dim)
         }

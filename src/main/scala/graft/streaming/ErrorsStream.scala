@@ -16,8 +16,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   * State size is O(distinct error ids) × a few longs — error spaces
   * are content-addressed and bounded by the distinct-anomaly count,
   * not the occurrence volume, so this state comfortably fits the
-  * store; an eviction policy (state TTL via GroupStateTimeout) would
-  * apply only if error ids were unbounded.
+  * store. For UNBOUNDED id spaces use [[accumulateWithTtl]]: an
+  * event-time TTL evicts idle keys so state is bounded by the ids
+  * active within the TTL horizon, not ever seen.
   */
 object ErrorsStream {
 
@@ -56,6 +57,51 @@ object ErrorsStream {
           state.update(st)
           ErrRow(id, st.count, fromMicros(st.firstSeen),
             fromMicros(st.lastSeen))
+      }
+  }
+
+  /** [[accumulate]] with an event-time state TTL: a key with no
+    * occurrence for `ttl` of watermark time is EVICTED — its final
+    * accumulated row flushes on expiry (the timeout branch), and a
+    * later re-occurrence of the same id starts a FRESH accumulation.
+    * That is the deliberate TTL contract: counts cover the TTL
+    * horizon, and keyed state is bounded by the ids active within it
+    * instead of growing forever with an unbounded error-id space.
+    * Requires a watermark to drive expiry (`watermarkDelay` on the
+    * occurrence event time).
+    */
+  def accumulateWithTtl(
+      occ: Dataset[ErrOccurrence],
+      ttl: java.time.Duration,
+      watermarkDelay: String = "0 seconds"): Dataset[ErrRow] = {
+    import occ.sparkSession.implicits._
+    occ.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.error_id)
+      .mapGroupsWithState[ErrState, ErrRow](GroupStateTimeout.EventTimeTimeout) {
+        case (id, it, state: GroupState[ErrState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            ErrRow(id, st.count, fromMicros(st.firstSeen),
+              fromMicros(st.lastSeen))
+          } else {
+            var st = state.getOption.getOrElse(
+              ErrState(0L, Long.MaxValue, Long.MinValue))
+            for (e <- it) {
+              val t = toMicros(e.ts)
+              st = ErrState(st.count + 1, math.min(st.firstSeen, t),
+                math.max(st.lastSeen, t))
+            }
+            state.update(st)
+            // timeout at lastSeen + ttl, clamped above the current
+            // watermark: a just-under-the-wire late occurrence must not
+            // try to set an already-expired timestamp (runtime error)
+            state.setTimeoutTimestamp(
+              math.max(st.lastSeen / 1000L + ttl.toMillis,
+                state.getCurrentWatermarkMs() + 1))
+            ErrRow(id, st.count, fromMicros(st.firstSeen),
+              fromMicros(st.lastSeen))
+          }
       }
   }
 }

@@ -59,6 +59,14 @@ class CurationSpec extends AnyFunSuite {
     val lazyKept = Curation.curateLazy(docs, benchmark, "doc_id", "text")
       .select("doc_id").as[Long].collect().toSet
     assert(lazyKept == kept)
+
+    // the reliable-storage materialization policy (persist DISK_ONLY_2
+    // instead of localCheckpoint) is a pure storage swap: same
+    // survivors, same stage accounting
+    val (outR, reportR) = Curation.curate(docs, benchmark, "doc_id", "text",
+      Curation.Params(reliableStorage = true))
+    assert(outR.select("doc_id").as[Long].collect().toSet == kept)
+    assert(reportR == report)
   }
 
   test("curation is idempotent: curating the curated corpus is a no-op") {

@@ -88,6 +88,15 @@ class OperatorsSpec extends AnyFunSuite {
     // cosine values agree with the exact scorer wherever pairs overlap
     ivfRows.foreach { case (q, n, c, _) =>
       exactCos.get((q, n)).foreach(e => assert(e == c, s"($q,$n)")) }
+    // sampled training (the 100 TB posture, q46's setting): a quantizer
+    // trained on half the corpus must not collapse recall — the lists
+    // still index the FULL corpus, only the Lloyd pass is sampled
+    val sampled = Similarity.ivfTopK(embeddings, queries, "vec_id",
+        "embedding", 5, nCentroids = 16, nProbe = 4, iters = 2,
+        trainSamplePct = 50)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recallSampled = (sampled & exact).size.toDouble / exact.size
+    assert(recallSampled >= 0.25, s"sampled-training recall: $recallSampled")
   }
 
   test("VectorSum aggregator sums element-wise at any partitioning") {

@@ -22,6 +22,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("skew-aware salted join equals the plain join, salting only hot keys") {
+    // key 0 carries 80% of the left side; keys 1-6 are the long tail
+    val left = (1 to 1000).map(i => (if (i % 5 == 0) i % 7 else 0, i))
+      .toDF("k", "v")
+    val right = (0 to 6).map(k => (k, s"dim$k")).toDF("k", "d")
+    val plain = left.join(right, Seq("k"))
+      .select("k", "v", "d").as[(Int, Int, String)].collect().toSet
+    val skew = Scale.saltedJoinSkewAware(left, right, Seq("k"),
+        saltFactor = 8, hotKeyThreshold = 100)
+      .select("k", "v", "d").as[(Int, Int, String)].collect().toSet
+    assert(skew == plain)
+    // degenerate thresholds still equal the plain join: everything hot
+    // (pure saltedJoin) and nothing hot (pure plain join)
+    val allHot = Scale.saltedJoinSkewAware(left, right, Seq("k"),
+        saltFactor = 4, hotKeyThreshold = 1)
+      .select("k", "v", "d").as[(Int, Int, String)].collect().toSet
+    assert(allHot == plain)
+    val noneHot = Scale.saltedJoinSkewAware(left, right, Seq("k"),
+        saltFactor = 4, hotKeyThreshold = Long.MaxValue)
+      .select("k", "v", "d").as[(Int, Int, String)].collect().toSet
+    assert(noneHot == plain)
+    // left rows on a hot key missing from the right still drop (inner)
+    val rightNo0 = (1 to 6).map(k => (k, s"dim$k")).toDF("k", "d")
+    val dropHot = Scale.saltedJoinSkewAware(left, rightNo0, Seq("k"),
+        saltFactor = 4, hotKeyThreshold = 100)
+      .select("k", "v", "d").as[(Int, Int, String)].collect().toSet
+    assert(dropHot == left.join(rightNo0, Seq("k"))
+      .select("k", "v", "d").as[(Int, Int, String)].collect().toSet)
+  }
+
   test("date-partitioned layout prunes partitions at scan time") {
     val dir = java.nio.file.Files.createTempDirectory("part").toString
     Scale.writeDatePartitioned(graft.Tables.events(spark, sf), dir, "ts")
@@ -61,6 +91,14 @@ class ScaleSpec extends AnyFunSuite {
     // sample is the prefix-bucket subset of the same hash
     val sampled = Scale.hashSample(df, "id", 10).count()
     assert(sampled > 700 && sampled < 1300)
+    // null keys: hashSplit routes to the explicit sentinel (never a
+    // silent NULL split); hashSample excludes them by documented contract
+    val withNull = df.select(when($"id" < 9999, $"id").as("id"))
+    val nullSplit = Scale.hashSplit(withNull, "id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .filter($"id".isNull).select("split").as[String].collect()
+    assert(nullSplit.toSeq == Seq("__null_key__"))
+    assert(Scale.hashSample(withNull, "id", 100).count() == 9999)
     // a no-shuffle projection: no Exchange in the plan
     assert(!split.queryExecution.executedPlan.toString.contains("Exchange"))
   }

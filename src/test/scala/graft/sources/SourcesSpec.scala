@@ -198,6 +198,125 @@ class SourcesSpec extends AnyFunSuite {
       .decodePpm(("P6\n2 2\n255" + "x" * 13).getBytes).isEmpty)
   }
 
+  test("PNG payloads decode through inflate + all five filter types") {
+    import java.util.zip.{CRC32, Deflater}
+    def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(ctype.getBytes("US-ASCII")).put(data)
+      val crc = new CRC32()
+      crc.update(ctype.getBytes("US-ASCII")); crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 256)
+      var n = 0
+      while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
+      d.end()
+      buf.take(n)
+    }
+    // forward PNG filter (RFC 2083 §6, encoder direction) — the
+    // independent reference the decoder's un-filtering must invert
+    def filterRow(ft: Int, row: Array[Int], prev: Array[Int],
+        bpp: Int): Array[Byte] = {
+      val out = new Array[Byte](row.length + 1)
+      out(0) = ft.toByte
+      for (x <- row.indices) {
+        val a = if (x >= bpp) row(x - bpp) else 0
+        val b = prev(x)
+        val c = if (x >= bpp) prev(x - bpp) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) >> 1
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        out(x + 1) = ((row(x) - pred) & 0xFF).toByte
+      }
+      out
+    }
+    def makePng(w: Int, h: Int, colorType: Int, rows: Seq[Array[Int]],
+        filters: Seq[Int], bitDepth: Int = 8, interlace: Int = 0): Array[Byte] = {
+      val bpp = if (colorType == 6) 4 else 3
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+      ihdr.putInt(w).putInt(h).put(bitDepth.toByte).put(colorType.toByte)
+        .put(0.toByte).put(0.toByte).put(interlace.toByte)
+      val zero = Array.fill(w * bpp)(0)
+      val raw = rows.zip(filters).zipWithIndex.flatMap { case ((row, ft), y) =>
+        filterRow(ft, row, if (y == 0) zero else rows(y - 1), bpp)
+      }.toArray
+      sig ++ chunk("IHDR", ihdr.array()) ++ chunk("IDAT", deflate(raw)) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+
+    // RGB 2x5, one scanline per filter type 0..4, values chosen to
+    // wrap mod 256 under Sub/Up/Paeth
+    val rgbRows = Seq(
+      Array(255, 0, 0, 0, 255, 0),
+      Array(0, 0, 255, 255, 255, 255),
+      Array(10, 20, 30, 40, 50, 60),
+      Array(200, 100, 3, 7, 250, 128),
+      Array(1, 2, 3, 254, 253, 252))
+    val png = makePng(2, 5, 2, rgbRows, Seq(0, 1, 2, 3, 4))
+    val img = Multimodal.MediaCodec.decodePng(png).get
+    assert(img.width == 2 && img.height == 5)
+    assert(img.rgb.toSeq.map(_ & 0xFF) == rgbRows.flatten)
+
+    // RGBA: alpha channel decodes then drops — RGB bytes survive
+    val rgbaRows = Seq(
+      Array(255, 0, 0, 17, 0, 255, 0, 34),
+      Array(0, 0, 255, 51, 255, 255, 255, 68),
+      Array(9, 8, 7, 6, 5, 4, 3, 2))
+    val rgba = makePng(2, 3, 6, rgbaRows, Seq(1, 4, 3))
+    val imgA = Multimodal.MediaCodec.decodePng(rgba).get
+    assert(imgA.rgb.toSeq.map(_ & 0xFF) ==
+      rgbaRows.flatten.grouped(4).flatMap(_.take(3)).toSeq)
+
+    // same pixel content as the BMP/PPM test image → identical features
+    // through the shared batch boundary
+    val rgb22 = Seq(Array(255, 0, 0, 0, 255, 0),
+      Array(0, 0, 255, 255, 255, 255))
+    val png22 = makePng(2, 2, 2, rgb22, Seq(0, 2))
+    val bmp22 = makeBmp(Array(
+      Array((255, 0, 0), (0, 255, 0)),
+      Array((0, 0, 255), (255, 255, 255))))
+    val feats = Multimodal.MediaCodec.decodeBatch(Seq(png22, bmp22), dim = 3)
+    assert(feats(0).toSeq == feats(1).toSeq)
+
+    // refusals, never throws: interlaced, 16-bit, palette, truncated
+    // IDAT stream, bad magic
+    assert(Multimodal.MediaCodec
+      .decodePng(makePng(2, 5, 2, rgbRows, Seq(0, 1, 2, 3, 4), interlace = 1))
+      .isEmpty)
+    assert(Multimodal.MediaCodec
+      .decodePng(makePng(2, 5, 2, rgbRows, Seq(0, 1, 2, 3, 4), bitDepth = 16))
+      .isEmpty)
+    assert(Multimodal.MediaCodec
+      .decodePng(makePng(2, 5, 3, rgbRows, Seq(0, 1, 2, 3, 4))).isEmpty)
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    val ihdr22 = java.nio.ByteBuffer.allocate(13)
+    ihdr22.putInt(2).putInt(2).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    val zlib = deflate(rgb22.zipWithIndex.flatMap { case (r, y) =>
+      filterRow(0, r, Array.fill(6)(0), 3) }.toArray)
+    // drop half the deflate stream (dropping only the 4-byte adler32
+    // trailer wouldn't remove pixel data — the decoder is length-framed)
+    val truncated = sig ++ chunk("IHDR", ihdr22.array()) ++
+      chunk("IDAT", zlib.dropRight(zlib.length / 2)) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(Multimodal.MediaCodec.decodePng(truncated).isEmpty)
+    assert(Multimodal.MediaCodec.decodePng("not a png".getBytes).isEmpty)
+    assert(Multimodal.MediaCodec.decodePng(null).isEmpty)
+  }
+
   test("resizeMeta scales only oversized media; sampleFrames explodes video") {
     val media = Seq(
       (1L, Array[Byte](1), "image", 1000, 500, null, null, "c"),

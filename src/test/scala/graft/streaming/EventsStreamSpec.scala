@@ -64,6 +64,57 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("error accumulation TTL evicts idle ids; re-occurrence restarts fresh") {
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("errttl-src").toString
+    val ckp = Files.createTempDirectory("errttl-ckp").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def write(rows: Seq[(String, java.sql.Timestamp)]): Unit =
+      rows.toDF("error_id", "ts").write.mode("append").parquet(src)
+    val got = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .schema("error_id string, ts timestamp")
+        .parquet(src)
+        .as[ErrorsStream.ErrOccurrence]
+      val q = ErrorsStream
+        .accumulateWithTtl(stream, java.time.Duration.ofHours(1))
+        .toDF()
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckp)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          got ++= df.select("error_id", "count")
+            .collect().map(r => (r.getString(0), r.getLong(1)))
+          ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    // batch 1: e1 and e2 at t0 — both accumulate
+    write(Seq(("e1", ts("2026-01-01 00:00:00")),
+      ("e2", ts("2026-01-01 00:00:00"))))
+    drain()
+    // batch 2: e1 again 2h later — advances the watermark to t0+2h
+    write(Seq(("e1", ts("2026-01-01 02:00:00"))))
+    drain()
+    // batch 3: unrelated id; during this batch watermark (t0+2h) has
+    // passed e2's timeout (t0+1h) → e2 evicted, final row flushes
+    write(Seq(("e3", ts("2026-01-01 04:00:00"))))
+    drain()
+    // batch 4: e2 RE-OCCURS after eviction → fresh state, count 1
+    write(Seq(("e2", ts("2026-01-01 05:00:00"))))
+    drain()
+    val lastPerId = got.zipWithIndex
+      .groupBy(_._1._1).view.mapValues(_.maxBy(_._2)._1._2).toMap
+    assert(lastPerId("e1") == 2, s"e1 accumulated across batches: $lastPerId")
+    // e2's LAST emission has count 1: the pre-eviction count-1 state was
+    // flushed and removed, and the re-occurrence started over
+    assert(lastPerId("e2") == 1, s"e2 must restart after TTL eviction: $lastPerId")
+    // the eviction flush itself emitted (e2, 1) twice total
+    assert(got.count(_ == ("e2", 1L)) >= 2, s"expected eviction flush: $got")
+    assert(lastPerId("e3") == 1)
+  }
+
   test("changes stream consumes per micro-batch and resumes from checkpoint") {
     import java.nio.file.Files
     val src = Files.createTempDirectory("chg-src").toString
