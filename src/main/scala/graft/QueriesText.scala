@@ -170,15 +170,19 @@ object QueriesText {
     * [[graft.operators.Curation.curate]]): quality gate → PII redaction
     * → exact dedup → benchmark decontamination, composed as ONE oracle-
     * checked query. Exact duplicates are PLANTED (the corpus has none
-    * naturally): every doc_id % 10 == 3 re-enters under doc_id + 1000
-    * and must collapse back to its original in the dedup stage. The
+    * naturally): every doc_id % 10 == 3 re-enters under doc_id + 10^7
+    * (far beyond any scale factor's id range — a colliding planted id
+    * would alias a REAL document and make engine-specific tie handling
+    * observable) and must collapse back to its original in the dedup
+    * stage; the offset is ≡ 0 mod 100, so planted ids keep their
+    * original's benchmark-slice residue. The
     * LSH near-dup stage is the one legitimately oracle-free stage and
     * stays covered by CurationSpec.
     */
   def q53CurationPipeline(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir).select("doc_id", "text")
     val planted = base.filter(pmod(col("doc_id"), lit(10)) === 3)
-      .select((col("doc_id") + 1000).as("doc_id"), col("text"))
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
     val corpus = base.unionByName(planted)
       .filter(pmod(col("doc_id"), lit(100)) =!= 7)
     val bench = base.filter(pmod(col("doc_id"), lit(100)) === 7)
@@ -366,7 +370,7 @@ object QueriesText {
            |  SELECT doc_id, text FROM (
            |    SELECT doc_id, text FROM documents
            |    UNION ALL
-           |    SELECT doc_id + 1000 AS doc_id, text FROM documents
+           |    SELECT doc_id + 10000000 AS doc_id, text FROM documents
            |    WHERE doc_id % 10 = 3)
            |  WHERE doc_id % 100 <> 7),
            |qual AS (SELECT doc_id, text, round((

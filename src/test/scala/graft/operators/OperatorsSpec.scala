@@ -386,5 +386,12 @@ class OperatorsSpec extends AnyFunSuite {
     }
     // leaf width 1
     assert(labels("a1")._2 == labels("a1")._1 + 1)
+    // the subtree-size stage is a keyed ancestor-prefix aggregation —
+    // the plan must never regress to the quadratic startsWith
+    // BroadcastNestedLoopJoin it replaced
+    val plan = Relational.mpttLabels(nodes)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "mpttLabels plan contains a nested-loop join")
   }
 }
