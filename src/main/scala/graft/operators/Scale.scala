@@ -41,7 +41,9 @@ object Scale {
     * slice joins salted and the long tail joins plain, and the two
     * unions back together. Right-side replication cost is
     * saltFactor × |right rows on hot keys| — proportional to the skew,
-    * not the dimension.
+    * not the dimension. The broadcast hot-key list is bounded by
+    * construction: a key needs >= hotKeyThreshold left rows to
+    * qualify, so |hot| <= |left| / hotKeyThreshold.
     *
     * Result equals `left.join(right, keys)` exactly (inner join).
     */
