@@ -209,6 +209,30 @@ object QueriesText {
       .orderBy("doc_id")
   }
 
+  /** Multimodal decode boundary as a first-class query: every document
+    * becomes a REAL binary P6 PPM payload (header + its first 24 text
+    * bytes as 4×2 RGB pixels — built in pure column ops, so the image
+    * content is data-derived, not a fixture), and
+    * [[graft.sources.Multimodal.decodeFeatures]] runs the batched
+    * partition-local decode → pixel-feature fold over them. No DuckDB
+    * oracle (binary image decode has no SQL twin) → rows-only for the
+    * driver; decode exactness is pixel-tested in SourcesSpec and the
+    * fold is deterministic pure arithmetic.
+    */
+  def q54MediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // 4×2 maxval-255 P6: 24 raw RGB bytes follow the header; rpad
+    // guarantees >= 24 chars, and the decoder tolerates trailing bytes
+    // (multi-byte UTF-8 chars can push the binary form past 24)
+    val payload = concat(
+      lit("P6\n4 2\n255\n".getBytes("US-ASCII")),
+      rpad(coalesce(col("text"), lit("")), 24, " ").cast("binary"))
+    val media = docs.select(col("doc_id").cast("long").as("media_id"),
+      payload.as("bytes"))
+    graft.sources.Multimodal.decodeFeatures(media, dim = 8, batchSize = 64)
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_text_stats" -> q30TextStats _,
     "q31_lang_id" -> q31LangId _,
@@ -225,6 +249,7 @@ object QueriesText {
     "q50_decontaminate" -> q50Decontaminate _,
     "q52_connected_components" -> q52ConnectedComponents _,
     "q53_curation_pipeline" -> q53CurationPipeline _,
+    "q54_media_features" -> q54MediaFeatures _,
   )
 
   private val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"

@@ -317,6 +317,25 @@ class SourcesSpec extends AnyFunSuite {
     assert(Multimodal.MediaCodec.decodePng(null).isEmpty)
   }
 
+  test("q54 media features decode data-derived PPM payloads, not the stub fold") {
+    val dir = "/root/testdata/sf0.001"
+    val df = graft.QueriesText.q54MediaFeatures(spark, dir)
+    val row = df.limit(1).collect()(0)
+    val id = row.getLong(0)
+    val feats = row.getSeq[Float](1)
+    // independent reference: the payload's 24 pixel bytes are the first
+    // 24 UTF-8 bytes of the doc text rpad'ed/truncated to 24 chars, and
+    // the feature fold is (b & 0xFF)/255 summed into dim buckets in order
+    val text = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") === id).select("text").first().getString(0)
+    val b24 = text.padTo(24, ' ').take(24).getBytes("UTF-8").take(24)
+    val expected = new Array[Float](8)
+    for ((b, i) <- b24.zipWithIndex) expected(i % 8) += (b & 0xFF) / 255.0f
+    assert(feats == expected.toSeq,
+      s"doc $id features disagree with the reference fold")
+    assert(df.count() == graft.Tables.documents(spark, dir).count())
+  }
+
   test("resizeMeta scales only oversized media; sampleFrames explodes video") {
     val media = Seq(
       (1L, Array[Byte](1), "image", 1000, 500, null, null, "c"),
