@@ -229,7 +229,17 @@ object QueriesText {
       rpad(coalesce(col("text"), lit("")), 24, " ").cast("binary"))
     val media = docs.select(col("doc_id").cast("long").as("media_id"),
       payload.as("bytes"))
+    // project the array<float> features to per-row scalars: the driver's
+    // pandas sort-then-hash compare can't handle ndarray cells (same
+    // pattern as q38's fingerprint projection above); decode exactness
+    // stays pixel-tested in SourcesSpec
     graft.sources.Multimodal.decodeFeatures(media, dim = 8, batchSize = 64)
+      .select(col("media_id"),
+        size(col("features")).cast("long").as("n_feat"),
+        round(aggregate(col("features"), lit(0.0d),
+          (acc, x) => acc + x.cast("double")), 4).as("sum_feat"),
+        round(array_min(col("features")).cast("double"), 4).as("min_feat"),
+        round(array_max(col("features")).cast("double"), 4).as("max_feat"))
       .orderBy("media_id")
   }
 

@@ -322,17 +322,24 @@ class SourcesSpec extends AnyFunSuite {
     val df = graft.QueriesText.q54MediaFeatures(spark, dir)
     val row = df.limit(1).collect()(0)
     val id = row.getLong(0)
-    val feats = row.getSeq[Float](1)
     // independent reference: the payload's 24 pixel bytes are the first
     // 24 UTF-8 bytes of the doc text rpad'ed/truncated to 24 chars, and
-    // the feature fold is (b & 0xFF)/255 summed into dim buckets in order
+    // the feature fold is (b & 0xFF)/255 summed into dim buckets in order;
+    // q54 projects the vector to (n_feat, sum, min, max) scalars so the
+    // driver's pandas compare can sort its rows
     val text = graft.Tables.documents(spark, dir)
       .filter(col("doc_id") === id).select("text").first().getString(0)
     val b24 = text.padTo(24, ' ').take(24).getBytes("UTF-8").take(24)
     val expected = new Array[Float](8)
     for ((b, i) <- b24.zipWithIndex) expected(i % 8) += (b & 0xFF) / 255.0f
-    assert(feats == expected.toSeq,
-      s"doc $id features disagree with the reference fold")
+    def r4(d: Double) = BigDecimal(d).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getLong(1) == 8L, s"doc $id n_feat")
+    assert(row.getDouble(2) ==
+      r4(expected.foldLeft(0.0)((acc, x) => acc + x.toDouble)),
+      s"doc $id sum_feat disagrees with the reference fold")
+    assert(row.getDouble(3) == r4(expected.min.toDouble), s"doc $id min_feat")
+    assert(row.getDouble(4) == r4(expected.max.toDouble), s"doc $id max_feat")
     assert(df.count() == graft.Tables.documents(spark, dir).count())
   }
 
