@@ -97,6 +97,21 @@ object Dedup {
           .select("band_idx", "band_hash")
         bandedOnce.join(ok, Seq("band_idx", "band_hash"), "left_semi")
       }
+    bandCandidatesVerified(withShingles, banded, idCol, threshold)
+  }
+
+  /** Shared LSH tail: self-join the banded rows on (band_idx,
+    * band_hash) to candidates, re-attach shingle sets, apply the
+    * lossless size-ratio prefilter (jaccard >= t requires
+    * t*|B| <= |A| <= |B|/t), and verify with exact Jaccard. Works for
+    * any band-key type (long band hashes or portable string keys) and
+    * any shingle element type — the set algebra is type-agnostic.
+    */
+  private def bandCandidatesVerified(
+      withShingles: DataFrame,
+      banded: DataFrame,
+      idCol: String,
+      threshold: Double): DataFrame = {
     val a = banded.select(col(idCol).as("id_a"), col("band_idx"), col("band_hash"))
     val b = banded.select(col(idCol).as("id_b"), col("band_idx"), col("band_hash"))
     val cand = a.join(b, Seq("band_idx", "band_hash"))
@@ -116,6 +131,38 @@ object Dedup {
     withSets.withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Engine-portable MinHash+LSH near-dups: same pipeline shape as
+    * [[minhashNearDups]] but every hash is md5-derived
+    * ([[graft.functions.Md5MinHash]]) and the shingles are the word
+    * n-gram STRINGS themselves ([[TextAnalysis.wordShingles]]) — so a
+    * DuckDB oracle can replicate the whole operator bit-for-bit
+    * (signature minima, banding, candidate set, verified Jaccard) with
+    * `md5` + list functions. The xxhash64 path stays the production
+    * default (one 64-bit mix per hash vs a full md5); this variant is
+    * the cross-engine-checkable twin, and the per-doc sketch is still
+    * one codegen call with band-only shuffles.
+    */
+  def minhashNearDupsPortable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.6): DataFrame = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    val withShingles = df
+      .select(col(idCol),
+        TextAnalysis.wordShingles(col(textCol), shingleLen).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val banded = withShingles.select(col(idCol),
+      posexplode(graft.functions.Md5MinHash
+        .bandKeys(col("__sh"), numHashes, bands))
+        .as(Seq("band_idx", "band_hash")))
+    bandCandidatesVerified(withShingles, banded, idCol, threshold)
   }
 
   /** Exact Jaccard similarity of two (distinct-element) array columns. */
