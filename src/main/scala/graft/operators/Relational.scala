@@ -362,18 +362,12 @@ object Relational {
           ranked("__sortpath") === sizes("__anc"), "left")
       .drop("__szroot", "__anc")
       .withColumn("n_desc", coalesce(col("n_desc"), lit(0L)))
-    // left = preorder + (#strict ancestors before me)… Euler-tour lefts:
-    // compute via running sum of (1 + 2*n_desc) is involved; use the
-    // classical identity: left(v) = 2*preorder(v) - 1 - depth(v)
-    //   ... valid only for chains; instead compute rights from lefts:
-    // For a preorder traversal, left(v) = preorder(v) + (preorder(v)-1
-    // ancestors already opened) — standard: left = 2*preorder - depth - 1
-    // does not hold in general. Correct: left(v) = preorder index in
-    // Euler tour = 2*preorder(v) - depth(v) - 1 holds for preorder DFS
-    // numbering where each earlier node contributes 2 slots minus the
-    // open ancestors. We instead derive: nodes before v in preorder
-    // contribute 2 each, minus one per open ancestor (depth):
-    //   left(v) = 2*(preorder(v)-1) - depth(v) + 1
+    // Euler-tour left label from preorder rank alone: when v is
+    // visited, each of the preorder(v)-1 earlier nodes has emitted its
+    // lft slot and — unless it is one of v's depth(v) still-open strict
+    // ancestors — its rgt slot too, so with labels starting at 1:
+    //   lft(v) = 2*(preorder(v)-1) - depth(v) + 1
+    // (q44 hash-checks this against DuckDB's recursive-CTE labeling)
     val labeled = joined
       .withColumn("lft", (lit(2) * (col("preorder") - 1) - col("depth") + 1)
         .cast("long"))

@@ -58,6 +58,27 @@ object Scale {
       .agg(count(lit(1)).as("__kn"))
       .filter(col("__kn") >= hotKeyThreshold)
       .select(keys.map(col): _*)
+    saltedJoinSkewAware(left, right, keys, saltFactor, hot)
+  }
+
+  /** [[saltedJoinSkewAware]] with a CALLER-SUPPLIED hot-key frame (just
+    * the key columns): the counting overload above pays one full pass
+    * over `left` per join to find hot keys — at 100 TB callers either
+    * already know their hot keys or can sample 1% once and reuse the
+    * list across every join of the batch; this overload makes that the
+    * cheap path. `hotKeys` must be small enough to broadcast; result
+    * still equals `left.join(right, keys)` for ANY hotKeys contents
+    * (keys absent from either side simply route to a branch that joins
+    * them identically).
+    */
+  def saltedJoinSkewAware(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      saltFactor: Int,
+      hotKeys: DataFrame): DataFrame = {
+    require(keys.nonEmpty, "saltedJoinSkewAware: need at least one key")
+    val hot = hotKeys.select(keys.map(col): _*).distinct()
     // left-semi/left-anti on the broadcast hot-key list: no flag column
     // survives into the join, so both branches carry identical schemas
     val lHot = left.join(broadcast(hot), keys, "left_semi")

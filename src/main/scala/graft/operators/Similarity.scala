@@ -266,6 +266,29 @@ object Similarity {
       nProbe: Int = 2,
       iters: Int = 3,
       trainSamplePct: Int = 100): DataFrame = {
+    val (lists, cents) = ivfIndex(corpus, idCol, vecCol, nCentroids, iters,
+      trainSamplePct)
+    ivfTopKWithIndex(lists, cents, queries, idCol, vecCol, k, nProbe)
+  }
+
+  /** Build the IVF index ONCE per corpus version: train the quantizer,
+    * then assign every corpus row to its inverted list. Returns
+    * (lists, cents) where lists = (neighbor_id, __cv, __cn,
+    * centroid_id) and cents = (centroid_id, cvec, cnorm). The full-
+    * corpus assignment is the expensive half of [[ivfTopK]]; callers
+    * serving query BATCHES should persist (or write out) both frames
+    * and call [[ivfTopKWithIndex]] per batch, paying training +
+    * assignment once instead of per batch — at 100 TB this is the
+    * difference between an index build and a full corpus re-scan per
+    * query set.
+    */
+  def ivfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int = 16,
+      iters: Int = 3,
+      trainSamplePct: Int = 100): (DataFrame, DataFrame) = {
     val cents = trainCentroids(corpus, idCol, vecCol, nCentroids, iters,
       trainSamplePct)
     val lists = assignNearest(
@@ -274,6 +297,18 @@ object Similarity {
           l2norm(col(vecCol)).as("__n")), cents)
       .select(col("__id").as("neighbor_id"), col("__v").as("__cv"),
         col("__n").as("__cn"), col("centroid_id"))
+    (lists, cents)
+  }
+
+  /** Probe a prebuilt IVF index (see [[ivfIndex]]) with a query batch. */
+  def ivfTopKWithIndex(
+      lists: DataFrame,
+      cents: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 2): DataFrame = {
     val qScored = cleanVecs(queries, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         l2norm(col(vecCol)).as("__qn"))

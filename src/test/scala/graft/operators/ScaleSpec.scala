@@ -52,6 +52,32 @@ class ScaleSpec extends AnyFunSuite {
       .select("k", "v", "d").as[(Int, Int, String)].collect().toSet)
   }
 
+  test("skew-aware join with a precomputed hot-key frame equals the plain join") {
+    val left = (1 to 1000).map(i => (if (i % 5 == 0) i % 7 else 0, i))
+      .toDF("k", "v")
+    val right = (0 to 6).map(k => (k, s"dim$k")).toDF("k", "d")
+    val plain = left.join(right, Seq("k"))
+      .select("k", "v", "d").as[(Int, Int, String)].collect().toSet
+    // the caller-supplied list: the actual hot key
+    val hot = Seq(0).toDF("k")
+    val skew = Scale.saltedJoinSkewAware(left, right, Seq("k"),
+        saltFactor = 8, hotKeys = hot)
+      .select("k", "v", "d").as[(Int, Int, String)].collect().toSet
+    assert(skew == plain)
+    // correctness must not depend on the list being RIGHT: a cold key
+    // listed as hot and a hot key missed both still join exactly
+    val wrong = Seq(3, 99).toDF("k")
+    val skewWrong = Scale.saltedJoinSkewAware(left, right, Seq("k"),
+        saltFactor = 8, hotKeys = wrong)
+      .select("k", "v", "d").as[(Int, Int, String)].collect().toSet
+    assert(skewWrong == plain)
+    // both overloads agree
+    val counted = Scale.saltedJoinSkewAware(left, right, Seq("k"),
+        saltFactor = 8, hotKeyThreshold = 100)
+      .select("k", "v", "d").as[(Int, Int, String)].collect().toSet
+    assert(counted == skew)
+  }
+
   test("date-partitioned layout prunes partitions at scan time") {
     val dir = java.nio.file.Files.createTempDirectory("part").toString
     Scale.writeDatePartitioned(graft.Tables.events(spark, sf), dir, "ts")
