@@ -10,8 +10,10 @@ import graft.operators.{Dedup, TextAnalysis}
   * dedup, n-gram Jaccard near-dup, MinHash+LSH, SimHash, repetition
   * signals, compression ratio, PII redaction, decontamination.
   *
-  * Queries q30–q35, q47, q49, q50 have exact DuckDB oracles. q36/q37
-  * are hash-family dependent (xxhash64 has no DuckDB twin) and q48
+  * Queries q30–q35, q47, q49, q50, q52, q53, q55 have exact DuckDB
+  * oracles (q55 makes MinHash+LSH itself oracle-checkable via md5-
+  * seeded hashing). q36/q37 are hash-family dependent (xxhash64 has
+  * no DuckDB twin) and q48
   * needs zlib → declared without oracle, driver records the weaker
   * rows-only check; their CORRECTNESS is covered by ScalaTest specs
   * against exact ground truth.
@@ -80,6 +82,20 @@ object QueriesText {
   def q36MinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
         shingleLen = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+
+  /** Engine-portable MinHash+LSH near-dups — the md5-seeded twin of
+    * q36 ([[Dedup.minhashNearDupsPortable]]): every hash in the
+    * pipeline is md5-derived, so the DuckDB oracle replicates the
+    * WHOLE operator end-to-end — per-seed signature minima, band join
+    * keys, the candidate set, and the verified Jaccard — bit-for-bit
+    * (the construction [[graft.operators.Scale.hashBucket]] proved
+    * portable in q51). 16 hashes × 4 bands bound the md5 bill; the
+    * xxhash64 fast path (q36) keeps its ScalaTest parity coverage.
+    */
+  def q55MinhashPortable(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDupsPortable(Tables.documents(s, dir), "doc_id", "text",
+        shingleLen = 3, numHashes = 16, bands = 4, threshold = 0.8)
       .orderBy("id_a", "id_b")
 
   /** SimHash near-dup pairs (hamming ≤ 3 of 64-bit signatures via
@@ -252,6 +268,7 @@ object QueriesText {
     "q35_ngram_jaccard" -> q35NgramJaccard _,
     "q36_minhash_lsh" -> q36MinhashLsh _,
     "q37_simhash" -> q37Simhash _,
+    "q55_minhash_portable" -> q55MinhashPortable _,
     "q38_winnow_fingerprint" -> q38Winnow _,
     "q47_repetition" -> q47Repetition _,
     "q48_compression" -> q48Compression _,
@@ -331,6 +348,39 @@ object QueriesText {
            |  SELECT DISTINCT p1.doc_id AS id_a, p2.doc_id AS id_b
            |  FROM posting p1 JOIN posting p2 USING (shingle)
            |  WHERE p1.doc_id < p2.doc_id),
+           |verified AS (
+           |  SELECT id_a, id_b,
+           |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           |          / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+           |  FROM cand JOIN sh a ON id_a = a.doc_id JOIN sh b ON id_b = b.doc_id)
+           |SELECT id_a, id_b, jaccard FROM verified
+           |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+      // mirrors q55MinhashPortable stage by stage; the size-ratio
+      // prefilter is lossless w.r.t. the threshold and so is omitted
+      "q55_minhash_portable" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split($norm, ' '),
+           |    x -> x <> '') AS t FROM documents),
+           |sh AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    range(1, len(t) - 3 + 2),
+           |    i -> array_to_string(t[i:i+2], ' '))) AS s
+           |  FROM toks WHERE len(t) >= 3),
+           |mins AS (
+           |  SELECT doc_id, s, list_transform(range(0, 16), i ->
+           |    list_min(list_transform(s, x ->
+           |      ('0x' || substr(md5(x || ':' || i), 1, 15))::BIGINT))) AS m
+           |  FROM sh),
+           |banded AS (
+           |  SELECT doc_id, b.band_idx,
+           |    array_to_string(m[b.band_idx*4+1 : b.band_idx*4+4], ',')
+           |      AS band_key
+           |  FROM mins, range(0, 4) AS b(band_idx)),
+           |cand AS (
+           |  SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
+           |  FROM banded b1 JOIN banded b2 USING (band_idx, band_key)
+           |  WHERE b1.doc_id < b2.doc_id),
            |verified AS (
            |  SELECT id_a, id_b,
            |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)

@@ -25,7 +25,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * One codegen call per document (no shuffle, no aggregation buffers,
   * no per-element lambda fan-out); the xxhash64 path stays the fast
-  * default for production corpora.
+  * default for production corpora — this variant computes a FULL md5
+  * per (shingle, seed) pair (numHashes digests per shingle vs one
+  * 64-bit mix), so on a real corpus expect roughly an order of
+  * magnitude more hash work than [[SketchSigs.minhashBands]]. Use it
+  * where cross-engine reproducibility is the point (oracle checks,
+  * engine migrations), not as the hot path.
   */
 object Md5MinHash {
 
@@ -34,6 +39,23 @@ object Md5MinHash {
       override def initialValue(): java.security.MessageDigest =
         java.security.MessageDigest.getInstance("MD5")
     }
+
+  /** ASCII-decimal seed byte strings, cached process-wide: rebuilding
+    * `numHashes` Integer.toString arrays per ROW was measurable noise
+    * next to the md5 work. Monotone grow-only publish — racing writers
+    * install equivalent tables, so lock-free volatile swap is safe.
+    */
+  @volatile private var digitsCache: Array[Array[Byte]] = Array.empty
+  private def seedDigits(n: Int): Array[Array[Byte]] = {
+    val cached = digitsCache
+    if (cached.length >= n) cached
+    else {
+      val fresh = Array.tabulate(math.max(n, 64))(i =>
+        Integer.toString(i).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      digitsCache = fresh
+      fresh
+    }
+  }
 
   /** First 60 bits of md5(s ++ ":" ++ i) as a non-negative long —
     * digest bytes 0..6 then the high nibble of byte 7, i.e. the value
@@ -54,8 +76,13 @@ object Md5MinHash {
 
   def bandKeysCompute(arr: ArrayData, numHashes: Int, bands: Int): ArrayData = {
     val n = arr.numElements()
-    val seedDigits = Array.tabulate(numHashes)(i =>
-      Integer.toString(i).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    // an empty shingle set has NO minima: emit an empty band array (no
+    // join keys) rather than all-Long.MaxValue keys, which would put
+    // every empty doc in one degenerate bucket per band (an O(n²)
+    // candidate blowup) and diverge from the DuckDB twin, where
+    // list_min over an empty list is NULL
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val digits = seedDigits(numHashes)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val md = mdLocal.get()
     var j = 0
@@ -63,7 +90,7 @@ object Md5MinHash {
       val sBytes = arr.getUTF8String(j).getBytes
       var i = 0
       while (i < numHashes) {
-        val h = md5Seeded60(md, sBytes, seedDigits(i))
+        val h = md5Seeded60(md, sBytes, digits(i))
         if (h < mins(i)) mins(i) = h
         i += 1
       }
@@ -87,7 +114,10 @@ object Md5MinHash {
   }
 
   /** Column-API entry point: array<string> shingles → array<string>
-    * band keys (index = band).
+    * band keys (index = band). An EMPTY shingle array yields an empty
+    * band array — such documents produce no LSH join keys and so can
+    * never pair (callers typically also filter `size(shingles) > 0`
+    * so signature-less docs don't ride the pipeline at all).
     */
   def bandKeys(shingles: Column, numHashes: Int, bands: Int): Column = {
     import org.apache.spark.sql.graftshim.ColumnBridge
