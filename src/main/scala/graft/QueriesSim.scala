@@ -64,6 +64,23 @@ object QueriesSim {
       .orderBy("query_id", "rank")
   }
 
+  /** Engine-portable LSH top-5 — the md5-seeded twin of q42: plane
+    * components come from md5 instead of xxhash64
+    * ([[Similarity.hyperplaneBucket]] portable mode), so the DuckDB
+    * oracle replicates the WHOLE scale path end-to-end — bucket bits,
+    * multi-probe bucket set, candidate join, cosine, and ranking.
+    * Same shape/parameters as q42; that query keeps the fast hash and
+    * its ScalaTest recall coverage.
+    */
+  def q56LshTopkPortable(s: SparkSession, dir: String): DataFrame = {
+    val all = vecsD(s, dir)
+    Similarity.lshTopK(all, all.filter(pmod(col("vec_id"), lit(50)) === 0),
+        "vec_id", "embedding", k = 5, nPlanes = 4, probes = 4,
+        portable = true)
+      .withColumn("rank", col("rank").cast("int"))
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF-bucketed ANN top-5: the data-adaptive scale path beside LSH
     * (q42) — k-means inverted lists, nProbe closest lists per query.
     * No DuckDB oracle (Lloyd training isn't SQL-expressible there);
@@ -86,7 +103,24 @@ object QueriesSim {
     "q41_embedding_near_dup" -> q41EmbeddingNearDup _,
     "q42_lsh_topk" -> q42LshTopk _,
     "q46_ivf_topk" -> q46IvfTopk _,
+    "q56_lsh_topk_portable" -> q56LshTopkPortable _,
   )
+
+  /** The q56 oracle's per-plane dot product against the md5-derived
+    * hyperplane: element index i is DuckDB-1-based, the hash input is
+    * the SAME "p:d" string Spark hashes (d 0-based), and list_reduce
+    * folds left-to-right exactly like Spark's `aggregate` — the sign
+    * of this value decides bucket bit p on both engines.
+    */
+  private def planeDotSql(p: Int): String =
+    s"list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * " +
+      s"((('0x' || substr(md5('$p:' || (i - 1)), 1, 8))::BIGINT % 10001) " +
+      s"/ 5000.0 - 1.0)), (a, b) -> a + b)"
+
+  private def bucketSql(nPlanes: Int): String =
+    (0 until nPlanes).map(p =>
+      s"(CASE WHEN ${planeDotSql(p)} >= 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
     "q40_topk_brute_force" ->
@@ -114,5 +148,31 @@ object QueriesSim {
         |WHERE a.vec_id < b.vec_id
         |  AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.42
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // mirrors q56LshTopkPortable stage by stage: md5 plane components →
+    // bucket bits → multi-probe (exact bucket + single-bit flips) →
+    // bucket equi-join → rounded cosine → (cos desc, id) ranking
+    "q56_lsh_topk_portable" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |b AS (SELECT vec_id, v, (${bucketSql(4)})::BIGINT AS bucket
+         |      FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS b0
+         |      FROM b WHERE vec_id % 50 = 0),
+         |qp AS (SELECT query_id, qv,
+         |         CASE WHEN j = 0 THEN b0
+         |              ELSE xor(b0, 1::BIGINT << (j - 1)) END AS bucket
+         |       FROM q, range(0, 4) AS t(j)),
+         |scored AS (
+         |  SELECT DISTINCT qp.query_id, c.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(qp.qv, c.v), 6) AS cos_sim
+         |  FROM b c JOIN qp USING (bucket)
+         |  WHERE qp.query_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
   )
 }

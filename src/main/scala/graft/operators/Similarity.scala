@@ -94,16 +94,37 @@ object Similarity {
     // component negative (collapsing all rows into one bucket)
     pmod(xxhash64(lit(p), d), lit(10001L)).cast("double") / 5000.0 - 1.0
 
+  /** Engine-portable twin of [[planeComponent]]: the hash is the first
+    * 8 hex chars of `md5("p:d")` read base-16 (the construction
+    * [[Scale.hashBucket]] / q51 and [[graft.functions.Md5MinHash]] /
+    * q55 prove cross-engine) instead of xxhash64, so a DuckDB oracle
+    * recomputes the identical component —
+    * `(('0x' || substr(md5(p || ':' || d), 1, 8))::BIGINT % 10001) /
+    * 5000.0 - 1.0` — and with it the identical bucket bits. The
+    * conv() result is < 2^32 so % has no sign pitfall; the division
+    * and subtraction are the same IEEE ops on both engines.
+    */
+  private def planeComponentPortable(p: Int, d: Column): Column =
+    pmod(conv(substring(md5(concat(lit(s"$p:"), d.cast("string"))), 1, 8),
+        16, 10).cast("long"), lit(10001L))
+      .cast("double") / 5000.0 - 1.0
+
   /** Random-hyperplane LSH bucket id: `nPlanes` sign bits packed into a
     * long. Embeddings land in the same bucket iff they agree on every
     * hyperplane side — cosine-similar vectors collide with high
-    * probability (SimHash for vectors, Charikar 2002).
+    * probability (SimHash for vectors, Charikar 2002). `portable`
+    * swaps the xxhash64 plane components for md5-derived ones
+    * ([[planeComponentPortable]]) so the bucketing — and any query
+    * built on it — can be replicated bit-for-bit by a DuckDB oracle;
+    * the default stays the cheaper xxhash64.
     */
-  def hyperplaneBucket(vec: Column, nPlanes: Int): Column = {
+  def hyperplaneBucket(vec: Column, nPlanes: Int,
+      portable: Boolean = false): Column = {
     val bits = (0 until nPlanes).map { p =>
       val dotp = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (v, i) => v * planeComponent(p, i)),
+          (v, i) => v * (if (portable) planeComponentPortable(p, i)
+            else planeComponent(p, i))),
         lit(0.0), (acc, v) => acc + v)
       when(dotp >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
@@ -127,13 +148,14 @@ object Similarity {
       vecCol: String,
       k: Int,
       nPlanes: Int = 8,
-      probes: Int = 1): DataFrame = {
+      probes: Int = 1,
+      portable: Boolean = false): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv"), l2norm(col(vecCol)).as("__cn"),
-      hyperplaneBucket(col(vecCol), nPlanes).as("bucket"))
+      hyperplaneBucket(col(vecCol), nPlanes, portable).as("bucket"))
     val qBase = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv"), l2norm(col(vecCol)).as("__qn"),
-      hyperplaneBucket(col(vecCol), nPlanes).as("__b0"))
+      hyperplaneBucket(col(vecCol), nPlanes, portable).as("__b0"))
     // probe buckets: exact bucket + (probes-1) single-bit flips
     val probeBuckets = (0 until math.min(probes, nPlanes + 1)).map { i =>
       if (i == 0) col("__b0") else col("__b0").bitwiseXOR(shiftleft(lit(1L), i - 1))
