@@ -14,12 +14,17 @@ import org.apache.spark.sql.types._
   * interlaced 8-bit truecolor PNG payloads are REALLY decoded (pure
   * JVM — header parse / zlib inflate / scanline un-filter → RGB
   * pixels, [[MediaCodec.decodeBmp]] / [[MediaCodec.decodePpm]] /
-  * [[MediaCodec.decodePng]]); the remaining codecs (jpeg, audio,
-  * video frames) are a declared STUB (no such libraries in this
-  * container) that folds raw payload bytes into a deterministic
-  * pseudo-feature vector. Everything around the boundary — schema,
-  * partitioning, batch shape, null handling — is real and tested;
-  * supporting jpeg/wav changes only [[MediaCodec.decodeBatch]].
+  * [[MediaCodec.decodePng]]); JPEG, GIF, and the PNG flavors the
+  * hand-rolled decoder refuses route through the JDK's
+  * `javax.imageio` ([[MediaCodec.decodeImageIO]] — the `java.desktop`
+  * module ships in this JVM, so no external codec is needed); WAV
+  * PCM audio is parsed to normalized samples
+  * ([[MediaCodec.decodeWav]]). Only VIDEO frames remain a declared
+  * STUB (the JDK has no video codec) that folds raw payload bytes
+  * into a deterministic pseudo-feature vector. Everything around the
+  * boundary — schema, partitioning, batch shape, null handling — is
+  * real and tested; a video codec would slot in beside decodeWav in
+  * [[MediaCodec.decodeBatch]].
   */
 object Multimodal {
 
@@ -38,18 +43,23 @@ object Multimodal {
 
   /** Decoder boundary. A real deployment would initialize the codec
     * once per batch and decode `rows` bytes together (GPU/SIMD batch).
-    * Two paths here:
+    * Three paths here:
     *  - uncompressed 24-bit BMP, binary P6 PPM, and non-interlaced
     *    8-bit truecolor PNG payloads get a REAL pure-JVM decode
     *    (header parse / zlib inflate / un-filter → top-down RGB
-    *    pixels) — no external codec library needed, so the batch
-    *    boundary is exercised by genuine image bytes including a
-    *    compressed real-world format;
-    *  - anything else falls back to a deterministic fold of the raw
-    *    payload bytes (STUB — the container ships no image/audio
-    *    libraries; jpeg/wav would slot in beside decodeBmp).
+    *    pixels) — dependency-free, so the batch boundary is exercised
+    *    by genuine image bytes including a compressed format;
+    *  - JPEG / GIF / other PNG flavors decode through `javax.imageio`
+    *    (present: `java.desktop` is in this JVM), and WAV PCM decodes
+    *    through a RIFF chunk walk to normalized samples;
+    *  - anything else (video frames — the JDK ships no video codec)
+    *    falls back to a deterministic fold of the raw payload bytes,
+    *    the one remaining declared stub.
     */
   object MediaCodec {
+
+    // executors must never spill decode scratch to a temp-file cache
+    javax.imageio.ImageIO.setUseCache(false)
 
     /** One decoded frame: top-down row-major RGB, 3 bytes per pixel. */
     final case class DecodedImage(width: Int, height: Int, rgb: Array[Byte])
@@ -298,8 +308,99 @@ object Multimodal {
       Some(DecodedImage(w, h, rgb))
     }
 
+    /** True only for payloads `javax.imageio` can plausibly read —
+      * JPEG (FF D8 FF), GIF (GIF8), or a PNG signature (the flavors
+      * [[decodePng]] refused: palette / grayscale / 16-bit /
+      * interlaced). The gate keeps non-image payloads (the synthetic
+      * text-byte media, video frames) off the reader-setup cost.
+      */
+    private def imageIoMagic(b: Array[Byte]): Boolean =
+      b != null && b.length >= 8 && (
+        ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 &&
+          (b(2) & 0xFF) == 0xFF) ||
+        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+        ((b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'))
+
+    /** Decode via the JDK's `javax.imageio` (`java.desktop` module —
+      * verified present in this JVM): JPEG, GIF, and every PNG flavor
+      * the hand-rolled [[decodePng]] refuses. Output is normalized to
+      * the same top-down row-major RGB as the other decoders (alpha
+      * dropped). None — never a throw — for anything the registered
+      * readers can't parse, matching the [[decodeBmp]] contract.
+      */
+    def decodeImageIO(bytes: Array[Byte]): Option[DecodedImage] = {
+      if (!imageIoMagic(bytes)) return None
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) return None
+        val w = img.getWidth
+        val h = img.getHeight
+        if (w <= 0 || h <= 0 || w.toLong * h * 3 > Int.MaxValue) return None
+        val px = img.getRGB(0, 0, w, h, null, 0, w) // ARGB ints, row-major
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          rgb(i * 3) = ((p >> 16) & 0xFF).toByte
+          rgb(i * 3 + 1) = ((p >> 8) & 0xFF).toByte
+          rgb(i * 3 + 2) = (p & 0xFF).toByte
+          i += 1
+        }
+        Some(DecodedImage(w, h, rgb))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** Parse a RIFF/WAVE container with integer PCM (format 1, 8- or
+      * 16-bit) samples: `RIFF....WAVE` magic, chunk walk (chunks pad
+      * to even length) to `fmt ` then `data`, samples normalized to
+      * [0,1] in stream order (channels stay interleaved — the feature
+      * fold is channel-agnostic). None for float/a-law/mu-law formats,
+      * a data chunk before fmt, or truncated bytes — never a throw.
+      */
+    def decodeWav(bytes: Array[Byte]): Option[Array[Float]] = {
+      if (bytes == null || bytes.length < 44 ||
+        bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' ||
+        bytes(3) != 'F' || bytes(8) != 'W' || bytes(9) != 'A' ||
+        bytes(10) != 'V' || bytes(11) != 'E') return None
+      var pos = 12
+      var bitsPerSample = -1
+      while (pos + 8 <= bytes.length) {
+        val id = new String(bytes, pos, 4, "US-ASCII")
+        val len = i32(bytes, pos + 4)
+        if (len < 0 || pos + 8 + len.toLong > bytes.length) return None
+        id match {
+          case "fmt " =>
+            if (len < 16) return None
+            val audioFormat = i16(bytes, pos + 8)
+            bitsPerSample = i16(bytes, pos + 8 + 14)
+            if (audioFormat != 1 ||
+              (bitsPerSample != 8 && bitsPerSample != 16)) return None
+          case "data" =>
+            if (bitsPerSample < 0) return None // data before fmt
+            val n = if (bitsPerSample == 16) len / 2 else len
+            val out = new Array[Float](n)
+            var i = 0
+            while (i < n) {
+              out(i) =
+                if (bitsPerSample == 16) {
+                  // hi byte sign-extends: -32768..32767 → [0,1]
+                  val s = (bytes(pos + 9 + 2 * i) << 8) |
+                    (bytes(pos + 8 + 2 * i) & 0xFF)
+                  (s + 32768) / 65535.0f
+                } else (bytes(pos + 8 + i) & 0xFF) / 255.0f
+              i += 1
+            }
+            return Some(out)
+          case _ => () // LIST, fact, ... — skip
+        }
+        pos += 8 + len + (len & 1)
+      }
+      None
+    }
+
     /** Deterministic byte-fold pseudo-features — the stub path for
-      * codecs this container can't decode.
+      * the one codec family the JDK can't decode (video).
       */
     private def foldBytes(bytes: Array[Byte], dim: Int): Array[Float] = {
       val out = new Array[Float](dim)
@@ -327,11 +428,26 @@ object Multimodal {
       out
     }
 
+    /** Features from real audio: fold normalized PCM samples into
+      * `dim` buckets in stream order — the audio analog of
+      * [[pixelFeatures]].
+      */
+    private def sampleFeatures(samples: Array[Float], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < samples.length) { out(i % dim) += samples(i); i += 1 }
+      out
+    }
+
     def decodeBatch(payloads: Seq[Array[Byte]], dim: Int): Seq[Array[Float]] =
       payloads.map { bytes =>
-        decodeBmp(bytes).orElse(decodePpm(bytes)).orElse(decodePng(bytes)) match {
+        decodeBmp(bytes).orElse(decodePpm(bytes)).orElse(decodePng(bytes))
+          .orElse(decodeImageIO(bytes)) match {
           case Some(img) => pixelFeatures(img, dim)
-          case None => foldBytes(bytes, dim)
+          case None => decodeWav(bytes) match {
+            case Some(samples) => sampleFeatures(samples, dim)
+            case None => foldBytes(bytes, dim)
+          }
         }
       }
   }

@@ -317,6 +317,132 @@ class SourcesSpec extends AnyFunSuite {
     assert(Multimodal.MediaCodec.decodePng(null).isEmpty)
   }
 
+  test("JPEG/GIF and refused-PNG flavors decode via the JDK ImageIO path") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"JDK cannot encode $fmt")
+      bos.toByteArray
+    }
+    def refRgb(bytes: Array[Byte]): Array[Byte] = {
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0,
+        img.getWidth)
+      px.flatMap(p => Array(((p >> 16) & 0xFF).toByte,
+        ((p >> 8) & 0xFF).toByte, (p & 0xFF).toByte))
+    }
+    val src = new BufferedImage(6, 4, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 6)
+      src.setRGB(x, y, ((x * 40) << 16) | ((y * 60) << 8) | (x * y * 10))
+    // JPEG is lossy: the hand-rolled decoders must refuse it, and the
+    // ImageIO path must match an ImageIO reference read bit-for-bit
+    val jpeg = encode(src, "jpg")
+    assert((jpeg(0) & 0xFF) == 0xFF && (jpeg(1) & 0xFF) == 0xD8)
+    assert(Multimodal.MediaCodec.decodeBmp(jpeg).isEmpty &&
+      Multimodal.MediaCodec.decodePng(jpeg).isEmpty)
+    val dj = Multimodal.MediaCodec.decodeImageIO(jpeg).get
+    assert(dj.width == 6 && dj.height == 4)
+    assert(dj.rgb.sameElements(refRgb(jpeg)))
+    // GIF authored by hand from the spec (uncompressed-LZW trick: a
+    // clear code before every pixel keeps codes at 3 bits) — an
+    // encoder-independent reference, since the JDK's own GIF *writer*
+    // shifts rows on small indexed images (verified: row y comes back
+    // displaced by 2y pixels). Decoded pixels must match the palette.
+    val palette = Array(0xFF0000, 0x00FF00, 0x0000FF, 0x123456)
+    def pix(x: Int, y: Int): Int = (x + y) % 4
+    val gif = {
+      val out = new java.io.ByteArrayOutputStream()
+      def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      out.write("GIF87a".getBytes("US-ASCII"))
+      le16(6); le16(4)
+      out.write(0xF1); out.write(0); out.write(0) // 4-entry global table
+      for (c <- palette) {
+        out.write((c >> 16) & 0xFF); out.write((c >> 8) & 0xFF)
+        out.write(c & 0xFF)
+      }
+      out.write(0x2C); le16(0); le16(0); le16(6); le16(4); out.write(0)
+      out.write(2) // LZW min code size → clear=4, eoi=5, 3-bit codes
+      val codes = (for (y <- 0 until 4; x <- 0 until 6;
+        c <- Seq(4, pix(x, y))) yield c) :+ 5
+      val packed = scala.collection.mutable.ArrayBuffer[Byte]()
+      var acc = 0L
+      var nbits = 0
+      for (c <- codes) {
+        acc |= c.toLong << nbits; nbits += 3
+        while (nbits >= 8) { packed += (acc & 0xFF).toByte; acc >>= 8; nbits -= 8 }
+      }
+      if (nbits > 0) packed += (acc & 0xFF).toByte
+      out.write(packed.length)
+      packed.foreach(b => out.write(b & 0xFF))
+      out.write(0); out.write(0x3B)
+      out.toByteArray
+    }
+    val dg = Multimodal.MediaCodec.decodeImageIO(gif).get
+    assert(dg.width == 6 && dg.height == 4)
+    assert(dg.rgb.sameElements(refRgb(gif)))
+    for (y <- 0 until 4; x <- 0 until 6) {
+      val d = (y * 6 + x) * 3
+      val c = palette(pix(x, y))
+      assert((dg.rgb(d) & 0xFF) == ((c >> 16) & 0xFF) &&
+        (dg.rgb(d + 1) & 0xFF) == ((c >> 8) & 0xFF) &&
+        (dg.rgb(d + 2) & 0xFF) == (c & 0xFF), s"gif pixel ($x,$y)")
+    }
+    // grayscale PNG: decodePng refuses color type 0; ImageIO decodes it
+    val gray = new BufferedImage(3, 3, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 3; x <- 0 until 3)
+      gray.getRaster.setSample(x, y, 0, x * 30 + y * 9)
+    val gpng = encode(gray, "png")
+    assert(Multimodal.MediaCodec.decodePng(gpng).isEmpty,
+      "hand-rolled decoder should refuse grayscale PNG")
+    val dgr = Multimodal.MediaCodec.decodeImageIO(gpng).get
+    assert(dgr.rgb.sameElements(refRgb(gpng)))
+    for (i <- 0 until 9) // gray → r==g==b after the ARGB normalization
+      assert(dgr.rgb(i * 3) == dgr.rgb(i * 3 + 1) &&
+        dgr.rgb(i * 3) == dgr.rgb(i * 3 + 2))
+    // decodeBatch routes JPEG through real pixels, not the byte fold
+    val viaBatch = Multimodal.MediaCodec.decodeBatch(Seq(jpeg), 4)(0)
+    val expected = new Array[Float](4)
+    for ((b, i) <- dj.rgb.zipWithIndex) expected(i % 4) += (b & 0xFF) / 255.0f
+    assert(viaBatch.sameElements(expected))
+    // contract: malformed bytes yield None, never a throw
+    assert(Multimodal.MediaCodec.decodeImageIO(
+      jpeg.take(jpeg.length / 2)).isEmpty)
+    assert(Multimodal.MediaCodec.decodeImageIO("not an image!".getBytes).isEmpty)
+    assert(Multimodal.MediaCodec.decodeImageIO(null).isEmpty)
+  }
+
+  test("WAV PCM payloads decode to normalized samples, not the stub fold") {
+    def le32(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def pcm16Wav(samples: Seq[Int]): Array[Byte] = {
+      val data = samples.flatMap(s => le16(s & 0xFFFF)).toArray
+      val fmt = le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++
+        le16(2) ++ le16(16)
+      val body = "WAVE".getBytes ++ "fmt ".getBytes ++ le32(16) ++ fmt ++
+        "data".getBytes ++ le32(data.length) ++ data
+      "RIFF".getBytes ++ le32(body.length) ++ body
+    }
+    val samples = Seq(0, 32767, -32768, 1000, -1000, 12345)
+    val wav = pcm16Wav(samples)
+    val out = Multimodal.MediaCodec.decodeWav(wav).get
+    assert(out.length == samples.length)
+    for ((s, i) <- samples.zipWithIndex)
+      assert(math.abs(out(i) - (s + 32768) / 65535.0f) < 1e-7f, s"sample $i")
+    // batch routing: features are the sample fold, not the byte fold
+    val feats = Multimodal.MediaCodec.decodeBatch(Seq(wav), 4)(0)
+    val expected = new Array[Float](4)
+    for ((v, i) <- out.zipWithIndex) expected(i % 4) += v
+    assert(feats.sameElements(expected))
+    // contract: float PCM (format 3) refused; truncation refused
+    val floatWav = wav.clone(); floatWav(20) = 3
+    assert(Multimodal.MediaCodec.decodeWav(floatWav).isEmpty)
+    assert(Multimodal.MediaCodec.decodeWav(wav.dropRight(3)).isEmpty)
+    assert(Multimodal.MediaCodec.decodeWav("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Multimodal.MediaCodec.decodeWav(null).isEmpty)
+  }
+
   test("q54 media features decode data-derived PPM payloads, not the stub fold") {
     val dir = "/root/testdata/sf0.001"
     val df = graft.QueriesText.q54MediaFeatures(spark, dir)
