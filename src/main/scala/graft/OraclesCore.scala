@@ -9,6 +9,16 @@ package graft
   * and window `sum(int)` return BIGINT/HUGEINT and are cast.
   */
 object OraclesCore {
+
+  /** DuckDB twin of [[graft.sources.XmlSync.esc]]: jinja2-autoescape
+    * entity replacement, `&` first so it never double-escapes, null →
+    * empty like the Scala side. `chr(39)` keeps the single quote out
+    * of SQL-literal quoting.
+    */
+  private def xesc(x: String): String =
+    s"replace(replace(replace(replace(replace(coalesce($x,'')," +
+      "'&','&amp;'),'<','&lt;'),'>','&gt;'),'\"','&#34;'),chr(39),'&#39;')"
+
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -366,5 +376,107 @@ object OraclesCore {
         |FROM li JOIN o USING (k)
         |GROUP BY li.k, priority, n_orders
         |ORDER BY li.k""".stripMargin,
+
+    // q57: rebuilds renderPerson's document (templates/person.xml.j2
+    // shape) with pure string concatenation — every || piece mirrors
+    // one sb ++= line in XmlSync.renderPerson, so a drift in either
+    // escaping, a conditional block, date formatting, or job ordering
+    // breaks the hash compare.
+    "q57_person_xml" ->
+      s"""WITH p AS (
+        |  SELECT c_custkey AS k,
+        |    ${xesc("'P' || CAST(c_custkey AS VARCHAR)")} AS pid,
+        |    ${xesc("CAST(c_custkey AS VARCHAR)")} AS emplid,
+        |    ${xesc("c_mktsegment")} AS first_name,
+        |    ${xesc("c_name || ' \"q\"' || chr(39)")} AS last_name,
+        |    CASE WHEN c_custkey % 3 = 0 THEN 'Dr<&>' END AS postnominal_raw,
+        |    CASE WHEN c_custkey % 5 = 0 THEN NULL
+        |         ELSE 'u' || CAST(c_custkey AS VARCHAR) END AS internet_raw,
+        |    ${xesc("CASE WHEN c_custkey % 2 = 0 THEN 'Public' ELSE 'Restricted' END")} AS visibility,
+        |    CASE WHEN c_custkey % 4 = 0 THEN 'true' ELSE 'false' END AS profiled
+        |  FROM customer),
+        |j AS (
+        |  SELECT o_custkey AS k, o_orderkey,
+        |    CAST(o_orderkey AS VARCHAR) AS soa_id,
+        |    o_orderpriority AS aff_id,
+        |    CASE WHEN o_orderkey % 2 = 0
+        |         THEN 'e' || CAST(o_orderkey AS VARCHAR) || '@umn.edu' END AS email_raw,
+        |    o_orderstatus AS emp_type,
+        |    CASE WHEN o_orderkey = min(o_orderkey) OVER (PARTITION BY o_custkey)
+        |         THEN 'true' ELSE 'false' END AS primary_assoc,
+        |    'ORG' || CAST(o_custkey % 50 AS VARCHAR) AS org_id,
+        |    strftime(o_orderdate, '%d-%m-%Y') AS start_str,
+        |    CASE WHEN o_orderstatus = 'F'
+        |         THEN strftime(o_orderdate + INTERVAL 30 DAY, '%d-%m-%Y') END AS end_str,
+        |    lower(substr(o_orderpriority, 3)) AS staff_type,
+        |    'Desc <' || o_orderpriority || '> & more' AS job_desc
+        |  FROM orders),
+        |jx AS (
+        |  SELECT k, o_orderkey,
+        |       '    <staffOrganisationAssociation id="' || ${xesc("soa_id")} || '" managedInPure="false">' || chr(10)
+        |    || '      <affiliationId>' || ${xesc("aff_id")} || '</affiliationId>' || chr(10)
+        |    || CASE WHEN email_raw IS NOT NULL AND email_raw <> '' THEN
+        |            '      <emails>' || chr(10)
+        |         || '        <v3:classifiedEmail id="personStaffAssocEmail1">' || chr(10)
+        |         || '          <v3:classification>email</v3:classification>' || chr(10)
+        |         || '          <v3:value>' || ${xesc("email_raw")} || '</v3:value>' || chr(10)
+        |         || '        </v3:classifiedEmail>' || chr(10)
+        |         || '      </emails>' || chr(10)
+        |       ELSE '' END
+        |    || '      <employmentType>' || ${xesc("emp_type")} || '</employmentType>' || chr(10)
+        |    || '      <primaryAssociation>' || primary_assoc || '</primaryAssociation>' || chr(10)
+        |    || '      <organisation>' || chr(10)
+        |    || '        <v3:source_id>' || ${xesc("org_id")} || '</v3:source_id>' || chr(10)
+        |    || '      </organisation>' || chr(10)
+        |    || '      <period>' || chr(10)
+        |    || CASE WHEN start_str IS NOT NULL THEN
+        |         '        <v3:startDate>' || start_str || '</v3:startDate>' || chr(10) ELSE '' END
+        |    || CASE WHEN end_str IS NOT NULL THEN
+        |         '        <v3:endDate>' || end_str || '</v3:endDate>' || chr(10) ELSE '' END
+        |    || '      </period>' || chr(10)
+        |    || '      <staffType>' || ${xesc("staff_type")} || '</staffType>' || chr(10)
+        |    || '      <jobDescription><v3:text lang="en">' || ${xesc("job_desc")} || '</v3:text></jobDescription>' || chr(10)
+        |    || '    </staffOrganisationAssociation>' || chr(10) AS job_xml
+        |  FROM j),
+        |ja AS (
+        |  SELECT k, string_agg(job_xml, '' ORDER BY o_orderkey) AS jobs_xml
+        |  FROM jx GROUP BY k)
+        |SELECT pid AS person_id,
+        |     '<person id="' || pid || '">' || chr(10)
+        |  || '  <name>' || chr(10)
+        |  || '    <v3:firstname>' || first_name || '</v3:firstname>' || chr(10)
+        |  || '    <v3:lastname>' || last_name || '</v3:lastname>' || chr(10)
+        |  || '  </name>' || chr(10)
+        |  || CASE WHEN postnominal_raw IS NOT NULL AND postnominal_raw <> '' THEN
+        |        '  <titles>' || chr(10)
+        |     || '    <title id="' || emplid || '">' || chr(10)
+        |     || '      <typeClassification>postnominal</typeClassification>' || chr(10)
+        |     || '      <value>' || chr(10)
+        |     || '        <v3:text lang="en" country="US">' || ${xesc("postnominal_raw")} || '</v3:text>' || chr(10)
+        |     || '      </value>' || chr(10)
+        |     || '    </title>' || chr(10)
+        |     || '  </titles>' || chr(10)
+        |     ELSE '' END
+        |  || '  <gender>unknown</gender>' || chr(10)
+        |  || '  <organisationAssociations>' || chr(10)
+        |  || COALESCE(jobs_xml, '')
+        |  || '  </organisationAssociations>' || chr(10)
+        |  || CASE WHEN internet_raw IS NOT NULL AND internet_raw <> '' THEN
+        |        '  <user id="' || pid || '">' || chr(10)
+        |     || '    <userName>' || ${xesc("internet_raw")} || '@umn.edu</userName>' || chr(10)
+        |     || '    <email>' || ${xesc("internet_raw")} || '@umn.edu</email>' || chr(10)
+        |     || '  </user>' || chr(10)
+        |     ELSE '' END
+        |  || '  <personIds>' || chr(10)
+        |  || '    <v3:id type="employee" id="autoid:' || pid || '-employee-' || emplid || '">' || emplid || '</v3:id>' || chr(10)
+        |  || CASE WHEN internet_raw IS NOT NULL AND internet_raw <> '' THEN
+        |        '    <v3:id type="umn" id="autoid:' || pid || '-umn-' || ${xesc("internet_raw")} || '">' || ${xesc("internet_raw")} || '</v3:id>' || chr(10)
+        |     ELSE '' END
+        |  || '  </personIds>' || chr(10)
+        |  || '  <visibility>' || visibility || '</visibility>' || chr(10)
+        |  || '  <profiled>' || profiled || '</profiled>' || chr(10)
+        |  || '</person>' || chr(10) AS xml
+        |FROM p LEFT JOIN ja ON p.k = ja.k
+        |ORDER BY person_id""".stripMargin,
   )
 }

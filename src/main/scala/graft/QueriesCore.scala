@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
 import graft.operators.Relational
@@ -494,6 +495,76 @@ object QueriesCore {
         Seq("train" -> 80, "val" -> 10, "test" -> 10))
       .orderBy("o_orderkey")
 
+  /** S8 — the XML person serialization surface
+    * ([[graft.sources.XmlSync.renderPerson]], reference
+    * `templates/person.xml.j2:1-61`) as a first-class ORACLE-CHECKED
+    * query: persons derive from `customer`, their ordered staff
+    * associations from `orders`, and every row renders through the
+    * REAL `renderPerson` path. The DuckDB oracle rebuilds the
+    * identical document with string concatenation + `string_agg`, so
+    * escaping (all five entities, planted in names/descriptions),
+    * conditional blocks, dd-MM-yyyy period dates, and job ordering
+    * are hash-checked — previously S8 rested on XSD + ScalaTest
+    * alone. Conditional coverage is planted: postnominal on
+    * custkey%3=0, internet_id absent on custkey%5=0, email on even
+    * orderkeys, endDate only for 'F' orders, and customers with no
+    * orders render an empty associations block.
+    *
+    * Scale shape: one shuffle to group jobs per person
+    * (`collect_list` of a slim struct), broadcast-free render in a
+    * distributed `map` — the reference renders row-at-a-time on one
+    * core (`edw_to_pure/person.py:33-47`).
+    */
+  def q57PersonXml(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val persons = Tables.customer(s, dir).select(
+      col("c_custkey").as("k"),
+      concat(lit("P"), col("c_custkey").cast("string")).as("person_id"),
+      col("c_custkey").cast("string").as("emplid"),
+      col("c_mktsegment").as("first_name"),
+      concat(col("c_name"), lit(" \"q\"'")).as("last_name"),
+      when(pmod(col("c_custkey"), lit(3)) === 0, lit("Dr<&>"))
+        .otherwise(lit(null).cast("string")).as("postnominal"),
+      when(pmod(col("c_custkey"), lit(5)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("u"), col("c_custkey").cast("string")))
+        .as("internet_id"),
+      when(pmod(col("c_custkey"), lit(2)) === 0, lit("Public"))
+        .otherwise(lit("Restricted")).as("visibility"),
+      when(pmod(col("c_custkey"), lit(4)) === 0, lit("true"))
+        .otherwise(lit("false")).as("profiled"))
+    val jobs = Tables.orders(s, dir)
+      .withColumn("min_ok",
+        min(col("o_orderkey")).over(Window.partitionBy(col("o_custkey"))))
+      .select(col("o_custkey").as("k"), struct(
+        col("o_orderkey").as("sort_key"),
+        col("o_orderkey").cast("string").as("staff_org_association_id"),
+        col("o_orderpriority").as("affiliation_id"),
+        when(pmod(col("o_orderkey"), lit(2)) === 0,
+          concat(lit("e"), col("o_orderkey").cast("string"), lit("@umn.edu")))
+          .otherwise(lit(null).cast("string")).as("email_address"),
+        col("o_orderstatus").as("employment_type"),
+        when(col("o_orderkey") === col("min_ok"), lit("true"))
+          .otherwise(lit("false")).as("primary_association"),
+        concat(lit("ORG"), pmod(col("o_custkey"), lit(50)).cast("string"))
+          .as("org_id"),
+        col("o_orderdate").cast("timestamp").as("period_start_date"),
+        when(col("o_orderstatus") === "F",
+          (col("o_orderdate") + expr("INTERVAL 30 DAY")).cast("timestamp"))
+          .otherwise(lit(null).cast("timestamp")).as("period_end_date"),
+        lower(substring(col("o_orderpriority"), 3, 100)).as("staff_type"),
+        concat(lit("Desc <"), col("o_orderpriority"), lit("> & more"))
+          .as("job_description")).as("job"))
+      .groupBy("k").agg(collect_list(col("job")).as("jobs"))
+    persons.join(jobs, Seq("k"), "left")
+      .map { r =>
+        val js =
+          (if (r.isNullAt(r.fieldIndex("jobs"))) Seq.empty[Row]
+           else r.getAs[scala.collection.Seq[Row]]("jobs").toSeq)
+            .sortBy(_.getAs[Long]("sort_key"))
+        (r.getAs[String]("person_id"), graft.sources.XmlSync.renderPerson(r, js))
+      }.toDF("person_id", "xml").orderBy("person_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project" -> q02FilterProject _,
@@ -529,5 +600,6 @@ object QueriesCore {
     "q44_mptt_labels" -> q44MpttLabels _,
     "q45_salted_join" -> q45SaltedJoin _,
     "q51_hash_split" -> q51HashSplit _,
+    "q57_person_xml" -> q57PersonXml _,
   )
 }
