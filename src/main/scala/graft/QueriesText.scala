@@ -10,13 +10,14 @@ import graft.operators.{Dedup, TextAnalysis}
   * dedup, n-gram Jaccard near-dup, MinHash+LSH, SimHash, repetition
   * signals, compression ratio, PII redaction, decontamination.
   *
-  * Queries q30–q35, q47, q49, q50, q52, q53, q55 have exact DuckDB
-  * oracles (q55 makes MinHash+LSH itself oracle-checkable via md5-
-  * seeded hashing). q36/q37 are hash-family dependent (xxhash64 has
-  * no DuckDB twin) and q48
-  * needs zlib → declared without oracle, driver records the weaker
-  * rows-only check; their CORRECTNESS is covered by ScalaTest specs
-  * against exact ground truth.
+  * Queries q30–q35, q47, q49, q50, q52, q53, q55, q58, q59 have
+  * exact DuckDB oracles (q55/q58/q59 make MinHash+LSH, SimHash, and
+  * winnowing oracle-checkable via md5-seeded hashing). q36/q37/q38
+  * are hash-family dependent (xxhash64 and the rolling hash have no
+  * DuckDB twin — each has an oracle-checked md5 twin instead) and
+  * q48 needs zlib → declared without oracle, driver records the
+  * weaker rows-only check; their CORRECTNESS is covered by ScalaTest
+  * specs against exact ground truth.
   */
 object QueriesText {
   import QueriesCore.Q
@@ -105,6 +106,28 @@ object QueriesText {
     Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 3)
       .orderBy("id_a", "id_b")
+
+  /** Engine-portable SimHash near-dups — the md5-seeded twin of q37
+    * ([[Dedup.simhashNearDupsPortable]]): per-token 32-bit md5-prefix
+    * hashes, per-bit vote sums, 4 × 8-bit pigeonhole banding for
+    * hamming ≤ 3, all replicated value-for-value by the DuckDB
+    * oracle. The xxhash64 codegen path (q37) keeps its ScalaTest
+    * parity coverage.
+    */
+  def q58SimhashPortable(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupsPortable(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  /** Engine-portable winnowing fingerprints — the md5-seeded twin of
+    * q38 ([[TextAnalysis.winnowPortable]], k=8 w=4 like q38): the
+    * DuckDB oracle replicates gram hashing, the packed window-min
+    * with rightmost tie-break, and position dedup row-for-row.
+    */
+  def q59WinnowPortable(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowPortable(Tables.documents(s, dir), "doc_id", "text",
+        k = 8, w = 4)
+      .orderBy("doc_id", "pos")
 
   /** Winnowing rolling-hash fingerprints via the custom Catalyst
     * expression [[graft.functions.RollingWinnow]] (codegen'd; MOSS
@@ -269,7 +292,9 @@ object QueriesText {
     "q36_minhash_lsh" -> q36MinhashLsh _,
     "q37_simhash" -> q37Simhash _,
     "q55_minhash_portable" -> q55MinhashPortable _,
+    "q58_simhash_portable" -> q58SimhashPortable _,
     "q38_winnow_fingerprint" -> q38Winnow _,
+    "q59_winnow_portable" -> q59WinnowPortable _,
     "q47_repetition" -> q47Repetition _,
     "q48_compression" -> q48Compression _,
     "q49_redaction" -> q49Redaction _,
@@ -388,6 +413,66 @@ object QueriesText {
            |  FROM cand JOIN sh a ON id_a = a.doc_id JOIN sh b ON id_b = b.doc_id)
            |SELECT id_a, id_b, jaccard FROM verified
            |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+      // mirrors q58SimhashPortable stage by stage: md5-prefix token
+      // hashes → per-bit votes → signature word → 8-bit chunks →
+      // candidate join → verified hamming
+      "q58_simhash_portable" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(list_filter(string_split($norm, ' '),
+           |    x -> x <> '')) AS tok FROM documents),
+           |h AS (
+           |  SELECT doc_id,
+           |    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+           |bits AS (
+           |  SELECT doc_id, b,
+           |    sum(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1
+           |        THEN 1 ELSE -1 END) AS v
+           |  FROM h, range(0, 32) r(b) GROUP BY doc_id, b),
+           |sig AS (
+           |  SELECT doc_id,
+           |    CAST(sum(CASE WHEN v > 0
+           |      THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+           |      ELSE 0 END) AS BIGINT) AS sh
+           |  FROM bits GROUP BY doc_id),
+           |chunks AS (
+           |  SELECT doc_id, sh, c.ci,
+           |    (sh >> CAST(c.ci * 8 AS INTEGER)) & 255 AS chunk
+           |  FROM sig, range(0, 4) c(ci)),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    a.sh AS sh_a, b.sh AS sh_b
+           |  FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.chunk = b.chunk
+           |  WHERE a.doc_id < b.doc_id)
+           |SELECT id_a, id_b,
+           |  CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+           |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      // mirrors q59WinnowPortable: k=8 grams, md5-prefix-32 hash,
+      // (hash<<21 | 2^21-1-pos) packed key, w=4 window min, full
+      // windows only, distinct by selected position
+      "q59_winnow_portable" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, $norm AS nm FROM documents
+           |  WHERE len($norm) >= 8 AND len($norm) <= 2097151),
+           |g AS (
+           |  SELECT doc_id, unnest(range(1, len(nm) - 8 + 2)) AS i, nm
+           |  FROM d),
+           |kk AS (
+           |  SELECT doc_id, i,
+           |    ((('0x' || substr(md5(substr(nm, CAST(i AS INTEGER), 8)),
+           |        1, 8))::BIGINT << 21) | (2097151 - i)) AS pk
+           |  FROM g),
+           |wm AS (
+           |  SELECT doc_id, i,
+           |    min(pk) OVER (PARTITION BY doc_id ORDER BY i
+           |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
+           |  FROM kk)
+           |SELECT DISTINCT doc_id, 2097151 - (mk & 2097151) AS pos,
+           |  mk >> 21 AS fp
+           |FROM wm WHERE i >= 4
+           |ORDER BY doc_id, pos""".stripMargin,
 
       "q47_repetition" ->
         """WITH docs AS (

@@ -395,6 +395,53 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Engine-portable SimHash near-dups — the md5-seeded twin of
+    * [[simhashNearDups]], the same portability construction as
+    * q51/q55/q56 ([[Scale.md5Prefix32]]): per-token 32-bit hashes
+    * from an md5 prefix, explicit per-bit vote aggregation (one
+    * shuffle on the id, 32 partial-agg buffers — map-side combined),
+    * then 4 × 8-bit pigeonhole banding for hamming ≤ 3. The xxhash64
+    * codegen path ([[simhash]]) stays the production default; this
+    * variant exists so a DuckDB oracle can replicate the WHOLE
+    * operator — votes, signature word, banding, candidate set, and
+    * verified hamming — value-for-value (q58).
+    */
+  def simhashNearDupsPortable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(filter(split(TextAnalysis.normalizeText(col(textCol)), " "),
+        t => t =!= "")).as("__tok"))
+    val hashed = toks.withColumn("__h", Scale.md5Prefix32(col("__tok")))
+    val votes = (0 until 32).map { i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"__b$i")
+    }
+    val summed = hashed.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val word = (0 until 32).map { i =>
+      when(col(s"__b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val sig = summed.select(col(idCol), word.as("__simhash"))
+    // hamming ≤ 3 < 4 chunks forces a collision on ≥ 1 chunk
+    val chunkCols = (0 until 4).map { i =>
+      shiftright(col("__simhash"), i * 8).bitwiseAND(lit(0xFFL))
+    }
+    val chunks = sig.select(col(idCol), col("__simhash"),
+      posexplode(array(chunkCols: _*)).as(Seq("chunk_idx", "chunk")))
+    val a = chunks.select(col(idCol).as("id_a"), col("__simhash").as("sh_a"),
+      col("chunk_idx"), col("chunk"))
+    val b = chunks.select(col(idCol).as("id_b"), col("__simhash").as("sh_b"),
+      col("chunk_idx"), col("chunk"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming64(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** SimHash near-dup pairs: band the 64-bit simhash into 4 × 16-bit
     * chunks; near-dups (hamming <= 3 < 4 bands) must collide on at least
     * one chunk (pigeonhole) → join per chunk, verify hamming.

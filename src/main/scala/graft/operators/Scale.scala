@@ -118,8 +118,16 @@ object Scale {
     * exclusion.
     */
   def hashBucket(key: Column, buckets: Int): Column =
-    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
-      .cast("long"), lit(buckets.toLong))
+    pmod(md5Prefix32(key), lit(buckets.toLong))
+
+  /** First 8 hex digits of md5 as a 32-bit value in a long — THE
+    * engine-portable hash of this repo, bit-identical in DuckDB as
+    * `('0x' || substr(md5(x), 1, 8))::BIGINT` (hash parity proven by
+    * q51 and the q55/q56/q58/q59 portable-sketch oracles). Null in →
+    * null out.
+    */
+  def md5Prefix32(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
 
   /** Reproducible weighted split: `splits` are (label, percent) with
     * percents summing to 100; adds a `split` column assigned by hash

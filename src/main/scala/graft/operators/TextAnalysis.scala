@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the LLM-data-pipeline surface
@@ -172,5 +173,57 @@ object TextAnalysis {
         when(col("__tri_total") > 0,
           round(lit(1.0) - col("__tri_distinct") / col("__tri_total"), 6))
           .otherwise(lit(0.0)).as("dup_trigram_frac"))
+  }
+
+  /** Engine-portable winnowing fingerprints (MOSS — Schleimer et al.,
+    * SIGMOD '03): `k`-char grams of the normalized text hashed with
+    * the md5-prefix-32 portable hash
+    * ([[graft.operators.Scale.md5Prefix32]]), windows of `w`
+    * consecutive gram hashes, minimum per window with RIGHTMOST
+    * tie-break, fingerprints deduped by selected position. Expressed
+    * as explode + window-min so a DuckDB oracle can replicate it
+    * value-for-value (q59) — [[graft.functions.RollingWinnow]] stays
+    * the codegen production path.
+    *
+    * The per-window selection packs (hash, position) into one long
+    * (`hash << 21 | (2^21-1 - pos)`): minimizing the key minimizes
+    * the hash and, on hash ties, maximizes the position — the MOSS
+    * rightmost rule — in a single `min` aggregate that works
+    * identically in Spark and DuckDB. The pack bounds doc length at
+    * 2^21-1 chars for THIS portable variant (longer docs are
+    * filtered out, not truncated); RollingWinnow has no such bound.
+    *
+    * Scale shape: one explode (no shuffle), one window over the doc
+    * id (single shuffle on the id), distinct folded into the same
+    * exchange by Catalyst. Returns (idCol, pos, fp) rows; docs with
+    * fewer than `k + w - 1` chars have no full window and yield no
+    * rows, like RollingWinnow.
+    */
+  def winnowPortable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be positive: k=$k w=$w")
+    val posMask = (1L << 21) - 1
+    val n = df
+      .select(col(idCol), normalizeText(col(textCol)).as("__norm"))
+      .filter(length(col("__norm")) >= k &&
+        length(col("__norm")) <= posMask)
+    val grams = n.select(col(idCol), col("__norm"),
+      explode(sequence(lit(1), length(col("__norm")) - k + 1)).as("__i"))
+    val keyed = grams.select(col(idCol), col("__i"),
+      shiftleft(
+        Scale.md5Prefix32(col("__norm").substr(col("__i"), lit(k))), 21)
+        .bitwiseOR(lit(posMask) - col("__i")).as("__key"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("__i"))
+      .rowsBetween(-(w - 1), 0)
+    keyed.withColumn("__mk", min(col("__key")).over(win))
+      .filter(col("__i") >= w) // full windows only
+      .select(col(idCol),
+        (lit(posMask) - col("__mk").bitwiseAND(lit(posMask))).as("pos"),
+        shiftright(col("__mk"), 21).as("fp"))
+      .distinct()
   }
 }
