@@ -91,8 +91,10 @@ object QueriesText {
     * WHOLE operator end-to-end — per-seed signature minima, band join
     * keys, the candidate set, and the verified Jaccard — bit-for-bit
     * (the construction [[graft.operators.Scale.hashBucket]] proved
-    * portable in q51). 16 hashes × 4 bands bound the md5 bill; the
-    * xxhash64 fast path (q36) keeps its ScalaTest parity coverage.
+    * portable in q51). One md5 per shingle; the 16 per-seed hashes
+    * derive from a seed-keyed affine family, so the portable bill is
+    * digest-per-shingle, not digest-per-(shingle,seed). The xxhash64
+    * fast path (q36) keeps its ScalaTest parity coverage.
     */
   def q55MinhashPortable(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDupsPortable(Tables.documents(s, dir), "doc_id", "text",
@@ -395,7 +397,10 @@ object QueriesText {
            |mins AS (
            |  SELECT doc_id, s, list_transform(range(0, 16), i ->
            |    list_min(list_transform(s, x ->
-           |      ('0x' || substr(md5(x || ':' || i), 1, 15))::BIGINT))) AS m
+           |      (((('0x' || substr(md5('a:' || i), 1, 7))::BIGINT | 1)
+           |         * ('0x' || substr(md5(x), 1, 8))::BIGINT
+           |         + ('0x' || substr(md5('b:' || i), 1, 8))::BIGINT)
+           |        & 4294967295)))) AS m
            |  FROM sh),
            |banded AS (
            |  SELECT doc_id, b.band_idx,

@@ -13,24 +13,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * exists everywhere — the same construction [[graft.operators.Scale
   * .hashBucket]] uses, which q51 hash-matches cross-engine).
   *
-  * Per shingle STRING s and seed i, the hash is the first 60 bits of
-  * `md5(utf8(s) ++ ":" ++ decimal(i))` read big-endian — exactly
-  * `('0x' || substr(md5(s || ':' || CAST(i AS VARCHAR)), 1, 15))::BIGINT`
-  * in DuckDB (15 hex chars = 60 bits, always positive, fits a long).
-  * The signature is the per-seed minimum over the document's shingles;
-  * each band of `numHashes / bands` consecutive minima is emitted as a
-  * comma-joined decimal string — the join key itself, matching DuckDB's
-  * `array_to_string(mins[b*r+1 : b*r+r], ',')` with no second hash to
-  * port.
+  * Each shingle STRING s is digested ONCE: `h = ('0x' ||
+  * substr(md5(s), 1, 8))::BIGINT` (first 32 bits, always positive).
+  * The per-seed hashes come from a seed-derived affine family —
+  * `h_i = (a_i * h + b_i) & 0xFFFFFFFF` with `a_i` the first 28 bits
+  * of `md5('a:' || i)` forced odd and `b_i` the first 32 bits of
+  * `md5('b:' || i)` — classic universal-hash MinHash, and every step
+  * is plain 63-bit-safe integer arithmetic DuckDB reproduces exactly
+  * (`a_i ≤ 2^28`, `h < 2^32` → product < 2^60, no overflow). The
+  * signature is the per-seed minimum over the document's shingles;
+  * each band of `numHashes / bands` consecutive minima is emitted as
+  * a comma-joined decimal string — the join key itself, matching
+  * DuckDB's `array_to_string(mins[b*r+1 : b*r+r], ',')` with no
+  * second hash to port.
   *
   * One codegen call per document (no shuffle, no aggregation buffers,
-  * no per-element lambda fan-out); the xxhash64 path stays the fast
-  * default for production corpora — this variant computes a FULL md5
-  * per (shingle, seed) pair (numHashes digests per shingle vs one
-  * 64-bit mix), so on a real corpus expect roughly an order of
-  * magnitude more hash work than [[SketchSigs.minhashBands]]. Use it
-  * where cross-engine reproducibility is the point (oracle checks,
-  * engine migrations), not as the hot path.
+  * no per-element lambda fan-out). Cost: one md5 digest per shingle
+  * plus `numHashes` multiply-adds — the earlier scheme digested per
+  * (shingle, seed), numHashes× more md5 work, which made the portable
+  * query the heaviest in the whole bench suite. The xxhash64 path
+  * ([[SketchSigs.minhashBands]]) remains the production default
+  * (xxhash64 is still several times cheaper than md5); use this
+  * variant where cross-engine reproducibility is the point (oracle
+  * checks, engine migrations).
   */
 object Md5MinHash {
 
@@ -40,38 +45,49 @@ object Md5MinHash {
         java.security.MessageDigest.getInstance("MD5")
     }
 
-  /** ASCII-decimal seed byte strings, cached process-wide: rebuilding
-    * `numHashes` Integer.toString arrays per ROW was measurable noise
-    * next to the md5 work. Monotone grow-only publish — racing writers
-    * install equivalent tables, so lock-free volatile swap is safe.
+  /** Seed-derived affine constants (a_i odd 28-bit, b_i 32-bit, both
+    * md5-derived so DuckDB can rebuild them), cached process-wide.
+    * Monotone grow-only publish — racing writers install equivalent
+    * tables, so lock-free volatile swap is safe.
     */
-  @volatile private var digitsCache: Array[Array[Byte]] = Array.empty
-  private def seedDigits(n: Int): Array[Array[Byte]] = {
-    val cached = digitsCache
-    if (cached.length >= n) cached
+  @volatile private var abCache: (Array[Long], Array[Long]) =
+    (Array.empty, Array.empty)
+  private def seedConsts(n: Int): (Array[Long], Array[Long]) = {
+    val cached = abCache
+    if (cached._1.length >= n) cached
     else {
-      val fresh = Array.tabulate(math.max(n, 64))(i =>
-        Integer.toString(i).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-      digitsCache = fresh
+      val md = mdLocal.get()
+      val m = math.max(n, 64)
+      def prefix(tag: String, i: Int, hexChars: Int): Long = {
+        md.reset()
+        val d = md.digest(s"$tag:$i".getBytes(
+          java.nio.charset.StandardCharsets.US_ASCII))
+        var v = 0L
+        var c = 0
+        while (c < hexChars) {
+          val nib =
+            if (c % 2 == 0) (d(c / 2) & 0xF0) >>> 4 else d(c / 2) & 0x0F
+          v = (v << 4) | nib
+          c += 1
+        }
+        v
+      }
+      val fresh = (Array.tabulate(m)(i => prefix("a", i, 7) | 1L),
+        Array.tabulate(m)(i => prefix("b", i, 8)))
+      abCache = fresh
       fresh
     }
   }
 
-  /** First 60 bits of md5(s ++ ":" ++ i) as a non-negative long —
-    * digest bytes 0..6 then the high nibble of byte 7, i.e. the value
-    * of the first 15 lowercase-hex characters.
+  /** First 32 bits of md5(s) as a non-negative long — the value of
+    * the first 8 lowercase-hex characters of the digest.
     */
-  def md5Seeded60(md: java.security.MessageDigest, sBytes: Array[Byte],
-      seedDigits: Array[Byte]): Long = {
+  def md5Prefix32(md: java.security.MessageDigest,
+      sBytes: Array[Byte]): Long = {
     md.reset()
-    md.update(sBytes)
-    md.update(':'.toByte)
-    md.update(seedDigits)
-    val d = md.digest()
-    var v = 0L
-    var b = 0
-    while (b < 7) { v = (v << 8) | (d(b) & 0xFF); b += 1 }
-    (v << 4) | ((d(7) & 0xF0) >>> 4)
+    val d = md.digest(sBytes)
+    ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+      ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
   }
 
   def bandKeysCompute(arr: ArrayData, numHashes: Int, bands: Int): ArrayData = {
@@ -82,16 +98,16 @@ object Md5MinHash {
     // candidate blowup) and diverge from the DuckDB twin, where
     // list_min over an empty list is NULL
     if (n == 0) return new GenericArrayData(Array.empty[Any])
-    val digits = seedDigits(numHashes)
+    val (as, bs) = seedConsts(numHashes)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val md = mdLocal.get()
     var j = 0
     while (j < n) {
-      val sBytes = arr.getUTF8String(j).getBytes
+      val h = md5Prefix32(md, arr.getUTF8String(j).getBytes)
       var i = 0
       while (i < numHashes) {
-        val h = md5Seeded60(md, sBytes, digits(i))
-        if (h < mins(i)) mins(i) = h
+        val hi = (as(i) * h + bs(i)) & 0xFFFFFFFFL
+        if (hi < mins(i)) mins(i) = hi
         i += 1
       }
       j += 1

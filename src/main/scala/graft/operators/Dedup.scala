@@ -397,33 +397,28 @@ object Dedup {
 
   /** Engine-portable SimHash near-dups — the md5-seeded twin of
     * [[simhashNearDups]], the same portability construction as
-    * q51/q55/q56 ([[Scale.md5Prefix32]]): per-token 32-bit hashes
-    * from an md5 prefix, explicit per-bit vote aggregation (one
-    * shuffle on the id, 32 partial-agg buffers — map-side combined),
-    * then 4 × 8-bit pigeonhole banding for hamming ≤ 3. The xxhash64
-    * codegen path ([[simhash]]) stays the production default; this
-    * variant exists so a DuckDB oracle can replicate the WHOLE
-    * operator — votes, signature word, banding, candidate set, and
-    * verified hamming — value-for-value (q58).
+    * q51/q55/q56: per-token 32-bit md5-prefix hashes and per-bit
+    * votes, computed in ONE codegen pass per doc
+    * ([[graft.functions.Md5SimHash32]] — no explode row-blowup, no
+    * 32-buffer aggregation; the explode form is retained below as
+    * [[simhashPortableReference]] for the parity spec), then 4 ×
+    * 8-bit pigeonhole banding for hamming ≤ 3. The xxhash64 codegen
+    * path ([[simhash]]) stays the production default; this variant
+    * exists so a DuckDB oracle can replicate the WHOLE operator —
+    * votes, signature word, banding, candidate set, and verified
+    * hamming — value-for-value (q58).
     */
   def simhashNearDupsPortable(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(filter(split(TextAnalysis.normalizeText(col(textCol)), " "),
-        t => t =!= "")).as("__tok"))
-    val hashed = toks.withColumn("__h", Scale.md5Prefix32(col("__tok")))
-    val votes = (0 until 32).map { i =>
-      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"__b$i")
-    }
-    val summed = hashed.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-    val word = (0 until 32).map { i =>
-      when(col(s"__b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    val sig = summed.select(col(idCol), word.as("__simhash"))
+    val sig = df.select(col(idCol),
+        TextAnalysis.normalizeText(col(textCol)).as("__norm"))
+      .filter(col("__norm") =!= "")
+      .select(col(idCol),
+        graft.functions.Md5SimHash32.md5Simhash32(col("__norm"))
+          .as("__simhash"))
     // hamming ≤ 3 < 4 chunks forces a collision on ≥ 1 chunk
     val chunkCols = (0 until 4).map { i =>
       shiftright(col("__simhash"), i * 8).bitwiseAND(lit(0xFFL))
@@ -440,6 +435,28 @@ object Dedup {
       .withColumn("hamming", hamming64(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** The explode + per-bit-vote groupBy form
+    * [[graft.functions.Md5SimHash32]] replaced — retained (test-only)
+    * so PortableSketchSpec can assert bit-identical signatures on
+    * real corpora. Returns (idCol, __simhash).
+    */
+  private[graft] def simhashPortableReference(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(filter(split(TextAnalysis.normalizeText(col(textCol)), " "),
+        t => t =!= "")).as("__tok"))
+    val hashed = toks.withColumn("__h", Scale.md5Prefix32(col("__tok")))
+    val votes = (0 until 32).map { i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"__b$i")
+    }
+    val summed = hashed.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val word = (0 until 32).map { i =>
+      when(col(s"__b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    summed.select(col(idCol), word.as("__simhash"))
   }
 
   /** SimHash near-dup pairs: band the 64-bit simhash into 4 × 16-bit

@@ -94,10 +94,20 @@ object TextAnalysis {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
-  /** Word n-gram shingles of the normalized text (distinct). Built with
-    * higher-order array functions — stays in codegen.
+  /** Word n-gram shingles of the normalized text (distinct), via the
+    * single-pass codegen expression
+    * [[graft.functions.WordShingles]] — the interpreted higher-order
+    * form it replaced (kept below as the parity reference) cost ~9.5 s
+    * alone for 5000 sf0.1 docs and was re-evaluated per consumer.
     */
-  def wordShingles(text: Column, n: Int): Column = {
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.WordShingles.wordShingles(text, n)
+
+  /** The composable higher-order form [[wordShingles]] replaced —
+    * retained (test-only) so WordShinglesParity in Md5MinHashSpec can
+    * assert element-identical results on real corpora.
+    */
+  private[graft] def wordShinglesComposable(text: Column, n: Int): Column = {
     val toks = filter(split(normalizeText(text), " "), t => t =!= "")
     // start indices 0..size-n; empty array when the doc is shorter than n
     val starts = when(size(toks) >= n, sequence(lit(0), size(toks) - n))

@@ -7,18 +7,24 @@ import graft.operators.{Dedup, TextAnalysis}
 /** Guards the engine-portable md5 MinHash family (q55): band keys are
   * checked against an INDEPENDENT reference that goes through the hex
   * string representation (the construction the DuckDB oracle uses —
-  * `substr(md5(..), 1, 15)` parsed base-16), not through
-  * [[Md5MinHash.md5Seeded60]]'s byte arithmetic; the end-to-end
-  * operator is checked against the exact n-gram Jaccard pairs.
+  * `substr(md5(..), 1, 8)` parsed base-16 plus the seed-derived
+  * affine family), not through [[Md5MinHash.md5Prefix32]]'s byte
+  * arithmetic; the end-to-end operator is checked against the exact
+  * n-gram Jaccard pairs.
   */
 class Md5MinHashSpec extends AnyFunSuite {
   import spark.implicits._
 
-  private def refHash(s: String, seed: Int): Long = {
+  private def hexPrefix(s: String, hexChars: Int): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest((s + ":" + seed).getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, hexChars), 16)
+  }
+
+  private def refHash(s: String, seed: Int): Long = {
+    val a = hexPrefix("a:" + seed, 7) | 1L
+    val b = hexPrefix("b:" + seed, 8)
+    (a * hexPrefix(s, 8) + b) & 0xFFFFFFFFL
   }
 
   private def refBandKeys(
@@ -79,5 +85,25 @@ class Md5MinHashSpec extends AnyFunSuite {
     assert(portable.map(p => (p._1, p._2)) ==
       Set((1L, 2L), (1L, 4L), (2L, 4L)))
     assert(portable.contains((1L, 4L, 1.0)))
+  }
+
+  test("codegen WordShingles matches the composable form on real docs") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val edge = Seq(
+      (100001L, "  leading\t\tand trailing   whitespace mixed\nacross lines  "),
+      (100002L, "Ünïcödé TÖKENS Straße ΣΟΦΙΑ smalltext"),
+      (100003L, "dup dup dup dup dup"), // repeated shingles collapse
+      (100004L, "one two"), // fewer tokens than n → empty
+      (100005L, ""), (100006L, "   \t  "))
+      .toDF("doc_id", "text")
+    for (docs <- Seq(real, edge)) {
+      val both = docs.select($"doc_id",
+          TextAnalysis.wordShingles($"text", 3).as("fast"),
+          TextAnalysis.wordShinglesComposable($"text", 3).as("ref"))
+        .as[(Long, Seq[String], Seq[String])].collect()
+      for ((id, fast, ref) <- both)
+        assert(fast == ref, s"doc $id shingle mismatch")
+    }
   }
 }

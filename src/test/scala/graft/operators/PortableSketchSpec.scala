@@ -67,6 +67,29 @@ class PortableSketchSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("codegen Md5SimHash32 matches the explode-vote reference on real docs") {
+    import org.apache.spark.sql.functions._
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val edge = Seq(
+      (200001L, "  Mixed\tWHITESPACE  and\nCase "),
+      (200002L, "Ünïcödé TÖKENS Straße ΣΟΦΙΑ"),
+      (200003L, "repeat repeat repeat distinct"))
+      .toDF("doc_id", "text")
+    for (docs <- Seq(real, edge)) {
+      val fast = docs
+        .select(col("doc_id"),
+          TextAnalysis.normalizeText(col("text")).as("__norm"))
+        .filter(col("__norm") =!= "")
+        .select(col("doc_id"),
+          graft.functions.Md5SimHash32.md5Simhash32(col("__norm")).as("s"))
+        .as[(Long, Long)].collect().toMap
+      val ref = Dedup.simhashPortableReference(docs, "doc_id", "text")
+        .as[(Long, Long)].collect().toMap
+      assert(fast == ref)
+    }
+  }
+
   test("portable winnow: no full window → no rows") {
     val short = Seq((1L, "tiny doc!")).toDF("doc_id", "text") // 2 grams < w
     assert(TextAnalysis.winnowPortable(short, "doc_id", "text", 8, 4)
