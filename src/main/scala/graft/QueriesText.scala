@@ -110,8 +110,8 @@ object QueriesText {
       .orderBy("id_a", "id_b")
 
   /** Engine-portable SimHash near-dups — the md5-seeded twin of q37
-    * ([[Dedup.simhashNearDupsPortable]]): per-token 32-bit md5-prefix
-    * hashes, per-bit vote sums, 4 × 8-bit pigeonhole banding for
+    * ([[Dedup.simhashNearDupsPortable]]): per-token 60-bit md5-prefix
+    * hashes, per-bit vote sums, 4 × 15-bit pigeonhole banding for
     * hamming ≤ 3, all replicated value-for-value by the DuckDB
     * oracle. The xxhash64 codegen path (q37) keeps its ScalaTest
     * parity coverage.
@@ -428,12 +428,12 @@ object QueriesText {
            |    x -> x <> '')) AS tok FROM documents),
            |h AS (
            |  SELECT doc_id,
-           |    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+           |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
            |bits AS (
            |  SELECT doc_id, b,
            |    sum(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1
            |        THEN 1 ELSE -1 END) AS v
-           |  FROM h, range(0, 32) r(b) GROUP BY doc_id, b),
+           |  FROM h, range(0, 60) r(b) GROUP BY doc_id, b),
            |sig AS (
            |  SELECT doc_id,
            |    CAST(sum(CASE WHEN v > 0
@@ -442,7 +442,7 @@ object QueriesText {
            |  FROM bits GROUP BY doc_id),
            |chunks AS (
            |  SELECT doc_id, sh, c.ci,
-           |    (sh >> CAST(c.ci * 8 AS INTEGER)) & 255 AS chunk
+           |    (sh >> CAST(c.ci * 15 AS INTEGER)) & 32767 AS chunk
            |  FROM sig, range(0, 4) c(ci)),
            |cand AS (
            |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,

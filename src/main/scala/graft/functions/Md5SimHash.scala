@@ -6,17 +6,19 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Engine-portable 32-bit SimHash in one pass — the md5 twin of
+/** Engine-portable 60-bit SimHash in one pass — the md5 twin of
   * [[SketchSigs.simhash64]], for q58's DuckDB-oracled variant.
   *
   * Semantics are exactly the explode + per-bit vote form the oracle
   * replicates: full-Unicode lowercase, tokens split on ASCII
   * whitespace runs (every occurrence votes — multiset, not distinct),
-  * per-token hash = first 32 bits of `md5(token)` (`('0x' ||
-  * substr(md5(tok), 1, 8))::BIGINT` in DuckDB), bit b of the
+  * per-token hash = first 60 bits of `md5(token)` (`('0x' ||
+  * substr(md5(tok), 1, 15))::BIGINT` in DuckDB — 15 hex chars keep
+  * the parse inside signed-64 range), bit b of the
   * signature set iff the sum over tokens of (+1 if bit set else -1)
-  * is positive. One digest per token occurrence, 32 int counters, no
-  * explode row-blowup and no 32-buffer aggregation — the explode
+  * is positive. One digest per distinct token (occurrence counts weight
+  * the votes), 60 int counters, no explode row-blowup and no
+  * per-bit aggregation buffers — the explode
   * reference form is retained (test-only) in
   * [[graft.operators.Dedup.simhashPortableReference]] for the parity
   * spec.
@@ -25,18 +27,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * tokens returns 0, which is NOT a valid signature of any real doc —
   * same contract as [[graft.operators.Dedup.simhash]]'s pre-filter).
   */
-case class Md5SimHash32(child: Expression) extends UnaryExpression {
+case class Md5SimHash60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
-    Md5SimHash32.compute(input.asInstanceOf[UTF8String])
+    Md5SimHash60.compute(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Md5SimHash32.compute($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5SimHash60.compute($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
-  override def prettyName: String = "md5_simhash32"
+  override def prettyName: String = "md5_simhash60"
 }
 
-object Md5SimHash32 {
+object Md5SimHash60 {
 
   private val mdLocal: ThreadLocal[java.security.MessageDigest] =
     new ThreadLocal[java.security.MessageDigest] {
@@ -50,29 +52,44 @@ object Md5SimHash32 {
   def compute(text: UTF8String): Long = {
     val bytes = text.toLowerCase.getBytes
     val len = bytes.length
-    val votes = new Array[Int](32)
-    val md = mdLocal.get()
+    // count occurrences per DISTINCT token first: each distinct token
+    // is digested once and its votes weighted by the count — repeated
+    // tokens (the common case in natural text) skip repeat digests
+    val counts = new java.util.HashMap[String, Array[Int]]()
     var i = 0
     while (i < len) {
       while (i < len && isSpace(bytes(i))) i += 1
       if (i < len) {
         val start = i
         while (i < len && !isSpace(bytes(i))) i += 1
-        md.reset()
-        md.update(bytes, start, i - start)
-        val d = md.digest()
-        val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
-          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
-        var b = 0
-        while (b < 32) {
-          if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
+        val tok = new String(bytes, start, i - start,
+          java.nio.charset.StandardCharsets.UTF_8)
+        val c = counts.get(tok)
+        if (c == null) counts.put(tok, Array(1)) else c(0) += 1
+      }
+    }
+    val votes = new Array[Int](60)
+    val md = mdLocal.get()
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      md.reset()
+      val d = md.digest(e.getKey.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var bb = 0
+      while (bb < 7) { h = (h << 8) | (d(bb) & 0xFFL); bb += 1 }
+      h = (h << 4) | ((d(7) & 0xF0L) >>> 4) // first 15 hex chars
+      val cnt = e.getValue()(0)
+      var b = 0
+      while (b < 60) {
+        if (((h >> b) & 1L) == 1L) votes(b) += cnt else votes(b) -= cnt
+        b += 1
       }
     }
     var sig = 0L
     var b = 0
-    while (b < 32) {
+    while (b < 60) {
       if (votes(b) > 0) sig |= 1L << b
       b += 1
     }
@@ -80,8 +97,8 @@ object Md5SimHash32 {
   }
 
   /** Column-API entry point. */
-  def md5Simhash32(c: Column): Column = {
+  def md5Simhash60(c: Column): Column = {
     import org.apache.spark.sql.graftshim.ColumnBridge
-    ColumnBridge.column(Md5SimHash32(ColumnBridge.expression(c)))
+    ColumnBridge.column(Md5SimHash60(ColumnBridge.expression(c)))
   }
 }

@@ -397,31 +397,40 @@ object Dedup {
 
   /** Engine-portable SimHash near-dups — the md5-seeded twin of
     * [[simhashNearDups]], the same portability construction as
-    * q51/q55/q56: per-token 32-bit md5-prefix hashes and per-bit
-    * votes, computed in ONE codegen pass per doc
-    * ([[graft.functions.Md5SimHash32]] — no explode row-blowup, no
-    * 32-buffer aggregation; the explode form is retained below as
-    * [[simhashPortableReference]] for the parity spec), then 4 ×
-    * 8-bit pigeonhole banding for hamming ≤ 3. The xxhash64 codegen
-    * path ([[simhash]]) stays the production default; this variant
-    * exists so a DuckDB oracle can replicate the WHOLE operator —
-    * votes, signature word, banding, candidate set, and verified
-    * hamming — value-for-value (q58).
+    * q51/q55/q56: per-token 60-bit md5-prefix hashes (15 hex chars —
+    * the widest prefix a signed-64 parse handles on both engines) and
+    * per-bit votes, computed in ONE codegen pass per doc
+    * ([[graft.functions.Md5SimHash60]] — no explode row-blowup, no
+    * per-bit aggregation buffers; the explode form is retained below
+    * as [[simhashPortableReference]] for the parity spec), then 4 ×
+    * 15-bit pigeonhole banding for hamming ≤ 3 (an 8-bit/32-bit first
+    * cut put ~20 docs in every one of 256 buckets on clustered
+    * corpora — 2.8M candidate pairs at sf0.1; 32k buckets keep the
+    * candidate set near-linear). The xxhash64 codegen path
+    * ([[simhash]]) stays the production default; this variant exists
+    * so a DuckDB oracle can replicate the WHOLE operator — votes,
+    * signature word, banding, candidate set, and verified hamming —
+    * value-for-value (q58).
     */
   def simhashNearDupsPortable(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // localCheckpoint: the banding self-join reads signatures on BOTH
+    // sides (one becomes a broadcast), and without materialization each
+    // side re-digests the whole corpus — signatures are (id, long),
+    // tiny at any corpus scale, so compute once
     val sig = df.select(col(idCol),
         TextAnalysis.normalizeText(col(textCol)).as("__norm"))
       .filter(col("__norm") =!= "")
       .select(col(idCol),
-        graft.functions.Md5SimHash32.md5Simhash32(col("__norm"))
+        graft.functions.Md5SimHash60.md5Simhash60(col("__norm"))
           .as("__simhash"))
+      .localCheckpoint()
     // hamming ≤ 3 < 4 chunks forces a collision on ≥ 1 chunk
     val chunkCols = (0 until 4).map { i =>
-      shiftright(col("__simhash"), i * 8).bitwiseAND(lit(0xFFL))
+      shiftright(col("__simhash"), i * 15).bitwiseAND(lit(0x7FFFL))
     }
     val chunks = sig.select(col(idCol), col("__simhash"),
       posexplode(array(chunkCols: _*)).as(Seq("chunk_idx", "chunk")))
@@ -438,7 +447,7 @@ object Dedup {
   }
 
   /** The explode + per-bit-vote groupBy form
-    * [[graft.functions.Md5SimHash32]] replaced — retained (test-only)
+    * [[graft.functions.Md5SimHash60]] replaced — retained (test-only)
     * so PortableSketchSpec can assert bit-identical signatures on
     * real corpora. Returns (idCol, __simhash).
     */
@@ -447,13 +456,14 @@ object Dedup {
     val toks = df.select(col(idCol),
       explode(filter(split(TextAnalysis.normalizeText(col(textCol)), " "),
         t => t =!= "")).as("__tok"))
-    val hashed = toks.withColumn("__h", Scale.md5Prefix32(col("__tok")))
-    val votes = (0 until 32).map { i =>
+    val hashed = toks.withColumn("__h",
+      conv(substring(md5(col("__tok")), 1, 15), 16, 10).cast("long"))
+    val votes = (0 until 60).map { i =>
       sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"__b$i")
     }
     val summed = hashed.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-    val word = (0 until 32).map { i =>
+    val word = (0 until 60).map { i =>
       when(col(s"__b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
     summed.select(col(idCol), word.as("__simhash"))

@@ -203,11 +203,14 @@ object TextAnalysis {
     * 2^21-1 chars for THIS portable variant (longer docs are
     * filtered out, not truncated); RollingWinnow has no such bound.
     *
-    * Scale shape: one explode (no shuffle), one window over the doc
-    * id (single shuffle on the id), distinct folded into the same
-    * exchange by Catalyst. Returns (idCol, pos, fp) rows; docs with
-    * fewer than `k + w - 1` chars have no full window and yield no
-    * rows, like RollingWinnow.
+    * Scale shape: ONE codegen pass per document
+    * ([[graft.functions.Md5Winnow]] — winnowing is purely
+    * per-document, so no shuffle at all; just a posexplode of the
+    * packed keys and a bitwise unpack), where the first cut of this
+    * operator paid a full window exchange on the doc id (kept below
+    * as [[winnowPortableReference]] for the parity spec). Returns
+    * (idCol, pos, fp) rows; docs with fewer than `k + w - 1` chars
+    * have no full window and yield no rows, like RollingWinnow.
     */
   def winnowPortable(
       df: DataFrame,
@@ -215,8 +218,27 @@ object TextAnalysis {
       textCol: String,
       k: Int,
       w: Int): DataFrame = {
+    val posMask = graft.functions.Md5Winnow.PosMask
+    df.select(col(idCol),
+        explode(graft.functions.Md5Winnow.md5Winnow(
+          normalizeText(col(textCol)), k, w)).as("__mk"))
+      .select(col(idCol),
+        (lit(posMask) - col("__mk").bitwiseAND(lit(posMask))).as("pos"),
+        shiftright(col("__mk"), graft.functions.Md5Winnow.PosBits).as("fp"))
+  }
+
+  /** The explode + window-min DataFrame form [[winnowPortable]]
+    * replaced — retained (test-only) so PortableSketchSpec can assert
+    * row-identical results on real corpora.
+    */
+  private[graft] def winnowPortableReference(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      w: Int): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be positive: k=$k w=$w")
-    val posMask = (1L << 21) - 1
+    val posMask = graft.functions.Md5Winnow.PosMask
     val n = df
       .select(col(idCol), normalizeText(col(textCol)).as("__norm"))
       .filter(length(col("__norm")) >= k &&

@@ -12,24 +12,30 @@ import graft.etl.FixtureLoader.spark
 class PortableSketchSpec extends AnyFunSuite {
   import spark.implicits._
 
-  private def h32(s: String): Long = {
+  private def hexPrefix(s: String, hexChars: Int): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    java.lang.Long.parseLong(hex.substring(0, hexChars), 16)
   }
+
+  private def h32(s: String): Long = hexPrefix(s, 8)
 
   private def refSimhash(text: String): Long = {
     val toks = text.toLowerCase.trim.replaceAll("\\s+", " ")
       .split(" ").filter(_.nonEmpty)
-    (0 until 32).map { b =>
-      val v = toks.map(t => if (((h32(t) >> b) & 1L) == 1L) 1 else -1).sum
+    (0 until 60).map { b =>
+      val v = toks.map(t =>
+        if (((hexPrefix(t, 15) >> b) & 1L) == 1L) 1 else -1).sum
       if (v > 0) 1L << b else 0L
     }.sum
   }
 
   test("portable simhash: planted pair's hamming matches the hex reference") {
-    val base = "the quick brown fox jumps over the lazy dog while counting tokens"
-    val near = base + " lazy" // hamming 2 against base under md5-prefix-32
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor whiskey xray yankee zulu one two three four " +
+      "five six seven eight nine ten eleven twelve thirteen fourteen fifteen"
+    val near = base + " five" // hamming 1 against base under md5-prefix-60
     val refH = java.lang.Long.bitCount(refSimhash(base) ^ refSimhash(near))
     assert(refH <= 3, s"planted pair drifted to hamming $refH — pick closer docs")
     val far = "completely different content about parquet shuffles and joins"
@@ -67,7 +73,7 @@ class PortableSketchSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
-  test("codegen Md5SimHash32 matches the explode-vote reference on real docs") {
+  test("codegen Md5SimHash60 matches the explode-vote reference on real docs") {
     import org.apache.spark.sql.functions._
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
@@ -82,10 +88,29 @@ class PortableSketchSpec extends AnyFunSuite {
           TextAnalysis.normalizeText(col("text")).as("__norm"))
         .filter(col("__norm") =!= "")
         .select(col("doc_id"),
-          graft.functions.Md5SimHash32.md5Simhash32(col("__norm")).as("s"))
+          graft.functions.Md5SimHash60.md5Simhash60(col("__norm")).as("s"))
         .as[(Long, Long)].collect().toMap
       val ref = Dedup.simhashPortableReference(docs, "doc_id", "text")
         .as[(Long, Long)].collect().toMap
+      assert(fast == ref)
+    }
+  }
+
+  test("codegen Md5Winnow matches the window-min reference on real docs") {
+    import org.apache.spark.sql.functions._
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val edge = Seq(
+      (300001L, "Ünïcödé chäracters shift byte offsets but not char grams"),
+      (300002L, "aaaaaaaaaaaaaaaaaaaaaaaa"), // constant grams: one fp
+      (300003L, "  collapse   runs\tof whitespace before gramming  "))
+      .toDF("doc_id", "text")
+    for (docs <- Seq(real, edge)) {
+      val fast = TextAnalysis.winnowPortable(docs, "doc_id", "text", 8, 4)
+        .as[(Long, Long, Long)].collect().toSet
+      val ref = TextAnalysis
+        .winnowPortableReference(docs, "doc_id", "text", 8, 4)
+        .as[(Long, Long, Long)].collect().toSet
       assert(fast == ref)
     }
   }
