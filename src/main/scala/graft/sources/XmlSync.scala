@@ -38,32 +38,66 @@ object XmlSync {
     ts.toLocalDateTime.toLocalDate.format(dateFmt)
 
   // ---- shared null-safe Row field access for all renderers ----
+  // presence checks go through StructType.getFieldIndex (a cached
+  // name→index map): the earlier `schema.fieldNames.contains` form
+  // allocated the full name array on EVERY access — ~130 accesses per
+  // rendered person made that the dominant cost of the render map
+
+  /** Per-thread identity-keyed name→index maps: rows deserialized in
+    * one task share their schema instance, so the map is built once
+    * per (thread, schema). Bounded — a long-lived executor thread sees
+    * a fresh schema instance per task, and unbounded identity entries
+    * would be a slow leak.
+    */
+  private val idxCache: ThreadLocal[java.util.IdentityHashMap[
+      org.apache.spark.sql.types.StructType,
+      java.util.HashMap[String, Integer]]] =
+    ThreadLocal.withInitial(() => new java.util.IdentityHashMap)
+
+  /** Index of a present-and-non-null field, -1 otherwise. */
+  private def fieldIdx(r: Row, name: String): Int = {
+    val schema = r.schema
+    val cache = idxCache.get()
+    var m = cache.get(schema)
+    if (m == null) {
+      if (cache.size >= 64) cache.clear()
+      m = new java.util.HashMap[String, Integer](schema.length * 2)
+      val fs = schema.fields
+      var i = 0
+      while (i < fs.length) { m.put(fs(i).name, Integer.valueOf(i)); i += 1 }
+      cache.put(schema, m)
+    }
+    val i = m.get(name)
+    if (i == null || r.isNullAt(i.intValue)) -1 else i.intValue
+  }
 
   /** Field as string, null when absent/null. */
-  private def fieldStr(r: Row, name: String): String =
-    if (r.schema.fieldNames.contains(name) && !r.isNullAt(r.fieldIndex(name)))
-      r.get(r.fieldIndex(name)).toString
-    else null
+  private def fieldStr(r: Row, name: String): String = {
+    val i = fieldIdx(r, name)
+    if (i >= 0) r.get(i).toString else null
+  }
 
-  private def fieldTs(r: Row, name: String): java.sql.Timestamp =
-    if (r.schema.fieldNames.contains(name) && !r.isNullAt(r.fieldIndex(name)))
-      r.getAs[java.sql.Timestamp](name)
-    else null
+  private def fieldTs(r: Row, name: String): java.sql.Timestamp = {
+    val i = fieldIdx(r, name)
+    if (i >= 0) r.getAs[java.sql.Timestamp](i) else null
+  }
 
   /** Date-ish field as ISO yyyy-MM-dd, null when absent/null. */
-  private def fieldIsoDate(r: Row, name: String): String =
-    if (r.schema.fieldNames.contains(name) && !r.isNullAt(r.fieldIndex(name)))
-      r.get(r.fieldIndex(name)) match {
+  private def fieldIsoDate(r: Row, name: String): String = {
+    val i = fieldIdx(r, name)
+    if (i >= 0)
+      r.get(i) match {
         case ts: java.sql.Timestamp => ts.toLocalDateTime.toLocalDate.toString
         case d: java.sql.Date => d.toLocalDate.toString
         case other => other.toString
       }
     else null
+  }
 
-  private def fieldArr(r: Row, name: String): Seq[Row] =
-    if (r.schema.fieldNames.contains(name) && !r.isNullAt(r.fieldIndex(name)))
-      r.getAs[scala.collection.Seq[Row]](name).toSeq
-    else Seq.empty
+  private def fieldArr(r: Row, name: String): Seq[Row] = {
+    val i = fieldIdx(r, name)
+    if (i >= 0) r.getAs[scala.collection.Seq[Row]](i).toSeq else Seq.empty
+  }
 
   /** CDATA-safe raw payload: a value containing "]]>" would close the
     * CDATA section early and corrupt the document — split it across
