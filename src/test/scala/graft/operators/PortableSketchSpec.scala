@@ -120,4 +120,59 @@ class PortableSketchSpec extends AnyFunSuite {
     assert(TextAnalysis.winnowPortable(short, "doc_id", "text", 8, 4)
       .count() == 0)
   }
+
+  test("portable winnow plan has NO exchange — winnowing is per-doc") {
+    val docs = Seq((1L, "winnowing is embarrassingly parallel over docs"))
+      .toDF("doc_id", "text")
+    val plan = TextAnalysis.winnowPortable(docs, "doc_id", "text", 8, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    // the reference form pays a window exchange for the same answer —
+    // that difference is the point of the codegen path
+    val refPlan = TextAnalysis
+      .winnowPortableReference(docs, "doc_id", "text", 8, 4)
+      .queryExecution.executedPlan.toString
+    assert(refPlan.contains("Exchange"))
+  }
+
+  test("randomized parity: codegen twins equal references on fuzzed text") {
+    import org.apache.spark.sql.functions._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val tokenGen = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("the", "déjà", "Straße", "ΣΟΦΙΑ", "a", "!!", "x7"),
+      Gen.listOfN(3, Gen.choose('а', 'я')).map(_.mkString)) // cyrillic
+    val wsGen = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+    val docGen = for {
+      n <- Gen.choose(0, 40)
+      toks <- Gen.listOfN(n, tokenGen)
+      seps <- Gen.listOfN(n, wsGen)
+    } yield toks.zip(seps).map { case (t, s) => t + s }.mkString
+    val docs = (1 to 24).flatMap { i =>
+      docGen(Gen.Parameters.default, Seed(1234L + i)).map(t => (i.toLong, t))
+    }.toDF("doc_id", "text")
+    // shingles
+    val sh = docs.select(col("doc_id"),
+        TextAnalysis.wordShingles(col("text"), 3).as("fast"),
+        TextAnalysis.wordShinglesComposable(col("text"), 3).as("ref"))
+      .as[(Long, Seq[String], Seq[String])].collect()
+    for ((id, fast, ref) <- sh) assert(fast == ref, s"shingles doc $id")
+    // simhash
+    val fastSig = docs.select(col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("__norm"))
+      .filter(col("__norm") =!= "")
+      .select(col("doc_id"),
+        graft.functions.Md5SimHash60.md5Simhash60(col("__norm")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    val refSig = Dedup.simhashPortableReference(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fastSig == refSig)
+    // winnow
+    val fastW = TextAnalysis.winnowPortable(docs, "doc_id", "text", 4, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val refW = TextAnalysis.winnowPortableReference(docs, "doc_id", "text", 4, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fastW == refW)
+  }
 }
