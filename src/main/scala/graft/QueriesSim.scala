@@ -15,7 +15,9 @@ object QueriesSim {
 
   private def vecsD(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      // native array cast (codegen) — the transform-lambda form was
+      // interpreted and re-inlined into every consumer
+      col("embedding").cast("array<double>").as("embedding"))
 
   /** Brute-force cosine top-10 per query vector (query set = every 50th
     * vector, broadcast; corpus streams — the exactness baseline).

@@ -20,14 +20,16 @@ object Similarity {
     * (Embedding the norm inside a per-element lambda would re-evaluate
     * it per element: O(d²) per row.)
     */
-  def l2norm(vec: Column): Column =
-    sqrt(aggregate(transform(vec, x => x * x), lit(0.0), (acc, v) => acc + v))
+  def l2norm(vec: Column): Column = sqrt(dot(vec, vec))
 
-  /** Dot product of two double-array columns (codegen-free but single
-    * pass).
+  /** Dot product of two double-array columns — one fused codegen loop
+    * ([[graft.functions.VecOps.vecDot]]), bit-compatible with the
+    * `aggregate(zip_with(...))` fold it replaces (same element order
+    * and double arithmetic, so oracle cosines are unchanged) without
+    * materializing the zipped products array per pair.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VecOps.vecDot(a, b)
 
   /** Cosine from a precomputed-norm pair: dot(a,b)/(|a|·|b|) — the same
     * operation order as DuckDB's list_cosine_similarity, so the oracle
