@@ -100,12 +100,30 @@ object QueriesSim {
       .orderBy("query_id", "rank")
   }
 
+  /** Int8-quantized brute-force top-10 ([[Similarity.quantizeInt8]] /
+    * [[Similarity.topKQuantized]]) — the ANN memory lever (4× smaller
+    * codes than float32) with the pair stage reduced to one EXACT
+    * integer code dot + O(1) scalar math via the algebraic expansion
+    * of the dequantized dot. Fully oracle-checked: quantization uses
+    * floor(+0.5) (identical in both engines, unlike round()'s tie
+    * rule) and the oracle replicates codes, per-vector scalars, the
+    * closed-form norms, and the pair formula op-for-op.
+    */
+  def q60QuantizedTopk(s: SparkSession, dir: String): DataFrame = {
+    val quant = Similarity.quantizeInt8(vecsD(s, dir), "vec_id", "embedding")
+    Similarity.topKQuantized(quant,
+        quant.filter(pmod(col("vec_id"), lit(50)) === 0), "vec_id", k = 10)
+      .withColumn("rank", col("rank").cast("int"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_topk_brute_force" -> q40TopkBruteForce _,
     "q41_embedding_near_dup" -> q41EmbeddingNearDup _,
     "q42_lsh_topk" -> q42LshTopk _,
     "q46_ivf_topk" -> q46IvfTopk _,
     "q56_lsh_topk_portable" -> q56LshTopkPortable _,
+    "q60_quantized_topk" -> q60QuantizedTopk _,
   )
 
   /** The q56 oracle's per-plane dot product against the md5-derived
@@ -176,5 +194,47 @@ object QueriesSim {
          |  FROM scored)
          |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors q60QuantizedTopk op-for-op: floor(+0.5) codes, the same
+    // closed-form norms, and the algebraic pair formula in the same
+    // association order — the integer code dot is exact in double, so
+    // every intermediate is bit-identical across engines
+    "q60_quantized_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id, v, len(v) AS n, list_min(v) AS mn,
+        |    (list_max(v) - list_min(v)) / 255.0 AS s
+        |  FROM e),
+        |qc AS (
+        |  SELECT vec_id, n, mn, s,
+        |    CASE WHEN s = 0 THEN list_transform(v, x -> 0)
+        |         ELSE list_transform(v,
+        |           x -> CAST(floor((x - mn) / s + 0.5) AS INTEGER))
+        |    END AS codes
+        |  FROM qz),
+        |qs AS (
+        |  SELECT vec_id, n, mn, s, codes,
+        |    list_sum(codes) AS sumc,
+        |    list_sum(list_transform(codes, c -> c * c)) AS sd
+        |  FROM qc),
+        |qn AS (
+        |  SELECT vec_id, n, mn, s, codes, sumc,
+        |    sqrt(n * mn * mn + 2.0 * mn * s * sumc + s * s * sd) AS nrm
+        |  FROM qs),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round((q.n * q.mn * c.mn + q.mn * c.s * c.sumc
+        |           + c.mn * q.s * q.sumc
+        |           + q.s * c.s * list_dot_product(q.codes, c.codes))
+        |          / (q.nrm * c.nrm), 6) AS cos_sim
+        |  FROM qn q, qn c
+        |  WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+        |    AND q.nrm > 0 AND c.nrm > 0),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
   )
 }

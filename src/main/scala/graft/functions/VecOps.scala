@@ -44,6 +44,37 @@ case class VecDot(left: Expression, right: Expression)
   override def prettyName: String = "vec_dot"
 }
 
+/** Integer sibling of [[VecDot]] for `array<int>` quantization codes
+  * (int8 values ride int arrays): an EXACT long dot product — no FP
+  * summation-order concerns for the oracle at all. Same null
+  * semantics.
+  */
+case class VecDotI32(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dotI32OrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val boxed = ctx.freshName("dotBoxed")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Long $boxed = graft.functions.VecOps.dotI32OrNull($a, $b);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.longValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "vec_dot_i32"
+}
+
 object VecOps {
 
   /** Fused dot product; null for length mismatch or null elements
@@ -62,10 +93,35 @@ object VecOps {
     java.lang.Double.valueOf(acc)
   }
 
+  /** Exact integer dot product over int arrays; null semantics as
+    * [[dotOrNull]].
+    */
+  def dotI32OrNull(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getInt(i).toLong * b.getInt(i)
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
   /** Column-API entry point: dot product of two array<double> columns. */
   def vecDot(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graftshim.ColumnBridge
     ColumnBridge.column(VecDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Column-API entry point: exact dot product of two array<int>
+    * columns (quantization codes) as a long.
+    */
+  def vecDotI32(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(VecDotI32(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 }

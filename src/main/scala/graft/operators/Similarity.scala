@@ -376,4 +376,80 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim").dropDuplicates("id_a", "id_b")
   }
+
+  /** Per-vector int8 scalar quantization — the memory lever for ANN at
+    * corpus scale: codes are 0..255 per dimension (4× smaller than
+    * float32, 8× smaller than the double pipeline) plus two scalars
+    * (mn, scale) per vector. `code_i = floor((x_i - mn)/s + 0.5)` with
+    * `s = (mx - mn)/255` — floor(+0.5), not round(), because the two
+    * engines disagree on round()'s tie rule but floor is IEEE-exact in
+    * both. Constant vectors (s = 0) get all-zero codes.
+    *
+    * Also emits the derived per-vector scalars the quantized pair
+    * stage needs so pairwise work is O(1) + one integer dot:
+    * `sum_codes = Σc_i`, `norm` = |dequantized| via the closed form
+    * `sqrt(n·mn² + 2·mn·s·Σc + s²·Σc²)` (Σc² exact via
+    * [[graft.functions.VecOps.vecDotI32]]).
+    *
+    * Output: (idCol, codes array<int>, mn, scale, n_dim, sum_codes,
+    * norm).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val withScale = df.select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("__mn", array_min(col("__v")))
+      .withColumn("__s", (array_max(col("__v")) - col("__mn")) / lit(255.0))
+    val coded = withScale.withColumn("codes",
+        when(col("__s") === 0,
+          transform(col("__v"), _ => lit(0)))
+          .otherwise(transform(col("__v"),
+            x => floor((x - col("__mn")) / col("__s") + lit(0.5)).cast("int"))))
+      .withColumn("sum_codes",
+        aggregate(col("codes"), lit(0L), (acc, c) => acc + c))
+      .withColumn("__sd", graft.functions.VecOps.vecDotI32(
+        col("codes"), col("codes")))
+      .withColumn("n_dim", size(col("codes")))
+    coded.select(col(idCol), col("codes"), col("__mn").as("mn"),
+      col("__s").as("scale"), col("n_dim"), col("sum_codes"),
+      sqrt(col("n_dim") * col("__mn") * col("__mn") +
+        lit(2.0) * col("__mn") * col("__s") * col("sum_codes") +
+        col("__s") * col("__s") * col("__sd")).as("norm"))
+  }
+
+  /** Brute-force cosine top-k over int8-QUANTIZED vectors: the
+    * dequantized dot expands algebraically to
+    * `n·mn_q·mn_c + mn_q·s_c·Σc_c + mn_c·s_q·Σc_q + s_q·s_c·(cq·cc)`,
+    * so each pair costs one EXACT integer code dot
+    * ([[graft.functions.VecOps.vecDotI32]]) plus O(1) scalar math on
+    * per-vector precomputes — never a dequantized array. Both inputs
+    * are [[quantizeInt8]] outputs; zero-norm vectors are excluded on
+    * both sides (cosine undefined). Ranking follows [[topK]]:
+    * (rounded cos desc, neighbor id), so an oracle replicating the
+    * same closed form hash-matches.
+    */
+  def topKQuantized(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      k: Int): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      df.filter(col("norm") > 0).select(
+        col(idCol).as(s"${tag}_id"), col("codes").as(s"__c_$tag"),
+        col("mn").as(s"__mn_$tag"), col("scale").as(s"__s_$tag"),
+        col("n_dim").as(s"__n_$tag"), col("sum_codes").as(s"__sum_$tag"),
+        col("norm").as(s"__norm_$tag"))
+    val q = side(queries, "query")
+    val c = side(corpus, "neighbor")
+    val dotqc = graft.functions.VecOps.vecDotI32(
+      col("__c_query"), col("__c_neighbor")).cast("double")
+    val cos =
+      (col("__n_query") * col("__mn_query") * col("__mn_neighbor") +
+        col("__mn_query") * col("__s_neighbor") * col("__sum_neighbor") +
+        col("__mn_neighbor") * col("__s_query") * col("__sum_query") +
+        col("__s_query") * col("__s_neighbor") * dotqc) /
+        (col("__norm_query") * col("__norm_neighbor"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(cos, 6))
+    rankTopK(scored, k)
+  }
 }
