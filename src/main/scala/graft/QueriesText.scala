@@ -145,6 +145,19 @@ object QueriesText {
         array_min(col("fp")).as("min_fp"), array_max(col("fp")).as("max_fp"))
       .orderBy("doc_id")
 
+  /** Concat-and-chunk sequence packing ([[graft.operators.Scale
+    * .packSequences]], seqLen 2048): every doc's global token offset
+    * via the scalable two-level prefix sum, and the sequence window
+    * range it occupies. The DuckDB oracle replicates the prefix sum
+    * with one window cumsum — integer-exact, so the two-level
+    * decomposition is value-checked against the straightforward form.
+    */
+  def q61SequencePacking(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.packSequences(
+        Tables.documents(s, dir), "doc_id",
+        TextAnalysis.tokenCount(col("text")), seqLen = 2048L)
+      .orderBy("doc_id")
+
   /** Gopher-style repetition signals ([[TextAnalysis.repetitionStats]]):
     * distinct-token ratio, top-token fraction, duplicate-trigram
     * fraction — the classic repetitive-document filters for LLM
@@ -297,6 +310,7 @@ object QueriesText {
     "q58_simhash_portable" -> q58SimhashPortable _,
     "q38_winnow_fingerprint" -> q38Winnow _,
     "q59_winnow_portable" -> q59WinnowPortable _,
+    "q61_sequence_packing" -> q61SequencePacking _,
     "q47_repetition" -> q47Repetition _,
     "q48_compression" -> q48Compression _,
     "q49_redaction" -> q49Redaction _,
@@ -478,6 +492,31 @@ object QueriesText {
            |  mk >> 21 AS fp
            |FROM wm WHERE i >= 4
            |ORDER BY doc_id, pos""".stripMargin,
+
+      // mirrors q61SequencePacking: same token count as q30's twin,
+      // one straightforward window cumsum vs Spark's two-level
+      // bucketed prefix sum — integer-exact equality
+      "q61_sequence_packing" ->
+        """WITH d AS (
+          |  SELECT doc_id,
+          |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+          |         x -> x <> '')) AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, n_tokens,
+          |    -- window sum yields HUGEINT, which pandas coerces to
+          |    -- float64: pin BIGINT to match Spark's long schema
+          |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          |      0) AS BIGINT) AS tok_offset
+          |  FROM d)
+          |SELECT doc_id, n_tokens, tok_offset,
+          |  CAST(tok_offset // 2048 AS BIGINT) AS seq_first,
+          |  CAST((tok_offset + greatest(n_tokens, 1) - 1) // 2048 AS BIGINT)
+          |    AS seq_last,
+          |  CAST((tok_offset + greatest(n_tokens, 1) - 1) // 2048
+          |    - tok_offset // 2048 + 1 AS BIGINT) AS n_seqs
+          |FROM c ORDER BY doc_id""".stripMargin,
 
       "q47_repetition" ->
         """WITH docs AS (

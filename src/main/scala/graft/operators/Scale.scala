@@ -175,4 +175,55 @@ object Scale {
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Concat-and-chunk sequence packing — the pretraining layout step:
+    * documents are (conceptually) tokenized, concatenated in `idCol`
+    * order, and sliced into fixed `seqLen`-token windows; each doc
+    * learns its global token offset and the first/last sequence it
+    * lands in. Zero-token docs occupy no tokens and are pinned to the
+    * single sequence at their offset.
+    *
+    * The global prefix sum is TWO-LEVEL, never a single-partition
+    * window: ids bucket order-preservingly (`floor(id / bucketSpan)`),
+    * token totals aggregate per bucket (one shuffle), the bucket
+    * totals — corpus/bucketSpan rows, sized to stay tiny — cumsum in
+    * one window and broadcast back, and each doc adds its
+    * within-bucket exclusive cumsum (window partitioned BY BUCKET, so
+    * every window partition is bounded by bucketSpan ids). Pick
+    * `bucketSpan` so both levels stay bounded at the target corpus
+    * (1e6 span → 1e5 bucket rows for 1e11 docs).
+    *
+    * Output: (idCol, n_tokens, tok_offset, seq_first, seq_last,
+    * n_seqs), all longs.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokens: Column,
+      seqLen: Long,
+      bucketSpan: Long = 4096): DataFrame = {
+    require(seqLen >= 1 && bucketSpan >= 1,
+      s"seqLen and bucketSpan must be positive: $seqLen, $bucketSpan")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol), tokens.cast("long").as("n_tokens"))
+      .withColumn("__bucket",
+        floor(col(idCol) / lit(bucketSpan)).cast("long"))
+    val bucketPrefix = base.groupBy("__bucket")
+      .agg(sum("n_tokens").as("__bt"))
+      .withColumn("__prefix",
+        coalesce(sum(col("__bt")).over(Window.orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__bucket", "__prefix")
+    val local = Window.partitionBy(col("__bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(bucketPrefix), Seq("__bucket"))
+      .withColumn("tok_offset",
+        col("__prefix") + coalesce(sum(col("n_tokens")).over(local), lit(0L)))
+      .withColumn("seq_first", expr(s"tok_offset div ${seqLen}L"))
+      .withColumn("seq_last",
+        expr(s"(tok_offset + greatest(n_tokens, 1L) - 1L) div ${seqLen}L"))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+      .select(col(idCol), col("n_tokens"), col("tok_offset"),
+        col("seq_first"), col("seq_last"), col("n_seqs"))
+  }
 }

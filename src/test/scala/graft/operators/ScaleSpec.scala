@@ -153,4 +153,30 @@ class ScaleSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("packSequences: two-level prefix sum matches sequential reference " +
+      "at any bucketSpan and partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // sparse non-contiguous ids, zero-token docs, a doc spanning
+    // several sequences
+    val docs = (0 until 300).map(i =>
+      (i * 7L + rnd.nextInt(3), rnd.nextInt(900).toLong)) :+
+      (5000L, 0L) :+ (5001L, 7000L)
+    val distinctDocs = docs.distinctBy(_._1).sortBy(_._1)
+    val seqLen = 2048L
+    var offset = 0L
+    val expected = distinctDocs.map { case (id, n) =>
+      val row = (id, n, offset, offset / seqLen,
+        (offset + math.max(n, 1) - 1) / seqLen)
+      offset += n
+      row
+    }.map(r => (r._1, r._2, r._3, r._4, r._5, r._5 - r._4 + 1)).toSet
+    for (span <- Seq(1L, 7L, 4096L); parts <- Seq(1, 13)) {
+      val df = distinctDocs.toDF("doc_id", "n").repartition(parts)
+      val got = Scale.packSequences(df, "doc_id", col("n"), seqLen, span)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == expected, s"span=$span parts=$parts")
+    }
+  }
 }
