@@ -10,9 +10,11 @@ import graft.operators.{Dedup, TextAnalysis}
   * dedup, n-gram Jaccard near-dup, MinHash+LSH, SimHash, repetition
   * signals, compression ratio, PII redaction, decontamination.
   *
-  * Queries q30–q35, q47, q49, q50, q52, q53, q55, q58, q59 have
-  * exact DuckDB oracles (q55/q58/q59 make MinHash+LSH, SimHash, and
-  * winnowing oracle-checkable via md5-seeded hashing). q36/q37/q38
+  * Queries q30–q35, q47, q49, q50, q52, q53, q55, q58, q59, q61,
+  * q62 have exact DuckDB oracles (q55/q58/q59 make MinHash+LSH,
+  * SimHash, and winnowing oracle-checkable via md5-seeded hashing;
+  * q61/q62 are the sequence-packing and source-quota curation
+  * steps). q36/q37/q38
   * are hash-family dependent (xxhash64 and the rolling hash have no
   * DuckDB twin — each has an oracle-checked md5 twin instead) and
   * q48 needs zlib → declared without oracle, driver records the
@@ -157,6 +159,27 @@ object QueriesText {
         Tables.documents(s, dir), "doc_id",
         TextAnalysis.tokenCount(col("text")), seqLen = 2048L)
       .orderBy("doc_id")
+
+  /** Per-source quota cap — the curation step that bounds
+    * over-represented sources: keep at most 10 docs per `source`,
+    * selected by a reproducible hash order (md5 of the id — the same
+    * engine-portable ordering both engines sort identically), ranked
+    * within the source. Runs on the custom bounded-heap physical
+    * operator ([[graft.plans.TopK.topKPerKey]] — no per-source sort,
+    * O(n log k)), making that operator a first-class oracle-checked
+    * query rather than an internal of the ANN path.
+    */
+  def q62SourceQuota(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      md5(col("doc_id").cast("string")).as("__h"))
+    val kept = graft.plans.TopK.topKPerKey(d, Seq("source"),
+      Seq("__h" -> true, "doc_id" -> true), 10)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("__h"), col("doc_id"))
+    kept.withColumn("rank", row_number().over(w).cast("int"))
+      .select("source", "doc_id", "rank")
+      .orderBy("source", "rank")
+  }
 
   /** Gopher-style repetition signals ([[TextAnalysis.repetitionStats]]):
     * distinct-token ratio, top-token fraction, duplicate-trigram
@@ -311,6 +334,7 @@ object QueriesText {
     "q38_winnow_fingerprint" -> q38Winnow _,
     "q59_winnow_portable" -> q59WinnowPortable _,
     "q61_sequence_packing" -> q61SequencePacking _,
+    "q62_source_quota" -> q62SourceQuota _,
     "q47_repetition" -> q47Repetition _,
     "q48_compression" -> q48Compression _,
     "q49_redaction" -> q49Redaction _,
@@ -517,6 +541,21 @@ object QueriesText {
           |  CAST((tok_offset + greatest(n_tokens, 1) - 1) // 2048
           |    - tok_offset // 2048 + 1 AS BIGINT) AS n_seqs
           |FROM c ORDER BY doc_id""".stripMargin,
+
+      // mirrors q62SourceQuota: md5-hex ordering is identical in both
+      // engines, so the kept set and ranks match the heap operator's
+      "q62_source_quota" ->
+        """WITH h AS (
+          |  SELECT doc_id, source,
+          |    md5(CAST(doc_id AS VARCHAR)) AS hh
+          |  FROM documents),
+          |r AS (
+          |  SELECT source, doc_id,
+          |    CAST(row_number() OVER (PARTITION BY source
+          |      ORDER BY hh, doc_id) AS INTEGER) AS rank
+          |  FROM h)
+          |SELECT source, doc_id, rank FROM r
+          |WHERE rank <= 10 ORDER BY source, rank""".stripMargin,
 
       "q47_repetition" ->
         """WITH docs AS (
