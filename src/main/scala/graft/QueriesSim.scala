@@ -110,7 +110,13 @@ object QueriesSim {
     * closed-form norms, and the pair formula op-for-op.
     */
   def q60QuantizedTopk(s: SparkSession, dir: String): DataFrame = {
+    // materialize the quantized index ONCE: codes come from an
+    // interpreted transform that CollapseProject would otherwise
+    // re-inline into the pair stage (re-quantizing per PAIR) and into
+    // both crossJoin sides — and a real deployment quantizes a corpus
+    // version once, not per query batch
     val quant = Similarity.quantizeInt8(vecsD(s, dir), "vec_id", "embedding")
+      .localCheckpoint()
     Similarity.topKQuantized(quant,
         quant.filter(pmod(col("vec_id"), lit(50)) === 0), "vec_id", k = 10)
       .withColumn("rank", col("rank").cast("int"))
