@@ -80,15 +80,12 @@ object Md5MinHash {
   }
 
   /** First 32 bits of md5(s) as a non-negative long — the value of
-    * the first 8 lowercase-hex characters of the digest.
+    * the first 8 lowercase-hex characters of the digest (the shared
+    * [[PortableBytes]] primitive).
     */
   def md5Prefix32(md: java.security.MessageDigest,
-      sBytes: Array[Byte]): Long = {
-    md.reset()
-    val d = md.digest(sBytes)
-    ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
-      ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
-  }
+      sBytes: Array[Byte]): Long =
+    PortableBytes.md5Prefix32(md, sBytes, 0, sBytes.length)
 
   def bandKeysCompute(arr: ArrayData, numHashes: Int, bands: Int): ArrayData = {
     val n = arr.numElements()

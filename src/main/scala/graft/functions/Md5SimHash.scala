@@ -46,27 +46,18 @@ object Md5SimHash60 {
         java.security.MessageDigest.getInstance("MD5")
     }
 
-  private def isSpace(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0B
-
   def compute(text: UTF8String): Long = {
     val bytes = text.toLowerCase.getBytes
-    val len = bytes.length
     // count occurrences per DISTINCT token first: each distinct token
     // is digested once and its votes weighted by the count — repeated
-    // tokens (the common case in natural text) skip repeat digests
+    // tokens (the common case in natural text) skip repeat digests.
+    // Tokenization is the shared [[PortableBytes]] contract.
     val counts = new java.util.HashMap[String, Array[Int]]()
-    var i = 0
-    while (i < len) {
-      while (i < len && isSpace(bytes(i))) i += 1
-      if (i < len) {
-        val start = i
-        while (i < len && !isSpace(bytes(i))) i += 1
-        val tok = new String(bytes, start, i - start,
-          java.nio.charset.StandardCharsets.UTF_8)
-        val c = counts.get(tok)
-        if (c == null) counts.put(tok, Array(1)) else c(0) += 1
-      }
+    PortableBytes.foreachToken(bytes) { (start, end) =>
+      val tok = new String(bytes, start, end - start,
+        java.nio.charset.StandardCharsets.UTF_8)
+      val c = counts.get(tok)
+      if (c == null) counts.put(tok, Array(1)) else c(0) += 1
     }
     val votes = new Array[Int](60)
     val md = mdLocal.get()

@@ -76,11 +76,7 @@ object Md5Winnow {
     var i = 0
     while (i < nh) {
       val bs = offs(i)
-      md.reset()
-      md.update(bytes, bs, offs(i + k) - bs)
-      val d = md.digest()
-      val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
-        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      val h = PortableBytes.md5Prefix32(md, bytes, bs, offs(i + k) - bs)
       keys(i) = (h << PosBits) | (PosMask - (i + 1)) // pos is 1-based
       i += 1
     }

@@ -48,28 +48,17 @@ case class WordShingles(child: Expression, n: Int)
 
 object WordShingles {
 
-  private def isSpace(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0B
-
   /** One-pass tokenize + n-token window join + first-occurrence
     * distinct. Returns shingle strings in first-occurrence order
-    * (matching `array_distinct` of the composable form).
+    * (matching `array_distinct` of the composable form). Tokenization
+    * is the shared [[PortableBytes]] contract.
     */
   def compute(text: UTF8String, n: Int): ArrayData = {
     val bytes = text.toLowerCase.getBytes
-    val len = bytes.length
     // token byte ranges [start, end) in the lowercased bytes
     val starts = new scala.collection.mutable.ArrayBuffer[Int](64)
     val ends = new scala.collection.mutable.ArrayBuffer[Int](64)
-    var i = 0
-    while (i < len) {
-      while (i < len && isSpace(bytes(i))) i += 1
-      if (i < len) {
-        starts += i
-        while (i < len && !isSpace(bytes(i))) i += 1
-        ends += i
-      }
-    }
+    PortableBytes.foreachToken(bytes) { (s, e) => starts += s; ends += e }
     val m = starts.length
     if (m < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.HashSet[UTF8String](m * 2)

@@ -428,9 +428,29 @@ object Dedup {
         graft.functions.Md5SimHash60.md5Simhash60(col("__norm"))
           .as("__simhash"))
       .localCheckpoint()
-    // hamming ≤ 3 < 4 chunks forces a collision on ≥ 1 chunk
-    val chunkCols = (0 until 4).map { i =>
-      shiftright(col("__simhash"), i * 15).bitwiseAND(lit(0x7FFFL))
+    simhashBandPairs(sig, idCol, nChunks = 4, chunkBits = 15, maxHamming)
+  }
+
+  /** Shared pigeonhole-banding tail for the SimHash family: split each
+    * `__simhash` into `nChunks` chunks of `chunkBits`, self-join per
+    * chunk, dedup candidate pairs, verify hamming. The pigeonhole
+    * guarantee — every pair within `maxHamming` collides on ≥ 1
+    * chunk — requires `maxHamming < nChunks`, so that is ENFORCED
+    * rather than silently returning an incomplete pair set.
+    */
+  private def simhashBandPairs(
+      sig: DataFrame,
+      idCol: String,
+      nChunks: Int,
+      chunkBits: Int,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < nChunks,
+      s"pigeonhole banding with $nChunks chunks only guarantees candidate " +
+        s"recall for hamming < $nChunks; got maxHamming=$maxHamming " +
+        "(raise nChunks/shrink chunks to widen the guarantee)")
+    val mask = (1L << chunkBits) - 1
+    val chunkCols = (0 until nChunks).map { i =>
+      shiftright(col("__simhash"), i * chunkBits).bitwiseAND(lit(mask))
     }
     val chunks = sig.select(col(idCol), col("__simhash"),
       posexplode(array(chunkCols: _*)).as(Seq("chunk_idx", "chunk")))
@@ -480,20 +500,6 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val withSh = simhash(df, idCol, textCol)
       .withColumnRenamed("simhash", "__simhash")
-    val chunkCols = (0 until 4).map { i =>
-      shiftright(col("__simhash"), i * 16).bitwiseAND(lit(0xFFFFL))
-    }
-    val chunks = withSh.select(col(idCol), col("__simhash"),
-      posexplode(array(chunkCols: _*)).as(Seq("chunk_idx", "chunk")))
-    val a = chunks.select(col(idCol).as("id_a"), col("__simhash").as("sh_a"),
-      col("chunk_idx"), col("chunk"))
-    val b = chunks.select(col(idCol).as("id_b"), col("__simhash").as("sh_b"),
-      col("chunk_idx"), col("chunk"))
-    a.join(b, Seq("chunk_idx", "chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", hamming64(col("sh_a"), col("sh_b")))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+    simhashBandPairs(withSh, idCol, nChunks = 4, chunkBits = 16, maxHamming)
   }
 }

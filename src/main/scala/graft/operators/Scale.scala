@@ -58,7 +58,9 @@ object Scale {
       .agg(count(lit(1)).as("__kn"))
       .filter(col("__kn") >= hotKeyThreshold)
       .select(keys.map(col): _*)
-    saltedJoinSkewAware(left, right, keys, saltFactor, hot)
+    // the groupBy output is distinct by construction — skip the
+    // defensive distinct() the caller-supplied overload applies
+    saltedSplitJoin(left, right, keys, saltFactor, hot)
   }
 
   /** [[saltedJoinSkewAware]] with a CALLER-SUPPLIED hot-key frame (just
@@ -78,7 +80,18 @@ object Scale {
       saltFactor: Int,
       hotKeys: DataFrame): DataFrame = {
     require(keys.nonEmpty, "saltedJoinSkewAware: need at least one key")
-    val hot = hotKeys.select(keys.map(col): _*).distinct()
+    // caller-supplied frames may carry duplicates; dedup defensively
+    saltedSplitJoin(left, right, keys, saltFactor,
+      hotKeys.select(keys.map(col): _*).distinct())
+  }
+
+  /** Shared hot/cold split tail; `hot` must already be distinct. */
+  private def saltedSplitJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      saltFactor: Int,
+      hot: DataFrame): DataFrame = {
     // left-semi/left-anti on the broadcast hot-key list: no flag column
     // survives into the join, so both branches carry identical schemas
     val lHot = left.join(broadcast(hot), keys, "left_semi")

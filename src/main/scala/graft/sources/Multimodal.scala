@@ -309,24 +309,29 @@ object Multimodal {
     }
 
     /** True only for payloads `javax.imageio` can plausibly read —
-      * JPEG (FF D8 FF), GIF (GIF8), or a PNG signature (the flavors
+      * JPEG (FF D8 FF), GIF (GIF8), a PNG signature (the flavors
       * [[decodePng]] refused: palette / grayscale / 16-bit /
-      * interlaced). The gate keeps non-image payloads (the synthetic
-      * text-byte media, video frames) off the reader-setup cost.
+      * interlaced), or a BMP header (the flavors [[decodeBmp]]
+      * refused: palette / RLE / 32-bit). The gate keeps non-image
+      * payloads (the synthetic text-byte media, video frames) off the
+      * reader-setup cost.
       */
     private def imageIoMagic(b: Array[Byte]): Boolean =
       b != null && b.length >= 8 && (
         ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 &&
           (b(2) & 0xFF) == 0xFF) ||
         (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
-        ((b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'))
+        ((b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+        (b(0) == 'B' && b(1) == 'M'))
 
     /** Decode via the JDK's `javax.imageio` (`java.desktop` module —
-      * verified present in this JVM): JPEG, GIF, and every PNG flavor
-      * the hand-rolled [[decodePng]] refuses. Output is normalized to
-      * the same top-down row-major RGB as the other decoders (alpha
-      * dropped). None — never a throw — for anything the registered
-      * readers can't parse, matching the [[decodeBmp]] contract.
+      * verified present in this JVM): JPEG, GIF, and every PNG or BMP
+      * flavor the hand-rolled [[decodePng]]/[[decodeBmp]] refuse
+      * (palette, grayscale, 16-bit, interlaced, RLE, 32-bit). Output
+      * is normalized to the same top-down row-major RGB as the other
+      * decoders (alpha dropped). None — never a throw — for anything
+      * the registered readers can't parse, matching the [[decodeBmp]]
+      * contract.
       */
     def decodeImageIO(bytes: Array[Byte]): Option[DecodedImage] = {
       if (!imageIoMagic(bytes)) return None

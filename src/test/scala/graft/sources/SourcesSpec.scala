@@ -405,6 +405,23 @@ class SourcesSpec extends AnyFunSuite {
     val expected = new Array[Float](4)
     for ((b, i) <- dj.rgb.zipWithIndex) expected(i % 4) += (b & 0xFF) / 255.0f
     assert(viaBatch.sameElements(expected))
+    // 8-bit palette BMP: decodeBmp refuses (bpp != 24), ImageIO
+    // decodes it to the exact planted gray ramp (BMP is lossless)
+    val pal = new BufferedImage(5, 3, BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until 3; x <- 0 until 5)
+      pal.setRGB(x, y, (x * 51) * 0x010101) // gray levels exist in the
+    val bmp8 = encode(pal, "bmp")           // default 256-entry palette
+    assert(bmp8(0) == 'B' && bmp8(1) == 'M')
+    assert(Multimodal.MediaCodec.decodeBmp(bmp8).isEmpty,
+      "hand-rolled decoder should refuse palette BMP")
+    val db = Multimodal.MediaCodec.decodeImageIO(bmp8).get
+    assert(db.width == 5 && db.height == 3)
+    assert(db.rgb.sameElements(refRgb(bmp8)))
+    for (y <- 0 until 3; x <- 0 until 5) {
+      val d = (y * 5 + x) * 3
+      assert((db.rgb(d) & 0xFF) == x * 51 && db.rgb(d) == db.rgb(d + 1) &&
+        db.rgb(d) == db.rgb(d + 2), s"bmp8 pixel ($x,$y)")
+    }
     // contract: malformed bytes yield None, never a throw
     assert(Multimodal.MediaCodec.decodeImageIO(
       jpeg.take(jpeg.length / 2)).isEmpty)
