@@ -181,6 +181,19 @@ object QueriesText {
       .orderBy("source", "rank")
   }
 
+  /** Data-mixture rebalancing ([[graft.operators.Scale
+    * .mixtureSample]]): per-source deterministic sample rates (src0
+    * kept at 80%, src1 at 50%, everything else at 20%) via the
+    * engine-portable md5 bucket — the step that reshapes a corpus's
+    * source composition toward a target mixture reproducibly.
+    */
+  def q63MixtureSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.mixtureSample(
+        Tables.documents(s, dir).select("doc_id", "source"),
+        "source", "doc_id",
+        Seq("src0" -> 80, "src1" -> 50), defaultPct = 20)
+      .orderBy("doc_id")
+
   /** Gopher-style repetition signals ([[TextAnalysis.repetitionStats]]):
     * distinct-token ratio, top-token fraction, duplicate-trigram
     * fraction — the classic repetitive-document filters for LLM
@@ -335,6 +348,7 @@ object QueriesText {
     "q59_winnow_portable" -> q59WinnowPortable _,
     "q61_sequence_packing" -> q61SequencePacking _,
     "q62_source_quota" -> q62SourceQuota _,
+    "q63_mixture_sample" -> q63MixtureSample _,
     "q47_repetition" -> q47Repetition _,
     "q48_compression" -> q48Compression _,
     "q49_redaction" -> q49Redaction _,
@@ -556,6 +570,17 @@ object QueriesText {
           |  FROM h)
           |SELECT source, doc_id, rank FROM r
           |WHERE rank <= 10 ORDER BY source, rank""".stripMargin,
+
+      // mirrors q63MixtureSample: q51's proven md5-bucket construction
+      // gated by a per-source CASE rate
+      "q63_mixture_sample" ->
+        """SELECT doc_id, source
+          |FROM documents
+          |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+          |        ::BIGINT % 100
+          |  < CASE WHEN source = 'src0' THEN 80
+          |         WHEN source = 'src1' THEN 50 ELSE 20 END
+          |ORDER BY doc_id""".stripMargin,
 
       "q47_repetition" ->
         """WITH docs AS (

@@ -172,6 +172,29 @@ object Scale {
   def hashSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
     df.filter(hashBucket(col(keyCol), 100) < pct)
 
+  /** Data-mixture rebalancing: keep a different deterministic sample
+    * rate per stratum (`strataCol` value → percent, e.g. web sources
+    * downsampled, curated sources kept whole). Same md5-bucket
+    * construction as [[hashSample]] — reproducible across runs,
+    * engines, and partitionings; a pure filter, no shuffle, no state.
+    * Strata absent from `rates` use `defaultPct`. Null ids are
+    * excluded (no bucket); null strata take `defaultPct`.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      rates: Seq[(String, Int)],
+      defaultPct: Int): DataFrame = {
+    require((defaultPct +: rates.map(_._2)).forall(p => p >= 0 && p <= 100),
+      s"rates must be percentages in [0,100]: $rates default=$defaultPct")
+    val rateCol = rates.foldRight(lit(defaultPct)) {
+      case ((stratum, pct), els) =>
+        when(col(strataCol) === stratum, lit(pct)).otherwise(els)
+    }
+    df.filter(hashBucket(col(idCol), 100) < rateCol)
+  }
+
   /** Write a table bucketed + sorted by `key` into the session catalog:
     * subsequent equi-joins between tables bucketed the same way plan
     * with ZERO Exchange on either side (SortMergeJoin over pre-shuffled

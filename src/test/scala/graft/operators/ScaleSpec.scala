@@ -154,6 +154,32 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("mixtureSample: per-stratum rates, determinism, subset of source") {
+    import spark.implicits._
+    val docs = (0L until 2000L).map(i => (i, s"src${i % 4}"))
+      .toDF("doc_id", "source")
+    val rates = Seq("src0" -> 100, "src1" -> 50, "src2" -> 0)
+    val got = Scale.mixtureSample(docs, "source", "doc_id", rates, 25)
+      .as[(Long, String)].collect().toSet
+    // determinism: same rows on a different partitioning
+    val again = Scale.mixtureSample(docs.repartition(13), "source",
+        "doc_id", rates, 25)
+      .as[(Long, String)].collect().toSet
+    assert(got == again)
+    val bySrc = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySrc.getOrElse("src0", 0) == 500) // 100% keeps everything
+    assert(!bySrc.contains("src2")) // 0% keeps nothing
+    val r1 = bySrc.getOrElse("src1", 0) / 500.0
+    val r3 = bySrc.getOrElse("src3", 0) / 500.0 // default rate
+    assert(math.abs(r1 - 0.5) < 0.1, s"src1 rate $r1")
+    assert(math.abs(r3 - 0.25) < 0.1, s"src3 default rate $r3")
+    // each stratum's sample is the per-stratum hashSample (same hash)
+    val src1Direct = Scale.hashSample(
+        docs.filter($"source" === "src1"), "doc_id", 50)
+      .as[(Long, String)].collect().toSet
+    assert(got.filter(_._2 == "src1") == src1Direct)
+  }
+
   test("packSequences: two-level prefix sum matches sequential reference " +
       "at any bucketSpan and partitioning") {
     import spark.implicits._
