@@ -472,7 +472,7 @@ object QueriesText {
            |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
 
       // mirrors q58SimhashPortable stage by stage: md5-prefix token
-      // hashes → per-bit votes → signature word → 8-bit chunks →
+      // hashes → per-bit votes → signature word → 15-bit chunks →
       // candidate join → verified hamming
       "q58_simhash_portable" ->
         s"""WITH toks AS (
