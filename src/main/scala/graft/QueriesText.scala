@@ -10,11 +10,11 @@ import graft.operators.{Dedup, TextAnalysis}
   * dedup, n-gram Jaccard near-dup, MinHash+LSH, SimHash, repetition
   * signals, compression ratio, PII redaction, decontamination.
   *
-  * Queries q30–q35, q47, q49, q50, q52, q53, q55, q58, q59, q61,
-  * q62 have exact DuckDB oracles (q55/q58/q59 make MinHash+LSH,
+  * Queries q30–q35, q47, q49, q50, q52, q53, q55, q58, q59, and
+  * q61–q63 have exact DuckDB oracles (q55/q58/q59 make MinHash+LSH,
   * SimHash, and winnowing oracle-checkable via md5-seeded hashing;
-  * q61/q62 are the sequence-packing and source-quota curation
-  * steps). q36/q37/q38
+  * q61/q62/q63 are the sequence-packing, source-quota, and
+  * mixture-sampling curation steps). q36/q37/q38
   * are hash-family dependent (xxhash64 and the rolling hash have no
   * DuckDB twin — each has an oracle-checked md5 twin instead) and
   * q48 needs zlib → declared without oracle, driver records the
