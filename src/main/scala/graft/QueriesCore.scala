@@ -555,14 +555,18 @@ object QueriesCore {
         concat(lit("Desc <"), col("o_orderpriority"), lit("> & more"))
           .as("job_description")).as("job"))
       .groupBy("k").agg(collect_list(col("job")).as("jobs"))
-    persons.join(jobs, Seq("k"), "left")
+    val rendered = persons.join(jobs, Seq("k"), "left")
       .map { r =>
         val js =
           (if (r.isNullAt(r.fieldIndex("jobs"))) Seq.empty[Row]
            else r.getAs[scala.collection.Seq[Row]]("jobs").toSeq)
             .sortBy(_.getAs[Long]("sort_key"))
         (r.getAs[String]("person_id"), graft.sources.XmlSync.renderPerson(r, js))
-      }.toDF("person_id", "xml").orderBy("person_id")
+      }.toDF("person_id", "xml")
+    // materialize before the global sort: orderBy's range partitioner
+    // SAMPLES its input first, which would execute the whole render
+    // pipeline twice (measured: 2× the query cost at sf0.1)
+    rendered.localCheckpoint().orderBy("person_id")
   }
 
   val queries: Map[String, Q] = Map(
