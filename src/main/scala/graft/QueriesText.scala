@@ -129,8 +129,12 @@ object QueriesText {
     * with rightmost tie-break, and position dedup row-for-row.
     */
   def q59WinnowPortable(s: SparkSession, dir: String): DataFrame =
+    // materialize before the global sort: there is NO shuffle between
+    // the md5 gram hashing and the orderBy, so the range partitioner's
+    // sampling pass would re-digest every gram (same fix as q57)
     TextAnalysis.winnowPortable(Tables.documents(s, dir), "doc_id", "text",
         k = 8, w = 4)
+      .localCheckpoint()
       .orderBy("doc_id", "pos")
 
   /** Winnowing rolling-hash fingerprints via the custom Catalyst
