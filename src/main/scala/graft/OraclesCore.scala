@@ -478,5 +478,150 @@ object OraclesCore {
         |  || '</person>' || chr(10) AS xml
         |FROM p LEFT JOIN ja ON p.k = ja.k
         |ORDER BY person_id""".stripMargin,
+
+    // q64: rebuilds renderOrganisation (templates/organisation.xml.j2
+    // shape — the largest reference template) and renderUser
+    // (templates/user.xml.j2) with pure string concatenation. Every
+    // collection section appears or not by the same modulo that
+    // plants it on the Spark side; the CDATA payload replicates the
+    // "]]>" split-escape; org dates are ISO (%Y-%m-%d), unlike the
+    // person template's dd-MM-yyyy.
+    "q64_org_user_xml" ->
+      s"""WITH o AS (
+        |  SELECT p_partkey AS k,
+        |    'G' || CAST(p_partkey AS VARCHAR) AS oid,
+        |    p_type AS typ, p_brand AS brand, p_name AS pname,
+        |    p_name || ' <&> "x' || chr(39) AS nm,
+        |    DATE '1994-01-01' + CAST(p_partkey % 1000 AS INTEGER) AS sd
+        |  FROM part),
+        |ox AS (
+        |  SELECT oid AS doc_id,
+        |       '<organisation managedInPure="false">' || chr(10)
+        |    || '  <organisationId>' || oid || '</organisationId>' || chr(10)
+        |    || '  <type>' || ${xesc("typ")} || '</type>' || chr(10)
+        |    || '  <name>' || chr(10)
+        |    || '    <v3:text lang="en" country="US">' || ${xesc("nm")} || '</v3:text>' || chr(10)
+        |    || '  </name>' || chr(10)
+        |    || '  <startDate>' || strftime(sd, '%Y-%m-%d') || '</startDate>' || chr(10)
+        |    || CASE WHEN k % 6 = 0 THEN
+        |         '  <endDate>' || strftime(sd + 180, '%Y-%m-%d') || '</endDate>' || chr(10) ELSE '' END
+        |    || '  <visibility>' || CASE WHEN k % 2 = 0 THEN 'Public' ELSE 'Restricted' END || '</visibility>' || chr(10)
+        |    || CASE WHEN k % 10 <> 0 THEN
+        |         '  <parentOrganisationId>G' || CAST(k // 10 AS VARCHAR) || '</parentOrganisationId>' || chr(10) ELSE '' END
+        |    || CASE WHEN k % 2 = 0 THEN
+        |          '  <nameVariants>' || chr(10)
+        |       || '    <nameVariant>' || chr(10)
+        |       || '      <type>acronym</type>' || chr(10)
+        |       || '      <name>' || chr(10)
+        |       || '        <v3:text lang="en" country="US">' || ${xesc("'NV<' || brand || '>'")} || '</v3:text>' || chr(10)
+        |       || '      </name>' || chr(10)
+        |       || '    </nameVariant>' || chr(10)
+        |       || CASE WHEN k % 4 = 0 THEN
+        |             '    <nameVariant>' || chr(10)
+        |          || '      <type>former</type>' || chr(10)
+        |          || '      <name>' || chr(10)
+        |          || '        <v3:text lang="en" country="US">' || ${xesc("brand || ' & older'")} || '</v3:text>' || chr(10)
+        |          || '      </name>' || chr(10)
+        |          || '    </nameVariant>' || chr(10)
+        |          ELSE '' END
+        |       || '  </nameVariants>' || chr(10)
+        |       ELSE '' END
+        |    || CASE WHEN k % 3 = 0 THEN
+        |          '  <profileInfos>' || chr(10)
+        |       || '    <profileInfo>' || chr(10)
+        |       || '      <type>overview</type>' || chr(10)
+        |       || '      <profileInfo>' || chr(10)
+        |       || '        <v3:text lang="en" country="US"><![CDATA['
+        |            || replace(pname || ' ]]> <raw> & stuff', ']]>', ']]]]><![CDATA[>')
+        |            || ']]></v3:text>' || chr(10)
+        |       || '      </profileInfo>' || chr(10)
+        |       || '    </profileInfo>' || chr(10)
+        |       || '  </profileInfos>' || chr(10)
+        |       ELSE '' END
+        |    || CASE WHEN k % 5 = 0 THEN
+        |          '  <photos>' || chr(10)
+        |       || '    <photo>' || chr(10)
+        |       || '      <type>logo</type>' || chr(10)
+        |       || '      <photoValue>http://img/' || CAST(k AS VARCHAR) || '</photoValue>' || chr(10)
+        |       || '      <photoProtocol>http</photoProtocol>' || chr(10)
+        |       || '    </photo>' || chr(10)
+        |       || '  </photos>' || chr(10)
+        |       ELSE '' END
+        |    || CASE WHEN k % 7 = 0 THEN
+        |          '  <phoneNumbers>' || chr(10)
+        |       || '    <phoneNumber>' || chr(10)
+        |       || '      <type>office</type>' || chr(10)
+        |       || '      <phoneNumber>+1-612-' || CAST(k AS VARCHAR) || '</phoneNumber>' || chr(10)
+        |       || '    </phoneNumber>' || chr(10)
+        |       || '  </phoneNumbers>' || chr(10)
+        |       ELSE '' END
+        |    || CASE WHEN k % 2 = 1 THEN
+        |          '  <emails>' || chr(10)
+        |       || '    <email>' || chr(10)
+        |       || '      <type>work</type>' || chr(10)
+        |       || '      <email>org' || CAST(k AS VARCHAR) || '@umn.edu</email>' || chr(10)
+        |       || '    </email>' || chr(10)
+        |       || '  </emails>' || chr(10)
+        |       ELSE '' END
+        |    || CASE WHEN k % 11 = 0 THEN
+        |          '  <webAddresses>' || chr(10)
+        |       || '    <webAddress>' || chr(10)
+        |       || '      <type>home</type>' || chr(10)
+        |       || '      <webAddress>' || chr(10)
+        |       || '        <v3:text lang="en" country="US">' || ${xesc("'http://w/' || CAST(k AS VARCHAR) || '?a=1&b=<2>'")} || '</v3:text>' || chr(10)
+        |       || '      </webAddress>' || chr(10)
+        |       || '    </webAddress>' || chr(10)
+        |       || '  </webAddresses>' || chr(10)
+        |       ELSE '' END
+        |    || CASE WHEN k % 13 = 0 THEN
+        |          '  <addresses>' || chr(10)
+        |       || '    <address>' || chr(10)
+        |       || '      <type>postal</type>' || chr(10)
+        |       || '      <city>Minneapolis &#34;MN&#34;</city>' || chr(10)
+        |       || '      <postalCode>554' || CAST(k % 100 AS VARCHAR) || '</postalCode>' || chr(10)
+        |       || CASE WHEN k % 26 <> 0 THEN
+        |            '      <street>123 &lt;Oak&gt; St</street>' || chr(10) ELSE '' END
+        |       || '      <country>US &amp; A</country>' || chr(10)
+        |       || CASE WHEN k % 39 = 0 THEN
+        |            '      <subdivision>Hennepin</subdivision>' || chr(10) ELSE '' END
+        |       || '    </address>' || chr(10)
+        |       || '  </addresses>' || chr(10)
+        |       ELSE '' END
+        |    || '  <ids>' || chr(10)
+        |    || '    <id>' || chr(10)
+        |    || '      <idSource>peoplesoft_deptid</idSource>' || chr(10)
+        |    || '      <id>' || CAST(k AS VARCHAR) || '</id>' || chr(10)
+        |    || '    </id>' || chr(10)
+        |    || CASE WHEN k % 2 = 0 THEN
+        |          '    <id>' || chr(10)
+        |       || '      <idSource>dept_id</idSource>' || chr(10)
+        |       || '      <id>D' || CAST(k AS VARCHAR) || '</id>' || chr(10)
+        |       || '    </id>' || chr(10)
+        |       ELSE '' END
+        |    || '  </ids>' || chr(10)
+        |    || '</organisation>' || chr(10) AS xml
+        |  FROM o),
+        |u AS (
+        |  SELECT 'U' || CAST(c_custkey AS VARCHAR) AS doc_id,
+        |    'P' || CAST(c_custkey AS VARCHAR) AS pid,
+        |    'u' || CAST(c_custkey AS VARCHAR) || '<&' AS uname,
+        |    'c' || CAST(c_custkey AS VARCHAR) || '@x."org"' AS email,
+        |    c_mktsegment AS fn,
+        |    c_name || ' ' || chr(39) || 'q' AS ln
+        |  FROM customer),
+        |ux AS (
+        |  SELECT doc_id,
+        |       '<user id="' || ${xesc("pid")} || '">' || chr(10)
+        |    || '  <userName>' || ${xesc("uname")} || '@umn.edu</userName>' || chr(10)
+        |    || '  <email>' || ${xesc("email")} || '</email>' || chr(10)
+        |    || '  <name>' || chr(10)
+        |    || '    <v3:firstname>' || ${xesc("fn")} || '</v3:firstname>' || chr(10)
+        |    || '    <v3:lastname>' || ${xesc("ln")} || '</v3:lastname>' || chr(10)
+        |    || '  </name>' || chr(10)
+        |    || '</user>' || chr(10) AS xml
+        |  FROM u)
+        |SELECT doc_id, xml FROM ox
+        |UNION ALL SELECT doc_id, xml FROM ux
+        |ORDER BY doc_id""".stripMargin,
   )
 }

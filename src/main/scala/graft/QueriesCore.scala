@@ -569,6 +569,120 @@ object QueriesCore {
     rendered.localCheckpoint().orderBy("person_id")
   }
 
+  /** S8, completed — the organisation and user XML templates as
+    * ORACLE-CHECKED queries, exactly as q57 did for the person
+    * template: orgs derive from `part`, users from `customer`, and
+    * every row renders through the REAL
+    * [[graft.sources.XmlSync.renderOrganisationsXml]] /
+    * [[graft.sources.XmlSync.renderUser]] paths. The DuckDB oracle
+    * rebuilds both documents with string concatenation, so escaping,
+    * every conditional/loop section of the largest reference template
+    * (`templates/organisation.xml.j2:1-128`), ISO org dates (unlike
+    * the person template's dd-MM-yyyy), and the CDATA "]]>"
+    * split-escape are hash-checked. Coverage is planted per section:
+    * nameVariants on partkey%2=0 (a second variant on %4=0),
+    * profileInfos with a raw "]]> <raw> &" payload on %3=0, photos
+    * %5=0, phoneNumbers %7=0, emails on odd keys, webAddresses %11=0
+    * (value embeds `&`/`<`), addresses %13=0 (nullable street /
+    * subdivision inside), ids always (two on even keys); endDate only
+    * on %6=0, parentOrganisationId absent on %10=0
+    * (`templates/user.xml.j2:1-10` gets planted escapes in user_name /
+    * email / last_name). The org doc_id is regexp-extracted BACK from
+    * the rendered document, so id placement is itself checked.
+    *
+    * Scale shape: both renders are distributed maps over
+    * pre-partitioned rows (no driver loop, no collect); the
+    * `localCheckpoint` only pins the render result so the final
+    * oracle-ordering sort's sampling pass doesn't execute it twice
+    * (same rationale as q57).
+    */
+  def q64OrgUserXml(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = col("p_partkey")
+    def tv(t: String, v: Column): Column =
+      struct(lit(t).as("type"), v.as("value"))
+    val start = date_add(lit(java.sql.Date.valueOf("1994-01-01")),
+      pmod(k, lit(1000)).cast("int"))
+    val orgs = Tables.part(s, dir).select(
+      concat(lit("G"), k.cast("string")).as("organisation_id"),
+      col("p_type").as("type"),
+      concat(col("p_name"), lit(" <&> \"x'")).as("name"),
+      start.as("start_date"),
+      when(pmod(k, lit(6)) === 0, date_add(start, 180))
+        .otherwise(lit(null).cast("date")).as("end_date"),
+      when(pmod(k, lit(2)) === 0, lit("Public"))
+        .otherwise(lit("Restricted")).as("visibility"),
+      when(pmod(k, lit(10)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("G"), floor(k / 10).cast("string")))
+        .as("parent_organisation_id"),
+      // array_compact drops the null branches of the unsatisfied
+      // `when`s, so each modulo plants a 0/1/2-element collection
+      array_compact(array(
+        when(pmod(k, lit(2)) === 0,
+          tv("acronym", concat(lit("NV<"), col("p_brand"), lit(">")))),
+        when(pmod(k, lit(4)) === 0,
+          tv("former", concat(col("p_brand"), lit(" & older"))))))
+        .as("name_variants"),
+      array_compact(array(
+        when(pmod(k, lit(3)) === 0,
+          tv("overview", concat(col("p_name"), lit(" ]]> <raw> & stuff"))))))
+        .as("profile_infos"),
+      array_compact(array(
+        when(pmod(k, lit(5)) === 0,
+          tv("logo", concat(lit("http://img/"), k.cast("string"))))))
+        .as("photos"),
+      array_compact(array(
+        when(pmod(k, lit(7)) === 0,
+          tv("office", concat(lit("+1-612-"), k.cast("string"))))))
+        .as("phone_numbers"),
+      array_compact(array(
+        when(pmod(k, lit(2)) === 1,
+          tv("work", concat(lit("org"), k.cast("string"), lit("@umn.edu"))))))
+        .as("emails"),
+      array_compact(array(
+        when(pmod(k, lit(11)) === 0,
+          tv("home", concat(lit("http://w/"), k.cast("string"),
+            lit("?a=1&b=<2>"))))))
+        .as("web_addresses"),
+      array_compact(array(
+        when(pmod(k, lit(13)) === 0, struct(
+          lit("postal").as("type"),
+          lit("Minneapolis \"MN\"").as("city"),
+          concat(lit("554"), pmod(k, lit(100)).cast("string"))
+            .as("postalcode"),
+          when(pmod(k, lit(26)) === 0, lit(null).cast("string"))
+            .otherwise(lit("123 <Oak> St")).as("street"),
+          lit(null).cast("string").as("building"),
+          lit("US & A").as("country"),
+          when(pmod(k, lit(39)) === 0, lit("Hennepin"))
+            .otherwise(lit(null).cast("string")).as("subdivision"),
+          lit(null).cast("string").as("geospatial_point")))))
+        .as("addresses"),
+      array_compact(array(
+        tv("peoplesoft_deptid", k.cast("string")),
+        when(pmod(k, lit(2)) === 0,
+          tv("dept_id", concat(lit("D"), k.cast("string"))))))
+        .as("ids"))
+    val orgXml = graft.sources.XmlSync.renderOrganisationsXml(orgs)
+      .toDF("xml")
+      .select(regexp_extract(col("xml"),
+        "<organisationId>([^<]*)</organisationId>", 1).as("doc_id"),
+        col("xml"))
+    val users = Tables.customer(s, dir).select(
+      concat(lit("U"), col("c_custkey").cast("string")).as("doc_id"),
+      concat(lit("P"), col("c_custkey").cast("string")).as("person_id"),
+      concat(lit("u"), col("c_custkey").cast("string"), lit("<&"))
+        .as("user_name"),
+      concat(lit("c"), col("c_custkey").cast("string"), lit("@x.\"org\""))
+        .as("email"),
+      col("c_mktsegment").as("first_name"),
+      concat(col("c_name"), lit(" 'q")).as("last_name"))
+    val userXml = users.map { r =>
+      (r.getAs[String]("doc_id"), graft.sources.XmlSync.renderUser(r))
+    }.toDF("doc_id", "xml")
+    orgXml.unionByName(userXml).localCheckpoint().orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project" -> q02FilterProject _,
@@ -605,5 +719,6 @@ object QueriesCore {
     "q45_salted_join" -> q45SaltedJoin _,
     "q51_hash_split" -> q51HashSplit _,
     "q57_person_xml" -> q57PersonXml _,
+    "q64_org_user_xml" -> q64OrgUserXml _,
   )
 }
