@@ -26,6 +26,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // NOTE for log readers: any "WindowExec: No Partition Defined"
+    // warnings in this bench's output come solely from the BUCKET
+    // level of Scale.packSequences' two-level prefix sum (q61), whose
+    // input is corpus/bucketSpan rows by construction — a bounded
+    // single-partition window, not a scale hazard.
 
     // warm the session with table scans (parquet footers, codegen
     // compiler) rather than pre-running one arbitrary query, which
@@ -69,8 +74,21 @@ object Bench {
       // corrupted round-7 medians (q30 recorded 8× its isolated cost).
       // Each query re-materializes its own checkpoints, so dropping
       // them here never changes results — only isolates measurements.
+      // blocking = true: block removal must not overlap the next
+      // query's timed region (the wait itself happens between
+      // t-measurements, so it costs untimed wall-clock only).
+      // CAVEAT: this drops ALL persistent RDDs, which would silently
+      // defeat any future query measuring cross-query index REUSE
+      // (e.g. Similarity.ivfIndex); such a benchmark needs an
+      // allowlist or tagged-RDD exemption here.
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
+      // keep the SQL CacheManager consistent with block-manager state:
+      // unpersisting via getPersistentRDDs bypasses it, and a stale
+      // InMemoryRelation entry would match later plans with its
+      // storage level silently reset (no bench query df.persist()s
+      // today, but the invariant is cheap to hold)
+      spark.sharedState.cacheManager.clearCache()
     }
     // a query with no successful pass reports -1 so consumers can't
     // mistake a crash for a fast run

@@ -19,6 +19,28 @@ object OraclesCore {
     s"replace(replace(replace(replace(replace(coalesce($x,'')," +
       "'&','&amp;'),'<','&lt;'),'>','&gt;'),'\"','&#34;'),chr(39),'&#39;')"
 
+  /** Shared by q45 and q45b: a skew-salted join (either overload) must
+    * produce exactly the plain inner join's result.
+    */
+  private val saltedJoinOracle: String =
+    """WITH li AS (
+      |  SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0
+      |              ELSE l_orderkey END AS k, l_quantity
+      |  FROM lineitem),
+      |o AS (
+      |  SELECT k, min(o_orderpriority) AS priority,
+      |         count(*) AS n_orders
+      |  FROM (SELECT CASE WHEN o_orderkey % 4 = 0 THEN 0
+      |               ELSE o_orderkey END AS k, o_orderpriority
+      |        FROM orders)
+      |  GROUP BY k)
+      |SELECT li.k, priority, n_orders,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n_items
+      |FROM li JOIN o USING (k)
+      |GROUP BY li.k, priority, n_orders
+      |ORDER BY li.k""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -358,24 +380,10 @@ object OraclesCore {
         |      FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
 
-    "q45_salted_join" ->
-      """WITH li AS (
-        |  SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0
-        |              ELSE l_orderkey END AS k, l_quantity
-        |  FROM lineitem),
-        |o AS (
-        |  SELECT k, min(o_orderpriority) AS priority,
-        |         count(*) AS n_orders
-        |  FROM (SELECT CASE WHEN o_orderkey % 4 = 0 THEN 0
-        |               ELSE o_orderkey END AS k, o_orderpriority
-        |        FROM orders)
-        |  GROUP BY k)
-        |SELECT li.k, priority, n_orders,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  count(*) AS n_items
-        |FROM li JOIN o USING (k)
-        |GROUP BY li.k, priority, n_orders
-        |ORDER BY li.k""".stripMargin,
+    "q45_salted_join" -> saltedJoinOracle,
+    // same oracle by design: the hotKeys-overload query must equal the
+    // identical plain inner join for ANY hot-key list
+    "q45b_salted_join_hotkeys" -> saltedJoinOracle,
 
     // q57: rebuilds renderPerson's document (templates/person.xml.j2
     // shape) with pure string concatenation — every || piece mirrors

@@ -484,6 +484,36 @@ object QueriesCore {
       .orderBy("k")
   }
 
+  /** The CALLER-SUPPLIED hot-key overload of
+    * [[graft.operators.Scale.saltedJoinSkewAware]] as a declared query
+    * — q45's shape minus the counting pass: the planted hot key (0,
+    * carrying ~25% of lineitem) is handed in as a precomputed
+    * single-row frame, the 100 TB posture where hot keys are known
+    * upfront (or sampled once) and reused across every join of a
+    * batch. The oracle is the identical plain inner join, so the
+    * split/salt/explode/union plumbing of the no-counting path is
+    * oracle-checked end-to-end, not just ScaleSpec-tested.
+    */
+  def q45bSaltedJoinHotkeys(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def collapse(c: Column): Column =
+      when(pmod(c, lit(4)) === 0, lit(0L)).otherwise(c)
+    val li = Tables.lineitem(s, dir)
+      .select(collapse(col("l_orderkey")).as("k"), col("l_quantity"))
+    val o = Tables.orders(s, dir)
+      .select(collapse(col("o_orderkey")).as("k"), col("o_orderpriority"))
+      .groupBy("k")
+      .agg(min(col("o_orderpriority")).as("priority"),
+        count(lit(1)).as("n_orders"))
+    val hotKeys = Seq(0L).toDF("k")
+    graft.operators.Scale.saltedJoinSkewAware(li, o, Seq("k"),
+        saltFactor = 8, hotKeys)
+      .groupBy("k", "priority", "n_orders")
+      .agg(Fns.exactSum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy("k")
+  }
+
   /** Deterministic 80/10/10 train/val/test split by content hash
     * ([[graft.operators.Scale.hashSplit]]) — reproducible across runs,
     * engines, and partitionings, unlike rand()-based sampling. The
@@ -717,6 +747,7 @@ object QueriesCore {
     "q43_error_accumulate" -> q43ErrorAccumulate _,
     "q44_mptt_labels" -> q44MpttLabels _,
     "q45_salted_join" -> q45SaltedJoin _,
+    "q45b_salted_join_hotkeys" -> q45bSaltedJoinHotkeys _,
     "q51_hash_split" -> q51HashSplit _,
     "q57_person_xml" -> q57PersonXml _,
     "q64_org_user_xml" -> q64OrgUserXml _,

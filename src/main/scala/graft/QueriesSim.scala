@@ -100,6 +100,24 @@ object QueriesSim {
       .orderBy("query_id", "rank")
   }
 
+  /** Engine-portable IVF serving top-5 — the md5-centroid twin of q46:
+    * fixed [[Similarity.portableCentroids]] (0 Lloyd iterations) stand
+    * in for the trained quantizer, so the ENTIRE serving path —
+    * corpus→list assignment (argmax rounded cosine, ties to lowest
+    * centroid), nProbe=3 probe selection, inverted-list candidate
+    * scan, and (cos desc, id) ranking — is replicated by the DuckDB
+    * oracle, including each neighbor's centroid_id in the output.
+    * Training keeps its recall coverage in ScalaTest (q46 unchanged).
+    */
+  def q65IvfPortable(s: SparkSession, dir: String): DataFrame = {
+    val all = vecsD(s, dir)
+    Similarity.ivfPortableTopK(all,
+        all.filter(pmod(col("vec_id"), lit(50)) === 0),
+        "vec_id", "embedding", k = 5, nCentroids = 8, dim = 64, nProbe = 3)
+      .withColumn("rank", col("rank").cast("int"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Int8-quantized brute-force top-10 ([[Similarity.quantizeInt8]] /
     * [[Similarity.topKQuantized]]) — the ANN memory lever (4× smaller
     * codes than float32) with the pair stage reduced to one EXACT
@@ -130,6 +148,7 @@ object QueriesSim {
     "q46_ivf_topk" -> q46IvfTopk _,
     "q56_lsh_topk_portable" -> q56LshTopkPortable _,
     "q60_quantized_topk" -> q60QuantizedTopk _,
+    "q65_ivf_portable" -> q65IvfPortable _,
   )
 
   /** The q56 oracle's per-plane dot product against the md5-derived
@@ -242,5 +261,46 @@ object QueriesSim {
         |  FROM scored)
         |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors q65IvfPortable stage by stage: md5 centroid components
+    // (same "c:d" hash string as Spark's portableComponent) → rounded-
+    // cosine argmax assignment (ties to lowest centroid_id) → nProbe=3
+    // probe selection per query → inverted-list candidate scan →
+    // (cos desc, id) ranking, with each neighbor's centroid_id carried
+    // through so the assignment stage is checked directly
+    "q65_ivf_portable" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (
+        |  SELECT CAST(c AS INTEGER) AS centroid_id,
+        |    list_transform(range(0, 64), d ->
+        |      ((('0x' || substr(md5(CAST(c AS VARCHAR) || ':' || d), 1, 8))::BIGINT
+        |        % 10001) / 5000.0 - 1.0)) AS cvec
+        |  FROM range(0, 8) t(c)),
+        |a0 AS (
+        |  SELECT e.vec_id, e.v, cent.centroid_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY round(list_cosine_similarity(e.v, cent.cvec), 6) DESC,
+        |               cent.centroid_id) AS rn
+        |  FROM e CROSS JOIN cent),
+        |assigned AS (SELECT vec_id, v, centroid_id FROM a0 WHERE rn = 1),
+        |q0 AS (
+        |  SELECT e.vec_id AS query_id, e.v AS qv, cent.centroid_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY round(list_cosine_similarity(e.v, cent.cvec), 6) DESC,
+        |               cent.centroid_id) AS rn
+        |  FROM e CROSS JOIN cent WHERE e.vec_id % 50 = 0),
+        |probes AS (SELECT query_id, qv, centroid_id FROM q0 WHERE rn <= 3),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(p.qv, a.v), 6) AS cos_sim,
+        |    a.centroid_id
+        |  FROM probes p JOIN assigned a USING (centroid_id)
+        |  WHERE p.query_id <> a.vec_id),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cos_sim, centroid_id, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
   )
 }

@@ -284,6 +284,11 @@ object Dedup {
           Seq("id"))
         .filter(col("component") =!= col("__old"))
       converged = changed.isEmpty
+      // the prior round's label checkpoint is dead once `next` is
+      // materialized and the convergence probe has run — drop its
+      // blocks now instead of letting O(rounds) copies pile up in a
+      // long-lived session
+      Checkpoints.drop(labels)
       labels = next
       round += 1
     }
@@ -291,6 +296,9 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents: no fixpoint after $maxRounds rounds — " +
           "component min-label distance exceeds 2^rounds; raise maxRounds")
+    // the final labels checkpoint is self-contained, so the edge-list
+    // checkpoint is dead too; only the result's own blocks remain
+    Checkpoints.drop(edges)
     labels
   }
 

@@ -317,6 +317,13 @@ object Relational {
         acc = acc.unionByName(frontier)
       }
     }
+    // `acc` still references every LEVEL's frontier checkpoint (those
+    // stay until the consumer is done — session-lifetime contract),
+    // but the ordinal edge set and the final EMPTY frontier (never
+    // unioned into acc) are dead: every surviving frame is
+    // checkpoint-backed
+    Checkpoints.drop(edges)
+    Checkpoints.drop(frontier)
     acc
   }
 

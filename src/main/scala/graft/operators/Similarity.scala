@@ -75,15 +75,18 @@ object Similarity {
     * `__qv`/`__cv` vectors (d doubles each) through that shuffle would
     * multiply its volume by ~2·d/3 for no semantic gain.
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
-    val slim = scored.select("query_id", "neighbor_id", "cos_sim")
+  private def rankTopK(scored: DataFrame, k: Int,
+      extra: Seq[String] = Nil): DataFrame = {
+    val slim = scored.select(
+      ("query_id" +: "neighbor_id" +: "cos_sim" +: extra).map(col): _*)
     val kept = graft.plans.TopK.topKPerKey(slim, Seq("query_id"),
       Seq("cos_sim" -> false, "neighbor_id" -> true), k)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     kept.withColumn("rank", row_number().over(w))
-      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .select((Seq("query_id", "neighbor_id", "cos_sim") ++ extra :+ "rank")
+        .map(col): _*)
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane p,
@@ -107,8 +110,17 @@ object Similarity {
     * and subtraction are the same IEEE ops on both engines.
     */
   private def planeComponentPortable(p: Int, d: Column): Column =
-    pmod(conv(substring(md5(concat(lit(s"$p:"), d.cast("string"))), 1, 8),
-        16, 10).cast("long"), lit(10001L))
+    portableComponent(lit(p), d)
+
+  /** The md5 pseudo-random component generalized to a COLUMN index
+    * pair: component(p, d) for row-valued p — the construction behind
+    * both the portable hyperplanes (p = plane) and the fixed portable
+    * IVF centroids (p = centroid id). Identical hash input string
+    * "p:d" either way.
+    */
+  private def portableComponent(p: Column, d: Column): Column =
+    pmod(conv(substring(md5(concat(p.cast("string"), lit(":"),
+        d.cast("string"))), 1, 8), 16, 10).cast("long"), lit(10001L))
       .cast("double") / 5000.0 - 1.0
 
   /** Random-hyperplane LSH bucket id: `nPlanes` sign bits packed into a
@@ -245,12 +257,17 @@ object Similarity {
           transform(col("__sum"), x => x / col("__n")).as("__newvec"))
       // a memberless centroid keeps its position — guard on size too so
       // a degenerate empty sum can never overwrite a live centroid
-      cents = cents.join(means, Seq("centroid_id"), "left")
+      val next = cents.join(means, Seq("centroid_id"), "left")
         .select(col("centroid_id"),
           coalesce(when(size(col("__newvec")) > 0, col("__newvec")),
             col("cvec")).as("cvec"))
         .withColumn("cnorm", l2norm(col("cvec")))
         .localCheckpoint(true)
+      // the prior iteration's centroid checkpoint is dead once `next`
+      // is materialized (eager) — drop it rather than leak one small
+      // frame per Lloyd iteration into the session
+      Checkpoints.drop(cents)
+      cents = next
     }
     cents
   }
@@ -259,10 +276,17 @@ object Similarity {
     * ties break to the lowest centroid_id). Input columns (__id, __v,
     * __n); output adds centroid_id.
     */
-  private def assignNearest(rows: DataFrame, cents: DataFrame): DataFrame =
+  private def assignNearest(rows: DataFrame, cents: DataFrame,
+      roundCos: Boolean = false): DataFrame =
     rows.crossJoin(broadcast(cents))
-      .withColumn("__cos", cosByNorm(col("__v"), col("cvec"),
-        col("__n"), col("cnorm")))
+      .withColumn("__cos", {
+        // roundCos pins the argmax input to 6 decimals — the precision
+        // at which the two engines' cosines are proven bit-identical
+        // (q40) — so an oracle replicates the same winner; the
+        // production path keeps full precision
+        val c = cosByNorm(col("__v"), col("cvec"), col("__n"), col("cnorm"))
+        if (roundCos) round(c, 6) else c
+      })
       .groupBy("__id")
       // min over (-cos, id): highest cosine, ties to the lowest
       // centroid id — deterministic for any orderable id type
@@ -332,13 +356,34 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      nProbe: Int = 2): DataFrame = {
+      nProbe: Int = 2): DataFrame =
+    ivfServe(lists, cents, queries, idCol, vecCol, k, nProbe,
+      roundCos = false, keepCentroid = false)
+
+  /** Shared IVF serving tail: probe selection + list scan + ranking.
+    * `roundCos` rounds the PROBE-selection cosine to 6 decimals (the
+    * engine-portable precision — see [[assignNearest]]); `keepCentroid`
+    * carries each neighbor's inverted-list id into the output so an
+    * oracle checks the assignment stage directly.
+    */
+  private def ivfServe(
+      lists: DataFrame,
+      cents: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int,
+      roundCos: Boolean,
+      keepCentroid: Boolean): DataFrame = {
     val qScored = cleanVecs(queries, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         l2norm(col(vecCol)).as("__qn"))
       .crossJoin(broadcast(cents))
-      .withColumn("__cos", cosByNorm(col("__qv"), col("cvec"),
-        col("__qn"), col("cnorm")))
+      .withColumn("__cos", {
+        val c = cosByNorm(col("__qv"), col("cvec"), col("__qn"), col("cnorm"))
+        if (roundCos) round(c, 6) else c
+      })
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("__cos").desc, col("centroid_id").asc)
@@ -350,7 +395,54 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", round(cosByNorm(col("__qv"), col("__cv"),
         col("__qn"), col("__cn")), 6))
-    rankTopK(scored, k)
+    rankTopK(scored, k, if (keepCentroid) Seq("centroid_id") else Nil)
+  }
+
+  /** Fixed engine-portable IVF centroids: centroid c's dimension-d
+    * component is the md5-derived pseudo-random value
+    * [[portableComponent]](c, d) — no training, reproducible in any
+    * engine with md5. These are the oracle-checkable stand-in for a
+    * trained quantizer: serving behaves identically (assignment,
+    * probing, ranking), only centroid PLACEMENT differs, and Lloyd
+    * placement keeps its recall coverage in ScalaTest.
+    */
+  def portableCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      nCentroids: Int,
+      dim: Int): DataFrame =
+    spark.range(nCentroids)
+      .select(col("id").cast("int").as("centroid_id"))
+      .withColumn("cvec", transform(sequence(lit(0), lit(dim - 1)),
+        d => portableComponent(col("centroid_id"), d)))
+      .withColumn("cnorm", l2norm(col("cvec")))
+
+  /** Engine-portable IVF serving twin: [[portableCentroids]] (fixed,
+    * md5-derived — 0 Lloyd iterations) + rounded-cosine assignment +
+    * the [[ivfServe]] probe/rank tail, with each neighbor's
+    * centroid_id in the output. Every stage is replicable in DuckDB,
+    * so the whole IVF SERVING path (assignment, nProbe probing,
+    * candidate scan, ranking) gets a hash-checked oracle; training
+    * ([[trainCentroids]]) is the one stage excluded, covered by
+    * recall specs against exact top-k.
+    */
+  def ivfPortableTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int,
+      dim: Int,
+      nProbe: Int = 2): DataFrame = {
+    val cents = portableCentroids(corpus.sparkSession, nCentroids, dim)
+    val lists = assignNearest(
+      cleanVecs(corpus, vecCol)
+        .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+          l2norm(col(vecCol)).as("__n")), cents, roundCos = true)
+      .select(col("__id").as("neighbor_id"), col("__v").as("__cv"),
+        col("__n").as("__cn"), col("centroid_id"))
+    ivfServe(lists, cents, queries, idCol, vecCol, k, nProbe,
+      roundCos = true, keepCentroid = true)
   }
 
   /** Embedding-cosine near-duplicate pairs: all pairs with cosine >=
