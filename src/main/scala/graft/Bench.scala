@@ -55,7 +55,13 @@ object Bench {
     // run-to-run, which is too noisy to steer optimization or detect
     // regressions round-over-round
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // optional comma-separated name filter for ISOLATED re-measurement
+    // of suspect queries (interleave noise diagnosis); the driver sets
+    // no filter and always measures the full surface
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val timings = scala.collection.mutable.Map.empty[String, List[Double]]
     for (_ <- 1 to passes; (name, fn) <- names) {
       val t0 = System.nanoTime()

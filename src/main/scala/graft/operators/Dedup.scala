@@ -277,19 +277,23 @@ object Dedup {
       val chased = labels.as("a")
         .join(labels.as("b"), col("a.component") === col("b.id"))
         .select(col("a.id").as("id"), col("b.component").as("component"))
-      val next = labels.unionByName(neighborLabels).unionByName(chased)
-        .groupBy("id").agg(min(col("component")).as("component"))
+      // one aggregation computes BOTH the new label (min over self +
+      // neighbors + chased) and the old one (each id occurs exactly
+      // once in `labels`, so max over the tagged copy recovers it) —
+      // the convergence probe is then a filter over the checkpoint,
+      // not an extra per-round shuffle join against the old labels
+      val next = labels.withColumn("__old", col("component"))
+        .unionByName(neighborLabels, allowMissingColumns = true)
+        .unionByName(chased, allowMissingColumns = true)
+        .groupBy("id").agg(min(col("component")).as("component"),
+          max(col("__old")).as("__old"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("component", "__old"),
-          Seq("id"))
-        .filter(col("component") =!= col("__old"))
-      converged = changed.isEmpty
+      converged = next.filter(col("component") =!= col("__old")).isEmpty
       // the prior round's label checkpoint is dead once `next` is
-      // materialized and the convergence probe has run — drop its
-      // blocks now instead of letting O(rounds) copies pile up in a
-      // long-lived session
+      // materialized — drop its blocks now instead of letting
+      // O(rounds) copies pile up in a long-lived session
       Checkpoints.drop(labels)
-      labels = next
+      labels = next.select("id", "component")
       round += 1
     }
     if (!converged)
