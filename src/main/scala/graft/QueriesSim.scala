@@ -118,6 +118,33 @@ object QueriesSim {
       .orderBy("query_id", "rank")
   }
 
+  /** Build-once/probe-many IVF serving — the contract
+    * [[Similarity.ivfIndex]] exists for, driver-visible and
+    * oracle-checked: the portable index (fixed md5 centroids +
+    * full-corpus assignment) is built ONCE and materialized, then TWO
+    * disjoint query batches probe the same inverted lists
+    * ([[Similarity.ivfPortableTopKWithIndex]]); outputs are tagged and
+    * unioned. At 100 TB this is the difference between an index build
+    * and a full corpus re-scan per query batch. The checkpoint is
+    * built and fully consumed inside the query, so it composes with
+    * the bench harness's per-query unpersist.
+    */
+  def q66IvfIndexReuse(s: SparkSession, dir: String): DataFrame = {
+    val all = vecsD(s, dir)
+    val (lists0, cents) = Similarity.ivfPortableIndex(all, "vec_id",
+      "embedding", nCentroids = 8, dim = 64)
+    // pay the full-corpus assignment once for both batches
+    val lists = lists0.localCheckpoint()
+    def serve(batch: DataFrame, tag: String): DataFrame =
+      Similarity.ivfPortableTopKWithIndex(lists, cents, batch, "vec_id",
+          "embedding", k = 5, nProbe = 3)
+        .withColumn("rank", col("rank").cast("int"))
+        .withColumn("batch", lit(tag))
+    serve(all.filter(pmod(col("vec_id"), lit(50)) === 0), "a")
+      .unionByName(serve(all.filter(pmod(col("vec_id"), lit(50)) === 25), "b"))
+      .orderBy("batch", "query_id", "rank")
+  }
+
   /** Int8-quantized brute-force top-10 ([[Similarity.quantizeInt8]] /
     * [[Similarity.topKQuantized]]) — the ANN memory lever (4× smaller
     * codes than float32) with the pair stage reduced to one EXACT
@@ -149,6 +176,7 @@ object QueriesSim {
     "q56_lsh_topk_portable" -> q56LshTopkPortable _,
     "q60_quantized_topk" -> q60QuantizedTopk _,
     "q65_ivf_portable" -> q65IvfPortable _,
+    "q66_ivf_index_reuse" -> q66IvfIndexReuse _,
   )
 
   /** The q56 oracle's per-plane dot product against the md5-derived
@@ -302,5 +330,49 @@ object QueriesSim {
         |  FROM scored)
         |SELECT query_id, neighbor_id, cos_sim, centroid_id, rank FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // q66: the q65 construction with the assignment CTE probed by TWO
+    // disjoint tagged query batches — the batches share one `assigned`
+    // (the index), mirroring the Spark side's build-once checkpoint;
+    // query sets are disjoint so ranking partitions by query_id alone
+    "q66_ivf_index_reuse" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (
+        |  SELECT CAST(c AS INTEGER) AS centroid_id,
+        |    list_transform(range(0, 64), d ->
+        |      ((('0x' || substr(md5(CAST(c AS VARCHAR) || ':' || d), 1, 8))::BIGINT
+        |        % 10001) / 5000.0 - 1.0)) AS cvec
+        |  FROM range(0, 8) t(c)),
+        |a0 AS (
+        |  SELECT e.vec_id, e.v, cent.centroid_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY round(list_cosine_similarity(e.v, cent.cvec), 6) DESC,
+        |               cent.centroid_id) AS rn
+        |  FROM e CROSS JOIN cent),
+        |assigned AS (SELECT vec_id, v, centroid_id FROM a0 WHERE rn = 1),
+        |qb AS (
+        |  SELECT CASE WHEN vec_id % 50 = 0 THEN 'a' ELSE 'b' END AS batch,
+        |    vec_id AS query_id, v AS qv
+        |  FROM e WHERE vec_id % 50 = 0 OR vec_id % 50 = 25),
+        |p0 AS (
+        |  SELECT qb.batch, qb.query_id, qb.qv, cent.centroid_id,
+        |    row_number() OVER (PARTITION BY qb.query_id
+        |      ORDER BY round(list_cosine_similarity(qb.qv, cent.cvec), 6) DESC,
+        |               cent.centroid_id) AS rn
+        |  FROM qb CROSS JOIN cent),
+        |probes AS (SELECT batch, query_id, qv, centroid_id FROM p0 WHERE rn <= 3),
+        |scored AS (
+        |  SELECT p.batch, p.query_id, a.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(p.qv, a.v), 6) AS cos_sim,
+        |    a.centroid_id
+        |  FROM probes p JOIN assigned a USING (centroid_id)
+        |  WHERE p.query_id <> a.vec_id),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cos_sim, centroid_id, rank, batch
+        |FROM ranked
+        |WHERE rank <= 5 ORDER BY batch, query_id, rank""".stripMargin,
   )
 }

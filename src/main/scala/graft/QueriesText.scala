@@ -333,7 +333,10 @@ object QueriesText {
         round(aggregate(col("features"), lit(0.0d),
           (acc, x) => acc + x.cast("double")), 4).as("sum_feat"),
         round(array_min(col("features")).cast("double"), 4).as("min_feat"),
-        round(array_max(col("features")).cast("double"), 4).as("max_feat"))
+        round(array_max(col("features")).cast("double"), 4).as("max_feat"),
+        // provenance: every payload here is a real P6 decode — a
+        // "stub/byte-fold" appearing in this column is a regression
+        col("decoder"))
       .orderBy("media_id")
   }
 

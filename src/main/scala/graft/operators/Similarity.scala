@@ -434,6 +434,24 @@ object Similarity {
       nCentroids: Int,
       dim: Int,
       nProbe: Int = 2): DataFrame = {
+    val (lists, cents) = ivfPortableIndex(corpus, idCol, vecCol,
+      nCentroids, dim)
+    ivfPortableTopKWithIndex(lists, cents, queries, idCol, vecCol, k, nProbe)
+  }
+
+  /** The [[ivfIndex]] split for the PORTABLE path: fixed md5 centroids
+    * + rounded-cosine full-corpus assignment, returned as (lists,
+    * cents) so callers serving several query batches pay assignment
+    * once (materialize `lists`, then [[ivfPortableTopKWithIndex]] per
+    * batch) — the same build-once/probe-many contract as the trained
+    * index, but oracle-checkable end to end.
+    */
+  def ivfPortableIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      dim: Int): (DataFrame, DataFrame) = {
     val cents = portableCentroids(corpus.sparkSession, nCentroids, dim)
     val lists = assignNearest(
       cleanVecs(corpus, vecCol)
@@ -441,9 +459,23 @@ object Similarity {
           l2norm(col(vecCol)).as("__n")), cents, roundCos = true)
       .select(col("__id").as("neighbor_id"), col("__v").as("__cv"),
         col("__n").as("__cn"), col("centroid_id"))
+    (lists, cents)
+  }
+
+  /** Probe a prebuilt PORTABLE index: [[ivfTopKWithIndex]] with the
+    * rounded-cosine probe selection and the neighbor's centroid_id in
+    * the output (the oracle-checkable serving contract).
+    */
+  def ivfPortableTopKWithIndex(
+      lists: DataFrame,
+      cents: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 2): DataFrame =
     ivfServe(lists, cents, queries, idCol, vecCol, k, nProbe,
       roundCos = true, keepCentroid = true)
-  }
 
   /** Embedding-cosine near-duplicate pairs: all pairs with cosine >=
     * threshold, found via LSH buckets (exact within-bucket verify).

@@ -444,17 +444,26 @@ object Multimodal {
       out
     }
 
-    def decodeBatch(payloads: Seq[Array[Byte]], dim: Int): Seq[Array[Float]] =
+    /** Decode with PROVENANCE: which path produced the features — a
+      * real pixel decode ("image/..."), a real PCM decode
+      * ("audio/pcm"), or the declared stub ("stub/byte-fold").
+      * Downstream consumers (training-data curation) must be able to
+      * tell model-worthy features from stub fill without re-sniffing
+      * the payload bytes.
+      */
+    def decodeBatchTagged(
+        payloads: Seq[Array[Byte]], dim: Int): Seq[(Array[Float], String)] =
       payloads.map { bytes =>
-        decodeBmp(bytes).orElse(decodePpm(bytes)).orElse(decodePng(bytes))
-          .orElse(decodeImageIO(bytes)) match {
-          case Some(img) => pixelFeatures(img, dim)
-          case None => decodeWav(bytes) match {
-            case Some(samples) => sampleFeatures(samples, dim)
-            case None => foldBytes(bytes, dim)
-          }
-        }
+        decodeBmp(bytes).map(i => (pixelFeatures(i, dim), "image/bmp"))
+          .orElse(decodePpm(bytes).map(i => (pixelFeatures(i, dim), "image/ppm")))
+          .orElse(decodePng(bytes).map(i => (pixelFeatures(i, dim), "image/png")))
+          .orElse(decodeImageIO(bytes).map(i => (pixelFeatures(i, dim), "image/imageio")))
+          .orElse(decodeWav(bytes).map(s => (sampleFeatures(s, dim), "audio/pcm")))
+          .getOrElse((foldBytes(bytes, dim), "stub/byte-fold"))
       }
+
+    def decodeBatch(payloads: Seq[Array[Byte]], dim: Int): Seq[Array[Float]] =
+      decodeBatchTagged(payloads, dim).map(_._1)
   }
 
   /** Pack a text table into the media schema with deterministic fake
@@ -474,10 +483,12 @@ object Multimodal {
         lit("fake/raw").as("codec")).as("meta"))
 
   /** Batched partition-local feature extraction: mapPartitions pulls
-    * `batchSize` rows at a time through [[MediaCodec.decodeBatch]] —
-    * the plumbing a real decoder needs (no per-row codec setup, no
-    * driver involvement, arbitrary partition count).
-    * Output: (media_id, features array<float>).
+    * `batchSize` rows at a time through
+    * [[MediaCodec.decodeBatchTagged]] — the plumbing a real decoder
+    * needs (no per-row codec setup, no driver involvement, arbitrary
+    * partition count). Output: (media_id, features array<float>,
+    * decoder) where `decoder` is the provenance tag (real image/audio
+    * decode vs the declared stub fold).
     */
   def decodeFeatures(media: DataFrame, dim: Int = 16, batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
@@ -487,10 +498,10 @@ object Multimodal {
       .as[(Long, Array[Byte])]
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        val feats = MediaCodec.decodeBatch(batch.map(_._2), dim)
-        batch.map(_._1).zip(feats)
+        val feats = MediaCodec.decodeBatchTagged(batch.map(_._2), dim)
+        batch.map(_._1).zip(feats).map { case (id, (f, tag)) => (id, f, tag) }
       }
-    }.toDF("media_id", "features")
+    }.toDF("media_id", "features", "decoder")
   }
 
   /** "Resize" metadata transform — pure column math on the typed meta

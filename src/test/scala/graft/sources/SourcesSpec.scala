@@ -483,6 +483,9 @@ class SourcesSpec extends AnyFunSuite {
       s"doc $id sum_feat disagrees with the reference fold")
     assert(row.getDouble(3) == r4(expected.min.toDouble), s"doc $id min_feat")
     assert(row.getDouble(4) == r4(expected.max.toDouble), s"doc $id max_feat")
+    // provenance column: the payloads are real P6 images, so the tag
+    // must be the pixel decode, never the stub fold
+    assert(row.getString(5) == "image/ppm", s"doc $id decoder provenance")
     assert(df.count() == graft.Tables.documents(spark, dir).count())
   }
 
