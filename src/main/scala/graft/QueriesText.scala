@@ -340,6 +340,28 @@ object QueriesText {
       .orderBy("media_id")
   }
 
+  /** Incremental dedup — the daily-ingest pattern
+    * ([[Dedup.minhashNearDupsIncrementalPortable]]): the corpus (docs
+    * with doc_id%3≠0) is banded ONCE into the portable index, the
+    * "new batch" (doc_id%3=0) is sketched and probes it, and corpus
+    * text is re-read only for candidate verification (semi-join
+    * scoped). The result equals q55's full-corpus pairs restricted to
+    * pairs touching a new doc — which is exactly what the DuckDB
+    * oracle computes, so the index probe, new×new banding, and scoped
+    * verify are all hash-checked.
+    */
+  def q67MinhashIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val fresh = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val index = Dedup.minhashBandIndexPortable(corpus, "doc_id", "text",
+      shingleLen = 3, numHashes = 16, bands = 4)
+    Dedup.minhashNearDupsIncrementalPortable(index, corpus, fresh,
+        "doc_id", "text", shingleLen = 3, numHashes = 16, bands = 4,
+        threshold = 0.8)
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_text_stats" -> q30TextStats _,
     "q31_lang_id" -> q31LangId _,
@@ -363,6 +385,7 @@ object QueriesText {
     "q52_connected_components" -> q52ConnectedComponents _,
     "q53_curation_pipeline" -> q53CurationPipeline _,
     "q54_media_features" -> q54MediaFeatures _,
+    "q67_minhash_incremental" -> q67MinhashIncremental _,
   )
 
   private val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -470,6 +493,45 @@ object QueriesText {
            |  SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
            |  FROM banded b1 JOIN banded b2 USING (band_idx, band_key)
            |  WHERE b1.doc_id < b2.doc_id),
+           |verified AS (
+           |  SELECT id_a, id_b,
+           |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           |          / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+           |  FROM cand JOIN sh a ON id_a = a.doc_id JOIN sh b ON id_b = b.doc_id)
+           |SELECT id_a, id_b, jaccard FROM verified
+           |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+      // q67 = q55's construction with the candidate set restricted to
+      // pairs touching a "new" doc (doc_id%3=0) — by definition the
+      // incremental operator's contract: full-corpus pairs that touch
+      // the new batch
+      "q67_minhash_incremental" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split($norm, ' '),
+           |    x -> x <> '') AS t FROM documents),
+           |sh AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    range(1, len(t) - 3 + 2),
+           |    i -> array_to_string(t[i:i+2], ' '))) AS s
+           |  FROM toks WHERE len(t) >= 3),
+           |mins AS (
+           |  SELECT doc_id, s, list_transform(range(0, 16), i ->
+           |    list_min(list_transform(s, x ->
+           |      (((('0x' || substr(md5('a:' || i), 1, 7))::BIGINT | 1)
+           |         * ('0x' || substr(md5(x), 1, 8))::BIGINT
+           |         + ('0x' || substr(md5('b:' || i), 1, 8))::BIGINT)
+           |        & 4294967295)))) AS m
+           |  FROM sh),
+           |banded AS (
+           |  SELECT doc_id, b.band_idx,
+           |    array_to_string(m[b.band_idx*4+1 : b.band_idx*4+4], ',')
+           |      AS band_key
+           |  FROM mins, range(0, 4) AS b(band_idx)),
+           |cand AS (
+           |  SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
+           |  FROM banded b1 JOIN banded b2 USING (band_idx, band_key)
+           |  WHERE b1.doc_id < b2.doc_id
+           |    AND (b1.doc_id % 3 = 0 OR b2.doc_id % 3 = 0)),
            |verified AS (
            |  SELECT id_a, id_b,
            |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)

@@ -117,6 +117,18 @@ object Dedup {
     val cand = a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+    verifyCandidates(withShingles, cand, idCol, threshold)
+  }
+
+  /** Shared exact-verify tail over precomputed candidate pairs:
+    * re-attach shingle sets, lossless size-ratio prefilter, rounded
+    * exact Jaccard at the threshold.
+    */
+  private def verifyCandidates(
+      withShingles: DataFrame,
+      cand: DataFrame,
+      idCol: String,
+      threshold: Double): DataFrame = {
     val sets = withShingles.select(col(idCol), col("__sh"),
       size(col("__sh")).as("__n"))
     val withSets = cand
@@ -154,15 +166,97 @@ object Dedup {
       threshold: Double = 0.6): DataFrame = {
     require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
-    val withShingles = df
-      .select(col(idCol),
+    val withShingles = wordShingled(df, idCol, textCol, shingleLen)
+    bandCandidatesVerified(withShingles,
+      md5Banded(withShingles, idCol, numHashes, bands), idCol, threshold)
+  }
+
+  /** Word-shingle prep shared by the portable MinHash family. */
+  private def wordShingled(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int): DataFrame =
+    df.select(col(idCol),
         TextAnalysis.wordShingles(col(textCol), shingleLen).as("__sh"))
       .filter(size(col("__sh")) > 0)
-    val banded = withShingles.select(col(idCol),
+
+  /** md5 band keys of pre-shingled rows: (idCol, band_idx, band_hash). */
+  private def md5Banded(
+      shingled: DataFrame, idCol: String,
+      numHashes: Int, bands: Int): DataFrame =
+    shingled.select(col(idCol),
       posexplode(graft.functions.Md5MinHash
         .bandKeys(col("__sh"), numHashes, bands))
         .as(Seq("band_idx", "band_hash")))
-    bandCandidatesVerified(withShingles, banded, idCol, threshold)
+
+  /** Build the portable MinHash band INDEX once per corpus version:
+    * (idCol, band_idx, band_hash), one row per (doc, band). This is
+    * the persisted artifact [[minhashNearDupsIncrementalPortable]]
+    * probes — at 100 TB the corpus is sketched once here, and each
+    * daily batch pays only its own sketches plus a band equi-join.
+    */
+  def minhashBandIndexPortable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    md5Banded(wordShingled(df, idCol, textCol, shingleLen), idCol,
+      numHashes, bands)
+  }
+
+  /** Incremental near-dup detection — the daily-ingest contract: band
+    * ONLY the new batch and probe a prebuilt corpus band index
+    * ([[minhashBandIndexPortable]]), so a batch of B docs against a
+    * corpus of N costs O(B) sketches + one band equi-join — never a
+    * corpus re-sketch. `corpus` raw docs are touched only to
+    * re-shingle the candidate docs for exact verification (semi-join
+    * first, so that scan is candidate-sized, and filters/column prune
+    * push into it). Returned pairs are EXACTLY the full-corpus
+    * [[minhashNearDupsPortable]] pairs that touch at least one new
+    * doc (new×corpus from the index probe, new×new from the batch's
+    * own bands), with (id_a, id_b) ordered. Ids must be disjoint
+    * between corpus and batch (an ingest re-run dedups upstream).
+    */
+  def minhashNearDupsIncrementalPortable(
+      corpusIndex: DataFrame,
+      corpus: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.6): DataFrame = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    val newShingled = wordShingled(newDocs, idCol, textCol, shingleLen)
+    val newBanded = md5Banded(newShingled, idCol, numHashes, bands)
+    // probe target = corpus index ∪ the batch's own bands: new×new
+    // pairs surface exactly like new×corpus ones
+    val allBanded = corpusIndex
+      .select(col(idCol), col("band_idx"), col("band_hash"))
+      .unionByName(newBanded)
+    val cand = newBanded
+      .select(col(idCol).as("__p"), col("band_idx"), col("band_hash"))
+      .join(allBanded.select(col(idCol).as("__o"),
+        col("band_idx"), col("band_hash")), Seq("band_idx", "band_hash"))
+      .filter(col("__p") =!= col("__o"))
+      // canonicalize: both orderings of a new×new collision collapse
+      .select(least(col("__p"), col("__o")).as("id_a"),
+        greatest(col("__p"), col("__o")).as("id_b"))
+      .distinct()
+    // verify needs shingle sets for candidate corpus docs only:
+    // semi-join scopes the corpus scan to the candidate set
+    val candIds = cand.select(col("id_a").as(idCol))
+      .unionByName(cand.select(col("id_b").as(idCol))).distinct()
+    val corpusShingled = wordShingled(
+      corpus.join(candIds, Seq(idCol), "left_semi"),
+      idCol, textCol, shingleLen)
+    verifyCandidates(corpusShingled.unionByName(newShingled), cand,
+      idCol, threshold)
   }
 
   /** Exact Jaccard similarity of two (distinct-element) array columns. */

@@ -175,4 +175,25 @@ class PortableSketchSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(fastW == refW)
   }
+
+  test("incremental minhash equals full-dedup pairs touching the batch") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter("doc_id % 3 != 0")
+    val fresh = docs.filter("doc_id % 3 = 0")
+    val full = Dedup.minhashNearDupsPortable(docs, "doc_id", "text",
+        shingleLen = 3, numHashes = 16, bands = 4, threshold = 0.7)
+      .as[(Long, Long, Double)].collect().toSet
+    val expected = full.filter { case (a, b, _) => a % 3 == 0 || b % 3 == 0 }
+    assert(expected.nonEmpty,
+      "fixture has no cross-batch near-dups at 0.7 — lower the threshold")
+    val index = Dedup.minhashBandIndexPortable(corpus, "doc_id", "text",
+      shingleLen = 3, numHashes = 16, bands = 4)
+    val inc = Dedup.minhashNearDupsIncrementalPortable(index, corpus, fresh,
+        "doc_id", "text", shingleLen = 3, numHashes = 16, bands = 4,
+        threshold = 0.7)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc == expected)
+    // corpus-only pairs never surface through the incremental path
+    assert(inc.forall { case (a, b, _) => a % 3 == 0 || b % 3 == 0 })
+  }
 }
