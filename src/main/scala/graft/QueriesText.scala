@@ -362,6 +362,14 @@ object QueriesText {
       .orderBy("id_a", "id_b")
   }
 
+  /** Corpus vocabulary top-100 ([[TextAnalysis.vocabTopK]]) — token
+    * totals + document frequencies, the tokenizer-training statistic
+    * and the one gate query whose top-k is GLOBAL
+    * (TakeOrderedAndProject), not per-key.
+    */
+  def q68VocabTopk(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabTopK(Tables.documents(s, dir), "doc_id", "text", 100)
+
   val queries: Map[String, Q] = Map(
     "q30_text_stats" -> q30TextStats _,
     "q31_lang_id" -> q31LangId _,
@@ -386,6 +394,7 @@ object QueriesText {
     "q53_curation_pipeline" -> q53CurationPipeline _,
     "q54_media_features" -> q54MediaFeatures _,
     "q67_minhash_incremental" -> q67MinhashIncremental _,
+    "q68_vocab_topk" -> q68VocabTopk _,
   )
 
   private val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -539,6 +548,19 @@ object QueriesText {
            |  FROM cand JOIN sh a ON id_a = a.doc_id JOIN sh b ON id_b = b.doc_id)
            |SELECT id_a, id_b, jaccard FROM verified
            |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+      // q68: token totals + doc frequencies over the same normalized
+      // whitespace tokenization; (n_total desc, token) is a total
+      // order so the top-100 boundary matches across engines
+      "q68_vocab_topk" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(list_filter(string_split($norm, ' '),
+           |    x -> x <> '')) AS token
+           |  FROM documents)
+           |SELECT token, count(*) AS n_total,
+           |  count(DISTINCT doc_id) AS n_docs
+           |FROM toks GROUP BY token
+           |ORDER BY n_total DESC, token LIMIT 100""".stripMargin,
 
       // mirrors q58SimhashPortable stage by stage: md5-prefix token
       // hashes → per-bit votes → signature word → 15-bit chunks →

@@ -116,6 +116,32 @@ object TextAnalysis {
       i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
+  /** Corpus vocabulary statistics — the tokenizer-training input: per
+    * normalized whitespace token, total occurrences and document
+    * frequency, truncated to the global top-k by (n_total desc,
+    * token). Shape: one explode + one map-side-combined aggregate
+    * (shuffle volume is one row per distinct token per partition, not
+    * per occurrence), and the global top-k plans as
+    * TakeOrderedAndProject — a per-partition heap merged on k rows,
+    * never a full global sort of the vocabulary.
+    */
+  def vocabTopK(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(filter(split(normalizeText(col(textCol)), " "), t => t =!= ""))
+        .as("token"))
+    toks.groupBy("token")
+      .agg(count(lit(1)).as("n_total"),
+        countDistinct(col(idCol)).as("n_docs"))
+      // (n_total, token) is a total order — the k-boundary is
+      // engine-deterministic
+      .orderBy(col("n_total").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** Deflate compression ratio — the single-number redundancy signal
     * (see [[graft.functions.DeflateRatio]]).
     */
