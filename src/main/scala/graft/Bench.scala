@@ -57,9 +57,17 @@ object Bench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     // optional comma-separated name filter for ISOLATED re-measurement
     // of suspect queries (interleave noise diagnosis); the driver sets
-    // no filter and always measures the full surface
+    // no filter and always measures the full surface. Tokens are
+    // trimmed and unknown names fail loudly — a silent empty filter
+    // would emit a zero-query JSON that reads as a passing bench.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
+      require(o.nonEmpty, "SPARK_GRAFT_BENCH_ONLY is set but names no queries")
+    }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val timings = scala.collection.mutable.Map.empty[String, List[Double]]

@@ -361,42 +361,50 @@ object Dedup {
       .localCheckpoint(true)
     var round = 0
     var converged = false
-    while (!converged && round < maxRounds) {
-      // each node pulls the min label over itself and its neighbors
-      val neighborLabels = edges
-        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .select(col("src").as("id"), col("component"))
-      // pointer doubling: chase one link of the label chain — my
-      // label's current label is also an upper bound on my component
-      val chased = labels.as("a")
-        .join(labels.as("b"), col("a.component") === col("b.id"))
-        .select(col("a.id").as("id"), col("b.component").as("component"))
-      // one aggregation computes BOTH the new label (min over self +
-      // neighbors + chased) and the old one (each id occurs exactly
-      // once in `labels`, so max over the tagged copy recovers it) —
-      // the convergence probe is then a filter over the checkpoint,
-      // not an extra per-round shuffle join against the old labels
-      val next = labels.withColumn("__old", col("component"))
-        .unionByName(neighborLabels, allowMissingColumns = true)
-        .unionByName(chased, allowMissingColumns = true)
-        .groupBy("id").agg(min(col("component")).as("component"),
-          max(col("__old")).as("__old"))
-        .localCheckpoint(true)
-      converged = next.filter(col("component") =!= col("__old")).isEmpty
-      // the prior round's label checkpoint is dead once `next` is
-      // materialized — drop its blocks now instead of letting
-      // O(rounds) copies pile up in a long-lived session
-      Checkpoints.drop(labels)
-      labels = next.select("id", "component")
-      round += 1
+    try {
+      while (!converged && round < maxRounds) {
+        // each node pulls the min label over itself and its neighbors
+        val neighborLabels = edges
+          .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+          .select(col("src").as("id"), col("component"))
+        // pointer doubling: chase one link of the label chain — my
+        // label's current label is also an upper bound on my component
+        val chased = labels.as("a")
+          .join(labels.as("b"), col("a.component") === col("b.id"))
+          .select(col("a.id").as("id"), col("b.component").as("component"))
+        // one aggregation computes BOTH the new label (min over self +
+        // neighbors + chased) and the old one (each id occurs exactly
+        // once in `labels`, so max over the tagged copy recovers it) —
+        // the convergence probe is then a filter over the checkpoint,
+        // not an extra per-round shuffle join against the old labels
+        val next = labels.withColumn("__old", col("component"))
+          .unionByName(neighborLabels, allowMissingColumns = true)
+          .unionByName(chased, allowMissingColumns = true)
+          .groupBy("id").agg(min(col("component")).as("component"),
+            max(col("__old")).as("__old"))
+          .localCheckpoint(true)
+        converged = next.filter(col("component") =!= col("__old")).isEmpty
+        // the prior round's label checkpoint is dead once `next` is
+        // materialized — drop its blocks now instead of letting
+        // O(rounds) copies pile up in a long-lived session
+        Checkpoints.drop(labels)
+        labels = next.select("id", "component")
+        round += 1
+        }
+      if (!converged) {
+        // the failure path owns the last labels checkpoint too — drop
+        // it so a caught exception leaks nothing
+        Checkpoints.drop(labels)
+        throw new IllegalStateException(
+          s"connectedComponents: no fixpoint after $maxRounds rounds — " +
+            "component min-label distance exceeds 2^rounds; raise maxRounds")
+      }
+    } finally {
+      // the edge-list checkpoint is dead on BOTH paths: the final
+      // labels checkpoint is self-contained on success, and nothing
+      // survives a throw
+      Checkpoints.drop(edges)
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents: no fixpoint after $maxRounds rounds — " +
-          "component min-label distance exceeds 2^rounds; raise maxRounds")
-    // the final labels checkpoint is self-contained, so the edge-list
-    // checkpoint is dead too; only the result's own blocks remain
-    Checkpoints.drop(edges)
     labels
   }
 

@@ -296,33 +296,44 @@ object Relational {
     var acc = roots
     var depth = 0
     var done = false
-    while (!done) {
-      val next = frontier.join(edges, frontier("id") === edges("parent"))
-        .select(col("child").as("id"), col("root_id"),
-          (col("depth") + 1).as("depth"),
-          concat_ws("/", col("path"), col("child")).as("path"),
-          concat(col("__sortpath"), col("__seg")).as("__sortpath"))
-      // localCheckpoint truncates lineage so the loop's plan doesn't grow
-      // exponentially; each frontier is small (tree levels).
-      frontier = next.localCheckpoint(eager = true)
-      done = frontier.isEmpty
-      if (!done) {
-        depth += 1
-        // throw only when nodes genuinely exist beyond the cap — a tree
-        // of depth exactly maxDepth (all leaves at the cap) is fine
-        if (depth > maxDepth)
-          throw new IllegalStateException(
-            s"treeClosure: depth cap $maxDepth exceeded with a non-empty " +
-              "frontier — deeper nodes would be silently dropped")
-        acc = acc.unionByName(frontier)
+    // every level's frontier checkpoint, so the failure path can drop
+    // them all (an abandoned `acc` would otherwise pin each level's
+    // blocks with no owner left to release them)
+    val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      while (!done) {
+        val next = frontier.join(edges, frontier("id") === edges("parent"))
+          .select(col("child").as("id"), col("root_id"),
+            (col("depth") + 1).as("depth"),
+            concat_ws("/", col("path"), col("child")).as("path"),
+            concat(col("__sortpath"), col("__seg")).as("__sortpath"))
+        // localCheckpoint truncates lineage so the loop's plan doesn't grow
+        // exponentially; each frontier is small (tree levels).
+        frontier = next.localCheckpoint(eager = true)
+        levels += frontier
+        done = frontier.isEmpty
+        if (!done) {
+          depth += 1
+          // throw only when nodes genuinely exist beyond the cap — a tree
+          // of depth exactly maxDepth (all leaves at the cap) is fine
+          if (depth > maxDepth)
+            throw new IllegalStateException(
+              s"treeClosure: depth cap $maxDepth exceeded with a non-empty " +
+                "frontier — deeper nodes would be silently dropped")
+          acc = acc.unionByName(frontier)
+        }
       }
+    } catch { case t: Throwable =>
+      levels.foreach(Checkpoints.drop)
+      throw t
+    } finally {
+      // the ordinal edge set is dead on BOTH paths once the loop ends:
+      // acc's surviving frames are checkpoint-backed
+      Checkpoints.drop(edges)
     }
     // `acc` still references every LEVEL's frontier checkpoint (those
     // stay until the consumer is done — session-lifetime contract),
-    // but the ordinal edge set and the final EMPTY frontier (never
-    // unioned into acc) are dead: every surviving frame is
-    // checkpoint-backed
-    Checkpoints.drop(edges)
+    // but the final EMPTY frontier was never unioned into acc
     Checkpoints.drop(frontier)
     acc
   }

@@ -241,7 +241,7 @@ object Similarity {
       .select(col("centroid_id"), col("cvec"),
         l2norm(col("cvec")).as("cnorm"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    try for (_ <- 1 to iters) {
       val assigned = assignNearest(
         corpusClean.select(col(idCol).as("__id"), col(vecCol).as("__v"),
           l2norm(col(vecCol)).as("__n")), cents)
@@ -268,6 +268,11 @@ object Similarity {
       // frame per Lloyd iteration into the session
       Checkpoints.drop(cents)
       cents = next
+    } catch { case t: Throwable =>
+      // a failed iteration abandons the current checkpoint — drop it
+      // so a caught exception leaks nothing
+      Checkpoints.drop(cents)
+      throw t
     }
     cents
   }

@@ -119,11 +119,14 @@ object TextAnalysis {
   /** Corpus vocabulary statistics — the tokenizer-training input: per
     * normalized whitespace token, total occurrences and document
     * frequency, truncated to the global top-k by (n_total desc,
-    * token). Shape: one explode + one map-side-combined aggregate
-    * (shuffle volume is one row per distinct token per partition, not
-    * per occurrence), and the global top-k plans as
-    * TakeOrderedAndProject — a per-partition heap merged on k rows,
-    * never a full global sort of the vocabulary.
+    * token). Shape: one explode, then Catalyst's one-distinct rewrite
+    * plans TWO aggregations — the first map-side-combines on (token,
+    * doc_id), so shuffle volume is one row per distinct (token, doc)
+    * pair per partition (scales with document frequency, NOT with raw
+    * token occurrences); the second collapses to one row per token.
+    * The global top-k plans as TakeOrderedAndProject — a per-partition
+    * heap merged on k rows, never a full global sort of the
+    * vocabulary.
     */
   def vocabTopK(
       df: org.apache.spark.sql.DataFrame,
