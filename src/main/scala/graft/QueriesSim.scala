@@ -145,6 +145,26 @@ object QueriesSim {
       .orderBy("batch", "query_id", "rank")
   }
 
+  /** Incremental embedding near-dup — the vector twin of q67's
+    * daily-ingest contract ([[Similarity.embeddingNearDupsIncremental]]):
+    * the corpus (vec_id%3≠0) is bucketed ONCE into the portable LSH
+    * index ([[Similarity.lshVectorIndex]], md5 hyperplanes), the "new
+    * batch" (vec_id%3=0) buckets itself and probes it, and the result
+    * equals the full-corpus bucketed near-dups restricted to pairs
+    * touching a new vector — which is exactly what the DuckDB oracle
+    * computes (q56's bucket construction, probe side restricted).
+    */
+  def q69EmbeddingIncremental(s: SparkSession, dir: String): DataFrame = {
+    val all = vecsD(s, dir)
+    val corpus = all.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+    val fresh = all.filter(pmod(col("vec_id"), lit(3)) === 0)
+    val index = Similarity.lshVectorIndex(corpus, "vec_id", "embedding",
+      nPlanes = 4, portable = true)
+    Similarity.embeddingNearDupsIncremental(index, fresh, "vec_id",
+        "embedding", threshold = 0.42, nPlanes = 4, portable = true)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Int8-quantized brute-force top-10 ([[Similarity.quantizeInt8]] /
     * [[Similarity.topKQuantized]]) — the ANN memory lever (4× smaller
     * codes than float32) with the pair stage reduced to one EXACT
@@ -177,6 +197,7 @@ object QueriesSim {
     "q60_quantized_topk" -> q60QuantizedTopk _,
     "q65_ivf_portable" -> q65IvfPortable _,
     "q66_ivf_index_reuse" -> q66IvfIndexReuse _,
+    "q69_embedding_incremental" -> q69EmbeddingIncremental _,
   )
 
   /** The q56 oracle's per-plane dot product against the md5-derived
@@ -289,6 +310,28 @@ object QueriesSim {
         |  FROM scored)
         |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // q69: q56's md5 bucket construction with the candidate probe side
+    // restricted to the new batch (vec_id%3=0) — by definition the
+    // incremental operator's contract: full-corpus bucketed near-dup
+    // pairs that touch the batch
+    "q69_embedding_incremental" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |b AS (SELECT vec_id, v, (${bucketSql(4)})::BIGINT AS bucket
+         |      FROM e),
+         |cand AS (
+         |  SELECT DISTINCT least(b1.vec_id, b2.vec_id) AS id_a,
+         |         greatest(b1.vec_id, b2.vec_id) AS id_b
+         |  FROM b b1 JOIN b b2 USING (bucket)
+         |  WHERE b1.vec_id <> b2.vec_id AND b1.vec_id % 3 = 0),
+         |scored AS (
+         |  SELECT c.id_a, c.id_b,
+         |    round(list_cosine_similarity(x.v, y.v), 6) AS cos_sim
+         |  FROM cand c JOIN e x ON c.id_a = x.vec_id
+         |              JOIN e y ON c.id_b = y.vec_id)
+         |SELECT id_a, id_b, cos_sim FROM scored
+         |WHERE cos_sim >= 0.42 ORDER BY id_a, id_b""".stripMargin,
 
     // mirrors q65IvfPortable stage by stage: md5 centroid components
     // (same "c:d" hash string as Spark's portableComponent) → rounded-

@@ -506,6 +506,61 @@ object Similarity {
       .select("id_a", "id_b", "cos_sim").dropDuplicates("id_a", "id_b")
   }
 
+  /** Build the LSH bucket index once per corpus version: (idCol, __v,
+    * __n, bucket) — vectors ride along because the verify stage needs
+    * them (a real vector index stores the vectors; the bucket column
+    * is the probe key). `portable` uses the md5 hyperplanes so probes
+    * are oracle-replicable.
+    */
+  def lshVectorIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nPlanes: Int,
+      portable: Boolean = false): DataFrame =
+    corpus.select(col(idCol), col(vecCol).as("__v"),
+      l2norm(col(vecCol)).as("__n"),
+      hyperplaneBucket(col(vecCol), nPlanes, portable).as("bucket"))
+
+  /** Incremental embedding near-dup — the vector twin of the
+    * incremental MinHash contract: bucket ONLY the new batch and probe
+    * a prebuilt [[lshVectorIndex]], so a batch of B vectors against a
+    * corpus of N costs O(B) bucketings + one bucket equi-join — never
+    * a corpus re-bucketing. Pairs returned are exactly the
+    * full-corpus [[embeddingNearDups]] pairs (same planes) touching at
+    * least one new vector: new×corpus from the index probe, new×new
+    * from the batch's own buckets. Ids must be disjoint between index
+    * and batch.
+    */
+  def embeddingNearDupsIncremental(
+      index: DataFrame,
+      newVecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nPlanes: Int = 6,
+      portable: Boolean = false): DataFrame = {
+    val newBucketed = lshVectorIndex(newVecs, idCol, vecCol, nPlanes, portable)
+    val all = index.select(col(idCol), col("__v"), col("__n"), col("bucket"))
+      .unionByName(newBucketed)
+    val l = newBucketed.select(col("bucket"), col(idCol).as("__pid"),
+      col("__v").as("va"), col("__n").as("na"))
+    val r = all.select(col("bucket"), col(idCol).as("__oid"),
+      col("__v").as("vb"), col("__n").as("nb"))
+    l.join(r, Seq("bucket"))
+      .filter(col("__pid") =!= col("__oid"))
+      .withColumn("cos_sim", round(cosByNorm(col("va"), col("vb"),
+        col("na"), col("nb")), 6))
+      // canonicalize ids AFTER scoring: the cosine is bit-symmetric
+      // (elementwise products commute, summation order is element
+      // order), so both orderings of a new×new collision carry the
+      // same rounded value and collapse in the dedup
+      .select(least(col("__pid"), col("__oid")).as("id_a"),
+        greatest(col("__pid"), col("__oid")).as("id_b"), col("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Per-vector int8 scalar quantization — the memory lever for ANN at
     * corpus scale: codes are 0..255 per dimension (4× smaller than
     * float32, 8× smaller than the double pipeline) plus two scalars

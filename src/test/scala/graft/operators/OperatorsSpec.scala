@@ -394,4 +394,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "mpttLabels plan contains a nested-loop join")
   }
+
+  test("incremental embedding near-dup equals full pairs touching the batch") {
+    import org.apache.spark.sql.functions._
+    val all = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding"))
+    val corpus = all.filter("vec_id % 3 != 0")
+    val fresh = all.filter("vec_id % 3 = 0")
+    // production (xxhash64) planes — the portable variant is
+    // oracle-checked as q69; this asserts the same contract on the
+    // default hash
+    val full = Similarity.embeddingNearDups(all, "vec_id", "embedding",
+        threshold = 0.3, nPlanes = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    val expected = full.filter { case (a, b, _) => a % 3 == 0 || b % 3 == 0 }
+    assert(expected.nonEmpty, "no cross-batch near-dups at 0.3 — lower it")
+    val index = Similarity.lshVectorIndex(corpus, "vec_id", "embedding",
+      nPlanes = 4)
+    val inc = Similarity.embeddingNearDupsIncremental(index, fresh,
+        "vec_id", "embedding", threshold = 0.3, nPlanes = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc == expected)
+    assert(inc.forall { case (a, b, _) => a % 3 == 0 || b % 3 == 0 })
+  }
 }
