@@ -370,6 +370,30 @@ object QueriesText {
   def q68VocabTopk(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabTopK(Tables.documents(s, dir), "doc_id", "text", 100)
 
+  /** Line-level boilerplate removal ([[TextAnalysis.dedupLines]]) —
+    * the C4-style scrub: documents are given PLANTED boilerplate lines
+    * (a "newsletter" banner on doc_id%2=0, a "cookies" banner on
+    * %3=0 — each in hundreds of docs) plus a per-doc unique "share"
+    * line on %7=0; at maxDocFreq=10 the banners vanish from every
+    * document while the content line and the unique share line
+    * survive, in original order. The DuckDB oracle rebuilds the same
+    * multi-line docs and the same frequency scrub.
+    */
+  def q70LineDedup(s: SparkSession, dir: String): DataFrame = {
+    val k = col("doc_id")
+    val docs = Tables.documents(s, dir).select(k,
+      // concat_ws skips null branches, so each modulo plants or omits
+      // a whole line
+      concat_ws("\n",
+        when(pmod(k, lit(2)) === 0, lit("subscribe to our newsletter")),
+        col("text"),
+        when(pmod(k, lit(3)) === 0, lit("accept all cookies to continue")),
+        when(pmod(k, lit(7)) === 0,
+          concat(lit("share document "), k.cast("string")))).as("text"))
+    TextAnalysis.dedupLines(docs, "doc_id", "text", maxDocFreq = 10)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_text_stats" -> q30TextStats _,
     "q31_lang_id" -> q31LangId _,
@@ -395,6 +419,7 @@ object QueriesText {
     "q54_media_features" -> q54MediaFeatures _,
     "q67_minhash_incremental" -> q67MinhashIncremental _,
     "q68_vocab_topk" -> q68VocabTopk _,
+    "q70_line_dedup" -> q70LineDedup _,
   )
 
   private val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -548,6 +573,41 @@ object QueriesText {
            |  FROM cand JOIN sh a ON id_a = a.doc_id JOIN sh b ON id_b = b.doc_id)
            |SELECT id_a, id_b, jaccard FROM verified
            |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+      // q70: same planted multi-line docs, same document-frequency
+      // scrub; DuckDB zips the two unnests (position list + line list)
+      // row-wise, and string_agg ORDER BY pos mirrors the sort_array
+      // reassembly
+      "q70_line_dedup" ->
+        """WITH d AS (
+          |  SELECT doc_id, concat_ws(chr(10),
+          |    CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter' END,
+          |    text,
+          |    CASE WHEN doc_id % 3 = 0 THEN 'accept all cookies to continue' END,
+          |    CASE WHEN doc_id % 7 = 0
+          |         THEN 'share document ' || CAST(doc_id AS VARCHAR) END) AS text
+          |  FROM documents),
+          |sp AS (SELECT doc_id, string_split(text, chr(10)) AS sp FROM d),
+          |lines AS (
+          |  SELECT doc_id, unnest(range(1, len(sp) + 1)) AS pos,
+          |    unnest(sp) AS line
+          |  FROM sp),
+          |boiler AS (
+          |  SELECT line
+          |  FROM (SELECT line, count(DISTINCT doc_id) AS df
+          |        FROM lines GROUP BY line)
+          |  WHERE df > 10),
+          |kept AS (
+          |  SELECT l.doc_id, l.pos, l.line
+          |  FROM lines l LEFT JOIN boiler b USING (line)
+          |  WHERE b.line IS NULL),
+          |o AS (
+          |  SELECT doc_id, count(*) AS n_kept,
+          |    string_agg(line, chr(10) ORDER BY pos) AS clean_text
+          |  FROM kept GROUP BY doc_id)
+          |SELECT d.doc_id, coalesce(o.clean_text, '') AS clean_text,
+          |  coalesce(o.n_kept, 0) AS n_kept
+          |FROM d LEFT JOIN o USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
       // q68: token totals + doc frequencies over the same normalized
       // whitespace tokenization; (n_total desc, token) is a total

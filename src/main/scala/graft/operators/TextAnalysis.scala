@@ -145,6 +145,48 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** C4/RefinedWeb-style LINE-level dedup: a line occurring in more
+    * than `maxDocFreq` distinct documents is boilerplate (nav bars,
+    * cookie banners, share buttons) and is removed from EVERY
+    * document; each document is reassembled from its surviving lines
+    * in original order. Output: (idCol, clean_text, n_kept).
+    *
+    * Shape: posexplode keeps each line's position; the document
+    * frequency is one aggregate (map-side combined to distinct
+    * (line, doc) pairs); boilerplate removal is a left-anti join on
+    * the line; reassembly is one groupBy(doc) with a sort_array over
+    * (pos, line) structs — per-doc, never a global sort. The
+    * anti-join shuffles raw line text; at extreme line lengths key it
+    * on a 128-bit digest instead (not done here: the oracle compares
+    * exact strings, and 32-bit prefixes would risk dropping innocent
+    * collided lines).
+    */
+  def dedupLines(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDocFreq: Int): org.apache.spark.sql.DataFrame = {
+    // -1 limit: trailing empty lines survive the split, matching
+    // DuckDB's string_split (an all-empty-line doc still counts them)
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+    val boilerplate = lines.groupBy("line")
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") > maxDocFreq)
+      .select("line")
+    val kept = lines.join(boilerplate, Seq("line"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws("\n", transform(
+          sort_array(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line"))).as("clean_text"))
+    // docs whose every line was boilerplate come back empty, not absent
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Deflate compression ratio — the single-number redundancy signal
     * (see [[graft.functions.DeflateRatio]]).
     */
