@@ -13,6 +13,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // optional comma-separated name filter for ISOLATED re-measurement
+    // of suspect queries (interleave noise diagnosis); the driver sets
+    // no filter and always measures the full surface. Parsed and
+    // validated BEFORE the session build so a typo fails instantly
+    // instead of after the multi-second warm-up; unknown names fail
+    // loudly — a silent empty filter would emit a zero-query JSON
+    // that reads as a passing bench.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
+      require(o.nonEmpty, "SPARK_GRAFT_BENCH_ONLY is set but names no queries")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -55,19 +70,6 @@ object Bench {
     // run-to-run, which is too noisy to steer optimization or detect
     // regressions round-over-round
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
-    // optional comma-separated name filter for ISOLATED re-measurement
-    // of suspect queries (interleave noise diagnosis); the driver sets
-    // no filter and always measures the full surface. Tokens are
-    // trimmed and unknown names fail loudly — a silent empty filter
-    // would emit a zero-query JSON that reads as a passing bench.
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    only.foreach { o =>
-      val unknown = o -- SparkEntry.queries.keySet
-      require(unknown.isEmpty,
-        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
-      require(o.nonEmpty, "SPARK_GRAFT_BENCH_ONLY is set but names no queries")
-    }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val timings = scala.collection.mutable.Map.empty[String, List[Double]]

@@ -383,26 +383,31 @@ object Dedup {
           .groupBy("id").agg(min(col("component")).as("component"),
             max(col("__old")).as("__old"))
           .localCheckpoint(true)
-        converged = next.filter(col("component") =!= col("__old")).isEmpty
         // the prior round's label checkpoint is dead once `next` is
         // materialized — drop its blocks now instead of letting
-        // O(rounds) copies pile up in a long-lived session
+        // O(rounds) copies pile up in a long-lived session; re-point
+        // `labels` at the new checkpoint IMMEDIATELY so the failure
+        // handler below always owns the newest materialized blocks
         Checkpoints.drop(labels)
+        labels = next
+        converged = next.filter(col("component") =!= col("__old")).isEmpty
         labels = next.select("id", "component")
         round += 1
-        }
-      if (!converged) {
-        // the failure path owns the last labels checkpoint too — drop
-        // it so a caught exception leaks nothing
-        Checkpoints.drop(labels)
+      }
+      if (!converged)
         throw new IllegalStateException(
           s"connectedComponents: no fixpoint after $maxRounds rounds — " +
             "component min-label distance exceeds 2^rounds; raise maxRounds")
-      }
+    } catch { case t: Throwable =>
+      // any failure path (no-fixpoint, a failed probe action, a lost
+      // executor) abandons the newest labels checkpoint — drop it so
+      // a caught exception leaks nothing
+      Checkpoints.drop(labels)
+      throw t
     } finally {
       // the edge-list checkpoint is dead on BOTH paths: the final
-      // labels checkpoint is self-contained on success, and nothing
-      // survives a throw
+      // labels checkpoint is self-contained on success, and the catch
+      // above released it on failure
       Checkpoints.drop(edges)
     }
     labels

@@ -517,10 +517,20 @@ object Similarity {
       idCol: String,
       vecCol: String,
       nPlanes: Int,
-      portable: Boolean = false): DataFrame =
+      portable: Boolean = false): DataFrame = {
+    // stamp the plane parameters on the bucket column: a probe with
+    // different planes would bucket the batch differently and return
+    // plausible-looking garbage with no error — the metadata lets
+    // embeddingNearDupsIncremental catch the drift
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("nPlanes", nPlanes.toLong)
+      .putBoolean("portable", portable)
+      .build()
     corpus.select(col(idCol), col(vecCol).as("__v"),
       l2norm(col(vecCol)).as("__n"),
-      hyperplaneBucket(col(vecCol), nPlanes, portable).as("bucket"))
+      hyperplaneBucket(col(vecCol), nPlanes, portable)
+        .as("bucket", meta))
+  }
 
   /** Incremental embedding near-dup — the vector twin of the
     * incremental MinHash contract: bucket ONLY the new batch and probe
@@ -540,6 +550,16 @@ object Similarity {
       threshold: Double,
       nPlanes: Int = 6,
       portable: Boolean = false): DataFrame = {
+    // if the index came from lshVectorIndex, its bucket column carries
+    // the plane parameters — a mismatch would silently probe the wrong
+    // buckets, so fail loudly instead
+    val m = index.schema("bucket").metadata
+    if (m.contains("nPlanes"))
+      require(m.getLong("nPlanes") == nPlanes.toLong &&
+          m.getBoolean("portable") == portable,
+        s"embeddingNearDupsIncremental: index was built with nPlanes=" +
+          s"${m.getLong("nPlanes")} portable=${m.getBoolean("portable")} " +
+          s"but probed with nPlanes=$nPlanes portable=$portable")
     val newBucketed = lshVectorIndex(newVecs, idCol, vecCol, nPlanes, portable)
     val all = index.select(col(idCol), col("__v"), col("__n"), col("bucket"))
       .unionByName(newBucketed)

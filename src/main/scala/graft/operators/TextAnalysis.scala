@@ -160,6 +160,15 @@ object TextAnalysis {
     * on a 128-bit digest instead (not done here: the oracle compares
     * exact strings, and 32-bit prefixes would risk dropping innocent
     * collided lines).
+    *
+    * DELIBERATE two-pass trade-off: the exploded `lines` subplan feeds
+    * both the frequency aggregate and the anti-join probe side, so the
+    * source is scanned and split twice. That is inherent to
+    * frequency-based filtering unless the full line set is
+    * materialized — and checkpointing every line of a 100 TB corpus
+    * costs more than the second columnar scan it saves. Callers that
+    * already hold `lines` in fast storage can pre-materialize and pass
+    * it through a thin wrapper if the scan ever dominates.
     */
   def dedupLines(
       df: org.apache.spark.sql.DataFrame,

@@ -396,10 +396,7 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("incremental embedding near-dup equals full pairs touching the batch") {
-    import org.apache.spark.sql.functions._
-    val all = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
-      .select(col("vec_id"), col("embedding").cast("array<double>")
-        .as("embedding"))
+    val all = embeddings
     val corpus = all.filter("vec_id % 3 != 0")
     val fresh = all.filter("vec_id % 3 = 0")
     // production (xxhash64) planes — the portable variant is
