@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.etl.FixtureLoader.spark
+import graft.operators.Dedup
+
+/** The streaming daily-ingest dedup invariant: batches arriving one at
+  * a time — each probing the index and then folding itself in — find
+  * exactly the pairs the ONE-SHOT incremental operator finds over the
+  * union of all batches, regardless of how the docs were split across
+  * micro-batches (batch-boundary-independence is what makes the
+  * streaming form trustworthy).
+  */
+class DedupStreamSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("streamed batches find the same pairs as one-shot incremental") {
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("dd-src").toString
+    val ckp = Files.createTempDirectory("dd-ckp").toString
+    val idx = Files.createTempDirectory("dd-idx").toString
+    val dcs = Files.createTempDirectory("dd-docs").toString
+    val prs = Files.createTempDirectory("dd-pairs").toString
+
+    val all = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val corpus = all.filter("doc_id % 3 != 0")
+    val fresh = all.filter("doc_id % 3 = 0")
+
+    // seed the stores with the corpus (bands + raw docs)
+    Dedup.minhashBandIndexPortable(corpus, "doc_id", "text",
+        shingleLen = 3, numHashes = 16, bands = 4)
+      .write.parquet(s"$idx/batch_id=base")
+    corpus.write.parquet(s"$dcs/batch_id=base")
+
+    // stream the new docs as TWO files → two micro-batches
+    fresh.filter("doc_id % 2 = 0").coalesce(1)
+      .write.mode("append").parquet(src)
+    fresh.filter("doc_id % 2 = 1").coalesce(1)
+      .write.mode("append").parquet(src)
+    DedupStream.run(spark, src, ckp, idx, dcs, prs, "doc_id", "text",
+      shingleLen = 3, numHashes = 16, bands = 4, threshold = 0.7)
+
+    val streamed = spark.read.parquet(prs)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val oneShot = Dedup.minhashNearDupsIncrementalPortable(
+        Dedup.minhashBandIndexPortable(corpus, "doc_id", "text", 3, 16, 4),
+        corpus, fresh, "doc_id", "text", 3, 16, 4, threshold = 0.7)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(oneShot.nonEmpty, "fixture has no cross-batch near-dups at 0.7")
+    assert(streamed == oneShot,
+      s"streamed=${streamed.size} oneShot=${oneShot.size}")
+    // a batch never re-reports a corpus-only pair
+    assert(streamed.forall { case (a, b, _) => a % 3 == 0 || b % 3 == 0 })
+  }
+}
