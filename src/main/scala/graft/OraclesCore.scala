@@ -384,6 +384,8 @@ object OraclesCore {
     // same oracle by design: the hotKeys-overload query must equal the
     // identical plain inner join for ANY hot-key list
     "q45b_salted_join_hotkeys" -> saltedJoinOracle,
+    // and the unsalted AQE control IS that plain inner join
+    "q71_plain_join_aqe" -> saltedJoinOracle,
 
     // q57: rebuilds renderPerson's document (templates/person.xml.j2
     // shape) with pure string concatenation — every || piece mirrors

@@ -514,6 +514,33 @@ object QueriesCore {
       .orderBy("k")
   }
 
+  /** The UNSALTED control for q45/q45b: the identical skewed join left
+    * to Spark itself — AQE's skew-join splitting
+    * (spark.sql.adaptive.skewJoin, on by default in the bench session)
+    * subdivides the hot key's monster partition at runtime. Same
+    * oracle as q45 by definition. BENCH_r* therefore carries a direct
+    * three-way comparison: detected-hot-key salting (q45), known-
+    * hot-key salting (q45b), and runtime AQE splitting (q71) — the
+    * static-plan operators remain the option for pipelines where AQE
+    * cannot see the skew (pre-partitioned writes, non-join stages).
+    */
+  def q71PlainJoinAqe(s: SparkSession, dir: String): DataFrame = {
+    def collapse(c: Column): Column =
+      when(pmod(c, lit(4)) === 0, lit(0L)).otherwise(c)
+    val li = Tables.lineitem(s, dir)
+      .select(collapse(col("l_orderkey")).as("k"), col("l_quantity"))
+    val o = Tables.orders(s, dir)
+      .select(collapse(col("o_orderkey")).as("k"), col("o_orderpriority"))
+      .groupBy("k")
+      .agg(min(col("o_orderpriority")).as("priority"),
+        count(lit(1)).as("n_orders"))
+    li.join(o, Seq("k"))
+      .groupBy("k", "priority", "n_orders")
+      .agg(Fns.exactSum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy("k")
+  }
+
   /** Deterministic 80/10/10 train/val/test split by content hash
     * ([[graft.operators.Scale.hashSplit]]) — reproducible across runs,
     * engines, and partitionings, unlike rand()-based sampling. The
@@ -748,6 +775,7 @@ object QueriesCore {
     "q44_mptt_labels" -> q44MpttLabels _,
     "q45_salted_join" -> q45SaltedJoin _,
     "q45b_salted_join_hotkeys" -> q45bSaltedJoinHotkeys _,
+    "q71_plain_join_aqe" -> q71PlainJoinAqe _,
     "q51_hash_split" -> q51HashSplit _,
     "q57_person_xml" -> q57PersonXml _,
     "q64_org_user_xml" -> q64OrgUserXml _,
