@@ -453,17 +453,14 @@ object QueriesCore {
       .orderBy("id")
   }
 
-  /** Skew-salted join ([[graft.operators.Scale.saltedJoinSkewAware]]):
-    * result must equal the PLAIN inner join — the oracle is exactly
-    * that, making the hot-key detection + split + salt/explode/union
-    * plumbing oracle-checked rather than only plan-asserted. Skew is
-    * PLANTED: every 4th orderkey collapses onto key 0, so ~25% of
-    * lineitem lands on one key (the hot path, salted 8×) while the
-    * long tail joins plain — the blanket-salting variant
-    * ([[graft.operators.Scale.saltedJoin]]) would replicate the whole
-    * right side 8× for the same answer.
+  /** Shared inputs of the q45/q45b/q71 skew family — skew is PLANTED:
+    * every 4th orderkey collapses onto key 0, so ~25% of lineitem
+    * lands on one key while the long tail stays uniform. One
+    * definition so the three queries (and their single shared oracle)
+    * can never drift apart. Returns (facts, dim-aggregated).
     */
-  def q45SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+  private def skewedJoinInputs(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     def collapse(c: Column): Column =
       when(pmod(c, lit(4)) === 0, lit(0L)).otherwise(c)
     val li = Tables.lineitem(s, dir)
@@ -473,15 +470,31 @@ object QueriesCore {
       .groupBy("k")
       .agg(min(col("o_orderpriority")).as("priority"),
         count(lit(1)).as("n_orders"))
-    // threshold 500: key 0 carries ~25% of lineitem (≥1500 rows at the
-    // smallest sf), every natural orderkey ≤ 7 rows — unambiguous at
-    // any scale factor
-    graft.operators.Scale.saltedJoinSkewAware(li, o, Seq("k"),
-        saltFactor = 8, hotKeyThreshold = 500)
-      .groupBy("k", "priority", "n_orders")
+    (li, o)
+  }
+
+  /** Shared aggregation/ordering tail of the skew family. */
+  private def skewedJoinResult(joined: DataFrame): DataFrame =
+    joined.groupBy("k", "priority", "n_orders")
       .agg(Fns.exactSum(col("l_quantity")).as("sum_qty"),
         count(lit(1)).as("n_items"))
       .orderBy("k")
+
+  /** Skew-salted join ([[graft.operators.Scale.saltedJoinSkewAware]]):
+    * result must equal the PLAIN inner join — the oracle is exactly
+    * that, making the hot-key detection + split + salt/explode/union
+    * plumbing oracle-checked rather than only plan-asserted. The hot
+    * path is salted 8×; the long tail joins plain — the
+    * blanket-salting variant ([[graft.operators.Scale.saltedJoin]])
+    * would replicate the whole right side 8× for the same answer.
+    */
+  def q45SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val (li, o) = skewedJoinInputs(s, dir)
+    // threshold 500: key 0 carries ~25% of lineitem (≥1500 rows at the
+    // smallest sf), every natural orderkey ≤ 7 rows — unambiguous at
+    // any scale factor
+    skewedJoinResult(graft.operators.Scale.saltedJoinSkewAware(li, o,
+      Seq("k"), saltFactor = 8, hotKeyThreshold = 500))
   }
 
   /** The CALLER-SUPPLIED hot-key overload of
@@ -496,49 +509,28 @@ object QueriesCore {
     */
   def q45bSaltedJoinHotkeys(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    def collapse(c: Column): Column =
-      when(pmod(c, lit(4)) === 0, lit(0L)).otherwise(c)
-    val li = Tables.lineitem(s, dir)
-      .select(collapse(col("l_orderkey")).as("k"), col("l_quantity"))
-    val o = Tables.orders(s, dir)
-      .select(collapse(col("o_orderkey")).as("k"), col("o_orderpriority"))
-      .groupBy("k")
-      .agg(min(col("o_orderpriority")).as("priority"),
-        count(lit(1)).as("n_orders"))
+    val (li, o) = skewedJoinInputs(s, dir)
     val hotKeys = Seq(0L).toDF("k")
-    graft.operators.Scale.saltedJoinSkewAware(li, o, Seq("k"),
-        saltFactor = 8, hotKeys)
-      .groupBy("k", "priority", "n_orders")
-      .agg(Fns.exactSum(col("l_quantity")).as("sum_qty"),
-        count(lit(1)).as("n_items"))
-      .orderBy("k")
+    skewedJoinResult(graft.operators.Scale.saltedJoinSkewAware(li, o,
+      Seq("k"), saltFactor = 8, hotKeys))
   }
 
   /** The UNSALTED control for q45/q45b: the identical skewed join left
-    * to Spark itself — AQE's skew-join splitting
-    * (spark.sql.adaptive.skewJoin, on by default in the bench session)
-    * subdivides the hot key's monster partition at runtime. Same
-    * oracle as q45 by definition. BENCH_r* therefore carries a direct
-    * three-way comparison: detected-hot-key salting (q45), known-
-    * hot-key salting (q45b), and runtime AQE splitting (q71) — the
-    * static-plan operators remain the option for pipelines where AQE
-    * cannot see the skew (pre-partitioned writes, non-join stages).
+    * entirely to Spark. Same oracle as q45 by definition. At bench
+    * scale (sf0.1) the aggregated dim side is a few MB, so AQE plans a
+    * BROADCAST join and the skew never materializes — which is itself
+    * the honest lesson: salting only matters in the regime where the
+    * right side is too big to broadcast AND a partition exceeds
+    * spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes
+    * (256 MB default — far above anything at sf0.1). BENCH_r*'s
+    * q45/q45b/q71 numbers therefore compare detected-hot-key salting,
+    * known-hot-key salting, and let-Spark-plan-it; they do NOT
+    * measure AQE's skew SPLITTING, which needs the 100 TB regime (or
+    * lowered thresholds) to engage.
     */
   def q71PlainJoinAqe(s: SparkSession, dir: String): DataFrame = {
-    def collapse(c: Column): Column =
-      when(pmod(c, lit(4)) === 0, lit(0L)).otherwise(c)
-    val li = Tables.lineitem(s, dir)
-      .select(collapse(col("l_orderkey")).as("k"), col("l_quantity"))
-    val o = Tables.orders(s, dir)
-      .select(collapse(col("o_orderkey")).as("k"), col("o_orderpriority"))
-      .groupBy("k")
-      .agg(min(col("o_orderpriority")).as("priority"),
-        count(lit(1)).as("n_orders"))
-    li.join(o, Seq("k"))
-      .groupBy("k", "priority", "n_orders")
-      .agg(Fns.exactSum(col("l_quantity")).as("sum_qty"),
-        count(lit(1)).as("n_items"))
-      .orderBy("k")
+    val (li, o) = skewedJoinInputs(s, dir)
+    skewedJoinResult(li.join(o, Seq("k")))
   }
 
   /** Deterministic 80/10/10 train/val/test split by content hash

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.operators.Dedup
 
 /** Streaming daily-ingest near-dup detection — the incremental MinHash
@@ -15,9 +16,11 @@ import graft.operators.Dedup
   *
   * Idempotency under checkpoint replay: every per-batch write
   * (pairs, bands, docs) goes to its own `batch_id=N` directory in
-  * overwrite mode, the same pattern as [[ChangesStream]] — an
-  * at-least-once redelivery rewrites identical content instead of
-  * duplicating it.
+  * overwrite mode, the same pattern as [[ChangesStream]], AND the
+  * index/docs reads exclude batch ids >= the current one — a replayed
+  * batch whose fold-in writes landed before a crash would otherwise
+  * see its own docs on both sides of the verify join and rewrite
+  * DIFFERENT (duplicated) pair content instead of identical content.
   *
   * Scale: the per-batch cost is O(batch) sketches + one band
   * equi-join against the index — the corpus is never re-sketched; at
@@ -54,25 +57,39 @@ object DedupStream {
       .parquet(sourceDir)
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        // the index/docs reads must NOT see this batch's own dirs —
-        // they are written only after the pairs action completes
-        val index = s.read.parquet(indexDir)
-          .select(idCol, "band_idx", "band_hash")
-        val knownDocs = s.read.parquet(docsDir).select(idCol, textCol)
-        val pairs = Dedup.minhashNearDupsIncrementalPortable(
-          index, knownDocs, batch, idCol, textCol,
-          shingleLen, numHashes, bands, threshold)
-        pairs.write.mode("overwrite")
-          .parquet(s"$pairsDir/batch_id=$batchId")
-        // now fold the batch into the stores so the NEXT batch
-        // collides with it
-        Dedup.minhashBandIndexPortable(batch, idCol, textCol,
-            shingleLen, numHashes, bands)
-          .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
-        batch.select(idCol, textCol).write.mode("overwrite")
-          .parquet(s"$docsDir/batch_id=$batchId")
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        val s = rawBatch.sparkSession
+        // the batch feeds three pipelines (probe sketch, fold-in
+        // sketch, docs write) — persist it so the source file is read
+        // once. The md5 sketch itself still runs twice (probe + fold-
+        // in); a deployment with large drops should band once and
+        // derive both from that frame.
+        val batch = rawBatch.persist()
+        try {
+          // the index/docs reads must not see this batch's OWN dirs.
+          // Within one attempt that holds by write ordering, but a
+          // checkpoint REPLAY of a batch whose fold-in writes landed
+          // before the crash would re-read them and violate the
+          // disjoint-ids precondition (duplicated pairs) — so exclude
+          // this batch id and any later one explicitly.
+          def past(dir: String) = s.read.parquet(dir)
+            .filter(col("batch_id") === "base" ||
+              expr("try_cast(batch_id AS BIGINT)") < batchId)
+          val index = past(indexDir).select(idCol, "band_idx", "band_hash")
+          val knownDocs = past(docsDir).select(idCol, textCol)
+          val pairs = Dedup.minhashNearDupsIncrementalPortable(
+            index, knownDocs, batch, idCol, textCol,
+            shingleLen, numHashes, bands, threshold)
+          pairs.write.mode("overwrite")
+            .parquet(s"$pairsDir/batch_id=$batchId")
+          // now fold the batch into the stores so the NEXT batch
+          // collides with it
+          Dedup.minhashBandIndexPortable(batch, idCol, textCol,
+              shingleLen, numHashes, bands)
+            .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+          batch.select(idCol, textCol).write.mode("overwrite")
+            .parquet(s"$docsDir/batch_id=$batchId")
+        } finally batch.unpersist()
       }
       .start()
     q.processAllAvailable()

@@ -50,6 +50,13 @@ class DedupStreamSpec extends AnyFunSuite {
         corpus, fresh, "doc_id", "text", 3, 16, 4, threshold = 0.7)
       .as[(Long, Long, Double)].collect().toSet
     assert(oneShot.nonEmpty, "fixture has no cross-batch near-dups at 0.7")
+    // the fold-in path must be NON-vacuously exercised: at least one
+    // pair must span the two micro-batches (both ids fresh, opposite
+    // %2 parity) — found only if batch 2 probes batch 1's folded-in
+    // bands. (The sf0.001 fixture plants (99, 174) at jaccard 0.988.)
+    assert(oneShot.exists { case (a, b, _) =>
+      a % 3 == 0 && b % 3 == 0 && a % 2 != b % 2 },
+      "no batch1×batch2 pair in fixture — the fold-in path is untested")
     assert(streamed == oneShot,
       s"streamed=${streamed.size} oneShot=${oneShot.size}")
     // a batch never re-reports a corpus-only pair
