@@ -6,9 +6,15 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     // args beyond (sfDir, outDir) filter the query set — local
-    // iteration convenience; the driver always passes exactly two
+    // iteration convenience; the driver always passes exactly two.
+    // Unknown names fail loudly BEFORE the session build: a typo'd
+    // filter would otherwise write nothing and exit 0, surfacing only
+    // as a confusing missing-dir (or stale-compare) in check.py.
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"Verify: unknown query names: ${unknown.toSeq.sorted.mkString(",")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -555,10 +555,13 @@ object Similarity {
     // buckets, so fail loudly instead
     val m = index.schema("bucket").metadata
     if (m.contains("nPlanes"))
+      // a missing portable key counts as a mismatch (never an opaque
+      // NoSuchElementException out of the metadata accessor)
       require(m.getLong("nPlanes") == nPlanes.toLong &&
-          m.getBoolean("portable") == portable,
+          m.contains("portable") && m.getBoolean("portable") == portable,
         s"embeddingNearDupsIncremental: index was built with nPlanes=" +
-          s"${m.getLong("nPlanes")} portable=${m.getBoolean("portable")} " +
+          s"${m.getLong("nPlanes")} portable=" +
+          s"${if (m.contains("portable")) m.getBoolean("portable") else "<absent>"} " +
           s"but probed with nPlanes=$nPlanes portable=$portable")
     val newBucketed = lshVectorIndex(newVecs, idCol, vecCol, nPlanes, portable)
     val all = index.select(col(idCol), col("__v"), col("__n"), col("bucket"))

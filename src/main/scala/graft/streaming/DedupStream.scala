@@ -75,6 +75,19 @@ object DedupStream {
           def past(dir: String) = s.read.parquet(dir)
             .filter(col("batch_id") === "base" ||
               expr("try_cast(batch_id AS BIGINT)") < batchId)
+          // a RESTART with a fresh/lost checkpoint over populated
+          // stores would replay batch ids from 0: past() would then
+          // silently ignore every previously folded batch and the
+          // overwrites would clobber them under colliding ids — fail
+          // loudly instead (equality = legitimate same-id replay)
+          val maxSeen = s.read.parquet(indexDir)
+            .agg(max(expr("try_cast(batch_id AS BIGINT)"))).first()
+          require(maxSeen.isNullAt(0) || maxSeen.getLong(0) <= batchId,
+            s"DedupStream: store at $indexDir already contains batch_id=" +
+              s"${maxSeen.getLong(0)} but the stream is at batch $batchId — " +
+              "a restarted checkpoint over an existing store would " +
+              "silently drop earlier batches; use a fresh store or the " +
+              "original checkpoint")
           val index = past(indexDir).select(idCol, "band_idx", "band_hash")
           val knownDocs = past(docsDir).select(idCol, textCol)
           val pairs = Dedup.minhashNearDupsIncrementalPortable(
