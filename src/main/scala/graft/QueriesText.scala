@@ -394,6 +394,19 @@ object QueriesText {
       .orderBy("doc_id")
   }
 
+  /** Asymmetric containment pairs ([[Dedup.containmentPairs]]):
+    * winnow-fingerprint containment(A in B) at ≥ 0.5 with the
+    * CCNet-style boilerplate-fingerprint cap (df ≤ 20) — the
+    * RefinedWeb-style "small doc pasted into a big one" detector
+    * symmetric Jaccard misses. Fully oracle-checked: fingerprints are
+    * the q59 md5-portable winnow, and the cap, denominators, and
+    * threshold replicate in DuckDB.
+    */
+  def q72Containment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+        k = 8, w = 4, threshold = 0.5, maxDocFreq = 20)
+      .orderBy("id_a", "id_b")
+
   val queries: Map[String, Q] = Map(
     "q30_text_stats" -> q30TextStats _,
     "q31_lang_id" -> q31LangId _,
@@ -420,6 +433,7 @@ object QueriesText {
     "q67_minhash_incremental" -> q67MinhashIncremental _,
     "q68_vocab_topk" -> q68VocabTopk _,
     "q70_line_dedup" -> q70LineDedup _,
+    "q72_containment" -> q72Containment _,
   )
 
   private val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -681,6 +695,43 @@ object QueriesText {
            |  mk >> 21 AS fp
            |FROM wm WHERE i >= 4
            |ORDER BY doc_id, pos""".stripMargin,
+
+      // q72: the q59 winnow-fingerprint construction feeding the
+      // containment ratio — df-capped fingerprint universe, per-doc
+      // denominators over the SAME capped universe, round-then-filter
+      "q72_containment" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, $norm AS nm FROM documents
+           |  WHERE len($norm) >= 8 AND len($norm) <= 2097151),
+           |g AS (
+           |  SELECT doc_id, unnest(range(1, len(nm) - 8 + 2)) AS i, nm
+           |  FROM d),
+           |kk AS (
+           |  SELECT doc_id, i,
+           |    ((('0x' || substr(md5(substr(nm, CAST(i AS INTEGER), 8)),
+           |        1, 8))::BIGINT << 21) | (2097151 - i)) AS pk
+           |  FROM g),
+           |wm AS (
+           |  SELECT doc_id, i,
+           |    min(pk) OVER (PARTITION BY doc_id ORDER BY i
+           |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
+           |  FROM kk),
+           |fps AS (
+           |  SELECT DISTINCT doc_id, mk >> 21 AS fp FROM wm WHERE i >= 4),
+           |ok AS (
+           |  SELECT fp FROM (SELECT fp, count(*) AS c FROM fps GROUP BY fp)
+           |  WHERE c <= 20),
+           |kept AS (SELECT fps.doc_id, fps.fp FROM fps SEMI JOIN ok USING (fp)),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+           |  FROM kept a JOIN kept b USING (fp)
+           |  WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+           |SELECT id_a, id_b,
+           |  round(i / CAST(n AS DOUBLE), 6) AS containment
+           |FROM inter JOIN sizes ON id_a = doc_id
+           |WHERE round(i / CAST(n AS DOUBLE), 6) >= 0.5
+           |ORDER BY id_a, id_b""".stripMargin,
 
       // mirrors q61SequencePacking: same token count as q30's twin,
       // one straightforward window cumsum vs Spark's two-level
