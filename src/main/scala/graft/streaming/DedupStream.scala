@@ -49,6 +49,34 @@ object DedupStream {
       bands: Int = 4,
       threshold: Double = 0.6,
       maxFilesPerTrigger: Int = 1): Unit = {
+    // Store↔checkpoint identity guard: the stream's identity is its
+    // checkpoint id (STABLE across legitimate restarts from the same
+    // checkpoint); the store remembers which stream built it. Batch-id
+    // arithmetic cannot make this safe — a lost checkpoint restarting
+    // at id 0 over a store whose max id is 0 is indistinguishable from
+    // a legitimate replay by ids alone — so pairing ids is the only
+    // sound check, and it runs ONCE per run, not per batch.
+    val marker = java.nio.file.Paths.get(indexDir, "_stream_id")
+    val ckpMeta = java.nio.file.Paths.get(checkpointDir, "metadata")
+    val ckpId: Option[String] =
+      if (java.nio.file.Files.exists(ckpMeta))
+        "\"id\"\\s*:\\s*\"([^\"]+)\"".r
+          .findFirstMatchIn(java.nio.file.Files.readString(ckpMeta))
+          .map(_.group(1))
+      else None
+    if (java.nio.file.Files.exists(marker)) {
+      val prev = java.nio.file.Files.readString(marker).trim
+      require(ckpId.contains(prev),
+        s"DedupStream: store at $indexDir was built by stream $prev but " +
+          s"this checkpoint is ${ckpId.getOrElse("fresh")} — a new " +
+          "checkpoint over an existing store would replay batch ids and " +
+          "silently drop or clobber earlier batches; use a fresh store " +
+          "or the original checkpoint")
+    } else require(ckpId.isEmpty,
+      s"DedupStream: checkpoint $checkpointDir has committed batches but " +
+        s"the store at $indexDir carries no _stream_id marker — reusing " +
+        "a checkpoint over a fresh store would skip its committed " +
+        "batches; use a fresh checkpoint with a fresh store")
     val schema = spark.read.parquet(s"$docsDir").select(idCol, textCol).schema
     val stream = spark.readStream.schema(schema)
       // one file per micro-batch by default: each ingest drop probes
@@ -75,19 +103,6 @@ object DedupStream {
           def past(dir: String) = s.read.parquet(dir)
             .filter(col("batch_id") === "base" ||
               expr("try_cast(batch_id AS BIGINT)") < batchId)
-          // a RESTART with a fresh/lost checkpoint over populated
-          // stores would replay batch ids from 0: past() would then
-          // silently ignore every previously folded batch and the
-          // overwrites would clobber them under colliding ids — fail
-          // loudly instead (equality = legitimate same-id replay)
-          val maxSeen = s.read.parquet(indexDir)
-            .agg(max(expr("try_cast(batch_id AS BIGINT)"))).first()
-          require(maxSeen.isNullAt(0) || maxSeen.getLong(0) <= batchId,
-            s"DedupStream: store at $indexDir already contains batch_id=" +
-              s"${maxSeen.getLong(0)} but the stream is at batch $batchId — " +
-              "a restarted checkpoint over an existing store would " +
-              "silently drop earlier batches; use a fresh store or the " +
-              "original checkpoint")
           val index = past(indexDir).select(idCol, "band_idx", "band_hash")
           val knownDocs = past(docsDir).select(idCol, textCol)
           val pairs = Dedup.minhashNearDupsIncrementalPortable(
@@ -105,6 +120,10 @@ object DedupStream {
         } finally batch.unpersist()
       }
       .start()
+    // first run against this store: record the stream identity (q.id
+    // IS the checkpoint id, stable across restarts)
+    if (!java.nio.file.Files.exists(marker))
+      java.nio.file.Files.writeString(marker, q.id.toString)
     q.processAllAvailable()
     q.stop()
   }

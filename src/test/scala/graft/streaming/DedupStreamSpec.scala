@@ -61,5 +61,17 @@ class DedupStreamSpec extends AnyFunSuite {
       s"streamed=${streamed.size} oneShot=${oneShot.size}")
     // a batch never re-reports a corpus-only pair
     assert(streamed.forall { case (a, b, _) => a % 3 == 0 || b % 3 == 0 })
+
+    // a FRESH checkpoint over the populated store must fail loudly
+    // (its replayed batch ids would clobber the folded-in batches)
+    val ckp2 = Files.createTempDirectory("dd-ckp2").toString
+    val e = intercept[IllegalArgumentException] {
+      DedupStream.run(spark, src, ckp2, idx, dcs, prs, "doc_id", "text",
+        shingleLen = 3, numHashes = 16, bands = 4, threshold = 0.7)
+    }
+    assert(e.getMessage.contains("built by stream"), e.getMessage)
+    // while the ORIGINAL checkpoint restarts cleanly (no new input)
+    DedupStream.run(spark, src, ckp, idx, dcs, prs, "doc_id", "text",
+      shingleLen = 3, numHashes = 16, bands = 4, threshold = 0.7)
   }
 }
