@@ -386,6 +386,8 @@ object OraclesCore {
     "q45b_salted_join_hotkeys" -> saltedJoinOracle,
     // and the unsalted AQE control IS that plain inner join
     "q71_plain_join_aqe" -> saltedJoinOracle,
+    // skew splitting must not change the answer: same plain-join oracle
+    "q73_skew_split_join" -> saltedJoinOracle,
 
     // q57: rebuilds renderPerson's document (templates/person.xml.j2
     // shape) with pure string concatenation — every || piece mirrors

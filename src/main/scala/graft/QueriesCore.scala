@@ -533,6 +533,100 @@ object QueriesCore {
     skewedJoinResult(li.join(o, Seq("k")))
   }
 
+  /** AQE skew-SPLITTING actually exercised — the measurement q71's
+    * scaladoc records as missing: at sf0.1 the dim side broadcasts and
+    * the default 256 MB skewedPartitionThreshold never trips, so the
+    * q45/q45b/q71 family never demonstrates the regime where Spark's
+    * own skew handling engages. Here broadcast is disabled and the
+    * skew thresholds are lowered to bench scale, so the planted hot
+    * key (0, ~25% of lineitem) forces a sort-merge join whose skewed
+    * partition AQE splits (`OptimizeSkewedJoin`; AqeSkewSpec asserts
+    * `skew=true` appears in the final adaptive plan and that the split
+    * produced more tasks than partitions). Same oracle as q45/q71 —
+    * skew splitting must not change the answer.
+    *
+    * The thresholds are SESSION confs, so they must hold at EXECUTION
+    * time, not plan-build time: the frame is executed eagerly under
+    * the lowered confs (localCheckpoint) and the confs restored in a
+    * finally — a lazily-returned plan would run after restoration,
+    * quietly measuring the broadcast plan instead. At 100 TB none of
+    * this staging exists: partitions genuinely exceed 256 MB and the
+    * same defaults engage unmodified.
+    */
+  def q73SkewSplitJoin(s: SparkSession, dir: String): DataFrame =
+    withSkewSplitConfs(s) {
+      skewedJoinResult(skewSplitJoined(s, dir)).localCheckpoint(true)
+    }
+
+  /** The join q73 measures, shared with AqeSkewSpec so the spec's
+    * skew-split assertion covers exactly the declared query's shape.
+    *
+    * `OptimizeSkewedJoin` only matches a sort-merge join whose inputs
+    * are BARE shuffle reads under the sorts. Left side: the fact scan
+    * shuffles on k — bare. Right side: the aggregate's own exchange
+    * doubles as the join's (EnsureRequirements reuses hash(k)
+    * partitioning), leaving the final HashAggregate BETWEEN shuffle
+    * and join — the rule never fires and the skew silently survives
+    * (and a plain `repartition(k)` is absorbed as the aggregate's
+    * exchange, changing nothing). So the dim is deliberately
+    * partitioned on (k, priority) — the realistic shape where a dim
+    * arrives partitioned by an upstream pipeline's keys — forcing
+    * EnsureRequirements to insert a fresh bare exchange on k directly
+    * under the join, which makes the rule's pattern match and the hot
+    * fact partition splittable. The extra exchange moves only the
+    * aggregated dim (one row per key), a negligible price.
+    */
+  private[graft] def skewSplitJoined(s: SparkSession, dir: String): DataFrame = {
+    val (li, o) = skewedJoinInputs(s, dir)
+    // AQE splits a skewed reduce partition by regrouping MAP-index
+    // ranges, so a hot partition fed by a single mapper is atomic: the
+    // bench parquet is one ~1 MB file = ONE map task, and the rule
+    // has nothing to split (measured: stage stats [84,164,84,84] KB,
+    // skew detected, no split possible). A 100 TB fact table has
+    // thousands of mappers; the round-robin repartition emulates that
+    // input parallelism locally so the split path actually executes.
+    li.repartition(16).join(o.repartition(col("k"), col("priority")), Seq("k"))
+  }
+
+  /** Lower AQE skew thresholds to bench scale + disable broadcast, run
+    * `body`, restore every touched conf (set-or-unset faithfully).
+    * Shared with AqeSkewSpec so the spec asserts against exactly the
+    * confs the declared query runs under.
+    */
+  def withSkewSplitConfs[T](s: SparkSession)(body: => T): T = {
+    val lowered = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      // key 0 carries ~25% of lineitem. Sizes here are COMPRESSED
+      // shuffle bytes (lz4 on two numeric columns, several× smaller
+      // than raw): at sf0.01 the hot reduce partition lands in the
+      // tens of KB, so the thresholds sit at 16 KB/8 KB to clear it
+      // by a wide margin while the uniform tail stays under
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      // 1.2, not the default 5: shuffle compression shrinks the
+      // constant-key hot rows far below the distinct-key tail's
+      // bytes/row, so the hot partition measures ~1.5× median in
+      // BYTES even though it is ~9× in ROWS (measured 22.1 KB vs
+      // 14.7 KB median at sf0.01/32 partitions); 1.2 trips it with
+      // margin while every uniform partition stays ≥20% under
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      // the skew FACTOR compares hot vs MEDIAN partition: with few
+      // shuffle partitions the uniform tail piles thousands of rows
+      // into every partition and the hot key adds barely 2× (measured
+      // [86,101,86,90] KB at 4 partitions — ratio 1.15, no trip). 32
+      // partitions spread the tail thin so the hot partition stands
+      // ~9× over median — the shape a 100 TB shuffle actually has
+      "spark.sql.shuffle.partitions" -> "32")
+    val saved = lowered.keys.map(k => k -> s.conf.getOption(k)).toMap
+    try {
+      lowered.foreach { case (k, v) => s.conf.set(k, v) }
+      body
+    } finally saved.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
+  }
+
   /** Deterministic 80/10/10 train/val/test split by content hash
     * ([[graft.operators.Scale.hashSplit]]) — reproducible across runs,
     * engines, and partitionings, unlike rand()-based sampling. The
@@ -768,6 +862,7 @@ object QueriesCore {
     "q45_salted_join" -> q45SaltedJoin _,
     "q45b_salted_join_hotkeys" -> q45bSaltedJoinHotkeys _,
     "q71_plain_join_aqe" -> q71PlainJoinAqe _,
+    "q73_skew_split_join" -> q73SkewSplitJoin _,
     "q51_hash_split" -> q51HashSplit _,
     "q57_person_xml" -> q57PersonXml _,
     "q64_org_user_xml" -> q64OrgUserXml _,

@@ -22,11 +22,24 @@ private[graft] object Checkpoints {
     * local checkpoint's lineage is truncated, so once its blocks are
     * dropped the frame is unrecoverable (re-reading it throws, it
     * does not recompute).
+    *
+    * By default the frame must contain EXACTLY ONE LogicalRDD: every
+    * current caller passes the checkpoint result itself, and a future
+    * caller passing a COMPOSITE frame (say, a join of two checkpointed
+    * frames, one dead and one live) would otherwise silently release
+    * the live frame's blocks too — unrecoverable, per above. A
+    * plan-wide release must be requested explicitly via
+    * `allowMultiple = true`.
     */
-  def drop(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case r: org.apache.spark.sql.execution.LogicalRDD =>
-        r.rdd.unpersist(blocking = false)
-      case _ => ()
+  def drop(df: DataFrame, allowMultiple: Boolean = false): Unit = {
+    val rdds = df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r
     }
+    require(allowMultiple || rdds.size <= 1,
+      s"Checkpoints.drop: plan contains ${rdds.size} LogicalRDD leaves — " +
+        "dropping all of them would release blocks shared with frames " +
+        "that may still be live; pass the checkpointed frame itself, or " +
+        "allowMultiple = true to release plan-wide deliberately")
+    rdds.foreach(_.rdd.unpersist(blocking = false))
+  }
 }

@@ -232,13 +232,37 @@ object Dedup {
       threshold: Double = 0.6): DataFrame = {
     require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    minhashNearDupsIncrementalFromBands(corpusIndex, corpus, newDocs,
+      md5Banded(wordShingled(newDocs, idCol, textCol, shingleLen), idCol,
+        numHashes, bands),
+      idCol, textCol, shingleLen, threshold)
+  }
+
+  /** [[minhashNearDupsIncrementalPortable]] with the batch's band
+    * sketch supplied by the CALLER — for pipelines that also persist
+    * the sketch as the fold-in index increment (e.g.
+    * [[graft.streaming.DedupStream]]): band the batch once, persist
+    * that frame, and both the probe join here and the index append
+    * read it, instead of each plan re-running the md5 sketch (the
+    * dominant per-batch cost). `newBanded` must be
+    * `minhashBandIndexPortable(newDocs, …)` for the same parameters;
+    * results are identical to the self-sketching overload.
+    */
+  def minhashNearDupsIncrementalFromBands(
+      corpusIndex: DataFrame,
+      corpus: DataFrame,
+      newDocs: DataFrame,
+      newBanded: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
     val newShingled = wordShingled(newDocs, idCol, textCol, shingleLen)
-    val newBanded = md5Banded(newShingled, idCol, numHashes, bands)
     // probe target = corpus index ∪ the batch's own bands: new×new
     // pairs surface exactly like new×corpus ones
     val allBanded = corpusIndex
       .select(col(idCol), col("band_idx"), col("band_hash"))
-      .unionByName(newBanded)
+      .unionByName(newBanded.select(col(idCol), col("band_idx"), col("band_hash")))
     val cand = newBanded
       .select(col(idCol).as("__p"), col("band_idx"), col("band_hash"))
       .join(allBanded.select(col(idCol).as("__o"),
@@ -446,7 +470,14 @@ object Dedup {
         // handler below always owns the newest materialized blocks
         Checkpoints.drop(labels)
         labels = next
-        converged = next.filter(col("component") =!= col("__old")).isEmpty
+        // null-safe comparison: `labels` covers every edge endpoint by
+        // construction, so __old is never null today — but if that
+        // invariant ever broke (an id appearing only via neighborLabels
+        // or chased), `=!=` would null-drop the row and silently count
+        // it as converged. `<=>` turns such a break into extra rounds
+        // (and ultimately the no-fixpoint error) instead of a premature
+        // fixpoint with wrong labels.
+        converged = next.filter(!(col("component") <=> col("__old"))).isEmpty
         labels = next.select("id", "component")
         round += 1
       }

@@ -324,7 +324,7 @@ object Relational {
         }
       }
     } catch { case t: Throwable =>
-      levels.foreach(Checkpoints.drop)
+      levels.foreach(Checkpoints.drop(_))
       throw t
     } finally {
       // the ordinal edge set is dead on BOTH paths once the loop ends:

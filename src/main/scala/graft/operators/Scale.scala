@@ -195,6 +195,50 @@ object Scale {
     df.filter(hashBucket(col(idCol), 100) < rateCol)
   }
 
+  /** EXACT stratified sampling: precisely ceil(pct% · |stratum|) rows
+    * from every stratum, chosen deterministically by md5 order of the
+    * key — the per-stratum-count guarantee [[mixtureSample]]'s pure
+    * rate filter can only approximate (binomial count noise), for
+    * mixtures where the recipe prescribes exact row budgets.
+    *
+    * Shape: per-stratum quotas are one tiny aggregate; the only
+    * ordered selection runs in two phases — the bounded-heap
+    * [[graft.plans.TopK.topKPerKey]] operator first prunes every
+    * stratum to the LARGEST quota (O(n log k), no per-stratum sort of
+    * the full data), then an exact row_number ranks only those
+    * bounded survivors and applies each stratum's own quota; the
+    * window reuses the heap output's clustering (no extra exchange),
+    * and its per-partition sort is over ≤ maxQuota rows per stratum
+    * by construction. One driver-side scalar (the max quota — the
+    * heap bound must be a literal) over the #strata-row aggregate;
+    * the quotas themselves join back via broadcast.
+    *
+    * For very large quotas (high pct × huge stratum) the heap bound
+    * approaches the stratum size and the heap's O(#strata × quota)
+    * memory dominates — pass `highCardinality = true` to use the
+    * spillable sort-based plan instead.
+    */
+  def stratifiedSampleExact(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      pct: Int,
+      highCardinality: Boolean = false): DataFrame = {
+    require(pct >= 1 && pct <= 100, s"pct must be in [1,100]: $pct")
+    val quotas = df.groupBy(strataCol)
+      .agg(ceil(count(lit(1)) * pct / lit(100.0)).as("__quota"))
+    val maxQuota = quotas.agg(max(col("__quota"))).head.getLong(0).toInt
+    val hashed = df.withColumn("__h", md5(col(keyCol).cast("string")))
+    val pruned = graft.plans.TopK.topKPerKey(hashed, Seq(strataCol),
+      Seq("__h" -> true, keyCol -> true), maxQuota, highCardinality)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(col("__h"), col(keyCol))
+    pruned.withColumn("__r", row_number().over(w))
+      .join(broadcast(quotas), Seq(strataCol))
+      .filter(col("__r") <= col("__quota"))
+      .drop("__h", "__r", "__quota")
+  }
+
   /** Write a table bucketed + sorted by `key` into the session catalog:
     * subsequent equi-joins between tables bucketed the same way plan
     * with ZERO Exchange on either side (SortMergeJoin over pre-shuffled

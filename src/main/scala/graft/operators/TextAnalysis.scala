@@ -145,6 +145,126 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** TF-IDF top-k terms per document — the classic keyword-extraction
+    * / document-representation statistic. tf = raw occurrences of the
+    * term in the doc, idf = ln(N / df) over distinct-doc frequency,
+    * score = round(tf · idf, 6) (rounded BEFORE ranking so the k
+    * boundary is engine-deterministic; ties broken by term).
+    *
+    * Shape: one explode feeds a (doc, term) count whose rows are
+    * already distinct pairs, so document frequency is a second
+    * aggregate over that frame — map-side-combined both times, shuffle
+    * volume scales with distinct pairs. N is a one-row frame
+    * broadcast into the score (never a driver action), and the top-k
+    * per doc runs on the bounded-heap [[graft.plans.TopK.topKPerKey]]
+    * operator — O(n log k), no per-doc sort. Output: (idCol, term,
+    * tf, score).
+    */
+  def tfidfTopTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(filter(split(normalizeText(col(textCol)), " "), t => t =!= ""))
+        .as("term"))
+    val tf = toks.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.select(countDistinct(col(idCol)).as("__n"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("__n").cast("double") / col("df")), 6))
+      .drop("__n")
+    graft.plans.TopK.topKPerKey(scored, Seq(idCol),
+      Seq("score" -> false, "term" -> true), k)
+      .select(col(idCol), col("term"), col("tf"), col("score"))
+  }
+
+  /** BM25 ranked retrieval for one tokenized query over the corpus —
+    * the classic keyword-search scorer (Robertson/Okapi):
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avgLen))
+    * with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) (the
+    * always-positive Lucene form). Returns the top-`n` docs as
+    * (idCol, score).
+    *
+    * Scale shape: the query-term filter lands BEFORE the tf
+    * aggregation, so the per-term frame carries only matching tokens;
+    * doc length and corpus size/avg-length are aggregates (the last
+    * two a one-row broadcast). Per-term partial scores are rounded to
+    * 6 decimals and summed as DECIMAL — exact, order-independent
+    * addition, so the result hash can't drift with partitioning (a
+    * double Σ over shuffled rows has no defined association order).
+    * The global top-n is an orderBy+limit → TakeOrderedAndProject
+    * (per-partition heap, no full sort).
+    */
+  def bm25Search(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      n: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Search requires at least one term")
+    val toks = df.select(col(idCol),
+      explode(filter(split(normalizeText(col(textCol)), " "), t => t =!= ""))
+        .as("term"))
+    val docLen = toks.groupBy(idCol).agg(count(lit(1)).as("len"))
+    val tf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val corpus = docLen.agg(count(lit(1)).as("__nd"),
+      avg(col("len")).as("__avglen"))
+    val perTerm = tf.join(dfreq, "term")
+      .join(docLen, idCol)
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        log(lit(1.0) + (col("__nd") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .withColumn("part",
+        round(col("idf") * col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+            lit(b) * col("len") / col("__avglen"))), 6)
+          .cast("decimal(18,6)"))
+    perTerm.groupBy(idCol)
+      .agg(sum(col("part")).cast("double").as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(n)
+  }
+
+  /** Shannon character entropy per document, in bits — the classic
+    * gibberish/compressibility quality signal (low ≈ repetitive or
+    * degenerate text, ~4.0-4.5 for natural English):
+    *   H(d) = −Σ_c (n_c/n)·log2(n_c/n)
+    * over the raw characters of the doc. Output: (idCol, n_chars,
+    * entropy) with entropy rounded to 6 decimals.
+    *
+    * Shape: explode to (doc, char) counts (map-side combined; shuffle
+    * rows bounded by docs × alphabet, NOT corpus length), doc totals
+    * as a second aggregate joined back on the doc key (same
+    * partitioning — no extra exchange), and the per-char terms
+    * rounded to DECIMAL(18,9) before the final sum so the Σ is exact
+    * and order-independent (a raw double sum over shuffled rows has
+    * no defined association order and can flip the last bit).
+    */
+  def charEntropy(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val chars = df.select(col(idCol),
+      explode(filter(split(col(textCol), ""), c => c =!= "")).as("ch"))
+    val counts = chars.groupBy(idCol, "ch").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(idCol).agg(sum(col("c")).as("n"))
+    counts.join(totals, idCol)
+      .withColumn("__p", col("c").cast("double") / col("n"))
+      .withColumn("__term",
+        round(-col("__p") * log2(col("__p")), 9).cast("decimal(18,9)"))
+      .groupBy(idCol)
+      .agg(first(col("n")).as("n_chars"),
+        round(sum(col("__term")).cast("double"), 6).as("entropy"))
+  }
+
   /** C4/RefinedWeb-style LINE-level dedup: a line occurring in more
     * than `maxDocFreq` distinct documents is boilerplate (nav bars,
     * cookie banners, share buttons) and is removed from EVERY

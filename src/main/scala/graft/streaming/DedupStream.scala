@@ -77,6 +77,30 @@ object DedupStream {
         s"the store at $indexDir carries no _stream_id marker — reusing " +
         "a checkpoint over a fresh store would skip its committed " +
         "batches; use a fresh checkpoint with a fresh store")
+    // Establish the store↔checkpoint pairing BEFORE any batch can
+    // commit. Writing the marker after start() left a crash window: a
+    // crash after the first micro-batch committed but before the
+    // marker write stranded a legitimately-built store (the guard
+    // above would reject it forever). Spark honors a pre-existing
+    // checkpoint `metadata` file (StreamMetadata.read), so on a fresh
+    // checkpoint we mint the stream id ourselves, write the metadata
+    // json AND the marker, and only then start the query — whichever
+    // write a crash interrupts, the pair is never half-established in
+    // the direction the guard can't recover from (metadata-without-
+    // marker only arises here with zero committed batches, and the
+    // guard's fresh-store branch requires ckpId.isEmpty, so re-running
+    // after such a crash needs the half-written checkpoint dir cleared
+    // — a loud, zero-data-loss failure).
+    val streamId: String = ckpId.getOrElse {
+      val id = java.util.UUID.randomUUID().toString
+      java.nio.file.Files.createDirectories(ckpMeta.getParent)
+      java.nio.file.Files.writeString(ckpMeta, s"""{"id":"$id"}""")
+      id
+    }
+    if (!java.nio.file.Files.exists(marker)) {
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.writeString(marker, streamId)
+    }
     val schema = spark.read.parquet(s"$docsDir").select(idCol, textCol).schema
     val stream = spark.readStream.schema(schema)
       // one file per micro-batch by default: each ingest drop probes
@@ -87,43 +111,49 @@ object DedupStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
         val s = rawBatch.sparkSession
-        // the batch feeds three pipelines (probe sketch, fold-in
-        // sketch, docs write) — persist it so the source file is read
-        // once. The md5 sketch itself still runs twice (probe + fold-
-        // in); a deployment with large drops should band once and
-        // derive both from that frame.
+        // the batch feeds three pipelines (probe, fold-in, docs write)
+        // — persist it so the source file is read once
         val batch = rawBatch.persist()
+        // band the batch ONCE and persist the sketch: the probe join
+        // and the fold-in index append both read this frame, so the
+        // md5 sketch (the dominant per-batch cost) runs once instead
+        // of once per consumer
+        val banded = Dedup.minhashBandIndexPortable(batch, idCol, textCol,
+          shingleLen, numHashes, bands).persist()
         try {
           // the index/docs reads must not see this batch's OWN dirs.
           // Within one attempt that holds by write ordering, but a
           // checkpoint REPLAY of a batch whose fold-in writes landed
           // before the crash would re-read them and violate the
           // disjoint-ids precondition (duplicated pairs) — so exclude
-          // this batch id and any later one explicitly.
+          // this batch id and any later one explicitly. batch_id is
+          // pinned to STRING: partition-column inference only yields
+          // string because the `base` seed dir exists — a store with
+          // numeric-only batch dirs would infer an integer column and
+          // the === "base" comparison would cross types (null under
+          // ANSI-off casts), silently emptying the base branch.
           def past(dir: String) = s.read.parquet(dir)
-            .filter(col("batch_id") === "base" ||
+            .filter(col("batch_id").cast("string") === "base" ||
               expr("try_cast(batch_id AS BIGINT)") < batchId)
           val index = past(indexDir).select(idCol, "band_idx", "band_hash")
           val knownDocs = past(docsDir).select(idCol, textCol)
-          val pairs = Dedup.minhashNearDupsIncrementalPortable(
-            index, knownDocs, batch, idCol, textCol,
-            shingleLen, numHashes, bands, threshold)
+          val pairs = Dedup.minhashNearDupsIncrementalFromBands(
+            index, knownDocs, batch, banded, idCol, textCol,
+            shingleLen, threshold)
           pairs.write.mode("overwrite")
             .parquet(s"$pairsDir/batch_id=$batchId")
           // now fold the batch into the stores so the NEXT batch
-          // collides with it
-          Dedup.minhashBandIndexPortable(batch, idCol, textCol,
-              shingleLen, numHashes, bands)
-            .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+          // collides with it — same persisted sketch, no re-band
+          banded.write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
           batch.select(idCol, textCol).write.mode("overwrite")
             .parquet(s"$docsDir/batch_id=$batchId")
-        } finally batch.unpersist()
+        } finally { banded.unpersist(); batch.unpersist() }
       }
       .start()
-    // first run against this store: record the stream identity (q.id
-    // IS the checkpoint id, stable across restarts)
-    if (!java.nio.file.Files.exists(marker))
-      java.nio.file.Files.writeString(marker, q.id.toString)
+    // sanity: the id Spark adopted must be the one the marker records
+    // (it read the metadata file we wrote, or both predate this run)
+    assert(q.id.toString == streamId,
+      s"DedupStream: query id ${q.id} != expected stream id $streamId")
     q.processAllAvailable()
     q.stop()
   }

@@ -45,6 +45,20 @@ class CheckpointHygieneSpec extends AnyFunSuite {
     assert((persistedIds -- before).isEmpty)
   }
 
+  test("drop refuses a composite plan unless allowMultiple is passed") {
+    val a = Seq((1L, "x")).toDF("id", "s").localCheckpoint(true)
+    val b = Seq((1L, "y")).toDF("id", "t").localCheckpoint(true)
+    val joined = a.join(b, "id")
+    // two LogicalRDD leaves: a silent plan-wide release would kill the
+    // live frame's blocks too — must be an explicit opt-in
+    val e = intercept[IllegalArgumentException](Checkpoints.drop(joined))
+    assert(e.getMessage.contains("LogicalRDD"))
+    // both frames still alive after the refused drop
+    assert(a.count() == 1 && b.count() == 1)
+    Checkpoints.drop(joined, allowMultiple = true)
+    Checkpoints.drop(a) // idempotent on already-released blocks
+  }
+
   test("treeClosure keeps per-level frontiers only (edge set dropped)") {
     // 3-level tree: 1 -> {2,3}, 2 -> {4}
     val nodes = Seq(("1", null), ("2", "1"), ("3", "1"), ("4", "2"))
