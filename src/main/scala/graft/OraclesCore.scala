@@ -380,6 +380,21 @@ object OraclesCore {
         |      FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
 
+    // q76: identical md5 ranking + ceil quotas per stratum
+    "q76_stratified_sample" ->
+      """WITH base AS (SELECT o_orderkey, o_orderpriority FROM orders),
+        |q AS (SELECT o_orderpriority,
+        |        CAST(ceil(count(*) * 10 / 100.0) AS BIGINT) AS quota
+        |      FROM base GROUP BY 1),
+        |ranked AS (SELECT o_orderkey, o_orderpriority,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
+        |  FROM base)
+        |SELECT r.o_orderkey, r.o_orderpriority
+        |FROM ranked r JOIN q USING (o_orderpriority)
+        |WHERE r.rn <= q.quota
+        |ORDER BY r.o_orderkey""".stripMargin,
+
     "q45_salted_join" -> saltedJoinOracle,
     // same oracle by design: the hotKeys-overload query must equal the
     // identical plain inner join for ANY hot-key list

@@ -632,6 +632,19 @@ object QueriesCore {
     * engines, and partitionings, unlike rand()-based sampling. The
     * oracle recomputes the identical md5-prefix bucket in DuckDB.
     */
+  /** EXACT stratified sample ([[graft.operators.Scale
+    * .stratifiedSampleExact]]): precisely ceil(10% · |stratum|) orders
+    * per priority class, selected deterministically by md5 order —
+    * the exact-row-budget guarantee q63's rate filter approximates.
+    * The DuckDB oracle recomputes the identical md5 ranking and
+    * per-stratum quotas.
+    */
+  def q76StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.stratifiedSampleExact(
+        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+        "o_orderpriority", "o_orderkey", pct = 10)
+      .orderBy("o_orderkey")
+
   def q51HashSplit(s: SparkSession, dir: String): DataFrame =
     graft.operators.Scale.hashSplit(
         Tables.orders(s, dir).select("o_orderkey"), "o_orderkey",
@@ -864,6 +877,7 @@ object QueriesCore {
     "q71_plain_join_aqe" -> q71PlainJoinAqe _,
     "q73_skew_split_join" -> q73SkewSplitJoin _,
     "q51_hash_split" -> q51HashSplit _,
+    "q76_stratified_sample" -> q76StratifiedSample _,
     "q57_person_xml" -> q57PersonXml _,
     "q64_org_user_xml" -> q64OrgUserXml _,
   )

@@ -407,6 +407,32 @@ object QueriesText {
         k = 8, w = 4, threshold = 0.5, maxDocFreq = 20)
       .orderBy("id_a", "id_b")
 
+  /** TF-IDF top-5 terms per document
+    * ([[TextAnalysis.tfidfTopTerms]]) — keyword extraction with the
+    * bounded-heap top-k operator doing the per-doc selection; scores
+    * rounded before ranking so the k boundary is engine-deterministic.
+    */
+  def q74TfidfTopTerms(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", 5)
+      .orderBy(col("doc_id"), col("score").desc, col("term"))
+
+  /** BM25 top-20 retrieval ([[TextAnalysis.bm25Search]]) for the
+    * three-term query "hash join merge" (real corpus tokens with
+    * distinct document frequencies). Per-term partials are summed as
+    * DECIMAL so the score is exact and order-independent.
+    */
+  def q75Bm25Search(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25Search(Tables.documents(s, dir), "doc_id", "text",
+      Seq("hash", "join", "merge"), n = 20)
+
+  /** Shannon character entropy per doc ([[TextAnalysis.charEntropy]])
+    * — the gibberish/compressibility quality signal, with exact
+    * DECIMAL term summation.
+    */
+  def q77CharEntropy(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charEntropy(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "q30_text_stats" -> q30TextStats _,
     "q31_lang_id" -> q31LangId _,
@@ -434,6 +460,9 @@ object QueriesText {
     "q68_vocab_topk" -> q68VocabTopk _,
     "q70_line_dedup" -> q70LineDedup _,
     "q72_containment" -> q72Containment _,
+    "q74_tfidf_top_terms" -> q74TfidfTopTerms _,
+    "q75_bm25_search" -> q75Bm25Search _,
+    "q77_char_entropy" -> q77CharEntropy _,
   )
 
   private val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -914,6 +943,77 @@ object QueriesText {
           |FROM corp JOIN bench USING (g)
           |GROUP BY doc_id HAVING count(*) >= 2
           |ORDER BY doc_id""".stripMargin,
+
+      // q74: tf (raw per-doc count), df over distinct (doc,term)
+      // pairs, idf = ln(N/df); score rounded BEFORE ranking, ties by
+      // term — mirrors tfidfTopTerms stage for stage
+      "q74_tfidf_top_terms" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(list_filter(string_split($norm, ' '),
+           |    x -> x <> '')) AS term
+           |  FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf
+           |       FROM toks GROUP BY 1, 2),
+           |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+           |scored AS (
+           |  SELECT tf.doc_id, tf.term, tf.tf,
+           |    round(tf.tf * ln(n.n / dfreq.df), 6) AS score
+           |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY score DESC, term) AS rn
+           |  FROM scored)
+           |SELECT doc_id, term, tf, score FROM ranked WHERE rn <= 5
+           |ORDER BY doc_id, score DESC, term""".stripMargin,
+
+      // q75: Lucene-form BM25 (k1=1.2, b=0.75) for ('hash','join',
+      // 'merge'); literals and association order copied from
+      // bm25Search so the doubles agree bit-for-bit before rounding;
+      // per-term partials summed as DECIMAL (exact, order-free)
+      "q75_bm25_search" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(list_filter(string_split($norm, ' '),
+           |    x -> x <> '')) AS term
+           |  FROM documents),
+           |dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           |       WHERE term IN ('hash', 'join', 'merge') GROUP BY 1, 2),
+           |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |c AS (SELECT count(*) AS nd, avg(len) AS avglen FROM dl),
+           |p AS (
+           |  SELECT tf.doc_id,
+           |    CAST(round(
+           |      ln(1.0 + (c.nd - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           |        * tf.tf * (1.2 + 1.0)
+           |        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.len / c.avglen)),
+           |      6) AS DECIMAL(18,6)) AS part
+           |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+           |  CROSS JOIN c)
+           |SELECT doc_id, CAST(sum(part) AS DOUBLE) AS score
+           |FROM p GROUP BY doc_id
+           |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+      // q77: per-char counts → exact DECIMAL(18,9) term sum →
+      // entropy; n_chars pinned to BIGINT (DuckDB sum() is HUGEINT)
+      "q77_char_entropy" ->
+        """WITH chars AS (
+          |  SELECT doc_id, unnest(list_filter(string_split(text, ''),
+          |    c -> c <> '')) AS ch
+          |  FROM documents),
+          |counts AS (SELECT doc_id, ch, count(*) AS c
+          |           FROM chars GROUP BY 1, 2),
+          |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+          |        FROM counts GROUP BY 1),
+          |terms AS (
+          |  SELECT counts.doc_id, tot.n,
+          |    CAST(round(-(counts.c / CAST(tot.n AS DOUBLE))
+          |      * log2(counts.c / CAST(tot.n AS DOUBLE)), 9)
+          |      AS DECIMAL(18,9)) AS t
+          |  FROM counts JOIN tot USING (doc_id))
+          |SELECT doc_id, min(n) AS n_chars,
+          |  round(CAST(sum(t) AS DOUBLE), 6) AS entropy
+          |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     )
   }
 }

@@ -205,4 +205,28 @@ class ScaleSpec extends AnyFunSuite {
       assert(got == expected, s"span=$span parts=$parts")
     }
   }
+
+  test("stratifiedSampleExact: exact ceil quotas, deterministic, plan-stable") {
+    // uneven strata: a=100 rows, b=37, c=3
+    val rows = ((1 to 100).map(i => ("a", i)) ++
+      (101 to 137).map(i => ("b", i)) ++
+      (138 to 140).map(i => ("c", i))).toDF("stratum", "id")
+    val out = Scale.stratifiedSampleExact(rows, "stratum", "id", pct = 10)
+      .as[(String, Int)].collect()
+    val counts = out.groupBy(_._1).view.mapValues(_.length).toMap
+    // ceil: a 100→10, b 37→4, c 3→1
+    assert(counts == Map("a" -> 10, "b" -> 4, "c" -> 1), s"got $counts")
+    // deterministic: an independent run (different partitioning)
+    // selects the IDENTICAL rows
+    val again = Scale.stratifiedSampleExact(rows.repartition(7),
+      "stratum", "id", pct = 10).as[(String, Int)].collect()
+    assert(again.toSet == out.toSet)
+    // the sort-based highCardinality path selects the same rows
+    val hc = Scale.stratifiedSampleExact(rows, "stratum", "id", pct = 10,
+      highCardinality = true).as[(String, Int)].collect()
+    assert(hc.toSet == out.toSet)
+    // pct=100 keeps everything
+    val all = Scale.stratifiedSampleExact(rows, "stratum", "id", pct = 100)
+    assert(all.count() == 140)
+  }
 }

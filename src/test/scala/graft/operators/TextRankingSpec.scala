@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.etl.FixtureLoader.spark
+
+/** Hand-computed fixtures for the ranking/statistics text operators:
+  * TF-IDF top terms, BM25 retrieval, character entropy. The sf-scale
+  * DuckDB oracles (q74/q75/q77) check engine parity; these specs pin
+  * the MATH to values derived on paper, so a same-bug-both-engines
+  * slip can't hide.
+  */
+class TextRankingSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val eps = 1e-6
+
+  test("tfidfTopTerms matches hand-computed scores and ranking") {
+    // N = 3 docs. "apple": df=1; "banana": df=2; "common": df=3.
+    val docs = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana common common"),
+      (3L, "common")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy(col("doc_id"), col("score").desc, col("term"))
+      .as[(Long, String, Long, Double)].collect()
+    val ln3 = math.log(3.0); val ln15 = math.log(1.5)
+    def r6(v: Double) = math.round(v * 1e6) / 1e6
+    // doc 1: apple tf=2 score 2·ln(3)=2.197225; banana 1·ln(1.5)=0.405465
+    // doc 2: banana 1·ln(1.5)=0.405465; common 2·ln(1)=0 — banana first
+    // doc 3: common 1·ln(1)=0 only
+    assert(out.toSeq == Seq(
+      (1L, "apple", 2L, r6(2 * ln3)),
+      (1L, "banana", 1L, r6(ln15)),
+      (2L, "banana", 1L, r6(ln15)),
+      (2L, "common", 2L, 0.0),
+      (3L, "common", 1L, 0.0)))
+  }
+
+  test("bm25Search matches a hand-computed score and honors top-n") {
+    // N=2, avgLen=3. Query "apple": df=1, idf=ln(1+(2-1+0.5)/1.5)=ln(2)
+    // doc 1 (len 4): tf=2 → part = ln2·2·2.2/(2+1.2·(0.25+0.75·4/3))
+    // doc 2 (len 2): no apple → absent
+    val docs = Seq(
+      (1L, "apple apple pie crust"),
+      (2L, "pie crust")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Search(docs, "doc_id", "text",
+      Seq("apple"), n = 5).as[(Long, Double)].collect()
+    val expected = math.log(2.0) * 2 * 2.2 /
+      (2 + 1.2 * (0.25 + 0.75 * 4.0 / 3.0))
+    assert(out.length == 1 && out.head._1 == 1L)
+    assert(math.abs(out.head._2 - expected) < eps, s"${out.head._2} vs $expected")
+  }
+
+  test("bm25Search ranks the doc with more query-term mass first") {
+    val docs = Seq(
+      (1L, "hash join hash join hash"),
+      (2L, "hash scan scan scan scan"),
+      (3L, "scan scan scan scan scan")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Search(docs, "doc_id", "text",
+      Seq("hash", "join"), n = 2).as[(Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    assert(out(0)._2 > out(1)._2)
+  }
+
+  test("charEntropy: uniform alphabet, single char, and empty doc") {
+    val docs = Seq(
+      (1L, "abab"),     // p(a)=p(b)=1/2 → H = 1 bit
+      (2L, "aaaa"),     // single symbol → H = 0
+      (3L, "abcd"),     // 4 symbols uniform → H = 2 bits
+      (4L, "")          // no chars → absent from output
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_._2).toSeq == Seq(4L, 4L, 4L))
+    assert(math.abs(out(0)._3 - 1.0) < eps)
+    assert(out(1)._3 == 0.0)
+    assert(math.abs(out(2)._3 - 2.0) < eps)
+  }
+
+  test("tfidf top-k plans through the bounded-heap TopKPerKey operator") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"expected TopKPerKeyExec in:\n$plan")
+  }
+}
