@@ -433,6 +433,31 @@ object QueriesText {
     TextAnalysis.charEntropy(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Exact substring (token-span) dedup ([[TextAnalysis.spanDedup]])
+    * — Lee et al.'s ExactSubstr at 8-token windows: duplicated spans
+    * removed from all but their first occurrence, docs reassembled.
+    * The DuckDB oracle rebuilds the same md5-keyed first-occurrence
+    * election and coverage union.
+    */
+  def q78SpanDedup(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.spanDedup(Tables.documents(s, dir), "doc_id", "text",
+        spanLen = 8)
+      .orderBy("doc_id")
+
+  /** DSIR importance weights ([[TextAnalysis.dsirWeights]]) — docs
+    * with doc_id%100=7 form the TARGET domain (the q50 decontamination
+    * convention), the rest are the SOURCE pool scored by smoothed
+    * unigram log-likelihood ratio.
+    */
+  def q79DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.dsirWeights(
+        docs.filter(pmod(col("doc_id"), lit(100)) =!= 7),
+        docs.filter(pmod(col("doc_id"), lit(100)) === 7),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_text_stats" -> q30TextStats _,
     "q31_lang_id" -> q31LangId _,
@@ -463,6 +488,8 @@ object QueriesText {
     "q74_tfidf_top_terms" -> q74TfidfTopTerms _,
     "q75_bm25_search" -> q75Bm25Search _,
     "q77_char_entropy" -> q77CharEntropy _,
+    "q78_span_dedup" -> q78SpanDedup _,
+    "q79_dsir_weights" -> q79DsirWeights _,
   )
 
   private val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -993,6 +1020,80 @@ object QueriesText {
            |SELECT doc_id, CAST(sum(part) AS DOUBLE) AS score
            |FROM p GROUP BY doc_id
            |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+      // q78: same md5 span keys, first occurrence = min (doc,pos)
+      // via window rank, coverage union of removed starts, ordered
+      // string_agg reassembly; empty-doc left join mirrors spanDedup
+      "q78_span_dedup" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split($norm, ' '),
+           |    x -> x <> '') AS l
+           |  FROM documents),
+           |tp AS (
+           |  SELECT doc_id, unnest(generate_series(0, len(l) - 1)) AS pos, l
+           |  FROM toks WHERE len(l) > 0),
+           |tok AS (SELECT doc_id, pos, l[pos + 1] AS tok FROM tp),
+           |sp AS (
+           |  SELECT doc_id, unnest(generate_series(0, len(l) - 8)) AS pos, l
+           |  FROM toks WHERE len(l) >= 8),
+           |sh AS (
+           |  SELECT doc_id, pos,
+           |    md5(array_to_string(l[pos + 1 : pos + 8], ' ')) AS h
+           |  FROM sp),
+           |occ AS (
+           |  SELECT doc_id, pos,
+           |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+           |  FROM sh),
+           |removed AS (SELECT doc_id, pos FROM occ WHERE rn > 1),
+           |covered AS (
+           |  SELECT DISTINCT doc_id,
+           |    unnest(generate_series(pos, pos + 7)) AS pos
+           |  FROM removed),
+           |kept AS (
+           |  SELECT t.doc_id, t.pos, t.tok FROM tok t
+           |  ANTI JOIN covered c USING (doc_id, pos)),
+           |rebuilt AS (
+           |  SELECT doc_id, count(*) AS n_kept,
+           |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+           |  FROM kept GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |  coalesce(r.clean_text, '') AS clean_text,
+           |  coalesce(r.n_kept, 0) AS n_kept
+           |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin,
+
+      // q79: identical tagged-union counts, add-one smoothing over
+      // the shared vocab, DECIMAL(18,6) per-term log-ratios (6dp —
+      // far from ln's cross-engine ulp noise), exact numerator sum
+      // cast to double before the one division
+      "q79_dsir_weights" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 100 = 7 THEN 1 ELSE 0 END AS t,
+           |    unnest(list_filter(string_split($norm, ' '),
+           |      x -> x <> '')) AS term
+           |  FROM documents),
+           |ts AS (
+           |  SELECT term,
+           |    sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS ct,
+           |    sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS cs
+           |  FROM toks GROUP BY term),
+           |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+           |               CAST(sum(cs) AS BIGINT) AS ns,
+           |               count(*) AS v FROM ts),
+           |r AS (
+           |  SELECT term,
+           |    CAST(round(ln((ct + 1.0) / (tot.nt + tot.v))
+           |             - ln((cs + 1.0) / (tot.ns + tot.v)), 6)
+           |      AS DECIMAL(18,6)) AS lr
+           |  FROM ts CROSS JOIN tot),
+           |tf AS (
+           |  SELECT doc_id, term, count(*) AS tf FROM toks
+           |  WHERE t = 0 GROUP BY 1, 2)
+           |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+           |  round(CAST(sum(tf.tf * r.lr) AS DOUBLE) / sum(tf.tf), 6) AS score
+           |FROM tf JOIN r USING (term)
+           |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
 
       // q77: per-char counts → exact DECIMAL(18,9) term sum →
       // entropy; n_chars pinned to BIGINT (DuckDB sum() is HUGEINT)

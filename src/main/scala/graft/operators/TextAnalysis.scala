@@ -316,6 +316,127 @@ object TextAnalysis {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Exact substring (token-span) dedup — the Lee et al. 2022
+    * "Deduplicating Training Data" ExactSubstr operator, at token
+    * granularity: every window of `spanLen` consecutive tokens that
+    * occurs more than once in the corpus is removed from every
+    * occurrence EXCEPT the first (first = minimal (doc, position),
+    * engine-deterministic); a doc's surviving tokens are reassembled
+    * in order. Output: (idCol, clean_text, n_kept) — docs fully
+    * consumed by duplicated spans come back empty, not absent
+    * (same contract as [[dedupLines]]).
+    *
+    * Scale shape: spans travel as md5 DIGESTS, never strings — the
+    * heavy shuffle keys are fixed-width. First-occurrence election is
+    * one aggregate (min over a (doc,pos) struct — no window over hot
+    * span groups, whose size is unbounded for boilerplate), removal
+    * is an equi-join back on the digest, coverage expansion explodes
+    * only REMOVED span starts (spanLen× the duplicated region, not
+    * the corpus), and reassembly is the per-doc sort_array pattern —
+    * never a global sort. Suffix-automaton exactness over arbitrary
+    * lengths (the paper's C++ suffix array) trades to fixed-length
+    * windows here: a duplicated run of length ≥ spanLen is covered by
+    * its duplicated windows, so whole duplicated regions are still
+    * removed; only tails shorter than spanLen at region edges differ.
+    */
+  def spanDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanLen: Int): DataFrame = {
+    require(spanLen >= 2, s"spanLen must be >= 2: $spanLen")
+    val toks = df.select(col(idCol),
+      filter(split(normalizeText(col(textCol)), " "), t => t =!= "")
+        .as("__toks"))
+    val tokPos = toks.select(col(idCol),
+      posexplode(col("__toks")).as(Seq("pos", "tok")))
+    val spans = toks.select(col(idCol), posexplode(
+        when(size(col("__toks")) >= spanLen,
+          transform(sequence(lit(0), size(col("__toks")) - spanLen),
+            i => md5(concat_ws(" ", slice(col("__toks"), i + 1, lit(spanLen))))))
+          .otherwise(array().cast("array<string>")))
+        .as(Seq("pos", "h")))
+    val firstOcc = spans.groupBy("h")
+      .agg(min(struct(col(idCol), col("pos"))).as("__first"))
+    val removedStarts = spans.join(firstOcc, "h")
+      .filter(!(col(idCol) === col("__first")(idCol) &&
+        col("pos") === col("__first")("pos")))
+      .select(col(idCol), col("pos"))
+    val covered = removedStarts
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + spanLen - 1)).as("pos"))
+      .distinct()
+    val kept = tokPos.join(covered, Seq(idCol, "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("clean_text"))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"), with unigram
+    * features: each candidate doc is scored by the mean per-token
+    * log-likelihood ratio between a TARGET corpus and the SOURCE
+    * corpus,
+    *   score(d) = (1/len(d)) Σ_t tf_d(t) · ln(p̂_T(t) / p̂_S(t))
+    * with add-one-smoothed unigram estimates p̂(t) = (c(t)+1)/(N+V)
+    * over the shared vocabulary V (distinct tokens of target ∪
+    * source). High scores ≈ "looks like the target domain" — the
+    * selection signal for importance resampling. Output: (idCol,
+    * n_tokens, score) for every source doc, score rounded to 6.
+    *
+    * Scale shape: both corpora tokenize once into a tagged union;
+    * per-term target/source counts are ONE conditional aggregate;
+    * corpus totals and vocab size are a one-row broadcast; each
+    * term's log-ratio is rounded to DECIMAL(18,9) so the per-doc Σ is
+    * exact and order-independent (hash-stable); the term-stats join
+    * keys on the term itself — a plain shuffle join that scales with
+    * vocabulary, never a driver-side dictionary.
+    */
+  def dsirWeights(
+      source: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    def toks(df: DataFrame, tag: Int) = df.select(col(idCol),
+      explode(filter(split(normalizeText(col(textCol)), " "), t => t =!= ""))
+        .as("term"))
+      .withColumn("__t", lit(tag))
+    val union = toks(source, 0).unionByName(toks(target, 1))
+    val termStats = union.groupBy("term")
+      .agg(sum(when(col("__t") === 1, 1L).otherwise(0L)).as("ct"),
+        sum(when(col("__t") === 0, 1L).otherwise(0L)).as("cs"))
+    val totals = termStats.agg(sum(col("ct")).as("__nt"),
+      sum(col("cs")).as("__ns"), count(lit(1)).as("__v"))
+    // 6-decimal quantization, not 9: the two engines' ln() differ by
+    // an ulp (~1e-17 relative), and a 9-decimal boundary sits close
+    // enough to that noise to flip a term (observed once at sf0.01);
+    // at 6 decimals the boundary is ~10 orders of magnitude away.
+    // Once the lr terms agree, everything downstream is exact decimal
+    // arithmetic and one shared IEEE division — bit-stable.
+    val ratios = termStats.crossJoin(broadcast(totals))
+      .withColumn("lr",
+        round(log((col("ct") + lit(1.0)) / (col("__nt") + col("__v"))) -
+          log((col("cs") + lit(1.0)) / (col("__ns") + col("__v"))), 6)
+          .cast("decimal(18,6)"))
+      .select("term", "lr")
+    val tf = toks(source, 0).groupBy(idCol, "term")
+      .agg(count(lit(1)).as("tf"))
+    tf.join(ratios, "term")
+      .groupBy(idCol)
+      .agg(sum(col("tf")).as("n_tokens"),
+        // numerator exact (decimal Σ) then ONE double rounding before
+        // the division — decimal division itself has engine-specific
+        // result scales, doubles don't
+        round(sum(col("tf") * col("lr")).cast("double") /
+          sum(col("tf")), 6).as("score"))
+  }
+
   /** Deflate compression ratio — the single-number redundancy signal
     * (see [[graft.functions.DeflateRatio]]).
     */

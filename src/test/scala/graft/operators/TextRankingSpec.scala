@@ -79,6 +79,50 @@ class TextRankingSpec extends AnyFunSuite {
     assert(math.abs(out(2)._3 - 2.0) < eps)
   }
 
+  test("spanDedup removes later occurrences only, keeps short docs, empties consumed docs") {
+    val docs = Seq(
+      (1L, "a b c d e"),        // first occurrences — untouched
+      (2L, "x a b c d y"),      // middle 4 tokens covered by dup spans
+      (3L, "a b c"),            // exactly one duplicated span → emptied
+      (4L, "p q")               // shorter than spanLen → untouched
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.spanDedup(docs, "doc_id", "text", spanLen = 3)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a b c d e", 5L),
+      (2L, "x y", 2L),
+      (3L, "", 0L),
+      (4L, "p q", 2L)))
+  }
+
+  test("spanDedup first-occurrence election is (doc, pos) minimal") {
+    // the duplicated span appears twice INSIDE doc 1 and once in doc 2:
+    // only the doc-1 pos-0 instance survives
+    val docs = Seq(
+      (1L, "a b c z a b c"),
+      (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.spanDedup(docs, "doc_id", "text", spanLen = 3)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "a b c z", 4L), (2L, "", 0L)))
+  }
+
+  test("dsirWeights matches hand-computed smoothed log-ratios") {
+    // target "a a b": ct(a)=2, ct(b)=1, Nt=3; source: d1 "a b",
+    // d2 "b b": cs(a)=1, cs(b)=3, Ns=4; V=2
+    val target = Seq((100L, "a a b")).toDF("doc_id", "text")
+    val source = Seq((1L, "a b"), (2L, "b b")).toDF("doc_id", "text")
+    val out = TextAnalysis.dsirWeights(source, target, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    def r6(v: Double) = math.round(v * 1e6) / 1e6
+    val lrA = r6(math.log(3.0 / 5) - math.log(2.0 / 6))
+    val lrB = r6(math.log(2.0 / 5) - math.log(4.0 / 6))
+    assert(out.map(x => (x._1, x._2)).toSeq == Seq((1L, 2L), (2L, 2L)))
+    assert(math.abs(out(0)._3 - (lrA + lrB) / 2) < 2e-6)
+    assert(math.abs(out(1)._3 - lrB) < 2e-6)
+    // target-like doc scores higher than target-unlike doc
+    assert(out(0)._3 > out(1)._3)
+  }
+
   test("tfidf top-k plans through the bounded-heap TopKPerKey operator") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val plan = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 2)
