@@ -188,6 +188,57 @@ object QueriesSim {
       .orderBy("query_id", "rank")
   }
 
+  /** L2-normalized embeddings — the PQ input convention: on unit
+    * vectors the ADC inner product IS the cosine, aligning the
+    * quantizer's L2 objective with the cosine ranking the rest of the
+    * family uses (un-normalized MIPS would rank by magnitude too).
+    * Materialized via localCheckpoint for the same reason q60
+    * checkpoints its codes: the per-element division is an
+    * interpreted transform that CollapseProject would otherwise
+    * re-inline into every downstream consumer (encode, LUT, norms).
+    */
+  private def unitVecsD(s: SparkSession, dir: String): DataFrame = {
+    val v = vecsD(s, dir)
+      .withColumn("__n", Similarity.l2norm(col("embedding")))
+    v.select(col("vec_id"),
+        transform(col("embedding"), x => x / col("__n")).as("embedding"))
+      .localCheckpoint()
+  }
+
+  /** Product-quantization ADC top-5 ([[Similarity.pqPortableTopK]])
+    * — m=4 subspaces × ks=8 fixed md5 centroids over the L2-normalized
+    * 64-dim embeddings; normalization, codes, the per-query lookup
+    * table, the exact DECIMAL partial-sum, and the (adc_dot desc, id)
+    * ranking all replicate in DuckDB. Recall vs the exact top-k is
+    * spec-checked (PqSpec); the k-means-trained path is q81 — the
+    * serving path is what this query hash-proves, mirroring the q65
+    * IVF convention.
+    */
+  def q80PqTopk(s: SparkSession, dir: String): DataFrame = {
+    val all = unitVecsD(s, dir)
+    Similarity.pqPortableTopK(all,
+        all.filter(pmod(col("vec_id"), lit(50)) === 0),
+        "vec_id", "embedding", k = 5, m = 4, ks = 8, dim = 64)
+      .withColumn("rank", col("rank").cast("int"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** TRAINED product quantization ([[Similarity.pqTrainedTopK]]):
+    * per-subspace L2 k-means codebooks (all subspaces in one
+    * distributed job) + the same ADC serving. k-means has no
+    * cross-engine twin → rows-only at the driver gate; PqSpec pins
+    * recall@10 above the portable codebooks and above a floor.
+    * m=8/ks=16 — the fidelity configuration training pays for.
+    */
+  def q81PqTrained(s: SparkSession, dir: String): DataFrame = {
+    val all = unitVecsD(s, dir)
+    Similarity.pqTrainedTopK(all,
+        all.filter(pmod(col("vec_id"), lit(50)) === 0),
+        "vec_id", "embedding", k = 5, m = 8, ks = 16, dim = 64, iters = 3)
+      .withColumn("rank", col("rank").cast("int"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_topk_brute_force" -> q40TopkBruteForce _,
     "q41_embedding_near_dup" -> q41EmbeddingNearDup _,
@@ -198,6 +249,8 @@ object QueriesSim {
     "q65_ivf_portable" -> q65IvfPortable _,
     "q66_ivf_index_reuse" -> q66IvfIndexReuse _,
     "q69_embedding_incremental" -> q69EmbeddingIncremental _,
+    "q80_pq_topk" -> q80PqTopk _,
+    "q81_pq_trained" -> q81PqTrained _,
   )
 
   /** The q56 oracle's per-plane dot product against the md5-derived
@@ -417,5 +470,55 @@ object QueriesSim {
         |SELECT query_id, neighbor_id, cos_sim, centroid_id, rank, batch
         |FROM ranked
         |WHERE rank <= 5 ORDER BY batch, query_id, rank""".stripMargin,
+
+    // q80: codebook entry p = j·ks + c fed to the same "p:d" md5
+    // component; dist² = ip(s,s)+ip(c,c)−2·ip(s,c) rounded BEFORE the
+    // argmin (ties → lowest code); ADC partials as DECIMAL(18,6) so
+    // the m-way sum is exact; (adc_dot desc, id) ranking
+    "q80_pq_topk" ->
+      """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, list_transform(v0,
+        |    x -> x / sqrt(list_inner_product(v0, v0))) AS v
+        |  FROM e0),
+        |books AS (
+        |  SELECT CAST(id // 8 AS INTEGER) AS j, CAST(id % 8 AS INTEGER) AS c,
+        |    list_transform(range(0, 16), d ->
+        |      ((('0x' || substr(md5(CAST(id AS VARCHAR) || ':' || d), 1, 8))::BIGINT
+        |        % 10001) / 5000.0 - 1.0)) AS cvec
+        |  FROM range(0, 32) t(id)),
+        |subs AS (
+        |  SELECT vec_id, CAST(j AS INTEGER) AS j,
+        |    v[j * 16 + 1 : j * 16 + 16] AS s
+        |  FROM e, range(0, 4) t(j)),
+        |dist AS (
+        |  SELECT vec_id, j, c,
+        |    round(list_inner_product(s, s) + list_inner_product(cvec, cvec)
+        |      - 2.0 * list_inner_product(s, cvec), 6) AS d2
+        |  FROM subs JOIN books USING (j)),
+        |codes AS (
+        |  SELECT vec_id, j, c AS code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+        |      ORDER BY d2, c) AS rn FROM dist)
+        |  WHERE rn = 1),
+        |q AS (
+        |  SELECT vec_id AS query_id, CAST(j AS INTEGER) AS j,
+        |    v[j * 16 + 1 : j * 16 + 16] AS qs
+        |  FROM e, range(0, 4) t(j) WHERE vec_id % 50 = 0),
+        |lut AS (
+        |  SELECT query_id, j, c AS code,
+        |    CAST(round(list_inner_product(qs, cvec), 6) AS DECIMAL(18,6)) AS pdot
+        |  FROM q JOIN books USING (j)),
+        |sc AS (
+        |  SELECT query_id, vec_id AS neighbor_id,
+        |    CAST(sum(pdot) AS DOUBLE) AS adc_dot
+        |  FROM codes JOIN lut USING (j, code)
+        |  WHERE query_id <> vec_id GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc_dot DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM sc)
+        |SELECT query_id, neighbor_id, adc_dot, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
   )
 }

@@ -482,6 +482,224 @@ object Similarity {
     ivfServe(lists, cents, queries, idCol, vecCol, k, nProbe,
       roundCos = true, keepCentroid = true)
 
+  /** Product-quantization codebooks with FIXED md5-derived centroids
+    * (the [[portableCentroids]] construction per codebook entry):
+    * `m` subspaces × `ks` centroids over `subDim` dims each, entry id
+    * p = j·ks + c fed to the same "p:d" hash. One row per (j, c) with
+    * its centroid subvector — m·ks rows, always broadcast-sized.
+    */
+  def pqPortableCodebooks(
+      spark: org.apache.spark.sql.SparkSession,
+      m: Int,
+      ks: Int,
+      subDim: Int): DataFrame =
+    spark.range(m.toLong * ks)
+      .select((col("id") / ks).cast("int").as("j"),
+        pmod(col("id"), lit(ks)).cast("int").as("c"),
+        transform(sequence(lit(0), lit(subDim - 1)),
+          d => portableComponent(col("id").cast("int"), d)).as("cvec"))
+
+  /** PQ-encode a corpus: each vector becomes `m` codebook codes —
+    * argmin squared L2 distance to the subspace's centroids (rounded
+    * to 6 before the argmin, ties to the lowest code — the
+    * engine-deterministic election). Output: (idCol, j, code), the
+    * compressed representation ADC serving scans instead of vectors
+    * (m bytes per doc vs dim·8 — the memory story of PQ).
+    *
+    * Shape: one posexplode into m subvectors, broadcast join with the
+    * codebooks, and a min-struct aggregate per (doc, subspace) —
+    * subvectors are projected away before the shuffle; only (dist,
+    * code) pairs ride it.
+    */
+  def pqEncode(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      books: DataFrame,
+      m: Int,
+      subDim: Int): DataFrame = {
+    val subs = cleanVecs(corpus, vecCol).select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        j => slice(col(vecCol), j * subDim + 1, lit(subDim))))
+        .as(Seq("j", "__s")))
+    subs.join(broadcast(books), "j")
+      .withColumn("__d2",
+        round(dot(col("__s"), col("__s")) + dot(col("cvec"), col("cvec"))
+          - lit(2.0) * dot(col("__s"), col("cvec")), 6))
+      .groupBy(col(idCol), col("j"))
+      .agg(min(struct(col("__d2"), col("c"))).as("__m"))
+      .select(col(idCol), col("j"), col("__m")("c").as("code"))
+  }
+
+  /** TRAINED PQ codebooks — per-subspace k-means (the canonical
+    * Jégou et al. construction), all `m` subspaces trained in the
+    * SAME distributed job: the exploded (subspace, subvector) frame is
+    * checkpointed once and every Lloyd iteration runs one broadcast
+    * join + two aggregates over it — never m sequential k-means
+    * drivers. Assignment is squared-L2 argmin (rounded, ties to the
+    * lowest code — same election as [[pqEncode]], so training and
+    * encoding can never disagree on the metric). Seeds are ks
+    * hash-ordered subvectors per subspace via the bounded-heap
+    * operator (deterministic, no global sort); codes c are their
+    * 0-based hash-order ranks. Memberless centroids keep their
+    * position (same guard as [[trainCentroids]]).
+    */
+  def pqTrainCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      ks: Int,
+      subDim: Int,
+      iters: Int = 3,
+      trainSamplePct: Int = 100): DataFrame = {
+    require(trainSamplePct > 0 && trainSamplePct <= 100,
+      s"trainSamplePct must be in (0,100]: $trainSamplePct")
+    val base = cleanVecs(corpus, vecCol)
+    val sampled = if (trainSamplePct >= 100) base
+      else Scale.hashSample(base, idCol, trainSamplePct)
+    // every Lloyd iteration re-reads the exploded training set: pay
+    // the explode once
+    val subs = sampled.select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        j => slice(col(vecCol), j * subDim + 1, lit(subDim))))
+        .as(Seq("j", "__s")))
+      .localCheckpoint(true)
+    try {
+      val seeded = graft.plans.TopK.topKPerKey(
+        subs.withColumn("__h", xxhash64(col(idCol))),
+        Seq("j"), Seq("__h" -> true, idCol -> true), ks)
+      var cents = seeded.withColumn("c",
+          (org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("j")
+              .orderBy(col("__h"), col(idCol))) - 1).cast("int"))
+        .select(col("j"), col("c"), col("__s").as("cvec"))
+        .localCheckpoint(true)
+      try {
+        for (_ <- 1 to iters) {
+          val assigned = subs.join(broadcast(cents), "j")
+            .withColumn("__d2",
+              round(dot(col("__s"), col("__s")) +
+                dot(col("cvec"), col("cvec")) -
+                lit(2.0) * dot(col("__s"), col("cvec")), 6))
+            .groupBy(col("j"), col(idCol))
+            .agg(min_by(struct(col("c"), col("__s")),
+              struct(col("__d2"), col("c"))).as("__b"))
+            .select(col("j"), col("__b")("c").as("c"),
+              col("__b")("__s").as("__s"))
+          val means = assigned.groupBy("j", "c")
+            .agg(graft.functions.VectorAgg.vectorSum(col("__s")).as("__sum"),
+              count(lit(1)).as("__n"))
+            .select(col("j"), col("c"),
+              transform(col("__sum"), x => x / col("__n")).as("__newvec"))
+          val next = cents.join(means, Seq("j", "c"), "left")
+            .select(col("j"), col("c"),
+              coalesce(when(size(col("__newvec")) > 0, col("__newvec")),
+                col("cvec")).as("cvec"))
+            .localCheckpoint(true)
+          Checkpoints.drop(cents)
+          cents = next
+        }
+      } catch { case t: Throwable => Checkpoints.drop(cents); throw t }
+      cents
+    } finally Checkpoints.drop(subs)
+  }
+
+  /** ADC serving against caller-supplied codebooks (trained or
+    * portable): encode the corpus, build each query's m×ks partial
+    * LUT, sum exact DECIMAL partials per (query, doc), rank on the
+    * bounded heap.
+    */
+  def pqTopKWithBooks(
+      books: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int,
+      subDim: Int): DataFrame = {
+    val codes = pqEncode(corpus, idCol, vecCol, books, m, subDim)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val qsubs = cleanVecs(queries, vecCol).select(
+      col(idCol).as("query_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        j => slice(col(vecCol), j * subDim + 1, lit(subDim))))
+        .as(Seq("j", "__qs")))
+    val lut = qsubs.join(broadcast(books), "j")
+      .select(col("query_id"), col("j"), col("c").as("code"),
+        round(dot(col("__qs"), col("cvec")), 6)
+          .cast("decimal(18,6)").as("__pdot"))
+    val scored = codes.join(broadcast(lut), Seq("j", "code"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("__pdot")).cast("double").as("adc_dot"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val kept = graft.plans.TopK.topKPerKey(scored, Seq("query_id"),
+      Seq("adc_dot" -> false, "neighbor_id" -> true), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_dot").desc, col("neighbor_id").asc)
+    kept.withColumn("rank", row_number().over(w))
+      .select("query_id", "neighbor_id", "adc_dot", "rank")
+  }
+
+  /** Trained-codebook PQ ADC top-k: [[pqTrainCodebooks]] (per-subspace
+    * L2 k-means) + [[pqTopKWithBooks]]. Training has no cross-engine
+    * twin (k-means); recall vs exact top-k is spec-checked (PqSpec),
+    * mirroring the q46 IVF convention.
+    */
+  def pqTrainedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int,
+      ks: Int,
+      dim: Int,
+      iters: Int = 3): DataFrame = {
+    require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")
+    val subDim = dim / m
+    val books = pqTrainCodebooks(corpus, idCol, vecCol, m, ks, subDim, iters)
+    pqTopKWithBooks(books, corpus, queries, idCol, vecCol, k, m, subDim)
+  }
+
+  /** Product-quantization ADC top-k (Jégou et al. 2011) with the
+    * portable fixed codebooks — completes the vector-index family
+    * (brute force q40, LSH q42/q56, IVF q46/q65, int8 q60): corpus
+    * vectors compress to m codes ([[pqEncode]]), each query builds an
+    * m×ks lookup table of partial inner products against the
+    * codebooks, and a doc's approximate score is the sum of its m
+    * table entries — the asymmetric distance computation that scans
+    * CODES, never corpus vectors. Partials are rounded to
+    * DECIMAL(18,6) so the m-way sum is exact and order-independent
+    * (hash-stable); ranking is (adc_dot desc, neighbor_id) on the
+    * bounded-heap operator. Output: (query_id, neighbor_id, adc_dot,
+    * rank).
+    *
+    * Scale: the LUT (queries × m × ks) broadcasts; the scan is one
+    * equi-join of the code table against it plus a map-side-combined
+    * sum — per-pair work is O(m) lookups instead of O(dim) multiplies,
+    * and the code table is ~dim·8/m× smaller than the vectors. A
+    * production composition would nest this inside IVF lists
+    * (IVF-PQ) to cut the scanned fraction too; flat ADC is the
+    * honest, oracle-checkable core.
+    */
+  def pqPortableTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int,
+      ks: Int,
+      dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")
+    val subDim = dim / m
+    val books = pqPortableCodebooks(corpus.sparkSession, m, ks, subDim)
+    pqTopKWithBooks(books, corpus, queries, idCol, vecCol, k, m, subDim)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all pairs with cosine >=
     * threshold, found via LSH buckets (exact within-bucket verify).
     */

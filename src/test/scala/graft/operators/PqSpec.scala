@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.etl.FixtureLoader.spark
+
+/** Product-quantization contract tests: on vectors that ARE exact
+  * codebook reconstructions the quantizer must be lossless (codes
+  * recovered exactly, ADC dot = true dot), and on real embeddings the
+  * ADC ranking must overlap the exact ranking far above chance.
+  */
+class PqSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val (m, ks, dim) = (4, 8, 64)
+  private val subDim = dim / m
+
+  private def books = Similarity.pqPortableCodebooks(spark, m, ks, subDim)
+
+  test("pqEncode recovers planted codes exactly (zero-distance election)") {
+    // doc i uses code (i + j) % ks in subspace j; its vector is the
+    // concatenation of exactly those centroid subvectors
+    val bookMap = books.as[(Int, Int, Seq[Double])].collect()
+      .map { case (j, c, v) => (j, c) -> v }.toMap
+    val docs = (0 until 6).map { i =>
+      (i.toLong, (0 until m).flatMap(j => bookMap((j, (i + j) % ks))))
+    }.toDF("vec_id", "embedding")
+    val codes = Similarity.pqEncode(docs, "vec_id", "embedding",
+        books, m, subDim)
+      .as[(Long, Int, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    for (i <- 0 until 6; j <- 0 until m)
+      assert(codes((i.toLong, j)) == (i + j) % ks,
+        s"doc $i subspace $j: got ${codes((i.toLong, j))}")
+  }
+
+  test("ADC dot is exact on reconstructed vectors") {
+    val bookMap = books.as[(Int, Int, Seq[Double])].collect()
+      .map { case (j, c, v) => (j, c) -> v }.toMap
+    def recon(cs: Seq[Int]): Seq[Double] =
+      cs.zipWithIndex.flatMap { case (c, j) => bookMap((j, c)) }
+    val docs = Seq(
+      (1L, recon(Seq(0, 1, 2, 3))),
+      (2L, recon(Seq(4, 5, 6, 7))),
+      (3L, recon(Seq(1, 1, 1, 1)))).toDF("vec_id", "embedding")
+    val queries = Seq((100L, recon(Seq(2, 3, 4, 5))))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pqPortableTopK(
+        docs.unionByName(queries), queries, "vec_id", "embedding",
+        k = 3, m, ks, dim)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => r._2 -> r._3).toMap
+    def dotD(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val q = recon(Seq(2, 3, 4, 5))
+    for ((id, cs) <- Seq(1L -> Seq(0, 1, 2, 3), 2L -> Seq(4, 5, 6, 7),
+        3L -> Seq(1, 1, 1, 1))) {
+      // ADC sums per-subspace 6dp-rounded partials; compare to the
+      // same quantity computed independently
+      val expected = (0 until m).map { j =>
+        val p = dotD(q.slice(j * subDim, (j + 1) * subDim), bookMap((j, cs(j))))
+        BigDecimal(p).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      assert(math.abs(out(id) - expected) < 1e-9, s"doc $id")
+    }
+  }
+
+  test("training slashes quantization error and lifts candidate recall") {
+    val sf = "/root/testdata/sf0.01"
+    val vecs = graft.Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val queries = vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
+    // q81's configuration — the fidelity point training pays for
+    val (tm, tks) = (8, 16)
+    val tSubDim = dim / tm
+
+    // 1) mean squared reconstruction error per subvector — the
+    // quantity k-means minimizes; training must beat random md5
+    // codebooks by a wide margin
+    def qErr(books: org.apache.spark.sql.DataFrame): Double = {
+      val subs = vecs.select(col("vec_id"),
+        posexplode(transform(sequence(lit(0), lit(tm - 1)),
+          j => slice(col("embedding"), j * tSubDim + 1, lit(tSubDim))))
+          .as(Seq("j", "s")))
+      subs.join(broadcast(books), "j")
+        .withColumn("d2", Similarity.dot(col("s"), col("s")) +
+          Similarity.dot(col("cvec"), col("cvec")) -
+          lit(2.0) * Similarity.dot(col("s"), col("cvec")))
+        .groupBy("vec_id", "j").agg(min("d2").as("best"))
+        .agg(avg("best")).head.getDouble(0)
+    }
+    val pErr = qErr(Similarity.pqPortableCodebooks(spark, tm, tks, tSubDim))
+    val tErr = qErr(Similarity.pqTrainCodebooks(vecs, "vec_id", "embedding",
+      tm, tks, tSubDim, iters = 3))
+    info(f"quantization error: portable=$pErr%.4f trained=$tErr%.4f")
+    assert(tErr < pErr / 2,
+      f"training reduced error only $pErr%.4f -> $tErr%.4f")
+
+    // 2) candidate recall: |ADC top-50 ∩ exact top-10| / 10 — the
+    // re-rank serving pattern's figure of merit. Exact top-10 among
+    // ~random unit vectors is separated by cosine noise no m-byte
+    // code can rank, so rank-for-rank recall@10 is the wrong bar;
+    // covering the true neighbors within a 50-candidate set is the
+    // job PQ actually has. Chance = 50/500 = 0.1.
+    val exact = Similarity.topK(vecs, queries, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def candRecall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.map { case (q, e) =>
+        (got.getOrElse(q, Set.empty) & e).size.toDouble / e.size }
+        .sum / exact.size
+    }
+    val portable = candRecall(Similarity.pqPortableTopK(vecs, queries,
+      "vec_id", "embedding", k = 50, tm, tks, dim))
+    val trained = candRecall(Similarity.pqTrainedTopK(vecs, queries,
+      "vec_id", "embedding", k = 50, tm, tks, dim, iters = 3))
+    info(f"candidate recall@50: portable=$portable%.3f trained=$trained%.3f (chance 0.1)")
+    assert(portable >= 0.15, f"portable candidate recall $portable%.3f ~ chance")
+    assert(trained > portable + 0.1,
+      f"training did not clearly help: $trained%.3f vs $portable%.3f")
+    assert(trained >= 0.5, f"trained candidate recall $trained%.3f below floor")
+  }
+}
