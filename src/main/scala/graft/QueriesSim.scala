@@ -239,6 +239,23 @@ object QueriesSim {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-PQ ADC top-5 ([[Similarity.ivfPqPortableTopK]]) — the
+    * production ANN composition: 8 portable IVF lists × nProbe=3
+    * pruning the scanned fraction, m=4/ks=8 PQ residual codes
+    * pruning the scanned bytes. Every stage of index build AND
+    * serving (assignment, residuals, codes, probes, LUT,
+    * q·c + Σ LUT decomposition, ranking) hash-checks against DuckDB.
+    */
+  def q82IvfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val all = unitVecsD(s, dir)
+    Similarity.ivfPqPortableTopK(all,
+        all.filter(pmod(col("vec_id"), lit(50)) === 0),
+        "vec_id", "embedding", k = 5, nCentroids = 8, dim = 64,
+        nProbe = 3, m = 4, ks = 8)
+      .withColumn("rank", col("rank").cast("int"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_topk_brute_force" -> q40TopkBruteForce _,
     "q41_embedding_near_dup" -> q41EmbeddingNearDup _,
@@ -251,6 +268,7 @@ object QueriesSim {
     "q69_embedding_incremental" -> q69EmbeddingIncremental _,
     "q80_pq_topk" -> q80PqTopk _,
     "q81_pq_trained" -> q81PqTrained _,
+    "q82_ivfpq_topk" -> q82IvfPqTopk _,
   )
 
   /** The q56 oracle's per-plane dot product against the md5-derived
@@ -514,6 +532,84 @@ object QueriesSim {
         |    CAST(sum(pdot) AS DOUBLE) AS adc_dot
         |  FROM codes JOIN lut USING (j, code)
         |  WHERE query_id <> vec_id GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc_dot DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM sc)
+        |SELECT query_id, neighbor_id, adc_dot, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // q82: q65's rounded-cosine list assignment + q80's codebook/LUT
+    // machinery applied to RESIDUALS v − c, score = q·c + Σ LUT —
+    // both terms DECIMAL(18,6), summed exactly
+    "q82_ivfpq_topk" ->
+      """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, list_transform(v0,
+        |    x -> x / sqrt(list_inner_product(v0, v0))) AS v
+        |  FROM e0),
+        |cent AS (
+        |  SELECT CAST(c AS INTEGER) AS centroid_id,
+        |    list_transform(range(0, 64), d ->
+        |      ((('0x' || substr(md5(CAST(c AS VARCHAR) || ':' || d), 1, 8))::BIGINT
+        |        % 10001) / 5000.0 - 1.0)) AS cvec
+        |  FROM range(0, 8) t(c)),
+        |books AS (
+        |  SELECT CAST(id // 8 AS INTEGER) AS j, CAST(id % 8 AS INTEGER) AS c,
+        |    list_transform(range(0, 16), d ->
+        |      ((('0x' || substr(md5(CAST(id AS VARCHAR) || ':' || d), 1, 8))::BIGINT
+        |        % 10001) / 5000.0 - 1.0)) AS cvec
+        |  FROM range(0, 32) t(id)),
+        |a0 AS (
+        |  SELECT e.vec_id, e.v, cent.centroid_id, cent.cvec,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY round(list_cosine_similarity(e.v, cent.cvec), 6) DESC,
+        |               cent.centroid_id) AS rn
+        |  FROM e CROSS JOIN cent),
+        |assigned AS (
+        |  SELECT vec_id, centroid_id,
+        |    list_transform(range(1, 65), i -> v[i] - cvec[i]) AS r
+        |  FROM a0 WHERE rn = 1),
+        |subs AS (
+        |  SELECT vec_id, centroid_id, CAST(j AS INTEGER) AS j,
+        |    r[j * 16 + 1 : j * 16 + 16] AS s
+        |  FROM assigned, range(0, 4) t(j)),
+        |dist AS (
+        |  SELECT vec_id, centroid_id, j, c,
+        |    round(list_inner_product(s, s) + list_inner_product(cvec, cvec)
+        |      - 2.0 * list_inner_product(s, cvec), 6) AS d2
+        |  FROM subs JOIN books USING (j)),
+        |codes AS (
+        |  SELECT vec_id AS neighbor_id, centroid_id, j, c AS code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+        |      ORDER BY d2, c) AS rn FROM dist)
+        |  WHERE rn = 1),
+        |qv AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+        |p0 AS (
+        |  SELECT q.query_id, q.qv, cent.centroid_id, cent.cvec,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY round(list_cosine_similarity(q.qv, cent.cvec), 6) DESC,
+        |               cent.centroid_id) AS rn
+        |  FROM qv q CROSS JOIN cent),
+        |probes AS (
+        |  SELECT query_id, centroid_id,
+        |    CAST(round(list_inner_product(qv, cvec), 6) AS DECIMAL(18,6)) AS qc
+        |  FROM p0 WHERE rn <= 3),
+        |qsubs AS (
+        |  SELECT query_id, CAST(j AS INTEGER) AS j,
+        |    qv[j * 16 + 1 : j * 16 + 16] AS qs
+        |  FROM qv, range(0, 4) t(j)),
+        |lut AS (
+        |  SELECT query_id, j, c AS code,
+        |    CAST(round(list_inner_product(qs, cvec), 6) AS DECIMAL(18,6)) AS pdot
+        |  FROM qsubs JOIN books USING (j)),
+        |sc AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(min(qc) + sum(pdot) AS DOUBLE) AS adc_dot
+        |  FROM codes
+        |  JOIN probes USING (centroid_id)
+        |  JOIN lut USING (query_id, j, code)
+        |  WHERE query_id <> neighbor_id GROUP BY 1, 2),
         |ranked AS (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY adc_dot DESC, neighbor_id) AS INTEGER) AS rank

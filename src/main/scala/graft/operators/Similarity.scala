@@ -517,18 +517,25 @@ object Similarity {
       vecCol: String,
       books: DataFrame,
       m: Int,
-      subDim: Int): DataFrame = {
-    val subs = cleanVecs(corpus, vecCol).select(col(idCol),
-      posexplode(transform(sequence(lit(0), lit(m - 1)),
-        j => slice(col(vecCol), j * subDim + 1, lit(subDim))))
-        .as(Seq("j", "__s")))
+      subDim: Int,
+      passthrough: Seq[String] = Nil): DataFrame = {
+    // passthrough: per-id-constant columns (e.g. an IVF list id) ride
+    // the encode as extra group keys, so composers don't need a
+    // second pass over the (often expensive) corpus plan to re-attach
+    // them
+    val subs = cleanVecs(corpus, vecCol).select(
+      (col(idCol) +: passthrough.map(col)) :+
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          j => slice(col(vecCol), j * subDim + 1, lit(subDim))))
+          .as(Seq("j", "__s")): _*)
     subs.join(broadcast(books), "j")
       .withColumn("__d2",
         round(dot(col("__s"), col("__s")) + dot(col("cvec"), col("cvec"))
           - lit(2.0) * dot(col("__s"), col("cvec")), 6))
-      .groupBy(col(idCol), col("j"))
+      .groupBy((col(idCol) +: passthrough.map(col)) :+ col("j"): _*)
       .agg(min(struct(col("__d2"), col("c"))).as("__m"))
-      .select(col(idCol), col("j"), col("__m")("c").as("code"))
+      .select((col(idCol) +: passthrough.map(col)) ++
+        Seq(col("j"), col("__m")("c").as("code")): _*)
   }
 
   /** TRAINED PQ codebooks — per-subspace k-means (the canonical
@@ -698,6 +705,98 @@ object Similarity {
     val subDim = dim / m
     val books = pqPortableCodebooks(corpus.sparkSession, m, ks, subDim)
     pqTopKWithBooks(books, corpus, queries, idCol, vecCol, k, m, subDim)
+  }
+
+  /** IVF-PQ ADC top-k — the production ANN composition (Jégou et al.
+    * 2011): the IVF coarse quantizer prunes the SCANNED FRACTION
+    * (only nProbe of nCentroids lists are read per query) while PQ
+    * residual codes shrink the SCANNED BYTES (m bytes per doc, no
+    * corpus vectors at serving time). Each doc stores its list id and
+    * the PQ codes of its RESIDUAL v − c; a query's approximate score
+    * against a doc in list l decomposes as
+    *   q·v̂ = q·c_l + Σ_j q_j · book_j(code_j)
+    * — the first term computed once per probed list, the second by
+    * the same broadcast LUT as flat PQ, both exact DECIMAL so the sum
+    * is order-independent. Both quantizers here are the portable
+    * md5-derived ones, so the ENTIRE index build and serving path —
+    * assignment, residuals, codes, probes, LUT, score, ranking — is
+    * replicable in DuckDB (q82's oracle); trained variants keep their
+    * recall coverage in PqSpec / IvfSpec conventions.
+    *
+    * Scale: assignment and encoding are one corpus pass (the list id
+    * rides pqEncode's passthrough — no re-assignment join); serving
+    * joins the code table to (query, probed-list) pairs on
+    * centroid_id — the scan touches only probed lists, and per-pair
+    * work is O(m) LUT lookups.
+    */
+  def ivfPqPortableTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int,
+      dim: Int,
+      nProbe: Int,
+      m: Int,
+      ks: Int): DataFrame = {
+    require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")
+    val subDim = dim / m
+    val spark = corpus.sparkSession
+    val cents = portableCentroids(spark, nCentroids, dim)
+    val books = pqPortableCodebooks(spark, m, ks, subDim)
+    // coarse assignment (rounded cosine, ties to the lowest id — the
+    // q65 election) + residuals in one pipeline
+    val assigned = assignNearest(cleanVecs(corpus, vecCol)
+        .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+          l2norm(col(vecCol)).as("__n")),
+      cents, roundCos = true)
+    val resid = assigned
+      .join(broadcast(cents.select(col("centroid_id"), col("cvec"))),
+        "centroid_id")
+      .select(col("__id"), col("centroid_id"),
+        zip_with(col("__v"), col("cvec"), (a, b) => a - b).as("__r"))
+    val codes = pqEncode(resid, "__id", "__r", books, m, subDim,
+        passthrough = Seq("centroid_id"))
+      .withColumnRenamed("__id", "neighbor_id")
+    // probes: nProbe best lists per query by the same rounded-cosine
+    // election, each carrying the exact q·c_l term
+    val q = cleanVecs(queries, vecCol).select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), l2norm(col(vecCol)).as("__qn"))
+    val qc = q.crossJoin(broadcast(cents))
+      .withColumn("__cos", round(cosByNorm(col("__qv"), col("cvec"),
+        col("__qn"), col("cnorm")), 6))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("__cos").desc, col("centroid_id").asc)
+    val probes = qc.withColumn("__rk", row_number().over(wq))
+      .filter(col("__rk") <= nProbe)
+      .select(col("query_id"), col("centroid_id"),
+        round(dot(col("__qv"), col("cvec")), 6)
+          .cast("decimal(18,6)").as("__qc"))
+    val qsubs = q.select(col("query_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        j => slice(col("__qv"), j * subDim + 1, lit(subDim))))
+        .as(Seq("j", "__qs")))
+    val lut = qsubs.join(broadcast(books), "j")
+      .select(col("query_id"), col("j"), col("c").as("code"),
+        round(dot(col("__qs"), col("cvec")), 6)
+          .cast("decimal(18,6)").as("__pdot"))
+    val scored = codes.join(probes, "centroid_id")
+      .join(broadcast(lut), Seq("query_id", "j", "code"))
+      .groupBy("query_id", "neighbor_id")
+      // __qc is constant per (query, neighbor) group (one list per
+      // doc); min() recovers it deterministically in any engine
+      .agg((min(col("__qc")) + sum(col("__pdot"))).cast("double")
+        .as("adc_dot"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val kept = graft.plans.TopK.topKPerKey(scored, Seq("query_id"),
+      Seq("adc_dot" -> false, "neighbor_id" -> true), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_dot").desc, col("neighbor_id").asc)
+    kept.withColumn("rank", row_number().over(w))
+      .select("query_id", "neighbor_id", "adc_dot", "rank")
   }
 
   /** Embedding-cosine near-duplicate pairs: all pairs with cosine >=

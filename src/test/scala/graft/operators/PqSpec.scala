@@ -64,6 +64,40 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ: k rows per query, candidate recall above the scan fraction") {
+    val sf = "/root/testdata/sf0.01"
+    val vecs = graft.Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val queries = vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val out = Similarity.ivfPqPortableTopK(vecs, queries, "vec_id",
+        "embedding", k = 5, nCentroids = 8, dim = 64, nProbe = 3,
+        m = 4, ks = 8)
+      .as[(Long, Long, Double, Int)].collect()
+    // exactly 5 ranked rows per query, ranks 1..5, scores non-increasing
+    val byQ = out.groupBy(_._1)
+    assert(byQ.size == 10 && byQ.values.forall(_.length == 5))
+    for ((_, rows) <- byQ) {
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to 5))
+      assert(sorted.map(_._3).sliding(2).forall(p => p.head >= p.last))
+    }
+    // candidate recall@50 above the 10% chance line despite scanning
+    // only 3/8 of the lists with an untrained coarse+fine quantizer
+    val exact = Similarity.topK(vecs, queries, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Similarity.ivfPqPortableTopK(vecs, queries, "vec_id",
+        "embedding", k = 50, nCentroids = 8, dim = 64, nProbe = 3,
+        m = 4, ks = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.map { case (q, e) =>
+      (got.getOrElse(q, Set.empty) & e).size.toDouble / e.size }
+      .sum / exact.size
+    info(f"IVF-PQ candidate recall@50 = $recall%.3f (chance 0.1)")
+    assert(recall >= 0.12, f"recall $recall%.3f at or below chance")
+  }
+
   test("training slashes quantization error and lifts candidate recall") {
     val sf = "/root/testdata/sf0.01"
     val vecs = graft.Tables.embeddings(spark, sf).select(col("vec_id"),
