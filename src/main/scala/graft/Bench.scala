@@ -42,10 +42,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // NOTE for log readers: any "WindowExec: No Partition Defined"
-    // warnings in this bench's output come solely from the BUCKET
-    // level of Scale.packSequences' two-level prefix sum (q61), whose
-    // input is corpus/bucketSpan rows by construction — a bounded
-    // single-partition window, not a scale hazard.
+    // warnings in this bench's output come from two documented bounded
+    // single-partition windows — the BUCKET level of
+    // Scale.packSequences' two-level prefix sum (q61, corpus/bucketSpan
+    // rows by construction) and Scale.exactQuantileBuckets' cumulative
+    // sum over the score HISTOGRAM (q83, ≤10⁴ distinct 4-decimal
+    // scores by construction) — not scale hazards.
 
     // warm the session with table scans (parquet footers, codegen
     // compiler) rather than pre-running one arbitrary query, which

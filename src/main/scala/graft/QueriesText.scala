@@ -458,6 +458,29 @@ object QueriesText {
       .orderBy("doc_id")
   }
 
+  /** Quality-decile labeling ([[graft.operators.Scale
+    * .exactQuantileBuckets]]): every doc tagged with its exact decile
+    * of the q32 quality score — histogram-based, no global sort of
+    * the data (the one ordered window runs over ≤10⁴ distinct
+    * 4-decimal scores). Ties share a bucket by construction.
+    */
+  def q83QualityDeciles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.exactQuantileBuckets(
+        Tables.documents(s, dir).select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality")),
+        "quality", nBuckets = 10)
+      .select("doc_id", "quality", "bucket")
+      .orderBy("doc_id")
+
+  /** Temperature-scaled source-mixture weights ([[graft.operators
+    * .Scale.temperatureWeights]], α = 0.5) — the XLM-R/mT5 sampling
+    * rule that upsamples small sources; exact DECIMAL normalizer.
+    */
+  def q84TemperatureWeights(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.temperatureWeights(
+        Tables.documents(s, dir), "source", alpha = 0.5)
+      .orderBy("source")
+
   val queries: Map[String, Q] = Map(
     "q30_text_stats" -> q30TextStats _,
     "q31_lang_id" -> q31LangId _,
@@ -490,6 +513,8 @@ object QueriesText {
     "q77_char_entropy" -> q77CharEntropy _,
     "q78_span_dedup" -> q78SpanDedup _,
     "q79_dsir_weights" -> q79DsirWeights _,
+    "q83_quality_deciles" -> q83QualityDeciles _,
+    "q84_temperature_weights" -> q84TemperatureWeights _,
   )
 
   private val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -970,6 +995,54 @@ object QueriesText {
           |FROM corp JOIN bench USING (g)
           |GROUP BY doc_id HAVING count(*) >= 2
           |ORDER BY doc_id""".stripMargin,
+
+      // q83: the q32 quality expression feeding the histogram-based
+      // exact decile labeling — bucket = floor(#below · 10 / N)
+      // capped at 9, ties share a bucket; double division both sides
+      "q83_quality_deciles" ->
+        s"""WITH c AS (SELECT doc_id,
+           |  CAST(length(text) AS DOUBLE) AS len,
+           |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+           |       AS DOUBLE) AS n_alpha,
+           |  ${hits(en)} AS h_en,
+           |  CASE WHEN regexp_matches(text, '[!?.]{3,}|#{2,}|\\{|\\}')
+           |       THEN 0.0 ELSE 1.0 END AS good_punct
+           |  FROM documents),
+           |scored AS (
+           |  SELECT doc_id, round((
+           |    (CASE WHEN len > 0 THEN n_alpha / len ELSE 0.0 END) +
+           |    (CASE WHEN len >= 200 AND len <= 20000 THEN 1.0
+           |          WHEN len >= 50 THEN 0.5 ELSE 0.0 END) +
+           |    good_punct +
+           |    (CASE WHEN h_en >= 2 THEN 1.0 ELSE 0.0 END)) / 4.0, 4) AS quality
+           |  FROM c),
+           |hist AS (SELECT quality, count(*) AS hc FROM scored GROUP BY 1),
+           |lab AS (
+           |  SELECT quality,
+           |    CAST(least(9, floor(
+           |      COALESCE(SUM(hc) OVER (ORDER BY quality
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      * 10 / (SELECT sum(hc) FROM hist))) AS INTEGER) AS bucket
+           |  FROM hist)
+           |SELECT s.doc_id, s.quality, l.bucket
+           |FROM scored s JOIN lab l USING (quality)
+           |ORDER BY s.doc_id""".stripMargin,
+
+      // q84: (n_s/N)^alpha normalized by the exact DECIMAL sum of
+      // 9-decimal-quantized powers
+      "q84_temperature_weights" ->
+        """WITH counts AS (
+          |  SELECT source, count(*) AS n_rows FROM documents GROUP BY 1),
+          |tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n FROM counts),
+          |p AS (
+          |  SELECT source, n_rows,
+          |    CAST(round(pow(n_rows / CAST(tot.n AS DOUBLE), 0.5), 9)
+          |      AS DECIMAL(18,9)) AS pa
+          |  FROM counts CROSS JOIN tot),
+          |z AS (SELECT sum(pa) AS z FROM p)
+          |SELECT source, n_rows,
+          |  round(CAST(pa AS DOUBLE) / CAST(z.z AS DOUBLE), 6) AS weight
+          |FROM p CROSS JOIN z ORDER BY source""".stripMargin,
 
       // q74: tf (raw per-doc count), df over distinct (doc,term)
       // pairs, idf = ln(N/df); score rounded BEFORE ranking, ties by

@@ -239,6 +239,66 @@ object Scale {
       .drop("__h", "__r", "__quota")
   }
 
+  /** EXACT quantile-bucket labeling WITHOUT a global sort — the
+    * curriculum/quality-tier assignment ("label every doc with its
+    * quality decile") that `ntile()` would answer with one giant
+    * ordered window: instead, the DISTINCT score values are
+    * aggregated into a histogram (bounded by score cardinality — a
+    * 4-decimal quality score has ≤ 10⁴ distinct values no matter how
+    * many rows), the cumulative count runs over that SMALL frame, and
+    * rows pick up their bucket through a broadcast join on the score.
+    * Bucket of value v = floor(#\{rows < v\} · n / N), capped at n−1:
+    * unlike ntile, TIES STAY TOGETHER (equal scores always share a
+    * bucket — the semantics data-curation wants, and deterministic
+    * for any row order/partitioning on both engines).
+    */
+  def exactQuantileBuckets(
+      df: DataFrame,
+      scoreCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
+    val hist = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // the single-partition window runs over the HISTOGRAM (one row
+    // per distinct score), never over the data — bounded by design
+    val labeled = hist
+      .withColumn("__below", coalesce(sum(col("__c")).over(w), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over())
+      .withColumn("bucket",
+        least(lit(nBuckets - 1),
+          floor(col("__below") * nBuckets / col("__n"))).cast("int"))
+      .select(col(scoreCol), col("bucket"))
+    df.join(broadcast(labeled), Seq(scoreCol))
+  }
+
+  /** Temperature-scaled mixture weights (the multilingual/multi-source
+    * sampling rule of XLM-R / mT5): source s with n_s of N rows gets
+    *   w_s = (n_s/N)^α / Σ_t (n_t/N)^α
+    * — α &lt; 1 upsamples small sources, α = 1 is proportional. One
+    * tiny aggregate per stage (counts, then the normalizer), powers
+    * quantized to DECIMAL so the normalizer Σ is exact, one IEEE
+    * division at the end. Output: (strataCol, n_rows, weight).
+    */
+  def temperatureWeights(
+      df: DataFrame,
+      strataCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1]: $alpha")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum(col("n_rows")).as("__n"))
+    val powed = counts.crossJoin(broadcast(total))
+      .withColumn("__pa",
+        round(pow(col("n_rows").cast("double") / col("__n"), lit(alpha)), 9)
+          .cast("decimal(18,9)"))
+    val z = powed.agg(sum(col("__pa")).as("__z"))
+    powed.crossJoin(broadcast(z))
+      .select(col(strataCol), col("n_rows"),
+        round(col("__pa").cast("double") / col("__z").cast("double"), 6)
+          .as("weight"))
+  }
+
   /** Write a table bucketed + sorted by `key` into the session catalog:
     * subsequent equi-joins between tables bucketed the same way plan
     * with ZERO Exchange on either side (SortMergeJoin over pre-shuffled

@@ -206,6 +206,41 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("exactQuantileBuckets: exact boundaries, ties together, extremes capped") {
+    // 100 rows, scores 0..99 → deciles are exact 10-row blocks
+    val rows = (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("id", "s")
+    val out = Scale.exactQuantileBuckets(rows, "s", 10)
+      .select("id", "bucket").as[(Long, Int)].collect().toMap
+    for (i <- 0 until 100) assert(out(i.toLong) == i / 10, s"id $i")
+    // massive tie: 95 zeros + 5 ones — all zeros share bucket 0 (ties
+    // are never split across buckets, unlike ntile), ones land in the
+    // top bucket
+    val tied = ((0 until 95).map(i => (i.toLong, 0.0)) ++
+      (95 until 100).map(i => (i.toLong, 1.0))).toDF("id", "s")
+    val t = Scale.exactQuantileBuckets(tied, "s", 10)
+      .select("id", "bucket").as[(Long, Int)].collect().toMap
+    assert((0 until 95).forall(i => t(i.toLong) == 0))
+    assert((95 until 100).forall(i => t(i.toLong) == 9))
+    // row count preserved (the broadcast join loses nothing)
+    assert(Scale.exactQuantileBuckets(rows, "s", 4).count() == 100)
+  }
+
+  test("temperatureWeights: alpha=1 proportional, alpha<1 flattens, sums to 1") {
+    val rows = (Seq.fill(80)("big") ++ Seq.fill(16)("mid") ++ Seq.fill(4)("small"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "src")
+    val w1 = Scale.temperatureWeights(rows, "src", 1.0)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(math.abs(w1("big") - 0.8) < 1e-6 && math.abs(w1("small") - 0.04) < 1e-6)
+    val w5 = Scale.temperatureWeights(rows, "src", 0.5)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // alpha<1 flattens: small source upsampled, big downsampled
+    assert(w5("small") > 0.04 && w5("big") < 0.8)
+    assert(math.abs(w5.values.sum - 1.0) < 1e-5)
+    // hand-check: (0.8^.5, 0.16^.5, 0.04^.5) normalized
+    val z = math.sqrt(0.8) + math.sqrt(0.16) + math.sqrt(0.04)
+    assert(math.abs(w5("big") - math.sqrt(0.8) / z) < 1e-5)
+  }
+
   test("stratifiedSampleExact: exact ceil quotas, deterministic, plan-stable") {
     // uneven strata: a=100 rows, b=37, c=3
     val rows = ((1 to 100).map(i => ("a", i)) ++
