@@ -45,6 +45,22 @@ class CheckpointHygieneSpec extends AnyFunSuite {
     assert((persistedIds -- before).isEmpty)
   }
 
+  test("pqTrainCodebooks leaves only the final codebook checkpoint") {
+    val vecs = (1 to 60)
+      .map(i => (i.toLong, Array.tabulate(8)(d => ((i * (d + 3)) % 11 + 1).toDouble)))
+      .toDF("id", "v")
+    val before = persistedIds
+    val books = Similarity.pqTrainCodebooks(vecs, "id", "v",
+      m = 2, ks = 4, subDim = 4, iters = 3)
+    assert(books.count() == 8)
+    // the exploded training frame and every per-iteration centroid
+    // checkpoint must be gone; only the returned codebooks' blocks stay
+    val leaked = persistedIds -- before
+    assert(leaked.size <= 1, s"leaked persistent RDDs beyond the result: $leaked")
+    Checkpoints.drop(books)
+    assert((persistedIds -- before).isEmpty)
+  }
+
   test("drop refuses a composite plan unless allowMultiple is passed") {
     val a = Seq((1L, "x")).toDF("id", "s").localCheckpoint(true)
     val b = Seq((1L, "y")).toDF("id", "t").localCheckpoint(true)
