@@ -256,6 +256,21 @@ object QueriesSim {
       .orderBy("query_id", "rank")
   }
 
+  /** Trained IVF-PQ ([[Similarity.ivfPqTrainedTopK]]): Lloyd coarse
+    * centroids + residual-trained PQ codebooks + the shared serving
+    * tail. k-means ⇒ rows-only; PqSpec pins recall vs the portable
+    * composition (q82).
+    */
+  def q85IvfPqTrained(s: SparkSession, dir: String): DataFrame = {
+    val all = unitVecsD(s, dir)
+    Similarity.ivfPqTrainedTopK(all,
+        all.filter(pmod(col("vec_id"), lit(50)) === 0),
+        "vec_id", "embedding", k = 5, nCentroids = 8, dim = 64,
+        nProbe = 3, m = 8, ks = 16, iters = 3)
+      .withColumn("rank", col("rank").cast("int"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_topk_brute_force" -> q40TopkBruteForce _,
     "q41_embedding_near_dup" -> q41EmbeddingNearDup _,
@@ -269,6 +284,7 @@ object QueriesSim {
     "q80_pq_topk" -> q80PqTopk _,
     "q81_pq_trained" -> q81PqTrained _,
     "q82_ivfpq_topk" -> q82IvfPqTopk _,
+    "q85_ivfpq_trained" -> q85IvfPqTrained _,
   )
 
   /** The q56 oracle's per-plane dot product against the md5-derived

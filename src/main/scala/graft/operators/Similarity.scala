@@ -745,20 +745,49 @@ object Similarity {
     val spark = corpus.sparkSession
     val cents = portableCentroids(spark, nCentroids, dim)
     val books = pqPortableCodebooks(spark, m, ks, subDim)
-    // coarse assignment (rounded cosine, ties to the lowest id — the
-    // q65 election) + residuals in one pipeline
+    val resid = ivfPqResiduals(corpus, idCol, vecCol, cents)
+    val codes = pqEncode(resid, "__id", "__r", books, m, subDim,
+        passthrough = Seq("centroid_id"))
+      .withColumnRenamed("__id", "neighbor_id")
+    ivfPqScore(codes, cents, books, queries, idCol, vecCol, k, nProbe,
+      m, subDim)
+  }
+
+  /** Coarse-assign the corpus and attach residuals v − c — the shared
+    * build stage of both IVF-PQ variants (rounded-cosine election,
+    * ties to the lowest centroid id).
+    */
+  private def ivfPqResiduals(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: DataFrame): DataFrame = {
     val assigned = assignNearest(cleanVecs(corpus, vecCol)
         .select(col(idCol).as("__id"), col(vecCol).as("__v"),
           l2norm(col(vecCol)).as("__n")),
       cents, roundCos = true)
-    val resid = assigned
+    assigned
       .join(broadcast(cents.select(col("centroid_id"), col("cvec"))),
         "centroid_id")
       .select(col("__id"), col("centroid_id"),
         zip_with(col("__v"), col("cvec"), (a, b) => a - b).as("__r"))
-    val codes = pqEncode(resid, "__id", "__r", books, m, subDim,
-        passthrough = Seq("centroid_id"))
-      .withColumnRenamed("__id", "neighbor_id")
+  }
+
+  /** The IVF-PQ serving tail shared by the portable and trained
+    * variants: probe selection, per-query LUT, the q·c + Σ LUT score,
+    * bounded-heap ranking.
+    */
+  private def ivfPqScore(
+      codes: DataFrame,
+      cents: DataFrame,
+      books: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int,
+      m: Int,
+      subDim: Int): DataFrame = {
     // probes: nProbe best lists per query by the same rounded-cosine
     // election, each carrying the exact q·c_l term
     val q = cleanVecs(queries, vecCol).select(col(idCol).as("query_id"),
@@ -797,6 +826,43 @@ object Similarity {
       .orderBy(col("adc_dot").desc, col("neighbor_id").asc)
     kept.withColumn("rank", row_number().over(w))
       .select("query_id", "neighbor_id", "adc_dot", "rank")
+  }
+
+  /** TRAINED IVF-PQ — the production configuration: Lloyd-trained
+    * coarse centroids ([[trainCentroids]]) partition the corpus, and
+    * the PQ codebooks are k-means-trained ON THE RESIDUALS
+    * ([[pqTrainCodebooks]] over v − c, the Jégou construction — a
+    * codebook fit to residual statistics, not raw vectors). The
+    * residual frame feeds BOTH codebook training and encoding, so it
+    * is checkpointed once (the training iterations would otherwise
+    * re-run the coarse assignment crossJoin per Lloyd step); the
+    * serving tail is byte-identical to the portable variant's.
+    * k-means has no cross-engine twin → rows-only at the driver gate;
+    * PqSpec pins recall against the portable composition.
+    */
+  def ivfPqTrainedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int,
+      dim: Int,
+      nProbe: Int,
+      m: Int,
+      ks: Int,
+      iters: Int = 3): DataFrame = {
+    require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")
+    val subDim = dim / m
+    val cents = trainCentroids(corpus, idCol, vecCol, nCentroids, iters)
+    val resid = ivfPqResiduals(corpus, idCol, vecCol, cents)
+      .localCheckpoint()
+    val books = pqTrainCodebooks(resid, "__id", "__r", m, ks, subDim, iters)
+    val codes = pqEncode(resid, "__id", "__r", books, m, subDim,
+        passthrough = Seq("centroid_id"))
+      .withColumnRenamed("__id", "neighbor_id")
+    ivfPqScore(codes, cents, books, queries, idCol, vecCol, k, nProbe,
+      m, subDim)
   }
 
   /** Embedding-cosine near-duplicate pairs: all pairs with cosine >=

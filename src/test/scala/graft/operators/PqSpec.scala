@@ -96,6 +96,20 @@ class PqSpec extends AnyFunSuite {
       .sum / exact.size
     info(f"IVF-PQ candidate recall@50 = $recall%.3f (chance 0.1)")
     assert(recall >= 0.12, f"recall $recall%.3f at or below chance")
+    // the trained composition (q85's configuration) must beat the
+    // portable one clearly — trained coarse lists route queries to
+    // genuinely-near partitions and residual-fit codebooks rank
+    // within them
+    val trained = Similarity.ivfPqTrainedTopK(vecs, queries, "vec_id",
+        "embedding", k = 50, nCentroids = 8, dim = 64, nProbe = 3,
+        m = 8, ks = 16, iters = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val tRecall = exact.map { case (q, e) =>
+      (trained.getOrElse(q, Set.empty) & e).size.toDouble / e.size }
+      .sum / exact.size
+    info(f"trained IVF-PQ candidate recall@50 = $tRecall%.3f")
+    assert(tRecall > recall, f"training did not help: $tRecall%.3f <= $recall%.3f")
   }
 
   test("training slashes quantization error and lifts candidate recall") {

@@ -74,4 +74,32 @@ class DedupStreamSpec extends AnyFunSuite {
     DedupStream.run(spark, src, ckp, idx, dcs, prs, "doc_id", "text",
       shingleLen = 3, numHashes = 16, bands = 4, threshold = 0.7)
   }
+
+  test("store identity is paired with the checkpoint BEFORE any batch commits") {
+    // regression for the crash window the round-9 advice flagged: the
+    // marker used to be written after start(), so a crash after the
+    // first commit stranded a legitimately-built store. Run against an
+    // EMPTY source: zero batches ever commit, yet the marker must
+    // already exist and equal the checkpoint's minted id.
+    import java.nio.file.{Files, Paths}
+    val src = Files.createTempDirectory("dd2-src").toString
+    val ckp = Files.createTempDirectory("dd2-ckp").toString
+    val idx = Files.createTempDirectory("dd2-idx").toString
+    val dcs = Files.createTempDirectory("dd2-docs").toString
+    val prs = Files.createTempDirectory("dd2-pairs").toString
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).limit(20)
+    Dedup.minhashBandIndexPortable(corpus, "doc_id", "text", 3, 16, 4)
+      .write.parquet(s"$idx/batch_id=base")
+    corpus.write.parquet(s"$dcs/batch_id=base")
+    DedupStream.run(spark, src, ckp, idx, dcs, prs, "doc_id", "text")
+    val marker = Paths.get(idx, "_stream_id")
+    assert(Files.exists(marker), "marker missing after zero-batch run")
+    val markerId = Files.readString(marker).trim
+    val meta = Files.readString(Paths.get(ckp, "metadata"))
+    assert(meta.contains(markerId),
+      s"marker $markerId not the checkpoint's id: $meta")
+    // and the pairing holds on restart (same checkpoint + same store)
+    DedupStream.run(spark, src, ckp, idx, dcs, prs, "doc_id", "text")
+  }
 }
