@@ -362,6 +362,57 @@ object QueriesText {
       .orderBy("id_a", "id_b")
   }
 
+  /** STREAMING daily-ingest dedup ([[graft.streaming.DedupStream]])
+    * promoted to the declared surface: the corpus (doc_id%3≠0) is
+    * seeded into the persisted band index, the fresh docs (doc_id%3=0)
+    * are dropped into the source directory as THREE parquet files
+    * (doc_id%9 = 0/3/6), and `maxFilesPerTrigger=1` drives three real
+    * micro-batches through Structured Streaming — each probing the
+    * index built by the corpus plus every EARLIER batch, then folding
+    * its own bands in. The union of the per-batch pair sets equals the
+    * one-shot incremental result over all fresh docs (every pair
+    * touching a fresh doc surfaces exactly once: cross-batch pairs in
+    * the later batch's probe, within-batch pairs via the batch's own
+    * bands), so this query shares q67's DuckDB oracle verbatim — the
+    * whole streaming path (checkpointing, replay-safe fold-in, the
+    * store↔checkpoint identity guard) sits under the same hash gate as
+    * the batch operators. No distinct() is applied to the union: a
+    * double-counted pair would be a replay-isolation bug and must
+    * surface as a hash mismatch, not be scrubbed away.
+    */
+  def q86StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val root = java.nio.file.Files.createTempDirectory("q86-stream").toString
+    val (src, ckp, idx, dcs, prs) =
+      (s"$root/src", s"$root/ckp", s"$root/idx", s"$root/docs", s"$root/pairs")
+    graft.operators.Dedup.minhashBandIndexPortable(corpus, "doc_id", "text",
+        shingleLen = 3, numHashes = 16, bands = 4)
+      .write.parquet(s"$idx/batch_id=base")
+    corpus.write.parquet(s"$dcs/batch_id=base")
+    // three ingest drops, one file each (coalesce(1) + append) so
+    // maxFilesPerTrigger=1 yields three micro-batches; batch order is
+    // irrelevant to the union invariant
+    Seq(0, 3, 6).foreach { r =>
+      docs.filter(pmod(col("doc_id"), lit(9)) === r)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    graft.streaming.DedupStream.run(s, src, ckp, idx, dcs, prs,
+      "doc_id", "text", shingleLen = 3, numHashes = 16, bands = 4,
+      threshold = 0.8)
+    // materialize the union BEFORE deleting the temp tree, so the
+    // returned frame doesn't dangle on deleted files; the checkpoint
+    // blocks are consumer-owned (Bench scrubs them post-measurement)
+    val out = s.read.parquet(prs)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy("id_a", "id_b")
+      .localCheckpoint(true)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
+      .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    out
+  }
+
   /** Corpus vocabulary top-100 ([[TextAnalysis.vocabTopK]]) — token
     * totals + document frequencies, the tokenizer-training statistic
     * and the one gate query whose top-k is GLOBAL
@@ -505,6 +556,7 @@ object QueriesText {
     "q53_curation_pipeline" -> q53CurationPipeline _,
     "q54_media_features" -> q54MediaFeatures _,
     "q67_minhash_incremental" -> q67MinhashIncremental _,
+    "q86_stream_dedup" -> q86StreamDedup _,
     "q68_vocab_topk" -> q68VocabTopk _,
     "q70_line_dedup" -> q70LineDedup _,
     "q72_containment" -> q72Containment _,
@@ -525,7 +577,7 @@ object QueriesText {
 
   val oracles: Map[String, String] = {
     val Seq(en, de, fr, es) = TextAnalysis.langMarkers.map(_._2)
-    Map(
+    val base = Map(
       "q30_text_stats" ->
         s"""SELECT doc_id,
            |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
@@ -1189,5 +1241,8 @@ object QueriesText {
           |  round(CAST(sum(t) AS DOUBLE), 6) AS entropy
           |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     )
+    // q86 is q67's contract delivered by the streaming path — the
+    // union-of-micro-batch pair sets must hash-match the SAME oracle
+    base + ("q86_stream_dedup" -> base("q67_minhash_incremental"))
   }
 }
