@@ -271,6 +271,22 @@ object QueriesSim {
       .orderBy("query_id", "rank")
   }
 
+  /** SemDeDup ([[Similarity.semDeDup]]) with the portable md5
+    * quantizer: cluster-scoped semantic dedup at cosine ≥ 0.42 (q41's
+    * proven near-dup regime), keep-lowest-centroid-cos election. The
+    * fixed centroids make assignment, election order, pair cosines,
+    * and the EXISTS drop rule all DuckDB-replicable — the entire
+    * operator is hash-checked; trained quantizers keep their recall
+    * coverage in ScalaTest (SimilaritySpec).
+    */
+  def q87SemDedup(s: SparkSession, dir: String): DataFrame = {
+    val all = vecsD(s, dir)
+    Similarity.semDeDup(all, "vec_id", "embedding",
+        Similarity.portableCentroids(s, nCentroids = 8, dim = 64),
+        threshold = 0.42)
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_topk_brute_force" -> q40TopkBruteForce _,
     "q41_embedding_near_dup" -> q41EmbeddingNearDup _,
@@ -285,6 +301,7 @@ object QueriesSim {
     "q81_pq_trained" -> q81PqTrained _,
     "q82_ivfpq_topk" -> q82IvfPqTopk _,
     "q85_ivfpq_trained" -> q85IvfPqTrained _,
+    "q87_semdedup" -> q87SemDedup _,
   )
 
   /** The q56 oracle's per-plane dot product against the md5-derived
@@ -419,6 +436,36 @@ object QueriesSim {
          |              JOIN e y ON c.id_b = y.vec_id)
          |SELECT id_a, id_b, cos_sim FROM scored
          |WHERE cos_sim >= 0.42 ORDER BY id_a, id_b""".stripMargin,
+
+    // mirrors q87SemDedup stage by stage: md5 centroids → rounded-
+    // cosine argmax assignment carrying the winner's cosine (the
+    // election key) → the EXISTS drop rule (any earlier item in the
+    // (centroid_cos, id) order within threshold) → per-vector kept flag
+    "q87_semdedup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (
+        |  SELECT CAST(c AS INTEGER) AS centroid_id,
+        |    list_transform(range(0, 64), d ->
+        |      ((('0x' || substr(md5(CAST(c AS VARCHAR) || ':' || d), 1, 8))::BIGINT
+        |        % 10001) / 5000.0 - 1.0)) AS cvec
+        |  FROM range(0, 8) t(c)),
+        |a0 AS (
+        |  SELECT e.vec_id, e.v, cent.centroid_id,
+        |    round(list_cosine_similarity(e.v, cent.cvec), 6) AS ccos,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY round(list_cosine_similarity(e.v, cent.cvec), 6) DESC,
+        |               cent.centroid_id) AS rn
+        |  FROM e CROSS JOIN cent),
+        |assigned AS (SELECT vec_id, v, centroid_id, ccos FROM a0 WHERE rn = 1),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM assigned a JOIN assigned b USING (centroid_id)
+        |  WHERE (a.ccos < b.ccos OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
+        |    AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.42)
+        |SELECT a.vec_id, a.centroid_id, a.ccos AS centroid_cos,
+        |  (d.vec_id IS NULL) AS kept
+        |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
 
     // mirrors q65IvfPortable stage by stage: md5 centroid components
     // (same "c:d" hash string as Spark's portableComponent) → rounded-

@@ -967,6 +967,81 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    * deduplication for training corpora: cluster the embeddings, then
+    * within each cluster drop every vector that is ≥ `threshold`
+    * cosine-similar to a PREFERRED same-cluster vector, where
+    * preference is the paper's keep-hard rule — LOWEST cosine to the
+    * cluster centroid first (low-centroid-similarity examples carry
+    * the most diverse signal), ties to the lowest id. This matches the
+    * published implementation exactly: items are ordered within the
+    * cluster and an item is removed when ANY earlier item (kept or
+    * not) is within threshold — no connected components, so the
+    * decision for each vector is one EXISTS over its cluster.
+    *
+    * Output: one row per input vector — (idCol, centroid_id,
+    * centroid_cos, kept). Callers filter kept for the surviving
+    * corpus; the full frame is returned so drop accounting is free.
+    *
+    * `cents` supplies the quantizer — [[portableCentroids]] makes the
+    * WHOLE operator (assignment, election order, pair cosines, the
+    * EXISTS) replicable in a DuckDB oracle; [[trainCentroids]] is the
+    * production path (same serving semantics, k-means quality).
+    *
+    * Scale: the only quadratic is WITHIN a cluster — the pair stage is
+    * a self equi-join on centroid_id, a plain shuffle-partitionable
+    * join whose cost is Σ|cluster|², controlled by nCentroids (the
+    * SemDeDup design point: at 100 TB you raise nCentroids so clusters
+    * stay ~10⁴-10⁵ rows and every cluster's pair block fits an
+    * executor). Vectors must ride that one join (exact in-cluster
+    * cosines need them); everything downstream of the EXISTS is
+    * vector-free, and the assignment crossJoin broadcasts only the
+    * centroid table.
+    */
+  def semDeDup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: DataFrame,
+      threshold: Double): DataFrame = {
+    val assigned = assignNearest(cleanVecs(corpus, vecCol)
+        .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+          l2norm(col(vecCol)).as("__n")),
+      cents, roundCos = true)
+    // the argmax keeps only the winning centroid_id, so the winner's
+    // cosine is re-derived with one broadcast join + one dot per row;
+    // rounded to 6 decimals — the cross-engine-identical precision —
+    // because it is BOTH an output column and the election key.
+    // Checkpointed once: it feeds both sides of the pair join and the
+    // final projection (three plan branches).
+    val withSim = assigned
+      .join(broadcast(cents.select(col("centroid_id"), col("cvec"),
+        col("cnorm"))), "centroid_id")
+      .select(col("__id"), col("centroid_id"), col("__v"), col("__n"),
+        round(cosByNorm(col("__v"), col("cvec"), col("__n"), col("cnorm")), 6)
+          .as("centroid_cos"))
+      .localCheckpoint(true)
+    val a = withSim.select(col("centroid_id"), col("__id").as("__ua"),
+      col("__v").as("__va"), col("__n").as("__na"),
+      col("centroid_cos").as("__ca"))
+    val b = withSim.select(col("centroid_id"), col("__id").as("__ub"),
+      col("__v").as("__vb"), col("__n").as("__nb"),
+      col("centroid_cos").as("__cb"))
+    // b is dropped when SOME a earlier in the (centroid_cos, id)
+    // election order sits within threshold; the order filter halves
+    // the pair stream before the dot products run
+    val dropped = a.join(b, Seq("centroid_id"))
+      .filter(col("__ca") < col("__cb") ||
+        (col("__ca") === col("__cb") && col("__ua") < col("__ub")))
+      .filter(round(cosByNorm(col("__va"), col("__vb"), col("__na"),
+        col("__nb")), 6) >= threshold)
+      .select(col("__ub").as("__id")).distinct()
+    withSim
+      .join(dropped.withColumn("__dropped", lit(true)), Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("centroid_id"),
+        col("centroid_cos"), col("__dropped").isNull.as("kept"))
+  }
+
   /** Per-vector int8 scalar quantization — the memory lever for ANN at
     * corpus scale: codes are 0..255 per dimension (4× smaller than
     * float32, 8× smaller than the double pipeline) plus two scalars
