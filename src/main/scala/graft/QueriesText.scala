@@ -413,6 +413,21 @@ object QueriesText {
     out
   }
 
+  /** Unigram-LM perplexity scoring ([[TextAnalysis.lmPerplexity]]) —
+    * the CCNet quality gate shape: the LM trains on the lang='en'
+    * slice (the "clean reference") and scores EVERY document;
+    * non-English docs land in the OOV-heavy high-perplexity tail, the
+    * behavior the filter exploits. Reference counts, smoothing, OOV
+    * mass, the DECIMAL bit-sum, and the final pow all replicate in
+    * DuckDB → fully hash-checked.
+    */
+  def q88LmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.lmPerplexity(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** Corpus vocabulary top-100 ([[TextAnalysis.vocabTopK]]) — token
     * totals + document frequencies, the tokenizer-training statistic
     * and the one gate query whose top-k is GLOBAL
@@ -557,6 +572,7 @@ object QueriesText {
     "q54_media_features" -> q54MediaFeatures _,
     "q67_minhash_incremental" -> q67MinhashIncremental _,
     "q86_stream_dedup" -> q86StreamDedup _,
+    "q88_lm_perplexity" -> q88LmPerplexity _,
     "q68_vocab_topk" -> q68VocabTopk _,
     "q70_line_dedup" -> q70LineDedup _,
     "q72_containment" -> q72Containment _,
@@ -1240,6 +1256,37 @@ object QueriesText {
           |SELECT doc_id, min(n) AS n_chars,
           |  round(CAST(sum(t) AS DOUBLE), 6) AS entropy
           |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // q88: literal formula twin of lmPerplexity — Laplace-smoothed
+      // reference unigram log2-probs rounded→DECIMAL(18,6) (exact Σ),
+      // OOV = the +1 bucket, one double division + pow at the end
+      "q88_lm_perplexity" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, lang,
+           |    unnest(list_filter(string_split($norm, ' '), x -> x <> ''))
+           |      AS term
+           |  FROM documents),
+           |rc AS (SELECT term, count(*) AS c FROM toks
+           |       WHERE lang = 'en' GROUP BY term),
+           |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+           |               CAST(count(*) AS BIGINT) AS v FROM rc),
+           |lp AS (SELECT term,
+           |         CAST(round(log2((c + 1.0) / (n + v + 1.0)), 6)
+           |              AS DECIMAL(18,6)) AS lp
+           |       FROM rc, tot),
+           |oov AS (SELECT CAST(round(log2(1.0 / (n + v + 1.0)), 6)
+           |               AS DECIMAL(18,6)) AS lp FROM tot),
+           |tf AS (SELECT doc_id, term, count(*) AS tf
+           |       FROM toks GROUP BY 1, 2),
+           |sc AS (
+           |  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+           |    sum(tf.tf * coalesce(lp.lp, (SELECT lp FROM oov))) AS bits
+           |  FROM tf LEFT JOIN lp USING (term) GROUP BY tf.doc_id)
+           |SELECT doc_id, n_tokens,
+           |  round(-CAST(bits AS DOUBLE) / n_tokens, 6) AS bits_per_token,
+           |  round(pow(2.0, round(-CAST(bits AS DOUBLE) / n_tokens, 6)), 2)
+           |    AS ppl
+           |FROM sc ORDER BY doc_id""".stripMargin,
     )
     // q86 is q67's contract delivered by the streaming path — the
     // union-of-micro-batch pair sets must hash-match the SAME oracle

@@ -437,6 +437,59 @@ object TextAnalysis {
           sum(col("tf")), 6).as("score"))
   }
 
+  /** Unigram-LM perplexity scoring — the CCNet posture (Wenzek et al.
+    * 2020): a language model is trained on a clean REFERENCE corpus
+    * and every document is scored by how surprising the model finds
+    * it; low-perplexity ≈ reference-like, high ≈ noise. CCNet uses a
+    * KenLM 5-gram; the Spark-native, fully-oracle-checkable form here
+    * is the Laplace-smoothed unigram: p(t) = (c_t+1)/(N+V+1) over the
+    * reference counts, with the +1 mass doubling as the OOV bucket
+    * p(unk) = 1/(N+V+1). Output per doc: n_tokens, bits_per_token
+    * (−1/n Σ log₂ p — log2-perplexity, the standard reported bits),
+    * and ppl = 2^bits_per_token.
+    *
+    * Hash-stability follows [[dsirWeights]]: each term's log₂-prob is
+    * rounded at 6 decimals and cast DECIMAL(18,6) so the per-doc Σ is
+    * exact and order-independent; one double division + one pow at the
+    * very end. Scale: two token aggregates (map-side combined), a
+    * vocabulary-keyed shuffle join for scoring (no driver-side
+    * dictionary), and two one-row broadcasts (totals, OOV log-prob).
+    * Zero-token documents have no perplexity and are absent, the
+    * [[dsirWeights]] contract.
+    */
+  def lmPerplexity(
+      docs: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    def toks(df: DataFrame) = df.select(col(idCol),
+      explode(filter(split(normalizeText(col(textCol)), " "), t => t =!= ""))
+        .as("term"))
+    val refCounts = toks(reference).groupBy("term")
+      .agg(count(lit(1)).as("__c"))
+    val totals = refCounts.agg(sum(col("__c")).as("__n"),
+      count(lit(1)).as("__v"))
+    val logp = refCounts.crossJoin(broadcast(totals))
+      .withColumn("__lp",
+        round(log(2.0, (col("__c") + lit(1.0)) /
+          (col("__n") + col("__v") + lit(1.0))), 6).cast("decimal(18,6)"))
+      .select("term", "__lp")
+    val oov = totals.select(
+      round(log(2.0, lit(1.0) / (col("__n") + col("__v") + lit(1.0))), 6)
+        .cast("decimal(18,6)").as("__oov"))
+    val tf = toks(docs).groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+    tf.join(logp, Seq("term"), "left")
+      .crossJoin(broadcast(oov))
+      .groupBy(idCol)
+      .agg(sum(col("__tf")).as("n_tokens"),
+        sum(col("__tf") * coalesce(col("__lp"), col("__oov"))).as("__bits"))
+      .select(col(idCol), col("n_tokens"),
+        round(-col("__bits").cast("double") / col("n_tokens"), 6)
+          .as("bits_per_token"))
+      .withColumn("ppl", round(pow(lit(2.0), col("bits_per_token")), 2))
+  }
+
   /** Deflate compression ratio — the single-number redundancy signal
     * (see [[graft.functions.DeflateRatio]]).
     */
