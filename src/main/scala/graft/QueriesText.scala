@@ -428,6 +428,15 @@ object QueriesText {
       .orderBy("doc_id")
   }
 
+  /** BPE seed statistic ([[TextAnalysis.bpePairCounts]]): top-100
+    * adjacent character pairs over the word-frequency table — the
+    * first merge table a BPE tokenizer trainer computes. Vocabulary-
+    * bounded explode, TakeOrderedAndProject top-k.
+    */
+  def q89BpePairs(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpePairCounts(Tables.documents(s, dir), "doc_id", "text",
+      k = 100)
+
   /** Corpus vocabulary top-100 ([[TextAnalysis.vocabTopK]]) — token
     * totals + document frequencies, the tokenizer-training statistic
     * and the one gate query whose top-k is GLOBAL
@@ -573,6 +582,7 @@ object QueriesText {
     "q67_minhash_incremental" -> q67MinhashIncremental _,
     "q86_stream_dedup" -> q86StreamDedup _,
     "q88_lm_perplexity" -> q88LmPerplexity _,
+    "q89_bpe_pairs" -> q89BpePairs _,
     "q68_vocab_topk" -> q68VocabTopk _,
     "q70_line_dedup" -> q70LineDedup _,
     "q72_containment" -> q72Containment _,
@@ -1287,6 +1297,23 @@ object QueriesText {
            |  round(pow(2.0, round(-CAST(bits AS DOUBLE) / n_tokens, 6)), 2)
            |    AS ppl
            |FROM sc ORDER BY doc_id""".stripMargin,
+
+      // q89: word-frequency table → lateral adjacent-pair unnest →
+      // weighted pair counts → (n desc, pair) top-100; substr/length
+      // are character-based in both engines
+      "q89_bpe_pairs" ->
+        s"""WITH words AS (
+           |  SELECT word, count(*) AS wc FROM (
+           |    SELECT unnest(list_filter(string_split($norm, ' '),
+           |      x -> x <> '')) AS word
+           |    FROM documents) GROUP BY word),
+           |pairs AS (
+           |  SELECT unnest(list_transform(range(1, length(word)),
+           |    i -> substr(word, CAST(i AS INTEGER), 2))) AS pair, wc
+           |  FROM words WHERE length(word) >= 2)
+           |SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+           |FROM pairs GROUP BY pair
+           |ORDER BY n DESC, pair LIMIT 100""".stripMargin,
     )
     // q86 is q67's contract delivered by the streaming path — the
     // union-of-micro-batch pair sets must hash-match the SAME oracle

@@ -145,6 +145,38 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BPE seed statistic (Sennrich et al. 2016) — the first merge step
+    * of byte-pair-encoding tokenizer training: adjacent symbol-pair
+    * frequencies over the word-frequency table. The most frequent pair
+    * is the first merge a BPE trainer would perform; the top-k table
+    * is what the training loop consumes each round.
+    *
+    * Scale: the corpus collapses to its DISTINCT-word frequency table
+    * first (vocabulary-sized, map-side combined), so the pair explode
+    * is bounded by Σ|word| over the VOCABULARY, not the corpus — the
+    * reason BPE training is feasible at 100 TB at all. The final
+    * global top-k is (n desc, pair asc) — a total order, so the k
+    * boundary is engine-deterministic — and plans as
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def bpePairCounts(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val words = df.select(
+      explode(filter(split(normalizeText(col(textCol)), " "), t => t =!= ""))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("__wc"))
+    words.filter(length(col("word")) >= 2)
+      .select(col("__wc"),
+        explode(transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("__wc")).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
+  }
+
   /** TF-IDF top-k terms per document — the classic keyword-extraction
     * / document-representation statistic. tf = raw occurrences of the
     * term in the doc, idf = ln(N / df) over distinct-doc frequency,

@@ -130,6 +130,19 @@ class TextRankingSpec extends AnyFunSuite {
     assert(plan.contains("TopKPerKey"), s"expected TopKPerKeyExec in:\n$plan")
   }
 
+  test("bpePairCounts matches hand-counted pairs and plans a top-n, not a sort") {
+    // "abab abab ab": words abab(×2), ab(×1)
+    // abab pairs: ab, ba, ab → per occurrence; weighted ×2 → ab:4 ba:2
+    // ab pairs: ab ×1 → ab total 5
+    val docs = Seq((1L, "abab abab ab"), (2L, "xy")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpePairCounts(docs, "doc_id", "text", 10)
+    val rows = out.as[(String, Long)].collect().toList
+    assert(rows == List(("ab", 5L), ("ba", 2L), ("xy", 1L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must not be a full sort:\n$plan")
+  }
+
   test("lmPerplexity matches the hand-computed smoothed unigram LM") {
     // reference "a a b": c(a)=2, c(b)=1, N=3, V=2 → denominator 6
     // p(a)=3/6 → log2 = -1; p(b)=2/6 → -1.584963; OOV 1/6 → -2.584963
