@@ -437,6 +437,18 @@ object QueriesText {
     TextAnalysis.bpePairCounts(Tables.documents(s, dir), "doc_id", "text",
       k = 100)
 
+  /** BPE tokenizer training ([[TextAnalysis.bpeTrain]]): 20 merge
+    * rounds over the corpus vocabulary — the real iterative trainer,
+    * not just the seed statistic (q89 is its round-1 table). The
+    * greedy merge fold has no DuckDB twin → rows-only at the gate;
+    * BpeSpec pins exact parity with an independent single-node
+    * reference trainer on the same corpus.
+    */
+  def q90BpeTrain(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTrain(Tables.documents(s, dir), "doc_id", "text",
+        merges = 20)
+      .orderBy("round")
+
   /** Corpus vocabulary top-100 ([[TextAnalysis.vocabTopK]]) — token
     * totals + document frequencies, the tokenizer-training statistic
     * and the one gate query whose top-k is GLOBAL
@@ -583,6 +595,7 @@ object QueriesText {
     "q86_stream_dedup" -> q86StreamDedup _,
     "q88_lm_perplexity" -> q88LmPerplexity _,
     "q89_bpe_pairs" -> q89BpePairs _,
+    "q90_bpe_train" -> q90BpeTrain _,
     "q68_vocab_topk" -> q68VocabTopk _,
     "q70_line_dedup" -> q70LineDedup _,
     "q72_containment" -> q72Containment _,

@@ -177,6 +177,84 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016) — `merges` rounds
+    * of: count adjacent symbol pairs over the vocabulary (weighted by
+    * word frequency), pick the most frequent pair (ties (n desc, a,
+    * b) — deterministic), and greedily merge it left-to-right inside
+    * every word's symbol sequence. Returns the merge table
+    * (round, pair_a, pair_b, n) — the artifact a BPE tokenizer ships.
+    *
+    * The greedy merge is an `aggregate` fold over each word's symbol
+    * array: append the symbol, or replace the accumulator's tail when
+    * (tail, symbol) is the elected pair — left-to-right non-overlap
+    * exactly like the reference implementation ("aaa" + (a,a) →
+    * ["aa","a"]), and a freshly merged symbol participates as the
+    * LEFT side of later pairs in the same word naturally.
+    *
+    * Scale: all per-round work runs on the DISTINCT-word frequency
+    * table (vocabulary-sized — the corpus is touched once, up front),
+    * so a round is one map-side-combined pair aggregate + one
+    * vocabulary map stage. The elected pair is a 1-row driver scalar
+    * per round (control flow, like connectedComponents' convergence
+    * probe — never data through the driver); per-round vocab states
+    * are checkpointed and the dead predecessor dropped
+    * ([[Checkpoints]]). The fold has no cross-engine SQL twin (no
+    * general fold in DuckDB) → rows-only at the driver gate;
+    * BpeSpec pins exact parity against an independent single-node
+    * reference trainer.
+    */
+  def bpeTrain(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.types._
+    var vocab = df.select(
+      explode(filter(split(normalizeText(col(textCol)), " "), t => t =!= ""))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .select(col("wc"),
+        filter(split(col("word"), ""), s => s =!= "").as("symbols"))
+      .localCheckpoint(true)
+    val found = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    try {
+      var round = 1
+      var exhausted = false
+      while (round <= merges && !exhausted) {
+        val top = vocab.filter(size(col("symbols")) >= 2)
+          .select(col("wc"), explode(transform(
+            sequence(lit(0), size(col("symbols")) - 2),
+            i => struct(element_at(col("symbols"), i + 1).as("pa"),
+              element_at(col("symbols"), i + 2).as("pb")))).as("p"))
+          .groupBy(col("p.pa"), col("p.pb")).agg(sum(col("wc")).as("n"))
+          .orderBy(col("n").desc, col("pa").asc, col("pb").asc)
+          .limit(1)
+          .collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (pa, pb, n) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          found += ((round, pa, pb, n))
+          val merged = pa + pb
+          val next = vocab.select(col("wc"),
+            aggregate(col("symbols"),
+              array().cast(ArrayType(StringType)),
+              (acc, s) => when(
+                size(acc) > 0 && element_at(acc, -1) === pa && s === pb,
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+                .otherwise(concat(acc, array(s)))).as("symbols"))
+            .localCheckpoint(true)
+          Checkpoints.drop(vocab)
+          vocab = next
+          round += 1
+        }
+      }
+    } finally Checkpoints.drop(vocab)
+    import spark.implicits._
+    found.toSeq.toDF("round", "pair_a", "pair_b", "n")
+  }
+
   /** TF-IDF top-k terms per document — the classic keyword-extraction
     * / document-representation statistic. tf = raw occurrences of the
     * term in the doc, idf = ln(N / df) over distinct-doc frequency,
