@@ -57,6 +57,21 @@ class SemDeDupSpec extends AnyFunSuite {
     assert(out == Map(1L -> true, 2L -> false, 3L -> false))
   }
 
+  test("plan: centroids broadcast, pair stage is an equi-join, no cartesian") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val plan = Similarity.semDeDup(emb, "vec_id", "embedding",
+        Similarity.portableCentroids(spark, 8, 64), threshold = 0.42)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"corpus-side cartesian in:\n$plan")
+    // the only nested-loop joins are the broadcast centroid attach;
+    // the within-cluster pair stage must join ON centroid_id
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"no equi-join for the pair stage in:\n$plan")
+  }
+
   test("trained quantizer path: every vector labeled, duplicates actually drop") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.1")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
