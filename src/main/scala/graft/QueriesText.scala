@@ -449,6 +449,19 @@ object QueriesText {
         merges = 20)
       .orderBy("round")
 
+  /** BPE segmentation ([[TextAnalysis.bpeSegment]]): train 20 merges,
+    * then count each document's tokens under that trained tokenizer —
+    * the train→serve composition a packing/budgeting pipeline runs.
+    * Rows-only (greedy fold); BpeSpec pins parity with the reference
+    * encoder and the whitespace/char-count bounds.
+    */
+  def q91BpeSegment(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.bpeSegment(docs, "doc_id", "text",
+        TextAnalysis.bpeTrain(docs, "doc_id", "text", merges = 20))
+      .orderBy("doc_id")
+  }
+
   /** Corpus vocabulary top-100 ([[TextAnalysis.vocabTopK]]) — token
     * totals + document frequencies, the tokenizer-training statistic
     * and the one gate query whose top-k is GLOBAL
@@ -596,6 +609,7 @@ object QueriesText {
     "q88_lm_perplexity" -> q88LmPerplexity _,
     "q89_bpe_pairs" -> q89BpePairs _,
     "q90_bpe_train" -> q90BpeTrain _,
+    "q91_bpe_segment" -> q91BpeSegment _,
     "q68_vocab_topk" -> q68VocabTopk _,
     "q70_line_dedup" -> q70LineDedup _,
     "q72_containment" -> q72Containment _,

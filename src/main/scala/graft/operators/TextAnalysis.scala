@@ -255,6 +255,64 @@ object TextAnalysis {
     found.toSeq.toDF("round", "pair_a", "pair_b", "n")
   }
 
+  /** BPE SEGMENTATION — the serving side of [[bpeTrain]]: apply a
+    * merge table to the corpus and report per-document token counts
+    * under the REAL trained tokenizer (the statistic packing,
+    * budgeting, and billing actually need — whitespace token counts
+    * are only a proxy). Merges apply in round order with the same
+    * greedy left-to-right fold as training, so a word's segmentation
+    * is exactly what the trainer's final vocabulary state says.
+    *
+    * Scale: the merge table is k rows of CONTROL FLOW
+    * (driver-collected, like the trainer's per-round argmax); all k
+    * fold rounds run over the DISTINCT-word table, and the corpus is
+    * touched twice — once to build that vocabulary, once for the
+    * final word→n_tokens join + per-doc aggregate. Output: (idCol,
+    * n_words, n_bpe_tokens) per document with ≥1 word.
+    */
+  def bpeSegment(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val ms = merges.orderBy("round").select("pair_a", "pair_b")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val toks = df.select(col(idCol),
+      explode(filter(split(normalizeText(col(textCol)), " "), t => t =!= ""))
+        .as("word"))
+    var vocab = toks.select("word").distinct()
+      .select(col("word"),
+        filter(split(col("word"), ""), s => s =!= "").as("symbols"))
+      .localCheckpoint(true)
+    try {
+      for ((pa, pb) <- ms) {
+        val merged = pa + pb
+        val next = vocab.select(col("word"),
+          aggregate(col("symbols"),
+            array().cast(ArrayType(StringType)),
+            (acc, s) => when(
+              size(acc) > 0 && element_at(acc, -1) === pa && s === pb,
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+              .otherwise(concat(acc, array(s)))).as("symbols"))
+          .localCheckpoint(true)
+        Checkpoints.drop(vocab)
+        vocab = next
+      }
+    } catch { case t: Throwable =>
+      // a failed round abandons the newest vocab checkpoint — release
+      // it; on success the FINAL checkpoint feeds the returned frame
+      // and is consumer-owned (the Checkpoints contract)
+      Checkpoints.drop(vocab)
+      throw t
+    }
+    val wordTokens = vocab.select(col("word"),
+      size(col("symbols")).cast("long").as("__nt"))
+    toks.join(wordTokens, "word")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"), sum(col("__nt")).as("n_bpe_tokens"))
+  }
+
   /** TF-IDF top-k terms per document — the classic keyword-extraction
     * / document-representation statistic. tf = raw occurrences of the
     * term in the doc, idf = ln(N / df) over distinct-doc frequency,

@@ -73,6 +73,35 @@ class BpeSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSeq, 15) == expected)
   }
 
+  test("bpeSegment matches the reference encoder's per-doc token counts") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val words = docs.select(col("doc_id"),
+        explode(filter(split(TextAnalysis.normalizeText(col("text")), " "),
+          t => t =!= "")).as("word"))
+      .as[(Long, String)].collect()
+    val vocab = words.groupBy(_._2).map { case (w, g) => w -> g.size.toLong }
+    val merges = referenceBpe(vocab, 15).map(m => (m._2, m._3))
+    def encode(w: String): Int = {
+      var syms = w.map(_.toString).toList
+      for ((a, b) <- merges)
+        syms = syms.foldLeft(List.empty[String]) { (acc, s) =>
+          if (acc.nonEmpty && acc.last == a && s == b) acc.init :+ (a + b)
+          else acc :+ s
+        }
+      syms.size
+    }
+    val expected = words.groupBy(_._1).map { case (id, g) =>
+      id -> ((g.size.toLong, g.map(x => encode(x._2).toLong).sum)) }
+    val got = TextAnalysis.bpeSegment(docs, "doc_id", "text",
+        TextAnalysis.bpeTrain(docs, "doc_id", "text", 15))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expected)
+    // sanity bounds: token count between word count and char count
+    got.foreach { case (id, (nw, nt)) =>
+      assert(nt >= nw, s"doc $id: fewer tokens than words") }
+  }
+
   test("round-1 pair equals the q89 seed statistic's argmax") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val top = TextAnalysis.bpePairCounts(docs, "doc_id", "text", 1)
