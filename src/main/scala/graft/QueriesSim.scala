@@ -271,6 +271,38 @@ object QueriesSim {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF index reuse with the index persisted to PARQUET — the actual
+    * 100 TB posture: at scale the inverted lists live on the lake and
+    * outlive any one Spark session, so serving must survive a
+    * write/read round trip (schema, nullability, array encoding), not
+    * just a block-manager checkpoint (q66's in-session variant). Same
+    * build-once/probe-two-batches contract and the SAME DuckDB oracle
+    * as q66 — a hash mismatch here would localize a parquet round-trip
+    * fidelity bug.
+    */
+  def q92IvfParquetReuse(s: SparkSession, dir: String): DataFrame = {
+    val all = vecsD(s, dir)
+    val (lists0, cents) = Similarity.ivfPortableIndex(all, "vec_id",
+      "embedding", nCentroids = 8, dim = 64)
+    val root = java.nio.file.Files.createTempDirectory("q92-ivf").toString
+    lists0.write.parquet(s"$root/lists")
+    val lists = s.read.parquet(s"$root/lists")
+    def serve(batch: DataFrame, tag: String): DataFrame =
+      Similarity.ivfPortableTopKWithIndex(lists, cents, batch, "vec_id",
+          "embedding", k = 5, nProbe = 3)
+        .withColumn("rank", col("rank").cast("int"))
+        .withColumn("batch", lit(tag))
+    val out = serve(all.filter(pmod(col("vec_id"), lit(50)) === 0), "a")
+      .unionByName(serve(all.filter(pmod(col("vec_id"), lit(50)) === 25), "b"))
+      .orderBy("batch", "query_id", "rank")
+      // materialize BEFORE deleting the on-disk index
+      .localCheckpoint(true)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
+      .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    out
+  }
+
   /** SemDeDup ([[Similarity.semDeDup]]) with the portable md5
     * quantizer: cluster-scoped semantic dedup at cosine ≥ 0.42 (q41's
     * proven near-dup regime), keep-lowest-centroid-cos election. The
@@ -302,6 +334,7 @@ object QueriesSim {
     "q82_ivfpq_topk" -> q82IvfPqTopk _,
     "q85_ivfpq_trained" -> q85IvfPqTrained _,
     "q87_semdedup" -> q87SemDedup _,
+    "q92_ivf_parquet_reuse" -> q92IvfParquetReuse _,
   )
 
   /** The q56 oracle's per-plane dot product against the md5-derived
@@ -320,7 +353,14 @@ object QueriesSim {
       s"(CASE WHEN ${planeDotSql(p)} >= 0 THEN ${1L << p} ELSE 0 END)")
       .mkString(" + ")
 
-  val oracles: Map[String, String] = Map(
+  // lazy: oraclesBase is declared below (keeps the big SQL map at the
+  // bottom of the file); object-init order would otherwise NPE
+  lazy val oracles: Map[String, String] = oraclesBase +
+    // q92 is q66's contract with the index round-tripped through
+    // PARQUET — identical serving math, same oracle
+    ("q92_ivf_parquet_reuse" -> oraclesBase("q66_ivf_index_reuse"))
+
+  private val oraclesBase: Map[String, String] = Map(
     "q40_topk_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id % 50 = 0),
