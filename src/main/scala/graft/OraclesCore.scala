@@ -404,6 +404,18 @@ object OraclesCore {
     // skew splitting must not change the answer: same plain-join oracle
     "q73_skew_split_join" -> saltedJoinOracle,
 
+    // q93: the batch twin of the streamed dedup+window aggregate — the
+    // stream saw slice 1 twice, so equality here proves the
+    // in-watermark dedup absorbed the replay; time_bucket's 5-minute
+    // origin (2000-01-01) is epoch-aligned like Spark's window()
+    "q93_stream_window_counts" ->
+      """SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP)
+        |    AS window_start,
+        |  event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |       AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // q57: rebuilds renderPerson's document (templates/person.xml.j2
     // shape) with pure string concatenation — every || piece mirrors
     // one sb ++= line in XmlSync.renderPerson, so a drift in either

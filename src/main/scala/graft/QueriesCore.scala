@@ -839,6 +839,57 @@ object QueriesCore {
     orgXml.unionByName(userXml).localCheckpoint().orderBy("doc_id")
   }
 
+  /** STREAMING windowed counts promoted to the declared surface — the
+    * §2.10 watermark/dedup path under the same hash gate as q86's
+    * streaming dedup: the events table is split into three micro-batch
+    * files by event_id hash, slice 1 is written TWICE (a replayed
+    * ingest drop), and the stream runs
+    * [[graft.streaming.EventsStream.windowedCounts]] —
+    * `dropDuplicatesWithinWatermark` + tumbling 5-minute windows — in
+    * complete mode over one-file-per-trigger micro-batches. The
+    * watermark (61 days) exceeds the table's 30-day span, so no state
+    * evicts and nothing is late: the dedup is GUARANTEED to absorb the
+    * replayed file and the final table must equal the batch windowed
+    * aggregate DuckDB computes — a dedup leak or window misalignment
+    * is a hash mismatch. `value` is cast decimal(18,2) pre-aggregation
+    * so sums are order-independent (the oracle-parity rule).
+    */
+  def q93StreamWindowCounts(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet") // ts stays BIGINT nanos
+    val root = java.nio.file.Files.createTempDirectory("q93-stream").toString
+    val src = s"$root/src"
+    Seq(0, 1, 2, 1).foreach { r =>
+      raw.filter(pmod(col("event_id"), lit(3)) === r)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val name = java.nio.file.Paths.get(root).getFileName.toString
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    val stream = graft.streaming.EventsStream
+      .readEvents(s, src, maxFilesPerTrigger = Some(1))
+      .withColumn("value", col("value").cast("decimal(18,2)"))
+    val q = graft.streaming.EventsStream.windowedCounts(stream,
+        watermark = "87840 minutes", windowLen = "5 minutes")
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val out = s.table(name)
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n"),
+        // exact decimal sum upstream; ONE shared decimal→double cast
+        // at the very end (the q01 oracle-parity pattern)
+        col("total_value").cast("decimal(18,2)").cast("double")
+          .as("total_value"))
+      .orderBy("window_start", "event_type")
+      .localCheckpoint(true) // materialize before the temp tree goes away
+    s.catalog.dropTempView(name)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
+      .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    out
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project" -> q02FilterProject _,
@@ -876,6 +927,7 @@ object QueriesCore {
     "q45b_salted_join_hotkeys" -> q45bSaltedJoinHotkeys _,
     "q71_plain_join_aqe" -> q71PlainJoinAqe _,
     "q73_skew_split_join" -> q73SkewSplitJoin _,
+    "q93_stream_window_counts" -> q93StreamWindowCounts _,
     "q51_hash_split" -> q51HashSplit _,
     "q76_stratified_sample" -> q76StratifiedSample _,
     "q57_person_xml" -> q57PersonXml _,

@@ -27,12 +27,17 @@ object EventsStream {
     * driver-testdata schema (ts arrives as nanos-long; converted here —
     * same workaround as Tables.events).
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  def readEvents(
+      spark: SparkSession,
+      dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
       "event_type STRING, value DOUBLE, props STRING"
-    graft.Tables.nanosTsToMicros(
-      spark.readStream.schema(schema).parquet(dir))
+    val base = spark.readStream.schema(schema)
+    val reader = maxFilesPerTrigger
+      .fold(base)(n => base.option("maxFilesPerTrigger", n))
+    graft.Tables.nanosTsToMicros(reader.parquet(dir))
   }
 
   /** Watermarked tumbling-window aggregation with in-watermark dedup
