@@ -42,12 +42,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // NOTE for log readers: any "WindowExec: No Partition Defined"
-    // warnings in this bench's output come from two documented bounded
-    // single-partition windows — the BUCKET level of
+    // warnings in this bench's output come from three documented
+    // bounded single-partition windows — the BUCKET level of
     // Scale.packSequences' two-level prefix sum (q61, corpus/bucketSpan
-    // rows by construction) and Scale.exactQuantileBuckets' cumulative
+    // rows by construction), Scale.exactQuantileBuckets' cumulative
     // sum over the score HISTOGRAM (q83, ≤10⁴ distinct 4-decimal
-    // scores by construction) — not scale hazards.
+    // scores by construction), and Scale.unimaxAllocation's prefix sum
+    // over the LANGUAGE table (q94, ≤tens of rows) — not scale hazards.
 
     // warm the session with table scans (parquet footers, codegen
     // compiler) rather than pre-running one arbitrary query, which

@@ -581,8 +581,22 @@ object QueriesText {
         Tables.documents(s, dir), "source", alpha = 0.5)
       .orderBy("source")
 
+  /** UniMax language-balanced allocation
+    * ([[graft.operators.Scale.unimaxAllocation]]): token budget = half
+    * the corpus, max 3 epochs per language — the water-filling closed
+    * form of the paper's allocator, fully window-expressible, so the
+    * DuckDB oracle replicates caps, prefix sums, the waterline
+    * election, and both output divisions exactly.
+    */
+  def q94Unimax(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.unimaxAllocation(Tables.documents(s, dir),
+        "lang", TextAnalysis.tokenCount(col("text")),
+        maxEpochs = 3, budgetFraction = 0.5)
+      .orderBy("lang")
+
   val queries: Map[String, Q] = Map(
     "q30_text_stats" -> q30TextStats _,
+    "q94_unimax" -> q94Unimax _,
     "q31_lang_id" -> q31LangId _,
     "q32_quality" -> q32Quality _,
     "q33_fingerprint" -> q33Fingerprint _,
@@ -1341,6 +1355,40 @@ object QueriesText {
            |SELECT pair, CAST(sum(wc) AS BIGINT) AS n
            |FROM pairs GROUP BY pair
            |ORDER BY n DESC, pair LIMIT 100""".stripMargin,
+
+      // q94: literal water-filling twin — caps, ascending prefix sums,
+      // per-rank waterline candidates, the FIRST-eligible election
+      // (arg_min by rank k, NOT min over t_k: later ranks' candidates
+      // are meaningless once the prefix passes the budget), and the
+      // same two integer-operand double divisions
+      "q94_unimax" ->
+        """WITH tok AS (
+          |  SELECT lang, CAST(len(list_filter(string_split_regex(
+          |    trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS nt
+          |  FROM documents),
+          |counts AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS n_tokens
+          |           FROM tok GROUP BY lang),
+          |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t,
+          |               CAST(count(*) AS BIGINT) AS nl FROM counts),
+          |c AS (SELECT lang, n_tokens, n_tokens * 3 AS cap,
+          |        CAST(floor(CAST(t AS DOUBLE) * 0.5) AS BIGINT) AS budget,
+          |        nl
+          |      FROM counts, tot),
+          |w AS (SELECT *, row_number() OVER o AS k,
+          |        coalesce(sum(cap) OVER (o ROWS BETWEEN UNBOUNDED
+          |          PRECEDING AND 1 PRECEDING), 0) AS p
+          |      FROM c WINDOW o AS (ORDER BY cap, lang)),
+          |tk AS (SELECT *, CAST(budget - p AS DOUBLE)
+          |         / CAST(nl - k + 1 AS DOUBLE) AS t_k FROM w),
+          |th AS (SELECT arg_min(t_k, k) AS t FROM tk WHERE cap >= t_k),
+          |a AS (SELECT lang, n_tokens, cap,
+          |        round(least(CAST(cap AS DOUBLE),
+          |          coalesce((SELECT t FROM th),
+          |            1.7976931348623157e308)), 4) AS alloc
+          |      FROM tk)
+          |SELECT lang, n_tokens, cap, alloc,
+          |  round(alloc / n_tokens, 6) AS epochs
+          |FROM a ORDER BY lang""".stripMargin,
     )
     // q86 is q67's contract delivered by the streaming path — the
     // union-of-micro-batch pair sets must hash-match the SAME oracle

@@ -299,6 +299,61 @@ object Scale {
           .as("weight"))
   }
 
+  /** UniMax language-balanced allocation (Chung et al. 2023, "UniMax:
+    * Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining"): distribute a token budget across
+    * languages so no language repeats more than `maxEpochs` times,
+    * spreading the rest UNIFORMLY over the un-capped languages. The
+    * paper's sequential allocator has the closed-form WATER-FILLING
+    * solution computed here: with caps c_i = n_i·maxEpochs sorted
+    * ascending and prefix sums P, the waterline is
+    * t = (B − P_{k−1})/(N−k+1) at the FIRST k with c_k ≥ t; languages
+    * below the line keep their full cap, the rest get t, and if the
+    * budget exceeds Σc everyone is capped. alloc_i = min(c_i, t).
+    *
+    * B = budgetFraction · Σn (floored to whole tokens) so the query is
+    * meaningful at any scale factor. Every division is one IEEE double
+    * op on integer-exact operands — bit-identical cross-engine, the
+    * q84 discipline. The one ordered window runs over the LANGUAGE
+    * table (≤ tens of rows by construction — the documented bounded
+    * single-partition window pattern, like q61/q83). Output:
+    * (strataCol, n_tokens, cap, alloc, epochs).
+    */
+  def unimaxAllocation(
+      df: DataFrame,
+      strataCol: String,
+      tokens: Column,
+      maxEpochs: Int,
+      budgetFraction: Double): DataFrame = {
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1: $maxEpochs")
+    require(budgetFraction > 0, s"budgetFraction must be > 0: $budgetFraction")
+    val counts = df.groupBy(col(strataCol)).agg(sum(tokens).as("n_tokens"))
+    val totals = counts.agg(sum(col("n_tokens")).as("__tot"),
+      count(lit(1)).as("__nl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cap"), col(strataCol))
+    val staged = counts.crossJoin(broadcast(totals))
+      .withColumn("cap", col("n_tokens") * lit(maxEpochs.toLong))
+      .withColumn("__budget",
+        floor(col("__tot").cast("double") * lit(budgetFraction)).cast("long"))
+      .withColumn("__k", row_number().over(w))
+      .withColumn("__p", coalesce(
+        sum(col("cap")).over(w.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("__tk", (col("__budget") - col("__p")).cast("double") /
+        (col("__nl") - col("__k") + lit(1)).cast("double"))
+    // the FIRST eligible rank (min k with cap ≥ t_k) carries the
+    // waterline — later ranks' t_k are meaningless once the prefix
+    // passes the budget (they can go negative); a min over t_k instead
+    // of min_by-k was the twin-bug the hand-computed spec caught
+    val waterline = staged.filter(col("cap") >= col("__tk"))
+      .agg(min_by(col("__tk"), col("__k")).as("__t"))
+    staged.crossJoin(broadcast(waterline))
+      .withColumn("alloc", round(least(col("cap").cast("double"),
+        coalesce(col("__t"), lit(Double.MaxValue))), 4))
+      .select(col(strataCol), col("n_tokens"), col("cap"), col("alloc"),
+        round(col("alloc") / col("n_tokens"), 6).as("epochs"))
+  }
+
   /** Write a table bucketed + sorted by `key` into the session catalog:
     * subsequent equi-joins between tables bucketed the same way plan
     * with ZERO Exchange on either side (SortMergeJoin over pre-shuffled

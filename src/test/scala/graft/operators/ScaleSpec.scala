@@ -264,4 +264,34 @@ class ScaleSpec extends AnyFunSuite {
     val all = Scale.stratifiedSampleExact(rows, "stratum", "id", pct = 100)
     assert(all.count() == 140)
   }
+
+  test("unimaxAllocation: hand-computed water-filling, caps, budget exhaustion") {
+    // one row per (lang, token) unit: en 100 tokens, de 40, fr 10.
+    // maxEpochs=2 → caps 200/80/20; budget = 0.5·150 = 75.
+    // Water-filling ascending (fr 20, de 80, en 200):
+    //   k=1: t=(75−0)/3=25   → fr cap 20 < 25 → fr fully capped
+    //   k=2: t=(75−20)/2=27.5 → de cap 80 ≥ 27.5 → waterline 27.5
+    // alloc: fr 20 (cap), de 27.5, en 27.5; Σ = 75 = budget exactly
+    val rows = Seq.fill(100)("en") ++ Seq.fill(40)("de") ++ Seq.fill(10)("fr")
+    val df = rows.zipWithIndex.map { case (l, i) => (l, i.toLong) }
+      .toDF("lang", "id")
+    val out = Scale.unimaxAllocation(df, "lang", lit(1L),
+        maxEpochs = 2, budgetFraction = 0.5)
+      .select("lang", "n_tokens", "cap", "alloc", "epochs")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("fr") == (("fr", 10L, 20L, 20.0, 2.0)))
+    assert(out("de") == (("de", 40L, 80L, 27.5, 0.6875)))
+    assert(out("en") == (("en", 100L, 200L, 27.5, 0.275)))
+    assert(out.values.map(_._4).sum == 75.0, "allocation exhausts the budget")
+    // budget above the total cap: everyone fully capped, no language
+    // ever exceeds maxEpochs — the UniMax guarantee
+    val capped = Scale.unimaxAllocation(df, "lang", lit(1L),
+        maxEpochs = 1, budgetFraction = 10.0)
+      .select("lang", "cap", "alloc", "epochs")
+      .as[(String, Long, Double, Double)].collect()
+    capped.foreach { case (l, cap, alloc, ep) =>
+      assert(alloc == cap.toDouble && ep == 1.0, s"$l over-allocated: $alloc")
+    }
+  }
 }
