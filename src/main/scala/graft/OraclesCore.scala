@@ -406,10 +406,10 @@ object OraclesCore {
 
     // q93: the batch twin of the streamed dedup+window aggregate — the
     // stream saw slice 1 twice, so equality here proves the
-    // in-watermark dedup absorbed the replay; time_bucket's 5-minute
+    // in-watermark dedup absorbed the replay; time_bucket's sub-day
     // origin (2000-01-01) is epoch-aligned like Spark's window()
     "q93_stream_window_counts" ->
-      """SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP)
+      """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP)
         |    AS window_start,
         |  event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))

@@ -845,7 +845,7 @@ object QueriesCore {
     * files by event_id hash, slice 1 is written TWICE (a replayed
     * ingest drop), and the stream runs
     * [[graft.streaming.EventsStream.windowedCounts]] —
-    * `dropDuplicatesWithinWatermark` + tumbling 5-minute windows — in
+    * `dropDuplicatesWithinWatermark` + tumbling 1-hour windows — in
     * complete mode over one-file-per-trigger micro-batches. The
     * watermark (61 days) exceeds the table's 30-day span, so no state
     * evicts and nothing is late: the dedup is GUARANTEED to absorb the
@@ -868,10 +868,25 @@ object QueriesCore {
     val stream = graft.streaming.EventsStream
       .readEvents(s, src, maxFilesPerTrigger = Some(1))
       .withColumn("value", col("value").cast("decimal(18,2)"))
-    val q = graft.streaming.EventsStream.windowedCounts(stream,
-        watermark = "87840 minutes", windowLen = "5 minutes")
-      .writeStream.outputMode("complete").format("memory").queryName(name)
-      .start()
+    // state-store partitioning: each micro-batch commits one store per
+    // (shuffle partition × stateful operator); at the session's 32
+    // partitions that is 32×2×4 = 256 store commits whose FIXED cost
+    // dominated the measurement (isolated: ~10.8 s at 32 partitions vs
+    // ~4 s at 4). Partition count should track state cardinality —
+    // 100k dedup keys at bench scale fit 4 partitions; a 100 TB stream
+    // sizes this UP with the key space, it is the same knob. Scoped
+    // conf, restored in finally (the q73 discipline).
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      graft.streaming.EventsStream.windowedCounts(stream,
+          // 1-hour windows keep the complete-mode rescan small; the
+          // dedup/watermark machinery under test is window-length
+          // independent
+          watermark = "87840 minutes", windowLen = "1 hour")
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.processAllAvailable()
     q.stop()
     val out = s.table(name)
