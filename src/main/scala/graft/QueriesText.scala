@@ -602,9 +602,19 @@ object QueriesText {
         maxEpochs = 3, budgetFraction = 0.5)
       .orderBy("lang")
 
+  /** Flesch reading-ease ([[TextAnalysis.fleschStats]]) — word/
+    * sentence/syllable-heuristic counts and the classic score, the
+    * edu-quality binning signal. All three counters and both divisions
+    * replicate in DuckDB.
+    */
+  def q95Readability(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fleschStats(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "q30_text_stats" -> q30TextStats _,
     "q94_unimax" -> q94Unimax _,
+    "q95_readability" -> q95Readability _,
     "q31_lang_id" -> q31LangId _,
     "q32_quality" -> q32Quality _,
     "q33_fingerprint" -> q33Fingerprint _,
@@ -1397,6 +1407,29 @@ object QueriesText {
           |SELECT lang, n_tokens, cap, alloc,
           |  round(alloc / n_tokens, 6) AS epochs
           |FROM a ORDER BY lang""".stripMargin,
+
+      // q95: literal Flesch twin — same token regex as q30, terminator
+      // runs floored at 1, vowel groups floored at the word count,
+      // identical-operand IEEE divisions
+      "q95_readability" ->
+        s"""WITH c AS (
+           |  SELECT doc_id,
+           |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+           |         x -> x <> '')) AS BIGINT) AS n_words,
+           |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+           |         AS BIGINT) AS n_sentences,
+           |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+           |         AS BIGINT) AS vg
+           |  FROM documents),
+           |f AS (SELECT doc_id, n_words, n_sentences,
+           |        greatest(vg, n_words) AS n_syllables
+           |      FROM c WHERE n_words > 0)
+           |SELECT doc_id, n_words, n_sentences, n_syllables,
+           |  round(206.835
+           |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+           |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+           |    4) AS flesch
+           |FROM f ORDER BY doc_id""".stripMargin,
     )
     // q86 is q67's contract delivered by the streaming path — the
     // union-of-micro-batch pair sets must hash-match the SAME oracle

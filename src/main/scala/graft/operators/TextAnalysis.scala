@@ -652,6 +652,39 @@ object TextAnalysis {
       .withColumn("ppl", round(pow(lit(2.0), col("bits_per_token")), 2))
   }
 
+  /** Flesch reading-ease — the classic readability signal edu-quality
+    * classifiers bin on: 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words). Heuristics, documented: sentences =
+    * terminator runs `[.!?]+` floored at 1 (a fragment is one
+    * sentence); syllables = vowel-group count `[aeiouy]+` over the
+    * lowercased text (groups cannot span whitespace), floored at the
+    * word count IN AGGREGATE so vowel-less tokens (numbers, acronyms)
+    * still carry one syllable each — a document-level floor, cheaper
+    * than per-word and identical except on pathological docs. Pure
+    * codegen regex counting, one pass, no shuffle; zero-word docs have
+    * no readability and are absent (the [[dsirWeights]] contract).
+    * Output: (idCol, n_words, n_sentences, n_syllables, flesch).
+    */
+  def fleschStats(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol), tokenCount(t).as("n_words"),
+        greatest(regexp_count(t, lit("[.!?]+")), lit(1))
+          .cast("long").as("n_sentences"),
+        regexp_count(lower(t), lit("[aeiouy]+")).cast("long").as("__vg"))
+      .filter(col("n_words") > 0)
+      .withColumn("n_syllables", greatest(col("__vg"), col("n_words")))
+      .select(col(idCol), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        round(lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double")) -
+          lit(84.6) * (col("n_syllables").cast("double") /
+            col("n_words").cast("double")), 4).as("flesch"))
+  }
+
   /** Deflate compression ratio — the single-number redundancy signal
     * (see [[graft.functions.DeflateRatio]]).
     */

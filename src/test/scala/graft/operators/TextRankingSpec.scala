@@ -143,6 +143,24 @@ class TextRankingSpec extends AnyFunSuite {
       s"global top-k must not be a full sort:\n$plan")
   }
 
+  test("fleschStats: hand-computed score, floors, zero-word absence") {
+    val docs = Seq(
+      (1L, "The cat sat. It ran!"), // 5 words, 2 sentences, 5 vowel groups
+      (2L, "hello world"),          // no terminator → 1 sentence; vg 3
+      (3L, "42 7"),                 // vowel-less → syllables floored at 2
+      (4L, ""))                     // zero words → absent
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.fleschStats(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 5L, 2L, 5L,
+      BigDecimal(206.835 - 1.015 * 2.5 - 84.6)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(out(2L)._3 == 1L && out(2L)._4 == 3L)
+    assert(out(3L)._4 == 2L, "vowel-less doc floored to one syllable/word")
+    assert(!out.contains(4L), "zero-word docs are absent")
+  }
+
   test("lmPerplexity matches the hand-computed smoothed unigram LM") {
     // reference "a a b": c(a)=2, c(b)=1, N=3, V=2 → denominator 6
     // p(a)=3/6 → log2 = -1; p(b)=2/6 → -1.584963; OOV 1/6 → -2.584963
