@@ -670,7 +670,7 @@ object TextAnalysis {
       idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     val t = col(textCol)
-    df.select(col(idCol), tokenCount(t).as("n_words"),
+    df.select(col(idCol), tokenCount(t).cast("long").as("n_words"),
         greatest(regexp_count(t, lit("[.!?]+")), lit(1))
           .cast("long").as("n_sentences"),
         regexp_count(lower(t), lit("[aeiouy]+")).cast("long").as("__vg"))
