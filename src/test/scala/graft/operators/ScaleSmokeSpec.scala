@@ -70,4 +70,53 @@ class ScaleSmokeSpec extends AnyFunSuite {
     // splits the pair across non-probed lists
     assert(found >= 8, s"planted twins found: $found/10")
   }
+
+  test("SemDeDup drops exactly one of each planted twin pair in 20k vectors") {
+    val n = 20000L
+    val dim = 32
+    // same planted-twin construction as the IVF smoke: i%2000==1
+    // clones i-1 with a tiny perturbation (cosine ≈ 1); background
+    // pairs are ~uniform random 32-d directions (cosine ≪ 0.9)
+    val base = spark.range(n).select(col("id").as("vec_id"),
+      when(pmod(col("id"), lit(2000)) === 1, col("id") - 1)
+        .otherwise(col("id")).as("__seed"),
+      (pmod(col("id"), lit(2000)) === 1).as("__planted"))
+    val vecs = base.select(col("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        d => pmod(xxhash64(col("__seed") * dim + d), lit(2001L))
+          .cast("double") / 1000.0 - 1.0 +
+          when(col("__planted"),
+            pmod(xxhash64(col("vec_id") * dim + d), lit(21L))
+              .cast("double") / 1000.0).otherwise(lit(0.0)))
+        .as("embedding"))
+    // 64 trained clusters ≈ 300 vectors each: the nCentroids knob
+    // keeps the within-cluster pair stage ~n·300 instead of n² — the
+    // SemDeDup scale posture exercised at 10× the gate size
+    val cents = Similarity.trainCentroids(vecs, "vec_id", "embedding",
+      nCentroids = 64, iters = 2)
+    val out = Similarity.semDeDup(vecs, "vec_id", "embedding", cents,
+      threshold = 0.9).persist()
+    try {
+      assert(out.count() == n)
+      val droppedIds = out.filter(!col("kept")).select("vec_id")
+        .as[Long].collect().toSet
+      // every planted pair loses exactly one member — IF the quantizer
+      // put the twins in the same cluster (cosine-near vectors almost
+      // always are; tolerate quantization splitting like the IVF smoke)
+      val pairs = (1L until n by 2000).map(i => (i - 1, i))
+      val separated = out.join(vecs.select("vec_id"), "vec_id")
+        .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+      val coClustered = pairs.filter(p => separated(p._1) == separated(p._2))
+      assert(coClustered.size >= 8, s"twins co-clustered: ${coClustered.size}/10")
+      coClustered.foreach { case (a, b) =>
+        assert(droppedIds.contains(a) ^ droppedIds.contains(b),
+          s"pair ($a,$b): exactly one side must drop")
+      }
+      // background vectors are untouched: drops happen only where a
+      // genuine twin exists
+      val plantedIds = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+      assert((droppedIds -- plantedIds).isEmpty,
+        s"non-planted drops: ${(droppedIds -- plantedIds).take(5)}")
+    } finally out.unpersist()
+  }
 }
