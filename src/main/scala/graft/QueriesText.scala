@@ -470,6 +470,19 @@ object QueriesText {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM perplexity ([[TextAnalysis.bigramPerplexity]]) — the
+    * conditional n-gram scorer trained on the lang='en' slice, scoring
+    * every document; the q88 companion that weighs WORD ORDER, not
+    * just vocabulary. Fully oracle-checked: bigram/unigram tables,
+    * smoothing, backoff, the DECIMAL bit-sum, and the pow.
+    */
+  def q96BigramPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.bigramPerplexity(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** Corpus vocabulary top-100 ([[TextAnalysis.vocabTopK]]) — token
     * totals + document frequencies, the tokenizer-training statistic
     * and the one gate query whose top-k is GLOBAL
@@ -639,6 +652,7 @@ object QueriesText {
     "q67_minhash_incremental" -> q67MinhashIncremental _,
     "q86_stream_dedup" -> q86StreamDedup _,
     "q88_lm_perplexity" -> q88LmPerplexity _,
+    "q96_bigram_perplexity" -> q96BigramPerplexity _,
     "q89_bpe_pairs" -> q89BpePairs _,
     "q90_bpe_train" -> q90BpeTrain _,
     "q91_bpe_segment" -> q91BpeSegment _,
@@ -1354,6 +1368,42 @@ object QueriesText {
            |SELECT doc_id, n_tokens,
            |  round(-CAST(bits AS DOUBLE) / n_tokens, 6) AS bits_per_token,
            |  round(pow(2.0, round(-CAST(bits AS DOUBLE) / n_tokens, 6)), 2)
+           |    AS ppl
+           |FROM sc ORDER BY doc_id""".stripMargin,
+
+      // q96: literal bigram-LM twin — reference bigram/unigram tables,
+      // Laplace smoothing with unigram-vocab V, unseen-w1 backoff via
+      // coalesce(0), DECIMAL(18,6) bit-sums, one division + pow
+      "q96_bigram_perplexity" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, lang,
+           |    list_filter(string_split($norm, ' '), x -> x <> '') AS t
+           |  FROM documents),
+           |bc AS (
+           |  SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2 FROM (
+           |    SELECT doc_id, lang, unnest(list_transform(range(1, len(t)),
+           |      i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
+           |    FROM toks WHERE len(t) >= 2)),
+           |refbi AS (SELECT w1, w2, count(*) AS c12 FROM bc
+           |          WHERE lang = 'en' GROUP BY 1, 2),
+           |refuni AS (SELECT w1, count(*) AS c1 FROM (
+           |    SELECT unnest(t) AS w1 FROM toks WHERE lang = 'en')
+           |  GROUP BY 1),
+           |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM refuni),
+           |tf AS (SELECT doc_id, w1, w2, count(*) AS tf
+           |       FROM bc GROUP BY 1, 2, 3),
+           |lp AS (
+           |  SELECT tf.doc_id, tf.tf,
+           |    CAST(round(log2((coalesce(c12, 0) + 1.0)
+           |      / (coalesce(c1, 0) + v + 1.0)), 6) AS DECIMAL(18,6)) AS lp
+           |  FROM tf LEFT JOIN refbi USING (w1, w2)
+           |       LEFT JOIN refuni USING (w1), v),
+           |sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           |         sum(tf * lp) AS bits
+           |       FROM lp GROUP BY doc_id)
+           |SELECT doc_id, n_bigrams,
+           |  round(-CAST(bits AS DOUBLE) / n_bigrams, 6) AS bits_per_bigram,
+           |  round(pow(2.0, round(-CAST(bits AS DOUBLE) / n_bigrams, 6)), 2)
            |    AS ppl
            |FROM sc ORDER BY doc_id""".stripMargin,
 

@@ -652,6 +652,64 @@ object TextAnalysis {
       .withColumn("ppl", round(pow(lit(2.0), col("bits_per_token")), 2))
   }
 
+  /** Bigram-LM perplexity — the n-gram step past [[lmPerplexity]]
+    * toward CCNet's 5-gram KenLM: conditional probabilities
+    * p(w₂|w₁) = (c(w₁,w₂)+1)/(c(w₁)+V+1), Laplace-smoothed over the
+    * REFERENCE corpus's bigram and unigram tables (V = reference
+    * unigram vocabulary; an unseen w₁ backs off to the uniform
+    * 1/(V+1) row of the same formula with c=0). Score per doc: mean
+    * −log₂ p over its bigrams, plus ppl = 2^bits. Documents with < 2
+    * tokens have no bigrams and are absent.
+    *
+    * Same hash-stability discipline as [[dsirWeights]]/[[lmPerplexity]]:
+    * per-bigram log₂-probs rounded at 6 decimals → DECIMAL(18,6) →
+    * exact order-independent per-doc sums → one double division + one
+    * pow. Scale: bigram tables are (w₁,w₂)-keyed map-side-combined
+    * aggregates; scoring is two vocabulary-keyed shuffle joins (bigram
+    * then w₁ backstop) — no driver-side dictionary; bigram extraction
+    * is an in-row array transform, never a self-join on position.
+    */
+  def bigramPerplexity(
+      docs: org.apache.spark.sql.DataFrame,
+      reference: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    def bigrams(df: org.apache.spark.sql.DataFrame) = df
+      .select(col(idCol),
+        filter(split(normalizeText(col(textCol)), " "), t => t =!= "")
+          .as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__t")) - 1),
+        i => struct(element_at(col("__t"), i).as("w1"),
+          element_at(col("__t"), i + 1).as("w2")))).as("__b"))
+      .select(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    def unigrams(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(filter(split(normalizeText(col(textCol)), " "),
+        t => t =!= "")).as("w1"))
+    val refBi = bigrams(reference).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("__c12"))
+    val refUni = unigrams(reference).groupBy("w1")
+      .agg(count(lit(1)).as("__c1"))
+    val vocab = refUni.agg(count(lit(1)).as("__v"))
+    val tf = bigrams(docs).groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__tf"))
+    tf.join(refBi, Seq("w1", "w2"), "left")
+      .join(refUni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__lp", round(log(2.0,
+        (coalesce(col("__c12"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("__c1"), lit(0L)) + col("__v") + lit(1.0))), 6)
+        .cast("decimal(18,6)"))
+      .groupBy(idCol)
+      .agg(sum(col("__tf")).as("n_bigrams"),
+        sum(col("__tf") * col("__lp")).as("__bits"))
+      .select(col(idCol), col("n_bigrams"),
+        round(-col("__bits").cast("double") / col("n_bigrams"), 6)
+          .as("bits_per_bigram"))
+      .withColumn("ppl", round(pow(lit(2.0), col("bits_per_bigram")), 2))
+  }
+
   /** Flesch reading-ease — the classic readability signal edu-quality
     * classifiers bin on: 206.835 − 1.015·(words/sentences) −
     * 84.6·(syllables/words). Heuristics, documented: sentences =

@@ -143,6 +143,26 @@ class TextRankingSpec extends AnyFunSuite {
       s"global top-k must not be a full sort:\n$plan")
   }
 
+  test("bigramPerplexity matches the hand-computed conditional LM") {
+    // reference "a b a b": c12 (a,b)=2 (b,a)=1; c1 a=2 b=2; V=2 → denom 5
+    // p(b|a)=3/5 → −log2 = 0.736966; p(a|b)=2/5 → 1.321928;
+    // unseen w2 given b: 1/5 → 2.321928; unseen w1 z: 1/(0+2+1) → 1.584963
+    val ref = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "a b x"), // bits = 0.736966 + 2.321928 over 2 bigrams
+      (20L, "z a"),   // unseen-w1 backoff row
+      (30L, "a"))     // <2 tokens → absent
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramPerplexity(docs, ref, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "bits_per_bigram")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val b10 = BigDecimal((0.736966 + 2.321928) / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(10L) == ((10L, 2L, b10)))
+    assert(out(20L) == ((20L, 1L, 1.584963)))
+    assert(!out.contains(30L))
+  }
+
   test("fleschStats: hand-computed score, floors, zero-word absence") {
     val docs = Seq(
       (1L, "The cat sat. It ran!"), // 5 words, 2 sentences, 5 vowel groups
