@@ -483,6 +483,15 @@ object QueriesText {
       .orderBy("doc_id")
   }
 
+  /** N-gram novelty ([[TextAnalysis.ngramNovelty]]) at 3-grams — the
+    * per-doc unique-content fraction, sharing q35's shingle
+    * construction so the oracle replicates it verbatim.
+    */
+  def q97NgramNovelty(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramNovelty(Tables.documents(s, dir), "doc_id", "text",
+        n = 3)
+      .orderBy("doc_id")
+
   /** Corpus vocabulary top-100 ([[TextAnalysis.vocabTopK]]) — token
     * totals + document frequencies, the tokenizer-training statistic
     * and the one gate query whose top-k is GLOBAL
@@ -653,6 +662,7 @@ object QueriesText {
     "q86_stream_dedup" -> q86StreamDedup _,
     "q88_lm_perplexity" -> q88LmPerplexity _,
     "q96_bigram_perplexity" -> q96BigramPerplexity _,
+    "q97_ngram_novelty" -> q97NgramNovelty _,
     "q89_bpe_pairs" -> q89BpePairs _,
     "q90_bpe_train" -> q90BpeTrain _,
     "q91_bpe_segment" -> q91BpeSegment _,
@@ -1370,6 +1380,28 @@ object QueriesText {
            |  round(pow(2.0, round(-CAST(bits AS DOUBLE) / n_tokens, 6)), 2)
            |    AS ppl
            |FROM sc ORDER BY doc_id""".stripMargin,
+
+      // q97: q35's shingle CTE verbatim → distinct (doc, shingle)
+      // pairs → df aggregate → df=1 fraction per doc
+      "q97_ngram_novelty" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split($norm, ' '),
+           |    x -> x <> '') AS t FROM documents),
+           |sh AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    range(1, len(t) - 3 + 2),
+           |    i -> array_to_string(t[i:i+2], ' '))) AS s
+           |  FROM toks WHERE len(t) >= 3),
+           |p AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+           |dfq AS (SELECT shingle, count(*) AS df FROM p GROUP BY shingle),
+           |agg AS (
+           |  SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           |    CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_unique
+           |  FROM p JOIN dfq USING (shingle) GROUP BY p.doc_id)
+           |SELECT doc_id, n_shingles, n_unique,
+           |  round(CAST(n_unique AS DOUBLE) / n_shingles, 6) AS novelty
+           |FROM agg ORDER BY doc_id""".stripMargin,
 
       // q96: literal bigram-LM twin — reference bigram/unigram tables,
       // Laplace smoothing with unigram-vocab V, unseen-w1 backoff via

@@ -652,6 +652,38 @@ object TextAnalysis {
       .withColumn("ppl", round(pow(lit(2.0), col("bits_per_token")), 2))
   }
 
+  /** N-gram novelty — the corpus-diversity audit: per document, how
+    * many of its distinct word n-grams appear in NO other document
+    * (document frequency 1). High-novelty docs carry unique content;
+    * near-zero novelty flags boilerplate/templated families that
+    * near-dup detectors then localize. Output: (idCol, n_shingles,
+    * n_unique, novelty = n_unique/n_shingles). Docs with < n tokens
+    * have no shingles and are absent.
+    *
+    * Scale: distinct (doc, shingle) pairs → one map-side-combined df
+    * aggregate → one shingle-keyed join back; shingle strings ride the
+    * shuffle once each (the same posting-list shape as
+    * [[graft.operators.Dedup.ngramJaccardPairs]]' candidate stage,
+    * without the quadratic verify).
+    */
+  def ngramNovelty(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    val pairs = df.select(col(idCol),
+        explode(wordShingles(col(textCol), n)).as("__sh"))
+      .distinct()
+    val docFreq = pairs.groupBy("__sh").agg(count(lit(1)).as("__df"))
+    pairs.join(docFreq, "__sh")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col(idCol), col("n_shingles"), col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_shingles"), 6)
+          .as("novelty"))
+  }
+
   /** Bigram-LM perplexity — the n-gram step past [[lmPerplexity]]
     * toward CCNet's 5-gram KenLM: conditional probabilities
     * p(w₂|w₁) = (c(w₁,w₂)+1)/(c(w₁)+V+1), Laplace-smoothed over the

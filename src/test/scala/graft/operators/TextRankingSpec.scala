@@ -143,6 +143,19 @@ class TextRankingSpec extends AnyFunSuite {
       s"global top-k must not be a full sort:\n$plan")
   }
 
+  test("ngramNovelty: shared shingles lower novelty, short docs absent") {
+    val docs = Seq(
+      (1L, "a b c d"),  // {a b c, b c d}: "a b c" shared → novelty 0.5
+      (2L, "a b c x"),  // {a b c, b c x}
+      (3L, "a b"))      // < 3 tokens → absent
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 2L, 1L, 0.5)))
+    assert(!out.contains(3L))
+  }
+
   test("bigramPerplexity matches the hand-computed conditional LM") {
     // reference "a b a b": c12 (a,b)=2 (b,a)=1; c1 a=2 b=2; V=2 → denom 5
     // p(b|a)=3/5 → −log2 = 0.736966; p(a|b)=2/5 → 1.321928;
