@@ -260,6 +260,28 @@ object QueriesText {
     Dedup.connectedComponents(pairs).orderBy("id")
   }
 
+  /** Dedup-cluster size report ([[Dedup.connectedComponents]] composed
+    * with a size histogram) — the corpus-audit rollup a dedup pass
+    * produces: for each duplicate-family size, how many families and
+    * how many documents they tie up (n_docs − n_families = rows a
+    * keeper election would remove). Runs the REAL pointer-doubling CC
+    * over q52's planted bounded-diameter graph, so the oracle is the
+    * same recursive-CTE labeling aggregated twice.
+    */
+  def q98ClusterSizes(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.documents(s, dir).select("doc_id")
+    val pairs = ids.filter(pmod(col("doc_id"), lit(100)) < 40)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 5).as("id_b"))
+      .join(ids.select(col("doc_id").as("id_b")), "id_b")
+      .select("id_a", "id_b")
+    graft.operators.Dedup.connectedComponents(pairs)
+      .groupBy("component").agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("__sz")).as("n_docs"))
+      .orderBy("cluster_size")
+  }
+
   /** End-to-end curation pipeline (the hash-free stage subset of
     * [[graft.operators.Curation.curate]]): quality gate → PII redaction
     * → exact dedup → benchmark decontamination, composed as ONE oracle-
@@ -656,6 +678,7 @@ object QueriesText {
     "q49_redaction" -> q49Redaction _,
     "q50_decontaminate" -> q50Decontaminate _,
     "q52_connected_components" -> q52ConnectedComponents _,
+    "q98_cluster_sizes" -> q98ClusterSizes _,
     "q53_curation_pipeline" -> q53CurationPipeline _,
     "q54_media_features" -> q54MediaFeatures _,
     "q67_minhash_incremental" -> q67MinhashIncremental _,
@@ -1086,6 +1109,26 @@ object QueriesText {
           |  SELECT e.src AS id, w.label FROM walk w JOIN edges e ON e.dst = w.id)
           |SELECT id, min(label) AS component FROM walk
           |GROUP BY id ORDER BY id""".stripMargin,
+
+      // q98: q52's recursive-CTE labeling aggregated twice — family
+      // sizes, then the size histogram
+      "q98_cluster_sizes" ->
+        """WITH RECURSIVE
+          |e1 AS (
+          |  SELECT a.doc_id AS src, b.doc_id AS dst
+          |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 5
+          |  WHERE a.doc_id % 100 < 40),
+          |edges AS (SELECT src, dst FROM e1 UNION SELECT dst, src FROM e1),
+          |walk AS (
+          |  SELECT src AS id, src AS label FROM edges
+          |  UNION
+          |  SELECT e.src AS id, w.label FROM walk w JOIN edges e ON e.dst = w.id),
+          |labels AS (SELECT id, min(label) AS component FROM walk GROUP BY id),
+          |fam AS (SELECT component, CAST(count(*) AS BIGINT) AS sz
+          |        FROM labels GROUP BY component)
+          |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+          |  CAST(sum(sz) AS BIGINT) AS n_docs
+          |FROM fam GROUP BY sz ORDER BY cluster_size""".stripMargin,
 
       "q53_curation_pipeline" ->
         s"""WITH corpus AS (
