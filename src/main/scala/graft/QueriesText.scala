@@ -514,6 +514,28 @@ object QueriesText {
         n = 3)
       .orderBy("doc_id")
 
+  /** Corpus data card — the per-(source, lang) rollup a dataset
+    * release ships, with CUBE margins (per-source totals, per-lang
+    * totals, grand total) in ONE aggregate pass instead of four
+    * queries. Quality means go through exact DECIMAL sums with a
+    * single final division (order-independent); margin rows are
+    * labeled '(all)' (the raw columns are never null, so coalesce is
+    * unambiguous).
+    */
+  def q99DataCard(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("source"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("__nt"),
+      TextAnalysis.qualityScore(col("text")).cast("decimal(18,4)").as("__q"))
+    d.cube(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"),
+        round(sum(col("__q")).cast("double") / count(lit(1)), 6)
+          .as("avg_quality"))
+      .select(coalesce(col("source"), lit("(all)")).as("source"),
+        coalesce(col("lang"), lit("(all)")).as("lang"),
+        col("n_docs"), col("n_tokens"), col("avg_quality"))
+      .orderBy("source", "lang")
+  }
+
   /** Corpus vocabulary top-100 ([[TextAnalysis.vocabTopK]]) — token
     * totals + document frequencies, the tokenizer-training statistic
     * and the one gate query whose top-k is GLOBAL
@@ -686,6 +708,7 @@ object QueriesText {
     "q88_lm_perplexity" -> q88LmPerplexity _,
     "q96_bigram_perplexity" -> q96BigramPerplexity _,
     "q97_ngram_novelty" -> q97NgramNovelty _,
+    "q99_data_card" -> q99DataCard _,
     "q89_bpe_pairs" -> q89BpePairs _,
     "q90_bpe_train" -> q90BpeTrain _,
     "q91_bpe_segment" -> q91BpeSegment _,
@@ -1423,6 +1446,34 @@ object QueriesText {
            |  round(pow(2.0, round(-CAST(bits AS DOUBLE) / n_tokens, 6)), 2)
            |    AS ppl
            |FROM sc ORDER BY doc_id""".stripMargin,
+
+      // q99: q32's quality formula per doc → DECIMAL(18,4) → CUBE with
+      // exact sums, one division, '(all)' margin labels
+      "q99_data_card" ->
+        s"""WITH c AS (SELECT source, lang,
+           |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+           |         x -> x <> '')) AS BIGINT) AS nt,
+           |    CAST(length(text) AS DOUBLE) AS len,
+           |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]',
+           |         '', 'g')) AS DOUBLE) AS n_alpha,
+           |    ${hits(TextAnalysis.langMarkers.head._2)} AS h_en,
+           |    CASE WHEN regexp_matches(text, '[!?.]{3,}|#{2,}|\\{|\\}')
+           |         THEN 0.0 ELSE 1.0 END AS good_punct
+           |  FROM documents),
+           |q AS (SELECT source, lang, nt, CAST(round((
+           |    (CASE WHEN len > 0 THEN n_alpha / len ELSE 0.0 END) +
+           |    (CASE WHEN len >= 200 AND len <= 20000 THEN 1.0
+           |          WHEN len >= 50 THEN 0.5 ELSE 0.0 END) +
+           |    good_punct +
+           |    (CASE WHEN h_en >= 2 THEN 1.0 ELSE 0.0 END)) / 4.0, 4)
+           |    AS DECIMAL(18,4)) AS quality
+           |  FROM c)
+           |SELECT coalesce(source, '(all)') AS source,
+           |  coalesce(lang, '(all)') AS lang,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+           |  round(CAST(sum(quality) AS DOUBLE) / count(*), 6) AS avg_quality
+           |FROM q GROUP BY CUBE(source, lang) ORDER BY 1, 2""".stripMargin,
 
       // q97: q35's shingle CTE verbatim → distinct (doc, shingle)
       // pairs → df aggregate → df=1 fraction per doc
