@@ -536,6 +536,30 @@ object QueriesText {
       .orderBy("source", "lang")
   }
 
+  /** Approximate distinct counting — the sketch-based cardinality path
+    * for corpus stats: per source, vocabulary size by EXACT
+    * countDistinct (a full (source, token) shuffle — fine at bench
+    * scale, the bottleneck at 100 TB) and by HyperLogLog++
+    * (`approx_count_distinct`, rsd 2% — fixed-size sketches merged
+    * map-side, the scale path), with the observed relative error. The
+    * HLL estimate is engine-specific → rows-only at the gate; the
+    * error column is asserted < 3·rsd in ScalaTest, and the EXACT
+    * column is cross-checked against q68's vocabulary machinery there
+    * too.
+    */
+  def q100ApproxVocab(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir).select(col("source"),
+      explode(filter(split(TextAnalysis.normalizeText(col("text")), " "),
+        t => t =!= "")).as("token"))
+    toks.groupBy("source")
+      .agg(countDistinct(col("token")).as("n_exact"),
+        approx_count_distinct(col("token"), 0.02).as("n_approx"))
+      .select(col("source"), col("n_exact"), col("n_approx"),
+        round(abs(col("n_approx") - col("n_exact")).cast("double") /
+          col("n_exact"), 6).as("rel_err"))
+      .orderBy("source")
+  }
+
   /** Corpus vocabulary top-100 ([[TextAnalysis.vocabTopK]]) — token
     * totals + document frequencies, the tokenizer-training statistic
     * and the one gate query whose top-k is GLOBAL
@@ -709,6 +733,7 @@ object QueriesText {
     "q96_bigram_perplexity" -> q96BigramPerplexity _,
     "q97_ngram_novelty" -> q97NgramNovelty _,
     "q99_data_card" -> q99DataCard _,
+    "q100_approx_vocab" -> q100ApproxVocab _,
     "q89_bpe_pairs" -> q89BpePairs _,
     "q90_bpe_train" -> q90BpeTrain _,
     "q91_bpe_segment" -> q91BpeSegment _,

@@ -40,6 +40,7 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(rowsOnly == Set("q36_minhash_lsh", "q37_simhash",
       "q38_winnow_fingerprint", "q42_lsh_topk", "q46_ivf_topk",
       "q48_compression", "q54_media_features", "q81_pq_trained",
-      "q85_ivfpq_trained", "q90_bpe_train", "q91_bpe_segment"))
+      "q85_ivfpq_trained", "q90_bpe_train", "q91_bpe_segment",
+      "q100_approx_vocab"))
   }
 }

@@ -143,6 +143,25 @@ class TextRankingSpec extends AnyFunSuite {
       s"global top-k must not be a full sort:\n$plan")
   }
 
+  test("q100: HLL estimates land within 3x rsd of the exact vocabulary") {
+    val out = graft.QueriesText.q100ApproxVocab(spark, "/root/testdata/sf0.1")
+      .as[(String, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (src, exact, approx, err) =>
+      assert(exact > 0 && approx > 0)
+      assert(err <= 0.06, s"$src: HLL rel_err $err > 3*rsd (exact=$exact approx=$approx)")
+    }
+    // the exact column agrees with an independent distinct count
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.1")
+    val indep = docs.select(col("source"),
+        explode(filter(split(TextAnalysis.normalizeText(col("text")), " "),
+          t => t =!= "")).as("token"))
+      .distinct().groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    out.foreach { case (src, exact, _, _) =>
+      assert(indep(src) == exact, s"$src exact mismatch") }
+  }
+
   test("ngramNovelty: shared shingles lower novelty, short docs absent") {
     val docs = Seq(
       (1L, "a b c d"),  // {a b c, b c d}: "a b c" shared → novelty 0.5
