@@ -876,33 +876,32 @@ object QueriesCore {
     // 100k dedup keys at bench scale fit 4 partitions; a 100 TB stream
     // sizes this UP with the key space, it is the same knob. Scoped
     // conf, restored in finally (the q73 discipline).
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      graft.streaming.EventsStream.windowedCounts(stream,
-          // 1-hour windows keep the complete-mode rescan small; the
-          // dedup/watermark machinery under test is window-length
-          // independent
-          watermark = "87840 minutes", windowLen = "1 hour")
-        .writeStream.outputMode("complete").format("memory").queryName(name)
-        .start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.processAllAvailable()
-    q.stop()
-    val out = s.table(name)
-      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
-        col("event_type"), col("n"),
-        // exact decimal sum upstream; ONE shared decimal→double cast
-        // at the very end (the q01 oracle-parity pattern)
-        col("total_value").cast("decimal(18,2)").cast("double")
-          .as("total_value"))
-      .orderBy("window_start", "event_type")
-      .localCheckpoint(true) // materialize before the temp tree goes away
-    s.catalog.dropTempView(name)
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
-      .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-    out
+    try {
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        graft.streaming.EventsStream.windowedCounts(stream,
+            // 1-hour windows keep the complete-mode rescan small; the
+            // dedup/watermark machinery under test is window-length
+            // independent
+            watermark = "87840 minutes", windowLen = "1 hour")
+          .writeStream.outputMode("complete").format("memory").queryName(name)
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      q.processAllAvailable()
+      q.stop()
+      val out = s.table(name)
+        .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n"),
+          // exact decimal sum upstream; ONE shared decimal→double cast
+          // at the very end (the q01 oracle-parity pattern)
+          col("total_value").cast("decimal(18,2)").cast("double")
+            .as("total_value"))
+        .orderBy("window_start", "event_type")
+        .localCheckpoint(true) // materialize before the finally deletes
+      s.catalog.dropTempView(name)
+      out
+    } finally TmpTrees.delete(root)
   }
 
   val queries: Map[String, Q] = Map(

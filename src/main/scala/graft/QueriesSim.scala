@@ -285,22 +285,20 @@ object QueriesSim {
     val (lists0, cents) = Similarity.ivfPortableIndex(all, "vec_id",
       "embedding", nCentroids = 8, dim = 64)
     val root = java.nio.file.Files.createTempDirectory("q92-ivf").toString
-    lists0.write.parquet(s"$root/lists")
-    val lists = s.read.parquet(s"$root/lists")
-    def serve(batch: DataFrame, tag: String): DataFrame =
-      Similarity.ivfPortableTopKWithIndex(lists, cents, batch, "vec_id",
-          "embedding", k = 5, nProbe = 3)
-        .withColumn("rank", col("rank").cast("int"))
-        .withColumn("batch", lit(tag))
-    val out = serve(all.filter(pmod(col("vec_id"), lit(50)) === 0), "a")
-      .unionByName(serve(all.filter(pmod(col("vec_id"), lit(50)) === 25), "b"))
-      .orderBy("batch", "query_id", "rank")
-      // materialize BEFORE deleting the on-disk index
-      .localCheckpoint(true)
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
-      .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-    out
+    try {
+      lists0.write.parquet(s"$root/lists")
+      val lists = s.read.parquet(s"$root/lists")
+      def serve(batch: DataFrame, tag: String): DataFrame =
+        Similarity.ivfPortableTopKWithIndex(lists, cents, batch, "vec_id",
+            "embedding", k = 5, nProbe = 3)
+          .withColumn("rank", col("rank").cast("int"))
+          .withColumn("batch", lit(tag))
+      serve(all.filter(pmod(col("vec_id"), lit(50)) === 0), "a")
+        .unionByName(serve(all.filter(pmod(col("vec_id"), lit(50)) === 25), "b"))
+        .orderBy("batch", "query_id", "rank")
+        // materialize BEFORE the finally deletes the on-disk index
+        .localCheckpoint(true)
+    } finally graft.TmpTrees.delete(root)
   }
 
   /** SemDeDup ([[Similarity.semDeDup]]) with the portable md5

@@ -419,28 +419,27 @@ object QueriesText {
       docs.filter(pmod(col("doc_id"), lit(9)) === r)
         .coalesce(1).write.mode("append").parquet(src)
     }
-    // per-batch shuffles here carry a few hundred docs' bands — 32-way
-    // shuffles are pure task overhead at that size (the q93 finding);
-    // scoped down for the stream, restored in finally. At 100 TB the
-    // same knob sizes UP with batch volume.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      graft.streaming.DedupStream.run(s, src, ckp, idx, dcs, prs,
-        "doc_id", "text", shingleLen = 3, numHashes = 16, bands = 4,
-        threshold = 0.8)
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    // materialize the union BEFORE deleting the temp tree, so the
-    // returned frame doesn't dangle on deleted files; the checkpoint
-    // blocks are consumer-owned (Bench scrubs them post-measurement)
-    val out = s.read.parquet(prs)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-      .orderBy("id_a", "id_b")
-      .localCheckpoint(true)
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
-      .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-    out
+      // per-batch shuffles here carry a few hundred docs' bands —
+      // 32-way shuffles are pure task overhead at that size (the q93
+      // finding); scoped down for the stream, restored in finally. At
+      // 100 TB the same knob sizes UP with batch volume.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        graft.streaming.DedupStream.run(s, src, ckp, idx, dcs, prs,
+          "doc_id", "text", shingleLen = 3, numHashes = 16, bands = 4,
+          threshold = 0.8)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // materialize the union BEFORE the finally deletes the temp
+      // tree, so the returned frame doesn't dangle on deleted files;
+      // the checkpoint blocks are consumer-owned (Bench scrubs them
+      // post-measurement)
+      s.read.parquet(prs)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+        .localCheckpoint(true)
+    } finally TmpTrees.delete(root)
   }
 
   /** Unigram-LM perplexity scoring ([[TextAnalysis.lmPerplexity]]) —
@@ -1604,7 +1603,7 @@ object QueriesText {
           |        round(least(CAST(cap AS DOUBLE),
           |          coalesce((SELECT t FROM th),
           |            1.7976931348623157e308)), 4) AS alloc
-          |      FROM tk)
+          |      FROM tk WHERE n_tokens > 0)
           |SELECT lang, n_tokens, cap, alloc,
           |  round(alloc / n_tokens, 6) AS epochs
           |FROM a ORDER BY lang""".stripMargin,

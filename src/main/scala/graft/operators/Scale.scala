@@ -348,6 +348,10 @@ object Scale {
     val waterline = staged.filter(col("cap") >= col("__tk"))
       .agg(min_by(col("__tk"), col("__k")).as("__t"))
     staged.crossJoin(broadcast(waterline))
+      // a stratum with zero tokens has no epochs (0/0) — excluded,
+      // the lmPerplexity/fleschStats zero-denominator contract (and
+      // it cannot consume budget anyway: cap = 0)
+      .filter(col("n_tokens") > 0)
       .withColumn("alloc", round(least(col("cap").cast("double"),
         coalesce(col("__t"), lit(Double.MaxValue))), 4))
       .select(col(strataCol), col("n_tokens"), col("cap"), col("alloc"),

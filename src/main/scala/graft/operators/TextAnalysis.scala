@@ -671,9 +671,13 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       n: Int): org.apache.spark.sql.DataFrame = {
+    // (doc, shingle) pairs are ALREADY distinct: wordShingles is
+    // first-occurrence-distinct per doc (its documented contract,
+    // parity-tested against array_distinct in Md5MinHashSpec) — a
+    // .distinct() here would re-shuffle the whole exploded stream to
+    // remove nothing
     val pairs = df.select(col(idCol),
-        explode(wordShingles(col(textCol), n)).as("__sh"))
-      .distinct()
+      explode(wordShingles(col(textCol), n)).as("__sh"))
     val docFreq = pairs.groupBy("__sh").agg(count(lit(1)).as("__df"))
     pairs.join(docFreq, "__sh")
       .groupBy(idCol)
