@@ -559,6 +559,38 @@ object QueriesText {
       .orderBy("source")
   }
 
+  /** Approximate quantiles beside their exact twin — per-source
+    * token-length percentiles (p25/p50/p75/p95) computed both exactly
+    * (`percentile`, a sort-based aggregate holding each group's values
+    * — the bottleneck at 100 TB) and by the `percentile_approx`
+    * Greenwald–Khanna-style sketch (accuracy 10⁴ → rank error
+    * ≤ 0.01% — fixed-size state merged map-side, the scale path).
+    * Sketch outputs are engine-specific → rows-only at the gate;
+    * ScalaTest asserts every approx value sits within one order
+    * statistic of its exact rank target and re-derives the exact
+    * interpolation by hand.
+    */
+  def q101ApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("source"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val acc = lit(10000)
+    docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        percentile(col("n_tokens"), lit(0.25)).as("p25_exact"),
+        percentile_approx(col("n_tokens"), lit(0.25), acc)
+          .cast("double").as("p25_approx"),
+        percentile(col("n_tokens"), lit(0.5)).as("p50_exact"),
+        percentile_approx(col("n_tokens"), lit(0.5), acc)
+          .cast("double").as("p50_approx"),
+        percentile(col("n_tokens"), lit(0.75)).as("p75_exact"),
+        percentile_approx(col("n_tokens"), lit(0.75), acc)
+          .cast("double").as("p75_approx"),
+        percentile(col("n_tokens"), lit(0.95)).as("p95_exact"),
+        percentile_approx(col("n_tokens"), lit(0.95), acc)
+          .cast("double").as("p95_approx"))
+      .orderBy("source")
+  }
+
   /** Corpus vocabulary top-100 ([[TextAnalysis.vocabTopK]]) — token
     * totals + document frequencies, the tokenizer-training statistic
     * and the one gate query whose top-k is GLOBAL
@@ -733,6 +765,7 @@ object QueriesText {
     "q97_ngram_novelty" -> q97NgramNovelty _,
     "q99_data_card" -> q99DataCard _,
     "q100_approx_vocab" -> q100ApproxVocab _,
+    "q101_approx_quantiles" -> q101ApproxQuantiles _,
     "q89_bpe_pairs" -> q89BpePairs _,
     "q90_bpe_train" -> q90BpeTrain _,
     "q91_bpe_segment" -> q91BpeSegment _,

@@ -162,6 +162,38 @@ class TextRankingSpec extends AnyFunSuite {
       assert(indep(src) == exact, s"$src exact mismatch") }
   }
 
+  test("q101: approx quantiles within one order statistic; exact re-derived by hand") {
+    val out = graft.QueriesText.q101ApproxQuantiles(spark, "/root/testdata/sf0.1")
+      .collect()
+    assert(out.nonEmpty)
+    val bySrc = graft.Tables.documents(spark, "/root/testdata/sf0.1")
+      .select(col("source"), TextAnalysis.tokenCount(col("text")).as("n"))
+      .as[(String, Int)].collect()
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sorted }
+    for (r <- out) {
+      val src = r.getString(0); val xs = bySrc(src); val n = xs.length
+      assert(r.getLong(1) == n, s"$src n_docs")
+      for (((p, i), label) <- Seq(0.25 -> 2, 0.5 -> 4, 0.75 -> 6, 0.95 -> 8)
+             .zip(Seq("p25", "p50", "p75", "p95"))) {
+        val exact = r.getDouble(i); val approx = r.getDouble(i + 1)
+        // Spark's exact percentile: linear interpolation at rank p·(n−1)
+        val pos = p * (n - 1)
+        val lo = xs(pos.toInt)
+        val hi = xs(math.min(n - 1, pos.toInt + 1))
+        val manual = lo + (pos - pos.toInt) * (hi - lo)
+        assert(math.abs(exact - manual) < eps, s"$src $label exact=$exact manual=$manual")
+        // the sketch returns an actual element; at accuracy 10⁴ and
+        // n ≈ hundreds the rank error is < 1, so allow ±1 order
+        // statistic around the smallest-value-with-rank-≥-p·n target
+        val target = math.ceil(p * n).toInt.max(1)
+        val window = (math.max(1, target - 1) to math.min(n, target + 1))
+          .map(k => xs(k - 1).toDouble)
+        assert(window.min <= approx && approx <= window.max,
+          s"$src $label approx=$approx outside $window")
+      }
+    }
+  }
+
   test("ngramNovelty: shared shingles lower novelty, short docs absent") {
     val docs = Seq(
       (1L, "a b c d"),  // {a b c, b c d}: "a b c" shared → novelty 0.5
