@@ -241,6 +241,32 @@ object QueriesText {
       .orderBy("doc_id")
   }
 
+  /** Bloom decontamination beside its exact twin — q50's flag set
+    * recomputed by [[graft.operators.Dedup.bloomDecontaminate]] (the
+    * zero-shuffle membership-sketch path) and full-outer-joined against
+    * the exact [[graft.operators.Dedup.decontaminate]] counts. Sketch
+    * membership is engine-specific → rows-only at the gate; DedupSpec
+    * asserts the containment contract (no false negatives; false
+    * positives within the fpp bound).
+    */
+  def q102BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bench = docs.filter(pmod(col("doc_id"), lit(100)) === 7)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(100)) =!= 7)
+    val exact = Dedup.decontaminate(corpus, bench, "doc_id", "text",
+      shingleLen = 3, minOverlap = 2)
+    // fpp sized so that per-doc false flags at minOverlap=2 are
+    // negligible: λ ≈ shingles/doc · fpp ≈ 0.009 → P(≥2) ~ 4e-5
+    val bloom = Dedup.bloomDecontaminate(corpus, bench, "doc_id", "text",
+      shingleLen = 3, minOverlap = 2, fpp = 1e-4)
+    bloom.join(exact, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_exact"),
+        coalesce(col("n_overlap_bloom"), lit(0)).cast("bigint")
+          .as("n_bloom"))
+      .orderBy("doc_id")
+  }
+
   /** Connected components over a PLANTED pair graph — the oracle-checked
     * correctness query for [[Dedup.connectedComponents]] (pointer-
     * doubling min-label propagation). Edges (doc_id, doc_id+5) for
@@ -766,6 +792,7 @@ object QueriesText {
     "q99_data_card" -> q99DataCard _,
     "q100_approx_vocab" -> q100ApproxVocab _,
     "q101_approx_quantiles" -> q101ApproxQuantiles _,
+    "q102_bloom_decontaminate" -> q102BloomDecontaminate _,
     "q89_bpe_pairs" -> q89BpePairs _,
     "q90_bpe_train" -> q90BpeTrain _,
     "q91_bpe_segment" -> q91BpeSegment _,

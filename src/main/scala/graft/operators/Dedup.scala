@@ -540,6 +540,60 @@ object Dedup {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** Bloom-filter decontamination — the ZERO-SHUFFLE scale twin of
+    * [[decontaminate]]. The benchmark's distinct shingle hashes fold
+    * into a fixed-size Bloom sketch (`stat.bloomFilter`, a distributed
+    * treeAggregate; only the sketch reaches the driver, never rows),
+    * which is embedded as a BINARY literal so every corpus document
+    * counts its flagged shingles in ONE per-row projection —
+    * `size(filter(shingles, might_contain))`: no explode, no join, no
+    * shuffle anywhere in the corpus path, vs the exact operator's
+    * explode + broadcast join + groupBy. At 100 TB that is a map-only
+    * scan instead of a corpus-wide shuffle; the price is false
+    * POSITIVES bounded by `fpp` (never false negatives — both
+    * directions asserted in DedupSpec against [[decontaminate]]).
+    * The sketch (Spark's deterministic Murmur3 `BloomFilter`) costs
+    * ~1.2·n·log2(1/fpp) bits — MBs for eval-benchmark-sized sets.
+    *
+    * Returns (idCol, n_overlap_bloom) for docs with ≥ `minOverlap`
+    * bloom-flagged shingles.
+    */
+  def bloomDecontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      minOverlap: Int = 1,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val benchShingles = benchmark
+      .select(explode(graft.functions.ShingleHashes
+        .shingleHashes(lower(col(textCol)), shingleLen)).as("__s"))
+      .distinct()
+    // the sketch needs an item estimate up front; counting the (small)
+    // benchmark side is one cheap job on the side that is NOT 100 TB
+    val nItems = math.max(1L, benchShingles.count())
+    val bloom = benchShingles.stat.bloomFilter(col("__s"), nItems, fpp)
+    val bytes = {
+      val b = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(b)
+      b.toByteArray
+    }
+    val bloomLit = Literal.create(bytes,
+      org.apache.spark.sql.types.BinaryType)
+    def mightContain(c: Column): Column =
+      ColumnBridge.column(
+        BloomFilterMightContain(bloomLit, ColumnBridge.expression(c)))
+    corpus
+      .select(col(idCol),
+        size(filter(graft.functions.ShingleHashes
+            .shingleHashes(lower(col(textCol)), shingleLen),
+          s => mightContain(s))).as("n_overlap_bloom"))
+      .filter(col("n_overlap_bloom") >= minOverlap)
+  }
+
   /** SimHash (64-bit) per document: per-bit signed vote (`+1` if the
     * token hash has the bit set, else `-1`) summed over tokens, sign →
     * bit — computed in ONE codegen pass per document

@@ -84,4 +84,51 @@ class CurationSpec extends AnyFunSuite {
     // redaction is idempotent too: placeholders don't rematch
     assert(a(3L).contains("<EMAIL>") && !a(3L).contains("bob@example.com"))
   }
+
+  test("bloomDecontaminate: no false negatives vs exact, planted corpus") {
+    val bench = Seq(10L -> prose("evalset")).toDF("doc_id", "text")
+    val corpus = Seq(
+      1L -> prose("amber"), // disjoint from the benchmark
+      2L -> prose("evalset"), // fully contaminated
+      3L -> (prose("bronze") + " " + prose("evalset")) // partial overlap
+    ).toDF("doc_id", "text")
+    val exact = Dedup.decontaminate(corpus, bench, "doc_id", "text",
+        shingleLen = 3, minOverlap = 1)
+      .as[(Long, Long)].collect().toMap
+    val bloom = Dedup.bloomDecontaminate(corpus, bench, "doc_id", "text",
+        shingleLen = 3, minOverlap = 1, fpp = 1e-4)
+      .as[(Long, Int)].collect().toMap
+    assert(exact.contains(2L) && exact.contains(3L) && !exact.contains(1L))
+    // the contract: never a false negative, per-doc count never lower
+    exact.foreach { case (id, n) =>
+      assert(bloom.contains(id), s"doc $id flagged exact but not bloom")
+      assert(bloom(id) >= n, s"doc $id bloom ${bloom(id)} < exact $n")
+    }
+    // at fpp 1e-4 over this corpus, extras are overwhelmingly unlikely
+    assert(bloom.keySet == exact.keySet, s"bloom=$bloom exact=$exact")
+    // the corpus path is map-only: scan → project → filter, no
+    // exchange and no join anywhere (the sketch was folded before)
+    val plan = Dedup.bloomDecontaminate(corpus, bench, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"corpus path not map-only:\n$plan")
+  }
+
+  test("q102: bloom flags match exact flags at sf0.1") {
+    val out = graft.QueriesText
+      .q102BloomDecontaminate(spark, "/root/testdata/sf0.1")
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // every exact-flagged doc (n_exact >= 2, q50's threshold) must be
+    // bloom-flagged with at least as many shingle hits
+    out.foreach { case (id, nExact, nBloom) =>
+      if (nExact >= 2)
+        assert(nBloom >= nExact, s"doc $id exact=$nExact bloom=$nBloom")
+    }
+    // false-positive docs (bloom-only rows) bounded: λ ≈ 90·1e-4 per
+    // doc → P(≥2 false hits) ~ 4e-5; over ~495 docs expect none, allow
+    // a safety margin of 2
+    val falseDocs = out.count { case (_, e, b) => e < 2 && b >= 2 }
+    assert(falseDocs <= 2, s"$falseDocs bloom-only docs")
+  }
 }
