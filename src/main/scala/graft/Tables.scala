@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the driver-generated testdata star schema
   * (TESTDATA.md). In production these would be `spark.read.jdbc` /
@@ -30,22 +31,39 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long
-    * (legacy conf) and convert with integer division — `div`, not `/`,
-    * because 1.7e18 ns exceeds double's 2^53 exact-integer range.
+  /** events.ts has shipped in two parquet encodings across testdata
+    * generations: TIMESTAMP(NANOS) — which Spark's vectorized reader
+    * rejects ([PARQUET_TYPE_ILLEGAL]) unless read as a plain long via
+    * the legacy conf — and TIMESTAMP(MICROS, NTZ), which Spark reads
+    * natively. The loader is format-aware: it sets the legacy conf
+    * (harmless for micros files, required for nanos ones) and then
+    * normalizes on the OBSERVED column type, so a testdata regeneration
+    * in either format never silently breaks every events consumer.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    nanosTsToMicros(s.read.parquet(s"$d/events.parquet"))
+    normalizeEventTs(s.read.parquet(s"$d/events.parquet"))
   }
 
-  /** Shared nanos-long → microsecond-timestamp conversion (integer
-    * `div`, not `/`: 1.7e18 ns exceeds double's exact-integer range).
+  /** Normalize the events timestamp column to a zoned TimestampType
+    * (session TZ is pinned to UTC everywhere) regardless of how the
+    * parquet file encoded it:
+    *  - LongType     → nanos-as-long (legacy conf); integer-`div` by
+    *                   1000, not `/`: 1.7e18 ns exceeds double's 2^53
+    *                   exact-integer range.
+    *  - TimestampNTZ → micros, timezone-naive; cast is wall-clock
+    *                   identity under the UTC session TZ.
+    *  - TimestampType→ already what downstream expects.
     * Used by the batch loader above and the streaming reader.
     */
-  def nanosTsToMicros(df: DataFrame, tsCol: String = "ts"): DataFrame =
-    df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+  def normalizeEventTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.schema(tsCol).dataType match {
+      case LongType =>
+        df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case _ => df
+    }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

@@ -24,13 +24,27 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A thrown query must surface as a HARD FAILURE in the round
+        // artifact, not vanish from coverage (round 10 lost ten
+        // previously-green queries exactly this way). A one-row marker
+        // frame can never schema-match any oracle, so the driver's
+        // compare records rows/schema/hash mismatch for this name.
+        failures += name -> e.toString
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        try {
+          import spark.implicits._
+          Seq(e.toString.take(1000)).toDF("verify_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case m: Throwable =>
+          System.err.println(s"[verify] $name marker write failed: ${m.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -48,6 +62,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Sidecar for humans/tooling: which queries threw, and why.
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (failures.nonEmpty)
+      System.err.println(
+        s"[verify] ${failures.size} quer${if (failures.size == 1) "y" else "ies"} failed: " +
+          failures.keys.mkString(","))
     spark.stop()
   }
 }

@@ -24,20 +24,23 @@ object EventsStream {
   case class SessionState(start: Long, last: Long, n: Long, total: Double)
 
   /** Streaming source over a parquet events directory with the
-    * driver-testdata schema (ts arrives as nanos-long; converted here —
-    * same workaround as Tables.events).
+    * driver-testdata schema. `readStream` needs an explicit schema, so
+    * the on-disk shape is taken from a batch footer read (cheap — no
+    * data scan) rather than hard-coded: the testdata's ts column has
+    * shipped both as nanos-long and as TIMESTAMP(MICROS), and a pinned
+    * schema string breaks on regeneration. Normalization to a zoned
+    * timestamp is shared with the batch path (Tables.normalizeEventTs).
     */
   def readEvents(
       spark: SparkSession,
       dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-      "event_type STRING, value DOUBLE, props STRING"
-    val base = spark.readStream.schema(schema)
+    val onDisk = spark.read.parquet(dir).schema
+    val base = spark.readStream.schema(onDisk)
     val reader = maxFilesPerTrigger
       .fold(base)(n => base.option("maxFilesPerTrigger", n))
-    graft.Tables.nanosTsToMicros(reader.parquet(dir))
+    graft.Tables.normalizeEventTs(reader.parquet(dir))
   }
 
   /** Watermarked tumbling-window aggregation with in-watermark dedup
