@@ -416,6 +416,81 @@ object OraclesCore {
         |       AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // q103: the Spark side chains window minimums; the oracle builds the
+    // same staged funnel with explicit stage CTEs — each stage's first
+    // event strictly after the previous stage's timestamp.
+    "q103_funnel" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS vt
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS ct FROM events e
+        |  JOIN u ON e.user_id = u.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > u.vt
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS pt FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.ct
+        |  GROUP BY e.user_id),
+        |j AS (
+        |  SELECT u.user_id, u.vt, c.ct, p.pt FROM u
+        |  LEFT JOIN c ON u.user_id = c.user_id
+        |  LEFT JOIN p ON u.user_id = p.user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(count(vt) AS BIGINT) AS n_view,
+        |  CAST(count(ct) AS BIGINT) AS n_click,
+        |  CAST(count(pt) AS BIGINT) AS n_purchase,
+        |  round(CAST(sum(epoch_us(ct) - epoch_us(vt)) AS DOUBLE)
+        |    / count(ct) / 1000000, 4) AS avg_view_to_click_s,
+        |  round(CAST(sum(epoch_us(pt) - epoch_us(ct)) AS DOUBLE)
+        |    / count(pt) / 1000000, 4) AS avg_click_to_purchase_s
+        |FROM j""".stripMargin,
+
+    // q104: Monday-truncated weeks on both sides; the day difference of
+    // two week-truncated dates is always a multiple of 7, so the //7 is
+    // exact integer arithmetic in both engines.
+    "q104_retention_cohorts" ->
+      """WITH f AS (
+        |  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT e.user_id,
+        |    date_trunc('week', f.first_ts) AS cohort_week,
+        |    CAST(date_diff('day',
+        |        CAST(date_trunc('week', f.first_ts) AS DATE),
+        |        CAST(date_trunc('week', e.ts) AS DATE)) // 7
+        |      AS BIGINT) AS week_offset
+        |  FROM events e JOIN f ON e.user_id = f.user_id)
+        |SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week, week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |FROM a GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // q105: batch lag/cumsum sessionization twin of the streaming state
+    // machine. Parity choices mirror the Spark side exactly: gap
+    // comparison and session_start at MILLISECOND precision (epoch_ms —
+    // the state machine keys on java.sql.Timestamp.getTime), value
+    // pre-scaled to integer cents so sums are order-free.
+    "q105_stream_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id,
+        |  make_timestamp(epoch_ms(min(ts)) * 1000) AS session_start,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100 AS total_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
     // q57: rebuilds renderPerson's document (templates/person.xml.j2
     // shape) with pure string concatenation — every || piece mirrors
     // one sb ++= line in XmlSync.renderPerson, so a drift in either

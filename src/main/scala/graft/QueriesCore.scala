@@ -856,7 +856,10 @@ object QueriesCore {
     */
   def q93StreamWindowCounts(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/events.parquet") // ts stays BIGINT nanos
+    // ts is re-written AS READ (nanos-long or micros-timestamp —
+    // whatever the testdata generation encodes); readEvents below
+    // infers the on-disk shape from the footer and normalizes.
+    val raw = s.read.parquet(s"$dir/events.parquet")
     val root = java.nio.file.Files.createTempDirectory("q93-stream").toString
     val src = s"$root/src"
     Seq(0, 1, 2, 1).foreach { r =>
@@ -904,6 +907,140 @@ object QueriesCore {
     } finally TmpTrees.delete(root)
   }
 
+  /** Event-funnel analysis — staged conversion over an ordered event
+    * stream, the product-analytics staple a training-data event log
+    * needs at scale: first view, first click STRICTLY AFTER that view,
+    * first purchase strictly after that click, per user; then one
+    * summary row with stage survivor counts and mean stage-to-stage
+    * latencies. All three stage timestamps are CHAINED window minimums
+    * over the SAME user partitioning, so Catalyst plans one exchange +
+    * one sort and the three Window operators reuse them — one shuffle
+    * total regardless of stage count (the textbook 3-way self-join
+    * re-shuffles the fact table once per stage). Latency averages are
+    * summed as exact integer microseconds (sums stay far inside
+    * double's 2^53 exact range at any plausible user count) and
+    * divided once at the end.
+    */
+  def q103Funnel(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val staged = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("vt",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("ct", min(when(col("event_type") === "click" &&
+        col("ts") > col("vt"), col("ts"))).over(w))
+      .withColumn("pt", min(when(col("event_type") === "purchase" &&
+        col("ts") > col("ct"), col("ts"))).over(w))
+    val perUser = staged.groupBy("user_id")
+      .agg(max("vt").as("vt"), max("ct").as("ct"), max("pt").as("pt"))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      count(col("vt")).as("n_view"),
+      count(col("ct")).as("n_click"),
+      count(col("pt")).as("n_purchase"),
+      round(sum(unix_micros(col("ct")) - unix_micros(col("vt")))
+          .cast("double") / count(col("ct")) / 1e6, 4)
+        .as("avg_view_to_click_s"),
+      round(sum(unix_micros(col("pt")) - unix_micros(col("ct")))
+          .cast("double") / count(col("pt")) / 1e6, 4)
+        .as("avg_click_to_purchase_s"))
+  }
+
+  /** Retention cohorts — users cohorted by the week of their first
+    * event; n_active = distinct cohort users seen in each later week.
+    * The first-seen timestamp is a window min over the user
+    * partitioning (one shuffle; no self-join of the fact table against
+    * its own first-seen aggregate), and the cohort×offset rollup is a
+    * map-side-combined distinct aggregate. week_offset divides a
+    * Monday-to-Monday day difference, so the /7 is always exact.
+    */
+  def q104RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"))
+      .withColumn("first_ts", min(col("ts")).over(w))
+      .select(col("user_id"),
+        date_trunc("week", col("first_ts")).as("cohort_week"),
+        (datediff(date_trunc("week", col("ts")).cast("date"),
+            date_trunc("week", col("first_ts")).cast("date")) / 7)
+          .cast("bigint").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .select(col("cohort_week").cast("timestamp_ntz").as("cohort_week"),
+        col("week_offset"), col("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** STREAMING gap-sessionization promoted to the declared surface —
+    * the §2.10 custom-state path (flatMapGroupsWithState,
+    * [[graft.streaming.EventsStream.sessionize]]) under the same hash
+    * gate as q93's windowed counts. The events table is split into
+    * four CHRONOLOGICAL slices (unlike q93's hash split: dedup is
+    * arrival-order-free, session state is not — a user's earlier
+    * events must commit before later ones) and streamed one file per
+    * trigger, so sessions open, survive micro-batch boundaries, and
+    * close across four state commits; the memory sink's update log is
+    * reduced to final per-session rows by max(n_events, closed) and
+    * must equal DuckDB's batch lag/cumsum sessionization. Parity
+    * rules: `value` is pre-scaled to integer cents so the Double state
+    * fold is exact in any order (the q93 decimal rule adapted to
+    * typed state), and timestamps compare at MILLISECOND precision
+    * because the state machine keys on java.sql.Timestamp.getTime —
+    * the oracle truncates with epoch_ms identically.
+    */
+  def q105StreamSessions(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.events(s, dir)
+      .withColumn("value", round(col("value") * 100).cast("double"))
+    val root = java.nio.file.Files.createTempDirectory("q105-stream").toString
+    val src = s"$root/src"
+    val bounds = Seq("1900-01-01", "2024-01-08", "2024-01-15",
+      "2024-01-23", "2100-01-01")
+    bounds.sliding(2).foreach {
+      case Seq(a, b) =>
+        raw.filter(col("ts") >= lit(a).cast("timestamp") &&
+            col("ts") < lit(b).cast("timestamp"))
+          .coalesce(1).write.mode("append").parquet(src)
+      case _ => ()
+    }
+    val name = java.nio.file.Paths.get(root).getFileName.toString
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    try {
+      // state-store partitioning sized to key cardinality, scoped and
+      // restored — the q93/q73 discipline.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val events = graft.streaming.EventsStream
+          .readEvents(s, src, maxFilesPerTrigger = Some(1))
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as(org.apache.spark.sql.Encoders
+            .product[graft.streaming.EventsStream.Event])
+        graft.streaming.EventsStream.sessionize(events, gapMinutes = 30)
+          .toDF()
+          .writeStream.outputMode("update").format("memory")
+          .queryName(name).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      q.processAllAvailable()
+      q.stop()
+      // Update-mode log → final sessions: a closed session's terminal
+      // emission carries its max n_events (ties broken closed-first;
+      // stats at equal n are identical by construction).
+      val out = s.table(name)
+        .groupBy(col("user_id"), col("session_start"))
+        .agg(max(struct(col("n_events"), col("closed"),
+          col("total_value"))).as("m"))
+        .select(col("user_id"),
+          col("session_start").cast("timestamp_ntz").as("session_start"),
+          col("m.n_events").as("n_events"),
+          (col("m.total_value") / 100).as("total_value"))
+        .orderBy("user_id", "session_start")
+        .localCheckpoint(true) // materialize before the finally deletes
+      s.catalog.dropTempView(name)
+      out
+    } finally TmpTrees.delete(root)
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project" -> q02FilterProject _,
@@ -942,6 +1079,9 @@ object QueriesCore {
     "q71_plain_join_aqe" -> q71PlainJoinAqe _,
     "q73_skew_split_join" -> q73SkewSplitJoin _,
     "q93_stream_window_counts" -> q93StreamWindowCounts _,
+    "q103_funnel" -> q103Funnel _,
+    "q104_retention_cohorts" -> q104RetentionCohorts _,
+    "q105_stream_sessions" -> q105StreamSessions _,
     "q51_hash_split" -> q51HashSplit _,
     "q76_stratified_sample" -> q76StratifiedSample _,
     "q57_person_xml" -> q57PersonXml _,
