@@ -758,7 +758,19 @@ object QueriesText {
     TextAnalysis.fleschStats(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** RAG-style overlapping word-window chunking
+    * ([[TextAnalysis.chunkWords]]): 64-word chunks at stride 48 per
+    * document, identified by md5 so the output stays narrow. Fully
+    * replicated in DuckDB (list slicing + range unnest), so chunk
+    * boundaries, tail handling, and chunk content are all hash-gated.
+    */
+  def q106Chunking(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkWords(Tables.documents(s, dir), "doc_id", "text",
+        chunkSize = 64, stride = 48)
+      .orderBy("doc_id", "chunk_idx")
+
   val queries: Map[String, Q] = Map(
+    "q106_chunking" -> q106Chunking _,
     "q30_text_stats" -> q30TextStats _,
     "q94_unimax" -> q94Unimax _,
     "q95_readability" -> q95Readability _,
@@ -817,6 +829,28 @@ object QueriesText {
   val oracles: Map[String, String] = {
     val Seq(en, de, fr, es) = TextAnalysis.langMarkers.map(_._2)
     val base = Map(
+      // q106: list slicing is 1-based inclusive with end-clamping in
+      // DuckDB — exactly Spark's slice(arr, start, len) — and
+      // string_split of normalized text needs NO empty-token filter
+      // (normalization collapses whitespace; the all-empty doc is [''],
+      // one "word", in both engines).
+      "q106_chunking" ->
+        s"""WITH w AS (
+           |  SELECT doc_id, string_split($norm, ' ') AS words
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, words,
+           |    CAST(CASE WHEN len(words) <= 64 THEN 1
+           |         ELSE ceil(CAST(len(words) - 64 AS DOUBLE) / 48) + 1
+           |         END AS BIGINT) AS nc
+           |  FROM w),
+           |u AS (SELECT doc_id, words, unnest(range(0, nc)) AS i FROM c)
+           |SELECT doc_id, i AS chunk_idx,
+           |  CAST(len(words[(i*48+1):(i*48+64)]) AS BIGINT)
+           |    AS n_chunk_words,
+           |  md5(array_to_string(words[(i*48+1):(i*48+64)], ' '))
+           |    AS chunk_md5
+           |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
       "q30_text_stats" ->
         s"""SELECT doc_id,
            |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),

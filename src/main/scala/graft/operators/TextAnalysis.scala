@@ -94,6 +94,46 @@ object TextAnalysis {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Fixed-size overlapping word-window chunking — the RAG/embedding
+    * preprocessing step: chunk i of a document covers normalized-word
+    * positions [i·stride, i·stride+chunkSize); a doc of ≤chunkSize
+    * words is one chunk, otherwise ceil((n−chunkSize)/stride)+1 chunks
+    * so the final window always reaches the last word (stride ≤
+    * chunkSize also guarantees no window starts past it — no empty
+    * chunks). Per-doc and shuffle-free by construction: split/explode/
+    * slice are all codegen'd, and the word array crosses the Generate
+    * boundary as a bound attribute, so the text is split at most twice
+    * per doc (words + count) rather than once per derived column —
+    * the interpreted-lambda fan-out trap (see wordShingles scaladoc)
+    * doesn't apply because normalized text cannot contain empty
+    * tokens, letting this skip the `filter` lambda entirely. (The one
+    * parity edge that creates: an all-whitespace doc splits to [""] —
+    * ONE empty "word" — in both Spark and DuckDB, and so still forms
+    * exactly one chunk in both engines.)
+    */
+  def chunkWords(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      stride: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val words = split(normalizeText(col(textCol)), " ")
+    val nChunks = when(size(words) <= chunkSize, lit(1L))
+      .otherwise(ceil((size(words) - lit(chunkSize)).cast("double") / stride)
+        + 1)
+    df.select(col(idCol), words.as("words"), nChunks.as("n_chunks"))
+      .select(col(idCol), col("words"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        slice(col("words"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(chunkSize)).as("chunk_words"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("chunk_words")).cast("bigint").as("n_chunk_words"),
+        md5(concat_ws(" ", col("chunk_words"))).as("chunk_md5"))
+  }
+
   /** Word n-gram shingles of the normalized text (distinct), via the
     * single-pass codegen expression
     * [[graft.functions.WordShingles]] — the interpreted higher-order
