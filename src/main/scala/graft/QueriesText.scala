@@ -769,8 +769,19 @@ object QueriesText {
         chunkSize = 64, stride = 48)
       .orderBy("doc_id", "chunk_idx")
 
+  /** PMI collocations ([[TextAnalysis.collocations]]): top-100
+    * adjacent-pair phrases by pointwise mutual information, support
+    * floor 5 — the phrase-mining companion to q89's raw pair counts.
+    * Counts, both probability divisions, the log2, and the
+    * (pmi desc, w1, w2) selection all replicate in DuckDB.
+    */
+  def q107PmiCollocations(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.collocations(Tables.documents(s, dir), "doc_id", "text",
+      minCount = 5, k = 100)
+
   val queries: Map[String, Q] = Map(
     "q106_chunking" -> q106Chunking _,
+    "q107_pmi_collocations" -> q107PmiCollocations _,
     "q30_text_stats" -> q30TextStats _,
     "q94_unimax" -> q94Unimax _,
     "q95_readability" -> q95Readability _,
@@ -851,6 +862,37 @@ object QueriesText {
            |  md5(array_to_string(words[(i*48+1):(i*48+64)], ' '))
            |    AS chunk_md5
            |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
+      // q107: two zipped unnests build the adjacent pairs; probability
+      // arithmetic mirrors the Spark side operation-for-operation
+      // (double cast on the first factor, left-assoc multiplication,
+      // one division, log2, round 6).
+      "q107_pmi_collocations" ->
+        s"""WITH toks AS (
+           |  SELECT list_filter(string_split($norm, ' '), x -> x <> '')
+           |    AS t
+           |  FROM documents),
+           |uni AS (
+           |  SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM (
+           |    SELECT unnest(t) AS w FROM toks) GROUP BY w),
+           |pairs AS (
+           |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair FROM (
+           |    SELECT unnest(t[1:len(t)-1]) AS w1,
+           |           unnest(t[2:len(t)]) AS w2
+           |    FROM toks WHERE len(t) >= 2) GROUP BY w1, w2),
+           |tp AS (SELECT CAST(sum(n_pair) AS BIGINT) AS tot_pairs
+           |       FROM pairs),
+           |tw AS (SELECT CAST(sum(n_w) AS BIGINT) AS tot_words FROM uni)
+           |SELECT p.w1, p.w2, p.n_pair,
+           |  round(log2((CAST(p.n_pair AS DOUBLE) * tw.tot_words
+           |      * tw.tot_words)
+           |    / (CAST(tp.tot_pairs AS DOUBLE) * u1.n_w * u2.n_w)), 6)
+           |    AS pmi
+           |FROM pairs p
+           |JOIN uni u1 ON p.w1 = u1.w
+           |JOIN uni u2 ON p.w2 = u2.w
+           |CROSS JOIN tp CROSS JOIN tw
+           |WHERE p.n_pair >= 5
+           |ORDER BY pmi DESC, p.w1, p.w2 LIMIT 100""".stripMargin,
       "q30_text_stats" ->
         s"""SELECT doc_id,
            |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),

@@ -745,6 +745,55 @@ object TextAnalysis {
     * then w₁ backstop) — no driver-side dictionary; bigram extraction
     * is an in-row array transform, never a self-join on position.
     */
+  /** PMI collocations — the phrase-mining statistic: adjacent word
+    * pairs scored by pointwise mutual information over the corpus,
+    * pmi = log2( P(w1w2) / (P(w1)·P(w2)) ) with probabilities from
+    * exact integer counts (pair support over total bigrams, unigram
+    * counts over total tokens). `minCount` floors pair support (PMI's
+    * low-frequency pathology: a pair seen once between two hapaxes
+    * maxes the score), `k` bounds output via TakeOrderedAndProject.
+    * Shape: two map-side-combined aggregates (pairs + unigrams); the
+    * unigram table joins back twice WITHOUT a broadcast hint — vocab
+    * is small at test scale (AQE broadcasts it) but grows with corpus
+    * at 100 TB, where a shuffle join on the word key is the right
+    * plan; the two 1-row totals are explicit broadcasts.
+    */
+  def collocations(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Int,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    def toks = filter(split(normalizeText(col(textCol)), " "), t => t =!= "")
+    val pairs = df.select(toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__t")) - 1),
+        i => struct(element_at(col("__t"), i).as("w1"),
+          element_at(col("__t"), i + 1).as("w2")))).as("__b"))
+      .select(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    val unis = df.select(explode(toks).as("w"))
+    val pairCounts = pairs.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("n_pair"))
+    val uniCounts = unis.groupBy("w").agg(count(lit(1)).as("n_w"))
+    val totPairs = pairCounts.agg(sum(col("n_pair")).as("tot_pairs"))
+    val totWords = uniCounts.agg(sum(col("n_w")).as("tot_words"))
+    pairCounts.filter(col("n_pair") >= minCount)
+      .join(uniCounts.select(col("w").as("w1"), col("n_w").as("n_w1")),
+        Seq("w1"))
+      .join(uniCounts.select(col("w").as("w2"), col("n_w").as("n_w2")),
+        Seq("w2"))
+      .crossJoin(broadcast(totPairs))
+      .crossJoin(broadcast(totWords))
+      .withColumn("pmi", round(log(2.0,
+        (col("n_pair").cast("double") * col("tot_words") * col("tot_words"))
+          / (col("tot_pairs").cast("double") * col("n_w1") * col("n_w2"))),
+        6))
+      .select(col("w1"), col("w2"), col("n_pair"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   def bigramPerplexity(
       docs: org.apache.spark.sql.DataFrame,
       reference: org.apache.spark.sql.DataFrame,
