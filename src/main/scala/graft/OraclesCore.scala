@@ -416,6 +416,37 @@ object OraclesCore {
         |       AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // q108: the oracle is the LITERAL inequality join the bucketed
+    // equi-join decomposition must reproduce exactly.
+    "q108_interval_join" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS purchase_id, ts AS pts,
+        |    ts + INTERVAL 2 HOUR AS pend
+        |  FROM events WHERE event_type = 'purchase'),
+        |e AS (
+        |  SELECT user_id, event_id AS error_id, ts FROM events
+        |  WHERE event_type = 'error')
+        |SELECT e.user_id, e.error_id, p.purchase_id
+        |FROM e JOIN p ON e.user_id = p.user_id
+        |  AND e.ts >= p.pts AND e.ts < p.pend
+        |ORDER BY e.user_id, e.error_id, p.purchase_id""".stripMargin,
+
+    // q109: lead over the same (ts, event_id) ordering, then counts and
+    // a row-normalized probability over the from_type marginal.
+    "q109_event_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM t WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type),
+        |    6) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+
     // q103: the Spark side chains window minimums; the oracle builds the
     // same staged funnel with explicit stage CTEs — each stage's first
     // event strictly after the previous stage's timestamp.

@@ -1041,7 +1041,56 @@ object QueriesCore {
     } finally TmpTrees.delete(root)
   }
 
+  /** Interval (range) join ([[Relational.intervalJoin]]): every error
+    * event attached to each same-user purchase whose 2-hour window
+    * contains it — the time-window attribution join Spark lacks a
+    * native strategy for. The bucketed decomposition (1-hour buckets ≈
+    * half the 2-hour span, so each interval explodes to 2-3 rows)
+    * turns it into a pure equi-join; the oracle is DuckDB's literal
+    * inequality join, so bucket-boundary and half-open-window handling
+    * are hash-gated.
+    */
+  def q108IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"), expr("ts + INTERVAL 2 HOURS").as("pend"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"), col("ts"))
+    Relational.intervalJoin(errors, purchases, Seq("user_id"),
+        "ts", "pts", "pend", bucketWidthSec = 3600,
+        payload = Seq("purchase_id"))
+      .select(col("user_id"), col("error_id"),
+        col("iv_purchase_id").as("purchase_id"))
+      .orderBy("user_id", "error_id", "purchase_id")
+  }
+
+  /** First-order event-transition matrix: counts and row-normalized
+    * probabilities of each (event_type → next event_type) step per
+    * user timeline — the Markov summary of q11's lead/lag
+    * neighborhood. One shuffle for the lead window, one
+    * map-side-combined aggregate over at most |types|² rows, and the
+    * row normalization is a window over that tiny aggregate.
+    */
+  def q109EventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("from_type")), 6))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q108_interval_join" -> q108IntervalJoin _,
+    "q109_event_transitions" -> q109EventTransitions _,
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project" -> q02FilterProject _,
     "q03_inlist" -> q03InList _,

@@ -233,6 +233,49 @@ object Relational {
         payload.map(p => col(s"__last.$p").as(s"asof_$p"))): _*)
   }
 
+  /** Interval (range) join: for every point row, attach every interval
+    * row with the same `keys` whose half-open [start, end) window
+    * contains the point's timestamp. Spark has no native range-join
+    * strategy, and the naive formulation — equi-join on keys with a
+    * BETWEEN residual — plans the whole key group as a per-key
+    * cartesian product that a hot key turns quadratic. Bucketed
+    * decomposition instead: each interval explodes to the fixed-width
+    * time buckets it covers, each point maps to its SINGLE bucket, and
+    * the join becomes a pure equi-join on (keys, bucket) with the
+    * containment predicate as a cheap post-filter. Every matching
+    * (point, interval) pair meets in exactly one bucket — the
+    * point's — so no dedup pass exists to pay for. Cost scales with
+    * Σ(interval span / bucketWidth) exploded rows: pick bucketWidth
+    * near the typical interval span so intervals explode to ~2 buckets
+    * each; AQE's skew handling covers residual hot buckets. Epochs are
+    * assumed non-negative (integer `div` truncates toward zero, so a
+    * pre-1970 timestamp would mis-bucket at the boundary).
+    */
+  def intervalJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      keys: Seq[String],
+      pointTs: String,
+      startTs: String,
+      endTs: String,
+      bucketWidthSec: Long,
+      payload: Seq[String]): DataFrame = {
+    require(bucketWidthSec > 0, s"bucketWidthSec=$bucketWidthSec")
+    val wUs = bucketWidthSec * 1000000L
+    val p = points.withColumn("__b", expr(s"unix_micros($pointTs) div $wUs"))
+    val iv = intervals
+      .filter(col(endTs) > col(startTs)) // empty intervals match nothing
+      .withColumn("__b", explode(sequence(
+        expr(s"unix_micros($startTs) div $wUs"),
+        expr(s"(unix_micros($endTs) - 1) div $wUs"))))
+      .select((keys.map(col) ++ Seq(col("__b"),
+        col(startTs).as("__start"), col(endTs).as("__end")) ++
+        payload.map(c => col(c).as(s"iv_$c"))): _*)
+    p.join(iv, keys :+ "__b")
+      .filter(col(pointTs) >= col("__start") && col(pointTs) < col("__end"))
+      .drop("__b", "__start", "__end")
+  }
+
   /** J12: iterative parent-pointer tree expansion — returns
     * (id, root_id, depth, path) for every node reachable from the roots.
     * Breadth-first self-join loop to a fixpoint with a depth cap; each

@@ -369,6 +369,43 @@ class OperatorsSpec extends AnyFunSuite {
       ("B", 300L, None), ("B", 400L, Some(5.0))))
   }
 
+  test("intervalJoin: half-open windows, bucket boundaries, empty intervals") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // bucketWidthSec = 3600 → bucket edges on the hour
+    val intervals = Seq(
+      // spans 3 buckets (00:30–02:30)
+      ("u1", "i1", ts("2024-01-01 00:30:00"), ts("2024-01-01 02:30:00")),
+      // exactly one bucket-aligned hour: [01:00, 02:00)
+      ("u1", "i2", ts("2024-01-01 01:00:00"), ts("2024-01-01 02:00:00")),
+      // empty interval: matches nothing, must not explode
+      ("u1", "i0", ts("2024-01-01 05:00:00"), ts("2024-01-01 05:00:00")),
+      // other key: identical times, must not cross keys
+      ("u2", "j1", ts("2024-01-01 00:30:00"), ts("2024-01-01 02:30:00")))
+      .toDF("k", "iid", "start_ts", "end_ts")
+    val points = Seq(
+      ("u1", "p_start", ts("2024-01-01 00:30:00")), // == start: IN (closed)
+      ("u1", "p_mid", ts("2024-01-01 01:15:00")),   // inside i1 and i2
+      ("u1", "p_end", ts("2024-01-01 02:30:00")),   // == end: OUT (open)
+      ("u1", "p_edge", ts("2024-01-01 02:00:00")),  // i2 end-boundary: only i1
+      ("u1", "p_empty", ts("2024-01-01 05:00:00")), // empty interval point
+      ("u3", "p_other", ts("2024-01-01 01:15:00"))) // unknown key
+      .toDF("k", "pid", "pts")
+    val got = Relational.intervalJoin(points, intervals, Seq("k"),
+        "pts", "start_ts", "end_ts", bucketWidthSec = 3600,
+        payload = Seq("iid"))
+      .select("pid", "iv_iid").as[(String, String)].collect().toSet
+    assert(got == Set(
+      ("p_start", "i1"), ("p_mid", "i1"), ("p_mid", "i2"),
+      ("p_edge", "i1")))
+    // each matching pair appears exactly once despite the multi-bucket
+    // explode (the point meets the interval only in its own bucket)
+    val cnt = Relational.intervalJoin(points, intervals, Seq("k"),
+        "pts", "start_ts", "end_ts", bucketWidthSec = 600,
+        payload = Seq("iid"))
+      .groupBy("pid", "iv_iid").count().filter(col("count") > 1).count()
+    assert(cnt == 0L, "duplicate (point, interval) pairs")
+  }
+
   test("mptt labels form a valid nested-set encoding") {
     val nodes = Seq(
       ("r", null), ("a", "r"), ("b", "r"), ("a1", "a"), ("a2", "a"))
