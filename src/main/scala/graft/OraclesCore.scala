@@ -416,6 +416,29 @@ object OraclesCore {
         |       AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // q111: integer RANGE frame (6 PRECEDING..CURRENT) over the day
+    // index in both engines; decimal-exact daily and windowed sums,
+    // one shared decimal->double cast at the end (q01 parity pattern).
+    "q111_moving_average" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |      AS total
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        |d AS (
+        |  SELECT *, date_diff('day', DATE '2024-01-01', day) AS day_idx
+        |  FROM daily)
+        |SELECT user_id, CAST(day AS TIMESTAMP) AS day, n,
+        |  CAST(total AS DOUBLE) AS total,
+        |  CAST(sum(n) OVER w AS BIGINT) AS n_7d,
+        |  CAST(CAST(sum(total) OVER w AS DECIMAL(18,2)) AS DOUBLE)
+        |    AS total_7d
+        |FROM d
+        |WINDOW w AS (PARTITION BY user_id ORDER BY day_idx
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, day""".stripMargin,
+
     // q108: the oracle is the LITERAL inequality join the bucketed
     // equi-join decomposition must reproduce exactly.
     "q108_interval_join" ->

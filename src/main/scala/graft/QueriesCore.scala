@@ -1088,8 +1088,37 @@ object QueriesCore {
       .orderBy("from_type", "to_type")
   }
 
+  /** Trailing 7-day moving aggregate per user — a true RANGE window
+    * frame over an integer day index (rows frames are wrong when days
+    * are missing; the range frame spans calendar distance, not row
+    * count). Daily rollup first (map-side-combined, decimal-exact
+    * sums), so the window runs over ≤ days×users rows, not raw
+    * events; one shuffle on user_id serves both the rollup and the
+    * window.
+    */
+  def q111MovingAverage(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("__total"))
+      .withColumn("day_idx",
+        datediff(col("day"), lit("2024-01-01").cast("date")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("day_idx"))
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("n_7d", sum(col("n")).over(w))
+      .withColumn("total_7d", sum(col("__total")).over(w)
+        .cast("decimal(18,2)").cast("double"))
+      .select(col("user_id"), col("day").cast("timestamp_ntz").as("day"),
+        col("n"), col("__total").cast("double").as("total"),
+        col("n_7d"), col("total_7d"))
+      .orderBy("user_id", "day")
+  }
+
   val queries: Map[String, Q] = Map(
     "q108_interval_join" -> q108IntervalJoin _,
+    "q111_moving_average" -> q111MovingAverage _,
     "q109_event_transitions" -> q109EventTransitions _,
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project" -> q02FilterProject _,

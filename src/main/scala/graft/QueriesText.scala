@@ -779,9 +779,22 @@ object QueriesText {
     TextAnalysis.collocations(Tables.documents(s, dir), "doc_id", "text",
       minCount = 5, k = 100)
 
+  /** Deterministic weighted sampling ([[graft.operators.Scale
+    * .weightedSample]]): 200 documents drawn without replacement with
+    * probability ∝ n_chars — the data-mixing primitive for "sample
+    * big docs more" recipes. The Efraimidis–Spirakis keys, their
+    * rounding, and the (es_key, doc_id) bottom-k all replicate in
+    * DuckDB from the shared md5-prefix uniform.
+    */
+  def q110WeightedSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.weightedSample(
+      Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+      "doc_id", col("n_chars"), k = 200)
+
   val queries: Map[String, Q] = Map(
     "q106_chunking" -> q106Chunking _,
     "q107_pmi_collocations" -> q107PmiCollocations _,
+    "q110_weighted_sample" -> q110WeightedSample _,
     "q30_text_stats" -> q30TextStats _,
     "q94_unimax" -> q94Unimax _,
     "q95_readability" -> q95Readability _,
@@ -893,6 +906,19 @@ object QueriesText {
            |CROSS JOIN tp CROSS JOIN tw
            |WHERE p.n_pair >= 5
            |ORDER BY pmi DESC, p.w1, p.w2 LIMIT 100""".stripMargin,
+      // q110: same md5-prefix uniform as q51/q63, same arithmetic shape
+      // as the Spark side (u from (h+0.5)/2^32, -ln, one division,
+      // round 9, ties by doc_id).
+      "q110_weighted_sample" ->
+        """WITH s AS (
+          |  SELECT doc_id, n_chars,
+          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          |      AS h
+          |  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0)
+          |SELECT doc_id, n_chars,
+          |  round(-ln((h + 0.5) / 4294967296.0)
+          |    / CAST(n_chars AS DOUBLE), 9) AS es_key
+          |FROM s ORDER BY es_key, doc_id LIMIT 200""".stripMargin,
       "q30_text_stats" ->
         s"""SELECT doc_id,
            |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),

@@ -195,6 +195,36 @@ object Scale {
     df.filter(hashBucket(col(idCol), 100) < rateCol)
   }
 
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis A-Res): each row draws its uniform from the
+    * engine-portable [[md5Prefix32]] of its key — u = (h + 0.5)/2³²,
+    * never 0 or 1 — scores es_key = −ln(u)/w, and the k SMALLEST keys
+    * win, which is exactly a weighted reservoir sample of size k
+    * (P(row first) = wᵢ/Σw, without replacement thereafter), but
+    * stateless and reproducible across engines, runs, and
+    * partitionings. es_key is ROUNDED before selection so both
+    * engines rank the same values (libm-vs-JDK ln differs in the last
+    * ulp) with ties broken by key; the global bottom-k plans as
+    * TakeOrderedAndProject — a per-partition heap, never a full sort.
+    * Non-positive weights are excluded (−ln(u)/w has no meaning
+    * there; documented contract).
+    */
+  def weightedSample(
+      df: DataFrame,
+      keyCol: String,
+      weight: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"k=$k")
+    df.withColumn("__w", weight.cast("double"))
+      .filter(col("__w") > 0)
+      .withColumn("es_key", round(
+        -log((md5Prefix32(col(keyCol)) + lit(0.5)) / lit(4294967296.0))
+          / col("__w"), 9))
+      .drop("__w")
+      .orderBy(col("es_key"), col(keyCol))
+      .limit(k)
+  }
+
   /** EXACT stratified sampling: precisely ceil(pct% · |stratum|) rows
     * from every stratum, chosen deterministically by md5 order of the
     * key — the per-stratum-count guarantee [[mixtureSample]]'s pure
