@@ -406,6 +406,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cnt == 0L, "duplicate (point, interval) pairs")
   }
 
+  test("q103 funnel: three chained stage windows reuse ONE user exchange") {
+    val plan = graft.QueriesCore.q103Funnel(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert("Window \\[".r.findAllIn(plan).length == 3,
+      s"expected 3 Window operators:\n$plan")
+    // the whole point of chaining the stage minimums over the same
+    // partitioning: the fact table shuffles on user_id AT MOST once
+    // (at sf0.001 the scan is a single partition, which satisfies the
+    // clustered distribution with no exchange at all)
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).length <= 1,
+      s"expected at most one user_id exchange:\n$plan")
+  }
+
+  test("q108 interval join: bucketed decomposition plans as an equi-join") {
+    val plan = graft.QueriesCore.q108IntervalJoin(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join degenerated to a non-equi strategy:\n$plan")
+  }
+
   test("mptt labels form a valid nested-set encoding") {
     val nodes = Seq(
       ("r", null), ("a", "r"), ("b", "r"), ("a1", "a"), ("a2", "a"))
