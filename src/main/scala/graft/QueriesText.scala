@@ -791,10 +791,23 @@ object QueriesText {
       Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
       "doc_id", col("n_chars"), k = 200)
 
+  /** Heavy-hitter vocabulary ([[TextAnalysis.heavyHitterTokens]]):
+    * top-20 tokens via the Misra–Gries sketch-prune-then-exact-recount
+    * path. The oracle is the EXACT global top-20 — the query is only
+    * correct because the sketch's coverage guarantee holds (2000
+    * counters ≫ the top-20 frequency threshold on this corpus), so a
+    * sketch regression IS an oracle failure, not a silent
+    * quality drop.
+    */
+  def q112HeavyHitters(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.heavyHitterTokens(Tables.documents(s, dir), "text",
+      k = 20, sketchCounters = 2000)
+
   val queries: Map[String, Q] = Map(
     "q106_chunking" -> q106Chunking _,
     "q107_pmi_collocations" -> q107PmiCollocations _,
     "q110_weighted_sample" -> q110WeightedSample _,
+    "q112_heavy_hitters" -> q112HeavyHitters _,
     "q30_text_stats" -> q30TextStats _,
     "q94_unimax" -> q94Unimax _,
     "q95_readability" -> q95Readability _,
@@ -919,6 +932,16 @@ object QueriesText {
           |  round(-ln((h + 0.5) / 4294967296.0)
           |    / CAST(n_chars AS DOUBLE), 9) AS es_key
           |FROM s ORDER BY es_key, doc_id LIMIT 200""".stripMargin,
+      // q112: the oracle is the EXACT top-20 — hash-equality proves the
+      // sketch candidate set covered the true heavy hitters.
+      "q112_heavy_hitters" ->
+        s"""WITH tok AS (
+           |  SELECT unnest(list_filter(string_split($norm, ' '),
+           |    x -> x <> '')) AS token
+           |  FROM documents)
+           |SELECT token, CAST(count(*) AS BIGINT) AS n
+           |FROM tok GROUP BY token
+           |ORDER BY n DESC, token LIMIT 20""".stripMargin,
       "q30_text_stats" ->
         s"""SELECT doc_id,
            |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),

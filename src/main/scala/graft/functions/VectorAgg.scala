@@ -55,6 +55,9 @@ private[functions] object ExpressionEncoderShim {
   // the buffer crosses the wire in partial aggregation
   val doubleArray: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
   val doubleSeq: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
+  val stringSeq: Encoder[Seq[String]] = ExpressionEncoder[Seq[String]]()
+  val stringLongMap: Encoder[Map[String, Long]] =
+    ExpressionEncoder[Map[String, Long]]()
 }
 
 object VectorAgg {

@@ -94,6 +94,37 @@ object TextAnalysis {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Heavy-hitter vocabulary by sketch-prune-then-exact-recount — the
+    * 100 TB alternative to [[vocabTopK]]'s full vocabulary aggregate:
+    * a [[graft.functions.MisraGries]] sketch pass first reduces the
+    * token stream to ≤ `sketchCounters` candidate keys WITHOUT a
+    * vocabulary-wide shuffle (one bounded buffer per partition), the
+    * candidate set broadcasts back, and only candidate tokens are
+    * exact-counted and ranked. The result EQUALS the exact global
+    * top-k whenever every true top-k token's count exceeds
+    * n_tokens/(sketchCounters+1) — the MG guarantee; size
+    * sketchCounters ≫ k·(n/cₖ) margin accordingly (here 2000 counters
+    * for k=20 over a corpus whose top tokens are stopword-frequent).
+    * The sketch's own counts are merge-order-dependent and are NEVER
+    * reported — only its keys gate the exact recount.
+    */
+  def heavyHitterTokens(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      k: Int,
+      sketchCounters: Int): org.apache.spark.sql.DataFrame = {
+    def toks = filter(split(normalizeText(col(textCol)), " "), t => t =!= "")
+    val cand = df.select(toks.as("__t"))
+      .agg(graft.functions.HeavyHitters.misraGries(col("__t"),
+        sketchCounters).as("__mg"))
+      .select(explode(map_keys(col("__mg"))).as("token"))
+    df.select(explode(toks).as("token"))
+      .join(broadcast(cand), Seq("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+  }
+
   /** Fixed-size overlapping word-window chunking — the RAG/embedding
     * preprocessing step: chunk i of a document covers normalized-word
     * positions [i·stride, i·stride+chunkSize); a doc of ≤chunkSize

@@ -406,6 +406,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cnt == 0L, "duplicate (point, interval) pairs")
   }
 
+  test("misra-gries: coverage bound holds across merges; recount = exact") {
+    // skewed synthetic stream, 8-way partitioned so partial sketches
+    // really merge, sketch far smaller than the vocabulary
+    val rows = spark.range(0, 9000).select(
+      array(when(col("id") % 3 === 0, lit("hot"))
+        .when(col("id") % 3 === 1, lit("warm"))
+        .otherwise(concat(lit("u"), col("id")))).as("toks"))
+      .repartition(8)
+    val sketch = rows
+      .agg(graft.functions.HeavyHitters.misraGries(col("toks"), 10)
+        .as("mg"))
+      .select(explode(org.apache.spark.sql.functions.map_keys(col("mg")))
+        .as("token"))
+      .as[String].collect().toSet
+    // n = 9000 tokens, 10 counters → every token with count > 9000/11
+    // (hot 3000, warm 3000) is GUARANTEED present; uniques (count 1)
+    // carry no guarantee either way
+    assert(sketch.contains("hot") && sketch.contains("warm"),
+      s"MG lost a guaranteed heavy hitter: $sketch")
+    assert(sketch.size <= 10, s"sketch exceeded its bound: ${sketch.size}")
+
+    // end to end on the real corpus: sketch-prune-then-recount must
+    // EQUAL the exact top-20 (the q112 contract)
+    val got = TextAnalysis.heavyHitterTokens(docs, "text", 20, 2000)
+      .as[(String, Long)].collect().toSeq
+    val exact = docs.select(explode(filter(
+        split(TextAnalysis.normalizeText(col("text")), " "),
+        t => t =!= "")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(20)
+      .as[(String, Long)].collect().toSeq
+    assert(got == exact)
+  }
+
   test("q103 funnel: three chained stage windows reuse ONE user exchange") {
     val plan = graft.QueriesCore.q103Funnel(spark, sf)
       .queryExecution.sparkPlan.toString
