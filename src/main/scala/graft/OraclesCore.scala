@@ -416,6 +416,17 @@ object OraclesCore {
         |       AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // q113: batch count/min/max twin of the streaming keyed-state
+    // accumulator, at full microsecond precision.
+    "q113_stream_error_accumulate" ->
+      """WITH e AS (
+        |  SELECT md5(CAST(user_id AS VARCHAR) || ':' ||
+        |             CAST(event_id % 7 AS VARCHAR)) AS error_id, ts
+        |  FROM events WHERE event_type = 'error')
+        |SELECT error_id, CAST(count(*) AS BIGINT) AS n,
+        |  min(ts) AS first_seen, max(ts) AS last_seen
+        |FROM e GROUP BY error_id ORDER BY error_id""".stripMargin,
+
     // q111: integer RANGE frame (6 PRECEDING..CURRENT) over the day
     // index in both engines; decimal-exact daily and windowed sums,
     // one shared decimal->double cast at the end (q01 parity pattern).

@@ -1116,8 +1116,66 @@ object QueriesCore {
       .orderBy("user_id", "day")
   }
 
+  /** STREAMING error accumulation promoted to the declared surface —
+    * the third §2.10 path (mapGroupsWithState,
+    * [[graft.streaming.ErrorsStream.accumulate]]) under the hash gate:
+    * error events, content-addressed to ~1000 distinct error ids, are
+    * streamed as three hash-split micro-batches (arrival order is
+    * irrelevant here — count/min/max are order-free, unlike q105's
+    * sessions) and the keyed state's final rows must equal DuckDB's
+    * batch count/min/max aggregate at FULL microsecond precision (the
+    * state carries micros explicitly; Timestamp.getTime alone would
+    * truncate). The update-log reduction keys on count, which strictly
+    * increases across a key's updates, so max(struct(n, …)) is
+    * unambiguous.
+    */
+  def q113StreamErrorAccumulate(s: SparkSession, dir: String): DataFrame = {
+    val errs = Tables.events(s, dir)
+      .filter(col("event_type") === "error")
+      .select(md5(concat_ws(":", col("user_id"),
+        pmod(col("event_id"), lit(7)))).as("error_id"),
+        col("ts"), col("event_id"))
+    val root = java.nio.file.Files.createTempDirectory("q113-stream").toString
+    val src = s"$root/src"
+    Seq(0, 1, 2).foreach { r =>
+      errs.filter(pmod(col("event_id"), lit(3)) === r)
+        .select("error_id", "ts")
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val name = java.nio.file.Paths.get(root).getFileName.toString
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    try {
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val occ = s.readStream.schema(s.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+          .as(org.apache.spark.sql.Encoders
+            .product[graft.streaming.ErrorsStream.ErrOccurrence])
+        graft.streaming.ErrorsStream.accumulate(occ)
+          .toDF()
+          .writeStream.outputMode("update").format("memory")
+          .queryName(name).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      q.processAllAvailable()
+      q.stop()
+      val out = s.table(name)
+        .groupBy(col("error_id"))
+        .agg(max(struct(col("count"), col("first_seen"),
+          col("last_seen"))).as("m"))
+        .select(col("error_id"), col("m.count").as("n"),
+          col("m.first_seen").cast("timestamp_ntz").as("first_seen"),
+          col("m.last_seen").cast("timestamp_ntz").as("last_seen"))
+        .orderBy("error_id")
+        .localCheckpoint(true) // materialize before the finally deletes
+      s.catalog.dropTempView(name)
+      out
+    } finally TmpTrees.delete(root)
+  }
+
   val queries: Map[String, Q] = Map(
     "q108_interval_join" -> q108IntervalJoin _,
+    "q113_stream_error_accumulate" -> q113StreamErrorAccumulate _,
     "q111_moving_average" -> q111MovingAverage _,
     "q109_event_transitions" -> q109EventTransitions _,
     "q01_pricing_summary" -> q01PricingSummary _,
