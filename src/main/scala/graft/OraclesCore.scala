@@ -416,6 +416,20 @@ object OraclesCore {
         |       AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // q114: melt of the pivot matrix — every (user, type) cell incl.
+    // zeros, rebuilt relationally as a spine LEFT JOIN counts.
+    "q114_unpivot" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |t AS (SELECT unnest(['click','error','purchase','signup','view'])
+        |        AS event_type),
+        |c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM events GROUP BY user_id, event_type)
+        |SELECT u.user_id, t.event_type, coalesce(c.n, 0) AS n
+        |FROM u CROSS JOIN t
+        |LEFT JOIN c ON u.user_id = c.user_id
+        |  AND t.event_type = c.event_type
+        |ORDER BY u.user_id, t.event_type""".stripMargin,
+
     // q113: batch count/min/max twin of the streaming keyed-state
     // accumulator, at full microsecond precision.
     "q113_stream_error_accumulate" ->

@@ -1173,8 +1173,20 @@ object QueriesCore {
     } finally TmpTrees.delete(root)
   }
 
+  /** Unpivot (melt) — the inverse of q2a's pivot, closing the
+    * wide↔long reshaping pair: the per-user event-type count matrix
+    * back to (user_id, event_type, n) rows, zero cells preserved.
+    * `Dataset.unpivot` plans as a single Expand over the wide frame —
+    * no join, no shuffle beyond the pivot's own aggregation.
+    */
+  def q114Unpivot(s: SparkSession, dir: String): DataFrame =
+    q2aPivot(s, dir)
+      .unpivot(Array(col("user_id")), "event_type", "n")
+      .orderBy("user_id", "event_type")
+
   val queries: Map[String, Q] = Map(
     "q108_interval_join" -> q108IntervalJoin _,
+    "q114_unpivot" -> q114Unpivot _,
     "q113_stream_error_accumulate" -> q113StreamErrorAccumulate _,
     "q111_moving_average" -> q111MovingAverage _,
     "q109_event_transitions" -> q109EventTransitions _,
