@@ -803,11 +803,26 @@ object QueriesText {
     TextAnalysis.heavyHitterTokens(Tables.documents(s, dir), "text",
       k = 20, sketchCounters = 2000)
 
+  /** TextRank keywords ([[TextAnalysis.textRank]]): 5 weighted-
+    * PageRank rounds over the ≥5-support co-occurrence graph, top-50
+    * by (score desc, node). The oracle UNROLLS all five iterations as
+    * chained CTEs — possible because scores are rounded to 6 decimals
+    * after every round, pinning both engines to the same trajectory —
+    * so graph construction, symmetrization, damping, per-round
+    * normalization, and the final ranking are all hash-gated.
+    */
+  def q115TextRank(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.textRank(Tables.documents(s, dir), "text",
+        minPairCount = 5, iterations = 5)
+      .orderBy(col("pr").desc, col("node"))
+      .limit(50)
+
   val queries: Map[String, Q] = Map(
     "q106_chunking" -> q106Chunking _,
     "q107_pmi_collocations" -> q107PmiCollocations _,
     "q110_weighted_sample" -> q110WeightedSample _,
     "q112_heavy_hitters" -> q112HeavyHitters _,
+    "q115_textrank" -> q115TextRank _,
     "q30_text_stats" -> q30TextStats _,
     "q94_unimax" -> q94Unimax _,
     "q95_readability" -> q95Readability _,
@@ -932,6 +947,41 @@ object QueriesText {
           |  round(-ln((h + 0.5) / 4294967296.0)
           |    / CAST(n_chars AS DOUBLE), 9) AS es_key
           |FROM s ORDER BY es_key, doc_id LIMIT 200""".stripMargin,
+      // q115: fully unrolled weighted PageRank — five chained CTE
+      // rounds, each mirroring the Spark side's (pr*w)/sumw
+      // contribution, 0.15 + 0.85*sum damping, and round-6 projection.
+      "q115_textrank" -> {
+        val iters = 5
+        val base =
+          s"""WITH pairs AS (
+             |  SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM (
+             |    SELECT unnest(t[1:len(t)-1]) AS a,
+             |           unnest(t[2:len(t)]) AS b
+             |    FROM (SELECT list_filter(string_split($norm, ' '),
+             |            x -> x <> '') AS t FROM documents)
+             |    WHERE len(t) >= 2)
+             |  WHERE a <> b GROUP BY a, b HAVING count(*) >= 5),
+             |edges AS (
+             |  SELECT a, b, CAST(sum(c) AS BIGINT) AS w FROM (
+             |    SELECT a, b, c FROM pairs
+             |    UNION ALL SELECT b AS a, a AS b, c FROM pairs)
+             |  GROUP BY a, b),
+             |deg AS (SELECT a AS node, CAST(sum(w) AS BIGINT) AS sumw
+             |        FROM edges GROUP BY a),
+             |pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM deg)"""
+            .stripMargin
+        val rounds = (1 to iters).map { k =>
+          s"""pr$k AS (
+             |  SELECT e.b AS node,
+             |    round(0.15 + 0.85 * sum(p.pr * e.w / d.sumw), 6) AS pr
+             |  FROM edges e
+             |  JOIN deg d ON e.a = d.node
+             |  JOIN pr${k - 1} p ON e.a = p.node
+             |  GROUP BY e.b)""".stripMargin
+        }
+        (base +: rounds).mkString(",\n") +
+          s"\nSELECT node, pr FROM pr$iters ORDER BY pr DESC, node LIMIT 50"
+      },
       // q112: the oracle is the EXACT top-20 — hash-equality proves the
       // sketch candidate set covered the true heavy hitters.
       "q112_heavy_hitters" ->

@@ -94,6 +94,67 @@ object TextAnalysis {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** TextRank keyword scoring — weighted PageRank over the word
+    * co-occurrence graph (Mihalcea & Tarau 2004): nodes are tokens,
+    * undirected edges are adjacent-pair counts with support ≥
+    * `minPairCount` (both directions merged, self-loops dropped), and
+    * `iterations` rounds of PR(i) = (1−d) + d·Σ_j w_ij/S_j·PR(j) run
+    * as DataFrame joins — each round one shuffle join of the edge list
+    * against the current score vector plus one aggregate, the same
+    * iterative-operator shape as connected components (dead per-round
+    * checkpoints dropped via [[graft.operators.Checkpoints]]).
+    * Scores are ROUNDED to 6 decimals after every round: that pins
+    * the fixpoint trajectory to values both engines reach identically
+    * (per-round double sums agree to ~1e-13; the round collapses
+    * them), which is what makes a fully UNROLLED SQL oracle possible.
+    * Node set = edge endpoints, so no isolated nodes exist and the
+    * neighbor sum is never null.
+    */
+  def textRank(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      minPairCount: Int,
+      iterations: Int,
+      damping: Double = 0.85): org.apache.spark.sql.DataFrame = {
+    require(iterations >= 1 && damping > 0 && damping < 1)
+    def toks = filter(split(normalizeText(col(textCol)), " "), t => t =!= "")
+    val pairs = df.select(toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__t")) - 1),
+        i => struct(element_at(col("__t"), i).as("a"),
+          element_at(col("__t"), i + 1).as("b")))).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minPairCount)
+    // symmetrize: w(a,b) = c(a,b) + c(b,a), kept in BOTH directions
+    val edges = pairs.unionByName(
+        pairs.select(col("b").as("a"), col("a").as("b"), col("c")))
+      .groupBy("a", "b").agg(sum(col("c")).as("w"))
+      .localCheckpoint(true)
+    val degrees = edges.groupBy(col("a").as("node"))
+      .agg(sum(col("w")).as("sumw"))
+    var pr = degrees.select(col("node"), lit(1.0).as("pr"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val prev = pr
+      val contrib = edges
+        .join(degrees.withColumnRenamed("node", "a"), Seq("a"))
+        .join(prev.withColumnRenamed("node", "a"), Seq("a"))
+        .select(col("b").as("node"),
+          (col("pr") * col("w") / col("sumw")).as("__c"))
+      pr = contrib.groupBy("node")
+        .agg(round(lit(1.0 - damping) + lit(damping) * sum(col("__c")), 6)
+          .as("pr"))
+        .localCheckpoint(true)
+      Checkpoints.drop(prev)
+    }
+    val out = pr
+    Checkpoints.drop(edges)
+    out
+  }
+
   /** Heavy-hitter vocabulary by sketch-prune-then-exact-recount — the
     * 100 TB alternative to [[vocabTopK]]'s full vocabulary aggregate:
     * a [[graft.functions.MisraGries]] sketch pass first reduces the
