@@ -416,6 +416,38 @@ object OraclesCore {
         |       AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // q116: lag/cumsum sessionization at MICROsecond precision with the
+    // session_window close rule (break on diff >= gap, vs q105's
+    // millisecond strict->).
+    "q116_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(value AS DECIMAL(18,2)) AS v,
+        |    CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(CAST(sum(v) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // q117: the same statistical aggregates; rounding absorbs the
+    // engines' differing floating accumulation orders.
+    "q117_group_stats" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     // q114: melt of the pivot matrix — every (user, type) cell incl.
     // zeros, rebuilt relationally as a spine LEFT JOIN counts.
     "q114_unpivot" ->

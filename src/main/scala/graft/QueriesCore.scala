@@ -1184,8 +1184,48 @@ object QueriesCore {
       .unpivot(Array(col("user_id")), "event_type", "n")
       .orderBy("user_id", "event_type")
 
+  /** Built-in session windows — the declarative twin of q105's
+    * custom-state sessionizer: `session_window(ts, gap)` in a plain
+    * groupBy, letting Catalyst's SessionWindow node do the merging
+    * (30-minute gap; the window CLOSES at exactly-gap spacing, i.e.
+    * break on diff ≥ gap, vs the state machine's strict >, and works
+    * at full microsecond precision — both mirrored in the oracle).
+    * One shuffle on user_id; decimal-exact sums.
+    */
+  def q116SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("__total"))
+      .select(col("user_id"),
+        col("sw.start").cast("timestamp_ntz").as("session_start"),
+        col("n_events"),
+        col("__total").cast("decimal(18,2)").cast("double")
+          .as("total_value"))
+      .orderBy("user_id", "session_start")
+
+  /** Grouped statistics suite — the SQL statistical aggregates a
+    * profiling pass runs (avg/stddev/corr/covar), per return flag over
+    * lineitem. Single map-side-combined aggregate; results rounded so
+    * both engines' floating accumulation orders agree.
+    */
+  def q117GroupStats(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6)
+          .as("covar_qty_disc"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, Q] = Map(
     "q108_interval_join" -> q108IntervalJoin _,
+    "q116_session_window" -> q116SessionWindow _,
+    "q117_group_stats" -> q117GroupStats _,
     "q114_unpivot" -> q114Unpivot _,
     "q113_stream_error_accumulate" -> q113StreamErrorAccumulate _,
     "q111_moving_average" -> q111MovingAverage _,
