@@ -817,7 +817,25 @@ object QueriesText {
       .orderBy(col("pr").desc, col("node"))
       .limit(50)
 
+  /** Image perceptual fingerprints ([[graft.sources.Multimodal
+    * .imageDHash]]): the corpus packed as REAL decodable PPM images
+    * (deterministic pixels from text bytes), decoded in batched
+    * partition-local calls and dHashed — the image-dedup analog of
+    * SimHash. Rows-only at the gate (binary decode has no DuckDB
+    * twin); format-invariance, monotone-brightness invariance, and
+    * exact-dup grouping are spec-asserted (SourcesSpec).
+    */
+  def q118ImageDhash(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.sources.Multimodal.packAsPpmMedia(
+      Tables.documents(s, dir), "doc_id", "text")
+    graft.sources.Multimodal.imageDHash(media)
+      .select(col("media_id"), lower(hex(col("dhash"))).as("dhash_hex"),
+        col("decoder"))
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q118_image_dhash" -> q118ImageDhash _,
     "q106_chunking" -> q106Chunking _,
     "q107_pmi_collocations" -> q107PmiCollocations _,
     "q110_weighted_sample" -> q110WeightedSample _,

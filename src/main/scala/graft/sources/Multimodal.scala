@@ -464,6 +464,75 @@ object Multimodal {
 
     def decodeBatch(payloads: Seq[Array[Byte]], dim: Int): Seq[Array[Float]] =
       decodeBatchTagged(payloads, dim).map(_._1)
+
+    /** Difference-hash (dHash) perceptual fingerprint from REAL decoded
+      * pixels: Rec.601 grayscale, nearest-neighbor downsample to 9×8,
+      * 64 bits of left-vs-right brightness comparisons. Invariant to
+      * container format (same pixels → same hash whatever the codec)
+      * and to any monotone brightness remap (only ORDER of adjacent
+      * intensities matters); near-duplicate re-encodes land within a
+      * small Hamming distance. Fully deterministic — our own decoder
+      * and sampling, no interpolation-library variance.
+      */
+    def dHash(img: DecodedImage): Long = {
+      val w = 9; val h = 8
+      val g = new Array[Double](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val sx = math.min((x.toLong * img.width / w).toInt, img.width - 1)
+          val sy = math.min((y.toLong * img.height / h).toInt, img.height - 1)
+          val off = (sy * img.width + sx) * 3
+          g(y * w + x) = 0.299 * (img.rgb(off) & 0xFF) +
+            0.587 * (img.rgb(off + 1) & 0xFF) +
+            0.114 * (img.rgb(off + 2) & 0xFF)
+          x += 1
+        }
+        y += 1
+      }
+      var bits = 0L
+      y = 0
+      while (y < h) {
+        var x = 0
+        while (x < 8) {
+          bits <<= 1
+          if (g(y * w + x) < g(y * w + x + 1)) bits |= 1L
+          x += 1
+        }
+        y += 1
+      }
+      bits
+    }
+
+    /** Decode + dHash with provenance; None for payloads that are not
+      * decodable images (audio, stubs) — image dedup must never hash
+      * undecoded bytes as if they were pixels.
+      */
+    def dHashBatch(payloads: Seq[Array[Byte]]): Seq[(Option[Long], String)] =
+      payloads.map { bytes =>
+        decodeBmp(bytes).map(i => (Some(dHash(i)), "image/bmp"))
+          .orElse(decodePpm(bytes).map(i => (Some(dHash(i)), "image/ppm")))
+          .orElse(decodePng(bytes).map(i => (Some(dHash(i)), "image/png")))
+          .orElse(decodeImageIO(bytes).map(i =>
+            (Some(dHash(i)), "image/imageio")))
+          .getOrElse((None, "undecodable"))
+      }
+
+    /** Deterministic P6 PPM payload synthesized from a byte seed —
+      * pixels are the seed bytes tiled over w×h×3. Used to build REAL
+      * decodable images from the text corpus so the image-dedup path
+      * exercises genuine decode→hash, not the stub fold.
+      */
+    def synthPpm(seed: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val px = new Array[Byte](w * h * 3)
+      if (seed != null && seed.nonEmpty) {
+        var i = 0
+        while (i < px.length) { px(i) = seed(i % seed.length); i += 1 }
+      }
+      header ++ px
+    }
   }
 
   /** Pack a text table into the media schema with deterministic fake
@@ -502,6 +571,46 @@ object Multimodal {
         batch.map(_._1).zip(feats).map { case (id, (f, tag)) => (id, f, tag) }
       }
     }.toDF("media_id", "features", "decoder")
+  }
+
+  /** Image near-dup fingerprints: batched partition-local decode →
+    * [[MediaCodec.dHash]] over the media table — the image-dedup
+    * analog of the text corpus's SimHash. Same mapPartitions boundary
+    * discipline as [[decodeFeatures]] (batched, no driver, no per-row
+    * codec setup); downstream, exact-duplicate images group on the
+    * hash directly and near-duplicates band the 64 bits exactly like
+    * the SimHash pipeline. Non-image payloads yield a null hash with
+    * an "undecodable" tag rather than a hash of raw bytes.
+    */
+  def imageDHash(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val hs = MediaCodec.dHashBatch(batch.map(_._2))
+          batch.map(_._1).zip(hs).map { case (id, (h, tag)) =>
+            (id, h, tag)
+          }
+        }
+      }.toDF("media_id", "dhash", "decoder")
+  }
+
+  /** Pack a text table as REAL decodable PPM images (deterministic
+    * pixels from the text bytes) — the ingestion twin of
+    * [[packAsMedia]] for paths that must exercise genuine
+    * decode→hash work rather than the stub fold.
+    */
+  def packAsPpmMedia(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val seed = Option(text).getOrElse("").getBytes("UTF-8")
+        (id, MediaCodec.synthPpm(seed, 48, 36))
+      }.toDF("media_id", "bytes")
   }
 
   /** "Resize" metadata transform — pure column math on the typed meta

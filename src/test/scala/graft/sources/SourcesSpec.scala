@@ -118,6 +118,61 @@ class SourcesSpec extends AnyFunSuite {
     buf.array()
   }
 
+  test("dHash: format-invariant, brightness-invariant, discriminative") {
+    def makePpm(pixels: Array[Array[(Int, Int, Int)]]): Array[Byte] = {
+      val h = pixels.length; val w = pixels.head.length
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      header ++ pixels.flatMap(_.flatMap { case (r, g, b) =>
+        Seq(r.toByte, g.toByte, b.toByte) })
+    }
+    // 16x16 horizontal gradient, coarse steps so transforms below
+    // preserve strict brightness ordering
+    def grad(shift: Int, transpose: Boolean) =
+      Array.tabulate(16, 16) { (y, x) =>
+        val v = (if (transpose) y else x) * 12 + shift
+        (v, v, v)
+      }.map(_.toArray)
+    val base = grad(0, transpose = false)
+    val hBmp = Multimodal.MediaCodec.dHash(
+      Multimodal.MediaCodec.decodeBmp(makeBmp(base)).get)
+    val hPpm = Multimodal.MediaCodec.dHash(
+      Multimodal.MediaCodec.decodePpm(makePpm(base)).get)
+    // same pixels, different container → identical fingerprint
+    assert(hBmp == hPpm)
+    // monotone brightness shift → identical fingerprint (dHash keys on
+    // ORDER of adjacent intensities, not their values)
+    val hShift = Multimodal.MediaCodec.dHash(
+      Multimodal.MediaCodec.decodePpm(makePpm(grad(40, transpose = false))).get)
+    assert(hShift == hBmp)
+    // a genuinely different image (vertical gradient) must not collide
+    val hVert = Multimodal.MediaCodec.dHash(
+      Multimodal.MediaCodec.decodePpm(makePpm(grad(0, transpose = true))).get)
+    assert(hVert != hBmp)
+  }
+
+  test("imageDHash pipeline: real PPM decode, exact-dup texts collide") {
+    val docs = Seq(
+      (1L, "the same text payload"),
+      (2L, "the same text payload"), // exact dup of 1
+      (3L, "a completely different document body here")).toDF("doc_id", "text")
+    val got = Multimodal.imageDHash(
+        Multimodal.packAsPpmMedia(docs, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]), r.getString(2))).toMap
+    assert(got.values.forall(_._2 == "image/ppm"))
+    assert(got(1L)._1.isDefined && got(1L)._1 == got(2L)._1,
+      "identical payloads must produce identical fingerprints")
+    assert(got(1L)._1 != got(3L)._1,
+      "distinct documents should not collide")
+    // non-image payloads must yield null hash + undecodable tag, never
+    // a hash of raw bytes
+    val stub = Multimodal.imageDHash(
+        docs.select(col("doc_id").cast("long").as("media_id"),
+          col("text").cast("binary").as("bytes")))
+      .collect()
+    assert(stub.forall(r => r.isNullAt(1) && r.getString(2) == "undecodable"))
+  }
+
   test("BMP payloads decode to real pixels through the batch boundary") {
     // 2x2: red, green / blue, white — distinct corners prove row order
     // and BGR→RGB handling
