@@ -462,6 +462,21 @@ object OraclesCore {
         |  AND t.event_type = c.event_type
         |ORDER BY u.user_id, t.event_type""".stripMargin,
 
+    // q119: identical result contract to q108 — the stream-stream join
+    // must reproduce the batch inequality join exactly.
+    "q119_stream_stream_join" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS purchase_id, ts AS pts,
+        |    ts + INTERVAL 2 HOUR AS pend
+        |  FROM events WHERE event_type = 'purchase'),
+        |e AS (
+        |  SELECT user_id, event_id AS error_id, ts FROM events
+        |  WHERE event_type = 'error')
+        |SELECT e.user_id, e.error_id, p.purchase_id
+        |FROM e JOIN p ON e.user_id = p.user_id
+        |  AND e.ts >= p.pts AND e.ts < p.pend
+        |ORDER BY e.user_id, e.error_id, p.purchase_id""".stripMargin,
+
     // q113: batch count/min/max twin of the streaming keyed-state
     // accumulator, at full microsecond precision.
     "q113_stream_error_accumulate" ->

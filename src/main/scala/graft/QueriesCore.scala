@@ -1222,8 +1222,64 @@ object QueriesCore {
           .as("covar_qty_disc"))
       .orderBy("l_returnflag")
 
+  /** STREAM-STREAM interval join — the remaining §2.10 join shape:
+    * the error and purchase streams (two independent file sources over
+    * the same micro-batched directory) joined on user plus an
+    * event-time range condition, exactly q108's semantics as a
+    * watermarked stream-stream inner join. The watermark (61 days)
+    * exceeds the table span so no state evicts and the append-mode
+    * result must equal q108's batch oracle REGARDLESS of arrival
+    * order — which is why hash-split micro-batches are fine here,
+    * unlike q105's order-dependent session state. At production scale
+    * the same query runs with a tight watermark and the range
+    * condition bounds join state to the 2-hour window.
+    */
+  def q119StreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    val root = java.nio.file.Files.createTempDirectory("q119-stream").toString
+    val src = s"$root/src"
+    Seq(0, 1, 2).foreach { r =>
+      ev.filter(pmod(col("event_id"), lit(3)) === r)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val name = java.nio.file.Paths.get(root).getFileName.toString
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    try {
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        def read() = graft.streaming.EventsStream
+          .readEvents(s, src, maxFilesPerTrigger = Some(1))
+        val errors = read().filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("error_id"),
+            col("ts").as("ets"))
+          .withWatermark("ets", "87840 minutes")
+        val purchases = read().filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user_id"),
+            col("event_id").as("purchase_id"), col("ts").as("pts"))
+          .withWatermark("pts", "87840 minutes")
+        errors.join(purchases,
+            col("user_id") === col("p_user_id") &&
+              col("ets") >= col("pts") &&
+              col("ets") < col("pts") + expr("INTERVAL 2 HOURS"))
+          .select(col("user_id"), col("error_id"), col("purchase_id"))
+          .writeStream.outputMode("append").format("memory")
+          .queryName(name).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      q.processAllAvailable()
+      q.stop()
+      val out = s.table(name)
+        .orderBy("user_id", "error_id", "purchase_id")
+        .localCheckpoint(true) // materialize before the finally deletes
+      s.catalog.dropTempView(name)
+      out
+    } finally TmpTrees.delete(root)
+  }
+
   val queries: Map[String, Q] = Map(
     "q108_interval_join" -> q108IntervalJoin _,
+    "q119_stream_stream_join" -> q119StreamStreamJoin _,
     "q116_session_window" -> q116SessionWindow _,
     "q117_group_stats" -> q117GroupStats _,
     "q114_unpivot" -> q114Unpivot _,
