@@ -462,6 +462,45 @@ object OraclesCore {
         |  AND t.event_type = c.event_type
         |ORDER BY u.user_id, t.event_type""".stripMargin,
 
+    "q120_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority"""
+        .stripMargin,
+
+    "q121_rank_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  round(percent_rank() OVER w, 6) AS prnk,
+        |  round(cume_dist() OVER w, 6) AS cdist,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q122_intersect" ->
+      """WITH early AS (
+        |  SELECT o_custkey FROM orders WHERE o_orderdate < DATE '1998-01-01'),
+        |late AS (
+        |  SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '1998-01-01'),
+        |u AS (
+        |  SELECT o_custkey, 'distinct' AS kind FROM
+        |    (SELECT o_custkey FROM early INTERSECT SELECT o_custkey FROM late)
+        |  UNION ALL
+        |  SELECT o_custkey, 'all' AS kind FROM
+        |    (SELECT o_custkey FROM early INTERSECT ALL
+        |     SELECT o_custkey FROM late))
+        |SELECT kind, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_keys
+        |FROM u GROUP BY kind ORDER BY kind""".stripMargin,
+
     // q119: identical result contract to q108 — the stream-stream join
     // must reproduce the batch inequality join exactly.
     "q119_stream_stream_join" ->

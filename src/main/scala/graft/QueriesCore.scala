@@ -1277,8 +1277,70 @@ object QueriesCore {
     } finally TmpTrees.delete(root)
   }
 
+  /** Explicit GROUPING SETS — the generalization q22's ROLLUP and
+    * q99's CUBE are shorthands for: order counts by {(status,
+    * priority), (status), (priority), ()} with GROUPING() flags
+    * disambiguating real nulls from subtotal rows. One Expand +
+    * one aggregate, same as rollup/cube.
+    */
+  def q120GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.createOrReplaceTempView("__q120_orders")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority,
+        CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+        count(*) AS n
+      FROM __q120_orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        (o_orderstatus), (o_orderpriority), ())
+      ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""")
+  }
+
+  /** Ranking-function suite — rank / dense_rank / percent_rank /
+    * cume_dist / ntile over one deterministic total order per
+    * customer (ties broken by orderkey so every engine ranks
+    * identically). One window partitioning serves all five.
+    */
+  def q121RankSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        rank().over(w).cast("bigint").as("rnk"),
+        dense_rank().over(w).cast("bigint").as("drnk"),
+        round(percent_rank().over(w), 6).as("prnk"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        ntile(4).over(w).cast("bigint").as("quartile"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** INTERSECT / INTERSECT ALL — the set-operation family's remaining
+    * members (SO1/SO4/SO5 cover MINUS, EXCEPT ALL, symmetric diff):
+    * customers appearing in BOTH the early and late order snapshots,
+    * with multiplicity semantics exercised by the ALL variant.
+    */
+  def q122Intersect(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val early = o.filter(col("o_orderdate") < lit("1998-01-01").cast("date"))
+      .select(col("o_custkey"))
+    val late = o.filter(col("o_orderdate") >= lit("1998-01-01").cast("date"))
+      .select(col("o_custkey"))
+    early.intersect(late)
+      .withColumn("kind", lit("distinct"))
+      .unionByName(early.intersectAll(late)
+        .withColumn("kind", lit("all")))
+      .groupBy("kind").agg(count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("n_keys"))
+      .orderBy("kind")
+  }
+
   val queries: Map[String, Q] = Map(
     "q108_interval_join" -> q108IntervalJoin _,
+    "q120_grouping_sets" -> q120GroupingSets _,
+    "q121_rank_suite" -> q121RankSuite _,
+    "q122_intersect" -> q122Intersect _,
     "q119_stream_stream_join" -> q119StreamStreamJoin _,
     "q116_session_window" -> q116SessionWindow _,
     "q117_group_stats" -> q117GroupStats _,
