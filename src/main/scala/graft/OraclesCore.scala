@@ -462,6 +462,26 @@ object OraclesCore {
         |  AND t.event_type = c.event_type
         |ORDER BY u.user_id, t.event_type""".stripMargin,
 
+    // q123: "earliest at-or-after within tolerance" — the min following
+    // purchase per error; because the minimum IS the closest following
+    // match, min-within-tolerance equals match-then-tolerance-null.
+    "q123_asof_forward" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id AS error_id, ts FROM events
+        |  WHERE event_type = 'error'),
+        |p AS (
+        |  SELECT user_id, ts AS pts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, ts),
+        |m AS (
+        |  SELECT e.user_id, e.error_id, min(p.pts) AS mts
+        |  FROM e LEFT JOIN p ON e.user_id = p.user_id
+        |    AND p.pts >= e.ts AND p.pts <= e.ts + INTERVAL 2 HOUR
+        |  GROUP BY e.user_id, e.error_id)
+        |SELECT m.user_id, m.error_id, p.purchase_id
+        |FROM m LEFT JOIN p ON m.user_id = p.user_id AND p.pts = m.mts
+        |ORDER BY m.user_id, m.error_id""".stripMargin,
+
     "q120_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,

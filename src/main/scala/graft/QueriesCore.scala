@@ -1336,8 +1336,30 @@ object QueriesCore {
       .orderBy("kind")
   }
 
+  /** Forward as-of join with tolerance
+    * ([[Relational.asOfJoinForward]]): each error event picks up the
+    * EARLIEST same-user purchase at-or-after it, nulled when farther
+    * than 2 hours — q29's backward lookup mirrored forward, plus the
+    * tolerance the pandas merge_asof contract includes. The right side
+    * is reduced to unique (user, ts) rows first (q29's tie-free rule).
+    */
+  def q123AsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("pts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    Relational.asOfJoinForward(errors, purchases, Seq("user_id"),
+        "ts", "pts", Seq("purchase_id"), toleranceSec = Some(7200L))
+      .select(col("user_id"), col("error_id"),
+        col("asof_purchase_id").as("purchase_id"))
+      .orderBy("user_id", "error_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q108_interval_join" -> q108IntervalJoin _,
+    "q123_asof_forward" -> q123AsofForward _,
     "q120_grouping_sets" -> q120GroupingSets _,
     "q121_rank_suite" -> q121RankSuite _,
     "q122_intersect" -> q122Intersect _,

@@ -233,6 +233,45 @@ object Relational {
         payload.map(p => col(s"__last.$p").as(s"asof_$p"))): _*)
   }
 
+  /** Forward as-of join with optional tolerance — pandas
+    * merge_asof(direction="forward") semantics: for every left row,
+    * attach the EARLIEST right row with `rightTs >= leftTs` within the
+    * same keys; with `toleranceSec`, matches farther than the
+    * tolerance are nulled (the left row survives unmatched). Reuses
+    * [[asOfJoin]]'s single-shuffle tagged-union core on NEGATED
+    * microsecond timestamps — "earliest at-or-after" is exactly
+    * "latest at-or-before" on the reversed axis, including the
+    * equal-instant rule. The matched right timestamp rides along as an
+    * internal payload column for the tolerance test and is dropped
+    * before returning.
+    */
+  def asOfJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      toleranceSec: Option[Long] = None): DataFrame = {
+    val l2 = left.withColumn("__neg", -unix_micros(col(leftTs)))
+    val r2 = right.withColumn("__neg", -unix_micros(col(rightTs)))
+    val carry = if (payload.contains(rightTs)) payload
+      else payload :+ rightTs
+    val joined = asOfJoin(l2, r2, keys, "__neg", "__neg", carry)
+    val withinTol = toleranceSec match {
+      case Some(t) => col(s"asof_$rightTs").isNotNull &&
+        unix_micros(col(s"asof_$rightTs")) - unix_micros(col(leftTs)) <=
+          t * 1000000L
+      case None => col(s"asof_$rightTs").isNotNull
+    }
+    val tolApplied = payload.foldLeft(joined) { (df, p) =>
+      df.withColumn(s"asof_$p", when(withinTol, col(s"asof_$p")))
+    }
+    val dropRightTs = if (payload.contains(rightTs)) Nil
+      else Seq(s"asof_$rightTs")
+    tolApplied.drop("__neg" +: dropRightTs: _*)
+  }
+
   /** Interval (range) join: for every point row, attach every interval
     * row with the same `keys` whose half-open [start, end) window
     * contains the point's timestamp. Spark has no native range-join

@@ -369,6 +369,27 @@ class OperatorsSpec extends AnyFunSuite {
       ("B", 300L, None), ("B", 400L, Some(5.0))))
   }
 
+  test("asOfJoinForward: earliest following match, equal instant, tolerance") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val quotes = Seq(
+      ("A", ts("2024-01-02 00:00:00"), 10.0),
+      ("A", ts("2024-01-05 00:00:00"), 12.0),
+      ("B", ts("2024-01-09 00:00:00"), 5.0)).toDF("sym", "qts", "px")
+    val trades = Seq(
+      ("A", ts("2024-01-01 00:00:00"), 100L), // next quote Jan 2 → 10
+      ("A", ts("2024-01-02 00:00:00"), 200L), // equal instant counts → 10
+      ("A", ts("2024-01-06 00:00:00"), 300L), // nothing follows → null
+      ("B", ts("2024-01-01 00:00:00"), 400L)) // Jan 9 > 3d tolerance → null
+      .toDF("sym", "tts", "qty")
+    val got = Relational.asOfJoinForward(trades, quotes, Seq("sym"),
+        "tts", "qts", Seq("px"), toleranceSec = Some(3L * 24 * 3600))
+      .select("qty", "asof_px").collect()
+      .map(r => r.getLong(0) ->
+        Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(got == Map(100L -> Some(10.0), 200L -> Some(10.0),
+      300L -> None, 400L -> None))
+  }
+
   test("intervalJoin: half-open windows, bucket boundaries, empty intervals") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // bucketWidthSec = 3600 → bucket edges on the hour
