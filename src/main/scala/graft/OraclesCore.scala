@@ -462,6 +462,53 @@ object OraclesCore {
         |  AND t.event_type = c.event_type
         |ORDER BY u.user_id, t.event_type""".stripMargin,
 
+    // q124: each constraint's metric recomputed independently; NOT
+    // EXISTS (not NOT IN) for the referential check to stay
+    // null-semantics-safe.
+    "q124_data_quality" ->
+      """SELECT * FROM (
+        |  SELECT 'not_null:l_shipdate' AS "constraint",
+        |    round(avg(CASE WHEN l_shipdate IS NULL THEN 1.0 ELSE 0.0 END),
+        |      6) AS metric,
+        |    avg(CASE WHEN l_shipdate IS NULL THEN 1.0 ELSE 0.0 END) <= 0.0
+        |      AS pass
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_range:l_quantity[1.0,50.0]',
+        |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |             THEN 1 ELSE 0 END) AS DOUBLE),
+        |    sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |        THEN 1 ELSE 0 END) = 0
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_range:l_discount[0.0,0.1]',
+        |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+        |             THEN 1 ELSE 0 END) AS DOUBLE),
+        |    sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+        |        THEN 1 ELSE 0 END) = 0
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'unique:o_orderkey',
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE),
+        |    count(*) = count(DISTINCT o_orderkey)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'in_range:o_totalprice[0.0,100000.0]',
+        |    CAST(sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 100000
+        |             THEN 1 ELSE 0 END) AS DOUBLE),
+        |    sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 100000
+        |        THEN 1 ELSE 0 END) = 0
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'ref:l_orderkey->o_orderkey',
+        |    CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |      AS DOUBLE),
+        |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |      = 0)
+        |ORDER BY "constraint"""".stripMargin,
+
     // q123: "earliest at-or-after within tolerance" — the min following
     // purchase per error; because the minimum IS the closest following
     // match, min-within-tolerance equals match-then-tolerance-null.

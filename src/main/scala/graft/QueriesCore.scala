@@ -1357,8 +1357,31 @@ object QueriesCore {
       .orderBy("user_id", "error_id")
   }
 
+  /** Declarative data-quality report ([[graft.operators.Quality]]):
+    * five constraints over two tables plus one referential check, each
+    * table's column constraints fused into ONE aggregate pass, the
+    * whole report a single DataFrame. Includes a deliberately failing
+    * range constraint so both verdict polarities are exercised.
+    */
+  def q124DataQuality(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quality
+    import graft.operators.Quality._
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    Quality.check(li, Seq(
+        NotNull("l_shipdate"),
+        InRange("l_quantity", 1, 50),
+        InRange("l_discount", 0, 0.1)))
+      .unionByName(Quality.check(o, Seq(
+        Unique("o_orderkey"),
+        InRange("o_totalprice", 0, 100000))))
+      .unionByName(Quality.checkRef(li, "l_orderkey", o, "o_orderkey"))
+      .orderBy("constraint")
+  }
+
   val queries: Map[String, Q] = Map(
     "q108_interval_join" -> q108IntervalJoin _,
+    "q124_data_quality" -> q124DataQuality _,
     "q123_asof_forward" -> q123AsofForward _,
     "q120_grouping_sets" -> q120GroupingSets _,
     "q121_rank_suite" -> q121RankSuite _,

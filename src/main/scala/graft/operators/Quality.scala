@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint checking — the Deequ-shaped
+  * validation pass a lake pipeline runs before publishing a table.
+  * Column constraints COMPILE TO ONE AGGREGATE PASS over the table
+  * (each constraint contributes one aggregate expression; adding a
+  * constraint never adds a scan), then pivot to one report row per
+  * constraint via a single explode. Referential constraints are the
+  * one exception: each needs its own anti-join, planned broadcast
+  * when the parent key set is small. Nothing touches the driver — the
+  * report is itself a DataFrame.
+  */
+object Quality {
+
+  sealed trait Constraint
+  /** Null fraction of `column` must be ≤ maxNullFrac (default: none). */
+  final case class NotNull(column: String, maxNullFrac: Double = 0.0)
+    extends Constraint
+  /** `column` must have no duplicate non-null values. */
+  final case class Unique(column: String) extends Constraint
+  /** All non-null values of `column` must lie in [lo, hi]. */
+  final case class InRange(column: String, lo: Double, hi: Double)
+    extends Constraint
+
+  /** Evaluate column constraints in one aggregate pass.
+    * Output: (constraint, metric, pass) — metric is the null fraction
+    * (rounded 6), duplicate count, or out-of-range count respectively.
+    */
+  def check(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    require(constraints.nonEmpty, "no constraints given")
+    val metrics = constraints.map {
+      case NotNull(c, _) =>
+        round(avg(when(col(c).isNull, 1.0).otherwise(0.0)), 6)
+      case Unique(c) =>
+        (count(col(c)) - countDistinct(col(c))).cast("double")
+      case InRange(c, lo, hi) =>
+        coalesce(sum(when(col(c) < lo || col(c) > hi, 1L)
+          .otherwise(0L)), lit(0L)).cast("double")
+    }.zipWithIndex.map { case (m, i) => m.as(s"__m$i") }
+    val row = df.agg(metrics.head, metrics.tail: _*)
+    val reportRows = constraints.zipWithIndex.map { case (c, i) =>
+      val (name, pass) = c match {
+        case NotNull(cc, f) => (s"not_null:$cc", col(s"__m$i") <= f)
+        case Unique(cc)     => (s"unique:$cc", col(s"__m$i") === 0.0)
+        case InRange(cc, lo, hi) =>
+          (s"in_range:$cc[$lo,$hi]", col(s"__m$i") === 0.0)
+      }
+      struct(lit(name).as("constraint"), col(s"__m$i").as("metric"),
+        pass.as("pass"))
+    }
+    row.select(explode(array(reportRows: _*)).as("r")).select("r.*")
+  }
+
+  /** Referential-integrity constraint: values of `childCol` must exist
+    * in `parentCol`. One anti-join (broadcast when the parent key set
+    * is dimension-sized); metric = orphan row count.
+    */
+  def checkRef(
+      child: DataFrame, childCol: String,
+      parent: DataFrame, parentCol: String): DataFrame =
+    child.select(col(childCol).as("__k"))
+      .join(parent.select(col(parentCol).as("__k")).distinct(),
+        Seq("__k"), "left_anti")
+      .agg(count(lit(1)).cast("double").as("metric"))
+      .select(lit(s"ref:$childCol->$parentCol").as("constraint"),
+        col("metric"), (col("metric") === 0.0).as("pass"))
+}
