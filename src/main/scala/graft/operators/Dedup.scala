@@ -340,6 +340,64 @@ object Dedup {
   }
 
   /** Exact Jaccard similarity of two (distinct-element) array columns. */
+  /** Sparse lexical cosine near-dup pairs — the idf-weighted
+    * counterpart of [[ngramJaccardPairs]] and the LEXICAL counterpart
+    * of the dense-embedding path: documents as L2-normalized idf
+    * vectors over their DISTINCT word shingles, pair similarity as the
+    * sparse dot product over shared shingles. Shape: one posting-list
+    * self-join keyed on shingle, df-capped (`maxDf`) so a boilerplate
+    * shingle can never turn the join quadratic — the same hot-list
+    * discipline as containment detection. Parity discipline: idf and
+    * normalized weights quantize to FIXED-POINT micros via floor —
+    * floor of an identical IEEE double is bit-deterministic in every
+    * engine, unlike round(x, n), whose Spark implementation rounds the
+    * double's shortest DECIMAL representation while DuckDB rounds the
+    * binary value (a real divergence: this operator's first draft lost
+    * one pair to exactly that boundary). All sums are then integer —
+    * exact and order-independent — so the cosine is bit-identical
+    * across engines and partitionings and the threshold filter needs
+    * no rounding guard. Degenerate all-common-shingle documents (zero
+    * norm) are dropped rather than emitting NaN (whose comparison
+    * semantics differ between engines).
+    */
+  def sparseCosinePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int,
+      maxDf: Int,
+      minCos: Double): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(graft.operators.TextAnalysis.wordShingles(col(textCol),
+        shingleLen)).as("__sh"))
+    val dfreq = sh.groupBy("__sh").agg(count(lit(1)).as("__df"))
+    val nDocs = df.agg(count(lit(1)).as("__n"))
+    // idf in fixed-point micros: floor(ln(N/df)·1e6) — exact long
+    val w = sh.join(dfreq, "__sh")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("__w6",
+        floor(log(col("__n").cast("double") / col("__df")) * 1e6))
+    val nrm = w.groupBy(idCol)
+      .agg(sqrt(sum(col("__w6") * col("__w6")).cast("double"))
+        .as("__nrm"))
+    val wn = w.join(nrm, idCol)
+      .filter(col("__nrm") > 0)
+      // normalized weight, fixed-point micros again: values in [0, 1e6]
+      .withColumn("__wn6",
+        floor(col("__w6").cast("double") / col("__nrm") * 1e6))
+      .filter(col("__df") <= maxDf)
+      .select(col(idCol), col("__sh"), col("__wn6"))
+    wn.select(col(idCol).as("id_a"), col("__sh"), col("__wn6").as("__wa"))
+      .join(wn.select(col(idCol).as("id_b"), col("__sh"),
+        col("__wn6").as("__wb")), Seq("__sh"))
+      .filter(col("id_a") < col("id_b"))
+      // integer dot product: products ≤ 1e12, sums well inside long
+      .groupBy("id_a", "id_b")
+      .agg((sum(col("__wa") * col("__wb")).cast("double") / 1e12)
+        .as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val union = size(array_union(a, b)).cast("double")
