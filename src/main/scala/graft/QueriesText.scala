@@ -845,9 +845,34 @@ object QueriesText {
         "doc_id", "text", shingleLen = 3, maxDf = 20, minCos = 0.5)
       .orderBy("id_a", "id_b")
 
+  /** Hybrid retrieval — the RAG serving composition: BM25 keyword
+    * search retrieves 50 lexical candidates, the embedding table joins
+    * on the candidate ids only (never the full corpus), and cosine
+    * against a fixed query vector reranks to the final top-10. Both
+    * stages reuse their oracle-proven operators (q75's BM25, q40's
+    * cosine/rank discipline); the oracle chains the same CTEs.
+    */
+  def q126HybridRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val cands = TextAnalysis.bm25Search(Tables.documents(s, dir),
+      "doc_id", "text", Seq("hash", "join", "merge"), n = 50)
+    val vecs = Tables.embeddings(s, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val candVecs = vecs
+      .join(cands.select(col("doc_id").as("vec_id")), "vec_id")
+    val qv = vecs.filter(col("vec_id") === 0)
+    graft.operators.Similarity.topK(candVecs, qv, "vec_id", "embedding",
+        k = 10)
+      .join(cands.select(col("doc_id").as("neighbor_id"),
+        col("score").as("bm25")), "neighbor_id")
+      .select(col("neighbor_id").as("doc_id"), col("cos_sim"),
+        col("bm25"), col("rank").cast("int").as("rank"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "q118_image_dhash" -> q118ImageDhash _,
     "q125_sparse_cosine" -> q125SparseCosine _,
+    "q126_hybrid_retrieval" -> q126HybridRetrieval _,
     "q106_chunking" -> q106Chunking _,
     "q107_pmi_collocations" -> q107PmiCollocations _,
     "q110_weighted_sample" -> q110WeightedSample _,
@@ -1651,6 +1676,47 @@ object QueriesText {
            |SELECT doc_id, CAST(sum(part) AS DOUBLE) AS score
            |FROM p GROUP BY doc_id
            |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+      // q126: q75's BM25 CTEs at LIMIT 50, then q40's cosine/rank
+      // discipline over the candidate ids against query vector 0.
+      "q126_hybrid_retrieval" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(list_filter(string_split($norm, ' '),
+           |    x -> x <> '')) AS term
+           |  FROM documents),
+           |dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           |       WHERE term IN ('hash', 'join', 'merge') GROUP BY 1, 2),
+           |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |c AS (SELECT count(*) AS nd, avg(len) AS avglen FROM dl),
+           |p AS (
+           |  SELECT tf.doc_id,
+           |    CAST(round(
+           |      ln(1.0 + (c.nd - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           |        * tf.tf * (1.2 + 1.0)
+           |        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.len / c.avglen)),
+           |      6) AS DECIMAL(18,6)) AS part
+           |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+           |  CROSS JOIN c)
+           |, bm AS (
+           |  SELECT doc_id, CAST(sum(part) AS DOUBLE) AS bm25
+           |  FROM p GROUP BY doc_id
+           |  ORDER BY bm25 DESC, doc_id LIMIT 50),
+           |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           |      WHERE vec_id = 0),
+           |cv AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           |       FROM embeddings),
+           |scored AS (
+           |  SELECT bm.doc_id, bm.bm25,
+           |    round(list_cosine_similarity(q.qv, cv.v), 6) AS cos_sim
+           |  FROM bm JOIN cv ON bm.doc_id = cv.vec_id CROSS JOIN q
+           |  WHERE bm.doc_id <> 0),
+           |ranked AS (
+           |  SELECT *, CAST(row_number() OVER (
+           |    ORDER BY cos_sim DESC, doc_id) AS INTEGER) AS rank
+           |  FROM scored)
+           |SELECT doc_id, cos_sim, bm25, rank FROM ranked
+           |WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
       // q78: same md5 span keys, first occurrence = min (doc,pos)
       // via window rank, coverage union of removed starts, ordered
