@@ -416,6 +416,19 @@ object OraclesCore {
         |       AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // q127: the partition-pruned week rebuilt as a plain filtered
+    // aggregate over the source table.
+    "q127_partition_pruned_scan" ->
+      """SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date,
+        |  event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |    AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+        |  AND CAST(ts AS DATE) < DATE '2024-01-15'
+        |GROUP BY CAST(ts AS DATE), event_type
+        |ORDER BY event_date, event_type""".stripMargin,
+
     // q116: lag/cumsum sessionization at MICROsecond precision with the
     // session_window close rule (break on diff >= gap, vs q105's
     // millisecond strict->).

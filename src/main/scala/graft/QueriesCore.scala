@@ -1379,8 +1379,38 @@ object QueriesCore {
       .orderBy("constraint")
   }
 
+  /** Partition-pruned scan at the DECLARED surface — the storage-layout
+    * behavior every 100 TB lake read depends on: events re-written
+    * date-partitioned ([[graft.operators.Scale.writeDatePartitioned]]),
+    * then read back with a date predicate that must prune to 7 of 30
+    * day-directories at PLANNING time (PartitionFilters, spec-asserted
+    * in ScaleSpec; the oracle proves the surviving rows are exactly the
+    * filtered table). Timestamps rebuilt from the raw micros so the
+    * partition column's date truncation is oracle-replicable.
+    */
+  def q127PartitionPrunedScan(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("q127-part").toString
+    try {
+      graft.operators.Scale.writeDatePartitioned(
+        Tables.events(s, dir), s"$root/events", "ts")
+      val pruned = s.read.parquet(s"$root/events")
+        .filter(col("event_date") >= lit("2024-01-08").cast("date") &&
+          col("event_date") < lit("2024-01-15").cast("date"))
+        .groupBy(col("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("__total"))
+        .select(col("event_date").cast("timestamp_ntz").as("event_date"),
+          col("event_type"), col("n"),
+          col("__total").cast("decimal(18,2)").cast("double")
+            .as("total_value"))
+        .orderBy("event_date", "event_type")
+      pruned.localCheckpoint(true) // materialize before the finally deletes
+    } finally TmpTrees.delete(root)
+  }
+
   val queries: Map[String, Q] = Map(
     "q108_interval_join" -> q108IntervalJoin _,
+    "q127_partition_pruned_scan" -> q127PartitionPrunedScan _,
     "q124_data_quality" -> q124DataQuality _,
     "q123_asof_forward" -> q123AsofForward _,
     "q120_grouping_sets" -> q120GroupingSets _,
