@@ -416,6 +416,16 @@ object OraclesCore {
         |       AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // q128: the stream-static join's final table is the plain batch
+    // join aggregate.
+    "q128_stream_static_join" ->
+      """SELECT user_id % 3 AS tier, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |    AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id % 3, event_type
+        |ORDER BY tier, event_type""".stripMargin,
+
     // q127: the partition-pruned week rebuilt as a plain filtered
     // aggregate over the source table.
     "q127_partition_pruned_scan" ->

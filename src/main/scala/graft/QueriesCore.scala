@@ -1408,8 +1408,54 @@ object QueriesCore {
     } finally TmpTrees.delete(root)
   }
 
+  /** STREAM-STATIC join — the remaining canonical streaming join
+    * shape after q119's stream-stream: the event stream joins a static
+    * dimension (user → tier; broadcast — the dim never shuffles the
+    * stream) before a complete-mode aggregate. Hash-split
+    * micro-batches are sound (join + count/sum are arrival-order-free)
+    * and the final table must equal the batch join's aggregate.
+    */
+  def q128StreamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val tiers = ev.select(col("user_id")).distinct()
+      .withColumn("tier", pmod(col("user_id"), lit(3)))
+    val root = java.nio.file.Files.createTempDirectory("q128-stream").toString
+    val src = s"$root/src"
+    Seq(0, 1, 2).foreach { r =>
+      ev.filter(pmod(col("event_id"), lit(3)) === r)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val name = java.nio.file.Paths.get(root).getFileName.toString
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    try {
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        graft.streaming.EventsStream
+          .readEvents(s, src, maxFilesPerTrigger = Some(1))
+          .withColumn("value", col("value").cast("decimal(18,2)"))
+          .join(broadcast(tiers), "user_id")
+          .groupBy(col("tier"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+          .writeStream.outputMode("complete").format("memory")
+          .queryName(name).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      q.processAllAvailable()
+      q.stop()
+      val out = s.table(name)
+        .select(col("tier"), col("event_type"), col("n"),
+          col("total").cast("decimal(18,2)").cast("double")
+            .as("total_value"))
+        .orderBy("tier", "event_type")
+        .localCheckpoint(true) // materialize before the finally deletes
+      s.catalog.dropTempView(name)
+      out
+    } finally TmpTrees.delete(root)
+  }
+
   val queries: Map[String, Q] = Map(
     "q108_interval_join" -> q108IntervalJoin _,
+    "q128_stream_static_join" -> q128StreamStaticJoin _,
     "q127_partition_pruned_scan" -> q127PartitionPrunedScan _,
     "q124_data_quality" -> q124DataQuality _,
     "q123_asof_forward" -> q123AsofForward _,

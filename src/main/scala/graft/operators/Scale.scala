@@ -118,6 +118,35 @@ object Scale {
       .partitionBy(partitionCol)
       .parquet(path)
 
+  /** Small-file compaction — the lake-maintenance pass that keeps scan
+    * parallelism healthy: a directory accumulated from many small
+    * writes (streaming micro-batches, per-batch overwrites) is
+    * rewritten into ceil(totalBytes / targetBytes) files. File count
+    * is computed from the ACTUAL on-disk bytes (footer-free directory
+    * walk), the rewrite is one repartition (round-robin — even output
+    * sizes without a shuffle key), and the result lands in a NEW
+    * directory so the swap can be atomic at the catalog/rename layer.
+    * Returns the output file count.
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      inDir: String,
+      outDir: String,
+      targetBytes: Long): Int = {
+    require(targetBytes > 0, s"targetBytes=$targetBytes")
+    val total = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(inDir))
+      try s.filter(p => p.toString.endsWith(".parquet") &&
+          java.nio.file.Files.isRegularFile(p))
+        .mapToLong(java.nio.file.Files.size).sum()
+      finally s.close()
+    }
+    val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir).repartition(n)
+      .write.mode("overwrite").parquet(outDir)
+    n
+  }
+
   /** Deterministic content-hash bucket in [0, buckets): the reproducible
     * alternative to `rand()` for sampling and train/val/test splits —
     * the assignment is a pure function of the key, so it is identical

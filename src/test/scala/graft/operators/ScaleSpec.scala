@@ -92,6 +92,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(read.count() == expected && expected > 0)
   }
 
+  test("compaction rewrites many small files into few, content-identical") {
+    val root = java.nio.file.Files.createTempDirectory("compact").toString
+    val src = s"$root/src"; val out = s"$root/out"
+    val ev = graft.Tables.events(spark, sf)
+    ev.repartition(50).write.mode("overwrite").parquet(src)
+    def parts(d: String) = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(d))
+      try s.filter(_.toString.endsWith(".parquet")).count() finally s.close()
+    }
+    assert(parts(src) == 50)
+    val total = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(src))
+      try s.filter(p => p.toString.endsWith(".parquet"))
+        .mapToLong(java.nio.file.Files.size).sum() finally s.close()
+    }
+    val n = Scale.compact(spark, src, out, targetBytes = total / 3)
+    assert(n >= 3 && n <= 5, s"expected ~3-4 output files, got $n")
+    assert(parts(out) == n)
+    // content survives the rewrite exactly
+    assert(spark.read.parquet(out).exceptAll(ev).isEmpty &&
+      ev.exceptAll(spark.read.parquet(out)).isEmpty)
+    graft.TmpTrees.delete(root)
+  }
+
   test("hash split is exhaustive, disjoint, stable, and roughly weighted") {
     import spark.implicits._
     val df = spark.range(10000).toDF("id")
