@@ -416,6 +416,20 @@ object OraclesCore {
         |       AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "q129_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS sz
+        |  FROM customer GROUP BY c_nationkey, c_mktsegment)
+        |SELECT 'c_nationkey,c_mktsegment' AS quasi_identifiers,
+        |  CAST(min(sz) AS BIGINT) AS k_min,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(CASE WHEN sz < 10 THEN sz END), 0) AS BIGINT)
+        |    AS at_risk_rows,
+        |  round(CAST(coalesce(sum(CASE WHEN sz < 10 THEN sz END), 0)
+        |    AS DOUBLE) / sum(sz), 6) AS risk_frac
+        |FROM g""".stripMargin,
+
     // q128: the stream-static join's final table is the plain batch
     // join aggregate.
     "q128_stream_static_join" ->

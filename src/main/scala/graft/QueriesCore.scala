@@ -1453,8 +1453,18 @@ object QueriesCore {
     } finally TmpTrees.delete(root)
   }
 
+  /** k-anonymity audit ([[graft.operators.Quality.kAnonymity]]) over
+    * customer quasi-identifiers (nation, market segment) at k=10 —
+    * minimum equivalence-class size, class count, at-risk row
+    * fraction.
+    */
+  def q129KAnonymity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quality.kAnonymity(Tables.customer(s, dir),
+      Seq("c_nationkey", "c_mktsegment"), k = 10)
+
   val queries: Map[String, Q] = Map(
     "q108_interval_join" -> q108IntervalJoin _,
+    "q129_k_anonymity" -> q129KAnonymity _,
     "q128_stream_static_join" -> q128StreamStaticJoin _,
     "q127_partition_pruned_scan" -> q127PartitionPrunedScan _,
     "q124_data_quality" -> q124DataQuality _,

@@ -54,6 +54,28 @@ object Quality {
     row.select(explode(array(reportRows: _*)).as("r")).select("r.*")
   }
 
+  /** k-anonymity audit — the privacy-risk profile a dataset release
+    * runs over its quasi-identifier columns: every row should be
+    * indistinguishable from at least k−1 others on the QI tuple.
+    * Output: one row with the minimum equivalence-class size, class
+    * count, and the fraction of rows at risk (in classes smaller than
+    * k). Two chained aggregates, both map-side combined; the QI class
+    * table never leaves the cluster.
+    */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
+    require(qiCols.nonEmpty && k >= 2, s"qiCols=$qiCols k=$k")
+    df.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("__sz"))
+      .agg(min(col("__sz")).as("k_min"),
+        count(lit(1)).as("n_groups"),
+        sum(col("__sz")).as("n_rows"),
+        coalesce(sum(when(col("__sz") < k, col("__sz"))), lit(0L))
+          .as("at_risk_rows"))
+      .select(lit(qiCols.mkString(",")).as("quasi_identifiers"),
+        col("k_min"), col("n_groups"), col("n_rows"), col("at_risk_rows"),
+        round(col("at_risk_rows").cast("double") / col("n_rows"), 6)
+          .as("risk_frac"))
+  }
+
   /** Referential-integrity constraint: values of `childCol` must exist
     * in `parentCol`. One anti-join (broadcast when the parent key set
     * is dimension-sized); metric = orphan row count.
