@@ -416,6 +416,19 @@ object OraclesCore {
         |       AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // q130: string_agg with the same (ts, event_id) order, replace
+    // arithmetic counts non-overlapping 'vcp' runs identically.
+    "q130_sequence_match" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), ''
+        |      ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+        |  CAST((length(seq) - length(replace(seq, 'vcp', ''))) // 3
+        |    AS BIGINT) AS n_funnels
+        |FROM s ORDER BY user_id""".stripMargin,
+
     "q129_k_anonymity" ->
       """WITH g AS (
         |  SELECT c_nationkey, c_mktsegment, count(*) AS sz

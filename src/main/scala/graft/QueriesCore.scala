@@ -1462,8 +1462,31 @@ object QueriesCore {
     graft.operators.Quality.kAnonymity(Tables.customer(s, dir),
       Seq("c_nationkey", "c_mktsegment"), k = 10)
 
+  /** Sequence-pattern matching (MATCH_RECOGNIZE-lite): each user's
+    * event history collapses to an ordered initial-letter string and
+    * CONSECUTIVE view→click→purchase runs are counted by literal
+    * replace arithmetic — (len − len(replace(s,'vcp','')))/3, which
+    * counts non-overlapping occurrences identically in every engine.
+    * Per-user strings are bounded by per-user event counts (the same
+    * envelope as every per-user window here); the pattern scan itself
+    * is one aggregate, no join, no explode.
+    */
+  def q130SequenceMatch(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(concat_ws("", transform(
+        sort_array(collect_list(struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c")))),
+        e => e.getField("c"))).as("seq"))
+      .select(col("user_id"),
+        length(col("seq")).cast("bigint").as("seq_len"),
+        ((length(col("seq")) - length(regexp_replace(col("seq"), "vcp", "")))
+          / 3).cast("bigint").as("n_funnels"))
+      .orderBy("user_id")
+
   val queries: Map[String, Q] = Map(
     "q108_interval_join" -> q108IntervalJoin _,
+    "q130_sequence_match" -> q130SequenceMatch _,
     "q129_k_anonymity" -> q129KAnonymity _,
     "q128_stream_static_join" -> q128StreamStaticJoin _,
     "q127_partition_pruned_scan" -> q127PartitionPrunedScan _,
