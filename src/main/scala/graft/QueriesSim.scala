@@ -19,6 +19,25 @@ object QueriesSim {
       // interpreted and re-inlined into every consumer
       col("embedding").cast("array<double>").as("embedding"))
 
+  /** Higher-order array-function suite over the embedding column —
+    * per-vector statistics via `aggregate`/`filter`/`exists`, the
+    * whole family in one codegen projection, no explode: dimension,
+    * L2 norm (left-to-right fold, bit-matching DuckDB's list_reduce —
+    * (0+x₁) ≡ x₁ in IEEE so the differing seed styles agree exactly),
+    * positive-component count, mean, and a has-outlier flag.
+    */
+  def q131VectorStats(s: SparkSession, dir: String): DataFrame =
+    vecsD(s, dir).select(col("vec_id"),
+      size(col("embedding")).cast("bigint").as("dim"),
+      round(sqrt(aggregate(col("embedding"), lit(0.0d),
+        (a, x) => a + x * x)), 6).as("l2"),
+      size(filter(col("embedding"), x => x > 0))
+        .cast("bigint").as("n_pos"),
+      round(aggregate(col("embedding"), lit(0.0d), (a, x) => a + x)
+        / size(col("embedding")), 6).as("mean"),
+      exists(col("embedding"), x => abs(x) > lit(2.0d)).as("has_outlier"))
+      .orderBy("vec_id")
+
   /** Brute-force cosine top-10 per query vector (query set = every 50th
     * vector, broadcast; corpus streams — the exactness baseline).
     */
@@ -318,6 +337,7 @@ object QueriesSim {
   }
 
   val queries: Map[String, Q] = Map(
+    "q131_vector_stats" -> q131VectorStats _,
     "q40_topk_brute_force" -> q40TopkBruteForce _,
     "q41_embedding_near_dup" -> q41EmbeddingNearDup _,
     "q42_lsh_topk" -> q42LshTopk _,
@@ -359,6 +379,21 @@ object QueriesSim {
     ("q92_ivf_parquet_reuse" -> oraclesBase("q66_ivf_index_reuse"))
 
   private val oraclesBase: Map[String, String] = Map(
+    // q131: list_reduce folds left-to-right exactly like Spark's
+    // aggregate (the q56 precedent); (0+x1) == x1 in IEEE, so the
+    // differing fold seeds agree bit-for-bit.
+    "q131_vector_stats" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(len(v) AS BIGINT) AS dim,
+        |  round(sqrt(list_reduce(list_transform(v, x -> x * x),
+        |    (a, b) -> a + b)), 6) AS l2,
+        |  CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
+        |  round(list_reduce(v, (a, b) -> a + b) / len(v), 6) AS mean,
+        |  len(list_filter(v, x -> abs(x) > 2.0)) > 0 AS has_outlier
+        |FROM e ORDER BY vec_id""".stripMargin,
+
     "q40_topk_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id % 50 = 0),
