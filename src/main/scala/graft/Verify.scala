@@ -33,14 +33,16 @@ object Verify {
       catch { case e: Throwable =>
         // A thrown query must surface as a HARD FAILURE in the round
         // artifact, not vanish from coverage (round 10 lost ten
-        // previously-green queries exactly this way). A one-row marker
-        // frame can never schema-match any oracle, so the driver's
-        // compare records rows/schema/hash mismatch for this name.
+        // previously-green queries exactly this way). The marker frame
+        // is EMPTY on purpose: zero rows + a verify_error schema fails
+        // an oracled query's rows/schema/hash compare AND trips the
+        // rows>0 check for rows-only queries — a one-row marker would
+        // have read as a rows-only "success".
         failures += name -> e.toString
         System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
         try {
           import spark.implicits._
-          Seq(e.toString.take(1000)).toDF("verify_error")
+          Seq.empty[String].toDF("verify_error")
             .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         } catch { case m: Throwable =>
           System.err.println(s"[verify] $name marker write failed: ${m.getMessage}")
