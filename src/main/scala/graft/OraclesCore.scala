@@ -539,8 +539,9 @@ object OraclesCore {
         |  FROM lineitem
         |  UNION ALL
         |  SELECT 'unique:o_orderkey',
-        |    CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE),
-        |    count(*) = count(DISTINCT o_orderkey)
+        |    CAST(count(o_orderkey) - count(DISTINCT o_orderkey)
+        |      AS DOUBLE),
+        |    count(o_orderkey) = count(DISTINCT o_orderkey)
         |  FROM orders
         |  UNION ALL
         |  SELECT 'in_range:o_totalprice[0.0,100000.0]',

@@ -995,11 +995,28 @@ object QueriesCore {
     val src = s"$root/src"
     val bounds = Seq("1900-01-01", "2024-01-08", "2024-01-15",
       "2024-01-23", "2100-01-01")
-    bounds.sliding(2).foreach {
-      case Seq(a, b) =>
+    bounds.sliding(2).zipWithIndex.foreach {
+      case (Seq(a, b), i) =>
         raw.filter(col("ts") >= lit(a).cast("timestamp") &&
             col("ts") < lit(b).cast("timestamp"))
           .coalesce(1).write.mode("append").parquet(src)
+        // Pin arrival order EXPLICITLY: FileStreamSource orders files
+        // by modification time and breaks ties arbitrarily. Sequential
+        // writes usually produce increasing mtimes, but coarse
+        // filesystem timestamp granularity can tie two slices — and
+        // this query's session state is the one place arrival order
+        // changes the answer. Stamp each slice's fresh files with a
+        // strictly increasing synthetic mtime (real mtimes are decades
+        // later, so "fresh" is unambiguous).
+        val base = 1000000000000L // 2001-09; stamped < threshold < real
+        val ls = java.nio.file.Files.list(java.nio.file.Paths.get(src))
+        try ls.filter(p => p.toString.endsWith(".parquet")).forEach { p =>
+          if (java.nio.file.Files.getLastModifiedTime(p).toMillis >
+              base + 86400000L)
+            java.nio.file.Files.setLastModifiedTime(p,
+              java.nio.file.attribute.FileTime
+                .fromMillis(base + i * 60000L))
+        } finally ls.close()
       case _ => ()
     }
     val name = java.nio.file.Paths.get(root).getFileName.toString
@@ -1249,8 +1266,12 @@ object QueriesCore {
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
         s.conf.set("spark.sql.shuffle.partitions", "4")
-        def read() = graft.streaming.EventsStream
-          .readEvents(s, src, maxFilesPerTrigger = Some(1))
+        val onDisk = {
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          s.read.parquet(src).schema // one footer read for both sources
+        }
+        def read() = graft.streaming.EventsStream.readEvents(s, src,
+          maxFilesPerTrigger = Some(1), schemaHint = Some(onDisk))
         val errors = read().filter(col("event_type") === "error")
           .select(col("user_id"), col("event_id").as("error_id"),
             col("ts").as("ets"))
@@ -1417,8 +1438,12 @@ object QueriesCore {
     */
   def q128StreamStaticJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
+    // checkpointed once: an un-materialized dim would re-run the full
+    // distinct per MICRO-BATCH (the stream re-evaluates the static
+    // side's plan each trigger)
     val tiers = ev.select(col("user_id")).distinct()
       .withColumn("tier", pmod(col("user_id"), lit(3)))
+      .localCheckpoint(true)
     val root = java.nio.file.Files.createTempDirectory("q128-stream").toString
     val src = s"$root/src"
     Seq(0, 1, 2).foreach { r =>
@@ -1449,6 +1474,7 @@ object QueriesCore {
         .orderBy("tier", "event_type")
         .localCheckpoint(true) // materialize before the finally deletes
       s.catalog.dropTempView(name)
+      graft.operators.Checkpoints.drop(tiers) // dim blocks are dead now
       out
     } finally TmpTrees.delete(root)
   }

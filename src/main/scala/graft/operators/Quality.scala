@@ -27,14 +27,19 @@ object Quality {
 
   /** Evaluate column constraints in one aggregate pass.
     * Output: (constraint, metric, pass) — metric is the null fraction
-    * (rounded 6), duplicate count, or out-of-range count respectively.
+    * (rounded 6 for DISPLAY only), duplicate count, or out-of-range
+    * count respectively. Verdicts are computed from the UNROUNDED
+    * aggregate: a 1-in-10⁷ null violation must fail even though its
+    * displayed fraction rounds to 0.0.
     */
   def check(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
     require(constraints.nonEmpty, "no constraints given")
     val metrics = constraints.map {
       case NotNull(c, _) =>
-        round(avg(when(col(c).isNull, 1.0).otherwise(0.0)), 6)
+        avg(when(col(c).isNull, 1.0).otherwise(0.0))
       case Unique(c) =>
+        // duplicates among NON-NULL values (SQL UNIQUE semantics:
+        // nulls are all distinct) — count(col), never count(*)
         (count(col(c)) - countDistinct(col(c))).cast("double")
       case InRange(c, lo, hi) =>
         coalesce(sum(when(col(c) < lo || col(c) > hi, 1L)
@@ -42,13 +47,15 @@ object Quality {
     }.zipWithIndex.map { case (m, i) => m.as(s"__m$i") }
     val row = df.agg(metrics.head, metrics.tail: _*)
     val reportRows = constraints.zipWithIndex.map { case (c, i) =>
-      val (name, pass) = c match {
-        case NotNull(cc, f) => (s"not_null:$cc", col(s"__m$i") <= f)
-        case Unique(cc)     => (s"unique:$cc", col(s"__m$i") === 0.0)
+      val raw = col(s"__m$i")
+      val (name, metric, pass) = c match {
+        case NotNull(cc, f) =>
+          (s"not_null:$cc", round(raw, 6), raw <= f)
+        case Unique(cc)     => (s"unique:$cc", raw, raw === 0.0)
         case InRange(cc, lo, hi) =>
-          (s"in_range:$cc[$lo,$hi]", col(s"__m$i") === 0.0)
+          (s"in_range:$cc[$lo,$hi]", raw, raw === 0.0)
       }
-      struct(lit(name).as("constraint"), col(s"__m$i").as("metric"),
+      struct(lit(name).as("constraint"), metric.as("metric"),
         pass.as("pass"))
     }
     row.select(explode(array(reportRows: _*)).as("r")).select("r.*")

@@ -34,9 +34,13 @@ object EventsStream {
   def readEvents(
       spark: SparkSession,
       dir: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      schemaHint: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val onDisk = spark.read.parquet(dir).schema
+    // schemaHint lets a caller defining several streams over one dir
+    // (q119's two sources) pay the footer read once
+    val onDisk = schemaHint.getOrElse(spark.read.parquet(dir).schema)
     val base = spark.readStream.schema(onDisk)
     val reader = maxFilesPerTrigger
       .fold(base)(n => base.option("maxFilesPerTrigger", n))
