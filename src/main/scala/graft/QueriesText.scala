@@ -783,8 +783,9 @@ object QueriesText {
     * .weightedSample]]): 200 documents drawn without replacement with
     * probability ∝ n_chars — the data-mixing primitive for "sample
     * big docs more" recipes. The Efraimidis–Spirakis keys, their
-    * rounding, and the (es_key, doc_id) bottom-k all replicate in
-    * DuckDB from the shared md5-prefix uniform.
+    * floor-based fixed-point quantization, and the (es_key, doc_id)
+    * bottom-k all replicate in DuckDB from the shared md5-prefix
+    * uniform.
     */
   def q110WeightedSample(s: SparkSession, dir: String): DataFrame =
     graft.operators.Scale.weightedSample(
@@ -806,10 +807,11 @@ object QueriesText {
   /** TextRank keywords ([[TextAnalysis.textRank]]): 5 weighted-
     * PageRank rounds over the ≥5-support co-occurrence graph, top-50
     * by (score desc, node). The oracle UNROLLS all five iterations as
-    * chained CTEs — possible because scores are rounded to 6 decimals
-    * after every round, pinning both engines to the same trajectory —
-    * so graph construction, symmetrization, damping, per-round
-    * normalization, and the final ranking are all hash-gated.
+    * chained CTEs — possible because scores are carried as integer
+    * micros with integer-division updates, so both engines compute a
+    * bit-identical trajectory under any aggregation order — and graph
+    * construction, symmetrization, damping, per-round normalization,
+    * and the final ranking are all hash-gated.
     */
   def q115TextRank(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.textRank(Tables.documents(s, dir), "text",
@@ -991,7 +993,8 @@ object QueriesText {
            |ORDER BY pmi DESC, p.w1, p.w2 LIMIT 100""".stripMargin,
       // q110: same md5-prefix uniform as q51/q63, same arithmetic shape
       // as the Spark side (u from (h+0.5)/2^32, -ln, one division,
-      // round 9, ties by doc_id).
+      // floor-based fixed-point nanos — round(x, n) is not portable
+      // when it feeds a selection boundary — ties by doc_id).
       "q110_weighted_sample" ->
         """WITH s AS (
           |  SELECT doc_id, n_chars,
@@ -999,8 +1002,8 @@ object QueriesText {
           |      AS h
           |  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0)
           |SELECT doc_id, n_chars,
-          |  round(-ln((h + 0.5) / 4294967296.0)
-          |    / CAST(n_chars AS DOUBLE), 9) AS es_key
+          |  CAST(floor(-ln((h + 0.5) / 4294967296.0)
+          |    / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS es_key
           |FROM s ORDER BY es_key, doc_id LIMIT 200""".stripMargin,
       // q125: operation-for-operation mirror of sparseCosinePairs —
       // floor-based fixed-point micros (floor of an identical double is
@@ -1045,8 +1048,11 @@ object QueriesText {
            |ORDER BY id_a, id_b""".stripMargin,
 
       // q115: fully unrolled weighted PageRank — five chained CTE
-      // rounds, each mirroring the Spark side's (pr*w)/sumw
-      // contribution, 0.15 + 0.85*sum damping, and round-6 projection.
+      // rounds in INTEGER MICROS, each mirroring the Spark side's
+      // (pr*w) div sumw contribution and 150000 + (850000*sum) div 1e6
+      // damped update exactly (integer arithmetic is bit-identical in
+      // both engines under any aggregation order; DuckDB's // on
+      // positives = Spark's div).
       "q115_textrank" -> {
         val iters = 5
         val base =
@@ -1065,12 +1071,13 @@ object QueriesText {
              |  GROUP BY a, b),
              |deg AS (SELECT a AS node, CAST(sum(w) AS BIGINT) AS sumw
              |        FROM edges GROUP BY a),
-             |pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM deg)"""
+             |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM deg)"""
             .stripMargin
         val rounds = (1 to iters).map { k =>
           s"""pr$k AS (
              |  SELECT e.b AS node,
-             |    round(0.15 + 0.85 * sum(p.pr * e.w / d.sumw), 6) AS pr
+             |    CAST(150000 + (850000 * sum((p.pr * e.w) // d.sumw))
+             |         // 1000000 AS BIGINT) AS pr
              |  FROM edges e
              |  JOIN deg d ON e.a = d.node
              |  JOIN pr${k - 1} p ON e.a = p.node

@@ -24,14 +24,21 @@ import org.apache.spark.sql.functions.udaf
   * TextAnalysis.heavyHitterTokens) rather than report sketch counts.
   */
 class MisraGries(counters: Int)
-    extends Aggregator[Seq[String], Map[String, Long], Map[String, Long]] {
+    extends Aggregator[Seq[String],
+      scala.collection.mutable.HashMap[String, Long], Map[String, Long]] {
   require(counters > 0, s"counters=$counters")
 
-  override def zero: Map[String, Long] = Map.empty
+  private type Buf = scala.collection.mutable.HashMap[String, Long]
 
-  override def reduce(buf: Map[String, Long], toks: Seq[String]): Map[String, Long] = {
-    if (toks == null || toks.isEmpty) return buf
-    val m = scala.collection.mutable.Map.empty[String, Long] ++ buf
+  override def zero: Buf = scala.collection.mutable.HashMap.empty
+
+  // Aggregator permits mutating and returning the incoming buffer —
+  // Spark's object-hash aggregation hands the SAME buffer object back
+  // for every row of a group, so in-place mutation makes the sketch
+  // pass O(tokens) amortized instead of the O(rows × counters)
+  // full-map copy a persistent-Map buffer would force per document.
+  override def reduce(m: Buf, toks: Seq[String]): Buf = {
+    if (toks == null || toks.isEmpty) return m
     for (t <- toks if t != null) {
       m.get(t) match {
         case Some(c) => m(t) = c + 1
@@ -43,31 +50,30 @@ class MisraGries(counters: Int)
           }
       }
     }
-    m.toMap
+    m
   }
 
-  override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] =
+  override def merge(x: Buf, y: Buf): Buf =
     if (x.isEmpty) y
     else if (y.isEmpty) x
     else {
-      val m = scala.collection.mutable.Map.empty[String, Long] ++ x
-      for ((t, c) <- y) m(t) = m.getOrElse(t, 0L) + c
-      if (m.size > counters) {
+      for ((t, c) <- y) x(t) = x.getOrElse(t, 0L) + c
+      if (x.size > counters) {
         // subtract the (counters+1)-th largest count from every entry;
         // ≤ counters survive and the MG undercount bound is preserved
-        val cut = m.values.toArray.sorted(Ordering[Long].reverse)(counters)
-        for ((kk, vv) <- m.toArray) {
+        val cut = x.values.toArray.sorted(Ordering[Long].reverse)(counters)
+        for ((kk, vv) <- x.toArray) {
           val nv = vv - cut
-          if (nv <= 0L) m.remove(kk) else m(kk) = nv
+          if (nv <= 0L) x.remove(kk) else x(kk) = nv
         }
       }
-      m.toMap
+      x
     }
 
-  override def finish(buf: Map[String, Long]): Map[String, Long] = buf
+  override def finish(buf: Buf): Map[String, Long] = buf.toMap
 
-  override def bufferEncoder: Encoder[Map[String, Long]] =
-    ExpressionEncoderShim.stringLongMap
+  override def bufferEncoder: Encoder[Buf] =
+    ExpressionEncoderShim.mutableStringLongMap
   override def outputEncoder: Encoder[Map[String, Long]] =
     ExpressionEncoderShim.stringLongMap
 }

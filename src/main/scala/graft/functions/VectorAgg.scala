@@ -58,6 +58,12 @@ private[functions] object ExpressionEncoderShim {
   val stringSeq: Encoder[Seq[String]] = ExpressionEncoder[Seq[String]]()
   val stringLongMap: Encoder[Map[String, Long]] =
     ExpressionEncoder[Map[String, Long]]()
+  // mutable buffer for in-place sketch aggregation (MisraGries) —
+  // ScalaReflection builds Map subtypes through their companion
+  // newBuilder, so the mutable HashMap round-trips like any Map
+  val mutableStringLongMap
+      : Encoder[scala.collection.mutable.HashMap[String, Long]] =
+    ExpressionEncoder[scala.collection.mutable.HashMap[String, Long]]()
 }
 
 object VectorAgg {

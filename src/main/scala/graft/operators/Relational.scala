@@ -286,9 +286,14 @@ object Relational {
     * point's — so no dedup pass exists to pay for. Cost scales with
     * Σ(interval span / bucketWidth) exploded rows: pick bucketWidth
     * near the typical interval span so intervals explode to ~2 buckets
-    * each; AQE's skew handling covers residual hot buckets. Epochs are
-    * assumed non-negative (integer `div` truncates toward zero, so a
-    * pre-1970 timestamp would mis-bucket at the boundary).
+    * each; AQE's skew handling covers residual hot buckets. Bucket
+    * assignment uses true FLOOR division (`div` adjusted by the
+    * remainder sign) so pre-1970 (negative-epoch) timestamps get
+    * uniform-width buckets like everything else: plain `div`
+    * truncates toward zero, which — being monotone — never dropped a
+    * matching pair, but silently merged (−width, 0) and [0, width)
+    * into one double-width bucket 0, and the earlier scaladoc-only
+    * "assume non-negative epochs" contract had nothing enforcing it.
     */
   def intervalJoin(
       points: DataFrame,
@@ -301,12 +306,16 @@ object Relational {
       payload: Seq[String]): DataFrame = {
     require(bucketWidthSec > 0, s"bucketWidthSec=$bucketWidthSec")
     val wUs = bucketWidthSec * 1000000L
-    val p = points.withColumn("__b", expr(s"unix_micros($pointTs) div $wUs"))
+    // floor division on possibly-negative epochs: div truncates toward
+    // zero, so subtract 1 whenever the remainder is negative
+    def floorDiv(e: String): String =
+      s"(($e) div $wUs - (CASE WHEN ($e) % $wUs < 0 THEN 1 ELSE 0 END))"
+    val p = points.withColumn("__b", expr(floorDiv(s"unix_micros($pointTs)")))
     val iv = intervals
       .filter(col(endTs) > col(startTs)) // empty intervals match nothing
       .withColumn("__b", explode(sequence(
-        expr(s"unix_micros($startTs) div $wUs"),
-        expr(s"(unix_micros($endTs) - 1) div $wUs"))))
+        expr(floorDiv(s"unix_micros($startTs)")),
+        expr(floorDiv(s"unix_micros($endTs) - 1")))))
       .select((keys.map(col) ++ Seq(col("__b"),
         col(startTs).as("__start"), col(endTs).as("__end")) ++
         payload.map(c => col(c).as(s"iv_$c"))): _*)

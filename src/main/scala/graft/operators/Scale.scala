@@ -122,11 +122,13 @@ object Scale {
     * parallelism healthy: a directory accumulated from many small
     * writes (streaming micro-batches, per-batch overwrites) is
     * rewritten into ceil(totalBytes / targetBytes) files. File count
-    * is computed from the ACTUAL on-disk bytes (footer-free directory
-    * walk), the rewrite is one repartition (round-robin — even output
-    * sizes without a shuffle key), and the result lands in a NEW
-    * directory so the swap can be atomic at the catalog/rename layer.
-    * Returns the output file count.
+    * is computed from the ACTUAL on-disk bytes via the Hadoop
+    * FileSystem API — so HDFS/S3A/local URIs all resolve through the
+    * same abstraction the lake itself uses, not a local-only
+    * java.nio walk — the rewrite is one repartition (round-robin —
+    * even output sizes without a shuffle key), and the result lands
+    * in a NEW directory so the swap can be atomic at the
+    * catalog/rename layer. Returns the output file count.
     */
   def compact(
       spark: org.apache.spark.sql.SparkSession,
@@ -135,11 +137,16 @@ object Scale {
       targetBytes: Long): Int = {
     require(targetBytes > 0, s"targetBytes=$targetBytes")
     val total = {
-      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(inDir))
-      try s.filter(p => p.toString.endsWith(".parquet") &&
-          java.nio.file.Files.isRegularFile(p))
-        .mapToLong(java.nio.file.Files.size).sum()
-      finally s.close()
+      val inPath = new org.apache.hadoop.fs.Path(inDir)
+      val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(inPath, true)
+      var sum = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+          sum += f.getLen
+      }
+      sum
     }
     val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(inDir).repartition(n)
@@ -231,10 +238,14 @@ object Scale {
     * win, which is exactly a weighted reservoir sample of size k
     * (P(row first) = wᵢ/Σw, without replacement thereafter), but
     * stateless and reproducible across engines, runs, and
-    * partitionings. es_key is ROUNDED before selection so both
-    * engines rank the same values (libm-vs-JDK ln differs in the last
-    * ulp) with ties broken by key; the global bottom-k plans as
-    * TakeOrderedAndProject — a per-partition heap, never a full sort.
+    * partitionings. es_key is QUANTIZED to floor-based fixed-point
+    * nanos (floor(x·1e9) carried as a long) before selection so both
+    * engines rank the same values — floor of an identical double is
+    * bit-deterministic, whereas round(x, n) is NOT portable between
+    * Spark and DuckDB when the rounded value feeds joins or a
+    * selection boundary (the q125 lesson) — with ties broken by key;
+    * the global bottom-k plans as TakeOrderedAndProject — a
+    * per-partition heap, never a full sort.
     * Non-positive weights are excluded (−ln(u)/w has no meaning
     * there; documented contract).
     */
@@ -246,9 +257,9 @@ object Scale {
     require(k > 0, s"k=$k")
     df.withColumn("__w", weight.cast("double"))
       .filter(col("__w") > 0)
-      .withColumn("es_key", round(
+      .withColumn("es_key", floor(
         -log((md5Prefix32(col(keyCol)) + lit(0.5)) / lit(4294967296.0))
-          / col("__w"), 9))
+          / col("__w") * lit(1e9)).cast("long"))
       .drop("__w")
       .orderBy(col("es_key"), col(keyCol))
       .limit(k)

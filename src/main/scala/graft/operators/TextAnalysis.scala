@@ -103,10 +103,18 @@ object TextAnalysis {
     * against the current score vector plus one aggregate, the same
     * iterative-operator shape as connected components (dead per-round
     * checkpoints dropped via [[graft.operators.Checkpoints]]).
-    * Scores are ROUNDED to 6 decimals after every round: that pins
-    * the fixpoint trajectory to values both engines reach identically
-    * (per-round double sums agree to ~1e-13; the round collapses
-    * them), which is what makes a fully UNROLLED SQL oracle possible.
+    * Scores are carried as INTEGER MICROS (pr₀ = 1 000 000; each
+    * round's edge contribution is the exact integer division
+    * (pr·w) div sumw, and the damped update is
+    * base6 + (d6·Σcontrib) div 1e6 with d6 = damping·1e6): every
+    * arithmetic step is integer-exact, so the fixpoint trajectory is
+    * bit-identical in ANY engine and under ANY aggregation order —
+    * stronger than the earlier round(pr, 6) pinning, whose
+    * boundary behavior was engine-dependent (round(x, n) on doubles
+    * is not portable between Spark and DuckDB when the rounded value
+    * feeds further arithmetic). That is what makes a fully UNROLLED
+    * SQL oracle possible. The returned `pr` column is the micros
+    * long; divide by 1e6 for the conventional score.
     * Node set = edge endpoints, so no isolated nodes exist and the
     * neighbor sum is never null.
     */
@@ -135,7 +143,9 @@ object TextAnalysis {
       .localCheckpoint(true)
     val degrees = edges.groupBy(col("a").as("node"))
       .agg(sum(col("w")).as("sumw"))
-    var pr = degrees.select(col("node"), lit(1.0).as("pr"))
+    val d6 = math.round(damping * 1e6)
+    val base6 = 1000000L - d6
+    var pr = degrees.select(col("node"), lit(1000000L).as("pr"))
       .localCheckpoint(true)
     for (_ <- 1 to iterations) {
       val prev = pr
@@ -143,10 +153,9 @@ object TextAnalysis {
         .join(degrees.withColumnRenamed("node", "a"), Seq("a"))
         .join(prev.withColumnRenamed("node", "a"), Seq("a"))
         .select(col("b").as("node"),
-          (col("pr") * col("w") / col("sumw")).as("__c"))
+          expr("(pr * w) div sumw").as("__c6"))
       pr = contrib.groupBy("node")
-        .agg(round(lit(1.0 - damping) + lit(damping) * sum(col("__c")), 6)
-          .as("pr"))
+        .agg(expr(s"$base6 + ($d6 * sum(__c6)) div 1000000").as("pr"))
         .localCheckpoint(true)
       Checkpoints.drop(prev)
     }

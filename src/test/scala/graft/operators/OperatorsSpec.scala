@@ -425,6 +425,25 @@ class OperatorsSpec extends AnyFunSuite {
         payload = Seq("iid"))
       .groupBy("pid", "iv_iid").count().filter(col("count") > 1).count()
     assert(cnt == 0L, "duplicate (point, interval) pairs")
+
+    // pre-1970 epochs: floor-division bucketing keeps negative-epoch
+    // buckets uniform (and matching), straddling the epoch boundary
+    val negIv = Seq(
+      ("u1", "n1", ts("1969-12-31 23:30:00"), ts("1970-01-01 00:30:00")),
+      ("u1", "n2", ts("1969-12-30 01:00:00"), ts("1969-12-30 03:00:00")))
+      .toDF("k", "iid", "start_ts", "end_ts")
+    val negPts = Seq(
+      ("u1", "np_pre", ts("1969-12-31 23:45:00")),   // in n1, negative epoch
+      ("u1", "np_post", ts("1970-01-01 00:15:00")),  // in n1, positive epoch
+      ("u1", "np_deep", ts("1969-12-30 02:59:59")),  // in n2, end-adjacent
+      ("u1", "np_out", ts("1969-12-31 23:15:00")))   // before n1
+      .toDF("k", "pid", "pts")
+    val negGot = Relational.intervalJoin(negPts, negIv, Seq("k"),
+        "pts", "start_ts", "end_ts", bucketWidthSec = 3600,
+        payload = Seq("iid"))
+      .select("pid", "iv_iid").as[(String, String)].collect().toSet
+    assert(negGot == Set(("np_pre", "n1"), ("np_post", "n1"),
+      ("np_deep", "n2")))
   }
 
   test("misra-gries: coverage bound holds across merges; recount = exact") {
