@@ -41,7 +41,113 @@ object OraclesCore {
       |GROUP BY li.k, priority, n_orders
       |ORDER BY li.k""".stripMargin
 
+  /** q136's Morton interleave as portable SQL bit math: bit i of x
+    * lands at position 2i, bit i of y at 2i+1 — disjoint powers of
+    * two, so the sum equals the bitwise-or and both engines agree
+    * exactly.
+    */
+  private def zInterleave(xc: String, yc: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($xc >> $i) & 1) * ${1L << (2 * i)}) + " +
+        s"((($yc >> $i) & 1) * ${1L << (2 * i + 1)})"
+    }.mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    // q132: the bucketed co-located join must equal the plain join's
+    // aggregate — layout is invisible to semantics.
+    "q132_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // q135: open/close by the same total (ts, event_id) order as the
+    // Spark window; raw doubles are selections (no arithmetic), the
+    // total goes through decimal.
+    "q135_ohlc_bars" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    date_trunc('hour', ts) AS bar_ts, ts, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |      ORDER BY ts, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM events)
+        |SELECT event_type, bar_ts,
+        |  max(CASE WHEN ra = 1 THEN value END) AS open,
+        |  max(value) AS high,
+        |  min(value) AS low,
+        |  max(CASE WHEN rd = 1 THEN value END) AS close,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM b GROUP BY event_type, bar_ts
+        |ORDER BY event_type, bar_ts""".stripMargin,
+
+    // q136: identical bit-interleave arithmetic (see zInterleave);
+    // DuckDB's // on non-negative z = Spark's div.
+    "q136_zorder_layout" ->
+      s"""WITH d AS (
+         |  SELECT user_id % 1024 AS x,
+         |    CAST(floor(value) AS BIGINT) % 1024 AS y
+         |  FROM events),
+         |z AS (SELECT x, y, ${zInterleave("x", "y", 10)} AS z FROM d)
+         |SELECT z // 16384 AS z_range, count(*) AS n,
+         |  min(x) AS min_x, max(x) AS max_x,
+         |  min(y) AS min_y, max(y) AS max_y
+         |FROM z GROUP BY z_range ORDER BY z_range""".stripMargin,
+
+    // q137: backward and forward candidates within tolerance, nearest
+    // by interval distance, tie -> backward (earlier) — mirroring
+    // asOfJoinNearest's useB rule exactly.
+    "q137_asof_nearest" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id AS error_id, ts FROM events
+        |  WHERE event_type = 'error'),
+        |p AS (
+        |  SELECT user_id, ts AS pts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, ts),
+        |b AS (
+        |  SELECT e.user_id, e.error_id, e.ts, max(p.pts) AS bts
+        |  FROM e LEFT JOIN p ON e.user_id = p.user_id
+        |    AND p.pts <= e.ts AND p.pts >= e.ts - INTERVAL 2 HOUR
+        |  GROUP BY e.user_id, e.error_id, e.ts),
+        |f AS (
+        |  SELECT e.user_id, e.error_id, min(p.pts) AS fts
+        |  FROM e LEFT JOIN p ON e.user_id = p.user_id
+        |    AND p.pts >= e.ts AND p.pts <= e.ts + INTERVAL 2 HOUR
+        |  GROUP BY e.user_id, e.error_id),
+        |pick AS (
+        |  SELECT b.user_id, b.error_id,
+        |    CASE WHEN b.bts IS NOT NULL
+        |           AND (f.fts IS NULL OR (b.ts - b.bts) <= (f.fts - b.ts))
+        |         THEN b.bts ELSE f.fts END AS mts
+        |  FROM b JOIN f ON b.user_id = f.user_id AND b.error_id = f.error_id)
+        |SELECT pick.user_id, pick.error_id, p.purchase_id
+        |FROM pick LEFT JOIN p
+        |  ON pick.user_id = p.user_id AND p.pts = pick.mts
+        |ORDER BY pick.user_id, pick.error_id""".stripMargin,
+
+    // q138: same position-mask blocking, same levenshtein post-check.
+    "q138_hamming_neighbors" ->
+      """WITH v AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+        |m AS (SELECT id, s,
+        |        unnest(generate_series(1, length(s))) AS pos FROM v),
+        |k AS (SELECT id, s, pos,
+        |        substr(s, 1, pos - 1) || substr(s, pos + 1, length(s)) AS k
+        |      FROM m),
+        |pr AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM k a JOIN k b ON a.pos = b.pos AND a.k = b.k AND a.id < b.id
+        |  WHERE levenshtein(a.s, b.s) = 1),
+        |ng AS (
+        |  SELECT id, count(*) AS n_neighbors
+        |  FROM (SELECT id_a AS id FROM pr
+        |        UNION ALL SELECT id_b AS id FROM pr)
+        |  GROUP BY id)
+        |SELECT n_neighbors, count(*) AS n_customers
+        |FROM ng GROUP BY n_neighbors ORDER BY n_neighbors""".stripMargin,
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

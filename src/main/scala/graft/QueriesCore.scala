@@ -1510,7 +1510,175 @@ object QueriesCore {
           / 3).cast("bigint").as("n_funnels"))
       .orderBy("user_id")
 
+  /** Bucketed CO-LOCATED join at the declared surface — the
+    * pre-shuffle layout move that amortizes a fact-fact join's
+    * exchange across every query that touches it: orders and lineitem
+    * are written as bucketed tables (8 buckets on the join key, one
+    * file per bucket via a same-hash repartition — Spark's bucket
+    * hash IS the repartition hash, so each task holds exactly one
+    * bucket), and the join then reads both sides already co-partitioned
+    * — NO exchange on either input, plan-asserted: with broadcast
+    * disabled the whole query must contain exactly TWO exchanges (the
+    * final 5-row aggregate's and the result sort's — both ABOVE the
+    * join; a non-co-located plan would add one per join input), a
+    * SortMergeJoin, and two `Bucketed: true` scans. At 100 TB this is
+    * the difference between shuffling both fact tables per join and
+    * shuffling neither, ever. The oracle proves the bucketed plan
+    * returns exactly the plain join's aggregate.
+    */
+  def q132BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("q132-bucket").toString
+    val tag = java.nio.file.Paths.get(root).getFileName.toString
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    val tOrders = s"orders_$tag"; val tLine = s"lineitem_$tag"
+    try {
+      Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+        .repartition(8, col("o_orderkey"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$root/orders").mode("overwrite")
+        .saveAsTable(tOrders)
+      Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+        .repartition(8, col("l_orderkey"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$root/lineitem").mode("overwrite")
+        .saveAsTable(tLine)
+      val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val j = s.table(tLine)
+          .join(s.table(tOrders),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("decimal(18,2)")).as("__q"))
+          .select(col("o_orderpriority"), col("n_items"),
+            col("__q").cast("decimal(18,2)").cast("double").as("sum_qty"))
+          .orderBy("o_orderpriority")
+        val plan = j.queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode)
+        val exchanges = "Exchange".r.findAllIn(plan).length
+        val bucketedScans = "Bucketed: true".r.findAllIn(plan).length
+        require(exchanges == 2 && bucketedScans == 2 &&
+            plan.contains("SortMergeJoin"),
+          s"bucketed join must be exchange-free below the aggregate " +
+            s"(got $exchanges exchanges, $bucketedScans bucketed " +
+            s"scans):\n$plan")
+        j.localCheckpoint(true) // materialize before tables drop
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+        s.sql(s"DROP TABLE IF EXISTS $tOrders")
+        s.sql(s"DROP TABLE IF EXISTS $tLine")
+      }
+    } finally TmpTrees.delete(root)
+  }
+
+  /** OHLC time bars — the classic time-series downsampling aggregate:
+    * per (event_type, hour), open/high/low/close of `value` plus count
+    * and an exact decimal total. Open and close are elected by row_
+    * number over (ts, event_id) — a TOTAL order, so bars are
+    * deterministic even under timestamp collisions — and both
+    * directions share one window partitioning (one shuffle; the agg
+    * reuses its clustering). High/low/count/total are plain
+    * map-side-combinable aggregates.
+    */
+  def q135OhlcBars(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val base = ev.select(col("event_type"),
+      date_trunc("hour", col("ts")).as("bar_ts"),
+      col("ts"), col("event_id"), col("value"))
+    val wA = Window.partitionBy("event_type", "bar_ts")
+      .orderBy(col("ts"), col("event_id"))
+    val wD = Window.partitionBy("event_type", "bar_ts")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    base
+      .withColumn("__ra", row_number().over(wA))
+      .withColumn("__rd", row_number().over(wD))
+      .groupBy("event_type", "bar_ts")
+      .agg(
+        max(when(col("__ra") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("__rd") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("__t"))
+      .select(col("event_type"),
+        col("bar_ts").cast("timestamp_ntz").as("bar_ts"),
+        col("open"), col("high"), col("low"), col("close"), col("n"),
+        col("__t").cast("decimal(18,2)").cast("double").as("total_value"))
+      .orderBy("event_type", "bar_ts")
+  }
+
+  /** Z-order layout audit ([[graft.operators.Scale.zOrderKey]]): every
+    * event gets a Morton key interleaving (user_id mod 1024, floor(
+    * value) mod 1024), and the query reports per-zvalue-range (64
+    * ranges) the count plus the min/max envelope of BOTH source
+    * dimensions — the footer-stats view a z-ordered file layout would
+    * ship: every range's envelope is bounded in x AND y
+    * simultaneously, which is exactly why min/max pruning works for
+    * predicates on either column after an OPTIMIZE ZORDER rewrite.
+    * The key arithmetic is engine-portable bit math, so the whole
+    * audit is oracle-gated.
+    */
+  def q136ZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val x = pmod(col("user_id"), lit(1024L))
+    val y = pmod(floor(col("value")).cast("long"), lit(1024L))
+    ev.select(x.as("x"), y.as("y"))
+      .withColumn("z", graft.operators.Scale.zOrderKey(col("x"), col("y"), 10))
+      .withColumn("z_range", expr("z div 16384"))
+      .groupBy("z_range")
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .orderBy("z_range")
+  }
+
+  /** Nearest as-of join ([[Relational.asOfJoinNearest]]): each error
+    * event attaches the CLOSEST same-user purchase within 2 hours on
+    * either side, exact-distance ties preferring the earlier
+    * (backward) match — q29 (backward) and q123 (forward) completing
+    * the merge_asof direction family in ONE shuffle, not two chained
+    * passes. The right side is reduced to unique (user, ts) rows
+    * first, the q29 tie-free rule.
+    */
+  def q137AsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("pts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    Relational.asOfJoinNearest(errors, purchases, Seq("user_id"),
+        "ts", "pts", Seq("purchase_id"), toleranceSec = Some(7200L))
+      .select(col("user_id"), col("error_id"),
+        col("asof_purchase_id").as("purchase_id"))
+      .orderBy("user_id", "error_id")
+  }
+
+  /** Hamming-1 near-duplicate audit ([[graft.operators.Dedup
+    * .hamming1Pairs]]): customers whose names differ in exactly one
+    * character, found by position-mask blocking (an equi-join on
+    * (position, masked name) — never an all-pairs scan), verified by
+    * levenshtein = 1 in-engine, and reported as a neighbor-count
+    * histogram. The record-linkage analog of LSH banding, over the
+    * entity table a people-dedup pass would target.
+    */
+  def q138HammingNeighbors(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+    val pairs = graft.operators.Dedup.hamming1Pairs(c, "c_custkey", "c_name")
+    pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("c_custkey"))
+      .groupBy("c_custkey").agg(count(lit(1)).as("n_neighbors"))
+      .groupBy("n_neighbors").agg(count(lit(1)).as("n_customers"))
+      .orderBy("n_neighbors")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q132_bucketed_join" -> q132BucketedJoin _,
+    "q135_ohlc_bars" -> q135OhlcBars _,
+    "q136_zorder_layout" -> q136ZorderLayout _,
+    "q137_asof_nearest" -> q137AsofNearest _,
+    "q138_hamming_neighbors" -> q138HammingNeighbors _,
     "q108_interval_join" -> q108IntervalJoin _,
     "q130_sequence_match" -> q130SequenceMatch _,
     "q129_k_anonymity" -> q129KAnonymity _,

@@ -871,7 +871,43 @@ object QueriesText {
       .orderBy("rank")
   }
 
+  /** Gopher repetition FILTER ([[TextAnalysis.repetitionFilter]]):
+    * per-document accept/reject at the classic thresholds (top word ≤
+    * 20 %, top bigram ≤ 18 %, duplicate-word share ≤ 60 %), all
+    * counts integer-exact and every verdict an integer cross-
+    * multiplication — the no-floating-point decision boundary that
+    * makes the whole filter (not just its metrics) hash-gateable.
+    */
+  def q133RepetitionFilter(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionFilter(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Triangle census ([[graft.operators.Dedup.triangleStats]]) of the
+    * word co-occurrence graph (adjacent-pair support ≥ 20): nodes,
+    * edges, oriented wedges, triangles — the degree-oriented
+    * O(m^1.5) enumeration, with the DuckDB oracle replaying the same
+    * orientation so wedge and triangle counts match exactly.
+    */
+  def q134TriangleCount(s: SparkSession, dir: String): DataFrame = {
+    def toks = filter(split(TextAnalysis.normalizeText(col("text")), " "),
+      t => t =!= "")
+    val pairs = Tables.documents(s, dir).select(toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__t")) - 1),
+        i => struct(element_at(col("__t"), i).as("a"),
+          element_at(col("__t"), i + 1).as("b")))).as("__p"))
+      .select(least(col("__p.a"), col("__p.b")).as("a"),
+        greatest(col("__p.a"), col("__p.b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 20)
+    graft.operators.Dedup.triangleStats(pairs, "a", "b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q133_repetition_filter" -> q133RepetitionFilter _,
+    "q134_triangle_count" -> q134TriangleCount _,
     "q118_image_dhash" -> q118ImageDhash _,
     "q125_sparse_cosine" -> q125SparseCosine _,
     "q126_hybrid_retrieval" -> q126HybridRetrieval _,
@@ -938,6 +974,90 @@ object QueriesText {
   val oracles: Map[String, String] = {
     val Seq(en, de, fr, es) = TextAnalysis.langMarkers.map(_._2)
     val base = Map(
+      // q133: identical integer counts and identical cross-multiplied
+      // verdicts — no doubles anywhere, so no rounding rule is even
+      // needed.
+      "q133_repetition_filter" ->
+        s"""WITH docs AS (
+           |  SELECT doc_id, list_filter(string_split($norm, ' '),
+           |    x -> x <> '') AS t FROM documents),
+           |wcc AS (
+           |  SELECT doc_id, w, count(*) AS c
+           |  FROM (SELECT doc_id, unnest(t) AS w FROM docs)
+           |  GROUP BY doc_id, w),
+           |ws AS (
+           |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+           |    CAST(max(c) AS BIGINT) AS top_word_n,
+           |    CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+           |      AS dup_word_n
+           |  FROM wcc GROUP BY doc_id),
+           |bgc AS (
+           |  SELECT doc_id, b, count(*) AS c FROM (
+           |    SELECT doc_id, unnest(list_transform(
+           |      generate_series(1, len(t) - 1),
+           |      i -> t[i] || ' ' || t[i+1])) AS b
+           |    FROM docs WHERE len(t) >= 2)
+           |  GROUP BY doc_id, b),
+           |bs AS (
+           |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+           |    CAST(max(c) AS BIGINT) AS top_bigram_n
+           |  FROM bgc GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |  CAST(coalesce(ws.n_words, 0) AS BIGINT) AS n_words,
+           |  CAST(coalesce(ws.top_word_n, 0) AS BIGINT) AS top_word_n,
+           |  CAST(coalesce(ws.dup_word_n, 0) AS BIGINT) AS dup_word_n,
+           |  CAST(coalesce(bs.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           |  CAST(coalesce(bs.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+           |  (coalesce(ws.n_words, 0) > 0
+           |    AND coalesce(ws.top_word_n, 0) * 100
+           |        <= coalesce(ws.n_words, 0) * 20
+           |    AND coalesce(bs.top_bigram_n, 0) * 100
+           |        <= coalesce(bs.n_bigrams, 0) * 18
+           |    AND coalesce(ws.dup_word_n, 0) * 100
+           |        <= coalesce(ws.n_words, 0) * 60) AS pass
+           |FROM (SELECT doc_id FROM documents) d
+           |LEFT JOIN ws USING (doc_id)
+           |LEFT JOIN bs USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
+      // q134: same canonicalization, same (degree, node) orientation,
+      // same ordered wedge join — counts must match exactly.
+      "q134_triangle_count" ->
+        s"""WITH docs AS (
+           |  SELECT list_filter(string_split($norm, ' '),
+           |    x -> x <> '') AS t FROM documents),
+           |pr AS (
+           |  SELECT least(a, b) AS a, greatest(a, b) AS b FROM (
+           |    SELECT unnest(t[1:len(t)-1]) AS a,
+           |           unnest(t[2:len(t)]) AS b
+           |    FROM docs WHERE len(t) >= 2)
+           |  WHERE a <> b),
+           |e AS (SELECT a, b FROM pr GROUP BY a, b HAVING count(*) >= 20),
+           |deg AS (
+           |  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+           |    SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+           |  GROUP BY n),
+           |wd AS (
+           |  SELECT e.a, e.b, da.d AS da, db.d AS db
+           |  FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n),
+           |o AS (
+           |  SELECT CASE WHEN da < db OR (da = db AND a < b)
+           |              THEN a ELSE b END AS x,
+           |         CASE WHEN da < db OR (da = db AND a < b)
+           |              THEN b ELSE a END AS y,
+           |         CASE WHEN da < db OR (da = db AND a < b)
+           |              THEN db ELSE da END AS dy
+           |  FROM wd),
+           |w AS (
+           |  SELECT o1.x, o1.y AS y1, o2.y AS y2
+           |  FROM o o1 JOIN o o2 ON o1.x = o2.x
+           |  WHERE o1.dy < o2.dy OR (o1.dy = o2.dy AND o1.y < o2.y)),
+           |t AS (SELECT 1 AS one FROM w JOIN o
+           |      ON w.y1 = o.x AND w.y2 = o.y)
+           |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_triangles"""
+          .stripMargin,
       // q106: list slicing is 1-based inclusive with end-clamping in
       // DuckDB — exactly Spark's slice(arr, start, len) — and
       // string_split of normalized text needs NO empty-token filter

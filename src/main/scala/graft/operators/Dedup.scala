@@ -558,6 +558,98 @@ object Dedup {
     labels
   }
 
+  /** Hamming-distance-1 near-duplicate pairs by POSITION-MASK blocking
+    * (the FastSS / deletion-neighborhood trick, restricted to
+    * substitutions): every string explodes to `length` variants, each
+    * with one position deleted (the position rides in the join key, so
+    * no sentinel is needed and equal key lengths force equal string
+    * lengths), and two strings are
+    * Hamming-1 neighbors iff they share a masked variant — so the
+    * all-pairs comparison collapses to an equi-join on (position,
+    * masked key) whose cost is Σ block-size², with blocks = strings
+    * identical everywhere but one position (typically single digits).
+    * This is the record-linkage analog of MinHash banding: candidates
+    * from hash buckets, never a cross join — at 100 TB the quadratic
+    * scan simply does not exist to optimize. A pair differing at
+    * exactly one position meets in exactly ONE block (its differing
+    * position), so no dedup pass is needed; identical strings (lev 0)
+    * would meet in every block and are removed by the `levenshtein =
+    * 1` post-filter, which also serves as the declared exactness
+    * check. Output: (id_a, id_b, pos) with id_a < id_b.
+    */
+  def hamming1Pairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val masked = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .select(col("__id"), col("__s"), explode(transform(
+        sequence(lit(1), length(col("__s"))),
+        i => struct(i.as("pos"),
+          concat(col("__s").substr(lit(1), i - 1),
+            col("__s").substr(i + 1, length(col("__s"))))
+            .as("k")))).as("__m"))
+      .select(col("__id"), col("__s"),
+        col("__m.pos").as("pos"), col("__m.k").as("k"))
+    masked.select(col("pos"), col("k"),
+        col("__id").as("id_a"), col("__s").as("__sa"))
+      .join(masked.select(col("pos"), col("k"),
+        col("__id").as("id_b"), col("__s").as("__sb")), Seq("pos", "k"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(levenshtein(col("__sa"), col("__sb")) === 1)
+      .select(col("id_a"), col("id_b"), col("pos"))
+  }
+
+  /** Triangle statistics over an undirected graph — the clustering/
+    * cohesion companion to [[connectedComponents]]: one row with
+    * (n_nodes, n_edges, n_wedges, n_triangles). Edges are canonicalized
+    * (least/greatest, self-loops and duplicates dropped) and then
+    * ORIENTED from the (degree, node)-smaller endpoint to the larger —
+    * the standard degree-orientation trick: every out-neighborhood is
+    * bounded by O(√m) on any graph (arboricity bound), so the wedge
+    * join generates Σ d_out² = O(m^1.5) candidates instead of the
+    * Σ d² a hub-pivoted enumeration pays — the difference between a
+    * feasible and an impossible pass when one celebrity node has 10⁸
+    * neighbors. Each unordered triangle is counted exactly once: its
+    * three nodes have a strict (degree, node) total order x<y<z, the
+    * wedge is generated only at pivot x with (y, z) ordered, and the
+    * closing edge y→z is oriented that way by construction. Everything
+    * is joins + aggregates — no driver-side collection; the canonical
+    * edge list is localCheckpointed once and reused by all four
+    * counts.
+    */
+  def triangleStats(edges0: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges0.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    val deg = e.select(col("a").as("n"))
+      .unionByName(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, struct(col("a").as("x"), col("b").as("y"),
+          col("db").as("dy")))
+        .otherwise(struct(col("b").as("x"), col("a").as("y"),
+          col("da").as("dy"))).as("o"))
+      .select(col("o.x").as("x"), col("o.y").as("y"), col("o.dy").as("dy"))
+    val wedges = oriented.select(col("x"), col("y").as("y1"),
+        col("dy").as("d1"))
+      .join(oriented.select(col("x"), col("y").as("y2"),
+        col("dy").as("d2")), Seq("x"))
+      .filter(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("y1") < col("y2")))
+    val tri = wedges.join(
+      oriented.select(col("x").as("y1"), col("y").as("y2")),
+      Seq("y1", "y2"))
+    deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+  }
+
   /** Dedup keeper election from a pair graph: every clustered id maps
     * to its component's keeper (the minimum id — matching exactDedup's
     * min-keeper convention). Ids in no pair are implicitly their own

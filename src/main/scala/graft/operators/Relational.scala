@@ -272,6 +272,79 @@ object Relational {
     tolApplied.drop("__neg" +: dropRightTs: _*)
   }
 
+  /** Nearest as-of join — pandas merge_asof(direction="nearest"): for
+    * every left row, attach the right row whose timestamp is CLOSEST
+    * (before or after) within the same keys, optionally bounded by
+    * `toleranceSec`; an exact-distance tie prefers the EARLIER
+    * (backward) match. ONE shuffle and ONE sort: the same tagged-union
+    * core as [[asOfJoin]], with the backward candidate as a running
+    * `last(ignoreNulls)` over the preceding frame and the forward
+    * candidate as `first(ignoreNulls)` over the strictly-following
+    * frame of the SAME window partitioning — not two chained as-of
+    * passes, which would shuffle the union twice for the same answer.
+    * An equal-timestamp right row sorts before the left row (the
+    * [[asOfJoin]] side rule) and is therefore only seen by the
+    * backward frame — harmless, because its distance 0 wins the
+    * nearest comparison and ties prefer backward anyway. Several
+    * right rows at one (keys, ts) resolve by the same payload-hash
+    * tie-break as [[asOfJoin]] on the backward side and its mirror
+    * (first by hash) on the forward side.
+    */
+  def asOfJoinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      toleranceSec: Option[Long] = None): DataFrame = {
+    val lCols = left.columns.toSeq
+    val carry = if (payload.contains(rightTs)) payload else payload :+ rightTs
+    val payloadT = org.apache.spark.sql.types.StructType(
+      carry.map(p => org.apache.spark.sql.types.StructField(p,
+        right.schema(p).dataType)))
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__payload", lit(null).cast(payloadT))
+    val r = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+      .withColumn("__payload", struct(carry.map(col): _*))
+    val rShaped = r.select(
+      (keys.map(col) ++
+        lCols.filterNot(keys.contains).map(c => lit(null).cast(
+          left.schema(c).dataType).as(c)) ++
+        Seq(col("__ts"), col("__side"), col("__payload"))): _*)
+    val lShaped = l.select(
+      (keys.map(col) ++ lCols.filterNot(keys.contains).map(col) ++
+        Seq(col("__ts"), col("__side"), col("__payload"))): _*)
+    val ord = Seq(col("__ts"), col("__side"),
+      xxhash64(to_json(col("__payload"))))
+    val wB = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wF = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val both = lShaped.unionByName(rShaped)
+      .withColumn("__b", last(col("__payload"), ignoreNulls = true).over(wB))
+      .withColumn("__f", first(col("__payload"), ignoreNulls = true).over(wF))
+      .filter(col("__side") === 1)
+    val bDist = unix_micros(col(leftTs)) -
+      unix_micros(col(s"__b.$rightTs"))
+    val fDist = unix_micros(col(s"__f.$rightTs")) -
+      unix_micros(col(leftTs))
+    val tolUs = toleranceSec.map(_ * 1000000L)
+    val bOk = col("__b").isNotNull &&
+      tolUs.map(t => bDist <= t).getOrElse(lit(true))
+    val fOk = col("__f").isNotNull &&
+      tolUs.map(t => fDist <= t).getOrElse(lit(true))
+    val useB = bOk && (!fOk || bDist <= fDist)
+    both.select((lCols.map(col) ++ payload.map { p =>
+      when(useB, col(s"__b.$p"))
+        .when(fOk, col(s"__f.$p")).as(s"asof_$p")
+    }): _*)
+  }
+
   /** Interval (range) join: for every point row, attach every interval
     * row with the same `keys` whose half-open [start, end) window
     * contains the point's timestamp. Spark has no native range-join

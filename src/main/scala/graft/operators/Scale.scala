@@ -154,6 +154,29 @@ object Scale {
     n
   }
 
+  /** Z-order (Morton) key: interleaves the low `bits` bits of two
+    * non-negative dimension columns — x in the even bit positions, y in
+    * the odd — so rows close in BOTH dimensions land close on the
+    * single z-value axis. Sorting or range-partitioning a write by
+    * this key gives every output file a BOUNDED min/max envelope in
+    * each source dimension simultaneously, which is what lets
+    * footer-level min/max stats skip files for predicates on EITHER
+    * column — the multi-dimensional data-skipping layout (Delta/
+    * Iceberg OPTIMIZE ZORDER) that a single-column sort only provides
+    * for its leading column. Pure bit arithmetic (shift/and/sum of
+    * disjoint powers of two), so the key is engine-portable and
+    * codegen'd; callers clamp dimensions into [0, 2^bits) themselves
+    * (e.g. modulo or quantile bucketing) — values outside simply alias,
+    * they do not error.
+    */
+  def zOrderKey(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits=$bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
   /** Deterministic content-hash bucket in [0, buckets): the reproducible
     * alternative to `rand()` for sampling and train/val/test splits —
     * the assignment is a pure function of the key, so it is identical

@@ -195,6 +195,65 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Gopher-style repetition FILTER (Rae et al. 2021 §A1.1) — the
+    * accept/reject decision [[repetitionStats]]'s fractional metrics
+    * only describe: per document, the raw integer counts behind three
+    * repetition signals — most-frequent-word share, most-frequent-
+    * bigram share, and the share of word occurrences belonging to
+    * words repeated ≥ 2 times — plus a `pass` verdict taken at
+    * integer percent thresholds. Every verdict is an integer
+    * CROSS-MULTIPLICATION (top_n · 100 ≤ total_n · pct) — no
+    * division, no doubles, no rounding — so the decision boundary is
+    * engine-exact by construction (the "verdicts from unrounded
+    * aggregates" rule, strengthened to no-floating-point-at-all).
+    * Shape: two explode→count→per-doc aggregates (words, bigrams)
+    * joined on the doc id — each one shuffle on (id, term) with
+    * map-side combine, then one on id; nothing is corpus-global, so
+    * the filter parallelizes per-document at any scale. Empty
+    * documents (zero words after normalization) fail, matching the
+    * reference behavior of dropping degenerate docs.
+    */
+  def repetitionFilter(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      topWordPctMax: Int = 20,
+      topBigramPctMax: Int = 18,
+      dupWordPctMax: Int = 60): org.apache.spark.sql.DataFrame = {
+    def toks = filter(split(normalizeText(col(textCol)), " "), t => t =!= "")
+    val words = df.select(col(idCol), explode(toks).as("w"))
+      .groupBy(idCol, "w").agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(
+        sum(col("c")).as("n_words"),
+        max(col("c")).as("top_word_n"),
+        sum(when(col("c") >= 2, col("c")).otherwise(lit(0L)))
+          .as("dup_word_n"))
+    val bigramCounts = df.select(col(idCol).as("__id"), toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col("__id"), explode(transform(
+        sequence(lit(1), size(col("__t")) - 1),
+        i => concat_ws(" ", element_at(col("__t"), i),
+          element_at(col("__t"), i + 1)))).as("bg"))
+      .groupBy("__id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("__id").agg(
+        sum(col("c")).as("n_bigrams"),
+        max(col("c")).as("top_bigram_n"))
+    df.select(col(idCol)).distinct()
+      .join(words, Seq(idCol), "left")
+      .join(bigramCounts.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("top_word_n"), lit(0L)).as("top_word_n"),
+        coalesce(col("dup_word_n"), lit(0L)).as("dup_word_n"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
+      .withColumn("pass",
+        col("n_words") > 0 &&
+          col("top_word_n") * 100 <= col("n_words") * topWordPctMax &&
+          col("top_bigram_n") * 100 <= col("n_bigrams") * topBigramPctMax &&
+          col("dup_word_n") * 100 <= col("n_words") * dupWordPctMax)
+  }
+
   /** Fixed-size overlapping word-window chunking — the RAG/embedding
     * preprocessing step: chunk i of a document covers normalized-word
     * positions [i·stride, i·stride+chunkSize); a doc of ≤chunkSize

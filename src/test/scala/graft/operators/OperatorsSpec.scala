@@ -446,6 +446,85 @@ class OperatorsSpec extends AnyFunSuite {
       ("np_deep", "n2")))
   }
 
+  test("asOfJoinNearest: direction election, tie -> backward, tolerance") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 1.0),
+      ("A", ts("2024-01-01 10:10:00"), 2.0),
+      ("A", ts("2024-01-01 12:00:00"), 3.0),
+      ("B", ts("2024-01-01 10:00:00"), 9.0))
+      .toDF("sym", "qts", "px")
+    val trades = Seq(
+      ("A", ts("2024-01-01 10:02:00"), 100L), // bwd 2min < fwd 8min -> 1.0
+      ("A", ts("2024-01-01 10:08:00"), 200L), // fwd 2min < bwd 8min -> 2.0
+      ("A", ts("2024-01-01 10:05:00"), 300L), // exact tie -> backward 1.0
+      ("A", ts("2024-01-01 11:30:00"), 400L), // fwd 30min beats bwd 80min
+      ("A", ts("2024-01-01 18:00:00"), 500L), // 6h from all: tolerance null
+      ("C", ts("2024-01-01 10:00:00"), 600L)) // unknown key -> null
+      .toDF("sym", "tts", "qty")
+    val got = Relational.asOfJoinNearest(trades, quotes, Seq("sym"),
+        "tts", "qts", Seq("px"), toleranceSec = Some(3600L))
+      .select("qty", "asof_px").collect()
+      .map(r => r.getLong(0) ->
+        Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(got == Map(100L -> Some(1.0), 200L -> Some(2.0),
+      300L -> Some(1.0), 400L -> Some(3.0), 500L -> None, 600L -> None))
+    // no tolerance: the 6h-away trade attaches the nearest (12:00)
+    val noTol = Relational.asOfJoinNearest(trades, quotes, Seq("sym"),
+        "tts", "qts", Seq("px"), toleranceSec = None)
+      .filter(col("qty") === 500L).select("asof_px")
+      .as[Double].collect().toSeq
+    assert(noTol == Seq(3.0))
+  }
+
+  test("triangleStats: degree-oriented census on a hand graph") {
+    // K4 minus edge (a,d): triangles abc and bcd
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"),
+      ("c", "d"),
+      // noise the canonicalization must absorb: reversed dup, exact
+      // dup, self-loop
+      ("c", "b"), ("a", "b"), ("d", "d"))
+      .toDF("u", "v")
+    val got = Dedup.triangleStats(edges, "u", "v")
+      .as[(Long, Long, Long, Long)].collect().head
+    // nodes=4, edges=5; orientation: a(2) < d(2) < b(3) < c(3) gives
+    // out-sets a->{b,c}, d->{b,c}, b->{c}; wedges (b,c)@a and (b,c)@d
+    // both close via b->c
+    assert(got == ((4L, 5L, 2L, 2L)))
+  }
+
+  test("hamming1Pairs: position-mask blocking = exact hamming-1 pairs") {
+    val df = Seq(
+      (1L, "abc"), (2L, "abd"), (3L, "xbc"), (4L, "abcd"),
+      (5L, "zzz"), (6L, "zzz"))
+      .toDF("id", "name")
+    val got = Dedup.hamming1Pairs(df, "id", "name")
+      .select("id_a", "id_b", "pos")
+      .as[(Long, Long, Int)].collect().toSet
+    // (1,2) differ at pos 3; (1,3) at pos 1; (2,3) differ at TWO
+    // positions; 4 has a different length; 5-6 are identical (lev 0,
+    // excluded by the post-filter)
+    assert(got == Set((1L, 2L, 3), (1L, 3L, 1)))
+  }
+
+  test("repetitionFilter: integer verdicts at the documented thresholds") {
+    val df = Seq(
+      (1L, "a a a b"),            // top word 3/4 > 20% -> fail
+      (2L, "a b c d e f g h"),    // all distinct, 7 bigrams -> pass
+      (3L, "x y x y x y x y"),    // dup share 8/8 > 60% -> fail
+      (4L, "   "))                // empty after normalization -> fail
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionFilter(df, "doc_id", "text")
+      .select("doc_id", "n_words", "top_word_n", "dup_word_n",
+        "n_bigrams", "top_bigram_n", "pass")
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().map(t => t._1 -> t).toMap
+    assert(got(1L) == ((1L, 4L, 3L, 3L, 3L, 2L, false)))
+    assert(got(2L) == ((2L, 8L, 1L, 0L, 7L, 1L, true)))
+    assert(got(3L) == ((3L, 8L, 4L, 8L, 7L, 4L, false)))
+    assert(got(4L) == ((4L, 0L, 0L, 0L, 0L, 0L, false)))
+  }
+
   test("misra-gries: coverage bound holds across merges; recount = exact") {
     // skewed synthetic stream, 8-way partitioned so partial sketches
     // really merge, sketch far smaller than the vocabulary

@@ -10,6 +10,34 @@ class ScaleSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("zOrderKey: exact Morton interleave and locality envelopes") {
+    // hand-checked interleaves (x bits at even positions, y at odd)
+    val got = Seq((0L, 0L), (3L, 0L), (0L, 3L), (3L, 3L), (5L, 2L))
+      .toDF("x", "y")
+      .withColumn("z", Scale.zOrderKey(col("x"), col("y"), 10))
+      .orderBy("x", "y")
+      .select("x", "y", "z").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 0L, 0L), (0L, 3L, 10L), (3L, 0L, 5L),
+      (3L, 3L, 15L), (5L, 2L, 25L)))
+    // locality: within any aligned 2^(2k) z-range, both dims span at
+    // most 2^k values — the bounded min/max envelope data skipping
+    // relies on (checked exhaustively for the full 8-bit plane, k=2)
+    val plane = spark.range(0, 256).select(
+        (col("id") % 16).as("x"), (col("id") / 16).cast("long").as("y"))
+      .withColumn("z", Scale.zOrderKey(col("x"), col("y"), 4))
+    val envelopes = plane.withColumn("zr", expr("z div 16"))
+      .groupBy("zr").agg(
+        (max(col("x")) - min(col("x"))).as("dx"),
+        (max(col("y")) - min(col("y"))).as("dy"),
+        count(lit(1)).as("n"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(envelopes.length == 16)
+    assert(envelopes.forall { case (_, dx, dy, n) =>
+      dx <= 3 && dy <= 3 && n == 16 })
+    // and the z mapping is a bijection on the plane
+    assert(plane.select("z").distinct().count() == 256)
+  }
+
   test("salted join equals the plain join on skewed data") {
     // skew: 80% of rows share one key
     val left = (1 to 1000).map(i => (if (i % 5 == 0) i % 7 else 0, i))
