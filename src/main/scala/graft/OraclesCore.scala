@@ -53,6 +53,38 @@ object OraclesCore {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q139: the TPC-H Q5 shape verbatim; decimal(18,4) product-sum.
+    "q139_star_join" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    // q140: the correlated-avg threshold cross-multiplied in exact
+    // decimals (qty*5*n < sum), so no division and no boundary drift.
+    "q140_small_qty_revenue" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+        |    count(*) AS n
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT count(*) AS n_small,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM lineitem JOIN pp USING (l_partkey)
+        |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * n < sq""".stripMargin,
+
     // q132: the bucketed co-located join must equal the plain join's
     // aggregate — layout is invisible to semantics.
     "q132_bucketed_join" ->

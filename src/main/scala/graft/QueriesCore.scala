@@ -1673,7 +1673,65 @@ object QueriesCore {
       .orderBy("n_neighbors")
   }
 
+  /** Star-schema join (TPC-H Q5 shape) — the canonical 6-table
+    * analytics query: revenue per nation for one region and one order
+    * year, customer and supplier required to share the nation. The
+    * plan Catalyst should (and does) pick at scale: region⋈nation and
+    * supplier broadcast (dims), lineitem⋈orders is the one fact-fact
+    * shuffle, the date filter pushes into the orders scan, and column
+    * pruning cuts both fact scans to the join/agg columns. Revenue is
+    * the exact decimal(18,4) product-sum; ordering is made total with
+    * the n_name tie-break.
+    */
+  def q139StarJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("date") &&
+        col("o_orderdate") < lit("1998-01-01").cast("date"))
+    val c = Tables.customer(s, dir)
+    val su = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).as("__rev"))
+      .select(col("n_name"),
+        col("__rev").cast("decimal(18,4)").cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Scalar-subquery threshold (TPC-H Q17 shape): revenue locked up in
+    * small-quantity orders — lineitems whose quantity is below 20 % of
+    * their part's average. The correlated `avg` subquery is
+    * re-expressed Spark-first as one per-part aggregate joined back to
+    * the fact (the decorrelation Catalyst would have to do anyway,
+    * stated explicitly); the 0.2·avg comparison is CROSS-MULTIPLIED
+    * (qty · 5 · count < sum) in exact decimals, so the threshold
+    * boundary cannot round apart across engines.
+    */
+  def q140SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val perPart = li.groupBy("l_partkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("__sq"),
+        count(lit(1)).as("__n"))
+    li.join(broadcast(perPart), Seq("l_partkey"))
+      .filter(col("l_quantity").cast("decimal(18,2)") * 5 * col("__n") <
+        col("__sq"))
+      .agg(count(lit(1)).as("n_small"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("__t"))
+      .select(col("n_small"),
+        col("__t").cast("decimal(18,2)").cast("double").as("total_price"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q139_star_join" -> q139StarJoin _,
+    "q140_small_qty_revenue" -> q140SmallQtyRevenue _,
     "q132_bucketed_join" -> q132BucketedJoin _,
     "q135_ohlc_bars" -> q135OhlcBars _,
     "q136_zorder_layout" -> q136ZorderLayout _,

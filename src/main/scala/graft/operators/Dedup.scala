@@ -611,8 +611,12 @@ object Dedup {
     * wedge is generated only at pivot x with (y, z) ordered, and the
     * closing edge y→z is oriented that way by construction. Everything
     * is joins + aggregates — no driver-side collection; the canonical
-    * edge list is localCheckpointed once and reused by all four
-    * counts.
+    * edge list, degree table, and oriented edge list are each
+    * localCheckpointed once and reused, and the wedge stream is
+    * consumed in a SINGLE pass: the closing-edge probe is a left join
+    * whose hit flag is summed alongside the wedge count in one
+    * aggregate — materializing or re-generating the O(m^1.5) wedge
+    * set twice is exactly the cost this operator exists to avoid.
     */
   def triangleStats(edges0: DataFrame, aCol: String, bCol: String): DataFrame = {
     val e = edges0.select(
@@ -624,6 +628,7 @@ object Dedup {
     val deg = e.select(col("a").as("n"))
       .unionByName(e.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
     val withDeg = e
       .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
@@ -635,19 +640,25 @@ object Dedup {
         .otherwise(struct(col("b").as("x"), col("a").as("y"),
           col("da").as("dy"))).as("o"))
       .select(col("o.x").as("x"), col("o.y").as("y"), col("o.dy").as("dy"))
+      .localCheckpoint(true)
     val wedges = oriented.select(col("x"), col("y").as("y1"),
         col("dy").as("d1"))
       .join(oriented.select(col("x"), col("y").as("y2"),
         col("dy").as("d2")), Seq("x"))
       .filter(col("d1") < col("d2") ||
         (col("d1") === col("d2") && col("y1") < col("y2")))
-    val tri = wedges.join(
-      oriented.select(col("x").as("y1"), col("y").as("y2")),
-      Seq("y1", "y2"))
+    // single wedge pass: closing edges are unique per (y1, y2), so the
+    // left join preserves wedge multiplicity and the hit-flag sum IS
+    // the triangle count
+    val wedgeStats = wedges.join(
+        oriented.select(col("x").as("y1"), col("y").as("y2"),
+          lit(1L).as("__hit")),
+        Seq("y1", "y2"), "left")
+      .agg(count(lit(1)).as("n_wedges"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_triangles"))
     deg.agg(count(lit(1)).as("n_nodes"))
       .crossJoin(e.agg(count(lit(1)).as("n_edges")))
-      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
-      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+      .crossJoin(wedgeStats)
   }
 
   /** Dedup keeper election from a pair graph: every clustered id maps
