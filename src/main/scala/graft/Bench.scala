@@ -146,6 +146,22 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+    // Cumulative archive: BENCH_FULL.json is overwritten per run, so
+    // cross-round like-for-like comparisons were limited to whatever
+    // per-query tail survived the driver's stdout window. Append every
+    // full map (timestamped) to a JSONL history that no run truncates.
+    val histPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
+      "BENCH_HISTORY.jsonl")
+    val histLine = s"""{"at":"${java.time.Instant.now()}",""" +
+      fullLine.stripPrefix("{")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(histPath),
+      (histLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not append $histPath: ${e.getMessage}")
+    }
     val budget = 1500 // hard cap for the final line, well under the 2,000-char tail
     if (fullLine.length <= budget) {
       println(fullLine)

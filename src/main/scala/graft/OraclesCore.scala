@@ -53,6 +53,88 @@ object OraclesCore {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q141: same letter-string base as q130; regexp_extract_all under
+    // RE2 shares Java regex's leftmost-greedy non-overlapping scan for
+    // these alternation-free patterns, so the counts are engine-exact.
+    "q141_kleene_pattern" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), ''
+        |      ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+        |  CAST(len(regexp_extract_all(seq, 'v+c*p')) AS BIGINT)
+        |    AS n_kleene_funnels,
+        |  CAST(len(regexp_extract_all(seq, 'ee+')) AS BIGINT)
+        |    AS n_error_bursts,
+        |  CAST(coalesce(list_max(list_transform(
+        |      regexp_extract_all(seq, 'c+'), m -> length(m))), 0)
+        |    AS BIGINT) AS max_click_run
+        |FROM s ORDER BY user_id""".stripMargin,
+
+    // q143: the correlated EXISTS/NOT-EXISTS pair stated directly —
+    // DuckDB decorrelates it itself; distinct pair sets first, so the
+    // exists tests are per-(order, supplier) exactly as in Spark.
+    "q143_only_returner" ->
+      """WITH al AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |rl AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        |  WHERE l_returnflag = 'R')
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM rl JOIN supplier ON rl.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM al
+        |    WHERE al.l_orderkey = rl.l_orderkey
+        |      AND al.l_suppkey <> rl.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM rl r2
+        |    WHERE r2.l_orderkey = rl.l_orderkey
+        |      AND r2.l_suppkey <> rl.l_suppkey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+
+    // q144: Q13 phrased with the classic left join; the Spark side's
+    // pre-aggregation is plan shape only — same histogram.
+    "q144_count_distribution" ->
+      """WITH co AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT CAST(c_count AS BIGINT) AS c_count,
+        |  CAST(count(*) AS BIGINT) AS custdist
+        |FROM co GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // q145: identical ordinal construction — row_number + count over
+    // the same partition, integer ceil-division positions.
+    "q145_exact_quantiles" ->
+      """WITH r AS (
+        |  SELECT c_mktsegment, CAST(c_acctbal AS DECIMAL(18,2)) AS b,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY CAST(c_acctbal AS DECIMAL(18,2)), c_custkey) AS rn,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM customer)
+        |SELECT c_mktsegment, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN b END) AS DOUBLE)
+        |    AS median_bal,
+        |  CAST(max(CASE WHEN rn = (n * 9 + 9) // 10 THEN b END) AS DOUBLE)
+        |    AS p90_bal
+        |FROM r GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    // q142: compaction is a pure layout move — identity aggregates come
+    // straight off the source table; layout_ok is pinned TRUE (the
+    // Spark side recomputes it from the actual output listing).
+    "q142_compaction_identity" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+        |    AS DECIMAL(18,2)) AS DOUBLE) AS total_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+        |  TRUE AS layout_ok
+        |FROM lineitem""".stripMargin,
+
     // q139: the TPC-H Q5 shape verbatim; decimal(18,4) product-sum.
     "q139_star_join" ->
       """SELECT n_name,

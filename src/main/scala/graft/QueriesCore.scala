@@ -1729,7 +1729,178 @@ object QueriesCore {
         col("__t").cast("decimal(18,2)").cast("double").as("total_price"))
   }
 
+  /** Kleene-operator sequence patterns — the general form of q130's
+    * fixed v→c→p run counter. Each user's history is the same ordered
+    * initial-letter string; patterns then use real regex quantifiers:
+    * `v+c*p` (one-or-more views, ANY number of interleaved clicks,
+    * then a purchase — the funnel with optional/repeated stages),
+    * `ee+` (error bursts: maximal runs of ≥2 consecutive errors), and
+    * the longest click run via `c+` extract-all. Non-overlapping
+    * leftmost-greedy scan semantics are identical between Java regex
+    * (Spark) and DuckDB's RE2 for these alternation-free patterns, so
+    * counts are engine-exact — the same discipline the text-quality
+    * suite (q66/q94) already proved for `regexp_count`/`extract_all`.
+    * One aggregate + one projection per user; no join, no explode.
+    */
+  def q141KleenePattern(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(concat_ws("", transform(
+        sort_array(collect_list(struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c")))),
+        e => e.getField("c"))).as("seq"))
+      .select(col("user_id"),
+        length(col("seq")).cast("bigint").as("seq_len"),
+        regexp_count(col("seq"), lit("v+c*p")).cast("bigint")
+          .as("n_kleene_funnels"),
+        regexp_count(col("seq"), lit("ee+")).cast("bigint")
+          .as("n_error_bursts"),
+        coalesce(array_max(transform(
+            regexp_extract_all(col("seq"), lit("c+"), lit(0)),
+            m => length(m))), lit(0)).cast("bigint")
+          .as("max_click_run"))
+      .orderBy("user_id")
+
+  /** Small-file compaction at the DECLARED surface — q127's partner
+    * lake-maintenance pass ([[graft.operators.Scale.compact]]): a
+    * 64-shard fragmented write (the shape a streaming sink accumulates)
+    * is compacted into ceil(bytes/target) files, and the result is
+    * gated two ways in ONE driver-visible row: the identity aggregates
+    * (count / distinct keys / decimal-exact sums) read from the
+    * COMPACTED directory must equal the oracle's over the source
+    * table (compaction moves bytes, never rows), and `layout_ok`
+    * re-lists the output dir through the same Hadoop FS API to assert
+    * the rewrite really produced exactly the computed file count,
+    * strictly fewer than the 64 fragments (oracle pins it TRUE).
+    */
+  def q142CompactionIdentity(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("q142-compact").toString
+    try {
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+        .repartition(64).write.mode("overwrite").parquet(s"$root/frag")
+      val nOut = graft.operators.Scale.compact(
+        s, s"$root/frag", s"$root/compact", targetBytes = 4L << 20)
+      val outFiles = {
+        val p = new org.apache.hadoop.fs.Path(s"$root/compact")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val it = fs.listFiles(p, true)
+        var n = 0
+        while (it.hasNext) {
+          if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+        }
+        n
+      }
+      s.read.parquet(s"$root/compact")
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("l_orderkey")).as("n_orders"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("__q"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("__p"))
+        .select(col("n_rows"), col("n_orders"),
+          col("__q").cast("decimal(18,2)").cast("double").as("total_qty"),
+          col("__p").cast("decimal(18,2)").cast("double").as("total_price"),
+          lit(outFiles == nOut && outFiles < 64).as("layout_ok"))
+        .localCheckpoint(true) // materialize before the finally deletes
+    } finally TmpTrees.delete(root)
+  }
+
+  /** EXISTS / NOT-EXISTS chain (TPC-H Q21 shape): suppliers who were
+    * the SOLE returner in a multi-supplier order — the canonical
+    * "exists another, not exists another-with-property" double
+    * correlated subquery, decorrelated Spark-first into one semi join
+    * (some OTHER supplier shares the order) and one anti join (no
+    * OTHER supplier also returned), both on the orderkey equi-key with
+    * the supplier inequality as a residual condition — so the whole
+    * chain rides a single orderkey shuffle of the deduped (order,
+    * supplier) pairs, never the raw fact, and the supplier dim joins
+    * broadcast at the end. The returned/all pair sets are built once
+    * each (distinct BEFORE the joins: the exists tests are per-pair,
+    * not per-lineitem).
+    */
+  def q143OnlyReturner(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val al = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val rl = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val al2 = al.select(col("l_orderkey").as("__ok2"),
+      col("l_suppkey").as("__sk2"))
+    val rl2 = rl.select(col("l_orderkey").as("__ok3"),
+      col("l_suppkey").as("__sk3"))
+    rl.join(al2, col("l_orderkey") === col("__ok2") &&
+        col("l_suppkey") =!= col("__sk2"), "left_semi")
+      .join(rl2, col("l_orderkey") === col("__ok3") &&
+        col("l_suppkey") =!= col("__sk3"), "left_anti")
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).cast("bigint").as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  /** Zero-inclusive count distribution (TPC-H Q13 shape): how many
+    * customers placed exactly k orders, INCLUDING k = 0 — the
+    * histogram a left outer join exists for. Spark-first phrasing
+    * pre-aggregates orders per customer BEFORE the join (map-side
+    * reducible; the join then carries one row per customer instead of
+    * one per order) and left-joins customer to the counts with
+    * coalesce(0) standing in for the never-ordered tail.
+    */
+  def q144CountDistribution(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir).groupBy("o_custkey")
+      .agg(count(lit(1)).as("__n"))
+    Tables.customer(s, dir).select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("__n"), lit(0L)).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).cast("bigint").as("custdist"))
+      .select(col("c_count").cast("bigint").as("c_count"), col("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** EXACT per-group quantiles by ordinal arithmetic — the exact twin
+    * of q101's approx sketch: the q-quantile (type-1 / lower) of a
+    * group of n values is the value at sorted position ceil(q·n),
+    * computed as ONE window pass (row_number + count over the same
+    * partitioning — one sort, one exchange) and a conditional
+    * aggregate that picks the elected positions. Positions use pure
+    * integer ceil-division ((q·n + d − 1) div d — `div`/`//` agree on
+    * non-negative longs), and the value AT a position is tiebreak-
+    * independent, so the result is engine-exact with no interpolation
+    * semantics to reconcile (Spark `percentile` interpolates, DuckDB
+    * `quantile_cont` interpolates differently — ordinals sidestep
+    * both).
+    */
+  def q145ExactQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("__b"), col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment"),
+        col("c_acctbal").cast("decimal(18,2)").as("__b"),
+        col("c_custkey"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy("c_mktsegment")))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        max(when(col("__rn") ===
+            expr("(__n + 1) div 2").cast("int"),
+          col("__b"))).as("__med"),
+        max(when(col("__rn") ===
+            expr("(__n * 9 + 9) div 10").cast("int"),
+          col("__b"))).as("__p90"))
+      .select(col("c_mktsegment"), col("n"),
+        col("__med").cast("double").as("median_bal"),
+        col("__p90").cast("double").as("p90_bal"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q143_only_returner" -> q143OnlyReturner _,
+    "q144_count_distribution" -> q144CountDistribution _,
+    "q145_exact_quantiles" -> q145ExactQuantiles _,
+    "q142_compaction_identity" -> q142CompactionIdentity _,
+    "q141_kleene_pattern" -> q141KleenePattern _,
     "q139_star_join" -> q139StarJoin _,
     "q140_small_qty_revenue" -> q140SmallQtyRevenue _,
     "q132_bucketed_join" -> q132BucketedJoin _,

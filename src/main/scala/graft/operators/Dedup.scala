@@ -387,6 +387,14 @@ object Dedup {
         floor(col("__w6").cast("double") / col("__nrm") * 1e6))
       .filter(col("__df") <= maxDf)
       .select(col(idCol), col("__sh"), col("__wn6"))
+      // Both sides of the posting self-join consume this subtree, and
+      // Spark does NOT reuse the exchange across the two aliased copies
+      // (verified: 0 ReusedExchange, 12 parquet scans — the whole
+      // shingle/df/norm pipeline ran twice). Materialize the df-capped
+      // posting list ONCE; it is the already-pruned small end of the
+      // pipeline (distinct shingles per doc, hot shingles dropped), so
+      // pinning it costs far less than recomputing the upstream joins.
+      .localCheckpoint()
     wn.select(col(idCol).as("id_a"), col("__sh"), col("__wn6").as("__wa"))
       .join(wn.select(col(idCol).as("id_b"), col("__sh"),
         col("__wn6").as("__wb")), Seq("__sh"))

@@ -626,4 +626,91 @@ class OperatorsSpec extends AnyFunSuite {
     assert(inc == expected)
     assert(inc.forall { case (a, b, _) => a % 3 == 0 || b % 3 == 0 })
   }
+
+  test("q141 Kleene regex semantics: leftmost-greedy non-overlapping counts") {
+    // pins the Java-regex side of the q141 contract on hand strings;
+    // the DuckDB/RE2 side is pinned by the oracle hash-compare
+    val rows = Seq(
+      // (seq, v+c*p matches, ee+ matches, longest c-run)
+      ("vvcp", 1, 0, 1), // greedy v+ swallows both v's — ONE funnel
+      ("vp", 1, 0, 0), // c* matches empty
+      ("vcpvp", 2, 0, 1), // scan resumes AFTER each match
+      ("vcccp", 1, 0, 3),
+      ("pcv", 0, 0, 1), // order matters
+      ("vcvcp", 1, 0, 1), // backtrack: match starts at the SECOND v
+      ("eeee", 0, 1, 0), // maximal run = one burst, not three
+      ("eveev", 0, 1, 0), // lone e is not a burst
+      ("eeveep", 0, 2, 0),
+      ("", 0, 0, 0)
+    ).toDF("seq", "nf", "nb", "mc")
+    val got = rows.select(col("seq"),
+      regexp_count(col("seq"), lit("v+c*p")).as("gf"),
+      regexp_count(col("seq"), lit("ee+")).as("gb"),
+      coalesce(array_max(transform(
+        regexp_extract_all(col("seq"), lit("c+"), lit(0)),
+        m => length(m))), lit(0)).as("gc"),
+      col("nf"), col("nb"), col("mc")).collect()
+    got.foreach { r =>
+      assert(r.getInt(1) == r.getInt(4), s"v+c*p on '${r.getString(0)}'")
+      assert(r.getInt(2) == r.getInt(5), s"ee+ on '${r.getString(0)}'")
+      assert(r.getInt(3) == r.getInt(6), s"c-run on '${r.getString(0)}'")
+    }
+  }
+
+  test("q143 exists/not-exists chain elects exactly the sole returners") {
+    // hand fixture through the REAL query fn via a mini testdata dir:
+    // o1 multi-supplier, one returner → counts; o2 both return → no;
+    // o3 single-supplier return → no; o4 other supplier returns → yes
+    val dir = java.nio.file.Files.createTempDirectory("q143fix").toString
+    try {
+      Seq(
+        (1L, 1L, "R"), (1L, 1L, "N"), (1L, 2L, "N"),
+        (2L, 1L, "R"), (2L, 2L, "R"),
+        (3L, 1L, "R"),
+        (4L, 2L, "N"), (4L, 3L, "R"))
+        .toDF("l_orderkey", "l_suppkey", "l_returnflag")
+        .write.parquet(s"$dir/lineitem.parquet")
+      Seq((1L, "S1"), (2L, "S2"), (3L, "S3"))
+        .toDF("s_suppkey", "s_name")
+        .write.parquet(s"$dir/supplier.parquet")
+      val got = graft.QueriesCore.q143OnlyReturner(spark, dir)
+        .as[(String, Long)].collect().toSeq
+      assert(got.toSet == Set(("S1", 1L), ("S3", 1L)), got.toString)
+    } finally graft.TmpTrees.delete(dir)
+  }
+
+  test("q145 ordinal quantiles: exact positions, singleton and even groups") {
+    val dir = java.nio.file.Files.createTempDirectory("q145fix").toString
+    try {
+      val rows =
+        (1 to 10).map(i => ("A", i.toDouble, i.toLong)) ++ // n=10
+          Seq(("B", 7.5, 100L)) ++ // n=1: both quantiles = the value
+          (1 to 4).map(i => ("C", i * 10.0, 200L + i)) // n=4
+      rows.toDF("c_mktsegment", "c_acctbal", "c_custkey")
+        .write.parquet(s"$dir/customer.parquet")
+      val got = graft.QueriesCore.q145ExactQuantiles(spark, dir)
+        .as[(String, Long, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      // A: ceil(5)=pos5 → 5.0; ceil(9)=pos9 → 9.0
+      assert(got("A") == ((10L, 5.0, 9.0)), got("A").toString)
+      assert(got("B") == ((1L, 7.5, 7.5)), got("B").toString)
+      // C: ceil(2)=pos2 → 20.0; ceil(3.6)=pos4 → 40.0
+      assert(got("C") == ((4L, 20.0, 40.0)), got("C").toString)
+    } finally graft.TmpTrees.delete(dir)
+  }
+
+  test("q144 count distribution includes the zero-order customers") {
+    val dir = java.nio.file.Files.createTempDirectory("q144fix").toString
+    try {
+      (1L to 5L).map(i => Tuple1(i)).toDF("c_custkey")
+        .write.parquet(s"$dir/customer.parquet")
+      Seq((10L, 1L), (11L, 1L), (12L, 1L), (13L, 2L))
+        .toDF("o_orderkey", "o_custkey")
+        .write.parquet(s"$dir/orders.parquet")
+      val got = graft.QueriesCore.q144CountDistribution(spark, dir)
+        .as[(Long, Long)].collect().toSeq
+      // sorted custdist DESC, c_count DESC: 3 customers with 0 orders
+      assert(got == Seq((0L, 3L), (3L, 1L), (1L, 1L)), got.toString)
+    } finally graft.TmpTrees.delete(dir)
+  }
 }
