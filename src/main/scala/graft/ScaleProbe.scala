@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-probe harness (dev tool, not part of the driver contract):
+  * measures how the top-cost document-operator family actually scales
+  * by replicating the sf0.1 documents table N× and timing each probe
+  * query at 1× and N×. Turns the scaladoc claim "quadratic only within
+  * capped buckets" into a measured slope: exponent =
+  * log(tN/t1) / log(N) — ~1 is linear, ~2 quadratic.
+  *
+  * Replication detail that matters: a plain N× copy would make every
+  * document a 10-way near-duplicate of itself, so the DEDUP probes
+  * would measure planted-pair explosion (legitimately superlinear
+  * OUTPUT), not pipeline scaling. Copy k > 0 therefore salts every
+  * 5th word with a copy-specific token — word-shingle overlap across
+  * copies drops to ~40 % (Jaccard ≈ 0.25, below every operator
+  * threshold) while each copy keeps its own planted near-dup pairs —
+  * so the N× corpus has N× the work at the SAME collision structure.
+  * Copy 0 is byte-identical to the source, so 1× runs the real table.
+  *
+  * Usage: runMain graft.ScaleProbe [sfDir] [workDir] [factor]
+  */
+object ScaleProbe {
+  private def saltText(k: Int) =
+    concat_ws(" ", transform(split(col("text"), " "),
+      (w, i) => when(pmod(i, lit(5)) === pmod(lit(k), lit(5)),
+        concat(lit(s"zz${k}q"), w)).otherwise(w)))
+
+  def replicate(s: SparkSession, sfDir: String, out: String,
+      factor: Int): Unit = {
+    val base = Tables.documents(s, sfDir)
+    val copies = (0 until factor).map { k =>
+      if (k == 0) base
+      else base.select(
+        (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        saltText(k).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    copies.reduce(_.unionByName(_))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val work = if (args.length > 1) args(1) else "/root/repo/tmp/scaleprobe"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    replicate(spark, sfDir, work, factor)
+    println(s"[probe] replicated ${factor}x -> $work")
+
+    val probes = Seq("q125_sparse_cosine", "q72_containment",
+      "q36_minhash_lsh", "q78_span_dedup")
+    def time(fn: => DataFrame): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val df = fn
+      df.write.format("noop").mode("overwrite").save()
+      val t1 = System.nanoTime()
+      ((t1 - t0) / 1e9, df.count())
+    }
+    println(f"${"query"}%-24s ${"t1x"}%8s ${"tNx"}%8s ${"rows1x"}%8s " +
+      f"${"rowsNx"}%8s ${"exp"}%6s")
+    probes.foreach { name =>
+      val q = SparkEntry.queries(name)
+      // warm both paths once (JIT + parquet footer cache), then take
+      // the best of 2 timed passes per scale
+      time(q(spark, sfDir))
+      val (t1, r1) = {
+        val a = time(q(spark, sfDir)); val b = time(q(spark, sfDir))
+        (math.min(a._1, b._1), a._2)
+      }
+      time(q(spark, work))
+      val (tn, rn) = {
+        val a = time(q(spark, work)); val b = time(q(spark, work))
+        (math.min(a._1, b._1), a._2)
+      }
+      val exp = math.log(tn / t1) / math.log(factor.toDouble)
+      println(f"$name%-24s $t1%8.2f $tn%8.2f $r1%8d $rn%8d $exp%6.2f")
+    }
+    spark.stop()
+  }
+}
