@@ -72,6 +72,36 @@ object OraclesCore {
         |    AS BIGINT) AS max_click_run
         |FROM s ORDER BY user_id""".stripMargin,
 
+    // q146: DuckDB CUBE + GROUPING() — identical margin set.
+    "q146_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+        |    AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
+
+    // q147: IS NOT DISTINCT FROM is DuckDB's null-safe <=>; the
+    // null↔null group must come back matched in both engines.
+    "q147_null_semantics" ->
+      """WITH c AS (
+        |  SELECT CASE WHEN c_nationkey % 7 = 0 THEN NULL
+        |    ELSE c_nationkey END AS nk, count(*) AS n_cust
+        |  FROM customer GROUP BY 1),
+        |s AS (
+        |  SELECT CASE WHEN s_nationkey % 7 = 0 THEN NULL
+        |    ELSE s_nationkey END AS snk, count(*) AS n_supp
+        |  FROM supplier GROUP BY 1)
+        |SELECT CAST(nk AS INT) AS nk,
+        |  CAST(n_cust AS BIGINT) AS n_cust,
+        |  CAST(coalesce(n_supp, 0) AS BIGINT) AS n_supp,
+        |  n_supp IS NOT NULL AS matched
+        |FROM c LEFT JOIN s ON nk IS NOT DISTINCT FROM snk
+        |ORDER BY nk NULLS FIRST""".stripMargin,
+
     // q143: the correlated EXISTS/NOT-EXISTS pair stated directly —
     // DuckDB decorrelates it itself; distinct pair sets first, so the
     // exists tests are per-(order, supplier) exactly as in Spark.

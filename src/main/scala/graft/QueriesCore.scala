@@ -1895,7 +1895,55 @@ object QueriesCore {
       .orderBy("c_mktsegment")
   }
 
+  /** CUBE — the last member of the grouping-extension family (ROLLUP
+    * q22, GROUPING SETS q120): all four (returnflag × linestatus)
+    * margins in one Expand pass, with GROUPING() flags distinguishing
+    * a real NULL key from a subtotal row (the reason the flags exist).
+    */
+  def q146Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        count(lit(1)).cast("bigint").as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("__q"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("g_rf"), col("g_ls"), col("n"),
+        col("__q").cast("decimal(18,2)").cast("double").as("sum_qty"))
+      .orderBy(col("g_rf"), col("g_ls"),
+        col("l_returnflag"), col("l_linestatus"))
+
+  /** Null-semantics suite — the behaviors every engine swap trips
+    * over, pinned cross-engine in one query: a key column made ~1/7
+    * NULL (nullif), grouped WITH the null group retained; count(*) vs
+    * count(col) (null-skipping); and a NULL-SAFE equi-join (`<=>` /
+    * IS NOT DISTINCT FROM) between per-side aggregates, where the
+    * null↔null group MUST match (an inner equi-join would silently
+    * drop it — `matched` pins which engine semantics ran). Aggregating
+    * BEFORE the null-safe join keeps it one row per key; Spark plans
+    * `<=>` as a hash join on the key exactly like `=` (null-safe
+    * equality is still an equi-key), so the shape survives scale.
+    */
+  def q147NullSemantics(s: SparkSession, dir: String): DataFrame = {
+    val nk = when(pmod(col("c_nationkey"), lit(7)) === 0, lit(null))
+      .otherwise(col("c_nationkey")).cast("int")
+    val cust = Tables.customer(s, dir).select(nk.as("nk"))
+      .groupBy("nk").agg(count(lit(1)).as("n_cust"))
+    val snk = when(pmod(col("s_nationkey"), lit(7)) === 0, lit(null))
+      .otherwise(col("s_nationkey")).cast("int")
+    val supp = Tables.supplier(s, dir).select(snk.as("snk"))
+      .groupBy("snk").agg(count(lit(1)).as("n_supp"))
+    cust.join(supp, col("nk") <=> col("snk"), "left")
+      .select(col("nk"),
+        col("n_cust").cast("bigint").as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).cast("bigint").as("n_supp"),
+        col("n_supp").isNotNull.as("matched"))
+      .orderBy(asc_nulls_first("nk"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q146_cube" -> q146Cube _,
+    "q147_null_semantics" -> q147NullSemantics _,
     "q143_only_returner" -> q143OnlyReturner _,
     "q144_count_distribution" -> q144CountDistribution _,
     "q145_exact_quantiles" -> q145ExactQuantiles _,

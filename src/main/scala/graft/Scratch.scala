@@ -2,7 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Throwaway local smoke runner (not part of the driver contract). */
+/** Throwaway local smoke runner (not part of the driver contract):
+  * times the named queries and reports physical-plan scan/exchange
+  * counts — the quick double-evaluation detector.
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -10,18 +13,21 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val q = QueriesText.q125SparseCosine(spark, "/root/testdata/sf0.01")
-    val t0 = System.nanoTime()
-    val n = q.count()
-    val t1 = System.nanoTime()
-    println(s"rows=$n time=${(t1 - t0) / 1e9}")
-    val plan = q.queryExecution.executedPlan.toString
-    println("ReusedExchange occurrences: " +
-      "ReusedExchange".r.findAllIn(plan).size)
-    println("Exchange occurrences: " + "Exchange".r.findAllIn(plan).size)
-    println("Scan parquet occurrences: " +
-      "Scan parquet".r.findAllIn(plan).size)
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SCRATCH_SF", "/root/testdata/sf0.1")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q91_bpe_segment", "q96_bigram_perplexity",
+        "q115_textrank", "q57_person_xml", "q74_tfidf_top_terms")
+    names.foreach { name =>
+      val t0 = System.nanoTime()
+      val q = SparkEntry.queries(name)(spark, dir)
+      q.write.format("noop").mode("overwrite").save()
+      val t1 = System.nanoTime()
+      val plan = q.queryExecution.executedPlan.toString
+      def c(p: String) = p.r.findAllIn(plan).size
+      println(f"$name%-28s ${(t1 - t0) / 1e9}%6.2f s  scans=${c("Scan parquet")} " +
+        f"reused=${c("ReusedExchange")} exch=${c("Exchange")}")
+    }
     spark.stop()
   }
 }

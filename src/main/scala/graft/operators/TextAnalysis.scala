@@ -530,7 +530,12 @@ object TextAnalysis {
     val toks = df.select(col(idCol),
       explode(filter(split(normalizeText(col(textCol)), " "), t => t =!= ""))
         .as("term"))
+    // tf feeds both the document-frequency rollup and the score join;
+    // unpinned, the tokenize+aggregate subtree runs twice (the
+    // q125/q78 replanning pattern). Pin the aggregated (doc, term)
+    // form — already the pruned shape — not the raw token explosion.
     val tf = toks.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = df.select(countDistinct(col(idCol)).as("__n"))
     val scored = tf.join(dfreq, "term")
@@ -707,9 +712,15 @@ object TextAnalysis {
       textCol: String,
       spanLen: Int): DataFrame = {
     require(spanLen >= 2, s"spanLen must be >= 2: $spanLen")
+    // The token table feeds FOUR consumers (position explode, span
+    // hashing — itself consumed twice — and the id spine), and Spark
+    // reuses none of them (verified: 0 ReusedExchange, 4 parquet scans
+    // — normalize+split+explode ran four times). Materialize the
+    // tokenized form once; everything downstream derives from it.
     val toks = df.select(col(idCol),
       filter(split(normalizeText(col(textCol)), " "), t => t =!= "")
         .as("__toks"))
+      .localCheckpoint()
     val tokPos = toks.select(col(idCol),
       posexplode(col("__toks")).as(Seq("pos", "tok")))
     val spans = toks.select(col(idCol), posexplode(
@@ -718,6 +729,7 @@ object TextAnalysis {
             i => md5(concat_ws(" ", slice(col("__toks"), i + 1, lit(spanLen))))))
           .otherwise(array().cast("array<string>")))
         .as(Seq("pos", "h")))
+      .localCheckpoint()
     val firstOcc = spans.groupBy("h")
       .agg(min(struct(col(idCol), col("pos"))).as("__first"))
     val removedStarts = spans.join(firstOcc, "h")
@@ -734,7 +746,7 @@ object TextAnalysis {
         concat_ws(" ", transform(
           sort_array(collect_list(struct(col("pos"), col("tok")))),
           s => s.getField("tok"))).as("clean_text"))
-    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+    toks.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
@@ -959,25 +971,35 @@ object TextAnalysis {
       reference: org.apache.spark.sql.DataFrame,
       idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    def bigrams(df: org.apache.spark.sql.DataFrame) = df
+    def toksOf(df: org.apache.spark.sql.DataFrame) = df
       .select(col(idCol),
         filter(split(normalizeText(col(textCol)), " "), t => t =!= "")
           .as("__t"))
+    def bigrams(toks: org.apache.spark.sql.DataFrame) = toks
       .filter(size(col("__t")) >= 2)
       .select(col(idCol), explode(transform(
         sequence(lit(1), size(col("__t")) - 1),
         i => struct(element_at(col("__t"), i).as("w1"),
           element_at(col("__t"), i + 1).as("w2")))).as("__b"))
       .select(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
-    def unigrams(df: org.apache.spark.sql.DataFrame) = df
-      .select(explode(filter(split(normalizeText(col(textCol)), " "),
-        t => t =!= "")).as("w1"))
-    val refBi = bigrams(reference).groupBy("w1", "w2")
+    def unigrams(toks: org.apache.spark.sql.DataFrame) = toks
+      .select(explode(col("__t")).as("w1"))
+    // The reference corpus is tokenized once and pinned: its tokens
+    // feed BOTH count tables, and Spark replans the normalize/split
+    // subtree per consumer (no ReusedExchange across the aliased
+    // copies — the q125/q78 pattern). refUni itself has two consumers
+    // (the probability join and the vocab-size row), so the aggregate
+    // — already vocabulary-sized — is pinned too. The doc-side tokens
+    // have exactly one consumer and stay lazy: never pin the big side
+    // for free.
+    val refToks = toksOf(reference).localCheckpoint()
+    val refBi = bigrams(refToks).groupBy("w1", "w2")
       .agg(count(lit(1)).as("__c12"))
-    val refUni = unigrams(reference).groupBy("w1")
+    val refUni = unigrams(refToks).groupBy("w1")
       .agg(count(lit(1)).as("__c1"))
+      .localCheckpoint()
     val vocab = refUni.agg(count(lit(1)).as("__v"))
-    val tf = bigrams(docs).groupBy(col(idCol), col("w1"), col("w2"))
+    val tf = bigrams(toksOf(docs)).groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("__tf"))
     tf.join(refBi, Seq("w1", "w2"), "left")
       .join(refUni, Seq("w1"), "left")
