@@ -72,6 +72,57 @@ object OraclesCore {
         |    AS BIGINT) AS max_click_run
         |FROM s ORDER BY user_id""".stripMargin,
 
+    // q148: net-effect reduce as a window (seq unique per key, so
+    // row_number desc = max_by), then the three MERGE arms verbatim.
+    "q148_merge_cdc" ->
+      """WITH raw AS (
+        |  SELECT CASE WHEN o_orderkey % 5 = 0 THEN o_custkey + 100000
+        |    ELSE o_custkey END AS k,
+        |    o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS bal
+        |  FROM orders),
+        |net AS (
+        |  SELECT k, op, bal FROM (
+        |    SELECT k, op, bal,
+        |      row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |    FROM raw) WHERE rn = 1),
+        |merged AS (
+        |  SELECT c.c_custkey AS k, c.c_name AS name,
+        |    CAST(c.c_nationkey AS INT) AS nk,
+        |    CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal,
+        |    c.c_mktsegment AS seg
+        |  FROM customer c LEFT JOIN net ON c.c_custkey = net.k
+        |  WHERE net.k IS NULL
+        |  UNION ALL
+        |  SELECT net.k,
+        |    coalesce(c.c_name, 'NEW#' || CAST(net.k AS VARCHAR)),
+        |    CAST(coalesce(c.c_nationkey, net.k % 25) AS INT),
+        |    net.bal,
+        |    coalesce(c.c_mktsegment, 'CDC')
+        |  FROM net LEFT JOIN customer c ON net.k = c.c_custkey
+        |  WHERE net.op = 'U')
+        |SELECT k AS c_custkey, name AS c_name, nk AS c_nationkey,
+        |  CAST(bal AS DOUBLE) AS c_acctbal, seg AS c_mktsegment
+        |FROM merged ORDER BY c_custkey""".stripMargin,
+
+    // q149: identical a-priori prune-then-pair over distinct baskets.
+    "q149_copurchase_pairs" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |f AS (
+        |  SELECT l_partkey FROM b GROUP BY l_partkey
+        |  HAVING count(*) >= 25),
+        |p AS (
+        |  SELECT b.l_orderkey, b.l_partkey FROM b
+        |  JOIN f ON b.l_partkey = f.l_partkey)
+        |SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM p a JOIN p c ON a.l_orderkey = c.l_orderkey
+        |  AND a.l_partkey < c.l_partkey
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY n_orders DESC, part_a, part_b""".stripMargin,
+
     // q146: DuckDB CUBE + GROUPING() — identical margin set.
     "q146_cube" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1941,7 +1941,86 @@ object QueriesCore {
       .orderBy(asc_nulls_first("nk"))
   }
 
+  /** CDC MERGE at the declared surface ([[Relational.mergeCdc]]): a
+    * change feed synthesized from orders — every order is a CDC record
+    * against its customer (or, for every 5th order, a brand-NEW key),
+    * every 7th order a DELETE, sequenced by orderkey — is net-reduced
+    * last-op-wins and merged into the customer snapshot. Update
+    * payloads carry the target row with the balance replaced (the
+    * matched-UPDATE arm), new keys synthesize full rows (the
+    * not-matched-INSERT arm), and net deletes drop the row. The result
+    * is the complete merged snapshot, row-for-row.
+    */
+  def q148MergeCdc(s: SparkSession, dir: String): DataFrame = {
+    val tgt = Tables.customer(s, dir).select(col("c_custkey"),
+      col("c_name"), col("c_nationkey").cast("int").as("c_nationkey"),
+      col("c_acctbal").cast("decimal(18,2)").as("c_acctbal"),
+      col("c_mktsegment"))
+    val raw = Tables.orders(s, dir).select(
+      when(pmod(col("o_orderkey"), lit(5)) === 0,
+        col("o_custkey") + 100000).otherwise(col("o_custkey"))
+        .as("c_custkey"),
+      col("o_orderkey").as("__seq"),
+      when(pmod(col("o_orderkey"), lit(7)) === 0, lit("D"))
+        .otherwise(lit("U")).as("__op"),
+      col("o_totalprice").cast("decimal(18,2)").as("__bal"))
+    // build full-row change payloads: matched keys carry the target's
+    // other columns, new keys synthesize them — the MERGE arms made
+    // explicit before the generic net-reduce/apply
+    val changes = raw.join(tgt.select(col("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_mktsegment")), Seq("c_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("c_name"),
+          concat(lit("NEW#"), col("c_custkey"))).as("c_name"),
+        coalesce(col("c_nationkey"),
+          pmod(col("c_custkey"), lit(25)).cast("int")).as("c_nationkey"),
+        col("__bal").as("c_acctbal"),
+        coalesce(col("c_mktsegment"), lit("CDC")).as("c_mktsegment"),
+        col("__seq"), col("__op"))
+    Relational.mergeCdc(tgt, changes, Seq("c_custkey"), "__seq", "__op")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal").cast("double").as("c_acctbal"),
+        col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  /** Support-pruned co-purchase pair mining (the a-priori 2-itemset
+    * pass): parts that co-occur in the same order, counted over
+    * DISTINCT (order, part) pairs, with the a-priori prune applied
+    * BEFORE pairing — only parts whose own order-support clears the
+    * floor enter the per-order self-join, so the quadratic step runs
+    * over the frequent-item slice, never the raw basket stream (at
+    * 100 TB the prune is what keeps the pair space finite; baskets
+    * bound the per-order blowup at items²). Pair support then filters
+    * again and the result ranks by lift-free raw support.
+    */
+  def q149CopurchasePairs(s: SparkSession, dir: String): DataFrame = {
+    val minItem = 25L
+    val minPair = 3L
+    val baskets = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val frequent = baskets.groupBy("l_partkey")
+      .agg(count(lit(1)).as("__sup"))
+      .filter(col("__sup") >= minItem)
+      .select(col("l_partkey"))
+    // both sides of the pair self-join consume the pruned basket set —
+    // pin it once (the q125/q78 replanning pattern; it is already the
+    // support-filtered small form)
+    val pruned = baskets.join(broadcast(frequent), Seq("l_partkey"))
+      .localCheckpoint()
+    pruned.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(pruned.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+        Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).cast("bigint").as("n_orders"))
+      .filter(col("n_orders") >= minPair)
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q148_merge_cdc" -> q148MergeCdc _,
+    "q149_copurchase_pairs" -> q149CopurchasePairs _,
     "q146_cube" -> q146Cube _,
     "q147_null_semantics" -> q147NullSemantics _,
     "q143_only_returner" -> q143OnlyReturner _,

@@ -184,6 +184,38 @@ object Relational {
     target.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
       .unionByName(updates.select(target.columns.toSeq.map(col): _*))
 
+  /** Full CDC MERGE — [[upsert]] generalized to a change FEED: `changes`
+    * carries the complete target row shape plus an op column
+    * (`'U'` upsert / `'D'` delete) and a strictly-ordering sequence
+    * column (CDC offset, commit ts). Net effect per key is
+    * LAST-OP-WINS by `seqCol` (`max_by` over one groupBy — a single
+    * shuffle on the keys reduces an arbitrarily long feed to one row
+    * per touched key BEFORE touching the target), then: untouched
+    * target rows pass through an anti join, net-`'U'` rows replace or
+    * insert, net-`'D'` rows vanish — exactly Delta/Iceberg
+    * `MERGE WHEN MATCHED [UPDATE|DELETE] WHEN NOT MATCHED INSERT`
+    * applied at change-feed granularity. `seqCol` must be unique per
+    * key (true for log offsets); ties would make max_by
+    * nondeterministic.
+    */
+  def mergeCdc(
+      target: DataFrame,
+      changes: DataFrame,
+      keys: Seq[String],
+      seqCol: String,
+      opCol: String): DataFrame = {
+    val payload = target.columns.toSeq.filterNot(keys.contains)
+    val net = changes
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(struct((opCol +: payload).map(col): _*), col(seqCol))
+        .as("__net"))
+      .select(keys.map(col) ++ (opCol +: payload)
+        .map(c => col(s"__net.$c").as(c)): _*)
+    target.join(net.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(net.filter(col(opCol) =!= "D")
+        .select(target.columns.toSeq.map(col): _*))
+  }
+
   /** As-of join (time-series point lookup): for every left row, attach
     * the latest right row with `rightTs <= leftTs` within the same
     * `keys`. Composed from built-ins — tier (a) of the custom-operator

@@ -699,6 +699,25 @@ class OperatorsSpec extends AnyFunSuite {
     } finally graft.TmpTrees.delete(dir)
   }
 
+  test("mergeCdc: last-op-wins net effect, all four MERGE arms") {
+    val target = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("k", "name", "v")
+    val changes = Seq(
+      // k=1: U then D (by seq) → net delete
+      (1L, "a1", 11, 100L, "U"), (1L, "a2", 12, 200L, "D"),
+      // k=2: D then U → net resurrect with the LATEST payload
+      (2L, "b1", 21, 100L, "D"), (2L, "b2", 22, 300L, "U"),
+      // k=4: insert (not matched)
+      (4L, "d", 40, 100L, "U"),
+      // k=5: delete of a missing key → no-op
+      (5L, "e", 50, 100L, "D"))
+      .toDF("k", "name", "v", "seq", "op")
+    val got = Relational.mergeCdc(target, changes, Seq("k"), "seq", "op")
+      .as[(Long, String, Int)].collect().toSet
+    assert(got == Set((2L, "b2", 22), (3L, "c", 30), (4L, "d", 40)),
+      got.toString)
+  }
+
   test("q144 count distribution includes the zero-order customers") {
     val dir = java.nio.file.Files.createTempDirectory("q144fix").toString
     try {
