@@ -1818,14 +1818,23 @@ object QueriesCore {
     * not per-lineitem).
     */
   def q143OnlyReturner(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-    val al = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val rl = li.filter(col("l_returnflag") === "R")
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val al2 = al.select(col("l_orderkey").as("__ok2"),
+    // ONE fact scan + ONE shuffle: the (order, supplier) pair set with
+    // a did-return flag is the whole working set (raw-scan audit
+    // showed the naive two-CTE phrasing re-scanned lineitem three
+    // times); both exists-tests and the sole-returner election then
+    // run over the pinned pair table, which is distinct-pair-sized,
+    // never fact-sized.
+    val pairs = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0))
+        .as("__ret"))
+      .localCheckpoint()
+    val rl = pairs.filter(col("__ret") === 1)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val al2 = pairs.select(col("l_orderkey").as("__ok2"),
       col("l_suppkey").as("__sk2"))
-    val rl2 = rl.select(col("l_orderkey").as("__ok3"),
-      col("l_suppkey").as("__sk3"))
+    val rl2 = pairs.filter(col("__ret") === 1)
+      .select(col("l_orderkey").as("__ok3"), col("l_suppkey").as("__sk3"))
     rl.join(al2, col("l_orderkey") === col("__ok2") &&
         col("l_suppkey") =!= col("__sk2"), "left_semi")
       .join(rl2, col("l_orderkey") === col("__ok3") &&

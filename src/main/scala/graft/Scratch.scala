@@ -16,17 +16,20 @@ object Scratch {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SCRATCH_SF", "/root/testdata/sf0.1")
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("q91_bpe_segment", "q96_bigram_perplexity",
-        "q115_textrank", "q57_person_xml", "q74_tfidf_top_terms")
+      else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
-      val t0 = System.nanoTime()
-      val q = SparkEntry.queries(name)(spark, dir)
-      q.write.format("noop").mode("overwrite").save()
-      val t1 = System.nanoTime()
-      val plan = q.queryExecution.executedPlan.toString
-      def c(p: String) = p.r.findAllIn(plan).size
-      println(f"$name%-28s ${(t1 - t0) / 1e9}%6.2f s  scans=${c("Scan parquet")} " +
-        f"reused=${c("ReusedExchange")} exch=${c("Exchange")}")
+      try {
+        val t0 = System.nanoTime()
+        val q = SparkEntry.queries(name)(spark, dir)
+        q.write.format("noop").mode("overwrite").save()
+        val t1 = System.nanoTime()
+        val plan = q.queryExecution.executedPlan.toString
+        def c(p: String) = p.r.findAllIn(plan).size
+        println(f"$name%-28s ${(t1 - t0) / 1e9}%6.2f s  scans=${c("Scan parquet")} " +
+          f"reused=${c("ReusedExchange")} exch=${c("Exchange")}")
+      } catch { case e: Throwable =>
+        println(f"$name%-28s FAILED ${e.getMessage.take(120)}")
+      }
     }
     spark.stop()
   }

@@ -232,9 +232,12 @@ object Dedup {
       threshold: Double = 0.6): DataFrame = {
     require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    // the batch sketch feeds both the probe-target union and the probe
+    // itself — pin it (batch-sized) so the md5 sketch runs once, the
+    // same courtesy DedupStream gives its persisted increment
     minhashNearDupsIncrementalFromBands(corpusIndex, corpus, newDocs,
       md5Banded(wordShingled(newDocs, idCol, textCol, shingleLen), idCol,
-        numHashes, bands),
+        numHashes, bands).localCheckpoint(),
       idCol, textCol, shingleLen, threshold)
   }
 
@@ -272,6 +275,10 @@ object Dedup {
       .select(least(col("__p"), col("__o")).as("id_a"),
         greatest(col("__p"), col("__o")).as("id_b"))
       .distinct()
+      // three consumers (both candIds legs + the verify join) and
+      // candidate-pair-sized — pin once instead of probing the band
+      // index three times
+      .localCheckpoint()
     // verify needs shingle sets for candidate corpus docs only:
     // semi-join scopes the corpus scan to the candidate set
     val candIds = cand.select(col("id_a").as(idCol))

@@ -577,9 +577,16 @@ object TextAnalysis {
     val toks = df.select(col(idCol),
       explode(filter(split(normalizeText(col(textCol)), " "), t => t =!= ""))
         .as("term"))
+    // docLen feeds the corpus-stats row AND the score join; tf feeds
+    // the df rollup AND the score join — pin both aggregated (small)
+    // forms so the token explosion runs once per statistic, not once
+    // per consumer (the q125/q78 replanning pattern; never pin the
+    // explosion itself)
     val docLen = toks.groupBy(idCol).agg(count(lit(1)).as("len"))
+      .localCheckpoint()
     val tf = toks.filter(col("term").isin(queryTerms: _*))
       .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val corpus = docLen.agg(count(lit(1)).as("__nd"),
       avg(col("len")).as("__avglen"))
