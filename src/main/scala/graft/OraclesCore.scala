@@ -53,6 +53,127 @@ object OraclesCore {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q150: same portable md5-prefix order (hash parity with
+    // Scale.md5Prefix32 is established — q110 uses the identical twin),
+    // materialized as the window-sort plan; Spark's bounded-heap
+    // TopKPerKey must elect the same rows.
+    "q150_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+        |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+        |      AS hk
+        |  FROM customer),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY hk, c_custkey) AS rn
+        |  FROM h)
+        |SELECT c_mktsegment, c_custkey, c_name, c_acctbal
+        |FROM r WHERE rn <= 20
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+
+    // q151: identical dedup-grid + 7-day fan-out construction; the
+    // sliding-distinct has no window form in either engine, so both
+    // compute it the same declarative way.
+    "q151_rolling_distinct" ->
+      """WITH grid AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM grid),
+        |fan AS (
+        |  SELECT g.user_id, g.day + CAST(o.o AS INTEGER) AS day
+        |  FROM grid g CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 6)) AS o) o),
+        |w AS (
+        |  SELECT f.day, count(DISTINCT f.user_id) AS wau
+        |  FROM fan f JOIN days d ON f.day = d.day GROUP BY f.day),
+        |d2 AS (
+        |  SELECT day, count(DISTINCT user_id) AS dau
+        |  FROM grid GROUP BY day)
+        |SELECT CAST(w.day AS TIMESTAMP) AS day,
+        |  CAST(d2.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau
+        |FROM w JOIN d2 ON w.day = d2.day
+        |ORDER BY day""".stripMargin,
+
+    // q154: identical spine/zero-fill/running-max construction — the
+    // forward-fill is max(CASE) over the running frame on both sides,
+    // sidestepping IGNORE-NULLS dialect differences.
+    "q154_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |span AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY 1),
+        |spine AS (
+        |  SELECT user_id, CAST(unnest(generate_series(d0, d1,
+        |    INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span),
+        |f AS (
+        |  SELECT s.user_id, s.day, d.n,
+        |    max(CASE WHEN d.n IS NOT NULL THEN s.day END)
+        |      OVER (PARTITION BY s.user_id ORDER BY s.day
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS last_active
+        |  FROM spine s LEFT JOIN daily d
+        |    ON s.user_id = d.user_id AND s.day = d.day)
+        |SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+        |  CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+        |  (n IS NULL) AS is_gap,
+        |  CAST(last_active AS TIMESTAMP) AS last_active_day,
+        |  CAST(date_diff('day', last_active, day) AS INTEGER)
+        |    AS days_since_active
+        |FROM f ORDER BY user_id, day""".stripMargin,
+
+    // q155: same sorted-frame-array ordinal selection (type-1 median,
+    // no interpolation); list indexing is 1-based in both engines and
+    // the elected double is selected, never computed.
+    "q155_moving_median" ->
+      """WITH f AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    list_sort(array_agg(value) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+        |  FROM events)
+        |SELECT user_id, ts, event_id, value,
+        |  CAST(len(arr) AS INTEGER) AS n_window,
+        |  arr[CAST(ceil(len(arr) / 2.0) AS INTEGER)] AS med7
+        |FROM f ORDER BY user_id, ts, event_id""".stripMargin,
+
+    // q157: identical rollup-then-RANGE-frame construction; the burst
+    // verdict is the same integer cross-multiplication.
+    "q157_burst_detection" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS idx
+        |  FROM events GROUP BY 1, 2, 4),
+        |w AS (
+        |  SELECT event_type, day, n,
+        |    coalesce(sum(n) OVER fr, 0) AS prev7,
+        |    count(n) OVER fr AS n_prev_days
+        |  FROM daily
+        |  WINDOW fr AS (PARTITION BY event_type ORDER BY idx
+        |                RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+        |  CAST(n AS BIGINT) AS n, CAST(prev7 AS BIGINT) AS prev7,
+        |  CAST(n_prev_days AS BIGINT) AS n_prev_days,
+        |  (n_prev_days >= 3 AND n * n_prev_days > prev7 * 2) AS is_burst
+        |FROM w ORDER BY event_type, day""".stripMargin,
+
+    // q152: the textbook quadratic dominance DEFINITION — Spark runs
+    // the O(n log n) distinct-price sweep; matching row sets prove the
+    // sweep implements the definition (comparisons only, no double
+    // arithmetic on either side).
+    "q152_skyline" ->
+      """SELECT p.p_partkey, p.p_name, p.p_retailprice,
+        |  CAST(p.p_size AS INTEGER) AS p_size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice
+        |    AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice
+        |         OR q.p_size > p.p_size))
+        |ORDER BY p.p_retailprice, p.p_partkey""".stripMargin,
+
     // q141: same letter-string base as q130; regexp_extract_all under
     // RE2 shares Java regex's leftmost-greedy non-overlapping scan for
     // these alternation-free patterns, so the counts are engine-exact.

@@ -2027,7 +2027,187 @@ object QueriesCore {
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
   }
 
+  /** Deterministic stratified sampling — k customers per market
+    * segment, elected by an engine-portable hash order
+    * ([[graft.operators.Scale.md5Prefix32]]) so the "random" sample is
+    * reproducible across runs, engines, and partitionings (the property
+    * a training-data pipeline needs for auditable splits). Runs on the
+    * custom [[graft.plans.TopKPerKey]] physical operator: bounded heap
+    * per stratum (O(n log k), no per-partition full sort) — at 100 TB
+    * the strata are few and huge, exactly the regime where heap
+    * selection beats the window-sort plan. Tie-break on c_custkey makes
+    * the order total (md5 collisions can't flip membership).
+    */
+  def q150StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val k = 20
+    val hashed = Tables.customer(s, dir).select(
+      col("c_mktsegment"), col("c_custkey"), col("c_name"),
+      col("c_acctbal"),
+      graft.operators.Scale.md5Prefix32(col("c_custkey")).as("__h"))
+    graft.plans.TopK.topKPerKey(hashed, Seq("c_mktsegment"),
+        Seq(("__h", true), ("c_custkey", true)), k)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_name"),
+        col("c_acctbal"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  /** Rolling 7-day distinct users (WAU) next to same-day DAU — the
+    * sliding-distinct aggregate Spark windows can't express (no
+    * count(DISTINCT) over a frame). Scale shape: dedup events to the
+    * (user, day) grid FIRST (one shuffle collapses ~100s of events per
+    * user-day to one row), then a bounded 7× calendar fan-out of the
+    * GRID (not the raw events) feeds a distinct count per target day.
+    * Day fan-out beats a day-range self-join at scale: no skew on hot
+    * days, and the expand is map-side. Output days are restricted to
+    * observed days (semi join against the grid's day set).
+    */
+  def q151RollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .localCheckpoint() // grid feeds fan-out, DAU, and the day filter
+    val days = grid.select(col("day")).distinct()
+    val wau = grid
+      .withColumn("__off", explode(sequence(lit(0), lit(6))))
+      .select(col("user_id"),
+        date_add(col("day"), col("__off").cast("int")).as("day"))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy("day")
+      .agg(countDistinct(col("user_id")).as("wau"))
+    val dau = grid.groupBy("day")
+      .agg(countDistinct(col("user_id")).as("dau"))
+    wau.join(dau, Seq("day"))
+      .select(col("day").cast("timestamp_ntz").as("day"),
+        col("dau").cast("bigint").as("dau"),
+        col("wau").cast("bigint").as("wau"))
+      .orderBy("day")
+  }
+
+  /** 2-D skyline (Pareto frontier: minimize p_retailprice, maximize
+    * p_size) via the O(n log n) sweep instead of the O(n²) dominance
+    * self-join: collapse to one row per distinct price (max size),
+    * running-max the size over STRICTLY cheaper prices (ROWS frame on
+    * the distinct-price relation), then a part is dominated iff a
+    * cheaper price reached its size or its own price level holds a
+    * strictly larger size. Comparisons only — no double arithmetic, so
+    * the engines agree bit-for-bit. The oracle is the textbook NOT
+    * EXISTS dominance definition: the check proves sweep ≡ definition.
+    * At 100 TB the price-level rollup is the reduction (window runs
+    * over distinct prices, not rows) and skyline is
+    * union-composable — local skylines then a skyline of skylines.
+    */
+  def q152Skyline(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val perPrice = p.groupBy(col("p_retailprice"))
+      .agg(max(col("p_size")).as("__mx"))
+    val sweep = Window.orderBy(col("p_retailprice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perPrice
+      .withColumn("__mx_lt", max(col("__mx")).over(sweep))
+    p.join(frontier, Seq("p_retailprice"))
+      .filter((col("__mx_lt").isNull || col("__mx_lt") < col("p_size")) &&
+        col("__mx") <= col("p_size"))
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"),
+        col("p_size").cast("int").as("p_size"))
+      .orderBy("p_retailprice", "p_partkey")
+  }
+
+  /** Calendar gap-fill (the time-series densification every metrics
+    * pipeline needs): per-user daily counts, densified to a contiguous
+    * per-user date spine via `sequence(min_day, max_day)` — the spine
+    * is |users| × span rows, NOT a function of raw event volume — then
+    * left-joined back, with missing days zero-filled and a
+    * forward-fill of the last active day. The forward-fill is
+    * `max(CASE WHEN active THEN day END)` over the running frame —
+    * day is monotone within the frame, so running-max ≡ last-non-null
+    * but avoids engine-specific IGNORE NULLS forms entirely. One
+    * shuffle on user_id serves the rollup, the spine join, and the
+    * window. Dates and counts only — no doubles anywhere.
+    */
+  def q154GapFill(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val spine = daily.groupBy("user_id")
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+      .select(col("user_id"),
+        explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("last_active_day",
+        max(when(col("n").isNotNull, col("day"))).over(w))
+      .select(col("user_id"),
+        col("day").cast("timestamp_ntz").as("day"),
+        coalesce(col("n"), lit(0L)).cast("bigint").as("n_events"),
+        col("n").isNull.as("is_gap"),
+        col("last_active_day").cast("timestamp_ntz")
+          .as("last_active_day"),
+        datediff(col("day"), col("last_active_day")).cast("int")
+          .as("days_since_active"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Exact moving median — type-1 (ordinal ceil(n/2), the q145
+    * convention: no interpolation semantics to reconcile between
+    * engines) over a trailing 7-row frame per user. Spark has no
+    * median-over-frame, so the frame is materialized as a sorted
+    * array (`sort_array(collect_list over window)`) and indexed — the
+    * array is bounded at 7 elements, so per-row state is O(frame), not
+    * O(partition). Selection only, no arithmetic on the doubles: the
+    * elected value is bit-identical across engines by construction.
+    */
+  def q155MovingMedian(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-6, 0)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts").cast("timestamp_ntz").as("ts"),
+        col("event_id"), col("value"))
+      .withColumn("__arr", sort_array(collect_list(col("value")).over(w)))
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        size(col("__arr")).as("n_window"),
+        element_at(col("__arr"),
+          ceil(size(col("__arr")) / lit(2.0)).cast("int")).as("med7"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  /** Burst detection — per event type and day, flag days whose count
+    * exceeds 2× the trailing-7-day mean, with the comparison as an
+    * integer cross-multiplication (n·n_prev_days > 2·prev7 — no
+    * division, no doubles at the boundary) and a 3-observed-day
+    * minimum so a series' first days can't self-flag. The RANGE frame
+    * spans calendar distance on a day index (gap-days count as absent,
+    * exactly like q111), and the rollup happens BEFORE the window, so
+    * the window runs over ≤ types×days rows, never raw events.
+    */
+  def q157BurstDetection(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__idx",
+        datediff(col("day"), lit("2024-01-01").cast("date")))
+    val w = Window.partitionBy("event_type").orderBy(col("__idx"))
+      .rangeBetween(-7, -1)
+    daily
+      .withColumn("prev7", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("n_prev_days", count(col("n")).over(w))
+      .select(col("event_type"),
+        col("day").cast("timestamp_ntz").as("day"),
+        col("n").cast("bigint").as("n"),
+        col("prev7").cast("bigint").as("prev7"),
+        col("n_prev_days").cast("bigint").as("n_prev_days"),
+        (col("n_prev_days") >= 3 &&
+          col("n") * col("n_prev_days") > col("prev7") * 2)
+          .as("is_burst"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q150_stratified_sample" -> q150StratifiedSample _,
+    "q154_gap_fill" -> q154GapFill _,
+    "q155_moving_median" -> q155MovingMedian _,
+    "q157_burst_detection" -> q157BurstDetection _,
+    "q151_rolling_distinct" -> q151RollingDistinct _,
+    "q152_skyline" -> q152Skyline _,
     "q148_merge_cdc" -> q148MergeCdc _,
     "q149_copurchase_pairs" -> q149CopurchasePairs _,
     "q146_cube" -> q146Cube _,

@@ -842,6 +842,46 @@ object QueriesText {
     * the survivors are exactly the planted near-dup pairs (the same
     * 25 q35/q55 find by Jaccard — three measures, one ground truth).
     */
+  /** Exact set-similarity join under prefix filtering
+    * ([[graft.operators.Dedup.prefixJaccardJoin]]): 3-word shingle
+    * sets, Jaccard ≥ 1/2. The oracle deliberately runs the UNFILTERED
+    * all-pairs definition — equal row sets prove the AllPairs prefix
+    * rule lossless on this corpus, not just that both engines prune
+    * alike.
+    */
+  def q153SetsimJoin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.prefixJaccardJoin(Tables.documents(s, dir),
+        "doc_id", "text", shingleLen = 3, tauNum = 1, tauDen = 2)
+      .orderBy("id_a", "id_b")
+
+  /** Inverted-index build statistics — the index-construction pass a
+    * retrieval stack runs over the corpus: per term, document
+    * frequency, collection frequency, and the heaviest posting
+    * (argmax by tf, doc_id tie-break low), truncated to the global
+    * top-100 terms by (df desc, term). The per-term argmax is ONE
+    * aggregate — `max(struct(tf, −doc_id))` elects tf-max with the
+    * LOWEST doc_id in the same lexicographic max, no second window
+    * pass over postings — and the global truncation is a TakeOrdered
+    * top-k, never a full sort. All counts integer.
+    */
+  def q156InvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(filter(split(
+        graft.operators.TextAnalysis.normalizeText(col("text")), " "),
+        t => t =!= "")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    tf.groupBy("term").agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("cf"),
+        max(struct(col("tf"), (-col("doc_id")).as("__nd"))).as("__top"))
+      .select(col("term"),
+        col("df").cast("bigint").as("df"),
+        col("cf").cast("bigint").as("cf"),
+        (-col("__top.__nd")).cast("bigint").as("top_doc_id"),
+        col("__top.tf").cast("bigint").as("top_tf"))
+      .orderBy(col("df").desc, col("term")).limit(100)
+  }
+
   def q125SparseCosine(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.sparseCosinePairs(Tables.documents(s, dir),
         "doc_id", "text", shingleLen = 3, maxDf = 20, minCos = 0.5)
@@ -910,6 +950,8 @@ object QueriesText {
     "q134_triangle_count" -> q134TriangleCount _,
     "q118_image_dhash" -> q118ImageDhash _,
     "q125_sparse_cosine" -> q125SparseCosine _,
+    "q153_setsim_join" -> q153SetsimJoin _,
+    "q156_inverted_index" -> q156InvertedIndex _,
     "q126_hybrid_retrieval" -> q126HybridRetrieval _,
     "q106_chunking" -> q106Chunking _,
     "q107_pmi_collocations" -> q107PmiCollocations _,
@@ -1130,6 +1172,60 @@ object QueriesText {
       // bit-deterministic; round(x, n) is NOT portable between Spark
       // and DuckDB), integer dot products, one double division at the
       // very end.
+      // q156: per-term argmax replayed as row_number-over-postings —
+      // the window form must elect the same posting Spark's
+      // max(struct) aggregate does.
+      "q156_inverted_index" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(list_filter(string_split($norm, ' '),
+           |    x -> x <> '')) AS term
+           |  FROM documents),
+           |tf AS (
+           |  SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+           |st AS (
+           |  SELECT term, count(*) AS df, sum(tf) AS cf
+           |  FROM tf GROUP BY 1),
+           |top AS (
+           |  SELECT term, doc_id AS top_doc_id, tf AS top_tf,
+           |    row_number() OVER (PARTITION BY term
+           |      ORDER BY tf DESC, doc_id) AS rn
+           |  FROM tf)
+           |SELECT st.term, CAST(df AS BIGINT) AS df,
+           |  CAST(cf AS BIGINT) AS cf,
+           |  CAST(top_doc_id AS BIGINT) AS top_doc_id,
+           |  CAST(top_tf AS BIGINT) AS top_tf
+           |FROM st JOIN top ON st.term = top.term AND top.rn = 1
+           |ORDER BY df DESC, st.term LIMIT 100""".stripMargin,
+
+      // q153: the UNFILTERED all-pairs Jaccard definition (same
+      // 3-shingle construction as q125's twin) — Spark runs the
+      // prefix-filtered AllPairs algorithm; row-set equality proves
+      // the prefix rule lossless on this corpus.
+      "q153_setsim_join" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split($norm, ' '),
+           |    x -> x <> '') AS t FROM documents),
+           |sh AS (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(
+           |    range(1, len(t) - 3 + 2),
+           |    i -> array_to_string(t[i:i+2], ' ')))) AS term
+           |  FROM toks WHERE len(t) >= 3),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |co AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    count(*) AS inter
+           |  FROM sh a JOIN sh b ON a.term = b.term
+           |    AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b, CAST(inter AS BIGINT) AS n_inter,
+           |  CAST(sa.n + sb.n - inter AS BIGINT) AS n_union,
+           |  CAST(floor(inter * 1000000 / (sa.n + sb.n - inter))
+           |    AS BIGINT) AS jac_micros
+           |FROM co JOIN sizes sa ON id_a = sa.doc_id
+           |  JOIN sizes sb ON id_b = sb.doc_id
+           |WHERE inter * 2 >= (sa.n + sb.n - inter) * 1
+           |ORDER BY id_a, id_b""".stripMargin,
+
       "q125_sparse_cosine" ->
         s"""WITH toks AS (
            |  SELECT doc_id, list_filter(string_split($norm, ' '),

@@ -413,6 +413,75 @@ object Dedup {
       .filter(col("cos") >= minCos)
   }
 
+  /** Exact Jaccard set-similarity JOIN with prefix filtering (the
+    * AllPairs/PPJoin candidate rule): order each document's distinct
+    * shingle set by global rarity (df asc, shingle — ONE common order),
+    * keep only the first |s| − ⌈τ·|s|⌉ + 1 shingles as the prefix, and
+    * equi-join on PREFIX shingles only. Lossless by pigeonhole: for a
+    * qualifying pair the overlap o ≥ ⌈τ·|s|⌉ exceeds either suffix
+    * (size ⌈τ·|s|⌉ − 1), so the globally smallest common shingle sits
+    * in BOTH prefixes. Hot shingles (big postings) rank at the tail of
+    * every prefix order and never drive the join — the property that
+    * keeps candidate volume at O(near-dups) at 100 TB, with NO df cap
+    * and NO loss (unlike the banded/capped probabilistic cousins).
+    * Verification is exact and all-integer: intersection counted over
+    * full sets, threshold by cross-multiplication, similarity reported
+    * in floor-fixed-point micros (floor of an exact-in-double rational
+    * — engine-portable, per the round() gotcha).
+    *
+    * The intended oracle is the UNFILTERED all-pairs definition:
+    * matching row sets prove the prefix filter lossless, not merely
+    * that two implementations of the same pruning agree.
+    */
+  def prefixJaccardJoin(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int,
+      tauNum: Int,
+      tauDen: Int): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(graft.operators.TextAnalysis.wordShingles(col(textCol),
+        shingleLen)).as("__tok"))
+      // feeds sizes, dfreq, the prefix rank, AND the verify join —
+      // pin once (the q125/q149 replanning lesson)
+      .localCheckpoint()
+    val sizes = toks.groupBy(idCol).agg(count(lit(1)).as("__n"))
+    val dfreq = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
+    // ⌈τ·n⌉ = (n·num + den − 1) div den — exact integers end to end
+    val ceilTauN =
+      floor((col("__n") * tauNum + (tauDen - 1)) / lit(tauDen.toDouble))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("__df"), col("__tok"))
+    val prefix = toks.join(dfreq, "__tok")
+      .withColumn("__rn", row_number().over(w))
+      .join(sizes, idCol)
+      .filter(col("__rn") <= col("__n") - ceilTauN + 1)
+      .select(col(idCol), col("__tok"))
+      .localCheckpoint() // both sides of the candidate self-join
+    val cand = prefix.select(col(idCol).as("id_a"), col("__tok"))
+      .join(prefix.select(col(idCol).as("id_b"), col("__tok")),
+        Seq("__tok"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(toks.select(col(idCol).as("id_a"), col("__tok")), Seq("id_a"))
+      .join(toks.select(col(idCol).as("id_b"), col("__tok")),
+        Seq("id_b", "__tok"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("__n").as("__na")),
+        Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("__n").as("__nb")),
+        Seq("id_b"))
+      .withColumn("n_union", col("__na") + col("__nb") - col("n_inter"))
+      .filter(col("n_inter") * tauDen >= col("n_union") * tauNum)
+      .select(col("id_a"), col("id_b"),
+        col("n_inter").cast("bigint").as("n_inter"),
+        col("n_union").cast("bigint").as("n_union"),
+        floor(col("n_inter") * 1000000L / col("n_union"))
+          .cast("bigint").as("jac_micros"))
+  }
+
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val union = size(array_union(a, b)).cast("double")

@@ -1,0 +1,180 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.etl.FixtureLoader.spark
+
+/** Independent in-JVM verification of the round-12 analytics batch
+  * (q150–q157): each query's result is recomputed brute-force in plain
+  * Scala from the collected base tables — a second implementation that
+  * shares no Spark plan, no SQL, and no window machinery with the
+  * query under test. (The DuckDB oracles are the cross-engine gate;
+  * these are the cross-ALGORITHM gate: sweep vs dominance definition,
+  * prefix-filter vs all-pairs, heap top-k vs sort top-k.)
+  */
+class Round12QueriesSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tokens(text: String): Seq[String] =
+    text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+
+  private def shingles(text: String, n: Int): Set[String] =
+    tokens(text).sliding(n).filter(_.size == n).map(_.mkString(" ")).toSet
+
+  test("q150: bounded-heap stratified sample ≡ sort-based top-k per stratum") {
+    val got = QueriesCore.q150StratifiedSample(spark, sf)
+      .select("c_mktsegment", "c_custkey")
+      .as[(String, Long)].collect().toSeq
+    // brute force: full sort per stratum on the same portable hash
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        graft.operators.Scale.md5Prefix32(col("c_custkey")).as("h"))
+      .as[(String, Long, Long)].collect()
+    val want = cust.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (r._3, r._2)).take(20).map(r => (r._1, r._2))
+    }.sortBy(identity)
+    assert(got.sorted == want.sorted)
+    assert(got.groupBy(_._1).values.forall(_.size <= 20))
+  }
+
+  test("q151: rolling 7-day distinct users ≡ brute-force per-day scan") {
+    val got = QueriesCore.q151RollingDistinct(spark, sf)
+      .select(col("day").cast("date").cast("string"), col("dau"), col("wau"))
+      .as[(String, Long, Long)].collect().toMap2
+    val grid = Tables.events(spark, sf)
+      .select(to_date(col("ts")).cast("string"), col("user_id"))
+      .as[(String, Long)].collect().toSet
+    val days = grid.map(_._1)
+    val want = days.map { d =>
+      val dd = java.time.LocalDate.parse(d)
+      val wauUsers = grid.collect { case (ad, u)
+        if { val a = java.time.LocalDate.parse(ad)
+             !a.isAfter(dd) && a.isAfter(dd.minusDays(7)) } => u }
+      val dauUsers = grid.collect { case (ad, u) if ad == d => u }
+      d -> ((dauUsers.size.toLong, wauUsers.size.toLong))
+    }.toMap
+    assert(got == want)
+  }
+
+  private implicit class ToMap2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+
+  test("q152: skyline sweep ≡ quadratic dominance definition") {
+    val got = QueriesCore.q152Skyline(spark, sf)
+      .select("p_partkey").as[Long].collect().toSet
+    val parts = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .as[(Long, Double, Int)].collect()
+    val want = parts.filter { p =>
+      !parts.exists(q => q._2 <= p._2 && q._3 >= p._3 &&
+        (q._2 < p._2 || q._3 > p._3))
+    }.map(_._1).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("q153: prefix-filtered Jaccard join ≡ all-pairs exact Jaccard") {
+    val got = QueriesText.q153SetsimJoin(spark, sf)
+      .select("id_a", "id_b", "jac_micros")
+      .as[(Long, Long, Long)].collect().toSet
+    val sets = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> shingles(t, 3) }
+      .filter(_._2.nonEmpty)
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa & sb).size; union = sa.size + sb.size - inter
+      if inter * 2 >= union // τ = 1/2 by cross-multiplication
+    } yield (ia, ib, math.floor(inter * 1000000L / union.toDouble).toLong))
+      .toSet
+    assert(got == want)
+    assert(got.nonEmpty, "corpus should contain qualifying near-dup pairs")
+  }
+
+  test("q154: gap-fill spine is contiguous, zero-filled, forward-filled") {
+    val rows = QueriesCore.q154GapFill(spark, sf)
+      .select(col("user_id"), col("day").cast("date").cast("string"),
+        col("n_events"), col("is_gap"),
+        col("last_active_day").cast("date").cast("string"),
+        col("days_since_active"))
+      .as[(Long, String, Long, Boolean, String, Int)].collect()
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("user_id"), to_date(col("ts")).cast("string").as("d"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // every user's spine is contiguous min..max and nothing more
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val ds = rs.map(r => java.time.LocalDate.parse(r._2)).sorted
+      assert(ds.head.until(ds.last, java.time.temporal.ChronoUnit.DAYS)
+        == ds.size - 1, s"user $u spine not contiguous")
+    }
+    rows.foreach { case (u, d, n, gap, last, since) =>
+      assert(n == daily.getOrElse((u, d), 0L))
+      assert(gap == (n == 0L))
+      if (!gap) { assert(last == d); assert(since == 0) }
+      else assert(java.time.LocalDate.parse(last)
+        .plusDays(since).toString == d)
+    }
+    assert(rows.exists(_._4), "corpus should contain at least one gap day")
+  }
+
+  test("q155: trailing-frame median is the sorted-frame ordinal element") {
+    val got = QueriesCore.q155MovingMedian(spark, sf)
+      .select("user_id", "event_id", "n_window", "med7")
+      .as[(Long, Long, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("long"), col("event_id"),
+        col("value"))
+      .as[(Long, Long, Long, Double)].collect()
+    evs.groupBy(_._1).foreach { case (u, rs) =>
+      val ord = rs.sortBy(r => (r._2, r._3))
+      ord.zipWithIndex.foreach { case (r, i) =>
+        val frame = ord.slice(math.max(0, i - 6), i + 1).map(_._4).sorted
+        val want = frame((frame.size + 1) / 2 - 1) // ceil(n/2), 1-based
+        val (n, med) = got((u, r._3))
+        assert(n == frame.size && med == want,
+          s"user $u event ${r._3}: got ($n,$med) want (${frame.size},$want)")
+      }
+    }
+  }
+
+  test("q157: burst verdict is the exact cross-multiplied trailing mean") {
+    val rows = QueriesCore.q157BurstDetection(spark, sf)
+      .select(col("event_type"), col("day").cast("date").cast("string"),
+        col("n"), col("prev7"), col("n_prev_days"), col("is_burst"))
+      .as[(String, String, Long, Long, Long, Boolean)].collect()
+    val daily = rows.map(r => (r._1, java.time.LocalDate.parse(r._2)) -> r._3)
+      .toMap
+    rows.foreach { case (t, d, n, prev7, npd, burst) =>
+      val dd = java.time.LocalDate.parse(d)
+      val win = (1 to 7).flatMap(k => daily.get((t, dd.minusDays(k))))
+      assert(prev7 == win.sum && npd == win.size)
+      assert(burst == (npd >= 3 && n * npd > prev7 * 2))
+    }
+    assert(rows.exists(_._6), "testdata should exhibit at least one burst")
+  }
+
+  test("q156: per-term argmax posting and counts match a Scala recount") {
+    val got = QueriesText.q156InvertedIndex(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val tf = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .flatMap { case (id, t) => tokens(t).map(w => (w, id)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .groupBy(_._1._1).view.mapValues(_.map { case ((_, id), n) => id -> n })
+      .toMap
+    val stats = tf.map { case (term, posts) =>
+      val (topDoc, topTf) = posts.toSeq.sortBy { case (id, n) => (-n, id) }.head
+      term -> ((posts.size.toLong, posts.values.sum, topDoc, topTf))
+    }
+    val want = stats.toSeq
+      .sortBy { case (term, (df, _, _, _)) => (-df, term) }.take(100)
+      .map { case (t, (df, cf, d, f)) => (t, df, cf, d, f) }
+    assert(got.toSeq == want)
+  }
+}
