@@ -53,6 +53,53 @@ object OraclesCore {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q158: lead() over the same total (date, orderkey) order; the
+    // exclusive end bound and NULL-current convention are identical.
+    "q158_scd2_build" ->
+      """SELECT o_custkey, o_orderkey, o_orderstatus AS status,
+        |  CAST(CAST(o_orderdate AS TIMESTAMP) AS TIMESTAMP) AS valid_from,
+        |  CAST(lead(o_orderdate, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS TIMESTAMP) AS valid_to,
+        |  (lead(o_orderdate, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) IS NULL) AS is_current
+        |FROM orders
+        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
+
+    // q159: margins and χ² numerators as exact integers, one double
+    // division per cell, floor-micros on both sides.
+    "q159_chi_square" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(user_id % 2 AS INTEGER) AS cohort,
+        |    count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, sum(o) AS r FROM cells GROUP BY 1),
+        |c AS (SELECT cohort, sum(o) AS c FROM cells GROUP BY 1),
+        |n AS (SELECT sum(o) AS n FROM cells)
+        |SELECT cells.event_type, cells.cohort,
+        |  CAST(o AS BIGINT) AS o,
+        |  CAST(floor(r.r * c.c / CAST(n.n AS DOUBLE) * 1e6) AS BIGINT)
+        |    AS e_micros,
+        |  CAST(floor((o * n.n - r.r * c.c) * (o * n.n - r.r * c.c)
+        |    / CAST(n.n * r.r * c.c AS DOUBLE) * 1e6) AS BIGINT)
+        |    AS chi2_micros
+        |FROM cells JOIN r ON cells.event_type = r.event_type
+        |  JOIN c ON cells.cohort = c.cohort CROSS JOIN n
+        |ORDER BY cells.event_type, cells.cohort""".stripMargin,
+
+    // q160: the Q16 NOT-IN form verbatim — Spark's broadcast anti-join
+    // must agree with the correlated NOT IN.
+    "q160_supplier_diversity" ->
+      """SELECT p_brand, p_type, CAST(p_size AS INTEGER) AS p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#21'
+        |  AND p_type NOT LIKE 'SMALL%'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_suppkey % 13 = 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
     // q150: same portable md5-prefix order (hash parity with
     // Scale.md5Prefix32 is established — q110 uses the identical twin),
     // materialized as the window-sort plan; Spark's bounded-heap

@@ -2201,7 +2201,97 @@ object QueriesCore {
       .orderBy("event_type", "day")
   }
 
+  /** SCD Type-2 dimension build — the warehouse-canonical "track every
+    * attribute version with validity intervals" op, derived from a
+    * change feed (orders as per-customer changes, effective at
+    * o_orderdate): one lead() over the (date, orderkey)-total order
+    * yields the EXCLUSIVE end bound, the last version per key carries
+    * a NULL end and is_current. One shuffle, one window pass; at
+    * 100 TB the feed shuffles once on the business key and each key's
+    * history sorts independently.
+    */
+  def q158Scd2Build(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderstatus"), col("o_orderdate"))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderstatus").as("status"),
+        col("o_orderdate").cast("timestamp_ntz").as("valid_from"),
+        col("valid_to").cast("timestamp_ntz").as("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("o_custkey", "valid_from", "o_orderkey")
+  }
+
+  /** Chi-square contingency cells (event_type × user-parity cohort):
+    * observed counts vs independence-expected, each cell's χ² term as
+    * (o·N − r·c)² / (N·r·c) — margins and the numerator stay exact
+    * integers, ONE double division per cell, reported in
+    * floor-fixed-point micros (identical IEEE inputs → identical
+    * floor on both engines; no order-dependent double summation
+    * anywhere — the statistic total is the integer sum of cell
+    * micros). The contingency table is |types| × |cohorts| rows — the
+    * reduction happens in the first aggregate, so the test costs one
+    * groupBy at any scale.
+    */
+  def q159ChiSquare(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        pmod(col("user_id"), lit(2)).cast("int").as("cohort"))
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy("event_type").agg(sum(col("o")).as("__r"))
+    val cols_ = cells.groupBy("cohort").agg(sum(col("o")).as("__c"))
+    val n = cells.agg(sum(col("o")).as("__n"))
+    cells.join(broadcast(rows), Seq("event_type"))
+      .join(broadcast(cols_), Seq("cohort"))
+      .crossJoin(broadcast(n))
+      .select(col("event_type"), col("cohort"),
+        col("o").cast("bigint").as("o"),
+        floor(col("__r") * col("__c") / col("__n").cast("double") * 1e6)
+          .cast("bigint").as("e_micros"),
+        floor((col("o") * col("__n") - col("__r") * col("__c")) *
+            (col("o") * col("__n") - col("__r") * col("__c")) /
+            (col("__n") * col("__r") * col("__c")).cast("double") * 1e6)
+          .cast("bigint").as("chi2_micros"))
+      .orderBy("event_type", "cohort")
+  }
+
+  /** TPC-H Q16 shape — supplier-diversity count: distinct suppliers
+    * per (brand, type, size) bucket, EXCLUDING a blacklist (every
+    * 13th supplier stands in for Q16's complaint scan) via the NOT-IN
+    * anti-join, excluding one brand and a type prefix. The
+    * count(DISTINCT) runs AFTER the anti-join and the dim filters, so
+    * the distinct shuffle carries only surviving (bucket, supplier)
+    * pairs; the part dim broadcasts, the blacklist broadcasts as an
+    * anti side.
+    */
+  def q160SupplierDiversity(s: SparkSession, dir: String): DataFrame = {
+    val blacklist = Tables.supplier(s, dir)
+      .filter(pmod(col("s_suppkey"), lit(13)) === 0)
+      .select(col("s_suppkey").as("l_suppkey"))
+    val parts = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#21" &&
+        !col("p_type").startsWith("SMALL") &&
+        col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"),
+        col("p_type"), col("p_size"))
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(blacklist), Seq("l_suppkey"), "left_anti")
+      .join(broadcast(parts), Seq("l_partkey"))
+      .groupBy(col("p_brand"), col("p_type"),
+        col("p_size").cast("int").as("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q158_scd2_build" -> q158Scd2Build _,
+    "q159_chi_square" -> q159ChiSquare _,
+    "q160_supplier_diversity" -> q160SupplierDiversity _,
     "q150_stratified_sample" -> q150StratifiedSample _,
     "q154_gap_fill" -> q154GapFill _,
     "q155_moving_median" -> q155MovingMedian _,

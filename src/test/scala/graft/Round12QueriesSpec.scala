@@ -159,6 +159,68 @@ class Round12QueriesSpec extends AnyFunSuite {
     assert(rows.exists(_._6), "testdata should exhibit at least one burst")
   }
 
+  test("q158: SCD-2 intervals tile each key's history; one current row") {
+    val rows = QueriesCore.q158Scd2Build(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("valid_from").cast("string"),
+        col("valid_to").cast("string"), col("is_current"))
+      .as[(Long, Long, String, Option[String], Boolean)].collect()
+    rows.groupBy(_._1).foreach { case (k, rs) =>
+      val ord = rs.sortBy(r => (r._3, r._2))
+      ord.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3), s"key $k: end must meet next start")
+          assert(!a._5)
+        case _ =>
+      }
+      assert(ord.last._4.isEmpty && ord.last._5,
+        s"key $k: exactly the last version is current")
+    }
+    val orders = Tables.orders(spark, sf).count()
+    assert(rows.length == orders, "one version row per change record")
+  }
+
+  test("q159: chi-square cells match an exact-integer Scala recount") {
+    val got = QueriesCore.q159ChiSquare(spark, sf)
+      .as[(String, Int, Long, Long, Long)].collect().toSet
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"), pmod(col("user_id"), lit(2)).cast("int"))
+      .as[(String, Int)].collect()
+    val cells = evs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val r = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val c = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = cells.values.sum
+    val want = cells.map { case ((t, ch), o) =>
+      val num = o * n - r(t) * c(ch)
+      (t, ch, o,
+        math.floor(r(t) * c(ch) / n.toDouble * 1e6).toLong,
+        math.floor(num * num / (n * r(t) * c(ch)).toDouble * 1e6).toLong)
+    }.toSet
+    assert(got == want)
+  }
+
+  test("q160: NOT-IN supplier diversity matches a Scala set recount") {
+    val got = QueriesCore.q160SupplierDiversity(spark, sf)
+      .as[(String, String, Int, Long)].collect().toSet
+    val black = Tables.supplier(spark, sf).select("s_suppkey")
+      .as[Long].collect().filter(_ % 13 == 0).toSet
+    val parts = Tables.part(spark, sf)
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+      .as[(Long, String, String, Int)].collect()
+      .filter(p => p._2 != "Brand#21" && !p._3.startsWith("SMALL") &&
+        Set(1, 4, 9, 14, 19, 23, 36, 45)(p._4))
+      .map(p => p._1 -> ((p._2, p._3, p._4))).toMap
+    val li = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey")
+      .as[(Long, Long)].collect()
+    val want = li.filter(l => parts.contains(l._1) && !black(l._2))
+      .map(l => parts(l._1) -> l._2).distinct
+      .groupBy(_._1).map { case ((b, t, sz), ss) =>
+        (b, t, sz, ss.length.toLong)
+      }.toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("q156: per-term argmax posting and counts match a Scala recount") {
     val got = QueriesText.q156InvertedIndex(spark, sf)
       .as[(String, Long, Long, Long, Long)].collect()
