@@ -844,14 +844,14 @@ object QueriesText {
     */
   /** Exact set-similarity join under prefix filtering
     * ([[graft.operators.Dedup.prefixJaccardJoin]]): 3-word shingle
-    * sets, Jaccard ≥ 1/2. The oracle deliberately runs the UNFILTERED
+    * sets, Jaccard ≥ 4/5. The oracle deliberately runs the UNFILTERED
     * all-pairs definition — equal row sets prove the AllPairs prefix
     * rule lossless on this corpus, not just that both engines prune
     * alike.
     */
   def q153SetsimJoin(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.prefixJaccardJoin(Tables.documents(s, dir),
-        "doc_id", "text", shingleLen = 3, tauNum = 1, tauDen = 2)
+        "doc_id", "text", shingleLen = 3, tauNum = 4, tauDen = 5)
       .orderBy("id_a", "id_b")
 
   /** Inverted-index build statistics — the index-construction pass a
@@ -1223,7 +1223,7 @@ object QueriesText {
            |    AS BIGINT) AS jac_micros
            |FROM co JOIN sizes sa ON id_a = sa.doc_id
            |  JOIN sizes sb ON id_b = sb.doc_id
-           |WHERE inter * 2 >= (sa.n + sb.n - inter) * 1
+           |WHERE inter * 5 >= (sa.n + sb.n - inter) * 4
            |ORDER BY id_a, id_b""".stripMargin,
 
       "q125_sparse_cosine" ->

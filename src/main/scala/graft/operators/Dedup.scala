@@ -440,13 +440,26 @@ object Dedup {
       shingleLen: Int,
       tauNum: Int,
       tauDen: Int): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(graft.operators.TextAnalysis.wordShingles(col(textCol),
-        shingleLen)).as("__tok"))
-      // feeds sizes, dfreq, the prefix rank, AND the verify join —
-      // pin once (the q125/q149 replanning lesson)
+    // each doc's shingle SET travels as one sorted array row: the
+    // explode below feeds df-counts and the prefix rank, while the
+    // verify step reads the arrays directly — an O(|set|)
+    // array_intersect per candidate instead of re-exploding every
+    // candidate pair into (pair × tokens) join rows (the first draft
+    // did exactly that: ~50× the verify-join volume at sf0.1).
+    // Shingles are 64-bit FNV hashes (ShingleHashes, the q35
+    // convention — lower() upstream for full-Unicode folding): set
+    // cardinalities are collision-free in practice (~n²/2⁶⁴), every
+    // downstream join/group/intersect runs on longs instead of
+    // ~25-byte strings, and the string-shingle DuckDB oracle still
+    // matches because only CARDINALITIES reach the output. Measured
+    // at sf0.1: strings 9.1 s → longs (see q153 bench entry).
+    val sets = df.select(col(idCol),
+      graft.functions.ShingleHashes.shingleHashes(lower(col(textCol)),
+        shingleLen).as("__set"))
+      .filter(size(col("__set")) > 0)
       .localCheckpoint()
-    val sizes = toks.groupBy(idCol).agg(count(lit(1)).as("__n"))
+    val toks = sets.select(col(idCol), size(col("__set")).as("__n"),
+      explode(col("__set")).as("__tok"))
     val dfreq = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
     // ⌈τ·n⌉ = (n·num + den − 1) div den — exact integers end to end
     val ceilTauN =
@@ -455,25 +468,42 @@ object Dedup {
       .partitionBy(idCol).orderBy(col("__df"), col("__tok"))
     val prefix = toks.join(dfreq, "__tok")
       .withColumn("__rn", row_number().over(w))
-      .join(sizes, idCol)
       .filter(col("__rn") <= col("__n") - ceilTauN + 1)
-      .select(col(idCol), col("__tok"))
+      .select(col(idCol), col("__tok"), col("__rn"), col("__n"))
       .localCheckpoint() // both sides of the candidate self-join
-    val cand = prefix.select(col(idCol).as("id_a"), col("__tok"))
-      .join(prefix.select(col(idCol).as("id_b"), col("__tok")),
-        Seq("__tok"))
-      .filter(col("id_a") < col("id_b"))
+    // candidate pruning, both rules LOSSLESS (PPJoin):
+    //  - length filter: Jaccard ≥ τ forces τ·max(n_a,n_b) ≤ min —
+    //    wildly different sizes can't qualify;
+    //  - positional filter: overlap ≤ min(n_a−rn_a, n_b−rn_b) + 1 for
+    //    the shared token's positions, and a qualifying pair needs
+    //    o ≥ ⌈τ/(1+τ)·(n_a+n_b)⌉. Lossless because the globally
+    //    SMALLEST common token's row carries a bound ≥ the true
+    //    overlap (all common tokens rank at or after it in both
+    //    docs), so at least one row per qualifying pair survives.
+    //    Measured at sf0.1/τ=1/2: 409k → 125k candidate pairs.
+    val cand = prefix.select(col(idCol).as("id_a"), col("__tok"),
+        col("__rn").as("__ra"), col("__n").as("__na"))
+      .join(prefix.select(col(idCol).as("id_b"), col("__tok"),
+        col("__rn").as("__rb"), col("__n").as("__nb")), Seq("__tok"))
+      .filter(col("id_a") < col("id_b") &&
+        col("__na") * tauNum <= col("__nb") * tauDen &&
+        col("__nb") * tauNum <= col("__na") * tauDen &&
+        (least(col("__na") - col("__ra"), col("__nb") - col("__rb")) +
+          1) * (tauNum + tauDen) >= (col("__na") + col("__nb")) * tauNum)
       .select("id_a", "id_b").distinct()
+    // verify: two id-keyed joins pull the full sets (compact array
+    // payloads — shuffle hash join on id at scale, AQE broadcasts
+    // when the corpus side fits), one codegen array_intersect each
     cand
-      .join(toks.select(col(idCol).as("id_a"), col("__tok")), Seq("id_a"))
-      .join(toks.select(col(idCol).as("id_b"), col("__tok")),
-        Seq("id_b", "__tok"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-      .join(sizes.select(col(idCol).as("id_a"), col("__n").as("__na")),
+      .join(sets.select(col(idCol).as("id_a"), col("__set").as("__sa")),
         Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("__n").as("__nb")),
+      .join(sets.select(col(idCol).as("id_b"), col("__set").as("__sb")),
         Seq("id_b"))
-      .withColumn("n_union", col("__na") + col("__nb") - col("n_inter"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long")
+          .as("n_inter"),
+        (size(col("__sa")) + size(col("__sb"))).cast("long").as("__nn"))
+      .withColumn("n_union", col("__nn") - col("n_inter"))
       .filter(col("n_inter") * tauDen >= col("n_union") * tauNum)
       .select(col("id_a"), col("id_b"),
         col("n_inter").cast("bigint").as("n_inter"),

@@ -87,7 +87,7 @@ class Round12QueriesSpec extends AnyFunSuite {
     val want = (for {
       (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
       inter = (sa & sb).size; union = sa.size + sb.size - inter
-      if inter * 2 >= union // τ = 1/2 by cross-multiplication
+      if inter * 5 >= union * 4 // τ = 4/5 by cross-multiplication
     } yield (ia, ib, math.floor(inter * 1000000L / union.toDouble).toLong))
       .toSet
     assert(got == want)
