@@ -53,6 +53,67 @@ object OraclesCore {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q161: the FULL aggregate, computed directly — equality with
+    // Spark's merged base+delta partials proves the maintenance
+    // algebra, not just engine agreement.
+    "q161_incremental_agg" ->
+      """SELECT c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*) AS avg_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    // q162: identical islands construction (idx − row_number), the
+    // same max(struct)-shaped election via window rank.
+    "q162_streaks" ->
+      """WITH grid AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |g2 AS (
+        |  SELECT user_id, day,
+        |    date_diff('day', DATE '2024-01-01', day) AS idx
+        |  FROM grid),
+        |isl AS (
+        |  SELECT user_id, day, idx,
+        |    idx - row_number() OVER (PARTITION BY user_id
+        |      ORDER BY idx) AS island
+        |  FROM g2),
+        |st AS (
+        |  SELECT user_id, island, count(*) AS len,
+        |    min(day) AS s, max(day) AS e, min(idx) AS sidx
+        |  FROM isl GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, len, s, e,
+        |    count(*) OVER (PARTITION BY user_id) AS n_streaks,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY len DESC, sidx) AS rn
+        |  FROM st)
+        |SELECT user_id, CAST(n_streaks AS BIGINT) AS n_streaks,
+        |  CAST(len AS BIGINT) AS best_len,
+        |  CAST(s AS TIMESTAMP) AS streak_start,
+        |  CAST(e AS TIMESTAMP) AS streak_end
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // q163: the mode election replayed as a window rank over the
+    // value histogram.
+    "q163_group_mode" ->
+      """WITH h AS (
+        |  SELECT l_returnflag, l_quantity, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT l_returnflag, l_quantity, c,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY c DESC, l_quantity) AS rn
+        |  FROM h)
+        |SELECT l_returnflag, l_quantity AS mode_qty,
+        |  CAST(c AS BIGINT) AS mode_count
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+
     // q158: lead() over the same total (date, orderkey) order; the
     // exclusive end bound and NULL-current convention are identical.
     "q158_scd2_build" ->

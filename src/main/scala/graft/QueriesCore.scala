@@ -2288,7 +2288,102 @@ object QueriesCore {
         col("p_size"))
   }
 
+  /** Incremental materialized-view maintenance via partial-aggregate
+    * algebra: the "view" (per-segment order stats) is maintained as
+    * partials — count/sum/min/max computed independently on the base
+    * slice (orders before the cutoff) and the delta slice (after) —
+    * then MERGED by re-aggregation (sum of counts, sum of sums, min
+    * of mins, max of maxes; avg derived from merged sum/count at the
+    * very end). The oracle computes the full aggregate directly, so
+    * hash equality IS the algebraic proof that merge(partial(A),
+    * partial(B)) = full(A ∪ B) — the property that lets a 100 TB view
+    * absorb a daily partition in O(delta) instead of O(history).
+    */
+  def q161IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.customer(s, dir)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+      .join(broadcast(seg), Seq("o_custkey"))
+    val cutoff = lit("1999-01-01").cast("timestamp")
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("c_mktsegment").agg(
+        count(lit(1)).as("__n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("__s"),
+        min(col("o_totalprice")).as("__mn"),
+        max(col("o_totalprice")).as("__mx"))
+    partial(o.filter(col("o_orderdate") < cutoff))
+      .unionByName(partial(o.filter(col("o_orderdate") >= cutoff)))
+      .groupBy("c_mktsegment")
+      .agg(sum(col("__n")).as("n_orders"),
+        sum(col("__s")).as("__total"),
+        min(col("__mn")).as("min_price"),
+        max(col("__mx")).as("max_price"))
+      .select(col("c_mktsegment"),
+        col("n_orders").cast("bigint").as("n_orders"),
+        col("__total").cast("double").as("total_price"),
+        col("min_price"), col("max_price"),
+        (col("__total").cast("double") / col("n_orders"))
+          .as("avg_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Gaps-and-islands — longest consecutive-day activity streak per
+    * user, via the day-index-minus-row-number trick: within a user,
+    * consecutive days share (idx − rn), so one window pass labels
+    * every island and a count per (user, island) measures each
+    * streak. The election of the longest (earliest start on ties) is
+    * one max(struct) aggregate. Runs on the deduped (user, day) grid,
+    * so window and aggregate cost scale with active user-days, not
+    * events. Integers and dates only.
+    */
+  def q162Streaks(s: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("__idx",
+        datediff(col("day"), lit("2024-01-01").cast("date")))
+    val w = Window.partitionBy("user_id").orderBy("__idx")
+    val islands = grid
+      .withColumn("__isl", col("__idx") - row_number().over(w))
+      .groupBy(col("user_id"), col("__isl"))
+      .agg(count(lit(1)).as("__len"), min(col("day")).as("__start"),
+        max(col("day")).as("__end"), min(col("__idx")).as("__sidx"))
+    islands.groupBy("user_id")
+      .agg(count(lit(1)).as("n_streaks"),
+        max(struct(col("__len"), (-col("__sidx")).as("__neg"),
+          col("__start"), col("__end"))).as("__best"))
+      .select(col("user_id"),
+        col("n_streaks").cast("bigint").as("n_streaks"),
+        col("__best.__len").cast("bigint").as("best_len"),
+        col("__best.__start").cast("timestamp_ntz").as("streak_start"),
+        col("__best.__end").cast("timestamp_ntz").as("streak_end"))
+      .orderBy("user_id")
+  }
+
+  /** Exact per-group mode with a deterministic tie-break (most
+    * frequent l_quantity per return flag; lowest value wins ties):
+    * count per (group, value), then ONE max(struct(count, −value))
+    * aggregate elects the mode — two shuffles total, no window over
+    * the value histogram. The doubles are compared and negated only
+    * (selection, bit-exact both engines).
+    */
+  def q163GroupMode(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy("l_returnflag")
+      .agg(max(struct(col("__c"), (-col("l_quantity")).as("__nv")))
+        .as("__m"))
+      .select(col("l_returnflag"),
+        (-col("__m.__nv")).as("mode_qty"),
+        col("__m.__c").cast("bigint").as("mode_count"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q161_incremental_agg" -> q161IncrementalAgg _,
+    "q162_streaks" -> q162Streaks _,
+    "q163_group_mode" -> q163GroupMode _,
     "q158_scd2_build" -> q158Scd2Build _,
     "q159_chi_square" -> q159ChiSquare _,
     "q160_supplier_diversity" -> q160SupplierDiversity _,

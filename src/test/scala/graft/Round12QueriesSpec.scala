@@ -221,6 +221,61 @@ class Round12QueriesSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q161: merged base+delta partials equal an unsplit Scala fold") {
+    val got = QueriesCore.q161IncrementalAgg(spark, sf)
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSet
+    val rows = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_mktsegment", "o_totalprice")
+      .as[(String, Double)].collect()
+    val want = rows.groupBy(_._1).map { case (seg, rs) =>
+      val cents = rs.map(r => math.round(r._2 * 100)) // 2dp exact
+      val total = cents.sum / 100.0
+      (seg, rs.size.toLong, total, rs.map(_._2).min, rs.map(_._2).max,
+        total / rs.size)
+    }.toSet
+    assert(got == want)
+  }
+
+  test("q162: longest streaks match a Scala consecutive-day scan") {
+    val got = QueriesCore.q162Streaks(spark, sf)
+      .select(col("user_id"), col("n_streaks"), col("best_len"),
+        col("streak_start").cast("date").cast("string"))
+      .as[(Long, Long, Long, String)].collect().toSet
+    val grid = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).cast("string"))
+      .as[(Long, String)].collect().toSet
+    val want = grid.groupBy(_._1).map { case (u, ds) =>
+      val days = ds.map(d => java.time.LocalDate.parse(d._2)).toSeq.sorted
+      val streaks = days.foldLeft(List.empty[List[java.time.LocalDate]]) {
+        case (acc @ (cur :: rest), d)
+          if cur.head.plusDays(1) == d => (d :: cur) :: rest
+        case (acc, d) => List(d) :: acc
+      }.map(s => (s.size.toLong, s.last)) // (len, start)
+      val best = streaks.minBy { case (len, start) =>
+        (-len, start.toEpochDay)
+      }
+      (u, streaks.size.toLong, best._1, best._2.toString)
+    }.toSet
+    assert(got == want)
+    assert(got.exists(_._3 > 1), "testdata should contain multi-day streaks")
+  }
+
+  test("q163: per-group mode matches a Scala histogram election") {
+    val got = QueriesCore.q163GroupMode(spark, sf)
+      .as[(String, Double, Long)].collect().toSet
+    val li = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_quantity")
+      .as[(String, Double)].collect()
+    val want = li.groupBy(_._1).map { case (f, rs) =>
+      val hist = rs.groupBy(_._2).view.mapValues(_.size.toLong)
+      val (q, c) = hist.toSeq.minBy { case (v, n) => (-n, v) }
+      (f, q, c)
+    }.toSet
+    assert(got == want)
+  }
+
   test("q156: per-term argmax posting and counts match a Scala recount") {
     val got = QueriesText.q156InvertedIndex(spark, sf)
       .as[(String, Long, Long, Long, Long)].collect()
