@@ -53,6 +53,42 @@ object OraclesCore {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q164: HUGEINT replays the same cleared-denominator test —
+    // exact 128-bit integers on both sides, no float boundary.
+    "q164_sigma_outliers" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, value,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS x
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, count(*) AS n, sum(x) AS s,
+        |    sum(x * x) AS s2
+        |  FROM e GROUP BY 1)
+        |SELECT e.event_type, e.event_id, e.value,
+        |  (m.n * e.x > m.s) AS above_mean,
+        |  CAST(floor(
+        |    CAST((m.n * e.x - m.s) * (m.n * e.x - m.s) AS DOUBLE)
+        |      / CAST(m.n * m.s2 - m.s * m.s AS DOUBLE) * 1e6)
+        |    AS BIGINT) AS z2_micros
+        |FROM e JOIN m ON e.event_type = m.event_type
+        |WHERE (m.n * e.x - m.s) * (m.n * e.x - m.s)
+        |      > 9 * (m.n * m.s2 - m.s * m.s)
+        |ORDER BY e.event_type, e.event_id""".stripMargin,
+
+    // q165: ->> extraction mirrors get_json_object; counts BIGINT.
+    "q165_json_extract" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(props->>'k' AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(count(k) AS BIGINT) AS n_parsed,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(min(k) AS BIGINT) AS min_k,
+        |  CAST(max(k) AS BIGINT) AS max_k,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS distinct_k
+        |FROM e GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
     // q161: the FULL aggregate, computed directly — equality with
     // Spark's merged base+delta partials proves the maintenance
     // algebra, not just engine agreement.

@@ -2380,7 +2380,67 @@ object QueriesCore {
       .orderBy("l_returnflag")
   }
 
+  /** Exact 3-sigma outlier detection per event type — the data-
+    * cleaning pass, with the entire test in EXACT integer arithmetic:
+    * values in cents (2dp-exact decimals), per-group moments as
+    * decimal sums (n, Σx, Σx²), and the verdict cross-multiplied as
+    * (n·x − Σx)² > 9·(n·Σx² − (Σx)²) — algebraically (x−μ)² > 9σ²
+    * with every division cleared, so there is NO floating-point
+    * boundary anywhere (the z² report is the only derived double,
+    * floored to micros from identical exact integers). One aggregate
+    * + one broadcast join back; moments are O(groups) rows at any
+    * scale.
+    */
+  def q164SigmaOutliers(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("value").cast("decimal(18,2)") * 100)
+      .cast("decimal(18,0)")
+    val e = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), col("value"),
+        cents.as("__x"))
+    val m = e.groupBy("event_type").agg(
+      count(lit(1)).as("__n"),
+      sum(col("__x")).as("__s"),
+      sum((col("__x") * col("__x")).cast("decimal(37,0)")).as("__s2"))
+    val d = (col("__n") * col("__x") - col("__s")).cast("decimal(18,0)")
+    val varN2 = col("__n") * col("__s2") - col("__s") * col("__s")
+    e.join(broadcast(m), Seq("event_type"))
+      .filter((d * d).cast("decimal(38,0)") >
+        (varN2 * 9).cast("decimal(38,0)"))
+      .select(col("event_type"), col("event_id"), col("value"),
+        (col("__n") * col("__x") > col("__s")).as("above_mean"),
+        floor((d * d).cast("double") / varN2.cast("double") * 1e6)
+          .cast("bigint").as("z2_micros"))
+      .orderBy("event_type", "event_id")
+  }
+
+  /** JSON-column analytics at the declared surface: the `props` JSON
+    * string is parsed in place (get_json_object — no UDF, codegen
+    * path) and the extracted field aggregates per event type. At
+    * 100 TB the parse rides the scan projection; nothing materializes
+    * the parsed form.
+    */
+  def q165JsonExtract(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_parsed"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("distinct_k"))
+      .select(col("event_type"),
+        col("n_parsed").cast("bigint").as("n_parsed"),
+        col("sum_k").cast("bigint").as("sum_k"),
+        col("min_k").cast("bigint").as("min_k"),
+        col("max_k").cast("bigint").as("max_k"),
+        col("distinct_k").cast("bigint").as("distinct_k"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q164_sigma_outliers" -> q164SigmaOutliers _,
+    "q165_json_extract" -> q165JsonExtract _,
     "q161_incremental_agg" -> q161IncrementalAgg _,
     "q162_streaks" -> q162Streaks _,
     "q163_group_mode" -> q163GroupMode _,

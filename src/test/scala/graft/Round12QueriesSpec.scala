@@ -276,6 +276,48 @@ class Round12QueriesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q164: 3-sigma verdicts match an exact BigInt recount") {
+    val got = QueriesCore.q164SigmaOutliers(spark, sf)
+      .select("event_type", "event_id", "above_mean", "z2_micros")
+      .as[(String, Long, Boolean, Long)].collect().toSet
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      .as[(String, Long, Long)].collect()
+    val want = evs.groupBy(_._1).flatMap { case (t, rs) =>
+      val n = BigInt(rs.length)
+      val s = rs.map(r => BigInt(r._3)).sum
+      val s2 = rs.map(r => BigInt(r._3) * r._3).sum
+      val varN2 = n * s2 - s * s
+      rs.toSeq.flatMap { case (_, id, x) =>
+        val d = n * x - s
+        if (d * d > 9 * varN2)
+          Some((t, id, d > 0,
+            math.floor((d * d).toDouble / varN2.toDouble * 1e6).toLong))
+        else None
+      }
+    }.toSet
+    assert(got == want)
+    assert(got.nonEmpty, "testdata should contain 3-sigma outliers")
+  }
+
+  test("q165: JSON field aggregates match a Scala parse") {
+    val got = QueriesCore.q165JsonExtract(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val kPat = """"k"\s*:\s*(-?\d+)""".r
+    val evs = Tables.events(spark, sf)
+      .select("event_type", "props").as[(String, String)].collect()
+      .map { case (t, p) =>
+        (t, kPat.findFirstMatchIn(p).map(_.group(1).toLong))
+      }
+    val want = evs.groupBy(_._1).map { case (t, rs) =>
+      val ks = rs.flatMap(_._2)
+      (t, ks.size.toLong, ks.sum, ks.min, ks.max,
+        ks.distinct.size.toLong)
+    }.toSet
+    assert(got == want)
+  }
+
   test("q156: per-term argmax posting and counts match a Scala recount") {
     val got = QueriesText.q156InvertedIndex(spark, sf)
       .as[(String, Long, Long, Long, Long)].collect()
