@@ -53,6 +53,40 @@ object OraclesCore {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q166: same first-seen construction — min(day) per user, per-day
+    // new-user counts, running sum over observed days.
+    "q166_cumulative_distinct" ->
+      """WITH grid AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |firsts AS (
+        |  SELECT day, count(*) AS nw FROM (
+        |    SELECT user_id, min(day) AS day FROM grid GROUP BY 1)
+        |  GROUP BY 1),
+        |days AS (SELECT DISTINCT day FROM grid)
+        |SELECT CAST(d.day AS TIMESTAMP) AS day,
+        |  CAST(coalesce(f.nw, 0) AS BIGINT) AS new_users,
+        |  CAST(sum(coalesce(f.nw, 0)) OVER (ORDER BY d.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cumulative_users
+        |FROM days d LEFT JOIN firsts f ON d.day = f.day
+        |ORDER BY day""".stripMargin,
+
+    // q167: identical decimal cell/total rollup; the share is the
+    // same single floored double division.
+    "q167_share_of_total" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment, o_orderpriority,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT c_mktsegment, o_orderpriority,
+        |  CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(floor(CAST(rev AS DOUBLE)
+        |    / CAST(sum(rev) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+        |    * 1e6) AS BIGINT) AS share_micros
+        |FROM cells
+        |ORDER BY c_mktsegment, o_orderpriority""".stripMargin,
+
     // q164: HUGEINT replays the same cleared-denominator test —
     // exact 128-bit integers on both sides, no float boundary.
     "q164_sigma_outliers" ->

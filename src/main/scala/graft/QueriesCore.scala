@@ -2438,7 +2438,60 @@ object QueriesCore {
       .orderBy("event_type")
   }
 
+  /** Cumulative distinct users by day — the "total uniques to date"
+    * curve — via the first-seen trick: cumulative count(DISTINCT) has
+    * no window form, but every user contributes exactly once at their
+    * FIRST day, so min(day) per user + a per-day count + a running
+    * sum over the day series is the same curve with no distinct state
+    * at all. The running sum spans ≤ |days| rows; the heavy lifting
+    * is one user-keyed aggregate. Days with no first-timers still
+    * appear (spine from observed days, zero-filled).
+    */
+  def q166CumulativeDistinct(s: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val firsts = grid.groupBy("user_id").agg(min(col("day")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("__new"))
+    val days = grid.select(col("day")).distinct()
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.join(firsts, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("__new"), lit(0L)))
+      .select(col("day").cast("timestamp_ntz").as("day"),
+        col("new_users").cast("bigint").as("new_users"),
+        sum(col("new_users")).over(w).cast("bigint")
+          .as("cumulative_users"))
+      .orderBy("day")
+  }
+
+  /** Ratio-to-report — each (segment, priority) cell's share of its
+    * segment's revenue, in exact fixed-point micros: cell and segment
+    * totals are exact decimals, the share is ONE floored double
+    * division of identical exact inputs (the portable form; no
+    * percentage drifts at bucket boundaries). Cell rollup first, the
+    * share via a window sum over the ≤ segments×priorities cells —
+    * never a second pass over facts.
+    */
+  def q167ShareOfTotal(s: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.customer(s, dir)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val cells = Tables.orders(s, dir)
+      .join(broadcast(seg), Seq("o_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("__rev"))
+    val w = Window.partitionBy("c_mktsegment")
+    cells
+      .withColumn("__tot", sum(col("__rev")).over(w))
+      .select(col("c_mktsegment"), col("o_orderpriority"),
+        col("__rev").cast("double").as("revenue"),
+        floor(col("__rev").cast("double") / col("__tot").cast("double")
+          * 1e6).cast("bigint").as("share_micros"))
+      .orderBy("c_mktsegment", "o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q166_cumulative_distinct" -> q166CumulativeDistinct _,
+    "q167_share_of_total" -> q167ShareOfTotal _,
     "q164_sigma_outliers" -> q164SigmaOutliers _,
     "q165_json_extract" -> q165JsonExtract _,
     "q161_incremental_agg" -> q161IncrementalAgg _,

@@ -276,6 +276,50 @@ class Round12QueriesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q166: first-seen cumulative curve equals a per-day distinct scan") {
+    val got = QueriesCore.q166CumulativeDistinct(spark, sf)
+      .select(col("day").cast("date").cast("string"), col("new_users"),
+        col("cumulative_users"))
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    val grid = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).cast("string"))
+      .as[(Long, String)].collect().toSet
+    val days = grid.map(_._2).toSeq.sorted
+    val want = days.map { d =>
+      val upTo = grid.collect { case (u, ad) if ad <= d => u }
+      val before = grid.collect { case (u, ad) if ad < d => u }
+      (d, (upTo -- before).size.toLong, upTo.size.toLong)
+    }
+    assert(got.toSeq == want)
+    assert(got.last._3 == grid.map(_._1).size,
+      "curve must end at the total distinct-user count")
+  }
+
+  test("q167: shares are exact micros of decimal cell/total ratios") {
+    val got = QueriesCore.q167ShareOfTotal(spark, sf)
+      .as[(String, String, Double, Long)].collect()
+    val cents = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .as[(String, String, Long)].collect()
+    val cell = cents.groupBy(r => (r._1, r._2)).view
+      .mapValues(_.map(_._3).sum).toMap
+    val segTot = cents.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    got.foreach { case (seg, pri, rev, share) =>
+      assert(rev == cell((seg, pri)) / 100.0)
+      assert(share ==
+        math.floor((cell((seg, pri)) / 100.0) / (segTot(seg) / 100.0)
+          * 1e6).toLong)
+    }
+    // shares within a segment sum to ~1e6 (floor leaves ≤ |cells| slack)
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      val t = rs.map(_._4).sum
+      assert(t <= 1000000L && t > 1000000L - rs.length)
+    }
+  }
+
   test("q164: 3-sigma verdicts match an exact BigInt recount") {
     val got = QueriesCore.q164SigmaOutliers(spark, sf)
       .select("event_type", "event_id", "above_mean", "z2_micros")
