@@ -362,6 +362,27 @@ class Round12QueriesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("round-12 plans: custom exec, broadcast joins, no nested loops") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+    // q150 must run on the bounded-heap physical operator, not the
+    // window-sort fallback
+    assert(plan("q150_stratified_sample").contains("TopKPerKey"))
+    // q160's blacklist and part dim both broadcast; the NOT-IN never
+    // degenerates to a nested-loop join
+    val p160 = plan("q160_supplier_diversity")
+    assert("BroadcastHashJoin".r.findAllIn(p160).length >= 2)
+    assert(!p160.contains("BroadcastNestedLoopJoin"))
+    // q164/q167's dim/moment sides broadcast
+    assert(plan("q164_sigma_outliers").contains("BroadcastHashJoin"))
+    assert(plan("q167_share_of_total").contains("BroadcastHashJoin"))
+    // the set-similarity join stays equi-join shaped end to end
+    val p153 = plan("q153_setsim_join")
+    assert(!p153.contains("BroadcastNestedLoopJoin") &&
+      !p153.contains("CartesianProduct"))
+  }
+
   test("q156: per-term argmax posting and counts match a Scala recount") {
     val got = QueriesText.q156InvertedIndex(spark, sf)
       .as[(String, Long, Long, Long, Long)].collect()
