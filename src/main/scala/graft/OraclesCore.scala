@@ -53,6 +53,19 @@ object OraclesCore {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q168: the BATCH full recompute — equality with the streaming
+    // state after three arbitrary micro-batch slices proves the
+    // engine's incremental maintenance implements the same algebra.
+    "q168_stream_incremental_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value,
+        |  min(value) AS min_value, max(value) AS max_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |    AS avg_value
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
     // q166: same first-seen construction — min(day) per user, per-day
     // new-user counts, running sum over observed days.
     "q166_cumulative_distinct" ->

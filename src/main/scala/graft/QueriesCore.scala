@@ -2489,7 +2489,60 @@ object QueriesCore {
       .orderBy("c_mktsegment", "o_orderpriority")
   }
 
+  /** Streaming incremental view maintenance — q161's partial-merge
+    * algebra run by the engine itself: the per-type stats view
+    * (count / decimal sum / min / max) is maintained as Structured
+    * Streaming aggregation STATE across three chronology-agnostic
+    * micro-batches (complete mode), and the final state must equal
+    * the batch full recompute (the DuckDB oracle computes exactly
+    * that). This is the production shape of q161: the view absorbs
+    * each arriving slice in O(slice), never re-reads history, and the
+    * decimal sum keeps the merge order-free so ANY slicing yields the
+    * identical answer.
+    */
+  def q168StreamIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("q168-stream").toString
+    val src = s"$root/src"
+    Seq(0, 1, 2).foreach { r =>
+      ev.filter(pmod(col("event_id"), lit(3)) === r)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val name = java.nio.file.Paths.get(root).getFileName.toString
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    try {
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        graft.streaming.EventsStream
+          .readEvents(s, src, maxFilesPerTrigger = Some(1))
+          .withColumn("__v", col("value").cast("decimal(18,2)"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("__v")).as("total"),
+            min(col("value")).as("min_value"),
+            max(col("value")).as("max_value"))
+          .writeStream.outputMode("complete").format("memory")
+          .queryName(name).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      q.processAllAvailable()
+      q.stop()
+      val out = s.table(name)
+        .select(col("event_type"), col("n").cast("bigint").as("n"),
+          col("total").cast("decimal(18,2)").cast("double")
+            .as("total_value"),
+          col("min_value"), col("max_value"),
+          (col("total").cast("decimal(18,2)").cast("double") / col("n"))
+            .as("avg_value"))
+        .orderBy("event_type")
+        .localCheckpoint(true) // materialize before the finally deletes
+      s.catalog.dropTempView(name)
+      out
+    } finally TmpTrees.delete(root)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q168_stream_incremental_agg" -> q168StreamIncrementalAgg _,
     "q166_cumulative_distinct" -> q166CumulativeDistinct _,
     "q167_share_of_total" -> q167ShareOfTotal _,
     "q164_sigma_outliers" -> q164SigmaOutliers _,
