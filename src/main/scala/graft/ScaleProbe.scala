@@ -60,7 +60,7 @@ object ScaleProbe {
     println(s"[probe] replicated ${factor}x -> $work")
 
     val probes = Seq("q125_sparse_cosine", "q72_containment",
-      "q36_minhash_lsh", "q78_span_dedup")
+      "q36_minhash_lsh", "q78_span_dedup", "q153_setsim_join")
     def time(fn: => DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()
       val df = fn
