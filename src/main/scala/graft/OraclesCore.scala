@@ -53,6 +53,61 @@ object OraclesCore {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q169: same union-and-window construction — running struct-max
+    // of touches over the identical (ts, event_id) total order, gap
+    // in exact epoch micros.
+    "q169_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    max(CASE WHEN event_type IN ('view', 'click') THEN
+        |      {'ts': ts, 'id': event_id, 'ty': event_type} END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS lt
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, event_id,
+        |    lt IS NOT NULL AND
+        |      epoch_us(ts) - epoch_us((lt).ts) <= 1800 * 1000000
+        |      AS hit,
+        |    epoch_us(ts) - epoch_us((lt).ts) AS gap_us,
+        |    (lt).ty AS ty
+        |  FROM e WHERE event_type = 'purchase')
+        |SELECT user_id, event_id,
+        |  CASE WHEN hit THEN ty ELSE 'direct' END AS attributed,
+        |  CASE WHEN hit THEN CAST(floor(gap_us / 1e6) AS BIGINT)
+        |       END AS gap_seconds
+        |FROM p ORDER BY user_id, event_id""".stripMargin,
+
+    // q170: dow pinned 0=Sunday (Spark dayofweek−1 ≡ DuckDB dow).
+    "q170_time_heatmap" ->
+      """SELECT CAST(date_part('dow', ts) AS INTEGER) AS dow,
+        |  CAST(date_part('hour', ts) AS INTEGER) AS hod,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY dow, hod""".stripMargin,
+
+    // q171: identical exact-cents weekly rollup, one lag, the same
+    // floored micros division.
+    "q171_wow_growth" ->
+      """WITH weekly AS (
+        |  SELECT date_trunc('week', o_orderdate) AS week,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |l AS (
+        |  SELECT week, cents,
+        |    lag(cents, 1) OVER (ORDER BY week) AS prev
+        |  FROM weekly)
+        |SELECT CAST(week AS TIMESTAMP) AS week,
+        |  CAST(cents AS DOUBLE) / 100 AS revenue,
+        |  CAST(cents - prev AS DOUBLE) / 100 AS delta,
+        |  CAST(floor(CAST(cents - prev AS DOUBLE)
+        |    / CAST(prev AS DOUBLE) * 1e6) AS BIGINT) AS growth_micros
+        |FROM l ORDER BY week""".stripMargin,
+
     // q168: the BATCH full recompute — equality with the streaming
     // state after three arbitrary micro-batch slices proves the
     // engine's incremental maintenance implements the same algebra.

@@ -2541,7 +2541,88 @@ object QueriesCore {
     } finally TmpTrees.delete(root)
   }
 
+  /** Last-touch attribution — each purchase credited to the user's
+    * most recent view/click within a 30-minute lookback, else
+    * "direct". NO join at all: one window per user over the (ts,
+    * event_id)-total order carries the running max(CASE) of touch
+    * structs (struct max = lexicographic latest touch), purchases
+    * just read it — the union-and-window form that replaces the
+    * per-conversion as-of join with a single shuffle at any scale.
+    * The gap rides exact epoch-micros integer division.
+    */
+  def q169Attribution(s: SparkSession, dir: String): DataFrame = {
+    val touch = col("event_type").isin("view", "click")
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("__lt", max(when(touch,
+        struct(col("ts"), col("event_id").as("__id"),
+          col("event_type").as("__ty")))).over(w))
+      .filter(col("event_type") === "purchase")
+      // gap in exact integer MICROS; the 30-min window and the
+      // reported seconds both derive from it with no float boundary
+      .withColumn("__gap_us",
+        unix_micros(col("ts")) - unix_micros(col("__lt.ts")))
+      .withColumn("__hit",
+        col("__lt").isNotNull && col("__gap_us") <= 1800L * 1000000L)
+      .select(col("user_id"), col("event_id"),
+        when(col("__hit"), col("__lt.__ty")).otherwise(lit("direct"))
+          .as("attributed"),
+        when(col("__hit"), floor(col("__gap_us") / 1e6).cast("bigint"))
+          .as("gap_seconds"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Activity heatmap — the (day-of-week × hour-of-day) rollup every
+    * product dashboard draws, with exact decimal value totals. The
+    * bucket projection is pure codegen; one shuffle on the 7×24 key
+    * grid at any scale (map-side partials collapse everything first).
+    * Day-of-week pinned to 0=Sunday on both engines.
+    */
+  def q170TimeHeatmap(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy((dayofweek(col("ts")) - 1).cast("int").as("dow"),
+        hour(col("ts")).cast("int").as("hod"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("__t"))
+      .select(col("dow"), col("hod"),
+        col("n").cast("bigint").as("n"),
+        col("__t").cast("double").as("total_value"))
+      .orderBy("dow", "hod")
+  }
+
+  /** Period-over-period growth — weekly revenue with the
+    * week-over-week delta and growth rate, all in exact integer
+    * cents: the lag is one window step over the |weeks|-row rollup,
+    * the rate a single floored micros division of exact cents (no
+    * percentage drift). The fact pass is one aggregate; everything
+    * after runs on the tiny week series.
+    */
+  def q171WowGrowth(s: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.orders(s, dir)
+      .groupBy(date_trunc("week", col("o_orderdate")).as("week"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)")).as("__cents"))
+    val w = Window.orderBy("week")
+    weekly
+      .withColumn("__prev", lag(col("__cents"), 1).over(w))
+      .select(col("week").cast("timestamp_ntz").as("week"),
+        (col("__cents").cast("double") / 100).as("revenue"),
+        ((col("__cents") - col("__prev")).cast("double") / 100)
+          .as("delta"),
+        floor((col("__cents") - col("__prev")).cast("double")
+          / col("__prev").cast("double") * 1e6)
+          .cast("bigint").as("growth_micros"))
+      .orderBy("week")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q169_attribution" -> q169Attribution _,
+    "q170_time_heatmap" -> q170TimeHeatmap _,
+    "q171_wow_growth" -> q171WowGrowth _,
     "q168_stream_incremental_agg" -> q168StreamIncrementalAgg _,
     "q166_cumulative_distinct" -> q166CumulativeDistinct _,
     "q167_share_of_total" -> q167ShareOfTotal _,

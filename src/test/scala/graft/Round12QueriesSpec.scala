@@ -320,6 +320,71 @@ class Round12QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q169: last-touch attribution matches a Scala event-history scan") {
+    val got = QueriesCore.q169Attribution(spark, sf)
+      .select("user_id", "event_id", "attributed", "gap_seconds")
+      .as[(Long, Long, String, Option[Long])].collect().toSet
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val want = evs.groupBy(_._1).flatMap { case (u, rs) =>
+      val ord = rs.sortBy(r => (r._2, r._3))
+      ord.zipWithIndex.toSeq.collect {
+        case ((_, ts, id, "purchase"), i) =>
+          val lt = ord.take(i + 1)
+            .filter(r => r._4 == "view" || r._4 == "click")
+            .lastOption
+          lt match {
+            case Some((_, lts, _, ty)) if ts - lts <= 1800L * 1000000L =>
+              (u, id, ty, Some(math.floor((ts - lts) / 1e6).toLong))
+            case _ => (u, id, "direct", None)
+          }
+      }
+    }.toSet
+    assert(got == want)
+    assert(got.exists(_._3 != "direct") && got.exists(_._3 == "direct"),
+      "testdata should exercise both attribution outcomes")
+  }
+
+  test("q170: heatmap buckets match a Scala calendar recount") {
+    val got = QueriesCore.q170TimeHeatmap(spark, sf)
+      .select("dow", "hod", "n").as[(Int, Int, Long)].collect().toSet
+    val evs = Tables.events(spark, sf)
+      .select((dayofweek(col("ts")) - 1).cast("int"),
+        hour(col("ts")).cast("int"))
+      .as[(Int, Int)].collect()
+    val want = evs.groupBy(identity).map { case ((d, h), rs) =>
+      (d, h, rs.length.toLong)
+    }.toSet
+    assert(got == want)
+    assert(got.map(_._1).subsetOf(Set(0, 1, 2, 3, 4, 5, 6)))
+    assert(got.toSeq.map(_._3).sum == evs.length)
+  }
+
+  test("q171: WoW growth matches an exact-cents Scala series") {
+    val got = QueriesCore.q171WowGrowth(spark, sf)
+      .select(col("week").cast("date").cast("string"), col("revenue"),
+        col("growth_micros"))
+      .as[(String, Double, Option[Long])].collect().sortBy(_._1)
+    val weekly = Tables.orders(spark, sf)
+      .select(date_trunc("week", col("o_orderdate")).cast("date")
+          .cast("string"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val weeks = weekly.keys.toSeq.sorted
+    val want = weeks.zipWithIndex.map { case (wk, i) =>
+      val c = weekly(wk)
+      val g = if (i == 0) None else {
+        val p = weekly(weeks(i - 1))
+        Some(math.floor((c - p).toDouble / p.toDouble * 1e6).toLong)
+      }
+      (wk, c / 100.0, g)
+    }
+    assert(got.toSeq == want)
+  }
+
   test("q164: 3-sigma verdicts match an exact BigInt recount") {
     val got = QueriesCore.q164SigmaOutliers(spark, sf)
       .select("event_type", "event_id", "above_mean", "z2_micros")
