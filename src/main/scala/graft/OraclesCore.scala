@@ -53,6 +53,65 @@ object OraclesCore {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q172: per-field elections replayed as window ranks; mode
+    // tie-break lexically LAST, mirroring the struct-max.
+    "q172_golden_record" ->
+      """WITH c AS (
+        |  SELECT *, c_custkey % 500 AS ek FROM customer),
+        |latest AS (
+        |  SELECT ek, c_name,
+        |    row_number() OVER (PARTITION BY ek
+        |      ORDER BY c_custkey DESC) AS rn
+        |  FROM c),
+        |seg AS (
+        |  SELECT ek, c_mktsegment,
+        |    row_number() OVER (PARTITION BY ek
+        |      ORDER BY count(*) DESC, c_mktsegment DESC) AS rn
+        |  FROM c GROUP BY ek, c_mktsegment),
+        |base AS (
+        |  SELECT ek, count(*) AS n_members,
+        |    max(c_acctbal) AS best_acctbal,
+        |    count(DISTINCT c_mktsegment) AS n_segments
+        |  FROM c GROUP BY ek)
+        |SELECT CAST(b.ek AS BIGINT) AS entity_key,
+        |  CAST(n_members AS BIGINT) AS n_members,
+        |  l.c_name AS golden_name,
+        |  best_acctbal,
+        |  s.c_mktsegment AS mode_segment,
+        |  CAST(n_segments AS BIGINT) AS n_segments
+        |FROM base b
+        |  JOIN latest l ON b.ek = l.ek AND l.rn = 1
+        |  JOIN seg s ON b.ek = s.ek AND s.rn = 1
+        |ORDER BY entity_key""".stripMargin,
+
+    // q173: the same remainder-first exact floor division in HUGEINT,
+    // leftover units by the same (remainder desc, priority) rank.
+    "q173_largest_remainder" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment, o_orderpriority,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS HUGEINT)) AS c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |t AS (
+        |  SELECT *, sum(c) OVER (PARTITION BY c_mktsegment) AS tot,
+        |    c * 1000000 AS prod
+        |  FROM cells),
+        |b AS (
+        |  SELECT *, prod // tot AS base, prod % tot AS rem,
+        |    1000000 - sum(prod // tot)
+        |      OVER (PARTITION BY c_mktsegment) AS leftover
+        |  FROM t),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY rem DESC, o_orderpriority) AS rk
+        |  FROM b)
+        |SELECT c_mktsegment, o_orderpriority,
+        |  CAST(base AS BIGINT) AS base_units,
+        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc_units
+        |FROM r ORDER BY c_mktsegment, o_orderpriority""".stripMargin,
+
     // q169: same union-and-window construction — running struct-max
     // of touches over the identical (ts, event_id) total order, gap
     // in exact epoch micros.

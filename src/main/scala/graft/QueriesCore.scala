@@ -2619,7 +2619,91 @@ object QueriesCore {
       .orderBy("week")
   }
 
+  /** Golden-record survivorship — entity resolution's merge step:
+    * duplicate records (customers clustered by a synthetic dup key)
+    * collapse to ONE golden row with a DIFFERENT election rule per
+    * field — latest source wins the name (max custkey), richest wins
+    * the balance (max), mode wins the segment (argmax count, lexical
+    * low tie-break), and provenance counts ride along. Everything is
+    * ONE aggregate pass: per-field struct-max elections compose in a
+    * single groupBy, so survivorship costs exactly one shuffle on
+    * the entity key at any scale (the mode needs its histogram
+    * pre-pass on the same key — two total).
+    */
+  def q172GoldenRecord(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .withColumn("__ek", pmod(col("c_custkey"), lit(500)))
+    // mode with tie-break lexically LAST (strings can't ride the
+    // numeric-negation trick; the rule just has to be total and
+    // mirrored verbatim in the oracle)
+    val modeSeg = c.groupBy("__ek", "c_mktsegment")
+      .agg(count(lit(1)).as("__n"))
+      .groupBy("__ek")
+      .agg(max(struct(col("__n"), col("c_mktsegment"))).as("__m"))
+      .select(col("__ek"), col("__m.c_mktsegment").as("mode_segment"))
+    c.groupBy("__ek")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("c_custkey"), col("c_name"))).as("__latest"),
+        max(col("c_acctbal")).as("best_acctbal"),
+        countDistinct(col("c_mktsegment")).as("n_segments"))
+      .join(modeSeg, Seq("__ek"))
+      .select(col("__ek").cast("bigint").as("entity_key"),
+        col("n_members").cast("bigint").as("n_members"),
+        col("__latest.c_name").as("golden_name"),
+        col("best_acctbal"),
+        col("mode_segment"),
+        col("n_segments").cast("bigint").as("n_segments"))
+      .orderBy("entity_key")
+  }
+
+  /** Largest-remainder allocation — distribute an integer budget of
+    * 1,000,000 units across a segment's priority cells EXACTLY
+    * proportionally to exact-cents revenue: base = ⌊budget·cell/total⌋
+    * (integer), then the leftover units go one each to the cells with
+    * the largest remainders (budget·cell mod total, priority string
+    * tie-break) — so the allocations PROVABLY sum to the budget with
+    * no rounding drift, entirely in integer arithmetic. The rank runs
+    * over the ≤ segments×priorities cell table; facts are touched by
+    * one rollup.
+    */
+  def q173LargestRemainder(s: SparkSession, dir: String): DataFrame = {
+    val budget = 1000000L
+    val seg = Tables.customer(s, dir)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val cells = Tables.orders(s, dir)
+      .join(broadcast(seg), Seq("o_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)")).as("__c"))
+    val w = Window.partitionBy("c_mktsegment")
+    val wr = Window.partitionBy("c_mktsegment")
+      .orderBy(col("__rem").desc, col("o_orderpriority"))
+    cells
+      .withColumn("__tot", sum(col("__c")).over(w))
+      .withColumn("__prod", (col("__c") * budget).cast("decimal(38,0)"))
+      // floor division done EXACTLY: remainder first (exact decimal
+      // %), then (prod − rem)/tot divides evenly — decimal division
+      // of an exact multiple is integer-valued at any scale, so no
+      // quotient rounding can cross an integer (floor(decimal-div)
+      // would: Spark rounds quotients half-up at result scale)
+      .withColumn("__rem",
+        (col("__prod") % col("__tot")).cast("decimal(38,0)"))
+      .withColumn("__base",
+        ((col("__prod") - col("__rem")) / col("__tot")).cast("long"))
+      .withColumn("__left",
+        (lit(budget) - sum(col("__base")).over(w)).cast("long"))
+      .withColumn("__rk", row_number().over(wr))
+      .select(col("c_mktsegment"), col("o_orderpriority"),
+        col("__base").cast("bigint").as("base_units"),
+        (col("__base") +
+          when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+          .cast("bigint").as("alloc_units"))
+      .orderBy("c_mktsegment", "o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q172_golden_record" -> q172GoldenRecord _,
+    "q173_largest_remainder" -> q173LargestRemainder _,
     "q169_attribution" -> q169Attribution _,
     "q170_time_heatmap" -> q170TimeHeatmap _,
     "q171_wow_growth" -> q171WowGrowth _,

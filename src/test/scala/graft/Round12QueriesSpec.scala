@@ -320,6 +320,47 @@ class Round12QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q172: golden-record field elections match Scala survivorship rules") {
+    val got = QueriesCore.q172GoldenRecord(spark, sf)
+      .as[(Long, Long, String, Double, String, Long)].collect().toSet
+    val cs = Tables.customer(spark, sf)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .as[(Long, String, Double, String)].collect()
+    val want = cs.groupBy(_._1 % 500).map { case (ek, rs) =>
+      val latest = rs.maxBy(_._1)._2
+      val mode = rs.groupBy(_._4).view.mapValues(_.size).toSeq
+        .maxBy { case (seg, n) => (n, seg) }._1
+      (ek, rs.length.toLong, latest, rs.map(_._3).max, mode,
+        rs.map(_._4).distinct.size.toLong)
+    }.toSet
+    assert(got == want)
+  }
+
+  test("q173: allocations sum exactly to the budget, per segment") {
+    val got = QueriesCore.q173LargestRemainder(spark, sf)
+      .as[(String, String, Long, Long)].collect()
+    got.groupBy(_._1).foreach { case (seg, rs) =>
+      assert(rs.map(_._4).sum == 1000000L,
+        s"segment $seg allocations must sum to the budget exactly")
+      // largest-remainder never moves a cell more than 1 unit
+      rs.foreach { r => assert(r._4 - r._3 >= 0 && r._4 - r._3 <= 1) }
+    }
+    // proportionality: allocations recomputed from exact cents
+    val cents = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .as[(String, String, Long)].collect()
+    val cell = cents.groupBy(r => (r._1, r._2)).view
+      .mapValues(r => BigInt(r.map(_._3).sum)).toMap
+    val tot = cents.groupBy(_._1).view
+      .mapValues(r => BigInt(r.map(_._3).sum)).toMap
+    got.foreach { case (seg, pri, base, _) =>
+      assert(BigInt(base) == cell((seg, pri)) * 1000000 / tot(seg))
+    }
+  }
+
   test("q169: last-touch attribution matches a Scala event-history scan") {
     val got = QueriesCore.q169Attribution(spark, sf)
       .select("user_id", "event_id", "attributed", "gap_seconds")
