@@ -468,6 +468,28 @@ class Round12QueriesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("prefixJaccardJoin: boundary pairs at exactly τ survive the filters") {
+    // 11 shared words → 9 shingles each; b differs in the last word →
+    // 8 common shingles, union 10: Jaccard = 8/10 = 4/5 EXACTLY (the
+    // keep boundary). c differs in the last two words → 7/11 < 4/5.
+    val ws = (1 to 11).map(i => s"w$i")
+    val docs = Seq(
+      (1L, ws.mkString(" ")),
+      (2L, (ws.init :+ "xx").mkString(" ")),          // τ-boundary vs 1
+      (3L, (ws.dropRight(2) ++ Seq("yy", "zz")).mkString(" ")), // below τ
+      (4L, ws.mkString(" ")),                          // identical to 1
+      (5L, ws.take(3).mkString(" ")),                  // size-ratio reject
+      (6L, "a b")                                      // shorter than a shingle
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .prefixJaccardJoin(docs, "doc_id", "text", 3, 4, 5)
+      .select("id_a", "id_b", "n_inter", "n_union")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 8L, 10L), (2L, 4L, 8L, 10L),
+      (1L, 4L, 9L, 9L)),
+      s"exact-boundary and identical pairs must survive; got $got")
+  }
+
   test("round-12 plans: custom exec, broadcast joins, no nested loops") {
     def plan(name: String): String =
       SparkEntry.queries(name)(spark, sf)
