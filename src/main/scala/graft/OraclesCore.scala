@@ -53,6 +53,52 @@ object OraclesCore {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q174: same bucketed power-of-two weights, exact HUGEINT sum,
+    // one floored double division at the end.
+    "q174_decay_score" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS c,
+        |    ([16, 8, 4, 2, 1])[CAST(floor(date_diff('day',
+        |       CAST(ts AS DATE), DATE '2024-01-30') / 7.0)
+        |       AS INTEGER) + 1] AS w
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(floor(CAST(sum(c * w) AS DOUBLE) / (16.0 * 100.0) * 1e6)
+        |    AS BIGINT) AS score_micros
+        |FROM e GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // q175: identical type-1 ordinal boundaries (ceil(q·n/4)-th value
+    // under the same total order) and boundary comparisons.
+    "q175_quartile_binning" ->
+      """WITH r AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+        |      AS rn,
+        |    count(*) OVER () AS n
+        |  FROM orders),
+        |b AS (
+        |  SELECT max(CASE WHEN rn = CAST(ceil(1 * n / 4.0) AS BIGINT)
+        |           THEN o_totalprice END) AS b1,
+        |    max(CASE WHEN rn = CAST(ceil(2 * n / 4.0) AS BIGINT)
+        |           THEN o_totalprice END) AS b2,
+        |    max(CASE WHEN rn = CAST(ceil(3 * n / 4.0) AS BIGINT)
+        |           THEN o_totalprice END) AS b3
+        |  FROM r),
+        |a AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CASE WHEN o_totalprice <= b1 THEN 1
+        |         WHEN o_totalprice <= b2 THEN 2
+        |         WHEN o_totalprice <= b3 THEN 3
+        |         ELSE 4 END AS quartile
+        |  FROM orders CROSS JOIN b)
+        |SELECT CAST(quartile AS INTEGER) AS quartile,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM a GROUP BY quartile
+        |ORDER BY quartile""".stripMargin,
+
     // q172: per-field elections replayed as window ranks; mode
     // tie-break lexically LAST, mirroring the struct-max.
     "q172_golden_record" ->

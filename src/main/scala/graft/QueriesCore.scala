@@ -2701,7 +2701,71 @@ object QueriesCore {
       .orderBy("c_mktsegment", "o_orderpriority")
   }
 
+  /** Exponential time-decay scoring — the recency-weighted popularity
+    * aggregate (score = Σ value·2^(−age_days/7)) made EXACT: with
+    * integer day ages and a 7-day half-life, each term is
+    * cents·2^((maxAge−age)/1) … i.e. multiplying through by 2^(maxAge/7)
+    * turns every 7-day bucket weight into a power of two, so the sum
+    * runs in exact decimal integers (order-free, engine-identical)
+    * and ONE double division at the end scales it back. The generic
+    * float form of this aggregate is order-dependent under Spark's
+    * partial aggregation — this is the portable shape.
+    */
+  def q174DecayScore(s: SparkSession, dir: String): DataFrame = {
+    // events span 2024-01-01 .. 2024-01-30 → age 0..29, k = 0..4
+    val age = datediff(lit("2024-01-30").cast("date"), to_date(col("ts")))
+    val k = floor(age / lit(7.0)).cast("int")
+    val cents = (col("value").cast("decimal(18,2)") * 100)
+      .cast("decimal(18,0)")
+    Tables.events(s, dir)
+      .select(col("event_type"), cents.as("__c"),
+        element_at(array(lit(16L), lit(8L), lit(4L), lit(2L), lit(1L)),
+          k + 1).as("__w"))
+      .groupBy("event_type")
+      .agg(sum((col("__c") * col("__w")).cast("decimal(38,0)"))
+        .as("__s"), count(lit(1)).as("n"))
+      .select(col("event_type"), col("n").cast("bigint").as("n"),
+        // scale back by 2^4·100: one double division of an exact int
+        floor(col("__s").cast("double") / (16.0 * 100.0) * 1e6)
+          .cast("bigint").as("score_micros"))
+      .orderBy("event_type")
+  }
+
+  /** Equi-depth quartile binning — bucket boundaries from EXACT
+    * type-1 ordinal quantiles (the q145 convention: ceil(q·n)-th
+    * value, no interpolation), then every order assigned its quartile
+    * by boundary comparison and the bin occupancy audited. Boundaries
+    * are one window pass over the value rollup; assignment is a
+    * broadcast join of the 3-row boundary table — the 100 TB shape
+    * for histogram-equalized binning.
+    */
+  def q175QuartileBinning(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val n = o.count() // driver scalar: bin boundaries need the exact n
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    val ranked = o.withColumn("__rn", row_number().over(w))
+    val bounds = ranked
+      .filter(col("__rn").isin(
+        Seq(1, 2, 3).map(q => math.ceil(q * n / 4.0).toLong): _*))
+      .select(col("o_totalprice").as("__b"))
+      .agg(sort_array(collect_list(col("__b"))).as("__bs"))
+    o.crossJoin(broadcast(bounds))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (when(col("o_totalprice") <= element_at(col("__bs"), 1), 1)
+          .when(col("o_totalprice") <= element_at(col("__bs"), 2), 2)
+          .when(col("o_totalprice") <= element_at(col("__bs"), 3), 3)
+          .otherwise(4)).cast("int").as("quartile"))
+      .groupBy("quartile")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy("quartile")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q174_decay_score" -> q174DecayScore _,
+    "q175_quartile_binning" -> q175QuartileBinning _,
     "q172_golden_record" -> q172GoldenRecord _,
     "q173_largest_remainder" -> q173LargestRemainder _,
     "q169_attribution" -> q169Attribution _,

@@ -320,6 +320,41 @@ class Round12QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q174: decay scores match an exact BigInt weighted sum") {
+    val got = QueriesCore.q174DecayScore(spark, sf)
+      .as[(String, Long, Long)].collect().toSet
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long"),
+        datediff(lit("2024-01-30").cast("date"), to_date(col("ts")))
+          .cast("int"))
+      .as[(String, Long, Int)].collect()
+    val want = evs.groupBy(_._1).map { case (t, rs) =>
+      val s = rs.map { case (_, c, a) =>
+        BigInt(c) * (16L >> (a / 7)) }.sum
+      (t, rs.length.toLong,
+        math.floor(s.toDouble / 1600.0 * 1e6).toLong)
+    }.toSet
+    assert(got == want)
+  }
+
+  test("q175: quartile bins tile the order set with ordinal boundaries") {
+    val got = QueriesCore.q175QuartileBinning(spark, sf)
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+    val prices = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice").as[(Long, Double)].collect()
+      .sortBy(p => (p._2, p._1)).map(_._2)
+    val n = prices.length
+    val b = Seq(1, 2, 3).map(q => prices(math.ceil(q * n / 4.0).toInt - 1))
+    val want = prices.groupBy { p =>
+      if (p <= b(0)) 1 else if (p <= b(1)) 2 else if (p <= b(2)) 3 else 4
+    }.toSeq.sortBy(_._1).map { case (q, ps) =>
+      (q, ps.length.toLong, ps.min, ps.max)
+    }
+    assert(got.toSeq == want)
+    assert(got.map(_._2).sum == n, "bins must tile the whole relation")
+  }
+
   test("q172: golden-record field elections match Scala survivorship rules") {
     val got = QueriesCore.q172GoldenRecord(spark, sf)
       .as[(Long, Long, String, Double, String, Long)].collect().toSet
