@@ -33,10 +33,13 @@ object PlanAudit {
           s"bhj=${count("BroadcastHashJoin")}",
           s"smj=${count("SortMergeJoin")}",
           s"bnlj=${count("BroadcastNestedLoopJoin")}",
-          s"codegen=${count("WholeStageCodegen")}",
+          // Spark 4 FormattedMode spells these "[codegen id : N]" per
+          // operator and "Scan parquet" per source — the 3.x marker
+          // names ("WholeStageCodegen", "FileScan parquet") never
+          // appear and read as a false zero
           s"codegenOps=${count("\\[codegen id : ")}",
           s"pushedFilterScans=$pushed",
-          s"scans=${count("FileScan parquet")}")
+          s"scans=${count("Scan parquet")}")
         println(f"$name%-32s ${facts.mkString(" ")}")
       } catch {
         case e: Throwable =>
