@@ -882,6 +882,34 @@ object QueriesText {
       .orderBy(col("df").desc, col("term")).limit(100)
   }
 
+  /** Positional phrase search — the inverted-index op BM25 can't do:
+    * find documents containing the exact phrase "hash join" by
+    * building POSITIONAL postings (posexplode) for just the phrase's
+    * terms (the scan filter prunes the posting build to the query
+    * vocabulary — at 100 TB you'd read the pre-built positional
+    * index; here the build IS the demonstration) and equi-joining on
+    * (doc, pos+1): adjacency becomes a join key, no UDF, no regex
+    * over raw text. Occurrences counted per doc, ranked by count
+    * then doc id.
+    */
+  def q176PhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val Seq(t1, t2) = Seq("hash", "join")
+    val posts = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(filter(split(
+        graft.operators.TextAnalysis.normalizeText(col("text")), " "),
+        t => t =!= "")))
+      .toDF("doc_id", "pos", "term")
+      .filter(col("term").isin(t1, t2))
+    posts.filter(col("term") === t1)
+      .select(col("doc_id"), (col("pos") + 1).as("__next"))
+      .join(posts.filter(col("term") === t2)
+          .select(col("doc_id"), col("pos").as("__next")),
+        Seq("doc_id", "__next"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("doc_id"))
+  }
+
   def q125SparseCosine(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.sparseCosinePairs(Tables.documents(s, dir),
         "doc_id", "text", shingleLen = 3, maxDf = 20, minCos = 0.5)
@@ -952,6 +980,7 @@ object QueriesText {
     "q125_sparse_cosine" -> q125SparseCosine _,
     "q153_setsim_join" -> q153SetsimJoin _,
     "q156_inverted_index" -> q156InvertedIndex _,
+    "q176_phrase_search" -> q176PhraseSearch _,
     "q126_hybrid_retrieval" -> q126HybridRetrieval _,
     "q106_chunking" -> q106Chunking _,
     "q107_pmi_collocations" -> q107PmiCollocations _,
@@ -1196,6 +1225,23 @@ object QueriesText {
            |  CAST(top_tf AS BIGINT) AS top_tf
            |FROM st JOIN top ON st.term = top.term AND top.rn = 1
            |ORDER BY df DESC, st.term LIMIT 100""".stripMargin,
+
+      // q176: positional postings via a generated position index,
+      // the same (doc, pos+1) adjacency join.
+      "q176_phrase_search" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split($norm, ' '),
+           |    x -> x <> '') AS t FROM documents),
+           |posts AS (
+           |  SELECT doc_id, i - 1 AS pos, t[i] AS term
+           |  FROM toks CROSS JOIN unnest(range(1, len(t) + 1)) AS u(i)
+           |  WHERE t[i] IN ('hash', 'join'))
+           |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+           |FROM posts a JOIN posts b
+           |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+           |WHERE a.term = 'hash' AND b.term = 'join'
+           |GROUP BY a.doc_id
+           |ORDER BY n_occurrences DESC, a.doc_id""".stripMargin,
 
       // q153: the UNFILTERED all-pairs Jaccard definition (same
       // 3-shingle construction as q125's twin) — Spark runs the

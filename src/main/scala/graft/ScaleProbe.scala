@@ -41,6 +41,27 @@ object ScaleProbe {
     copies.reduce(_.unionByName(_))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // relational fact tables replicate with ORDERKEY offsets (orders
+    // and lineitem shifted consistently, dim keys untouched) so every
+    // copy keeps the original join structure against the SAME dims —
+    // the fact side grows N×, the dims don't, exactly the 100 TB
+    // shape. Dims copy verbatim.
+    val off = 1000000000L
+    (0 until factor).map { k =>
+      Tables.orders(s, sfDir).withColumn("o_orderkey",
+        col("o_orderkey") + lit(k * off))
+    }.reduce(_.unionByName(_)).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    (0 until factor).map { k =>
+      Tables.lineitem(s, sfDir).withColumn("l_orderkey",
+        col("l_orderkey") + lit(k * off))
+    }.reduce(_.unionByName(_)).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    Seq("region", "nation", "customer", "supplier", "part")
+      .foreach { t =>
+        s.read.parquet(s"$sfDir/$t.parquet")
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
   }
 
   def main(args: Array[String]): Unit = {
@@ -60,7 +81,8 @@ object ScaleProbe {
     println(s"[probe] replicated ${factor}x -> $work")
 
     val probes = Seq("q125_sparse_cosine", "q72_containment",
-      "q36_minhash_lsh", "q78_span_dedup", "q153_setsim_join")
+      "q36_minhash_lsh", "q78_span_dedup", "q153_setsim_join",
+      "q01_pricing_summary", "q139_star_join", "q143_only_returner")
     def time(fn: => DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()
       val df = fn

@@ -320,6 +320,19 @@ class Round12QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q176: phrase occurrences match a Scala adjacency scan") {
+    val got = QueriesText.q176PhraseSearch(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val want = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> tokens(t).sliding(2)
+          .count(p => p == Seq("hash", "join")).toLong
+      }.filter(_._2 > 0).toMap
+    assert(got == want)
+    assert(got.nonEmpty, "corpus should contain the probe phrase")
+  }
+
   test("q174: decay scores match an exact BigInt weighted sum") {
     val got = QueriesCore.q174DecayScore(spark, sf)
       .as[(String, Long, Long)].collect().toSet
