@@ -53,6 +53,28 @@ object OraclesCore {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q177: identical (name, custkey)-sorted window, the same two
+    // forward leads and edit-distance verify.
+    "q177_sorted_neighborhood" ->
+      """WITH s AS (
+        |  SELECT c_custkey, c_name,
+        |    lead(c_custkey, 1) OVER w AS k1,
+        |    lead(c_name, 1) OVER w AS n1,
+        |    lead(c_custkey, 2) OVER w AS k2,
+        |    lead(c_name, 2) OVER w AS n2
+        |  FROM customer
+        |  WINDOW w AS (ORDER BY c_name, c_custkey)),
+        |u AS (
+        |  SELECT c_custkey AS id_a, c_name AS name_a,
+        |    k1 AS id_b, n1 AS name_b FROM s
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, k2, n2 FROM s)
+        |SELECT id_a, id_b, name_a, name_b,
+        |  CAST(levenshtein(name_a, name_b) AS INTEGER) AS edit_dist
+        |FROM u
+        |WHERE id_b IS NOT NULL AND levenshtein(name_a, name_b) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // q174: same bucketed power-of-two weights, exact HUGEINT sum,
     // one floored double division at the end.
     "q174_decay_score" ->

@@ -2763,7 +2763,42 @@ object QueriesCore {
       .orderBy("quartile")
   }
 
+  /** Sorted-neighborhood blocking (Hernández–Stolfo merge/purge) —
+    * the third record-linkage candidate scheme next to q138's
+    * deletion-mask blocking and q153's prefix filter: sort once on
+    * the blocking key, slide a w=3 window via lead() (candidates are
+    * only the w−1 FORWARD neighbors per row — each unordered pair
+    * surfaces exactly once), verify with edit distance ≤ 2. One
+    * global sort, zero joins: candidate volume is exactly (w−1)·n at
+    * any scale, the property that makes sorted-neighborhood the
+    * cheap first pass of production ER stacks (at 100 TB the sort is
+    * a range-partitioned total sort; the window never crosses more
+    * than w rows, so partition boundaries need only w−1 rows of
+    * overlap).
+    */
+  def q177SortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("c_name"), col("c_custkey"))
+    val withLeads = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"))
+      .withColumn("__n1", lead(struct(col("c_custkey").as("k"),
+        col("c_name").as("nm")), 1).over(w))
+      .withColumn("__n2", lead(struct(col("c_custkey").as("k"),
+        col("c_name").as("nm")), 2).over(w))
+    Seq(1, 2).map { d =>
+      withLeads.select(col("c_custkey").as("id_a"),
+        col("c_name").as("name_a"),
+        col(s"__n$d.k").as("id_b"), col(s"__n$d.nm").as("name_b"))
+    }.reduce(_.unionByName(_))
+      .filter(col("id_b").isNotNull &&
+        levenshtein(col("name_a"), col("name_b")) <= 2)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("int")
+          .as("edit_dist"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q177_sorted_neighborhood" -> q177SortedNeighborhood _,
     "q174_decay_score" -> q174DecayScore _,
     "q175_quartile_binning" -> q175QuartileBinning _,
     "q172_golden_record" -> q172GoldenRecord _,

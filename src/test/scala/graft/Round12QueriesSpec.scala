@@ -320,6 +320,29 @@ class Round12QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q177: sorted-neighborhood pairs match a Scala sliding scan") {
+    val got = QueriesCore.q177SortedNeighborhood(spark, sf)
+      .select("id_a", "id_b", "edit_dist")
+      .as[(Long, Long, Int)].collect().toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val cs = Tables.customer(spark, sf).select("c_custkey", "c_name")
+      .as[(Long, String)].collect().sortBy(c => (c._2, c._1))
+    val want = (for {
+      i <- cs.indices; d <- 1 to 2 if i + d < cs.length
+      e = lev(cs(i)._2, cs(i + d)._2) if e <= 2
+    } yield (cs(i)._1, cs(i + d)._1, e)).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("q176: phrase occurrences match a Scala adjacency scan") {
     val got = QueriesText.q176PhraseSearch(spark, sf)
       .as[(Long, Long)].collect().toMap
