@@ -53,6 +53,53 @@ object OraclesCore {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q178: same cleared-denominator distances in HUGEINT; dim is
+    // 1-based here vs 0-based posexplode — internal join key only.
+    "q178_cluster_quality" ->
+      """WITH comp AS (
+        |  SELECT vec_id, label, u.i AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)
+        |      AS v
+        |  FROM embeddings CROSS JOIN
+        |    unnest(range(1, len(embedding) + 1)) AS u(i)),
+        |ns AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+        |cent AS (
+        |  SELECT label, dim, sum(v) AS sd FROM comp GROUP BY 1, 2),
+        |intra AS (
+        |  SELECT c.label, ns.n,
+        |    sum(CAST((c.v * ns.n - ct.sd) AS HUGEINT)
+        |      * CAST((c.v * ns.n - ct.sd) AS HUGEINT)) AS tot
+        |  FROM comp c
+        |    JOIN cent ct ON c.label = ct.label AND c.dim = ct.dim
+        |    JOIN ns ON c.label = ns.label
+        |  GROUP BY 1, 2),
+        |inter AS (
+        |  SELECT a.label AS la, b.label AS lb, na.n AS nna,
+        |    nb.n AS nnb,
+        |    sum(CAST((a.sd * nb.n - b.sd * na.n) AS HUGEINT)
+        |      * CAST((a.sd * nb.n - b.sd * na.n) AS HUGEINT)) AS d2
+        |  FROM cent a JOIN cent b ON a.dim = b.dim
+        |      AND a.label <> b.label
+        |    JOIN ns na ON a.label = na.label
+        |    JOIN ns nb ON b.label = nb.label
+        |  GROUP BY 1, 2, 3, 4),
+        |nearest AS (
+        |  SELECT la, lb, d2, nna, nnb,
+        |    row_number() OVER (PARTITION BY la ORDER BY
+        |      CAST(d2 AS DOUBLE) / (nna * nnb) / (nna * nnb), lb)
+        |      AS rn
+        |  FROM inter)
+        |SELECT i.label, CAST(i.n AS BIGINT) AS n_vectors,
+        |  CAST(floor(CAST(tot AS DOUBLE)
+        |    / CAST(i.n * i.n * i.n AS DOUBLE) / 1e6) AS BIGINT)
+        |    AS avg_sq_dist_micros,
+        |  CAST(nr.lb AS INTEGER) AS nearest_label,
+        |  CAST(floor(CAST(nr.d2 AS DOUBLE) / (nr.nna * nr.nnb)
+        |    / (nr.nna * nr.nnb) / 1e6) AS BIGINT)
+        |    AS nearest_sq_dist_micros
+        |FROM intra i JOIN nearest nr ON i.label = nr.la AND nr.rn = 1
+        |ORDER BY i.label""".stripMargin,
+
     // q177: identical (name, custkey)-sorted window, the same two
     // forward leads and edit-distance verify.
     "q177_sorted_neighborhood" ->

@@ -2797,7 +2797,69 @@ object QueriesCore {
       .orderBy("id_a", "id_b")
   }
 
+  /** Embedding cluster-quality audit — per label: vector count, mean
+    * intra-cluster squared distance to the centroid, and the nearest
+    * OTHER centroid (the Davies–Bouldin ingredients) — with every
+    * distance in EXACT integer arithmetic: components floor to
+    * micros, centroids stay as (component-sum, count) rationals, and
+    * denominators are cleared — intra terms as (v·n − S)², inter as
+    * (S_a·n_b − S_b·n_a)² — so sums are order-free exact integers
+    * and the single scaled double division happens at the very end.
+    * Scale shape: one posexplode pass, component aggregates keyed by
+    * (label, dim) — 640 rows regardless of corpus size — and a
+    * 10×10 centroid cross that never touches vectors.
+    */
+  def q178ClusterQuality(s: SparkSession, dir: String): DataFrame = {
+    val comp = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")))
+      .toDF("vec_id", "label", "dim", "x")
+      .select(col("vec_id"), col("label"), col("dim"),
+        floor(col("x").cast("double") * 1e6).cast("long").as("v"))
+      .localCheckpoint() // feeds centroids AND the intra pass
+    val ns = comp.select("vec_id", "label").distinct()
+      .groupBy("label").agg(count(lit(1)).as("__n"))
+    val cent = comp.groupBy("label", "dim")
+      .agg(sum(col("v")).as("__sd"))
+    val intra = comp
+      .join(broadcast(cent), Seq("label", "dim"))
+      .join(broadcast(ns), Seq("label"))
+      .select(col("label"), col("__n"),
+        ((col("v") * col("__n") - col("__sd")) *
+          (col("v") * col("__n") - col("__sd")))
+          .cast("decimal(38,0)").as("__t"))
+      .groupBy("label", "__n").agg(sum(col("__t")).as("__tot"))
+    val cw = cent.join(broadcast(ns), Seq("label"))
+    val inter = cw.select(col("label").as("__la"), col("dim"),
+        col("__sd").as("__sa"), col("__n").as("__na"))
+      .join(cw.select(col("label").as("__lb"), col("dim"),
+        col("__sd").as("__sb"), col("__n").as("__nb")), Seq("dim"))
+      .filter(col("__la") =!= col("__lb"))
+      .withColumn("__dd",
+        (col("__sa") * col("__nb") - col("__sb") * col("__na"))
+          .cast("decimal(18,0)"))
+      .groupBy("__la", "__lb", "__na", "__nb")
+      .agg(sum((col("__dd") * col("__dd")).cast("decimal(38,0)"))
+        .as("__d2"))
+      .withColumn("__dist", col("__d2").cast("double") /
+        (col("__na") * col("__nb")).cast("double") /
+        (col("__na") * col("__nb")).cast("double"))
+      .groupBy(col("__la").as("label"))
+      .agg(min(struct(col("__dist"), col("__lb"))).as("__nearest"))
+    intra.join(inter, Seq("label"))
+      .select(col("label"),
+        col("__n").cast("bigint").as("n_vectors"),
+        floor(col("__tot").cast("double") /
+          (col("__n") * col("__n") * col("__n")).cast("double") / 1e6)
+          .cast("bigint").as("avg_sq_dist_micros"),
+        col("__nearest.__lb").cast("int").as("nearest_label"),
+        floor(col("__nearest.__dist") / 1e6).cast("bigint")
+          .as("nearest_sq_dist_micros"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q178_cluster_quality" -> q178ClusterQuality _,
     "q177_sorted_neighborhood" -> q177SortedNeighborhood _,
     "q174_decay_score" -> q174DecayScore _,
     "q175_quartile_binning" -> q175QuartileBinning _,

@@ -320,6 +320,41 @@ class Round12QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q178: cluster-quality stats match an exact BigInt recount") {
+    val got = QueriesCore.q178ClusterQuality(spark, sf)
+      .as[(Int, Long, Long, Int, Long)].collect().toSet
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1e6).cast("long")).as("v"))
+      .as[(Long, Int, Seq[Long])].collect()
+    val byLabel = vecs.groupBy(_._2)
+    val cents = byLabel.view.mapValues { rs =>
+      val n = rs.length
+      val s = rs.toSeq.map(_._3).transpose.map(c => c.map(BigInt(_)).sum)
+      (BigInt(n), s)
+    }.toMap
+    val want = byLabel.map { case (l, rs) =>
+      val (n, s) = cents(l)
+      val tot = rs.map { r =>
+        r._3.zip(s).map { case (v, sd) =>
+          val d = BigInt(v) * n - sd; d * d }.sum
+      }.sum
+      val intra = math.floor(
+        tot.toDouble / (n * n * n).toDouble / 1e6).toLong
+      val best = cents.keys.filter(_ != l).map { o =>
+        val (no, so) = cents(o)
+        val d2 = s.zip(so).map { case (a, b) =>
+          val d = a * no - b * n; d * d }.sum
+        val dist = d2.toDouble / (n * no).toDouble / (n * no).toDouble
+        (o, dist)
+      }.minBy { case (o, dist) => (dist, o) }
+      val (nl, nd) = (best._1, math.floor(best._2 / 1e6).toLong)
+      (l, rs.length.toLong, intra, nl, nd)
+    }.toSet
+    assert(got == want)
+  }
+
   test("q177: sorted-neighborhood pairs match a Scala sliding scan") {
     val got = QueriesCore.q177SortedNeighborhood(spark, sf)
       .select("id_a", "id_b", "edit_dist")
