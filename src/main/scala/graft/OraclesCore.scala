@@ -53,6 +53,79 @@ object OraclesCore {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q179: same feed synthesis as q148, one lead window, U-only
+    // versions with delete-closed intervals.
+    "q179_cdc_scd2" ->
+      """WITH feed AS (
+        |  SELECT CASE WHEN o_orderkey % 5 = 0 THEN o_custkey + 100000
+        |    ELSE o_custkey END AS key,
+        |    o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS payload
+        |  FROM orders),
+        |v AS (
+        |  SELECT key, seq, op, payload,
+        |    lead(seq, 1) OVER (PARTITION BY key ORDER BY seq)
+        |      AS next_seq
+        |  FROM feed)
+        |SELECT key, CAST(seq AS BIGINT) AS valid_from_seq,
+        |  CAST(next_seq AS BIGINT) AS valid_to_seq,
+        |  CAST(payload AS DOUBLE) AS payload,
+        |  (next_seq IS NULL) AS is_current
+        |FROM v WHERE op = 'U'
+        |ORDER BY key, valid_from_seq""".stripMargin,
+
+    // q180: q116's lag/cumsum sessionization, rolled up to days with
+    // the same cross-multiplied micros rate.
+    "q180_bounce_rate" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, sid, CAST(min(ts) AS DATE) AS day,
+        |    count(*) AS n
+        |  FROM s GROUP BY 1, 2)
+        |SELECT CAST(day AS TIMESTAMP) AS day,
+        |  CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounces,
+        |  CAST(floor(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*) * 1e6) AS BIGINT) AS bounce_micros
+        |FROM sess GROUP BY day ORDER BY day""".stripMargin,
+
+    // q181: the same conditional-min elections and type-1 ordinal
+    // median over integer second gaps.
+    "q181_time_to_convert" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view'
+        |        THEN epoch_us(ts) END) AS v,
+        |    min(CASE WHEN event_type = 'purchase'
+        |        THEN epoch_us(ts) END) AS p
+        |  FROM events GROUP BY user_id),
+        |g AS (
+        |  SELECT user_id,
+        |    CAST(floor((p - v) / 1e6) AS BIGINT) AS gap_seconds
+        |  FROM f
+        |  WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY gap_seconds, user_id)
+        |      AS rn,
+        |    count(*) OVER () AS n
+        |  FROM g)
+        |SELECT user_id, gap_seconds,
+        |  CAST(max(CASE WHEN rn = CAST(ceil(n / 2.0) AS BIGINT)
+        |    THEN gap_seconds END) OVER () AS BIGINT)
+        |    AS median_gap_seconds
+        |FROM r ORDER BY user_id""".stripMargin,
+
     // q178: same cleared-denominator distances in HUGEINT; dim is
     // 1-based here vs 0-based posexplode — internal join key only.
     "q178_cluster_quality" ->

@@ -2858,7 +2858,97 @@ object QueriesCore {
       .orderBy("label")
   }
 
+  /** CDC feed → SCD-2 history — the composition of q148's change
+    * feed and q158's interval build, with DELETE semantics: only
+    * upserts OPEN a version; any next change (upsert or delete)
+    * CLOSES the current one, so a deleted key's history ends with a
+    * closed interval and no current row. One window pass over the
+    * feed; is_current falls out of "last change for the key is an
+    * upsert". The warehouse-standard CDC→dimension pipeline in one
+    * shuffle.
+    */
+  def q179CdcScd2(s: SparkSession, dir: String): DataFrame = {
+    val feed = Tables.orders(s, dir).select(
+      when(pmod(col("o_orderkey"), lit(5)) === 0,
+        col("o_custkey") + 100000).otherwise(col("o_custkey"))
+        .as("key"),
+      col("o_orderkey").as("seq"),
+      when(pmod(col("o_orderkey"), lit(7)) === 0, lit("D"))
+        .otherwise(lit("U")).as("op"),
+      col("o_totalprice").cast("decimal(18,2)").as("payload"))
+    val w = Window.partitionBy("key").orderBy("seq")
+    feed
+      .withColumn("__next_seq", lead(col("seq"), 1).over(w))
+      .filter(col("op") === "U") // only upserts open versions
+      .select(col("key"), col("seq").cast("bigint").as("valid_from_seq"),
+        col("__next_seq").cast("bigint").as("valid_to_seq"),
+        col("payload").cast("double").as("payload"),
+        col("__next_seq").isNull.as("is_current"))
+      .orderBy("key", "valid_from_seq")
+  }
+
+  /** Session bounce rate — per day, the share of 30-minute sessions
+    * containing exactly one event, the rate integer-cross-multiplied
+    * into micros. Composes the session_window operator (q116) with a
+    * daily rollup: sessions aggregate once, days aggregate the
+    * |sessions| rows — no second pass over events.
+    */
+  def q180BounceRate(s: SparkSession, dir: String): DataFrame = {
+    val sess = Tables.events(s, dir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("__n"))
+      .select(to_date(col("sw.start")).as("day"),
+        (col("__n") === 1).cast("long").as("__bounce"))
+    sess.groupBy("day")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("__bounce")).as("n_bounces"))
+      .select(col("day").cast("timestamp_ntz").as("day"),
+        col("n_sessions").cast("bigint").as("n_sessions"),
+        col("n_bounces").cast("bigint").as("n_bounces"),
+        floor(col("n_bounces").cast("double") /
+          col("n_sessions").cast("double") * 1e6)
+          .cast("bigint").as("bounce_micros"))
+      .orderBy("day")
+  }
+
+  /** Time-to-convert — per user, the gap from FIRST view to FIRST
+    * subsequent purchase, and the corpus-level exact type-1 median of
+    * those gaps (the q145 ordinal convention, seconds as exact
+    * integers). Two conditional-aggregate elections (no self-join),
+    * one |users|-row ordinal pass for the median; the median row
+    * reports the whole distribution next to each user's gap via a
+    * window — output stays per-user with the global stats attached.
+    */
+  def q181TimeToConvert(s: SparkSession, dir: String): DataFrame = {
+    val firsts = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "view",
+          unix_micros(col("ts")))).as("__v"),
+        min(when(col("event_type") === "purchase",
+          unix_micros(col("ts")))).as("__p"))
+      .filter(col("__v").isNotNull && col("__p").isNotNull &&
+        col("__p") >= col("__v"))
+      .select(col("user_id"),
+        floor((col("__p") - col("__v")) / 1e6).cast("bigint")
+          .as("gap_seconds"))
+    val w = Window.orderBy(col("gap_seconds"), col("user_id"))
+    val n = Window.partitionBy(lit(1))
+    firsts
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(n))
+      .withColumn("__med", max(when(
+        col("__rn") === ceil(col("__n") / lit(2.0)).cast("int"),
+        col("gap_seconds"))).over(n))
+      .select(col("user_id"), col("gap_seconds"),
+        col("__med").cast("bigint").as("median_gap_seconds"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q179_cdc_scd2" -> q179CdcScd2 _,
+    "q180_bounce_rate" -> q180BounceRate _,
+    "q181_time_to_convert" -> q181TimeToConvert _,
     "q178_cluster_quality" -> q178ClusterQuality _,
     "q177_sorted_neighborhood" -> q177SortedNeighborhood _,
     "q174_decay_score" -> q174DecayScore _,

@@ -320,6 +320,83 @@ class Round12QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q179: CDC-to-SCD2 versions tile, deletes close, no current after D") {
+    val rows = QueriesCore.q179CdcScd2(spark, sf)
+      .as[(Long, Long, Option[Long], Double, Boolean)].collect()
+    val feed = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey")).as[(Long, Long)]
+      .collect()
+      .map { case (ok, ck) =>
+        (if (ok % 5 == 0) ck + 100000 else ck, ok, ok % 7 == 0)
+      }
+    val byKey = feed.groupBy(_._1)
+    rows.groupBy(_._1).foreach { case (k, vs) =>
+      val hist = byKey(k).sortBy(_._2)
+      val upserts = hist.filter(!_._3).map(_._2)
+      assert(vs.map(_._2).sorted.toSeq == upserts.sorted.toSeq,
+        s"key $k: one version per upsert")
+      vs.foreach { v =>
+        val next = hist.map(_._2).filter(_ > v._2)
+        assert(v._3 == next.headOption.map(identity),
+          s"key $k: valid_to must be the NEXT change of any kind")
+        assert(v._5 == next.isEmpty)
+      }
+      // a key whose last change is a delete has no current version
+      if (hist.last._3) assert(!vs.exists(_._5), s"key $k deleted")
+    }
+  }
+
+  test("q180: bounce rate matches a Scala session scan") {
+    val got = QueriesCore.q180BounceRate(spark, sf)
+      .select(col("day").cast("date").cast("string"),
+        col("n_sessions"), col("n_bounces"))
+      .as[(String, Long, Long)].collect().toMap2
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"))
+      .as[(Long, Long, Long)].collect()
+    val sessions = evs.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val ord = rs.sortBy(r => (r._2, r._3))
+      val breaks = ord.zip(ord.drop(1)).map { case (a, b) =>
+        b._2 - a._2 >= 1800L * 1000000L }
+      // split into runs at breaks
+      val sizes = scala.collection.mutable.ArrayBuffer(1)
+      val starts = scala.collection.mutable.ArrayBuffer(ord.head._2)
+      breaks.zip(ord.drop(1)).foreach { case (brk, e) =>
+        if (brk) { sizes += 1; starts += e._2 }
+        else sizes(sizes.length - 1) += 1
+      }
+      sizes.zip(starts)
+    }
+    val want = sessions
+      .groupBy { case (_, startUs) =>
+        java.time.Instant.ofEpochSecond(startUs / 1000000L)
+          .toString.take(10) }
+      .map { case (d, ss) =>
+        d -> ((ss.size.toLong, ss.count(_._1 == 1).toLong)) }
+    assert(got == want)
+  }
+
+  test("q181: time-to-convert gaps and median match a Scala recount") {
+    val got = QueriesCore.q181TimeToConvert(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .as[(Long, String, Long)].collect()
+    val gaps = evs.groupBy(_._1).flatMap { case (u, rs) =>
+      val v = rs.filter(_._2 == "view").map(_._3).minOption
+      val p = rs.filter(_._2 == "purchase").map(_._3).minOption
+      (v, p) match {
+        case (Some(a), Some(b)) if b >= a =>
+          Some(u -> math.floor((b - a) / 1e6).toLong)
+        case _ => None
+      }
+    }.toSeq
+    val sorted = gaps.sortBy { case (u, g) => (g, u) }
+    val med = sorted((sorted.size + 1) / 2 - 1)._2
+    assert(got.map(r => r._1 -> r._2).toMap == gaps.toMap)
+    assert(got.forall(_._3 == med))
+  }
+
   test("q178: cluster-quality stats match an exact BigInt recount") {
     val got = QueriesCore.q178ClusterQuality(spark, sf)
       .as[(Int, Long, Long, Int, Long)].collect().toSet
