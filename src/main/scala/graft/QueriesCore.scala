@@ -2742,12 +2742,16 @@ object QueriesCore {
   def q175QuartileBinning(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_totalprice"))
-    val n = o.count() // driver scalar: bin boundaries need the exact n
     val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    val all = Window.partitionBy(lit(1))
+    // fully declarative: n rides a window count, so no driver-side
+    // action decides the boundary ordinals
     val ranked = o.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(all))
     val bounds = ranked
-      .filter(col("__rn").isin(
-        Seq(1, 2, 3).map(q => math.ceil(q * n / 4.0).toLong): _*))
+      .filter(col("__rn") === ceil(col("__n") / lit(4.0)) ||
+        col("__rn") === ceil(col("__n") * 2 / lit(4.0)) ||
+        col("__rn") === ceil(col("__n") * 3 / lit(4.0)))
       .select(col("o_totalprice").as("__b"))
       .agg(sort_array(collect_list(col("__b"))).as("__bs"))
     o.crossJoin(broadcast(bounds))
