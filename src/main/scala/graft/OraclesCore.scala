@@ -53,6 +53,119 @@ object OraclesCore {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q182: same per-customer rollup, same (metric, custkey)-pinned
+    // ntile(5) windows, monetary in exact cents.
+    "q182_rfm_segments" ->
+      """WITH per AS (
+        |  SELECT o_custkey AS custkey,
+        |    max(epoch_us(o_orderdate)) AS last_order_us,
+        |    count(*) AS n_orders,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(18,0))) AS BIGINT) AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |sc AS (
+        |  SELECT custkey, last_order_us, CAST(n_orders AS BIGINT)
+        |      AS n_orders, monetary_cents,
+        |    ntile(5) OVER (ORDER BY last_order_us, custkey) AS r,
+        |    ntile(5) OVER (ORDER BY n_orders, custkey) AS f,
+        |    ntile(5) OVER (ORDER BY monetary_cents, custkey) AS m
+        |  FROM per)
+        |SELECT custkey, last_order_us, n_orders, monetary_cents,
+        |  CAST(r AS BIGINT) AS r_score, CAST(f AS BIGINT) AS f_score,
+        |  CAST(m AS BIGINT) AS m_score,
+        |  CAST(r AS VARCHAR) || CAST(f AS VARCHAR) ||
+        |    CAST(m AS VARCHAR) AS segment
+        |FROM sc ORDER BY custkey""".stripMargin,
+
+    // q183: same per-part cents rollup, explicit ROWS running sum,
+    // the same cross-multiplied 80/95 boundaries.
+    "q183_abc_pareto" ->
+      """WITH rev AS (
+        |  SELECT l_partkey AS partkey,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(18,0))) AS BIGINT) AS rev_cents
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT partkey, rev_cents,
+        |    sum(rev_cents) OVER (ORDER BY rev_cents DESC, partkey
+        |      ROWS UNBOUNDED PRECEDING) AS cum_cents,
+        |    sum(rev_cents) OVER () AS tot
+        |  FROM rev)
+        |SELECT partkey, rev_cents, CAST(cum_cents AS BIGINT)
+        |    AS cum_cents,
+        |  CASE WHEN cum_cents * 10 <= tot * 8 THEN 'A'
+        |       WHEN cum_cents * 20 <= tot * 19 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM c ORDER BY partkey""".stripMargin,
+
+    // q184: q149's pruned pair pass widened to both rule directions;
+    // conf/lift via integer // (positive operands, = Spark's DIV).
+    "q184_assoc_rules" ->
+      """WITH baskets AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |sup AS (
+        |  SELECT l_partkey, count(*) AS n FROM baskets GROUP BY 1),
+        |pruned AS (
+        |  SELECT b.l_orderkey, b.l_partkey FROM baskets b
+        |  JOIN sup ON b.l_partkey = sup.l_partkey AND sup.n >= 25),
+        |pairs AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |    count(*) AS n_ab
+        |  FROM pruned a JOIN pruned b
+        |    ON a.l_orderkey = b.l_orderkey
+        |      AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |rules AS (
+        |  SELECT pa AS antecedent, pb AS consequent, n_ab FROM pairs
+        |  UNION ALL
+        |  SELECT pb, pa, n_ab FROM pairs),
+        |nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM lineitem)
+        |SELECT r.antecedent, r.consequent,
+        |  CAST(r.n_ab AS BIGINT) AS n_ab,
+        |  CAST(sa.n AS BIGINT) AS n_ant,
+        |  CAST(sc.n AS BIGINT) AS n_cons,
+        |  CAST((r.n_ab * 1000000) // sa.n AS BIGINT) AS conf_micros,
+        |  CAST((r.n_ab * nb.n * 1000000) // (sa.n * sc.n) AS BIGINT)
+        |    AS lift_micros
+        |FROM rules r
+        |  JOIN sup sa ON r.antecedent = sa.l_partkey
+        |  JOIN sup sc ON r.consequent = sc.l_partkey
+        |  CROSS JOIN nb
+        |ORDER BY conf_micros DESC, antecedent, consequent""".stripMargin,
+
+    // q185: both medians by the same rn == ceil(n/2) ordinal over
+    // (value, custkey); pure integer outlier comparison.
+    "q185_mad_outliers" ->
+      """WITH c AS (
+        |  SELECT c_custkey, CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2))
+        |    * 100 AS DECIMAL(18,0)) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |r1 AS (
+        |  SELECT *, row_number() OVER (ORDER BY bal_cents, c_custkey)
+        |      AS rn,
+        |    count(*) OVER () AS n
+        |  FROM c),
+        |m1 AS (
+        |  SELECT *, max(CASE WHEN rn = CAST(ceil(n / 2.0) AS BIGINT)
+        |    THEN bal_cents END) OVER () AS med_cents
+        |  FROM r1),
+        |d AS (
+        |  SELECT c_custkey, bal_cents, med_cents,
+        |    abs(bal_cents - med_cents) AS dev_cents, n
+        |  FROM m1),
+        |r2 AS (
+        |  SELECT *, row_number() OVER (ORDER BY dev_cents, c_custkey)
+        |      AS rn2
+        |  FROM d),
+        |m2 AS (
+        |  SELECT *, max(CASE WHEN rn2 = CAST(ceil(n / 2.0) AS BIGINT)
+        |    THEN dev_cents END) OVER () AS mad_cents
+        |  FROM r2)
+        |SELECT c_custkey, bal_cents, med_cents, dev_cents,
+        |  CAST(mad_cents AS BIGINT) AS mad_cents,
+        |  dev_cents > mad_cents * 3 AS is_outlier
+        |FROM m2 ORDER BY c_custkey""".stripMargin,
+
     // q179: same feed synthesis as q148, one lead window, U-only
     // versions with delete-closed intervals.
     "q179_cdc_scd2" ->

@@ -2004,26 +2004,10 @@ object QueriesCore {
     * again and the result ranks by lift-free raw support.
     */
   def q149CopurchasePairs(s: SparkSession, dir: String): DataFrame = {
-    val minItem = 25L
-    val minPair = 3L
-    val baskets = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val frequent = baskets.groupBy("l_partkey")
-      .agg(count(lit(1)).as("__sup"))
-      .filter(col("__sup") >= minItem)
-      .select(col("l_partkey"))
-    // both sides of the pair self-join consume the pruned basket set —
-    // pin it once (the q125/q78 replanning pattern; it is already the
-    // support-filtered small form)
-    val pruned = baskets.join(broadcast(frequent), Seq("l_partkey"))
-      .localCheckpoint()
-    pruned.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      .join(pruned.select(col("l_orderkey"), col("l_partkey").as("part_b")),
-        Seq("l_orderkey"))
-      .filter(col("part_a") < col("part_b"))
-      .groupBy("part_a", "part_b")
-      .agg(count(lit(1)).cast("bigint").as("n_orders"))
-      .filter(col("n_orders") >= minPair)
+    val (pairs, _) = copurchaseCounts(s, dir, minItem = 25L, minPair = 3L)
+    pairs
+      .select(col("part_a"), col("part_b"),
+        col("__nab").cast("bigint").as("n_orders"))
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
   }
 
@@ -2949,7 +2933,175 @@ object QueriesCore {
       .orderBy("user_id")
   }
 
+  /** RFM segmentation — recency / frequency / monetary quintiles per
+    * customer with a deterministic total order (metric, then custkey)
+    * so every ntile boundary is engine-pinned, monetary in exact
+    * cents. Scale shape: the per-customer rollup collapses the fact
+    * stream FIRST (one shuffle over |orders|); the three quintile
+    * windows then run over the |customers|-row rollup — the same
+    * post-aggregation global-ordinal envelope as q145/q175, never a
+    * window over raw facts.
+    */
+  def q182RfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(max(unix_micros(col("o_orderdate").cast("timestamp")))
+          .as("last_order_us"),
+        count(lit(1)).as("n_orders"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("decimal(18,0)")).as("__mon"))
+    val wr = Window.orderBy(col("last_order_us"), col("custkey"))
+    val wf = Window.orderBy(col("n_orders"), col("custkey"))
+    val wm = Window.orderBy(col("__mon"), col("custkey"))
+    per
+      .withColumn("r_score", ntile(5).over(wr))
+      .withColumn("f_score", ntile(5).over(wf))
+      .withColumn("m_score", ntile(5).over(wm))
+      .select(col("custkey"), col("last_order_us"),
+        col("n_orders").cast("bigint").as("n_orders"),
+        col("__mon").cast("bigint").as("monetary_cents"),
+        col("r_score").cast("bigint").as("r_score"),
+        col("f_score").cast("bigint").as("f_score"),
+        col("m_score").cast("bigint").as("m_score"),
+        concat(col("r_score").cast("string"),
+          col("f_score").cast("string"),
+          col("m_score").cast("string")).as("segment"))
+      .orderBy("custkey")
+  }
+
+  /** ABC / Pareto classification — parts ranked by gross revenue
+    * (exact cents), classified by cumulative share with the 80/95
+    * boundaries cross-multiplied into integer space (cum·10 ≤ tot·8,
+    * cum·20 ≤ tot·19) so no division — and no float boundary — exists.
+    * Scale shape: revenue aggregates per part first (one shuffle over
+    * lineitem); the running-sum window orders the |parts|-row rollup.
+    */
+  def q183AbcPareto(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)")).as("__rev"))
+    val w = Window.orderBy(col("__rev").desc, col("partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(lit(1))
+    rev
+      .withColumn("__cum", sum(col("__rev")).over(w))
+      .withColumn("__tot", sum(col("__rev")).over(tot))
+      .withColumn("abc_class",
+        when(col("__cum") * 10 <= col("__tot") * 8, "A")
+          .when(col("__cum") * 20 <= col("__tot") * 19, "B")
+          .otherwise("C"))
+      .select(col("partkey"),
+        col("__rev").cast("bigint").as("rev_cents"),
+        col("__cum").cast("bigint").as("cum_cents"),
+        col("abc_class"))
+      .orderBy("partkey")
+  }
+
+  /** Shared basket mining core for q149/q184: distinct (order, part)
+    * baskets, per-item order support, and the a-priori-pruned pair
+    * supports — only items whose own support clears `minItem` enter
+    * the per-order pair self-join (the prune is what keeps the pair
+    * space finite at 100 TB), and the pruned basket set is pinned
+    * once so both sides of the self-join reuse one computation.
+    */
+  private def copurchaseCounts(s: SparkSession, dir: String,
+      minItem: Long, minPair: Long): (DataFrame, DataFrame) = {
+    val baskets = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val itemSup = baskets.groupBy("l_partkey")
+      .agg(count(lit(1)).as("__sup"))
+    val frequent = itemSup.filter(col("__sup") >= minItem)
+      .select(col("l_partkey"))
+    val pruned = baskets.join(broadcast(frequent), Seq("l_partkey"))
+      .localCheckpoint()
+    val pairs = pruned
+      .select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(pruned.select(col("l_orderkey"),
+        col("l_partkey").as("part_b")), Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("__nab"))
+      .filter(col("__nab") >= minPair)
+    (pairs, itemSup)
+  }
+
+  /** Association rules from the a-priori pair pass — each surviving
+    * pair emits both rule directions with exact integer confidence and
+    * lift: conf = ⌊n(ab)·1e6 / n(a)⌋ and lift = ⌊n(ab)·N·1e6 /
+    * (n(a)·n(b))⌋ via integral `div` (no float division anywhere; the
+    * numerators stay < 2⁶³). The basket count N rides a 1-row
+    * broadcast aggregate, not a driver action; item supports broadcast
+    * against the pair set.
+    */
+  def q184AssocRules(s: SparkSession, dir: String): DataFrame = {
+    val (pairs, itemSup) = copurchaseCounts(s, dir, 25L, 3L)
+    val nb = Tables.lineitem(s, dir)
+      .agg(countDistinct(col("l_orderkey")).as("__nb"))
+    val rules = pairs
+      .select(col("part_a").as("antecedent"),
+        col("part_b").as("consequent"), col("__nab"))
+      .union(pairs.select(col("part_b").as("antecedent"),
+        col("part_a").as("consequent"), col("__nab")))
+    rules
+      .join(broadcast(itemSup.select(col("l_partkey").as("antecedent"),
+        col("__sup").as("__na"))), Seq("antecedent"))
+      .join(broadcast(itemSup.select(col("l_partkey").as("consequent"),
+        col("__sup").as("__nc"))), Seq("consequent"))
+      .crossJoin(broadcast(nb))
+      .select(col("antecedent"), col("consequent"),
+        col("__nab").cast("bigint").as("n_ab"),
+        col("__na").cast("bigint").as("n_ant"),
+        col("__nc").cast("bigint").as("n_cons"),
+        expr("CAST((__nab * 1000000L) DIV __na AS BIGINT)")
+          .as("conf_micros"),
+        expr("CAST((__nab * __nb * 1000000L) DIV (__na * __nc) AS BIGINT)")
+          .as("lift_micros"))
+      .orderBy(col("conf_micros").desc, col("antecedent"),
+        col("consequent"))
+  }
+
+  /** MAD robust outliers — median absolute deviation over customer
+    * balances in exact cents, both medians by the q145 type-1 ordinal
+    * convention (rn == ⌈n/2⌉ under a total order), outlier when
+    * |x − med| > 3·MAD in pure integer comparison. Robust to the very
+    * outliers it hunts (unlike q164's moment-based sigma test — the
+    * two are complementary gates). The two ordinal passes run over the
+    * |customers|-row slice, the q145 post-aggregation envelope.
+    */
+  def q185MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("c_acctbal").cast("decimal(18,2)") * 100)
+      .cast("decimal(18,0)").cast("bigint")
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), cents.as("bal_cents"))
+    val n = Window.partitionBy(lit(1))
+    val w1 = Window.orderBy(col("bal_cents"), col("c_custkey"))
+    val withMed = c
+      .withColumn("__rn", row_number().over(w1))
+      .withColumn("__n", count(lit(1)).over(n))
+      .withColumn("med_cents", max(when(
+        col("__rn") === ceil(col("__n") / lit(2.0)).cast("int"),
+        col("bal_cents"))).over(n))
+      .withColumn("dev_cents", abs(col("bal_cents") - col("med_cents")))
+    val w2 = Window.orderBy(col("dev_cents"), col("c_custkey"))
+    withMed
+      .withColumn("__rn2", row_number().over(w2))
+      .withColumn("mad_cents", max(when(
+        col("__rn2") === ceil(col("__n") / lit(2.0)).cast("int"),
+        col("dev_cents"))).over(n))
+      .select(col("c_custkey"), col("bal_cents"),
+        col("med_cents").cast("bigint").as("med_cents"),
+        col("dev_cents").cast("bigint").as("dev_cents"),
+        col("mad_cents").cast("bigint").as("mad_cents"),
+        (col("dev_cents") > col("mad_cents") * 3).as("is_outlier"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q182_rfm_segments" -> q182RfmSegments _,
+    "q183_abc_pareto" -> q183AbcPareto _,
+    "q184_assoc_rules" -> q184AssocRules _,
+    "q185_mad_outliers" -> q185MadOutliers _,
     "q179_cdc_scd2" -> q179CdcScd2 _,
     "q180_bounce_rate" -> q180BounceRate _,
     "q181_time_to_convert" -> q181TimeToConvert _,

@@ -712,4 +712,107 @@ class Round12QueriesSpec extends AnyFunSuite {
       .map { case (t, (df, cf, d, f)) => (t, df, cf, d, f) }
     assert(got.toSeq == want)
   }
+
+  private def cents(v: Double): Long =
+    BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      .*(100).toLongExact
+
+  /** SQL-standard ntile: the first (n mod k) buckets get one extra. */
+  private def ntileOf[A](sorted: Seq[A], k: Int): Map[A, Int] = {
+    val n = sorted.size; val base = n / k; val extra = n % k
+    sorted.zipWithIndex.map { case (a, i) =>
+      val bucket =
+        if (i < (base + 1) * extra) i / (base + 1) + 1
+        else (i - extra) / base + 1
+      a -> bucket
+    }.toMap
+  }
+
+  test("q182: RFM quintiles match a hand-rolled ntile over the rollup") {
+    val got = QueriesCore.q182RfmSegments(spark, sf)
+      .select("custkey", "r_score", "f_score", "m_score", "segment")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    val per = Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")),
+        col("o_totalprice"))
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (ck, rows) =>
+        (ck, rows.map(_._2).max, rows.size.toLong,
+          rows.map(r => cents(r._3)).sum)
+      }.toSeq
+    val r = ntileOf(per.sortBy(p => (p._2, p._1)).map(_._1), 5)
+    val f = ntileOf(per.sortBy(p => (p._3, p._1)).map(_._1), 5)
+    val m = ntileOf(per.sortBy(p => (p._4, p._1)).map(_._1), 5)
+    val want = per.map(_._1).sorted.map { ck =>
+      (ck, r(ck).toLong, f(ck).toLong, m(ck).toLong,
+        s"${r(ck)}${f(ck)}${m(ck)}")
+    }
+    assert(got == want)
+  }
+
+  test("q183: ABC classes match an exact BigInt cumulative-share scan") {
+    val got = QueriesCore.q183AbcPareto(spark, sf)
+      .select("partkey", "rev_cents", "cum_cents", "abc_class")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val rev = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_extendedprice").as[(Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => BigInt(cents(r._2))).sum)
+      .toSeq.sortBy { case (pk, r) => (-r, pk) }
+    val tot = rev.map(_._2).sum
+    var cum = BigInt(0)
+    val want = rev.map { case (pk, r) =>
+      cum += r
+      val cls = if (cum * 10 <= tot * 8) "A"
+        else if (cum * 20 <= tot * 19) "B" else "C"
+      (pk, r.toLong, cum.toLong, cls)
+    }.sortBy(_._1)
+    assert(got == want)
+  }
+
+  test("q184: rule confidence/lift match a Scala basket recount") {
+    val got = QueriesCore.q184AssocRules(spark, sf)
+      .select("antecedent", "consequent", "n_ab", "conf_micros",
+        "lift_micros")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val baskets = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").as[(Long, Long)].collect().toSet
+    val nBaskets = baskets.map(_._1).size
+    val sup = baskets.groupBy(_._2).view.mapValues(_.size).toMap
+    val byOrder = baskets.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq.sorted).toMap
+    val pairCount = byOrder.values.toSeq
+      .flatMap { parts =>
+        val freq = parts.filter(sup(_) >= 25)
+        for (a <- freq; b <- freq if a < b) yield (a, b)
+      }
+      .groupBy(identity).view.mapValues(_.size).filter(_._2 >= 3)
+    val want = pairCount.flatMap { case ((a, b), nab) =>
+      Seq((a, b), (b, a)).map { case (ant, cons) =>
+        (ant, cons, nab.toLong,
+          (BigInt(nab) * 1000000 / sup(ant)).toLong,
+          (BigInt(nab) * nBaskets * 1000000 /
+            (BigInt(sup(ant)) * sup(cons))).toLong)
+      }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("q185: median/MAD/outlier flags match a sorted-seq recount") {
+    val got = QueriesCore.q185MadOutliers(spark, sf)
+      .select("c_custkey", "med_cents", "mad_cents", "is_outlier")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    val bal = Tables.customer(spark, sf)
+      .select("c_custkey", "c_acctbal").as[(Long, Double)].collect()
+      .map { case (ck, b) => (ck, cents(b)) }
+    def ordinalMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted; s((s.size + 1) / 2 - 1) // rn == ceil(n/2), 1-based
+    }
+    val med = ordinalMedian(bal.map(_._2).toSeq)
+    val mad = ordinalMedian(bal.map(r => math.abs(r._2 - med)).toSeq)
+    val want = bal.sortBy(_._1).map { case (ck, c) =>
+      (ck, med, mad, math.abs(c - med) > 3 * mad)
+    }.toSeq
+    assert(got == want)
+  }
 }
