@@ -53,6 +53,43 @@ object OraclesCore {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q186: same exact-cents banding, count + count-distinct per QI
+    // class.
+    "q186_l_diversity" ->
+      """WITH b AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CASE WHEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+        |           AS DECIMAL(18,0)) < 0 THEN 'neg'
+        |         WHEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+        |           AS DECIMAL(18,0)) < 500000 THEN 'low'
+        |         ELSE 'high' END AS bal_band
+        |  FROM customer)
+        |SELECT c_nationkey, c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT bal_band) AS BIGINT) AS l_distinct,
+        |  count(DISTINCT bal_band) >= 3 AS is_diverse
+        |FROM b GROUP BY 1, 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // q187: same cents sums; the one division is the identical
+    // floored IEEE expression.
+    "q187_target_encoding" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(18,0)) AS BIGINT) AS x
+        |  FROM customer),
+        |a AS (
+        |  SELECT c_mktsegment, sum(x) AS s, count(*) AS n
+        |  FROM c GROUP BY 1)
+        |SELECT c_custkey, c.c_mktsegment, x AS bal_cents,
+        |  CAST(s - x AS BIGINT) AS loo_sum_cents,
+        |  CAST(n - 1 AS BIGINT) AS n_others,
+        |  CAST(floor(CAST(s - x AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+        |    * 1e4) AS BIGINT) AS loo_mean_micros
+        |FROM c JOIN a ON c.c_mktsegment = a.c_mktsegment
+        |WHERE n > 1 ORDER BY c_custkey""".stripMargin,
+
     // q182: same per-customer rollup, same (metric, custkey)-pinned
     // ntile(5) windows, monetary in exact cents.
     "q182_rfm_segments" ->

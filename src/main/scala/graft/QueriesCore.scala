@@ -3097,7 +3097,61 @@ object QueriesCore {
       .orderBy("c_custkey")
   }
 
+  /** l-diversity audit ([[graft.operators.Quality.lDiversity]]) over
+    * the q129 quasi-identifiers with the account-balance BAND as the
+    * sensitive attribute (banded on exact cents so the category
+    * boundaries are engine-pinned): every (nation, segment) class
+    * needs ≥ 3 distinct bands or it leaks its members' balance tier
+    * even at k-anonymous sizes.
+    */
+  def q186LDiversity(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("c_acctbal").cast("decimal(18,2)") * 100)
+      .cast("decimal(18,0)").cast("bigint")
+    val banded = Tables.customer(s, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"), cents.as("__c"))
+      .withColumn("bal_band",
+        when(col("__c") < 0L, "neg")
+          .when(col("__c") < 500000L, "low")
+          .otherwise("high"))
+    graft.operators.Quality.lDiversity(banded,
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 3)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        col("n_rows").cast("bigint").as("n_rows"),
+        col("l_distinct").cast("bigint").as("l_distinct"),
+        col("is_diverse"))
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  /** Leave-one-out target encoding — the ML-prep categorical encoder
+    * that replaces each row's category with the mean target of the
+    * OTHER rows in its category (self excluded, so the feature can't
+    * leak its own label). Sums in exact cents; the encoded value is
+    * one floored IEEE division at the end (identical bit pattern in
+    * every engine), micros of dollars. One aggregate + one broadcast
+    * join — the category stats are dimension-sized at any fact scale.
+    */
+  def q187TargetEncoding(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("c_acctbal").cast("decimal(18,2)") * 100)
+      .cast("decimal(18,0)").cast("bigint")
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), cents.as("__x"))
+    val agg = c.groupBy("c_mktsegment")
+      .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+    c.join(broadcast(agg), Seq("c_mktsegment"))
+      .filter(col("__n") > 1)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("__x").as("bal_cents"),
+        (col("__s") - col("__x")).cast("bigint").as("loo_sum_cents"),
+        (col("__n") - 1).cast("bigint").as("n_others"),
+        floor((col("__s") - col("__x")).cast("double") /
+          (col("__n") - 1).cast("double") * 1e4)
+          .cast("bigint").as("loo_mean_micros"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q186_l_diversity" -> q186LDiversity _,
+    "q187_target_encoding" -> q187TargetEncoding _,
     "q182_rfm_segments" -> q182RfmSegments _,
     "q183_abc_pareto" -> q183AbcPareto _,
     "q184_assoc_rules" -> q184AssocRules _,

@@ -336,7 +336,50 @@ object QueriesSim {
       .orderBy("vec_id")
   }
 
+  /** Exact k-NN label classification (k=5, squared-L2) — the
+    * embedding-quality eval a labeled corpus runs: every 10th vector
+    * is held out and classified by majority vote of its 5 nearest
+    * training neighbors. Distances in exact integer fixed-point
+    * (floor(x·1e6) components, so Spark and DuckDB compare identical
+    * longs — no float rank boundary exists); neighbor selection on
+    * the bounded-heap [[graft.plans.TopK]] operator (O(n log k), no
+    * per-partition sort); the vote argmax is a struct-min with a
+    * pinned (count desc, label asc) tie-break. The brute-force
+    * distance pass is the deliberate exact baseline of the q40
+    * family — the IVF/PQ indexes (q46/q80/q82) are its scale path.
+    */
+  def q188KnnClassify(s: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding").cast("array<double>"),
+        x => floor(x * 1e6).cast("long")).as("iv"))
+    val test = iv.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+        col("iv").as("qv"))
+    val train = iv.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+      .select(col("vec_id").as("t_id"), col("label").as("t_label"),
+        col("iv").as("tv"))
+    val pairs = test.crossJoin(broadcast(train))
+      .select(col("q_id"), col("true_label"), col("t_id"),
+        col("t_label"),
+        aggregate(zip_with(col("qv"), col("tv"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, e) => acc + e)
+          .as("d2"))
+    graft.plans.TopK.topKPerKey(pairs, Seq("q_id"),
+        Seq(("d2", true), ("t_id", true)), 5)
+      .groupBy("q_id", "true_label", "t_label")
+      .agg(count(lit(1)).as("__n"))
+      .groupBy("q_id", "true_label")
+      .agg(min(struct((-col("__n")).as("nn"), col("t_label").as("l")))
+        .as("__w"))
+      .select(col("q_id").as("vec_id"), col("true_label"),
+        col("__w.l").cast("int").as("pred_label"),
+        (-col("__w.nn")).cast("bigint").as("n_votes"),
+        (col("__w.l") === col("true_label")).as("correct"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q188_knn_classify" -> q188KnnClassify _,
     "q131_vector_stats" -> q131VectorStats _,
     "q40_topk_brute_force" -> q40TopkBruteForce _,
     "q41_embedding_near_dup" -> q41EmbeddingNearDup _,
@@ -379,6 +422,38 @@ object QueriesSim {
     ("q92_ivf_parquet_reuse" -> oraclesBase("q66_ivf_index_reuse"))
 
   private val oraclesBase: Map[String, String] = Map(
+    // q188: identical integer fixed-point distances; top-5 via
+    // row_number over the same (d2, t_id) order; the vote argmax via
+    // the same (n DESC, label) order.
+    "q188_knn_classify" ->
+      """WITH iv AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> CAST(floor(x * 1e6) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT * FROM iv WHERE vec_id % 10 = 0),
+        |t AS (SELECT * FROM iv WHERE vec_id % 10 <> 0),
+        |d AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label,
+        |    t.vec_id AS t_id, t.label AS t_label,
+        |    list_sum(list_transform(range(1, len(q.v) + 1),
+        |      i -> (q.v[i] - t.v[i]) * (q.v[i] - t.v[i]))) AS d2
+        |  FROM q CROSS JOIN t),
+        |top AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY d2, t_id) AS rn
+        |  FROM d),
+        |votes AS (
+        |  SELECT q_id, q_label, t_label, count(*) AS n
+        |  FROM top WHERE rn <= 5 GROUP BY 1, 2, 3),
+        |pick AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY n DESC, t_label) AS rp
+        |  FROM votes)
+        |SELECT q_id AS vec_id, q_label AS true_label,
+        |  t_label AS pred_label, CAST(n AS BIGINT) AS n_votes,
+        |  t_label = q_label AS correct
+        |FROM pick WHERE rp = 1 ORDER BY vec_id""".stripMargin,
     // q131: list_reduce folds left-to-right exactly like Spark's
     // aggregate (the q56 precedent); (0+x1) == x1 in IEEE, so the
     // differing fold seeds agree bit-for-bit.

@@ -910,6 +910,51 @@ object QueriesText {
       .orderBy(col("n_occurrences").desc, col("doc_id"))
   }
 
+  /** Trigram-index substring search (the pg_trgm pattern): LIKE
+    * '%pattern%' answered from an inverted character-trigram index
+    * instead of a corpus scan. The index is the distinct (trigram,
+    * doc) posting set; each pattern probes only its TWO RAREST
+    * trigrams (by document frequency — the pg_trgm planner's trick),
+    * intersects those posting lists, and the surviving candidates get
+    * one exact containment check — a verified-candidate design, so
+    * the result equals the full scan (the oracle IS that full LIKE
+    * scan) while the engine reads two df-bounded posting lists. A
+    * pattern holding a trigram absent from the index short-circuits
+    * to zero candidates for free. At 100 TB the posting probe is the
+    * only viable plan for ad-hoc substring search.
+    */
+  def q189TrigramSearch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val patterns = Seq("window", "customer", "fast merge")
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val postings = docs
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(length(text) - 2, 1)), " +
+          "i -> substring(text, i, 3))")).as("gram"))
+      .distinct()
+      .localCheckpoint() // the index: built once, feeds df stats + probe
+    val dfreq = postings.groupBy("gram").agg(count(lit(1)).as("__df"))
+    val pg = s.createDataFrame(patterns.flatMap { p =>
+      p.sliding(3).filter(_.length == 3).toSeq.distinct.map(g => (p, g))
+    }).toDF("pattern", "gram")
+    val probe = pg.join(dfreq, Seq("gram"), "left")
+      .na.fill(0L, Seq("__df"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("pattern").orderBy(col("__df"), col("gram"))))
+      .filter(col("__rk") <= 2)
+      .withColumn("__need",
+        count(lit(1)).over(Window.partitionBy("pattern")))
+    postings
+      .join(broadcast(probe.select("gram", "pattern", "__need")), "gram")
+      .groupBy("pattern", "doc_id")
+      .agg(countDistinct(col("gram")).as("__g"), max(col("__need")).as("__need"))
+      .filter(col("__g") === col("__need"))
+      .join(docs, "doc_id")
+      .filter(col("text").contains(col("pattern")))
+      .select(col("pattern"), col("doc_id"))
+      .orderBy("pattern", "doc_id")
+  }
+
   def q125SparseCosine(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.sparseCosinePairs(Tables.documents(s, dir),
         "doc_id", "text", shingleLen = 3, maxDf = 20, minCos = 0.5)
@@ -981,6 +1026,7 @@ object QueriesText {
     "q153_setsim_join" -> q153SetsimJoin _,
     "q156_inverted_index" -> q156InvertedIndex _,
     "q176_phrase_search" -> q176PhraseSearch _,
+    "q189_trigram_search" -> q189TrigramSearch _,
     "q126_hybrid_retrieval" -> q126HybridRetrieval _,
     "q106_chunking" -> q106Chunking _,
     "q107_pmi_collocations" -> q107PmiCollocations _,
@@ -1228,6 +1274,16 @@ object QueriesText {
 
       // q176: positional postings via a generated position index,
       // the same (doc, pos+1) adjacency join.
+      // q189: the oracle is the plan the index REPLACES — the full
+      // LIKE scan; verified-candidate equality is the whole claim.
+      "q189_trigram_search" ->
+        """SELECT p.pattern, d.doc_id
+          |FROM (VALUES ('window'), ('customer'), ('fast merge'))
+          |  AS p(pattern)
+          |CROSS JOIN documents d
+          |WHERE contains(d.text, p.pattern)
+          |ORDER BY pattern, doc_id""".stripMargin,
+
       "q176_phrase_search" ->
         s"""WITH toks AS (
            |  SELECT doc_id, list_filter(string_split($norm, ' '),

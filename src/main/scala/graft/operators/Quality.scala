@@ -83,6 +83,26 @@ object Quality {
           .as("risk_frac"))
   }
 
+  /** l-diversity audit — k-anonymity's companion gate: a QI class
+    * whose rows all share one sensitive value leaks that value even
+    * when the class is large, so every equivalence class must carry
+    * at least `l` DISTINCT sensitive values. Output is per-class
+    * (unlike [[kAnonymity]]'s one-row summary): the QI tuple, class
+    * size, distinct-sensitive count, and the verdict. One aggregate
+    * pass (count + count-distinct per class), map-side combined; the
+    * sensitive column never leaves its class row.
+    */
+  def lDiversity(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, l: Int): DataFrame = {
+    require(qiCols.nonEmpty && l >= 2, s"qiCols=$qiCols l=$l")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(sensitiveCol)).as("l_distinct"))
+      .select(qiCols.map(col) ++ Seq(
+        col("n_rows"), col("l_distinct"),
+        (col("l_distinct") >= l).as("is_diverse")): _*)
+  }
+
   /** Referential-integrity constraint: values of `childCol` must exist
     * in `parentCol`. One anti-join (broadcast when the parent key set
     * is dimension-sized); metric = orphan row count.

@@ -815,4 +815,80 @@ class Round12QueriesSpec extends AnyFunSuite {
     }.toSeq
     assert(got == want)
   }
+
+  test("q186: l-diversity flags match a Scala distinct-band recount") {
+    val got = QueriesCore.q186LDiversity(spark, sf)
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+        col("n_rows"), col("l_distinct"), col("is_diverse"))
+      .as[(Long, String, Long, Long, Boolean)].collect().toSet
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+        col("c_acctbal")).as[(Long, String, Double)].collect()
+    val want = cust.groupBy(r => (r._1, r._2)).map { case ((nk, seg), rows) =>
+      val bands = rows.map { r =>
+        val c = cents(r._3)
+        if (c < 0) "neg" else if (c < 500000) "low" else "high"
+      }.toSet
+      (nk, seg, rows.size.toLong, bands.size.toLong, bands.size >= 3)
+    }.toSet
+    assert(got == want)
+  }
+
+  test("q187: LOO encoding excludes exactly the row's own target") {
+    val got = QueriesCore.q187TargetEncoding(spark, sf)
+      .select("c_custkey", "loo_sum_cents", "n_others", "loo_mean_micros")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val cust = Tables.customer(spark, sf)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+      .as[(Long, String, Double)].collect()
+    val bySeg = cust.groupBy(_._2).view
+      .mapValues(rs => (rs.map(r => cents(r._3)).sum, rs.size)).toMap
+    val want = cust.filter(r => bySeg(r._2)._2 > 1).sortBy(_._1)
+      .map { case (ck, seg, bal) =>
+        val (s, n) = bySeg(seg)
+        val loo = s - cents(bal)
+        (ck, loo, (n - 1).toLong,
+          math.floor(loo.toDouble / (n - 1).toDouble * 1e4).toLong)
+      }.toSeq
+    assert(got == want)
+  }
+
+  test("q188: kNN vote matches an all-pairs BigInt distance recount") {
+    val got = QueriesSim.q188KnnClassify(spark, sf)
+      .select(col("vec_id"), col("pred_label").cast("long"),
+        col("correct"))
+      .as[(Long, Long, Boolean)].collect().toSeq
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Long, Seq[Double])].collect()
+      .map { case (id, l, v) =>
+        (id, l, v.map(x => math.floor(x * 1e6).toLong))
+      }
+    val (test0, train0) = vecs.partition(_._1 % 10 == 0)
+    val want = test0.sortBy(_._1).map { case (qid, ql, qv) =>
+      val top = train0.map { case (tid, tl, tv) =>
+        val d2 = qv.zip(tv).map { case (a, b) =>
+          BigInt(a - b) * BigInt(a - b) }.sum
+        (d2, tid, tl)
+      }.sortBy(t => (t._1, t._2)).take(5)
+      val (bestLabel, n) = top.groupBy(_._3).view.mapValues(_.size)
+        .toSeq.sortBy { case (l, c) => (-c, l) }.head
+      (qid, bestLabel, bestLabel == ql, n)
+    }
+    assert(got == want.map(w => (w._1, w._2, w._3)).toSeq)
+  }
+
+  test("q189: trigram-probed search equals the naive contains scan") {
+    val got = QueriesText.q189TrigramSearch(spark, sf)
+      .as[(String, Long)].collect().toSet
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val want = (for {
+      p <- Seq("window", "customer", "fast merge")
+      (id, t) <- docs if t.contains(p)
+    } yield (p, id)).toSet
+    assert(got == want)
+    assert(got.nonEmpty) // patterns chosen to hit the synthetic corpus
+  }
 }
