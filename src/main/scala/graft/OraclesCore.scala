@@ -53,6 +53,44 @@ object OraclesCore {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q191: the identical union + ignore-nulls-last window — same
+    // (t, src, vseq) tie pinning, same delete semantics.
+    "q191_pit_join" ->
+      """WITH v AS (
+        |  SELECT o_custkey AS key, epoch_us(o_orderdate) AS t,
+        |    0 AS src, o_orderkey AS vseq,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS pay,
+        |    CAST(NULL AS BIGINT) AS l_orderkey,
+        |    CAST(NULL AS INTEGER) AS l_linenumber
+        |  FROM orders),
+        |f AS (
+        |  SELECT o.o_custkey AS key, epoch_us(l.l_shipdate) AS t,
+        |    1 AS src, CAST(NULL AS BIGINT) AS vseq,
+        |    CAST(NULL AS VARCHAR) AS op,
+        |    CAST(NULL AS DECIMAL(18,2)) AS pay,
+        |    l.l_orderkey, l.l_linenumber
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |u AS (SELECT * FROM v UNION ALL SELECT * FROM f),
+        |wn AS (
+        |  SELECT *,
+        |    last_value(op IGNORE NULLS) OVER w AS lop,
+        |    last_value(pay IGNORE NULLS) OVER w AS lpay,
+        |    last_value(CASE WHEN src = 0 THEN t END IGNORE NULLS)
+        |      OVER w AS lt,
+        |    last_value(vseq IGNORE NULLS) OVER w AS lseq
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY key
+        |    ORDER BY t, src, coalesce(vseq, 0)
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT l_orderkey, l_linenumber, key, t AS ship_us,
+        |  coalesce(lop = 'U', false) AS has_state,
+        |  CASE WHEN lop = 'U' THEN lt END AS state_from_us,
+        |  CASE WHEN lop = 'U' THEN lseq END AS state_seq,
+        |  CAST(CASE WHEN lop = 'U' THEN lpay END AS DOUBLE) AS payload
+        |FROM wn WHERE src = 1
+        |ORDER BY l_orderkey, l_linenumber, ship_us""".stripMargin,
+
     // q186: same exact-cents banding, count + count-distinct per QI
     // class.
     "q186_l_diversity" ->

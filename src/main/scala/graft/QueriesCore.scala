@@ -3149,7 +3149,68 @@ object QueriesCore {
       .orderBy("c_custkey")
   }
 
+  /** Point-in-time (PIT) join — the feature-store training-data rule:
+    * each fact may only see the dimension version that was live AT ITS
+    * OWN timestamp (no leakage from the future), including delete
+    * semantics (a key whose latest change before the fact is a DELETE
+    * has NO live state). Versions: the customer payload as of each
+    * order (upserts; every 7th change is a delete). Facts: that
+    * customer's lineitems at ship time. Scale shape: NO interval or
+    * inequality join anywhere — versions and facts UNION into one
+    * stream, one window pass per key carries the last-version state
+    * forward (ignore-nulls last over an unbounded-preceding frame),
+    * ties pinned by (t, src, version seq) with versions sorting before
+    * same-instant facts. The classic backward as-of at CDC semantics,
+    * one shuffle total.
+    */
+  def q191PitJoin(s: SparkSession, dir: String): DataFrame = {
+    val versions = Tables.orders(s, dir).select(
+      col("o_custkey").as("key"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
+      lit(0).as("src"),
+      col("o_orderkey").as("__vseq"),
+      when(pmod(col("o_orderkey"), lit(7)) === 0, lit("D"))
+        .otherwise(lit("U")).as("__op"),
+      col("o_totalprice").cast("decimal(18,2)").as("__pay"),
+      lit(null).cast("bigint").as("l_orderkey"),
+      lit(null).cast("int").as("l_linenumber"))
+    val facts = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey")), // the fact's own
+        col("l_orderkey") === col("o_orderkey"))      // key lookup
+      .select(col("o_custkey").as("key"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("t"),
+        lit(1).as("src"),
+        lit(null).cast("bigint").as("__vseq"),
+        lit(null).cast("string").as("__op"),
+        lit(null).cast("decimal(18,2)").as("__pay"),
+        col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy("key")
+      .orderBy(col("t"), col("src"), coalesce(col("__vseq"), lit(0L)))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    versions.unionByName(facts)
+      .withColumn("__lop", last(col("__op"), ignoreNulls = true).over(w))
+      .withColumn("__lpay", last(col("__pay"), ignoreNulls = true).over(w))
+      .withColumn("__lt", last(when(col("src") === 0, col("t")),
+        ignoreNulls = true).over(w))
+      .withColumn("__lseq", last(col("__vseq"), ignoreNulls = true).over(w))
+      .filter(col("src") === 1)
+      .select(col("l_orderkey"), col("l_linenumber"), col("key"),
+        col("t").as("ship_us"),
+        coalesce(col("__lop") === "U", lit(false)).as("has_state"),
+        when(col("__lop") === "U", col("__lt")).cast("bigint")
+          .as("state_from_us"),
+        when(col("__lop") === "U", col("__lseq")).cast("bigint")
+          .as("state_seq"),
+        when(col("__lop") === "U", col("__lpay")).cast("double")
+          .as("payload"))
+      // (orderkey, linenumber) is NOT unique in this feed — pin the
+      // full order so the output is deterministic row-for-row
+      .orderBy("l_orderkey", "l_linenumber", "ship_us")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q191_pit_join" -> q191PitJoin _,
     "q186_l_diversity" -> q186LDiversity _,
     "q187_target_encoding" -> q187TargetEncoding _,
     "q182_rfm_segments" -> q182RfmSegments _,

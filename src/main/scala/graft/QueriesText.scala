@@ -955,6 +955,43 @@ object QueriesText {
       .orderBy("pattern", "doc_id")
   }
 
+  /** Dedup-pipeline quality eval — the recall audit every production
+    * near-dup pipeline owes its training set: the banded MinHash path
+    * (q55's portable operator) scored against the exact ground truth
+    * from the PREFIX-FILTERED set-similarity join (q153's operator —
+    * the scale-right exact path, so the eval stays runnable at corpus
+    * size; no all-pairs anywhere). One confusion row: tp/fp/fn and
+    * floored-micros precision/recall via integral DIV. Both paths
+    * verify at Jaccard ≥ 0.8, so the number under audit is RECALL —
+    * true pairs the 4-band LSH never surfaced as candidates. The eval
+    * adds only two pair-set scans, one intersect, and three 1-row
+    * aggregates on top of the audited operators themselves.
+    */
+  def q190DedupEval(s: SparkSession, dir: String): DataFrame = {
+    val truth = Dedup.prefixJaccardJoin(Tables.documents(s, dir),
+        "doc_id", "text", shingleLen = 3, tauNum = 4, tauDen = 5)
+      .select("id_a", "id_b").localCheckpoint()
+    val found = Dedup.minhashNearDupsPortable(Tables.documents(s, dir),
+        "doc_id", "text", shingleLen = 3, numHashes = 16, bands = 4,
+        threshold = 0.8)
+      .select("id_a", "id_b").localCheckpoint()
+    val tp = truth.intersect(found)
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .crossJoin(tp.agg(count(lit(1)).as("tp")))
+      .select(col("n_truth").cast("bigint").as("n_truth"),
+        col("n_found").cast("bigint").as("n_found"),
+        col("tp").cast("bigint").as("tp"),
+        (col("n_found") - col("tp")).cast("bigint").as("fp"),
+        (col("n_truth") - col("tp")).cast("bigint").as("fn"),
+        when(col("n_found") === 0, 0L)
+          .otherwise(expr("(tp * 1000000L) DIV n_found"))
+          .cast("bigint").as("precision_micros"),
+        when(col("n_truth") === 0, 0L)
+          .otherwise(expr("(tp * 1000000L) DIV n_truth"))
+          .cast("bigint").as("recall_micros"))
+  }
+
   def q125SparseCosine(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.sparseCosinePairs(Tables.documents(s, dir),
         "doc_id", "text", shingleLen = 3, maxDf = 20, minCos = 0.5)
@@ -1027,6 +1064,7 @@ object QueriesText {
     "q156_inverted_index" -> q156InvertedIndex _,
     "q176_phrase_search" -> q176PhraseSearch _,
     "q189_trigram_search" -> q189TrigramSearch _,
+    "q190_dedup_eval" -> q190DedupEval _,
     "q126_hybrid_retrieval" -> q126HybridRetrieval _,
     "q106_chunking" -> q106Chunking _,
     "q107_pmi_collocations" -> q107PmiCollocations _,
@@ -2329,8 +2367,36 @@ object QueriesText {
            |    4) AS flesch
            |FROM f ORDER BY doc_id""".stripMargin,
     )
+    // q190 composes the q153 (truth) and q55 (found) oracles verbatim
+    // as derived-table CTEs — the eval's oracle IS the two audited
+    // oracles plus set arithmetic, so it can't drift from them.
+    val dedupEval = {
+      val truthSql = base("q153_setsim_join")
+        .stripSuffix("ORDER BY id_a, id_b")
+      val foundSql = base("q55_minhash_portable")
+        .stripSuffix(" ORDER BY id_a, id_b")
+      s"""WITH truth AS (SELECT id_a, id_b FROM ($truthSql) tq),
+         |found AS (SELECT id_a, id_b FROM ($foundSql) fq),
+         |m AS (SELECT
+         |  (SELECT count(*) FROM truth) AS nt,
+         |  (SELECT count(*) FROM found) AS nf,
+         |  (SELECT count(*) FROM (SELECT * FROM truth INTERSECT
+         |     SELECT * FROM found) x) AS tp)
+         |SELECT CAST(nt AS BIGINT) AS n_truth,
+         |  CAST(nf AS BIGINT) AS n_found, CAST(tp AS BIGINT) AS tp,
+         |  CAST(nf - tp AS BIGINT) AS fp,
+         |  CAST(nt - tp AS BIGINT) AS fn,
+         |  CAST(CASE WHEN nf = 0 THEN 0
+         |    ELSE (tp * 1000000) // nf END AS BIGINT)
+         |    AS precision_micros,
+         |  CAST(CASE WHEN nt = 0 THEN 0
+         |    ELSE (tp * 1000000) // nt END AS BIGINT)
+         |    AS recall_micros
+         |FROM m""".stripMargin
+    }
     // q86 is q67's contract delivered by the streaming path — the
     // union-of-micro-batch pair sets must hash-match the SAME oracle
-    base + ("q86_stream_dedup" -> base("q67_minhash_incremental"))
+    base + ("q86_stream_dedup" -> base("q67_minhash_incremental")) +
+      ("q190_dedup_eval" -> dedupEval)
   }
 }

@@ -879,6 +879,56 @@ class Round12QueriesSpec extends AnyFunSuite {
     assert(got == want.map(w => (w._1, w._2, w._3)).toSeq)
   }
 
+  test("q190: confusion row equals set arithmetic over q153/q55 outputs") {
+    val truth = QueriesText.q153SetsimJoin(spark, sf)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val found = QueriesText.q55MinhashPortable(spark, sf)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val tp = (truth & found).size.toLong
+    val got = QueriesText.q190DedupEval(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    val prec = if (found.isEmpty) 0L else tp * 1000000L / found.size
+    val rec = if (truth.isEmpty) 0L else tp * 1000000L / truth.size
+    assert(got == ((truth.size.toLong, found.size.toLong, tp,
+      found.size - tp, truth.size - tp, prec, rec)))
+    // both paths verify at exact jaccard >= 0.8 -> found ⊆ truth
+    assert((found -- truth).isEmpty)
+  }
+
+  test("q191: PIT state matches a per-fact version scan with deletes") {
+    val got = QueriesCore.q191PitJoin(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long"),
+        col("ship_us"), col("has_state"), col("state_seq"),
+        col("payload"))
+      .as[(Long, Long, Long, Boolean, Option[Long], Option[Double])]
+      .collect().toSeq.sorted
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")),
+        col("o_totalprice")).as[(Long, Long, Long, Double)].collect()
+    val byCust = orders.groupBy(_._2)
+    val custOf = orders.map(o => o._1 -> o._2).toMap
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long"),
+        unix_micros(col("l_shipdate").cast("timestamp")))
+      .as[(Long, Long, Long)].collect()
+    val want: Seq[(Long, Long, Long, Boolean, Option[Long], Option[Double])] =
+      items.map { case (ok, ln, ft) =>
+        val vs = byCust(custOf(ok)).filter(_._3 <= ft)
+        val none = (ok, ln, ft, false,
+          None: Option[Long], None: Option[Double])
+        if (vs.isEmpty) none
+        else {
+          val v = vs.maxBy(o => (o._3, o._1)) // (t, vseq) — window order
+          if (v._1 % 7 == 0) none // latest change is a delete
+          else (ok, ln, ft, true, Some(v._1),
+            Some(BigDecimal(v._4).setScale(2,
+              BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }
+      }.toSeq.sorted
+    assert(got == want)
+  }
+
   test("q189: trigram-probed search equals the naive contains scan") {
     val got = QueriesText.q189TrigramSearch(spark, sf)
       .as[(String, Long)].collect().toSet
