@@ -53,6 +53,107 @@ object OraclesCore {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q192: identical md5-derived registers; the estimate is the same
+    // pinned literal-product-over-integer IEEE division.
+    "q192_hll_registers" ->
+      """WITH h AS (
+        |  SELECT user_id,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |      ::BIGINT AS hv
+        |  FROM events),
+        |r AS (
+        |  SELECT hv % 64 AS bucket,
+        |    CASE WHEN hv // 64 = 0 THEN 27
+        |         ELSE 26 - CAST(floor(log2(hv // 64)) AS BIGINT)
+        |    END AS rho
+        |  FROM h),
+        |regs AS (SELECT bucket, max(rho) AS register FROM r GROUP BY 1),
+        |spine AS (SELECT unnest(range(0, 64)) AS bucket),
+        |f AS (
+        |  SELECT s.bucket, coalesce(regs.register, 0) AS register
+        |  FROM spine s LEFT JOIN regs ON s.bucket = regs.bucket),
+        |summ AS (
+        |  SELECT sum(1::BIGINT << CAST(27 - register AS INTEGER))
+        |      AS sum_pow,
+        |    sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS n_zero
+        |  FROM f),
+        |ex AS (SELECT count(DISTINCT user_id) AS n_exact FROM events)
+        |SELECT CAST(f.bucket AS INTEGER) AS bucket,
+        |  CAST(f.register AS BIGINT) AS register,
+        |  CAST(n_exact AS BIGINT) AS n_exact,
+        |  CAST(sum_pow AS BIGINT) AS sum_pow,
+        |  CAST(n_zero AS BIGINT) AS n_zero,
+        |  CAST(CASE WHEN ((0.709::DOUBLE * 4096.0::DOUBLE)
+        |      * 134217728.0::DOUBLE) / CAST(sum_pow AS DOUBLE) <= 160.0
+        |      AND n_zero > 0
+        |    THEN floor(64.0::DOUBLE
+        |      * ln(64.0::DOUBLE / CAST(n_zero AS DOUBLE))
+        |      * 1000000.0::DOUBLE)
+        |    ELSE floor((((0.709::DOUBLE * 4096.0::DOUBLE)
+        |      * 134217728.0::DOUBLE) / CAST(sum_pow AS DOUBLE))
+        |      * 1000000.0::DOUBLE)
+        |  END AS BIGINT) AS est_micros
+        |FROM f CROSS JOIN summ CROSS JOIN ex
+        |ORDER BY bucket""".stripMargin,
+
+    // q193: the same (t, seq) argmax per (customer, month) via a
+    // row_number replay, then the month rollup.
+    "q193_semi_additive" ->
+      """WITH o AS (
+        |  SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS month,
+        |    epoch_us(o_orderdate) AS t, o_orderkey AS seq,
+        |    CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(18,0)) AS BIGINT) AS c
+        |  FROM orders),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey, month
+        |    ORDER BY t DESC, seq DESC) AS rn
+        |  FROM o)
+        |SELECT month, CAST(count(*) AS BIGINT) AS n_accounts,
+        |  CAST(sum(c) AS BIGINT) AS eom_balance_cents
+        |FROM r WHERE rn = 1 GROUP BY month ORDER BY month""".stripMargin,
+
+    // q194: same per-day net deltas, same ROWS running sum.
+    "q194_concurrency_sweep" ->
+      """WITH st AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS ns
+        |  FROM orders GROUP BY 1),
+        |en AS (
+        |  SELECT day, count(*) AS ne FROM (
+        |    SELECT e.l_orderkey,
+        |      greatest(e.sd, CAST(o.o_orderdate AS DATE)) AS day
+        |    FROM (SELECT l_orderkey, CAST(max(l_shipdate) AS DATE) AS sd
+        |          FROM lineitem GROUP BY 1) e
+        |    JOIN orders o ON e.l_orderkey = o.o_orderkey) x
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(st.day, en.day) AS day,
+        |    coalesce(ns, 0) AS ns, coalesce(ne, 0) AS ne
+        |  FROM st FULL OUTER JOIN en ON st.day = en.day)
+        |SELECT CAST(day AS TIMESTAMP) AS day,
+        |  CAST(ns AS BIGINT) AS n_starts, CAST(ne AS BIGINT) AS n_ends,
+        |  CAST(sum(ns - ne) OVER (ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open_eod
+        |FROM j ORDER BY day""".stripMargin,
+
+    // q195: same (value, weight) rollup and cross-multiplied cut.
+    "q195_weighted_median" ->
+      """WITH g AS (
+        |  SELECT CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(18,0)) AS BIGINT) AS price_cents,
+        |    sum(CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT)) AS w
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT price_cents,
+        |    sum(w) OVER (ORDER BY price_cents ROWS UNBOUNDED PRECEDING)
+        |      AS cum,
+        |    sum(w) OVER () AS tot
+        |  FROM g)
+        |SELECT price_cents, CAST(cum AS BIGINT) AS cum_weight,
+        |  CAST(tot AS BIGINT) AS total_weight
+        |FROM c WHERE cum * 2 >= tot
+        |ORDER BY price_cents LIMIT 1""".stripMargin,
+
     // q191: the identical union + ignore-nulls-last window — same
     // (t, src, vseq) tie pinning, same delete semantics.
     "q191_pit_join" ->

@@ -3209,7 +3209,149 @@ object QueriesCore {
       .orderBy("l_orderkey", "l_linenumber", "ship_us")
   }
 
+  /** Engine-portable HyperLogLog (m=64) — the approx-distinct sketch
+    * promoted from rows-only (q100's builtin) to ORACLE-GATED: every
+    * register value is exact integer arithmetic from md5-derived
+    * 32-bit hashes (6-bit bucket, rho = 26 − ⌊log2(rest)⌋ — log2 of
+    * an exact integer < 2⁵³ floors identically in every IEEE engine),
+    * so DuckDB rebuilds the sketch bit-for-bit. The harmonic-mean sum
+    * is cleared to integers (Σ 2^(27−reg)); only the DISPLAY estimate
+    * divides, as one pinned literal-over-integer IEEE expression. The
+    * exact distinct count rides along for the error audit. Scale
+    * shape: the sketch is one groupBy over (bucket) — 64 cells of
+    * state at any corpus size, mergeable across partitions by max.
+    */
+  def q192HllRegisters(s: SparkSession, dir: String): DataFrame = {
+    val m = 64
+    val withH = Tables.events(s, dir)
+      .select(col("user_id"),
+        graft.operators.Scale.md5Prefix32(col("user_id")).as("__h"))
+    val regs = withH
+      .select(pmod(col("__h"), lit(m)).cast("int").as("bucket"),
+        expr("CAST(__h DIV 64 AS BIGINT)").as("__rest"))
+      .select(col("bucket"),
+        when(col("__rest") === 0L, lit(27L))
+          .otherwise(lit(26L) - floor(log2(col("__rest"))))
+          .as("__rho"))
+      .groupBy("bucket").agg(max(col("__rho")).as("register"))
+    val spine = s.range(0, m).select(col("id").cast("int").as("bucket"))
+    val full = spine.join(regs, Seq("bucket"), "left")
+      .na.fill(0L, Seq("register"))
+    val summary = full
+      .agg(sum(expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(27 - register AS INT))"))
+        .as("sum_pow"),
+        sum(when(col("register") === 0L, 1L).otherwise(0L)).as("n_zero"))
+      .crossJoin(withH.agg(countDistinct(col("user_id")).as("n_exact")))
+    // Flajolet's small-range correction: when the raw harmonic-mean
+    // estimate is ≤ 2.5m and empty registers remain, linear counting
+    // m·ln(m/V) is the estimator — both branches are single pinned
+    // IEEE expressions over exact integers, so engines agree bitwise.
+    val raw = ((lit(0.709) * 4096.0) * 134217728.0) /
+      col("sum_pow").cast("double")
+    full.crossJoin(broadcast(summary))
+      .select(col("bucket"), col("register").cast("bigint").as("register"),
+        col("n_exact").cast("bigint").as("n_exact"),
+        col("sum_pow").cast("bigint").as("sum_pow"),
+        col("n_zero").cast("bigint").as("n_zero"),
+        when(raw <= 160.0 && col("n_zero") > 0,
+          floor(lit(64.0) * log(lit(64.0) / col("n_zero").cast("double"))
+            * 1000000.0))
+          .otherwise(floor(raw * 1000000.0))
+          .cast("bigint").as("est_micros"))
+      .orderBy("bucket")
+  }
+
+  /** Semi-additive measure rollup — the warehouse rule for balances:
+    * sum across ACCOUNTS, but take the LAST value across TIME. Per
+    * (customer, month) the latest order's amount wins — one
+    * `max(struct(t, seq, value))` aggregate, no window over the fact
+    * stream — then months sum the |customers × months| rollup.
+    */
+  def q193SemiAdditive(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_custkey"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("__t"),
+      col("o_orderkey").as("__seq"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("bigint").as("__c"))
+    o.groupBy("o_custkey", "month")
+      .agg(max(struct(col("__t"), col("__seq"), col("__c"))).as("__last"))
+      .groupBy("month")
+      .agg(count(lit(1)).cast("bigint").as("n_accounts"),
+        sum(col("__last.__c")).cast("bigint").as("eom_balance_cents"))
+      .orderBy("month")
+  }
+
+  /** Interval concurrency sweep — how many orders are OPEN (ordered,
+    * not yet fully shipped) at the end of each day, from the +1/−1
+    * boundary trick: starts and ends aggregate to per-day net deltas
+    * FIRST (one shuffle over the facts), then one running sum over
+    * the |days|-row net series — never a global window over raw
+    * boundaries, and no interval self-join at all. Half-open [start,
+    * end): an order ending the day it starts contributes zero to that
+    * day's close; an order with NO ship events yet has no end
+    * boundary and stays open — the "not fully shipped" reading.
+    */
+  def q194ConcurrencySweep(s: SparkSession, dir: String): DataFrame = {
+    val starts = Tables.orders(s, dir)
+      .select(col("o_orderdate").cast("date").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("__ns"))
+    // the synthetic ship dates are independent of order dates, so an
+    // order can "finish shipping" before it exists — clamp the end
+    // boundary to the start so the sweep's invariant (end ≥ start)
+    // holds; a clamped order opens and closes the same day (net zero)
+    val ends = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate").cast("date")).as("__sd"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("__od")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(greatest(col("__sd"), col("__od")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("__ne"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    starts.join(ends, Seq("day"), "full_outer")
+      .na.fill(0L, Seq("__ns", "__ne"))
+      .withColumn("open_eod", sum(col("__ns") - col("__ne")).over(w))
+      .select(col("day").cast("timestamp_ntz").as("day"),
+        col("__ns").cast("bigint").as("n_starts"),
+        col("__ne").cast("bigint").as("n_ends"),
+        col("open_eod").cast("bigint").as("open_eod"))
+      .orderBy("day")
+  }
+
+  /** Exact weighted median — smallest price with cumulative weight
+    * covering half the total, the 2·cum ≥ tot verdict cross-multiplied
+    * (no division, no float boundary). Prices pre-aggregate to
+    * (value, weight) cells before the ordinal pass — the running sum
+    * orders the distinct-value rollup, not the fact stream.
+    */
+  def q195WeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.lineitem(s, dir)
+      .groupBy(((col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("bigint")).as("price_cents"))
+      .agg(sum(col("l_quantity").cast("decimal(18,0)").cast("bigint"))
+        .as("__w"))
+    val w = Window.orderBy("price_cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = Window.partitionBy(lit(1))
+    g.withColumn("__cum", sum(col("__w")).over(w))
+      .withColumn("__tot", sum(col("__w")).over(t))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .orderBy("price_cents")
+      .limit(1)
+      .select(col("price_cents"),
+        col("__cum").cast("bigint").as("cum_weight"),
+        col("__tot").cast("bigint").as("total_weight"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q192_hll_registers" -> q192HllRegisters _,
+    "q193_semi_additive" -> q193SemiAdditive _,
+    "q194_concurrency_sweep" -> q194ConcurrencySweep _,
+    "q195_weighted_median" -> q195WeightedMedian _,
     "q191_pit_join" -> q191PitJoin _,
     "q186_l_diversity" -> q186LDiversity _,
     "q187_target_encoding" -> q187TargetEncoding _,

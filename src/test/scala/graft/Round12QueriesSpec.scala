@@ -929,6 +929,91 @@ class Round12QueriesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q192: HLL registers match a MessageDigest recount; estimate sane") {
+    val got = QueriesCore.q192HllRegisters(spark, sf)
+      .select("bucket", "register", "n_exact", "est_micros")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(got.size == 64)
+    val users = Tables.events(spark, sf).select("user_id")
+      .as[Long].collect()
+    def h32(k: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(k.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val regs = Array.fill(64)(0L)
+    users.foreach { u =>
+      val h = h32(u); val b = (h % 64).toInt; val rest = h / 64
+      val rho = if (rest == 0) 27L
+        else 26L - (63 - java.lang.Long.numberOfLeadingZeros(rest))
+      if (rho > regs(b)) regs(b) = rho
+    }
+    assert(got.map(r => (r._1, r._2)) == regs.indices.map(i => (i, regs(i))))
+    val nExact = users.toSet.size.toLong
+    assert(got.head._3 == nExact)
+    // m=64 HLL: expect the estimate within ~40% of truth on this corpus
+    val est = got.head._4.toDouble / 1e6
+    assert(est > nExact * 0.6 && est < nExact * 1.4)
+  }
+
+  test("q193: semi-additive rollup matches a last-order-per-month scan") {
+    val got = QueriesCore.q193SemiAdditive(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), date_format(col("o_orderdate"), "yyyy-MM"),
+        unix_micros(col("o_orderdate").cast("timestamp")),
+        col("o_orderkey"), col("o_totalprice"))
+      .as[(Long, String, Long, Long, Double)].collect()
+    val want = orders.groupBy(o => (o._1, o._2)).toSeq
+      .map { case ((_, month), rows) =>
+        month -> cents(rows.maxBy(r => (r._3, r._4))._5)
+      }
+      .groupBy(_._1).toSeq.map { case (m, vs) =>
+        (m, vs.size.toLong, vs.map(_._2).sum)
+      }.sortBy(_._1)
+    assert(got == want)
+  }
+
+  test("q194: open-order counts equal a direct per-day stabbing count") {
+    val got = QueriesCore.q194ConcurrencySweep(spark, sf)
+      .select(col("day").cast("date").cast("string"), col("open_eod"))
+      .as[(String, Long)].collect().toMap
+    val starts = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").cast("string"))
+      .as[(Long, String)].collect().toMap
+    val ends = Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey").agg(max(col("l_shipdate")).as("e"))
+      .select(col("l_orderkey"), col("e").cast("date").cast("string"))
+      .as[(Long, String)].collect().toMap
+      .map { case (ok, ed) => // end clamped to >= start (query rule)
+        ok -> (if (ed < starts(ok)) starts(ok) else ed)
+      }
+    // half-open [start, end): open at EOD d  <=>  start <= d < end;
+    // an order with NO ship events yet has no end — open from start on
+    got.foreach { case (d, open) =>
+      val want = starts.count { case (ok, sd) =>
+        sd <= d && ends.get(ok).forall(_ > d)
+      }
+      assert(open == want.toLong, s"day $d")
+    }
+  }
+
+  test("q195: weighted median matches a sorted accumulation scan") {
+    val got = QueriesCore.q195WeightedMedian(spark, sf)
+      .as[(Long, Long, Long)].collect().head
+    val rows = Tables.lineitem(spark, sf)
+      .select("l_extendedprice", "l_quantity")
+      .as[(Double, Double)].collect()
+      .map(r => (cents(r._1), BigDecimal(r._2).toLongExact))
+    val byPrice = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .toSeq.sortBy(_._1)
+    val tot = byPrice.map(_._2).sum
+    var cum = 0L
+    val med = byPrice.find { case (_, w) => cum += w; cum * 2 >= tot }.get
+    assert(got == ((med._1, cum, tot)))
+  }
+
   test("q189: trigram-probed search equals the naive contains scan") {
     val got = QueriesText.q189TrigramSearch(spark, sf)
       .as[(String, Long)].collect().toSet
