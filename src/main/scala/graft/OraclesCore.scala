@@ -53,6 +53,57 @@ object OraclesCore {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q196: same md5-seeded exact-double uniform, same one-expression
+    // inverse-CDF Laplace.
+    "q196_dp_counts" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, count(*) AS n FROM customer GROUP BY 1),
+        |u AS (
+        |  SELECT c_nationkey, n,
+        |    (('0x' || substr(md5('dp:' || CAST(c_nationkey AS VARCHAR)),
+        |      1, 8))::BIGINT::DOUBLE + 0.5) / 4294967296.0::DOUBLE
+        |      AS uv
+        |  FROM g)
+        |SELECT c_nationkey, CAST(n AS BIGINT) AS true_count,
+        |  CAST(floor((CAST(n AS DOUBLE) + (-sign(uv - 0.5::DOUBLE))
+        |    * ln(1.0::DOUBLE - abs(uv - 0.5::DOUBLE) * 2.0::DOUBLE))
+        |    * 1000000.0::DOUBLE) AS BIGINT) AS noisy_micros
+        |FROM u ORDER BY c_nationkey""".stripMargin,
+
+    // q197: same md5 bucket mapping; only colliding buckets survive.
+    "q197_feature_hashing" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |    x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, count(*) AS tf FROM toks GROUP BY 1),
+        |b AS (
+        |  SELECT term, tf,
+        |    ('0x' || substr(md5(term), 1, 8))::BIGINT % 64 AS bucket
+        |  FROM tf)
+        |SELECT CAST(bucket AS INTEGER) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum(tf) AS BIGINT) AS total_tf,
+        |  min(term) AS first_term
+        |FROM b GROUP BY bucket HAVING count(*) >= 2
+        |ORDER BY bucket""".stripMargin,
+
+    // q198: digit from the decimal string; reference via the same
+    // ln-ratio expression.
+    "q198_benford_audit" ->
+      """WITH d AS (
+        |  SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |    AS VARCHAR), 1, 1) AS digit, count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT sum(n) AS tot FROM d)
+        |SELECT digit, CAST(n AS BIGINT) AS n,
+        |  CAST((n * 1000000) // tot AS BIGINT) AS share_micros,
+        |  CAST(floor(ln(1.0::DOUBLE + 1.0::DOUBLE
+        |    / CAST(digit AS DOUBLE)) / ln(10.0::DOUBLE)
+        |    * 1000000.0::DOUBLE) AS BIGINT) AS benford_micros
+        |FROM d CROSS JOIN t ORDER BY digit""".stripMargin,
+
     // q192: identical md5-derived registers; the estimate is the same
     // pinned literal-product-over-integer IEEE division.
     "q192_hll_registers" ->

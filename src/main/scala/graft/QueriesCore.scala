@@ -3347,7 +3347,88 @@ object QueriesCore {
         col("__tot").cast("bigint").as("total_weight"))
   }
 
+  /** Differentially-private release counts — the third member of the
+    * privacy family (k-anonymity q129, l-diversity q186): per-nation
+    * customer counts with seeded Laplace(b = 1/ε, ε = 1) noise. The
+    * noise is DETERMINISTIC and engine-portable: the md5-derived
+    * 32-bit group hash maps to u = (h + 0.5)/2³² — an EXACT double
+    * (integer plus half, divided by a power of two) that can never
+    * hit 0, ½, or 1 — and the inverse-CDF transform
+    * −b·sign(u−½)·ln(1−2|u−½|) is one pinned IEEE expression. Scale
+    * shape: noise is a projection over the |groups| rollup; nothing
+    * touches the fact rows twice. (Seeded noise is an AUDIT mode —
+    * production ε-DP would draw fresh randomness; determinism is what
+    * makes the release oracle-checkable.)
+    */
+  def q196DpCounts(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.customer(s, dir)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("__n"))
+    val u = (graft.operators.Scale.md5Prefix32(
+      concat(lit("dp:"), col("c_nationkey"))).cast("double") + 0.5) /
+      4294967296.0
+    val t = u - 0.5
+    val lap = -signum(t) * log(lit(1.0) - abs(t) * 2.0)
+    g.select(col("c_nationkey"),
+        col("__n").cast("bigint").as("true_count"),
+        floor((col("__n").cast("double") + lap) * 1000000.0)
+          .cast("bigint").as("noisy_micros"))
+      .orderBy("c_nationkey")
+  }
+
+  /** Feature hashing with a collision audit — the hashing-trick
+    * vocabulary (token → md5 % 64 bucket) plus the report every
+    * hashed feature space owes its users: buckets where DISTINCT
+    * terms collide, with term counts and total frequency. One
+    * explode + two aggregates; the bucket space is fixed-size at any
+    * corpus scale.
+    */
+  def q197FeatureHashing(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(filter(split(
+        graft.operators.TextAnalysis.normalizeText(col("text")), " "),
+        t => t =!= "")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("__tf"))
+      .select(col("term"), col("__tf"),
+        pmod(graft.operators.Scale.md5Prefix32(col("term")), lit(64))
+          .cast("int").as("bucket"))
+    toks.groupBy("bucket")
+      .agg(countDistinct(col("term")).as("n_terms"),
+        sum(col("__tf")).as("total_tf"),
+        min(col("term")).as("first_term"))
+      .filter(col("n_terms") >= 2)
+      .select(col("bucket"), col("n_terms").cast("bigint").as("n_terms"),
+        col("total_tf").cast("bigint").as("total_tf"), col("first_term"))
+      .orderBy("bucket")
+  }
+
+  /** Benford first-digit audit — the fraud-analytics screen over
+    * order amounts: observed first-digit shares against Benford's
+    * log₁₀(1 + 1/d) expectation. The digit comes from the DECIMAL's
+    * STRING form (no float log near power-of-ten boundaries — a
+    * 1000.00 can never land in the 9 bin); shares are floored-micros
+    * of exact counts; the Benford reference is a pinned literal IEEE
+    * expression per digit.
+    */
+  def q198BenfordAudit(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.orders(s, dir)
+      .select(substring(col("o_totalprice").cast("decimal(18,2)")
+        .cast("string"), 1, 1).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("__n"))
+    val tot = Window.partitionBy(lit(1))
+    d.withColumn("__t", sum(col("__n")).over(tot))
+      .select(col("digit"), col("__n").cast("bigint").as("n"),
+        expr("CAST((__n * 1000000L) DIV __t AS BIGINT)")
+          .as("share_micros"),
+        floor(log(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+          / log(lit(10.0)) * 1000000.0)
+          .cast("bigint").as("benford_micros"))
+      .orderBy("digit")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q196_dp_counts" -> q196DpCounts _,
+    "q197_feature_hashing" -> q197FeatureHashing _,
+    "q198_benford_audit" -> q198BenfordAudit _,
     "q192_hll_registers" -> q192HllRegisters _,
     "q193_semi_additive" -> q193SemiAdditive _,
     "q194_concurrency_sweep" -> q194ConcurrencySweep _,

@@ -692,6 +692,17 @@ class Round12QueriesSpec extends AnyFunSuite {
     val p153 = plan("q153_setsim_join")
     assert(!p153.contains("BroadcastNestedLoopJoin") &&
       !p153.contains("CartesianProduct"))
+    // q184/q187: dimension-sized stats sides broadcast
+    assert(plan("q184_assoc_rules").contains("BroadcastHashJoin"))
+    assert(plan("q187_target_encoding").contains("BroadcastHashJoin"))
+    // q188's neighbor selection runs on the bounded-heap operator
+    assert(plan("q188_knn_classify").contains("TopKPerKey"))
+    // q189's posting probe and q191's as-of union never degenerate to
+    // nested-loop shapes
+    assert(!plan("q189_trigram_search").contains("BroadcastNestedLoopJoin"))
+    val p191 = plan("q191_pit_join")
+    assert(!p191.contains("BroadcastNestedLoopJoin") &&
+      !p191.contains("CartesianProduct"))
   }
 
   test("q156: per-term argmax posting and counts match a Scala recount") {
@@ -1012,6 +1023,62 @@ class Round12QueriesSpec extends AnyFunSuite {
     var cum = 0L
     val med = byPrice.find { case (_, w) => cum += w; cum * 2 >= tot }.get
     assert(got == ((med._1, cum, tot)))
+  }
+
+  private def md5Prefix32(s0: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    java.lang.Long.parseLong(md.digest(s0.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8), 16)
+  }
+
+  test("q196: seeded Laplace noise matches a scalar Scala replay") {
+    val got = QueriesCore.q196DpCounts(spark, sf)
+      .select(col("c_nationkey").cast("long"), col("true_count"),
+        col("noisy_micros"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val counts = Tables.customer(spark, sf)
+      .select(col("c_nationkey").cast("long")).as[Long].collect()
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = counts.toSeq.sortBy(_._1).map { case (nk, n) =>
+      val u = (md5Prefix32(s"dp:$nk").toDouble + 0.5) / 4294967296.0
+      val t = u - 0.5
+      val lap = -math.signum(t) * math.log(1.0 - math.abs(t) * 2.0)
+      (nk, n, math.floor((n.toDouble + lap) * 1000000.0).toLong)
+    }
+    assert(got == want)
+    // noise is bounded in probability but nonzero somewhere
+    assert(got.exists(r => r._3 != r._2 * 1000000L))
+  }
+
+  test("q197: collision buckets match a MessageDigest vocabulary replay") {
+    val got = QueriesCore.q197FeatureHashing(spark, sf)
+      .select("bucket", "n_terms", "total_tf")
+      .as[(Int, Long, Long)].collect().toSeq
+    val tf = Tables.documents(spark, sf)
+      .select("text").as[String].collect()
+      .flatMap(tokens).groupBy(identity).view.mapValues(_.size.toLong)
+    val want = tf.toSeq
+      .map { case (term, n) => ((md5Prefix32(term) % 64).toInt, term, n) }
+      .groupBy(_._1).toSeq
+      .map { case (b, ts) => (b, ts.size.toLong, ts.map(_._3).sum) }
+      .filter(_._2 >= 2).sortBy(_._1)
+    assert(got == want)
+  }
+
+  test("q198: Benford digits match a BigDecimal string replay") {
+    val got = QueriesCore.q198BenfordAudit(spark, sf)
+      .select("digit", "n", "share_micros")
+      .as[(String, Long, Long)].collect().toSeq
+    val digits = Tables.orders(spark, sf)
+      .select("o_totalprice").as[Double].collect()
+      .map(p => BigDecimal(p).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .toString.take(1))
+    val tot = digits.length.toLong
+    val want = digits.groupBy(identity).toSeq
+      .map { case (d, xs) =>
+        (d, xs.size.toLong, xs.size.toLong * 1000000L / tot) }
+      .sortBy(_._1)
+    assert(got == want)
   }
 
   test("q189: trigram-probed search equals the naive contains scan") {
