@@ -53,6 +53,171 @@ object OraclesCore {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q199: identical integer quantization (whole dollars via floor
+    // division, basis points), HUGEINT sufficient statistics, and the
+    // same pinned double expression for r²·10⁶.
+    "q199_corr_ingredients" ->
+      """WITH b AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(18,0)) AS BIGINT) // 100 AS p,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS d
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT count(*) AS n,
+        |    sum(q) AS s_q, sum(p) AS s_p, sum(d) AS s_d,
+        |    sum(CAST(q AS HUGEINT) * q) AS ss_q,
+        |    sum(CAST(p AS HUGEINT) * p) AS ss_p,
+        |    sum(CAST(d AS HUGEINT) * d) AS ss_d,
+        |    sum(CAST(q AS HUGEINT) * p) AS sp_qp,
+        |    sum(CAST(q AS HUGEINT) * d) AS sp_qd,
+        |    sum(CAST(p AS HUGEINT) * d) AS sp_pd
+        |  FROM b),
+        |u AS (
+        |  SELECT 'qty_price' AS pair, n, s_q AS sum_x, s_p AS sum_y,
+        |    sp_qp AS sum_xy, ss_q AS sum_x2, ss_p AS sum_y2,
+        |    CAST(CAST(n AS HUGEINT) * sp_qp
+        |      - CAST(s_q AS HUGEINT) * s_p AS DOUBLE) AS num,
+        |    CAST(CAST(n AS HUGEINT) * ss_q
+        |      - CAST(s_q AS HUGEINT) * s_q AS DOUBLE) AS den1,
+        |    CAST(CAST(n AS HUGEINT) * ss_p
+        |      - CAST(s_p AS HUGEINT) * s_p AS DOUBLE) AS den2
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'qty_disc', n, s_q, s_d, sp_qd, ss_q, ss_d,
+        |    CAST(CAST(n AS HUGEINT) * sp_qd
+        |      - CAST(s_q AS HUGEINT) * s_d AS DOUBLE),
+        |    CAST(CAST(n AS HUGEINT) * ss_q
+        |      - CAST(s_q AS HUGEINT) * s_q AS DOUBLE),
+        |    CAST(CAST(n AS HUGEINT) * ss_d
+        |      - CAST(s_d AS HUGEINT) * s_d AS DOUBLE)
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'price_disc', n, s_p, s_d, sp_pd, ss_p, ss_d,
+        |    CAST(CAST(n AS HUGEINT) * sp_pd
+        |      - CAST(s_p AS HUGEINT) * s_d AS DOUBLE),
+        |    CAST(CAST(n AS HUGEINT) * ss_p
+        |      - CAST(s_p AS HUGEINT) * s_p AS DOUBLE),
+        |    CAST(CAST(n AS HUGEINT) * ss_d
+        |      - CAST(s_d AS HUGEINT) * s_d AS DOUBLE)
+        |  FROM m)
+        |SELECT pair, CAST(n AS BIGINT) AS n,
+        |  CAST(sum_x AS BIGINT) AS sum_x, CAST(sum_y AS BIGINT) AS sum_y,
+        |  CAST(sum_xy AS BIGINT) AS sum_xy,
+        |  CAST(sum_x2 AS BIGINT) AS sum_x2,
+        |  CAST(sum_y2 AS BIGINT) AS sum_y2,
+        |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+        |    AS BIGINT) AS r_sign,
+        |  CAST(floor(num * num / (den1 * den2) * 1000000.0) AS BIGINT)
+        |    AS r2_micros
+        |FROM u ORDER BY pair""".stripMargin,
+
+    // q200: same weekly rollup, same per-nation recentering, same
+    // HUGEINT moments and sign/abs-DIV slope.
+    "q200_ols_trend" ->
+      """WITH wk AS (
+        |  SELECT n.n_name,
+        |    CAST(datediff('day', DATE '1970-01-01',
+        |      CAST(o.o_orderdate AS DATE)) AS BIGINT) // 7 AS wk,
+        |    sum(CAST(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(18,0)) AS BIGINT)) AS y
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT n_name, wk - min(wk) OVER (PARTITION BY n_name) AS x, y
+        |  FROM wk),
+        |m AS (
+        |  SELECT n_name, count(*) AS n_weeks, sum(x) AS sx, sum(y) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM r GROUP BY 1)
+        |SELECT n_name, CAST(n_weeks AS BIGINT) AS n_weeks,
+        |  CAST(sy AS BIGINT) AS rev_cents,
+        |  CAST(CASE
+        |    WHEN CAST(n_weeks AS HUGEINT) * sxy
+        |      - CAST(sx AS HUGEINT) * sy > 0 THEN 1
+        |    WHEN CAST(n_weeks AS HUGEINT) * sxy
+        |      - CAST(sx AS HUGEINT) * sy < 0 THEN -1
+        |    ELSE 0 END AS BIGINT) AS slope_sign,
+        |  CAST(abs(CAST(n_weeks AS HUGEINT) * sxy
+        |      - CAST(sx AS HUGEINT) * sy) * 1000
+        |    // (CAST(n_weeks AS HUGEINT) * sxx
+        |      - CAST(sx AS HUGEINT) * sx) AS BIGINT) AS slope_milli_abs
+        |FROM m ORDER BY n_name""".stripMargin,
+
+    // q201: same per-customer fold, same (spend, custkey)-total rank,
+    // same closed-form integer Gini.
+    "q201_gini" ->
+      """WITH sp AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(18,0)) AS BIGINT)) AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT n.n_name, sp.x,
+        |    row_number() OVER (PARTITION BY n.n_name
+        |      ORDER BY sp.x, sp.o_custkey) AS i
+        |  FROM sp
+        |  JOIN customer c ON sp.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |m AS (
+        |  SELECT n_name, count(*) AS n_customers, sum(x) AS tot,
+        |    sum(CAST(i AS HUGEINT) * x) AS w
+        |  FROM r GROUP BY 1)
+        |SELECT n_name, CAST(n_customers AS BIGINT) AS n_customers,
+        |  CAST(tot AS BIGINT) AS spend_cents,
+        |  CAST((CAST(2 AS HUGEINT) * w
+        |      - (CAST(n_customers AS HUGEINT) + 1) * tot) * 1000000
+        |    // (CAST(n_customers AS HUGEINT) * tot) AS BIGINT)
+        |    AS gini_micros
+        |FROM m ORDER BY n_name""".stripMargin,
+
+    // q202: same banding as q186, same cleared-denominator cumulative
+    // EMD with a 3-band spine per class.
+    "q202_t_closeness" ->
+      """WITH b AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CASE WHEN CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+        |        AS DECIMAL(18,0)) AS BIGINT) < 0 THEN 0
+        |      WHEN CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+        |        AS DECIMAL(18,0)) AS BIGINT) < 500000 THEN 1
+        |      ELSE 2 END AS band
+        |  FROM customer),
+        |gb AS (
+        |  SELECT c_nationkey, c_mktsegment, band, count(*) AS cg
+        |  FROM b GROUP BY 1, 2, 3),
+        |ng AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS ng
+        |  FROM b GROUP BY 1, 2),
+        |gl AS (SELECT band, count(*) AS c FROM b GROUP BY 1),
+        |nn AS (SELECT count(*) AS nn FROM b),
+        |sp AS (
+        |  SELECT ng.c_nationkey, ng.c_mktsegment, ng.ng, s.band,
+        |    coalesce(gb.cg, 0) AS cg, gl.c, nn.nn
+        |  FROM ng
+        |  CROSS JOIN (SELECT unnest([0, 1, 2]) AS band) s
+        |  LEFT JOIN gb ON gb.c_nationkey = ng.c_nationkey
+        |    AND gb.c_mktsegment = ng.c_mktsegment AND gb.band = s.band
+        |  JOIN gl ON gl.band = s.band
+        |  CROSS JOIN nn),
+        |cm AS (
+        |  SELECT c_nationkey, c_mktsegment, ng, nn,
+        |    sum(cg * nn - c * ng) OVER (
+        |      PARTITION BY c_nationkey, c_mktsegment ORDER BY band
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM sp)
+        |SELECT c_nationkey, c_mktsegment,
+        |  CAST(ng AS BIGINT) AS n_rows,
+        |  CAST(sum(abs(cum)) AS BIGINT) AS emd_num,
+        |  CAST(max(2 * ng * nn) AS BIGINT) AS emd_den,
+        |  CAST(sum(abs(cum)) * 1000000 // max(2 * ng * nn) AS BIGINT)
+        |    AS emd_micros,
+        |  sum(abs(cum)) * 100 <= max(2 * ng * nn) * 15 AS is_close
+        |FROM cm GROUP BY 1, 2, ng
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
     // q196: same md5-seeded exact-double uniform, same one-expression
     // inverse-CDF Laplace.
     "q196_dp_counts" ->

@@ -3425,7 +3425,170 @@ object QueriesCore {
       .orderBy("digit")
   }
 
+  /** Pearson correlation ingredient matrix — the feature-screening
+    * pass an ML pipeline runs before training: for each numeric
+    * column pair, the five sufficient statistics (Σx, Σy, Σxy, Σx²,
+    * Σy²) plus n, from which r (and the regression line) follow.
+    * ALL pairs come out of ONE aggregate pass over the fact table —
+    * adding a pair adds aggregate expressions, never a scan — then
+    * one explode pivots to a row per pair. Inputs are quantized to
+    * exact integers (whole dollars, basis points) so the sums are
+    * associative and engine-independent; r²·10⁶ is one pinned IEEE
+    * expression over those exact integers (the q192 precedent).
+    */
+  def q199CorrIngredients(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      col("l_quantity").cast("decimal(18,0)").cast("bigint").as("__q"),
+      expr("CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 " +
+        "AS DECIMAL(18,0)) AS BIGINT) DIV 100").as("__p"),
+      (col("l_discount").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("bigint").as("__d"))
+    val vars = Seq("q" -> col("__q"), "p" -> col("__p"), "d" -> col("__d"))
+    val sums = vars.flatMap { case (n, c) =>
+      Seq(sum(c).as(s"s_$n"),
+        sum((c * c).cast("decimal(38,0)")).as(s"ss_$n"))
+    } ++ Seq("qp" -> ("__q", "__p"), "qd" -> ("__q", "__d"),
+      "pd" -> ("__p", "__d")).map { case (n, (a, b)) =>
+      sum((col(a) * col(b)).cast("decimal(38,0)")).as(s"sp_$n")
+    }
+    val agg = li.agg(count(lit(1)).as("n"), sums: _*)
+    val pairs = Seq(("qty_price", "q", "p", "qp"),
+      ("qty_disc", "q", "d", "qd"), ("price_disc", "p", "d", "pd"))
+    val rows = pairs.map { case (name, x, y, xy) =>
+      val n = col("n").cast("decimal(38,0)")
+      val num = (n * col(s"sp_$xy") -
+        col(s"s_$x").cast("decimal(38,0)") * col(s"s_$y")).cast("double")
+      val den1 = (n * col(s"ss_$x") -
+        col(s"s_$x").cast("decimal(38,0)") * col(s"s_$x")).cast("double")
+      val den2 = (n * col(s"ss_$y") -
+        col(s"s_$y").cast("decimal(38,0)") * col(s"s_$y")).cast("double")
+      struct(lit(name).as("pair"), col("n").cast("bigint").as("n"),
+        col(s"s_$x").cast("bigint").as("sum_x"),
+        col(s"s_$y").cast("bigint").as("sum_y"),
+        col(s"sp_$xy").cast("bigint").as("sum_xy"),
+        col(s"ss_$x").cast("bigint").as("sum_x2"),
+        col(s"ss_$y").cast("bigint").as("sum_y2"),
+        signum(num).cast("bigint").as("r_sign"),
+        floor(num * num / (den1 * den2) * lit(1000000.0))
+          .cast("bigint").as("r2_micros"))
+    }
+    agg.select(explode(array(rows: _*)).as("r")).select("r.*")
+      .orderBy("pair")
+  }
+
+  /** Per-nation revenue trend — exact ordinary-least-squares over the
+    * weekly revenue series, the "is this market growing?" screen.
+    * Facts aggregate to (nation, week) FIRST (one shuffle over
+    * orders), so the regression runs on the tiny weekly series; x is
+    * recentered per nation (slope is shift-invariant) to keep every
+    * moment bigint-small. The slope ships as sign + |num|·10³ DIV den
+    * — exact integer arithmetic end to end, no doubles anywhere.
+    */
+  def q200OlsTrend(s: SparkSession, dir: String): DataFrame = {
+    val n8n = Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val weekly = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), " +
+          "DATE '1970-01-01') AS BIGINT) DIV 7").as("__wk"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("decimal(18,0)").cast("bigint").as("__c"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n8n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("__wk"))
+      .agg(sum(col("__c")).as("__y"))
+    import org.apache.spark.sql.expressions.Window
+    val recentered = weekly
+      .withColumn("__x",
+        col("__wk") - min(col("__wk")).over(
+          Window.partitionBy(col("n_name"))))
+    val moments = recentered.groupBy("n_name").agg(
+      count(lit(1)).as("n_weeks"),
+      sum(col("__x")).as("sx"),
+      sum(col("__y")).as("sy"),
+      sum(col("__x") * col("__y")).as("sxy"),
+      sum(col("__x") * col("__x")).as("sxx"))
+    val n = col("n_weeks").cast("decimal(38,0)")
+    val num = n * col("sxy") - col("sx").cast("decimal(38,0)") * col("sy")
+    val den = n * col("sxx") - col("sx").cast("decimal(38,0)") * col("sx")
+    moments.select(col("n_name"),
+      col("n_weeks").cast("bigint").as("n_weeks"),
+      col("sy").cast("bigint").as("rev_cents"),
+      when(num > 0, 1L).when(num < 0, -1L).otherwise(0L)
+        .cast("bigint").as("slope_sign"),
+      expr("CAST((abs(CAST(n_weeks AS DECIMAL(38,0)) * sxy " +
+        "- CAST(sx AS DECIMAL(38,0)) * sy) * 1000) DIV " +
+        "(CAST(n_weeks AS DECIMAL(38,0)) * sxx " +
+        "- CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)")
+        .as("slope_milli_abs"))
+      .orderBy("n_name")
+  }
+
+  /** Per-nation Gini concentration of customer spend — the inequality
+    * audit a marketplace runs on its revenue base. The fact table
+    * folds to per-customer totals first (one shuffle), the per-nation
+    * rank is one window over that small table, and the closed form
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted spend
+    * is exact integers until the single DIV to micros. Ties break on
+    * custkey, making the rank — and thus every engine's Σ i·xᵢ —
+    * total and reproducible.
+    */
+  def q201Gini(s: SparkSession, dir: String): DataFrame = {
+    val n8n = Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    val spend = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("bigint")).as("__x"))
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n8n), col("c_nationkey") === col("n_nationkey"))
+    import org.apache.spark.sql.expressions.Window
+    val ranked = spend.withColumn("__i",
+      row_number().over(Window.partitionBy(col("n_name"))
+        .orderBy(col("__x"), col("o_custkey"))))
+    ranked.groupBy("n_name").agg(
+      count(lit(1)).as("n_customers"),
+      sum(col("__x")).as("__tot"),
+      sum(col("__i").cast("bigint") * col("__x")).as("__w"))
+      .select(col("n_name"),
+        col("n_customers").cast("bigint").as("n_customers"),
+        col("__tot").cast("bigint").as("spend_cents"),
+        expr("CAST((CAST(2 AS DECIMAL(38,0)) * __w " +
+          "- (CAST(n_customers AS DECIMAL(38,0)) + 1) * __tot) " +
+          "* 1000000 DIV (CAST(n_customers AS DECIMAL(38,0)) * __tot) " +
+          "AS BIGINT)").as("gini_micros"))
+      .orderBy("n_name")
+  }
+
+  /** t-closeness over the q186 release shape — same quasi-identifiers
+    * (nation, market segment), same three ordered balance bands, now
+    * gating each class's DISTRIBUTION against the global one at
+    * EMD ≤ 15 % (see [[graft.operators.Quality.tCloseness]]).
+    */
+  def q202TCloseness(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("c_acctbal").cast("decimal(18,2)") * 100)
+      .cast("decimal(18,0)").cast("bigint")
+    val banded = Tables.customer(s, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"), cents.as("__c"))
+      .withColumn("bal_band",
+        when(col("__c") < 0L, "neg")
+          .when(col("__c") < 500000L, "low")
+          .otherwise("high"))
+    graft.operators.Quality.tCloseness(banded,
+        Seq("c_nationkey", "c_mktsegment"), "bal_band",
+        Seq("neg", "low", "high"), tPct = 15)
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q199_corr_ingredients" -> q199CorrIngredients _,
+    "q200_ols_trend" -> q200OlsTrend _,
+    "q201_gini" -> q201Gini _,
+    "q202_t_closeness" -> q202TCloseness _,
     "q196_dp_counts" -> q196DpCounts _,
     "q197_feature_hashing" -> q197FeatureHashing _,
     "q198_benford_audit" -> q198BenfordAudit _,

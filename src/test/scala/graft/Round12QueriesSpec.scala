@@ -1081,6 +1081,127 @@ class Round12QueriesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q199: correlation ingredients match a plain-Scala moment sweep") {
+    val got = QueriesCore.q199CorrIngredients(spark, sf)
+      .select("pair", "n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2",
+        "r_sign", "r2_micros")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq.sortBy(_._1)
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .as[(Double, Double, Double)].collect()
+      .map { case (q, p, d) =>
+        (q.toLong, math.round(p * 100) / 100, math.round(d * 100)) }
+    def moments(fx: ((Long, Long, Long)) => Long,
+        fy: ((Long, Long, Long)) => Long) = {
+      val n = rows.length.toLong
+      val (sx, sy) = (rows.map(fx).sum, rows.map(fy).sum)
+      val sxy = rows.map(r => BigInt(fx(r)) * fy(r)).sum
+      val sxx = rows.map(r => BigInt(fx(r)) * fx(r)).sum
+      val syy = rows.map(r => BigInt(fy(r)) * fy(r)).sum
+      val num = (BigInt(n) * sxy - BigInt(sx) * sy).toDouble
+      val d1 = (BigInt(n) * sxx - BigInt(sx) * sx).toDouble
+      val d2 = (BigInt(n) * syy - BigInt(sy) * sy).toDouble
+      (n, sx, sy, sxy.toLong, sxx.toLong, syy.toLong,
+        math.signum(num).toLong,
+        math.floor(num * num / (d1 * d2) * 1000000.0).toLong)
+    }
+    val want = Seq(
+      ("price_disc", moments(_._2, _._3)),
+      ("qty_disc", moments(_._1, _._3)),
+      ("qty_price", moments(_._1, _._2))).map { case (p, m) =>
+      (p, m._1, m._2, m._3, m._4, m._5, m._6, m._7, m._8)
+    }
+    assert(got == want)
+    // r² is a correlation: bounded by 1
+    assert(got.forall(_._9 <= 1000000L))
+  }
+
+  test("q200: OLS slope matches a BigInt least-squares replay") {
+    val got = QueriesCore.q200OlsTrend(spark, sf)
+      .select("n_name", "n_weeks", "rev_cents", "slope_sign",
+        "slope_milli_abs")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val cn = Tables.customer(spark, sf)
+      .select("c_custkey", "c_nationkey").as[(Long, Long)].collect().toMap
+    val nn = Tables.nation(spark, sf)
+      .select("n_nationkey", "n_name").as[(Long, String)].collect().toMap
+    val weekly = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").cast("string"),
+        col("o_totalprice"))
+      .as[(Long, String, Double)].collect()
+      .map { case (ck, d, p) =>
+        (nn(cn(ck)), java.time.LocalDate.parse(d).toEpochDay / 7,
+          math.round(p * 100)) }
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sum).toSeq
+    val want = weekly.groupBy(_._1._1).toSeq.map { case (nat, ws) =>
+      val minW = ws.map(_._1._2).min
+      val pts = ws.map { case ((_, w), y) => (w - minW, y) }
+      val n = BigInt(pts.length)
+      val sx = BigInt(pts.map(_._1).sum)
+      val sy = BigInt(pts.map(_._2).sum)
+      val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+      val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      (nat, pts.length.toLong, sy.toLong, num.signum.toLong,
+        (num.abs * 1000 / den).toLong)
+    }.sortBy(_._1)
+    assert(got == want)
+  }
+
+  test("q201: Gini matches a sorted-prefix BigInt recount; bounded") {
+    val got = QueriesCore.q201Gini(spark, sf)
+      .select("n_name", "n_customers", "spend_cents", "gini_micros")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val cn = Tables.customer(spark, sf)
+      .select("c_custkey", "c_nationkey").as[(Long, Long)].collect().toMap
+    val nn = Tables.nation(spark, sf)
+      .select("n_nationkey", "n_name").as[(Long, String)].collect().toMap
+    val spend = Tables.orders(spark, sf)
+      .select("o_custkey", "o_totalprice").as[(Long, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => math.round(r._2 * 100)).sum).toSeq
+    val want = spend.groupBy(r => nn(cn(r._1))).toSeq.map { case (nat, cs) =>
+      val xs = cs.sortBy(c => (c._2, c._1)).map(_._2)
+      val n = BigInt(xs.length)
+      val tot = BigInt(xs.sum)
+      val w = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+      (nat, xs.length.toLong, tot.toLong,
+        ((2 * w - (n + 1) * tot) * 1000000 / (n * tot)).toLong)
+    }.sortBy(_._1)
+    assert(got == want)
+    assert(got.forall(r => r._4 >= 0L && r._4 < 1000000L))
+  }
+
+  test("q202: t-closeness EMD matches a distribution replay") {
+    val got = QueriesCore.q202TCloseness(spark, sf)
+      .select("c_nationkey", "c_mktsegment", "n_rows", "emd_num",
+        "emd_den", "emd_micros", "is_close")
+      .as[(Long, String, Long, Long, Long, Long, Boolean)].collect().toSeq
+    val rows = Tables.customer(spark, sf)
+      .select("c_nationkey", "c_mktsegment", "c_acctbal")
+      .as[(Long, String, Double)].collect()
+      .map { case (nk, seg, b) =>
+        val c = math.round(b * 100)
+        (nk, seg, if (c < 0) 0 else if (c < 500000L) 1 else 2) }
+    val nTot = rows.length.toLong
+    val glob = (0 to 2).map(b => rows.count(_._3 == b).toLong)
+    val want = rows.groupBy(r => (r._1, r._2)).toSeq
+      .map { case ((nk, seg), rs) =>
+        val ng = rs.length.toLong
+        val cnt = (0 to 2).map(b => rs.count(_._3 == b).toLong)
+        val cums = (0 to 2).scanLeft(0L) { (acc, b) =>
+          acc + cnt(b) * nTot - glob(b) * ng }.tail
+        val num = cums.map(math.abs).sum
+        val den = 2 * ng * nTot
+        (nk, seg, ng, num, den, num * 1000000L / den, num * 100 <= den * 15)
+      }.sortBy(r => (r._1, r._2))
+    assert(got == want)
+    // the last cumulative term is identically zero (both are distributions)
+    assert(want.nonEmpty)
+  }
+
   test("q189: trigram-probed search equals the naive contains scan") {
     val got = QueriesText.q189TrigramSearch(spark, sf)
       .as[(String, Long)].collect().toSet
