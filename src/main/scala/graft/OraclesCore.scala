@@ -53,6 +53,86 @@ object OraclesCore {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q203: same lifetime fold in elapsed hours, same 24-hour
+    // censoring horizon, same descending-cumulative risk counts.
+    "q203_survival" ->
+      """WITH per AS (
+        |  SELECT user_id, min(ts) AS f, max(ts) AS l
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT max(l) AS h FROM per),
+        |lab AS (
+        |  SELECT CAST((epoch_us(l) - epoch_us(f)) // 3600000000
+        |      AS BIGINT) AS dur_hours,
+        |    l < h.h - INTERVAL 24 HOUR AS died
+        |  FROM per CROSS JOIN h),
+        |pd AS (
+        |  SELECT dur_hours,
+        |    sum(CASE WHEN died THEN 1 ELSE 0 END) AS deaths,
+        |    sum(CASE WHEN died THEN 0 ELSE 1 END) AS censored,
+        |    count(*) AS n
+        |  FROM lab GROUP BY 1),
+        |r AS (
+        |  SELECT *, sum(n) OVER (ORDER BY dur_hours DESC
+        |    ROWS UNBOUNDED PRECEDING) AS n_risk
+        |  FROM pd)
+        |SELECT dur_hours, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(deaths AS BIGINT) AS deaths,
+        |  CAST(censored AS BIGINT) AS censored,
+        |  CAST(CAST(deaths * 1000000 AS HUGEINT) // n_risk AS BIGINT)
+        |    AS hazard_micros
+        |FROM r WHERE deaths > 0 ORDER BY dur_hours""".stripMargin,
+
+    // q204: same daily fold, same row-lag pairs, same moment sums and
+    // pinned double r².
+    "q204_autocorr" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS y
+        |  FROM events GROUP BY 1),
+        |l AS (
+        |  SELECT 1 AS lag, y,
+        |    lag(y, 1) OVER (ORDER BY day) AS p FROM d
+        |  UNION ALL
+        |  SELECT 7, y, lag(y, 7) OVER (ORDER BY day) FROM d),
+        |m AS (
+        |  SELECT lag, count(*) AS n, sum(y) AS sy, sum(p) AS sp,
+        |    sum(CAST(y AS HUGEINT) * p) AS syp,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy,
+        |    sum(CAST(p AS HUGEINT) * p) AS spp
+        |  FROM l WHERE p IS NOT NULL GROUP BY 1),
+        |x AS (
+        |  SELECT lag, n, sy, sp, syp, syy, spp,
+        |    CAST(CAST(n AS HUGEINT) * syp
+        |      - CAST(sy AS HUGEINT) * sp AS DOUBLE) AS num,
+        |    CAST(CAST(n AS HUGEINT) * syy
+        |      - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS d1,
+        |    CAST(CAST(n AS HUGEINT) * spp
+        |      - CAST(sp AS HUGEINT) * sp AS DOUBLE) AS d2
+        |  FROM m)
+        |SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+        |  CAST(sy AS BIGINT) AS sum_y, CAST(sp AS BIGINT) AS sum_prev,
+        |  CAST(syp AS BIGINT) AS sum_yp, CAST(syy AS BIGINT) AS sum_y2,
+        |  CAST(spp AS BIGINT) AS sum_prev2,
+        |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+        |    AS BIGINT) AS r_sign,
+        |  CAST(floor(num * num / (d1 * d2) * 1000000.0) AS BIGINT)
+        |    AS r2_micros
+        |FROM x ORDER BY lag""".stripMargin,
+
+    // q205: same rank cut, string_agg in the same total rank order.
+    "q205_listagg" ->
+      """WITH r AS (
+        |  SELECT c_mktsegment, c_name,
+        |    CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(18,0)) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer)
+        |SELECT c_mktsegment,
+        |  string_agg(c_name, ',' ORDER BY rn) AS top5_names,
+        |  CAST(sum(cents) AS BIGINT) AS top5_bal_cents
+        |FROM r WHERE rn <= 5
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
     // q199: identical integer quantization (whole dollars via floor
     // division, basis points), HUGEINT sufficient statistics, and the
     // same pinned double expression for r²·10⁶.

@@ -3584,7 +3584,124 @@ object QueriesCore {
       .orderBy("c_nationkey", "c_mktsegment")
   }
 
+  /** Kaplan–Meier survival (risk) table over user lifetimes — the
+    * churn/retention curve's exact ingredients. A user's lifetime is
+    * first→last event in ELAPSED HOURS (the synthetic feed spans one
+    * month); users still active in the final 24 hours of the observed
+    * window are CENSORED (they didn't churn, observation just ended —
+    * the defining subtlety of survival analysis). Per distinct death
+    * time: n at risk, deaths, censored, and the discrete hazard dᵢ/nᵢ
+    * in exact micros. The fact stream folds to one row per user (one
+    * shuffle), the risk table is one window over the ≤|distinct
+    * durations| series — survival S(t) = Π(1−hᵢ) is left to the
+    * caller, as the running product is the one non-associative step.
+    */
+  def q203Survival(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(min(col("ts")).as("__f"), max(col("ts")).as("__l"))
+    val horizon = per.agg(max(col("__l")).as("__h"))
+    val lab = per.crossJoin(broadcast(horizon))
+      .select(
+        expr("CAST((unix_micros(__l) - unix_micros(__f)) " +
+          "DIV 3600000000 AS BIGINT)").as("dur_hours"),
+        (col("__l") < col("__h") - expr("INTERVAL 24 HOURS"))
+          .as("__died"))
+    val perDur = lab.groupBy("dur_hours").agg(
+      sum(when(col("__died"), 1L).otherwise(0L)).as("deaths"),
+      sum(when(!col("__died"), 1L).otherwise(0L)).as("censored"),
+      count(lit(1)).as("__n"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("dur_hours").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDur.withColumn("n_risk", sum(col("__n")).over(w))
+      .filter(col("deaths") > 0)
+      .select(col("dur_hours"),
+        col("n_risk").cast("bigint").as("n_risk"),
+        col("deaths").cast("bigint").as("deaths"),
+        col("censored").cast("bigint").as("censored"),
+        expr("CAST((deaths * 1000000L) DIV n_risk AS BIGINT)")
+          .as("hazard_micros"))
+      .orderBy("dur_hours")
+  }
+
+  /** Lag-k autocorrelation ingredients of the daily event-count
+    * series — the seasonality screen (lag 1: momentum; lag 7: weekly
+    * cycle). The fact stream folds to the |days|-row series first;
+    * each lag is one window over that series and one moment
+    * aggregate. Same exact-integer sufficient statistics + one pinned
+    * IEEE r²·10⁶ expression as q199.
+    */
+  def q204Autocorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("ts").cast("date").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("__y"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("day")
+    val lagged = Seq(1, 7).map { k =>
+      daily.withColumn("__p", lag(col("__y"), k).over(w))
+        .filter(col("__p").isNotNull)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("__y")).as("sy"), sum(col("__p")).as("sp"),
+          sum((col("__y") * col("__p")).cast("decimal(38,0)")).as("syp"),
+          sum((col("__y") * col("__y")).cast("decimal(38,0)")).as("syy"),
+          sum((col("__p") * col("__p")).cast("decimal(38,0)")).as("spp"))
+        .select(lit(k.toLong).as("lag"),
+          col("n_pairs").cast("bigint").as("n_pairs"),
+          col("sy").cast("bigint").as("sum_y"),
+          col("sp").cast("bigint").as("sum_prev"),
+          col("syp").cast("bigint").as("sum_yp"),
+          col("syy").cast("bigint").as("sum_y2"),
+          col("spp").cast("bigint").as("sum_prev2"),
+          signum((col("n_pairs").cast("decimal(38,0)") * col("syp") -
+            col("sy").cast("decimal(38,0)") * col("sp")).cast("double"))
+            .cast("bigint").as("r_sign"),
+          floor({
+            val n = col("n_pairs").cast("decimal(38,0)")
+            val num = (n * col("syp") -
+              col("sy").cast("decimal(38,0)") * col("sp")).cast("double")
+            val d1 = (n * col("syy") -
+              col("sy").cast("decimal(38,0)") * col("sy")).cast("double")
+            val d2 = (n * col("spp") -
+              col("sp").cast("decimal(38,0)") * col("sp")).cast("double")
+            num * num / (d1 * d2) * lit(1000000.0)
+          }).cast("bigint").as("r2_micros"))
+    }
+    lagged.reduce(_ unionAll _).orderBy("lag")
+  }
+
+  /** Ordered string aggregation — the LISTAGG / string_agg surface:
+    * per market segment, the top-5 customers by balance concatenated
+    * in rank order. The rank is one bounded window (ties broken on
+    * custkey, making the concat total); the aggregation is
+    * collect_list + array_sort on the (rank, name) struct — exactly
+    * the deterministic-ordered-concat plan shape, never dependent on
+    * row arrival order.
+    */
+  def q205Listagg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rn = row_number().over(Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey")))
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_name"),
+        col("c_acctbal"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100)
+          .cast("decimal(18,0)").cast("bigint").as("__c"))
+      .withColumn("__rn", rn).filter(col("__rn") <= 5)
+      .groupBy("c_mktsegment")
+      .agg(collect_list(struct(col("__rn"), col("c_name"))).as("__xs"),
+        sum(col("__c")).as("top5_bal_cents"))
+      .select(col("c_mktsegment"),
+        array_join(transform(array_sort(col("__xs")),
+          x => x.getField("c_name")), ",").as("top5_names"),
+        col("top5_bal_cents").cast("bigint").as("top5_bal_cents"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q203_survival" -> q203Survival _,
+    "q204_autocorr" -> q204Autocorr _,
+    "q205_listagg" -> q205Listagg _,
     "q199_corr_ingredients" -> q199CorrIngredients _,
     "q200_ols_trend" -> q200OlsTrend _,
     "q201_gini" -> q201Gini _,

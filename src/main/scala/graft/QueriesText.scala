@@ -1055,7 +1055,66 @@ object QueriesText {
     graft.operators.Dedup.triangleStats(pairs, "a", "b")
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010) — the classic
+    * unsupervised phrase scorer: candidate phrases are maximal runs of
+    * non-stopword tokens (the q12 run-length trick: a cumulative sum
+    * of break flags numbers the runs — no regex splitting, so Spark
+    * and DuckDB tokenize identically), word degree/frequency are ONE
+    * global aggregate over phrase words, and a phrase's score is the
+    * sum of its words' degree/freq ratios in floor-fixed-point micros
+    * (exact integer division — no float drift in the ranking). Top 20
+    * distinct phrases by (score, phrase) total order.
+    *
+    * Scale shape: everything is explode → window-per-doc → two hash
+    * aggregates + one broadcast-size join back on word; no self-joins,
+    * no driver collections. The word-stats table is vocabulary-sized.
+    */
+  def q206RakeKeywords(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "an", "of", "to", "and", "in", "is", "on",
+      "for", "with", "as", "by", "at", "it", "this", "that", "are", "be",
+      "or", "from")
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(
+        split(TextAnalysis.normalizeText(col("text")), " "))
+        .as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"),
+        regexp_replace(col("tok"), "[^a-z0-9]", "").as("w"))
+      .withColumn("brk",
+        col("w") === "" || col("w").isInCollection(stop))
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val words = toks
+      .withColumn("pid",
+        sum(when(col("brk"), 1L).otherwise(0L)).over(byPos))
+      .filter(!col("brk"))
+      .select("doc_id", "pid", "pos", "w")
+    val plen = words.groupBy("doc_id", "pid")
+      .agg(count(lit(1)).as("__len"))
+    val withLen = words.join(plen, Seq("doc_id", "pid"))
+    val stats = withLen.groupBy("w")
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+      .select(col("w"),
+        expr("CAST((__deg * 1000000L) DIV __freq AS BIGINT)")
+          .as("__score"))
+    val phrases = withLen.join(stats, Seq("w"))
+      .groupBy("doc_id", "pid")
+      .agg(sum(col("__score")).as("__pscore"),
+        array_join(transform(array_sort(
+          collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("phrase"))
+    phrases.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"),
+        max(col("__pscore")).as("score_micros"))
+      .select(col("phrase"),
+        col("n_occurrences").cast("bigint").as("n_occurrences"),
+        col("score_micros").cast("bigint").as("score_micros"))
+      .orderBy(col("score_micros").desc, col("phrase"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q206_rake_keywords" -> q206RakeKeywords _,
     "q133_repetition_filter" -> q133RepetitionFilter _,
     "q134_triangle_count" -> q134TriangleCount _,
     "q118_image_dhash" -> q118ImageDhash _,
@@ -1129,6 +1188,57 @@ object QueriesText {
   val oracles: Map[String, String] = {
     val Seq(en, de, fr, es) = TextAnalysis.langMarkers.map(_._2)
     val base = Map(
+      // q206: same whitespace tokenize + punctuation strip, same
+      // cumulative-break phrase numbering, same integer degree/freq
+      // micros. The zipped unnest over (tokens, range) replays
+      // posexplode.
+      "q206_rake_keywords" ->
+        ("""WITH t AS (
+          |  SELECT doc_id,
+          |    string_split(trim(regexp_replace(lower(text),
+          |      '\s+', ' ', 'g')), ' ') AS tk
+          |  FROM documents),
+          |toks AS (
+          |  SELECT doc_id, unnest(tk) AS tok,
+          |    unnest(range(1, len(tk) + 1)) AS pos
+          |  FROM t),
+          |cl AS (
+          |  SELECT doc_id, pos,
+          |    regexp_replace(tok, '[^a-z0-9]', '', 'g') AS w
+          |  FROM toks),
+          |b AS (
+          |  SELECT *, (w = '' OR w IN ('the','a','an','of','to','and',
+          |    'in','is','on','for','with','as','by','at','it','this',
+          |    'that','are','be','or','from')) AS brk
+          |  FROM cl),
+          |p AS (
+          |  SELECT *, sum(CASE WHEN brk THEN 1 ELSE 0 END) OVER (
+          |    PARTITION BY doc_id ORDER BY pos
+          |    ROWS UNBOUNDED PRECEDING) AS pid
+          |  FROM b),
+          |wd AS (SELECT doc_id, pid, pos, w FROM p WHERE NOT brk),
+          |pl AS (
+          |  SELECT doc_id, pid, count(*) AS len
+          |  FROM wd GROUP BY 1, 2),
+          |wl AS (
+          |  SELECT wd.doc_id, wd.pid, wd.pos, wd.w, pl.len
+          |  FROM wd JOIN pl USING (doc_id, pid)),
+          |sc AS (
+          |  SELECT w, CAST(sum(len) * 1000000 AS HUGEINT) // count(*)
+          |    AS score
+          |  FROM wl GROUP BY 1),
+          |ps AS (
+          |  SELECT wl.doc_id, wl.pid, sum(sc.score) AS pscore,
+          |    string_agg(wl.w, ' ' ORDER BY wl.pos) AS phrase
+          |  FROM wl JOIN sc USING (w) GROUP BY 1, 2),
+          |d AS (
+          |  SELECT phrase, count(*) AS n_occurrences,
+          |    max(pscore) AS score_micros
+          |  FROM ps GROUP BY 1)
+          |SELECT phrase, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+          |  CAST(score_micros AS BIGINT) AS score_micros
+          |FROM d ORDER BY score_micros DESC, phrase
+          |LIMIT 20""").stripMargin,
       // q133: identical integer counts and identical cross-multiplied
       // verdicts — no doubles anywhere, so no rounding rule is even
       // needed.

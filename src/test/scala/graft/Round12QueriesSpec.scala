@@ -1202,6 +1202,94 @@ class Round12QueriesSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("q203: KM risk table matches a per-user lifetime replay") {
+    val got = QueriesCore.q203Survival(spark, sf)
+      .select("dur_hours", "n_risk", "deaths", "censored", "hazard_micros")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val per = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("f"),
+        max(unix_micros(col("ts"))).as("l"))
+      .as[(Long, Long, Long)].collect()
+    val h = per.map(_._3).max
+    val lab = per.map { case (_, f, l) =>
+      ((l - f) / 3600000000L, l < h - 24L * 3600000000L) }
+    val want = lab.groupBy(_._1).toSeq.map { case (d, rs) =>
+      val deaths = rs.count(_._2).toLong
+      val nRisk = lab.count(_._1 >= d).toLong
+      (d, nRisk, deaths, rs.size - deaths,
+        deaths * 1000000L / nRisk)
+    }.filter(_._3 > 0).map(r => (r._1, r._2, r._3, r._4.toLong, r._5))
+      .sortBy(_._1)
+    assert(got == want)
+    // risk set shrinks as duration grows
+    assert(got.map(_._2) == got.map(_._2).sorted.reverse)
+  }
+
+  test("q204: autocorrelation moments match a row-lag replay") {
+    val got = QueriesCore.q204Autocorr(spark, sf)
+      .select("lag", "n_pairs", "sum_y", "sum_prev", "sum_yp")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val daily = Tables.events(spark, sf)
+      .select(col("ts").cast("date").cast("string")).as[String].collect()
+      .groupBy(identity).toSeq.map { case (d, xs) => (d, xs.size.toLong) }
+      .sortBy(_._1).map(_._2)
+    val want = Seq(1, 7).map { k =>
+      val pairs = daily.drop(k).zip(daily.dropRight(k))
+      (k.toLong, pairs.size.toLong, pairs.map(_._1).sum,
+        pairs.map(_._2).sum, pairs.map(p => p._1 * p._2).sum)
+    }
+    assert(got == want)
+  }
+
+  test("q205: ordered concat matches a sorted-take replay") {
+    val got = QueriesCore.q205Listagg(spark, sf)
+      .select("c_mktsegment", "top5_names", "top5_bal_cents")
+      .as[(String, String, Long)].collect().toSeq
+    val cust = Tables.customer(spark, sf)
+      .select("c_mktsegment", "c_custkey", "c_name", "c_acctbal")
+      .as[(String, Long, String, Double)].collect()
+    val want = cust.groupBy(_._1).toSeq.map { case (seg, rs) =>
+      val top = rs.sortBy(r => (-r._4, r._2)).take(5)
+      (seg, top.map(_._3).mkString(","),
+        top.map(r => math.round(r._4 * 100)).sum)
+    }.sortBy(_._1)
+    assert(got == want)
+  }
+
+  test("q206: RAKE scores match a brute-force phrase replay") {
+    val got = QueriesText.q206RakeKeywords(spark, sf)
+      .select("phrase", "n_occurrences", "score_micros")
+      .as[(String, Long, Long)].collect().toSeq
+    val stop = Set("the", "a", "an", "of", "to", "and", "in", "is", "on",
+      "for", "with", "as", "by", "at", "it", "this", "that", "are", "be",
+      "or", "from")
+    val docs = Tables.documents(spark, sf)
+      .select("text").as[String].collect()
+    val phrases = docs.flatMap { t =>
+      val ws = t.toLowerCase.trim.split("\\s+")
+        .map(_.replaceAll("[^a-z0-9]", ""))
+      // split into maximal non-stopword runs
+      val runs = scala.collection.mutable.Buffer[Vector[String]]()
+      var cur = Vector.empty[String]
+      ws.foreach { w =>
+        if (w.isEmpty || stop(w)) { if (cur.nonEmpty) runs += cur; cur = Vector.empty }
+        else cur :+= w
+      }
+      if (cur.nonEmpty) runs += cur
+      runs
+    }
+    val freq = phrases.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+    val deg = phrases.flatMap(p => p.map(w => (w, p.size.toLong)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+    val score = freq.keys.map(w => (w, deg(w) * 1000000L / freq(w))).toMap
+    val want = phrases.map(p => (p.mkString(" "), p.map(score).sum))
+      .groupBy(_._1).toSeq
+      .map { case (ph, xs) => (ph, xs.size.toLong, xs.head._2) }
+      .sortBy(r => (-r._3, r._1)).take(20)
+    assert(got == want)
+  }
+
   test("q189: trigram-probed search equals the naive contains scan") {
     val got = QueriesText.q189TrigramSearch(spark, sf)
       .as[(String, Long)].collect().toSet
