@@ -53,6 +53,67 @@ object OraclesCore {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q207: same cross-multiplied above-positive-average cut, same
+    // anti join, same country-code rollup.
+    "q207_idle_balance" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(18,0)) AS BIGINT) AS cents
+        |  FROM customer),
+        |p AS (
+        |  SELECT sum(cents) AS sp, count(*) AS np
+        |  FROM c WHERE cents > 0)
+        |SELECT c_nationkey,
+        |  CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(cents) AS BIGINT) AS total_bal_cents
+        |FROM c CROSS JOIN p
+        |WHERE c.cents * p.np > p.sp
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate >= DATE '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q208: the same dual-role nation join and decimal(18,4) revenue.
+    "q208_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+        |  CAST(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |    AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE l.l_shipdate >= DATE '1995-01-01'
+        |  AND l.l_shipdate < DATE '1997-01-01'
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // q209: same rank / tie-inclusive RANGE count, same DIV fixed
+    // point.
+    "q209_percent_rank" ->
+      """WITH c AS (
+        |  SELECT c_custkey, n.n_name,
+        |    CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(18,0)) AS BIGINT) AS bal_cents
+        |  FROM customer
+        |  JOIN nation n ON c_nationkey = n.n_nationkey),
+        |w AS (
+        |  SELECT *,
+        |    rank() OVER (PARTITION BY n_name ORDER BY bal_cents) AS rnk,
+        |    count(*) OVER (PARTITION BY n_name) AS n,
+        |    count(*) OVER (PARTITION BY n_name ORDER BY bal_cents
+        |      RANGE UNBOUNDED PRECEDING) AS le
+        |  FROM c)
+        |SELECT c_custkey, n_name, bal_cents, CAST(rnk AS BIGINT) AS rnk,
+        |  CAST((rnk - 1) * 1000000 // (n - 1) AS BIGINT)
+        |    AS pct_rank_micros,
+        |  CAST(le * 1000000 // n AS BIGINT) AS cume_dist_micros
+        |FROM w ORDER BY n_name, bal_cents, c_custkey""".stripMargin,
+
     // q203: same lifetime fold in elapsed hours, same 24-hour
     // censoring horizon, same descending-cumulative risk counts.
     "q203_survival" ->

@@ -3698,7 +3698,100 @@ object QueriesCore {
       .orderBy("c_mktsegment")
   }
 
+  /** TPC-H Q22 shape — "idle wealthy accounts": customers with NO
+    * RECENT orders (none since 2000) whose balance beats the average
+    * POSITIVE balance, rolled up by nation. The correlated scalar-avg subquery is
+    * one broadcast 1-row aggregate, the NOT EXISTS is one anti join
+    * against the distinct buyer set, and the above-average test
+    * CROSS-MULTIPLIES (bal·n > Σbal) in exact cents — the decorrelated
+    * plan Catalyst should pick, stated explicitly.
+    */
+  def q207IdleBalance(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100)
+          .cast("decimal(18,0)").cast("bigint").as("__c"))
+    val pos = cust.filter(col("__c") > 0L)
+      .agg(sum(col("__c")).as("__sp"), count(lit(1)).as("__np"))
+    val buyers = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("date"))
+      .select(col("o_custkey")).distinct()
+    cust.crossJoin(broadcast(pos))
+      .filter(col("__c") * col("__np") > col("__sp"))
+      .join(buyers, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).cast("bigint").as("n_cust"),
+        sum(col("__c")).cast("bigint").as("total_bal_cents"))
+      .orderBy("c_nationkey")
+  }
+
+  /** TPC-H Q7 shape — shipping volume between nation PAIRS: the
+    * five-table join where one dimension (nation) participates TWICE
+    * under different roles (supplier's vs customer's), the case join
+    * planners get wrong by collapsing the aliases. Both nation sides
+    * broadcast; the fact join tree stays a single shuffle spine
+    * (lineitem⋈orders⋈customer). Revenue is the exact decimal(18,4)
+    * convention.
+    */
+  def q208NationVolume(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("date") &&
+        col("l_shipdate") < lit("1997-01-01").cast("date"))
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("__nk1"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("__nk2"), col("n_name").as("cust_nation"))
+    li.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("__nk1"))
+      .join(broadcast(n2), col("c_nationkey") === col("__nk2"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("decimal(18,4)").cast("double")
+        .as("revenue"),
+        count(lit(1)).cast("bigint").as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** percent_rank / cume_dist in exact fixed point — the distribution
+    * windows whose double division drifts across engines: re-expressed
+    * as (rank−1)·10⁶ DIV (n−1) and tie-inclusive RANGE-frame counts,
+    * so every value is an exact integer. One window family per
+    * partition, no extra shuffles.
+    */
+  def q209PercentRank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n8n = Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100)
+          .cast("decimal(18,0)").cast("bigint").as("bal_cents"))
+      .join(broadcast(n8n), col("c_nationkey") === col("n_nationkey"))
+    val byBal = Window.partitionBy("n_name").orderBy("bal_cents")
+    val cnt = Window.partitionBy("n_name")
+    cust
+      .withColumn("rnk", rank().over(byBal))
+      .withColumn("__n", count(lit(1)).over(cnt))
+      .withColumn("__le", count(lit(1)).over(
+        byBal.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("c_custkey"), col("n_name"), col("bal_cents"),
+        col("rnk").cast("bigint").as("rnk"),
+        expr("CAST(((rnk - 1) * 1000000L) DIV (__n - 1) AS BIGINT)")
+          .as("pct_rank_micros"),
+        expr("CAST((__le * 1000000L) DIV __n AS BIGINT)")
+          .as("cume_dist_micros"))
+      .orderBy("n_name", "bal_cents", "c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q207_idle_balance" -> q207IdleBalance _,
+    "q208_nation_volume" -> q208NationVolume _,
+    "q209_percent_rank" -> q209PercentRank _,
     "q203_survival" -> q203Survival _,
     "q204_autocorr" -> q204Autocorr _,
     "q205_listagg" -> q205Listagg _,

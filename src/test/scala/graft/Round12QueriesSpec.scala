@@ -1290,6 +1290,74 @@ class Round12QueriesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q207: idle-balance rollup matches a set-difference replay") {
+    val got = QueriesCore.q207IdleBalance(spark, sf)
+      .select("c_nationkey", "n_cust", "total_bal_cents")
+      .as[(Long, Long, Long)].collect().toSeq
+    val cust = Tables.customer(spark, sf)
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2, math.round(r._3 * 100)))
+    val pos = cust.map(_._3).filter(_ > 0)
+    val (sp, np) = (pos.sum, pos.size.toLong)
+    val recent = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("date"))
+      .select("o_custkey").as[Long].collect().toSet
+    val want = cust
+      .filter(r => r._3 * np > sp && !recent(r._1))
+      .groupBy(_._2).toSeq
+      .map { case (nk, rs) => (nk, rs.size.toLong, rs.map(_._3).sum) }
+      .sortBy(_._1)
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("q208: nation-pair volume is symmetric-complete and year-bounded") {
+    val got = QueriesCore.q208NationVolume(spark, sf)
+      .select("supp_nation", "cust_nation", "l_year", "n_items")
+      .as[(String, String, Int, Long)].collect().toSeq
+    assert(got.forall(r => r._1 != r._2))
+    assert(got.forall(r => r._3 == 1995 || r._3 == 1996))
+    // cross-check total item count against a direct filtered join
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("date") &&
+        col("l_shipdate") < lit("1997-01-01").cast("date"))
+    val sup = Tables.supplier(spark, sf)
+      .select("s_suppkey", "s_nationkey").as[(Long, Long)].collect().toMap
+    val cn = Tables.customer(spark, sf)
+      .select("c_custkey", "c_nationkey").as[(Long, Long)].collect().toMap
+    val ok = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey").as[(Long, Long)].collect().toMap
+    val items = li.select("l_orderkey", "l_suppkey")
+      .as[(Long, Long)].collect()
+      .count(r => sup(r._2) != cn(ok(r._1)))
+    assert(got.map(_._4).sum == items)
+  }
+
+  test("q209: fixed-point percent_rank/cume_dist match a sort replay") {
+    val got = QueriesCore.q209PercentRank(spark, sf)
+      .select("c_custkey", "n_name", "rnk", "pct_rank_micros",
+        "cume_dist_micros")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+      .sortBy(r => (r._2, r._1))
+    val nn = Tables.nation(spark, sf)
+      .select("n_nationkey", "n_name").as[(Long, String)].collect().toMap
+    val cust = Tables.customer(spark, sf)
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, nn(r._2), math.round(r._3 * 100)))
+    val want = cust.groupBy(_._2).toSeq.flatMap { case (nat, rs) =>
+      val n = rs.size.toLong
+      rs.map { case (ck, _, bal) =>
+        val below = rs.count(_._3 < bal).toLong
+        val le = rs.count(_._3 <= bal).toLong
+        (ck, nat, below + 1,
+          (below * 1000000L) / (n - 1), (le * 1000000L) / n)
+      }
+    }.sortBy(r => (r._2, r._1))
+    assert(got == want)
+  }
+
   test("q189: trigram-probed search equals the naive contains scan") {
     val got = QueriesText.q189TrigramSearch(spark, sf)
       .as[(String, Long)].collect().toSet
