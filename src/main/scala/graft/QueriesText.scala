@@ -1091,7 +1091,11 @@ object QueriesText {
       .select("doc_id", "pid", "pos", "w")
     val plen = words.groupBy("doc_id", "pid")
       .agg(count(lit(1)).as("__len"))
-    val withLen = words.join(plen, Seq("doc_id", "pid"))
+    // both the global word-stats aggregate and the phrase reassembly
+    // consume this subtree; without pinning, the tokenize + window +
+    // join pipeline runs twice (the q125 lesson — no ReusedExchange
+    // across differently-shaped consumers)
+    val withLen = words.join(plen, Seq("doc_id", "pid")).localCheckpoint()
     val stats = withLen.groupBy("w")
       .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
       .select(col("w"),
