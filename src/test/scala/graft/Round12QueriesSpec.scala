@@ -703,6 +703,20 @@ class Round12QueriesSpec extends AnyFunSuite {
     val p191 = plan("q191_pit_join")
     assert(!p191.contains("BroadcastNestedLoopJoin") &&
       !p191.contains("CartesianProduct"))
+    // q199: one aggregate pass — a single lineitem scan, no joins
+    val p199 = plan("q199_corr_ingredients")
+    assert("Scan parquet".r.findAllIn(p199).length == 1)
+    assert(!p199.contains("Join"))
+    // q200/q201/q208: every dimension side broadcast, never sort-merge
+    assert(plan("q200_ols_trend").contains("BroadcastHashJoin"))
+    assert(plan("q201_gini").contains("BroadcastHashJoin"))
+    val p208 = plan("q208_nation_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p208).length >= 3)
+    assert(!p208.contains("CartesianProduct"))
+    // q207: the scalar-aggregate threshold broadcasts (1-row nested
+    // loop is the correct shape); the NOT EXISTS is a hash anti join
+    val p207 = plan("q207_idle_balance")
+    assert(p207.contains("LeftAnti"))
   }
 
   test("q156: per-term argmax posting and counts match a Scala recount") {
