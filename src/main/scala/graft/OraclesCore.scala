@@ -53,6 +53,104 @@ object OraclesCore {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q210: same ordinal symbols, same lag/cumsum run numbering.
+    "q210_sax_runs" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS y
+        |  FROM events GROUP BY 1),
+        |s AS (
+        |  SELECT day,
+        |    CAST((row_number() OVER (ORDER BY y, day) - 1) * 4
+        |      // count(*) OVER () AS INTEGER) AS symbol
+        |  FROM d),
+        |c AS (
+        |  SELECT *, CASE WHEN lag(symbol) OVER (ORDER BY day) IS NULL
+        |      OR symbol <> lag(symbol) OVER (ORDER BY day)
+        |    THEN 1 ELSE 0 END AS chg
+        |  FROM s),
+        |r AS (
+        |  SELECT *, sum(chg) OVER (ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM c)
+        |SELECT CAST(run_id AS BIGINT) AS run_id,
+        |  CAST(min(symbol) AS INTEGER) AS symbol,
+        |  CAST(min(day) AS TIMESTAMP) AS start_day,
+        |  CAST(max(day) AS TIMESTAMP) AS end_day,
+        |  CAST(count(*) AS BIGINT) AS n_days
+        |FROM r GROUP BY run_id ORDER BY run_id""".stripMargin,
+
+    // q211: same transition counts and six unrolled integer-micro
+    // power-iteration rounds (the q115 fixed-point convention).
+    "q211_markov_stationary" -> {
+      val round = (i: Int) =>
+        s"""p$i AS (
+           |  SELECT e.dst AS event_type,
+           |    sum(CAST(p.pi_micros * e.c AS HUGEINT) // e.s)
+           |      AS pi_micros
+           |  FROM e JOIN p${i - 1} p ON e.src = p.event_type
+           |  GROUP BY 1)"""
+      s"""WITH ev AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev
+         |  FROM events),
+         |t AS (
+         |  SELECT prev AS src, event_type AS dst, count(*) AS c
+         |  FROM ev WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |e AS (
+         |  SELECT t.src, t.dst, t.c, s.s
+         |  FROM t JOIN (SELECT src, sum(c) AS s FROM t GROUP BY 1) s
+         |    ON t.src = s.src),
+         |p0 AS (
+         |  SELECT DISTINCT src AS event_type,
+         |    CAST(1000000 // 5 AS BIGINT) AS pi_micros
+         |  FROM e),
+         |${(1 to 6).map(round).mkString(",\n")}
+         |SELECT event_type, CAST(pi_micros AS BIGINT) AS pi_micros
+         |FROM p6 ORDER BY event_type""".stripMargin
+    },
+
+    // q212: same cross-multiplied label, same per-term floored-micros
+    // entropy, integer term sums.
+    "q212_info_gain" -> {
+      val term = (m: String, base: String) =>
+        s"""CASE WHEN $m = 0 THEN 0 ELSE CAST(floor(
+           |    CAST($m AS DOUBLE) * ln(CAST($base AS DOUBLE)
+           |      / CAST($m AS DOUBLE))
+           |    / (CAST(nn AS DOUBLE) * ln(2.0)) * 1000000.0)
+           |  AS BIGINT) END""".stripMargin
+      val gain = (f: String) =>
+        s"""SELECT '$f' AS feature, CAST(max(nn) AS BIGINT) AS n,
+           |  CAST(max(${term("n1", "nn")} +
+           |    ${term("nn - n1", "nn")}) AS BIGINT) AS h_y_micros,
+           |  CAST(sum(${term("nx1", "nx")} +
+           |    ${term("nx - nx1", "nx")}) AS BIGINT)
+           |    AS h_y_given_x_micros,
+           |  CAST(max(${term("n1", "nn")} + ${term("nn - n1", "nn")})
+           |    - sum(${term("nx1", "nx")} + ${term("nx - nx1", "nx")})
+           |    AS BIGINT) AS info_gain_micros
+           |FROM (
+           |  SELECT CAST($f AS VARCHAR) AS x, count(*) AS nx,
+           |    sum(y) AS nx1, max(nn) AS nn, max(n1) AS n1
+           |  FROM lab GROUP BY 1) g"""
+      s"""WITH c AS (
+         |  SELECT c_mktsegment, c_nationkey,
+         |    CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+         |      AS DECIMAL(18,0)) AS BIGINT) AS cents
+         |  FROM customer),
+         |tot AS (SELECT count(*) AS nn, sum(cents) AS t FROM c),
+         |lab0 AS (
+         |  SELECT c.*, tot.nn, tot.t,
+         |    CASE WHEN c.cents * tot.nn > tot.t THEN 1 ELSE 0 END AS y
+         |  FROM c CROSS JOIN tot),
+         |lab AS (
+         |  SELECT *, (SELECT sum(y) FROM lab0) AS n1 FROM lab0)
+         |${gain("c_mktsegment")}
+         |UNION ALL
+         |${gain("c_nationkey")}
+         |ORDER BY feature""".stripMargin
+    },
+
     // q207: same cross-multiplied above-positive-average cut, same
     // anti join, same country-code rollup.
     "q207_idle_balance" ->

@@ -3788,7 +3788,142 @@ object QueriesCore {
       .orderBy("n_name", "bal_cents", "c_custkey")
   }
 
+  /** SAX-style symbolic run-length encoding of the daily event-count
+    * series — the time-series compression step behind motif/anomaly
+    * mining: each day maps to an equi-depth quartile SYMBOL by pure
+    * ordinal arithmetic ((rn−1)·4 DIV n over the (count, day) total
+    * order — no boundary doubles to drift), then consecutive equal
+    * symbols collapse to runs via the q12 lag/cumsum trick. Every
+    * window runs over the |days|-row series, never the raw facts.
+    */
+  def q210SaxRuns(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .select(col("ts").cast("date").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("__y"))
+    val byVal = Window.orderBy(col("__y"), col("day"))
+    val all = Window.partitionBy(lit(1))
+    val sym = daily
+      .withColumn("__rn", row_number().over(byVal))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("symbol", expr("CAST(((__rn - 1) * 4) DIV __n AS INT)"))
+    val byDay = Window.orderBy("day")
+    val cum = byDay.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    sym
+      .withColumn("__chg",
+        when(lag(col("symbol"), 1).over(byDay).isNull ||
+          col("symbol") =!= lag(col("symbol"), 1).over(byDay), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("__chg")).over(cum))
+      .groupBy("run_id")
+      .agg(min(col("symbol")).as("symbol"),
+        min(col("day")).as("__s"), max(col("day")).as("__e"),
+        count(lit(1)).as("n_days"))
+      .select(col("run_id").cast("bigint").as("run_id"),
+        col("symbol").cast("int").as("symbol"),
+        col("__s").cast("timestamp_ntz").as("start_day"),
+        col("__e").cast("timestamp_ntz").as("end_day"),
+        col("n_days").cast("bigint").as("n_days"))
+      .orderBy("run_id")
+  }
+
+  /** Stationary distribution of the user-journey Markov chain — the
+    * steady-state "where do users end up" vector: transition counts
+    * from per-user lag pairs (one shuffle over the facts), then six
+    * unrolled power-iteration rounds in INTEGER MICROS with per-edge
+    * floor division ((πᵢ·Cᵢⱼ) DIV Sᵢ summed as exact longs) — the
+    * q115 fixed-point template, bit-identical under any aggregation
+    * order and join plan. The k×k transition table is
+    * dimension-sized; each round is one broadcast join + one
+    * aggregate.
+    */
+  def q211MarkovStationary(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+    val trans = ev
+      .withColumn("__prev", lag(col("event_type"), 1).over(byUser))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("__c"))
+    val edges = trans.join(
+      trans.groupBy("src").agg(sum(col("__c")).as("__s")), Seq("src"))
+      .localCheckpoint()
+    val states = edges.select(col("src").as("event_type")).distinct()
+    val k = lit(5) // event-type cardinality is part of the data contract
+    var pi = states.select(col("event_type"),
+      expr("CAST(1000000L DIV 5 AS BIGINT)").as("pi_micros"))
+    for (_ <- 1 to 6) {
+      pi = edges
+        .join(broadcast(pi), col("src") === pi("event_type"))
+        .select(col("dst"),
+          expr("CAST((pi_micros * __c) DIV __s AS BIGINT)").as("__t"))
+        .groupBy(col("dst").as("event_type"))
+        .agg(sum(col("__t")).cast("bigint").as("pi_micros"))
+        .localCheckpoint()
+    }
+    pi.orderBy("event_type")
+  }
+
+  /** Information gain — the decision-tree / feature-selection screen:
+    * IG(Y; X) = H(Y) − H(Y|X) where Y is "balance above the global
+    * mean" (cross-multiplied in cents, never a divided threshold) and
+    * X ranges over the categorical features. Every probability is a
+    * ratio of exact counts; each entropy TERM is one pinned IEEE
+    * expression floored to micros, and terms are then summed as
+    * integers — so no float aggregate ordering exists anywhere (the
+    * q192 rule: doubles only inside a single fixed expression over
+    * exact integers).
+    */
+  def q212InfoGain(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100)
+          .cast("decimal(18,0)").cast("bigint").as("__c"))
+    val tot = cust.agg(count(lit(1)).as("__nn"), sum(col("__c")).as("__t"))
+    val lab = cust.crossJoin(broadcast(tot))
+      .withColumn("__y",
+        when(col("__c") * col("__nn") > col("__t"), 1L).otherwise(0L))
+    // one entropy term m·ln(base/m)/(N·ln2) in micros; 0·ln(…) := 0
+    def term(m: Column, base: Column, n: Column): Column =
+      when(m === 0L, 0L).otherwise(
+        floor(m.cast("double") *
+          log(base.cast("double") / m.cast("double")) /
+          (n.cast("double") * log(lit(2.0))) * lit(1000000.0))
+          .cast("bigint"))
+    def gain(feature: String): DataFrame = {
+      val perX = lab.groupBy(col(feature).cast("string").as("__x"))
+        .agg(count(lit(1)).as("__nx"), sum(col("__y")).as("__nx1"))
+        .crossJoin(broadcast(
+          lab.agg(count(lit(1)).as("__nn"), sum(col("__y")).as("__n1"))))
+      perX.agg(
+        max(col("__nn")).as("n"),
+        max(term(col("__n1"), col("__nn"), col("__nn")) +
+          term(col("__nn") - col("__n1"), col("__nn"), col("__nn")))
+          .as("h_y_micros"),
+        sum(term(col("__nx1"), col("__nx"), col("__nn")) +
+          term(col("__nx") - col("__nx1"), col("__nx"), col("__nn")))
+          .as("h_y_given_x_micros"))
+        .select(lit(feature).as("feature"),
+          col("n").cast("bigint").as("n"),
+          col("h_y_micros").cast("bigint").as("h_y_micros"),
+          col("h_y_given_x_micros").cast("bigint")
+            .as("h_y_given_x_micros"),
+          (col("h_y_micros") - col("h_y_given_x_micros")).cast("bigint")
+            .as("info_gain_micros"))
+    }
+    gain("c_mktsegment").unionAll(gain("c_nationkey"))
+      .orderBy("feature")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q210_sax_runs" -> q210SaxRuns _,
+    "q211_markov_stationary" -> q211MarkovStationary _,
+    "q212_info_gain" -> q212InfoGain _,
     "q207_idle_balance" -> q207IdleBalance _,
     "q208_nation_volume" -> q208NationVolume _,
     "q209_percent_rank" -> q209PercentRank _,

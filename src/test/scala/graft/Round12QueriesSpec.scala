@@ -1372,6 +1372,90 @@ class Round12QueriesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q210: SAX runs match an ordinal-binning replay; runs partition time") {
+    val got = QueriesCore.q210SaxRuns(spark, sf)
+      .select("run_id", "symbol", "n_days")
+      .as[(Long, Int, Long)].collect().toSeq
+    val daily = Tables.events(spark, sf)
+      .select(col("ts").cast("date").cast("string")).as[String].collect()
+      .groupBy(identity).toSeq.map { case (d, xs) => (d, xs.size.toLong) }
+      .sortBy(_._1)
+    val n = daily.size
+    val rankOf = daily.sortBy(r => (r._2, r._1)).zipWithIndex
+      .map { case ((d, _), i) => (d, i.toLong) }.toMap
+    val syms = daily.map { case (d, _) => (rankOf(d) * 4 / n).toInt }
+    val runs = syms.foldLeft(List.empty[(Int, Long)]) {
+      case (acc, s) if acc.nonEmpty && acc.head._1 == s =>
+        (s, acc.head._2 + 1) :: acc.tail
+      case (acc, s) => (s, 1L) :: acc
+    }.reverse.zipWithIndex.map { case ((s, c), i) => (i + 1L, s, c) }
+    assert(got == runs)
+    assert(got.map(_._3).sum == n.toLong)
+  }
+
+  test("q211: stationary vector matches a dense-matrix integer replay") {
+    val got = QueriesCore.q211MarkovStationary(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val s = es.sortBy(e => (e._2, e._3)).map(_._4)
+      s.zip(s.drop(1))
+    }
+    val c = trans.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val states = c.keys.map(_._1).toSeq.distinct.sorted
+    val rowSum = states.map(s =>
+      (s, c.collect { case ((a, _), v) if a == s => v }.sum)).toMap
+    var pi = states.map(s => (s, 1000000L / 5)).toMap
+    for (_ <- 1 to 6) {
+      pi = states.map { dst =>
+        (dst, states.map { src =>
+          c.get((src, dst)).fold(0L)(cc =>
+            pi.getOrElse(src, 0L) * cc / rowSum(src))
+        }.sum)
+      }.toMap.filter(_._2 != 0L)
+    }
+    assert(got == pi.toSeq.sortBy(_._1))
+    // mass stays within floor-loss of 1.0
+    assert(math.abs(got.map(_._2).sum - 1000000L) < 100L)
+  }
+
+  test("q212: information gain matches a Math.log replay; IG >= 0") {
+    val got = QueriesCore.q212InfoGain(spark, sf)
+      .select("feature", "n", "h_y_micros", "h_y_given_x_micros",
+        "info_gain_micros")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val cust = Tables.customer(spark, sf)
+      .select("c_mktsegment", "c_nationkey", "c_acctbal")
+      .as[(String, Long, Double)].collect()
+      .map(r => (r._1, r._2, math.round(r._3 * 100)))
+    val nTot = cust.length.toLong
+    val tot = cust.map(_._3).sum
+    val y = cust.map(r => if (r._3 * nTot > tot) 1L else 0L)
+    val n1 = y.sum
+    def term(m: Long, base: Long): Long =
+      if (m == 0) 0L
+      else math.floor(m.toDouble * math.log(base.toDouble / m.toDouble) /
+        (nTot.toDouble * math.log(2.0)) * 1000000.0).toLong
+    val hY = term(n1, nTot) + term(nTot - n1, nTot)
+    def gain(fx: ((String, Long, Long)) => String): (Long, Long) = {
+      val hyx = cust.zip(y).groupBy(r => fx(r._1)).values.map { g =>
+        val nx = g.size.toLong
+        val nx1 = g.map(_._2).sum
+        term(nx1, nx) + term(nx - nx1, nx)
+      }.sum
+      (hyx, hY - hyx)
+    }
+    val (hseg, igseg) = gain(_._1)
+    val (hnat, ignat) = gain(_._2.toString)
+    assert(got == Seq(
+      ("c_mktsegment", nTot, hY, hseg, igseg),
+      ("c_nationkey", nTot, hY, hnat, ignat)))
+    assert(got.forall(_._5 >= 0L))
+  }
+
   test("q189: trigram-probed search equals the naive contains scan") {
     val got = QueriesText.q189TrigramSearch(spark, sf)
       .as[(String, Long)].collect().toSet
