@@ -53,6 +53,113 @@ object OraclesCore {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q213: same generated day spine (both ends inclusive), same ISO
+    // weekday fold.
+    "q213_calendar_spine" ->
+      """WITH o AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(18,0)) AS BIGINT) AS c
+        |  FROM orders),
+        |pd AS (
+        |  SELECT day, count(*) AS n, sum(c) AS r FROM o GROUP BY 1),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM o),
+        |sp AS (
+        |  SELECT CAST(unnest(generate_series(lo, hi,
+        |    INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b)
+        |SELECT CAST(isodow(sp.day) AS INTEGER) AS isodow,
+        |  CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(CASE WHEN pd.n IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_order_days,
+        |  CAST(coalesce(sum(pd.n), 0) AS BIGINT) AS n_orders,
+        |  CAST(coalesce(sum(pd.r), 0) AS BIGINT) AS rev_cents
+        |FROM sp LEFT JOIN pd ON sp.day = pd.day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q214: same rank ordinals, same integer interpolation.
+    "q214_percentile_cont" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(18,0)) AS BIGINT) AS c
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY c) AS rn
+        |  FROM li),
+        |st AS (SELECT l_returnflag, max(rn) AS n FROM r GROUP BY 1),
+        |ps AS (
+        |  SELECT st.l_returnflag, p.p, st.n,
+        |    CAST(p.p AS BIGINT) * (st.n - 1) AS pos
+        |  FROM st CROSS JOIN (SELECT unnest([25, 50, 75, 90]) AS p) p),
+        |e AS (
+        |  SELECT *, pos // 100 AS lo, pos % 100 AS rem,
+        |    CASE WHEN pos % 100 = 0 THEN pos // 100 + 1
+        |      ELSE pos // 100 + 2 END AS hi_rn
+        |  FROM ps)
+        |SELECT e.l_returnflag, CAST(e.p AS INTEGER) AS p,
+        |  CAST(e.n AS BIGINT) AS n,
+        |  CAST(rl.c * 1000000 +
+        |    ((rh.c - rl.c) * 1000000 * e.rem) // 100 AS BIGINT)
+        |    AS value_micros
+        |FROM e
+        |JOIN r rl ON rl.l_returnflag = e.l_returnflag
+        |  AND rl.rn = e.lo + 1
+        |JOIN r rh ON rh.l_returnflag = e.l_returnflag
+        |  AND rh.rn = e.hi_rn
+        |ORDER BY e.l_returnflag, e.p""".stripMargin,
+
+    // q215: same distinct edge list, HUGEINT moments, pinned double
+    // r².
+    "q215_degree_assortativity" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+        |ds AS (SELECT l_suppkey, count(*) AS d FROM e GROUP BY 1),
+        |dp AS (SELECT l_partkey, count(*) AS d FROM e GROUP BY 1),
+        |m AS (
+        |  SELECT count(*) AS n, sum(ds.d) AS sx, sum(dp.d) AS sy,
+        |    sum(CAST(ds.d AS HUGEINT) * dp.d) AS sxy,
+        |    sum(CAST(ds.d AS HUGEINT) * ds.d) AS sxx,
+        |    sum(CAST(dp.d AS HUGEINT) * dp.d) AS syy
+        |  FROM e JOIN ds USING (l_suppkey) JOIN dp USING (l_partkey)),
+        |x AS (
+        |  SELECT *,
+        |    CAST(CAST(n AS HUGEINT) * sxy
+        |      - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS num,
+        |    CAST(CAST(n AS HUGEINT) * sxx
+        |      - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS d1,
+        |    CAST(CAST(n AS HUGEINT) * syy
+        |      - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS d2
+        |  FROM m)
+        |SELECT CAST(n AS BIGINT) AS n_edges,
+        |  CAST(sx AS BIGINT) AS sum_dsupp,
+        |  CAST(sy AS BIGINT) AS sum_dpart,
+        |  CAST(sxy AS BIGINT) AS sum_dd,
+        |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+        |    AS BIGINT) AS r_sign,
+        |  CAST(floor(num * num / (d1 * d2) * 1000000.0) AS BIGINT)
+        |    AS r2_micros
+        |FROM x""".stripMargin,
+
+    // q216: same micro-floored values, same lead-defined intervals,
+    // one DIV at the end.
+    "q216_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nt
+        |  FROM events),
+        |iv AS (
+        |  SELECT user_id, v, nt - epoch_us(ts) AS dt
+        |  FROM e WHERE nt IS NOT NULL)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(sum(dt) AS BIGINT) AS span_micros,
+        |  CAST(sum(CAST(v AS HUGEINT) * dt)
+        |    // sum(dt) AS BIGINT) AS twap_micros
+        |FROM iv GROUP BY 1 ORDER BY user_id""".stripMargin,
+
     // q210: same ordinal symbols, same lag/cumsum run numbering.
     "q210_sax_runs" ->
       """WITH d AS (

@@ -3920,7 +3920,150 @@ object QueriesCore {
       .orderBy("feature")
   }
 
+  /** Calendar-dimension spine — the warehouse date dimension built on
+    * the fly: one generated day-spine over the fact table's own date
+    * range (so EMPTY days exist as rows — the property a plain GROUP
+    * BY over facts cannot produce), left-joined to per-day order
+    * rollups and folded by ISO weekday. The spine derives from a
+    * 1-row min/max aggregate, so no hand-maintained dimension table
+    * and no driver-side date math.
+    */
+  def q213CalendarSpine(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderdate").cast("date").as("day"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("decimal(18,0)").cast("bigint").as("__c"))
+    val perDay = o.groupBy("day")
+      .agg(count(lit(1)).as("__n"), sum(col("__c")).as("__r"))
+    val bounds = o.agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
+    val spine = bounds.select(explode(expr(
+      "sequence(__lo, __hi, interval 1 day)")).as("day"))
+    spine.join(perDay, Seq("day"), "left")
+      .groupBy((weekday(col("day")) + 1).as("isodow"))
+      .agg(count(lit(1)).cast("bigint").as("n_days"),
+        sum(when(col("__n").isNotNull, 1L).otherwise(0L))
+          .cast("bigint").as("n_order_days"),
+        coalesce(sum(col("__n")), lit(0L)).cast("bigint").as("n_orders"),
+        coalesce(sum(col("__r")), lit(0L)).cast("bigint").as("rev_cents"))
+      .orderBy("isodow")
+  }
+
+  /** percentile_cont with EXACT linear interpolation — the continuous
+    * percentile re-expressed so no engine ever divides: the target
+    * position p·(n−1) stays a rational over 100, the bracketing
+    * ordinals are integer DIV/mod, and the interpolated value is
+    * cents·10⁶ plus the exact integer remainder term. One rank window
+    * per group; the four percentiles share it via a 4-row spine.
+    */
+  def q214PercentileCont(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("bigint").as("__c"))
+    val ranked = li
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("l_returnflag").orderBy("__c")))
+      .localCheckpoint() // consumed twice: lo and hi ordinal probes
+    val stats = ranked.groupBy("l_returnflag")
+      .agg(max(col("__rn")).as("__n"))
+    import s.implicits._
+    val ps = stats.crossJoin(broadcast(Seq(25, 50, 75, 90).toDF("p")))
+      .withColumn("__pos", col("p").cast("bigint") * (col("__n") - 1))
+      .withColumn("__lo", expr("CAST(__pos DIV 100 AS BIGINT)"))
+      .withColumn("__rem", expr("CAST(__pos % 100 AS BIGINT)"))
+      .withColumn("__hi_rn",
+        when(col("__rem") === 0L, col("__lo") + 1)
+          .otherwise(col("__lo") + 2))
+    ps
+      .join(ranked.select(col("l_returnflag").as("__rf1"),
+        col("__rn").as("__rn1"), col("__c").as("__vlo")),
+        col("l_returnflag") === col("__rf1") &&
+          col("__rn1") === col("__lo") + 1)
+      .join(ranked.select(col("l_returnflag").as("__rf2"),
+        col("__rn").as("__rn2"), col("__c").as("__vhi")),
+        col("l_returnflag") === col("__rf2") &&
+          col("__rn2") === col("__hi_rn"))
+      .select(col("l_returnflag"), col("p").cast("int").as("p"),
+        col("__n").cast("bigint").as("n"),
+        (col("__vlo") * 1000000L +
+          expr("CAST(((__vhi - __vlo) * 1000000L * __rem) DIV 100 " +
+            "AS BIGINT)")).cast("bigint").as("value_micros"))
+      .orderBy("l_returnflag", "p")
+  }
+
+  /** Degree assortativity of the supplier–part sourcing graph — "do
+    * high-degree suppliers serve high-degree parts?": exact Pearson
+    * ingredient moments (the q199 convention) over the DISTINCT edge
+    * list between the two endpoint degrees. Edges and both degree
+    * tables come from the same one dedup pass; degrees join back by
+    * key (the part side broadcast-sized), and the moment fold is one
+    * aggregate — no adjacency matrix anywhere.
+    */
+  def q215DegreeAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+      .localCheckpoint() // feeds both degree folds and the moment join
+    val dSupp = edges.groupBy("l_suppkey")
+      .agg(count(lit(1)).as("__ds"))
+    val dPart = edges.groupBy("l_partkey")
+      .agg(count(lit(1)).as("__dp"))
+    val m = edges.join(dSupp, Seq("l_suppkey"))
+      .join(dPart, Seq("l_partkey"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("__ds")).as("sx"), sum(col("__dp")).as("sy"),
+        sum((col("__ds") * col("__dp")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("__ds") * col("__ds")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("__dp") * col("__dp")).cast("decimal(38,0)")).as("syy"))
+    val n = col("n_edges").cast("decimal(38,0)")
+    val num = (n * col("sxy") -
+      col("sx").cast("decimal(38,0)") * col("sy")).cast("double")
+    val d1 = (n * col("sxx") -
+      col("sx").cast("decimal(38,0)") * col("sx")).cast("double")
+    val d2 = (n * col("syy") -
+      col("sy").cast("decimal(38,0)") * col("sy")).cast("double")
+    m.select(col("n_edges").cast("bigint").as("n_edges"),
+      col("sx").cast("bigint").as("sum_dsupp"),
+      col("sy").cast("bigint").as("sum_dpart"),
+      col("sxy").cast("bigint").as("sum_dd"),
+      signum(num).cast("bigint").as("r_sign"),
+      floor(num * num / (d1 * d2) * lit(1000000.0))
+        .cast("bigint").as("r2_micros"))
+  }
+
+  /** Time-weighted average (TWAP) of each user's event value stream —
+    * the finance/metering aggregate where a value holds until the next
+    * observation: Σ vᵢ·Δtᵢ / Σ Δtᵢ over lag-defined intervals, carried
+    * as exact integers (value floored to micros once, durations in
+    * µs, the divide a single DIV at the end). One window per user,
+    * one aggregate — the interval sweep never self-joins.
+    */
+  def q216Twap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 1000000.0).cast("bigint").as("__v"))
+      .withColumn("__nt", lead(unix_micros(col("ts")), 1).over(byUser))
+      .filter(col("__nt").isNotNull)
+      .withColumn("__dt", col("__nt") - unix_micros(col("ts")))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("__dt")).as("__den"),
+        sum(col("__v").cast("decimal(38,0)") * col("__dt"))
+          .as("__num"))
+      .select(col("user_id"),
+        col("n_intervals").cast("bigint").as("n_intervals"),
+        col("__den").cast("bigint").as("span_micros"),
+        expr("CAST(__num DIV __den AS BIGINT)").as("twap_micros"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q213_calendar_spine" -> q213CalendarSpine _,
+    "q214_percentile_cont" -> q214PercentileCont _,
+    "q215_degree_assortativity" -> q215DegreeAssortativity _,
+    "q216_twap" -> q216Twap _,
     "q210_sax_runs" -> q210SaxRuns _,
     "q211_markov_stationary" -> q211MarkovStationary _,
     "q212_info_gain" -> q212InfoGain _,

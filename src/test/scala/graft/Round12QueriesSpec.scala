@@ -1456,6 +1456,92 @@ class Round12QueriesSpec extends AnyFunSuite {
     assert(got.forall(_._5 >= 0L))
   }
 
+  test("q213: calendar spine covers every day incl. empty; counts add up") {
+    val got = QueriesCore.q213CalendarSpine(spark, sf)
+      .select("isodow", "n_days", "n_order_days", "n_orders", "rev_cents")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    val days = Tables.orders(spark, sf)
+      .select(col("o_orderdate").cast("date").cast("string"), col("o_totalprice"))
+      .as[(String, Double)].collect()
+      .map(r => (java.time.LocalDate.parse(r._1), math.round(r._2 * 100)))
+    val (lo, hi) = (days.map(_._1).min, days.map(_._1).max)
+    val perDay = days.groupBy(_._1).view
+      .mapValues(rs => (rs.size.toLong, rs.map(_._2).sum)).toMap
+    val spine = Iterator.iterate(lo)(_.plusDays(1))
+      .takeWhile(!_.isAfter(hi)).toSeq
+    val want = spine.groupBy(_.getDayOfWeek.getValue).toSeq
+      .map { case (dw, ds) =>
+        val hits = ds.flatMap(perDay.get)
+        (dw, ds.size.toLong, hits.size.toLong,
+          hits.map(_._1).sum, hits.map(_._2).sum)
+      }.sortBy(_._1)
+    assert(got == want)
+    assert(got.map(_._2).sum ==
+      java.time.temporal.ChronoUnit.DAYS.between(lo, hi) + 1)
+  }
+
+  test("q214: interpolated percentiles match a sorted-array replay") {
+    val got = QueriesCore.q214PercentileCont(spark, sf)
+      .select("l_returnflag", "p", "value_micros")
+      .as[(String, Int, Long)].collect().toSeq
+    val li = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_extendedprice")
+      .as[(String, Double)].collect()
+      .map(r => (r._1, math.round(r._2 * 100)))
+    val want = li.groupBy(_._1).toSeq.flatMap { case (f, rs) =>
+      val xs = rs.map(_._2).sorted
+      val n = xs.length.toLong
+      Seq(25, 50, 75, 90).map { p =>
+        val pos = p * (n - 1)
+        val lo = (pos / 100).toInt
+        val rem = pos % 100
+        val vlo = xs(lo)
+        val vhi = if (rem == 0) xs(lo) else xs(lo + 1)
+        (f, p, vlo * 1000000L + (vhi - vlo) * 1000000L * rem / 100)
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(got == want)
+    // monotone in p within each flag
+    got.groupBy(_._1).values.foreach { g =>
+      val vs = g.sortBy(_._2).map(_._3)
+      assert(vs == vs.sorted)
+    }
+  }
+
+  test("q215: assortativity moments match a degree-map replay") {
+    val got = QueriesCore.q215DegreeAssortativity(spark, sf)
+      .select("n_edges", "sum_dsupp", "sum_dpart", "sum_dd")
+      .as[(Long, Long, Long, Long)].collect().head
+    val edges = Tables.lineitem(spark, sf)
+      .select("l_suppkey", "l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val ds = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val dp = edges.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val want = (edges.length.toLong,
+      edges.map(e => ds(e._1)).sum, edges.map(e => dp(e._2)).sum,
+      edges.map(e => ds(e._1) * dp(e._2)).sum)
+    assert(got == want)
+  }
+
+  test("q216: TWAP matches an interval-sweep BigInt replay") {
+    val got = QueriesCore.q216Twap(spark, sf)
+      .select("user_id", "n_intervals", "span_micros", "twap_micros")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("value"))
+      .as[(Long, Long, Long, Double)].collect()
+    val want = ev.groupBy(_._1).toSeq.map { case (u, es) =>
+      val s = es.sortBy(e => (e._2, e._3))
+      val iv = s.zip(s.drop(1)).map { case (a, b) =>
+        (math.floor(a._4 * 1000000.0).toLong, b._2 - a._2) }
+      val den = iv.map(_._2).sum
+      val num = iv.map(i => BigInt(i._1) * i._2).sum
+      (u, iv.size.toLong, den, (num / den).toLong)
+    }.sortBy(_._1)
+    assert(got == want)
+  }
+
   test("q189: trigram-probed search equals the naive contains scan") {
     val got = QueriesText.q189TrigramSearch(spark, sf)
       .as[(String, Long)].collect().toSet
