@@ -53,6 +53,80 @@ object OraclesCore {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q217: the same integer recurrence replayed as a recursive CTE
+    // (row rn joins to rn+1), floor-division per step.
+    "q217_ewma" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |o AS (
+        |  SELECT event_type, y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM d),
+        |r AS (
+        |  SELECT event_type, rn, n, y * 1000000 AS s
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.rn, o.n,
+        |    (o.y * 1000000 + 3 * r.s) // 4
+        |  FROM r JOIN o ON o.event_type = r.event_type
+        |    AND o.rn = r.rn + 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  CAST(s AS BIGINT) AS ewma_micros
+        |FROM r WHERE rn = n ORDER BY event_type""".stripMargin,
+
+    // q218: same per-row floored ln micros, same single
+    // re-exponentiation from the integer mean-log.
+    "q218_log_stats" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    CAST(floor(ln(CAST(CAST(CAST(CAST(o_totalprice
+        |      AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS BIGINT)
+        |      AS DOUBLE)) * 1000000.0) AS BIGINT) AS lnm
+        |  FROM orders),
+        |g AS (
+        |  SELECT n.n_name, count(*) AS n_orders, sum(lnm) AS slm
+        |  FROM o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1)
+        |SELECT n_name, CAST(n_orders AS BIGINT) AS n_orders,
+        |  CAST(slm AS BIGINT) AS sum_ln_micros,
+        |  CAST(floor(exp(CAST(CAST(slm AS HUGEINT) // n_orders
+        |    AS DOUBLE) / 1000000.0) * 100.0) AS BIGINT)
+        |    AS geo_mean_x100
+        |FROM g ORDER BY n_name""".stripMargin,
+
+    // q219: same cumulative half-open intervals, same overlap
+    // allocation.
+    "q219_fifo_match" ->
+      """WITH r AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_quantity AS BIGINT)) OVER w
+        |      - CAST(l_quantity AS BIGINT) AS r_start,
+        |    sum(CAST(l_quantity AS BIGINT)) OVER w AS r_end
+        |  FROM lineitem WHERE l_returnflag = 'R'
+        |  WINDOW w AS (PARTITION BY l_partkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS UNBOUNDED PRECEDING)),
+        |s AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_quantity AS BIGINT)) OVER w
+        |      - CAST(l_quantity AS BIGINT) AS s_start,
+        |    sum(CAST(l_quantity AS BIGINT)) OVER w AS s_end
+        |  FROM lineitem WHERE l_returnflag <> 'R'
+        |  WINDOW w AS (PARTITION BY l_partkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT r.l_partkey, CAST(count(*) AS BIGINT) AS n_matches,
+        |  CAST(sum(least(r.r_end, s.s_end)
+        |    - greatest(r.r_start, s.s_start)) AS BIGINT) AS matched_qty
+        |FROM r JOIN s ON r.l_partkey = s.l_partkey
+        |  AND r.r_start < s.s_end AND s.s_start < r.r_end
+        |GROUP BY 1 ORDER BY r.l_partkey""".stripMargin,
+
     // q213: same generated day spine (both ends inclusive), same ISO
     // weekday fold.
     "q213_calendar_spine" ->

@@ -4059,7 +4059,107 @@ object QueriesCore {
       .orderBy("user_id")
   }
 
+  /** EWMA (α = 1/4) over each event type's daily count series, as an
+    * INTEGER recurrence: sₜ = (yₜ·10⁶ + 3·sₜ₋₁) DIV 4, s₁ = y₁·10⁶ —
+    * floor-fixed-point, so the entire trajectory is exact and
+    * engine-portable (the q115 rule applied to a scan, not a join
+    * loop). Spark folds the recurrence in ONE `aggregate()` lambda
+    * over the per-type sorted day array — no driver loop, no N-round
+    * join plan — while the oracle replays it as a recursive CTE. The
+    * array is |days|-sized (the series, not the facts).
+    */
+  def q217Ewma(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("__y"))
+    daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("__y"))))
+        .as("__s"))
+      .select(col("event_type"),
+        size(col("__s")).cast("bigint").as("n_days"),
+        expr("""CAST(aggregate(
+            slice(transform(__s, x -> x.__y), 2, size(__s) - 1),
+            element_at(__s, 1).__y * 1000000L,
+            (acc, y) -> (y * 1000000L + 3L * acc) DIV 4L)
+          AS BIGINT)""").as("ewma_micros"))
+      .orderBy("event_type")
+  }
+
+  /** Log-domain aggregates — geometric mean and mean-log of order
+    * values per nation: each row contributes floor(ln(cents)·10⁶)
+    * (one pinned IEEE op per row on identical doubles), the sums are
+    * then exact integers under any aggregation order, and the
+    * geometric mean re-exponentiates ONCE from the integer mean-log.
+    * The pattern that makes multiplicative statistics safe on a
+    * cluster — never a float product, never an ordered float sum.
+    */
+  def q218LogStats(s: SparkSession, dir: String): DataFrame = {
+    val n8n = Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        floor(log((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("decimal(18,0)").cast("bigint").cast("double"))
+          * lit(1000000.0)).cast("bigint").as("__ln"))
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n8n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("__ln")).as("sum_ln_micros"))
+      .select(col("n_name"),
+        col("n_orders").cast("bigint").as("n_orders"),
+        col("sum_ln_micros").cast("bigint").as("sum_ln_micros"),
+        floor(exp(expr("CAST(sum_ln_micros DIV n_orders AS BIGINT)")
+          .cast("double") / lit(1000000.0)) * lit(100.0))
+          .cast("bigint").as("geo_mean_x100"))
+      .orderBy("n_name")
+  }
+
+  /** FIFO inventory matching — returns restock, sales consume, and
+    * each sale is allocated against return lots in arrival order: both
+    * streams become half-open intervals on the per-part CUMULATIVE
+    * quantity axis (one window each), and FIFO allocation is exactly
+    * interval overlap — min(ends) − max(starts). The join is an
+    * equi-join on partkey with the overlap as its residual condition;
+    * per-part stream lengths bound the fan-out (at lake scale the
+    * cumulative axis buckets like [[graft.operators.Relational
+    * .intervalJoin]]). All quantities are exact integers.
+    */
+  def q219FifoMatch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def stream(df: DataFrame, pfx: String): DataFrame = {
+      val w = Window.partitionBy("l_partkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.select(col("l_partkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"),
+          col("l_quantity").cast("decimal(18,0)").cast("bigint")
+            .as("__q"))
+        .withColumn(s"${pfx}_end", sum(col("__q")).over(w))
+        .select(col("l_partkey"),
+          (col(s"${pfx}_end") - col("__q")).as(s"${pfx}_start"),
+          col(s"${pfx}_end"))
+    }
+    val li = Tables.lineitem(s, dir)
+    val ret = stream(li.filter(col("l_returnflag") === "R"), "r")
+    val sale = stream(li.filter(col("l_returnflag") =!= "R"), "s")
+    ret.join(sale, Seq("l_partkey"))
+      .filter(col("r_start") < col("s_end") &&
+        col("s_start") < col("r_end"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).cast("bigint").as("n_matches"),
+        sum(least(col("r_end"), col("s_end")) -
+          greatest(col("r_start"), col("s_start")))
+          .cast("bigint").as("matched_qty"))
+      .orderBy("l_partkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q217_ewma" -> q217Ewma _,
+    "q218_log_stats" -> q218LogStats _,
+    "q219_fifo_match" -> q219FifoMatch _,
     "q213_calendar_spine" -> q213CalendarSpine _,
     "q214_percentile_cont" -> q214PercentileCont _,
     "q215_degree_assortativity" -> q215DegreeAssortativity _,

@@ -1542,6 +1542,70 @@ class Round12QueriesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q217: aggregate-lambda EWMA equals a sequential Scala fold") {
+    val got = QueriesCore.q217Ewma(spark, sf)
+      .select("event_type", "n_days", "ewma_micros")
+      .as[(String, Long, Long)].collect().toSeq
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts").cast("date").cast("string"))
+      .as[(String, String)].collect()
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((t, d), y) => (t, d, y) }
+    val want = daily.groupBy(_._1).toSeq.map { case (t, rs) =>
+      val ys = rs.sortBy(_._2).map(_._3)
+      val s = ys.tail.foldLeft(ys.head * 1000000L) { (acc, y) =>
+        (y * 1000000L + 3L * acc) / 4L }
+      (t, ys.size.toLong, s)
+    }.sortBy(_._1)
+    assert(got == want)
+  }
+
+  test("q218: log-domain stats match a Math.log replay; gm <= mean") {
+    val got = QueriesCore.q218LogStats(spark, sf)
+      .select("n_name", "n_orders", "sum_ln_micros", "geo_mean_x100")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val cn = Tables.customer(spark, sf)
+      .select("c_custkey", "c_nationkey").as[(Long, Long)].collect().toMap
+    val nn = Tables.nation(spark, sf)
+      .select("n_nationkey", "n_name").as[(Long, String)].collect().toMap
+    val ords = Tables.orders(spark, sf)
+      .select("o_custkey", "o_totalprice").as[(Long, Double)].collect()
+      .map { case (ck, p) =>
+        (nn(cn(ck)),
+          math.floor(math.log(math.round(p * 100).toDouble) * 1e6).toLong,
+          math.round(p * 100)) }
+    val want = ords.groupBy(_._1).toSeq.map { case (nat, rs) =>
+      val slm = rs.map(_._2).sum
+      val n = rs.size.toLong
+      (nat, n, slm,
+        math.floor(math.exp((slm / n).toDouble / 1e6) * 100.0).toLong)
+    }.sortBy(_._1)
+    assert(got == want)
+    // AM-GM: geometric mean never exceeds the arithmetic mean
+    val am = ords.groupBy(_._1).view.mapValues(rs =>
+      rs.map(_._3).sum / rs.size)
+    assert(got.forall(r => r._4 <= am(r._1) * 100))
+  }
+
+  test("q219: FIFO allocation conserves min(returns, sales) per part") {
+    val got = QueriesCore.q219FifoMatch(spark, sf)
+      .select("l_partkey", "matched_qty")
+      .as[(Long, Long)].collect().toMap
+    val li = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_returnflag", "l_quantity")
+      .as[(Long, String, Double)].collect()
+      .map(r => (r._1, r._2 == "R", r._3.toLong))
+    val perPart = li.groupBy(_._1).view.mapValues { rs =>
+      (rs.filter(_._2).map(_._3).sum, rs.filterNot(_._2).map(_._3).sum)
+    }.toMap
+    // total FIFO allocation per part = overlap of [0, R) and [0, S)
+    perPart.foreach { case (pk, (r, s)) =>
+      val expect = math.min(r, s)
+      assert(got.getOrElse(pk, 0L) == expect,
+        s"part $pk: matched=${got.get(pk)} expected=$expect")
+    }
+  }
+
   test("q189: trigram-probed search equals the naive contains scan") {
     val got = QueriesText.q189TrigramSearch(spark, sf)
       .as[(String, Long)].collect().toSet
