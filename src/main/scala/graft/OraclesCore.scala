@@ -53,6 +53,77 @@ object OraclesCore {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q220: the oracle is the PLAIN join — proving the Bloom prune
+    // changed nothing.
+    "q220_runtime_bloom_join" ->
+      """SELECT s.s_suppkey, s.s_name,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |    * 100 AS DECIMAL(18,0)) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |WHERE s.s_nationkey = 7
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // q221: same planted drift, same md5-prefix digests, same
+    // chunk-summary-then-drill protocol.
+    "q221_table_reconcile" ->
+      """WITH a AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(18,0)) AS BIGINT) AS c
+        |  FROM orders),
+        |b AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 1009 = 0 THEN c + 1 ELSE c END AS c
+        |  FROM a WHERE o_orderkey % 2003 <> 0),
+        |pa AS (
+        |  SELECT o_orderkey, o_orderkey // 1000 AS chunk,
+        |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+        |      || CAST(c AS VARCHAR)), 1, 8))::BIGINT AS d
+        |  FROM a),
+        |pb AS (
+        |  SELECT o_orderkey, o_orderkey // 1000 AS chunk,
+        |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+        |      || CAST(c AS VARCHAR)), 1, 8))::BIGINT AS d
+        |  FROM b),
+        |ca AS (SELECT chunk, count(*) AS na, sum(d) AS da
+        |  FROM pa GROUP BY 1),
+        |cb AS (SELECT chunk, count(*) AS nb, sum(d) AS db
+        |  FROM pb GROUP BY 1),
+        |bad AS (
+        |  SELECT coalesce(ca.chunk, cb.chunk) AS chunk
+        |  FROM ca FULL OUTER JOIN cb ON ca.chunk = cb.chunk
+        |  WHERE coalesce(na, -1) <> coalesce(nb, -1)
+        |    OR coalesce(da, -1) <> coalesce(db, -1)),
+        |ra AS (SELECT pa.* FROM pa JOIN bad USING (chunk)),
+        |rb AS (SELECT pb.* FROM pb JOIN bad USING (chunk))
+        |SELECT coalesce(ra.o_orderkey, rb.o_orderkey) AS o_orderkey,
+        |  CAST(ra.chunk AS BIGINT) AS chunk,
+        |  CASE WHEN rb.o_orderkey IS NULL THEN 'only_a'
+        |    WHEN ra.o_orderkey IS NULL THEN 'only_b'
+        |    ELSE 'changed' END AS status
+        |FROM ra FULL OUTER JOIN rb ON ra.o_orderkey = rb.o_orderkey
+        |WHERE ra.d IS NULL OR rb.d IS NULL OR ra.d <> rb.d
+        |ORDER BY 1""".stripMargin,
+
+    // q222: same daily fold and cross-multiplied index.
+    "q222_seasonal_index" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(18,0)) AS BIGINT)) AS r
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT count(*) AS n, sum(r) AS t FROM d)
+        |SELECT CAST(isodow(day) AS INTEGER) AS isodow,
+        |  CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(r) AS BIGINT) AS rev_cents,
+        |  CAST((CAST(sum(r) AS HUGEINT) * max(a.n) * 1000000)
+        |    // (CAST(count(*) AS HUGEINT) * max(a.t)) AS BIGINT)
+        |    AS seasonal_index_micros
+        |FROM d CROSS JOIN a
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // q217: the same integer recurrence replayed as a recursive CTE
     // (row rn joins to rn+1), floor-division per step.
     "q217_ewma" ->

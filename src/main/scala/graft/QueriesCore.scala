@@ -4156,7 +4156,120 @@ object QueriesCore {
       .orderBy("l_partkey")
   }
 
+  /** Runtime Bloom-filter join pruning (sideways information passing):
+    * the selective dimension's key set becomes a Bloom sketch applied
+    * to the FACT SCAN as a map-only pre-filter, so at shuffle-join
+    * scale the fact side sheds ~all non-matching rows before any
+    * exchange. False positives are harmless — the join re-verifies —
+    * so the result is EXACTLY the plain join (which is the oracle: the
+    * optimization is proven semantics-free, not just plausible). The
+    * sketch is built with one job on the dimension side, the side that
+    * is never 100 TB.
+    */
+  def q220RuntimeBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val dim = Tables.supplier(s, dir)
+      .filter(col("s_nationkey") === 7)
+      .select(col("s_suppkey"), col("s_name"))
+    val nDim = dim.count()
+    // an EMPTY dimension admits nothing — the degenerate runtime
+    // filter is `false`, and building a 0-item sketch is undefined
+    val prune: Column = if (nDim == 0) lit(false) else {
+      val bloom = dim.stat.bloomFilter("s_suppkey", nDim, 0.001)
+      val bytes = {
+        val b = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(b); b.toByteArray
+      }
+      val bloomLit = Literal.create(bytes,
+        org.apache.spark.sql.types.BinaryType)
+      ColumnBridge.column(BloomFilterMightContain(bloomLit,
+        ColumnBridge.expression(col("l_suppkey"))))
+    }
+    val pruned = Tables.lineitem(s, dir).filter(prune)
+    pruned.join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_suppkey", "s_name")
+      .agg(count(lit(1)).cast("bigint").as("n_items"),
+        sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("decimal(18,0)").cast("bigint")).cast("bigint")
+          .as("rev_cents"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Merkle-style table reconciliation — the anti-entropy sweep two
+    * replicas run without shipping full rows: per-row md5 digests fold
+    * into per-CHUNK (key DIV 1000) integer sums, chunk summaries
+    * compare first (|chunks| rows cross the wire), and only rows of
+    * MISMATCHED chunks are exchanged and diffed. Replica B is replica
+    * A with planted drift — keys ≡0 mod 2003 deleted, ≡0 mod 1009
+    * repriced — so the probe has known answers. Digest sums are exact
+    * longs; the md5 prefix convention is the portable q55 one.
+    */
+  def q221TableReconcile(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(s, dir).select(col("o_orderkey"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("bigint").as("__c"))
+    val b = a.filter(pmod(col("o_orderkey"), lit(2003)) =!= 0)
+      .withColumn("__c", when(pmod(col("o_orderkey"), lit(1009)) === 0,
+        col("__c") + 1).otherwise(col("__c")))
+    def prep(df: DataFrame): DataFrame = df.select(col("o_orderkey"),
+      expr("CAST(o_orderkey DIV 1000 AS BIGINT)").as("chunk"),
+      graft.operators.Scale.md5Prefix32(
+        concat_ws(":", col("o_orderkey"), col("__c"))).as("__d"))
+    val pa = prep(a)
+    val pb = prep(b)
+    def chunks(df: DataFrame, n: String, d: String): DataFrame =
+      df.groupBy("chunk")
+        .agg(count(lit(1)).as(n), sum(col("__d")).as(d))
+    val bad = chunks(pa, "__na", "__da")
+      .join(chunks(pb, "__nb", "__db"), Seq("chunk"), "full_outer")
+      .filter(coalesce(col("__na"), lit(-1L)) =!=
+          coalesce(col("__nb"), lit(-1L)) ||
+        coalesce(col("__da"), lit(-1L)) =!=
+          coalesce(col("__db"), lit(-1L)))
+      .select(col("chunk"))
+    val ra = pa.join(broadcast(bad), Seq("chunk"))
+    val rb = pb.join(broadcast(bad), Seq("chunk"))
+    ra.select(col("chunk"), col("o_orderkey"), col("__d").as("__d_a"))
+      .join(rb.select(col("o_orderkey"), col("__d").as("__d_b")),
+        Seq("o_orderkey"), "full_outer")
+      .filter(col("__d_a").isNull || col("__d_b").isNull ||
+        col("__d_a") =!= col("__d_b"))
+      .select(col("o_orderkey"), col("chunk").cast("bigint").as("chunk"),
+        when(col("__d_b").isNull, "only_a")
+          .when(col("__d_a").isNull, "only_b")
+          .otherwise("changed").as("status"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Weekly seasonal index of daily revenue — avg(dow) / avg(overall)
+    * per ISO weekday, CROSS-MULTIPLIED to micros over exact integer
+    * sums (no divided averages anywhere, the q140 rule). Facts fold to
+    * the daily series first; the index is |7| rows against one 1-row
+    * broadcast.
+    */
+  def q222SeasonalIndex(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("bigint")).as("__r"))
+    val all = daily.agg(count(lit(1)).as("__n"), sum(col("__r")).as("__t"))
+    daily.groupBy((weekday(col("day")) + 1).as("isodow"))
+      .agg(count(lit(1)).as("__nd"), sum(col("__r")).as("__rd"))
+      .crossJoin(broadcast(all))
+      .select(col("isodow"),
+        col("__nd").cast("bigint").as("n_days"),
+        col("__rd").cast("bigint").as("rev_cents"),
+        expr("CAST((CAST(__rd AS DECIMAL(38,0)) * __n * 1000000) DIV " +
+          "(CAST(__nd AS DECIMAL(38,0)) * __t) AS BIGINT)")
+          .as("seasonal_index_micros"))
+      .orderBy("isodow")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q220_runtime_bloom_join" -> q220RuntimeBloomJoin _,
+    "q221_table_reconcile" -> q221TableReconcile _,
+    "q222_seasonal_index" -> q222SeasonalIndex _,
     "q217_ewma" -> q217Ewma _,
     "q218_log_stats" -> q218LogStats _,
     "q219_fifo_match" -> q219FifoMatch _,

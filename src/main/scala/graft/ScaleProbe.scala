@@ -82,7 +82,11 @@ object ScaleProbe {
 
     val probes = Seq("q125_sparse_cosine", "q72_containment",
       "q36_minhash_lsh", "q78_span_dedup", "q153_setsim_join",
-      "q01_pricing_summary", "q139_star_join", "q143_only_returner")
+      "q01_pricing_summary", "q139_star_join", "q143_only_returner",
+      // round-12 wave 6: per-group rank windows, cumulative-interval
+      // FIFO join, distinct+degree moments, RAKE text pipeline
+      "q214_percentile_cont", "q219_fifo_match",
+      "q215_degree_assortativity", "q206_rake_keywords")
     def time(fn: => DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()
       val df = fn

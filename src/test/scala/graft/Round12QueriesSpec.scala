@@ -1606,6 +1606,60 @@ class Round12QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q220: bloom-pruned join result is EXACTLY the plain join") {
+    val got = QueriesCore.q220RuntimeBloomJoin(spark, sf)
+      .select("s_suppkey", "n_items", "rev_cents")
+      .as[(Long, Long, Long)].collect().toSeq
+    val dim = Tables.supplier(spark, sf)
+      .filter(col("s_nationkey") === 7)
+      .select("s_suppkey").as[Long].collect().toSet
+    val want = Tables.lineitem(spark, sf)
+      .select("l_suppkey", "l_extendedprice")
+      .as[(Long, Double)].collect()
+      .filter(r => dim(r._1))
+      .groupBy(_._1).toSeq
+      .map { case (sk, rs) =>
+        (sk, rs.size.toLong, rs.map(r => math.round(r._2 * 100)).sum) }
+      .sortBy(_._1)
+    assert(got == want)
+  }
+
+  test("q221: reconciliation recovers exactly the planted drift") {
+    val got = QueriesCore.q221TableReconcile(spark, sf)
+      .select("o_orderkey", "status")
+      .as[(Long, String)].collect().toSet
+    val keys = Tables.orders(spark, sf)
+      .select("o_orderkey").as[Long].collect()
+    val want = keys.collect {
+      case k if k % 2003 == 0 => (k, "only_a")
+      case k if k % 1009 == 0 => (k, "changed")
+    }.toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("q222: seasonal index matches a cross-multiplied replay") {
+    val got = QueriesCore.q222SeasonalIndex(spark, sf)
+      .select("isodow", "n_days", "rev_cents", "seasonal_index_micros")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    val daily = Tables.orders(spark, sf)
+      .select(col("o_orderdate").cast("date").cast("string"),
+        col("o_totalprice"))
+      .as[(String, Double)].collect()
+      .groupBy(_._1).toSeq
+      .map { case (d, rs) =>
+        (java.time.LocalDate.parse(d), rs.map(r => math.round(r._2 * 100)).sum) }
+    val (nAll, tAll) = (daily.size.toLong, daily.map(_._2).sum)
+    val want = daily.groupBy(_._1.getDayOfWeek.getValue).toSeq
+      .map { case (dw, ds) =>
+        val rd = ds.map(_._2).sum
+        (dw, ds.size.toLong, rd,
+          (BigInt(rd) * nAll * 1000000 /
+            (BigInt(ds.size) * tAll)).toLong)
+      }.sortBy(_._1)
+    assert(got == want)
+  }
+
   test("q189: trigram-probed search equals the naive contains scan") {
     val got = QueriesText.q189TrigramSearch(spark, sf)
       .as[(String, Long)].collect().toSet
