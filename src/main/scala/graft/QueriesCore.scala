@@ -4216,8 +4216,10 @@ object QueriesCore {
       expr("CAST(o_orderkey DIV 1000 AS BIGINT)").as("chunk"),
       graft.operators.Scale.md5Prefix32(
         concat_ws(":", col("o_orderkey"), col("__c"))).as("__d"))
-    val pa = prep(a)
-    val pb = prep(b)
+    // each digest table feeds its chunk summary AND the drill probe —
+    // pin once or the md5 scan runs twice per side (the q125 lesson)
+    val pa = prep(a).localCheckpoint()
+    val pb = prep(b).localCheckpoint()
     def chunks(df: DataFrame, n: String, d: String): DataFrame =
       df.groupBy("chunk")
         .agg(count(lit(1)).as(n), sum(col("__d")).as(d))
