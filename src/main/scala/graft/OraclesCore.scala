@@ -52,6 +52,22 @@ object OraclesCore {
         s"((($yc >> $i) & 1) * ${1L << (2 * i + 1)})"
     }.mkString(" + ")
 
+  private val twapSql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(floor(value * 1000000.0) AS BIGINT) AS v,
+      |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS nt
+      |  FROM events),
+      |iv AS (
+      |  SELECT user_id, v, nt - epoch_us(ts) AS dt
+      |  FROM e WHERE nt IS NOT NULL)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+      |  CAST(sum(dt) AS BIGINT) AS span_micros,
+      |  CAST(sum(CAST(v AS HUGEINT) * dt)
+      |    // sum(dt) AS BIGINT) AS twap_micros
+      |FROM iv GROUP BY 1 ORDER BY user_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // q220: the oracle is the PLAIN join — proving the Bloom prune
     // changed nothing.
@@ -288,23 +304,12 @@ object OraclesCore {
         |FROM x""".stripMargin,
 
     // q216: same micro-floored values, same lead-defined intervals,
-    // one DIV at the end.
-    "q216_twap" ->
-      """WITH e AS (
-        |  SELECT user_id, ts, event_id,
-        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v,
-        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS nt
-        |  FROM events),
-        |iv AS (
-        |  SELECT user_id, v, nt - epoch_us(ts) AS dt
-        |  FROM e WHERE nt IS NOT NULL)
-        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
-        |  CAST(sum(dt) AS BIGINT) AS span_micros,
-        |  CAST(sum(CAST(v AS HUGEINT) * dt)
-        |    // sum(dt) AS BIGINT) AS twap_micros
-        |FROM iv GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // one DIV at the end. q223 (the streaming TWAP) shares this SQL
+    // verbatim: the stream must reproduce the batch sweep exactly.
+    "q216_twap" -> twapSql,
+    "q223_stream_twap" -> twapSql,
 
+    
     // q210: same ordinal symbols, same lag/cumsum run numbering.
     "q210_sax_runs" ->
       """WITH d AS (

@@ -4268,7 +4268,71 @@ object QueriesCore {
       .orderBy("isodow")
   }
 
+  /** Streaming TWAP — [[graft.streaming.TwapStream]] driven by three
+    * time-sliced micro-batches with pinned arrival order (the q105
+    * harness), then the decimal-exact interval fold. The oracle is
+    * q216's BATCH SQL verbatim: the stream must reproduce the batch
+    * lag-sweep exactly, completed interval by completed interval.
+    */
+  def q223StreamTwap(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.events(s, dir)
+    val root = java.nio.file.Files.createTempDirectory("q223-stream").toString
+    val src = s"$root/src"
+    val bounds = Seq("1900-01-01", "2024-01-11", "2024-01-21", "2100-01-01")
+    bounds.sliding(2).zipWithIndex.foreach {
+      case (Seq(a, b), i) =>
+        raw.filter(col("ts") >= lit(a).cast("timestamp") &&
+            col("ts") < lit(b).cast("timestamp"))
+          .coalesce(1).write.mode("append").parquet(src)
+        val base = 1000000000000L
+        val ls = java.nio.file.Files.list(java.nio.file.Paths.get(src))
+        try ls.filter(p => p.toString.endsWith(".parquet")).forEach { p =>
+          if (java.nio.file.Files.getLastModifiedTime(p).toMillis >
+              base + 86400000L)
+            java.nio.file.Files.setLastModifiedTime(p,
+              java.nio.file.attribute.FileTime
+                .fromMillis(base + i * 60000L))
+        } finally ls.close()
+      case _ => ()
+    }
+    val name = java.nio.file.Paths.get(root).getFileName.toString
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    try {
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val events = graft.streaming.EventsStream
+          .readEvents(s, src, maxFilesPerTrigger = Some(1))
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as(org.apache.spark.sql.Encoders
+            .product[graft.streaming.EventsStream.Event])
+        graft.streaming.TwapStream.intervals(events)
+          .toDF()
+          .writeStream.outputMode("append").format("memory")
+          .queryName(name).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      q.processAllAvailable()
+      q.stop()
+      val out = s.table(name)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dt_micros")).as("__den"),
+          sum(col("v_micros").cast("decimal(38,0)") * col("dt_micros"))
+            .as("__num"))
+        .select(col("user_id"),
+          col("n_intervals").cast("bigint").as("n_intervals"),
+          col("__den").cast("bigint").as("span_micros"),
+          expr("CAST(__num DIV __den AS BIGINT)").as("twap_micros"))
+        .orderBy("user_id")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(name)
+      out
+    } finally TmpTrees.delete(root)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q223_stream_twap" -> q223StreamTwap _,
     "q220_runtime_bloom_join" -> q220RuntimeBloomJoin _,
     "q221_table_reconcile" -> q221TableReconcile _,
     "q222_seasonal_index" -> q222SeasonalIndex _,

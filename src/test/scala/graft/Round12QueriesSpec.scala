@@ -1660,6 +1660,17 @@ class Round12QueriesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q223: streaming TWAP over 3 micro-batches equals the batch sweep") {
+    val stream = QueriesCore.q223StreamTwap(spark, sf)
+      .select("user_id", "n_intervals", "span_micros", "twap_micros")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val batch = QueriesCore.q216Twap(spark, sf)
+      .select("user_id", "n_intervals", "span_micros", "twap_micros")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(stream == batch)
+    assert(stream.nonEmpty)
+  }
+
   test("q189: trigram-probed search equals the naive contains scan") {
     val got = QueriesText.q189TrigramSearch(spark, sf)
       .as[(String, Long)].collect().toSet
