@@ -3854,7 +3854,6 @@ object QueriesCore {
       trans.groupBy("src").agg(sum(col("__c")).as("__s")), Seq("src"))
       .localCheckpoint()
     val states = edges.select(col("src").as("event_type")).distinct()
-    val k = lit(5) // event-type cardinality is part of the data contract
     var pi = states.select(col("event_type"),
       expr("CAST(1000000L DIV 5 AS BIGINT)").as("pi_micros"))
     for (_ <- 1 to 6) {
