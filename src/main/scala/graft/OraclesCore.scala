@@ -69,6 +69,109 @@ object OraclesCore {
       |FROM iv GROUP BY 1 ORDER BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q224: same per-column row_number ranks (tie order is irrelevant
+    // to the rank→value mapping), same integer rank-wise mean.
+    "q224_quantile_norm" ->
+      """WITH li AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(18,0)) AS BIGINT) AS p,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS d
+        |  FROM lineitem),
+        |rq AS (SELECT row_number() OVER (ORDER BY q) AS rank, q AS v
+        |  FROM li),
+        |rp AS (SELECT row_number() OVER (ORDER BY p) AS rank, p AS v
+        |  FROM li),
+        |rd AS (SELECT row_number() OVER (ORDER BY d) AS rank, d AS v
+        |  FROM li)
+        |SELECT CAST(rq.rank AS BIGINT) AS rank,
+        |  CAST(((rq.v + rp.v + rd.v) * 1000000) // 3 AS BIGINT)
+        |    AS ref_micros
+        |FROM rq JOIN rp USING (rank) JOIN rd USING (rank)
+        |ORDER BY rank""".stripMargin,
+
+    // q225: same cohort fold, same integer month arithmetic, same
+    // cumulative window and per-capita DIV.
+    "q225_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+        |      AS m,
+        |    CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(18,0)) AS BIGINT) AS c
+        |  FROM orders),
+        |ch AS (SELECT o_custkey, min(m) AS cm FROM o GROUP BY 1),
+        |sz AS (SELECT cm, count(*) AS sz FROM ch GROUP BY 1),
+        |cell AS (
+        |  SELECT ch.cm, o.m - ch.cm AS "offset", sum(o.c) AS rev
+        |  FROM o JOIN ch ON o.o_custkey = ch.o_custkey
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cm, "offset",
+        |    sum(rev) OVER (PARTITION BY cm ORDER BY "offset"
+        |      ROWS UNBOUNDED PRECEDING) AS cumrev
+        |  FROM cell)
+        |SELECT cm AS cohort_month, "offset",
+        |  CAST(sz.sz AS BIGINT) AS cohort_size,
+        |  CAST(cumrev AS BIGINT) AS cum_rev_cents,
+        |  CAST(CAST(cumrev AS HUGEINT) * 1000000 // sz.sz AS BIGINT)
+        |    AS ltv_micros
+        |FROM cum JOIN sz USING (cm)
+        |ORDER BY cohort_month, "offset"""".stripMargin,
+
+    // q226: same conditional-min anchors and 24 h windows.
+    "q226_strict_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |s1 AS (
+        |  SELECT user_id, min(t) AS t1 FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.t) AS t2
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.t > s1.t1
+        |    AND e.t <= s1.t1 + 86400000000
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.t) AS t3
+        |  FROM e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.t > s2.t2
+        |    AND e.t <= s2.t2 + 86400000000
+        |  GROUP BY 1)
+        |SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_signup,
+        |  CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_view_24h,
+        |  CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_purchase_24h
+        |""".stripMargin,
+
+    // q227: same two-aggregate flag/product pipeline, 10 pairs, no
+    // pairwise join.
+    "q227_segment_overlap" -> {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+        "MACHINERY")
+      val flagCols = segs.map(g =>
+        s"max(CASE WHEN c_mktsegment = '$g' THEN 1 ELSE 0 END) AS f_$g")
+        .mkString(",\n        |    ")
+      val unions = segs.combinations(2).toSeq.map { case Seq(a, b) =>
+        s"""SELECT '$a' AS seg_a, '$b' AS seg_b,
+           |  CAST(sum(f_$a) AS BIGINT) AS n_a,
+           |  CAST(sum(f_$b) AS BIGINT) AS n_b,
+           |  CAST(sum(f_$a * f_$b) AS BIGINT) AS n_both,
+           |  CAST(sum(f_$a * f_$b) * 1000000
+           |    // (sum(f_$a) + sum(f_$b) - sum(f_$a * f_$b))
+           |    AS BIGINT) AS jaccard_micros
+           |FROM fl""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH fl AS (
+         |  SELECT l.l_partkey,
+         |    $flagCols
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  GROUP BY 1)
+         |$unions
+         |ORDER BY seg_a, seg_b""".stripMargin
+    },
+
     // q220: the oracle is the PLAIN join — proving the Bloom prune
     // changed nothing.
     "q220_runtime_bloom_join" ->

@@ -4330,7 +4330,147 @@ object QueriesCore {
     } finally TmpTrees.delete(root)
   }
 
+  /** Quantile normalization (the bioinformatics/feature-prep op):
+    * three columns of different scales are forced onto ONE reference
+    * distribution — the rank-wise mean. Each column contributes a
+    * total-order rank (ties broken by row identity; a distributed
+    * sort, which is exactly what the op demands), and the reference
+    * value at each rank is the exact integer mean in micros. Output is
+    * the |n|-row reference distribution itself.
+    */
+  def q224QuantileNorm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast("decimal(18,0)").cast("bigint").as("__q"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("bigint").as("__p"),
+      (col("l_discount").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("bigint").as("__d"))
+    def ranked(c: String): DataFrame =
+      li.select(col(c).as("v"))
+        .withColumn("rank", row_number().over(Window.orderBy(col("v"))))
+    val joined = ranked("__q").withColumnRenamed("v", "vq")
+      .join(ranked("__p").withColumnRenamed("v", "vp"), Seq("rank"))
+      .join(ranked("__d").withColumnRenamed("v", "vd"), Seq("rank"))
+    joined.select(col("rank").cast("bigint").as("rank"),
+      expr("CAST(((vq + vp + vd) * 1000000L) DIV 3 AS BIGINT)")
+        .as("ref_micros"))
+      .orderBy("rank")
+  }
+
+  /** Cohort LTV curve — cumulative revenue per signup cohort at each
+    * month offset, per capita in exact micros: cohort = first-order
+    * month (one fold), offsets by integer month arithmetic, the
+    * cumulative sweep one window over the |cohorts × offsets| rollup,
+    * and LTV-per-customer a single DIV against the broadcast cohort
+    * sizes.
+    */
+  def q225CohortLtv(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir).select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("bigint").as("__m"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("bigint").as("__c"))
+    val cohort = o.groupBy("o_custkey").agg(min(col("__m")).as("__cm"))
+    val sizes = cohort.groupBy("__cm").agg(count(lit(1)).as("__sz"))
+    val cells = o.join(cohort, Seq("o_custkey"))
+      .groupBy(col("__cm"), (col("__m") - col("__cm")).as("offset"))
+      .agg(sum(col("__c")).as("__rev"))
+    val w = Window.partitionBy("__cm").orderBy("offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.withColumn("__cum", sum(col("__rev")).over(w))
+      .join(broadcast(sizes), Seq("__cm"))
+      .select(col("__cm").cast("bigint").as("cohort_month"),
+        col("offset").cast("bigint").as("offset"),
+        col("__sz").cast("bigint").as("cohort_size"),
+        col("__cum").cast("bigint").as("cum_rev_cents"),
+        expr("CAST((CAST(__cum AS DECIMAL(38,0)) * 1000000) DIV __sz " +
+          "AS BIGINT)").as("ltv_micros"))
+      .orderBy("cohort_month", "offset")
+  }
+
+  /** Strict time-boxed funnel — signup → view → purchase where each
+    * step must land within 24 h of the PREVIOUS step's first
+    * qualifying time (q103's loose funnel can credit a view from
+    * weeks later; conversion analysis usually can't). Three
+    * conditional-min folds, each a broadcast join of the previous
+    * stage's per-user anchor — no window over the raw event stream,
+    * no self-join explosion.
+    */
+  def q226StrictFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("__t"))
+    val day = 86400000000L
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("__t")).as("__t1"))
+    val s2 = ev.filter(col("event_type") === "view")
+      .join(s1, Seq("user_id"))
+      .filter(col("__t") > col("__t1") && col("__t") <= col("__t1") + day)
+      .groupBy("user_id").agg(min(col("__t")).as("__t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("__t") > col("__t2") && col("__t") <= col("__t2") + day)
+      .groupBy("user_id").agg(min(col("__t")).as("__t3"))
+    s1.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_view_24h")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_purchase_24h")))
+      .select(col("n_signup").cast("bigint").as("n_signup"),
+        col("n_view_24h").cast("bigint").as("n_view_24h"),
+        col("n_purchase_24h").cast("bigint").as("n_purchase_24h"))
+  }
+
+  /** Audience-overlap (Jaccard) matrix between market segments over
+    * the parts they purchase — "how distinct are these audiences":
+    * per-part segment FLAGS come out of one aggregate, and ALL
+    * pairwise intersections are flag-product sums in the same second
+    * aggregate — 10 pairs, two passes total, never a pairwise join.
+    * Jaccard in exact DIV micros.
+    */
+  def q227SegmentOverlap(s: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY")
+    val flags = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("l_partkey")
+      .agg(segs.map(g =>
+        max(when(col("c_mktsegment") === g, 1L).otherwise(0L))
+          .as(s"__f_$g")).head,
+        segs.map(g =>
+          max(when(col("c_mktsegment") === g, 1L).otherwise(0L))
+            .as(s"__f_$g")).tail: _*)
+    val pairs = segs.combinations(2).toSeq.map { case Seq(a, b) =>
+      (a, b)
+    }
+    val aggs = segs.map(g => sum(col(s"__f_$g")).as(s"__n_$g")) ++
+      pairs.map { case (a, b) =>
+        sum(col(s"__f_$a") * col(s"__f_$b")).as(s"__i_${a}_$b")
+      }
+    val m = flags.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(a).as("seg_a"), lit(b).as("seg_b"),
+        col(s"__n_$a").cast("bigint").as("n_a"),
+        col(s"__n_$b").cast("bigint").as("n_b"),
+        col(s"__i_${a}_$b").cast("bigint").as("n_both"),
+        expr(s"CAST((__i_${a}_$b * 1000000L) DIV " +
+          s"(__n_$a + __n_$b - __i_${a}_$b) AS BIGINT)")
+          .as("jaccard_micros"))
+    }
+    m.select(explode(array(rows: _*)).as("r")).select("r.*")
+      .orderBy("seg_a", "seg_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q224_quantile_norm" -> q224QuantileNorm _,
+    "q225_cohort_ltv" -> q225CohortLtv _,
+    "q226_strict_funnel" -> q226StrictFunnel _,
+    "q227_segment_overlap" -> q227SegmentOverlap _,
     "q223_stream_twap" -> q223StreamTwap _,
     "q220_runtime_bloom_join" -> q220RuntimeBloomJoin _,
     "q221_table_reconcile" -> q221TableReconcile _,

@@ -1671,6 +1671,94 @@ class Round12QueriesSpec extends AnyFunSuite {
     assert(stream.nonEmpty)
   }
 
+  test("q224: quantile-normalized reference matches a three-sort replay") {
+    val got = QueriesCore.q224QuantileNorm(spark, sf)
+      .select("rank", "ref_micros").as[(Long, Long)].collect().toSeq
+      .sortBy(_._1)
+    val li = Tables.lineitem(spark, sf)
+      .select("l_quantity", "l_extendedprice", "l_discount")
+      .as[(Double, Double, Double)].collect()
+    val q = li.map(_._1.toLong).sorted
+    val p = li.map(r => math.round(r._2 * 100)).sorted
+    val d = li.map(r => math.round(r._3 * 100)).sorted
+    val want = (0 until li.length).map(i =>
+      (i + 1L, (q(i) + p(i) + d(i)) * 1000000L / 3))
+    assert(got == want)
+    // reference distribution is monotone by construction
+    assert(got.map(_._2) == got.map(_._2).sorted)
+  }
+
+  test("q225: cohort LTV curve matches a per-customer replay") {
+    val got = QueriesCore.q225CohortLtv(spark, sf)
+      .select("cohort_month", "offset", "cohort_size", "cum_rev_cents")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val o = Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long"),
+        col("o_totalprice"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2, math.round(r._3 * 100)))
+    val cm = o.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val sizes = cm.values.groupBy(identity).view.mapValues(_.size.toLong)
+    val cells = o.groupBy(r => (cm(r._1), r._2 - cm(r._1))).view
+      .mapValues(_.map(_._3).sum).toSeq
+    val want = cells.groupBy(_._1._1).toSeq.flatMap { case (c, rs) =>
+      val sorted = rs.sortBy(_._1._2)
+      sorted.scanLeft((0L, 0L)) { case ((_, acc), ((_, off), rev)) =>
+        (off, acc + rev) }.tail
+        .map { case (off, cum) => (c, off, sizes(c), cum) }
+    }.sortBy(r => (r._1, r._2))
+    assert(got == want)
+    // cumulative revenue is monotone within each cohort
+    got.groupBy(_._1).values.foreach { g =>
+      val vs = g.sortBy(_._2).map(_._4)
+      assert(vs == vs.sorted)
+    }
+  }
+
+  test("q226: strict funnel matches an anchor-chain replay; monotone") {
+    val got = QueriesCore.q226StrictFunnel(spark, sf)
+      .as[(Long, Long, Long)].collect().head
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .as[(Long, String, Long)].collect()
+    val day = 86400000000L
+    val byUser = ev.groupBy(_._1)
+    val t1 = byUser.flatMap { case (u, es) =>
+      es.filter(_._2 == "signup").map(_._3).minOption.map(u -> _) }
+    val t2 = t1.flatMap { case (u, a) =>
+      byUser(u).filter(e => e._2 == "view" && e._3 > a && e._3 <= a + day)
+        .map(_._3).minOption.map(u -> _) }
+    val t3 = t2.flatMap { case (u, a) =>
+      byUser(u).filter(e =>
+        e._2 == "purchase" && e._3 > a && e._3 <= a + day)
+        .map(_._3).minOption.map(u -> _) }
+    assert(got == (t1.size.toLong, t2.size.toLong, t3.size.toLong))
+    assert(got._1 >= got._2 && got._2 >= got._3)
+  }
+
+  test("q227: segment overlap matrix matches a set replay; symmetric-complete") {
+    val got = QueriesCore.q227SegmentOverlap(spark, sf)
+      .select("seg_a", "seg_b", "n_a", "n_b", "n_both")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    val seg = Tables.customer(spark, sf)
+      .select("c_custkey", "c_mktsegment").as[(Long, String)]
+      .collect().toMap
+    val ok = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey").as[(Long, Long)].collect().toMap
+    val partsBySeg = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_orderkey").as[(Long, Long)].collect()
+      .map(r => (seg(ok(r._2)), r._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    got.foreach { case (a, b, na, nb, nboth) =>
+      assert(na == partsBySeg(a).size.toLong)
+      assert(nb == partsBySeg(b).size.toLong)
+      assert(nboth == (partsBySeg(a) & partsBySeg(b)).size.toLong)
+    }
+    assert(got.size == 10)
+  }
+
   test("q189: trigram-probed search equals the naive contains scan") {
     val got = QueriesText.q189TrigramSearch(spark, sf)
       .as[(String, Long)].collect().toSet
