@@ -349,20 +349,28 @@ object QueriesSim {
     * family — the IVF/PQ indexes (q46/q80/q82) are its scale path.
     */
   def q188KnnClassify(s: SparkSession, dir: String): DataFrame = {
+    // micros-quantized vectors ride array<int> (|x| ≤ 0.58 → ≤ 5.8e5),
+    // self-dots precompute once per ROW, and the per-PAIR kernel is
+    // one codegen VecDotI32: Σ(a−b)² = Σa² + Σb² − 2Σab over exact
+    // integers — the identical d2, minus the interpreted
+    // zip_with/aggregate lambda that dominated the 2.2M-pair loop
+    // (4.6 → ~1.5 s isolated at sf0.1)
     val iv = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
       transform(col("embedding").cast("array<double>"),
-        x => floor(x * 1e6).cast("long")).as("iv"))
+        x => floor(x * 1e6).cast("int")).as("iv"))
+      .withColumn("__self",
+        graft.functions.VecOps.vecDotI32(col("iv"), col("iv")))
     val test = iv.filter(pmod(col("vec_id"), lit(10)) === 0)
       .select(col("vec_id").as("q_id"), col("label").as("true_label"),
-        col("iv").as("qv"))
+        col("iv").as("qv"), col("__self").as("__qs"))
     val train = iv.filter(pmod(col("vec_id"), lit(10)) =!= 0)
       .select(col("vec_id").as("t_id"), col("label").as("t_label"),
-        col("iv").as("tv"))
+        col("iv").as("tv"), col("__self").as("__ts"))
     val pairs = test.crossJoin(broadcast(train))
       .select(col("q_id"), col("true_label"), col("t_id"),
         col("t_label"),
-        aggregate(zip_with(col("qv"), col("tv"),
-          (a, b) => (a - b) * (a - b)), lit(0L), (acc, e) => acc + e)
+        (col("__qs") + col("__ts") - lit(2L) *
+          graft.functions.VecOps.vecDotI32(col("qv"), col("tv")))
           .as("d2"))
     graft.plans.TopK.topKPerKey(pairs, Seq("q_id"),
         Seq(("d2", true), ("t_id", true)), 5)
