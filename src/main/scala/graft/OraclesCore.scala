@@ -69,6 +69,73 @@ object OraclesCore {
       |FROM iv GROUP BY 1 ORDER BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q228: estimate from count-table products; actual from the real
+    // join; both exact.
+    "q228_join_size_stats" ->
+      """WITH a AS (SELECT l_partkey FROM lineitem),
+        |b AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+        |ca AS (SELECT l_partkey, count(*) AS c FROM a GROUP BY 1),
+        |cb AS (SELECT l_partkey, count(*) AS c FROM b GROUP BY 1),
+        |ct AS (
+        |  SELECT ca.l_partkey, ca.c * cb.c AS p
+        |  FROM ca JOIN cb ON ca.l_partkey = cb.l_partkey),
+        |t5 AS (
+        |  SELECT p FROM ct ORDER BY p DESC, l_partkey LIMIT 5)
+        |SELECT CAST((SELECT sum(p) FROM ct) AS BIGINT) AS est,
+        |  CAST((SELECT count(*) FROM a JOIN b USING (l_partkey))
+        |    AS BIGINT) AS actual,
+        |  CAST((SELECT sum(p) FROM t5) AS BIGINT) AS top5_contrib,
+        |  CAST((SELECT min(p) FROM t5) AS BIGINT) AS top5_min""".stripMargin,
+
+    // q229: same banded business-key equi-join.
+    "q229_dup_invoices" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(18,0)) AS BIGINT) // 100000 AS band
+        |  FROM orders)
+        |SELECT a.o_custkey, a.band AS amount_band,
+        |  a.o_orderkey AS k1, b.o_orderkey AS k2,
+        |  CAST(abs(date_diff('day', a.d, b.d)) AS BIGINT) AS day_gap
+        |FROM o a JOIN o b
+        |  ON a.o_custkey = b.o_custkey AND a.band = b.band
+        |  AND a.o_orderkey < b.o_orderkey
+        |ORDER BY a.o_custkey, k1, k2""".stripMargin,
+
+    // q230: same fixed bins + Laplace smoothing, per-bin pinned term
+    // micros.
+    "q230_psi_drift" ->
+      """WITH o AS (
+        |  SELECT least(CAST(CAST(CAST(CAST(o_totalprice
+        |      AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS BIGINT)
+        |      // 6000000 AS INTEGER), 9) AS bin,
+        |    year(o_orderdate) <= 1997 AS early
+        |  FROM orders),
+        |c AS (
+        |  SELECT bin,
+        |    sum(CASE WHEN early THEN 1 ELSE 0 END) AS a,
+        |    sum(CASE WHEN early THEN 0 ELSE 1 END) AS b
+        |  FROM o GROUP BY 1),
+        |n AS (
+        |  SELECT sum(CASE WHEN early THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN early THEN 0 ELSE 1 END) AS nb
+        |  FROM o),
+        |f AS (
+        |  SELECT s.bin, coalesce(c.a, 0) AS a, coalesce(c.b, 0) AS b,
+        |    n.na, n.nb
+        |  FROM (SELECT unnest(range(0, 10)) AS bin) s
+        |  LEFT JOIN c ON c.bin = s.bin CROSS JOIN n),
+        |x AS (
+        |  SELECT bin, a, b,
+        |    CAST(a + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE) AS pa,
+        |    CAST(b + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE) AS pb
+        |  FROM f)
+        |SELECT CAST(bin AS INTEGER) AS bin, CAST(a AS BIGINT) AS n_early,
+        |  CAST(b AS BIGINT) AS n_late,
+        |  CAST(floor((pa - pb) * ln(pa / pb) * 1000000.0) AS BIGINT)
+        |    AS psi_term_micros
+        |FROM x ORDER BY bin""".stripMargin,
+
     // q224: same per-column row_number ranks (tie order is irrelevant
     // to the rank→value mapping), same integer rank-wise mean.
     "q224_quantile_norm" ->

@@ -4466,7 +4466,103 @@ object QueriesCore {
       .orderBy("seg_a", "seg_b")
   }
 
+  /** Join-cardinality estimation from per-key count statistics — the
+    * optimizer-stats op: |A ⋈ₖ B| = Σₖ cA(k)·cB(k), computed from two
+    * key-count aggregates and a key-table join WITHOUT running the
+    * fact join — then audited against the actual join count (they
+    * must match exactly; the estimator is exact when the full count
+    * tables are kept, and degrades to a sketch only when they're
+    * truncated). Output: the estimate, the actual, and the top-5
+    * heaviest key contributions (the skew the planner cares about).
+    */
+  def q228JoinSizeStats(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.lineitem(s, dir).select(col("l_partkey"))
+    val b = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R").select(col("l_partkey"))
+    val ca = a.groupBy("l_partkey").agg(count(lit(1)).as("__ca"))
+    val cb = b.groupBy("l_partkey").agg(count(lit(1)).as("__cb"))
+    val contrib = ca.join(cb, Seq("l_partkey"))
+      .select(col("l_partkey"),
+        (col("__ca") * col("__cb")).as("__p"))
+      .localCheckpoint() // feeds the total and the top-5 probe
+    val est = contrib.agg(sum(col("__p")).as("est"))
+    val actual = a.join(b, Seq("l_partkey"))
+      .agg(count(lit(1)).as("actual"))
+    val top = contrib.orderBy(col("__p").desc, col("l_partkey")).limit(5)
+      .agg(sum(col("__p")).as("top5_contrib"),
+        min(col("__p")).as("top5_min"))
+    est.crossJoin(actual).crossJoin(top)
+      .select(col("est").cast("bigint").as("est"),
+        col("actual").cast("bigint").as("actual"),
+        col("top5_contrib").cast("bigint").as("top5_contrib"),
+        col("top5_min").cast("bigint").as("top5_min"))
+  }
+
+  /** Duplicate-invoice detection — the fintech dedup screen: two
+    * orders from the SAME customer in the SAME thousand-dollar amount
+    * band are flagged as suspected duplicates (cent-exact equality
+    * never collides on synthetic amounts; real screens band too). The
+    * join is an equi-join on the (customer, band) business key —
+    * candidate volume is bounded by band-collision counts, never a
+    * time-window cross — with i<j de-mirroring; the day gap ships as
+    * evidence.
+    */
+  def q229DupInvoices(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_custkey"),
+      col("o_orderkey"),
+      col("o_orderdate").cast("date").as("__d"),
+      expr("CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 " +
+        "AS DECIMAL(18,0)) AS BIGINT) DIV 100000").as("__band"))
+    o.select(col("o_custkey"), col("__band"),
+        col("o_orderkey").as("k1"), col("__d").as("d1"))
+      .join(o.select(col("o_custkey"), col("__band"),
+        col("o_orderkey").as("k2"), col("__d").as("d2")),
+        Seq("o_custkey", "__band"))
+      .filter(col("k1") < col("k2"))
+      .select(col("o_custkey"), col("__band").as("amount_band"),
+        col("k1"), col("k2"),
+        abs(datediff(col("d2"), col("d1"))).cast("bigint").as("day_gap"))
+      .orderBy("o_custkey", "k1", "k2")
+  }
+
+  /** Population Stability Index — THE drift monitor for serving
+    * pipelines: early-era (≤1997) vs late-era order-value
+    * distributions over 10 fixed bins, PSI = Σ (pa−pb)·ln(pa/pb).
+    * Laplace-smoothed counts (+1, over n+10) keep every bin defined;
+    * each bin's term is ONE pinned IEEE expression over four exact
+    * integers, floored to micros, and the 10 terms sum as integers
+    * (the q212 no-float-aggregation rule). The bin spine is generated,
+    * so empty bins exist as rows.
+    */
+  def q230PsiDrift(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      least(expr("CAST(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) " +
+        "* 100 AS DECIMAL(18,0)) AS BIGINT) DIV 6000000 AS INT)"),
+        lit(9)).as("bin"),
+      (year(col("o_orderdate")) <= 1997).as("__early"))
+    val counts = o.groupBy("bin").agg(
+      sum(when(col("__early"), 1L).otherwise(0L)).as("__a"),
+      sum(when(!col("__early"), 1L).otherwise(0L)).as("__b"))
+    val spine = s.range(0, 10).select(col("id").cast("int").as("bin"))
+    val full = spine.join(counts, Seq("bin"), "left")
+      .na.fill(0L, Seq("__a", "__b"))
+      .crossJoin(broadcast(o.agg(
+        sum(when(col("__early"), 1L).otherwise(0L)).as("__na"),
+        sum(when(!col("__early"), 1L).otherwise(0L)).as("__nb"))))
+    val pa = (col("__a") + 1).cast("double") / (col("__na") + 10).cast("double")
+    val pb = (col("__b") + 1).cast("double") / (col("__nb") + 10).cast("double")
+    full.select(col("bin"),
+        col("__a").cast("bigint").as("n_early"),
+        col("__b").cast("bigint").as("n_late"),
+        floor((pa - pb) * log(pa / pb) * lit(1000000.0))
+          .cast("bigint").as("psi_term_micros"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q228_join_size_stats" -> q228JoinSizeStats _,
+    "q229_dup_invoices" -> q229DupInvoices _,
+    "q230_psi_drift" -> q230PsiDrift _,
     "q224_quantile_norm" -> q224QuantileNorm _,
     "q225_cohort_ltv" -> q225CohortLtv _,
     "q226_strict_funnel" -> q226StrictFunnel _,

@@ -1759,6 +1759,64 @@ class Round12QueriesSpec extends AnyFunSuite {
     assert(got.size == 10)
   }
 
+  test("q228: count-product estimate equals the actual join size") {
+    val got = QueriesCore.q228JoinSizeStats(spark, sf)
+      .select("est", "actual", "top5_contrib", "top5_min")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got._1 == got._2) // full count tables → estimator is exact
+    val counts = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_returnflag").as[(Long, String)].collect()
+    val ca = counts.groupBy(_._1).view.mapValues(_.size.toLong)
+    val cb = counts.filter(_._2 == "R").groupBy(_._1).view
+      .mapValues(_.size.toLong).toMap
+    val prods = ca.toSeq.flatMap { case (k, c) =>
+      cb.get(k).map(c2 => (k, c * c2)) }
+    assert(got._1 == prods.map(_._2).sum)
+    assert(got._3 == prods.sortBy(r => (-r._2, r._1)).take(5).map(_._2).sum)
+  }
+
+  test("q229: banded duplicate pairs match a collision replay") {
+    val got = QueriesCore.q229DupInvoices(spark, sf)
+      .select("o_custkey", "k1", "k2")
+      .as[(Long, Long, Long)].collect().toSet
+    val o = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2, math.round(r._3 * 100) / 100000))
+    val want = o.groupBy(r => (r._1, r._3)).values.flatMap { g0 =>
+      val g = g0.toSeq
+      for {
+        a <- g; b <- g if a._2 < b._2
+      } yield (a._1, a._2, b._2)
+    }.toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("q230: PSI terms match a smoothed Math.log replay; PSI >= 0") {
+    val got = QueriesCore.q230PsiDrift(spark, sf)
+      .select("bin", "n_early", "n_late", "psi_term_micros")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    val o = Tables.orders(spark, sf)
+      .select(col("o_totalprice"), year(col("o_orderdate")))
+      .as[(Double, Int)].collect()
+      .map(r => (math.min(math.round(r._1 * 100) / 6000000, 9).toInt,
+        r._2 <= 1997))
+    val na = o.count(_._2).toLong
+    val nb = o.size - na
+    val want = (0 until 10).map { bin =>
+      val a = o.count(r => r._1 == bin && r._2).toLong
+      val b = o.count(r => r._1 == bin && !r._2).toLong
+      val pa = (a + 1).toDouble / (na + 10)
+      val pb = (b + 1).toDouble / (nb + 10)
+      (bin, a, b,
+        math.floor((pa - pb) * math.log(pa / pb) * 1000000.0).toLong)
+    }
+    assert(got == want)
+    // each term is (x-y)·ln(x/y) ≥ 0 up to the micro floor
+    assert(got.forall(_._4 >= -1L))
+  }
+
   test("q189: trigram-probed search equals the naive contains scan") {
     val got = QueriesText.q189TrigramSearch(spark, sf)
       .as[(String, Long)].collect().toSet
