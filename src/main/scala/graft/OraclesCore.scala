@@ -69,6 +69,62 @@ object OraclesCore {
       |FROM iv GROUP BY 1 ORDER BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q231: same integer tie-averaged rank sum.
+    "q231_auc_exact" ->
+      """WITH sp AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(18,0)) AS BIGINT)) AS score,
+        |    max(CASE WHEN o_orderdate >= DATE '2001-01-01'
+        |      THEN 1 ELSE 0 END) AS y
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT *, rank() OVER (ORDER BY score) AS rk,
+        |    count(*) OVER (PARTITION BY score) AS tc
+        |  FROM sp),
+        |m AS (
+        |  SELECT sum(CASE WHEN y = 1 THEN 2 * rk + tc - 1 END) AS sr2,
+        |    sum(y) AS np, sum(1 - y) AS nn
+        |  FROM r)
+        |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+        |  CAST((CAST(sr2 AS HUGEINT) - CAST(np AS HUGEINT) * (np + 1))
+        |    * 1000000 // (CAST(2 AS HUGEINT) * np * nn) AS BIGINT)
+        |    AS auc_micros
+        |FROM m""".stripMargin,
+
+    // q232: same ordinal deciles and cross-multiplied rates.
+    "q232_decile_lift" ->
+      """WITH sp AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(18,0)) AS BIGINT)) AS score,
+        |    max(CASE WHEN o_orderdate >= DATE '2001-01-01'
+        |      THEN 1 ELSE 0 END) AS y
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (ORDER BY score DESC, o_custkey) AS rk,
+        |    count(*) OVER () AS n
+        |  FROM sp),
+        |d AS (
+        |  SELECT CAST((rk - 1) * 10 // n AS INTEGER) AS decile, y
+        |  FROM r),
+        |t AS (SELECT count(*) AS nn, sum(y) AS np FROM sp),
+        |g AS (
+        |  SELECT decile, count(*) AS nd, sum(y) AS pd FROM d GROUP BY 1),
+        |c AS (
+        |  SELECT g.*, t.nn, t.np,
+        |    sum(pd) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+        |      AS cp
+        |  FROM g CROSS JOIN t)
+        |SELECT decile, CAST(nd AS BIGINT) AS n_customers,
+        |  CAST(pd AS BIGINT) AS n_pos,
+        |  CAST(pd * 1000000 // nd AS BIGINT) AS response_micros,
+        |  CAST(CAST(pd AS HUGEINT) * nn * 1000000
+        |    // (CAST(nd AS HUGEINT) * np) AS BIGINT) AS lift_micros,
+        |  CAST(cp * 1000000 // np AS BIGINT) AS cum_gain_micros
+        |FROM c ORDER BY decile""".stripMargin,
+
     // q228: estimate from count-table products; actual from the real
     // join; both exact.
     "q228_join_size_stats" ->

@@ -4559,7 +4559,82 @@ object QueriesCore {
       .orderBy("bin")
   }
 
+  /** Exact AUC by rank-sum (Mann–Whitney U) — the model-eval metric
+    * computed without a single float: score = lifetime spend, label =
+    * bought in the final year, ties by AVERAGE rank carried as
+    * 2·avg = 2·rank_min + ties − 1 (an integer), and
+    * AUC = (2U)·10⁶ DIV (2·n⁺·n⁻). One rank window + one tie-count
+    * window + one aggregate — the threshold-sweep definition would
+    * need |thresholds| passes; the rank identity needs one.
+    */
+  def q231AucExact(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir)
+    val spend = o.groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("bigint")).as("__score"),
+        max(when(col("o_orderdate") >= lit("2001-01-01").cast("date"),
+          1L).otherwise(0L)).as("__y"))
+    val r2 = spend
+      .withColumn("__rk", rank().over(Window.orderBy("__score")))
+      .withColumn("__tc",
+        count(lit(1)).over(Window.partitionBy("__score")))
+      .withColumn("__r2", lit(2L) * col("__rk") + col("__tc") - 1L)
+    r2.agg(
+        sum(when(col("__y") === 1L, col("__r2"))).as("__sr2"),
+        sum(col("__y")).as("n_pos"),
+        sum(lit(1L) - col("__y")).as("n_neg"))
+      .select(col("n_pos").cast("bigint").as("n_pos"),
+        col("n_neg").cast("bigint").as("n_neg"),
+        expr("CAST(((__sr2 - CAST(n_pos AS DECIMAL(38,0)) * " +
+          "(n_pos + 1)) * 1000000) DIV " +
+          "(CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg) AS BIGINT)")
+          .as("auc_micros"))
+  }
+
+  /** Decile gains/lift table — the campaign-targeting eval: customers
+    * ranked by score into ordinal deciles ((rank−1)·10 DIV n — no
+    * percentile doubles), per-decile response rate and lift vs the
+    * base rate, both cross-multiplied to micros, plus the cumulative
+    * gain sweep. One window family, one rollup, one 10-row window.
+    */
+  def q232DecileLift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir)
+    val spend = o.groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("bigint")).as("__score"),
+        max(when(col("o_orderdate") >= lit("2001-01-01").cast("date"),
+          1L).otherwise(0L)).as("__y"))
+    val ranked = spend
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__score").desc, col("o_custkey"))))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("decile",
+        expr("CAST(((__rk - 1) * 10) DIV __n AS INT)"))
+    val tot = spend.agg(count(lit(1)).as("__nn"), sum(col("__y")).as("__np"))
+    val byDec = ranked.groupBy("decile")
+      .agg(count(lit(1)).as("__nd"), sum(col("__y")).as("__pd"))
+      .crossJoin(broadcast(tot))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDec.withColumn("__cp", sum(col("__pd")).over(w))
+      .select(col("decile"),
+        col("__nd").cast("bigint").as("n_customers"),
+        col("__pd").cast("bigint").as("n_pos"),
+        expr("CAST((__pd * 1000000L) DIV __nd AS BIGINT)")
+          .as("response_micros"),
+        expr("CAST((CAST(__pd AS DECIMAL(38,0)) * __nn * 1000000) DIV " +
+          "(CAST(__nd AS DECIMAL(38,0)) * __np) AS BIGINT)")
+          .as("lift_micros"),
+        expr("CAST((__cp * 1000000L) DIV __np AS BIGINT)")
+          .as("cum_gain_micros"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q231_auc_exact" -> q231AucExact _,
+    "q232_decile_lift" -> q232DecileLift _,
     "q228_join_size_stats" -> q228JoinSizeStats _,
     "q229_dup_invoices" -> q229DupInvoices _,
     "q230_psi_drift" -> q230PsiDrift _,

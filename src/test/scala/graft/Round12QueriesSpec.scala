@@ -1817,6 +1817,51 @@ class Round12QueriesSpec extends AnyFunSuite {
     assert(got.forall(_._4 >= -1L))
   }
 
+  test("q231: rank-sum AUC equals the pairwise-comparison definition") {
+    val got = QueriesCore.q231AucExact(spark, sf)
+      .select("n_pos", "n_neg", "auc_micros")
+      .as[(Long, Long, Long)].collect().head
+    val sp = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_totalprice"),
+        (col("o_orderdate").cast("date") >= lit("2001-01-01").cast("date"))
+          .cast("long"))
+      .as[(Long, Double, Long)].collect()
+      .groupBy(_._1).toSeq.map { case (_, rs) =>
+        (rs.map(r => math.round(r._2 * 100)).sum, rs.map(_._3).max) }
+    val pos = sp.filter(_._2 == 1L).map(_._1)
+    val neg = sp.filter(_._2 == 0L).map(_._1)
+    // AUC = P(score⁺ > score⁻) + ½P(tie), counted pairwise
+    val wins = pos.map(p => neg.count(_ < p).toLong).sum
+    val ties = pos.map(p => neg.count(_ == p).toLong).sum
+    val aucPairwise =
+      (2 * wins + ties) * 1000000L / (2 * pos.size.toLong * neg.size)
+    assert(got == (pos.size.toLong, neg.size.toLong, aucPairwise))
+  }
+
+  test("q232: decile lift table conserves counts and positives") {
+    val got = QueriesCore.q232DecileLift(spark, sf)
+      .select("decile", "n_customers", "n_pos", "cum_gain_micros")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    val sp = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_totalprice"),
+        (col("o_orderdate").cast("date") >= lit("2001-01-01").cast("date"))
+          .cast("long"))
+      .as[(Long, Double, Long)].collect()
+      .groupBy(_._1).toSeq.map { case (ck, rs) =>
+        (ck, rs.map(r => math.round(r._2 * 100)).sum, rs.map(_._3).max) }
+    assert(got.map(_._2).sum == sp.size.toLong)
+    assert(got.map(_._3).sum == sp.map(_._3).sum)
+    // ordinal deciles replayed
+    val byDec = sp.sortBy(r => (-r._2, r._1)).zipWithIndex
+      .groupBy { case (_, i) => i * 10 / sp.size }
+    got.foreach { case (d, n, p, _) =>
+      assert(n == byDec(d).size.toLong)
+      assert(p == byDec(d).map(_._1._3).sum)
+    }
+    // cumulative gain reaches 100% at the last decile
+    assert(got.maxBy(_._1)._4 == 1000000L)
+  }
+
   test("q189: trigram-probed search equals the naive contains scan") {
     val got = QueriesText.q189TrigramSearch(spark, sf)
       .as[(String, Long)].collect().toSet
