@@ -69,6 +69,32 @@ object OraclesCore {
       |FROM iv GROUP BY 1 ORDER BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q233: same edge build; the traversal replayed as a hop-bounded
+    // recursive CTE folded to min hop.
+    "q233_bfs_hops" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |f AS (
+        |  SELECT l_partkey FROM b GROUP BY 1 HAVING count(*) >= 25),
+        |p AS (SELECT b.* FROM b JOIN f USING (l_partkey)),
+        |pr AS (
+        |  SELECT a.l_partkey AS pa, c.l_partkey AS pb
+        |  FROM p a JOIN p c ON a.l_orderkey = c.l_orderkey
+        |    AND a.l_partkey < c.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |e AS (
+        |  SELECT pa AS src, pb AS dst FROM pr
+        |  UNION ALL SELECT pb, pa FROM pr),
+        |bfs AS (
+        |  SELECT DISTINCT src AS id, 0 AS hop FROM e
+        |  WHERE src % 10 = 0
+        |  UNION ALL
+        |  SELECT e.dst, b.hop + 1 FROM bfs b
+        |  JOIN e ON e.src = b.id WHERE b.hop < 4)
+        |SELECT CAST(id AS BIGINT) AS part_id,
+        |  CAST(min(hop) AS BIGINT) AS hop
+        |FROM bfs GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // q231: same integer tie-averaged rank sum.
     "q231_auc_exact" ->
       """WITH sp AS (

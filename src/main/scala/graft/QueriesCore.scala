@@ -4632,7 +4632,43 @@ object QueriesCore {
       .orderBy("decile")
   }
 
+  /** Multi-source BFS hop distance over the co-purchase graph — the
+    * frontier-expansion traversal (recommendation radius, blast-radius
+    * analysis, seeds = parts ≡ 0 mod 10) Spark expresses as iterative
+    * joins: each round joins
+    * ONLY the previous frontier against the edge list, anti-joins the
+    * settled set, and checkpoints — work per round is O(frontier
+    * edges), never O(V·E), and rounds = the hop bound (4). The
+    * oracle replays via a bounded recursive CTE with a min-hop fold.
+    */
+  def q233BfsHops(s: SparkSession, dir: String): DataFrame = {
+    val (pairs, _) = copurchaseCounts(s, dir, minItem = 25L, minPair = 3L)
+    val edges = pairs.select(col("part_a").as("src"), col("part_b").as("dst"))
+      .unionByName(pairs.select(col("part_b").as("src"),
+        col("part_a").as("dst")))
+      .localCheckpoint() // probed once per round
+    var dist = edges.select(col("src").as("id")).distinct()
+      .filter(pmod(col("id"), lit(10)) === 0)
+      .withColumn("hop", lit(0L))
+      .localCheckpoint()
+    var frontier = dist
+    for (h <- 1 to 4) {
+      val next = frontier
+        .join(edges, frontier("id") === edges("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .withColumn("hop", lit(h.toLong))
+        .localCheckpoint()
+      dist = dist.unionByName(next).localCheckpoint()
+      frontier = next
+    }
+    dist.select(col("id").cast("bigint").as("part_id"),
+        col("hop").cast("bigint").as("hop"))
+      .orderBy("part_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q233_bfs_hops" -> q233BfsHops _,
     "q231_auc_exact" -> q231AucExact _,
     "q232_decile_lift" -> q232DecileLift _,
     "q228_join_size_stats" -> q228JoinSizeStats _,

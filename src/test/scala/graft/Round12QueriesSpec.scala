@@ -1862,6 +1862,32 @@ class Round12QueriesSpec extends AnyFunSuite {
     assert(got.maxBy(_._1)._4 == 1000000L)
   }
 
+  test("q233: frontier BFS matches an in-memory multi-source BFS") {
+    val got = QueriesCore.q233BfsHops(spark, sf)
+      .select("part_id", "hop").as[(Long, Long)].collect().toMap
+    val baskets = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").as[(Long, Long)].collect()
+      .distinct
+    val freq = baskets.groupBy(_._2).filter(_._2.size >= 25).keySet
+    val pruned = baskets.filter(r => freq(r._2))
+    val edges = pruned.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted.toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSeq.groupBy(identity).filter(_._2.size >= 3).keySet
+    val adj = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var dist = adj.keySet.filter(_ % 10 == 0).map(_ -> 0L).toMap
+    var frontier = dist.keySet
+    for (h <- 1L to 4L) {
+      val next = frontier.flatMap(adj.getOrElse(_, Set.empty))
+        .diff(dist.keySet)
+      dist ++= next.map(_ -> h)
+      frontier = next
+    }
+    assert(got == dist)
+    assert(got.nonEmpty)
+  }
+
   test("q189: trigram-probed search equals the naive contains scan") {
     val got = QueriesText.q189TrigramSearch(spark, sf)
       .as[(String, Long)].collect().toSet
