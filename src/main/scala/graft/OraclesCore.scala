@@ -69,6 +69,34 @@ object OraclesCore {
       |FROM iv GROUP BY 1 ORDER BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q235: same merged value ladder and cross-multiplied CDF gap.
+    "q235_ks_test" ->
+      """WITH o AS (
+        |  SELECT CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(18,0)) AS BIGINT) AS v,
+        |    year(o_orderdate) <= 1997 AS early
+        |  FROM orders),
+        |pv AS (
+        |  SELECT v, sum(CASE WHEN early THEN 1 ELSE 0 END) AS a,
+        |    sum(CASE WHEN early THEN 0 ELSE 1 END) AS b
+        |  FROM o GROUP BY 1),
+        |c AS (
+        |  SELECT v,
+        |    sum(a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+        |    sum(b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+        |  FROM pv),
+        |t AS (
+        |  SELECT sum(CASE WHEN early THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN early THEN 0 ELSE 1 END) AS nb
+        |  FROM o)
+        |SELECT CAST(t.na AS BIGINT) AS n_early,
+        |  CAST(t.nb AS BIGINT) AS n_late,
+        |  CAST(max(abs(CAST(c.ca AS HUGEINT) * t.nb
+        |      - CAST(c.cb AS HUGEINT) * t.na)) * 1000000
+        |    // (CAST(t.na AS HUGEINT) * t.nb) AS BIGINT) AS ks_micros
+        |FROM c CROSS JOIN t
+        |GROUP BY t.na, t.nb""".stripMargin,
+
     // q233: same edge build; the traversal replayed as a hop-bounded
     // recursive CTE folded to min hop.
     "q233_bfs_hops" ->

@@ -4667,7 +4667,44 @@ object QueriesCore {
       .orderBy("part_id")
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic — the
+    * distribution-drift test PSI (q230) bins away: D = sup |F̂A − F̂B|
+    * computed WITHOUT a single division by cross-multiplying the
+    * empirical CDFs (|cumA·nB − cumB·nA| over the merged value
+    * ladder). One union, one cumulative window over the |distinct
+    * values| ladder, one max — all exact integers until the final
+    * DIV to micros.
+    */
+  def q235KsTest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir).select(
+      (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("bigint").as("__v"),
+      (year(col("o_orderdate")) <= 1997).as("__early"))
+    val perV = o.groupBy("__v").agg(
+      sum(when(col("__early"), 1L).otherwise(0L)).as("__a"),
+      sum(when(!col("__early"), 1L).otherwise(0L)).as("__b"))
+    val w = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perV
+      .withColumn("__ca", sum(col("__a")).over(w))
+      .withColumn("__cb", sum(col("__b")).over(w))
+    val tot = o.agg(
+      sum(when(col("__early"), 1L).otherwise(0L)).as("__na"),
+      sum(when(!col("__early"), 1L).otherwise(0L)).as("__nb"))
+    cum.crossJoin(broadcast(tot))
+      .agg(max(abs(col("__ca").cast("decimal(38,0)") * col("__nb") -
+        col("__cb").cast("decimal(38,0)") * col("__na"))).as("__dnum"),
+        max(col("__na")).as("n_early"), max(col("__nb")).as("n_late"))
+      .select(col("n_early").cast("bigint").as("n_early"),
+        col("n_late").cast("bigint").as("n_late"),
+        expr("CAST((__dnum * 1000000) DIV " +
+          "(CAST(n_early AS DECIMAL(38,0)) * n_late) AS BIGINT)")
+          .as("ks_micros"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q235_ks_test" -> q235KsTest _,
     "q233_bfs_hops" -> q233BfsHops _,
     "q231_auc_exact" -> q231AucExact _,
     "q232_decile_lift" -> q232DecileLift _,

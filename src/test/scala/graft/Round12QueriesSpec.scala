@@ -1888,6 +1888,27 @@ class Round12QueriesSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q235: KS statistic matches a sorted two-sample sweep") {
+    val got = QueriesCore.q235KsTest(spark, sf)
+      .select("n_early", "n_late", "ks_micros")
+      .as[(Long, Long, Long)].collect().head
+    val o = Tables.orders(spark, sf)
+      .select(col("o_totalprice"), year(col("o_orderdate")))
+      .as[(Double, Int)].collect()
+      .map(r => (math.round(r._1 * 100), r._2 <= 1997))
+    val a = o.filter(_._2).map(_._1).sorted
+    val b = o.filterNot(_._2).map(_._1).sorted
+    val (na, nb) = (a.length.toLong, b.length.toLong)
+    val values = (a ++ b).distinct.sorted
+    val dnum = values.map { v =>
+      val ca = a.count(_ <= v).toLong
+      val cb = b.count(_ <= v).toLong
+      (BigInt(ca) * nb - BigInt(cb) * na).abs
+    }.max
+    assert(got == (na, nb, (dnum * 1000000 / (BigInt(na) * nb)).toLong))
+    assert(got._3 >= 0L && got._3 <= 1000000L)
+  }
+
   test("q189: trigram-probed search equals the naive contains scan") {
     val got = QueriesText.q189TrigramSearch(spark, sf)
       .as[(String, Long)].collect().toSet
