@@ -69,6 +69,89 @@ object OraclesCore {
       |FROM iv GROUP BY 1 ORDER BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q236: same ascending ordinal deciles and cross-multiplied
+    // cumulative shares.
+    "q236_lorenz_curve" ->
+      """WITH sp AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(18,0)) AS BIGINT)) AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY x, o_custkey) AS rk,
+        |    count(*) OVER () AS n
+        |  FROM sp),
+        |t AS (SELECT sum(x) AS t FROM sp),
+        |g AS (
+        |  SELECT CAST((rk - 1) * 10 // n AS INTEGER) AS decile,
+        |    count(*) AS nd, sum(x) AS sd
+        |  FROM r GROUP BY 1)
+        |SELECT decile, CAST(nd AS BIGINT) AS n_customers,
+        |  CAST(sd AS BIGINT) AS spend_cents,
+        |  CAST(CAST(sum(sd) OVER (ORDER BY decile
+        |      ROWS UNBOUNDED PRECEDING) AS HUGEINT) * 1000000
+        |    // t.t AS BIGINT) AS cum_share_micros
+        |FROM g CROSS JOIN t ORDER BY decile""".stripMargin,
+
+    // q237: identical two pinned step constants, integer walk, first
+    // crossing.
+    "q237_sprt" ->
+      """WITH c AS (
+        |  SELECT CAST(floor(ln(0.30 / 0.25) * 1000000.0) AS BIGINT)
+        |      AS se,
+        |    CAST(floor(ln(0.70 / 0.75) * 1000000.0) AS BIGINT) AS so,
+        |    CAST(floor(ln(19.0) * 1000000.0) AS BIGINT) AS bd),
+        |w AS (
+        |  SELECT row_number() OVER (ORDER BY epoch_us(ts), event_id)
+        |      AS rn,
+        |    sum(CASE WHEN event_type = 'error' THEN c.se ELSE c.so END)
+        |      OVER (ORDER BY epoch_us(ts), event_id
+        |        ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM events CROSS JOIN c),
+        |f AS (
+        |  SELECT rn, cum FROM w CROSS JOIN c
+        |  WHERE cum >= c.bd OR cum <= -c.bd
+        |  ORDER BY rn LIMIT 1),
+        |l AS (SELECT rn, cum FROM w ORDER BY rn DESC LIMIT 1)
+        |SELECT CAST(coalesce(f.rn, l.rn) AS BIGINT) AS n_obs,
+        |  CAST(coalesce(f.cum, l.cum) AS BIGINT) AS llr_micros,
+        |  CASE WHEN f.rn IS NULL THEN 'continue'
+        |    WHEN f.cum >= c.bd THEN 'accept_h1'
+        |    ELSE 'accept_h0' END AS decision
+        |FROM l LEFT JOIN f ON true CROSS JOIN c""".stripMargin,
+
+    // q238: same ordinal median and ceil-ordinal residual quantile.
+    "q238_conformal_interval" ->
+      """WITH sp AS (
+        |  SELECT n.n_name, o.o_custkey,
+        |    sum(CAST(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(18,0)) AS BIGINT)) AS x
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY n_name
+        |      ORDER BY x, o_custkey) AS rk,
+        |    count(*) OVER (PARTITION BY n_name) AS n
+        |  FROM sp),
+        |med AS (
+        |  SELECT n_name, x AS med, n FROM r WHERE rk = (n + 1) // 2),
+        |res AS (
+        |  SELECT sp.n_name, sp.o_custkey, abs(sp.x - med.med) AS rr,
+        |    med.med, med.n
+        |  FROM sp JOIN med ON sp.n_name = med.n_name),
+        |rr AS (
+        |  SELECT *, row_number() OVER (PARTITION BY n_name
+        |    ORDER BY rr, o_custkey) AS rrk
+        |  FROM res)
+        |SELECT n_name, CAST(n AS BIGINT) AS n_customers,
+        |  CAST(med AS BIGINT) AS median_cents,
+        |  CAST(rr AS BIGINT) AS q90_resid_cents
+        |FROM rr
+        |WHERE rrk = least(((n + 1) * 9 + 9) // 10, n)
+        |ORDER BY n_name""".stripMargin,
+
     // q235: same merged value ladder and cross-multiplied CDF gap.
     "q235_ks_test" ->
       """WITH o AS (

@@ -4703,7 +4703,130 @@ object QueriesCore {
           .as("ks_micros"))
   }
 
+  /** Lorenz curve by customer decile — the distributional companion
+    * to q201's Gini scalar: customers ranked ascending by spend into
+    * ordinal deciles, cumulative spend share per decile in
+    * cross-multiplied micros. The curve is |10| rows against one
+    * broadcast total; everything integer.
+    */
+  def q236LorenzCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("bigint")).as("__x"))
+    val ranked = spend
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__x"), col("o_custkey"))))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("decile",
+        expr("CAST(((__rk - 1) * 10) DIV __n AS INT)"))
+    val tot = spend.agg(sum(col("__x")).as("__t"))
+    val byDec = ranked.groupBy("decile")
+      .agg(count(lit(1)).as("__nd"), sum(col("__x")).as("__sd"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDec.withColumn("__cs", sum(col("__sd")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"),
+        col("__nd").cast("bigint").as("n_customers"),
+        col("__sd").cast("bigint").as("spend_cents"),
+        expr("CAST((CAST(__cs AS DECIMAL(38,0)) * 1000000) DIV __t " +
+          "AS BIGINT)").as("cum_share_micros"))
+      .orderBy("decile")
+  }
+
+  /** Sequential probability-ratio test (Wald's SPRT) over the event
+    * stream — the always-valid A/B monitor: H₁ error-rate 0.30 vs H₀
+    * 0.25 at A = B = 19. The log-likelihood increment takes only TWO
+    * values, each ONE pinned IEEE constant floored to micros — so the
+    * cumulative walk is an exact integer window sum, and the decision
+    * is the FIRST boundary crossing (one filtered min over the
+    * ordered stream). Per-experiment keys would partition the window;
+    * this declared surface runs the single global stream.
+    */
+  def q237Sprt(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stepErr = floor(log(lit(0.30) / lit(0.25)) * lit(1000000.0))
+      .cast("bigint")
+    val stepOk = floor(log(lit(0.70) / lit(0.75)) * lit(1000000.0))
+      .cast("bigint")
+    val bound = floor(log(lit(19.0)) * lit(1000000.0)).cast("bigint")
+    val w = Window.orderBy(col("__t"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walk = Tables.events(s, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("__t"),
+        (col("event_type") === "error").as("__x"))
+      .withColumn("__llr",
+        when(col("__x"), stepErr).otherwise(stepOk))
+      .withColumn("__cum", sum(col("__llr")).over(w))
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("__t"), col("event_id"))))
+    val crossed = walk
+      .filter(col("__cum") >= bound || col("__cum") <= -bound)
+      .agg(min(struct(col("__rn"), col("__cum"))).as("__first"))
+    val last = walk.agg(max(struct(col("__rn"), col("__cum"))).as("__l"))
+    crossed.crossJoin(last)
+      .select(
+        coalesce(col("__first.__rn"), col("__l.__rn"))
+          .cast("bigint").as("n_obs"),
+        coalesce(col("__first.__cum"), col("__l.__cum"))
+          .cast("bigint").as("llr_micros"),
+        when(col("__first.__rn").isNull, "continue")
+          .when(col("__first.__cum") >= bound, "accept_h1")
+          .otherwise("accept_h0").as("decision"))
+  }
+
+  /** Split-conformal interval calibration — per nation, the 90 %
+    * quantile of |spend − median| residuals gives a
+    * distribution-free prediction band: both the median and the
+    * residual quantile are EXACT ordinal selections (the q145
+    * convention — no interpolation doubles), so the band is an
+    * integer. Two rank windows per nation, both over the small
+    * per-customer fold.
+    */
+  def q238ConformalInterval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n8n = Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    val spend = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("bigint")).as("__x"))
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n8n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_custkey"), col("__x"))
+    val byVal = Window.partitionBy("n_name")
+      .orderBy(col("__x"), col("o_custkey"))
+    val cnt = Window.partitionBy("n_name")
+    val med = spend
+      .withColumn("__rk", row_number().over(byVal))
+      .withColumn("__n", count(lit(1)).over(cnt))
+      .filter(col("__rk") === expr("CAST((__n + 1) DIV 2 AS INT)"))
+      .select(col("n_name"), col("__x").as("__med"),
+        col("__n").as("__nn"))
+    val resid = spend.join(broadcast(med), Seq("n_name"))
+      .withColumn("__r", abs(col("__x") - col("__med")))
+    val byRes = Window.partitionBy("n_name")
+      .orderBy(col("__r"), col("o_custkey"))
+    resid
+      .withColumn("__rr", row_number().over(byRes))
+      .filter(col("__rr") ===
+        least(expr("CAST((( __nn + 1) * 9 + 9) DIV 10 AS INT)"),
+          col("__nn").cast("int")))
+      .select(col("n_name"),
+        col("__nn").cast("bigint").as("n_customers"),
+        col("__med").cast("bigint").as("median_cents"),
+        col("__r").cast("bigint").as("q90_resid_cents"))
+      .orderBy("n_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q236_lorenz_curve" -> q236LorenzCurve _,
+    "q237_sprt" -> q237Sprt _,
+    "q238_conformal_interval" -> q238ConformalInterval _,
     "q235_ks_test" -> q235KsTest _,
     "q233_bfs_hops" -> q233BfsHops _,
     "q231_auc_exact" -> q231AucExact _,

@@ -1909,6 +1909,83 @@ class Round12QueriesSpec extends AnyFunSuite {
     assert(got._3 >= 0L && got._3 <= 1000000L)
   }
 
+  test("q236: Lorenz curve matches a sorted replay; convex to 100%") {
+    val got = QueriesCore.q236LorenzCurve(spark, sf)
+      .select("decile", "n_customers", "spend_cents", "cum_share_micros")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    val spend = Tables.orders(spark, sf)
+      .select("o_custkey", "o_totalprice").as[(Long, Double)].collect()
+      .groupBy(_._1).toSeq
+      .map { case (ck, rs) => (ck, rs.map(r => math.round(r._2 * 100)).sum) }
+    val tot = spend.map(_._2).sum
+    val sorted = spend.sortBy(r => (r._2, r._1))
+    val byDec = sorted.zipWithIndex
+      .groupBy { case (_, i) => i * 10 / sorted.size }
+    var cum = 0L
+    val want = (0 to 9).map { d =>
+      val g = byDec(d)
+      cum += g.map(_._1._2).sum
+      (d, g.size.toLong, g.map(_._1._2).sum,
+        (BigInt(cum) * 1000000 / tot).toLong)
+    }
+    assert(got == want)
+    assert(got.last._4 == 1000000L)
+    // ascending-sorted deciles → shares grow ever faster (convexity)
+    val incs = got.map(_._4).prepended(0L).sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(incs == incs.sorted)
+  }
+
+  test("q237: SPRT walk matches a sequential Scala replay") {
+    val got = QueriesCore.q237Sprt(spark, sf)
+      .select("n_obs", "llr_micros", "decision")
+      .as[(Long, Long, String)].collect().head
+    val ev = Tables.events(spark, sf)
+      .select(unix_micros(col("ts")), col("event_id"),
+        (col("event_type") === "error"))
+      .as[(Long, Long, Boolean)].collect()
+      .sortBy(e => (e._1, e._2))
+    val se = math.floor(math.log(0.30 / 0.25) * 1e6).toLong
+    val so = math.floor(math.log(0.70 / 0.75) * 1e6).toLong
+    val bd = math.floor(math.log(19.0) * 1e6).toLong
+    var cum = 0L; var n = 0L
+    var hit: Option[(Long, Long)] = None
+    for (e <- ev if hit.isEmpty) {
+      cum += (if (e._3) se else so); n += 1
+      if (cum >= bd || cum <= -bd) hit = Some((n, cum))
+    }
+    val want = hit match {
+      case Some((nn, c)) =>
+        (nn, c, if (c >= bd) "accept_h1" else "accept_h0")
+      case None => (ev.size.toLong, cum, "continue")
+    }
+    assert(got == want)
+  }
+
+  test("q238: conformal band matches an ordinal residual replay") {
+    val got = QueriesCore.q238ConformalInterval(spark, sf)
+      .select("n_name", "n_customers", "median_cents", "q90_resid_cents")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val cn = Tables.customer(spark, sf)
+      .select("c_custkey", "c_nationkey").as[(Long, Long)].collect().toMap
+    val nn = Tables.nation(spark, sf)
+      .select("n_nationkey", "n_name").as[(Long, String)].collect().toMap
+    val spend = Tables.orders(spark, sf)
+      .select("o_custkey", "o_totalprice").as[(Long, Double)].collect()
+      .groupBy(_._1).toSeq
+      .map { case (ck, rs) =>
+        (nn(cn(ck)), ck, rs.map(r => math.round(r._2 * 100)).sum) }
+    val want = spend.groupBy(_._1).toSeq.map { case (nat, cs) =>
+      val n = cs.size
+      val med = cs.sortBy(c => (c._3, c._2)).apply((n + 1) / 2 - 1)._3
+      val resid = cs.map(c => (math.abs(c._3 - med), c._2))
+        .sortBy(identity)
+      val ord = math.min(((n + 1) * 9 + 9) / 10, n)
+      (nat, n.toLong, med, resid(ord - 1)._1)
+    }.sortBy(_._1)
+    assert(got == want)
+    assert(got.forall(_._4 >= 0L))
+  }
+
   test("q189: trigram-probed search equals the naive contains scan") {
     val got = QueriesText.q189TrigramSearch(spark, sf)
       .as[(String, Long)].collect().toSet
