@@ -69,6 +69,51 @@ object OraclesCore {
       |FROM iv GROUP BY 1 ORDER BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q239: same transition counts, same (-count, dst) argmin model,
+    // same eval fold.
+    "q239_next_event_accuracy" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |t AS (
+        |  SELECT prev AS src, event_type AS dst FROM ev
+        |  WHERE prev IS NOT NULL),
+        |c AS (SELECT src, dst, count(*) AS c FROM t GROUP BY 1, 2),
+        |m AS (
+        |  SELECT src, dst AS predicted,
+        |    row_number() OVER (PARTITION BY src
+        |      ORDER BY c DESC, dst) AS rk
+        |  FROM c)
+        |SELECT t.src, m.predicted,
+        |  CAST(count(*) AS BIGINT) AS n_transitions,
+        |  CAST(sum(CASE WHEN t.dst = m.predicted THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_correct,
+        |  CAST(sum(CASE WHEN t.dst = m.predicted THEN 1 ELSE 0 END)
+        |    * 1000000 // count(*) AS BIGINT) AS accuracy_micros
+        |FROM t JOIN m ON t.src = m.src AND m.rk = 1
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // q240: same doubling-and-wrapping quoting rules, byte for byte.
+    "q240_csv_export" ->
+      """SELECT doc_id,
+        |  CAST(doc_id AS VARCHAR) || ',' ||
+        |  (CASE WHEN lang LIKE '%,%' OR lang LIKE '%"%'
+        |      OR lang LIKE '%' || chr(10) || '%'
+        |    THEN '"' || replace(lang, '"', '""') || '"' ELSE lang END)
+        |  || ',' ||
+        |  (CASE WHEN source LIKE '%,%' OR source LIKE '%"%'
+        |      OR source LIKE '%' || chr(10) || '%'
+        |    THEN '"' || replace(source, '"', '""') || '"'
+        |    ELSE source END)
+        |  || ',' ||
+        |  (CASE WHEN text LIKE '%,%' OR text LIKE '%"%'
+        |      OR text LIKE '%' || chr(10) || '%'
+        |    THEN '"' || replace(text, '"', '""') || '"' ELSE text END)
+        |  AS csv_line
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // q236: same ascending ordinal deciles and cross-multiplied
     // cumulative shares.
     "q236_lorenz_curve" ->

@@ -4823,7 +4823,69 @@ object QueriesCore {
       .orderBy("n_name")
   }
 
+  /** Next-event prediction accuracy — the Markov model (q211's
+    * transition counts) evaluated as a predictor: predict
+    * argmax-count next type per previous type (ties broken
+    * alphabetically — a total order both engines share), score
+    * against every actual transition. Counts and the argmax are one
+    * aggregate each; the eval join broadcasts the k-row model.
+    */
+  def q239NextEventAccuracy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("__prev", lag(col("event_type"), 1).over(byUser))
+      .filter(col("__prev").isNotNull)
+      .select(col("__prev").as("src"), col("event_type").as("dst"))
+      .localCheckpoint() // feeds both the model fit and the eval scan
+    // min-struct on (−count, dst): the most frequent successor, ties
+    // to the alphabetically smallest — a total order both engines share
+    val modelMin = trans.groupBy("src", "dst")
+      .agg(count(lit(1)).as("__c"))
+      .groupBy("src")
+      .agg(min(struct((-col("__c")).as("nc"), col("dst").as("d")))
+        .as("__m"))
+      .select(col("src"), col("__m.d").as("predicted"))
+    trans.join(broadcast(modelMin), Seq("src"))
+      .groupBy("src", "predicted")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("dst") === col("predicted"), 1L).otherwise(0L))
+          .as("__hit"))
+      .select(col("src"), col("predicted"),
+        col("__n").cast("bigint").as("n_transitions"),
+        col("__hit").cast("bigint").as("n_correct"),
+        expr("CAST((__hit * 1000000L) DIV __n AS BIGINT)")
+          .as("accuracy_micros"))
+      .orderBy("src")
+  }
+
+  /** RFC-4180 CSV export — the sink surface for messy text: each
+    * document becomes one properly quoted CSV line (quotes doubled,
+    * field wrapped when it contains comma, quote, or newline) built
+    * by pure string expressions — verifiable cross-engine, unlike an
+    * opaque writer. A real export would `.write.text` the line
+    * column; the declared surface IS the line, so quoting bugs
+    * hash-fail.
+    */
+  def q240CsvExport(s: SparkSession, dir: String): DataFrame = {
+    def quoted(c: Column): Column = {
+      val escaped = regexp_replace(c, "\"", "\"\"")
+      when(c.contains(",") || c.contains("\"") || c.contains("\n"),
+        concat(lit("\""), escaped, lit("\""))).otherwise(c)
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat_ws(",", col("doc_id").cast("string"), quoted(col("lang")),
+          quoted(col("source")), quoted(col("text"))).as("csv_line"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q239_next_event_accuracy" -> q239NextEventAccuracy _,
+    "q240_csv_export" -> q240CsvExport _,
     "q236_lorenz_curve" -> q236LorenzCurve _,
     "q237_sprt" -> q237Sprt _,
     "q238_conformal_interval" -> q238ConformalInterval _,

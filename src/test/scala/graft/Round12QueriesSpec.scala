@@ -1986,6 +1986,67 @@ class Round12QueriesSpec extends AnyFunSuite {
     assert(got.forall(_._4 >= 0L))
   }
 
+  test("q239: next-event accuracy matches a transition-argmax replay") {
+    val got = QueriesCore.q239NextEventAccuracy(spark, sf)
+      .select("src", "predicted", "n_transitions", "n_correct")
+      .as[(String, String, Long, Long)].collect().toSeq
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val s = es.sortBy(e => (e._2, e._3)).map(_._4)
+      s.zip(s.drop(1))
+    }
+    val pred = trans.groupBy(_._1).view.mapValues { ts =>
+      ts.groupBy(_._2).toSeq.map { case (d, xs) => (d, xs.size) }
+        .minBy { case (d, c) => (-c, d) }._1
+    }.toMap
+    val want = trans.groupBy(_._1).toSeq.map { case (src, ts) =>
+      (src, pred(src), ts.size.toLong,
+        ts.count(_._2 == pred(src)).toLong)
+    }.sortBy(_._1)
+    assert(got == want)
+    // a majority-class predictor can't do worse than 1/k on its class
+    assert(got.forall(r => r._4 > 0L))
+  }
+
+  test("q240: CSV lines round-trip through an RFC-4180 parser") {
+    val got = QueriesCore.q240CsvExport(spark, sf)
+      .select("doc_id", "csv_line").as[(Long, String)].collect().toSeq
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "source", "text")
+      .as[(Long, String, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    def parse(line: String): Seq[String] = {
+      val out = scala.collection.mutable.Buffer.empty[String]
+      val sb = new StringBuilder
+      var inQ = false; var i = 0
+      while (i < line.length) {
+        val c = line(i)
+        if (inQ) {
+          if (c == '"' && i + 1 < line.length && line(i + 1) == '"') {
+            sb += '"'; i += 1
+          } else if (c == '"') inQ = false
+          else sb += c
+        } else {
+          if (c == '"') inQ = true
+          else if (c == ',') { out += sb.result(); sb.clear() }
+          else sb += c
+        }
+        i += 1
+      }
+      out += sb.result()
+      out.toSeq
+    }
+    got.foreach { case (id, line) =>
+      val d = docs(id)
+      assert(parse(line) == Seq(id.toString, d._2, d._3, d._4),
+        s"doc $id fails round-trip")
+    }
+    assert(got.size == docs.size)
+  }
+
   test("q189: trigram-probed search equals the naive contains scan") {
     val got = QueriesText.q189TrigramSearch(spark, sf)
       .as[(String, Long)].collect().toSet
