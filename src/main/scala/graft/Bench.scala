@@ -75,6 +75,21 @@ object Bench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Contamination guard (round-12 finding: the official 344 s artifact
+    // disagreed with a same-code run by >3× on six queries — box
+    // contention, not plan cost). Two self-identifying signals in every
+    // artifact: (a) /proc/loadavg captured at start and end — a load
+    // far above the allotted CPUs means OTHER processes competed for
+    // the cores during the run; (b) per-query pass spread (max/min over
+    // the interleaved passes) — a median is only trustworthy when its
+    // passes agree, so any query whose spread exceeds 2× is listed in
+    // "suspect" and its median should be isolated-re-measured
+    // (SPARK_GRAFT_BENCH_ONLY) before being compared across rounds.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    val loadStart = loadavg()
     val timings = scala.collection.mutable.Map.empty[String, List[Double]]
     for (_ <- 1 to passes; (name, fn) <- names) {
       val t0 = System.nanoTime()
@@ -120,12 +135,30 @@ object Bench {
     // 4-decimal rounding: 0.1 ms resolution is far below run-to-run
     // noise and keeps per-entry width bounded.
     def r4(v: Double): Double = math.round(v * 10000).toDouble / 10000
+    val loadEnd = loadavg()
     val results = names.map { case (name, _) => name -> r4(median(timings(name))) }
+    // pass-spread flag: MEDIAN > 2× the best pass (and > 1 s). One slow
+    // pass is ordinary JIT/cold-cache noise and leaves the median near
+    // the min; contamination (another process on the cores) slows MOST
+    // passes, dragging the median itself away from the best — exactly
+    // the r12 signature (q146_cube official median 19.4 s vs 0.96 s
+    // isolated). Spread is reported, never used to alter medians — the
+    // artifact stays a faithful record; the flag just says which
+    // entries to distrust and isolated-re-measure.
+    val suspect = names.flatMap { case (name, _) =>
+      val ok = timings(name).filter(_ >= 0)
+      val med = median(timings(name))
+      if (ok.size >= 3 && med / math.max(ok.min, 1e-9) > 2.0 && med > 1.0)
+        Some(name)
+      else None
+    }.sorted
     def qsJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = r4(results.map(_._2).filter(_ >= 0).sum)
+    val guard =
+      s""","loadavg":"$loadStart;$loadEnd","suspect":${suspect.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     def line(rs: Seq[(String, Double)], extra: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(rs)},"sf":"$sfDir","passes":$passes$extra}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(rs)},"sf":"$sfDir","passes":$passes$guard$extra}"""
     val fullLine = line(results, "")
     // The driver captures only the trailing ~2,000 chars of stdout and
     // parses the LAST JSON line it finds there. At 73 queries the full

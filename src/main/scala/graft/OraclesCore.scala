@@ -96,23 +96,32 @@ object OraclesCore {
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     // q240: same doubling-and-wrapping quoting rules, byte for byte.
+    // NULLs coalesce to '' before quoting (|| would null the line) and
+    // a bare CR triggers quoting, both mirroring the Spark side.
     "q240_csv_export" ->
-      """SELECT doc_id,
+      """WITH d AS (
+        |  SELECT doc_id, coalesce(lang, '') AS lang,
+        |    coalesce(source, '') AS source, coalesce(text, '') AS text
+        |  FROM documents)
+        |SELECT doc_id,
         |  CAST(doc_id AS VARCHAR) || ',' ||
         |  (CASE WHEN lang LIKE '%,%' OR lang LIKE '%"%'
         |      OR lang LIKE '%' || chr(10) || '%'
+        |      OR lang LIKE '%' || chr(13) || '%'
         |    THEN '"' || replace(lang, '"', '""') || '"' ELSE lang END)
         |  || ',' ||
         |  (CASE WHEN source LIKE '%,%' OR source LIKE '%"%'
         |      OR source LIKE '%' || chr(10) || '%'
+        |      OR source LIKE '%' || chr(13) || '%'
         |    THEN '"' || replace(source, '"', '""') || '"'
         |    ELSE source END)
         |  || ',' ||
         |  (CASE WHEN text LIKE '%,%' OR text LIKE '%"%'
         |      OR text LIKE '%' || chr(10) || '%'
+        |      OR text LIKE '%' || chr(13) || '%'
         |    THEN '"' || replace(text, '"', '""') || '"' ELSE text END)
         |  AS csv_line
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // q236: same ascending ordinal deciles and cross-multiplied
     // cumulative shares.

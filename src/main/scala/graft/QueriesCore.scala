@@ -2075,18 +2075,46 @@ object QueriesCore {
     * strictly larger size. Comparisons only — no double arithmetic, so
     * the engines agree bit-for-bit. The oracle is the textbook NOT
     * EXISTS dominance definition: the check proves sweep ≡ definition.
-    * At 100 TB the price-level rollup is the reduction (window runs
-    * over distinct prices, not rows) and skyline is
-    * union-composable — local skylines then a skyline of skylines.
+    * At 100 TB the price-level rollup is the reduction AND the sweep
+    * itself is two-phase parallel: prices range-partition into buckets
+    * (equal prices co-located, bucket order = price order), each bucket
+    * sweeps locally under a partitionBy(bucket) window, and the only
+    * cross-bucket state is one running max carried over the
+    * |buckets|-row summary — the classic "local skylines, then a
+    * skyline of skylines" decomposition, executed. No row-scale
+    * unpartitioned window anywhere (the r12 audit caught the old
+    * single-task `Window.orderBy(price)` form); the lone global window
+    * left is the |buckets|-row carry, bounded by construction.
     */
   def q152Skyline(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir)
+    val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val perPrice = p.groupBy(col("p_retailprice"))
       .agg(max(col("p_size")).as("__mx"))
-    val sweep = Window.orderBy(col("p_retailprice"))
+      // bucket = range-partition id: ascending price ranges, so bucket
+      // order IS price order and the carry below is a legal prefix
+      .repartitionByRange(nPart, col("p_retailprice"))
+      .withColumn("__bkt", spark_partition_id())
+      .localCheckpoint() // feeds the local sweep twice (rows + summary)
+    // phase 1: strictly-cheaper running max WITHIN each bucket (parallel)
+    val local = Window.partitionBy(col("__bkt"))
+      .orderBy(col("p_retailprice"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // phase 2: per-bucket max, prefix-maxed over STRICTLY preceding
+    // buckets — a |buckets|-row frame, the bounded-window envelope
+    val carry = perPrice.groupBy(col("__bkt"))
+      .agg(max(col("__mx")).as("__bmx"))
+      .withColumn("__carry", max(col("__bmx")).over(
+        Window.orderBy(col("__bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__bkt"), col("__carry"))
     val frontier = perPrice
-      .withColumn("__mx_lt", max(col("__mx")).over(sweep))
+      .withColumn("__mx_local", max(col("__mx")).over(local))
+      .join(broadcast(carry), Seq("__bkt"))
+      .withColumn("__mx_lt",
+        when(col("__mx_local").isNull, col("__carry"))
+          .when(col("__carry").isNull, col("__mx_local"))
+          .otherwise(greatest(col("__mx_local"), col("__carry"))))
     p.join(frontier, Seq("p_retailprice"))
       .filter((col("__mx_lt").isNull || col("__mx_lt") < col("p_size")) &&
         col("__mx") <= col("p_size"))
@@ -3508,8 +3536,12 @@ object QueriesCore {
       count(lit(1)).as("n_weeks"),
       sum(col("__x")).as("sx"),
       sum(col("__y")).as("sy"),
-      sum(col("__x") * col("__y")).as("sxy"),
-      sum(col("__x") * col("__x")).as("sxx"))
+      // cast one operand to decimal(38,0) before the product-sum (the
+      // repo-wide overflow rule, cf. q199/q204): x·y is week-offset ×
+      // cents and a long*long sum can silently wrap at large SF while
+      // the DuckDB oracle's HUGEINT keeps going
+      sum(col("__x").cast("decimal(38,0)") * col("__y")).as("sxy"),
+      sum(col("__x").cast("decimal(38,0)") * col("__x")).as("sxx"))
     val n = col("n_weeks").cast("decimal(38,0)")
     val num = n * col("sxy") - col("sx").cast("decimal(38,0)") * col("sy")
     val den = n * col("sxx") - col("sx").cast("decimal(38,0)") * col("sx")
@@ -3553,7 +3585,9 @@ object QueriesCore {
     ranked.groupBy("n_name").agg(
       count(lit(1)).as("n_customers"),
       sum(col("__x")).as("__tot"),
-      sum(col("__i").cast("bigint") * col("__x")).as("__w"))
+      // decimal(38,0) operand per the repo overflow rule: rank × cents
+      // summed as long*long can wrap at large SF (oracle is HUGEINT)
+      sum(col("__i").cast("decimal(38,0)") * col("__x")).as("__w"))
       .select(col("n_name"),
         col("n_customers").cast("bigint").as("n_customers"),
         col("__tot").cast("bigint").as("spend_cents"),
@@ -4332,11 +4366,16 @@ object QueriesCore {
 
   /** Quantile normalization (the bioinformatics/feature-prep op):
     * three columns of different scales are forced onto ONE reference
-    * distribution — the rank-wise mean. Each column contributes a
-    * total-order rank (ties broken by row identity; a distributed
-    * sort, which is exactly what the op demands), and the reference
-    * value at each rank is the exact integer mean in micros. Output is
-    * the |n|-row reference distribution itself.
+    * distribution — the rank-wise mean. Each column's total-order rank
+    * is computed DISTRIBUTED: range-partition on the value, rank
+    * locally per partition (parallel window), then add per-partition
+    * offsets from a partition-count rollup (a |partitions|-row frame).
+    * Equal values land in one range partition, so the rank→value
+    * sequence is exactly the global sort's — no single-partition
+    * `row_number() OVER (ORDER BY v)` anywhere, which at 100 TB would
+    * funnel the whole fact table through one task. The reference value
+    * at each rank is the exact integer mean in micros. Output is the
+    * |n|-row reference distribution itself.
     */
   def q224QuantileNorm(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -4347,9 +4386,25 @@ object QueriesCore {
         .cast("decimal(18,0)").cast("bigint").as("__p"),
       (col("l_discount").cast("decimal(18,2)") * 100)
         .cast("decimal(18,0)").cast("bigint").as("__d"))
-    def ranked(c: String): DataFrame =
-      li.select(col(c).as("v"))
-        .withColumn("rank", row_number().over(Window.orderBy(col("v"))))
+    val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    def ranked(c: String): DataFrame = {
+      // local rank per range partition (materialized once — the offset
+      // rollup below reads it again), then global rank = offset + local
+      val local = li.select(col(c).as("v"))
+        .repartitionByRange(nPart, col("v"))
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__lr", row_number().over(
+          Window.partitionBy("__pid").orderBy("v")))
+        .localCheckpoint()
+      val offsets = local.groupBy("__pid")
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("__off",
+          coalesce(sum(col("__n")).over(Window.orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("__pid"), col("__off"))
+      local.join(broadcast(offsets), Seq("__pid"))
+        .select(col("v"), (col("__lr") + col("__off")).as("rank"))
+    }
     val joined = ranked("__q").withColumnRenamed("v", "vq")
       .join(ranked("__p").withColumnRenamed("v", "vp"), Seq("rank"))
       .join(ranked("__d").withColumnRenamed("v", "vd"), Seq("rank"))
@@ -4871,9 +4926,15 @@ object QueriesCore {
     * hash-fail.
     */
   def q240CsvExport(s: SparkSession, dir: String): DataFrame = {
-    def quoted(c: Column): Column = {
+    // NULL fields export as empty (coalesce BEFORE quoting, mirrored in
+    // the oracle) — concat_ws would silently DROP a null field and
+    // collapse the column count, corrupting the CSV shape; and a bare
+    // CR is a quote trigger alongside , " \n per RFC 4180.
+    def quoted(c0: Column): Column = {
+      val c = coalesce(c0, lit(""))
       val escaped = regexp_replace(c, "\"", "\"\"")
-      when(c.contains(",") || c.contains("\"") || c.contains("\n"),
+      when(c.contains(",") || c.contains("\"") || c.contains("\n")
+          || c.contains("\r"),
         concat(lit("\""), escaped, lit("\""))).otherwise(c)
     }
     Tables.documents(s, dir)

@@ -143,7 +143,18 @@ object Quality {
       .foldLeft(lit(-1)) { case (acc, (b, i)) =>
         when(col(bandCol) === b, lit(i)).otherwise(acc)
       }
-    val rows = df.select(qi :+ bandIdx.cast("int").as("__b"): _*)
+    // fail LOUDLY on a band value outside the declared list: a -1 row
+    // would be dropped from the band spine / cumulative EMD yet still
+    // counted in __ng and __nn, so per-class distributions silently
+    // stop summing to 1 and the verdict skews. Callers must pass an
+    // exhaustive band list (q202 does); anything else is a caller bug.
+    val rows = df.select(qi :+ bandIdx.cast("int").as("__b")
+        :+ col(bandCol).as("__bv"): _*)
+      .withColumn("__b", when(col("__b") >= 0, col("__b"))
+        .otherwise(raise_error(concat(
+          lit(s"tCloseness: $bandCol value outside declared bands " +
+            s"${bands.mkString("[", ",", "]")}: "), col("__bv")))))
+      .drop("__bv")
     // per-(group, band) and global-band counts, one shuffle each
     val gb = rows.groupBy(qi :+ col("__b"): _*)
       .agg(count(lit(1)).as("__cg"))
