@@ -2235,6 +2235,24 @@ object OraclesCore {
         |FROM r GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
 
+    // q241: the ordinal DEFINITION of the same quantiles q145 pins —
+    // the engine side brackets a histogram, the oracle proves the
+    // bracket ≡ value-at-sorted-position.
+    "q241_quantile_histogram" ->
+      """WITH r AS (
+        |  SELECT c_mktsegment, CAST(c_acctbal AS DECIMAL(18,2)) AS b,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY CAST(c_acctbal AS DECIMAL(18,2)), c_custkey) AS rn,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM customer)
+        |SELECT c_mktsegment, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN b END) AS DOUBLE)
+        |    AS median_bal,
+        |  CAST(max(CASE WHEN rn = (n * 9 + 9) // 10 THEN b END) AS DOUBLE)
+        |    AS p90_bal
+        |FROM r GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
     // q142: compaction is a pure layout move — identity aggregates come
     // straight off the source table; layout_ok is pinned TRUE (the
     // Spark side recomputes it from the actual output listing).

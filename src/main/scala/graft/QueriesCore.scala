@@ -1904,6 +1904,41 @@ object QueriesCore {
       .orderBy("c_mktsegment")
   }
 
+  /** Distributed order-statistics twin of q145 — the SAME per-segment
+    * median/p90 answers, computed by HISTOGRAM BRACKET instead of a
+    * full per-stratum ordered window: rows collapse to a (segment,
+    * balance) histogram first (map-side combinable; bounded by
+    * |segments| × |distinct 2-decimal balances|, NOT by row count), the
+    * cumulative bracket runs over HISTOGRAM rows, and the q-quantile is
+    * min{v : cum(v) ≥ pos} — identical to the value at sorted position
+    * pos because a value at an ordinal never depends on how equal
+    * values tie-break. q145's window form sorts every row of a stratum
+    * through one task (parallelism = |strata|); this form's per-stratum
+    * sorted structure is the histogram (≤ ~1.1 M entries for a bounded
+    * 2-decimal measure at ANY corpus size) — the shape that survives
+    * 100 TB. Oracle: the ordinal definition itself.
+    */
+  def q241QuantileHistogram(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.customer(s, dir)
+      .select(col("c_mktsegment"),
+        col("c_acctbal").cast("decimal(18,2)").as("__b"))
+      .groupBy("c_mktsegment", "__b")
+      .agg(count(lit(1)).as("__c"))
+    val cum = Window.partitionBy("c_mktsegment").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("__cum", sum(col("__c")).over(cum))
+      .withColumn("__n",
+        sum(col("__c")).over(Window.partitionBy("c_mktsegment")))
+      .groupBy("c_mktsegment")
+      .agg(max(col("__n")).cast("bigint").as("n"),
+        min(when(col("__cum") >= expr("(__n + 1) div 2"), col("__b")))
+          .cast("double").as("median_bal"),
+        min(when(col("__cum") >= expr("(__n * 9 + 9) div 10"), col("__b")))
+          .cast("double").as("p90_bal"))
+      .orderBy("c_mktsegment")
+  }
+
   /** CUBE — the last member of the grouping-extension family (ROLLUP
     * q22, GROUPING SETS q120): all four (returnflag × linestatus)
     * margins in one Expand pass, with GROUPING() flags distinguishing
@@ -4947,6 +4982,7 @@ object QueriesCore {
   val queries: Map[String, Q] = Map(
     "q239_next_event_accuracy" -> q239NextEventAccuracy _,
     "q240_csv_export" -> q240CsvExport _,
+    "q241_quantile_histogram" -> q241QuantileHistogram _,
     "q236_lorenz_curve" -> q236LorenzCurve _,
     "q237_sprt" -> q237Sprt _,
     "q238_conformal_interval" -> q238ConformalInterval _,

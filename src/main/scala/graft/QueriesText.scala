@@ -1031,6 +1031,108 @@ object QueriesText {
       .orderBy("rank")
   }
 
+  /** End-to-end retrieval-QUALITY gate over the q126 hybrid stack —
+    * multi-query recall@10 of (BM25 candidates → dense rerank) against
+    * the EXACT brute-force embedding top-10, per query. Every 50th doc
+    * is a query; its lexical terms are its own top-3 corpus-IDF TF-IDF
+    * terms (q74's scoring, ties to the alphabetically-first term), its
+    * dense vector the matching embedding row. Two quantities ship per
+    * query: tp_cand (true neighbors the 50-candidate lexical stage
+    * retained) and tp_final (true neighbors surfacing in the hybrid
+    * top-10) — with the invariant tp_final = tp_cand, because an exact
+    * rerank over candidates can never DROP a true top-10 member it was
+    * given (at most 9 other corpus rows outrank it, so at most 9
+    * candidates do). `rerank_lossless` pins that invariant row-by-row
+    * in BOTH engines; recall itself measures the lexical stage, the
+    * quantity a RAG pipeline actually tunes candidate depth against.
+    * All counts integer-exact; cosine shares [[Similarity.topK]]'s
+    * 6-decimal rounding + (cos desc, id) tiebreak, so engine ranks
+    * can't drift.
+    */
+  def q242RetrievalRecall(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"),
+      explode(filter(split(TextAnalysis.normalizeText(col("text")), " "),
+        t => t =!= "")).as("term"))
+    // (doc, term) tf feeds the df rollup, the query-term election AND
+    // the BM25 probe — pin the aggregated form once (q125/q78 rule)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .localCheckpoint() // feeds TF-IDF election and BM25 idf
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("__n"))
+    // query-term election: top-3 TF-IDF terms of each query doc
+    val qscored = tf.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("__n").cast("double") / col("df")), 6))
+      .select(col("doc_id").as("query_id"), col("term"), col("score"))
+    val qterms = graft.plans.TopK.topKPerKey(qscored, Seq("query_id"),
+        Seq("score" -> false, "term" -> true), 3)
+      .select("query_id", "term").localCheckpoint()
+    // BM25 per (query, doc) over the elected terms; the qterms
+    // broadcast prunes the tf probe to matching terms before any join
+    val docLen = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      .localCheckpoint()
+    val corpus = docLen.agg(count(lit(1)).as("__nd"),
+      avg(col("len")).as("__avglen"))
+    val perTerm = broadcast(qterms).join(tf, Seq("term"))
+      .join(dfreq, Seq("term"))
+      .join(docLen, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("part",
+        round(log(lit(1.0) + (col("__nd") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) * col("tf") * (lit(1.2) + 1.0) /
+          (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) +
+            lit(0.75) * col("len") / col("__avglen"))), 6)
+          .cast("decimal(18,6)"))
+    val cands = graft.plans.TopK.topKPerKey(
+        perTerm.filter(col("doc_id") =!= col("query_id"))
+          .groupBy("query_id", "doc_id")
+          .agg(sum(col("part")).cast("double").as("bm25")),
+        Seq("query_id"), Seq("bm25" -> false, "doc_id" -> true), 50)
+      .select("query_id", "doc_id").localCheckpoint()
+    // dense side: exact brute-force top-10 (the ground truth) and the
+    // candidate-restricted rerank (the hybrid's second stage)
+    val vecs = Tables.embeddings(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val exact = operators.Similarity.topK(vecs,
+        vecs.filter(pmod(col("vec_id"), lit(50)) === 0), "vec_id", "v",
+        k = 10)
+      .select("query_id", "neighbor_id").localCheckpoint()
+    val qv = vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("__qv"))
+    val hybrid = graft.plans.TopK.topKPerKey(
+        cands.join(broadcast(qv), Seq("query_id"))
+          .join(vecs.select(col("vec_id").as("doc_id"),
+            col("v").as("__cv")), Seq("doc_id"))
+          .withColumn("cos_sim",
+            round(operators.Similarity.cosine(col("__qv"), col("__cv")), 6))
+          .select(col("query_id"), col("doc_id").as("neighbor_id"),
+            col("cos_sim")),
+        Seq("query_id"), Seq("cos_sim" -> false, "neighbor_id" -> true), 10)
+      .select("query_id", "neighbor_id")
+    val tpCand = exact.join(
+        cands.withColumnRenamed("doc_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("tp_cand"))
+    val tpFin = exact.join(hybrid, Seq("query_id", "neighbor_id"),
+        "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("tp_final"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(tpCand, Seq("query_id"), "left")
+      .join(tpFin, Seq("query_id"), "left")
+      .na.fill(0L, Seq("tp_cand", "tp_final"))
+      .select(col("query_id").cast("bigint").as("query_id"),
+        col("n_exact").cast("bigint").as("n_exact"),
+        col("tp_cand").cast("bigint").as("tp_cand"),
+        col("tp_final").cast("bigint").as("tp_final"),
+        expr("CAST((tp_final * 1000000L) DIV n_exact AS BIGINT)")
+          .as("recall_micros"),
+        (col("tp_final") === col("tp_cand")).as("rerank_lossless"))
+      .orderBy("query_id")
+  }
+
   /** Gopher repetition FILTER ([[TextAnalysis.repetitionFilter]]):
     * per-document accept/reject at the classic thresholds (top word ≤
     * 20 %, top bigram ≤ 18 %, duplicate-word share ≤ 60 %), all
@@ -1139,6 +1241,7 @@ object QueriesText {
     "q189_trigram_search" -> q189TrigramSearch _,
     "q190_dedup_eval" -> q190DedupEval _,
     "q126_hybrid_retrieval" -> q126HybridRetrieval _,
+    "q242_retrieval_recall" -> q242RetrievalRecall _,
     "q106_chunking" -> q106Chunking _,
     "q107_pmi_collocations" -> q107PmiCollocations _,
     "q110_weighted_sample" -> q110WeightedSample _,
@@ -2204,6 +2307,92 @@ object QueriesText {
            |  FROM scored)
            |SELECT doc_id, cos_sim, bm25, rank FROM ranked
            |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+      // q242: the full hybrid chain re-chained — TF-IDF term election,
+      // BM25 top-50, exact + candidate-restricted cosine top-10s
+      // (identical 6dp rounding + tiebreaks), then integer recall and
+      // the rerank-lossless invariant.
+      "q242_retrieval_recall" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(list_filter(string_split($norm, ' '),
+           |    x -> x <> '')) AS term
+           |  FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           |       GROUP BY 1, 2),
+           |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+           |qs AS (
+           |  SELECT tf.doc_id AS query_id, tf.term,
+           |    round(tf.tf * ln(nd.n::DOUBLE / dfreq.df), 6) AS score
+           |  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+           |  WHERE tf.doc_id % 50 = 0),
+           |qterms AS (
+           |  SELECT query_id, term FROM (
+           |    SELECT query_id, term, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY score DESC, term) AS rk
+           |    FROM qs) WHERE rk <= 3),
+           |dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+           |c AS (SELECT count(*) AS nd2, avg(len) AS avglen FROM dl),
+           |p AS (
+           |  SELECT q.query_id, tf.doc_id,
+           |    CAST(round(
+           |      ln(1.0 + (c.nd2 - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           |        * tf.tf * (1.2 + 1.0)
+           |        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.len / c.avglen)),
+           |      6) AS DECIMAL(18,6)) AS part
+           |  FROM qterms q JOIN tf USING (term) JOIN dfreq USING (term)
+           |    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN c
+           |  WHERE tf.doc_id <> q.query_id),
+           |bm AS (SELECT query_id, doc_id, CAST(sum(part) AS DOUBLE)
+           |         AS bm25
+           |       FROM p GROUP BY 1, 2),
+           |cands AS (
+           |  SELECT query_id, doc_id FROM (
+           |    SELECT query_id, doc_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rk
+           |    FROM bm) WHERE rk <= 50),
+           |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |qv AS (SELECT vec_id AS query_id, v AS qv FROM v
+           |       WHERE vec_id % 50 = 0),
+           |ex AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.query_id, c2.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.query_id
+           |        ORDER BY round(list_cosine_similarity(q.qv, c2.v), 6)
+           |          DESC, c2.vec_id) AS rk
+           |    FROM qv q JOIN v c2 ON c2.vec_id <> q.query_id)
+           |  WHERE rk <= 10),
+           |hy AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT ca.query_id, ca.doc_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY ca.query_id
+           |        ORDER BY round(list_cosine_similarity(q.qv, c2.v), 6)
+           |          DESC, ca.doc_id) AS rk
+           |    FROM cands ca JOIN qv q USING (query_id)
+           |      JOIN v c2 ON ca.doc_id = c2.vec_id)
+           |  WHERE rk <= 10),
+           |tpc AS (
+           |  SELECT e.query_id, count(*) AS tp_cand FROM ex e
+           |  JOIN cands ca ON e.query_id = ca.query_id
+           |    AND e.neighbor_id = ca.doc_id
+           |  GROUP BY 1),
+           |tpf AS (
+           |  SELECT e.query_id, count(*) AS tp_final FROM ex e
+           |  JOIN hy h ON e.query_id = h.query_id
+           |    AND e.neighbor_id = h.neighbor_id
+           |  GROUP BY 1),
+           |ne AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1)
+           |SELECT CAST(ne.query_id AS BIGINT) AS query_id,
+           |  CAST(ne.n_exact AS BIGINT) AS n_exact,
+           |  CAST(coalesce(tpc.tp_cand, 0) AS BIGINT) AS tp_cand,
+           |  CAST(coalesce(tpf.tp_final, 0) AS BIGINT) AS tp_final,
+           |  CAST((coalesce(tpf.tp_final, 0) * 1000000) // ne.n_exact
+           |    AS BIGINT) AS recall_micros,
+           |  coalesce(tpf.tp_final, 0) = coalesce(tpc.tp_cand, 0)
+           |    AS rerank_lossless
+           |FROM ne LEFT JOIN tpc USING (query_id)
+           |  LEFT JOIN tpf USING (query_id)
+           |ORDER BY query_id""".stripMargin,
 
       // q78: same md5 span keys, first occurrence = min (doc,pos)
       // via window rank, coverage union of removed starts, ordered

@@ -62,6 +62,27 @@ object ScaleProbe {
         s.read.parquet(s"$sfDir/$t.parquet")
           .write.mode("overwrite").parquet(s"$out/$t.parquet")
       }
+    // events: user_id AND event_id offset per copy — copies are fully
+    // independent key populations, so streaming state (dedup sets,
+    // session maps, join buffers) grows N× and per-key semantics are
+    // untouched; the SAME event-time distribution keeps watermark
+    // progression identical, so an N× run processes N× rows per
+    // micro-batch — exactly the 100 TB stream shape.
+    (0 until factor).map { k =>
+      Tables.events(s, sfDir)
+        .withColumn("event_id", col("event_id") + lit(k * 1000000000000L))
+        .withColumn("user_id", col("user_id") + lit(k * 1000000000L))
+    }.reduce(_.unionByName(_)).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    // embeddings: vec_id offset by a MULTIPLE OF 50 so the standard
+    // pmod(vec_id,50)==0 query-batch predicate still matches every
+    // copy (probes that want a CONSTANT batch additionally cap to
+    // copy-0 ids)
+    (0 until factor).map { k =>
+      Tables.embeddings(s, sfDir)
+        .withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
+    }.reduce(_.unionByName(_)).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -96,8 +117,9 @@ object ScaleProbe {
     }
     println(f"${"query"}%-24s ${"t1x"}%8s ${"tNx"}%8s ${"rows1x"}%8s " +
       f"${"rowsNx"}%8s ${"exp"}%6s")
-    probes.foreach { name =>
-      val q = SparkEntry.queries(name)
+    def measure(name: String,
+        q: (SparkSession, String) => DataFrame,
+        qN: (SparkSession, String) => DataFrame): Unit = {
       // warm both paths once (JIT + parquet footer cache), then take
       // the best of 2 timed passes per scale
       time(q(spark, sfDir))
@@ -105,13 +127,63 @@ object ScaleProbe {
         val a = time(q(spark, sfDir)); val b = time(q(spark, sfDir))
         (math.min(a._1, b._1), a._2)
       }
-      time(q(spark, work))
+      time(qN(spark, work))
       val (tn, rn) = {
-        val a = time(q(spark, work)); val b = time(q(spark, work))
+        val a = time(qN(spark, work)); val b = time(qN(spark, work))
         (math.min(a._1, b._1), a._2)
       }
       val exp = math.log(tn / t1) / math.log(factor.toDouble)
       println(f"$name%-24s $t1%8.2f $tn%8.2f $r1%8d $rn%8d $exp%6.2f")
+    }
+    probes.foreach { name =>
+      measure(name, SparkEntry.queries(name), SparkEntry.queries(name))
+    }
+
+    // ——— trained-ANN probes (round-13: the two top-cost unprobed
+    // families). The 100 TB posture holds TWO things constant while
+    // the corpus grows N×: the training sample (trainSamplePct =
+    // 100/N at N×, so Lloyd sees the same absolute vector count) and
+    // the serving query batch (copy-0 ids only). What's measured is
+    // therefore index build + serving scan growth — the components
+    // that actually scale with corpus size in production.
+    val copy0 = 10000000L
+    def unitVecs(dir: String, cap: Boolean): DataFrame = {
+      val v = Tables.embeddings(spark, dir)
+        .filter(if (cap) col("vec_id") < copy0 else lit(true))
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        .withColumn("__n", operators.Similarity.l2norm(col("embedding")))
+      v.select(col("vec_id"),
+          transform(col("embedding"), x => x / col("__n")).as("embedding"))
+        .localCheckpoint()
+    }
+    def annQ(trained81: Boolean, pct: Int)(
+        s: SparkSession, dir: String): DataFrame = {
+      val all = unitVecs(dir, cap = false)
+      val qs = unitVecs(dir, cap = true)
+        .filter(pmod(col("vec_id"), lit(50)) === 0)
+      if (trained81)
+        operators.Similarity.pqTrainedTopK(all, qs, "vec_id", "embedding",
+          k = 5, m = 8, ks = 16, dim = 64, iters = 3, trainSamplePct = pct)
+      else
+        operators.Similarity.ivfPqTrainedTopK(all, qs, "vec_id", "embedding",
+          k = 5, nCentroids = 8, dim = 64, nProbe = 3, m = 8, ks = 16,
+          iters = 3, trainSamplePct = pct)
+    }
+    val pctN = math.max(1, 100 / factor)
+    measure("q81_pq_trained*", annQ(trained81 = true, 100),
+      annQ(trained81 = true, pctN))
+    measure("q85_ivfpq_trained*", annQ(trained81 = false, 100),
+      annQ(trained81 = false, pctN))
+
+    // ——— streaming probes: N× independent key populations at the
+    // same event-time distribution (see replicate) — state and
+    // per-batch volume both grow N×; slope ≈ 1 means the state-store
+    // machinery absorbs volume linearly, which is the property that
+    // matters when micro-batches carry 1000 executors' worth of rows.
+    Seq("q86_stream_dedup", "q105_stream_sessions",
+        "q119_stream_stream_join").foreach { name =>
+      measure(name, SparkEntry.queries(name), SparkEntry.queries(name))
     }
     spark.stop()
   }

@@ -38,6 +38,16 @@ object Similarity {
   private def cosByNorm(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / (na * nb)
 
+  /** Pair-level cosine for consumers that bring their OWN candidate
+    * pairs (a hybrid reranker joining a 50-candidate list — q242)
+    * instead of a full query×corpus cross: identical FP path to
+    * [[topK]] (vecDot, norms multiplied before the one division), so
+    * a value computed here is bit-identical to the same pair's value
+    * in any other operator of this family.
+    */
+  def cosine(a: Column, b: Column): Column =
+    cosByNorm(a, b, l2norm(a), l2norm(b))
+
   /** Brute-force cosine top-k (k rows per query): every query row against
     * every corpus row, rank per query, keep k. The query side is expected
     * to be small and is broadcast (corpus streams by partition — no
@@ -664,10 +674,12 @@ object Similarity {
       m: Int,
       ks: Int,
       dim: Int,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3,
+      trainSamplePct: Int = 100): DataFrame = {
     require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")
     val subDim = dim / m
-    val books = pqTrainCodebooks(corpus, idCol, vecCol, m, ks, subDim, iters)
+    val books = pqTrainCodebooks(corpus, idCol, vecCol, m, ks, subDim,
+      iters, trainSamplePct)
     pqTopKWithBooks(books, corpus, queries, idCol, vecCol, k, m, subDim)
   }
 
@@ -851,13 +863,16 @@ object Similarity {
       nProbe: Int,
       m: Int,
       ks: Int,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3,
+      trainSamplePct: Int = 100): DataFrame = {
     require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")
     val subDim = dim / m
-    val cents = trainCentroids(corpus, idCol, vecCol, nCentroids, iters)
+    val cents = trainCentroids(corpus, idCol, vecCol, nCentroids, iters,
+      trainSamplePct)
     val resid = ivfPqResiduals(corpus, idCol, vecCol, cents)
       .localCheckpoint()
-    val books = pqTrainCodebooks(resid, "__id", "__r", m, ks, subDim, iters)
+    val books = pqTrainCodebooks(resid, "__id", "__r", m, ks, subDim,
+      iters, trainSamplePct)
     val codes = pqEncode(resid, "__id", "__r", books, m, subDim,
         passthrough = Seq("centroid_id"))
       .withColumnRenamed("__id", "neighbor_id")

@@ -1,0 +1,126 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.etl.FixtureLoader.spark
+
+/** Round-13 gates: the bucketed-skyline and histogram-quantile
+  * rewrites must (a) still produce the r12-proven answers and (b)
+  * carry the PLAN property that motivated them — no row-scale
+  * unpartitioned window. Plus the retrieval-quality invariants for
+  * q242 (rerank losslessness + a measured recall floor) and the
+  * tCloseness loud-failure guard.
+  */
+class Round13QueriesSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  // documents/embeddings don't scale below sf0.1: 500 rows at both
+  // sf0.001 and sf0.01 (TESTDATA envelope), so text/vector gates pin
+  // against the same corpus the DuckDB gate checks
+  private val sfDocs = "/root/testdata/sf0.01"
+
+  /** WindowExec nodes in the EXECUTED plan whose partitionSpec is
+    * empty — i.e. single-partition sorts. `allow` names output columns
+    * of windows that are bounded by construction (bucket-level frames)
+    * and therefore exempt.
+    */
+  private def unpartitionedWindows(
+      df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan
+    plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty =>
+        w.windowExpression.map(_.name).mkString(",")
+    }
+  }
+
+  test("q152: two-phase skyline ≡ O(n²) dominance definition") {
+    val got = QueriesCore.q152Skyline(spark, sf)
+      .select("p_partkey").as[Long].collect().toSet
+    val parts = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_retailprice").cast("string"),
+        col("p_size"))
+      .as[(Long, String, Int)].collect()
+      .map { case (k, p, s) => (k, BigDecimal(p), s) }
+    val want = parts.filter { case (_, p, s) =>
+      !parts.exists { case (_, p2, s2) =>
+        (p2 <= p && s2 >= s) && (p2 < p || s2 > s)
+      }
+    }.map(_._1).toSet
+    assert(got == want)
+  }
+
+  test("q152: no row-scale unpartitioned window in the executed plan") {
+    val bad = unpartitionedWindows(QueriesCore.q152Skyline(spark, sf))
+      // the |buckets|-row carry prefix is the documented bounded
+      // exception — its window emits only __carry
+      .filterNot(_ == "__carry")
+    assert(bad.isEmpty, s"unpartitioned row-scale windows: $bad")
+  }
+
+  test("q241: histogram-bracket quantiles ≡ q145 window quantiles") {
+    val a = QueriesCore.q241QuantileHistogram(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val b = QueriesCore.q145ExactQuantiles(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("q241: no unpartitioned window at all (histogram is per-segment)") {
+    val bad = unpartitionedWindows(
+      QueriesCore.q241QuantileHistogram(spark, sf))
+    assert(bad.isEmpty, s"unpartitioned windows: $bad")
+  }
+
+  test("q224: distributed rank ≡ global sort rank (per column)") {
+    // the range-partitioned rank scheme must reproduce the exact
+    // sorted sequence of each column — rank r holds the r-th smallest
+    val got = QueriesCore.q224QuantileNorm(spark, sf)
+      .select("rank", "ref_micros").as[(Long, Long)].collect()
+      .sortBy(_._1)
+    val li = Tables.lineitem(spark, sf).select(
+      col("l_quantity").cast("decimal(18,0)").cast("bigint"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("bigint"),
+      (col("l_discount").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("bigint"))
+      .as[(Long, Long, Long)].collect()
+    val q = li.map(_._1).sorted
+    val p = li.map(_._2).sorted
+    val d = li.map(_._3).sorted
+    val want = q.indices.map(i => (i + 1L, (q(i) + p(i) + d(i)) * 1000000L / 3))
+    assert(got.toSeq == want)
+  }
+
+  test("q242: rerank is lossless and lexical recall clears the floor") {
+    val rows = QueriesText.q242RetrievalRecall(spark, sfDocs)
+      .select("query_id", "tp_cand", "tp_final", "recall_micros",
+        "rerank_lossless")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    // invariant (proven in the scaladoc): an exact rerank cannot drop
+    // a true top-10 member the candidate stage retained
+    assert(rows.forall(_._5), s"rerank dropped true neighbors: ${rows.toSeq}")
+    assert(rows.forall(r => r._2 == r._3))
+    // measured floor on THIS corpus (deterministic, seed=42): every
+    // query keeps at least one true dense neighbor through the
+    // lexical stage — recall@10 ≥ 10 %. A regression below this means
+    // the candidate stage (or the term election) broke, not noise.
+    assert(rows.forall(_._4 >= 100000L),
+      s"recall under floor: ${rows.filter(_._4 < 100000L).toSeq}")
+  }
+
+  test("tCloseness: non-exhaustive band list fails loudly") {
+    val df = Seq(("a", "low"), ("a", "high"), ("b", "UNKNOWN"))
+      .toDF("g", "band")
+    val out = graft.operators.Quality.tCloseness(
+      df, Seq("g"), "band", Seq("low", "high"), tPct = 20)
+    val e = intercept[Exception](out.collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("outside declared bands")))
+  }
+}
