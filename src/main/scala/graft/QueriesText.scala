@@ -388,6 +388,41 @@ object QueriesText {
       .orderBy("media_id")
   }
 
+  /** Video-column feature extraction end-to-end — the q54 contract
+    * lifted to VIDEO: every document becomes a real MJPEG-in-AVI
+    * payload (two JPEG frames synthesized from its text bytes —
+    * [[graft.sources.Multimodal.MediaCodec.synthAviMjpeg]]), rides an
+    * opaque binary column, and decodes frame-by-frame through the
+    * batched boundary ([[graft.sources.Multimodal.MediaCodec
+    * .decodeAviMjpeg]] → per-frame pixel fold). Features project to
+    * per-row scalars (driver-comparable), and the `decoder`
+    * provenance column must read `video/mjpeg` on every row — a
+    * `stub/byte-fold` here means the container parse or a frame
+    * decode silently regressed. No DuckDB oracle (a JPEG codec is not
+    * SQL) → rows-only at the gate; pixel exactness is spec-gated in
+    * SourcesSpec/Round13QueriesSpec.
+    */
+  def q243VideoFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val seed = Option(text).getOrElse("").getBytes("UTF-8")
+        (id, graft.sources.Multimodal.MediaCodec
+          .synthAviMjpeg(seed, 16, 12, 2))
+      }.toDF("media_id", "bytes")
+    graft.sources.Multimodal.decodeFeatures(media, dim = 8, batchSize = 64)
+      .select(col("media_id"),
+        size(col("features")).cast("long").as("n_feat"),
+        round(aggregate(col("features"), lit(0.0d),
+          (acc, x) => acc + x.cast("double")), 4).as("sum_feat"),
+        round(array_min(col("features")).cast("double"), 4).as("min_feat"),
+        round(array_max(col("features")).cast("double"), 4).as("max_feat"),
+        col("decoder"))
+      .orderBy("media_id")
+  }
+
   /** Incremental dedup — the daily-ingest pattern
     * ([[Dedup.minhashNearDupsIncrementalPortable]]): the corpus (docs
     * with doc_id%3≠0) is banded ONCE into the portable index, the
@@ -550,14 +585,21 @@ object QueriesText {
   def q99DataCard(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("source"), col("lang"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("__nt"),
-      TextAnalysis.qualityScore(col("text")).cast("decimal(18,4)").as("__q"))
+      // quality in floor-fixed-point MICROS ([[TextAnalysis
+      // .qualityMicros]]): the mean then rounds by integer half-up
+      // ((2p+q) div 2q) and double appears only in the final exactly-
+      // determined micros/1e6 — the old round(double,4) per doc +
+      // round(mean,6) both split engines on decimal boundaries at
+      // sf0.1 (the sf0.1 gate's catch)
+      TextAnalysis.qualityMicros(col("text")).as("__qm"))
     d.cube(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"),
-        round(sum(col("__q")).cast("double") / count(lit(1)), 6)
-          .as("avg_quality"))
+        sum(col("__qm")).as("__qms"))
       .select(coalesce(col("source"), lit("(all)")).as("source"),
         coalesce(col("lang"), lit("(all)")).as("lang"),
-        col("n_docs"), col("n_tokens"), col("avg_quality"))
+        col("n_docs"), col("n_tokens"),
+        (expr("CAST((2 * __qms + n_docs) DIV (2 * n_docs) AS BIGINT)")
+          .cast("double") / 1000000.0).as("avg_quality"))
       .orderBy("source", "lang")
   }
 
@@ -1272,6 +1314,7 @@ object QueriesText {
     "q98_cluster_sizes" -> q98ClusterSizes _,
     "q53_curation_pipeline" -> q53CurationPipeline _,
     "q54_media_features" -> q54MediaFeatures _,
+    "q243_video_features" -> q243VideoFeatures _,
     "q67_minhash_incremental" -> q67MinhashIncremental _,
     "q86_stream_dedup" -> q86StreamDedup _,
     "q88_lm_perplexity" -> q88LmPerplexity _,
@@ -2486,7 +2529,8 @@ object QueriesText {
           |      AS DECIMAL(18,9)) AS t
           |  FROM counts JOIN tot USING (doc_id))
           |SELECT doc_id, min(n) AS n_chars,
-          |  round(CAST(sum(t) AS DOUBLE), 6) AS entropy
+          |  CAST((CAST(sum(t) * 1000000000 AS HUGEINT) + 500) // 1000
+          |    AS BIGINT) / 1000000.0 AS entropy
           |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       // q88: literal formula twin of lmPerplexity — Laplace-smoothed
@@ -2533,19 +2577,20 @@ object QueriesText {
            |    CASE WHEN regexp_matches(text, '[!?.]{3,}|#{2,}|\\{|\\}')
            |         THEN 0.0 ELSE 1.0 END AS good_punct
            |  FROM documents),
-           |q AS (SELECT source, lang, nt, CAST(round((
+           |q AS (SELECT source, lang, nt, CAST(floor((
            |    (CASE WHEN len > 0 THEN n_alpha / len ELSE 0.0 END) +
            |    (CASE WHEN len >= 200 AND len <= 20000 THEN 1.0
            |          WHEN len >= 50 THEN 0.5 ELSE 0.0 END) +
            |    good_punct +
-           |    (CASE WHEN h_en >= 2 THEN 1.0 ELSE 0.0 END)) / 4.0, 4)
-           |    AS DECIMAL(18,4)) AS quality
+           |    (CASE WHEN h_en >= 2 THEN 1.0 ELSE 0.0 END)) * 250000)
+           |    AS BIGINT) AS qm
            |  FROM c)
            |SELECT coalesce(source, '(all)') AS source,
            |  coalesce(lang, '(all)') AS lang,
            |  CAST(count(*) AS BIGINT) AS n_docs,
            |  CAST(sum(nt) AS BIGINT) AS n_tokens,
-           |  round(CAST(sum(quality) AS DOUBLE) / count(*), 6) AS avg_quality
+           |  CAST((2 * sum(qm) + count(*)) // (2 * count(*)) AS BIGINT)
+           |    / 1000000.0 AS avg_quality
            |FROM q GROUP BY CUBE(source, lang) ORDER BY 1, 2""".stripMargin,
 
       // q97: q35's shingle CTE verbatim → distinct (doc, shingle)

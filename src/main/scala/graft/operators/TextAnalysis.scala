@@ -77,6 +77,27 @@ object TextAnalysis {
     round((alphaRatio + lenScore + badPunct + stopScore) / 4.0, 4)
   }
 
+  /** [[qualityScore]] in floor-fixed-point integer MICROS — the form
+    * that can feed FURTHER arithmetic (means, sums, thresholds)
+    * without cross-engine drift: floor of an identical IEEE double is
+    * bit-deterministic, whereas round(double, 4) splits engines when a
+    * score lands on a decimal boundary (q99's sf0.1 mean surfaced
+    * exactly that). Same components, scaled by 250000 (= 1e6/4).
+    */
+  def qualityMicros(text: Column): Column = {
+    val len = length(text).cast("double")
+    val nAlpha = (len - length(regexp_replace(text, "[A-Za-z]", ""))).cast("double")
+    val alphaRatio = when(len > 0, nAlpha / len).otherwise(lit(0.0))
+    val lenScore = when(len >= 200 && len <= 20000, lit(1.0))
+      .when(len >= 50, lit(0.5)).otherwise(lit(0.0))
+    val badPunct = when(text.rlike("[!?.]{3,}|#{2,}|\\{|\\}"), lit(0.0))
+      .otherwise(lit(1.0))
+    val stopScore = when(markerHits(text, langMarkers.head._2) >= 2, lit(1.0))
+      .otherwise(lit(0.0))
+    floor((alphaRatio + lenScore + badPunct + stopScore) * 250000)
+      .cast("long")
+  }
+
   /** Document fingerprint: 64-bit hash of the normalized text
     * (lowercase, collapse whitespace) — xxhash64 is Spark-native and
     * codegen'd. For cross-engine (oracle) checks use [[fingerprintMd5]].
@@ -636,7 +657,15 @@ object TextAnalysis {
         round(-col("__p") * log2(col("__p")), 9).cast("decimal(18,9)"))
       .groupBy(idCol)
       .agg(first(col("n")).as("n_chars"),
-        round(sum(col("__term")).cast("double"), 6).as("entropy"))
+        // nanos → micros by INTEGER half-up ((x+500) div 1000), double
+        // only for the final exactly-determined micros/1e6: round(sum
+        // AS DOUBLE, 6) hit a 6-dp boundary on 3 of 600k docs at sf0.1
+        // (shortest-repr vs binary rounding split the engines), and a
+        // decimal downcast is no better — DuckDB truncates where Spark
+        // half-ups. Entropy is non-negative, so floor-div ≡ half-up.
+        (expr("CAST((CAST(sum(__term) * 1000000000 AS DECIMAL(28,0)) " +
+          "+ 500) DIV 1000 AS BIGINT)").cast("double") / 1000000.0)
+          .as("entropy"))
   }
 
   /** C4/RefinedWeb-style LINE-level dedup: a line occurring in more

@@ -19,12 +19,14 @@ import org.apache.spark.sql.types._
   * `javax.imageio` ([[MediaCodec.decodeImageIO]] — the `java.desktop`
   * module ships in this JVM, so no external codec is needed); WAV
   * PCM audio is parsed to normalized samples
-  * ([[MediaCodec.decodeWav]]). Only VIDEO frames remain a declared
-  * STUB (the JDK has no video codec) that folds raw payload bytes
-  * into a deterministic pseudo-feature vector. Everything around the
-  * boundary — schema, partitioning, batch shape, null handling — is
-  * real and tested; a video codec would slot in beside decodeWav in
-  * [[MediaCodec.decodeBatch]].
+  * ([[MediaCodec.decodeWav]]); and MJPEG-in-AVI VIDEO genuinely
+  * decodes frame-by-frame ([[MediaCodec.decodeAviMjpeg]] — a RIFF
+  * chunk walk whose `00dc` payloads are complete JPEGs the JDK
+  * reader handles). Only inter-frame-compressed video (H.264/VP9
+  * class) remains a declared STUB (no pure-JVM codec exists) that
+  * folds raw payload bytes into a deterministic pseudo-feature
+  * vector. Everything around the boundary — schema, partitioning,
+  * batch shape, null handling — is real and tested.
   */
 object Multimodal {
 
@@ -404,8 +406,47 @@ object Multimodal {
       None
     }
 
+    /** Parse a RIFF/AVI container carrying MOTION JPEG — the one video
+      * family a pure JVM can genuinely decode, because every `##dc` /
+      * `##db` chunk inside the `movi` LIST is a complete JPEG frame
+      * that [[decodeImageIO]] already handles. Chunk walk mirrors
+      * [[decodeWav]] (RIFF magic, even-length padding, bounded
+      * lengths); LISTs recurse (frames may sit under `rec ` groups).
+      * Some(frames) only when the container parses AND at least one
+      * frame decodes; None — never a throw — otherwise. Frames whose
+      * JPEG payload is corrupt are skipped, not fatal: a 100 TB video
+      * scan must degrade per-frame, not per-file.
+      */
+    def decodeAviMjpeg(bytes: Array[Byte]): Option[Seq[DecodedImage]] = {
+      if (bytes == null || bytes.length < 12) return None
+      if (bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' ||
+        bytes(3) != 'F' || bytes(8) != 'A' || bytes(9) != 'V' ||
+        bytes(10) != 'I' || bytes(11) != ' ') return None
+      val frames = scala.collection.mutable.ArrayBuffer.empty[DecodedImage]
+      def isFrameId(id: String): Boolean =
+        id.length == 4 && id(0).isDigit && id(1).isDigit &&
+          (id.charAt(2) == 'd') && (id.charAt(3) == 'c' || id.charAt(3) == 'b')
+      def walk(start: Int, end: Int): Unit = {
+        var pos = start
+        while (pos + 8 <= end) {
+          val id = new String(bytes, pos, 4, "US-ASCII")
+          val len = i32(bytes, pos + 4)
+          if (len < 0 || pos + 8 + len.toLong > end) return
+          if (id == "LIST" && len >= 4) walk(pos + 12, pos + 8 + len)
+          else if (isFrameId(id) && len > 0)
+            decodeImageIO(java.util.Arrays.copyOfRange(
+              bytes, pos + 8, pos + 8 + len)).foreach(frames += _)
+          pos += 8 + len + (len & 1)
+        }
+      }
+      walk(12, bytes.length)
+      if (frames.isEmpty) None else Some(frames.toSeq)
+    }
+
     /** Deterministic byte-fold pseudo-features — the stub path for
-      * the one codec family the JDK can't decode (video).
+      * codec families the JVM genuinely cannot decode (H.264/VP9-class
+      * video; MJPEG-in-AVI now decodes for real via
+      * [[decodeAviMjpeg]]).
       */
     private def foldBytes(bytes: Array[Byte], dim: Int): Array[Float] = {
       val out = new Array[Float](dim)
@@ -444,6 +485,23 @@ object Multimodal {
       out
     }
 
+    /** Features from real video: [[pixelFeatures]] accumulated over
+      * every decoded frame in display order — temporally order-
+      * sensitive the same way pixelFeatures is spatially.
+      */
+    private def videoFeatures(
+        frames: Seq[DecodedImage], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      frames.foreach { img =>
+        var i = 0
+        while (i < img.rgb.length) {
+          out(i % dim) += (img.rgb(i) & 0xFF) / 255.0f
+          i += 1
+        }
+      }
+      out
+    }
+
     /** Decode with PROVENANCE: which path produced the features — a
       * real pixel decode ("image/..."), a real PCM decode
       * ("audio/pcm"), or the declared stub ("stub/byte-fold").
@@ -459,6 +517,8 @@ object Multimodal {
           .orElse(decodePng(bytes).map(i => (pixelFeatures(i, dim), "image/png")))
           .orElse(decodeImageIO(bytes).map(i => (pixelFeatures(i, dim), "image/imageio")))
           .orElse(decodeWav(bytes).map(s => (sampleFeatures(s, dim), "audio/pcm")))
+          .orElse(decodeAviMjpeg(bytes).map(fs =>
+            (videoFeatures(fs, dim), "video/mjpeg")))
           .getOrElse((foldBytes(bytes, dim), "stub/byte-fold"))
       }
 
@@ -532,6 +592,64 @@ object Multimodal {
         while (i < px.length) { px(i) = seed(i % seed.length); i += 1 }
       }
       header ++ px
+    }
+
+    /** Deterministic MJPEG-in-AVI payload synthesized from a byte
+      * seed: `nFrames` JPEG frames (JDK encoder, pixels = seed bytes
+      * tiled with the frame index mixed in so frames differ) inside a
+      * well-formed RIFF/AVI — `hdrl` (avih + one `vids`/`MJPG`
+      * stream's strh/strf) then `movi` with `00dc` chunks. Exists so
+      * the video decode path can be round-trip-tested against real
+      * containers, the [[synthPpm]] pattern lifted to video.
+      */
+    def synthAviMjpeg(
+        seed: Array[Byte], w: Int, h: Int, nFrames: Int): Array[Byte] = {
+      def u32(v: Int): Array[Byte] = Array(
+        (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+      def fcc(sx: String): Array[Byte] = sx.getBytes("US-ASCII")
+      def chunk(id: String, body: Array[Byte]): Array[Byte] =
+        fcc(id) ++ u32(body.length) ++ body ++
+          (if ((body.length & 1) == 1) Array(0.toByte)
+           else Array.empty[Byte])
+      def list(typ: String, body: Array[Byte]): Array[Byte] =
+        fcc("LIST") ++ u32(body.length + 4) ++ fcc(typ) ++ body
+      val jpegs = (0 until nFrames).map { f =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < w * h) {
+          def ch(o: Int): Int =
+            if (seed != null && seed.nonEmpty)
+              seed((i * 3 + o + f) % seed.length) & 0xFF
+            else 0
+          img.setRGB(i % w, i / w, (ch(0) << 16) | (ch(1) << 8) | ch(2))
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      // avih: usPerFrame, maxBps, padding, flags, totalFrames,
+      // initialFrames, streams, suggBuf, w, h, reserved[4]
+      val avih = u32(33333) ++ u32(0) ++ u32(0) ++ u32(0x10) ++
+        u32(nFrames) ++ u32(0) ++ u32(1) ++ u32(0) ++ u32(w) ++ u32(h) ++
+        u32(0) ++ u32(0) ++ u32(0) ++ u32(0)
+      // strh: vids/MJPG, flags, prio+lang, initFrames, scale=1,
+      // rate=30, start, length, suggBuf, quality, sampleSize, rcFrame
+      val strh = fcc("vids") ++ fcc("MJPG") ++ u32(0) ++ u32(0) ++
+        u32(0) ++ u32(1) ++ u32(30) ++ u32(0) ++ u32(nFrames) ++
+        u32(0) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(0)
+      // strf: BITMAPINFOHEADER (40 bytes), biCompression = 'MJPG'
+      val strf = u32(40) ++ u32(w) ++ u32(h) ++
+        Array(1.toByte, 0.toByte, 24.toByte, 0.toByte) ++ fcc("MJPG") ++
+        u32(w * h * 3) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(0)
+      val hdrl = list("hdrl", chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+      val movi = list("movi",
+        jpegs.flatMap(j => chunk("00dc", j)).toArray)
+      val body = fcc("AVI ") ++ hdrl ++ movi
+      fcc("RIFF") ++ u32(body.length) ++ body
     }
   }
 

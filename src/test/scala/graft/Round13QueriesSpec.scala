@@ -112,6 +112,35 @@ class Round13QueriesSpec extends AnyFunSuite {
       s"recall under floor: ${rows.filter(_._4 < 100000L).toSeq}")
   }
 
+  test("q243: video features come from real MJPEG frame decodes") {
+    val rows = QueriesText.q243VideoFeatures(spark, sf)
+      .collect()
+    assert(rows.length ==
+      Tables.documents(spark, sf).count())
+    assert(rows.forall(_.getString(5) == "video/mjpeg"),
+      "a payload fell back to the stub fold")
+    // independent recount for one row: synthesize + decode the same
+    // container directly through MediaCodec (no Spark boundary) and
+    // compare the folded features
+    val r0 = rows.minBy(_.getLong(0))
+    val text = Tables.documents(spark, sf)
+      .filter(col("doc_id") === r0.getLong(0))
+      .select("text").first().getString(0)
+    val M = graft.sources.Multimodal.MediaCodec
+    val frames = M.decodeAviMjpeg(
+      M.synthAviMjpeg(text.getBytes("UTF-8"), 16, 12, 2)).get
+    val want = new Array[Float](8)
+    for (f <- frames; (b, i) <- f.rgb.zipWithIndex)
+      want(i % 8) += (b & 0xFF) / 255.0f
+    def r4(d: Double) = BigDecimal(d).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r0.getLong(1) == 8L)
+    assert(r0.getDouble(2) ==
+      r4(want.foldLeft(0.0)((a, x) => a + x.toDouble)))
+    assert(r0.getDouble(3) == r4(want.min.toDouble))
+    assert(r0.getDouble(4) == r4(want.max.toDouble))
+  }
+
   test("tCloseness: non-exhaustive band list fails loudly") {
     val df = Seq(("a", "low"), ("a", "high"), ("b", "UNKNOWN"))
       .toDF("g", "band")

@@ -515,6 +515,36 @@ class SourcesSpec extends AnyFunSuite {
     assert(Multimodal.MediaCodec.decodeWav(null).isEmpty)
   }
 
+  test("MJPEG-in-AVI video decodes real frames, not the stub fold") {
+    val M = Multimodal.MediaCodec
+    // flat mid-gray seed: a JPEG of a solid color round-trips ~exactly,
+    // so decoded pixels can be asserted within DCT tolerance
+    val avi = M.synthAviMjpeg(Array.fill(3)(128.toByte), 16, 12, 3)
+    val frames = M.decodeAviMjpeg(avi).get
+    assert(frames.length == 3)
+    assert(frames.forall(f => f.width == 16 && f.height == 12))
+    assert(frames.forall(_.rgb.forall(b => math.abs((b & 0xFF) - 128) <= 3)))
+    // batch routing: provenance must be the real video decode; the
+    // features must equal the per-frame pixel fold, not the byte fold
+    val (feats, tag) = M.decodeBatchTagged(Seq(avi), 4)(0)
+    assert(tag == "video/mjpeg")
+    val expected = new Array[Float](4)
+    for (f <- frames; (b, i) <- f.rgb.zipWithIndex)
+      expected(i % 4) += (b & 0xFF) / 255.0f
+    assert(feats.sameElements(expected))
+    // varied-seed frames differ from each other (frame index is mixed
+    // into the pixel synthesis) and decode deterministically
+    val avi2 = M.synthAviMjpeg("graft video".getBytes("UTF-8"), 16, 12, 2)
+    val f2 = M.decodeAviMjpeg(avi2).get
+    assert(f2.length == 2 && !f2(0).rgb.sameElements(f2(1).rgb))
+    assert(M.decodeAviMjpeg(avi2).get.head.rgb.sameElements(f2.head.rgb))
+    // contract: WAV is not video, truncation refused, null refused;
+    // and WAV still routes to the audio decoder (RIFF disambiguation)
+    assert(M.decodeAviMjpeg("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(M.decodeAviMjpeg(avi.take(40)).isEmpty)
+    assert(M.decodeAviMjpeg(null).isEmpty)
+  }
+
   test("q54 media features decode data-derived PPM payloads, not the stub fold") {
     val dir = "/root/testdata/sf0.001"
     val df = graft.QueriesText.q54MediaFeatures(spark, dir)
