@@ -2253,6 +2253,58 @@ object OraclesCore {
         |FROM r GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
 
+    // q244: identical sweep — strictly-preceding running max end,
+    // cumulative new-segment flags, two folds, exact micros.
+    "q244_interval_coverage" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    epoch_us(ts) + 1800000000 AS en
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, t, en,
+        |    max(en) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        |  FROM e),
+        |f AS (
+        |  SELECT user_id, event_id, t, en,
+        |    CASE WHEN pe IS NULL OR t > pe THEN 1 ELSE 0 END AS nw
+        |  FROM m),
+        |seg AS (
+        |  SELECT user_id, t, en,
+        |    sum(nw) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id, sid, min(t) AS s, max(en) AS x
+        |  FROM seg GROUP BY 1, 2)
+        |SELECT CAST(user_id AS BIGINT) AS user_id,
+        |  CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(x - s) AS BIGINT) AS covered_micros,
+        |  CAST(max(x - s) AS BIGINT) AS longest_micros
+        |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q245: same md5-prefix uniforms, same integer floor-div
+    // priorities, same (priority desc, key) top-50.
+    "q245_priority_sample" ->
+      """WITH h AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(18,0)) AS BIGINT) AS w_cents,
+        |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+        |      ::BIGINT AS hk
+        |  FROM orders),
+        |p AS (
+        |  SELECT o_orderkey, w_cents,
+        |    CAST((CAST(w_cents AS HUGEINT) * 1000000000) // (hk + 1)
+        |      AS BIGINT) AS priority
+        |  FROM h),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    ORDER BY priority DESC, o_orderkey) AS rn
+        |  FROM p)
+        |SELECT o_orderkey, w_cents, priority FROM r
+        |WHERE rn <= 50 ORDER BY priority DESC, o_orderkey""".stripMargin,
+
     // q142: compaction is a pure layout move — identity aggregates come
     // straight off the source table; layout_ok is pinned TRUE (the
     // Spark side recomputes it from the actual output listing).

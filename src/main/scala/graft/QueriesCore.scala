@@ -1939,6 +1939,72 @@ object QueriesCore {
       .orderBy("c_mktsegment")
   }
 
+  /** Interval-union coverage — the classic merge-overlapping-intervals
+    * sweep, distributed: each event opens a 30-minute activity window
+    * [ts, ts+30m); per user, overlapping windows merge and the output
+    * is (sessions, total covered time, longest session) in exact
+    * micros. The sweep is the W2 run-length pattern lifted to
+    * intervals: one window per user carries the running max END over
+    * strictly-preceding rows; a row whose start exceeds it begins a
+    * new segment (cumulative flag sum = segment id); segments then
+    * fold with one aggregate. One shuffle on user_id serves the
+    * window AND the fold — per-user work, never a global sort, the
+    * shape that survives 100 TB of telemetry. All arithmetic integer
+    * micros; the oracle replays the same sweep.
+    */
+  def q244IntervalCoverage(s: SparkSession, dir: String): DataFrame = {
+    val win = 1800000000L // 30 min in micros
+    val w = Window.partitionBy("user_id").orderBy(col("__t"), col("event_id"))
+    val prevEnd = max(col("__e")).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("__t"))
+      .withColumn("__e", col("__t") + win)
+      .withColumn("__new",
+        when(prevEnd.isNull || col("__t") > prevEnd, 1L).otherwise(0L))
+      .withColumn("__seg", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "__seg")
+      .agg(min(col("__t")).as("__s"), max(col("__e")).as("__x"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast("bigint").as("n_sessions"),
+        sum(col("__x") - col("__s")).cast("bigint").as("covered_micros"),
+        max(col("__x") - col("__s")).cast("bigint").as("longest_micros"))
+      .select(col("user_id").cast("bigint").as("user_id"),
+        col("n_sessions"), col("covered_micros"), col("longest_micros"))
+      .orderBy("user_id")
+  }
+
+  /** Priority sampling (Duffield, Lund & Thorup 2007) — weighted
+    * sampling WITHOUT replacement with near-optimal subset-sum
+    * variance: item i draws uniform uᵢ, gets priority qᵢ = wᵢ/uᵢ, and
+    * the sample is the top-k by priority. Uniforms come from the
+    * md5-prefix hash (the repo's portable-randomness convention) and
+    * the ratio is carried as the exact integer floor((w·10¹⁸) DIV h) —
+    * deterministic cross-engine, ties broken on the key, no float
+    * anywhere. The top-k is [[graft.plans.TopKPerKey]]'s bounded heap
+    * over a constant key (never a global sort): at 100 TB the
+    * per-partition heaps hold k rows each and the final merge sees
+    * |partitions|·k candidates. Weights are order totals in cents.
+    */
+  def q245PrioritySample(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("bigint").as("w_cents"))
+      .withColumn("__h", graft.operators.Scale.md5Prefix32(col("o_orderkey")))
+      // scale 10⁹ keeps the worst case (h = 0 → divisor 1) inside
+      // BIGINT: w ≤ ~6·10⁷ cents × 10⁹ = 6·10¹⁶ < 2⁶³; resolution
+      // ~10⁷ distinct priority levels, ties broken on the key
+      .withColumn("priority",
+        expr("CAST((CAST(w_cents AS DECIMAL(38,0)) * 1000000000)" +
+          " DIV (__h + 1) AS BIGINT)"))
+    graft.plans.TopK.topKPerKey(o.withColumn("__g", lit(1)), Seq("__g"),
+        Seq("priority" -> false, "o_orderkey" -> true), 50)
+      .select(col("o_orderkey"), col("w_cents"), col("priority"))
+      .orderBy(col("priority").desc, col("o_orderkey"))
+  }
+
   /** CUBE — the last member of the grouping-extension family (ROLLUP
     * q22, GROUPING SETS q120): all four (returnflag × linestatus)
     * margins in one Expand pass, with GROUPING() flags distinguishing
@@ -4983,6 +5049,8 @@ object QueriesCore {
     "q239_next_event_accuracy" -> q239NextEventAccuracy _,
     "q240_csv_export" -> q240CsvExport _,
     "q241_quantile_histogram" -> q241QuantileHistogram _,
+    "q244_interval_coverage" -> q244IntervalCoverage _,
+    "q245_priority_sample" -> q245PrioritySample _,
     "q236_lorenz_curve" -> q236LorenzCurve _,
     "q237_sprt" -> q237Sprt _,
     "q238_conformal_interval" -> q238ConformalInterval _,

@@ -112,6 +112,48 @@ class Round13QueriesSpec extends AnyFunSuite {
       s"recall under floor: ${rows.filter(_._4 < 100000L).toSeq}")
   }
 
+  test("q244: interval-union coverage ≡ brute-force per-user merge") {
+    val got = QueriesCore.q244IntervalCoverage(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val win = 1800000000L
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")))
+      .as[(Long, Long)].collect()
+    val want = ev.groupBy(_._1).toSeq.map { case (u, rows) =>
+      // classic sequential merge over sorted starts
+      val iv = rows.map(_._2).sorted.map(t => (t, t + win))
+      val merged = iv.foldLeft(List.empty[(Long, Long)]) {
+        case (acc, (s0, e0)) => acc match {
+          case (s1, e1) :: rest if s0 <= e1 =>
+            (s1, math.max(e0, e1)) :: rest
+          case _ => (s0, e0) :: acc
+        }
+      }
+      (u, merged.size.toLong, merged.map(x => x._2 - x._1).sum,
+        merged.map(x => x._2 - x._1).max)
+    }.sortBy(_._1)
+    assert(got == want)
+  }
+
+  test("q245: priority sample ≡ brute-force w/u ranking") {
+    val got = QueriesCore.q245PrioritySample(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("decimal(18,0)").cast("bigint"))
+      .as[(Long, Long)].collect()
+    def md5p32(k: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val want = orders.map { case (k, w) =>
+      (k, w, (BigInt(w) * BigInt(1000000000) / BigInt(md5p32(k) + 1)).toLong)
+    }.sortBy { case (k, _, p) => (-p, k) }.take(50).toSeq
+    assert(got == want)
+  }
+
   test("q243: video features come from real MJPEG frame decodes") {
     val rows = QueriesText.q243VideoFeatures(spark, sf)
       .collect()
