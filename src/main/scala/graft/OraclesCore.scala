@@ -2305,6 +2305,41 @@ object OraclesCore {
         |SELECT o_orderkey, w_cents, priority FROM r
         |WHERE rn <= 50 ORDER BY priority DESC, o_orderkey""".stripMargin,
 
+    // q246: the union-of-micro-batches ≡ static-join invariant — the
+    // oracle is the PLAIN join + rollup; any batching artifact
+    // (dropped/duplicated rows at trigger boundaries) hash-fails.
+    "q246_stream_enrich" ->
+      """SELECT c_mktsegment, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q247: weighted rank definition — repeat each balance w times
+    // conceptually; in SQL, cumulative weight over the ordered
+    // histogram, value at integer weighted position.
+    "q247_weighted_quantiles" ->
+      """WITH w AS (
+        |  SELECT o_custkey, count(*) AS w FROM orders GROUP BY 1),
+        |h AS (
+        |  SELECT c_mktsegment, CAST(c_acctbal AS DECIMAL(18,2)) AS b,
+        |    sum(w.w) AS c
+        |  FROM customer JOIN w ON c_custkey = o_custkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT c_mktsegment, b,
+        |    sum(c) OVER (PARTITION BY c_mktsegment ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM h)
+        |SELECT c_mktsegment, CAST(max(n) AS BIGINT) AS total_weight,
+        |  CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN b END) AS DOUBLE)
+        |    AS median_bal,
+        |  CAST(min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN b END)
+        |    AS DOUBLE) AS p90_bal
+        |FROM r GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
     // q142: compaction is a pure layout move — identity aggregates come
     // straight off the source table; layout_ok is pinned TRUE (the
     // Spark side recomputes it from the actual output listing).

@@ -2005,6 +2005,94 @@ object QueriesCore {
       .orderBy(col("priority").desc, col("o_orderkey"))
   }
 
+  /** Stream-STATIC enrichment join — the one streaming join shape the
+    * declared surface didn't yet pin (q119 is stream-stream): events
+    * replay as micro-batches (one file per trigger) and every batch
+    * broadcast-joins the static customer dimension — stateless, no
+    * watermark, exactly the per-batch plan a 100 TB stream enriching
+    * against a dim table runs (the dim re-broadcasts per batch; state
+    * stays O(0)). The union of enriched micro-batch outputs must equal
+    * the static join — that invariant is what the rollup (segment ×
+    * event_type counts + distinct users) hash-proves against DuckDB's
+    * plain join, independent of how the stream was batched.
+    */
+  def q246StreamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    val dim = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val root = java.nio.file.Files.createTempDirectory("q246-stream").toString
+    val src = s"$root/src"
+    Seq(0, 1, 2).foreach { r =>
+      ev.filter(pmod(col("event_id"), lit(3)) === r)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val name = java.nio.file.Paths.get(root).getFileName.toString
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    try {
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val onDisk = {
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          s.read.parquet(src).schema
+        }
+        graft.streaming.EventsStream.readEvents(s, src,
+            maxFilesPerTrigger = Some(1), schemaHint = Some(onDisk))
+          .join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("c_mktsegment"))
+          .writeStream.outputMode("append").format("memory")
+          .queryName(name).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      q.processAllAvailable()
+      q.stop()
+      val out = s.table(name)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(count(lit(1)).cast("bigint").as("n_events"),
+          countDistinct(col("user_id")).cast("bigint").as("n_users"))
+        .orderBy("c_mktsegment", "event_type")
+        .localCheckpoint(true) // materialize before the finally deletes
+      s.catalog.dropTempView(name)
+      out
+    } finally TmpTrees.delete(root)
+  }
+
+  /** WEIGHTED quantiles by histogram bracket — q241's distributed
+    * order-statistics machinery generalized to weighted rank, the form
+    * data curation actually needs ("median balance weighted by order
+    * volume"): weight w(customer) = its order count, the histogram
+    * accumulates Σw per (segment, balance), and the weighted
+    * q-quantile is min{v : cumW(v) ≥ pos(W)} with integer positions
+    * over total weight W. Same scale envelope as q241 (the sorted
+    * structure is the histogram, never the rows); weights arrive from
+    * one pre-aggregated join, zero-order customers carrying weight 0
+    * drop out of the distribution by definition (Σw over them is 0).
+    */
+  def q247WeightedQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val wts = Tables.orders(s, dir).groupBy("o_custkey")
+      .agg(count(lit(1)).as("__w"))
+    val hist = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("c_acctbal").cast("decimal(18,2)").as("__b"))
+      .join(wts, col("c_custkey") === col("o_custkey"))
+      .groupBy("c_mktsegment", "__b")
+      .agg(sum(col("__w")).as("__c"))
+    val cum = Window.partitionBy("c_mktsegment").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("__cum", sum(col("__c")).over(cum))
+      .withColumn("__n",
+        sum(col("__c")).over(Window.partitionBy("c_mktsegment")))
+      .groupBy("c_mktsegment")
+      .agg(max(col("__n")).cast("bigint").as("total_weight"),
+        min(when(col("__cum") >= expr("(__n + 1) div 2"), col("__b")))
+          .cast("double").as("median_bal"),
+        min(when(col("__cum") >= expr("(__n * 9 + 9) div 10"), col("__b")))
+          .cast("double").as("p90_bal"))
+      .orderBy("c_mktsegment")
+  }
+
   /** CUBE — the last member of the grouping-extension family (ROLLUP
     * q22, GROUPING SETS q120): all four (returnflag × linestatus)
     * margins in one Expand pass, with GROUPING() flags distinguishing
@@ -5051,6 +5139,8 @@ object QueriesCore {
     "q241_quantile_histogram" -> q241QuantileHistogram _,
     "q244_interval_coverage" -> q244IntervalCoverage _,
     "q245_priority_sample" -> q245PrioritySample _,
+    "q246_stream_enrich" -> q246StreamEnrich _,
+    "q247_weighted_quantiles" -> q247WeightedQuantiles _,
     "q236_lorenz_curve" -> q236LorenzCurve _,
     "q237_sprt" -> q237Sprt _,
     "q238_conformal_interval" -> q238ConformalInterval _,
