@@ -2340,6 +2340,72 @@ object OraclesCore {
         |FROM r GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
 
+    // q248: conditional-count pivot — the wide matrix by definition.
+    "q248_pivot" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS n_purchase,
+        |    sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |      AS n_signup,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(user_id AS BIGINT) AS user_id,
+        |  CAST(n_click AS BIGINT) AS n_click,
+        |  CAST(n_error AS BIGINT) AS n_error,
+        |  CAST(n_purchase AS BIGINT) AS n_purchase,
+        |  CAST(n_signup AS BIGINT) AS n_signup,
+        |  CAST(n_view AS BIGINT) AS n_view,
+        |  CAST(n_click + n_error + n_purchase + n_signup + n_view
+        |    AS BIGINT) AS n_total
+        |FROM p ORDER BY user_id""".stripMargin,
+
+    // q249: UNION ALL is the unpivot's semantic definition.
+    "q249_unpivot" ->
+      """WITH v AS (
+        |  SELECT CAST(l_quantity AS DECIMAL(18,0)) AS q,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(18,0)) AS p,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(18,0)) AS d
+        |  FROM lineitem),
+        |u AS (
+        |  SELECT 'quantity' AS measure, CAST(q AS BIGINT) AS value FROM v
+        |  UNION ALL
+        |  SELECT 'price_cents', CAST(p AS BIGINT) FROM v
+        |  UNION ALL
+        |  SELECT 'discount_cents', CAST(d AS BIGINT) FROM v)
+        |SELECT measure, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value) AS BIGINT) AS total,
+        |  CAST(min(value) AS BIGINT) AS min_value,
+        |  CAST(max(value) AS BIGINT) AS max_value
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q250: the same unrolled 8-bit interleave in DuckDB bit ops.
+    "q250_zorder_key" ->
+      """WITH b AS (
+        |  SELECT p_partkey,
+        |    least(255, CAST(CAST(CAST(p_retailprice AS DECIMAL(18,2))
+        |      * 100 AS DECIMAL(18,0)) AS BIGINT) * 256 // 200000)
+        |      AS bx,
+        |    least(255, (CAST(p_size AS BIGINT) - 1) * 256 // 50) AS by
+        |  FROM part WHERE p_partkey % 7 = 0)
+        |SELECT p_partkey, CAST(bx AS BIGINT) AS bucket_price,
+        |  CAST(by AS BIGINT) AS bucket_size,
+        |  CAST(
+        |    ((bx >> 0) & 1) * 1 + ((by >> 0) & 1) * 2 +
+        |    ((bx >> 1) & 1) * 4 + ((by >> 1) & 1) * 8 +
+        |    ((bx >> 2) & 1) * 16 + ((by >> 2) & 1) * 32 +
+        |    ((bx >> 3) & 1) * 64 + ((by >> 3) & 1) * 128 +
+        |    ((bx >> 4) & 1) * 256 + ((by >> 4) & 1) * 512 +
+        |    ((bx >> 5) & 1) * 1024 + ((by >> 5) & 1) * 2048 +
+        |    ((bx >> 6) & 1) * 4096 + ((by >> 6) & 1) * 8192 +
+        |    ((bx >> 7) & 1) * 16384 + ((by >> 7) & 1) * 32768
+        |    AS BIGINT) AS zcode
+        |FROM b ORDER BY zcode, p_partkey""".stripMargin,
+
     // q142: compaction is a pure layout move — identity aggregates come
     // straight off the source table; layout_ok is pinned TRUE (the
     // Spark side recomputes it from the actual output listing).

@@ -2093,6 +2093,94 @@ object QueriesCore {
       .orderBy("c_mktsegment")
   }
 
+  /** PIVOT — long→wide reshaping at the declared surface: per-user
+    * event counts spread across one column per event type. The value
+    * list is EXPLICIT (the schema contract), so the plan is a single
+    * pivot aggregate — no extra distinct-values collect pass, the form
+    * that scales (an implicit pivot first scans the fact table just to
+    * learn its columns). Absent combinations land as 0, not NULL: a
+    * wide activity matrix feeds arithmetic downstream.
+    */
+  def q248Pivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .select(col("user_id").cast("bigint").as("user_id") +:
+        types.map(t => col(t).cast("bigint").as(s"n_$t")) :+
+        types.map(t => col(t).cast("bigint")).reduce(_ + _).as("n_total"): _*)
+      .orderBy("user_id")
+  }
+
+  /** UNPIVOT (stack) — wide→long, the inverse reshaping: lineitem's
+    * three measures become (measure, value) rows via one Expand node
+    * (each input row emits 3, no shuffle, no self-union that would
+    * re-scan the fact table per measure), then fold to per-measure
+    * stats. Values in exact integer units (quantity units / cents);
+    * the oracle's UNION ALL is the semantic definition the single
+    * Expand must match.
+    */
+  def q249Unpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"),
+        col("l_quantity").cast("decimal(18,0)").cast("bigint").as("__q"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("decimal(18,0)").cast("bigint").as("__p"),
+        (col("l_discount").cast("decimal(18,2)") * 100)
+          .cast("decimal(18,0)").cast("bigint").as("__d"))
+      .select(expr("stack(3, 'quantity', __q, 'price_cents', __p, " +
+        "'discount_cents', __d) AS (measure, value)"))
+      .groupBy("measure")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("value")).cast("bigint").as("total"),
+        min(col("value")).cast("bigint").as("min_value"),
+        max(col("value")).cast("bigint").as("max_value"))
+      .orderBy("measure")
+
+  /** Z-ORDER layout key (Morton interleave) — the multi-dimensional
+    * locality linearization behind Delta/Iceberg `OPTIMIZE ZORDER BY`:
+    * two bucketized dimensions (256-level equi-width buckets of
+    * retail price and size) interleave bit-by-bit into one sort key,
+    * so rows close in EITHER dimension land close in the layout and a
+    * range predicate on either column prunes contiguous file spans.
+    * The interleave is 8 unrolled shift/mask terms per dimension —
+    * pure integer bit arithmetic, codegen-friendly, identical in
+    * DuckDB. Output: the layout ORDER itself (rank by z-code) over a
+    * deterministic sample of parts, plus the code and buckets — what
+    * a lake writer would `repartitionByRange(zcode)` on. At 100 TB
+    * the z-sort IS the compaction job's ordering; computing the key
+    * is embarrassingly parallel.
+    */
+  def q250ZorderKey(s: SparkSession, dir: String): DataFrame = {
+    // equi-width 8-bit buckets over fixed envelopes (cents 0..200 000,
+    // size 1..50) — fixed bounds, not data-dependent percentiles, so
+    // the key needs no pre-pass at any scale
+    val bx = expr("least(CAST(255 AS BIGINT), (__pc * 256) DIV 200000)")
+    val by = expr("least(CAST(255 AS BIGINT), ((p_size - 1) * 256) DIV 50)")
+    val z = (0 until 8).map { i =>
+      (shiftleft(shiftrightunsigned(col("__bx"), i).bitwiseAND(1), 2 * i)
+        + shiftleft(shiftrightunsigned(col("__by"), i).bitwiseAND(1),
+          2 * i + 1))
+    }.reduce(_ + _)
+    Tables.part(s, dir)
+      .filter(pmod(col("p_partkey"), lit(7)) === 0)
+      .select(col("p_partkey"),
+        (col("p_retailprice").cast("decimal(18,2)") * 100)
+          .cast("decimal(18,0)").cast("bigint").as("__pc"),
+        col("p_size").cast("bigint").as("p_size"))
+      .withColumn("__bx", bx).withColumn("__by", by)
+      .withColumn("zcode", z)
+      .select(col("p_partkey"), col("__bx").as("bucket_price"),
+        col("__by").as("bucket_size"), col("zcode").cast("bigint")
+          .as("zcode"))
+      // the layout order is (zcode, key) itself — a lake writer would
+      // repartitionByRange on it; no rank column, which would need a
+      // row-scale global window for a purely cosmetic ordinal
+      .orderBy("zcode", "p_partkey")
+  }
+
   /** CUBE — the last member of the grouping-extension family (ROLLUP
     * q22, GROUPING SETS q120): all four (returnflag × linestatus)
     * margins in one Expand pass, with GROUPING() flags distinguishing
@@ -5141,6 +5229,9 @@ object QueriesCore {
     "q245_priority_sample" -> q245PrioritySample _,
     "q246_stream_enrich" -> q246StreamEnrich _,
     "q247_weighted_quantiles" -> q247WeightedQuantiles _,
+    "q248_pivot" -> q248Pivot _,
+    "q249_unpivot" -> q249Unpivot _,
+    "q250_zorder_key" -> q250ZorderKey _,
     "q236_lorenz_curve" -> q236LorenzCurve _,
     "q237_sprt" -> q237Sprt _,
     "q238_conformal_interval" -> q238ConformalInterval _,
