@@ -2406,6 +2406,40 @@ object OraclesCore {
         |    AS BIGINT) AS zcode
         |FROM b ORDER BY zcode, p_partkey""".stripMargin,
 
+    // q251: the brute-force all-pairs PROOF of the lossless deletion-
+    // neighborhood blocking — every ed≤1 pair, no blocking at all.
+    "q251_edit_distance_join" ->
+      """WITH s AS (
+        |  SELECT p_partkey AS id, p_name AS name FROM part
+        |  WHERE p_partkey % 4 = 0)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM s a JOIN s b ON a.id < b.id
+        |WHERE levenshtein(a.name, b.name) <= 1
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q252: identical distinct grid, min-fold cohorts, count matrix,
+    // integer retention.
+    "q252_retention_matrix" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+        |      AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY 1),
+        |sz AS (SELECT cw, count(*) AS n FROM c GROUP BY 1),
+        |m AS (
+        |  SELECT c.cw, uw.wk - c.cw AS o, count(*) AS act
+        |  FROM uw JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT CAST(m.cw AS BIGINT) AS cohort_week,
+        |  CAST(m.o AS BIGINT) AS "offset",
+        |  CAST(sz.n AS BIGINT) AS cohort_size,
+        |  CAST(m.act AS BIGINT) AS n_active,
+        |  CAST((m.act * 1000000) // sz.n AS BIGINT) AS retention_micros
+        |FROM m JOIN sz USING (cw)
+        |ORDER BY 1, 2""".stripMargin,
+
     // q142: compaction is a pure layout move — identity aggregates come
     // straight off the source table; layout_ok is pinned TRUE (the
     // Spark side recomputes it from the actual output listing).

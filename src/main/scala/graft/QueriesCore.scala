@@ -2181,6 +2181,74 @@ object QueriesCore {
       .orderBy("zcode", "p_partkey")
   }
 
+  /** Edit-distance-≤1 similarity join via DELETION-NEIGHBORHOOD
+    * blocking (FastSS / SymSpell): every string emits itself plus its
+    * |s| one-character deletions as join keys; two strings within one
+    * edit ALWAYS share a key (equal → identity key; insert/delete →
+    * the longer one's deletion equals the shorter; substitute at i →
+    * deleting i from both collides), so the blocking is LOSSLESS for
+    * k=1 — candidates are verified with the real levenshtein and
+    * false candidates (e.g. transpositions at distance 2) drop. Scale
+    * shape: neighborhood size is O(len) per row (not O(Σ) pairs), the
+    * join is an equi-join on the variant key, and verification runs
+    * only on candidates — the spelling-variant dedup a 100 TB product
+    * catalog or query log actually runs. Sampled to every 4th part so
+    * the oracle can afford the brute-force all-pairs proof.
+    */
+  def q251EditDistanceJoin(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(s, dir)
+      .filter(pmod(col("p_partkey"), lit(4)) === 0)
+      .select(col("p_partkey").as("id"), col("p_name").as("name"))
+    val variants = names.select(col("id"), col("name"),
+      explode(expr("array_union(array(name), " +
+        "transform(sequence(1, length(name)), i -> " +
+        "concat(substring(name, 1, i - 1), " +
+        "substring(name, i + 1, length(name)))))")).as("__v"))
+    val l = variants.select(col("__v"), col("id").as("id_a"),
+      col("name").as("name_a"))
+    val r = variants.select(col("__v"), col("id").as("id_b"),
+      col("name").as("name_b"))
+    l.join(r, Seq("__v"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "name_a", "name_b").distinct()
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast("bigint"))
+      .filter(col("dist") <= 1)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Weekly cohort RETENTION matrix — the activity twin of q225's
+    * revenue LTV: cohort = first-activity week, offset = weeks since,
+    * cell = fraction of the cohort active that week, in exact micros
+    * (n_active·10⁶ DIV cohort size). The (user, week) grid collapses
+    * to distinct rows FIRST (one fold bounded by users × weeks, not
+    * raw events), cohorts come from one min-fold over it, and the
+    * matrix is a single count aggregate — the entire query re-uses
+    * one user_id shuffle. Week index is integer days-div-7 from the
+    * epoch: no calendar semantics for engines to disagree on.
+    */
+  def q252RetentionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') " +
+          "AS BIGINT) DIV 7").as("__wk"))
+      .distinct()
+      .localCheckpoint() // feeds the cohort fold AND the matrix count
+    val cohort = uw.groupBy("user_id").agg(min(col("__wk")).as("__cw"))
+    val sizes = cohort.groupBy("__cw").agg(count(lit(1)).as("__sz"))
+    uw.join(cohort, Seq("user_id"))
+      .groupBy(col("__cw"), (col("__wk") - col("__cw")).as("offset"))
+      .agg(count(lit(1)).as("__act"))
+      .join(broadcast(sizes), Seq("__cw"))
+      .select(col("__cw").cast("bigint").as("cohort_week"),
+        col("offset").cast("bigint").as("offset"),
+        col("__sz").cast("bigint").as("cohort_size"),
+        col("__act").cast("bigint").as("n_active"),
+        expr("CAST((__act * 1000000L) DIV __sz AS BIGINT)")
+          .as("retention_micros"))
+      .orderBy("cohort_week", "offset")
+  }
+
   /** CUBE — the last member of the grouping-extension family (ROLLUP
     * q22, GROUPING SETS q120): all four (returnflag × linestatus)
     * margins in one Expand pass, with GROUPING() flags distinguishing
@@ -5232,6 +5300,8 @@ object QueriesCore {
     "q248_pivot" -> q248Pivot _,
     "q249_unpivot" -> q249Unpivot _,
     "q250_zorder_key" -> q250ZorderKey _,
+    "q251_edit_distance_join" -> q251EditDistanceJoin _,
+    "q252_retention_matrix" -> q252RetentionMatrix _,
     "q236_lorenz_curve" -> q236LorenzCurve _,
     "q237_sprt" -> q237Sprt _,
     "q238_conformal_interval" -> q238ConformalInterval _,

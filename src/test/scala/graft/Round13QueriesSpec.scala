@@ -154,6 +154,50 @@ class Round13QueriesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q251: deletion-neighborhood join ≡ brute-force all-pairs ed≤1") {
+    val got = QueriesCore.q251EditDistanceJoin(spark, sf)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)]
+      .collect().toSeq.sorted
+    val names = Tables.part(spark, sf)
+      .filter(col("p_partkey") % 4 === 0)
+      .select("p_partkey", "p_name").as[(Long, String)].collect()
+    // independent levenshtein (classic DP), no blocking anywhere
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, na) <- names; (ib, nb) <- names if ia < ib
+      d = lev(na, nb) if d <= 1
+    } yield (ia, ib, d.toLong)).toSeq.sorted
+    assert(want.nonEmpty, "sample has no ed<=1 pairs - gate is vacuous")
+    assert(got == want)
+  }
+
+  test("q252: retention matrix ≡ brute-force per-user week sets") {
+    val got = QueriesCore.q252RetentionMatrix(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    val uw = Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') " +
+          "AS BIGINT) DIV 7"))
+      .as[(Long, Long)].collect().toSet
+    val cohort = uw.groupBy(_._1).map { case (u, ws) =>
+      u -> ws.map(_._2).min }
+    val sizes = cohort.groupBy(_._2).map { case (c, us) => c -> us.size }
+    val want = uw.toSeq.map { case (u, w) => (cohort(u), w - cohort(u)) }
+      .groupBy(identity).map { case ((c, o), rows) =>
+        val sz = sizes(c).toLong
+        (c, o, sz, rows.size.toLong, rows.size.toLong * 1000000L / sz)
+      }.toSeq.sorted
+    assert(got == want)
+  }
+
   test("q243: video features come from real MJPEG frame decodes") {
     val rows = QueriesText.q243VideoFeatures(spark, sf)
       .collect()
