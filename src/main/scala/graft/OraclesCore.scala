@@ -2440,6 +2440,30 @@ object OraclesCore {
         |FROM m JOIN sz USING (cw)
         |ORDER BY 1, 2""".stripMargin,
 
+    // q253: the bitmap pipeline IS count(distinct) — the oracle states
+    // the definition directly; n_words = distinct 64-id buckets.
+    "q253_bitmap_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(DISTINCT user_id // 64) AS BIGINT) AS n_words
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q254: incremental merge of self-maintainable partials must equal
+    // the full aggregate by definition — oracle pins the definition
+    // with `consistent` hard-coded TRUE, so any drift in the
+    // incremental path hash-fails.
+    "q254_incremental_rollup" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS c
+        |  FROM orders)
+        |SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(c) AS BIGINT) AS sum_cents,
+        |  TRUE AS consistent
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // q142: compaction is a pure layout move — identity aggregates come
     // straight off the source table; layout_ok is pinned TRUE (the
     // Spark side recomputes it from the actual output listing).

@@ -2249,6 +2249,66 @@ object QueriesCore {
       .orderBy("cohort_week", "offset")
   }
 
+  /** EXACT distinct counting via WORD-BUCKETED BITMAPS — the
+    * Druid/ClickHouse trick for high-volume distinct users: user ids
+    * pack into 64-bit words (word = id DIV 64, bit = id MOD 64), the
+    * per-(type, word) `bit_or` combines MAP-SIDE (millions of events
+    * collapse to |types|×|id-range/64| words before the shuffle), and
+    * the distinct count is Σ bit_count(word). Equivalent to
+    * COUNT(DISTINCT) — the oracle IS count(distinct) — but the
+    * shuffled volume is bitmap words, not distinct ids: at 100 TB of
+    * events over a bounded id space that is a 64× payload reduction
+    * with pure integer ops end to end.
+    */
+  def q253BitmapDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("user_id DIV 64").as("__w"),
+        expr("shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(pmod(user_id, 64) AS INT))").as("__b"))
+      .groupBy("event_type", "__w")
+      .agg(expr("bit_or(__b)").as("__bm"))
+      .groupBy("event_type")
+      .agg(sum(expr("bit_count(__bm)")).cast("bigint").as("n_users"),
+        count(lit(1)).cast("bigint").as("n_words"))
+      .orderBy("event_type")
+
+  /** Incremental aggregate MAINTENANCE — the materialized-view
+    * pattern every warehouse rollup runs: the standing per-customer
+    * (count, sum) aggregate and a delta batch each fold separately,
+    * then MERGE by re-aggregating the partials (count/sum are
+    * self-maintainable: merge = sum of partials — never a recompute
+    * over the base). The query emits the merged rollup PLUS a
+    * `consistent` audit bit comparing it against the full recompute;
+    * the oracle computes the full aggregate with TRUE pinned, so any
+    * drift between the incremental path and the definition
+    * hash-fails. At 100 TB the delta is a day's partition and the
+    * merge touches |keys| rows, not history.
+    */
+  def q254IncrementalRollup(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_custkey"),
+      col("o_orderkey"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("bigint").as("__c"))
+      .localCheckpoint() // feeds base, delta, and the recompute audit
+    def fold(df: DataFrame) = df.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), sum(col("__c")).as("s"))
+    val base = fold(o.filter(pmod(col("o_orderkey"), lit(5)) =!= 0))
+    val delta = fold(o.filter(pmod(col("o_orderkey"), lit(5)) === 0))
+    val merged = base.unionByName(delta)
+      .groupBy("o_custkey")
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+    val full = fold(o)
+      .select(col("o_custkey"), col("n").as("__fn"), col("s").as("__fs"))
+    merged.join(full, Seq("o_custkey"))
+      .select(col("o_custkey").cast("bigint").as("o_custkey"),
+        col("n").cast("bigint").as("n_orders"),
+        col("s").cast("bigint").as("sum_cents"),
+        (col("n") === col("__fn") && col("s") === col("__fs"))
+          .as("consistent"))
+      .orderBy("o_custkey")
+  }
+
   /** CUBE — the last member of the grouping-extension family (ROLLUP
     * q22, GROUPING SETS q120): all four (returnflag × linestatus)
     * margins in one Expand pass, with GROUPING() flags distinguishing
@@ -5302,6 +5362,8 @@ object QueriesCore {
     "q250_zorder_key" -> q250ZorderKey _,
     "q251_edit_distance_join" -> q251EditDistanceJoin _,
     "q252_retention_matrix" -> q252RetentionMatrix _,
+    "q253_bitmap_distinct" -> q253BitmapDistinct _,
+    "q254_incremental_rollup" -> q254IncrementalRollup _,
     "q236_lorenz_curve" -> q236LorenzCurve _,
     "q237_sprt" -> q237Sprt _,
     "q238_conformal_interval" -> q238ConformalInterval _,

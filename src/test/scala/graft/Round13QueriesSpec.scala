@@ -227,6 +227,29 @@ class Round13QueriesSpec extends AnyFunSuite {
     assert(r0.getDouble(4) == r4(want.max.toDouble))
   }
 
+  test("q253: bitmap distinct ≡ set-based distinct recount") {
+    val got = QueriesCore.q253BitmapDistinct(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    val pairs = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"))
+      .as[(String, Long)].collect().toSet
+    val want = pairs.groupBy(_._1).map { case (t, us) =>
+      (t, us.map(_._2).size.toLong,
+        us.map(_._2 / 64).size.toLong)
+    }.toSeq.sorted
+    assert(got == want)
+  }
+
+  test("q254: incremental merge equals full recompute on every key") {
+    val rows = QueriesCore.q254IncrementalRollup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(3)),
+      "a merged partial drifted from the full aggregate")
+    // spot recount: total orders across keys = orders row count
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.orders(spark, sf).count())
+  }
+
   test("tCloseness: non-exhaustive band list fails loudly") {
     val df = Seq(("a", "low"), ("a", "high"), ("b", "UNKNOWN"))
       .toDF("g", "band")
