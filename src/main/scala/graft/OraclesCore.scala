@@ -2464,6 +2464,105 @@ object OraclesCore {
         |  TRUE AS consistent
         |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // q255: closed-form CUSUM — prefix of exact-rational deviations
+    // minus its running min; alarm cross-multiplied, no division.
+    "q255_cusum" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT count(*) AS nd, sum(n) AS tot FROM d),
+        |p AS (
+        |  SELECT day, n, t.nd, t.tot,
+        |    sum(n * t.nd - t.tot) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+        |  FROM d CROSS JOIN t),
+        |m AS (
+        |  SELECT day, n, nd, tot, pre,
+        |    least(min(pre) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |      0) AS rmin
+        |  FROM p)
+        |SELECT CAST(day AS TIMESTAMP) AS day,
+        |  CAST(n AS BIGINT) AS n_events,
+        |  CAST(pre - rmin AS BIGINT) AS cusum_dev,
+        |  (pre - rmin) * 5 > tot * nd AS alarm
+        |FROM m ORDER BY day""".stripMargin,
+
+    // q256: lower-ordinal medians (rank ⌈n/2⌉ — tie-safe) and the
+    // exact-integer 5·MAD gate, unrolled per pass.
+    "q256_mad_outliers" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (
+        |  SELECT seg, c,
+        |    row_number() OVER (PARTITION BY seg ORDER BY c) AS rk,
+        |    count(*) OVER (PARTITION BY seg) AS n
+        |  FROM j),
+        |m AS (SELECT seg, c AS med FROM r WHERE rk = (n + 1) // 2),
+        |d AS (
+        |  SELECT j.seg, m.med, abs(j.c - m.med) AS dev
+        |  FROM j JOIN m USING (seg)),
+        |r2 AS (
+        |  SELECT seg, med, dev,
+        |    row_number() OVER (PARTITION BY seg ORDER BY dev) AS rk,
+        |    count(*) OVER (PARTITION BY seg) AS n
+        |  FROM d),
+        |m2 AS (SELECT seg, dev AS mad FROM r2 WHERE rk = (n + 1) // 2)
+        |SELECT d.seg,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(max(d.med) AS BIGINT) AS med_cents,
+        |  CAST(max(m2.mad) AS BIGINT) AS mad_cents,
+        |  CAST(sum(CASE WHEN d.dev > 5 * m2.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM d JOIN m2 USING (seg)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q257: identical pinned Benford micros constants — neither
+    // engine evaluates a log; pure integer cross-multiplication.
+    "q257_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice
+        |      AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1)
+        |    AS INTEGER) AS digit, count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT sum(n) AS tot FROM d),
+        |p(digit, pm) AS (VALUES (1, 301029), (2, 176091), (3, 124938),
+        |  (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152),
+        |  (9, 45757))
+        |SELECT d.digit, CAST(d.n AS BIGINT) AS n,
+        |  CAST(t.tot * p.pm AS BIGINT) AS expected_microcount,
+        |  CAST(d.n * 1000000 - t.tot * p.pm AS BIGINT)
+        |    AS dev_microcount,
+        |  abs(d.n * 1000000 - t.tot * p.pm) * 5 <= t.tot * p.pm
+        |    AS within_20pct
+        |FROM d JOIN p USING (digit) CROSS JOIN t
+        |ORDER BY 1""".stripMargin,
+
+    // q258: running peak per nation's daily series, fold to the max
+    // decline — exact integer cents.
+    "q258_max_drawdown" ->
+      """WITH daily AS (
+        |  SELECT n_name, CAST(o_orderdate AS DATE) AS day,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS r
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |pk AS (
+        |  SELECT n_name, r,
+        |    max(r) OVER (PARTITION BY n_name ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pe
+        |  FROM daily)
+        |SELECT n_name,
+        |  CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(max(r) AS BIGINT) AS peak_day_cents,
+        |  CAST(max(pe - r) AS BIGINT) AS max_drawdown_cents
+        |FROM pk GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // q142: compaction is a pure layout move — identity aggregates come
     // straight off the source table; layout_ok is pinned TRUE (the
     // Spark side recomputes it from the actual output listing).

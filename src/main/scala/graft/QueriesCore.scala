@@ -2309,6 +2309,147 @@ object QueriesCore {
       .orderBy("o_custkey")
   }
 
+  /** CUSUM change-point detection (Page 1954) — the classic
+    * monitoring statistic over the daily event-count series. The
+    * one-sided CUSUM recursion S_t = max(0, S_{t-1} + dev_t) is not a
+    * plain window aggregate, but it has the closed form
+    * S_t = P_t − min(0, min_{j≤t} P_j) with P the running prefix of
+    * deviations — two cumulative window passes, no recursion. The
+    * mean is carried as an exact rational (dev_t = D·x_t − T, D days,
+    * T total events — everything scaled by D), and the alarm
+    * threshold 0.2·T cross-multiplies (S·5 > T·D ⇔ S/D > 0.2·T): no
+    * division anywhere. The windows are unpartitioned but run over
+    * the |days| DAILY series, not rows — the same bounded envelope as
+    * q237's sequential probe (at 100 TB the heavy part is the per-day
+    * pre-aggregation, which is an ordinary map-side-combined groupBy).
+    * Bounds: |P_t| ≤ D·T, alarm product T·D — both < 2⁶³ for
+    * T ≤ 2.5×10¹⁵ events at D=3650.
+    */
+  def q255Cusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val tot = daily.agg(count(lit(1)).as("__d"), sum(col("n")).as("__t"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(tot)) // 1-row scalar frame
+      .withColumn("__pre",
+        sum(col("n") * col("__d") - col("__t")).over(w))
+      .withColumn("__rmin", least(min(col("__pre")).over(w), lit(0L)))
+      .select(col("day").cast("timestamp_ntz").as("day"),
+        col("n").cast("bigint").as("n_events"),
+        (col("__pre") - col("__rmin")).cast("bigint").as("cusum_dev"),
+        ((col("__pre") - col("__rmin")) * 5 >
+          col("__t") * col("__d")).as("alarm"))
+      .orderBy("day")
+  }
+
+  /** Robust outlier screen via MEDIAN / MAD (median absolute
+    * deviation) — the estimator that doesn't break down when the
+    * contamination it's hunting is present, unlike mean/stddev
+    * z-scores. Medians are the LOWER ordinal statistic (value at rank
+    * ⌈n/2⌉ — deterministic under duplicate values regardless of tie
+    * order), computed with a per-segment rank window; the outlier
+    * gate |x − med| > 5·MAD is exact integer cents. The per-segment
+    * windows share q145's parallelism-=-|strata| envelope — the
+    * histogram-bracket rewrite (q241/q247) is the declared scale-safe
+    * twin when strata are few and rows are 100 TB.
+    */
+  def q256MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_custkey"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("bigint").as("__c"))
+    val seg = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+    val j = o.join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+      .select(col("seg"), col("__c")).localCheckpoint()
+    def lowerMedian(df: DataFrame, valCol: String): DataFrame = {
+      val w = Window.partitionBy("seg").orderBy(col(valCol))
+      df.withColumn("__rk", row_number().over(w))
+        .withColumn("__n",
+          count(lit(1)).over(Window.partitionBy("seg")))
+        .filter(col("__rk") === expr("(__n + 1) DIV 2"))
+        .select(col("seg"), col(valCol).as("__med"))
+    }
+    val med = lowerMedian(j, "__c")
+    val dev = j.join(broadcast(med), Seq("seg"))
+      .withColumn("__dev", abs(col("__c") - col("__med")))
+      .localCheckpoint()
+    val mad = lowerMedian(dev.select(col("seg"), col("__dev")), "__dev")
+    dev.join(broadcast(mad.withColumnRenamed("__med", "__mad")), Seq("seg"))
+      .groupBy("seg")
+      .agg(count(lit(1)).cast("bigint").as("n_orders"),
+        max(col("__med")).cast("bigint").as("med_cents"),
+        max(col("__mad")).cast("bigint").as("mad_cents"),
+        sum(when(col("__dev") > col("__mad") * 5, 1L).otherwise(0L))
+          .cast("bigint").as("n_outliers"))
+      .orderBy("seg")
+  }
+
+  /** Benford first-digit audit — the fraud/data-quality screen over
+    * the order-amount population. The first significant digit of the
+    * integer cents comes off the decimal string (exact — no float
+    * log); the Benford expectation log₁₀(1+1/d) is nine CONSTANTS,
+    * pinned here in floored micros so neither engine evaluates a
+    * transcendental. Deviation and the ±20 % verdict are pure integer
+    * cross-multiplications. One groupBy(digit) → 9 rows; the scalar
+    * total broadcasts. Bound: T·301029 < 2⁶³ for T ≤ 3×10¹³ rows.
+    */
+  def q257Benford(s: SparkSession, dir: String): DataFrame = {
+    val p = typedLit(Map(1 -> 301029L, 2 -> 176091L, 3 -> 124938L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66946L, 7 -> 57991L,
+      8 -> 51152L, 9 -> 45757L))
+    val d = Tables.orders(s, dir)
+      .select(substring(
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("decimal(18,0)").cast("bigint").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = d.agg(sum(col("n")).as("__t"))
+    d.crossJoin(broadcast(tot)) // 1-row scalar frame
+      .withColumn("__exp", col("__t") * element_at(p, col("digit")))
+      .select(col("digit"),
+        col("n").cast("bigint").as("n"),
+        col("__exp").cast("bigint").as("expected_microcount"),
+        (col("n") * 1000000L - col("__exp")).cast("bigint")
+          .as("dev_microcount"),
+        (abs(col("n") * 1000000L - col("__exp")) * 5 <= col("__exp"))
+          .as("within_20pct"))
+      .orderBy("digit")
+  }
+
+  /** Maximum drawdown per nation — the running-peak decline statistic
+    * over each nation's daily-revenue series (the risk metric every
+    * financial time-series stack ships). Daily revenue is one
+    * map-side-combined groupBy on (nation, day); the running peak is
+    * a cumulative max over windows PARTITIONED by nation (25 parallel
+    * series — never a global sort), and drawdown = peak − today folds
+    * to one row per nation. Exact integer cents end to end.
+    */
+  def q258MaxDrawdown(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    val daily = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("day"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("decimal(18,0)").cast("bigint").as("__c"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("day"))
+      .agg(sum(col("__c")).as("r"))
+    val w = Window.partitionBy("n_name").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("__peak", max(col("r")).over(w))
+      .groupBy("n_name")
+      .agg(count(lit(1)).cast("bigint").as("n_days"),
+        max(col("r")).cast("bigint").as("peak_day_cents"),
+        max(col("__peak") - col("r")).cast("bigint")
+          .as("max_drawdown_cents"))
+      .orderBy("n_name")
+  }
+
   /** CUBE — the last member of the grouping-extension family (ROLLUP
     * q22, GROUPING SETS q120): all four (returnflag × linestatus)
     * margins in one Expand pass, with GROUPING() flags distinguishing
@@ -5364,6 +5505,10 @@ object QueriesCore {
     "q252_retention_matrix" -> q252RetentionMatrix _,
     "q253_bitmap_distinct" -> q253BitmapDistinct _,
     "q254_incremental_rollup" -> q254IncrementalRollup _,
+    "q255_cusum" -> q255Cusum _,
+    "q256_mad_outliers" -> q256MadOutliers _,
+    "q257_benford" -> q257Benford _,
+    "q258_max_drawdown" -> q258MaxDrawdown _,
     "q236_lorenz_curve" -> q236LorenzCurve _,
     "q237_sprt" -> q237Sprt _,
     "q238_conformal_interval" -> q238ConformalInterval _,

@@ -250,6 +250,69 @@ class Round13QueriesSpec extends AnyFunSuite {
       Tables.orders(spark, sf).count())
   }
 
+  test("q255: closed-form CUSUM ≡ the literal max(0, S+dev) recursion") {
+    val got = QueriesCore.q255Cusum(spark, sf)
+      .select(col("day").cast("date").cast("string"), col("n_events"),
+        col("cusum_dev"), col("alarm"))
+      .as[(String, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("ts").cast("date").cast("string").as("d"))
+      .agg(count(lit(1)).as("n")).as[(String, Long)]
+      .collect().sortBy(_._1)
+    val nd = daily.length.toLong
+    val tot = daily.map(_._2).sum
+    var sAcc = 0L
+    val want = daily.map { case (d, n) =>
+      sAcc = math.max(0L, sAcc + (n * nd - tot))
+      (d, n, sAcc, sAcc * 5 > tot * nd)
+    }.toSeq
+    assert(got == want)
+  }
+
+  test("q256: window medians ≡ sorted-array ordinal medians") {
+    val got = QueriesCore.q256MadOutliers(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq.sorted
+    val rows = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("decimal(18,0)").cast("bigint"))
+      .as[(String, Long)].collect()
+    def lowMed(xs: Seq[Long]): Long = xs.sorted.apply((xs.size - 1) / 2)
+    val want = rows.groupBy(_._1).map { case (seg, rs) =>
+      val cs = rs.map(_._2).toSeq
+      val med = lowMed(cs)
+      val devs = cs.map(c => math.abs(c - med))
+      val mad = lowMed(devs)
+      (seg, cs.size.toLong, med, mad,
+        devs.count(_ > 5 * mad).toLong)
+    }.toSeq.sorted
+    assert(got == want)
+  }
+
+  test("q258: windowed drawdown ≡ sequential peak replay") {
+    val got = QueriesCore.q258MaxDrawdown(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSeq.sorted
+    val daily = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_orderdate").cast("date").as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("bigint")).as("r"))
+      .select(col("n_name"), col("day").cast("string"), col("r"))
+      .as[(String, String, Long)].collect()
+    val want = daily.groupBy(_._1).map { case (nm, rs) =>
+      val series = rs.sortBy(_._2).map(_._3)
+      var peak = Long.MinValue; var dd = Long.MinValue
+      for (r <- series) { peak = math.max(peak, r); dd = math.max(dd, peak - r) }
+      (nm, series.size.toLong, series.max, dd)
+    }.toSeq.sorted
+    assert(got == want)
+  }
+
   test("tCloseness: non-exhaustive band list fails loudly") {
     val df = Seq(("a", "low"), ("a", "high"), ("b", "UNKNOWN"))
       .toDF("g", "band")
