@@ -19,6 +19,50 @@ object OraclesCore {
     s"replace(replace(replace(replace(replace(coalesce($x,'')," +
       "'&','&amp;'),'<','&lt;'),'>','&gt;'),'\"','&#34;'),chr(39),'&#39;')"
 
+  /** DuckDB twin of QueriesCore.gridPoints — the md5-prefix grid
+    * projection shared by q256 and q257.
+    */
+  private val GridPointsCte: String =
+    """p AS (
+      |  SELECT c_custkey AS id,
+      |    ('0x' || substr(md5('x:' || CAST(c_custkey AS VARCHAR)),
+      |      1, 8))::BIGINT % 100000 AS x,
+      |    ('0x' || substr(md5('y:' || CAST(c_custkey AS VARCHAR)),
+      |      1, 8))::BIGINT % 100000 AS y
+      |  FROM customer)""".stripMargin
+
+  /** q257's oracle: the 3-core peel unrolled
+    * [[QueriesCore.kCoreMaxRounds]] times over the brute-force edge
+    * set — each round one degree aggregation restricted to the
+    * previous survivors, exactly the definition the Spark loop
+    * iterates (which REQUIRES convergence within the same bound, so
+    * the two can never silently disagree on a non-converged state).
+    */
+  private def kCoreOracle: String = {
+    val rounds = (1 to QueriesCore.kCoreMaxRounds + 1).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT adj.id, count(*) AS dg
+         |  FROM adj
+         |  JOIN s${i - 1} u ON u.id = adj.id
+         |  JOIN s${i - 1} v ON v.id = adj.nb
+         |  GROUP BY 1),
+         |s$i AS MATERIALIZED (SELECT id FROM d$i WHERE dg >= 3)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $GridPointsCte,
+       |e AS MATERIALIZED (
+       |  SELECT a.id AS ia, b.id AS ib
+       |  FROM p a JOIN p b ON a.id < b.id
+       |  WHERE (a.x - b.x) * (a.x - b.x)
+       |    + (a.y - b.y) * (a.y - b.y) <= 4000000),
+       |adj AS MATERIALIZED (SELECT ia AS id, ib AS nb FROM e
+       |  UNION ALL SELECT ib, ia FROM e),
+       |s0 AS (SELECT id FROM p),
+       |$rounds
+       |SELECT CAST(id AS BIGINT) AS id, CAST(dg AS BIGINT) AS core_degree
+       |FROM d${QueriesCore.kCoreMaxRounds + 1} WHERE dg >= 3
+       |ORDER BY id""".stripMargin
+  }
+
   /** Shared by q45 and q45b: a skew-salted join (either overload) must
     * produce exactly the plain inner join's result.
     */
@@ -2488,58 +2532,53 @@ object OraclesCore {
         |  (pre - rmin) * 5 > tot * nd AS alarm
         |FROM m ORDER BY day""".stripMargin,
 
-    // q256: lower-ordinal medians (rank ⌈n/2⌉ — tie-safe) and the
-    // exact-integer 5·MAD gate, unrolled per pass.
-    "q256_mad_outliers" ->
-      """WITH j AS (
-        |  SELECT c_mktsegment AS seg,
-        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |      AS c
-        |  FROM orders JOIN customer ON o_custkey = c_custkey),
-        |r AS (
-        |  SELECT seg, c,
-        |    row_number() OVER (PARTITION BY seg ORDER BY c) AS rk,
-        |    count(*) OVER (PARTITION BY seg) AS n
-        |  FROM j),
-        |m AS (SELECT seg, c AS med FROM r WHERE rk = (n + 1) // 2),
-        |d AS (
-        |  SELECT j.seg, m.med, abs(j.c - m.med) AS dev
-        |  FROM j JOIN m USING (seg)),
-        |r2 AS (
-        |  SELECT seg, med, dev,
-        |    row_number() OVER (PARTITION BY seg ORDER BY dev) AS rk,
-        |    count(*) OVER (PARTITION BY seg) AS n
-        |  FROM d),
-        |m2 AS (SELECT seg, dev AS mad FROM r2 WHERE rk = (n + 1) // 2)
-        |SELECT d.seg,
-        |  CAST(count(*) AS BIGINT) AS n_orders,
-        |  CAST(max(d.med) AS BIGINT) AS med_cents,
-        |  CAST(max(m2.mad) AS BIGINT) AS mad_cents,
-        |  CAST(sum(CASE WHEN d.dev > 5 * m2.mad THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_outliers
-        |FROM d JOIN m2 USING (seg)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q256: the O(n²) theta join IS the proof that cell bucketing
+    // loses no pair — same md5-grid projection, exact integer dist².
+    "q256_grid_radius_join" ->
+      s"""WITH $GridPointsCte
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST((a.x - b.x) * (a.x - b.x)
+        |    + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+        |FROM p a JOIN p b ON a.id < b.id
+        |WHERE (a.x - b.x) * (a.x - b.x)
+        |  + (a.y - b.y) * (a.y - b.y) <= 4000000
+        |ORDER BY 1, 2""".stripMargin,
 
-    // q257: identical pinned Benford micros constants — neither
-    // engine evaluates a log; pure integer cross-multiplication.
-    "q257_benford" ->
-      """WITH d AS (
-        |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice
-        |      AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1)
-        |    AS INTEGER) AS digit, count(*) AS n
-        |  FROM orders GROUP BY 1),
-        |t AS (SELECT sum(n) AS tot FROM d),
-        |p(digit, pm) AS (VALUES (1, 301029), (2, 176091), (3, 124938),
-        |  (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152),
-        |  (9, 45757))
-        |SELECT d.digit, CAST(d.n AS BIGINT) AS n,
-        |  CAST(t.tot * p.pm AS BIGINT) AS expected_microcount,
-        |  CAST(d.n * 1000000 - t.tot * p.pm AS BIGINT)
-        |    AS dev_microcount,
-        |  abs(d.n * 1000000 - t.tot * p.pm) * 5 <= t.tot * p.pm
-        |    AS within_20pct
-        |FROM d JOIN p USING (digit) CROSS JOIN t
-        |ORDER BY 1""".stripMargin,
+    // q257: the peel unrolled kCoreMaxRounds times over the brute-
+    // force edge set — one degree CTE + one survivor CTE per round.
+    "q257_kcore" -> kCoreOracle,
+
+    // q259: the coupled level/trend recurrence replayed as a
+    // recursive CTE — // truncates toward zero exactly like Spark's
+    // DIV (both measured), so negative trend steps stay identical.
+    "q259_holt_trend" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT n_name, CAST(o_orderdate AS DATE) AS day,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS y
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |o AS (
+        |  SELECT n_name, y,
+        |    row_number() OVER (PARTITION BY n_name ORDER BY day) AS rn,
+        |    count(*) OVER (PARTITION BY n_name) AS n
+        |  FROM d),
+        |r AS (
+        |  SELECT n_name, rn, n, y AS l, CAST(0 AS BIGINT) AS t
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.n_name, o.rn, o.n,
+        |    (200000 * o.y + 800000 * (r.l + r.t)) // 1000000,
+        |    (100000 * (((200000 * o.y + 800000 * (r.l + r.t))
+        |      // 1000000) - r.l) + 900000 * r.t) // 1000000
+        |  FROM r JOIN o ON o.n_name = r.n_name AND o.rn = r.rn + 1)
+        |SELECT n_name, CAST(n AS BIGINT) AS n_days,
+        |  CAST(l AS BIGINT) AS level_cents,
+        |  CAST(t AS BIGINT) AS trend_cents,
+        |  CAST(l + t AS BIGINT) AS forecast_next_cents
+        |FROM r WHERE rn = n ORDER BY n_name""".stripMargin,
 
     // q258: running peak per nation's daily series, fold to the max
     // decline — exact integer cents.

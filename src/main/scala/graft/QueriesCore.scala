@@ -2344,79 +2344,104 @@ object QueriesCore {
       .orderBy("day")
   }
 
-  /** Robust outlier screen via MEDIAN / MAD (median absolute
-    * deviation) — the estimator that doesn't break down when the
-    * contamination it's hunting is present, unlike mean/stddev
-    * z-scores. Medians are the LOWER ordinal statistic (value at rank
-    * ⌈n/2⌉ — deterministic under duplicate values regardless of tie
-    * order), computed with a per-segment rank window; the outlier
-    * gate |x − med| > 5·MAD is exact integer cents. The per-segment
-    * windows share q145's parallelism-=-|strata| envelope — the
-    * histogram-bracket rewrite (q241/q247) is the declared scale-safe
-    * twin when strata are few and rows are 100 TB.
+  /** Spatial radius self-join on an integer grid — the point-radius
+    * query every geo/embedding-2D stack runs, expressed as CELL
+    * BUCKETING: each point lands in a (x DIV r, y DIV r) cell, one
+    * side replicates to its 3×3 cell neighborhood, and the join is a
+    * plain equi-join on the cell key with the exact integer
+    * dist² ≤ r² residual — candidates are O(points per 9 cells),
+    * never the O(n²) theta join the oracle runs as proof. Points are
+    * the md5-prefix projection of customers onto a 100k×100k grid
+    * (the repo's portable-randomness convention) — all arithmetic is
+    * exact BIGINT, no trig, no floats. At 100 TB the cell key
+    * partitions perfectly and skewed cells split by salting the
+    * replicated side.
     */
-  def q256MadOutliers(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir).select(col("o_custkey"),
-      (col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("decimal(18,0)").cast("bigint").as("__c"))
-    val seg = Tables.customer(s, dir)
-      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
-    val j = o.join(broadcast(seg), col("o_custkey") === col("c_custkey"))
-      .select(col("seg"), col("__c")).localCheckpoint()
-    def lowerMedian(df: DataFrame, valCol: String): DataFrame = {
-      val w = Window.partitionBy("seg").orderBy(col(valCol))
-      df.withColumn("__rk", row_number().over(w))
-        .withColumn("__n",
-          count(lit(1)).over(Window.partitionBy("seg")))
-        .filter(col("__rk") === expr("(__n + 1) DIV 2"))
-        .select(col("seg"), col(valCol).as("__med"))
-    }
-    val med = lowerMedian(j, "__c")
-    val dev = j.join(broadcast(med), Seq("seg"))
-      .withColumn("__dev", abs(col("__c") - col("__med")))
-      .localCheckpoint()
-    val mad = lowerMedian(dev.select(col("seg"), col("__dev")), "__dev")
-    dev.join(broadcast(mad.withColumnRenamed("__med", "__mad")), Seq("seg"))
-      .groupBy("seg")
-      .agg(count(lit(1)).cast("bigint").as("n_orders"),
-        max(col("__med")).cast("bigint").as("med_cents"),
-        max(col("__mad")).cast("bigint").as("mad_cents"),
-        sum(when(col("__dev") > col("__mad") * 5, 1L).otherwise(0L))
-          .cast("bigint").as("n_outliers"))
-      .orderBy("seg")
+  def q256GridRadiusJoin(s: SparkSession, dir: String): DataFrame = {
+    val r = 2000L
+    val pts = gridPoints(s, dir).localCheckpoint()
+    val home = pts
+      .withColumn("__cx", expr(s"x DIV $r"))
+      .withColumn("__cy", expr(s"y DIV $r"))
+    val probe = home
+      .withColumn("__dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("__dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("id").as("id_b"), col("x").as("xb"), col("y").as("yb"),
+        (col("__cx") + col("__dx")).as("__cx"),
+        (col("__cy") + col("__dy")).as("__cy"))
+    home.select(col("id").as("id_a"), col("x").as("xa"),
+        col("y").as("ya"), col("__cx"), col("__cy"))
+      .join(probe, Seq("__cx", "__cy"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist2",
+        (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb")))
+      .filter(col("dist2") <= r * r)
+      .select(col("id_a").cast("bigint").as("id_a"),
+        col("id_b").cast("bigint").as("id_b"),
+        col("dist2").cast("bigint").as("dist2"))
+      .orderBy("id_a", "id_b")
   }
 
-  /** Benford first-digit audit — the fraud/data-quality screen over
-    * the order-amount population. The first significant digit of the
-    * integer cents comes off the decimal string (exact — no float
-    * log); the Benford expectation log₁₀(1+1/d) is nine CONSTANTS,
-    * pinned here in floored micros so neither engine evaluates a
-    * transcendental. Deviation and the ±20 % verdict are pure integer
-    * cross-multiplications. One groupBy(digit) → 9 rows; the scalar
-    * total broadcasts. Bound: T·301029 < 2⁶³ for T ≤ 3×10¹³ rows.
+  /** Customers projected onto the 100k×100k integer grid via the
+    * md5-prefix hash — the deterministic point set shared by q256
+    * (radius join) and q257 (k-core over the proximity graph).
     */
-  def q257Benford(s: SparkSession, dir: String): DataFrame = {
-    val p = typedLit(Map(1 -> 301029L, 2 -> 176091L, 3 -> 124938L,
-      4 -> 96910L, 5 -> 79181L, 6 -> 66946L, 7 -> 57991L,
-      8 -> 51152L, 9 -> 45757L))
-    val d = Tables.orders(s, dir)
-      .select(substring(
-        (col("o_totalprice").cast("decimal(18,2)") * 100)
-          .cast("decimal(18,0)").cast("bigint").cast("string"), 1, 1)
-        .cast("int").as("digit"))
-      .groupBy("digit").agg(count(lit(1)).as("n"))
-    val tot = d.agg(sum(col("n")).as("__t"))
-    d.crossJoin(broadcast(tot)) // 1-row scalar frame
-      .withColumn("__exp", col("__t") * element_at(p, col("digit")))
-      .select(col("digit"),
-        col("n").cast("bigint").as("n"),
-        col("__exp").cast("bigint").as("expected_microcount"),
-        (col("n") * 1000000L - col("__exp")).cast("bigint")
-          .as("dev_microcount"),
-        (abs(col("n") * 1000000L - col("__exp")) * 5 <= col("__exp"))
-          .as("within_20pct"))
-      .orderBy("digit")
+  private def gridPoints(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_custkey").as("id"),
+      pmod(graft.operators.Scale.md5Prefix32(
+        concat(lit("x:"), col("c_custkey").cast("string"))),
+        lit(100000L)).as("x"),
+      pmod(graft.operators.Scale.md5Prefix32(
+        concat(lit("y:"), col("c_custkey").cast("string"))),
+        lit(100000L)).as("y"))
+
+  /** k-CORE decomposition (k = 3) of the q256 proximity graph — the
+    * standard iterative PEEL: drop every node whose degree within the
+    * surviving set is < k, recompute, repeat to fixpoint. Each round
+    * is ONE distributed degree aggregation (edges half-joined against
+    * the survivor set on both endpoints) — the same N-round join-loop
+    * shape as connected components (q52), with per-round
+    * localCheckpoints so the lineage never re-derives prior rounds.
+    * Converges ≤ [[kCoreMaxRounds]] rounds or fails loudly (the
+    * DuckDB oracle unrolls exactly that many peels, so a
+    * non-converged answer can never silently pass). Edge count only
+    * shrinks round over round — at 100 TB the peel's cost is
+    * front-loaded on round 1 and decays geometrically.
+    */
+  def q257KCore(s: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val edges = q256GridRadiusJoin(s, dir)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val adj = edges.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .unionByName(edges.select(col("id_b").as("id"),
+        col("id_a").as("nb")))
+      .localCheckpoint()
+    var surv = gridPoints(s, dir).select(col("id")).localCheckpoint()
+    var deg: DataFrame = null
+    var stable = false
+    var round = 0
+    while (round < kCoreMaxRounds && !stable) {
+      deg = adj
+        .join(surv, Seq("id"))
+        .join(surv.select(col("id").as("nb")), Seq("nb"))
+        .groupBy("id").agg(count(lit(1)).as("core_degree"))
+        .filter(col("core_degree") >= k)
+        .localCheckpoint()
+      stable = deg.count() == surv.count()
+      surv = deg.select(col("id"))
+      round += 1
+    }
+    require(stable, s"k-core did not converge in $kCoreMaxRounds rounds")
+    deg.select(col("id").cast("bigint").as("id"),
+        col("core_degree").cast("bigint").as("core_degree"))
+      .orderBy("id")
   }
+
+  /** Shared with the q257 oracle generator: the peel is unrolled this
+    * many times there, so Spark must converge within the same bound.
+    */
+  val kCoreMaxRounds = 12
 
   /** Maximum drawdown per nation — the running-peak decline statistic
     * over each nation's daily-revenue series (the risk metric every
@@ -2447,6 +2472,54 @@ object QueriesCore {
         max(col("r")).cast("bigint").as("peak_day_cents"),
         max(col("__peak") - col("r")).cast("bigint")
           .as("max_drawdown_cents"))
+      .orderBy("n_name")
+  }
+
+  /** Holt's LINEAR-TREND double exponential smoothing (α = 0.2,
+    * β = 0.1) over each nation's daily-revenue series — the
+    * forecasting recurrence a single-smoothing EWMA (q217) can't
+    * express: level and trend update COUPLED, lₜ = α·yₜ +
+    * (1−α)(lₜ₋₁+tₜ₋₁); tₜ = β(lₜ−lₜ₋₁) + (1−β)tₜ₋₁. Both carried as
+    * exact integer cents with TRUNCATING division — Spark's DIV and
+    * DuckDB's // both truncate toward zero (measured: -7//2 = -3 in
+    * DuckDB 1.x), so the trajectory is bit-identical even when a
+    * downtrend drives tₜ negative. The fold is one `aggregate()`
+    * lambda over the per-nation sorted day array (q217's shape:
+    * |days| array elements, never raw facts). Bound: 8·10⁵·|level|
+    * < 2⁶³ holds for daily series up to ~10¹³ cents.
+    */
+  def q259HoltTrend(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("day"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("decimal(18,0)").cast("bigint").as("__c"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("day"))
+      .agg(sum(col("__c")).as("__y"))
+    val fdiv = "(%s) DIV 1000000L"
+    val nl = fdiv.format("200000L * y + 800000L * (a.l + a.t)")
+    daily.groupBy("n_name")
+      .agg(sort_array(collect_list(struct(col("day"), col("__y"))))
+        .as("__s"))
+      .select(col("n_name"),
+        size(col("__s")).cast("bigint").as("n_days"),
+        expr(s"""aggregate(
+            slice(transform(__s, x -> x.__y), 2, size(__s) - 1),
+            named_struct('l', element_at(__s, 1).__y, 't', 0L),
+            (a, y) -> named_struct(
+              'l', $nl,
+              't', ${fdiv.format(s"100000L * (($nl) - a.l) + 900000L * a.t")}))
+          """).as("__h"))
+      .select(col("n_name"), col("n_days"),
+        col("__h.l").cast("bigint").as("level_cents"),
+        col("__h.t").cast("bigint").as("trend_cents"),
+        (col("__h.l") + col("__h.t")).cast("bigint")
+          .as("forecast_next_cents"))
       .orderBy("n_name")
   }
 
@@ -5506,9 +5579,10 @@ object QueriesCore {
     "q253_bitmap_distinct" -> q253BitmapDistinct _,
     "q254_incremental_rollup" -> q254IncrementalRollup _,
     "q255_cusum" -> q255Cusum _,
-    "q256_mad_outliers" -> q256MadOutliers _,
-    "q257_benford" -> q257Benford _,
+    "q256_grid_radius_join" -> q256GridRadiusJoin _,
+    "q257_kcore" -> q257KCore _,
     "q258_max_drawdown" -> q258MaxDrawdown _,
+    "q259_holt_trend" -> q259HoltTrend _,
     "q236_lorenz_curve" -> q236LorenzCurve _,
     "q237_sprt" -> q237Sprt _,
     "q238_conformal_interval" -> q238ConformalInterval _,

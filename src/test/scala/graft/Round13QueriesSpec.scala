@@ -269,28 +269,6 @@ class Round13QueriesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
-  test("q256: window medians ≡ sorted-array ordinal medians") {
-    val got = QueriesCore.q256MadOutliers(spark, sf)
-      .as[(String, Long, Long, Long, Long)].collect().toSeq.sorted
-    val rows = Tables.orders(spark, sf)
-      .join(Tables.customer(spark, sf),
-        col("o_custkey") === col("c_custkey"))
-      .select(col("c_mktsegment"),
-        (col("o_totalprice").cast("decimal(18,2)") * 100)
-          .cast("decimal(18,0)").cast("bigint"))
-      .as[(String, Long)].collect()
-    def lowMed(xs: Seq[Long]): Long = xs.sorted.apply((xs.size - 1) / 2)
-    val want = rows.groupBy(_._1).map { case (seg, rs) =>
-      val cs = rs.map(_._2).toSeq
-      val med = lowMed(cs)
-      val devs = cs.map(c => math.abs(c - med))
-      val mad = lowMed(devs)
-      (seg, cs.size.toLong, med, mad,
-        devs.count(_ > 5 * mad).toLong)
-    }.toSeq.sorted
-    assert(got == want)
-  }
-
   test("q258: windowed drawdown ≡ sequential peak replay") {
     val got = QueriesCore.q258MaxDrawdown(spark, sf)
       .as[(String, Long, Long, Long)].collect().toSeq.sorted
@@ -309,6 +287,71 @@ class Round13QueriesSpec extends AnyFunSuite {
       var peak = Long.MinValue; var dd = Long.MinValue
       for (r <- series) { peak = math.max(peak, r); dd = math.max(dd, peak - r) }
       (nm, series.size.toLong, series.max, dd)
+    }.toSeq.sorted
+    assert(got == want)
+  }
+
+  test("q256: cell-bucketed radius join ≡ all-pairs scan") {
+    val got = QueriesCore.q256GridRadiusJoin(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    val pts = Tables.customer(spark, sf)
+      .select(col("c_custkey"),
+        graft.operators.Scale.md5Prefix32(
+          concat(lit("x:"), col("c_custkey").cast("string"))) % 100000L,
+        graft.operators.Scale.md5Prefix32(
+          concat(lit("y:"), col("c_custkey").cast("string"))) % 100000L)
+      .as[(Long, Long, Long)].collect()
+    val want = (for {
+      (a, xa, ya) <- pts; (b, xb, yb) <- pts if a < b
+      d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+      if d2 <= 4000000L
+    } yield (a, b, d2)).toSet
+    assert(got == want)
+  }
+
+  test("q257: distributed 3-core peel ≡ in-memory sequential peel") {
+    val got = QueriesCore.q257KCore(spark, sfDocs)
+      .as[(Long, Long)].collect().toMap
+    val edges = QueriesCore.q256GridRadiusJoin(spark, sfDocs)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    var surv = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    var changed = true
+    while (changed) {
+      val deg = edges.filter(e => surv(e._1) && surv(e._2))
+        .flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.length.toLong }
+      val next = deg.filter(_._2 >= 3).keySet
+      changed = next != surv
+      surv = next
+    }
+    val wantDeg = edges.filter(e => surv(e._1) && surv(e._2))
+      .flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.length.toLong }
+    assert(got == wantDeg)
+  }
+
+  test("q259: Holt fold ≡ sequential level/trend replay") {
+    val got = QueriesCore.q259HoltTrend(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq.sorted
+    val daily = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_orderdate").cast("date").as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("bigint")).as("y"))
+      .select(col("n_name"), col("day").cast("string"), col("y"))
+      .as[(String, String, Long)].collect()
+    val want = daily.groupBy(_._1).map { case (nm, rs) =>
+      val ys = rs.sortBy(_._2).map(_._3)
+      var l = ys.head; var t = 0L
+      for (y <- ys.tail) {
+        val nl = (200000L * y + 800000L * (l + t)) / 1000000L
+        t = (100000L * (nl - l) + 900000L * t) / 1000000L
+        l = nl
+      }
+      (nm, ys.length.toLong, l, t, l + t)
     }.toSeq.sorted
     assert(got == want)
   }
