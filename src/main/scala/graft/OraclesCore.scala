@@ -63,6 +63,33 @@ object OraclesCore {
        |ORDER BY id""".stripMargin
   }
 
+  /** Shared by q255 (batch CUSUM) and q261 (its streaming twin —
+    * streaming-maintained state must land exactly on the batch
+    * definition): closed-form CUSUM over the daily event-count
+    * series.
+    */
+  private val cusumOracle: String =
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS n
+      |  FROM events GROUP BY 1),
+      |t AS (SELECT count(*) AS nd, sum(n) AS tot FROM d),
+      |p AS (
+      |  SELECT day, n, t.nd, t.tot,
+      |    sum(n * t.nd - t.tot) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+      |  FROM d CROSS JOIN t),
+      |m AS (
+      |  SELECT day, n, nd, tot, pre,
+      |    least(min(pre) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |      0) AS rmin
+      |  FROM p)
+      |SELECT CAST(day AS TIMESTAMP) AS day,
+      |  CAST(n AS BIGINT) AS n_events,
+      |  CAST(pre - rmin AS BIGINT) AS cusum_dev,
+      |  (pre - rmin) * 5 > tot * nd AS alarm
+      |FROM m ORDER BY day""".stripMargin
+
   /** Shared by q45 and q45b: a skew-salted join (either overload) must
     * produce exactly the plain inner join's result.
     */
@@ -2510,27 +2537,39 @@ object OraclesCore {
 
     // q255: closed-form CUSUM — prefix of exact-rational deviations
     // minus its running min; alarm cross-multiplied, no division.
-    "q255_cusum" ->
-      """WITH d AS (
-        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n
-        |  FROM events GROUP BY 1),
-        |t AS (SELECT count(*) AS nd, sum(n) AS tot FROM d),
-        |p AS (
-        |  SELECT day, n, t.nd, t.tot,
-        |    sum(n * t.nd - t.tot) OVER (ORDER BY day
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
-        |  FROM d CROSS JOIN t),
-        |m AS (
-        |  SELECT day, n, nd, tot, pre,
-        |    least(min(pre) OVER (ORDER BY day
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |      0) AS rmin
-        |  FROM p)
-        |SELECT CAST(day AS TIMESTAMP) AS day,
-        |  CAST(n AS BIGINT) AS n_events,
-        |  CAST(pre - rmin AS BIGINT) AS cusum_dev,
-        |  (pre - rmin) * 5 > tot * nd AS alarm
-        |FROM m ORDER BY day""".stripMargin,
+    "q255_cusum" -> cusumOracle,
+
+    // q261: the streaming composition must land exactly on the batch
+    // definition — the oracle IS q255's.
+    "q261_stream_cusum" -> cusumOracle,
+
+    // q260: common-neighbor counts from the brute edge set, NOT
+    // EXISTS for the anti join, integer-micros Jaccard.
+    "q260_link_predict" ->
+      s"""WITH $GridPointsCte,
+        |e AS MATERIALIZED (
+        |  SELECT a.id AS ia, b.id AS ib
+        |  FROM p a JOIN p b ON a.id < b.id
+        |  WHERE (a.x - b.x) * (a.x - b.x)
+        |    + (a.y - b.y) * (a.y - b.y) <= 4000000),
+        |adj AS MATERIALIZED (SELECT ia AS id, ib AS nb FROM e
+        |  UNION ALL SELECT ib, ia FROM e),
+        |dg AS MATERIALIZED (
+        |  SELECT id, count(*) AS d FROM adj GROUP BY 1),
+        |cn AS MATERIALIZED (
+        |  SELECT l.nb AS id_a, r.nb AS id_b, count(*) AS c
+        |  FROM adj l JOIN adj r ON l.id = r.id AND l.nb < r.nb
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT cn.id_a, cn.id_b, CAST(cn.c AS BIGINT)
+        |    AS common_neighbors,
+        |  CAST(cn.c * 1000000 // (da.d + db.d - cn.c) AS BIGINT)
+        |    AS jaccard_micros
+        |FROM cn
+        |JOIN dg da ON da.id = cn.id_a
+        |JOIN dg db ON db.id = cn.id_b
+        |WHERE NOT EXISTS (SELECT 1 FROM e
+        |  WHERE e.ia = cn.id_a AND e.ib = cn.id_b)
+        |ORDER BY 1, 2""".stripMargin,
 
     // q256: the O(n²) theta join IS the proof that cell bucketing
     // loses no pair — same md5-grid projection, exact integer dist².

@@ -2325,10 +2325,15 @@ object QueriesCore {
     * Bounds: |P_t| ≤ D·T, alarm product T·D — both < 2⁶³ for
     * T ≤ 2.5×10¹⁵ events at D=3650.
     */
-  def q255Cusum(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
+  def q255Cusum(s: SparkSession, dir: String): DataFrame =
+    cusumOverDaily(Tables.events(s, dir)
       .groupBy(col("ts").cast("date").as("day"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The closed-form CUSUM fold shared by q255 (batch) and q261 (over
+    * streaming-maintained state): input is the (day, n) daily series.
+    */
+  private def cusumOverDaily(daily: DataFrame): DataFrame = {
     val tot = daily.agg(count(lit(1)).as("__d"), sum(col("n")).as("__t"))
     val w = Window.orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2521,6 +2526,91 @@ object QueriesCore {
         (col("__h.l") + col("__h.t")).cast("bigint")
           .as("forecast_next_cents"))
       .orderBy("n_name")
+  }
+
+  /** Link prediction by COMMON NEIGHBORS + Jaccard over the q256
+    * proximity graph — the classic "friend of a friend" candidate
+    * generator: distance-2 pairs materialize from ONE self-join of
+    * the adjacency list on the middle vertex (each shared neighbor
+    * contributes one path row, so count(*) IS |N(a)∩N(b)| on a simple
+    * graph), existing edges drop via a LEFT ANTI join, and the
+    * Jaccard score cn/(dₐ+d_b−cn) is an exact integer DIV in micros.
+    * Support ≥ 2 bounds the output to genuinely-promising pairs. At
+    * 100 TB the 2-path join shuffles on the middle vertex — skewed
+    * hubs split exactly like any skewed join key (salting / AQE), and
+    * the per-vertex fan-out is degree², the quantity hub-capping
+    * controls in production link predictors.
+    */
+  def q260LinkPredict(s: SparkSession, dir: String): DataFrame = {
+    val edges = q256GridRadiusJoin(s, dir)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val adj = edges.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .unionByName(edges.select(col("id_b").as("id"),
+        col("id_a").as("nb")))
+    val deg = adj.groupBy("id").agg(count(lit(1)).as("__deg"))
+    val paths = adj.select(col("id").as("__m"), col("nb").as("id_a"))
+      .join(adj.select(col("id").as("__m"), col("nb").as("id_b")),
+        Seq("__m"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= 2)
+    paths.join(edges, Seq("id_a", "id_b"), "left_anti")
+      .join(deg.select(col("id").as("id_a"), col("__deg").as("__da")),
+        Seq("id_a"))
+      .join(deg.select(col("id").as("id_b"), col("__deg").as("__db")),
+        Seq("id_b"))
+      .select(col("id_a").cast("bigint").as("id_a"),
+        col("id_b").cast("bigint").as("id_b"),
+        col("cn").cast("bigint").as("common_neighbors"),
+        expr("CAST(cn * 1000000L DIV (__da + __db - cn) AS BIGINT)")
+          .as("jaccard_micros"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** STREAMING CUSUM drift monitor — q255's alarm statistic over
+    * state a stream maintains instead of a batch scan: events replay
+    * as micro-batches (one file per trigger), the per-day counts are
+    * an incrementally-maintained streaming aggregate (update-mode
+    * state, the q168 shape), and the closed-form CUSUM fold runs on
+    * the maintained series. The hash gate pins the WHOLE composition
+    * to the batch definition — the oracle is literally q255's SQL —
+    * so watermark/state bugs can't hide behind "it's streaming". At
+    * 100 TB the state is |days| rows per partition spine, and each
+    * trigger touches only the days its batch contains.
+    */
+  def q261StreamCusum(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("ts"), col("event_id"))
+    val root = java.nio.file.Files.createTempDirectory("q261-stream")
+      .toString
+    val src = s"$root/src"
+    Seq(0, 1, 2).foreach { r =>
+      ev.filter(pmod(col("event_id"), lit(3)) === r)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val name = java.nio.file.Paths.get(root).getFileName.toString
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    try {
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val onDisk = {
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          s.read.parquet(src).schema
+        }
+        graft.streaming.EventsStream.readEvents(s, src,
+            maxFilesPerTrigger = Some(1), schemaHint = Some(onDisk))
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.outputMode("complete").format("memory")
+          .queryName(name).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      q.processAllAvailable()
+      q.stop()
+      val out = cusumOverDaily(s.table(name))
+        .localCheckpoint(true) // materialize before the finally deletes
+      s.catalog.dropTempView(name)
+      out
+    } finally TmpTrees.delete(root)
   }
 
   /** CUBE — the last member of the grouping-extension family (ROLLUP
@@ -5583,6 +5673,8 @@ object QueriesCore {
     "q257_kcore" -> q257KCore _,
     "q258_max_drawdown" -> q258MaxDrawdown _,
     "q259_holt_trend" -> q259HoltTrend _,
+    "q260_link_predict" -> q260LinkPredict _,
+    "q261_stream_cusum" -> q261StreamCusum _,
     "q236_lorenz_curve" -> q236LorenzCurve _,
     "q237_sprt" -> q237Sprt _,
     "q238_conformal_interval" -> q238ConformalInterval _,

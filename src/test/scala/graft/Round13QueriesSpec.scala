@@ -356,6 +356,22 @@ class Round13QueriesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q260: 2-path join ≡ brute-force neighborhood intersection") {
+    val got = QueriesCore.q260LinkPredict(spark, sfDocs)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val edges = QueriesCore.q256GridRadiusJoin(spark, sfDocs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val nbrs = edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    val want = (for {
+      (a, na) <- nbrs.toSeq; (b, nb) <- nbrs.toSeq
+      if a < b && !edges((a, b))
+      cn = (na & nb).size.toLong if cn >= 2
+    } yield (a, b, cn,
+      cn * 1000000L / (na.size + nb.size - cn))).toSet
+    assert(got == want)
+  }
+
   test("tCloseness: non-exhaustive band list fails loudly") {
     val df = Seq(("a", "low"), ("a", "high"), ("b", "UNKNOWN"))
       .toDF("g", "band")
