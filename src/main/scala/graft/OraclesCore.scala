@@ -2543,6 +2543,88 @@ object OraclesCore {
     // definition — the oracle IS q255's.
     "q261_stream_cusum" -> cusumOracle,
 
+    // q263: same integer sufficient statistics, same decimal θ and
+    // cross-multiplied adjusted means (HUGEINT on this side).
+    "q263_cuped" ->
+      """WITH per AS MATERIALIZED (
+        |  SELECT o_custkey,
+        |    sum(CASE WHEN year(o_orderdate) <= 1997 THEN c ELSE 0 END)
+        |      AS x,
+        |    sum(CASE WHEN year(o_orderdate) > 1997 THEN c ELSE 0 END)
+        |      AS y
+        |  FROM (SELECT o_custkey, o_orderdate,
+        |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |        AS BIGINT) AS c
+        |    FROM orders)
+        |  GROUP BY 1),
+        |pt AS MATERIALIZED (
+        |  SELECT o_custkey, x, y,
+        |    ('0x' || substr(md5('t:' || CAST(o_custkey AS VARCHAR)),
+        |      1, 8))::BIGINT % 2 AS t
+        |  FROM per),
+        |st AS (
+        |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM pt),
+        |th AS (
+        |  SELECT n, sx,
+        |    (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+        |      * 1000000
+        |      // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+        |      AS t6
+        |  FROM st)
+        |SELECT CAST(pt.t AS BIGINT) AS t,
+        |  CAST(count(*) AS BIGINT) AS n_units,
+        |  CAST(sum(pt.y) AS BIGINT) AS sum_y_cents,
+        |  CAST(CAST(sum(pt.y) AS HUGEINT) * 1000000 // count(*)
+        |    AS BIGINT) AS mean_y_micros,
+        |  CAST(sum(CAST(pt.y AS HUGEINT) * 1000000 * th.n
+        |      - th.t6 * (CAST(pt.x AS HUGEINT) * th.n - th.sx))
+        |    // (CAST(count(*) AS HUGEINT) * th.n) AS BIGINT)
+        |    AS mean_yadj_micros,
+        |  CAST(th.t6 AS BIGINT) AS theta_micros
+        |FROM pt CROSS JOIN th
+        |GROUP BY pt.t, th.n, th.sx, th.t6
+        |ORDER BY 1""".stripMargin,
+
+    // q262: same md5 rendezvous hashes, argmax via row_number with
+    // the identical (hash DESC, shard ASC) tie order.
+    "q262_rendezvous_shards" ->
+      """WITH h AS MATERIALIZED (
+        |  SELECT o_orderkey, sh.s AS s,
+        |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+        |      || CAST(sh.s AS VARCHAR)), 1, 8))::BIGINT AS hv
+        |  FROM orders
+        |  CROSS JOIN (SELECT unnest(range(10)) AS s) sh),
+        |a10 AS MATERIALIZED (
+        |  SELECT o_orderkey, s AS shard10 FROM (
+        |    SELECT o_orderkey, s, row_number() OVER (
+        |      PARTITION BY o_orderkey ORDER BY hv DESC, s ASC) AS rk
+        |    FROM h) WHERE rk = 1),
+        |a9 AS MATERIALIZED (
+        |  SELECT o_orderkey, s AS shard9 FROM (
+        |    SELECT o_orderkey, s, row_number() OVER (
+        |      PARTITION BY o_orderkey ORDER BY hv DESC, s ASC) AS rk
+        |    FROM h WHERE s < 9) WHERE rk = 1),
+        |j AS MATERIALIZED (
+        |  SELECT a10.o_orderkey, shard10, shard9
+        |  FROM a10 JOIN a9 USING (o_orderkey)),
+        |dep AS (
+        |  SELECT shard10 AS shard, count(*) AS n_keys,
+        |    sum(CASE WHEN shard9 <> shard10 THEN 1 ELSE 0 END)
+        |      AS n_departures
+        |  FROM j GROUP BY 1),
+        |arr AS (
+        |  SELECT shard9 AS shard, count(*) AS n_arrivals
+        |  FROM j WHERE shard9 <> shard10 GROUP BY 1)
+        |SELECT CAST(dep.shard AS BIGINT) AS shard,
+        |  CAST(n_keys AS BIGINT) AS n_keys,
+        |  CAST(n_departures AS BIGINT) AS n_departures,
+        |  CAST(coalesce(arr.n_arrivals, 0) AS BIGINT) AS n_arrivals
+        |FROM dep LEFT JOIN arr ON arr.shard = dep.shard
+        |ORDER BY 1""".stripMargin,
+
     // q260: common-neighbor counts from the brute edge set, NOT
     // EXISTS for the anti join, integer-micros Jaccard.
     "q260_link_predict" ->

@@ -2567,6 +2567,115 @@ object QueriesCore {
       .orderBy("id_a", "id_b")
   }
 
+  /** Rendezvous (highest-random-weight) sharding audit — the
+    * placement scheme that makes resharding cheap: each key goes to
+    * argmax over shards of h(key, shard), so REMOVING a shard moves
+    * exactly that shard's keys and nothing else. The query computes
+    * the assignment under 10 shards and under 9 (shard 9 retired),
+    * then proves the minimal-disruption property in-row: `n_arrivals`
+    * counts keys that CHANGED shard, and they sum to the retired
+    * shard's population with every survivor's own population intact.
+    * Hashes are the portable md5-prefix; argmax ties break toward the
+    * smaller shard id via max(struct(h, −s)). Pure projection +
+    * one groupBy — no join, no shuffle beyond the count rollup; at
+    * 100 TB this is the embarrassingly-parallel layout pass a
+    * partition rebalancer runs.
+    */
+  def q262RendezvousShards(s: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables.orders(s, dir).select(col("o_orderkey"))
+      .withColumn("__s", explode(sequence(lit(0L), lit(9L))))
+      .withColumn("__h", graft.operators.Scale.md5Prefix32(
+        concat(col("o_orderkey").cast("string"), lit(":"),
+          col("__s").cast("string"))))
+    def assign(df: DataFrame, outCol: String): DataFrame =
+      df.groupBy("o_orderkey")
+        .agg(max(struct(col("__h").as("h"), (-col("__s")).as("ns")))
+          .as("__m"))
+        .select(col("o_orderkey"), (-col("__m.ns")).as(outCol))
+    val a10 = assign(hashed, "shard10")
+    val a9 = assign(hashed.filter(col("__s") < 9), "shard9")
+    a10.join(a9, Seq("o_orderkey"))
+      .groupBy(col("shard10").as("shard"))
+      .agg(count(lit(1)).cast("bigint").as("n_keys"),
+        sum(when(col("shard9") =!= col("shard10"), 1L).otherwise(0L))
+          .cast("bigint").as("n_departures"))
+      .join(
+        a10.join(a9, Seq("o_orderkey"))
+          .filter(col("shard9") =!= col("shard10"))
+          .groupBy(col("shard9").as("shard"))
+          .agg(count(lit(1)).cast("bigint").as("n_arrivals")),
+        Seq("shard"), "left")
+      .select(col("shard").cast("bigint").as("shard"), col("n_keys"),
+        col("n_departures"),
+        coalesce(col("n_arrivals"), lit(0L)).cast("bigint")
+          .as("n_arrivals"))
+      .orderBy("shard")
+  }
+
+  /** CUPED variance reduction (Deng et al. 2013) — the
+    * experimentation-platform readout: per-customer PRE-period spend
+    * (1995-97) is the covariate X, POST-period spend (1998+) the
+    * metric Y, treatment T a deterministic md5 coin, and the adjusted
+    * metric Yadj = Y − θ(X − X̄) with θ = cov(X,Y)/var(X) POOLED
+    * across arms. Everything is integer-exact: the five sufficient
+    * statistics (n, Σx, Σy, Σxy, Σx²) come from ONE aggregate pass
+    * with decimal(38,0) products (the q199 overflow rule),
+    * θ lands as micros via one decimal DIV, and each arm's adjusted
+    * mean is carried CROSS-MULTIPLIED — sum over the arm of
+    * (n·y − n·ȳ-free form) … concretely Σ_g[y·10⁶·n − θµ·(n·x − Σx)]
+    * DIV (n_g·n) — so no float touches the pipeline and both engines
+    * agree bit-for-bit. The variance-reduction claim itself is
+    * reported as the exact integer Σ(n·x−Σx)² scale factor, not a
+    * rounded ratio. One fact scan, one broadcastable 1-row stats
+    * frame: the 100 TB plan is two map-side-combined aggregations.
+    */
+  def q263Cuped(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("decimal(18,0)").cast("bigint").as("__c"),
+        (year(col("o_orderdate")) <= 1997).as("__pre"))
+      .groupBy("o_custkey")
+      .agg(sum(when(col("__pre"), col("__c")).otherwise(0L)).as("x"),
+        sum(when(!col("__pre"), col("__c")).otherwise(0L)).as("y"))
+      .withColumn("t",
+        pmod(graft.operators.Scale.md5Prefix32(
+          concat(lit("t:"), col("o_custkey").cast("string"))), lit(2L)))
+      .localCheckpoint() // feeds pooled stats AND the per-arm fold
+    val stats = per.agg(count(lit(1)).as("__n"),
+      sum(col("x")).as("__sx"), sum(col("y")).as("__sy"),
+      sum(col("x").cast("decimal(38,0)") * col("y")).as("__sxy"),
+      sum(col("x").cast("decimal(38,0)") * col("x")).as("__sxx"))
+    // θ·10⁶ = (n·Σxy − Σx·Σy)·10⁶ DIV (n·Σx² − Σx·Σx), all decimal
+    val withTheta = per.crossJoin(broadcast(stats))
+      .withColumn("__theta6", expr(
+        """CAST((CAST(__n AS DECIMAL(38,0)) * __sxy
+          |  - CAST(__sx AS DECIMAL(38,0)) * __sy) * 1000000
+          |  DIV (CAST(__n AS DECIMAL(38,0)) * __sxx
+          |  - CAST(__sx AS DECIMAL(38,0)) * __sx) AS DECIMAL(38,0))
+          |""".stripMargin))
+    withTheta
+      .withColumn("__adj", expr(
+        """CAST(y AS DECIMAL(38,0)) * 1000000 * __n
+          |  - __theta6 * (CAST(x AS DECIMAL(38,0)) * __n - __sx)
+          |""".stripMargin))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("__ng"),
+        sum(col("y")).as("__sumy"),
+        sum(col("__adj")).as("__sumadj"),
+        max(col("__theta6")).as("__t6"),
+        max(col("__n")).as("__nn"))
+      .select(col("t").cast("bigint").as("t"),
+        col("__ng").cast("bigint").as("n_units"),
+        col("__sumy").cast("bigint").as("sum_y_cents"),
+        expr("CAST(CAST(__sumy AS DECIMAL(38,0)) * 1000000 DIV __ng " +
+          "AS BIGINT)").as("mean_y_micros"),
+        expr("CAST(__sumadj DIV (CAST(__ng AS DECIMAL(38,0)) * __nn) " +
+          "AS BIGINT)").as("mean_yadj_micros"),
+        col("__t6").cast("bigint").as("theta_micros"))
+      .orderBy("t")
+  }
+
   /** STREAMING CUSUM drift monitor — q255's alarm statistic over
     * state a stream maintains instead of a batch scan: events replay
     * as micro-batches (one file per trigger), the per-day counts are
@@ -5674,6 +5783,8 @@ object QueriesCore {
     "q258_max_drawdown" -> q258MaxDrawdown _,
     "q259_holt_trend" -> q259HoltTrend _,
     "q260_link_predict" -> q260LinkPredict _,
+    "q262_rendezvous_shards" -> q262RendezvousShards _,
+    "q263_cuped" -> q263Cuped _,
     "q261_stream_cusum" -> q261StreamCusum _,
     "q236_lorenz_curve" -> q236LorenzCurve _,
     "q237_sprt" -> q237Sprt _,

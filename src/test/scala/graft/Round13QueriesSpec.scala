@@ -372,6 +372,56 @@ class Round13QueriesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q262: rendezvous removal moves EXACTLY the retired shard's keys") {
+    val rows = QueriesCore.q262RendezvousShards(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(rows.map(_._1) == (0L to 9L))
+    val nine = rows.find(_._1 == 9L).get
+    // every key on shard 9 departs; no key on a surviving shard moves
+    assert(nine._3 == nine._2 && nine._4 == 0L)
+    assert(rows.filter(_._1 != 9L).forall(_._3 == 0L))
+    // arrivals redistribute all of shard 9's keys
+    assert(rows.map(_._4).sum == nine._2)
+  }
+
+  test("q263: CUPED ≡ BigInt sufficient-statistics replay") {
+    val got = QueriesCore.q263Cuped(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .toSeq.sortBy(_._1)
+    val per = Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("decimal(18,0)").cast("bigint"),
+        year(col("o_orderdate")) <= 1997)
+      .as[(Long, Long, Boolean)].collect()
+      .groupBy(_._1).map { case (k, rs) =>
+        (k, BigInt(rs.filter(_._3).map(_._2).sum),
+          BigInt(rs.filterNot(_._3).map(_._2).sum))
+      }.toSeq
+    def md5p32(s0: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    val n = BigInt(per.size)
+    val sx = per.map(_._2).sum; val sy = per.map(_._3).sum
+    val sxy = per.map(r => r._2 * r._3).sum
+    val sxx = per.map(r => r._2 * r._2).sum
+    val t6 = (n * sxy - sx * sy) * 1000000 / (n * sxx - sx * sx)
+    val want = per.groupBy(r => md5p32(s"t:${r._1}") % 2)
+      .map { case (t, rs) =>
+        val ng = BigInt(rs.size)
+        val sumy = rs.map(_._3).sum
+        val sumadj = rs.map(r =>
+          r._3 * 1000000 * n - t6 * (r._2 * n - sx)).sum
+        (t, rs.size.toLong, sumy.toLong,
+          (sumy * 1000000 / ng).toLong, (sumadj / (ng * n)).toLong,
+          t6.toLong)
+      }.toSeq.sortBy(_._1)
+    assert(got == want)
+  }
+
   test("tCloseness: non-exhaustive band list fails loudly") {
     val df = Seq(("a", "low"), ("a", "high"), ("b", "UNKNOWN"))
       .toDF("g", "band")
