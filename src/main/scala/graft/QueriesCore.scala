@@ -2273,6 +2273,54 @@ object QueriesCore {
         count(lit(1)).cast("bigint").as("n_words"))
       .orderBy("event_type")
 
+  /** Bitmap SET ALGEBRA — the reason warehouses store q253's bitmaps
+    * instead of id lists: audience overlap between every pair of
+    * event types computes as word-aligned bitwise ops, never an id
+    * join. Per-type bitmaps build once (map-side bit_or), the pair
+    * intersection is Σ bit_count(a & b) over an equi-join on the WORD
+    * index, and union/Jaccard follow by inclusion-exclusion — so the
+    * pairwise pass moves |types|²·|words| words instead of
+    * |types|·|users| ids. The pair spine comes from the type totals
+    * (cross of a tiny dim with itself), LEFT-joined so disjoint
+    * audiences still report their zeros. Exact integers end to end;
+    * the oracle recomputes every pair from the raw distinct-user
+    * sets.
+    */
+  def q264BitmapSetops(s: SparkSession, dir: String): DataFrame = {
+    val bm = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("user_id DIV 64").as("__w"),
+        expr("shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(pmod(user_id, 64) AS INT))").as("__b"))
+      .groupBy("event_type", "__w")
+      .agg(expr("bit_or(__b)").as("__bm"))
+      .localCheckpoint() // totals + both join sides read it
+    val tot = bm.groupBy("event_type")
+      .agg(sum(expr("bit_count(__bm)")).as("__n"))
+    val inter = bm.select(col("event_type").as("type_a"),
+        col("__w"), col("__bm").as("__ba"))
+      .join(bm.select(col("event_type").as("type_b"), col("__w"),
+        col("__bm").as("__bb")), Seq("__w"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(sum(expr("bit_count(__ba & __bb)")).as("__i"))
+    tot.select(col("event_type").as("type_a"), col("__n").as("__na"))
+      .join(tot.select(col("event_type").as("type_b"),
+        col("__n").as("__nb")))
+      .filter(col("type_a") < col("type_b"))
+      .join(inter, Seq("type_a", "type_b"), "left")
+      .withColumn("__i", coalesce(col("__i"), lit(0L)))
+      .select(col("type_a"), col("type_b"),
+        col("__na").cast("bigint").as("n_a"),
+        col("__nb").cast("bigint").as("n_b"),
+        col("__i").cast("bigint").as("n_intersect"),
+        (col("__na") + col("__nb") - col("__i")).cast("bigint")
+          .as("n_union"),
+        expr("CAST(__i * 1000000L DIV (__na + __nb - __i) AS BIGINT)")
+          .as("jaccard_micros"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Incremental aggregate MAINTENANCE — the materialized-view
     * pattern every warehouse rollup runs: the standing per-customer
     * (count, sum) aggregate and a delta batch each fold separately,

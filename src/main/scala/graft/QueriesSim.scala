@@ -386,8 +386,83 @@ object QueriesSim {
       .orderBy("vec_id")
   }
 
+  /** Per-class classification eval over the q188 kNN output —
+    * confusion-spine counts (n_true = tp+fn, n_pred = tp+fp) and the
+    * zero-guarded integer-micros precision/recall/F1 every model eval
+    * harness reports (F1 = 2·tp/(n_true+n_pred) — no float, no
+    * half-way rounding). The spine is the UNION of true and predicted
+    * labels so a never-predicted or never-true class still gets a
+    * row with its zeros instead of vanishing. Composes q188's whole
+    * pipeline (the oracle re-chains it as CTEs), then three tiny
+    * broadcastable rollups.
+    */
+  def q266KnnEval(s: SparkSession, dir: String): DataFrame = {
+    val per = q188KnnClassify(s, dir)
+      .select(col("true_label"), col("pred_label")).localCheckpoint()
+    val spine = per.select(col("true_label").cast("int").as("label"))
+      .unionByName(per.select(col("pred_label").as("label"))).distinct()
+    val nt = per.groupBy(col("true_label").cast("int").as("label"))
+      .agg(count(lit(1)).as("n_true"))
+    val np = per.groupBy(col("pred_label").as("label"))
+      .agg(count(lit(1)).as("n_pred"))
+    val tp = per.filter(col("true_label") === col("pred_label"))
+      .groupBy(col("true_label").cast("int").as("label"))
+      .agg(count(lit(1)).as("tp"))
+    spine.join(nt, Seq("label"), "left")
+      .join(np, Seq("label"), "left")
+      .join(tp, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("label"),
+        col("n_true").cast("bigint").as("n_true"),
+        col("n_pred").cast("bigint").as("n_pred"),
+        col("tp").cast("bigint").as("tp"),
+        when(col("n_pred") === 0, 0L)
+          .otherwise(expr("tp * 1000000L DIV n_pred"))
+          .cast("bigint").as("precision_micros"),
+        when(col("n_true") === 0, 0L)
+          .otherwise(expr("tp * 1000000L DIV n_true"))
+          .cast("bigint").as("recall_micros"),
+        when(col("n_true") + col("n_pred") === 0, 0L)
+          .otherwise(expr("2L * tp * 1000000L DIV (n_true + n_pred)"))
+          .cast("bigint").as("f1_micros"))
+      .orderBy("label")
+  }
+
+  /** The q188 kNN chain as DuckDB CTEs (through `pick`) — shared by
+    * the q188 oracle and q266's eval-on-top oracle.
+    */
+  private val knnOracleCtes: String =
+    """iv AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding::DOUBLE[],
+      |      x -> CAST(floor(x * 1e6) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |q AS (SELECT * FROM iv WHERE vec_id % 10 = 0),
+      |t AS (SELECT * FROM iv WHERE vec_id % 10 <> 0),
+      |d AS (
+      |  SELECT q.vec_id AS q_id, q.label AS q_label,
+      |    t.vec_id AS t_id, t.label AS t_label,
+      |    list_sum(list_transform(range(1, len(q.v) + 1),
+      |      i -> (q.v[i] - t.v[i]) * (q.v[i] - t.v[i]))) AS d2
+      |  FROM q CROSS JOIN t),
+      |top AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY d2, t_id) AS rn
+      |  FROM d),
+      |votes AS (
+      |  SELECT q_id, q_label, t_label, count(*) AS n
+      |  FROM top WHERE rn <= 5 GROUP BY 1, 2, 3),
+      |pick AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY n DESC, t_label) AS rp
+      |  FROM votes)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q188_knn_classify" -> q188KnnClassify _,
+    "q266_knn_eval" -> q266KnnEval _,
     "q131_vector_stats" -> q131VectorStats _,
     "q40_topk_brute_force" -> q40TopkBruteForce _,
     "q41_embedding_near_dup" -> q41EmbeddingNearDup _,
@@ -434,34 +509,45 @@ object QueriesSim {
     // row_number over the same (d2, t_id) order; the vote argmax via
     // the same (n DESC, label) order.
     "q188_knn_classify" ->
-      """WITH iv AS (
-        |  SELECT vec_id, label,
-        |    list_transform(embedding::DOUBLE[],
-        |      x -> CAST(floor(x * 1e6) AS BIGINT)) AS v
-        |  FROM embeddings),
-        |q AS (SELECT * FROM iv WHERE vec_id % 10 = 0),
-        |t AS (SELECT * FROM iv WHERE vec_id % 10 <> 0),
-        |d AS (
-        |  SELECT q.vec_id AS q_id, q.label AS q_label,
-        |    t.vec_id AS t_id, t.label AS t_label,
-        |    list_sum(list_transform(range(1, len(q.v) + 1),
-        |      i -> (q.v[i] - t.v[i]) * (q.v[i] - t.v[i]))) AS d2
-        |  FROM q CROSS JOIN t),
-        |top AS (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id
-        |    ORDER BY d2, t_id) AS rn
-        |  FROM d),
-        |votes AS (
-        |  SELECT q_id, q_label, t_label, count(*) AS n
-        |  FROM top WHERE rn <= 5 GROUP BY 1, 2, 3),
-        |pick AS (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id
-        |    ORDER BY n DESC, t_label) AS rp
-        |  FROM votes)
+      s"""WITH $knnOracleCtes
         |SELECT q_id AS vec_id, q_label AS true_label,
         |  t_label AS pred_label, CAST(n AS BIGINT) AS n_votes,
         |  t_label = q_label AS correct
         |FROM pick WHERE rp = 1 ORDER BY vec_id""".stripMargin,
+
+    // q266: q188's whole chain re-run as CTEs, then the confusion
+    // rollup with zero-guarded integer-micros metrics.
+    "q266_knn_eval" ->
+      s"""WITH $knnOracleCtes,
+        |per AS MATERIALIZED (
+        |  SELECT q_label AS true_label, t_label AS pred_label
+        |  FROM pick WHERE rp = 1),
+        |spine AS (
+        |  SELECT DISTINCT true_label AS label FROM per
+        |  UNION SELECT DISTINCT pred_label FROM per),
+        |m AS (
+        |  SELECT s.label,
+        |    (SELECT count(*) FROM per
+        |      WHERE true_label = s.label) AS n_true,
+        |    (SELECT count(*) FROM per
+        |      WHERE pred_label = s.label) AS n_pred,
+        |    (SELECT count(*) FROM per WHERE true_label = s.label
+        |      AND pred_label = s.label) AS tp
+        |  FROM spine s)
+        |SELECT CAST(label AS INTEGER) AS label,
+        |  CAST(n_true AS BIGINT) AS n_true,
+        |  CAST(n_pred AS BIGINT) AS n_pred,
+        |  CAST(tp AS BIGINT) AS tp,
+        |  CAST(CASE WHEN n_pred = 0 THEN 0
+        |    ELSE tp * 1000000 // n_pred END AS BIGINT)
+        |    AS precision_micros,
+        |  CAST(CASE WHEN n_true = 0 THEN 0
+        |    ELSE tp * 1000000 // n_true END AS BIGINT)
+        |    AS recall_micros,
+        |  CAST(CASE WHEN n_true + n_pred = 0 THEN 0
+        |    ELSE 2 * tp * 1000000 // (n_true + n_pred) END AS BIGINT)
+        |    AS f1_micros
+        |FROM m ORDER BY label""".stripMargin,
     // q131: list_reduce folds left-to-right exactly like Spark's
     // aggregate (the q56 precedent); (0+x1) == x1 in IEEE, so the
     // differing fold seeds agree bit-for-bit.

@@ -101,6 +101,12 @@ object ScaleProbe {
     replicate(spark, sfDir, work, factor)
     println(s"[probe] replicated ${factor}x -> $work")
 
+    // SPARK_GRAFT_PROBE_ONLY=q01_pricing_summary,q86_stream_dedup
+    // filters every probe section (large factors make the full list
+    // expensive; a 100x run wants a focused flagship subset)
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
     val probes = Seq("q125_sparse_cosine", "q72_containment",
       "q36_minhash_lsh", "q78_span_dedup", "q153_setsim_join",
       "q01_pricing_summary", "q139_star_join", "q143_only_returner",
@@ -108,6 +114,7 @@ object ScaleProbe {
       // FIFO join, distinct+degree moments, RAKE text pipeline
       "q214_percentile_cont", "q219_fifo_match",
       "q215_degree_assortativity", "q206_rake_keywords")
+      .filter(wanted)
     def time(fn: => DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()
       val df = fn
@@ -171,10 +178,12 @@ object ScaleProbe {
           iters = 3, trainSamplePct = pct)
     }
     val pctN = math.max(1, 100 / factor)
-    measure("q81_pq_trained*", annQ(trained81 = true, 100),
-      annQ(trained81 = true, pctN))
-    measure("q85_ivfpq_trained*", annQ(trained81 = false, 100),
-      annQ(trained81 = false, pctN))
+    if (wanted("q81_pq_trained*"))
+      measure("q81_pq_trained*", annQ(trained81 = true, 100),
+        annQ(trained81 = true, pctN))
+    if (wanted("q85_ivfpq_trained*"))
+      measure("q85_ivfpq_trained*", annQ(trained81 = false, 100),
+        annQ(trained81 = false, pctN))
 
     // ——— streaming probes: N× independent key populations at the
     // same event-time distribution (see replicate) — state and
@@ -182,7 +191,7 @@ object ScaleProbe {
     // machinery absorbs volume linearly, which is the property that
     // matters when micro-batches carry 1000 executors' worth of rows.
     Seq("q86_stream_dedup", "q105_stream_sessions",
-        "q119_stream_stream_join").foreach { name =>
+        "q119_stream_stream_join").filter(wanted).foreach { name =>
       measure(name, SparkEntry.queries(name), SparkEntry.queries(name))
     }
     spark.stop()
