@@ -2519,6 +2519,34 @@ object OraclesCore {
         |  CAST(count(DISTINCT user_id // 64) AS BIGINT) AS n_words
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // q264: bitmap set algebra vs first principles — every type pair's
+    // overlap recomputed from the raw distinct-user sets (q253's oracle
+    // extended pairwise): intersect via an id-level self-join, union by
+    // inclusion-exclusion, jaccard integer-scaled. Pair spine is the
+    // cross of the per-type totals so disjoint pairs report zeros.
+    "q264_bitmap_setops" ->
+      """WITH u AS MATERIALIZED (
+        |  SELECT DISTINCT event_type, user_id FROM events),
+        |tot AS (SELECT event_type, count(*) AS n FROM u GROUP BY 1),
+        |i AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS i
+        |  FROM u a JOIN u b USING (user_id)
+        |  WHERE a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+        |  CAST(ta.n AS BIGINT) AS n_a,
+        |  CAST(tb.n AS BIGINT) AS n_b,
+        |  CAST(COALESCE(i.i, 0) AS BIGINT) AS n_intersect,
+        |  CAST(ta.n + tb.n - COALESCE(i.i, 0) AS BIGINT) AS n_union,
+        |  CAST(COALESCE(i.i, 0) * 1000000
+        |    // (ta.n + tb.n - COALESCE(i.i, 0)) AS BIGINT)
+        |    AS jaccard_micros
+        |FROM tot ta JOIN tot tb ON ta.event_type < tb.event_type
+        |LEFT JOIN i
+        |  ON i.type_a = ta.event_type AND i.type_b = tb.event_type
+        |ORDER BY 1, 2""".stripMargin,
+
     // q254: incremental merge of self-maintainable partials must equal
     // the full aggregate by definition — oracle pins the definition
     // with `consistent` hard-coded TRUE, so any drift in the

@@ -3615,17 +3615,18 @@ object QueriesCore {
     * by boundary comparison and the bin occupancy audited. Boundaries
     * are one window pass over the value rollup; assignment is a
     * broadcast join of the 3-row boundary table — the 100 TB shape
-    * for histogram-equalized binning.
+    * for histogram-equalized binning. Ordinals come from the
+    * range-partitioned [[graft.operators.Relational.globalOrdinals]]
+    * scheme (never a single-task `row_number() OVER (ORDER BY …)`),
+    * and n rides a broadcast 1-row aggregate.
     */
   def q175QuartileBinning(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_totalprice"))
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    val all = Window.partitionBy(lit(1))
-    // fully declarative: n rides a window count, so no driver-side
-    // action decides the boundary ordinals
-    val ranked = o.withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(all))
+    val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranked = graft.operators.Relational.globalOrdinals(o,
+        Seq(col("o_totalprice"), col("o_orderkey")), nPart, "__rn")
+      .crossJoin(broadcast(o.agg(count(lit(1)).as("__n"))))
     val bounds = ranked
       .filter(col("__rn") === ceil(col("__n") / lit(4.0)) ||
         col("__rn") === ceil(col("__n") * 2 / lit(4.0)) ||
@@ -3653,26 +3654,30 @@ object QueriesCore {
     * surfaces exactly once), verify with edit distance ≤ 2. One
     * global sort, zero joins: candidate volume is exactly (w−1)·n at
     * any scale, the property that makes sorted-neighborhood the
-    * cheap first pass of production ER stacks (at 100 TB the sort is
-    * a range-partitioned total sort; the window never crosses more
-    * than w rows, so partition boundaries need only w−1 rows of
-    * overlap).
+    * cheap first pass of production ER stacks. At 100 TB the sort
+    * runs as [[graft.operators.Relational.globalOrdinals]]'s
+    * range-partitioned scheme (local windows + offset rollup — never
+    * one task), and the w−1 forward neighbors resolve by ORDINAL
+    * equi-join (rn ↔ rn+d): hash-partitioned on a unique long key, so
+    * partition-boundary neighbors cross through the join with no
+    * bespoke overlap handoff — exact even when a range partition
+    * holds fewer than w−1 rows, the case that breaks naive
+    * head-row handoffs.
     */
   def q177SortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("c_name"), col("c_custkey"))
-    val withLeads = Tables.customer(s, dir)
-      .select(col("c_custkey"), col("c_name"))
-      .withColumn("__n1", lead(struct(col("c_custkey").as("k"),
-        col("c_name").as("nm")), 1).over(w))
-      .withColumn("__n2", lead(struct(col("c_custkey").as("k"),
-        col("c_name").as("nm")), 2).over(w))
+    val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranked = graft.operators.Relational.globalOrdinals(
+      Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
+      Seq(col("c_name"), col("c_custkey")), nPart, "__rn")
     Seq(1, 2).map { d =>
-      withLeads.select(col("c_custkey").as("id_a"),
-        col("c_name").as("name_a"),
-        col(s"__n$d.k").as("id_b"), col(s"__n$d.nm").as("name_b"))
+      ranked.select(col("c_custkey").as("id_a"),
+          col("c_name").as("name_a"), col("__rn"))
+        .join(ranked.select((col("__rn") - d).as("__rn"),
+          col("c_custkey").as("id_b"), col("c_name").as("name_b")),
+          Seq("__rn"))
+        .drop("__rn")
     }.reduce(_.unionByName(_))
-      .filter(col("id_b").isNotNull &&
-        levenshtein(col("name_a"), col("name_b")) <= 2)
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 2)
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
         levenshtein(col("name_a"), col("name_b")).cast("int")
           .as("edit_dist"))
@@ -3798,9 +3803,10 @@ object QueriesCore {
     * subsequent purchase, and the corpus-level exact type-1 median of
     * those gaps (the q145 ordinal convention, seconds as exact
     * integers). Two conditional-aggregate elections (no self-join),
-    * one |users|-row ordinal pass for the median; the median row
-    * reports the whole distribution next to each user's gap via a
-    * window — output stays per-user with the global stats attached.
+    * one |users|-row ordinal pass for the median (the
+    * [[graft.operators.Relational.globalOrdinals]] range-partitioned
+    * scheme — no single-task global window); the 1-row median frame
+    * broadcasts back next to each user's gap.
     */
   def q181TimeToConvert(s: SparkSession, dir: String): DataFrame = {
     val firsts = Tables.events(s, dir)
@@ -3814,14 +3820,15 @@ object QueriesCore {
       .select(col("user_id"),
         floor((col("__p") - col("__v")) / 1e6).cast("bigint")
           .as("gap_seconds"))
-    val w = Window.orderBy(col("gap_seconds"), col("user_id"))
-    val n = Window.partitionBy(lit(1))
-    firsts
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(n))
-      .withColumn("__med", max(when(
-        col("__rn") === ceil(col("__n") / lit(2.0)).cast("int"),
-        col("gap_seconds"))).over(n))
+      .localCheckpoint() // feeds the rank pass, the count, and the output
+    val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranked = graft.operators.Relational.globalOrdinals(firsts,
+      Seq(col("gap_seconds"), col("user_id")), nPart, "__rn")
+    val med = ranked
+      .crossJoin(broadcast(firsts.agg(count(lit(1)).as("__n"))))
+      .filter(col("__rn") === ceil(col("__n") / lit(2.0)).cast("int"))
+      .select(col("gap_seconds").as("__med"))
+    firsts.crossJoin(broadcast(med))
       .select(col("user_id"), col("gap_seconds"),
         col("__med").cast("bigint").as("median_gap_seconds"))
       .orderBy("user_id")
@@ -3831,10 +3838,13 @@ object QueriesCore {
     * customer with a deterministic total order (metric, then custkey)
     * so every ntile boundary is engine-pinned, monetary in exact
     * cents. Scale shape: the per-customer rollup collapses the fact
-    * stream FIRST (one shuffle over |orders|); the three quintile
-    * windows then run over the |customers|-row rollup — the same
-    * post-aggregation global-ordinal envelope as q145/q175, never a
-    * window over raw facts.
+    * stream FIRST (one shuffle over |orders|); each quintile is a
+    * [[graft.operators.Relational.globalOrdinals]] range-partitioned
+    * rank over the |customers|-row rollup (never a single-task
+    * `ntile() OVER (ORDER BY …)`), mapped to the exact SQL NTILE
+    * bucket by the integer formula — with n = 5q + r, the first r
+    * buckets take q+1 rows: tile(rn) = ⌈rn/(q+1)⌉ while
+    * rn ≤ r(q+1), else r + ⌈(rn − r(q+1))/q⌉.
     */
   def q182RfmSegments(s: SparkSession, dir: String): DataFrame = {
     val per = Tables.orders(s, dir)
@@ -3844,13 +3854,26 @@ object QueriesCore {
         count(lit(1)).as("n_orders"),
         sum((col("o_totalprice").cast("decimal(18,2)") * 100)
           .cast("decimal(18,0)")).as("__mon"))
-    val wr = Window.orderBy(col("last_order_us"), col("custkey"))
-    val wf = Window.orderBy(col("n_orders"), col("custkey"))
-    val wm = Window.orderBy(col("__mon"), col("custkey"))
+      .localCheckpoint() // feeds three rank passes + the count
+    val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    def ranks(sortCol: String, out: String): DataFrame =
+      graft.operators.Relational.globalOrdinals(per,
+          Seq(col(sortCol), col("custkey")), nPart, out)
+        .select(col("custkey"), col(out))
+    def tile(rn: String): Column = expr(
+      s"""CAST(CASE WHEN $rn <= (__n % 5) * (__n DIV 5 + 1)
+         |THEN ($rn + (__n DIV 5)) DIV (__n DIV 5 + 1)
+         |ELSE (__n % 5) + ($rn - (__n % 5) * (__n DIV 5 + 1)
+         |  + greatest(__n DIV 5, 1) - 1) DIV greatest(__n DIV 5, 1)
+         |END AS INT)""".stripMargin)
     per
-      .withColumn("r_score", ntile(5).over(wr))
-      .withColumn("f_score", ntile(5).over(wf))
-      .withColumn("m_score", ntile(5).over(wm))
+      .join(ranks("last_order_us", "__rr"), Seq("custkey"))
+      .join(ranks("n_orders", "__rf"), Seq("custkey"))
+      .join(ranks("__mon", "__rm"), Seq("custkey"))
+      .crossJoin(broadcast(per.agg(count(lit(1)).as("__n"))))
+      .withColumn("r_score", tile("__rr"))
+      .withColumn("f_score", tile("__rf"))
+      .withColumn("m_score", tile("__rm"))
       .select(col("custkey"), col("last_order_us"),
         col("n_orders").cast("bigint").as("n_orders"),
         col("__mon").cast("bigint").as("monetary_cents"),
@@ -3960,29 +3983,31 @@ object QueriesCore {
     * convention (rn == ⌈n/2⌉ under a total order), outlier when
     * |x − med| > 3·MAD in pure integer comparison. Robust to the very
     * outliers it hunts (unlike q164's moment-based sigma test — the
-    * two are complementary gates). The two ordinal passes run over the
-    * |customers|-row slice, the q145 post-aggregation envelope.
+    * two are complementary gates). Both ordinal passes ride the
+    * [[graft.operators.Relational.globalOrdinals]] range-partitioned
+    * scheme over the |customers|-row slice (no single-task global
+    * window); each elected median is a 1-row broadcast.
     */
   def q185MadOutliers(s: SparkSession, dir: String): DataFrame = {
     val cents = (col("c_acctbal").cast("decimal(18,2)") * 100)
       .cast("decimal(18,0)").cast("bigint")
     val c = Tables.customer(s, dir)
       .select(col("c_custkey"), cents.as("bal_cents"))
-    val n = Window.partitionBy(lit(1))
-    val w1 = Window.orderBy(col("bal_cents"), col("c_custkey"))
+      .localCheckpoint() // feeds two rank passes, the count, the output
+    val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val nDf = broadcast(c.agg(count(lit(1)).as("__n")))
+    def ordinalPick(df: DataFrame, v: String, out: String): DataFrame =
+      broadcast(graft.operators.Relational.globalOrdinals(df,
+          Seq(col(v), col("c_custkey")), nPart, "__gr")
+        .crossJoin(nDf)
+        .filter(col("__gr") === ceil(col("__n") / lit(2.0)).cast("int"))
+        .select(col(v).as(out)))
     val withMed = c
-      .withColumn("__rn", row_number().over(w1))
-      .withColumn("__n", count(lit(1)).over(n))
-      .withColumn("med_cents", max(when(
-        col("__rn") === ceil(col("__n") / lit(2.0)).cast("int"),
-        col("bal_cents"))).over(n))
+      .crossJoin(ordinalPick(c, "bal_cents", "med_cents"))
       .withColumn("dev_cents", abs(col("bal_cents") - col("med_cents")))
-    val w2 = Window.orderBy(col("dev_cents"), col("c_custkey"))
+      .localCheckpoint() // feeds the second rank pass and the output
     withMed
-      .withColumn("__rn2", row_number().over(w2))
-      .withColumn("mad_cents", max(when(
-        col("__rn2") === ceil(col("__n") / lit(2.0)).cast("int"),
-        col("dev_cents"))).over(n))
+      .crossJoin(ordinalPick(withMed, "dev_cents", "mad_cents"))
       .select(col("c_custkey"), col("bal_cents"),
         col("med_cents").cast("bigint").as("med_cents"),
         col("dev_cents").cast("bigint").as("dev_cents"),
@@ -5484,27 +5509,32 @@ object QueriesCore {
     * computed without a single float: score = lifetime spend, label =
     * bought in the final year, ties by AVERAGE rank carried as
     * 2·avg = 2·rank_min + ties − 1 (an integer), and
-    * AUC = (2U)·10⁶ DIV (2·n⁺·n⁻). One rank window + one tie-count
-    * window + one aggregate — the threshold-sweep definition would
-    * need |thresholds| passes; the rank identity needs one.
+    * AUC = (2U)·10⁶ DIV (2·n⁺·n⁻). Ordinals ride the
+    * [[graft.operators.Relational.globalOrdinals]] range-partitioned
+    * scheme (tiebreak custkey), then ties fold in ONE keyed rollup:
+    * rank(score) = min row_number within the score group, tie count
+    * its size — so 2·avg-rank = 2·min_rn + ties − 1 per score, and
+    * the positives' rank-sum is Σ pos(score)·(2·min_rn + tc − 1).
+    * No single-task global window anywhere.
     */
   def q231AucExact(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val o = Tables.orders(s, dir)
     val spend = o.groupBy(col("o_custkey"))
       .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("decimal(18,0)").cast("bigint")).as("__score"),
         max(when(col("o_orderdate") >= lit("2001-01-01").cast("date"),
           1L).otherwise(0L)).as("__y"))
-    val r2 = spend
-      .withColumn("__rk", rank().over(Window.orderBy("__score")))
-      .withColumn("__tc",
-        count(lit(1)).over(Window.partitionBy("__score")))
-      .withColumn("__r2", lit(2L) * col("__rk") + col("__tc") - 1L)
-    r2.agg(
-        sum(when(col("__y") === 1L, col("__r2"))).as("__sr2"),
-        sum(col("__y")).as("n_pos"),
-        sum(lit(1L) - col("__y")).as("n_neg"))
+    val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val perScore = graft.operators.Relational.globalOrdinals(spend,
+        Seq(col("__score"), col("o_custkey")), nPart, "__rn")
+      .groupBy("__score")
+      .agg(min(col("__rn")).as("__mn"), count(lit(1)).as("__tc"),
+        sum(col("__y")).as("__py"))
+    perScore.agg(
+        sum(col("__py") *
+          (lit(2L) * col("__mn") + col("__tc") - 1L)).as("__sr2"),
+        sum(col("__py")).as("n_pos"),
+        (sum(col("__tc")) - sum(col("__py"))).as("n_neg"))
       .select(col("n_pos").cast("bigint").as("n_pos"),
         col("n_neg").cast("bigint").as("n_neg"),
         expr("CAST(((__sr2 - CAST(n_pos AS DECIMAL(38,0)) * " +
@@ -5517,7 +5547,10 @@ object QueriesCore {
     * ranked by score into ordinal deciles ((rank−1)·10 DIV n — no
     * percentile doubles), per-decile response rate and lift vs the
     * base rate, both cross-multiplied to micros, plus the cumulative
-    * gain sweep. One window family, one rollup, one 10-row window.
+    * gain sweep. Ranks ride the range-partitioned
+    * [[graft.operators.Relational.globalOrdinals]] scheme (desc
+    * score, custkey tiebreak — never a single-task global window);
+    * the only unpartitioned window left is the 10-row decile sweep.
     */
   def q232DecileLift(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -5527,10 +5560,11 @@ object QueriesCore {
         .cast("decimal(18,0)").cast("bigint")).as("__score"),
         max(when(col("o_orderdate") >= lit("2001-01-01").cast("date"),
           1L).otherwise(0L)).as("__y"))
-    val ranked = spend
-      .withColumn("__rk", row_number().over(
-        Window.orderBy(col("__score").desc, col("o_custkey"))))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .localCheckpoint() // feeds the rank pass, the count, the totals
+    val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranked = graft.operators.Relational.globalOrdinals(spend,
+        Seq(col("__score").desc, col("o_custkey")), nPart, "__rk")
+      .crossJoin(broadcast(spend.agg(count(lit(1)).as("__n"))))
       .withColumn("decile",
         expr("CAST(((__rk - 1) * 10) DIV __n AS INT)"))
     val tot = spend.agg(count(lit(1)).as("__nn"), sum(col("__y")).as("__np"))
@@ -5661,28 +5695,30 @@ object QueriesCore {
     * stream — the always-valid A/B monitor: H₁ error-rate 0.30 vs H₀
     * 0.25 at A = B = 19. The log-likelihood increment takes only TWO
     * values, each ONE pinned IEEE constant floored to micros — so the
-    * cumulative walk is an exact integer window sum, and the decision
-    * is the FIRST boundary crossing (one filtered min over the
-    * ordered stream). Per-experiment keys would partition the window;
-    * this declared surface runs the single global stream.
+    * cumulative walk is an exact integer prefix sum. The walk LOOKS
+    * sequential but its increments are associative, so it distributes
+    * by the [[graft.operators.Relational.globalOrdinals]] offset
+    * composition: range-partition on the stream order, local prefix
+    * sums in parallel, then each partition shifts by the broadcast
+    * total of everything before it — the full stream is never sorted
+    * in one task. The decision is the FIRST boundary crossing (one
+    * filtered min over the composed walk).
     */
   def q237Sprt(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val stepErr = floor(log(lit(0.30) / lit(0.25)) * lit(1000000.0))
       .cast("bigint")
     val stepOk = floor(log(lit(0.70) / lit(0.75)) * lit(1000000.0))
       .cast("bigint")
     val bound = floor(log(lit(19.0)) * lit(1000000.0)).cast("bigint")
-    val w = Window.orderBy(col("__t"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val walk = Tables.events(s, dir)
-      .select(col("event_id"), unix_micros(col("ts")).as("__t"),
-        (col("event_type") === "error").as("__x"))
-      .withColumn("__llr",
-        when(col("__x"), stepErr).otherwise(stepOk))
-      .withColumn("__cum", sum(col("__llr")).over(w))
-      .withColumn("__rn", row_number().over(
-        Window.orderBy(col("__t"), col("event_id"))))
+    val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val walk = graft.operators.Relational.globalOrdinals(
+      Tables.events(s, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("__t"),
+          (col("event_type") === "error").as("__x"))
+        .withColumn("__llr",
+          when(col("__x"), stepErr).otherwise(stepOk)),
+      Seq(col("__t"), col("event_id")), nPart, "__rn",
+      runningSums = Seq("__cum" -> col("__llr")))
     val crossed = walk
       .filter(col("__cum") >= bound || col("__cum") <= -bound)
       .agg(min(struct(col("__rn"), col("__cum"))).as("__first"))
@@ -5824,6 +5860,7 @@ object QueriesCore {
     "q251_edit_distance_join" -> q251EditDistanceJoin _,
     "q252_retention_matrix" -> q252RetentionMatrix _,
     "q253_bitmap_distinct" -> q253BitmapDistinct _,
+    "q264_bitmap_setops" -> q264BitmapSetops _,
     "q254_incremental_rollup" -> q254IncrementalRollup _,
     "q255_cusum" -> q255Cusum _,
     "q256_grid_radius_join" -> q256GridRadiusJoin _,

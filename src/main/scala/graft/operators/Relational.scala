@@ -589,4 +589,61 @@ object Relational {
     labeled.select(col("id").as(idCol), col("root_id"), col("depth"),
       col("preorder"), col("n_desc"), col("lft"), col("rgt"))
   }
+
+  /** DISTRIBUTED total-order ordinals — the scale-safe replacement for
+    * `row_number()/sum() OVER (ORDER BY …)` with an empty PARTITION BY
+    * (which funnels the whole relation through ONE task): range-partition
+    * on the sort key, compute the row_number / running sums LOCALLY per
+    * partition (parallel windows), then add per-partition offsets from a
+    * |partitions|-row rollup. Equal keys land in one range partition, so
+    * `rnCol` is exactly the global sort's row_number under `sort` (which
+    * must therefore be a TOTAL order — include a tiebreak column), and
+    * each `runningSums` output is exactly the global
+    * `sum(expr) OVER (ORDER BY sort ROWS UNBOUNDED PRECEDING..CURRENT)`.
+    * The only unpartitioned window left runs over the bounded
+    * |partitions|-row offset rollup. Generalizes the q224 quantile-norm
+    * scheme; q175/q181/q182/q185/q231/q232/q237 all ride it.
+    *
+    * @param runningSums output-column → summand expression (evaluated
+    *        against `df`'s columns) for inclusive global prefix sums.
+    */
+  def globalOrdinals(
+      df: DataFrame,
+      sort: Seq[Column],
+      nPart: Int,
+      rnCol: String = "__rn",
+      runningSums: Seq[(String, Column)] = Nil): DataFrame = {
+    val w = Window.partitionBy("__gopid").orderBy(sort: _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val summed = runningSums.foldLeft(
+      df.repartitionByRange(nPart, sort: _*)
+        .withColumn("__gopid", spark_partition_id())
+        .withColumn(rnCol, row_number().over(w))) {
+      case (acc, (out, e)) => acc.withColumn(out, sum(e).over(run))
+    }
+    // materialized once: the offset rollup below re-reads it
+    val local = summed.localCheckpoint()
+    // per-partition totals → exclusive prefix offsets (|partitions| rows;
+    // the unpartitioned window here is bounded by construction)
+    val offW = Window.orderBy("__gopid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local
+      .groupBy("__gopid")
+      // partition totals re-aggregate the SUMMANDS (not the inclusive
+      // running column — non-monotone under negative summands)
+      .agg(count(lit(1)).as("__gon"),
+        runningSums.map { case (out, e) =>
+          sum(e).as(s"__got_$out") }: _*)
+      .withColumn("__goffn", coalesce(sum(col("__gon")).over(offW), lit(0L)))
+      .select(col("__gopid") :: col("__goffn") ::
+        runningSums.map { case (out, _) =>
+          coalesce(sum(col(s"__got_$out")).over(offW), lit(0L))
+            .as(s"__goff_$out") }.toList: _*)
+    val joined = local.join(broadcast(offsets), Seq("__gopid"))
+      .withColumn(rnCol, col(rnCol) + col("__goffn"))
+    runningSums.foldLeft(joined) { case (acc, (out, _)) =>
+      acc.withColumn(out, col(out) + col(s"__goff_$out"))
+        .drop(s"__goff_$out")
+    }.drop("__gopid", "__goffn")
+  }
 }
