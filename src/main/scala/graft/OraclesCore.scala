@@ -2477,8 +2477,9 @@ object OraclesCore {
         |    AS BIGINT) AS zcode
         |FROM b ORDER BY zcode, p_partkey""".stripMargin,
 
-    // q251: the brute-force all-pairs PROOF of the lossless deletion-
-    // neighborhood blocking — every ed≤1 pair, no blocking at all.
+    // q251: the brute-force all-pairs PROOF of the lossless ≤2-deletion
+    // neighborhood blocking — every ed≤2 pair, no blocking at all (the
+    // length prefilter is a pure speedup: ||a|−|b|| > 2 ⇒ ed > 2).
     "q251_edit_distance_join" ->
       """WITH s AS (
         |  SELECT p_partkey AS id, p_name AS name FROM part
@@ -2487,7 +2488,8 @@ object OraclesCore {
         |  a.name AS name_a, b.name AS name_b,
         |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
         |FROM s a JOIN s b ON a.id < b.id
-        |WHERE levenshtein(a.name, b.name) <= 1
+        |  AND abs(length(a.name) - length(b.name)) <= 2
+        |WHERE levenshtein(a.name, b.name) <= 2
         |ORDER BY 1, 2""".stripMargin,
 
     // q252: identical distinct grid, min-fold cohorts, count matrix,

@@ -2181,39 +2181,59 @@ object QueriesCore {
       .orderBy("zcode", "p_partkey")
   }
 
-  /** Edit-distance-≤1 similarity join via DELETION-NEIGHBORHOOD
-    * blocking (FastSS / SymSpell): every string emits itself plus its
-    * |s| one-character deletions as join keys; two strings within one
-    * edit ALWAYS share a key (equal → identity key; insert/delete →
-    * the longer one's deletion equals the shorter; substitute at i →
-    * deleting i from both collides), so the blocking is LOSSLESS for
-    * k=1 — candidates are verified with the real levenshtein and
-    * false candidates (e.g. transpositions at distance 2) drop. Scale
-    * shape: neighborhood size is O(len) per row (not O(Σ) pairs), the
-    * join is an equi-join on the variant key, and verification runs
-    * only on candidates — the spelling-variant dedup a 100 TB product
-    * catalog or query log actually runs. Sampled to every 4th part so
-    * the oracle can afford the brute-force all-pairs proof.
+  /** Edit-distance-≤2 similarity join via DELETION-NEIGHBORHOOD
+    * blocking (FastSS / SymSpell): every string emits its ≤2-deletion
+    * neighborhood — itself, all |s| single deletions, and all
+    * C(|s|,2) double deletions — as join keys. ed(a,b) ≤ k guarantees
+    * a shared key in the ≤k neighborhoods (delete the ≤k edited
+    * positions from each side: substitutions drop from both, the
+    * insert/delete surplus drops from the longer), so the blocking is
+    * LOSSLESS for k=2; candidates verify with the real levenshtein.
+    * Shuffle leanness (the 100 TB posture): the join key is the
+    * 8-byte xxhash64 of the variant — never the variant STRING — and
+    * each side carries the id alone, so the candidate shuffle moves
+    * (hash, id) pairs; pair dedup runs on the two id columns, and
+    * names re-join only for the |candidates|-sized verification (hash
+    * collisions just add false candidates, which the levenshtein gate
+    * drops). Variant-key equality implies equal variant LENGTHS, so
+    * length-incompatible pairs (||a|−|b|| > 2) never collide — the
+    * length blocking is built into the key. Sampled to every 4th part
+    * so the oracle can afford the brute-force all-pairs proof.
     */
   def q251EditDistanceJoin(s: SparkSession, dir: String): DataFrame = {
     val names = Tables.part(s, dir)
       .filter(pmod(col("p_partkey"), lit(4)) === 0)
       .select(col("p_partkey").as("id"), col("p_name").as("name"))
-    val variants = names.select(col("id"), col("name"),
-      explode(expr("array_union(array(name), " +
-        "transform(sequence(1, length(name)), i -> " +
-        "concat(substring(name, 1, i - 1), " +
-        "substring(name, i + 1, length(name)))))")).as("__v"))
-    val l = variants.select(col("__v"), col("id").as("id_a"),
-      col("name").as("name_a"))
-    val r = variants.select(col("__v"), col("id").as("id_b"),
-      col("name").as("name_b"))
-    l.join(r, Seq("__v"))
+      .localCheckpoint() // feeds the variant pass + two name re-joins
+    val variants = names.select(col("id"),
+      explode(expr(
+        """array_distinct(concat(
+          |  array(xxhash64(name)),
+          |  transform(sequence(1, length(name)), i ->
+          |    xxhash64(concat(substring(name, 1, i - 1),
+          |      substring(name, i + 1, length(name))))),
+          |  flatten(transform(sequence(1, length(name)), j ->
+          |    IF(j > 1,
+          |      transform(sequence(1, j - 1), i ->
+          |        xxhash64(concat(substring(name, 1, i - 1),
+          |          substring(name, i + 1, j - i - 1),
+          |          substring(name, j + 1, length(name))))),
+          |      CAST(array() AS ARRAY<BIGINT>))))))""".stripMargin)
+        ).as("__h"))
+    val cand = variants.select(col("__h"), col("id").as("id_a"))
+      .join(variants.select(col("__h"), col("id").as("id_b")),
+        Seq("__h"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "name_a", "name_b").distinct()
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(names.select(col("id").as("id_a"), col("name").as("name_a")),
+        Seq("id_a"))
+      .join(names.select(col("id").as("id_b"), col("name").as("name_b")),
+        Seq("id_b"))
       .withColumn("dist",
         levenshtein(col("name_a"), col("name_b")).cast("bigint"))
-      .filter(col("dist") <= 1)
+      .filter(col("dist") <= 2)
+      .select("id_a", "id_b", "name_a", "name_b", "dist")
       .orderBy("id_a", "id_b")
   }
 

@@ -606,24 +606,58 @@ object QueriesText {
   /** Approximate distinct counting — the sketch-based cardinality path
     * for corpus stats: per source, vocabulary size by EXACT
     * countDistinct (a full (source, token) shuffle — fine at bench
-    * scale, the bottleneck at 100 TB) and by HyperLogLog++
-    * (`approx_count_distinct`, rsd 2% — fixed-size sketches merged
-    * map-side, the scale path), with the observed relative error. The
-    * HLL estimate is engine-specific → rows-only at the gate; the
-    * error column is asserted < 3·rsd in ScalaTest, and the EXACT
-    * column is cross-checked against q68's vocabulary machinery there
-    * too.
+    * scale, the bottleneck at 100 TB) and by an ENGINE-PORTABLE
+    * HyperLogLog (q192's register scheme, m=64, keyed per source):
+    * md5-prefix-32 token hashes, 6-bit bucket, exact-integer rho, the
+    * harmonic-mean sum cleared to integers (Σ 2^(27−reg)) so DuckDB
+    * rebuilds every register and the estimate bit-for-bit —
+    * hash-green at the gate, unlike the builtin
+    * `approx_count_distinct` whose HLL++ internals are
+    * engine-specific. Relative error rides along as one exact integer
+    * division. Scale shape identical to the builtin's: 64 register
+    * cells per source merged map-side by max, one |sources|-row
+    * rollup.
     */
   def q100ApproxVocab(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir).select(col("source"),
       explode(filter(split(TextAnalysis.normalizeText(col("text")), " "),
         t => t =!= "")).as("token"))
+      .localCheckpoint() // feeds registers, the source spine, n_exact
+    val regs = toks
+      .select(col("source"),
+        graft.operators.Scale.md5Prefix32(col("token")).as("__h"))
+      .select(col("source"), pmod(col("__h"), lit(64)).cast("int")
+          .as("bucket"),
+        expr("CAST(__h DIV 64 AS BIGINT)").as("__rest"))
+      .select(col("source"), col("bucket"),
+        when(col("__rest") === 0L, lit(27L))
+          .otherwise(lit(26L) - floor(log2(col("__rest"))))
+          .as("__rho"))
+      .groupBy("source", "bucket").agg(max(col("__rho")).as("register"))
+    val spine = toks.select("source").distinct()
+      .crossJoin(s.range(0, 64).select(col("id").cast("int").as("bucket")))
+    val summary = spine.join(regs, Seq("source", "bucket"), "left")
+      .na.fill(0L, Seq("register"))
+      .groupBy("source")
+      .agg(sum(expr(
+          "shiftleft(CAST(1 AS BIGINT), CAST(27 - register AS INT))"))
+          .as("sum_pow"),
+        sum(when(col("register") === 0L, 1L).otherwise(0L)).as("n_zero"))
+    val raw = ((lit(0.709) * 4096.0) * 134217728.0) /
+      col("sum_pow").cast("double")
     toks.groupBy("source")
-      .agg(countDistinct(col("token")).as("n_exact"),
-        approx_count_distinct(col("token"), 0.02).as("n_approx"))
-      .select(col("source"), col("n_exact"), col("n_approx"),
-        round(abs(col("n_approx") - col("n_exact")).cast("double") /
-          col("n_exact"), 6).as("rel_err"))
+      .agg(countDistinct(col("token")).as("n_exact"))
+      .join(summary, Seq("source"))
+      .withColumn("est_micros",
+        when(raw <= 160.0 && col("n_zero") > 0,
+          floor(lit(64.0) * log(lit(64.0) / col("n_zero").cast("double"))
+            * 1000000.0))
+          .otherwise(floor(raw * 1000000.0)).cast("bigint"))
+      .select(col("source"), col("n_exact").cast("bigint").as("n_exact"),
+        col("sum_pow").cast("bigint").as("sum_pow"),
+        col("n_zero").cast("bigint").as("n_zero"), col("est_micros"),
+        expr("CAST(abs(est_micros - n_exact * 1000000L) DIV n_exact " +
+          "AS BIGINT)").as("rel_err_micros"))
       .orderBy("source")
   }
 
