@@ -608,10 +608,12 @@ object QueriesText {
     * countDistinct (a full (source, token) shuffle — fine at bench
     * scale, the bottleneck at 100 TB) and by an ENGINE-PORTABLE
     * HyperLogLog (q192's register scheme, m=64, keyed per source):
-    * md5-prefix-32 token hashes, 6-bit bucket, exact-integer rho, the
-    * harmonic-mean sum cleared to integers (Σ 2^(27−reg)) so DuckDB
-    * rebuilds every register and the estimate bit-for-bit —
-    * hash-green at the gate, unlike the builtin
+    * md5-prefix-32 token hashes, 6-bit bucket, rho by pure INTEGER
+    * bit-length (`27 − length(bin(rest))` — both engines' `bin` is
+    * the unpadded binary string, so no libm log2 epsilon can flip a
+    * register at a power of two), the harmonic-mean sum cleared to
+    * integers (Σ 2^(27−reg)) so DuckDB rebuilds every register and
+    * the estimate bit-for-bit — hash-green at the gate, unlike the builtin
     * `approx_count_distinct` whose HLL++ internals are
     * engine-specific. Relative error rides along as one exact integer
     * division. Scale shape identical to the builtin's: 64 register
@@ -631,7 +633,7 @@ object QueriesText {
         expr("CAST(__h DIV 64 AS BIGINT)").as("__rest"))
       .select(col("source"), col("bucket"),
         when(col("__rest") === 0L, lit(27L))
-          .otherwise(lit(26L) - floor(log2(col("__rest"))))
+          .otherwise(lit(27L) - length(bin(col("__rest"))))
           .as("__rho"))
       .groupBy("source", "bucket").agg(max(col("__rho")).as("register"))
     val spine = toks.select("source").distinct()
@@ -1382,6 +1384,74 @@ object QueriesText {
   val oracles: Map[String, String] = {
     val Seq(en, de, fr, es) = TextAnalysis.langMarkers.map(_._2)
     val base = Map(
+      // q100: the q192 portable-HLL register scheme replayed per
+      // source over the whitespace-tokenized vocabulary — identical
+      // md5-prefix-32 hashes, the same integer bit-length rho
+      // (27 − length(bin(rest))), the same Σ 2^(27−reg) harmonic
+      // integers, and the estimate as the same pinned
+      // literal-product-over-integer IEEE division. Exact integers
+      // end-to-end except that one division, which both engines
+      // round identically under IEEE 754.
+      "q100_approx_vocab" ->
+        """WITH t AS (
+          |  SELECT source,
+          |    string_split(trim(regexp_replace(lower(text),
+          |      '\s+', ' ', 'g')), ' ') AS tk
+          |  FROM documents),
+          |toks AS (
+          |  SELECT source, unnest(tk) AS token FROM t),
+          |tk2 AS (SELECT source, token FROM toks WHERE token <> ''),
+          |h AS (
+          |  SELECT source,
+          |    ('0x' || substr(md5(token), 1, 8))::BIGINT AS hv
+          |  FROM tk2),
+          |r AS (
+          |  SELECT source, hv % 64 AS bucket,
+          |    CASE WHEN hv // 64 = 0 THEN 27
+          |         ELSE 27 - length(bin(hv // 64))
+          |    END AS rho
+          |  FROM h),
+          |regs AS (
+          |  SELECT source, bucket, max(rho) AS register
+          |  FROM r GROUP BY 1, 2),
+          |spine AS (
+          |  SELECT source, unnest(range(0, 64)) AS bucket
+          |  FROM (SELECT DISTINCT source FROM tk2)),
+          |f AS (
+          |  SELECT s.source, s.bucket,
+          |    coalesce(regs.register, 0) AS register
+          |  FROM spine s LEFT JOIN regs
+          |    ON s.source = regs.source AND s.bucket = regs.bucket),
+          |summ AS (
+          |  SELECT source,
+          |    sum(1::BIGINT << CAST(27 - register AS INTEGER))
+          |      AS sum_pow,
+          |    sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS n_zero
+          |  FROM f GROUP BY 1),
+          |ex AS (
+          |  SELECT source, count(DISTINCT token) AS n_exact
+          |  FROM tk2 GROUP BY 1),
+          |est AS (
+          |  SELECT ex.source,
+          |    CAST(n_exact AS BIGINT) AS n_exact,
+          |    CAST(sum_pow AS BIGINT) AS sum_pow,
+          |    CAST(n_zero AS BIGINT) AS n_zero,
+          |    CAST(CASE WHEN ((0.709::DOUBLE * 4096.0::DOUBLE)
+          |        * 134217728.0::DOUBLE) / CAST(sum_pow AS DOUBLE)
+          |        <= 160.0 AND n_zero > 0
+          |      THEN floor(64.0::DOUBLE
+          |        * ln(64.0::DOUBLE / CAST(n_zero AS DOUBLE))
+          |        * 1000000.0::DOUBLE)
+          |      ELSE floor((((0.709::DOUBLE * 4096.0::DOUBLE)
+          |        * 134217728.0::DOUBLE) / CAST(sum_pow AS DOUBLE))
+          |        * 1000000.0::DOUBLE)
+          |    END AS BIGINT) AS est_micros
+          |  FROM ex JOIN summ ON ex.source = summ.source)
+          |SELECT source, n_exact, sum_pow, n_zero, est_micros,
+          |  CAST(abs(est_micros - n_exact * 1000000) // n_exact
+          |    AS BIGINT) AS rel_err_micros
+          |FROM est ORDER BY source""".stripMargin,
+
       // q206: same whitespace tokenize + punctuation strip, same
       // cumulative-break phrase numbering, same integer degree/freq
       // micros. The zipped unnest over (tokens, range) replays

@@ -143,13 +143,27 @@ class TextRankingSpec extends AnyFunSuite {
       s"global top-k must not be a full sort:\n$plan")
   }
 
-  test("q100: HLL estimates land within 3x rsd of the exact vocabulary") {
+  test("q100: portable-HLL estimates land within 3x rsd of the exact vocabulary") {
     val out = graft.QueriesText.q100ApproxVocab(spark, "/root/testdata/sf0.1")
-      .as[(String, Long, Long, Double)].collect()
+      .as[(String, Long, Long, Long, Long, Long)].collect()
     assert(out.nonEmpty)
-    out.foreach { case (src, exact, approx, err) =>
-      assert(exact > 0 && approx > 0)
-      assert(err <= 0.06, s"$src: HLL rel_err $err > 3*rsd (exact=$exact approx=$approx)")
+    out.foreach { case (src, exact, sumPow, nZero, estMicros, errMicros) =>
+      assert(exact > 0 && estMicros > 0)
+      assert(sumPow >= 64L && nZero >= 0L && nZero <= 64L)
+      // m=64 → rsd ≈ 1.04/√64 = 13%; the generator vocab is small
+      // enough that the estimator usually does much better — pin 6%
+      // relative in integer micros, with a 5-token ABSOLUTE floor for
+      // tiny groups (src0 has 31 distinct tokens: in the
+      // linear-counting regime one bucket collision moves the
+      // estimate ~3%, so a pure relative bound is the wrong yardstick
+      // there).
+      val absErrTokensMicros = math.abs(estMicros - exact * 1000000L)
+      assert(errMicros <= 60000L || absErrTokensMicros <= 5000000L,
+        s"$src: HLL rel_err ${errMicros}µ > 3*rsd and abs err > 5 tokens " +
+          s"(exact=$exact est_micros=$estMicros)")
+      // rel_err re-derived independently from the published columns
+      assert(errMicros == math.abs(estMicros - exact * 1000000L) / exact,
+        s"$src rel_err_micros inconsistent with est/exact")
     }
     // the exact column agrees with an independent distinct count
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.1")
@@ -158,7 +172,7 @@ class TextRankingSpec extends AnyFunSuite {
           t => t =!= "")).as("token"))
       .distinct().groupBy("source").count()
       .as[(String, Long)].collect().toMap
-    out.foreach { case (src, exact, _, _) =>
+    out.foreach { case (src, exact, _, _, _, _) =>
       assert(indep(src) == exact, s"$src exact mismatch") }
   }
 
