@@ -663,35 +663,59 @@ object QueriesText {
       .orderBy("source")
   }
 
-  /** Approximate quantiles beside their exact twin — per-source
-    * token-length percentiles (p25/p50/p75/p95) computed both exactly
-    * (`percentile`, a sort-based aggregate holding each group's values
-    * — the bottleneck at 100 TB) and by the `percentile_approx`
-    * Greenwald–Khanna-style sketch (accuracy 10⁴ → rank error
-    * ≤ 0.01% — fixed-size state merged map-side, the scale path).
-    * Sketch outputs are engine-specific → rows-only at the gate;
-    * ScalaTest asserts every approx value sits within one order
-    * statistic of its exact rank target and re-derives the exact
-    * interpolation by hand.
+  /** Distributed per-source token-length percentiles (p25/p50/p75/
+    * p95) — the corpus-stats quantile path, by HISTOGRAM BRACKET
+    * (q241's envelope) instead of either a sort-based `percentile`
+    * (holds every group value — the bottleneck at 100 TB) or the
+    * `percentile_approx` sketch (engine-specific internals → never
+    * hash-checkable). Rows collapse to a (source, token_count)
+    * ladder first (map-side combinable, bounded by |sources| ×
+    * |distinct token counts|, NOT row count); the cumulative bracket
+    * runs over ladder rows; and each percentile is Spark's own
+    * `percentile` INTERPOLATION at rank p·(n−1) re-derived by pure
+    * integer math: with p = k/100, pos_num = k·(n−1), the bracketing
+    * order statistics are x_lo = min{v : cum ≥ pos_num div 100 + 1}
+    * and x_hi = min{v : cum ≥ pos_num div 100 + 2}, and the value is
+    * x_lo·10⁶ + (x_hi − x_lo)·(pos_num mod 100)·10⁴ — exact integer
+    * micros, bit-identical in DuckDB, no float anywhere.
+    * (TextRankingSpec pins the equality against the builtin
+    * `percentile` at sf0.1.)
     */
   def q101ApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("source"),
-      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-    val acc = lit(10000)
-    docs.groupBy("source").agg(
-        count(lit(1)).as("n_docs"),
-        percentile(col("n_tokens"), lit(0.25)).as("p25_exact"),
-        percentile_approx(col("n_tokens"), lit(0.25), acc)
-          .cast("double").as("p25_approx"),
-        percentile(col("n_tokens"), lit(0.5)).as("p50_exact"),
-        percentile_approx(col("n_tokens"), lit(0.5), acc)
-          .cast("double").as("p50_approx"),
-        percentile(col("n_tokens"), lit(0.75)).as("p75_exact"),
-        percentile_approx(col("n_tokens"), lit(0.75), acc)
-          .cast("double").as("p75_approx"),
-        percentile(col("n_tokens"), lit(0.95)).as("p95_exact"),
-        percentile_approx(col("n_tokens"), lit(0.95), acc)
-          .cast("double").as("p95_approx"))
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ladder = Tables.documents(s, dir)
+      .select(col("source"), TextAnalysis.tokenCount(col("text"))
+        .cast("bigint").as("v"))
+      .groupBy("source", "v").agg(count(lit(1)).as("__c"))
+    val cum = Window.partitionBy("source").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spine = Seq(25L, 50L, 75L, 95L).toDF("k")
+    ladder
+      .withColumn("__cum", sum(col("__c")).over(cum))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy("source")))
+      .join(broadcast(spine))
+      .withColumn("__pn", col("k") * (col("__n") - 1L))
+      .groupBy("source", "k")
+      .agg(max(col("__n")).as("n_docs"),
+        max(expr("__pn % 100")).as("__f"),
+        min(when(col("__cum") >= expr("__pn DIV 100") + 1L, col("v")))
+          .as("__xl"),
+        min(when(col("__cum") >= expr("__pn DIV 100") + 2L, col("v")))
+          .as("__xh"))
+      .withColumn("__p", col("__xl") * 1000000L +
+        (coalesce(col("__xh"), col("__xl")) - col("__xl")) *
+          col("__f") * 10000L)
+      .groupBy("source")
+      .agg(max(col("n_docs")).cast("bigint").as("n_docs"),
+        max(when(col("k") === 25L, col("__p"))).cast("bigint")
+          .as("p25_micros"),
+        max(when(col("k") === 50L, col("__p"))).cast("bigint")
+          .as("p50_micros"),
+        max(when(col("k") === 75L, col("__p"))).cast("bigint")
+          .as("p75_micros"),
+        max(when(col("k") === 95L, col("__p"))).cast("bigint")
+          .as("p95_micros"))
       .orderBy("source")
   }
 
@@ -1451,6 +1475,47 @@ object QueriesText {
           |  CAST(abs(est_micros - n_exact * 1000000) // n_exact
           |    AS BIGINT) AS rel_err_micros
           |FROM est ORDER BY source""".stripMargin,
+
+      // q101: the same (source, token_count) ladder, the same
+      // cumulative bracket, and the same integer interpolation —
+      // pos_num = k·(n−1) hundredths, value = xl·10⁶ +
+      // (xh − xl)·(pos_num mod 100)·10⁴. Integers end-to-end.
+      "q101_approx_quantiles" ->
+        """WITH d AS (
+          |  SELECT source,
+          |    CAST(len(list_filter(string_split_regex(trim(text),
+          |      '\s+'), x -> x <> '')) AS BIGINT) AS v
+          |  FROM documents),
+          |lad AS (SELECT source, v, count(*) AS c FROM d GROUP BY 1, 2),
+          |cm AS (
+          |  SELECT source, v, c,
+          |    sum(c) OVER (PARTITION BY source ORDER BY v
+          |      ROWS UNBOUNDED PRECEDING) AS cum,
+          |    sum(c) OVER (PARTITION BY source) AS n
+          |  FROM lad),
+          |sp AS (SELECT unnest([25, 50, 75, 95]) AS k),
+          |j AS (
+          |  SELECT source, k, v, cum, n, k * (n - 1) AS pn
+          |  FROM cm CROSS JOIN sp),
+          |b AS (
+          |  SELECT source, k, max(n) AS n_docs, max(pn % 100) AS f,
+          |    min(CASE WHEN cum >= pn // 100 + 1 THEN v END) AS xl,
+          |    min(CASE WHEN cum >= pn // 100 + 2 THEN v END) AS xh
+          |  FROM j GROUP BY 1, 2),
+          |p AS (
+          |  SELECT source, k, n_docs,
+          |    xl * 1000000 + (coalesce(xh, xl) - xl) * f * 10000 AS pm
+          |  FROM b)
+          |SELECT source, CAST(max(n_docs) AS BIGINT) AS n_docs,
+          |  CAST(max(CASE WHEN k = 25 THEN pm END) AS BIGINT)
+          |    AS p25_micros,
+          |  CAST(max(CASE WHEN k = 50 THEN pm END) AS BIGINT)
+          |    AS p50_micros,
+          |  CAST(max(CASE WHEN k = 75 THEN pm END) AS BIGINT)
+          |    AS p75_micros,
+          |  CAST(max(CASE WHEN k = 95 THEN pm END) AS BIGINT)
+          |    AS p95_micros
+          |FROM p GROUP BY source ORDER BY source""".stripMargin,
 
       // q206: same whitespace tokenize + punctuation strip, same
       // cumulative-break phrase numbering, same integer degree/freq

@@ -41,7 +41,6 @@ class SparkEntrySpec extends AnyFunSuite {
       "q38_winnow_fingerprint", "q42_lsh_topk", "q46_ivf_topk",
       "q48_compression", "q54_media_features", "q81_pq_trained",
       "q85_ivfpq_trained", "q90_bpe_train", "q91_bpe_segment",
-      "q101_approx_quantiles",
       "q102_bloom_decontaminate", "q118_image_dhash",
       // round 13: real MJPEG decode — a JPEG codec is not SQL, so the
       // gate is rows-only; pixel exactness lives in SourcesSpec +

@@ -176,7 +176,7 @@ class TextRankingSpec extends AnyFunSuite {
       assert(indep(src) == exact, s"$src exact mismatch") }
   }
 
-  test("q101: approx quantiles within one order statistic; exact re-derived by hand") {
+  test("q101: ladder quantiles equal Spark's builtin percentile interpolation") {
     val out = graft.QueriesText.q101ApproxQuantiles(spark, "/root/testdata/sf0.1")
       .collect()
     assert(out.nonEmpty)
@@ -184,26 +184,36 @@ class TextRankingSpec extends AnyFunSuite {
       .select(col("source"), TextAnalysis.tokenCount(col("text")).as("n"))
       .as[(String, Int)].collect()
       .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sorted }
+    val builtin = graft.Tables.documents(spark, "/root/testdata/sf0.1")
+      .groupBy("source")
+      .agg(percentile(TextAnalysis.tokenCount(col("text")), lit(0.25)),
+        percentile(TextAnalysis.tokenCount(col("text")), lit(0.5)),
+        percentile(TextAnalysis.tokenCount(col("text")), lit(0.75)),
+        percentile(TextAnalysis.tokenCount(col("text")), lit(0.95)))
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
     for (r <- out) {
       val src = r.getString(0); val xs = bySrc(src); val n = xs.length
       assert(r.getLong(1) == n, s"$src n_docs")
-      for (((p, i), label) <- Seq(0.25 -> 2, 0.5 -> 4, 0.75 -> 6, 0.95 -> 8)
+      for (((p, i), label) <- Seq(0.25 -> 2, 0.5 -> 3, 0.75 -> 4, 0.95 -> 5)
              .zip(Seq("p25", "p50", "p75", "p95"))) {
-        val exact = r.getDouble(i); val approx = r.getDouble(i + 1)
-        // Spark's exact percentile: linear interpolation at rank p·(n−1)
-        val pos = p * (n - 1)
-        val lo = xs(pos.toInt)
-        val hi = xs(math.min(n - 1, pos.toInt + 1))
-        val manual = lo + (pos - pos.toInt) * (hi - lo)
-        assert(math.abs(exact - manual) < eps, s"$src $label exact=$exact manual=$manual")
-        // the sketch returns an actual element; at accuracy 10⁴ and
-        // n ≈ hundreds the rank error is < 1, so allow ±1 order
-        // statistic around the smallest-value-with-rank-≥-p·n target
-        val target = math.ceil(p * n).toInt.max(1)
-        val window = (math.max(1, target - 1) to math.min(n, target + 1))
-          .map(k => xs(k - 1).toDouble)
-        assert(window.min <= approx && approx <= window.max,
-          s"$src $label approx=$approx outside $window")
+        val micros = r.getLong(i)
+        // Spark's exact percentile: linear interpolation at rank
+        // p·(n−1) — re-derived here with INTEGER position arithmetic
+        // (pos_num = k·(n−1) hundredths), the same scheme the query
+        // and its oracle carry, so the expected value is exact.
+        val k = math.round(p * 100).toInt
+        val posNum = k.toLong * (n - 1)
+        val lo = xs((posNum / 100).toInt)
+        val hi = xs(math.min(n - 1, (posNum / 100).toInt + 1))
+        val expected = lo * 1000000L + (hi - lo) * (posNum % 100) * 10000L
+        assert(micros == expected,
+          s"$src $label micros=$micros expected=$expected (n=$n lo=$lo hi=$hi)")
+        // and it agrees with the builtin within float roundoff
+        val b = builtin(src)(i - 2)
+        assert(math.abs(b * 1000000.0 - micros) <= 1.0,
+          s"$src $label ladder=$micros builtin=$b")
       }
     }
   }
