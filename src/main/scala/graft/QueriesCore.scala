@@ -3643,9 +3643,8 @@ object QueriesCore {
   def q175QuartileBinning(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_totalprice"))
-    val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val ranked = graft.operators.Relational.globalOrdinals(o,
-        Seq(col("o_totalprice"), col("o_orderkey")), nPart, "__rn")
+        Seq(col("o_totalprice"), col("o_orderkey")), rnCol = "__rn")
       .crossJoin(broadcast(o.agg(count(lit(1)).as("__n"))))
     val bounds = ranked
       .filter(col("__rn") === ceil(col("__n") / lit(4.0)) ||
@@ -3685,10 +3684,9 @@ object QueriesCore {
     * head-row handoffs.
     */
   def q177SortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
-    val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val ranked = graft.operators.Relational.globalOrdinals(
       Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
-      Seq(col("c_name"), col("c_custkey")), nPart, "__rn")
+      Seq(col("c_name"), col("c_custkey")), rnCol = "__rn")
     Seq(1, 2).map { d =>
       ranked.select(col("c_custkey").as("id_a"),
           col("c_name").as("name_a"), col("__rn"))
@@ -3841,9 +3839,8 @@ object QueriesCore {
         floor((col("__p") - col("__v")) / 1e6).cast("bigint")
           .as("gap_seconds"))
       .localCheckpoint() // feeds the rank pass, the count, and the output
-    val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val ranked = graft.operators.Relational.globalOrdinals(firsts,
-      Seq(col("gap_seconds"), col("user_id")), nPart, "__rn")
+      Seq(col("gap_seconds"), col("user_id")), rnCol = "__rn")
     val med = ranked
       .crossJoin(broadcast(firsts.agg(count(lit(1)).as("__n"))))
       .filter(col("__rn") === ceil(col("__n") / lit(2.0)).cast("int"))
@@ -3875,10 +3872,9 @@ object QueriesCore {
         sum((col("o_totalprice").cast("decimal(18,2)") * 100)
           .cast("decimal(18,0)")).as("__mon"))
       .localCheckpoint() // feeds three rank passes + the count
-    val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     def ranks(sortCol: String, out: String): DataFrame =
       graft.operators.Relational.globalOrdinals(per,
-          Seq(col(sortCol), col("custkey")), nPart, out)
+          Seq(col(sortCol), col("custkey")), rnCol = out)
         .select(col("custkey"), col(out))
     def tile(rn: String): Column = expr(
       s"""CAST(CASE WHEN $rn <= (__n % 5) * (__n DIV 5 + 1)
@@ -3911,19 +3907,26 @@ object QueriesCore {
     * boundaries cross-multiplied into integer space (cum·10 ≤ tot·8,
     * cum·20 ≤ tot·19) so no division — and no float boundary — exists.
     * Scale shape: revenue aggregates per part first (one shuffle over
-    * lineitem); the running-sum window orders the |parts|-row rollup.
+    * lineitem); the part rollup is FACT-PROPORTIONAL (|parts| grows
+    * with the catalog), so the running revenue share rides the
+    * range-partitioned [[graft.operators.Relational.globalOrdinals]]
+    * prefix-sum composition — never a single-task
+    * `sum() OVER (ORDER BY …)` — and the grand total is one broadcast
+    * 1-row aggregate.
     */
   def q183AbcPareto(s: SparkSession, dir: String): DataFrame = {
     val rev = Tables.lineitem(s, dir)
       .groupBy(col("l_partkey").as("partkey"))
       .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
         .cast("decimal(18,0)")).as("__rev"))
-    val w = Window.orderBy(col("__rev").desc, col("partkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy(lit(1))
-    rev
-      .withColumn("__cum", sum(col("__rev")).over(w))
-      .withColumn("__tot", sum(col("__rev")).over(tot))
+    val ranked = graft.operators.Relational.globalOrdinals(rev,
+      Seq(col("__rev").desc, col("partkey")),
+      runningSums = Seq("__cum" -> col("__rev")))
+    // total re-aggregated from the checkpointed ordinal frame — NOT
+    // from `rev`, which would rescan lineitem (the double-consumed-
+    // subtree gotcha)
+    ranked
+      .crossJoin(broadcast(ranked.agg(sum(col("__rev")).as("__tot"))))
       .withColumn("abc_class",
         when(col("__cum") * 10 <= col("__tot") * 8, "A")
           .when(col("__cum") * 20 <= col("__tot") * 19, "B")
@@ -4014,11 +4017,10 @@ object QueriesCore {
     val c = Tables.customer(s, dir)
       .select(col("c_custkey"), cents.as("bal_cents"))
       .localCheckpoint() // feeds two rank passes, the count, the output
-    val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val nDf = broadcast(c.agg(count(lit(1)).as("__n")))
     def ordinalPick(df: DataFrame, v: String, out: String): DataFrame =
       broadcast(graft.operators.Relational.globalOrdinals(df,
-          Seq(col(v), col("c_custkey")), nPart, "__gr")
+          Seq(col(v), col("c_custkey")), rnCol = "__gr")
         .crossJoin(nDf)
         .filter(col("__gr") === ceil(col("__n") / lit(2.0)).cast("int"))
         .select(col(v).as(out)))
@@ -5544,9 +5546,8 @@ object QueriesCore {
         .cast("decimal(18,0)").cast("bigint")).as("__score"),
         max(when(col("o_orderdate") >= lit("2001-01-01").cast("date"),
           1L).otherwise(0L)).as("__y"))
-    val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val perScore = graft.operators.Relational.globalOrdinals(spend,
-        Seq(col("__score"), col("o_custkey")), nPart, "__rn")
+        Seq(col("__score"), col("o_custkey")), rnCol = "__rn")
       .groupBy("__score")
       .agg(min(col("__rn")).as("__mn"), count(lit(1)).as("__tc"),
         sum(col("__y")).as("__py"))
@@ -5581,9 +5582,8 @@ object QueriesCore {
         max(when(col("o_orderdate") >= lit("2001-01-01").cast("date"),
           1L).otherwise(0L)).as("__y"))
       .localCheckpoint() // feeds the rank pass, the count, the totals
-    val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val ranked = graft.operators.Relational.globalOrdinals(spend,
-        Seq(col("__score").desc, col("o_custkey")), nPart, "__rk")
+        Seq(col("__score").desc, col("o_custkey")), rnCol = "__rk")
       .crossJoin(broadcast(spend.agg(count(lit(1)).as("__n"))))
       .withColumn("decile",
         expr("CAST(((__rk - 1) * 10) DIV __n AS INT)"))
@@ -5681,8 +5681,12 @@ object QueriesCore {
   /** Lorenz curve by customer decile — the distributional companion
     * to q201's Gini scalar: customers ranked ascending by spend into
     * ordinal deciles, cumulative spend share per decile in
-    * cross-multiplied micros. The curve is |10| rows against one
-    * broadcast total; everything integer.
+    * cross-multiplied micros. The customer rollup is fact-proportional,
+    * so ranks ride the range-partitioned
+    * [[graft.operators.Relational.globalOrdinals]] composition (never
+    * a single-task global row_number); n and the grand total come off
+    * the checkpointed ordinal frame as one broadcast 1-row aggregate.
+    * The curve itself is |10| rows; everything integer.
     */
   def q236LorenzCurve(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -5690,19 +5694,22 @@ object QueriesCore {
       .groupBy(col("o_custkey"))
       .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("decimal(18,0)").cast("bigint")).as("__x"))
-    val ranked = spend
-      .withColumn("__rk", row_number().over(
-        Window.orderBy(col("__x"), col("o_custkey"))))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(lit(1))))
+    val ord = graft.operators.Relational.globalOrdinals(spend,
+      Seq(col("__x"), col("o_custkey")), rnCol = "__rk")
+    // n and total off the checkpointed ordinal frame — not `spend`,
+    // which would rescan orders (double-consumed-subtree gotcha)
+    val tot = ord.agg(count(lit(1)).as("__n"), sum(col("__x")).as("__t"))
+    val byDec = ord.crossJoin(broadcast(tot))
       .withColumn("decile",
         expr("CAST(((__rk - 1) * 10) DIV __n AS INT)"))
-    val tot = spend.agg(sum(col("__x")).as("__t"))
-    val byDec = ranked.groupBy("decile")
-      .agg(count(lit(1)).as("__nd"), sum(col("__x")).as("__sd"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("__nd"), sum(col("__x")).as("__sd"),
+        max(col("__t")).as("__t"))
+    // 10-row decile rollup: the unpartitioned window here is
+    // value-bounded by construction
     val w = Window.orderBy("decile")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     byDec.withColumn("__cs", sum(col("__sd")).over(w))
-      .crossJoin(broadcast(tot))
       .select(col("decile"),
         col("__nd").cast("bigint").as("n_customers"),
         col("__sd").cast("bigint").as("spend_cents"),
@@ -5730,14 +5737,13 @@ object QueriesCore {
     val stepOk = floor(log(lit(0.70) / lit(0.75)) * lit(1000000.0))
       .cast("bigint")
     val bound = floor(log(lit(19.0)) * lit(1000000.0)).cast("bigint")
-    val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val walk = graft.operators.Relational.globalOrdinals(
       Tables.events(s, dir)
         .select(col("event_id"), unix_micros(col("ts")).as("__t"),
           (col("event_type") === "error").as("__x"))
         .withColumn("__llr",
           when(col("__x"), stepErr).otherwise(stepOk)),
-      Seq(col("__t"), col("event_id")), nPart, "__rn",
+      Seq(col("__t"), col("event_id")), rnCol = "__rn",
       runningSums = Seq("__cum" -> col("__llr")))
     val crossed = walk
       .filter(col("__cum") >= bound || col("__cum") <= -bound)

@@ -604,24 +604,37 @@ object Relational {
     * |partitions|-row offset rollup. Generalizes the q224 quantile-norm
     * scheme; q175/q181/q182/q185/q231/q232/q237 all ride it.
     *
+    * @param nPart range partitions for the ordinal pass; ≤ 0 (the
+    *        default) reads `spark.sql.shuffle.partitions`, falling
+    *        back to 32 when the conf is unset or non-numeric (e.g.
+    *        "auto" on some runtimes).
     * @param runningSums output-column → summand expression (evaluated
     *        against `df`'s columns) for inclusive global prefix sums.
     */
   def globalOrdinals(
       df: DataFrame,
       sort: Seq[Column],
-      nPart: Int,
+      nPart: Int = 0,
       rnCol: String = "__rn",
       runningSums: Seq[(String, Column)] = Nil): DataFrame = {
+    val n = if (nPart > 0) nPart
+      else scala.util.Try(df.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "32").toInt)
+        .toOption.filter(_ > 0).getOrElse(32)
     val w = Window.partitionBy("__gopid").orderBy(sort: _*)
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val summed = runningSums.foldLeft(
-      df.repartitionByRange(nPart, sort: _*)
+      df.repartitionByRange(n, sort: _*)
         .withColumn("__gopid", spark_partition_id())
         .withColumn(rnCol, row_number().over(w))) {
       case (acc, (out, e)) => acc.withColumn(out, sum(e).over(run))
     }
-    // materialized once: the offset rollup below re-reads it
+    // CORRECTNESS-CRITICAL, not a perf note: the eager localCheckpoint
+    // pins ONE evaluation of the non-deterministic spark_partition_id()
+    // so the offset rollup below and the row-level join both see the
+    // SAME partition ids; without it the two consumers could re-execute
+    // the scan and disagree. The scheme also assumes repartitionByRange
+    // with an EXPLICIT numPartitions, which AQE never coalesces.
     val local = summed.localCheckpoint()
     // per-partition totals → exclusive prefix offsets (|partitions| rows;
     // the unpartitioned window here is bounded by construction)
