@@ -2662,13 +2662,19 @@ object QueriesCore {
         .select(col("o_orderkey"), (-col("__m.ns")).as(outCol))
     val a10 = assign(hashed, "shard10")
     val a9 = assign(hashed.filter(col("__s") < 9), "shard9")
-    a10.join(a9, Seq("o_orderkey"))
+    // the a10⋈a9 frame feeds BOTH rollups (departures per shard10,
+    // arrivals per shard9) — pin it once or the 10×-exploded md5
+    // aggregation upstream executes twice per consumer (the
+    // double-consumed-subtree gotcha; this was the 2nd-slowest bench
+    // query while it re-derived the join in each branch)
+    val moves = a10.join(a9, Seq("o_orderkey")).localCheckpoint()
+    moves
       .groupBy(col("shard10").as("shard"))
       .agg(count(lit(1)).cast("bigint").as("n_keys"),
         sum(when(col("shard9") =!= col("shard10"), 1L).otherwise(0L))
           .cast("bigint").as("n_departures"))
       .join(
-        a10.join(a9, Seq("o_orderkey"))
+        moves
           .filter(col("shard9") =!= col("shard10"))
           .groupBy(col("shard9").as("shard"))
           .agg(count(lit(1)).cast("bigint").as("n_arrivals")),
