@@ -2430,9 +2430,16 @@ object QueriesCore {
     * partitions perfectly and skewed cells split by salting the
     * replicated side.
     */
-  def q256GridRadiusJoin(s: SparkSession, dir: String): DataFrame = {
-    val r = 2000L
-    val pts = gridPoints(s, dir).localCheckpoint()
+  def q256GridRadiusJoin(s: SparkSession, dir: String): DataFrame =
+    gridRadiusPairs(gridPoints(s, dir), r = 2000L)
+      .orderBy("id_a", "id_b")
+
+  /** Core of q256, parametrized on the (id, x, y) point set so the
+    * scale probe can feed a tiled N× world (same density, N× area).
+    */
+  private[graft] def gridRadiusPairs(points: DataFrame,
+      r: Long): DataFrame = {
+    val pts = points.localCheckpoint()
     val home = pts
       .withColumn("__cx", expr(s"x DIV $r"))
       .withColumn("__cy", expr(s"y DIV $r"))
@@ -2453,7 +2460,6 @@ object QueriesCore {
       .select(col("id_a").cast("bigint").as("id_a"),
         col("id_b").cast("bigint").as("id_b"),
         col("dist2").cast("bigint").as("dist2"))
-      .orderBy("id_a", "id_b")
   }
 
   /** Customers projected onto the 100k×100k integer grid via the
@@ -2482,15 +2488,20 @@ object QueriesCore {
     * shrinks round over round — at 100 TB the peel's cost is
     * front-loaded on round 1 and decays geometrically.
     */
-  def q257KCore(s: SparkSession, dir: String): DataFrame = {
-    val k = 3
-    val edges = q256GridRadiusJoin(s, dir)
-      .select(col("id_a"), col("id_b")).localCheckpoint()
+  def q257KCore(s: SparkSession, dir: String): DataFrame =
+    kCorePeel(gridPoints(s, dir),
+      q256GridRadiusJoin(s, dir).select(col("id_a"), col("id_b")), k = 3)
+
+  /** Core of q257, parametrized on (points, edges) for the scale
+    * probe. */
+  private[graft] def kCorePeel(points: DataFrame, edgesIn: DataFrame,
+      k: Int): DataFrame = {
+    val edges = edgesIn.localCheckpoint()
     val adj = edges.select(col("id_a").as("id"), col("id_b").as("nb"))
       .unionByName(edges.select(col("id_b").as("id"),
         col("id_a").as("nb")))
       .localCheckpoint()
-    var surv = gridPoints(s, dir).select(col("id")).localCheckpoint()
+    var surv = points.select(col("id")).localCheckpoint()
     var deg: DataFrame = null
     var stable = false
     var round = 0
@@ -2609,9 +2620,14 @@ object QueriesCore {
     * the per-vertex fan-out is degree², the quantity hub-capping
     * controls in production link predictors.
     */
-  def q260LinkPredict(s: SparkSession, dir: String): DataFrame = {
-    val edges = q256GridRadiusJoin(s, dir)
-      .select(col("id_a"), col("id_b")).localCheckpoint()
+  def q260LinkPredict(s: SparkSession, dir: String): DataFrame =
+    linkPredictPairs(
+      q256GridRadiusJoin(s, dir).select(col("id_a"), col("id_b")))
+
+  /** Core of q260, parametrized on the edge list for the scale
+    * probe. */
+  private[graft] def linkPredictPairs(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.localCheckpoint()
     val adj = edges.select(col("id_a").as("id"), col("id_b").as("nb"))
       .unionByName(edges.select(col("id_b").as("id"),
         col("id_a").as("nb")))

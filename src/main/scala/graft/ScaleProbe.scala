@@ -185,6 +185,52 @@ object ScaleProbe {
       measure("q85_ivfpq_trained*", annQ(trained81 = false, 100),
         annQ(trained81 = false, pctN))
 
+    // ——— graph-family probes (round-15): q256 grid radius join,
+    // q257 k-core peel, q260 link prediction. The N× world TILES the
+    // grid along x (copy k shifts x by k·100 000; 100 000 % r == 0 so
+    // no cell spans tiles) — N× vertices at the SAME point density,
+    // the "more world, not denser world" 100 TB shape. Per-vertex
+    // degree is therefore scale-invariant and the link-predict 2-path
+    // fan-out Σdeg² — the quantity hub-capping would control — should
+    // grow ~N; it is printed alongside the timings as evidence.
+    def tiledPoints(n: Int): DataFrame =
+      (0 until n).map { k =>
+        Tables.customer(spark, sfDir).select(
+          (col("c_custkey") + lit(k * 10000000L)).as("id"),
+          (pmod(graft.operators.Scale.md5Prefix32(
+            concat(lit("x:"), col("c_custkey").cast("string"))),
+            lit(100000L)) + lit(k * 100000L)).as("x"),
+          pmod(graft.operators.Scale.md5Prefix32(
+            concat(lit("y:"), col("c_custkey").cast("string"))),
+            lit(100000L)).as("y"))
+      }.reduce(_.unionByName(_))
+    def gridEdges(n: Int): DataFrame =
+      QueriesCore.gridRadiusPairs(tiledPoints(n), r = 2000L)
+        .select(col("id_a"), col("id_b"))
+    if (wanted("q256_grid_join*"))
+      measure("q256_grid_join*",
+        (_, _) => QueriesCore.gridRadiusPairs(tiledPoints(1), 2000L),
+        (_, _) => QueriesCore.gridRadiusPairs(tiledPoints(factor), 2000L))
+    if (wanted("q257_kcore*"))
+      measure("q257_kcore*",
+        (_, _) => QueriesCore.kCorePeel(tiledPoints(1), gridEdges(1), 3),
+        (_, _) => QueriesCore.kCorePeel(tiledPoints(factor),
+          gridEdges(factor), 3))
+    if (wanted("q260_link_predict*")) {
+      measure("q260_link_predict*",
+        (_, _) => QueriesCore.linkPredictPairs(gridEdges(1)),
+        (_, _) => QueriesCore.linkPredictPairs(gridEdges(factor)))
+      def fanout(n: Int): Long = {
+        val e = gridEdges(n)
+        val adj = e.select(col("id_a").as("id"))
+          .unionByName(e.select(col("id_b").as("id")))
+        adj.groupBy("id").agg(count(lit(1)).as("d"))
+          .agg(sum(col("d") * col("d"))).head.getLong(0)
+      }
+      println(s"[probe] q260 2-path fan-out sum(deg^2): " +
+        s"1x=${fanout(1)} ${factor}x=${fanout(factor)}")
+    }
+
     // ——— streaming probes: N× independent key populations at the
     // same event-time distribution (see replicate) — state and
     // per-batch volume both grow N×; slope ≈ 1 means the state-store

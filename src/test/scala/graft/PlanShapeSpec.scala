@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.FixtureLoader.spark
+
+/** Plan-shape regression pins for the heaviest bench queries (round-14
+  * VERDICT item 6): the exchange / broadcast-join counts of the
+  * EXECUTED plan at sf0.001 are snapshotted here, so un-broadcasting a
+  * dimension, doubling a shuffle, or losing a reused exchange fails CI
+  * instead of surfacing as a bench regression two rounds later.
+  *
+  * Scope: the 10 heaviest NON-streaming bench queries from
+  * BENCH_r14.json (q86/q119/q93/q105/q246 are micro-batch pipelines
+  * whose shuffles live inside MicroBatchExecution, not in the returned
+  * frame's plan — their scale posture is gated by the batch≡stream
+  * hash identities and the streaming scale probes instead).
+  *
+  * The counts are data-size-stable (fixed sf0.001, fixed 4 shuffle
+  * partitions, AQE deterministic on identical input); they are NOT
+  * claimed portable across Spark versions — on an upgrade, re-snapshot
+  * and review the diff like any other golden.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private case class Shape(shuffles: Int, broadcastJoins: Int)
+
+  private def shapeOf(name: String): Shape = {
+    val plan = PlanProbes.finalPlan(SparkEntry.queries(name)(spark, sf))
+    val shuffles = PlanProbes.collectAll(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.size
+    val bhj = PlanProbes.collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.size
+    Shape(shuffles, bhj)
+  }
+
+  // snapshot of the executed-plan shape per query — see scaladoc for
+  // how to re-pin after an intentional plan change
+  private val pinned: Map[String, Shape] = Map(
+    "q262_rendezvous_shards" -> Shape(3, 1),
+    "q242_retrieval_recall" -> Shape(9, 2),
+    "q85_ivfpq_trained" -> Shape(7, 4),
+    "q251_edit_distance_join" -> Shape(2, 3),
+    "q224_quantile_norm" -> Shape(7, 5),
+    "q125_sparse_cosine" -> Shape(2, 1),
+    "q184_assoc_rules" -> Shape(9, 5),
+    "q91_bpe_segment" -> Shape(3, 1),
+    "q81_pq_trained" -> Shape(4, 3),
+    "q189_trigram_search" -> Shape(5, 3)
+  )
+
+  test("top-10 heaviest queries keep their pinned plan shapes") {
+    val diffs = pinned.toSeq.sortBy(_._1).flatMap { case (name, want) =>
+      val got = shapeOf(name)
+      if (got == want) Nil
+      else Seq(s"$name: got $got, pinned $want")
+    }
+    assert(diffs.isEmpty,
+      "plan shapes drifted (if intentional, re-pin the snapshot):\n" +
+        diffs.mkString("\n"))
+  }
+}

@@ -26,15 +26,17 @@ class Round13QueriesSpec extends AnyFunSuite {
     * and therefore exempt.
     */
   private def unpartitionedWindows(
-      df: org.apache.spark.sql.DataFrame): Seq[String] = {
-    df.write.format("noop").mode("overwrite").save()
-    val plan = df.queryExecution.executedPlan
-    plan.collect {
+      df: org.apache.spark.sql.DataFrame): Seq[String] =
+    // routed through PlanProbes: the naive executedPlan.collect is
+    // VACUOUS under AQE (AdaptiveSparkPlanExec is a leaf) — round 15
+    // fixed this probe in place
+    PlanProbes.collectAll(PlanProbes.finalPlan(df)) {
       case w: org.apache.spark.sql.execution.window.WindowExec
           if w.partitionSpec.isEmpty =>
-        w.windowExpression.map(_.name).mkString(",")
+        // keyed by SORT-KEY attribute names: physical window output
+        // names are opaque `_we0` aliases, sort keys keep their names
+        w.orderSpec.flatMap(_.child.references.map(_.name)).mkString("+")
     }
-  }
 
   test("q152: two-phase skyline ≡ O(n²) dominance definition") {
     val got = QueriesCore.q152Skyline(spark, sf)
@@ -55,8 +57,8 @@ class Round13QueriesSpec extends AnyFunSuite {
   test("q152: no row-scale unpartitioned window in the executed plan") {
     val bad = unpartitionedWindows(QueriesCore.q152Skyline(spark, sf))
       // the |buckets|-row carry prefix is the documented bounded
-      // exception — its window emits only __carry
-      .filterNot(_ == "__carry")
+      // exception — it sorts the bucket rollup by __bkt
+      .filterNot(_ == "__bkt")
     assert(bad.isEmpty, s"unpartitioned row-scale windows: $bad")
   }
 

@@ -27,25 +27,27 @@ class Round14QueriesSpec extends AnyFunSuite {
     * Round13QueriesSpec).
     */
   private def unpartitionedWindows(
-      df: org.apache.spark.sql.DataFrame): Seq[String] = {
-    df.write.format("noop").mode("overwrite").save()
-    val plan = df.queryExecution.executedPlan
-    plan.collect {
+      df: org.apache.spark.sql.DataFrame): Seq[String] =
+    // routed through PlanProbes: the naive executedPlan.collect is
+    // VACUOUS under AQE (AdaptiveSparkPlanExec is a leaf) — round 15
+    // fixed this probe in place
+    PlanProbes.collectAll(PlanProbes.finalPlan(df)) {
       case w: org.apache.spark.sql.execution.window.WindowExec
           if w.partitionSpec.isEmpty =>
-        w.windowExpression.map(_.name).mkString(",")
+        // keyed by SORT-KEY attribute names: physical window output
+        // names are opaque `_we0` aliases, sort keys keep their names
+        w.orderSpec.flatMap(_.child.references.map(_.name)).mkString("+")
     }
-  }
 
   // the offset rollup inside globalOrdinals runs one unpartitioned
-  // window over |partitions| rows — bounded by construction
-  private val boundedOffsets = Set("__goffn", "__goff___cum")
+  // window over the |partitions|-row per-partition-totals rollup,
+  // sorted by the partition id — bounded by construction
+  private val boundedOffsets = Set("__gopid")
 
   private def assertNoRowScaleWindows(
       df: org.apache.spark.sql.DataFrame, extraAllow: Set[String] = Set()) = {
     val bad = unpartitionedWindows(df)
-      .filterNot(cols => cols.split(",").forall(c =>
-        boundedOffsets.contains(c) || extraAllow.contains(c)))
+      .filterNot(k => boundedOffsets.contains(k) || extraAllow.contains(k))
     assert(bad.isEmpty, s"unpartitioned row-scale windows: $bad")
   }
 
@@ -104,10 +106,10 @@ class Round14QueriesSpec extends AnyFunSuite {
   }
 
   test("q232: only the 10-row decile sweep stays unpartitioned") {
-    // __cp is the cumulative gain over the ≤10-row decile rollup —
+    // the cumulative gain runs over the ≤10-row decile rollup —
     // bounded by the decile value space, the documented exception
     assertNoRowScaleWindows(QueriesCore.q232DecileLift(spark, sf),
-      extraAllow = Set("__cp"))
+      extraAllow = Set("decile"))
   }
 
   test("q237: prefix-sum composition, no row-scale unpartitioned window") {

@@ -22,31 +22,34 @@ class Round15QueriesSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   /** WindowExec nodes in the EXECUTED plan whose partitionSpec is
-    * empty, keyed by window output columns (Round13/14's probe).
+    * empty, keyed by window output columns — routed through
+    * [[PlanProbes]] (the naive `executedPlan.collect` is vacuous under
+    * AQE; see PlanProbes' scaladoc).
     */
   private def unpartitionedWindows(
-      df: org.apache.spark.sql.DataFrame): Seq[String] = {
-    df.write.format("noop").mode("overwrite").save()
-    df.queryExecution.executedPlan.collect {
+      df: org.apache.spark.sql.DataFrame): Seq[String] =
+    PlanProbes.collectAll(PlanProbes.finalPlan(df)) {
       case w: org.apache.spark.sql.execution.window.WindowExec
           if w.partitionSpec.isEmpty =>
-        w.windowExpression.map(_.name).mkString(",")
+        // keyed by SORT-KEY attribute names: physical window output
+        // names are opaque `_we0` aliases, sort keys keep their names
+        w.orderSpec.flatMap(_.child.references.map(_.name)).mkString("+")
     }
-  }
 
-  private val boundedOffsets = Set("__goffn", "__goff___cum")
+  // globalOrdinals' offset rollup: |partitions| rows sorted by the
+  // partition id — bounded by construction
+  private val boundedOffsets = Set("__gopid")
 
   test("q183 executed plan: ordinals ride globalOrdinals, no row-scale window") {
     val bad = unpartitionedWindows(QueriesCore.q183AbcPareto(spark, sf))
-      .filterNot(_.split(",").forall(boundedOffsets.contains))
+      .filterNot(boundedOffsets.contains)
     assert(bad.isEmpty, s"unpartitioned row-scale windows: $bad")
   }
 
   test("q236 executed plan: ranks ride globalOrdinals, only the decile sweep remains") {
-    // __cs runs over the 10-row decile rollup — value-bounded
+    // the cumulative-share window runs over the 10-row decile rollup
     val bad = unpartitionedWindows(QueriesCore.q236LorenzCurve(spark, sf))
-      .filterNot(cols => cols.split(",").forall(c =>
-        boundedOffsets.contains(c) || c == "__cs"))
+      .filterNot(k => boundedOffsets.contains(k) || k == "decile")
     assert(bad.isEmpty, s"unpartitioned row-scale windows: $bad")
   }
 
