@@ -28,11 +28,25 @@ object Bench {
         s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
       require(o.nonEmpty, "SPARK_GRAFT_BENCH_ONLY is set but names no queries")
     }
-    val spark = SparkSession.builder()
+    // optional extra session confs for A/B measurements, e.g.
+    // SPARK_GRAFT_EXTRA_CONF="spark.sql.streaming.stateStore.providerClass=
+    // org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    // (semicolon-separated k=v pairs; used for the round-15 streaming
+    // state-store floor measurement)
+    val extraConf = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"SPARK_GRAFT_EXTRA_CONF entry not k=v: $kv")
+        (kv.take(i), kv.drop(i + 1))
+      }
+    val spark = extraConf.foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", "true")) {
+        case (b, (k, v)) => b.config(k, v)
+      }
       // 63 queries × several codegen'd stages each blows through the
       // default 100-entry generated-class cache, so every pass
       // re-compiles regexp-heavy plans (measured: q30 6.0 s cold vs
@@ -80,11 +94,13 @@ object Bench {
     // contention, not plan cost). Two self-identifying signals in every
     // artifact: (a) /proc/loadavg captured at start and end — a load
     // far above the allotted CPUs means OTHER processes competed for
-    // the cores during the run; (b) per-query pass spread (max/min over
-    // the interleaved passes) — a median is only trustworthy when its
-    // passes agree, so any query whose spread exceeds 2× is listed in
-    // "suspect" and its median should be isolated-re-measured
-    // (SPARK_GRAFT_BENCH_ONLY) before being compared across rounds.
+    // the cores during the run; (b) per-query pass agreement — a
+    // median is only trustworthy when its passes agree, so any query
+    // whose MEDIAN exceeds 2× its BEST pass (see the `suspect`
+    // computation below for the exact rule and why median/best, not
+    // max/min) is listed in "suspect" and should be
+    // isolated-re-measured (SPARK_GRAFT_BENCH_ONLY) before being
+    // compared across rounds.
     def loadavg(): String =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split(" ").take(3).mkString(",")

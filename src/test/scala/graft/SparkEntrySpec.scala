@@ -44,7 +44,11 @@ class SparkEntrySpec extends AnyFunSuite {
       "q102_bloom_decontaminate", "q118_image_dhash",
       // round 13: real MJPEG decode — a JPEG codec is not SQL, so the
       // gate is rows-only; pixel exactness lives in SourcesSpec +
-      // Round13QueriesSpec
+      // Round13QueriesSpec. NOTE the decoded pixel values depend on
+      // the JVM's bundled ImageIO JPEG decoder: a JDK upgrade that
+      // changes IDCT rounding shifts q243's features — the pixel
+      // specs pin the CURRENT JDK's output, not a codec-independent
+      // truth.
       "q243_video_features"))
   }
 }
