@@ -2549,6 +2549,137 @@ object OraclesCore {
         |  ON i.type_a = ta.event_type AND i.type_b = tb.event_type
         |ORDER BY 1, 2""".stripMargin,
 
+    // q267: the DIRECT single-pass registers from first principles
+    // (q100's integer-bit-length rho, q192's estimator), with
+    // merge_consistent pinned TRUE — a shard-merge that drifts from
+    // the direct build anywhere hash-fails.
+    "q267_hll_shard_merge" ->
+      """WITH h AS (
+        |  SELECT event_type, user_id,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |      ::BIGINT AS hv
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, hv % 64 AS bucket,
+        |    CASE WHEN hv // 64 = 0 THEN 27
+        |         ELSE 27 - length(bin(hv // 64))
+        |    END AS rho
+        |  FROM h),
+        |regs AS (SELECT event_type, bucket, max(rho) AS register
+        |         FROM r GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_type, unnest(range(0, 64)) AS bucket
+        |  FROM (SELECT DISTINCT event_type FROM events)),
+        |f AS (
+        |  SELECT s.event_type, s.bucket,
+        |    coalesce(regs.register, 0) AS register
+        |  FROM spine s LEFT JOIN regs
+        |    ON s.event_type = regs.event_type AND s.bucket = regs.bucket),
+        |summ AS (
+        |  SELECT event_type,
+        |    sum(1::BIGINT << CAST(27 - register AS INTEGER)) AS sum_pow,
+        |    sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS n_zero
+        |  FROM f GROUP BY 1),
+        |ex AS (
+        |  SELECT event_type, count(DISTINCT user_id) AS n_exact
+        |  FROM events GROUP BY 1)
+        |SELECT f.event_type,
+        |  CAST(f.bucket AS INTEGER) AS bucket,
+        |  CAST(f.register AS BIGINT) AS register,
+        |  CAST(ex.n_exact AS BIGINT) AS n_exact,
+        |  CAST(CASE WHEN ((0.709::DOUBLE * 4096.0::DOUBLE)
+        |      * 134217728.0::DOUBLE) / CAST(summ.sum_pow AS DOUBLE)
+        |        <= 160.0
+        |      AND summ.n_zero > 0
+        |    THEN floor(64.0::DOUBLE
+        |      * ln(64.0::DOUBLE / CAST(summ.n_zero AS DOUBLE))
+        |      * 1000000.0::DOUBLE)
+        |    ELSE floor((((0.709::DOUBLE * 4096.0::DOUBLE)
+        |      * 134217728.0::DOUBLE) / CAST(summ.sum_pow AS DOUBLE))
+        |      * 1000000.0::DOUBLE)
+        |  END AS BIGINT) AS est_micros,
+        |  TRUE AS merge_consistent
+        |FROM f JOIN summ USING (event_type) JOIN ex USING (event_type)
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    // q268: the plain level-3 definition — frequent-item baskets,
+    // 3-way self-join, HAVING the support floor — so the engine's
+    // pair-based candidate pruning is proven lossless at the gate.
+    "q268_apriori_triples" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |sup AS (SELECT p, count(*) AS s FROM b GROUP BY 1),
+        |fb AS MATERIALIZED (
+        |  SELECT b.o, b.p FROM b JOIN sup USING (p) WHERE sup.s >= 25),
+        |t AS (
+        |  SELECT a.p AS part_a, b2.p AS part_b, c.p AS part_c,
+        |    count(*) AS support
+        |  FROM fb a
+        |  JOIN fb b2 ON a.o = b2.o AND a.p < b2.p
+        |  JOIN fb c ON a.o = c.o AND b2.p < c.p
+        |  GROUP BY 1, 2, 3
+        |  HAVING count(*) >= 2)
+        |SELECT CAST(part_a AS BIGINT) AS part_a,
+        |  CAST(part_b AS BIGINT) AS part_b,
+        |  CAST(part_c AS BIGINT) AS part_c,
+        |  CAST(support AS BIGINT) AS support
+        |FROM t
+        |ORDER BY support DESC, part_a, part_b, part_c""".stripMargin,
+
+    // q270: the KMV sketches, union-merge, estimators AND the exact
+    // audit all replayed from first principles — same md5 hashes,
+    // same k=64 row_number sketch cut, same integer estimators.
+    "q270_kmv_jaccard" ->
+      """WITH np AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(s.s_nationkey AS INTEGER) AS nk,
+        |    ('0x' || substr(md5(CAST(l.l_partkey AS VARCHAR)), 1, 8))
+        |      ::BIGINT AS h
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |cnt AS (SELECT nk, count(*) AS c FROM np GROUP BY 1),
+        |inter AS (
+        |  SELECT a.nk AS na, b.nk AS nb, count(*) AS i
+        |  FROM np a JOIN np b ON a.h = b.h AND a.nk < b.nk
+        |  GROUP BY 1, 2),
+        |sk AS MATERIALIZED (
+        |  SELECT nk, h FROM (
+        |    SELECT nk, h,
+        |      row_number() OVER (PARTITION BY nk ORDER BY h) AS rn
+        |    FROM np) WHERE rn <= 64),
+        |spine AS (SELECT a.nk AS na, b.nk AS nb
+        |          FROM cnt a JOIN cnt b ON a.nk < b.nk),
+        |uv AS (
+        |  SELECT na, nb, h, max(ia) AS ia, max(ib) AS ib FROM (
+        |    SELECT s.na, s.nb, k.h, 1 AS ia, 0 AS ib
+        |    FROM spine s JOIN sk k ON k.nk = s.na
+        |    UNION ALL
+        |    SELECT s.na, s.nb, k.h, 0, 1
+        |    FROM spine s JOIN sk k ON k.nk = s.nb)
+        |  GROUP BY 1, 2, 3),
+        |pair AS (
+        |  SELECT na, nb, count(*) AS ku, max(h) AS hk,
+        |    sum(ia * ib) AS ov
+        |  FROM (SELECT na, nb, h, ia, ib,
+        |          row_number() OVER (PARTITION BY na, nb ORDER BY h)
+        |            AS rn
+        |        FROM uv)
+        |  WHERE rn <= 64 GROUP BY 1, 2)
+        |SELECT p.na AS nation_a, p.nb AS nation_b,
+        |  CAST(p.ku AS BIGINT) AS k_union,
+        |  CAST(p.hk AS BIGINT) AS union_kth_hash,
+        |  CAST(p.ov AS BIGINT) AS sketch_overlap,
+        |  CAST(CASE WHEN p.ku < 64 THEN p.ku
+        |       ELSE (63 * 4294967296) // p.hk END AS BIGINT)
+        |    AS union_est,
+        |  CAST((1000000 * p.ov) // p.ku AS BIGINT) AS jacc_est_micros,
+        |  CAST(ca.c + cb.c - i.i AS BIGINT) AS exact_union,
+        |  CAST(i.i AS BIGINT) AS exact_inter,
+        |  CAST((1000000 * i.i) // (ca.c + cb.c - i.i) AS BIGINT)
+        |    AS jacc_exact_micros
+        |FROM pair p JOIN inter i ON i.na = p.na AND i.nb = p.nb
+        |JOIN cnt ca ON ca.nk = p.na JOIN cnt cb ON cb.nk = p.nb
+        |ORDER BY nation_a, nation_b""".stripMargin,
+
     // q254: incremental merge of self-maintainable partials must equal
     // the full aggregate by definition — oracle pins the definition
     // with `consistent` hard-coded TRUE, so any drift in the

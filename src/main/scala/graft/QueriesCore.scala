@@ -2341,6 +2341,195 @@ object QueriesCore {
       .orderBy("type_a", "type_b")
   }
 
+  /** HLL sketch MERGEABILITY — the property that makes cardinality
+    * sketches work at 100 TB: per-shard registers (here shard =
+    * event_id mod 16, standing in for the per-partition / per-day
+    * sketches a lake would maintain) merge by element-wise MAX into
+    * exactly the registers a direct single-pass build produces, so
+    * distinct-count rollups never revisit raw data. Both paths run
+    * for real (q192's m=64 scheme, rho by pure integer bit-length)
+    * and `merge_consistent` pins their equality row-by-row; the
+    * DuckDB oracle rebuilds the direct registers from first
+    * principles with TRUE pinned, so a merge that drifts anywhere
+    * hash-fails. est_micros applies Flajolet's estimator (with the
+    * small-range linear-counting branch) to the MERGED registers.
+    * One events scan feeds all four consumers via one pinned frame;
+    * every aggregate is map-side combinable on (type, shard, bucket).
+    */
+  def q267HllShardMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("event_type"),
+        pmod(col("event_id"), lit(16L)).as("__shard"), col("user_id"),
+        graft.operators.Scale.md5Prefix32(col("user_id")).as("__h"))
+      .select(col("event_type"), col("__shard"), col("user_id"),
+        pmod(col("__h"), lit(64)).cast("int").as("bucket"),
+        expr("CAST(__h DIV 64 AS BIGINT)").as("__rest"))
+      .select(col("event_type"), col("__shard"), col("user_id"),
+        col("bucket"),
+        when(col("__rest") === 0L, lit(27L))
+          .otherwise(lit(27L) - length(bin(col("__rest"))))
+          .as("__rho"))
+      .localCheckpoint() // direct regs, shard regs, n_exact, spine
+    val direct = base.groupBy("event_type", "bucket")
+      .agg(max(col("__rho")).as("__rd"))
+    val merged = base.groupBy("event_type", "__shard", "bucket")
+      .agg(max(col("__rho")).as("__rs"))
+      .groupBy("event_type", "bucket")
+      .agg(max(col("__rs")).as("__rm"))
+    val spine = base.select("event_type").distinct()
+      .crossJoin(s.range(0, 64).select(col("id").cast("int").as("bucket")))
+    val full = spine.join(direct, Seq("event_type", "bucket"), "left")
+      .join(merged, Seq("event_type", "bucket"), "left")
+      .na.fill(0L, Seq("__rd", "__rm"))
+      .localCheckpoint() // the summary below and the output both read it
+    val summary = full.groupBy("event_type")
+      .agg(sum(expr(
+          "shiftleft(CAST(1 AS BIGINT), CAST(27 - __rm AS INT))"))
+          .as("__sum_pow"),
+        sum(when(col("__rm") === 0L, 1L).otherwise(0L)).as("__n_zero"))
+    val raw = ((lit(0.709) * 4096.0) * 134217728.0) /
+      col("__sum_pow").cast("double")
+    full
+      .join(broadcast(base.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))),
+        Seq("event_type"))
+      .join(broadcast(summary), Seq("event_type"))
+      .select(col("event_type"), col("bucket"),
+        col("__rm").cast("bigint").as("register"),
+        col("n_exact").cast("bigint").as("n_exact"),
+        when(raw <= 160.0 && col("__n_zero") > 0,
+          floor(lit(64.0) * log(lit(64.0) / col("__n_zero").cast("double"))
+            * 1000000.0))
+          .otherwise(floor(raw * 1000000.0))
+          .cast("bigint").as("est_micros"),
+        (col("__rd") === col("__rm")).as("merge_consistent"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** A-priori frequent TRIPLES — level 3 of the basket-mining descent
+    * q149/q184 run at level 2. Candidates come from the classic
+    * downward-closure generation (pairs (a,b) ⋈ (a,c) with b < c,
+    * kept only when (b,c) is itself a frequent pair — three frequent
+    * sub-pairs or the triple can't reach the support floor with
+    * minPair ≤ minTriple, so the prune is LOSSLESS), and support
+    * counts by joining candidates back to the item-pruned baskets —
+    * one equi-join per triple slot, never an unpruned 3-way basket
+    * self-join. The DuckDB oracle restates the plain definition
+    * (3-way self-join over frequent-item baskets HAVING the floor),
+    * so the candidate pruning is proven lossless at the gate. At
+    * 100 TB the candidate set is bounded by the frequent-pair set —
+    * the quantity a-priori exists to keep finite.
+    */
+  def q268AprioriTriples(s: SparkSession, dir: String): DataFrame = {
+    val minTriple = 2L
+    val (pairs, _, pruned) =
+      copurchaseCounts(s, dir, minItem = 25L, minPair = minTriple)
+    val p = pairs.select("part_a", "part_b").localCheckpoint()
+    val cand = p.select(col("part_a"), col("part_b"))
+      .join(p.select(col("part_a"), col("part_b").as("part_c")),
+        Seq("part_a"))
+      .filter(col("part_b") < col("part_c"))
+      .join(p.select(col("part_a").as("part_b"),
+        col("part_b").as("part_c")), Seq("part_b", "part_c"), "left_semi")
+    val b = pruned.select(col("l_orderkey").as("__o"),
+      col("l_partkey"))
+    cand
+      .join(b.withColumnRenamed("l_partkey", "part_a"), Seq("part_a"))
+      .join(b.withColumnRenamed("l_partkey", "part_b"),
+        Seq("__o", "part_b"), "left_semi")
+      .join(b.withColumnRenamed("l_partkey", "part_c"),
+        Seq("__o", "part_c"), "left_semi")
+      .groupBy("part_a", "part_b", "part_c")
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minTriple)
+      .select(col("part_a").cast("bigint").as("part_a"),
+        col("part_b").cast("bigint").as("part_b"),
+        col("part_c").cast("bigint").as("part_c"),
+        col("support").cast("bigint").as("support"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"),
+        col("part_c"))
+  }
+
+  /** KMV (k-minimum-values) sketches with set-INTERSECTION estimation
+    * — the capability HLL registers (q192/q267) structurally lack.
+    * Universe: distinct parts supplied per supplier-nation (25 sets of
+    * ~900-1700 parts, pairwise intersections 122-1652 at sf0.01 — a
+    * genuinely varied overlap structure). Per nation, the sketch is
+    * the k=64 SMALLEST engine-portable md5 hashes of its part keys,
+    * built by the bounded-heap [[graft.plans.TopK.topKPerKey]] (one
+    * combinable pass, never a per-key sort). Sketches are MERGEABLE:
+    * each pair's union sketch is the k smallest of the two sketches'
+    * concatenation — computed from the 25×64-row sketch frame alone,
+    * never revisiting raw data (the property that makes KMV work at
+    * 100 TB: pairwise overlap of N shards costs O(N²k), not another
+    * fact scan). Estimators, all exact integer arithmetic: union
+    * cardinality (k−1)·2³²  DIV  h_k (Beyer et al. 2007), Jaccard =
+    * |union-sketch ∩ both| / K in floor micros. exact_* columns are
+    * the full-data audit (one extra distinct-hash self-join, dropped
+    * in production); the DuckDB oracle replays sketches AND audit
+    * from first principles, so estimator and truth are both pinned.
+    */
+  def q270KmvJaccard(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val np = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_partkey"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").cast("int").as("nk"),
+        graft.operators.Scale.md5Prefix32(col("l_partkey")).as("h"))
+      .distinct()
+      .localCheckpoint() // sketches, exact counts, exact intersections
+    val cnt = np.groupBy("nk").agg(count(lit(1)).as("__c"))
+    val inter = np.select(col("nk").as("na"), col("h"))
+      .join(np.select(col("nk").as("nb"), col("h")), Seq("h"))
+      .filter(col("na") < col("nb"))
+      .groupBy("na", "nb").agg(count(lit(1)).as("__inter"))
+    val sk = graft.plans.TopK.topKPerKey(np, Seq("nk"),
+      Seq("h" -> true), k).localCheckpoint() // 25×64 rows, read twice
+    val spine = cnt.select(col("nk").as("na"))
+      .crossJoin(cnt.select(col("nk").as("nb")))
+      .filter(col("na") < col("nb"))
+    val uv = spine.join(sk.withColumnRenamed("nk", "na"), Seq("na"))
+      .select(col("na"), col("nb"), col("h"), lit(1).as("__ia"),
+        lit(0).as("__ib"))
+      .unionByName(spine.join(sk.withColumnRenamed("nk", "nb"), Seq("nb"))
+        .select(col("na"), col("nb"), col("h"), lit(0).as("__ia"),
+          lit(1).as("__ib")))
+      .groupBy("na", "nb", "h")
+      .agg(max(col("__ia")).as("__ia"), max(col("__ib")).as("__ib"))
+    // union sketch = k smallest of the merged sketch values; every
+    // window is bounded by 2k rows per pair
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("na", "nb").orderBy("h")
+    val pair = uv.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy("na", "nb")
+      .agg(count(lit(1)).as("__k"), max(col("h")).as("__hk"),
+        sum(col("__ia") * col("__ib")).as("__ov"))
+    pair
+      .join(broadcast(inter), Seq("na", "nb"))
+      .join(broadcast(cnt.select(col("nk").as("na"), col("__c").as("__ca"))),
+        Seq("na"))
+      .join(broadcast(cnt.select(col("nk").as("nb"), col("__c").as("__cb"))),
+        Seq("nb"))
+      .select(col("na").as("nation_a"), col("nb").as("nation_b"),
+        col("__k").cast("bigint").as("k_union"),
+        col("__hk").cast("bigint").as("union_kth_hash"),
+        col("__ov").cast("bigint").as("sketch_overlap"),
+        when(col("__k") < k, col("__k"))
+          .otherwise(expr(s"(${k - 1}L * 4294967296L) DIV __hk"))
+          .cast("bigint").as("union_est"),
+        expr("(1000000L * __ov) DIV __k").cast("bigint")
+          .as("jacc_est_micros"),
+        (col("__ca") + col("__cb") - col("__inter")).cast("bigint")
+          .as("exact_union"),
+        col("__inter").cast("bigint").as("exact_inter"),
+        expr("(1000000L * __inter) DIV (__ca + __cb - __inter)")
+          .cast("bigint").as("jacc_exact_micros"))
+      .orderBy("nation_a", "nation_b")
+  }
+
   /** Incremental aggregate MAINTENANCE — the materialized-view
     * pattern every warehouse rollup runs: the standing per-customer
     * (count, sum) aggregate and a delta batch each fold separately,
@@ -2912,7 +3101,7 @@ object QueriesCore {
     * again and the result ranks by lift-free raw support.
     */
   def q149CopurchasePairs(s: SparkSession, dir: String): DataFrame = {
-    val (pairs, _) = copurchaseCounts(s, dir, minItem = 25L, minPair = 3L)
+    val (pairs, _, _) = copurchaseCounts(s, dir, minItem = 25L, minPair = 3L)
     pairs
       .select(col("part_a"), col("part_b"),
         col("__nab").cast("bigint").as("n_orders"))
@@ -3968,7 +4157,7 @@ object QueriesCore {
     * once so both sides of the self-join reuse one computation.
     */
   private def copurchaseCounts(s: SparkSession, dir: String,
-      minItem: Long, minPair: Long): (DataFrame, DataFrame) = {
+      minItem: Long, minPair: Long): (DataFrame, DataFrame, DataFrame) = {
     val baskets = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val itemSup = baskets.groupBy("l_partkey")
@@ -3985,7 +4174,7 @@ object QueriesCore {
       .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("__nab"))
       .filter(col("__nab") >= minPair)
-    (pairs, itemSup)
+    (pairs, itemSup, pruned)
   }
 
   /** Association rules from the a-priori pair pass — each surviving
@@ -3997,7 +4186,7 @@ object QueriesCore {
     * against the pair set.
     */
   def q184AssocRules(s: SparkSession, dir: String): DataFrame = {
-    val (pairs, itemSup) = copurchaseCounts(s, dir, 25L, 3L)
+    val (pairs, itemSup, _) = copurchaseCounts(s, dir, 25L, 3L)
     val nb = Tables.lineitem(s, dir)
       .agg(countDistinct(col("l_orderkey")).as("__nb"))
     val rules = pairs
@@ -5639,7 +5828,7 @@ object QueriesCore {
     * oracle replays via a bounded recursive CTE with a min-hop fold.
     */
   def q233BfsHops(s: SparkSession, dir: String): DataFrame = {
-    val (pairs, _) = copurchaseCounts(s, dir, minItem = 25L, minPair = 3L)
+    val (pairs, _, _) = copurchaseCounts(s, dir, minItem = 25L, minPair = 3L)
     val edges = pairs.select(col("part_a").as("src"), col("part_b").as("dst"))
       .unionByName(pairs.select(col("part_b").as("src"),
         col("part_a").as("dst")))
@@ -5909,6 +6098,9 @@ object QueriesCore {
     "q252_retention_matrix" -> q252RetentionMatrix _,
     "q253_bitmap_distinct" -> q253BitmapDistinct _,
     "q264_bitmap_setops" -> q264BitmapSetops _,
+    "q267_hll_shard_merge" -> q267HllShardMerge _,
+    "q268_apriori_triples" -> q268AprioriTriples _,
+    "q270_kmv_jaccard" -> q270KmvJaccard _,
     "q254_incremental_rollup" -> q254IncrementalRollup _,
     "q255_cusum" -> q255Cusum _,
     "q256_grid_radius_join" -> q256GridRadiusJoin _,

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, TextAnalysis}
 
@@ -1151,7 +1151,14 @@ object QueriesText {
     * 6-decimal rounding + (cos desc, id) tiebreak, so engine ranks
     * can't drift.
     */
-  def q242RetrievalRecall(s: SparkSession, dir: String): DataFrame = {
+  /** Shared lexical stage for q242/q269: summed BM25 score per
+    * (query, candidate doc), where queries are every 50th doc and each
+    * query's terms are its own top-3 corpus-IDF TF-IDF terms (q74's
+    * scoring, ties to the alphabetically-first term). Self-matches
+    * excluded. Returns (query_id, doc_id, bm25 double) — the consumer
+    * picks its own candidate depth with topKPerKey.
+    */
+  private def bm25PerQueryDoc(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val toks = docs.select(col("doc_id"),
       explode(filter(split(TextAnalysis.normalizeText(col("text")), " "),
@@ -1188,10 +1195,13 @@ object QueriesText {
           (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) +
             lit(0.75) * col("len") / col("__avglen"))), 6)
           .cast("decimal(18,6)"))
-    val cands = graft.plans.TopK.topKPerKey(
-        perTerm.filter(col("doc_id") =!= col("query_id"))
-          .groupBy("query_id", "doc_id")
-          .agg(sum(col("part")).cast("double").as("bm25")),
+    perTerm.filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("part")).cast("double").as("bm25"))
+  }
+
+  def q242RetrievalRecall(s: SparkSession, dir: String): DataFrame = {
+    val cands = graft.plans.TopK.topKPerKey(bm25PerQueryDoc(s, dir),
         Seq("query_id"), Seq("bm25" -> false, "doc_id" -> true), 50)
       .select("query_id", "doc_id").localCheckpoint()
     // dense side: exact brute-force top-10 (the ground truth) and the
@@ -1331,7 +1341,108 @@ object QueriesText {
       .limit(20)
   }
 
+  /** Count-Min sketch frequency audit — the streaming-frequency
+    * sketch family the engine didn't yet cover (alongside HLL q192,
+    * exact bitmaps q253/q264, Bloom q102, MinHash q55). Token-bigram
+    * occurrences feed a d=4 × w=64 counter grid keyed by
+    * engine-portable md5 row-hashes; the per-cell counts combine
+    * MAP-SIDE (the shuffle moves ≤ d·w = 256 cells regardless of
+    * corpus size — the whole point of a CMS at 100 TB), and each
+    * candidate's estimate is min over its d cells after a 256-row
+    * broadcast join. w is sized BELOW the ~920-bigram key space so
+    * collisions are real and the output exercises the estimator's
+    * one-sided error: `sound` pins est ≥ exact (the CMS guarantee)
+    * row-by-row in both engines, and est − exact exposes the actual
+    * collision inflation. Top-100 by (est, gram) — a value-bounded
+    * TakeOrdered, never a row-scale sort.
+    */
+  def q265CmsFrequency(s: SparkSession, dir: String): DataFrame = {
+    val d = 4
+    val w = 64L
+    val grams = Tables.documents(s, dir)
+      .select(filter(split(TextAnalysis.normalizeText(col("text")), " "),
+        t => t =!= "").as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__t")) - 1),
+        i => concat(element_at(col("__t"), i), lit(" "),
+          element_at(col("__t"), i + 1)))).as("gram"))
+      .localCheckpoint() // feeds the counter build AND the exact audit
+    def cell(j: Column, gram: Column): Column =
+      pmod(graft.operators.Scale.md5Prefix32(
+        concat(j.cast("string"), lit(":"), gram)), lit(w))
+    val counters = grams
+      .select(explode(sequence(lit(0), lit(d - 1))).as("__j"),
+        col("gram"))
+      .select(col("__j"), cell(col("__j"), col("gram")).as("__c"))
+      .groupBy("__j", "__c").agg(count(lit(1)).as("__n"))
+    val exact = grams.groupBy("gram").agg(count(lit(1)).as("exact_count"))
+    exact
+      .select(col("gram"), col("exact_count"),
+        explode(sequence(lit(0), lit(d - 1))).as("__j"))
+      .withColumn("__c", cell(col("__j"), col("gram")))
+      .join(broadcast(counters), Seq("__j", "__c"))
+      .groupBy("gram", "exact_count")
+      .agg(min(col("__n")).as("est_count"))
+      .select(col("gram"),
+        col("est_count").cast("bigint").as("est_count"),
+        col("exact_count").cast("bigint").as("exact_count"),
+        (col("est_count") >= col("exact_count")).as("sound"))
+      .orderBy(col("est_count").desc, col("gram"))
+      .limit(100)
+  }
+
+  /** Reciprocal-rank fusion — the standard hybrid-retrieval list
+    * merger (Cormack, Clarke & Buettcher 2009): per query, the
+    * lexical BM25 top-20 ([[bm25PerQueryDoc]], q242's stage) and the
+    * exact dense-cosine top-20 fuse by score Σ 1/(60 + rank), carried
+    * as exact integer micros (1000000 DIV (60 + rank)) so the fused
+    * ranking is bit-identical cross-engine — no float summation
+    * anywhere. Docs in only one list contribute only that list's
+    * term (a FULL outer merge on (query, doc)); top-10 per query by
+    * (fused score, doc_id). Each per-query frame is ≤ 40 rows, so
+    * every window is key-partitioned and bounded; the dense side
+    * rides [[graft.operators.Similarity.topK]]'s broadcast-query
+    * scan. Complements q242: that pins rerank losslessness, this
+    * ships the production fusion operator itself.
+    */
+  def q269RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lexW = Window.partitionBy("query_id")
+      .orderBy(col("bm25").desc, col("doc_id"))
+    val lex = graft.plans.TopK.topKPerKey(bm25PerQueryDoc(s, dir),
+        Seq("query_id"), Seq("bm25" -> false, "doc_id" -> true), 20)
+      .withColumn("lex_rank", row_number().over(lexW))
+      .select(col("query_id"), col("doc_id"),
+        col("lex_rank").cast("bigint").as("lex_rank"))
+    val vecs = Tables.embeddings(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val dense = graft.operators.Similarity.topK(vecs,
+        vecs.filter(pmod(col("vec_id"), lit(50)) === 0), "vec_id", "v",
+        k = 20)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").cast("bigint").as("dense_rank"))
+    val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .na.fill(0L, Seq("lex_rank", "dense_rank"))
+      .withColumn("rrf_micros",
+        when(col("lex_rank") > 0,
+          expr("1000000L DIV (60 + lex_rank)")).otherwise(0L) +
+        when(col("dense_rank") > 0,
+          expr("1000000L DIV (60 + dense_rank)")).otherwise(0L))
+    val fusedW = Window.partitionBy("query_id")
+      .orderBy(col("rrf_micros").desc, col("doc_id"))
+    graft.plans.TopK.topKPerKey(fused, Seq("query_id"),
+        Seq("rrf_micros" -> false, "doc_id" -> true), 10)
+      .withColumn("fused_rank", row_number().over(fusedW).cast("int"))
+      .select(col("query_id").cast("bigint").as("query_id"),
+        col("fused_rank"), col("doc_id").cast("bigint").as("doc_id"),
+        col("lex_rank"), col("dense_rank"),
+        col("rrf_micros").cast("bigint").as("rrf_micros"))
+      .orderBy("query_id", "fused_rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q265_cms_frequency" -> q265CmsFrequency _,
+    "q269_rrf_fusion" -> q269RrfFusion _,
     "q206_rake_keywords" -> q206RakeKeywords _,
     "q133_repetition_filter" -> q133RepetitionFilter _,
     "q134_triangle_count" -> q134TriangleCount _,
@@ -2605,6 +2716,128 @@ object QueriesText {
            |FROM ne LEFT JOIN tpc USING (query_id)
            |  LEFT JOIN tpf USING (query_id)
            |ORDER BY query_id""".stripMargin,
+
+      // q265: the whole CMS replayed from first principles — same md5
+      // cell hashes, same 4×64 counter grid, same min-over-rows
+      // estimate; `sound` restates the one-sided guarantee so a
+      // single under-estimate anywhere hash-fails.
+      "q265_cms_frequency" ->
+        s"""WITH l AS (
+           |  SELECT list_filter(string_split($norm, ' '),
+           |    x -> x <> '') AS l
+           |  FROM documents),
+           |g AS (
+           |  SELECT l[pos] || ' ' || l[pos + 1] AS gram
+           |  FROM (SELECT unnest(generate_series(1, len(l) - 1)) AS pos,
+           |          l
+           |        FROM l WHERE len(l) >= 2)),
+           |j AS (SELECT unnest(range(0, 4)) AS j),
+           |cells AS (
+           |  SELECT j.j,
+           |    ('0x' || substr(md5(j.j::VARCHAR || ':' || g.gram), 1, 8))
+           |      ::BIGINT % 64 AS c
+           |  FROM g CROSS JOIN j),
+           |counters AS (SELECT j, c, count(*) AS n FROM cells
+           |             GROUP BY 1, 2),
+           |exact AS (SELECT gram, count(*) AS exact_count FROM g
+           |          GROUP BY 1),
+           |est AS (
+           |  SELECT e.gram, e.exact_count, min(ct.n) AS est_count
+           |  FROM exact e CROSS JOIN j
+           |  JOIN counters ct ON ct.j = j.j
+           |    AND ct.c = ('0x' || substr(md5(j.j::VARCHAR || ':'
+           |      || e.gram), 1, 8))::BIGINT % 64
+           |  GROUP BY 1, 2)
+           |SELECT gram,
+           |  CAST(est_count AS BIGINT) AS est_count,
+           |  CAST(exact_count AS BIGINT) AS exact_count,
+           |  est_count >= exact_count AS sound
+           |FROM est
+           |ORDER BY est_count DESC, gram
+           |LIMIT 100""".stripMargin,
+
+      // q269: q242's lexical CTE chain up to the summed BM25, both
+      // top-20 lists ranked with the same (score desc, id) total
+      // order, integer RRF contributions, FULL merge, top-10 fuse.
+      "q269_rrf_fusion" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(list_filter(string_split($norm, ' '),
+           |    x -> x <> '')) AS term
+           |  FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           |       GROUP BY 1, 2),
+           |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+           |qs AS (
+           |  SELECT tf.doc_id AS query_id, tf.term,
+           |    round(tf.tf * ln(nd.n::DOUBLE / dfreq.df), 6) AS score
+           |  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+           |  WHERE tf.doc_id % 50 = 0),
+           |qterms AS (
+           |  SELECT query_id, term FROM (
+           |    SELECT query_id, term, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY score DESC, term) AS rk
+           |    FROM qs) WHERE rk <= 3),
+           |dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+           |c AS (SELECT count(*) AS nd2, avg(len) AS avglen FROM dl),
+           |p AS (
+           |  SELECT q.query_id, tf.doc_id,
+           |    CAST(round(
+           |      ln(1.0 + (c.nd2 - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           |        * tf.tf * (1.2 + 1.0)
+           |        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.len / c.avglen)),
+           |      6) AS DECIMAL(18,6)) AS part
+           |  FROM qterms q JOIN tf USING (term) JOIN dfreq USING (term)
+           |    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN c
+           |  WHERE tf.doc_id <> q.query_id),
+           |bm AS (SELECT query_id, doc_id, CAST(sum(part) AS DOUBLE)
+           |         AS bm25
+           |       FROM p GROUP BY 1, 2),
+           |lex AS (
+           |  SELECT query_id, doc_id, rk AS lex_rank FROM (
+           |    SELECT query_id, doc_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rk
+           |    FROM bm) WHERE rk <= 20),
+           |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |qv AS (SELECT vec_id AS query_id, v AS qv FROM v
+           |       WHERE vec_id % 50 = 0),
+           |dense AS (
+           |  SELECT query_id, neighbor_id AS doc_id, rk AS dense_rank
+           |  FROM (
+           |    SELECT q.query_id, c2.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.query_id
+           |        ORDER BY round(list_cosine_similarity(q.qv, c2.v), 6)
+           |          DESC, c2.vec_id) AS rk
+           |    FROM qv q JOIN v c2 ON c2.vec_id <> q.query_id)
+           |  WHERE rk <= 20),
+           |f AS (
+           |  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+           |    coalesce(l.doc_id, d.doc_id) AS doc_id,
+           |    coalesce(l.lex_rank, 0) AS lex_rank,
+           |    coalesce(d.dense_rank, 0) AS dense_rank
+           |  FROM lex l FULL JOIN dense d
+           |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+           |r AS (
+           |  SELECT query_id, doc_id, lex_rank, dense_rank,
+           |    (CASE WHEN lex_rank > 0
+           |       THEN 1000000 // (60 + lex_rank) ELSE 0 END)
+           |    + (CASE WHEN dense_rank > 0
+           |       THEN 1000000 // (60 + dense_rank) ELSE 0 END)
+           |      AS rrf_micros
+           |  FROM f),
+           |top AS (
+           |  SELECT * FROM (
+           |    SELECT r.*, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY rrf_micros DESC, doc_id) AS fused_rank
+           |    FROM r) WHERE fused_rank <= 10)
+           |SELECT CAST(query_id AS BIGINT) AS query_id,
+           |  CAST(fused_rank AS INTEGER) AS fused_rank,
+           |  CAST(doc_id AS BIGINT) AS doc_id,
+           |  CAST(lex_rank AS BIGINT) AS lex_rank,
+           |  CAST(dense_rank AS BIGINT) AS dense_rank,
+           |  CAST(rrf_micros AS BIGINT) AS rrf_micros
+           |FROM top
+           |ORDER BY query_id, fused_rank""".stripMargin,
 
       // q78: same md5 span keys, first occurrence = min (doc,pos)
       // via window rank, coverage union of removed starts, ordered
