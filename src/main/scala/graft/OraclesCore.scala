@@ -2680,6 +2680,88 @@ object OraclesCore {
         |JOIN cnt ca ON ca.nk = p.na JOIN cnt cb ON cb.nk = p.nb
         |ORDER BY nation_a, nation_b""".stripMargin,
 
+    // q271: the whole bootstrap replayed — same md5-mod-10⁶ uniforms,
+    // same integer Poisson-CDF ladder, same floor-division replicate
+    // means and order-statistic CI ranks.
+    "q271_poisson_bootstrap" ->
+      """WITH o AS MATERIALIZED (
+        |  SELECT CAST(c.c_nationkey AS INTEGER) AS nk, o.o_orderkey,
+        |    CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |reps AS (SELECT unnest(range(0, 64)) AS b),
+        |u AS (
+        |  SELECT nk, b, cents,
+        |    ('0x' || substr(md5(o_orderkey::VARCHAR || ':'
+        |      || b::VARCHAR), 1, 8))::BIGINT % 1000000 AS u
+        |  FROM o CROSS JOIN reps),
+        |wt AS (
+        |  SELECT nk, b, cents,
+        |      (CASE WHEN u >= 367879 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN u >= 735758 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN u >= 919698 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN u >= 981011 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN u >= 996340 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN u >= 999405 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN u >= 999916 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN u >= 999989 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN u >= 999998 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN u >= 999999 THEN 1 ELSE 0 END) AS w
+        |  FROM u),
+        |m AS (
+        |  SELECT nk, b, sum(w * cents) // sum(w) AS mean
+        |  FROM wt GROUP BY 1, 2 HAVING sum(w) > 0),
+        |r AS (SELECT nk, count(*) AS rr FROM m GROUP BY 1),
+        |rk AS (
+        |  SELECT nk, mean,
+        |    row_number() OVER (PARTITION BY nk ORDER BY mean, b) AS rn
+        |  FROM m),
+        |sel AS (
+        |  SELECT rk.nk, rk.mean FROM rk JOIN r USING (nk)
+        |  WHERE rk.rn = (r.rr * 25 + 999) // 1000
+        |     OR rk.rn = r.rr - ((r.rr * 25 + 999) // 1000) + 1),
+        |ci AS (SELECT nk, min(mean) AS lo, max(mean) AS hi
+        |       FROM sel GROUP BY 1),
+        |pt AS (SELECT nk, count(*) AS n_orders,
+        |         sum(cents) // count(*) AS pm
+        |       FROM o GROUP BY 1)
+        |SELECT pt.nk AS nationkey,
+        |  CAST(pt.n_orders AS BIGINT) AS n_orders,
+        |  CAST(pt.pm AS BIGINT) AS point_mean_cents,
+        |  CAST(r.rr AS BIGINT) AS n_replicates,
+        |  CAST(ci.lo AS BIGINT) AS ci_lo_cents,
+        |  CAST(ci.hi AS BIGINT) AS ci_hi_cents
+        |FROM pt JOIN r ON r.nk = pt.nk JOIN ci ON ci.nk = pt.nk
+        |ORDER BY nationkey""".stripMargin,
+
+    // q272: the plain global row_number statement of the same type-1
+    // boundaries — rank targets, NDV, min/max all exact integers.
+    "q272_equidepth_stats" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT) AS cents
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT count(*) AS n, count(DISTINCT cents) AS ndv,
+        |    min(cents) AS mn, max(cents) AS mx
+        |  FROM v),
+        |r AS (
+        |  SELECT cents, row_number() OVER (ORDER BY cents) AS rn
+        |  FROM v),
+        |b AS (SELECT unnest(range(1, 17)) AS bin),
+        |t AS (
+        |  SELECT bin, (bin * n + 15) // 16 AS target, n, ndv, mn, mx
+        |  FROM b CROSS JOIN s)
+        |SELECT CAST(t.bin AS INTEGER) AS bin,
+        |  CAST(t.target AS BIGINT) AS target_rank,
+        |  CAST(r.cents AS BIGINT) AS boundary_cents,
+        |  CAST(t.n AS BIGINT) AS n_rows,
+        |  CAST(t.ndv AS BIGINT) AS ndv_cents,
+        |  CAST(t.mn AS BIGINT) AS min_cents,
+        |  CAST(t.mx AS BIGINT) AS max_cents
+        |FROM t JOIN r ON r.rn = t.target
+        |ORDER BY bin""".stripMargin,
+
     // q254: incremental merge of self-maintainable partials must equal
     // the full aggregate by definition — oracle pins the definition
     // with `consistent` hard-coded TRUE, so any drift in the

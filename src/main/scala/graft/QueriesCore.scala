@@ -2530,6 +2530,114 @@ object QueriesCore {
       .orderBy("nation_a", "nation_b")
   }
 
+  /** POISSON BOOTSTRAP confidence intervals — the resampling scheme
+    * that actually distributes (Chamandy et al., "Estimating
+    * Uncertainty for Massive Data Streams", Google 2012): classical
+    * bootstrap needs a global n-out-of-n resample per replicate (a
+    * driver-side operation), while the Poisson bootstrap gives every
+    * ROW an independent Poisson(1) replicate weight — embarrassingly
+    * parallel, one pass for all B=64 replicates. Weights are
+    * DETERMINISTIC: u = md5(orderkey:b) mod 10⁶ cut against the
+    * Poisson(1) CDF hard-coded in floor micros (367879, 735758, …) —
+    * an integer CASE ladder both engines evaluate bit-identically (no
+    * RNG, no float CDF). Replicate means are exact floor-division
+    * cents; the 95% CI is the (⌈0.025R⌉, R−⌈0.025R⌉+1) order
+    * statistics of the 64 replicate means per nation (windows over
+    * ≤64-row partitions). The explode(×64) feeds a partial-aggregating
+    * groupBy, so the shuffle moves |nations|·B partials, not 64 fact
+    * copies — the whole point at 100 TB.
+    */
+  def q271PoissonBootstrap(s: SparkSession, dir: String): DataFrame = {
+    val B = 64
+    // Poisson(1) CDF in floor micros; weight = #thresholds ≤ u
+    val cdf = Seq(367879L, 735758L, 919698L, 981011L, 996340L,
+      999405L, 999916L, 999989L, 999998L, 999999L)
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("__cents"))
+      .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"),
+        col("c_nationkey").cast("int").as("nk"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("nk"), col("o_orderkey"), col("__cents"))
+      .localCheckpoint() // replicate fan-out + point estimate
+    val rep = o
+      .select(col("nk"), col("__cents"),
+        concat(col("o_orderkey").cast("string"), lit(":")).as("__kp"),
+        explode(sequence(lit(0), lit(B - 1))).as("__b"))
+      .withColumn("__u", pmod(graft.operators.Scale.md5Prefix32(
+        concat(col("__kp"), col("__b").cast("string"))), lit(1000000L)))
+      .withColumn("__w", cdf.foldLeft(lit(0L)) { (acc, t) =>
+        acc + when(col("__u") >= t, 1L).otherwise(0L) })
+      .groupBy("nk", "__b")
+      .agg(sum(col("__w") * col("__cents")).as("__swc"),
+        sum(col("__w")).as("__sw"))
+      .filter(col("__sw") > 0)
+      .select(col("nk"), col("__b"), expr("__swc DIV __sw").as("__mean"))
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy("nk").orderBy(col("__mean"), col("__b"))
+    val rc = rep.groupBy("nk").agg(count(lit(1)).as("__r"))
+    val ci = rep.withColumn("__rn", row_number().over(wn))
+      .join(broadcast(rc), Seq("nk"))
+      .withColumn("__lo", expr("(__r * 25 + 999) DIV 1000"))
+      .filter(col("__rn") === col("__lo") ||
+        col("__rn") === col("__r") - col("__lo") + 1)
+      .groupBy("nk")
+      .agg(max(col("__r")).as("n_replicates"),
+        min(col("__mean")).as("ci_lo_cents"),
+        max(col("__mean")).as("ci_hi_cents"))
+    o.groupBy("nk")
+      .agg(count(lit(1)).as("n_orders"),
+        expr("sum(__cents) DIV count(1)").as("point_mean_cents"))
+      .join(broadcast(ci), Seq("nk"))
+      .select(col("nk").as("nationkey"),
+        col("n_orders").cast("bigint").as("n_orders"),
+        col("point_mean_cents").cast("bigint").as("point_mean_cents"),
+        col("n_replicates").cast("bigint").as("n_replicates"),
+        col("ci_lo_cents").cast("bigint").as("ci_lo_cents"),
+        col("ci_hi_cents").cast("bigint").as("ci_hi_cents"))
+      .orderBy("nationkey")
+  }
+
+  /** EQUI-DEPTH HISTOGRAM + column statistics — the optimizer-stats
+    * build behind ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS: row
+    * count, exact NDV, min/max, and 16 equi-depth bin upper bounds
+    * (the value at global rank ⌈i·n/16⌉) for the lineitem price
+    * column in exact integer cents. The type-1 boundary needs a
+    * GLOBAL rank — the classic one-task `row_number() OVER (ORDER BY
+    * price)` trap at 100 TB — so the ranks ride
+    * [[graft.operators.Relational.globalOrdinals]] (range-partition,
+    * local windows, broadcast offsets) and the 16 target ranks join
+    * against the ordinal frame as a broadcast. The boundary VALUE at
+    * a rank is tie-order invariant, so sorting by the value alone is
+    * a sufficient total order here. Oracle replays with a plain
+    * global row_number — same ranks, same values.
+    */
+  def q272EquidepthStats(s: SparkSession, dir: String): DataFrame = {
+    val bins = 16
+    val v = Tables.lineitem(s, dir)
+      .select((col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("__cents"))
+    val ord = graft.operators.Relational.globalOrdinals(
+      v, Seq(col("__cents")), rnCol = "__rn")
+    val targets = v
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("__cents")).as("ndv_cents"),
+        min(col("__cents")).as("min_cents"),
+        max(col("__cents")).as("max_cents"))
+      .select(col("*"), explode(sequence(lit(1), lit(bins))).as("bin"))
+      .withColumn("__target", expr(s"(bin * n_rows + ${bins - 1}) DIV $bins"))
+    ord.join(broadcast(targets), col("__rn") === col("__target"))
+      .select(col("bin").cast("int").as("bin"),
+        col("__target").cast("bigint").as("target_rank"),
+        col("__cents").cast("bigint").as("boundary_cents"),
+        col("n_rows").cast("bigint").as("n_rows"),
+        col("ndv_cents").cast("bigint").as("ndv_cents"),
+        col("min_cents").cast("bigint").as("min_cents"),
+        col("max_cents").cast("bigint").as("max_cents"))
+      .orderBy("bin")
+  }
+
   /** Incremental aggregate MAINTENANCE — the materialized-view
     * pattern every warehouse rollup runs: the standing per-customer
     * (count, sum) aggregate and a delta batch each fold separately,
@@ -6101,6 +6209,8 @@ object QueriesCore {
     "q267_hll_shard_merge" -> q267HllShardMerge _,
     "q268_apriori_triples" -> q268AprioriTriples _,
     "q270_kmv_jaccard" -> q270KmvJaccard _,
+    "q271_poisson_bootstrap" -> q271PoissonBootstrap _,
+    "q272_equidepth_stats" -> q272EquidepthStats _,
     "q254_incremental_rollup" -> q254IncrementalRollup _,
     "q255_cusum" -> q255Cusum _,
     "q256_grid_radius_join" -> q256GridRadiusJoin _,

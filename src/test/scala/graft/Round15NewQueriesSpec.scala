@@ -112,6 +112,42 @@ class Round15NewQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q271 bootstrap: CI brackets the point estimate, full replicate set") {
+    val rows = QueriesCore.q271PoissonBootstrap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nk, point, reps, lo, hi) = (r.getInt(0), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(reps == 64L, s"nation $nk: dropped replicates ($reps)")
+      assert(lo < hi, s"nation $nk: degenerate CI [$lo,$hi]")
+      // the percentile CI of a mean must bracket the sample mean at
+      // these sizes (~60 orders/nation, B=64)
+      assert(lo <= point && point <= hi,
+        s"nation $nk: CI [$lo,$hi] excludes point $point")
+    }
+  }
+
+  test("q272 equi-depth: boundaries match a literal sort, last bin = max") {
+    val rows = QueriesCore.q272EquidepthStats(spark, sf)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.length == 16)
+    val cents = Tables.lineitem(spark, sf)
+      .select((col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")).collect().map(_.getLong(0)).sorted
+    val n = cents.length
+    rows.foreach { r =>
+      val (bin, target, boundary) = (r.getInt(0), r.getLong(1), r.getLong(2))
+      assert(target == (bin.toLong * n + 15) / 16, s"bin $bin target")
+      assert(boundary == cents(target.toInt - 1),
+        s"bin $bin: boundary $boundary != sorted[$target]")
+      assert(r.getLong(3) == n && r.getLong(5) == cents.head &&
+        r.getLong(6) == cents.last, s"bin $bin: summary stats drifted")
+    }
+    assert(rows.map(_.getLong(2)).sliding(2).forall(p => p(0) <= p(1)),
+      "boundaries not monotone")
+    assert(rows.last.getLong(2) == cents.last, "16th boundary != max")
+  }
+
   test("q269 RRF: rank arithmetic, list shape, and monotonic fusion") {
     val rows = QueriesText.q269RrfFusion(spark, sf).collect()
     assert(rows.nonEmpty)
