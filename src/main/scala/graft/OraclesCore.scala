@@ -2689,12 +2689,17 @@ object OraclesCore {
         |    CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
         |      AS cents
         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
-        |reps AS (SELECT unnest(range(0, 64)) AS b),
+        |grp AS (SELECT unnest(range(0, 16)) AS g),
+        |wrd AS (SELECT unnest(range(0, 4)) AS j),
+        |hx AS (
+        |  SELECT nk, g, cents,
+        |    md5(o_orderkey::VARCHAR || ':' || g::VARCHAR) AS hex
+        |  FROM o CROSS JOIN grp),
         |u AS (
-        |  SELECT nk, b, cents,
-        |    ('0x' || substr(md5(o_orderkey::VARCHAR || ':'
-        |      || b::VARCHAR), 1, 8))::BIGINT % 1000000 AS u
-        |  FROM o CROSS JOIN reps),
+        |  SELECT nk, g * 4 + j AS b, cents,
+        |    ('0x' || substr(hex, CAST(j * 8 + 1 AS INTEGER), 8))
+        |      ::BIGINT % 1000000 AS u
+        |  FROM hx CROSS JOIN wrd),
         |wt AS (
         |  SELECT nk, b, cents,
         |      (CASE WHEN u >= 367879 THEN 1 ELSE 0 END)
