@@ -2767,6 +2767,56 @@ object OraclesCore {
         |FROM t JOIN r ON r.rn = t.target
         |ORDER BY bin""".stripMargin,
 
+    // q273: stream-final registers must equal the batch direct build —
+    // q267's register scheme per event type, q192's estimator.
+    "q273_stream_hll" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |      ::BIGINT AS hv
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, hv % 64 AS bucket,
+        |    CASE WHEN hv // 64 = 0 THEN 27
+        |         ELSE 27 - length(bin(hv // 64))
+        |    END AS rho
+        |  FROM h),
+        |regs AS (SELECT event_type, bucket, max(rho) AS register
+        |         FROM r GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_type, unnest(range(0, 64)) AS bucket
+        |  FROM (SELECT DISTINCT event_type FROM events)),
+        |f AS (
+        |  SELECT s.event_type, s.bucket,
+        |    coalesce(regs.register, 0) AS register
+        |  FROM spine s LEFT JOIN regs
+        |    ON s.event_type = regs.event_type AND s.bucket = regs.bucket),
+        |summ AS (
+        |  SELECT event_type,
+        |    sum(1::BIGINT << CAST(27 - register AS INTEGER)) AS sum_pow,
+        |    sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS n_zero
+        |  FROM f GROUP BY 1),
+        |ex AS (
+        |  SELECT event_type, count(DISTINCT user_id) AS n_exact
+        |  FROM events GROUP BY 1)
+        |SELECT f.event_type,
+        |  CAST(f.bucket AS INTEGER) AS bucket,
+        |  CAST(f.register AS BIGINT) AS register,
+        |  CAST(ex.n_exact AS BIGINT) AS n_exact,
+        |  CAST(CASE WHEN ((0.709::DOUBLE * 4096.0::DOUBLE)
+        |      * 134217728.0::DOUBLE) / CAST(summ.sum_pow AS DOUBLE)
+        |        <= 160.0
+        |      AND summ.n_zero > 0
+        |    THEN floor(64.0::DOUBLE
+        |      * ln(64.0::DOUBLE / CAST(summ.n_zero AS DOUBLE))
+        |      * 1000000.0::DOUBLE)
+        |    ELSE floor((((0.709::DOUBLE * 4096.0::DOUBLE)
+        |      * 134217728.0::DOUBLE) / CAST(summ.sum_pow AS DOUBLE))
+        |      * 1000000.0::DOUBLE)
+        |  END AS BIGINT) AS est_micros
+        |FROM f JOIN summ USING (event_type) JOIN ex USING (event_type)
+        |ORDER BY event_type, bucket""".stripMargin,
+
     // q254: incremental merge of self-maintainable partials must equal
     // the full aggregate by definition — oracle pins the definition
     // with `consistent` hard-coded TRUE, so any drift in the

@@ -2673,6 +2673,86 @@ object QueriesCore {
       .orderBy("bin")
   }
 
+  /** STREAMING HyperLogLog — the distinct-count sketch maintained as
+    * Structured Streaming aggregation state: per (event_type, bucket)
+    * the register is a running MAX across three chronology-agnostic
+    * micro-batches, so the stream's standing state is m·|types| = 320
+    * integers at ANY stream length — the entire point of sketching a
+    * stream (exact streaming distinct, q166, must hold every seen id
+    * in state). max is order-free, so any batch slicing yields the
+    * identical registers; the gate pins stream-final ≡ batch-direct
+    * by replaying the registers from first principles in DuckDB
+    * (q267's integer-bit-length rho, q192's estimator). Finalization
+    * (64-bucket spine fill + estimator + exact audit) happens on the
+    * 320-row state table after the stream drains.
+    */
+  def q273StreamHll(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("q273-stream").toString
+    val src = s"$root/src"
+    Seq(0, 1, 2).foreach { r =>
+      ev.filter(pmod(col("event_id"), lit(3)) === r)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val name = java.nio.file.Paths.get(root).getFileName.toString
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    try {
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        graft.streaming.EventsStream
+          .readEvents(s, src, maxFilesPerTrigger = Some(1))
+          .select(col("event_type"),
+            graft.operators.Scale.md5Prefix32(col("user_id")).as("__h"))
+          .select(col("event_type"),
+            pmod(col("__h"), lit(64)).cast("int").as("bucket"),
+            expr("CAST(__h DIV 64 AS BIGINT)").as("__rest"))
+          .select(col("event_type"), col("bucket"),
+            when(col("__rest") === 0L, lit(27L))
+              .otherwise(lit(27L) - length(bin(col("__rest"))))
+              .as("__rho"))
+          .groupBy("event_type", "bucket")
+          .agg(max(col("__rho")).as("register"))
+          .writeStream.outputMode("complete").format("memory")
+          .queryName(name).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      q.processAllAvailable()
+      q.stop()
+      val regs = s.table(name)
+      val spine = ev.select("event_type").distinct()
+        .crossJoin(s.range(0, 64).select(col("id").cast("int").as("bucket")))
+      val full = spine.join(regs, Seq("event_type", "bucket"), "left")
+        .na.fill(0L, Seq("register"))
+        .localCheckpoint() // summary and output both read it
+      val summary = full.groupBy("event_type")
+        .agg(sum(expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(27 - register AS INT))"))
+            .as("__sum_pow"),
+          sum(when(col("register") === 0L, 1L).otherwise(0L))
+            .as("__n_zero"))
+      val raw = ((lit(0.709) * 4096.0) * 134217728.0) /
+        col("__sum_pow").cast("double")
+      val out = full
+        .join(broadcast(ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_exact"))),
+          Seq("event_type"))
+        .join(broadcast(summary), Seq("event_type"))
+        .select(col("event_type"), col("bucket"),
+          col("register").cast("bigint").as("register"),
+          col("n_exact").cast("bigint").as("n_exact"),
+          when(raw <= 160.0 && col("__n_zero") > 0,
+            floor(lit(64.0) * log(lit(64.0) /
+              col("__n_zero").cast("double")) * 1000000.0))
+            .otherwise(floor(raw * 1000000.0))
+            .cast("bigint").as("est_micros"))
+        .orderBy("event_type", "bucket")
+        .localCheckpoint(true) // materialize before the finally deletes
+      s.catalog.dropTempView(name)
+      out
+    } finally TmpTrees.delete(root)
+  }
+
   /** Incremental aggregate MAINTENANCE — the materialized-view
     * pattern every warehouse rollup runs: the standing per-customer
     * (count, sum) aggregate and a delta batch each fold separately,
@@ -6246,6 +6326,7 @@ object QueriesCore {
     "q270_kmv_jaccard" -> q270KmvJaccard _,
     "q271_poisson_bootstrap" -> q271PoissonBootstrap _,
     "q272_equidepth_stats" -> q272EquidepthStats _,
+    "q273_stream_hll" -> q273StreamHll _,
     "q254_incremental_rollup" -> q254IncrementalRollup _,
     "q255_cusum" -> q255Cusum _,
     "q256_grid_radius_join" -> q256GridRadiusJoin _,

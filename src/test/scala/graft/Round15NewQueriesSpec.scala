@@ -148,6 +148,30 @@ class Round15NewQueriesSpec extends AnyFunSuite {
     assert(rows.last.getLong(2) == cents.last, "16th boundary != max")
   }
 
+  test("q273 streaming HLL: final state ≡ direct batch registers") {
+    val rows = QueriesCore.q273StreamHll(spark, sf).collect()
+    assert(rows.length == 5 * 64, "expected 5 event types x 64 buckets")
+    // the order-free-merge property: max-merged state across arbitrary
+    // micro-batch slicing must equal the direct single-pass registers
+    val direct = Tables.events(spark, sf)
+      .select(col("event_type"),
+        graft.operators.Scale.md5Prefix32(col("user_id")).as("__h"))
+      .select(col("event_type"),
+        pmod(col("__h"), lit(64)).cast("int").as("bucket"),
+        expr("CAST(__h DIV 64 AS BIGINT)").as("__rest"))
+      .select(col("event_type"), col("bucket"),
+        when(col("__rest") === 0L, lit(27L))
+          .otherwise(lit(27L) - length(bin(col("__rest")))).as("__rho"))
+      .groupBy("event_type", "bucket").agg(max(col("__rho")).as("r"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    rows.foreach { r =>
+      val want = direct.getOrElse((r.getString(0), r.getInt(1)), 0L)
+      assert(r.getLong(2) == want,
+        s"(${r.getString(0)},${r.getInt(1)}): stream ${r.getLong(2)} != batch $want")
+    }
+  }
+
   test("q269 RRF: rank arithmetic, list shape, and monotonic fusion") {
     val rows = QueriesText.q269RrfFusion(spark, sf).collect()
     assert(rows.nonEmpty)
