@@ -2817,6 +2817,67 @@ object OraclesCore {
         |FROM f JOIN summ USING (event_type) JOIN ex USING (event_type)
         |ORDER BY event_type, bucket""".stripMargin,
 
+    // q274: the definition, unbucketed — O(n²) theta join for
+    // eps-neighbors (losslessness of the grid bucketing, like q256),
+    // recursive min-label walk for core clusters (q52's pattern),
+    // min-core-neighbor border election, noise elsewhere.
+    "q274_dbscan" ->
+      """WITH RECURSIVE
+        |n AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE)))
+        |        AS BIGINT) * 1000 AS side
+        |      FROM customer),
+        |p AS MATERIALIZED (
+        |  SELECT c_custkey AS id,
+        |    ('0x' || substr(md5('x:' || c_custkey::VARCHAR), 1, 8))
+        |      ::BIGINT % side AS x,
+        |    ('0x' || substr(md5('y:' || c_custkey::VARCHAR), 1, 8))
+        |      ::BIGINT % side AS y
+        |  FROM customer CROSS JOIN n),
+        |pr AS MATERIALIZED (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM p a JOIN p b ON a.id < b.id
+        |    AND (a.x - b.x) * (a.x - b.x)
+        |      + (a.y - b.y) * (a.y - b.y) <= 1000000),
+        |deg AS (
+        |  SELECT id, count(*) AS d FROM (
+        |    SELECT id_a AS id FROM pr
+        |    UNION ALL SELECT id_b AS id FROM pr)
+        |  GROUP BY 1),
+        |core AS MATERIALIZED (SELECT id FROM deg WHERE d >= 3),
+        |ce AS (
+        |  SELECT pr.id_a, pr.id_b FROM pr
+        |  JOIN core a ON a.id = pr.id_a
+        |  JOIN core b ON b.id = pr.id_b),
+        |edges AS MATERIALIZED (
+        |  SELECT id_a AS src, id_b AS dst FROM ce
+        |  UNION SELECT id_b AS src, id_a AS dst FROM ce),
+        |walk AS (
+        |  SELECT src AS id, src AS label FROM edges
+        |  UNION
+        |  SELECT e.src AS id, w.label FROM walk w
+        |  JOIN edges e ON e.dst = w.id),
+        |lab AS (SELECT id, min(label) AS comp FROM walk GROUP BY id),
+        |corelab AS MATERIALIZED (
+        |  SELECT c.id, coalesce(l.comp, c.id) AS cluster
+        |  FROM core c LEFT JOIN lab l ON l.id = c.id),
+        |nb AS (
+        |  SELECT id_a AS id, id_b AS nb FROM pr
+        |  UNION ALL SELECT id_b AS id, id_a AS nb FROM pr),
+        |border AS (
+        |  SELECT nb.id, min(cl.cluster) AS cluster
+        |  FROM nb JOIN corelab cl ON cl.id = nb.nb
+        |  WHERE NOT EXISTS (SELECT 1 FROM core c WHERE c.id = nb.id)
+        |  GROUP BY nb.id),
+        |asg AS (
+        |  SELECT id, 'core' AS role, cluster FROM corelab
+        |  UNION ALL
+        |  SELECT id, 'border' AS role, cluster FROM border)
+        |SELECT CAST(c.c_custkey AS BIGINT) AS id,
+        |  coalesce(a.role, 'noise') AS role,
+        |  CAST(coalesce(a.cluster, -1) AS BIGINT) AS cluster
+        |FROM customer c LEFT JOIN asg a ON a.id = c.c_custkey
+        |ORDER BY id""".stripMargin,
+
     // q254: incremental merge of self-maintainable partials must equal
     // the full aggregate by definition — oracle pins the definition
     // with `consistent` hard-coded TRUE, so any drift in the

@@ -172,6 +172,72 @@ class Round15NewQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q274 DBSCAN: role semantics hold against a literal neighbor recompute") {
+    val rows = QueriesCore.q274Dbscan(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(rows.nonEmpty)
+    assert(Set("core", "border", "noise").subsetOf(
+      rows.values.map(_._1).toSet),
+      "density tuned so all three roles appear at sf0.001")
+    // literal recompute of eps-neighborhoods from the same points
+    val side = math.ceil(math.sqrt(rows.size.toDouble)).toLong * 1000L
+    def h(p: String, id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$id".getBytes("UTF-8"))
+      val hex = d.take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % side
+    }
+    val pts = rows.keys.map(id => id -> (h("x", id), h("y", id))).toMap
+    val nbrs = rows.keys.map { id =>
+      val (x, y) = pts(id)
+      id -> rows.keys.filter { o =>
+        val (ox, oy) = pts(o)
+        o != id && (x - ox) * (x - ox) + (y - oy) * (y - oy) <= 1000000L
+      }.toSet
+    }.toMap
+    rows.foreach { case (id, (role, cluster)) =>
+      val coreNbrs = nbrs(id).filter(o => rows(o)._1 == "core")
+      role match {
+        case "core" =>
+          assert(nbrs(id).size >= 3, s"$id: core with ${nbrs(id).size} nbrs")
+          // canonical label: min id over the core component ⇒ my
+          // cluster can never exceed my own id
+          assert(cluster <= id, s"$id: non-canonical cluster $cluster")
+          assert(coreNbrs.forall(o => rows(o)._2 == cluster),
+            s"$id: core neighbors in a different cluster")
+        case "border" =>
+          assert(nbrs(id).size < 3 && coreNbrs.nonEmpty,
+            s"$id: border semantics violated")
+          assert(cluster == coreNbrs.map(o => rows(o)._2).min,
+            s"$id: border not assigned min core-neighbor cluster")
+        case "noise" =>
+          assert(coreNbrs.isEmpty && cluster == -1L,
+            s"$id: noise with a core neighbor or a cluster")
+      }
+    }
+  }
+
+  test("localContract preserves components under ANY blocking key") {
+    import spark.implicits._
+    // adversarial graph: long chains + stars + singleton edges, with a
+    // blocking key that deliberately SPLITS every chain across blocks
+    val edges = ((0L until 400L).sliding(2).map(s => (s(0), s(1))).toSeq ++
+      (500L until 540L).map(i => (500L, i)) ++
+      Seq((900L, 901L), (902L, 903L), (901L, 902L)))
+      .toDF("id_a", "id_b")
+    val plain = graft.operators.Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val contracted = graft.operators.Dedup.connectedComponents(
+      graft.operators.Dedup.localContract(edges, pmod(col("id_a"), lit(7))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // contracted may omit nodes that became their own root with no
+    // surviving edge — they are singleton-labeled by definition
+    plain.foreach { case (id, comp) =>
+      assert(contracted.getOrElse(id, id) == comp,
+        s"node $id: contracted ${contracted.getOrElse(id, id)} != $comp")
+    }
+  }
+
   test("q269 RRF: rank arithmetic, list shape, and monotonic fusion") {
     val rows = QueriesText.q269RrfFusion(spark, sf).collect()
     assert(rows.nonEmpty)
