@@ -2609,9 +2609,14 @@ object OraclesCore {
       """WITH b AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |  FROM lineitem),
+        |nb AS (
+        |  SELECT greatest(25, count(DISTINCT o) // 600) AS mi,
+        |    greatest(2, count(DISTINCT o) // 7500) AS mt
+        |  FROM b),
         |sup AS (SELECT p, count(*) AS s FROM b GROUP BY 1),
         |fb AS MATERIALIZED (
-        |  SELECT b.o, b.p FROM b JOIN sup USING (p) WHERE sup.s >= 25),
+        |  SELECT b.o, b.p FROM b JOIN sup USING (p)
+        |  WHERE sup.s >= (SELECT mi FROM nb)),
         |t AS (
         |  SELECT a.p AS part_a, b2.p AS part_b, c.p AS part_c,
         |    count(*) AS support
@@ -2619,7 +2624,7 @@ object OraclesCore {
         |  JOIN fb b2 ON a.o = b2.o AND a.p < b2.p
         |  JOIN fb c ON a.o = c.o AND b2.p < c.p
         |  GROUP BY 1, 2, 3
-        |  HAVING count(*) >= 2)
+        |  HAVING count(*) >= (SELECT mt FROM nb))
         |SELECT CAST(part_a AS BIGINT) AS part_a,
         |  CAST(part_b AS BIGINT) AS part_b,
         |  CAST(part_c AS BIGINT) AS part_c,

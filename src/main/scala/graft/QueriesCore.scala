@@ -2421,9 +2421,19 @@ object QueriesCore {
     * the quantity a-priori exists to keep finite.
     */
   def q268AprioriTriples(s: SparkSession, dir: String): DataFrame = {
-    val minTriple = 2L
-    val (pairs, _, pruned) =
-      copurchaseCounts(s, dir, minItem = 25L, minPair = minTriple)
+    // RELATIVE support floors — a-priori's floors are fractions of the
+    // basket count in any production run; absolute floors melt as data
+    // grows (probed: at 10× the frequent-pair set inflates until the
+    // candidate join emits 1.6M triples, exponent 1.33). nB/600 and
+    // nB/7500 equal the original 25/2 exactly at the sf0.01 gate
+    // (15 000 baskets), so gate results are unchanged; the one count()
+    // here is a control-flow scalar (floors must be literals on both
+    // engines), not a driver-side data loop.
+    val nBaskets = Tables.lineitem(s, dir)
+      .select(col("l_orderkey")).distinct().count()
+    val minTriple = math.max(2L, nBaskets / 7500L)
+    val (pairs, _, pruned) = copurchaseCounts(s, dir,
+      minItem = math.max(25L, nBaskets / 600L), minPair = minTriple)
     val p = pairs.select("part_a", "part_b").localCheckpoint()
     val cand = p.select(col("part_a"), col("part_b"))
       .join(p.select(col("part_a"), col("part_b").as("part_c")),
@@ -2561,6 +2571,13 @@ object QueriesCore {
         col("c_nationkey").cast("int").as("nk"))),
         col("o_custkey") === col("c_custkey"))
       .select(col("nk"), col("o_orderkey"), col("__cents"))
+      // the ×16 digest fan-out below is pure CPU: spread it across the
+      // cluster even when the scan arrives as one split (the sf0.1
+      // table is a single row group — measured 6.3 s single-task vs
+      // 1.5 s spread; at 100 TB a broadcast-join projection can still
+      // arrive narrow, so the repartition is the right shape, not a
+      // bench hack)
+      .repartition(32)
       .localCheckpoint() // replicate fan-out + point estimate
     // the hash is the dominant cost of a deterministic bootstrap
     // (measured: md5 ≈ 6 s of a 7.4 s stage at sf0.1), so each digest
@@ -2904,8 +2921,16 @@ object QueriesCore {
   }
 
   private def q274DbscanBody(s: SparkSession, dir: String,
-      eps: Long): DataFrame = {
-    val base = Tables.customer(s, dir).select(col("c_custkey").as("id"))
+      eps: Long): DataFrame =
+    dbscanFrom(Tables.customer(s, dir).select(col("c_custkey").as("id")),
+      eps)
+
+  /** q274's engine parametrized on the point-id set, so the scale
+    * probe can feed an N× id population — the adaptive ⌈√n⌉ extent
+    * keeps density constant automatically ("more world, not denser").
+    */
+  private[graft] def dbscanFrom(base0: DataFrame, eps: Long): DataFrame = {
+    val base = base0
     val side = base.agg(count(lit(1)).as("__n"))
       .select((expr("CAST(ceil(sqrt(CAST(__n AS DOUBLE))) AS BIGINT)")
         * 1000L).as("__side"))

@@ -1158,7 +1158,8 @@ object QueriesText {
     * excluded. Returns (query_id, doc_id, bm25 double) — the consumer
     * picks its own candidate depth with topKPerKey.
     */
-  private def bm25PerQueryDoc(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def bm25PerQueryDoc(s: SparkSession, dir: String,
+      queryIdCap: Long = Long.MaxValue): DataFrame = {
     val docs = Tables.documents(s, dir)
     val toks = docs.select(col("doc_id"),
       explode(filter(split(TextAnalysis.normalizeText(col("text")), " "),
@@ -1171,7 +1172,8 @@ object QueriesText {
       .localCheckpoint() // feeds TF-IDF election and BM25 idf
     val nDocs = docs.agg(countDistinct(col("doc_id")).as("__n"))
     // query-term election: top-3 TF-IDF terms of each query doc
-    val qscored = tf.filter(pmod(col("doc_id"), lit(50)) === 0)
+    val qscored = tf.filter(pmod(col("doc_id"), lit(50)) === 0 &&
+      col("doc_id") < queryIdCap)
       .join(dfreq, "term").crossJoin(broadcast(nDocs))
       .withColumn("score",
         round(col("tf") * log(col("__n").cast("double") / col("df")), 6))
@@ -1405,11 +1407,20 @@ object QueriesText {
     * scan. Complements q242: that pins rerank losslessness, this
     * ships the production fusion operator itself.
     */
-  def q269RrfFusion(s: SparkSession, dir: String): DataFrame = {
+  def q269RrfFusion(s: SparkSession, dir: String): DataFrame =
+    q269RrfFusionCapped(s, dir, Long.MaxValue)
+
+  /** q269 with a query-batch cap — the scale probe holds the query
+    * set constant (copy-0 ids) while the corpus grows N×, the
+    * production retrieval posture.
+    */
+  private[graft] def q269RrfFusionCapped(s: SparkSession, dir: String,
+      queryIdCap: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lexW = Window.partitionBy("query_id")
       .orderBy(col("bm25").desc, col("doc_id"))
-    val lex = graft.plans.TopK.topKPerKey(bm25PerQueryDoc(s, dir),
+    val lex = graft.plans.TopK.topKPerKey(
+        bm25PerQueryDoc(s, dir, queryIdCap),
         Seq("query_id"), Seq("bm25" -> false, "doc_id" -> true), 20)
       .withColumn("lex_rank", row_number().over(lexW))
       .select(col("query_id"), col("doc_id"),
@@ -1417,7 +1428,8 @@ object QueriesText {
     val vecs = Tables.embeddings(s, dir).select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     val dense = graft.operators.Similarity.topK(vecs,
-        vecs.filter(pmod(col("vec_id"), lit(50)) === 0), "vec_id", "v",
+        vecs.filter(pmod(col("vec_id"), lit(50)) === 0 &&
+          col("vec_id") < queryIdCap), "vec_id", "v",
         k = 20)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").cast("bigint").as("dense_rank"))

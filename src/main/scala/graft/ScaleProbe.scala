@@ -231,6 +231,35 @@ object ScaleProbe {
         s"1x=${fanout(1)} ${factor}x=${fanout(factor)}")
     }
 
+    // ——— round-15b probes: the new query wave. q271 rides the N×
+    // orders replica (linear expected: explode ×16 into a partial
+    // aggregate). q268's floors are ABSOLUTE (minItem 25, support 2),
+    // so at N× the frequent-pair set itself inflates — the probed
+    // exponent tells whether production use needs RELATIVE floors.
+    // q269 holds the query batch constant (copy-0 ids) while the
+    // corpus grows — per-query serving cost vs corpus size, the
+    // retrieval posture. q274 feeds an N× id population; the adaptive
+    // ⌈√n⌉ extent keeps density constant, so this measures the
+    // neighbor join + two-level CC machinery, not collision growth.
+    Seq("q271_poisson_bootstrap", "q268_apriori_triples")
+      .filter(wanted).foreach { name =>
+        measure(name, SparkEntry.queries(name), SparkEntry.queries(name))
+      }
+    if (wanted("q269_rrf_fusion*"))
+      measure("q269_rrf_fusion*",
+        (sp, _) => QueriesText.q269RrfFusionCapped(sp, sfDir, copy0),
+        (sp, _) => QueriesText.q269RrfFusionCapped(sp, work, copy0))
+    if (wanted("q274_dbscan*")) {
+      def ids(n: Int): DataFrame =
+        (0 until n).map { k =>
+          Tables.customer(spark, sfDir)
+            .select((col("c_custkey") + lit(k * 10000000L)).as("id"))
+        }.reduce(_.unionByName(_))
+      measure("q274_dbscan*",
+        (_, _) => QueriesCore.dbscanFrom(ids(1), 1000L),
+        (_, _) => QueriesCore.dbscanFrom(ids(factor), 1000L))
+    }
+
     // ——— streaming probes: N× independent key populations at the
     // same event-time distribution (see replicate) — state and
     // per-batch volume both grow N×; slope ≈ 1 means the state-store
