@@ -2201,9 +2201,11 @@ object QueriesCore {
     * so the oracle can afford the brute-force all-pairs proof.
     */
   def q251EditDistanceJoin(s: SparkSession, dir: String): DataFrame = {
-    val names = Tables.part(s, dir)
+    val names = Tables.spread(Tables.part(s, dir)
       .filter(pmod(col("p_partkey"), lit(4)) === 0)
-      .select(col("p_partkey").as("id"), col("p_name").as("name"))
+      .select(col("p_partkey").as("id"), col("p_name").as("name")))
+      // spread BEFORE the checkpoint: the O(len²) variant explode
+      // below runs on these blocks, and the raw scan is one row group
       .localCheckpoint() // feeds the variant pass + two name re-joins
     val variants = names.select(col("id"),
       explode(expr(

@@ -1038,7 +1038,9 @@ object QueriesText {
     // q156's surface, not this query's.
     val patternGrams = patterns
       .flatMap(_.sliding(3).filter(_.length == 3)).distinct
-    val postings = docs
+    // the position explode below generates ~|chars| rows per doc
+    // inside the scan stage — spread it (Tables.spread scaladoc)
+    val postings = Tables.spread(docs)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, greatest(length(text) - 2, 1)), " +
           "i -> substring(text, i, 3))")).as("gram"))

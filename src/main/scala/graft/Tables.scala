@@ -66,4 +66,19 @@ object Tables {
     }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Spread a frame across the session's shuffle width before a
+    * CPU-heavy per-row stage (huge explodes, per-doc BPE, deletion
+    * neighborhoods). The testdata tables arrive as ONE parquet row
+    * group, so without this the expensive map runs in a single task
+    * regardless of core count — measured on q189 (10M-trigram explode,
+    * 3.0 → 1.4 s) and q271 (×16 digest fan-out, 6.3 → 2.1 s). Use
+    * TARGETED, not blanket: for consumers whose map stage is cheap the
+    * extra exchange is pure cost (a blanket documents() repartition
+    * benched NET-NEGATIVE: q96/q242 pay a second shuffle for nothing).
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(scala.util.Try(df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt)
+      .toOption.filter(_ > 0).getOrElse(32))
 }

@@ -374,7 +374,10 @@ object Dedup {
       shingleLen: Int,
       maxDf: Int,
       minCos: Double): DataFrame = {
-    val sh = df.select(col(idCol),
+    // the shingle explode is evaluated by BOTH consumers below and
+    // runs in the scan stage — spread it so a one-row-group input
+    // doesn't serialize it (graft.Tables.spread scaladoc)
+    val sh = graft.Tables.spread(df).select(col(idCol),
       explode(graft.operators.TextAnalysis.wordShingles(col(textCol),
         shingleLen)).as("__sh"))
     val dfreq = sh.groupBy("__sh").agg(count(lit(1)).as("__df"))

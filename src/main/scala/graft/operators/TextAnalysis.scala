@@ -1189,7 +1189,10 @@ object TextAnalysis {
       k: Int,
       w: Int): DataFrame = {
     val posMask = graft.functions.Md5Winnow.PosMask
-    df.select(col(idCol),
+    // the rolling-hash sketch is O(chars) per doc and runs in the scan
+    // stage — spread it so a one-row-group input doesn't serialize it
+    // (graft.Tables.spread scaladoc)
+    graft.Tables.spread(df).select(col(idCol),
         explode(graft.functions.Md5Winnow.md5Winnow(
           normalizeText(col(textCol)), k, w)).as("__mk"))
       .select(col(idCol),
