@@ -3523,7 +3523,9 @@ object QueriesCore {
     */
   def q152Skyline(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir)
-    val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val nPart = scala.util.Try(
+      s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .toOption.filter(_ > 0).getOrElse(32) // "auto"-safe parse
     val perPrice = p.groupBy(col("p_retailprice"))
       .agg(max(col("p_size")).as("__mx"))
       // bucket = range-partition id: ascending price ranges, so bucket
@@ -5848,7 +5850,9 @@ object QueriesCore {
         .cast("decimal(18,0)").cast("bigint").as("__p"),
       (col("l_discount").cast("decimal(18,2)") * 100)
         .cast("decimal(18,0)").cast("bigint").as("__d"))
-    val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val nPart = scala.util.Try(
+      s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .toOption.filter(_ > 0).getOrElse(32) // "auto"-safe parse
     def ranked(c: String): DataFrame = {
       // local rank per range partition (materialized once — the offset
       // rollup below reads it again), then global rank = offset + local
