@@ -1189,10 +1189,12 @@ object TextAnalysis {
       k: Int,
       w: Int): DataFrame = {
     val posMask = graft.functions.Md5Winnow.PosMask
-    // the rolling-hash sketch is O(chars) per doc and runs in the scan
-    // stage — spread it so a one-row-group input doesn't serialize it
-    // (graft.Tables.spread scaladoc)
-    graft.Tables.spread(df).select(col(idCol),
+    // deliberately NO Tables.spread here: winnowing is per-doc and its
+    // shuffle-freedom is a pinned plan property (PortableSketchSpec) —
+    // it composes into any consumer's scan stage without a barrier; a
+    // consumer with a narrow input spreads BEFORE calling (and the
+    // measured winnow-bound consumers showed no single-task hotspot)
+    df.select(col(idCol),
         explode(graft.functions.Md5Winnow.md5Winnow(
           normalizeText(col(textCol)), k, w)).as("__mk"))
       .select(col(idCol),
