@@ -50,7 +50,13 @@ class PlanShapeSpec extends AnyFunSuite {
     "q184_assoc_rules" -> Shape(9, 5),
     "q91_bpe_segment" -> Shape(3, 1),
     "q81_pq_trained" -> Shape(4, 3),
-    "q189_trigram_search" -> Shape(5, 3)
+    "q189_trigram_search" -> Shape(5, 3),
+    // round-15 additions (heaviest of the new wave; q273 is
+    // micro-batch — excluded like the other streaming queries)
+    "q269_rrf_fusion" -> Shape(8, 5),
+    "q271_poisson_bootstrap" -> Shape(4, 2),
+    "q274_dbscan" -> Shape(10, 0),
+    "q270_kmv_jaccard" -> Shape(16, 3)
   )
 
   test("top-10 heaviest queries keep their pinned plan shapes") {
