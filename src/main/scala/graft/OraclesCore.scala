@@ -2883,6 +2883,42 @@ object OraclesCore {
         |FROM customer c LEFT JOIN asg a ON a.id = c.c_custkey
         |ORDER BY id""".stripMargin,
 
+    // q275: the ≤6-edge min-cost definition as a depth-limited
+    // recursive walk over the same md5 point grid (q274's geometry),
+    // unbucketed theta join for edges.
+    "q275_weighted_paths" ->
+      """WITH RECURSIVE
+        |n AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE)))
+        |        AS BIGINT) * 1000 AS side
+        |      FROM customer),
+        |p AS MATERIALIZED (
+        |  SELECT c_custkey AS id,
+        |    ('0x' || substr(md5('x:' || c_custkey::VARCHAR), 1, 8))
+        |      ::BIGINT % side AS x,
+        |    ('0x' || substr(md5('y:' || c_custkey::VARCHAR), 1, 8))
+        |      ::BIGINT % side AS y
+        |  FROM customer CROSS JOIN n),
+        |pr AS MATERIALIZED (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS w
+        |  FROM p a JOIN p b ON a.id < b.id
+        |    AND (a.x - b.x) * (a.x - b.x)
+        |      + (a.y - b.y) * (a.y - b.y) <= 1000000),
+        |edges AS MATERIALIZED (
+        |  SELECT id_a AS src, id_b AS dst, w FROM pr
+        |  UNION ALL SELECT id_b AS src, id_a AS dst, w FROM pr),
+        |seeds AS (SELECT id FROM p WHERE id % 50 = 0),
+        |walk AS (
+        |  SELECT id, CAST(0 AS BIGINT) AS cost, 0 AS depth FROM seeds
+        |  UNION
+        |  SELECT e.dst AS id, w.cost + e.w AS cost, w.depth + 1 AS depth
+        |  FROM walk w JOIN edges e ON e.src = w.id
+        |  WHERE w.depth < 6)
+        |SELECT CAST(id AS BIGINT) AS id,
+        |  CAST(min(cost) AS BIGINT) AS min_cost
+        |FROM walk GROUP BY id
+        |ORDER BY id""".stripMargin,
+
     // q254: incremental merge of self-maintainable partials must equal
     // the full aggregate by definition — oracle pins the definition
     // with `consistent` hard-coded TRUE, so any drift in the

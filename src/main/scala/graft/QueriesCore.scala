@@ -2927,16 +2927,66 @@ object QueriesCore {
     dbscanFrom(Tables.customer(s, dir).select(col("c_custkey").as("id")),
       eps)
 
+  /** WEIGHTED shortest paths — multi-source Bellman–Ford over the
+    * q274 proximity graph (edge weight = exact BIGINT dist²), with the
+    * path bound AS the semantics: after k relaxation rounds the cost
+    * at each node is exactly min over paths of ≤ k edges from the
+    * nearest seed (every 50th point, cost 0) — no "hope it converged":
+    * the DuckDB oracle unrolls the same bound as a depth-limited
+    * recursive walk, so the k-edge definition is what both engines
+    * compute. Each round is one keyed join + an order-free min
+    * aggregate (map-side combinable), checkpointed so the loop's plan
+    * stays flat — rounds scale with the HOP bound, never the data, and
+    * every shuffle is linear in |edges|. Complements q233 (unweighted
+    * multi-source BFS on the co-purchase graph, which thins at sf0.1)
+    * with a graph whose density is scale-invariant by construction.
+    */
+  def q275WeightedPaths(s: SparkSession, dir: String): DataFrame = {
+    val eps = 1000L
+    val rounds = 6
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // small per-round frames: run narrow (q274's rationale)
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val pts = adaptiveGridPoints(Tables.customer(s, dir)
+        .select(col("c_custkey").as("id")))
+      val pr = gridRadiusPairs(pts, r = eps)
+      val edges = pr.select(col("id_a").as("src"), col("id_b").as("dst"),
+          col("dist2").as("__w"))
+        .unionByName(pr.select(col("id_b").as("src"),
+          col("id_a").as("dst"), col("dist2").as("__w")))
+        .localCheckpoint() // probed once per relaxation round
+      var dist = pts.filter(pmod(col("id"), lit(50)) === 0)
+        .select(col("id"), lit(0L).as("cost"))
+        .localCheckpoint()
+      for (_ <- 1 to rounds) {
+        dist = edges.join(dist.withColumnRenamed("id", "src"), Seq("src"))
+          .select(col("dst").as("id"),
+            (col("cost") + col("__w")).as("cost"))
+          .unionByName(dist)
+          .groupBy("id").agg(min(col("cost")).as("cost"))
+          .localCheckpoint()
+      }
+      dist.select(col("id").cast("bigint").as("id"),
+          col("cost").cast("bigint").as("min_cost"))
+        .orderBy("id")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** q274's engine parametrized on the point-id set, so the scale
     * probe can feed an N× id population — the adaptive ⌈√n⌉ extent
     * keeps density constant automatically ("more world, not denser").
     */
-  private[graft] def dbscanFrom(base0: DataFrame, eps: Long): DataFrame = {
-    val base = base0
+  /** Deterministic constant-density point set over an id population:
+    * md5-hash coordinates on a ⌈√n⌉·1000 extent, so expected
+    * eps=1000-neighbors ≈ π at ANY n ("more world, not denser").
+    * Shared by q274 (DBSCAN) and q275 (weighted shortest paths).
+    */
+  private[graft] def adaptiveGridPoints(base: DataFrame): DataFrame = {
     val side = base.agg(count(lit(1)).as("__n"))
       .select((expr("CAST(ceil(sqrt(CAST(__n AS DOUBLE))) AS BIGINT)")
         * 1000L).as("__side"))
-    val points = base.crossJoin(broadcast(side))
+    base.crossJoin(broadcast(side))
       .select(col("id"),
         pmod(graft.operators.Scale.md5Prefix32(
           concat(lit("x:"), col("id").cast("string"))), col("__side"))
@@ -2944,6 +2994,11 @@ object QueriesCore {
         pmod(graft.operators.Scale.md5Prefix32(
           concat(lit("y:"), col("id").cast("string"))), col("__side"))
           .as("y"))
+  }
+
+  private[graft] def dbscanFrom(base0: DataFrame, eps: Long): DataFrame = {
+    val base = base0
+    val points = adaptiveGridPoints(base)
     val pairs = gridRadiusPairs(points, r = eps)
       .select("id_a", "id_b").localCheckpoint() // degrees + both joins
     val deg = pairs.select(col("id_a").as("id"))
@@ -6447,6 +6502,7 @@ object QueriesCore {
     "q272_equidepth_stats" -> q272EquidepthStats _,
     "q273_stream_hll" -> q273StreamHll _,
     "q274_dbscan" -> q274Dbscan _,
+    "q275_weighted_paths" -> q275WeightedPaths _,
     "q254_incremental_rollup" -> q254IncrementalRollup _,
     "q255_cusum" -> q255Cusum _,
     "q256_grid_radius_join" -> q256GridRadiusJoin _,

@@ -217,6 +217,39 @@ class Round15NewQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q275 weighted paths: ≤6-edge min costs match a literal relaxation") {
+    val got = QueriesCore.q275WeightedPaths(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    val ids = Tables.customer(spark, sf)
+      .select(col("c_custkey").cast("long")).collect().map(_.getLong(0))
+    val side = math.ceil(math.sqrt(ids.length.toDouble)).toLong * 1000L
+    def h(p: String, id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map("%02x".format(_)).mkString, 16) % side
+    }
+    val pts = ids.map(id => id -> (h("x", id), h("y", id))).toMap
+    val edges = for {
+      a <- ids; b <- ids if a < b
+      (ax, ay) = pts(a); (bx, by) = pts(b)
+      w = (ax - bx) * (ax - bx) + (ay - by) * (ay - by) if w <= 1000000L
+    } yield (a, b, w)
+    var dist = ids.filter(_ % 50 == 0).map(_ -> 0L).toMap
+    for (_ <- 1 to 6) {
+      val relaxed = edges.flatMap { case (a, b, w) =>
+        dist.get(a).map(c => b -> (c + w)).toSeq ++
+          dist.get(b).map(c => a -> (c + w)).toSeq
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .view.mapValues(_.map(_._2).min).toMap
+    }
+    assert(got == dist,
+      s"mismatch: only-engine=${(got.keySet -- dist.keySet).take(5)} " +
+        s"only-literal=${(dist.keySet -- got.keySet).take(5)}")
+  }
+
   test("localContract preserves components under ANY blocking key") {
     import spark.implicits._
     // adversarial graph: long chains + stars + singleton edges, with a
