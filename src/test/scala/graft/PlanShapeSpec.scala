@@ -56,7 +56,10 @@ class PlanShapeSpec extends AnyFunSuite {
     "q269_rrf_fusion" -> Shape(8, 5),
     "q271_poisson_bootstrap" -> Shape(4, 2),
     "q274_dbscan" -> Shape(10, 0),
-    "q270_kmv_jaccard" -> Shape(16, 3)
+    "q270_kmv_jaccard" -> Shape(16, 3),
+    // q275's loop is checkpointed per round — the returned plan is the
+    // final sort over the last checkpoint, so the pin is the tail only
+    "q275_weighted_paths" -> Shape(1, 0)
   )
 
   test("top-10 heaviest queries keep their pinned plan shapes") {
