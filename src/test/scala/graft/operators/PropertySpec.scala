@@ -254,4 +254,42 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  private val graphGen: Gen[(List[(Long, Long)], Int)] = for {
+    n <- Gen.choose(2, 40)
+    m <- Gen.choose(1, 80)
+    edges <- Gen.listOfN(m, for {
+      a <- Gen.choose(0L, n.toLong - 1)
+      b <- Gen.choose(0L, n.toLong - 1)
+    } yield (math.min(a, b), math.max(a, b)))
+    blocks <- Gen.choose(1, 7)
+  } yield (edges.filter(e => e._1 != e._2).distinct, blocks)
+
+  test("localContract + CC ≡ plain CC on random graphs, any blocking key") {
+    forAll(graphGen, cases = 10) { case (edges, blocks) =>
+      whenever(edges.nonEmpty) {
+        val df = edges.toDF("id_a", "id_b").repartition(5)
+        // sequential union-find reference
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val want = nodes.map(id => id -> find(id)).toMap
+        val got = Dedup.connectedComponents(
+            Dedup.localContract(df, pmod(col("id_a"), lit(blocks))))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        nodes.foreach { id =>
+          assert(got.getOrElse(id, id) == want(id),
+            s"node $id: got ${got.getOrElse(id, id)}, want ${want(id)} " +
+              s"(edges=$edges blocks=$blocks)")
+        }
+      }
+    }
+  }
 }
