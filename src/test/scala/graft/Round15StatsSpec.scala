@@ -1,0 +1,227 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.etl.FixtureLoader.spark
+
+/** Property pins for the [[QueriesStats]] wave (q276–q282), beyond
+  * their DuckDB hash gates: each test re-derives the query's defining
+  * mathematics independently (driver-side brute force on the sf0.001
+  * graph / series), so a future edit that stays hash-stable against a
+  * co-broken oracle still fails here.
+  */
+class Round15StatsSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** The sf0.001 proximity graph (q274/q275/q276/q277's geometry),
+    * collected once: ~150 nodes, ~a few hundred edges. */
+  private lazy val (nodes, adj) = {
+    val ids = Tables.customer(spark, sf)
+      .select(col("c_custkey").cast("long").as("id"))
+      .collect().map(_.getLong(0)).toSeq
+    val pairs = QueriesCore.gridRadiusPairs(
+      QueriesCore.adaptiveGridPoints(
+        Tables.customer(spark, sf).select(col("c_custkey").as("id"))),
+      r = 1000L)
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val m = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    pairs.foreach { case (a, b) =>
+      m(a) = m(a) + b; m(b) = m(b) + a
+    }
+    (ids, m.toMap.withDefaultValue(Set.empty))
+  }
+
+  test("q276 LPA ≡ driver-side synchronous 4-round brute force") {
+    val got = QueriesStats.q276LabelPropagation(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var lbl = nodes.map(id => id -> id).toMap
+    for (_ <- 1 to 4) {
+      lbl = nodes.map { id =>
+        val votes = adj(id).toSeq.map(lbl)
+        if (votes.isEmpty) id -> lbl(id)
+        else {
+          val byLbl = votes.groupBy(identity).map {
+            case (l, vs) => (l, vs.size)
+          }
+          val best = byLbl.toSeq.minBy { case (l, c) => (-c, l) }._1
+          id -> best
+        }
+      }.toMap
+    }
+    assert(got == lbl,
+      s"LPA drift on ${got.count { case (k, v) => lbl(k) != v }} nodes")
+    // non-vacuity: propagation actually merged something
+    assert(got.values.toSet.size < nodes.size,
+      "every node kept its own label — the graph has no edges?")
+  }
+
+  test("q277 local clustering ≡ brute-force triangles through each node") {
+    val got = QueriesStats.q277LocalClustering(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == nodes.toSet)
+    nodes.foreach { id =>
+      val nb = adj(id)
+      val deg = nb.size.toLong
+      val tri = nb.toSeq.combinations(2)
+        .count { case Seq(a, b) => adj(a).contains(b) }.toLong
+      val ppm = if (deg >= 2) 2000000L * tri / (deg * (deg - 1)) else 0L
+      assert(got(id) == ((deg, tri, ppm)),
+        s"node $id: got ${got(id)}, brute ($deg, $tri, $ppm)")
+    }
+    // non-vacuity: at least one genuine triangle on the sf0.001 graph
+    assert(got.values.exists(_._2 > 0), "no triangles — vacuous pin")
+  }
+
+  test("q278 Mann–Whitney: U identities and one nation brute-forced") {
+    val rows = QueriesStats.q278MannWhitney(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nR, nN, uR2, uN2) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(uR2 + uN2 == 2 * nR * nN, s"${r.getString(0)}: U1+U2 ≠ n1·n2")
+      assert(uR2 >= 0 && uR2 <= 2 * nR * nN, s"${r.getString(0)}: U range")
+    }
+    // brute force the first nation from raw quantities via midranks
+    val nation = rows.head.getString(0)
+    val qtys = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, sf),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.nation(spark, sf),
+        col("n_nationkey") === col("c_nationkey"))
+      .filter(col("n_name") === nation &&
+        col("l_returnflag").isin("R", "N"))
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val all = qtys.map(_._2).sorted
+    // midrank×2 of value v in the combined sample
+    def rank2(v: Long): Long = {
+      val below = all.count(_ < v).toLong
+      val ties = all.count(_ == v).toLong
+      2 * below + ties + 1
+    }
+    val rSum2 = qtys.filter(_._1 == "R").map(q => rank2(q._2)).sum
+    val n1 = qtys.count(_._1 == "R").toLong
+    val u1x2 = rSum2 - n1 * (n1 + 1)
+    assert(rows.head.getLong(3) == u1x2,
+      s"$nation: got ${rows.head.getLong(3)}, brute $u1x2")
+  }
+
+  test("q279 item-cosine ranking agrees with true double cosine") {
+    val bi = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nP = bi.groupBy(_._2).map { case (p, xs) => p -> xs.size.toLong }
+    val byOrder = bi.groupBy(_._1).values.map(_.map(_._2).sorted)
+    val co = scala.collection.mutable.Map[(Long, Long), Long]()
+      .withDefaultValue(0L)
+    byOrder.foreach { parts =>
+      for (a <- parts; b <- parts if a < b) co((a, b)) += 1
+    }
+    def cosine(a: Long, b: Long): Double = {
+      val c = co(if (a < b) (a, b) else (b, a))
+      c / math.sqrt(nP(a).toDouble * nP(b).toDouble)
+    }
+    val got = QueriesStats.q279ItemCosine(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getLong(0)).foreach { case (part, rs) =>
+      val ordered = rs.sortBy(_.getLong(4))
+      // the e12 integer ranking must be non-increasing in true cosine
+      // (strictly, up to exact integer-score ties)
+      val cosines = ordered.map(r => cosine(part, r.getLong(1)))
+      val scores = ordered.map(_.getLong(3))
+      for (i <- 1 until cosines.length)
+        assert(cosines(i - 1) >= cosines(i) - 1e-12 ||
+            scores(i - 1) == scores(i),
+          s"part $part: integer ranking inverted true cosine order")
+      // and the top-1 must be a true argmax of cosine among neighbors
+      val nbrs = nP.keys.filter(q => q != part &&
+        co(if (part < q) (part, q) else (q, part)) > 0)
+      val maxCos = nbrs.map(q => cosine(part, q)).max
+      assert(math.abs(cosines.head - maxCos) < 1e-12,
+        s"part $part: top-1 is not the true cosine argmax")
+    }
+  }
+
+  test("q280 changepoint ≡ brute-force argmax |n·S_t − t·S_n| per nation") {
+    val daily = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.nation(spark, sf),
+        col("n_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+      .agg(sum(expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("rev"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    val got = QueriesStats.q280Changepoint(spark, sf)
+      .select(col("nation"),
+        date_format(col("cp_date"), "yyyy-MM-dd"),
+        col("t"), col("n_days"), col("stat"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    daily.foreach { case (nation, xs) =>
+      val series = xs.sortBy(_._2).map(x => (x._2, x._3))
+      val n = series.length.toLong
+      val sN = series.map(_._2).sum
+      var sT = 0L
+      val stats = series.zipWithIndex.init.map { case ((d, rev), i) =>
+        sT += rev
+        (d, i + 1L, math.abs(n * sT - (i + 1L) * sN))
+      }
+      // argmax by stat, ties to the EARLIEST date (ISO strings sort
+      // lexicographically = chronologically)
+      val best = stats.minBy(x => (-x._3, x._1))
+      val g = got(nation)
+      assert((g._1, g._2, g._4) == ((best._1, best._2, best._3)),
+        s"$nation: got $g, brute $best")
+      assert(g._3 == n)
+    }
+  }
+
+  test("q281 stream CMS: one-sided error everywhere AND collisions real") {
+    val rows = QueriesStats.q281StreamCms(spark, sf)
+      .select("est_count", "exact_count", "sound").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getBoolean(2) && r.getLong(0) >= r.getLong(1)),
+      "streaming CMS under-counted — state merge or cell hashing broken")
+    assert(rows.exists(r => r.getLong(0) > r.getLong(1)),
+      "no collisions at w=64 — the one-sided guarantee is vacuous")
+  }
+
+  test("q282 backtest: WAPE identity and exact lag-52 alignment") {
+    val rows = QueriesStats.q282ForecastBacktest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nW, sae, act, ppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nW > 0 && act > 0)
+      assert(ppm == sae * 1000000L / act,
+        s"${r.getString(0)}: wape_ppm ≠ 1e6·sae div actual")
+    }
+    // alignment: scoring weeks must be exactly those with a week−364
+    // predecessor — brute-forced for the first nation
+    val nation = rows.head.getString(0)
+    val wks = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.nation(spark, sf),
+        col("n_nationkey") === col("c_nationkey"))
+      .filter(col("n_name") === nation)
+      .select(to_date(date_trunc("week", col("o_orderdate"))).as("wk"))
+      .distinct().collect().map(_.getDate(0).toLocalDate).toSet
+    val expectN = wks.count(w => wks.contains(w.minusDays(364)))
+    assert(rows.head.getLong(1) == expectN,
+      s"$nation: scored ${rows.head.getLong(1)} weeks, expected $expectN")
+  }
+}
