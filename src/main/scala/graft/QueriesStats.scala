@@ -42,9 +42,14 @@ object QueriesStats {
     */
   def q276LabelPropagation(s: SparkSession, dir: String): DataFrame =
     narrow(s, 8) {
+      lpaFrom(Tables.customer(s, dir).select(col("c_custkey").as("id")))
+    }
+
+  /** q276's engine parametrized on the point-id population (the scale
+    * probe feeds an N× world — q274's `dbscanFrom` convention). */
+  private[graft] def lpaFrom(base: DataFrame): DataFrame = {
       val rounds = 4
-      val pts = QueriesCore.adaptiveGridPoints(
-        Tables.customer(s, dir).select(col("c_custkey").as("id")))
+      val pts = QueriesCore.adaptiveGridPoints(base)
       val pr = QueriesCore.gridRadiusPairs(pts, r = 1000L)
       val edges = pr.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(pr.select(col("id_b").as("src"),
@@ -86,7 +91,13 @@ object QueriesStats {
     */
   def q277LocalClustering(s: SparkSession, dir: String): DataFrame =
     narrow(s, 8) {
-      val ids = Tables.customer(s, dir).select(col("c_custkey").as("id"))
+      localClusteringFrom(
+        Tables.customer(s, dir).select(col("c_custkey").as("id")))
+    }
+
+  /** q277's engine parametrized on the point-id population (probe
+    * convention as above). */
+  private[graft] def localClusteringFrom(ids: DataFrame): DataFrame = {
       val pts = QueriesCore.adaptiveGridPoints(ids)
       val pairs = QueriesCore.gridRadiusPairs(pts, r = 1000L)
         .select("id_a", "id_b")

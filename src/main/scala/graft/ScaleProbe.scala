@@ -249,16 +249,36 @@ object ScaleProbe {
       measure("q269_rrf_fusion*",
         (sp, _) => QueriesText.q269RrfFusionCapped(sp, sfDir, copy0),
         (sp, _) => QueriesText.q269RrfFusionCapped(sp, work, copy0))
-    if (wanted("q274_dbscan*")) {
-      def ids(n: Int): DataFrame =
-        (0 until n).map { k =>
-          Tables.customer(spark, sfDir)
-            .select((col("c_custkey") + lit(k * 10000000L)).as("id"))
-        }.reduce(_.unionByName(_))
+    def gridIds(n: Int): DataFrame =
+      (0 until n).map { k =>
+        Tables.customer(spark, sfDir)
+          .select((col("c_custkey") + lit(k * 10000000L)).as("id"))
+      }.reduce(_.unionByName(_))
+    if (wanted("q274_dbscan*"))
       measure("q274_dbscan*",
-        (_, _) => QueriesCore.dbscanFrom(ids(1), 1000L),
-        (_, _) => QueriesCore.dbscanFrom(ids(factor), 1000L))
-    }
+        (_, _) => QueriesCore.dbscanFrom(gridIds(1), 1000L),
+        (_, _) => QueriesCore.dbscanFrom(gridIds(factor), 1000L))
+    // q276/q277 ride the same constant-density N× world: LPA rounds
+    // are |edges|-linear joins, the clustering coefficient's two-path
+    // join fans out deg² ≈ π² per node — both should probe ≈ 1.0
+    if (wanted("q276_label_propagation*"))
+      measure("q276_label_propagation*",
+        (_, _) => QueriesStats.lpaFrom(gridIds(1)),
+        (_, _) => QueriesStats.lpaFrom(gridIds(factor)))
+    if (wanted("q277_local_clustering*"))
+      measure("q277_local_clustering*",
+        (_, _) => QueriesStats.localClusteringFrom(gridIds(1)),
+        (_, _) => QueriesStats.localClusteringFrom(gridIds(factor)))
+    // q278-q280/q282 run as declared against the replicated fact
+    // tables: the MW/changepoint/backtest rollups are value-bounded
+    // (qty ladder / calendar days / weeks), so the probe measures the
+    // linear fact-scan + keyed-aggregate path; q279's co-occurrence
+    // pairs grow with replicated orders (baskets stay ≤ 7 wide)
+    Seq("q278_mann_whitney", "q279_item_cosine", "q280_changepoint",
+        "q282_forecast_backtest")
+      .filter(wanted).foreach { name =>
+        measure(name, SparkEntry.queries(name), SparkEntry.queries(name))
+      }
 
     // ——— streaming probes: N× independent key populations at the
     // same event-time distribution (see replicate) — state and
