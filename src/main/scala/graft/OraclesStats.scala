@@ -212,6 +212,143 @@ object OraclesStats {
         |ORDER BY est_count DESC, cms_key
         |LIMIT 100""".stripMargin,
 
+    // q283: the oracle states the type-1 quantile DEFINITION with one
+    // plain ladder window (DuckDB-side scale is not a constraint), so
+    // the Spark side's two-level dollar-bracket scheme is verified
+    // against the spec, not against itself.
+    "q283_winsorize" ->
+      """WITH cents AS MATERIALIZED (
+        |  SELECT n_name AS nation,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS c
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey),
+        |tot AS (SELECT nation, count(*) AS n,
+        |    (count(*) + 19) // 20 AS k05,
+        |    (19 * count(*) + 19) // 20 AS k95
+        |  FROM cents GROUP BY 1),
+        |ladder AS (SELECT nation, c, count(*) AS cnt FROM cents
+        |           GROUP BY 1, 2),
+        |cum AS (SELECT nation, c, cnt,
+        |    sum(cnt) OVER (PARTITION BY nation ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS ccum
+        |  FROM ladder),
+        |p05 AS (SELECT cum.nation, min(c) AS p05_cents
+        |  FROM cum JOIN tot USING (nation) WHERE ccum >= k05
+        |  GROUP BY 1),
+        |p95 AS (SELECT cum.nation, min(c) AS p95_cents
+        |  FROM cum JOIN tot USING (nation) WHERE ccum >= k95
+        |  GROUP BY 1)
+        |SELECT c.nation, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(p05_cents) AS BIGINT) AS p05_cents,
+        |  CAST(min(p95_cents) AS BIGINT) AS p95_cents,
+        |  CAST(sum(c.c) AS BIGINT) AS sum_cents,
+        |  CAST(sum(greatest(least(c.c, p95_cents), p05_cents))
+        |    AS BIGINT) AS winsorized_cents
+        |FROM cents c JOIN p05 USING (nation) JOIN p95 USING (nation)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q284_kendall_tau" ->
+      """WITH grid AS MATERIALIZED (
+        |  SELECT n_name AS nation, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS y,
+        |    count(*) AS cnt
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  GROUP BY 1, 2, 3),
+        |pairs AS (SELECT g1.nation,
+        |    sum(CASE WHEN g2.y > g1.y THEN g1.cnt * g2.cnt ELSE 0 END)
+        |      AS nc,
+        |    sum(CASE WHEN g2.y < g1.y THEN g1.cnt * g2.cnt ELSE 0 END)
+        |      AS nd
+        |  FROM grid g1 JOIN grid g2
+        |    ON g2.nation = g1.nation AND g2.x > g1.x
+        |  GROUP BY 1),
+        |tot AS (SELECT nation, sum(cnt) AS n FROM grid GROUP BY 1)
+        |SELECT nation, CAST(n AS BIGINT) AS n,
+        |  CAST(nc AS BIGINT) AS nc, CAST(nd AS BIGINT) AS nd,
+        |  CAST(((nc - nd)::HUGEINT * 2000000)
+        |    // (n::HUGEINT * (n - 1)) AS BIGINT) AS tau_a_ppm
+        |FROM pairs JOIN tot USING (nation) ORDER BY nation""".stripMargin,
+
+    // q285: || propagates NULL through an incomplete tail trigram, so
+    // WHERE trigram IS NOT NULL is exactly the Spark side's lead-2
+    // null filter.
+    "q285_event_trigrams" ->
+      """WITH x AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM x),
+        |t AS (SELECT event_type || '>' || lead(event_type, 1) OVER w2
+        |    || '>' || lead(event_type, 2) OVER w2 AS trigram
+        |  FROM s
+        |  WINDOW w2 AS (PARTITION BY user_id, sess
+        |    ORDER BY ts, event_id))
+        |SELECT trigram, CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM t WHERE trigram IS NOT NULL
+        |GROUP BY 1 ORDER BY n_occurrences DESC, trigram
+        |LIMIT 20""".stripMargin,
+
+    // q286: stream ≡ batch by construction (BIT_OR is order-free), so
+    // the oracle rebuilds the 32-word filter from the batch events.
+    "q286_stream_bloom" ->
+      """WITH j AS (SELECT unnest(range(0, 3)) AS j),
+        |bits0 AS (
+        |  SELECT ('0x' || substr(md5(j.j::VARCHAR || ':'
+        |    || e.user_id::VARCHAR), 1, 8))::BIGINT % 1024 AS p
+        |  FROM events e CROSS JOIN j),
+        |words AS (SELECT p // 32 AS word_idx,
+        |    bit_or(1::BIGINT << (p % 32)) AS bits
+        |  FROM bits0 GROUP BY 1),
+        |m AS (SELECT DISTINCT user_id FROM events),
+        |probes AS (
+        |  SELECT 'member' AS kind, user_id AS probe FROM m
+        |  UNION ALL SELECT 'absent', user_id + 1000000000 FROM m),
+        |pp AS (SELECT kind, probe,
+        |    ('0x' || substr(md5(j.j::VARCHAR || ':'
+        |      || probe::VARCHAR), 1, 8))::BIGINT % 1024 AS p
+        |  FROM probes CROSS JOIN j),
+        |pr AS (SELECT kind, probe,
+        |    min(CASE WHEN (coalesce(w.bits, 0)
+        |        & (1::BIGINT << (pp.p % 32)))
+        |      = (1::BIGINT << (pp.p % 32)) THEN 1 ELSE 0 END) AS hit
+        |  FROM pp LEFT JOIN words w ON w.word_idx = pp.p // 32
+        |  GROUP BY 1, 2),
+        |pc AS (SELECT sum(bit_count(bits)) AS bits_set FROM words)
+        |SELECT kind, CAST(count(*) AS BIGINT) AS n_probes,
+        |  CAST(sum(hit) AS BIGINT) AS n_positive,
+        |  CAST((sum(hit)::HUGEINT * 1000000) // count(*) AS BIGINT)
+        |    AS positive_ppm,
+        |  CAST(min(bits_set) AS BIGINT) AS bits_set
+        |FROM pr CROSS JOIN pc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q287_calibration_bins" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT o_custkey AS cust,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+        |rate AS (SELECT cust,
+        |    CAST((sum(ret) * 1000000) // count(*) AS BIGINT)
+        |      AS pred_ppm
+        |  FROM li GROUP BY 1)
+        |SELECT CAST(least(pred_ppm // 100000, 9) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(pred_ppm) // count(*) AS BIGINT) AS avg_pred_ppm,
+        |  CAST((sum(ret) * 1000000) // count(*) AS BIGINT)
+        |    AS actual_ppm
+        |FROM li JOIN rate USING (cust)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q282_forecast_backtest" ->
       """WITH weekly AS MATERIALIZED (
         |  SELECT n_name AS nation,

@@ -358,6 +358,275 @@ object QueriesStats {
       .orderBy("nation")
   }
 
+  /** WINSORIZED statistics per nation — order totals clamped at the
+    * EXACT type-1 p05/p95 (smallest value whose cumulative count
+    * reaches ⌈q·n⌉, the ceil carried as integer (n+19) DIV 20 /
+    * (19n+19) DIV 20). Quantile location runs on the per-nation
+    * (cents) distinct-value ladder in TWO value-bounded levels —
+    * dollar buckets (≤ price-domain/100 rows) then the ≤100-cent
+    * ladder inside the bracket (q241's bracket scheme) — so no window
+    * ever carries a fact-proportional frame even though 2-dp prices
+    * are nearly unique per order. The oracle states the DEFINITION
+    * directly (one ladder window — DuckDB-side scale is not a
+    * constraint), so the bracketed implementation is verified against
+    * the plain spec, not against itself.
+    */
+  def q283Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir).select(col("c_custkey")
+        .as("o_custkey"), col("c_nationkey")), Seq("o_custkey"))
+      .join(broadcast(Tables.nation(s, dir).select(col("n_nationkey")
+        .as("c_nationkey"), col("n_name"))), Seq("c_nationkey"))
+      .select(col("n_name").as("nation"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("c"))
+      .localCheckpoint() // ladder build + final clamp pass
+    val ladder = cents.groupBy(col("nation"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("dollar", expr("c DIV 100"))
+      .localCheckpoint() // dollar rollup + in-bracket ladder
+    val tot = cents.groupBy("nation").agg(count(lit(1)).as("n"))
+      .withColumn("k05", expr("(n + 19) DIV 20"))
+      .withColumn("k95", expr("(19 * n + 19) DIV 20"))
+    // level 1: cumulative over the per-nation DOLLAR rollup
+    val byDollar = Window.partitionBy("nation").orderBy("dollar")
+    val dollarCum = ladder.groupBy("nation", "dollar")
+      .agg(sum(col("cnt")).as("dcnt"))
+      .withColumn("dcum", sum(col("dcnt")).over(
+        byDollar.rowsBetween(Window.unboundedPreceding, 0)))
+    def locate(k: Column, tag: String): DataFrame = {
+      // the bracket: first dollar bucket whose cum reaches k
+      val bracket = dollarCum.join(broadcast(tot), Seq("nation"))
+        .filter(col("dcum") >= k && col("dcum") - col("dcnt") < k)
+        .select(col("nation"), col("dollar"),
+          (col("dcum") - col("dcnt")).as("below"), k.as("k"))
+      // level 2: the ≤100-row cents ladder inside the bracket
+      val inB = Window.partitionBy("nation").orderBy("c")
+      ladder.join(bracket, Seq("nation", "dollar"))
+        .withColumn("ccum", col("below") + sum(col("cnt")).over(
+          inB.rowsBetween(Window.unboundedPreceding, 0)))
+        .filter(col("ccum") >= col("k") &&
+          col("ccum") - col("cnt") < col("k"))
+        .select(col("nation"), col("c").as(tag))
+    }
+    val p05 = locate(col("k05"), "p05_cents")
+    val p95 = locate(col("k95"), "p95_cents")
+    cents.join(broadcast(p05), Seq("nation"))
+      .join(broadcast(p95), Seq("nation"))
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c")).as("sum_cents"),
+        sum(greatest(least(col("c"), col("p95_cents")),
+          col("p05_cents"))).as("winsorized_cents"),
+        min(col("p05_cents")).as("p05_cents"),
+        min(col("p95_cents")).as("p95_cents"))
+      .select(col("nation"), col("n").cast("bigint").as("n"),
+        col("p05_cents").cast("bigint").as("p05_cents"),
+        col("p95_cents").cast("bigint").as("p95_cents"),
+        col("sum_cents").cast("bigint").as("sum_cents"),
+        col("winsorized_cents").cast("bigint").as("winsorized_cents"))
+      .orderBy("nation")
+  }
+
+  /** KENDALL τ-a per nation between quantity (1..50) and discount
+    * (11 distinct values) — concordant/discordant/tie pair counts
+    * computed EXACTLY from the ≤550-cell (qty, disc) contingency
+    * rollup: the grid×grid theta join compares value cells, never
+    * fact rows (≤550² pairs per nation at ANY data scale), and pair
+    * counts multiply cell counts. τ_a in ppm by integral division
+    * (truncation toward zero agrees across engines on negatives —
+    * the q259 precedent).
+    */
+  def q284KendallTau(s: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey")
+        .as("l_orderkey"), col("o_custkey")), Seq("l_orderkey"))
+      .join(Tables.customer(s, dir).select(col("c_custkey")
+        .as("o_custkey"), col("c_nationkey")), Seq("o_custkey"))
+      .join(broadcast(Tables.nation(s, dir).select(col("n_nationkey")
+        .as("c_nationkey"), col("n_name"))), Seq("c_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        col("l_quantity").cast("bigint").as("x"),
+        expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("y"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // both sides of the cell-pair theta join
+    val g2 = grid.select(col("nation"), col("x").as("x2"),
+      col("y").as("y2"), col("cnt").as("cnt2"))
+    val pairs = grid.join(g2, Seq("nation"))
+      .filter(col("x2") > col("x")) // each unordered pair once
+      .groupBy("nation")
+      .agg(sum(when(col("y2") > col("y"),
+          col("cnt") * col("cnt2")).otherwise(0L)).as("nc"),
+        sum(when(col("y2") < col("y"),
+          col("cnt") * col("cnt2")).otherwise(0L)).as("nd"))
+    val tot = grid.groupBy("nation").agg(sum(col("cnt")).as("n"))
+    pairs.join(tot, Seq("nation"))
+      .select(col("nation"), col("n").cast("bigint").as("n"),
+        col("nc").cast("bigint").as("nc"),
+        col("nd").cast("bigint").as("nd"),
+        expr("""CAST((CAST(nc - nd AS DECIMAL(38,0)) * 2000000)
+                DIV (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)""")
+          .as("tau_a_ppm"))
+      .orderBy("nation")
+  }
+
+  /** SESSION PATH MINING — top-20 event-type trigrams within 30-min
+    * gap sessions: sessionization and the two LEADs both run in
+    * per-user windows (keyed, bounded by a user's history — the q12
+    * scaling argument), timestamps compared as exact micros
+    * (unix_micros ≡ DuckDB epoch_us; a seconds cast would truncate
+    * differently at fractional-second boundaries). (count desc,
+    * trigram) is a value-bounded TakeOrdered — |event-type|³ ≤ 125
+    * candidate rows.
+    */
+  def q285EventTrigrams(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val sessions = Tables.events(s, dir)
+      .withColumn("__us", unix_micros(col("ts")))
+      .withColumn("__brk",
+        when(col("__us") - lag(col("__us"), 1).over(byUser)
+          > 1800L * 1000000L, 1L)
+          .otherwise(when(lag(col("__us"), 1).over(byUser).isNull, 1L)
+            .otherwise(0L)))
+      .withColumn("sess", sum(col("__brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    val bySess = Window.partitionBy("user_id", "sess")
+      .orderBy(col("ts"), col("event_id"))
+    sessions
+      .withColumn("__l2", lead(col("event_type"), 2).over(bySess))
+      .withColumn("trigram", concat_ws(">", col("event_type"),
+        lead(col("event_type"), 1).over(bySess), col("__l2")))
+      // concat_ws skips nulls: a tail bigram would collapse into a
+      // 2-part string — require the full trigram explicitly (window
+      // expressions can't sit in a filter, hence the __l2 column)
+      .filter(col("__l2").isNotNull)
+      .groupBy("trigram").agg(count(lit(1)).as("n_occurrences"))
+      .select(col("trigram"),
+        col("n_occurrences").cast("bigint").as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("trigram"))
+      .limit(20)
+  }
+
+  /** STREAMING BLOOM FILTER — m=1024 bits as 32 × 32-bit words in
+    * BIGINTs (no sign-bit portability risk), k=3 md5 hashes, the word
+    * OR maintained as streaming aggregation state: BIT_OR is
+    * order-free, so any micro-batch slicing lands on the identical
+    * filter (the q273/q281 family's third member — max / sum / or).
+    * The drained 32-row state then audits membership: every seen
+    * user_id must test positive (a Bloom filter has NO false
+    * negatives — `sound`), and a disjoint synthetic id population
+    * measures the real false-positive rate in ppm. State is 32
+    * integers at any stream length.
+    */
+  def q286StreamBloom(s: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    def bitpos(j: Column, u: Column): Column =
+      pmod(graft.operators.Scale.md5Prefix32(
+        concat(j.cast("string"), lit(":"), u.cast("string"))),
+        lit(1024L))
+    val ev = Tables.events(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("q286-stream").toString
+    val src = s"$root/src"
+    Seq(0, 1, 2).foreach { r =>
+      ev.filter(pmod(col("event_id"), lit(3)) === r)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val name = java.nio.file.Paths.get(root).getFileName.toString
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    try {
+      val q = narrow(s, 4) {
+        graft.streaming.EventsStream
+          .readEvents(s, src, maxFilesPerTrigger = Some(1))
+          .select(explode(sequence(lit(0), lit(k - 1))).as("__j"),
+            col("user_id"))
+          .select(bitpos(col("__j"), col("user_id")).as("__p"))
+          .select(expr("__p DIV 32").as("word_idx"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 32 AS INT))")
+              .as("__m"))
+          .groupBy("word_idx").agg(expr("bit_or(__m)").as("bits"))
+          .writeStream.outputMode("complete").format("memory")
+          .queryName(name).start()
+      }
+      q.processAllAvailable()
+      q.stop()
+      val words = s.table(name).localCheckpoint()
+      val members = ev.select(col("user_id").as("probe")).distinct()
+        .withColumn("kind", lit("member"))
+      // synthetic absent population, disjoint by construction
+      val absent = members.select(
+          (col("probe") + 1000000000L).as("probe"),
+          lit("absent").as("kind"))
+      val probes = members.unionByName(absent)
+        .select(col("kind"), col("probe"),
+          explode(sequence(lit(0), lit(k - 1))).as("__j"))
+        .withColumn("__p", bitpos(col("__j"), col("probe")))
+        .withColumn("word_idx", expr("__p DIV 32"))
+        .withColumn("__m",
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 32 AS INT))"))
+        // LEFT join with a 0-word default: a probe hashing into a
+        // never-set word must test NEGATIVE, not vanish (an inner join
+        // silently dropped one sparse-filter probe at sf0.001)
+        .join(broadcast(words), Seq("word_idx"), "left")
+        .withColumn("__b", coalesce(col("bits"), lit(0L)))
+        .groupBy("kind", "probe")
+        .agg(min((col("__b").bitwiseAND(col("__m")) === col("__m"))
+          .cast("int")).as("__hit"))
+      val popcount = words
+        .agg(sum(expr("bit_count(bits)")).as("bits_set"))
+      val out = probes.groupBy("kind")
+        .agg(count(lit(1)).as("n_probes"),
+          sum(col("__hit")).as("n_positive"))
+        .crossJoin(broadcast(popcount))
+        .select(col("kind"),
+          col("n_probes").cast("bigint").as("n_probes"),
+          col("n_positive").cast("bigint").as("n_positive"),
+          expr("""CAST((CAST(n_positive AS DECIMAL(38,0)) * 1000000)
+                  DIV n_probes AS BIGINT)""").as("positive_ppm"),
+          col("bits_set").cast("bigint").as("bits_set"))
+        .orderBy("kind")
+        .localCheckpoint(true) // materialize before the finally deletes
+      s.catalog.dropTempView(name)
+      out
+    } finally TmpTrees.delete(root)
+  }
+
+  /** CALIBRATION BINS — the reliability-diagram eval every scored
+    * pipeline ships: customer-level return rate (target encoding,
+    * exact ppm) as the "model score" for each lineitem, bucketed into
+    * 10 equal-width bins; per bin the mean predicted ppm (integral
+    * division of exact sums) vs the observed return rate ppm. A
+    * perfectly calibrated score has avg_pred ≈ actual per bin; the
+    * output carries both exactly, no floats. Keyed joins and a 10-row
+    * rollup — nothing fact-proportional in a window.
+    */
+  def q287CalibrationBins(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey")
+        .as("l_orderkey"), col("o_custkey")), Seq("l_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"))
+      .localCheckpoint() // rate build + scored pass
+    val rate = li.groupBy("cust")
+      .agg(expr("CAST((sum(ret) * 1000000) DIV count(1) AS BIGINT)")
+        .as("pred_ppm"))
+    li.join(rate, Seq("cust"))
+      .withColumn("bin",
+        least(expr("pred_ppm DIV 100000"), lit(9L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST((sum(pred_ppm)) DIV count(1) AS BIGINT)")
+          .as("avg_pred_ppm"),
+        expr("CAST((sum(ret) * 1000000) DIV count(1) AS BIGINT)")
+          .as("actual_ppm"))
+      .select(col("bin").cast("bigint").as("bin"),
+        col("n").cast("bigint").as("n"),
+        col("avg_pred_ppm"), col("actual_ppm"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, Q] = Map(
     "q276_label_propagation" -> q276LabelPropagation _,
     "q277_local_clustering" -> q277LocalClustering _,
@@ -365,5 +634,10 @@ object QueriesStats {
     "q279_item_cosine" -> q279ItemCosine _,
     "q280_changepoint" -> q280Changepoint _,
     "q281_stream_cms" -> q281StreamCms _,
-    "q282_forecast_backtest" -> q282ForecastBacktest _)
+    "q282_forecast_backtest" -> q282ForecastBacktest _,
+    "q283_winsorize" -> q283Winsorize _,
+    "q284_kendall_tau" -> q284KendallTau _,
+    "q285_event_trigrams" -> q285EventTrigrams _,
+    "q286_stream_bloom" -> q286StreamBloom _,
+    "q287_calibration_bins" -> q287CalibrationBins _)
 }

@@ -199,6 +199,127 @@ class Round15StatsSpec extends AnyFunSuite {
       "no collisions at w=64 — the one-sided guarantee is vacuous")
   }
 
+  test("q283 winsorize ≡ brute-force type-1 quantile clamp, all nations") {
+    val cents = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.nation(spark, sf),
+        col("n_nationkey") === col("c_nationkey"))
+      .select(col("n_name"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1)
+    val got = QueriesStats.q283Winsorize(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    cents.foreach { case (nation, xs) =>
+      val v = xs.map(_._2).sorted
+      val n = v.length
+      // type-1 quantile: value at 1-based index ceil(q·n)
+      val p05 = v(((n + 19) / 20) - 1)
+      val p95 = v(((19 * n + 19) / 20) - 1)
+      val win = v.map(c => math.max(math.min(c, p95), p05)).sum
+      assert(got(nation) == ((n.toLong, p05, p95, v.sum, win)),
+        s"$nation: got ${got(nation)}, " +
+          s"brute (${n.toLong}, $p05, $p95, ${v.sum}, $win)")
+    }
+  }
+
+  test("q284 Kendall τ ≡ brute-force pair counts, all nations") {
+    val rows = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, sf),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.nation(spark, sf),
+        col("n_nationkey") === col("c_nationkey"))
+      .select(col("n_name"), col("l_quantity").cast("long"),
+        expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val got = QueriesStats.q284KendallTau(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    rows.foreach { case (nation, xs) =>
+      val v = xs.map(x => (x._2, x._3))
+      var nc = 0L; var nd = 0L
+      for (i <- v.indices; k <- (i + 1) until v.length) {
+        val dx = java.lang.Long.compare(v(k)._1, v(i)._1)
+        val dy = java.lang.Long.compare(v(k)._2, v(i)._2)
+        if (dx * dy > 0) nc += 1 else if (dx * dy < 0) nd += 1
+      }
+      assert(got(nation) == ((v.length.toLong, nc, nd)),
+        s"$nation: got ${got(nation)}, brute (${v.length}, $nc, $nd)")
+    }
+  }
+
+  test("q285 trigrams ≡ brute-force 30-min sessionization") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val counts = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    ev.groupBy(_._1).values.foreach { rows =>
+      val seq = rows.sortBy(r => (r._2, r._3))
+      // split at >30-min gaps, then slide a width-3 window per session
+      var sess = List[List[String]]()
+      var cur = List[String]()
+      var prev = Long.MinValue
+      seq.foreach { r =>
+        if (prev != Long.MinValue && r._2 - prev > 1800L * 1000000L) {
+          sess ::= cur.reverse; cur = Nil
+        }
+        cur ::= r._4; prev = r._2
+      }
+      sess ::= cur.reverse
+      sess.foreach(_.sliding(3).foreach {
+        case List(a, b, c) => counts(s"$a>$b>$c") += 1
+        case _ =>
+      })
+    }
+    val expect = counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(20)
+    val got = QueriesStats.q285EventTrigrams(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expect, s"got $got\nexpect $expect")
+  }
+
+  test("q286 stream Bloom: no false negatives, measured FPs, real state") {
+    val rows = QueriesStats.q286StreamBloom(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val (mN, mPos, mPpm, bits) = rows("member")
+    assert(mPos == mN && mPpm == 1000000L,
+      "a seen user_id tested negative — Bloom false negative is impossible")
+    val (aN, aPos, aPpm, _) = rows("absent")
+    assert(aN == mN, "absent probe population must mirror members")
+    // fp rate sanity: (bits/1024)^3 expected; allow a loose envelope
+    // above it but NEVER ~100% (which would mean a saturated filter)
+    assert(aPpm < 500000L, s"false-positive rate $aPpm ppm — saturated?")
+    assert(bits > 0 && bits <= 1024, s"bits_set $bits out of range")
+    assert(aPos >= 0)
+  }
+
+  test("q287 calibration: bin bounds, total row count, exact ratios") {
+    val rows = QueriesStats.q287CalibrationBins(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalRows = Tables.lineitem(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == totalRows,
+      "bins must partition the scored rows exactly")
+    rows.foreach { r =>
+      val (bin, n, pred, act) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(bin >= 0 && bin <= 9 && n > 0)
+      // mean of scores inside an equal-width bin stays in the bin
+      // (bin 9 also absorbs the pred=1e6 cap)
+      assert(pred >= bin * 100000L &&
+        (pred < (bin + 1) * 100000L || (bin == 9L && pred <= 1000000L)),
+        s"bin $bin: avg_pred_ppm $pred outside its bin")
+      assert(act >= 0 && act <= 1000000L)
+    }
+  }
+
   test("q282 backtest: WAPE identity and exact lag-52 alignment") {
     val rows = QueriesStats.q282ForecastBacktest(spark, sf).collect()
     assert(rows.nonEmpty)
