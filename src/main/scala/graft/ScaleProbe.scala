@@ -274,8 +274,13 @@ object ScaleProbe {
     // (qty ladder / calendar days / weeks), so the probe measures the
     // linear fact-scan + keyed-aggregate path; q279's co-occurrence
     // pairs grow with replicated orders (baskets stay ≤ 7 wide)
+    // q283's quantile ladders, q284's contingency grid, q285's
+    // per-user session windows and q287's 10-bin rollup are all
+    // value- or key-bounded — the probe confirms the linear
+    // fact-scan path is all that grows
     Seq("q278_mann_whitney", "q279_item_cosine", "q280_changepoint",
-        "q282_forecast_backtest")
+        "q282_forecast_backtest", "q283_winsorize", "q284_kendall_tau",
+        "q285_event_trigrams", "q287_calibration_bins")
       .filter(wanted).foreach { name =>
         measure(name, SparkEntry.queries(name), SparkEntry.queries(name))
       }
