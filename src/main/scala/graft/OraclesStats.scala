@@ -212,6 +212,59 @@ object OraclesStats {
         |ORDER BY est_count DESC, cms_key
         |LIMIT 100""".stripMargin,
 
+    // q288: both HITS rounds unrolled (q115's integer fixed-point
+    // discipline); HUGEINT cross-multiply mirrors the Spark side's
+    // DECIMAL(38).
+    "q288_hits" ->
+      """WITH bip AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |h0 AS MATERIALIZED (SELECT DISTINCT o, 1000000::BIGINT AS h
+        |  FROM bip),
+        |a1r AS MATERIALIZED (SELECT p, sum(h) AS a
+        |  FROM bip JOIN h0 USING (o) GROUP BY 1),
+        |a1 AS MATERIALIZED (SELECT p,
+        |  (a::HUGEINT * 1000000) // (SELECT max(a) FROM a1r) AS a
+        |  FROM a1r),
+        |h1r AS MATERIALIZED (SELECT o, sum(a) AS h
+        |  FROM bip JOIN a1 USING (p) GROUP BY 1),
+        |h1 AS MATERIALIZED (SELECT o,
+        |  (h::HUGEINT * 1000000) // (SELECT max(h) FROM h1r) AS h
+        |  FROM h1r),
+        |a2r AS MATERIALIZED (SELECT p, sum(h) AS a
+        |  FROM bip JOIN h1 USING (o) GROUP BY 1),
+        |a2 AS MATERIALIZED (SELECT p,
+        |  (a::HUGEINT * 1000000) // (SELECT max(a) FROM a2r) AS a
+        |  FROM a2r),
+        |n AS (SELECT p, count(*) AS n_orders FROM bip GROUP BY 1)
+        |SELECT CAST(p AS BIGINT) AS part,
+        |  CAST(a AS BIGINT) AS authority_micros,
+        |  CAST(n_orders AS BIGINT) AS n_orders
+        |FROM a2 JOIN n USING (p)
+        |ORDER BY authority_micros DESC, part LIMIT 20""".stripMargin,
+
+    "q289_negative_sampling" ->
+      """WITH pos AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |np AS (SELECT count(*) AS np FROM part),
+        |j AS (SELECT unnest(range(0, 6)) AS j),
+        |cand AS (SELECT od.o, j.j,
+        |    ('0x' || substr(md5(od.o::VARCHAR || ':'
+        |      || j.j::VARCHAR), 1, 8))::BIGINT % np.np AS cp
+        |  FROM (SELECT DISTINCT o FROM pos) od
+        |  CROSS JOIN j CROSS JOIN np),
+        |surv AS (SELECT c.o, c.cp, min(c.j) AS slot
+        |  FROM cand c LEFT JOIN pos ON pos.o = c.o AND pos.p = c.cp
+        |  WHERE pos.p IS NULL GROUP BY 1, 2),
+        |rk AS (SELECT o, cp, slot,
+        |    row_number() OVER (PARTITION BY o ORDER BY slot) AS rn
+        |  FROM surv)
+        |SELECT CAST(o AS BIGINT) AS o_orderkey,
+        |  CAST(cp AS BIGINT) AS neg_partkey,
+        |  CAST(slot AS BIGINT) AS slot
+        |FROM rk WHERE rn <= 2 ORDER BY o_orderkey, slot""".stripMargin,
+
     // q283: the oracle states the type-1 quantile DEFINITION with one
     // plain ladder window (DuckDB-side scale is not a constraint), so
     // the Spark side's two-level dollar-bracket scheme is verified

@@ -627,7 +627,95 @@ object QueriesStats {
       .orderBy("bin")
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) over the order↔part
+    * bipartite graph, 2 iterations, scores carried as integer MICROS
+    * with L∞ (max) normalization — integer division by the broadcast
+    * per-side max replaces the classic L2 norm (no sqrt, no floats),
+    * so the trajectory is bit-identical under any aggregation order
+    * and the oracle unrolls the same two rounds (the q115 TextRank
+    * discipline). Every step is a keyed join + order-free sum; the
+    * per-side max is a 1-row broadcast. Top-20 authorities by
+    * (score, partkey). Overflow headroom: Σ hubs ≤ |orders|·1e6
+    * ≈ 1.5e15 at 100 TB — inside BIGINT.
+    */
+  def q288Hits(s: SparkSession, dir: String): DataFrame = {
+    val bip = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint() // probed twice per iteration
+    def normalize(df: DataFrame, c: String): DataFrame = {
+      // pin the raw aggregate: the max probe AND the row scan both
+      // consume it, and unpinned the recomputation compounds per
+      // iteration (the repo's double-consumed-subtree gotcha)
+      val pinned = df.localCheckpoint()
+      val mx = pinned.agg(max(col(c)).as("__mx"))
+      // decimal(38) cross-multiply: raw·1e6 tops BIGINT at ~1.5e15
+      // raw sums (reachable at 100 TB); ANSI would throw, not wrap
+      pinned.crossJoin(broadcast(mx))
+        .select(pinned.columns.filter(_ != c).map(col) :+
+          expr(s"CAST((CAST($c AS DECIMAL(38,0)) * 1000000)" +
+            s" DIV __mx AS BIGINT)").as(c): _*)
+    }
+    var hubs = bip.select("o").distinct()
+      .withColumn("h", lit(1000000L))
+    var auth: DataFrame = null
+    for (_ <- 1 to 2) {
+      auth = normalize(
+        bip.join(hubs, Seq("o")).groupBy("p")
+          .agg(sum(col("h")).as("a")), "a")
+      hubs = normalize(
+        bip.join(auth, Seq("p")).groupBy("o")
+          .agg(sum(col("a")).as("h")), "h")
+    }
+    auth.join(bip.groupBy("p").agg(count(lit(1)).as("n_orders")),
+        Seq("p"))
+      .select(col("p").cast("bigint").as("part"),
+        col("a").cast("bigint").as("authority_micros"),
+        col("n_orders").cast("bigint").as("n_orders"))
+      .orderBy(col("authority_micros").desc, col("part"))
+      .limit(20)
+  }
+
+  /** DETERMINISTIC NEGATIVE SAMPLING — the training-pair generator
+    * every contrastive recommender/retriever pipeline runs: for each
+    * order, 6 hash-probed candidate parts (md5(o:j) mod |parts| —
+    * partkeys are dense 0..P−1 in this schema), candidates colliding
+    * with the order's own basket anti-joined away, duplicates within
+    * an order collapsed to their first slot, and the 2
+    * lowest-slot survivors kept. Fully replayable (no RNG state): the
+    * oracle re-derives the identical sample. Per-order windows are
+    * ≤6 rows; everything else is keyed joins — embarrassingly
+    * parallel at any scale.
+    */
+  def q289NegativeSampling(s: SparkSession, dir: String): DataFrame = {
+    val pos = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint() // order list + the basket anti-join
+    val np = Tables.part(s, dir).agg(count(lit(1)).as("__np"))
+    val cand = pos.select("o").distinct()
+      .crossJoin(broadcast(np))
+      .select(col("o"), explode(sequence(lit(0), lit(5))).as("j"),
+        col("__np"))
+      .withColumn("cp", pmod(graft.operators.Scale.md5Prefix32(
+        concat(col("o").cast("string"), lit(":"),
+          col("j").cast("string"))), col("__np")))
+    val surv = cand
+      .join(pos.select(col("o"), col("p").as("cp")),
+        Seq("o", "cp"), "left_anti")
+      .groupBy("o", "cp").agg(min(col("j")).as("slot"))
+    val win = Window.partitionBy("o").orderBy("slot")
+    surv.withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") <= 2)
+      .select(col("o").cast("bigint").as("o_orderkey"),
+        col("cp").cast("bigint").as("neg_partkey"),
+        col("slot").cast("bigint").as("slot"))
+      .orderBy("o_orderkey", "slot")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q288_hits" -> q288Hits _,
+    "q289_negative_sampling" -> q289NegativeSampling _,
     "q276_label_propagation" -> q276LabelPropagation _,
     "q277_local_clustering" -> q277LocalClustering _,
     "q278_mann_whitney" -> q278MannWhitney _,

@@ -320,6 +320,67 @@ class Round15StatsSpec extends AnyFunSuite {
     }
   }
 
+  /** md5 32-bit prefix as unsigned long — the Scala-side twin of
+    * [[graft.operators.Scale.md5Prefix32]] for brute-force replays. */
+  private def md5p32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+  }
+
+  test("q288 HITS ≡ brute-force 2-round integer fixed-point") {
+    val bip = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    var hubs = bip.map(_._1).distinct.map(_ -> 1000000L).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to 2) {
+      val ar = bip.groupBy(_._2).map { case (p, xs) =>
+        p -> xs.map(x => hubs(x._1)).sum }
+      val amx = ar.values.max
+      auth = ar.map { case (p, a) =>
+        p -> (BigInt(a) * 1000000 / amx).toLong }
+      val hr = bip.groupBy(_._1).map { case (o, xs) =>
+        o -> xs.map(x => auth(x._2)).sum }
+      val hmx = hr.values.max
+      hubs = hr.map { case (o, h) =>
+        o -> (BigInt(h) * 1000000 / hmx).toLong }
+    }
+    val nOrders = bip.groupBy(_._2).map { case (p, xs) =>
+      p -> xs.size.toLong }
+    val expect = auth.toSeq.map { case (p, a) => (p, a, nOrders(p)) }
+      .sortBy { case (p, a, _) => (-a, p) }.take(20)
+    val got = QueriesStats.q288Hits(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect, s"got $got\nexpect $expect")
+    assert(got.head._2 == 1000000L, "L∞ normalization: max must be 1e6")
+  }
+
+  test("q289 negative sampling ≡ brute-force replay, never in-basket") {
+    val pos = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nParts = Tables.part(spark, sf).count()
+    val baskets = pos.groupBy(_._1).map { case (o, xs) =>
+      o -> xs.map(_._2).toSet }
+    val expect = baskets.toSeq.flatMap { case (o, basket) =>
+      (0 to 5).map(j => (md5p32(s"$o:$j") % nParts, j))
+        .filterNot { case (cp, _) => basket.contains(cp) }
+        .groupBy(_._1).map { case (cp, js) => (cp, js.map(_._2).min) }
+        .toSeq.sortBy(_._2).take(2)
+        .map { case (cp, slot) => (o, cp, slot.toLong) }
+    }.sortBy(x => (x._1, x._3))
+    val got = QueriesStats.q289NegativeSampling(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect,
+      s"sample drift: got ${got.size} rows, expect ${expect.size}")
+    got.foreach { case (o, cp, _) =>
+      assert(!baskets(o).contains(cp),
+        s"order $o sampled its own basket item $cp as a negative")
+    }
+  }
+
   test("q282 backtest: WAPE identity and exact lag-52 alignment") {
     val rows = QueriesStats.q282ForecastBacktest(spark, sf).collect()
     assert(rows.nonEmpty)
