@@ -656,14 +656,18 @@ object QueriesStats {
           expr(s"CAST((CAST($c AS DECIMAL(38,0)) * 1000000)" +
             s" DIV __mx AS BIGINT)").as(c): _*)
     }
+    val iterations = 2
     var hubs = bip.select("o").distinct()
       .withColumn("h", lit(1000000L))
     var auth: DataFrame = null
-    for (_ <- 1 to 2) {
+    for (i <- 1 to iterations) {
       auth = normalize(
         bip.join(hubs, Seq("o")).groupBy("p")
           .agg(sum(col("h")).as("a")), "a")
-      hubs = normalize(
+      // the last round's hub refresh feeds nothing — and normalize
+      // checkpoints EAGERLY, so building it would execute a full
+      // join+agg pass for unused output
+      if (i < iterations) hubs = normalize(
         bip.join(auth, Seq("p")).groupBy("o")
           .agg(sum(col("a")).as("h")), "h")
     }
