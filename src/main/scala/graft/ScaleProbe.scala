@@ -280,7 +280,10 @@ object ScaleProbe {
     // fact-scan path is all that grows
     Seq("q278_mann_whitney", "q279_item_cosine", "q280_changepoint",
         "q282_forecast_backtest", "q283_winsorize", "q284_kendall_tau",
-        "q285_event_trigrams", "q287_calibration_bins")
+        "q285_event_trigrams", "q287_calibration_bins",
+        // q288: per-round keyed joins over the replicated bipartite
+        // graph; q289: 6 hash candidates per order + keyed anti-join
+        "q288_hits", "q289_negative_sampling")
       .filter(wanted).foreach { name =>
         measure(name, SparkEntry.queries(name), SparkEntry.queries(name))
       }
