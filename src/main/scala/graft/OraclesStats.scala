@@ -212,6 +212,60 @@ object OraclesStats {
         |ORDER BY est_count DESC, cms_key
         |LIMIT 100""".stripMargin,
 
+    "q290_srm_check" ->
+      """WITH a AS (SELECT n_name AS nation,
+        |    ('0x' || substr(md5('srm:' || o_orderkey::VARCHAR), 1, 8))
+        |      ::BIGINT % 2 AS v
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey),
+        |g AS (SELECT nation, count(*) AS n,
+        |    sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS n_a
+        |  FROM a GROUP BY 1)
+        |SELECT nation, CAST(n AS BIGINT) AS n,
+        |  CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n - n_a AS BIGINT) AS n_b,
+        |  CAST(((2 * n_a - n)::HUGEINT * (2 * n_a - n) * 1000000)
+        |    // n AS BIGINT) AS chi2_ppm,
+        |  (((2 * n_a - n)::HUGEINT * (2 * n_a - n) * 1000000) // n)
+        |    > 3841459 AS srm_suspect
+        |FROM g ORDER BY nation""".stripMargin,
+
+    // q291: exposure strictly before the first purchase in
+    // (ts, event_id) order; subsets as a 16-row spine; weights are
+    // |S|!·(3−|S|)! over 4! = 24, all integers.
+    "q291_shapley_attribution" ->
+      """WITH fp AS (SELECT user_id,
+        |    min(struct_pack(ts := ts, eid := event_id)) AS fpk
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |bits AS (SELECT e.user_id,
+        |    bit_or(CASE e.event_type WHEN 'click' THEN 1
+        |      WHEN 'view' THEN 2 WHEN 'signup' THEN 4 ELSE 8 END)
+        |      AS mask
+        |  FROM events e JOIN fp ON fp.user_id = e.user_id
+        |  WHERE e.event_type <> 'purchase'
+        |    AND (e.ts < fp.fpk.ts
+        |      OR (e.ts = fp.fpk.ts AND e.event_id < fp.fpk.eid))
+        |  GROUP BY 1),
+        |m AS (SELECT coalesce(b.mask, 0) AS mask, count(*) AS cnt
+        |  FROM fp LEFT JOIN bits b ON b.user_id = fp.user_id
+        |  GROUP BY 1),
+        |ss AS (SELECT unnest(range(0, 16)) AS ss),
+        |v AS MATERIALIZED (SELECT ss.ss, coalesce(sum(m.cnt), 0) AS v
+        |  FROM ss LEFT JOIN m ON (m.mask & (15 - ss.ss)) = 0
+        |  GROUP BY 1),
+        |ch AS (SELECT * FROM (VALUES ('click', 1), ('view', 2),
+        |  ('signup', 4), ('error', 8)) c(channel, bit)),
+        |mar AS (SELECT c.channel,
+        |    sum((CASE bit_count(v1.ss) WHEN 0 THEN 6 WHEN 1 THEN 2
+        |      WHEN 2 THEN 2 ELSE 6 END) * (v2.v - v1.v)) AS phi_x24
+        |  FROM ch c JOIN v v1 ON (v1.ss & c.bit) = 0
+        |  JOIN v v2 ON v2.ss = (v1.ss | c.bit)
+        |  GROUP BY 1)
+        |SELECT channel, CAST(phi_x24 AS BIGINT) AS phi_x24,
+        |  CAST((SELECT v FROM v WHERE ss = 15) AS BIGINT) AS v_full,
+        |  CAST((SELECT v FROM v WHERE ss = 0) AS BIGINT) AS v_empty
+        |FROM mar ORDER BY channel""".stripMargin,
+
     // q288: both HITS rounds unrolled (q115's integer fixed-point
     // discipline); HUGEINT cross-multiply mirrors the Spark side's
     // DECIMAL(38).

@@ -717,7 +717,111 @@ object QueriesStats {
       .orderBy("o_orderkey", "slot")
   }
 
+  /** SAMPLE-RATIO-MISMATCH check — the first gate of every A/B
+    * readout: orders hash-split 50/50 (replayable md5 assignment, the
+    * q51 discipline), per nation the 2-cell χ² statistic in exact ppm
+    * ((o1−o2)²·10⁶ DIV n — the closed form of Σ(o−e)²/e for two equal
+    * cells; DECIMAL(38) cross-multiply since (o1−o2)²·10⁶ can top
+    * BIGINT at 100 TB), flagged against the χ²₁ 95% critical value
+    * carried as the literal 3841459 ppm. One keyed aggregate.
+    */
+  def q290SrmCheck(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir).select(col("c_custkey")
+        .as("o_custkey"), col("c_nationkey")), Seq("o_custkey"))
+      .join(broadcast(Tables.nation(s, dir).select(col("n_nationkey")
+        .as("c_nationkey"), col("n_name"))), Seq("c_nationkey"))
+      .select(col("n_name").as("nation"),
+        pmod(graft.operators.Scale.md5Prefix32(
+          concat(lit("srm:"), col("o_orderkey").cast("string"))),
+          lit(2L)).as("__v"))
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__v") === 0L, 1L).otherwise(0L)).as("n_a"))
+      .withColumn("n_b", col("n") - col("n_a"))
+      .withColumn("chi2_ppm",
+        expr("""CAST((CAST((n_a - n_b) * (n_a - n_b) AS DECIMAL(38,0))
+                * 1000000) DIV n AS BIGINT)"""))
+      .select(col("nation"), col("n").cast("bigint").as("n"),
+        col("n_a").cast("bigint").as("n_a"),
+        col("n_b").cast("bigint").as("n_b"),
+        col("chi2_ppm"),
+        (col("chi2_ppm") > 3841459L).as("srm_suspect"))
+      .orderBy("nation")
+  }
+
+  /** EXACT SHAPLEY channel attribution — each converting user's
+    * exposure set is the channels (click/view/signup/error) seen
+    * STRICTLY before their first purchase in (ts, event_id) order;
+    * v(S) = converted users whose exposure ⊆ S; φ_channel is the exact
+    * Shapley value carried ×24 (4 channels → all |S|!·(3−|S|)!
+    * weights are integers over 4! = 24 — no rationals anywhere).
+    * Everything past the per-user mask fold runs on the 16-row mask
+    * rollup and the 16-subset spine: crossJoins of broadcast
+    * 16-row frames, bounded at ANY data scale. The efficiency
+    * property Σφ·24 = 24·(v(full) − v(∅)) is spec-pinned.
+    */
+  def q291ShapleyAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"))
+      .localCheckpoint() // first-purchase probe + exposure fold
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(min(struct(col("ts"), col("event_id"))).as("__fp"))
+    val bits = ev.filter(col("event_type") =!= "purchase")
+      .join(fp, Seq("user_id"))
+      .filter(struct(col("ts"), col("event_id")) < col("__fp"))
+      .withColumn("__b",
+        when(col("event_type") === "click", 1L)
+          .when(col("event_type") === "view", 2L)
+          .when(col("event_type") === "signup", 4L)
+          .otherwise(8L)) // error
+      .groupBy("user_id").agg(expr("bit_or(__b)").as("mask"))
+    // converted users with NO prior event carry the empty exposure
+    val masks = fp.select("user_id")
+      .join(bits, Seq("user_id"), "left")
+      .na.fill(0L, Seq("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // ≤16 rows; probed by every subset
+    val spine = s.range(16).select(col("id").as("ss"))
+    // complement within 4 bits: 15 − ss ≡ 15 XOR ss for ss ⊆ 0..15;
+    // subtraction is the one spelling both engines share verbatim
+    val v = spine.join(broadcast(masks),
+        (col("mask").bitwiseAND(lit(15L) - col("ss"))) === 0L, "left")
+      .groupBy("ss").agg(coalesce(sum(col("cnt")), lit(0L)).as("v"))
+      .localCheckpoint() // both sides of the marginal join
+    val channels = Seq(("click", 1L), ("view", 2L), ("signup", 4L),
+      ("error", 8L))
+    import s.implicits._
+    val ch = channels.toDF("channel", "bit")
+    val marginal = ch.crossJoin(v.select(col("ss"), col("v")))
+      .filter((col("ss").bitwiseAND(col("bit"))) === 0L)
+      .join(v.select(col("ss").as("__s2"), col("v").as("v_with")),
+        col("__s2") === (col("ss").bitwiseOR(col("bit"))))
+      .withColumn("__w",
+        when(expr("bit_count(ss)") === 0, 6L)
+          .when(expr("bit_count(ss)") === 1, 2L)
+          .when(expr("bit_count(ss)") === 2, 2L)
+          .otherwise(6L))
+      .groupBy("channel")
+      .agg(sum(col("__w") * (col("v_with") - col("v")))
+        .as("phi_x24"))
+    marginal
+      .crossJoin(broadcast(v.filter(col("ss") === 15L)
+        .select(col("v").as("v_full"))))
+      .crossJoin(broadcast(v.filter(col("ss") === 0L)
+        .select(col("v").as("v_empty"))))
+      .select(col("channel"),
+        col("phi_x24").cast("bigint").as("phi_x24"),
+        col("v_full").cast("bigint").as("v_full"),
+        col("v_empty").cast("bigint").as("v_empty"))
+      .orderBy("channel")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q290_srm_check" -> q290SrmCheck _,
+    "q291_shapley_attribution" -> q291ShapleyAttribution _,
     "q288_hits" -> q288Hits _,
     "q289_negative_sampling" -> q289NegativeSampling _,
     "q276_label_propagation" -> q276LabelPropagation _,

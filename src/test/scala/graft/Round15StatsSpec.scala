@@ -381,6 +381,69 @@ class Round15StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q290 SRM: cell identities and md5 assignment replay") {
+    val rows = QueriesStats.q290SrmCheck(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, a, b, chi) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(a + b == n, s"${r.getString(0)}: cells don't sum")
+      val d = a - b
+      assert(chi == d * d * 1000000L / n,
+        s"${r.getString(0)}: chi2_ppm mismatch")
+      assert(r.getBoolean(5) == (chi > 3841459L))
+    }
+    // replay the hash split for every order: per-nation n_a must match
+    val brute = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.nation(spark, sf),
+        col("n_nationkey") === col("c_nationkey"))
+      .select(col("n_name"), col("o_orderkey"))
+      .collect()
+      .map(r => (r.getString(0), md5p32(s"srm:${r.getLong(1)}") % 2))
+      .groupBy(_._1).map { case (nat, xs) =>
+        nat -> xs.count(_._2 == 0L).toLong }
+    rows.foreach(r => assert(brute(r.getString(0)) == r.getLong(2),
+      s"${r.getString(0)}: assignment replay drift"))
+  }
+
+  test("q291 Shapley ≡ brute-force over all 16 subsets; axioms hold") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val bit = Map("click" -> 1L, "view" -> 2L, "signup" -> 4L,
+      "error" -> 8L)
+    val masks = ev.groupBy(_._1).values.flatMap { rows =>
+      val purchases = rows.filter(_._2 == "purchase")
+      if (purchases.isEmpty) None
+      else {
+        val fp = purchases.map(r => (r._3, r._4)).min
+        Some(rows.filter(r => r._2 != "purchase" &&
+            (r._3 < fp._1 || (r._3 == fp._1 && r._4 < fp._2)))
+          .map(r => bit(r._2)).fold(0L)(_ | _))
+      }
+    }.toSeq
+    def v(ss: Long): Long = masks.count(m => (m & (15L - ss)) == 0L)
+    val w = Map(0 -> 6L, 1 -> 2L, 2 -> 2L, 3 -> 6L)
+    val expect = bit.map { case (ch, b) =>
+      ch -> (0L to 15L).filter(ss => (ss & b) == 0L)
+        .map(ss => w(java.lang.Long.bitCount(ss)) * (v(ss | b) - v(ss)))
+        .sum
+    }
+    val got = QueriesStats.q291ShapleyAttribution(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    got.foreach { case (ch, phi, _, _) =>
+      assert(phi == expect(ch), s"$ch: got $phi, brute ${expect(ch)}")
+    }
+    // efficiency axiom: Σφ·24 distributes exactly v(full) − v(∅)
+    assert(got.map(_._2).sum == 24L * (got.head._3 - got.head._4),
+      "Shapley efficiency axiom violated")
+  }
+
   test("q282 backtest: WAPE identity and exact lag-52 alignment") {
     val rows = QueriesStats.q282ForecastBacktest(spark, sf).collect()
     assert(rows.nonEmpty)
