@@ -761,7 +761,8 @@ object QueriesStats {
     * 16-row frames, bounded at ANY data scale. The efficiency
     * property Σφ·24 = 24·(v(full) − v(∅)) is spec-pinned.
     */
-  def q291ShapleyAttribution(s: SparkSession, dir: String): DataFrame = {
+  def q291ShapleyAttribution(s: SparkSession, dir: String): DataFrame =
+    narrow(s, 8) { // post-fold frames are ≤16 rows; run the cascade narrow
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("event_type"), col("ts"),
         col("event_id"))
@@ -817,7 +818,7 @@ object QueriesStats {
         col("v_full").cast("bigint").as("v_full"),
         col("v_empty").cast("bigint").as("v_empty"))
       .orderBy("channel")
-  }
+    }
 
   val queries: Map[String, Q] = Map(
     "q290_srm_check" -> q290SrmCheck _,
