@@ -453,7 +453,10 @@ object QueriesStats {
       .localCheckpoint() // both sides of the cell-pair theta join
     val g2 = grid.select(col("nation"), col("x").as("x2"),
       col("y").as("y2"), col("cnt").as("cnt2"))
-    val pairs = grid.join(g2, Seq("nation"))
+    // the grid is VALUE-bounded (≤ 25×550 cells at any data scale):
+    // broadcast the pair side and the totals — a 25-key shuffle join
+    // here would put whole nations in single tasks for no reason
+    val pairs = grid.join(broadcast(g2), Seq("nation"))
       .filter(col("x2") > col("x")) // each unordered pair once
       .groupBy("nation")
       .agg(sum(when(col("y2") > col("y"),
@@ -461,7 +464,7 @@ object QueriesStats {
         sum(when(col("y2") < col("y"),
           col("cnt") * col("cnt2")).otherwise(0L)).as("nd"))
     val tot = grid.groupBy("nation").agg(sum(col("cnt")).as("n"))
-    pairs.join(tot, Seq("nation"))
+    pairs.join(broadcast(tot), Seq("nation"))
       .select(col("nation"), col("n").cast("bigint").as("n"),
         col("nc").cast("bigint").as("nc"),
         col("nd").cast("bigint").as("nd"),

@@ -59,7 +59,16 @@ class PlanShapeSpec extends AnyFunSuite {
     "q270_kmv_jaccard" -> Shape(16, 3),
     // q275's loop is checkpointed per round — the returned plan is the
     // final sort over the last checkpoint, so the pin is the tail only
-    "q275_weighted_paths" -> Shape(1, 0)
+    "q275_weighted_paths" -> Shape(1, 0),
+    // round-15 continuation wave (q281/q286 are micro-batch — excluded
+    // like the other streaming queries; q276's LPA loop is
+    // checkpointed per round, pin is the tail)
+    "q279_item_cosine" -> Shape(6, 4),
+    "q283_winsorize" -> Shape(14, 4),
+    "q284_kendall_tau" -> Shape(3, 2),
+    "q288_hits" -> Shape(2, 2),
+    "q289_negative_sampling" -> Shape(3, 2),
+    "q276_label_propagation" -> Shape(1, 0)
   )
 
   test("top-10 heaviest queries keep their pinned plan shapes") {
