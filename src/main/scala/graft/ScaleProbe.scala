@@ -98,8 +98,13 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    replicate(spark, sfDir, work, factor)
-    println(s"[probe] replicated ${factor}x -> $work")
+    // the id-population probes (q274/q276/q277) never read the
+    // replicated tables — at factor 100 the replica write alone costs
+    // minutes, so a grid-only probe run can skip it
+    if (sys.env.get("SPARK_GRAFT_PROBE_SKIP_REPLICATE").isEmpty) {
+      replicate(spark, sfDir, work, factor)
+      println(s"[probe] replicated ${factor}x -> $work")
+    } else println(s"[probe] replicate SKIPPED (grid-only probes)")
 
     // SPARK_GRAFT_PROBE_ONLY=q01_pricing_summary,q86_stream_dedup
     // filters every probe section (large factors make the full list
