@@ -4,9 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-15 continuation wave — graph analytics, rank statistics,
-  * recommender normalization, changepoint detection, a streaming CMS
-  * twin, and forecast backtesting. Same determinism contract as
+/** Round-15 continuation waves — graph analytics (LPA communities,
+  * local clustering, HITS), rank/robust statistics (Mann–Whitney,
+  * Kendall τ, winsorize, changepoint, SRM, calibration, Shapley
+  * attribution), recommender ops (item-cosine top-k, negative
+  * sampling), session path mining, forecast backtesting, and the
+  * streaming CMS/Bloom sketch twins. Same determinism contract as
   * [[QueriesCore]]: integer/decimal arithmetic end-to-end (cross-
   * multiplied ratios, ppm/e12 fixed-point via integral division),
   * explicit total orders, DuckDB oracle per query.
@@ -642,6 +645,9 @@ object QueriesStats {
     * ≈ 1.5e15 at 100 TB — inside BIGINT.
     */
   def q288Hits(s: SparkSession, dir: String): DataFrame = {
+    // NOT narrowed: each round's agg output is |parts|/|orders| rows —
+    // fact-proportional, unlike the ≤16-row cascades that narrow —
+    // and a measured narrow(8) run changed nothing (checkpoint-bound)
     val bip = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
@@ -764,8 +770,7 @@ object QueriesStats {
     * 16-row frames, bounded at ANY data scale. The efficiency
     * property Σφ·24 = 24·(v(full) − v(∅)) is spec-pinned.
     */
-  def q291ShapleyAttribution(s: SparkSession, dir: String): DataFrame =
-    narrow(s, 8) { // post-fold frames are ≤16 rows; run the cascade narrow
+  def q291ShapleyAttribution(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("event_type"), col("ts"),
         col("event_id"))
@@ -782,12 +787,16 @@ object QueriesStats {
           .when(col("event_type") === "signup", 4L)
           .otherwise(8L)) // error
       .groupBy("user_id").agg(expr("bit_or(__b)").as("mask"))
-    // converted users with NO prior event carry the empty exposure
+    // converted users with NO prior event carry the empty exposure.
+    // This checkpoint MATERIALIZES the per-user fold at session width
+    // (its reduce side is |users| rows — fact-proportional at 100 TB);
+    // only the ≤16-row subset cascade below runs narrow.
     val masks = fp.select("user_id")
       .join(bits, Seq("user_id"), "left")
       .na.fill(0L, Seq("mask"))
       .groupBy("mask").agg(count(lit(1)).as("cnt"))
       .localCheckpoint() // ≤16 rows; probed by every subset
+    narrow(s, 8) {
     val spine = s.range(16).select(col("id").as("ss"))
     // complement within 4 bits: 15 − ss ≡ 15 XOR ss for ss ⊆ 0..15;
     // subtraction is the one spelling both engines share verbatim
@@ -821,7 +830,11 @@ object QueriesStats {
         col("v_full").cast("bigint").as("v_full"),
         col("v_empty").cast("bigint").as("v_empty"))
       .orderBy("channel")
+      // materialize the 4-row result inside narrow so the subset
+      // cascade's dozen micro-stages all run at 8, not 32
+      .localCheckpoint(true)
     }
+  }
 
   val queries: Map[String, Q] = Map(
     "q290_srm_check" -> q290SrmCheck _,
