@@ -24,12 +24,19 @@ object QueriesStats {
   type Q = (SparkSession, String) => DataFrame
 
   /** Per-round frames in the iterative graph queries are tiny relative
-    * to the cluster; 32-wide shuffles pay pure task-launch fixed costs
-    * (q274's measured rationale). */
+    * to the cluster; full-width shuffles pay pure task-launch fixed
+    * costs (q274's measured rationale). The width is CONF-PROPORTIONAL
+    * (n at the 32-partition bench ratio, scaling with the session
+    * conf), not an absolute: a production session running thousands of
+    * shuffle partitions keeps n/32 of them, never a hard-coded 8.
+    */
   private def narrow[T](s: SparkSession, n: Int)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    try { s.conf.set("spark.sql.shuffle.partitions", n.toString); body }
-    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    val conf = scala.util.Try(prev.toInt).getOrElse(32)
+    val scaled = math.max(n, conf * n / 32)
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", scaled.toString); body
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** LABEL PROPAGATION community detection (Raghavan et al. 2007),
