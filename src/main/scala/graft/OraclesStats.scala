@@ -212,6 +212,62 @@ object OraclesStats {
         |ORDER BY est_count DESC, cms_key
         |LIMIT 100""".stripMargin,
 
+    "q292_skew_audit" ->
+      (Seq(("lineitem", "l_partkey"), ("orders", "o_custkey"),
+        ("events", "user_id")).map { case (table, key) =>
+        s"""SELECT * FROM (
+           |WITH counts AS (SELECT $key AS k, count(*) AS cnt
+           |  FROM $table GROUP BY 1),
+           |ladder AS (SELECT cnt, count(*) AS nk FROM counts
+           |  GROUP BY 1),
+           |tot AS (SELECT count(*) AS n_keys, sum(cnt) AS total,
+           |  max(cnt) AS max_cnt FROM counts),
+           |ranked AS (SELECT cnt, nk, sum(nk) OVER (ORDER BY cnt
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |  AS ccum FROM ladder),
+           |p50 AS (SELECT min(cnt) AS p50_cnt FROM ranked, tot
+           |  WHERE ccum >= (n_keys + 1) // 2),
+           |p99 AS (SELECT min(cnt) AS p99_cnt FROM ranked, tot
+           |  WHERE ccum >= (99 * n_keys + 99) // 100)
+           |SELECT '$key' AS audited, CAST(n_keys AS BIGINT) AS n_keys,
+           |  CAST(total AS BIGINT) AS total_rows,
+           |  CAST(max_cnt AS BIGINT) AS max_cnt,
+           |  CAST(p50_cnt AS BIGINT) AS p50_cnt,
+           |  CAST(p99_cnt AS BIGINT) AS p99_cnt,
+           |  CAST((max_cnt::HUGEINT * 1000000) // total AS BIGINT)
+           |    AS max_share_ppm
+           |FROM tot, p50, p99)""".stripMargin
+      }.mkString("\nUNION ALL\n") + "\nORDER BY audited"),
+
+    "q293_quantile_effects" ->
+      """WITH a AS (SELECT
+        |    ('0x' || substr(md5('srm:' || o_orderkey::VARCHAR), 1, 8))
+        |      ::BIGINT % 2 AS variant,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS c
+        |  FROM orders),
+        |ladder AS (SELECT variant, c, count(*) AS cnt FROM a
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT variant, count(*) AS n FROM a GROUP BY 1),
+        |ranked AS (SELECT l.variant, l.c, l.cnt,
+        |    sum(l.cnt) OVER (PARTITION BY l.variant ORDER BY l.c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS ccum
+        |  FROM ladder l),
+        |qs AS (SELECT unnest([25, 50, 75]) AS q),
+        |tiles AS (SELECT qs.q, r.variant, min(r.c) AS c
+        |  FROM ranked r JOIN tot t ON t.variant = r.variant
+        |  CROSS JOIN qs
+        |  WHERE r.ccum >= (qs.q * t.n + 99) // 100
+        |  GROUP BY 1, 2)
+        |SELECT CAST(a1.q AS BIGINT) AS q,
+        |  CAST(a1.c AS BIGINT) AS a_cents,
+        |  CAST(b1.c AS BIGINT) AS b_cents,
+        |  CAST(a1.c - b1.c AS BIGINT) AS diff_cents
+        |FROM tiles a1 JOIN tiles b1 ON b1.q = a1.q
+        |WHERE a1.variant = 0 AND b1.variant = 1
+        |ORDER BY q""".stripMargin,
+
     "q290_srm_check" ->
       """WITH a AS (SELECT n_name AS nation,
         |    ('0x' || substr(md5('srm:' || o_orderkey::VARCHAR), 1, 8))

@@ -843,7 +843,98 @@ object QueriesStats {
     }
   }
 
+  /** JOIN-KEY SKEW AUDIT — the pre-flight check a 100 TB pipeline runs
+    * before choosing a salting/broadcast strategy: for each audited
+    * join key, the per-key multiplicity distribution summarized as
+    * exact integers — key count, total rows, max multiplicity, the
+    * type-1 p50/p99 multiplicities (located on the COUNT-OF-COUNTS
+    * ladder, whose size is bounded by the number of DISTINCT
+    * multiplicity values, not by keys or rows), and the hottest key's
+    * row share in ppm. A max_share ≫ 1/n_keys or p99 ≫ p50 says
+    * "salt this key" (q45/q73's operators are the remedies this audit
+    * selects between).
+    */
+  def q292SkewAudit(s: SparkSession, dir: String): DataFrame = {
+    def audit(keyCol: String, df: DataFrame): DataFrame = {
+      val counts = df.groupBy(col(keyCol).as("__k"))
+        .agg(count(lit(1)).as("cnt"))
+      // count-of-counts ladder: one row per distinct multiplicity
+      val ladder = counts.groupBy("cnt")
+        .agg(count(lit(1)).as("nk"))
+        .withColumn("audited", lit(keyCol))
+      val cum = Window.partitionBy("audited").orderBy("cnt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = counts.agg(count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("total"), max(col("cnt")).as("max_cnt"))
+      val ranked = ladder
+        .withColumn("ccum", sum(col("nk")).over(cum))
+        .crossJoin(broadcast(tot))
+      def tile(k: Column, tag: String): DataFrame = ranked
+        .filter(col("ccum") >= k && col("ccum") - col("nk") < k)
+        .select(col("audited"), col("cnt").as(tag))
+      tile(expr("(n_keys + 1) DIV 2"), "p50_cnt")
+        .join(tile(expr("(99 * n_keys + 99) DIV 100"), "p99_cnt"),
+          Seq("audited"))
+        .crossJoin(broadcast(tot))
+        .select(col("audited"),
+          col("n_keys").cast("bigint").as("n_keys"),
+          col("total").cast("bigint").as("total_rows"),
+          col("max_cnt").cast("bigint").as("max_cnt"),
+          col("p50_cnt").cast("bigint").as("p50_cnt"),
+          col("p99_cnt").cast("bigint").as("p99_cnt"),
+          expr("""CAST((CAST(max_cnt AS DECIMAL(38,0)) * 1000000)
+                  DIV total AS BIGINT)""").as("max_share_ppm"))
+    }
+    audit("l_partkey", Tables.lineitem(s, dir))
+      .unionByName(audit("o_custkey", Tables.orders(s, dir)))
+      .unionByName(audit("user_id", Tables.events(s, dir)))
+      .orderBy("audited")
+  }
+
+  /** QUANTILE TREATMENT EFFECTS — the experimentation readout after
+    * q290's SRM gate passes: per variant of the replayable md5 50/50
+    * order split, the EXACT type-1 p25/p50/p75 of order totals in
+    * cents (located on the per-variant cents ladder — q283's quantile
+    * discipline), and the per-quantile A−B difference. Means hide
+    * distribution shifts; QTEs are the standard robust readout.
+    */
+  def q293QuantileEffects(s: SparkSession, dir: String): DataFrame = {
+    val assigned = Tables.orders(s, dir)
+      .select(
+        pmod(graft.operators.Scale.md5Prefix32(
+          concat(lit("srm:"), col("o_orderkey").cast("string"))),
+          lit(2L)).as("variant"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("c"))
+    val ladder = assigned.groupBy("variant", "c")
+      .agg(count(lit(1)).as("cnt"))
+    val cum = Window.partitionBy("variant").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = assigned.groupBy("variant")
+      .agg(count(lit(1)).as("n"))
+    val ranked = ladder
+      .withColumn("ccum", sum(col("cnt")).over(cum))
+      .join(broadcast(tot), Seq("variant"))
+    // type-1 quantile q/100: the multiplicity bucket covering
+    // rank ⌈q·n/100⌉
+    val spine = s.range(1, 4)
+      .select((col("id") * 25).cast("bigint").as("q"))
+    val tiles = ranked.crossJoin(broadcast(spine))
+      .filter(col("ccum") >= expr("(q * n + 99) DIV 100") &&
+        col("ccum") - col("cnt") < expr("(q * n + 99) DIV 100"))
+      .select(col("q"), col("variant"), col("c"))
+    tiles.filter(col("variant") === 0L)
+      .select(col("q"), col("c").as("a_cents"))
+      .join(tiles.filter(col("variant") === 1L)
+        .select(col("q"), col("c").as("b_cents")), Seq("q"))
+      .select(col("q"), col("a_cents"), col("b_cents"),
+        (col("a_cents") - col("b_cents")).as("diff_cents"))
+      .orderBy("q")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q292_skew_audit" -> q292SkewAudit _,
+    "q293_quantile_effects" -> q293QuantileEffects _,
     "q290_srm_check" -> q290SrmCheck _,
     "q291_shapley_attribution" -> q291ShapleyAttribution _,
     "q288_hits" -> q288Hits _,

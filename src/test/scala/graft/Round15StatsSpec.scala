@@ -444,6 +444,49 @@ class Round15StatsSpec extends AnyFunSuite {
       "Shapley efficiency axiom violated")
   }
 
+  test("q292 skew audit ≡ brute-force multiplicity distribution") {
+    val got = QueriesStats.q292SkewAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    def brute(df: org.apache.spark.sql.DataFrame, key: String) = {
+      val counts = df.groupBy(key).count()
+        .collect().map(_.getLong(1)).sorted
+      val nKeys = counts.length.toLong
+      val total = counts.sum
+      def tile(k: Long) = counts((k - 1).toInt)
+      (nKeys, total, counts.max,
+        tile((nKeys + 1) / 2), tile((99 * nKeys + 99) / 100),
+        counts.max * 1000000L / total)
+    }
+    assert(got("l_partkey") == brute(Tables.lineitem(spark, sf),
+      "l_partkey"))
+    assert(got("o_custkey") == brute(Tables.orders(spark, sf),
+      "o_custkey"))
+    assert(got("user_id") == brute(Tables.events(spark, sf),
+      "user_id"))
+  }
+
+  test("q293 quantile effects ≡ brute-force per-variant type-1 tiles") {
+    val cents = Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .collect()
+      .map(r => (md5p32(s"srm:${r.getLong(0)}") % 2, r.getLong(1)))
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).sorted }
+    def tile(v: Long, q: Long): Long = {
+      val xs = cents(v)
+      xs(((q * xs.length + 99) / 100 - 1).toInt)
+    }
+    val got = QueriesStats.q293QuantileEffects(spark, sf).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(25L, 50L, 75L))
+    got.foreach { r =>
+      val q = r.getLong(0)
+      assert(r.getLong(1) == tile(0L, q), s"p$q variant A")
+      assert(r.getLong(2) == tile(1L, q), s"p$q variant B")
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2))
+    }
+  }
+
   test("q282 backtest: WAPE identity and exact lag-52 alignment") {
     val rows = QueriesStats.q282ForecastBacktest(spark, sf).collect()
     assert(rows.nonEmpty)
