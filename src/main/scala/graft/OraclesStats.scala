@@ -9,6 +9,11 @@ package graft
   */
 object OraclesStats {
 
+  /** DuckDB twin of [[graft.operators.TextAnalysis.normalizeText]]
+    * (QueriesText's established `norm` literal). */
+  private val normSql =
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
   /** Shared md5 point grid + eps=1000 proximity edges (q275's oracle
     * geometry, verbatim — any drift here would break BOTH q276 and
     * q277 against their Spark twins, which is the point).
@@ -211,6 +216,48 @@ object OraclesStats {
         |FROM est
         |ORDER BY est_count DESC, cms_key
         |LIMIT 100""".stripMargin,
+
+    "q294_ngram_contamination" ->
+      s"""WITH l AS (SELECT doc_id,
+         |    list_filter(string_split($normSql, ' '), x -> x <> '')
+         |      AS l
+         |  FROM documents),
+         |tri AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id,
+         |    l[pos] || ' ' || l[pos + 1] || ' ' || l[pos + 2] AS tri
+         |  FROM (SELECT doc_id,
+         |          unnest(generate_series(1, len(l) - 2)) AS pos, l
+         |        FROM l WHERE len(l) >= 3)),
+         |bench AS (SELECT DISTINCT tri FROM tri WHERE doc_id % 50 = 0),
+         |ev AS (SELECT * FROM tri WHERE doc_id % 50 <> 0),
+         |total AS (SELECT doc_id, count(*) AS n_tri FROM ev
+         |          GROUP BY 1),
+         |hits AS (SELECT ev.doc_id, count(*) AS n_overlap
+         |  FROM ev JOIN bench ON bench.tri = ev.tri GROUP BY 1)
+         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |  CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+         |  CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  CAST(CASE WHEN coalesce(t.n_tri, 0) > 0
+         |    THEN (coalesce(h.n_overlap, 0) * 1000000) // t.n_tri
+         |    ELSE 0 END AS BIGINT) AS overlap_ppm
+         |FROM documents d
+         |LEFT JOIN total t ON t.doc_id = d.doc_id
+         |LEFT JOIN hits h ON h.doc_id = d.doc_id
+         |WHERE d.doc_id % 50 <> 0
+         |ORDER BY doc_id""".stripMargin,
+
+    // q295: DuckDB cannot run the BPE fold, but it CAN independently
+    // count the distinct normalized tokens — and the roundtrip
+    // identity is pinned (n_roundtrip_ok = n_words, all_ok TRUE), so
+    // a lossy segmentation hash-fails (the q254 pattern).
+    "q295_bpe_roundtrip" ->
+      s"""WITH w AS (SELECT DISTINCT unnest(list_filter(
+         |    string_split($normSql, ' '), x -> x <> '')) AS word
+         |  FROM documents)
+         |SELECT CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(count(*) AS BIGINT) AS n_roundtrip_ok,
+         |  TRUE AS all_ok
+         |FROM w""".stripMargin,
 
     "q292_skew_audit" ->
       (Seq(("lineitem", "l_partkey"), ("orders", "o_custkey"),

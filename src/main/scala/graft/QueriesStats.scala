@@ -932,9 +932,68 @@ object QueriesStats {
       .orderBy("q")
   }
 
+  /** N-GRAM CONTAMINATION REPORT — the GPT-3/Dolma-style PARTIAL
+    * decontamination measurement: for every training document, the
+    * ppm fraction of its distinct word-trigrams that also appear in
+    * the held-out benchmark set (doc_id ≡ 0 mod 50, the q242 query-set
+    * convention). Complements q50 (exact full-text decontamination)
+    * and q102 (Bloom): those catch verbatim inclusion, this scores
+    * partial overlap so a threshold policy can drop contaminated-but-
+    * not-identical documents. One trigram explode (length-bounded per
+    * doc), a keyed semi-join against the benchmark trigram set, two
+    * keyed aggregates.
+    */
+  def q294NgramContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"),
+      filter(split(graft.operators.TextAnalysis
+        .normalizeText(col("text")), " "), t => t =!= "").as("__t"))
+    val tri = toks.filter(size(col("__t")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("__t")) - 2),
+          i => concat_ws(" ", element_at(col("__t"), i),
+            element_at(col("__t"), i + 1),
+            element_at(col("__t"), i + 2)))).as("tri"))
+      .distinct()
+      .localCheckpoint() // benchmark set + eval side
+    val bench = tri.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select("tri").distinct()
+    val eval = tri.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+    val total = eval.groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+    val hits = eval.join(bench, Seq("tri"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    docs.filter(pmod(col("doc_id"), lit(50)) =!= 0).select("doc_id")
+      .join(total, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_tri", "n_overlap"))
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        col("n_tri").cast("bigint").as("n_tri"),
+        col("n_overlap").cast("bigint").as("n_overlap"),
+        when(col("n_tri") > 0,
+          expr("(n_overlap * 1000000) DIV n_tri"))
+          .otherwise(lit(0L)).cast("bigint").as("overlap_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** BPE round-trip gate as a declared query — see
+    * [[graft.operators.TextAnalysis.bpeRoundtrip]]. Trains the same
+    * 20-merge table as q90/q91 and asserts lossless reassembly of
+    * EVERY distinct corpus word; the oracle independently counts the
+    * distinct normalized tokens and pins the identity, so the
+    * rows-only q90/q91 pair gains a hash-gated consistency check.
+    */
+  def q295BpeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.operators.TextAnalysis.bpeRoundtrip(docs, "doc_id", "text",
+      graft.operators.TextAnalysis.bpeTrain(docs, "doc_id", "text",
+        merges = 20))
+  }
+
   val queries: Map[String, Q] = Map(
     "q292_skew_audit" -> q292SkewAudit _,
     "q293_quantile_effects" -> q293QuantileEffects _,
+    "q294_ngram_contamination" -> q294NgramContamination _,
+    "q295_bpe_roundtrip" -> q295BpeRoundtrip _,
     "q290_srm_check" -> q290SrmCheck _,
     "q291_shapley_attribution" -> q291ShapleyAttribution _,
     "q288_hits" -> q288Hits _,

@@ -511,7 +511,23 @@ object TextAnalysis {
     // 4.51 → 4.36 s: the pair's cost is dominated by TRAINING's k
     // necessarily-materialized rounds, but serving pipelines that
     // segment with a FIXED merge table pay only this one job)
-    val symbols = ms.foldLeft(
+    val symbols = bpeSymbols(ms)
+    val wordTokens = toks.select("word").distinct()
+      .select(col("word"), size(symbols).cast("long").as("__nt"))
+    toks.join(wordTokens, "word")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"), sum(col("__nt")).as("n_bpe_tokens"))
+  }
+
+  /** The BPE application fold over a `word` column: all merge rounds
+    * chained into one linear expression (each fold has a single
+    * consumer — the next fold — so CollapseProject keeps it one
+    * projection). Shared by [[bpeSegment]] (token counts) and
+    * [[bpeRoundtrip]] (the lossless-reassembly gate).
+    */
+  private def bpeSymbols(ms: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.types._
+    ms.foldLeft(
       filter(split(col("word"), ""), s => s =!= "")) { case (prev, (pa, pb)) =>
       val merged = pa + pb
       aggregate(prev,
@@ -521,11 +537,37 @@ object TextAnalysis {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
           .otherwise(concat(acc, array(s))))
     }
-    val wordTokens = toks.select("word").distinct()
-      .select(col("word"), size(symbols).cast("long").as("__nt"))
-    toks.join(wordTokens, "word")
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_words"), sum(col("__nt")).as("n_bpe_tokens"))
+  }
+
+  /** BPE ROUND-TRIP GATE — segmentation must be LOSSLESS: for every
+    * distinct word of the normalized corpus, re-concatenating its BPE
+    * symbols must reproduce the word exactly. Emits one global row
+    * (n_words, n_roundtrip_ok, all_ok); the oracle derives n_words
+    * independently (distinct normalized tokens in DuckDB) and pins
+    * n_roundtrip_ok = n_words / all_ok = TRUE — so any symbol-dropping
+    * or merge-ordering bug in the fold hash-fails the gate even
+    * though DuckDB cannot run the BPE itself (the q254 oracle-pins-
+    * the-definition pattern).
+    */
+  def bpeRoundtrip(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: DataFrame): DataFrame = {
+    val ms = merges.orderBy("round").select("pair_a", "pair_b")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val words = df.select(
+        explode(filter(split(normalizeText(col(textCol)), " "),
+          t => t =!= "")).as("word"))
+      .distinct()
+    words
+      .select(col("word"),
+        (array_join(bpeSymbols(ms), "") === col("word")).as("__ok"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("__ok"), 1L).otherwise(0L)).as("n_roundtrip_ok"))
+      .select(col("n_words").cast("bigint").as("n_words"),
+        col("n_roundtrip_ok").cast("bigint").as("n_roundtrip_ok"),
+        (col("n_words") === col("n_roundtrip_ok")).as("all_ok"))
   }
 
   /** TF-IDF top-k terms per document — the classic keyword-extraction

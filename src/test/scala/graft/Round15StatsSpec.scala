@@ -487,6 +487,50 @@ class Round15StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q294 contamination ≡ brute-force trigram overlap") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.normalizeText(col("text")))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val tris = docs.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).sliding(3)
+        .filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val bench = tris.filter(_._1 % 50 == 0).values.flatten.toSet
+    val got = QueriesStats.q294NgramContamination(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == tris.keySet.filter(_ % 50 != 0))
+    got.foreach { case (id, (nTri, nOv, ppm)) =>
+      val mine = tris(id)
+      val ov = mine.count(bench.contains).toLong
+      val expPpm = if (mine.nonEmpty) ov * 1000000L / mine.size else 0L
+      assert((nTri, nOv, ppm) == ((mine.size.toLong, ov, expPpm)),
+        s"doc $id: got ($nTri, $nOv, $ppm), " +
+          s"brute (${mine.size}, $ov, $expPpm)")
+    }
+    // non-vacuity: synthetic docs share phrases — some overlap exists
+    assert(got.values.exists(_._2 > 0), "no contamination signal")
+  }
+
+  test("q295 BPE roundtrip: lossless, and the merges are real") {
+    val r = QueriesStats.q295BpeRoundtrip(spark, sf).collect().head
+    assert(r.getLong(0) > 0 && r.getLong(0) == r.getLong(1)
+      && r.getBoolean(2), s"roundtrip broken: $r")
+    // guard vacuity: if no merge ever applied, roundtrip passes
+    // trivially on the raw char split — require real fused tokens
+    val docs = Tables.documents(spark, sf)
+    val seg = graft.operators.TextAnalysis.bpeSegment(docs, "doc_id",
+      "text", graft.operators.TextAnalysis.bpeTrain(docs, "doc_id",
+        "text", merges = 20))
+    val totals = seg.agg(sum("n_bpe_tokens"), sum("n_words")).collect().head
+    val chars = docs.select(sum(length(
+      graft.operators.TextAnalysis.normalizeText(col("text")))))
+      .collect().head.getLong(0)
+    assert(totals.getLong(0) < chars,
+      "BPE produced as many tokens as characters — merges vacuous")
+  }
+
   test("q282 backtest: WAPE identity and exact lag-52 alignment") {
     val rows = QueriesStats.q282ForecastBacktest(spark, sf).collect()
     assert(rows.nonEmpty)
