@@ -287,8 +287,16 @@ object ScaleProbe {
         "q282_forecast_backtest", "q283_winsorize", "q284_kendall_tau",
         "q285_event_trigrams", "q287_calibration_bins",
         // q288: per-round keyed joins over the replicated bipartite
-        // graph; q289: 6 hash candidates per order + keyed anti-join
-        "q288_hits", "q289_negative_sampling")
+        // graph; q289: 6 hash candidates per order + keyed anti-join;
+        // q294: trigram explode + keyed semi-join vs the benchmark set
+        "q288_hits", "q289_negative_sampling",
+        // q290-q293: keyed aggregates over value-bounded rollups
+        // (2-cell split, 16-subset spine, count-of-counts ladder,
+        // per-variant cents ladder); q294: trigram explode + keyed
+        // semi-join vs the benchmark set
+        "q290_srm_check", "q291_shapley_attribution",
+        "q292_skew_audit", "q293_quantile_effects",
+        "q294_ngram_contamination")
       .filter(wanted).foreach { name =>
         measure(name, SparkEntry.queries(name), SparkEntry.queries(name))
       }
