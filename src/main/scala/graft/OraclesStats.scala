@@ -116,11 +116,10 @@ object OraclesStats {
         |SELECT nation,
         |  CAST(sum(c_r) AS BIGINT) AS n_r,
         |  CAST(sum(c_n) AS BIGINT) AS n_n,
-        |  CAST(sum(c_r * (2 * cb + cnt + 1))
-        |    - sum(c_r) * (sum(c_r) + 1) AS BIGINT) AS u_r_x2,
-        |  CAST(2 * sum(c_r) * sum(c_n)
-        |    - (sum(c_r * (2 * cb + cnt + 1))
-        |       - sum(c_r) * (sum(c_r) + 1)) AS BIGINT) AS u_n_x2
+        |  CAST(((sum(c_r * (2 * cb + cnt + 1))
+        |      - sum(c_r) * (sum(c_r) + 1))::HUGEINT * 1000000)
+        |    // (sum(c_r)::HUGEINT * sum(c_n)) - 1000000 AS BIGINT)
+        |    AS rank_biserial_ppm
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q279_item_cosine" ->
@@ -173,15 +172,16 @@ object OraclesStats {
         |      AS s_n
         |  FROM daily),
         |st AS (SELECT nation, d, t, n_days,
-        |    abs(n_days * s_t - t * s_n) AS stat
+        |    abs(n_days::HUGEINT * s_t - t::HUGEINT * s_n) // n_days
+        |      AS stat_cents
         |  FROM w WHERE t < n_days),
-        |pick AS (SELECT nation, d, t, n_days, stat,
+        |pick AS (SELECT nation, d, t, n_days, stat_cents,
         |    row_number() OVER (PARTITION BY nation
-        |      ORDER BY stat DESC, d) AS rn
+        |      ORDER BY stat_cents DESC, d) AS rn
         |  FROM st)
         |SELECT nation, CAST(d AS TIMESTAMP) AS cp_date, t,
         |  CAST(n_days AS BIGINT) AS n_days,
-        |  CAST(stat AS BIGINT) AS stat
+        |  CAST(stat_cents AS BIGINT) AS stat_cents
         |FROM pick WHERE rn = 1 ORDER BY nation""".stripMargin,
 
     // Streaming CMS ≡ batch CMS by construction (per-cell sums are
@@ -479,7 +479,10 @@ object OraclesStats {
         |  GROUP BY 1),
         |tot AS (SELECT nation, sum(cnt) AS n FROM grid GROUP BY 1)
         |SELECT nation, CAST(n AS BIGINT) AS n,
-        |  CAST(nc AS BIGINT) AS nc, CAST(nd AS BIGINT) AS nd,
+        |  CAST((nc::HUGEINT * 2000000)
+        |    // (n::HUGEINT * (n - 1)) AS BIGINT) AS conc_ppm,
+        |  CAST((nd::HUGEINT * 2000000)
+        |    // (n::HUGEINT * (n - 1)) AS BIGINT) AS disc_ppm,
         |  CAST(((nc - nd)::HUGEINT * 2000000)
         |    // (n::HUGEINT * (n - 1)) AS BIGINT) AS tau_a_ppm
         |FROM pairs JOIN tot USING (nation) ORDER BY nation""".stripMargin,

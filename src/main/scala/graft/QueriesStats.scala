@@ -144,8 +144,9 @@ object QueriesStats {
     * VALUE-BOUNDED (1..50): rank arithmetic runs on the ≤ 25×50-row
     * (nation, qty) count rollup, where the midrank of a tie group is
     * (2·cumBefore + cnt + 1)/2 — carried ×2 so everything stays
-    * integer (u_r_x2 = 2·U_R exactly). The only window is the 50-row
-    * per-nation cumulative — the documented value-bounded pattern.
+    * integer. The only window is the 50-row per-nation cumulative —
+    * the documented value-bounded pattern. Declared output is the
+    * rank-biserial effect size in ppm (see the output comment).
     */
   def q278MannWhitney(s: SparkSession, dir: String): DataFrame = {
     val j = Tables.lineitem(s, dir)
@@ -167,17 +168,22 @@ object QueriesStats {
     val ranked = counts.withColumn("cb",
         coalesce(sum(col("cnt")).over(cum), lit(0L)))
       .withColumn("rank2", lit(2L) * col("cb") + col("cnt") + 1L)
+    // the rank-sum itself is O(n²) per nation (tops BIGINT near 10 TB,
+    // and 2·U does at 100 TB), so it accumulates in DECIMAL(38) and
+    // the DECLARED statistic is the bounded rank-biserial correlation
+    // r = 2U/(n₁n₂) − 1 in ppm — the effect size a reader of a
+    // Mann–Whitney test actually consumes, safe at any scale
     ranked.groupBy("nation")
       .agg(sum(col("c_r")).as("n_r"), sum(col("c_n")).as("n_n"),
-        sum(col("c_r") * col("rank2")).as("__rr2"))
+        sum(expr("CAST(c_r AS DECIMAL(38,0)) * rank2")).as("__rr2"))
+      .withColumn("__u_r_x2",
+        expr("__rr2 - CAST(n_r AS DECIMAL(38,0)) * (n_r + 1)"))
       .select(col("nation"),
         col("n_r").cast("bigint").as("n_r"),
         col("n_n").cast("bigint").as("n_n"),
-        (col("__rr2") - col("n_r") * (col("n_r") + 1L))
-          .cast("bigint").as("u_r_x2"),
-        (lit(2L) * col("n_r") * col("n_n")
-          - (col("__rr2") - col("n_r") * (col("n_r") + 1L)))
-          .cast("bigint").as("u_n_x2"))
+        expr("""CAST((__u_r_x2 * 1000000)
+                DIV (CAST(n_r AS DECIMAL(38,0)) * n_n)
+                - 1000000 AS BIGINT)""").as("rank_biserial_ppm"))
       .orderBy("nation")
   }
 
@@ -222,10 +228,11 @@ object QueriesStats {
       .orderBy("part", "rnk")
   }
 
-  /** CUSUM CHANGEPOINT estimator per nation — argmax_t |n·S_t − t·S_n|
-    * over the daily revenue series (the cross-multiplied form of the
-    * classic max-|CUSUM| split-point statistic: exact BIGINT cents,
-    * no mean, no division). Complements q255 (alarm-style CUSUM
+  /** CUSUM CHANGEPOINT estimator per nation — argmax_t of the
+    * max-|CUSUM| split statistic |n·S_t − t·S_n| over the daily
+    * revenue series, cross-multiplied in DECIMAL(38) and emitted
+    * rescaled to cents (DIV n — the n·S_t form alone tops BIGINT in
+    * the hundreds-of-TB range). Complements q255 (alarm-style CUSUM
     * prefix-minus-running-min) with the retrospective "WHERE did the
     * level shift" estimator. All windows partition by nation over the
     * calendar-day rollup — value-bounded frames (≤ ~2.4k days).
@@ -251,17 +258,25 @@ object QueriesStats {
       .withColumn("s_t", sum(col("rev")).over(pre))
       .join(broadcast(tot), Seq("nation"))
       .filter(col("t") < col("n_days")) // the t=n split is vacuously 0
-      .withColumn("stat",
-        abs(col("n_days") * col("s_t") - col("t") * col("s_n")))
+      // DECIMAL(38) cross-multiply, then rescale the statistic back to
+      // cents (DIV n): n·S_t tops BIGINT around a few hundred TB, and
+      // the cents-scaled |S_t − (t/n)·S_n| ≤ S_n fits BIGINT at any
+      // conceivable scale; DIV by the per-nation constant n is
+      // monotone, so the argmax (ties → earliest date, identical
+      // truncation both engines) is unchanged as an estimator
+      .withColumn("stat_cents",
+        expr("""CAST(abs(CAST(n_days AS DECIMAL(38,0)) * s_t
+                - CAST(t AS DECIMAL(38,0)) * s_n)
+                DIV n_days AS BIGINT)"""))
     val pick = Window.partitionBy("nation")
-      .orderBy(col("stat").desc, col("d"))
+      .orderBy(col("stat_cents").desc, col("d"))
     stats.withColumn("__rn", row_number().over(pick))
       .filter(col("__rn") === 1)
       .select(col("nation"),
         col("d").cast("timestamp_ntz").as("cp_date"),
         col("t").cast("bigint").as("t"),
         col("n_days").cast("bigint").as("n_days"),
-        col("stat").cast("bigint").as("stat"))
+        col("stat_cents"))
       .orderBy("nation")
   }
 
@@ -305,8 +320,9 @@ object QueriesStats {
           .writeStream.outputMode("complete").format("memory")
           .queryName(name).start()
       }
-      q.processAllAvailable()
-      q.stop()
+      // stop in a finally: a drain failure must not leave a live query
+      // firing against the source dir the outer finally deletes
+      try q.processAllAvailable() finally q.stop()
       val counters = s.table(name)
       val exact = ev.select(key(col("event_type"), col("user_id"))
           .as("cms_key"))
@@ -325,9 +341,13 @@ object QueriesStats {
         .orderBy(col("est_count").desc, col("cms_key"))
         .limit(100)
         .localCheckpoint(true) // materialize before the finally deletes
-      s.catalog.dropTempView(name)
       out
-    } finally TmpTrees.delete(root)
+    } finally {
+      // the memory-sink view must not outlive the query even when the
+      // drain or the final materialization throws
+      s.catalog.dropTempView(name)
+      TmpTrees.delete(root)
+    }
   }
 
   /** FORECAST BACKTEST — seasonal-naive (ŷ_w = y_{w−52 weeks}) over
@@ -443,9 +463,10 @@ object QueriesStats {
     * computed EXACTLY from the ≤550-cell (qty, disc) contingency
     * rollup: the grid×grid theta join compares value cells, never
     * fact rows (≤550² pairs per nation at ANY data scale), and pair
-    * counts multiply cell counts. τ_a in ppm by integral division
-    * (truncation toward zero agrees across engines on negatives —
-    * the q259 precedent).
+    * counts multiply cell counts (DECIMAL(38) accumulation — the raw
+    * magnitudes are O(n²)). Declared outputs are the bounded ppm
+    * shares and τ_a by integral division (truncation toward zero
+    * agrees across engines on negatives — the q259 precedent).
     */
   def q284KendallTau(s: SparkSession, dir: String): DataFrame = {
     val grid = Tables.lineitem(s, dir)
@@ -466,20 +487,29 @@ object QueriesStats {
     // the grid is VALUE-bounded (≤ 25×550 cells at any data scale):
     // broadcast the pair side and the totals — a 25-key shuffle join
     // here would put whole nations in single tasks for no reason
+    // pair counts are O(n²/4) per nation — they accumulate in
+    // DECIMAL(38) (cnt·cnt2 alone tops BIGINT past ~10 TB) and the
+    // DECLARED columns are the bounded ppm shares and τ_a, never the
+    // raw magnitudes
     val pairs = grid.join(broadcast(g2), Seq("nation"))
       .filter(col("x2") > col("x")) // each unordered pair once
       .groupBy("nation")
       .agg(sum(when(col("y2") > col("y"),
-          col("cnt") * col("cnt2")).otherwise(0L)).as("nc"),
+          expr("CAST(cnt AS DECIMAL(38,0)) * cnt2"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("nc"),
         sum(when(col("y2") < col("y"),
-          col("cnt") * col("cnt2")).otherwise(0L)).as("nd"))
+          expr("CAST(cnt AS DECIMAL(38,0)) * cnt2"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("nd"))
     val tot = grid.groupBy("nation").agg(sum(col("cnt")).as("n"))
     pairs.join(broadcast(tot), Seq("nation"))
+      .withColumn("__den",
+        expr("CAST(n AS DECIMAL(38,0)) * (n - 1)"))
       .select(col("nation"), col("n").cast("bigint").as("n"),
-        col("nc").cast("bigint").as("nc"),
-        col("nd").cast("bigint").as("nd"),
-        expr("""CAST((CAST(nc - nd AS DECIMAL(38,0)) * 2000000)
-                DIV (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)""")
+        expr("CAST((nc * 2000000) DIV __den AS BIGINT)")
+          .as("conc_ppm"),
+        expr("CAST((nd * 2000000) DIV __den AS BIGINT)")
+          .as("disc_ppm"),
+        expr("CAST(((nc - nd) * 2000000) DIV __den AS BIGINT)")
           .as("tau_a_ppm"))
       .orderBy("nation")
   }
@@ -563,8 +593,9 @@ object QueriesStats {
           .writeStream.outputMode("complete").format("memory")
           .queryName(name).start()
       }
-      q.processAllAvailable()
-      q.stop()
+      // stop in a finally: a drain failure must not leave a live query
+      // firing against the source dir the outer finally deletes
+      try q.processAllAvailable() finally q.stop()
       val words = s.table(name).localCheckpoint()
       val members = ev.select(col("user_id").as("probe")).distinct()
         .withColumn("kind", lit("member"))
@@ -601,9 +632,13 @@ object QueriesStats {
           col("bits_set").cast("bigint").as("bits_set"))
         .orderBy("kind")
         .localCheckpoint(true) // materialize before the finally deletes
-      s.catalog.dropTempView(name)
       out
-    } finally TmpTrees.delete(root)
+    } finally {
+      // the memory-sink view must not outlive the query even when the
+      // drain or the final materialization throws
+      s.catalog.dropTempView(name)
+      TmpTrees.delete(root)
+    }
   }
 
   /** CALIBRATION BINS — the reliability-diagram eval every scored
@@ -755,8 +790,11 @@ object QueriesStats {
       .agg(count(lit(1)).as("n"),
         sum(when(col("__v") === 0L, 1L).otherwise(0L)).as("n_a"))
       .withColumn("n_b", col("n") - col("n_a"))
+      // square AFTER the decimal cast: a pathological split (the very
+      // case an SRM gate exists to catch) can push |n_a−n_b| past
+      // √BIGINT at 100 TB, and ANSI would throw instead of flagging
       .withColumn("chi2_ppm",
-        expr("""CAST((CAST((n_a - n_b) * (n_a - n_b) AS DECIMAL(38,0))
+        expr("""CAST((CAST(n_a - n_b AS DECIMAL(38,0)) * (n_a - n_b)
                 * 1000000) DIV n AS BIGINT)"""))
       .select(col("nation"), col("n").cast("bigint").as("n"),
         col("n_a").cast("bigint").as("n_a"),

@@ -76,14 +76,12 @@ class Round15StatsSpec extends AnyFunSuite {
     assert(got.values.exists(_._2 > 0), "no triangles — vacuous pin")
   }
 
-  test("q278 Mann–Whitney: U identities and one nation brute-forced") {
+  test("q278 Mann–Whitney: rank-biserial bounded and brute-forced") {
     val rows = QueriesStats.q278MannWhitney(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val (nR, nN, uR2, uN2) =
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
-      assert(uR2 + uN2 == 2 * nR * nN, s"${r.getString(0)}: U1+U2 ≠ n1·n2")
-      assert(uR2 >= 0 && uR2 <= 2 * nR * nN, s"${r.getString(0)}: U range")
+      assert(math.abs(r.getLong(3)) <= 1000000L,
+        s"${r.getString(0)}: rank-biserial outside ±1e6 ppm")
     }
     // brute force the first nation from raw quantities via midranks
     val nation = rows.head.getString(0)
@@ -108,9 +106,12 @@ class Round15StatsSpec extends AnyFunSuite {
     }
     val rSum2 = qtys.filter(_._1 == "R").map(q => rank2(q._2)).sum
     val n1 = qtys.count(_._1 == "R").toLong
+    val n2 = qtys.count(_._1 == "N").toLong
     val u1x2 = rSum2 - n1 * (n1 + 1)
-    assert(rows.head.getLong(3) == u1x2,
-      s"$nation: got ${rows.head.getLong(3)}, brute $u1x2")
+    val rbPpm = (BigInt(u1x2) * 1000000 / (BigInt(n1) * n2)
+      - 1000000).toLong
+    assert(rows.head.getLong(3) == rbPpm,
+      s"$nation: got ${rows.head.getLong(3)}, brute $rbPpm")
   }
 
   test("q279 item-cosine ranking agrees with true double cosine") {
@@ -166,7 +167,7 @@ class Round15StatsSpec extends AnyFunSuite {
     val got = QueriesStats.q280Changepoint(spark, sf)
       .select(col("nation"),
         date_format(col("cp_date"), "yyyy-MM-dd"),
-        col("t"), col("n_days"), col("stat"))
+        col("t"), col("n_days"), col("stat_cents"))
       .collect()
       .map(r => r.getString(0) ->
         ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
@@ -177,7 +178,8 @@ class Round15StatsSpec extends AnyFunSuite {
       var sT = 0L
       val stats = series.zipWithIndex.init.map { case ((d, rev), i) =>
         sT += rev
-        (d, i + 1L, math.abs(n * sT - (i + 1L) * sN))
+        (d, i + 1L,
+          ((BigInt(n) * sT - BigInt(i + 1L) * sN).abs / n).toLong)
       }
       // argmax by stat, ties to the EARLIEST date (ISO strings sort
       // lexicographically = chronologically)
@@ -238,8 +240,8 @@ class Round15StatsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .groupBy(_._1)
     val got = QueriesStats.q284KendallTau(spark, sf).collect()
-      .map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
     rows.foreach { case (nation, xs) =>
       val v = xs.map(x => (x._2, x._3))
       var nc = 0L; var nd = 0L
@@ -248,8 +250,13 @@ class Round15StatsSpec extends AnyFunSuite {
         val dy = java.lang.Long.compare(v(k)._2, v(i)._2)
         if (dx * dy > 0) nc += 1 else if (dx * dy < 0) nd += 1
       }
-      assert(got(nation) == ((v.length.toLong, nc, nd)),
-        s"$nation: got ${got(nation)}, brute (${v.length}, $nc, $nd)")
+      val n = v.length.toLong
+      val den = BigInt(n) * (n - 1)
+      def ppm(x: Long) = (BigInt(x) * 2000000 / den).toLong
+      // BigInt division truncates toward zero like DIV / //
+      assert(got(nation) == ((n, ppm(nc), ppm(nd), ppm(nc - nd))),
+        s"$nation: got ${got(nation)}, " +
+          s"brute ($n, ${ppm(nc)}, ${ppm(nd)}, ${ppm(nc - nd)})")
     }
   }
 
