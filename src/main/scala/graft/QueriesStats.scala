@@ -39,6 +39,16 @@ object QueriesStats {
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Type-1 quantile locator over a cumulative ladder: TRUE exactly on
+    * the ladder row whose count bucket covers 1-based rank `k` (the
+    * smallest value with cumulative ≥ k). One definition shared by
+    * every quantile query (q283 winsorize, q292 skew audit, q293 QTE)
+    * so a boundary tweak can never drift between them — and their
+    * DuckDB oracles restate the same predicate.
+    */
+  private def coversRank(k: Column, cum: Column, cnt: Column): Column =
+    cum >= k && cum - cnt < k
+
   /** LABEL PROPAGATION community detection (Raghavan et al. 2007),
     * made deterministic the standard way: SYNCHRONOUS rounds, label =
     * most frequent neighbor label with ties broken by MIN label, a
@@ -435,8 +445,7 @@ object QueriesStats {
       ladder.join(bracket, Seq("nation", "dollar"))
         .withColumn("ccum", col("below") + sum(col("cnt")).over(
           inB.rowsBetween(Window.unboundedPreceding, 0)))
-        .filter(col("ccum") >= col("k") &&
-          col("ccum") - col("cnt") < col("k"))
+        .filter(coversRank(col("k"), col("ccum"), col("cnt")))
         .select(col("nation"), col("c").as(tag))
     }
     val p05 = locate(col("k05"), "p05_cents")
@@ -908,7 +917,7 @@ object QueriesStats {
         .withColumn("ccum", sum(col("nk")).over(cum))
         .crossJoin(broadcast(tot))
       def tile(k: Column, tag: String): DataFrame = ranked
-        .filter(col("ccum") >= k && col("ccum") - col("nk") < k)
+        .filter(coversRank(k, col("ccum"), col("nk")))
         .select(col("audited"), col("cnt").as(tag))
       tile(expr("(n_keys + 1) DIV 2"), "p50_cnt")
         .join(tile(expr("(99 * n_keys + 99) DIV 100"), "p99_cnt"),
@@ -958,8 +967,8 @@ object QueriesStats {
     val spine = s.range(1, 4)
       .select((col("id") * 25).cast("bigint").as("q"))
     val tiles = ranked.crossJoin(broadcast(spine))
-      .filter(col("ccum") >= expr("(q * n + 99) DIV 100") &&
-        col("ccum") - col("cnt") < expr("(q * n + 99) DIV 100"))
+      .filter(coversRank(expr("(q * n + 99) DIV 100"),
+        col("ccum"), col("cnt")))
       .select(col("q"), col("variant"), col("c"))
     tiles.filter(col("variant") === 0L)
       .select(col("q"), col("c").as("a_cents"))
