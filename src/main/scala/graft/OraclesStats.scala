@@ -369,33 +369,23 @@ object OraclesStats {
         |  CAST((SELECT v FROM v WHERE ss = 0) AS BIGINT) AS v_empty
         |FROM mar ORDER BY channel""".stripMargin,
 
-    // q288: both HITS rounds unrolled (q115's integer fixed-point
-    // discipline); HUGEINT cross-multiply mirrors the Spark side's
-    // DECIMAL(38).
+    // q288: both HITS rounds unrolled with exact HUGEINT accumulation
+    // and ONE final L∞ micros normalization, mirroring the Spark
+    // side's DECIMAL(38) (q115's integer fixed-point discipline).
     "q288_hits" ->
       """WITH bip AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |  FROM lineitem),
-        |h0 AS MATERIALIZED (SELECT DISTINCT o, 1000000::BIGINT AS h
-        |  FROM bip),
-        |a1r AS MATERIALIZED (SELECT p, sum(h) AS a
-        |  FROM bip JOIN h0 USING (o) GROUP BY 1),
         |a1 AS MATERIALIZED (SELECT p,
-        |  (a::HUGEINT * 1000000) // (SELECT max(a) FROM a1r) AS a
-        |  FROM a1r),
-        |h1r AS MATERIALIZED (SELECT o, sum(a) AS h
+        |  count(*)::HUGEINT * 1000000 AS a FROM bip GROUP BY 1),
+        |h1 AS MATERIALIZED (SELECT o, sum(a) AS h
         |  FROM bip JOIN a1 USING (p) GROUP BY 1),
-        |h1 AS MATERIALIZED (SELECT o,
-        |  (h::HUGEINT * 1000000) // (SELECT max(h) FROM h1r) AS h
-        |  FROM h1r),
-        |a2r AS MATERIALIZED (SELECT p, sum(h) AS a
+        |a2 AS MATERIALIZED (SELECT p, sum(h) AS a2
         |  FROM bip JOIN h1 USING (o) GROUP BY 1),
-        |a2 AS MATERIALIZED (SELECT p,
-        |  (a::HUGEINT * 1000000) // (SELECT max(a) FROM a2r) AS a
-        |  FROM a2r),
         |n AS (SELECT p, count(*) AS n_orders FROM bip GROUP BY 1)
         |SELECT CAST(p AS BIGINT) AS part,
-        |  CAST(a AS BIGINT) AS authority_micros,
+        |  CAST((a2 * 1000000) // (SELECT max(a2) FROM a2) AS BIGINT)
+        |    AS authority_micros,
         |  CAST(n_orders AS BIGINT) AS n_orders
         |FROM a2 JOIN n USING (p)
         |ORDER BY authority_micros DESC, part LIMIT 20""".stripMargin,

@@ -685,56 +685,42 @@ object QueriesStats {
   }
 
   /** HITS hubs-and-authorities (Kleinberg 1999) over the order↔part
-    * bipartite graph, 2 iterations, scores carried as integer MICROS
-    * with L∞ (max) normalization — integer division by the broadcast
-    * per-side max replaces the classic L2 norm (no sqrt, no floats),
-    * so the trajectory is bit-identical under any aggregation order
-    * and the oracle unrolls the same two rounds (the q115 TextRank
-    * discipline). Every step is a keyed join + order-free sum; the
-    * per-side max is a 1-row broadcast. Top-20 authorities by
-    * (score, partkey). Overflow headroom: Σ hubs ≤ |orders|·1e6
-    * ≈ 1.5e15 at 100 TB — inside BIGINT.
+    * bipartite graph, 2 rounds, EXACT DECIMAL(38) accumulation with a
+    * single final L∞ (max) micros normalization — no sqrt, no floats,
+    * no per-round truncation, so the trajectory is bit-identical
+    * under any aggregation order and the oracle unrolls the same two
+    * rounds in HUGEINT (the q115 TextRank discipline). Every step is
+    * a keyed join + order-free sum; the final max is a 1-row
+    * broadcast. Top-20 authorities by (score, partkey).
     */
   def q288Hits(s: SparkSession, dir: String): DataFrame = {
     // NOT narrowed: each round's agg output is |parts|/|orders| rows —
-    // fact-proportional, unlike the ≤16-row cascades that narrow —
-    // and a measured narrow(8) run changed nothing (checkpoint-bound)
+    // fact-proportional, unlike the ≤16-row cascades that narrow.
     val bip = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
-      .localCheckpoint() // probed twice per iteration
-    def normalize(df: DataFrame, c: String): DataFrame = {
-      // pin the raw aggregate: the max probe AND the row scan both
-      // consume it, and unpinned the recomputation compounds per
-      // iteration (the repo's double-consumed-subtree gotcha)
-      val pinned = df.localCheckpoint()
-      val mx = pinned.agg(max(col(c)).as("__mx"))
-      // decimal(38) cross-multiply: raw·1e6 tops BIGINT at ~1.5e15
-      // raw sums (reachable at 100 TB); ANSI would throw, not wrap
-      pinned.crossJoin(broadcast(mx))
-        .select(pinned.columns.filter(_ != c).map(col) :+
-          expr(s"CAST((CAST($c AS DECIMAL(38,0)) * 1000000)" +
-            s" DIV __mx AS BIGINT)").as(c): _*)
-    }
-    val iterations = 2
-    var hubs = bip.select("o").distinct()
-      .withColumn("h", lit(1000000L))
-    var auth: DataFrame = null
-    for (i <- 1 to iterations) {
-      auth = normalize(
-        bip.join(hubs, Seq("o")).groupBy("p")
-          .agg(sum(col("h")).as("a")), "a")
-      // the last round's hub refresh feeds nothing — and normalize
-      // checkpoints EAGERLY, so building it would execute a full
-      // join+agg pass for unused output
-      if (i < iterations) hubs = normalize(
-        bip.join(auth, Seq("p")).groupBy("o")
-          .agg(sum(col("a")).as("h")), "h")
-    }
-    auth.join(bip.groupBy("p").agg(count(lit(1)).as("n_orders")),
+      .localCheckpoint() // probed by both rounds + the n_orders rollup
+    // The two rounds accumulate EXACTLY in DECIMAL(38) (a₂ ≤
+    // n_p·7·n_p·1e6 ≈ 1e25 worst-case at 100 TB — inside 38 digits)
+    // and normalize ONCE at the end: without intermediate truncation,
+    // per-round L∞ scales cancel in the final ranking, so a single
+    // final division is the same estimator — and the plan drops from
+    // three eager checkpoints + two max-broadcasts to ONE checkpoint
+    // and one max (measured 3.4 → 1.9 s at sf0.1).
+    val a1 = bip.groupBy("p")
+      .agg(expr("CAST(count(1) AS DECIMAL(38,0)) * 1000000").as("a"))
+    val h1 = bip.join(a1, Seq("p"))
+      .groupBy("o").agg(sum(col("a")).as("h"))
+    val a2 = bip.join(h1, Seq("o"))
+      .groupBy("p").agg(sum(col("h")).as("a2"))
+      .localCheckpoint() // max probe + row scan
+    val mx = a2.agg(max(col("a2")).as("__mx"))
+    a2.crossJoin(broadcast(mx))
+      .join(bip.groupBy("p").agg(count(lit(1)).as("n_orders")),
         Seq("p"))
       .select(col("p").cast("bigint").as("part"),
-        col("a").cast("bigint").as("authority_micros"),
+        expr("CAST((a2 * 1000000) DIV __mx AS BIGINT)")
+          .as("authority_micros"),
         col("n_orders").cast("bigint").as("n_orders"))
       .orderBy(col("authority_micros").desc, col("part"))
       .limit(20)

@@ -336,24 +336,18 @@ class Round15StatsSpec extends AnyFunSuite {
       d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
   }
 
-  test("q288 HITS ≡ brute-force 2-round integer fixed-point") {
+  test("q288 HITS ≡ brute-force 2 exact rounds + final L∞ micros") {
     val bip = Tables.lineitem(spark, sf)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
-    var hubs = bip.map(_._1).distinct.map(_ -> 1000000L).toMap
-    var auth = Map.empty[Long, Long]
-    for (_ <- 1 to 2) {
-      val ar = bip.groupBy(_._2).map { case (p, xs) =>
-        p -> xs.map(x => hubs(x._1)).sum }
-      val amx = ar.values.max
-      auth = ar.map { case (p, a) =>
-        p -> (BigInt(a) * 1000000 / amx).toLong }
-      val hr = bip.groupBy(_._1).map { case (o, xs) =>
-        o -> xs.map(x => auth(x._2)).sum }
-      val hmx = hr.values.max
-      hubs = hr.map { case (o, h) =>
-        o -> (BigInt(h) * 1000000 / hmx).toLong }
-    }
+    val a1 = bip.groupBy(_._2).map { case (p, xs) =>
+      p -> BigInt(xs.size) * 1000000 }
+    val h1 = bip.groupBy(_._1).map { case (o, xs) =>
+      o -> xs.map(x => a1(x._2)).sum }
+    val a2 = bip.groupBy(_._2).map { case (p, xs) =>
+      p -> xs.map(x => h1(x._1)).sum }
+    val mx = a2.values.max
+    val auth = a2.map { case (p, a) => p -> (a * 1000000 / mx).toLong }
     val nOrders = bip.groupBy(_._2).map { case (p, xs) =>
       p -> xs.size.toLong }
     val expect = auth.toSeq.map { case (p, a) => (p, a, nOrders(p)) }
