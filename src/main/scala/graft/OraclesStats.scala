@@ -217,6 +217,59 @@ object OraclesStats {
         |ORDER BY est_count DESC, cms_key
         |LIMIT 100""".stripMargin,
 
+    // q296: q55's full portable-MinHash oracle (shingles → affine
+    // 32-bit min-hashes → 4-band keys → candidates → exact-Jaccard
+    // verify) restricted to pairs crossing the md5 80/20 split and
+    // normalized to (train_id, val_id).
+    "q296_split_leakage" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split($normSql, ' '),
+         |    x -> x <> '') AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(1, len(t) - 3 + 2),
+         |    i -> array_to_string(t[i:i+2], ' '))) AS s
+         |  FROM toks WHERE len(t) >= 3),
+         |mins AS (
+         |  SELECT doc_id, s, list_transform(range(0, 16), i ->
+         |    list_min(list_transform(s, x ->
+         |      (((('0x' || substr(md5('a:' || i), 1, 7))::BIGINT | 1)
+         |         * ('0x' || substr(md5(x), 1, 8))::BIGINT
+         |         + ('0x' || substr(md5('b:' || i), 1, 8))::BIGINT)
+         |        & 4294967295)))) AS m
+         |  FROM sh),
+         |banded AS (
+         |  SELECT doc_id, b.band_idx,
+         |    array_to_string(m[b.band_idx*4+1 : b.band_idx*4+4], ',')
+         |      AS band_key
+         |  FROM mins, range(0, 4) AS b(band_idx)),
+         |cand AS (
+         |  SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
+         |  FROM banded b1 JOIN banded b2 USING (band_idx, band_key)
+         |  WHERE b1.doc_id < b2.doc_id),
+         |verified AS (
+         |  SELECT id_a, id_b,
+         |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |          / len(list_distinct(list_concat(a.s, b.s))), 6)
+         |      AS jaccard
+         |  FROM cand JOIN sh a ON id_a = a.doc_id
+         |  JOIN sh b ON id_b = b.doc_id),
+         |sided AS (
+         |  SELECT v.id_a, v.id_b, v.jaccard,
+         |    CASE WHEN ('0x' || substr(md5('split:' || v.id_a::VARCHAR),
+         |      1, 8))::BIGINT % 5 = 4 THEN 'val' ELSE 'train' END AS sa,
+         |    CASE WHEN ('0x' || substr(md5('split:' || v.id_b::VARCHAR),
+         |      1, 8))::BIGINT % 5 = 4 THEN 'val' ELSE 'train' END AS sb
+         |  FROM verified v WHERE v.jaccard >= 0.8)
+         |SELECT
+         |  CAST(CASE WHEN sa = 'train' THEN id_a ELSE id_b END
+         |    AS BIGINT) AS train_id,
+         |  CAST(CASE WHEN sa = 'val' THEN id_a ELSE id_b END
+         |    AS BIGINT) AS val_id,
+         |  jaccard
+         |FROM sided WHERE sa <> sb
+         |ORDER BY train_id, val_id""".stripMargin,
+
     "q294_ngram_contamination" ->
       s"""WITH l AS (SELECT doc_id,
          |    list_filter(string_split($normSql, ' '), x -> x <> '')

@@ -1022,7 +1022,43 @@ object QueriesStats {
         merges = 20))
   }
 
+  /** SPLIT-LEAKAGE AUDIT — near-duplicate pairs that CROSS a
+    * train/validation hash split (80/20 by replayable md5, the q51
+    * discipline): the eval-contamination check a training pipeline
+    * runs after splitting, distinct from q50/q102/q294 which audit
+    * against an EXTERNAL benchmark set. Rides the full portable
+    * MinHash near-dup machinery (q55's banded LSH + exact-Jaccard
+    * verify — already hash-gated on its own), then keeps only pairs
+    * whose endpoints land on different sides. Output is normalized
+    * (train_id, val_id, jaccard) so the leak list reads directly as
+    * "these validation docs are compromised".
+    */
+  def q296SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sides = docs.select(col("doc_id"),
+      when(pmod(graft.operators.Scale.md5Prefix32(
+        concat(lit("split:"), col("doc_id").cast("string"))),
+        lit(5L)) === 4L, lit("val")).otherwise(lit("train"))
+        .as("__side"))
+    graft.operators.Dedup.minhashNearDupsPortable(docs, "doc_id",
+        "text", shingleLen = 3, numHashes = 16, bands = 4,
+        threshold = 0.8)
+      .join(sides.select(col("doc_id").as("id_a"),
+        col("__side").as("__sa")), Seq("id_a"))
+      .join(sides.select(col("doc_id").as("id_b"),
+        col("__side").as("__sb")), Seq("id_b"))
+      .filter(col("__sa") =!= col("__sb"))
+      .select(
+        when(col("__sa") === "train", col("id_a")).otherwise(col("id_b"))
+          .cast("bigint").as("train_id"),
+        when(col("__sa") === "val", col("id_a")).otherwise(col("id_b"))
+          .cast("bigint").as("val_id"),
+        col("jaccard"))
+      .orderBy("train_id", "val_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q296_split_leakage" -> q296SplitLeakage _,
     "q292_skew_audit" -> q292SkewAudit _,
     "q293_quantile_effects" -> q293QuantileEffects _,
     "q294_ngram_contamination" -> q294NgramContamination _,

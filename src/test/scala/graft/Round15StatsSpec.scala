@@ -532,6 +532,28 @@ class Round15StatsSpec extends AnyFunSuite {
       "BPE produced as many tokens as characters — merges vacuous")
   }
 
+  test("q296 split leakage ≡ exactly the cross-split subset of q55") {
+    // sf0.01: sf0.001's corpus yields no ≥0.8 pairs (vacuous)
+    val sf01 = "/root/testdata/sf0.01"
+    def side(id: Long): String =
+      if (md5p32(s"split:$id") % 5 == 4) "val" else "train"
+    val all = QueriesText.q55MinhashPortable(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = all
+      .filter { case (a, b, _) => side(a) != side(b) }
+      .map { case (a, b, j) =>
+        if (side(a) == "train") (a, b, j) else (b, a, j) }
+      .sortBy(x => (x._1, x._2)).toSeq
+    val got = QueriesStats.q296SplitLeakage(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expect, s"got ${got.size}, expect ${expect.size}")
+    assert(got.nonEmpty, "no cross-split near-dups at sf0.01 — vacuous")
+    got.foreach { case (t, v, _) =>
+      assert(side(t) == "train" && side(v) == "val",
+        s"pair ($t, $v) does not cross the split as labeled")
+    }
+  }
+
   test("q282 backtest: WAPE identity and exact lag-52 alignment") {
     val rows = QueriesStats.q282ForecastBacktest(spark, sf).collect()
     assert(rows.nonEmpty)
