@@ -307,9 +307,14 @@ object ScaleProbe {
     // machinery absorbs volume linearly, which is the property that
     // matters when micro-batches carry 1000 executors' worth of rows.
     Seq("q86_stream_dedup", "q105_stream_sessions",
-        "q119_stream_stream_join").filter(wanted).foreach { name =>
-      measure(name, SparkEntry.queries(name), SparkEntry.queries(name))
-    }
+        "q119_stream_stream_join",
+        // the sketch twins: per-batch volume grows N× while standing
+        // state stays 256 / 32 integers — the exponent should read the
+        // scan, not the state
+        "q281_stream_cms", "q286_stream_bloom").filter(wanted)
+      .foreach { name =>
+        measure(name, SparkEntry.queries(name), SparkEntry.queries(name))
+      }
     spark.stop()
   }
 }
