@@ -217,6 +217,43 @@ object OraclesStats {
         |ORDER BY est_count DESC, cms_key
         |LIMIT 100""".stripMargin,
 
+    "q297_post_stratified_effect" ->
+      """WITH a AS (SELECT c_mktsegment AS segment,
+        |    ('0x' || substr(md5('srm:' || o_orderkey::VARCHAR), 1, 8))
+        |      ::BIGINT % 2 AS variant,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS c
+        |  FROM orders JOIN customer ON c_custkey = o_custkey),
+        |g AS (SELECT segment,
+        |    sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN variant = 1 THEN c ELSE 0 END) AS s1,
+        |    sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n0,
+        |    sum(CASE WHEN variant = 0 THEN c ELSE 0 END) AS s0
+        |  FROM a GROUP BY 1),
+        |tot AS (SELECT sum(n1 + n0) AS n FROM g),
+        |per AS (SELECT segment,
+        |    CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+        |    CAST(((s1::HUGEINT * n0 - s0::HUGEINT * n1) * 1000000)
+        |      // (n1::HUGEINT * n0) AS BIGINT) AS effect_microcents,
+        |    CAST(((n1 + n0)::HUGEINT * 1000000)
+        |      // (SELECT n FROM tot) AS BIGINT) AS weight_ppm,
+        |    CAST(((n1 + n0)::HUGEINT
+        |      * (s1::HUGEINT * n0 - s0::HUGEINT * n1) * 1000000)
+        |      // ((SELECT n FROM tot)::HUGEINT * n1 * n0) AS BIGINT)
+        |      AS contribution_microcents
+        |  FROM g)
+        |SELECT * FROM (
+        |  SELECT segment, n1, n0, effect_microcents, weight_ppm,
+        |    contribution_microcents FROM per
+        |  UNION ALL
+        |  SELECT '__overall__', CAST(sum(n1) AS BIGINT),
+        |    CAST(sum(n0) AS BIGINT),
+        |    CAST(sum(contribution_microcents) AS BIGINT),
+        |    CAST(sum(weight_ppm) AS BIGINT),
+        |    CAST(sum(contribution_microcents) AS BIGINT)
+        |  FROM per)
+        |ORDER BY segment""".stripMargin,
+
     // q296: q55's full portable-MinHash oracle (shingles → affine
     // 32-bit min-hashes → 4-band keys → candidates → exact-Jaccard
     // verify) restricted to pairs crossing the md5 80/20 split and

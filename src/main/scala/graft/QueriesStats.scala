@@ -1057,7 +1057,67 @@ object QueriesStats {
       .orderBy("train_id", "val_id")
   }
 
+  /** POST-STRATIFIED treatment effect — the other standard
+    * variance-reduction estimator next to q263's CUPED: per market
+    * segment, the exact cross-multiplied difference of variant means
+    * in micro-cents ((s1·n0 − s0·n1)·10⁶ DIV n1·n0 — no mean is ever
+    * divided out), the stratum's population weight in ppm, and its
+    * weighted contribution; the '__overall__' row sums contributions
+    * into the post-stratified ATE. All DECIMAL(38) intermediates
+    * (cents sums × counts leave BIGINT far below 100 TB); one keyed
+    * aggregate over the fact join + a 5-row rollup. Shares q290/q293's
+    * replayable md5 experiment split — the three queries read out one
+    * consistent experiment (gate → quantiles → adjusted effect).
+    */
+  def q297PostStratifiedEffect(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir).select(col("c_custkey")
+        .as("o_custkey"), col("c_mktsegment")), Seq("o_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        pmod(graft.operators.Scale.md5Prefix32(
+          concat(lit("srm:"), col("o_orderkey").cast("string"))),
+          lit(2L)).as("__v"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("__c"))
+      .groupBy("segment")
+      .agg(sum(when(col("__v") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__v") === 1L, col("__c")).otherwise(0L)).as("s1"),
+        sum(when(col("__v") === 0L, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("__v") === 0L, col("__c")).otherwise(0L)).as("s0"))
+      .localCheckpoint() // 5 rows; totals probe + per-strata projection
+    val tot = g.agg(sum(col("n1") + col("n0")).as("__n"))
+    val per = g.crossJoin(broadcast(tot))
+      .select(col("segment"),
+        col("n1").cast("bigint").as("n1"),
+        col("n0").cast("bigint").as("n0"),
+        expr("""CAST(((CAST(s1 AS DECIMAL(38,0)) * n0
+                - CAST(s0 AS DECIMAL(38,0)) * n1) * 1000000)
+                DIV (CAST(n1 AS DECIMAL(38,0)) * n0) AS BIGINT)""")
+          .as("effect_microcents"),
+        expr("""CAST((CAST(n1 + n0 AS DECIMAL(38,0)) * 1000000)
+                DIV __n AS BIGINT)""").as("weight_ppm"),
+        expr("""CAST((CAST(n1 + n0 AS DECIMAL(38,0))
+                * (CAST(s1 AS DECIMAL(38,0)) * n0
+                   - CAST(s0 AS DECIMAL(38,0)) * n1) * 1000000)
+                DIV (CAST(__n AS DECIMAL(38,0)) * n1 * n0) AS BIGINT)""")
+          .as("contribution_microcents"))
+      .localCheckpoint() // per-strata rows + the overall fold
+    per.unionByName(per.agg(
+        sum(col("n1")).as("n1"), sum(col("n0")).as("n0"),
+        sum(col("contribution_microcents")).as("effect_microcents"),
+        sum(col("weight_ppm")).as("weight_ppm"),
+        sum(col("contribution_microcents"))
+          .as("contribution_microcents"))
+      .select(lit("__overall__").as("segment"),
+        col("n1").cast("bigint"), col("n0").cast("bigint"),
+        col("effect_microcents").cast("bigint"),
+        col("weight_ppm").cast("bigint"),
+        col("contribution_microcents").cast("bigint")))
+      .orderBy("segment")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q297_post_stratified_effect" -> q297PostStratifiedEffect _,
     "q296_split_leakage" -> q296SplitLeakage _,
     "q292_skew_audit" -> q292SkewAudit _,
     "q293_quantile_effects" -> q293QuantileEffects _,

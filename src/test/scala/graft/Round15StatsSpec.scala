@@ -554,6 +554,41 @@ class Round15StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q297 post-stratified effect ≡ brute-force replay; ATE is the contribution sum") {
+    val rows = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .collect()
+      .map(r => (r.getString(0), md5p32(s"srm:${r.getLong(1)}") % 2,
+        r.getLong(2)))
+    val n = rows.length.toLong
+    val expect = rows.groupBy(_._1).map { case (seg, xs) =>
+      val n1 = xs.count(_._2 == 1L).toLong
+      val n0 = xs.count(_._2 == 0L).toLong
+      val s1 = BigInt(xs.filter(_._2 == 1L).map(_._3).sum)
+      val s0 = BigInt(xs.filter(_._2 == 0L).map(_._3).sum)
+      val num = s1 * n0 - s0 * n1
+      seg -> ((n1, n0,
+        (num * 1000000 / (BigInt(n1) * n0)).toLong,
+        (BigInt(n1 + n0) * 1000000 / n).toLong,
+        (BigInt(n1 + n0) * num * 1000000 /
+          (BigInt(n) * n1 * n0)).toLong))
+    }
+    val got = QueriesStats.q297PostStratifiedEffect(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    expect.foreach { case (seg, e) =>
+      assert(got(seg) == e, s"$seg: got ${got(seg)}, brute $e")
+    }
+    val overall = got("__overall__")
+    assert(overall._3 == expect.values.map(_._5).sum,
+      "overall ATE must be the exact sum of strata contributions")
+    assert(overall._1 == expect.values.map(_._1).sum &&
+      overall._2 == expect.values.map(_._2).sum)
+  }
+
   test("q282 backtest: WAPE identity and exact lag-52 alignment") {
     val rows = QueriesStats.q282ForecastBacktest(spark, sf).collect()
     assert(rows.nonEmpty)
