@@ -140,6 +140,83 @@ object OraclesCore {
       |FROM iv GROUP BY 1 ORDER BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q298: both dim levels restated as CTEs over part; the CASE
+    // mirrors the overrideable → known-pair → coalesce(override,
+    // default) decision ladder exactly.
+    "q298_jobcode_override" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_size FROM part),
+        |d AS (SELECT p_brand,
+        |    count(*) % 2 = 0 AS overrideable,
+        |    CAST(sum(p_size) AS BIGINT) % 3 = 0 AS dflt
+        |  FROM p GROUP BY 1),
+        |pr AS (SELECT p_brand, p_size, count(*) AS cnt,
+        |    CAST(sum(p_partkey) AS BIGINT) AS sk
+        |  FROM p GROUP BY 1, 2),
+        |k AS (SELECT p_brand, p_size, TRUE AS known FROM pr
+        |  WHERE cnt >= 2),
+        |o AS (SELECT p_brand, p_size, sk % 2 = 0 AS ov FROM pr
+        |  WHERE cnt >= 3),
+        |eff AS (SELECT p.p_brand,
+        |    CASE WHEN d.overrideable AND k.known IS NOT NULL
+        |      THEN coalesce(o.ov, d.dflt) ELSE d.dflt END AS e,
+        |    d.overrideable AND k.known IS NOT NULL
+        |      AND o.ov IS NOT NULL AS used_ov,
+        |    d.overrideable AND k.known IS NULL AS unknown
+        |  FROM p
+        |  JOIN d USING (p_brand)
+        |  LEFT JOIN k ON k.p_brand = p.p_brand AND k.p_size = p.p_size
+        |  LEFT JOIN o ON o.p_brand = p.p_brand AND o.p_size = p.p_size)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_profiled,
+        |  CAST(sum(CASE WHEN used_ov THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_overridden,
+        |  CAST(sum(CASE WHEN unknown THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unknown_pair
+        |FROM eff GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q299: the per-uuid consumption verdict as a CTE, then the
+    // family rollup — version ≡ 0 mod 7 marks the simulated
+    // already-in-history rows on both sides.
+    "q299_change_consumption" ->
+      """WITH per AS (
+        |  SELECT event_type AS family, user_id, count(*) AS n,
+        |    max(event_id) AS maxv,
+        |    sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END)
+        |      AS already
+        |  FROM events GROUP BY 1, 2)
+        |SELECT family, CAST(sum(n) AS BIGINT) AS n_changes,
+        |  CAST(count(*) AS BIGINT) AS n_consumed,
+        |  CAST(sum(n - 1) AS BIGINT) AS n_stale,
+        |  CAST(sum(already) AS BIGINT) AS n_already_in_hst,
+        |  CAST(sum(n) - sum(already) AS BIGINT) AS n_new_hst,
+        |  CAST(sum(maxv) AS BIGINT) AS consumed_version_sum
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q300: the three origins stated as explicit UNION ALL branches
+    // over the batch-flagged association rows (Spark fans the same
+    // row out via a conditional-array explode — identical multiset).
+    "q300_delete_recreate" ->
+      """WITH batch AS (SELECT o_orderkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2000-01-01'),
+        |old AS (SELECT l_orderkey, l_suppkey, l_linenumber,
+        |    l_returnflag,
+        |    l_orderkey IN (SELECT o_orderkey FROM batch) AS b
+        |  FROM lineitem),
+        |tagged AS (
+        |  SELECT 'kept' AS origin, l_orderkey, l_suppkey, l_linenumber
+        |    FROM old WHERE NOT b
+        |  UNION ALL
+        |  SELECT 'deleted', l_orderkey, l_suppkey, l_linenumber
+        |    FROM old WHERE b
+        |  UNION ALL
+        |  SELECT 'recreated', l_orderkey, l_suppkey, l_linenumber
+        |    FROM old WHERE b AND l_returnflag <> 'R')
+        |SELECT origin, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_docs,
+        |  CAST(sum(l_suppkey) AS BIGINT) AS supp_sum,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS line_sum
+        |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin,
     // q239: same transition counts, same (-count, dst) argmin model,
     // same eval fold.
     "q239_next_event_accuracy" ->

@@ -1818,27 +1818,28 @@ object QueriesCore {
     * not per-lineitem).
     */
   def q143OnlyReturner(s: SparkSession, dir: String): DataFrame = {
-    // ONE fact scan + ONE shuffle: the (order, supplier) pair set with
-    // a did-return flag is the whole working set (raw-scan audit
-    // showed the naive two-CTE phrasing re-scanned lineitem three
-    // times); both exists-tests and the sole-returner election then
-    // run over the pinned pair table, which is distinct-pair-sized,
-    // never fact-sized.
-    val pairs = Tables.lineitem(s, dir)
-      .groupBy(col("l_orderkey"), col("l_suppkey"))
-      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0))
-        .as("__ret"))
-      .localCheckpoint()
-    val rl = pairs.filter(col("__ret") === 1)
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val al2 = pairs.select(col("l_orderkey").as("__ok2"),
-      col("l_suppkey").as("__sk2"))
-    val rl2 = pairs.filter(col("__ret") === 1)
-      .select(col("l_orderkey").as("__ok3"), col("l_suppkey").as("__sk3"))
-    rl.join(al2, col("l_orderkey") === col("__ok2") &&
-        col("l_suppkey") =!= col("__sk2"), "left_semi")
-      .join(rl2, col("l_orderkey") === col("__ok3") &&
-        col("l_suppkey") =!= col("__sk3"), "left_anti")
+    // ONE fact scan + ONE shuffle, and that single pass is the
+    // information-theoretic floor: ANY lineitem row can flip an
+    // order's sole-returner verdict (add a second returner, or the
+    // second supplier that makes the order multi-supplier), so every
+    // row must be read once — no plan can beat a full scan. The
+    // round-15 pair-table phrasing hit exponent 0.90 at 100× because
+    // the distinct-pair working set was materialized (localCheckpoint)
+    // and re-shuffled three more times by the semi/anti pair; this
+    // phrasing folds BOTH exists-tests into one per-order aggregate —
+    // collect_set of suppliers and of returning suppliers, each
+    // bounded by the ≤7-lineitem order width, with map-side partial
+    // merge — so the only shuffle carries distinct-pair-scale set
+    // partials keyed by orderkey, and the verdict (|all| > 1 ∧
+    // |returners| = 1) plus the sole returner's identity fall out of
+    // the aggregate row itself, no joins back.
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_suppkey")).as("__all"),
+        collect_set(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("__ret"))
+      .filter(size(col("__all")) > 1 && size(col("__ret")) === 1)
+      .select(element_at(col("__ret"), 1).as("l_suppkey"))
       .join(broadcast(Tables.supplier(s, dir)),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_name")
@@ -6480,7 +6481,123 @@ object QueriesCore {
       .orderBy("doc_id")
   }
 
+  /** TWO-LEVEL DEFAULT/OVERRIDE lookup with coalesce fallback — the J3
+    * shape (reference: experts_etl/oit_to_edw/employee_job.py:170-180):
+    * each fact row takes an attribute from its level-1 dim (jobcode
+    * defaults ↔ per-brand defaults here); when the level-1 row marks
+    * the attribute OVERRIDEABLE, a level-2 (jobcode, deptid) ↔
+    * (brand, size) lookup applies — a KNOWN pair may carry an override
+    * row (coalesce back to the default when it doesn't), and an
+    * UNKNOWN pair is recorded as an error-context row (the reference's
+    * record_unknown_jobcode_deptid_errors branch) while keeping the
+    * default. Both dim levels are derived from the part table itself
+    * (deterministic aggregates) and broadcast — they are
+    * dimension-sized at any fact scale, so the fact never shuffles:
+    * scan → two broadcast hash joins → brand rollup.
+    */
+  def q298JobcodeOverride(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val defaults = p.groupBy("p_brand")
+      .agg((count(lit(1)) % 2 === 0).as("__overrideable"),
+        (sum(col("p_size")) % 3 === 0).as("__dflt"))
+    val pairs = p.groupBy("p_brand", "p_size")
+      .agg(count(lit(1)).as("__cnt"), sum(col("p_partkey")).as("__sk"))
+    val known = pairs.filter(col("__cnt") >= 2)
+      .select(col("p_brand"), col("p_size"), lit(true).as("__known"))
+    val overrides = pairs.filter(col("__cnt") >= 3)
+      .select(col("p_brand"), col("p_size"),
+        (col("__sk") % 2 === 0).as("__ov"))
+    p.join(broadcast(defaults), Seq("p_brand"))
+      .join(broadcast(known), Seq("p_brand", "p_size"), "left")
+      .join(broadcast(overrides), Seq("p_brand", "p_size"), "left")
+      .select(col("p_brand"),
+        when(col("__overrideable") && col("__known").isNotNull,
+          coalesce(col("__ov"), col("__dflt")))
+          .otherwise(col("__dflt")).as("__eff"),
+        (col("__overrideable") && col("__known").isNotNull &&
+          col("__ov").isNotNull).as("__used_ov"),
+        (col("__overrideable") && col("__known").isNull).as("__unknown"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).cast("bigint").as("n_parts"),
+        sum(col("__eff").cast("int")).cast("bigint").as("n_profiled"),
+        sum(col("__used_ov").cast("int")).cast("bigint").as("n_overridden"),
+        sum(col("__unknown").cast("int")).cast("bigint").as("n_unknown_pair"))
+      .orderBy("p_brand")
+  }
+
+  /** MAX-VERSION CHANGE CONSUMPTION with buffer→history split — the W7
+    * shape (reference: experts_etl/changes_buffer_managers.py:4-44):
+    * the change buffer holds (family, uuid, version) rows; per uuid
+    * only the MAX version is consumed (stale lower versions are
+    * skipped), and ALL rows move to the history table insert-if-absent
+    * — rows already present (simulated here as version ≡ 0 mod 7) are
+    * not re-inserted. Events stand in for the buffer: family ↔
+    * event_type, uuid ↔ user_id, version ↔ event_id. ONE fact-keyed
+    * shuffle — groupBy (family, uuid) computes the consumption verdict
+    * per uuid (count, max version, already-present count) with
+    * map-side partial aggregation, then a family-sized rollup; nothing
+    * downstream is fact-proportional.
+    */
+  def q299ChangeConsumption(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(s, dir)
+      .select(col("event_type").as("family"), col("user_id"),
+        col("event_id"))
+      .groupBy("family", "user_id")
+      .agg(count(lit(1)).as("__n"), max(col("event_id")).as("__maxv"),
+        sum((col("event_id") % 7 === 0).cast("int")).as("__already"))
+    per.groupBy("family")
+      .agg(sum(col("__n")).cast("bigint").as("n_changes"),
+        count(lit(1)).cast("bigint").as("n_consumed"),
+        sum(col("__n") - 1).cast("bigint").as("n_stale"),
+        sum(col("__already")).cast("bigint").as("n_already_in_hst"),
+        (sum(col("__n")) - sum(col("__already"))).cast("bigint")
+          .as("n_new_hst"),
+        sum(col("__maxv")).cast("bigint").as("consumed_version_sum"))
+      .orderBy("family")
+  }
+
+  /** DELETE-RECREATE merge at document granularity — the C10-C12 shape
+    * (reference: experts_etl/transformer_loaders/pure_api_pub.py:
+    * 389-405): re-importing a document DELETES every existing
+    * association row for its uuid and inserts the incoming list, so
+    * the final state is (old rows for untouched docs) ∪ (incoming rows
+    * for batch docs) — including the cascade-delete case where the
+    * incoming list is empty and the doc's associations vanish.
+    * Lineitem stands in for the association table (doc ↔ l_orderkey);
+    * the batch is orders from 2000 onward, whose incoming lists drop
+    * returned lines (so recreated ⊂ deleted, and some docs recreate to
+    * zero rows). ONE pass over the fact: a single left join against
+    * the batch key set flags each row, and a conditional-array explode
+    * fans each row into its tags (kept / deleted / recreated) — no
+    * per-tag re-join, no second fact scan; AQE picks broadcast vs
+    * shuffle for the key-set join by the batch's actual size.
+    */
+  def q300DeleteRecreate(s: SparkSession, dir: String): DataFrame = {
+    val batch = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= expr("TIMESTAMP '2000-01-01 00:00:00'"))
+      .select(col("o_orderkey").as("l_orderkey"), lit(1).as("__b"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_returnflag"))
+      .join(batch, Seq("l_orderkey"), "left")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"),
+        explode(when(col("__b").isNull, array(lit("kept")))
+          .otherwise(concat(array(lit("deleted")),
+            when(col("l_returnflag") =!= "R", array(lit("recreated")))
+              .otherwise(array().cast("array<string>"))))).as("origin"))
+      .groupBy("origin")
+      .agg(count(lit(1)).cast("bigint").as("n_rows"),
+        countDistinct(col("l_orderkey")).cast("bigint").as("n_docs"),
+        sum(col("l_suppkey")).cast("bigint").as("supp_sum"),
+        sum(col("l_linenumber")).cast("bigint").as("line_sum"))
+      .orderBy("origin")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q298_jobcode_override" -> q298JobcodeOverride _,
+    "q299_change_consumption" -> q299ChangeConsumption _,
+    "q300_delete_recreate" -> q300DeleteRecreate _,
     "q239_next_event_accuracy" -> q239NextEventAccuracy _,
     "q240_csv_export" -> q240CsvExport _,
     "q241_quantile_histogram" -> q241QuantileHistogram _,
