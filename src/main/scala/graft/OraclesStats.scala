@@ -606,7 +606,8 @@ object OraclesStats {
         |m AS (SELECT DISTINCT user_id FROM events),
         |probes AS (
         |  SELECT 'member' AS kind, user_id AS probe FROM m
-        |  UNION ALL SELECT 'absent', user_id + 1000000000 FROM m),
+        |  UNION ALL SELECT 'absent',
+        |    user_id + (SELECT max(user_id) + 1 FROM events) FROM m),
         |pp AS (SELECT kind, probe,
         |    ('0x' || substr(md5(j.j::VARCHAR || ':'
         |      || probe::VARCHAR), 1, 8))::BIGINT % 1024 AS p

@@ -592,6 +592,16 @@ object QueriesCore {
     * `body`, restore every touched conf (set-or-unset faithfully).
     * Shared with AqeSkewSpec so the spec asserts against exactly the
     * confs the declared query runs under.
+    *
+    * SINGLE-THREADED CONTRACT (shared with [[QueriesStats.narrow]]):
+    * the set/restore toggles the session-GLOBAL SQL conf, so any query
+    * planned concurrently on the same SparkSession during the window
+    * inherits the lowered thresholds. The bench/verify harness runs
+    * queries strictly sequentially, and restoration is exact even on
+    * exception (set-or-unset in the finally) — but a server-style
+    * shared-session caller must wrap the call in its own
+    * `SparkSession.newSession()` (cheap: shares the SparkContext,
+    * isolates the conf) before invoking these queries in parallel.
     */
   def withSkewSplitConfs[T](s: SparkSession)(body: => T): T = {
     val lowered = Map(

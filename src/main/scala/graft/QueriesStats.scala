@@ -29,6 +29,15 @@ object QueriesStats {
     * (n at the 32-partition bench ratio, scaling with the session
     * conf), not an absolute: a production session running thousands of
     * shuffle partitions keeps n/32 of them, never a hard-coded 8.
+    *
+    * SINGLE-THREADED CONTRACT (shared with
+    * [[QueriesCore.withSkewSplitConfs]]): the set/restore toggles the
+    * session-GLOBAL shuffle-partition conf — a query planned
+    * concurrently on the same SparkSession during the window inherits
+    * the narrowed width. Safe under the sequential bench/verify
+    * harness (restore is exact even on exception); shared-session
+    * callers must isolate via `SparkSession.newSession()` before
+    * running these queries in parallel.
     */
   private def narrow[T](s: SparkSession, n: Int)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -311,14 +320,18 @@ object QueriesStats {
     val ev = Tables.events(s, dir)
     val root = java.nio.file.Files
       .createTempDirectory("q281-stream").toString
-    val src = s"$root/src"
-    Seq(0, 1, 2).foreach { r =>
-      ev.filter(pmod(col("event_id"), lit(3)) === r)
-        .coalesce(1).write.mode("append").parquet(src)
-    }
     val name = java.nio.file.Paths.get(root).getFileName.toString
       .replaceAll("[^A-Za-z0-9_]", "_")
+    // fixture writes inside the try so a half-failed write can't leak
+    // the temp tree; coalesce(1) is deliberate — one file per slice
+    // pins the 3-micro-batch replay, and the writes are bench-fixture
+    // setup, not the data path (see q286's identical note)
     try {
+      val src = s"$root/src"
+      Seq(0, 1, 2).foreach { r =>
+        ev.filter(pmod(col("event_id"), lit(3)) === r)
+          .coalesce(1).write.mode("append").parquet(src)
+      }
       val q = narrow(s, 4) {
         graft.streaming.EventsStream
           .readEvents(s, src, maxFilesPerTrigger = Some(1))
@@ -581,14 +594,21 @@ object QueriesStats {
     val ev = Tables.events(s, dir)
     val root = java.nio.file.Files
       .createTempDirectory("q286-stream").toString
-    val src = s"$root/src"
-    Seq(0, 1, 2).foreach { r =>
-      ev.filter(pmod(col("event_id"), lit(3)) === r)
-        .coalesce(1).write.mode("append").parquet(src)
-    }
     val name = java.nio.file.Paths.get(root).getFileName.toString
       .replaceAll("[^A-Za-z0-9_]", "_")
+    // everything after mkdir — including the fixture writes — sits
+    // inside the try so the finally's delete(root) runs even when a
+    // write fails halfway (a pre-try write failure used to leak the
+    // temp tree). The 3 slice writes are sf-bench FIXTURE SETUP, not
+    // the data path: one file per slice (coalesce(1)) is what pins the
+    // deterministic 3-micro-batch replay under maxFilesPerTrigger=1;
+    // production streams read an existing source, never this writer.
     try {
+      val src = s"$root/src"
+      Seq(0, 1, 2).foreach { r =>
+        ev.filter(pmod(col("event_id"), lit(3)) === r)
+          .coalesce(1).write.mode("append").parquet(src)
+      }
       val q = narrow(s, 4) {
         graft.streaming.EventsStream
           .readEvents(s, src, maxFilesPerTrigger = Some(1))
@@ -608,9 +628,16 @@ object QueriesStats {
       val words = s.table(name).localCheckpoint()
       val members = ev.select(col("user_id").as("probe")).distinct()
         .withColumn("kind", lit("member"))
-      // synthetic absent population, disjoint by construction
-      val absent = members.select(
-          (col("probe") + 1000000000L).as("probe"),
+      // synthetic absent population: offset every member id by
+      // max(user_id)+1 — COMPUTED, so the populations are provably
+      // disjoint in any id domain (min absent = max+1+min > max). The
+      // round-15 literal +1e9 offset was only disjoint while ids
+      // stayed below 1e9 — at the 100 TB id scale an "absent" probe
+      // could be a real member, silently inflating the measured
+      // false-positive rate with the oracle agreeing (same literal).
+      val mx = ev.agg(max(col("user_id")).as("__mx"))
+      val absent = members.crossJoin(broadcast(mx)).select(
+          (col("probe") + col("__mx") + lit(1L)).as("probe"),
           lit("absent").as("kind"))
       val probes = members.unionByName(absent)
         .select(col("kind"), col("probe"),

@@ -98,10 +98,30 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Heap sizing gate (round-15 lesson: a 100× probe on the default
+    // 8 GB heap died mid-run after 48 GB of working set — local-mode
+    // executors share the driver JVM, so the probe needs the whole
+    // cluster's executor memory in ONE heap). Fail fast with a sizing
+    // message instead of an hours-later OOM; SPARK_GRAFT_PROBE_FORCE=1
+    // overrides for deliberately small replicas.
+    val heapGb = Runtime.getRuntime.maxMemory / (1L << 30)
+    val wantGb = if (factor >= 50) 40L else if (factor >= 10) 12L else 0L
+    if (heapGb < wantGb &&
+        !sys.env.get("SPARK_GRAFT_PROBE_FORCE").exists(v =>
+          v == "1" || v.equalsIgnoreCase("true"))) {
+      System.err.println(s"[probe] FATAL: ${factor}x probe wants a " +
+        s"~${wantGb} GB JVM heap, this one has ${heapGb} GB. Re-run " +
+        "with SPARK_DRIVER_MEM=48g (build.sbt forks with it as -Xmx) " +
+        "or SPARK_GRAFT_PROBE_FORCE=1 to proceed anyway.")
+      sys.exit(2)
+    }
     // the id-population probes (q274/q276/q277) never read the
     // replicated tables — at factor 100 the replica write alone costs
-    // minutes, so a grid-only probe run can skip it
-    if (sys.env.get("SPARK_GRAFT_PROBE_SKIP_REPLICATE").isEmpty) {
+    // minutes, so a grid-only probe run can skip it. Only '1'/'true'
+    // skip: the round-15 isEmpty test made SKIP_REPLICATE=0 skip too.
+    val skipReplicate = sys.env.get("SPARK_GRAFT_PROBE_SKIP_REPLICATE")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+    if (!skipReplicate) {
       replicate(spark, sfDir, work, factor)
       println(s"[probe] replicated ${factor}x -> $work")
     } else println(s"[probe] replicate SKIPPED (grid-only probes)")
