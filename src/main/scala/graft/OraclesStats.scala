@@ -54,6 +54,54 @@ object OraclesStats {
        |    WHERE rn = 1) w ON w.id = l.id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q302: the contingency grid, diagonal, and marginal product
+    // restated; HUGEINT sums stand in for Spark's DECIMAL(38,0).
+    "q302_cohen_kappa" ->
+      """WITH g AS MATERIALIZED (
+        |  SELECT l_linestatus AS ls, l_returnflag AS ra,
+        |    CASE WHEN l_quantity <= 16 THEN 'R'
+        |         WHEN l_quantity <= 33 THEN 'N' ELSE 'A' END AS rb,
+        |    count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |tot AS (SELECT ls, sum(c) AS n,
+        |    sum(CASE WHEN ra = rb THEN c ELSE 0 END) AS agree
+        |  FROM g GROUP BY 1),
+        |ma AS (SELECT ls, ra, sum(c) AS na FROM g GROUP BY 1, 2),
+        |mb AS (SELECT ls, rb, sum(c) AS nb FROM g GROUP BY 1, 2),
+        |pe AS (SELECT ma.ls, sum(na::HUGEINT * nb) AS penum
+        |  FROM ma JOIN mb ON mb.ls = ma.ls AND mb.rb = ma.ra
+        |  GROUP BY 1)
+        |SELECT tot.ls AS l_linestatus, CAST(n AS BIGINT) AS n,
+        |  CAST(agree::HUGEINT * 1000000 // n AS BIGINT) AS po_ppm,
+        |  CAST(penum * 1000000 // (n::HUGEINT * n) AS BIGINT) AS pe_ppm,
+        |  CAST((n::HUGEINT * agree - penum) * 1000000
+        |    // nullif(n::HUGEINT * n - penum, 0) AS BIGINT) AS kappa_ppm
+        |FROM tot JOIN pe ON pe.ls = tot.ls
+        |ORDER BY 1""".stripMargin,
+
+    // q305: the falling-factorial pass@k rational per task, then the
+    // segment rollup with the same eligibility split.
+    "q305_pass_at_k" ->
+      """WITH per AS MATERIALIZED (
+        |  SELECT o_custkey, count(*) AS n,
+        |    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS c
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT o_custkey, n,
+        |    CAST(c::HUGEINT * 1000000 // n AS BIGINT) AS pass1_ppm,
+        |    CASE WHEN n >= 3 THEN CAST(
+        |      (n::HUGEINT * (n-1) * (n-2)
+        |       - (n-c)::HUGEINT * (n-c-1) * (n-c-2)) * 1000000
+        |      // (n::HUGEINT * (n-1) * (n-2)) AS BIGINT) END AS pass3_ppm
+        |  FROM per)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_tasks,
+        |  CAST(sum(pass1_ppm) // count(*) AS BIGINT) AS mean_pass1_ppm,
+        |  CAST(sum(CASE WHEN n >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_tasks_k3,
+        |  CAST(sum(pass3_ppm)
+        |    // nullif(sum(CASE WHEN n >= 3 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS mean_pass3_ppm
+        |FROM p JOIN customer ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q276_label_propagation" ->
       s"""WITH $gridCtes,
          |l0 AS (SELECT id, id AS lbl FROM p),

@@ -1143,7 +1143,94 @@ object QueriesStats {
       .orderBy("segment")
   }
 
+  /** COHEN'S KAPPA inter-annotator agreement — the labeling-pipeline
+    * QA metric (two raters over the same items; chance-corrected
+    * agreement κ = (p_o − p_e)/(1 − p_e)): rater A is the recorded
+    * return flag, rater B a deterministic quantity-derived relabeling,
+    * items grouped per line status. All-integer: the fact collapses to
+    * the tiny (status × class × class) contingency grid in ONE keyed
+    * shuffle with map-side combine; totals, the agreement diagonal,
+    * and the marginal product Σ nA_i·nB_i all derive from that grid
+    * (localCheckpointed — three consumers, one fact pass), and κ comes
+    * out in ppm by cross-multiplied integral division
+    * (1e6·(n·agree − Σ) DIV (n² − Σ)), DECIMAL(38,0) operands so the
+    * products can't overflow at fact scale. Degenerate p_e = 1 yields
+    * NULL via nullif, mirrored in the oracle.
+    */
+  def q302CohenKappa(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.lineitem(s, dir)
+      .select(col("l_linestatus").as("ls"), col("l_returnflag").as("ra"),
+        when(col("l_quantity") <= 16, "R")
+          .when(col("l_quantity") <= 33, "N")
+          .otherwise("A").as("rb"))
+      .groupBy("ls", "ra", "rb").agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val tot = g.groupBy("ls").agg(sum("__c").as("n"),
+      sum(when(col("ra") === col("rb"), col("__c")).otherwise(lit(0L)))
+        .as("agree"))
+    val ma = g.groupBy("ls", "ra").agg(sum("__c").as("na"))
+    val mb = g.groupBy("ls", "rb").agg(sum("__c").as("nb"))
+      .select(col("ls").as("ls2"), col("rb"), col("nb"))
+    val pe = ma.join(mb, col("ls") === col("ls2") && col("ra") === col("rb"))
+      .groupBy("ls")
+      .agg(sum(expr("CAST(na AS DECIMAL(38,0)) * nb")).as("penum"))
+    tot.join(pe, Seq("ls"))
+      .select(col("ls").as("l_linestatus"),
+        col("n").cast("bigint").as("n"),
+        expr("CAST(CAST(agree AS DECIMAL(38,0)) * 1000000 DIV n AS BIGINT)")
+          .as("po_ppm"),
+        expr("""CAST(penum * 1000000
+                DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)""")
+          .as("pe_ppm"),
+        expr("""CAST((CAST(n AS DECIMAL(38,0)) * agree - penum) * 1000000
+                DIV nullif(CAST(n AS DECIMAL(38,0)) * n - penum, 0)
+                AS BIGINT)""").as("kappa_ppm"))
+      .orderBy("l_linestatus")
+  }
+
+  /** PASS@K estimator — the code/eval-pipeline metric (Chen et al.
+    * 2021, "Evaluating Large Language Models Trained on Code"):
+    * each task (customer) has n samples (orders) of which c are
+    * correct (status 'F'); pass@k = 1 − C(n−c,k)/C(n,k), computed
+    * EXACTLY per task as the falling-factorial rational
+    * (n−c)(n−c−1)…/(n(n−1)…) cross-multiplied in DECIMAL(38,0) and
+    * divided integrally once — no float powers, no sampling. Tasks
+    * with n < k are ineligible for that k (counted separately, the
+    * estimator is undefined there). Shape: one orders-keyed aggregate
+    * (map-side combined), a broadcast-sized customer-dim join for the
+    * segment, a segment rollup — fact touched once.
+    */
+  def q305PassAtK(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("c"))
+      .withColumn("pass1_ppm",
+        expr("CAST(CAST(c AS DECIMAL(38,0)) * 1000000 DIV n AS BIGINT)"))
+      .withColumn("pass3_ppm", expr(
+        """CASE WHEN n >= 3 THEN CAST(
+          |  (CAST(n AS DECIMAL(38,0)) * (n-1) * (n-2)
+          |   - CAST(n-c AS DECIMAL(38,0)) * (n-c-1) * (n-c-2)) * 1000000
+          |  DIV (CAST(n AS DECIMAL(38,0)) * (n-1) * (n-2)) AS BIGINT)
+          |END""".stripMargin))
+    per.join(Tables.customer(s, dir).select(col("c_custkey"),
+        col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).cast("bigint").as("n_tasks"),
+        expr("CAST(sum(pass1_ppm) DIV count(*) AS BIGINT)")
+          .as("mean_pass1_ppm"),
+        sum(when(col("n") >= 3, 1L).otherwise(0L)).cast("bigint")
+          .as("n_tasks_k3"),
+        expr("""CAST(sum(pass3_ppm)
+                DIV nullif(sum(CASE WHEN n >= 3 THEN 1 ELSE 0 END), 0)
+                AS BIGINT)""").as("mean_pass3_ppm"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q302_cohen_kappa" -> q302CohenKappa _,
+    "q305_pass_at_k" -> q305PassAtK _,
     "q297_post_stratified_effect" -> q297PostStratifiedEffect _,
     "q296_split_leakage" -> q296SplitLeakage _,
     "q292_skew_audit" -> q292SkewAudit _,
