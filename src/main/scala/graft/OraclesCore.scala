@@ -155,7 +155,7 @@ object OraclesCore {
         |k AS (SELECT p_brand, p_size, TRUE AS known FROM pr
         |  WHERE cnt >= 2),
         |o AS (SELECT p_brand, p_size, sk % 2 = 0 AS ov FROM pr
-        |  WHERE cnt >= 3),
+        |  WHERE cnt >= 2 AND sk % 3 = 0),
         |eff AS (SELECT p.p_brand,
         |    CASE WHEN d.overrideable AND k.known IS NOT NULL
         |      THEN coalesce(o.ov, d.dflt) ELSE d.dflt END AS e,

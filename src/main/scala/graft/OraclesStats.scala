@@ -53,7 +53,78 @@ object OraclesStats {
        |            GROUP BY 1, 2))
        |    WHERE rn = 1) w ON w.id = l.id)""".stripMargin
 
+  /** One Bradley–Terry MM round (q306): per-pair integral-division
+    * terms off `prev`'s strengths, per-player denominator sum, raw
+    * update Wᵢ·1e12 DIV dᵢ, then renormalization to Σγ = N·1e6 —
+    * the identical micro fixed-point arithmetic the Spark side runs.
+    */
+  private def btRound(prev: String, next: String): String =
+    s"""t_$next AS (SELECT a, b,
+       |    nij::HUGEINT * 1000000000000 // (ga.g + gb.g) AS t
+       |  FROM pairs JOIN $prev ga ON ga.brand = a
+       |  JOIN $prev gb ON gb.brand = b),
+       |d_$next AS (SELECT brand, sum(t) AS d FROM (
+       |    SELECT a AS brand, t FROM t_$next
+       |    UNION ALL SELECT b, t FROM t_$next) GROUP BY 1),
+       |r_$next AS (SELECT p.brand,
+       |    coalesce(w.w, 0)::HUGEINT * 1000000000000
+       |      // nullif(d.d, 0) AS gr
+       |  FROM players p
+       |  LEFT JOIN wins w ON w.brand = p.brand
+       |  LEFT JOIN d_$next d ON d.brand = p.brand),
+       |z_$next AS (SELECT sum(gr) AS z, count(*) AS np FROM r_$next),
+       |$next AS MATERIALIZED (SELECT brand,
+       |    gr::HUGEINT * 1000000 * np // nullif(z, 0) AS g
+       |  FROM r_$next CROSS JOIN z_$next)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // q306: duels via per-order rank windows (min_by/max_by twins),
+    // then the 3 MM rounds unrolled with btRound.
+    "q306_bradley_terry" ->
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT l_orderkey,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT) AS cents,
+         |    l_linenumber, p_brand
+         |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+         |d0 AS (SELECT l_orderkey, p_brand,
+         |    row_number() OVER (PARTITION BY l_orderkey
+         |      ORDER BY cents, l_linenumber) AS ra,
+         |    row_number() OVER (PARTITION BY l_orderkey
+         |      ORDER BY cents DESC, l_linenumber DESC) AS rb
+         |  FROM li),
+         |duels AS MATERIALIZED (
+         |  SELECT w.p_brand AS winner, l.p_brand AS loser
+         |  FROM (SELECT l_orderkey, p_brand FROM d0 WHERE ra = 1) w
+         |  JOIN (SELECT l_orderkey, p_brand FROM d0 WHERE rb = 1) l
+         |    USING (l_orderkey)
+         |  WHERE w.p_brand <> l.p_brand),
+         |wins AS (SELECT winner AS brand, count(*) AS w
+         |  FROM duels GROUP BY 1),
+         |pairs AS MATERIALIZED (
+         |  SELECT least(winner, loser) AS a,
+         |    greatest(winner, loser) AS b, count(*) AS nij
+         |  FROM duels GROUP BY 1, 2),
+         |players AS (SELECT DISTINCT brand FROM (
+         |  SELECT a AS brand FROM pairs
+         |  UNION ALL SELECT b FROM pairs
+         |  UNION ALL SELECT brand FROM wins)),
+         |gi AS (SELECT brand, 1000000::HUGEINT AS g FROM players),
+         |${btRound("gi", "g1")},
+         |${btRound("g1", "g2")},
+         |${btRound("g2", "g3")},
+         |totals AS (SELECT brand, count(*) AS n_duels FROM (
+         |  SELECT winner AS brand FROM duels
+         |  UNION ALL SELECT loser FROM duels) GROUP BY 1)
+         |SELECT g3.brand AS brand,
+         |  CAST(coalesce(w.w, 0) AS BIGINT) AS n_wins,
+         |  CAST(t.n_duels AS BIGINT) AS n_duels,
+         |  CAST(g3.g AS BIGINT) AS gamma_micro
+         |FROM g3
+         |LEFT JOIN wins w ON w.brand = g3.brand
+         |JOIN totals t ON t.brand = g3.brand
+         |ORDER BY gamma_micro DESC, brand""".stripMargin,
+
     // q302: the contingency grid, diagonal, and marginal product
     // restated; HUGEINT sums stand in for Spark's DECIMAL(38,0).
     "q302_cohen_kappa" ->

@@ -6515,7 +6515,10 @@ object QueriesCore {
       .agg(count(lit(1)).as("__cnt"), sum(col("p_partkey")).as("__sk"))
     val known = pairs.filter(col("__cnt") >= 2)
       .select(col("p_brand"), col("p_size"), lit(true).as("__known"))
-    val overrides = pairs.filter(col("__cnt") >= 3)
+    // overrides are a HASH-subset of the known pairs (not a higher
+    // count threshold, which would leave the branch vacuously unfired
+    // at small scale factors — Round16QueriesSpec caught exactly that)
+    val overrides = pairs.filter(col("__cnt") >= 2 && col("__sk") % 3 === 0)
       .select(col("p_brand"), col("p_size"),
         (col("__sk") % 2 === 0).as("__ov"))
     p.join(broadcast(defaults), Seq("p_brand"))

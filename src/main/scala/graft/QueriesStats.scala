@@ -1228,7 +1228,104 @@ object QueriesStats {
       .orderBy("c_mktsegment")
   }
 
+  /** BRADLEY–TERRY pairwise-preference ranking (Hunter 2004's MM
+    * iteration) — the arena-style "which model wins head-to-heads"
+    * scoring every eval pipeline ends up needing: each order stages a
+    * duel between the brand of its cheapest and its priciest line
+    * (cents-exact, linenumber tie-break; same-brand orders sit out),
+    * and 3 fixed MM rounds estimate strengths
+    * γᵢ ← Wᵢ / Σⱼ nᵢⱼ/(γᵢ+γⱼ), renormalized to Σγ = N·1e6 each round.
+    * The semantics IS "3 synchronous MM rounds in micro fixed-point"
+    * (the q276/q115 fixed-round discipline): every per-pair term is
+    * one integral division nᵢⱼ·1e12 DIV (γᵢ+γⱼ), summed exactly —
+    * deterministic under any aggregation order, and the oracle unrolls
+    * the identical 3 rounds. Shape: ONE fact pass (order-keyed min_by/
+    * max_by aggregate with map-side combine) produces the duel list;
+    * everything after lives on the brand-pair grid (≤ N² rows, N =
+    * #brands — dimension-sized at any fact scale), iterated under
+    * narrow() since the frames are tiny.
+    */
+  def q306BradleyTerry(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("__cents"),
+        col("l_linenumber"), col("p_brand"))
+    val duels = li.groupBy("l_orderkey")
+      .agg(min_by(col("p_brand"),
+          struct(col("__cents"), col("l_linenumber"))).as("winner"),
+        max_by(col("p_brand"),
+          struct(col("__cents"), col("l_linenumber"))).as("loser"))
+      .filter(col("winner") =!= col("loser"))
+    btRanking(s, duels)
+  }
+
+  /** q306's MM engine parametrized on the duel list (winner, loser) —
+    * split out so the hand-computed spec can feed a tiny duel set and
+    * assert the exact per-round fixed-point arithmetic.
+    */
+  private[graft] def btRanking(s: SparkSession, duels: DataFrame): DataFrame = {
+    narrow(s, 4) {
+      val wins = duels.groupBy(col("winner").as("brand"))
+        .agg(count(lit(1)).as("w")).localCheckpoint()
+      // symmetric pair counts: n_ij keyed by the UNORDERED pair
+      val pairs = duels
+        .select(least(col("winner"), col("loser")).as("a"),
+          greatest(col("winner"), col("loser")).as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("nij"))
+        .localCheckpoint()
+      val players = pairs.select(col("a").as("brand"))
+        .unionByName(pairs.select(col("b").as("brand")))
+        .unionByName(wins.select(col("brand"))).distinct()
+        .localCheckpoint()
+      var gamma = players.select(col("brand"),
+        lit(1000000L).as("g")).localCheckpoint()
+      for (_ <- 1 to 3) {
+        val gA = gamma.select(col("brand").as("a"), col("g").as("ga"))
+        val gB = gamma.select(col("brand").as("b"), col("g").as("gb"))
+        // each directed view of the pair contributes the SAME term to
+        // its endpoint's denominator
+        val terms = pairs.join(gA, Seq("a")).join(gB, Seq("b"))
+          .withColumn("t", expr(
+            "CAST(CAST(nij AS DECIMAL(38,0)) * 1000000000000 DIV (ga + gb) AS BIGINT)"))
+        val denom = terms.select(col("a").as("brand"), col("t"))
+          .unionByName(terms.select(col("b").as("brand"), col("t")))
+          .groupBy("brand").agg(sum(col("t")).as("d"))
+        val raw = players
+          .join(wins.withColumnRenamed("brand", "__wb"),
+            col("brand") === col("__wb"), "left")
+          .join(denom, Seq("brand"), "left")
+          .select(col("brand"), expr(
+            """CAST(CAST(coalesce(w, 0) AS DECIMAL(38,0)) * 1000000000000
+              |DIV nullif(d, 0) AS BIGINT)""".stripMargin).as("g0"))
+        // renormalize to Σγ = N·1e6 — N stays in-frame (no driver
+        // scalar), z and the player count come from the same aggregate
+        val z = raw.agg(sum(col("g0")).as("__z"),
+          count(lit(1)).as("__np"))
+        gamma = raw.crossJoin(broadcast(z))
+          .select(col("brand"), expr(
+            """CAST(CAST(g0 AS DECIMAL(38,0)) * 1000000 * __np
+              |DIV nullif(__z, 0) AS BIGINT)""".stripMargin).as("g"))
+          .localCheckpoint()
+      }
+      val totals = duels.select(col("winner").as("brand"))
+        .unionByName(duels.select(col("loser").as("brand")))
+        .groupBy("brand").agg(count(lit(1)).as("n_duels"))
+      gamma.join(wins, Seq("brand"), "left")
+        .join(totals, Seq("brand"))
+        .select(col("brand"),
+          coalesce(col("w"), lit(0L)).cast("bigint").as("n_wins"),
+          col("n_duels").cast("bigint").as("n_duels"),
+          col("g").cast("bigint").as("gamma_micro"))
+        .orderBy(col("gamma_micro").desc, col("brand"))
+    }
+  }
+
   val queries: Map[String, Q] = Map(
+    "q306_bradley_terry" -> q306BradleyTerry _,
     "q302_cohen_kappa" -> q302CohenKappa _,
     "q305_pass_at_k" -> q305PassAtK _,
     "q297_post_stratified_effect" -> q297PostStratifiedEffect _,

@@ -35,20 +35,57 @@ class SparkEntrySpec extends AnyFunSuite {
     }
   }
 
-  test("rows-only queries (no oracle) are the documented hash-seeded set") {
+  /** Every rows-only (no-oracle) query must either name the
+    * hash-GATED portable twin that pins the same logic, or state why
+    * no DuckDB twin can exist (engine-native hash / trained-greedy /
+    * media codec). The map IS the documentation; the test keeps it
+    * complete and free of stale entries.
+    */
+  private val rowsOnlyWhy: Map[String, String] = Map(
+    "q36_minhash_lsh" -> ("engine-native xxhash64 signatures; exact " +
+      "logic gated by portable-md5 twin q55_minhash_portable"),
+    "q37_simhash" -> ("engine-native xxhash64 bits; gated twin " +
+      "q58_simhash_portable"),
+    "q38_winnow_fingerprint" -> ("engine-native xxhash64 windows; " +
+      "gated twin q59_winnow_portable"),
+    "q42_lsh_topk" -> ("xxhash64 hyperplane seeds; recall property " +
+      "gated against exact q40_topk_brute_force in OperatorsSpec"),
+    "q46_ivf_topk" -> ("kmeans-trained centroids (iteration order not " +
+      "SQL); recall gated against exact q40 in OperatorsSpec"),
+    "q48_compression" -> ("java.util.zip Deflater ratios are " +
+      "JVM-library output; determinism + monotonicity specs in " +
+      "OperatorsSpec"),
+    "q54_media_features" -> ("binary image decode (pure-JVM BMP/PPM " +
+      "decoders); pixel-exact golden specs in SourcesSpec"),
+    "q81_pq_trained" -> ("trained codebooks (Lloyd rounds on pinned " +
+      "sample); parity vs exact scan gated in PqSpec"),
+    "q85_ivfpq_trained" -> ("trained IVF-PQ index; PqSpec gates " +
+      "recall and code-assignment determinism"),
+    "q90_bpe_train" -> ("greedy merge-table argmax is inherently " +
+      "iterative; q295_bpe_roundtrip hash-gates the encode/decode " +
+      "identity over the trained table"),
+    "q91_bpe_segment" -> ("consumes q90's trained merges; the " +
+      "q295_bpe_roundtrip gate covers segmentation exactness"),
+    "q102_bloom_decontaminate" -> ("spark.util.sketch.BloomFilter " +
+      "bit layout is engine-native; exact-set decontamination is " +
+      "gated q50_decontaminate, partial n-gram gated q294"),
+    "q118_image_dhash" -> ("decoded-pixel dHash; invariance + " +
+      "golden-pixel specs in SourcesSpec"),
+    // round 13: real MJPEG decode — a JPEG codec is not SQL, so the
+    // gate is rows-only; pixel exactness lives in SourcesSpec +
+    // Round13QueriesSpec. NOTE the decoded pixel values depend on
+    // the JVM's bundled ImageIO JPEG decoder: a JDK upgrade that
+    // changes IDCT rounding shifts q243's features — the pixel
+    // specs pin the CURRENT JDK's output, not a codec-independent
+    // truth.
+    "q243_video_features" -> ("ImageIO JPEG IDCT output; pixel specs " +
+      "pin the current JDK's decode"))
+
+  test("rows-only queries (no oracle) each document their gated twin " +
+    "or irreducibility") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q36_minhash_lsh", "q37_simhash",
-      "q38_winnow_fingerprint", "q42_lsh_topk", "q46_ivf_topk",
-      "q48_compression", "q54_media_features", "q81_pq_trained",
-      "q85_ivfpq_trained", "q90_bpe_train", "q91_bpe_segment",
-      "q102_bloom_decontaminate", "q118_image_dhash",
-      // round 13: real MJPEG decode — a JPEG codec is not SQL, so the
-      // gate is rows-only; pixel exactness lives in SourcesSpec +
-      // Round13QueriesSpec. NOTE the decoded pixel values depend on
-      // the JVM's bundled ImageIO JPEG decoder: a JDK upgrade that
-      // changes IDCT rounding shifts q243's features — the pixel
-      // specs pin the CURRENT JDK's output, not a codec-independent
-      // truth.
-      "q243_video_features"))
+    assert(rowsOnly == rowsOnlyWhy.keySet,
+      s"undocumented rows-only: ${rowsOnly -- rowsOnlyWhy.keySet}; " +
+        s"stale entries: ${rowsOnlyWhy.keySet -- rowsOnly}")
   }
 }
