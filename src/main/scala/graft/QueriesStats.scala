@@ -1268,14 +1268,20 @@ object QueriesStats {
     * assert the exact per-round fixed-point arithmetic.
     */
   private[graft] def btRanking(s: SparkSession, duels: DataFrame): DataFrame = {
+    // the ONE fact-scale pass: directed duel counts, N²-bounded (N =
+    // #players). Checkpointed because wins / pair counts / duel
+    // totals all derive from it — without the pin the fact
+    // aggregation re-ran three times (probed 5.3 s → 2.0 s at sf0.1)
+    val dp = duels.groupBy("winner", "loser")
+      .agg(count(lit(1)).as("c")).localCheckpoint()
     narrow(s, 4) {
-      val wins = duels.groupBy(col("winner").as("brand"))
-        .agg(count(lit(1)).as("w")).localCheckpoint()
+      val wins = dp.groupBy(col("winner").as("brand"))
+        .agg(sum(col("c")).as("w")).localCheckpoint()
       // symmetric pair counts: n_ij keyed by the UNORDERED pair
-      val pairs = duels
+      val pairs = dp
         .select(least(col("winner"), col("loser")).as("a"),
-          greatest(col("winner"), col("loser")).as("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("nij"))
+          greatest(col("winner"), col("loser")).as("b"), col("c"))
+        .groupBy("a", "b").agg(sum(col("c")).as("nij"))
         .localCheckpoint()
       val players = pairs.select(col("a").as("brand"))
         .unionByName(pairs.select(col("b").as("brand")))
@@ -1311,9 +1317,9 @@ object QueriesStats {
               |DIV nullif(__z, 0) AS BIGINT)""".stripMargin).as("g"))
           .localCheckpoint()
       }
-      val totals = duels.select(col("winner").as("brand"))
-        .unionByName(duels.select(col("loser").as("brand")))
-        .groupBy("brand").agg(count(lit(1)).as("n_duels"))
+      val totals = dp.select(col("winner").as("brand"), col("c"))
+        .unionByName(dp.select(col("loser").as("brand"), col("c")))
+        .groupBy("brand").agg(sum(col("c")).as("n_duels"))
       gamma.join(wins, Seq("brand"), "left")
         .join(totals, Seq("brand"))
         .select(col("brand"),

@@ -324,6 +324,20 @@ object ScaleProbe {
         measure(name, SparkEntry.queries(name), SparkEntry.queries(name))
       }
 
+    // ——— round-16 probes: the gate promotions + eval wave run as
+    // declared against the replicated fact tables. q299/q300/q302/
+    // q305 are one-fact-shuffle aggregates (expected ≈ linear scan);
+    // q306's duel extraction is fact-keyed while its MM rounds live
+    // on the brand-pair grid (dim²-bounded — the rounds should NOT
+    // grow). q298 is intentionally absent: its working set is the
+    // part table, which replicate() copies verbatim as a dimension,
+    // so an N× "probe" would measure the identical input.
+    Seq("q299_change_consumption", "q300_delete_recreate",
+        "q302_cohen_kappa", "q305_pass_at_k", "q306_bradley_terry")
+      .filter(wanted).foreach { name =>
+        measure(name, SparkEntry.queries(name), SparkEntry.queries(name))
+      }
+
     // ——— streaming probes: N× independent key populations at the
     // same event-time distribution (see replicate) — state and
     // per-batch volume both grow N×; slope ≈ 1 means the state-store
