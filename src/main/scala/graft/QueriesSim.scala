@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Similarity
 
@@ -460,7 +461,75 @@ object QueriesSim {
       |    ORDER BY n DESC, t_label) AS rp
       |  FROM votes)""".stripMargin
 
+  /** MMR diversified re-ranking (Carbonell & Goldstein 1998) — the
+    * retrieval-diversity step RAG pipelines bolt onto top-k: from each
+    * query's top-20 candidate pool, greedily select 5 documents
+    * maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) with λ = 0.7.
+    * Everything is EXACT integer arithmetic: similarity is the raw
+    * int8-code dot ([[Similarity.quantizeInt8]]'s floor(+0.5) codes —
+    * the q60 portability discipline — through the codegen
+    * [[graft.functions.VecOps.vecDotI32]], ≤ 64·255² per dot), and λ
+    * rides a ×10 integer scale (score_x10 = 7·rel − 3·maxsim), so the
+    * 5 greedy rounds — the declared semantics, like q276's fixed LPA
+    * rounds — are bit-identical cross-engine with (score desc, doc_id)
+    * tie-breaks. Shape: ONE corpus×query-batch scored pass pruned by
+    * the bounded-heap [[graft.plans.TopK.topKPerKey]] (never a global
+    * sort); every round after lives on per-query ≤20-row frames with
+    * ≤20×5 code dots per query — pool-bounded, not corpus-bounded.
+    */
+  def q307MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val quant = Similarity.quantizeInt8(vecsD(s, dir), "vec_id", "embedding")
+      .select(col("vec_id"), col("codes")).localCheckpoint()
+    val q = quant.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("query_id"), col("codes").as("qc"))
+    val scored = quant
+      .select(col("vec_id").as("doc_id"), col("codes").as("dc"))
+      .crossJoin(broadcast(q))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("rel",
+        graft.functions.VecOps.vecDotI32(col("qc"), col("dc")).cast("long"))
+      .select("query_id", "doc_id", "dc", "rel")
+    val pool = graft.plans.TopK.topKPerKey(scored, Seq("query_id"),
+      Seq("rel" -> false, "doc_id" -> true), 20).localCheckpoint()
+    val w1 = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("doc_id"))
+    // rank 1 is pure relevance (S is empty, the diversity term
+    // vanishes); score keeps the same ×10 scale
+    var sel = pool.withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("doc_id"), col("dc"), col("rel"),
+        lit(1).as("mmr_rank"), (col("rel") * 7).as("score_x10"))
+      .localCheckpoint()
+    for (r <- 2 to 5) {
+      val ms = pool
+        .join(sel.select(col("query_id"), col("dc").as("__sc")),
+          Seq("query_id"))
+        .withColumn("__sim",
+          graft.functions.VecOps.vecDotI32(col("dc"), col("__sc"))
+            .cast("long"))
+        .groupBy("query_id", "doc_id").agg(max(col("__sim")).as("__ms"))
+      val wr = Window.partitionBy("query_id")
+        .orderBy(col("score_x10").desc, col("doc_id"))
+      val pick = pool.join(ms, Seq("query_id", "doc_id"))
+        .join(sel.select(col("query_id"), col("doc_id")),
+          Seq("query_id", "doc_id"), "left_anti")
+        .withColumn("score_x10", col("rel") * 7 - col("__ms") * 3)
+        .withColumn("__rn", row_number().over(wr))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("doc_id"), col("dc"), col("rel"),
+          lit(r).as("mmr_rank"), col("score_x10"))
+      sel = sel.unionByName(pick).localCheckpoint()
+    }
+    sel.select(col("query_id").cast("bigint").as("query_id"),
+        col("mmr_rank").cast("int").as("mmr_rank"),
+        col("doc_id").cast("bigint").as("doc_id"),
+        col("rel").cast("bigint").as("rel_dot"),
+        col("score_x10").cast("bigint").as("score_x10"))
+      .orderBy("query_id", "mmr_rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q307_mmr_rerank" -> q307MmrRerank _,
     "q188_knn_classify" -> q188KnnClassify _,
     "q266_knn_eval" -> q266KnnEval _,
     "q131_vector_stats" -> q131VectorStats _,
@@ -504,7 +573,72 @@ object QueriesSim {
     // PARQUET — identical serving math, same oracle
     ("q92_ivf_parquet_reuse" -> oraclesBase("q66_ivf_index_reuse"))
 
+  /** One MMR greedy round (q307): max code-dot against the selected
+    * set, score_x10 = 7·rel − 3·maxsim, argmax with doc_id tie-break,
+    * appended to the running selection with its rank. `list_dot_product`
+    * over int codes is exact in double (≤ 64·255² « 2⁵³) — the q60
+    * argument — and is cast straight back to BIGINT.
+    */
+  private def mmrRound(prev: String, next: String, rank: Int): String =
+    s"""ms_$next AS (SELECT p.query_id, p.doc_id,
+       |    max(CAST(list_dot_product(p.dc, s.dc) AS BIGINT)) AS ms
+       |  FROM pool p JOIN $prev s USING (query_id)
+       |  GROUP BY 1, 2),
+       |c_$next AS (SELECT m.query_id, m.doc_id, p.dc, p.rel,
+       |    7 * p.rel - 3 * m.ms AS score_x10
+       |  FROM ms_$next m
+       |  JOIN pool p ON p.query_id = m.query_id AND p.doc_id = m.doc_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM $prev x
+       |    WHERE x.query_id = m.query_id AND x.doc_id = m.doc_id)),
+       |p_$next AS (SELECT query_id, doc_id, dc, rel, $rank AS mmr_rank,
+       |    score_x10
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_x10 DESC, doc_id) AS rn FROM c_$next)
+       |  WHERE rn = 1),
+       |$next AS MATERIALIZED (
+       |  SELECT * FROM $prev UNION ALL SELECT * FROM p_$next)""".stripMargin
+
   private val oraclesBase: Map[String, String] = Map(
+    // q307: q60's code construction verbatim, integer rel dots, the
+    // bounded top-20 pool, then 4 unrolled greedy rounds via mmrRound.
+    "q307_mmr_rerank" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |qz AS (
+         |  SELECT vec_id, v, list_min(v) AS mn,
+         |    (list_max(v) - list_min(v)) / 255.0 AS s
+         |  FROM e),
+         |qc AS (
+         |  SELECT vec_id,
+         |    CASE WHEN s = 0 THEN list_transform(v, x -> 0)
+         |         ELSE list_transform(v,
+         |           x -> CAST(floor((x - mn) / s + 0.5) AS INTEGER))
+         |    END AS codes
+         |  FROM qz),
+         |rel AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         |    c.codes AS dc,
+         |    CAST(list_dot_product(q.codes, c.codes) AS BIGINT) AS rel
+         |  FROM qc q, qc c
+         |  WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+         |pool AS MATERIALIZED (
+         |  SELECT query_id, doc_id, dc, rel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC, doc_id) AS rn FROM rel)
+         |  WHERE rn <= 20),
+         |s1 AS MATERIALIZED (
+         |  SELECT query_id, doc_id, dc, rel, 1 AS mmr_rank,
+         |    7 * rel AS score_x10
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC, doc_id) AS rn FROM pool)
+         |  WHERE rn = 1),
+         |${mmrRound("s1", "s2", 2)},
+         |${mmrRound("s2", "s3", 3)},
+         |${mmrRound("s3", "s4", 4)},
+         |${mmrRound("s4", "s5", 5)}
+         |SELECT query_id, CAST(mmr_rank AS INTEGER) AS mmr_rank,
+         |  doc_id, CAST(rel AS BIGINT) AS rel_dot,
+         |  CAST(score_x10 AS BIGINT) AS score_x10
+         |FROM s5 ORDER BY query_id, mmr_rank""".stripMargin,
     // q188: identical integer fixed-point distances; top-5 via
     // row_number over the same (d2, t_id) order; the vote argmax via
     // the same (n DESC, label) order.
