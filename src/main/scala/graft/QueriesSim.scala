@@ -477,10 +477,20 @@ object QueriesSim {
     * sort); every round after lives on per-query ≤20-row frames with
     * ≤20×5 code dots per query — pool-bounded, not corpus-bounded.
     */
-  def q307MmrRerank(s: SparkSession, dir: String): DataFrame = {
+  def q307MmrRerank(s: SparkSession, dir: String): DataFrame =
+    mmrRerankCapped(s, dir, Long.MaxValue)
+
+  /** q307 with the query batch capped to ids below `cap` — the scale
+    * probe holds the batch at copy-0 ids while the corpus grows N×
+    * (the q269RrfFusionCapped retrieval posture: per-query serving
+    * cost vs corpus size is what scales in production).
+    */
+  private[graft] def mmrRerankCapped(
+      s: SparkSession, dir: String, cap: Long): DataFrame = {
     val quant = Similarity.quantizeInt8(vecsD(s, dir), "vec_id", "embedding")
       .select(col("vec_id"), col("codes")).localCheckpoint()
-    val q = quant.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val q = quant.filter(pmod(col("vec_id"), lit(50)) === 0 &&
+        col("vec_id") < cap)
       .select(col("vec_id").as("query_id"), col("codes").as("qc"))
     val scored = quant
       .select(col("vec_id").as("doc_id"), col("codes").as("dc"))
@@ -528,7 +538,82 @@ object QueriesSim {
       .orderBy("query_id", "mmr_rank")
   }
 
+  /** NDCG@10 — the graded-relevance retrieval metric (Järvelin &
+    * Kekäläinen 2002) the recall/RRF family (q242/q269) lacks: each
+    * query's exact cosine top-10 (q40's oracle-replicable ranking) is
+    * scored with graded label relevance (same label → gain 7 = 2³−1,
+    * adjacent label → 1, else 0) under the 1/log₂(r+1) position
+    * discount as PINNED micro-integer constants (the q304
+    * constant-table discipline — no runtime float logs to disagree
+    * cross-engine). The IDEAL ranking never sorts the corpus: with
+    * two nonzero gain tiers, IDCG is a closed form over the per-label
+    * corpus HISTOGRAM (label-cardinality-bounded, broadcast) and the
+    * discount PREFIX sums — idcg = 7·W[a] + (W[a+b] − W[a]) with
+    * a = min(10, same−1), b = min(10−a, adjacent). ndcg_ppm is one
+    * integral division per query. Scale: one corpus×batch scored pass
+    * (the declared brute-force baseline, as q40) + a label histogram;
+    * nothing else is corpus-proportional.
+    */
+  def q308Ndcg(s: SparkSession, dir: String): DataFrame =
+    ndcgCapped(s, dir, Long.MaxValue)
+
+  /** q308 with the query batch capped below `cap` (probe posture —
+    * see [[mmrRerankCapped]]). */
+  private[graft] def ndcgCapped(
+      s: SparkSession, dir: String, cap: Long): DataFrame = {
+    val w = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+      356207L, 333333L, 315465L, 301030L, 289065L)
+    val pref = w.scanLeft(0L)(_ + _) // W[0..10]
+    val iv = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val all = vecsD(s, dir)
+    def isQuery = pmod(col("vec_id"), lit(50)) === 0 && col("vec_id") < cap
+    val top = Similarity.topK(all, all.filter(isQuery),
+      "vec_id", "embedding", k = 10)
+    val gained = top
+      .join(iv.select(col("vec_id").as("neighbor_id"),
+        col("label").as("__ld")), Seq("neighbor_id"))
+      .join(broadcast(iv.filter(isQuery)
+        .select(col("vec_id").as("query_id"), col("label").as("__lq"))),
+        Seq("query_id"))
+      .withColumn("__gain",
+        when(col("__ld") === col("__lq"), 7L)
+          .when(abs(col("__ld") - col("__lq")) === 1, 1L)
+          .otherwise(0L))
+    val dcg = gained.groupBy("query_id")
+      .agg(sum(col("__gain") *
+        element_at(array(w.map(lit): _*), col("rank").cast("int")))
+        .as("dcg_micro"))
+    val hist = iv.groupBy("label").agg(count(lit(1)).as("__c"))
+    val prefA = array(pref.map(lit): _*) // 1-based: element_at(i+1) = W[i]
+    val ideal = iv.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("label").as("__lq"))
+      .join(broadcast(hist.select(col("label").as("__lq"),
+        col("__c").as("__same"))), Seq("__lq"))
+      .join(broadcast(hist.select((col("label") + 1).as("__lq"),
+        col("__c").as("__lo"))), Seq("__lq"), "left")
+      .join(broadcast(hist.select((col("label") - 1).as("__lq"),
+        col("__c").as("__hi"))), Seq("__lq"), "left")
+      .withColumn("__n7", col("__same") - 1) // exclude the query itself
+      .withColumn("__n1",
+        coalesce(col("__lo"), lit(0L)) + coalesce(col("__hi"), lit(0L)))
+      .withColumn("__a", least(lit(10L), col("__n7")))
+      .withColumn("__b", least(lit(10L) - col("__a"), col("__n1")))
+      .select(col("query_id"),
+        (element_at(prefA, (col("__a") + 1).cast("int")) * 7 +
+          element_at(prefA, (col("__a") + col("__b") + 1).cast("int")) -
+          element_at(prefA, (col("__a") + 1).cast("int")))
+          .as("idcg_micro"))
+    dcg.join(ideal, Seq("query_id"))
+      .select(col("query_id").cast("bigint").as("query_id"),
+        col("dcg_micro").cast("bigint").as("dcg_micro"),
+        col("idcg_micro").cast("bigint").as("idcg_micro"),
+        expr("""CAST(CAST(dcg_micro AS DECIMAL(38,0)) * 1000000
+                DIV nullif(idcg_micro, 0) AS BIGINT)""").as("ndcg_ppm"))
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q308_ndcg" -> q308Ndcg _,
     "q307_mmr_rerank" -> q307MmrRerank _,
     "q188_knn_classify" -> q188KnnClassify _,
     "q266_knn_eval" -> q266KnnEval _,
@@ -599,6 +684,59 @@ object QueriesSim {
        |  SELECT * FROM $prev UNION ALL SELECT * FROM p_$next)""".stripMargin
 
   private val oraclesBase: Map[String, String] = Map(
+    // q308: q40's scored/ranked CTE at k=10, graded label gains, the
+    // pinned 1/log2 micro weight list, and the closed-form IDCG off
+    // the label histogram + weight prefix sums (1-based list index:
+    // [pref][i+1] = W[i]).
+    "q308_ndcg" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+        |           label AS lq
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+        |      label AS ld FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, lq, neighbor_id, ld,
+        |    round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+        |  FROM q, c WHERE query_id <> neighbor_id),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored),
+        |g AS (SELECT query_id,
+        |    CASE WHEN ld = lq THEN 7
+        |         WHEN abs(ld - lq) = 1 THEN 1 ELSE 0 END AS gain,
+        |    ([1000000, 630930, 500000, 430677, 386853, 356207,
+        |      333333, 315465, 301030, 289065])[rank] AS w
+        |  FROM ranked WHERE rank <= 10),
+        |dcg AS (SELECT query_id, sum(gain * w) AS dcg_micro
+        |  FROM g GROUP BY 1),
+        |hist AS (SELECT label, count(*) AS c FROM embeddings GROUP BY 1),
+        |ideal AS (
+        |  SELECT q.query_id,
+        |    least(10, hs.c - 1) AS a,
+        |    least(10 - least(10, hs.c - 1),
+        |      coalesce(hl.c, 0) + coalesce(hh.c, 0)) AS b
+        |  FROM q
+        |  JOIN hist hs ON hs.label = q.lq
+        |  LEFT JOIN hist hl ON hl.label = q.lq - 1
+        |  LEFT JOIN hist hh ON hh.label = q.lq + 1),
+        |idcg AS (
+        |  SELECT query_id,
+        |    7 * ([0, 1000000, 1630930, 2130930, 2561607, 2948460,
+        |          3304667, 3638000, 3953465, 4254495, 4543560])[a + 1]
+        |    + ([0, 1000000, 1630930, 2130930, 2561607, 2948460,
+        |        3304667, 3638000, 3953465, 4254495, 4543560])[a + b + 1]
+        |    - ([0, 1000000, 1630930, 2130930, 2561607, 2948460,
+        |        3304667, 3638000, 3953465, 4254495, 4543560])[a + 1]
+        |      AS idcg_micro
+        |  FROM ideal)
+        |SELECT d.query_id, CAST(d.dcg_micro AS BIGINT) AS dcg_micro,
+        |  CAST(i.idcg_micro AS BIGINT) AS idcg_micro,
+        |  CAST(d.dcg_micro::HUGEINT * 1000000
+        |    // nullif(i.idcg_micro, 0) AS BIGINT) AS ndcg_ppm
+        |FROM dcg d JOIN idcg i ON i.query_id = d.query_id
+        |ORDER BY d.query_id""".stripMargin,
+
     // q307: q60's code construction verbatim, integer rel dots, the
     // bounded top-20 pool, then 4 unrolled greedy rounds via mmrRound.
     "q307_mmr_rerank" ->

@@ -337,6 +337,17 @@ object ScaleProbe {
       .filter(wanted).foreach { name =>
         measure(name, SparkEntry.queries(name), SparkEntry.queries(name))
       }
+    // q307/q308 hold the query batch at copy-0 ids while the corpus
+    // grows (the q269 retrieval posture): the measured growth is the
+    // corpus-side scored pass, the only corpus-proportional stage
+    if (wanted("q307_mmr_rerank*"))
+      measure("q307_mmr_rerank*",
+        (sp, _) => QueriesSim.mmrRerankCapped(sp, sfDir, copy0),
+        (sp, _) => QueriesSim.mmrRerankCapped(sp, work, copy0))
+    if (wanted("q308_ndcg*"))
+      measure("q308_ndcg*",
+        (sp, _) => QueriesSim.ndcgCapped(sp, sfDir, copy0),
+        (sp, _) => QueriesSim.ndcgCapped(sp, work, copy0))
 
     // ——— streaming probes: N× independent key populations at the
     // same event-time distribution (see replicate) — state and
