@@ -68,7 +68,21 @@ class PlanShapeSpec extends AnyFunSuite {
     "q284_kendall_tau" -> Shape(3, 2),
     "q288_hits" -> Shape(2, 2),
     "q289_negative_sampling" -> Shape(3, 2),
-    "q276_label_propagation" -> Shape(1, 0)
+    "q276_label_propagation" -> Shape(1, 0),
+    // round-16 additions: the gate promotions + eval wave. q298's
+    // three dim lookups must stay broadcast; q300's batch key set
+    // joins broadcast at this sf (AQE may legitimately shuffle it at
+    // production scale — the pin records the small-sf shape);
+    // q306/q307 checkpoint their iteration inputs, so the returned
+    // plan is the post-loop tail only
+    "q298_jobcode_override" -> Shape(5, 3),
+    "q299_change_consumption" -> Shape(3, 0),
+    "q300_delete_recreate" -> Shape(3, 1),
+    "q302_cohen_kappa" -> Shape(5, 2),
+    "q305_pass_at_k" -> Shape(3, 1),
+    "q306_bradley_terry" -> Shape(4, 0),
+    "q307_mmr_rerank" -> Shape(1, 0),
+    "q308_ndcg" -> Shape(6, 6)
   )
 
   test("top-10 heaviest queries keep their pinned plan shapes") {
