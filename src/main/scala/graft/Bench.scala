@@ -10,6 +10,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * projections, under-measuring the real work.
   */
 object Bench {
+  /** Median of the successful (≥ 0) timings; -1 when none succeeded so
+    * consumers can't mistake a crash for a fast run. */
+  private[graft] def medianOf(xs: List[Double]): Double = {
+    val ok = xs.filter(_ >= 0).sorted
+    if (ok.isEmpty) -1.0
+    else if (ok.size % 2 == 1) ok(ok.size / 2)
+    else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
+  }
+
+  /** The pass-spread contamination rule (see the suspect computation
+    * in main for the full rationale): the MEDIAN of the successful
+    * passes exceeds 2× the best pass AND tops 1 s. Callers add their
+    * own success-count conditions (the interleaved flag wants ≥ 3
+    * passes; the isolated clearance keeps suspicion on ANY failed
+    * pass). Shared so the two sites can never drift.
+    */
+  private[graft] def spread(xs: List[Double]): Boolean = {
+    val ok = xs.filter(_ >= 0)
+    val med = medianOf(xs)
+    ok.nonEmpty && med / math.max(ok.min, 1e-9) > 2.0 && med > 1.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -149,18 +171,12 @@ object Bench {
     for (_ <- 1 to passes; (name, fn) <- names) {
       timings(name) = runOnce(name, fn) :: timings.getOrElse(name, Nil)
     }
-    // a query with no successful pass reports -1 so consumers can't
-    // mistake a crash for a fast run
-    def median(xs: List[Double]): Double = {
-      val ok = xs.filter(_ >= 0).sorted
-      if (ok.isEmpty) -1.0
-      else if (ok.size % 2 == 1) ok(ok.size / 2)
-      else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
-    }
     // 4-decimal rounding: 0.1 ms resolution is far below run-to-run
     // noise and keeps per-entry width bounded.
     def r4(v: Double): Double = math.round(v * 10000).toDouble / 10000
-    val results = names.map { case (name, _) => name -> r4(median(timings(name))) }
+    val results = names.map { case (name, _) =>
+      name -> r4(medianOf(timings(name)))
+    }
     // pass-spread flag: MEDIAN > 2× the best pass (and > 1 s). One slow
     // pass is ordinary JIT/cold-cache noise and leaves the median near
     // the min; contamination (another process on the cores) slows MOST
@@ -171,10 +187,7 @@ object Bench {
     // box contaminated.
     val suspect = names.flatMap { case (name, _) =>
       val ok = timings(name).filter(_ >= 0)
-      val med = median(timings(name))
-      if (ok.size >= 3 && med / math.max(ok.min, 1e-9) > 2.0 && med > 1.0)
-        Some(name)
-      else None
+      if (ok.size >= 3 && spread(timings(name))) Some(name) else None
     }.sorted
     // SELF-CORRECTION (round-15 finding: BENCH_r15.json shipped 9
     // queries inflated 2–3.5× by box contention and a reader had to
@@ -209,7 +222,7 @@ object Bench {
         toIsolate.map { name =>
           val ts = (1 to passes).map(_ => runOnce(name, fnByName(name))).toList
           timings(s"__isolated__$name") = ts
-          name -> r4(median(ts))
+          name -> r4(medianOf(ts))
         }.toMap
       }
     // a suspect stays suspect only if even its isolated passes spread
@@ -217,8 +230,7 @@ object Bench {
     // the number deserves distrust); agreement clears the flag
     val stillSuspect = toIsolate.filter { name =>
       val ok = timings(s"__isolated__$name").filter(_ >= 0)
-      val med = median(ok)
-      ok.size < passes || (med / math.max(ok.min, 1e-9) > 2.0 && med > 1.0)
+      ok.size < passes || spread(timings(s"__isolated__$name"))
     }
     // loadavg end is captured AFTER the isolated re-measurement so the
     // artifact's load window covers everything that was timed
