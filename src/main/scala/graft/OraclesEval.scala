@@ -1,0 +1,101 @@
+package graft
+
+/** DuckDB oracle twins for [[QueriesEval]] — the same exact integer
+  * arithmetic restated from first principles (HUGEINT where the Spark
+  * side carries DECIMAL(38,0), `//` for integral division — both
+  * engines truncate toward zero), every ranking given the same
+  * explicit total order.
+  */
+object OraclesEval {
+
+  val oracles: Map[String, String] = Map(
+    // q309: the per-item rater-pair counts, category vote totals, and
+    // the 18N² common-denominator kappa restated.
+    "q309_fleiss_kappa" ->
+      """WITH g AS MATERIALIZED (
+        |  SELECT l_orderkey, count(*) AS nl,
+        |    sum(CASE WHEN l_linenumber <= 3 AND l_returnflag = 'R'
+        |        THEN 1 ELSE 0 END) AS nr,
+        |    sum(CASE WHEN l_linenumber <= 3 AND l_returnflag = 'N'
+        |        THEN 1 ELSE 0 END) AS nn,
+        |    sum(CASE WHEN l_linenumber <= 3 AND l_returnflag = 'A'
+        |        THEN 1 ELSE 0 END) AS na
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT o_orderpriority, count(*) AS n,
+        |    sum(nr*(nr-1) + nn*(nn-1) + na*(na-1)) AS sp,
+        |    sum(nr) AS sr, sum(nn) AS sn, sum(na) AS sa
+        |  FROM g JOIN orders ON o_orderkey = l_orderkey WHERE nl >= 3
+        |  GROUP BY 1)
+        |SELECT o_orderpriority, CAST(n AS BIGINT) AS n_items,
+        |  CAST(sp::HUGEINT * 1000000 // (6 * n) AS BIGINT) AS po_ppm,
+        |  CAST((sr::HUGEINT*sr + sn::HUGEINT*sn + sa::HUGEINT*sa)
+        |    * 1000000 // (9::HUGEINT * n * n) AS BIGINT) AS pe_ppm,
+        |  CAST((3::HUGEINT * n * sp
+        |      - 2 * (sr::HUGEINT*sr + sn::HUGEINT*sn + sa::HUGEINT*sa))
+        |    * 1000000
+        |    // nullif(18::HUGEINT * n * n
+        |      - 2 * (sr::HUGEINT*sr + sn::HUGEINT*sn + sa::HUGEINT*sa),
+        |      0) AS BIGINT) AS kappa_ppm
+        |FROM t ORDER BY 1""".stripMargin,
+
+    // q310: the same per-customer rank windows and per-term floored
+    // precision sum, then the segment rollup with eligibility split.
+    "q310_map" ->
+      """WITH r AS (
+        |  SELECT o_custkey,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS rel,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |        AS BIGINT) DESC, o_orderkey) AS k,
+        |    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY o_custkey
+        |        ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |          AS BIGINT) DESC, o_orderkey
+        |        ROWS UNBOUNDED PRECEDING) AS cumrel
+        |  FROM orders),
+        |per AS (SELECT o_custkey, sum(rel) AS p,
+        |    sum(CASE WHEN rel = 1
+        |        THEN cumrel::HUGEINT * 1000000 // k END) AS sterm
+        |  FROM r GROUP BY 1),
+        |ap AS (SELECT o_custkey, p,
+        |    CASE WHEN p > 0 THEN sterm // p END AS ap_ppm FROM per)
+        |SELECT c_mktsegment,
+        |  CAST(sum(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_ranked,
+        |  CAST(sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_no_relevant,
+        |  CAST(sum(ap_ppm)
+        |    // nullif(sum(CASE WHEN p > 0 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS mean_ap_ppm
+        |FROM ap JOIN customer ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q311: the quantity×label grid, fixed threshold frame, and the
+    // integral ppm ratios restated.
+    "q311_confusion_sweep" ->
+      """WITH g AS MATERIALIZED (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS neg
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT sum(pos) AS p, sum(neg) AS n FROM g),
+        |th AS (SELECT unnest([5,10,15,20,25,30,35,40,45]) AS t),
+        |c AS (SELECT t,
+        |    sum(CASE WHEN q > t THEN pos ELSE 0 END) AS tp,
+        |    sum(CASE WHEN q > t THEN neg ELSE 0 END) AS fp
+        |  FROM th CROSS JOIN g GROUP BY 1)
+        |SELECT CAST(t AS BIGINT) AS threshold,
+        |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |  CAST(p - tp AS BIGINT) AS fn, CAST(n - fp AS BIGINT) AS tn,
+        |  CAST(tp::HUGEINT * 1000000 // nullif(tp + fp, 0) AS BIGINT)
+        |    AS precision_ppm,
+        |  CAST(tp::HUGEINT * 1000000 // p AS BIGINT) AS recall_ppm,
+        |  CAST(2::HUGEINT * tp * 1000000
+        |    // nullif(2 * tp + fp + (p - tp), 0) AS BIGINT) AS f1_ppm,
+        |  CAST((tp::HUGEINT + (n - fp)) * 1000000 // (p + n) AS BIGINT)
+        |    AS accuracy_ppm,
+        |  CAST(tp::HUGEINT * 1000000 // p
+        |    + (n - fp)::HUGEINT * 1000000 // n - 1000000 AS BIGINT)
+        |    AS youden_ppm
+        |FROM c CROSS JOIN tot ORDER BY threshold""".stripMargin)
+}

