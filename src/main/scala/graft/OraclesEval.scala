@@ -97,5 +97,69 @@ object OraclesEval {
         |  CAST(tp::HUGEINT * 1000000 // p
         |    + (n - fp)::HUGEINT * 1000000 // n - 1000000 AS BIGINT)
         |    AS youden_ppm
-        |FROM c CROSS JOIN tot ORDER BY threshold""".stripMargin)
+        |FROM c CROSS JOIN tot ORDER BY threshold""".stripMargin,
+
+    // q312: the (status × forecast) grid, floored bin means, and the
+    // three Murphy components restated with HUGEINT operands.
+    "q312_brier_decomposition" ->
+      """WITH g AS MATERIALIZED (
+        |  SELECT l_linestatus AS ls,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * 100000 AS f,
+        |    count(*) AS nk,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ok
+        |  FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT ls, sum(nk) AS n, sum(ok) AS obig FROM g
+        |      GROUP BY 1),
+        |b AS (SELECT g.ls, t.n, t.obig,
+        |    obig::HUGEINT * 1000000 // n AS obar,
+        |    ok::HUGEINT * 1000000 // nk AS obk,
+        |    g.f, g.nk, g.ok
+        |  FROM g JOIN t ON t.ls = g.ls)
+        |SELECT ls AS l_linestatus, CAST(min(n) AS BIGINT) AS n,
+        |  CAST(min(obar) AS BIGINT) AS mean_outcome_ppm,
+        |  CAST(sum(ok::HUGEINT * (1000000 - f) * (1000000 - f)
+        |      + (nk - ok)::HUGEINT * f * f)
+        |    // (min(n)::HUGEINT * 1000000) AS BIGINT) AS brier_ppm,
+        |  CAST(sum(nk::HUGEINT * (f - obk) * (f - obk))
+        |    // (min(n)::HUGEINT * 1000000) AS BIGINT) AS reliability_ppm,
+        |  CAST(sum(nk::HUGEINT * (obk - obar) * (obk - obar))
+        |    // (min(n)::HUGEINT * 1000000) AS BIGINT) AS resolution_ppm,
+        |  CAST(min(obig)::HUGEINT * (min(n) - min(obig)) * 1000000
+        |    // (min(n)::HUGEINT * min(n)) AS BIGINT) AS uncertainty_ppm
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q313: the (flag × qty × pct) cell grid, both ×2-midrank ladders,
+    // and the pre-floored d² rho restated.
+    "q313_spearman_rho" ->
+      """WITH cells AS MATERIALIZED (
+        |  SELECT l_returnflag AS rf, CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS d,
+        |    count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |lq AS (SELECT rf, q,
+        |    2 * (sum(sum(cnt)) OVER (PARTITION BY rf ORDER BY q
+        |      ROWS UNBOUNDED PRECEDING) - sum(cnt)) + sum(cnt) + 1
+        |      AS r2q
+        |  FROM cells GROUP BY 1, 2),
+        |ld AS (SELECT rf, d,
+        |    2 * (sum(sum(cnt)) OVER (PARTITION BY rf ORDER BY d
+        |      ROWS UNBOUNDED PRECEDING) - sum(cnt)) + sum(cnt) + 1
+        |      AS r2d
+        |  FROM cells GROUP BY 1, 2),
+        |s AS (SELECT c.rf, sum(c.cnt) AS n,
+        |    count(DISTINCT c.q) AS nq, count(DISTINCT c.d) AS nd,
+        |    sum(c.cnt::HUGEINT * (r2q - r2d) * (r2q - r2d)) AS s4
+        |  FROM cells c
+        |  JOIN lq ON lq.rf = c.rf AND lq.q = c.q
+        |  JOIN ld ON ld.rf = c.rf AND ld.d = c.d
+        |  GROUP BY 1)
+        |SELECT rf AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CAST(nq AS BIGINT) AS n_qty_values,
+        |  CAST(nd AS BIGINT) AS n_disc_values,
+        |  CAST(1000000 - (6::HUGEINT * (s4 // n) * 1000000)
+        |    // nullif(4::HUGEINT * (n::HUGEINT * n - 1), 0) AS BIGINT)
+        |    AS rho_ppm
+        |FROM s ORDER BY 1""".stripMargin)
 }

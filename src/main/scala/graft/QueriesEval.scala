@@ -170,8 +170,116 @@ object QueriesEval {
       .orderBy("threshold")
   }
 
+  /** BRIER SCORE + MURPHY DECOMPOSITION — the forecast-calibration
+    * readout (Murphy 1973: Brier = reliability − resolution +
+    * uncertainty): the "forecast" is the line's discount restated as a
+    * return probability (percent · 1e5 → exact ppm, 11 distinct
+    * values), the outcome is return-flag 'R', and bins are the exact
+    * forecast values per line status. ONE fact pass collapses lineitem
+    * to the ≤ 22-row (status × forecast) grid; every component is then
+    * integral off that grid: Brier from the per-bin exact sum
+    * o_k(1e6−f_k)² + (n_k−o_k)f_k² DIV (N·1e6), reliability and
+    * resolution from the FLOORED per-bin outcome means (the documented
+    * ppm convention — Σ n_k·Δppm² DIV (N·1e6), operands sized so
+    * N ≈ 1e12 rows still fit DECIMAL(38,0)), uncertainty as
+    * O(N−O)·1e6 DIV N². The rel−res+unc identity then holds only to
+    * the flooring band — the spec asserts the band, the oracle
+    * restates the identical floors.
+    */
+  def q312BrierDecomposition(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.lineitem(s, dir)
+      .select(col("l_linestatus").as("ls"),
+        (expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          * 100000L).as("f"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("o"))
+      .groupBy("ls", "f")
+      .agg(count(lit(1)).as("nk"), sum(col("o")).as("ok"))
+      .localCheckpoint() // ≤ 22 rows; totals + three component folds
+    val tot = g.groupBy("ls").agg(sum("nk").as("n"), sum("ok").as("obig"))
+    g.join(tot, Seq("ls"))
+      .withColumn("obk", expr(
+        "CAST(CAST(ok AS DECIMAL(38,0)) * 1000000 DIV nk AS BIGINT)"))
+      .withColumn("obar", expr(
+        "CAST(CAST(obig AS DECIMAL(38,0)) * 1000000 DIV n AS BIGINT)"))
+      .groupBy("ls")
+      .agg(first("n").as("n"), first("obig").as("obig"),
+        first("obar").as("obar"),
+        sum(expr("""CAST(ok AS DECIMAL(38,0)) * (1000000 - f) * (1000000 - f)
+              + CAST(nk - ok AS DECIMAL(38,0)) * f * f""")).as("bsum"),
+        sum(expr("CAST(nk AS DECIMAL(38,0)) * (f - obk) * (f - obk)"))
+          .as("relsum"),
+        sum(expr("CAST(nk AS DECIMAL(38,0)) * (obk - obar) * (obk - obar)"))
+          .as("ressum"))
+      .select(col("ls").as("l_linestatus"),
+        col("n").cast("bigint").as("n"),
+        col("obar").cast("bigint").as("mean_outcome_ppm"),
+        expr("CAST(bsum DIV (CAST(n AS DECIMAL(38,0)) * 1000000) AS BIGINT)")
+          .as("brier_ppm"),
+        expr("CAST(relsum DIV (CAST(n AS DECIMAL(38,0)) * 1000000) AS BIGINT)")
+          .as("reliability_ppm"),
+        expr("CAST(ressum DIV (CAST(n AS DECIMAL(38,0)) * 1000000) AS BIGINT)")
+          .as("resolution_ppm"),
+        expr("""CAST(CAST(obig AS DECIMAL(38,0)) * (n - obig) * 1000000
+                DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)""")
+          .as("uncertainty_ppm"))
+      .orderBy("l_linestatus")
+  }
+
+  /** SPEARMAN RANK CORRELATION — the monotone-association readout
+    * between two VALUE-BOUNDED line measures (quantity 1..50 vs
+    * discount percent 0..10), per return flag, via the classic
+    * d² formula ρ = 1 − 6Σd²/(n(n²−1)) on ×2-scaled midranks (q278's
+    * integer-midrank device; the tie-correction term is deliberately
+    * the textbook-omitted one — the CONVENTION IS THE SEMANTICS, and
+    * the oracle restates it). ONE fact pass collapses lineitem to the
+    * ≤ 550-cell (flag × qty × pct) grid; both marginal rank ladders
+    * derive from that grid with windows over ≤ 50-row partitions, and
+    * Σ cnt·d² is pre-floored by n (documented) so the cross-multiplied
+    * ρ stays inside DECIMAL(38,0) at any fact scale.
+    */
+  def q313SpearmanRho(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("rf"),
+        col("l_quantity").cast("bigint").as("q"),
+        expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("d"))
+      .groupBy("rf", "q", "d").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // ≤ 550 rows; both ladders + the d² fold
+    def ladder(key: String): DataFrame = {
+      val w = Window.partitionBy("rf").orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.groupBy("rf", key).agg(sum("cnt").as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(w))
+        // midrank×2 = 2·(ranks before) + count + 1
+        .select(col("rf"), col(key),
+          (lit(2L) * (col("__cum") - col("__c")) + col("__c") + 1L)
+            .as(s"r2$key"))
+    }
+    cells
+      .join(ladder("q"), Seq("rf", "q"))
+      .join(ladder("d"), Seq("rf", "d"))
+      .groupBy("rf")
+      .agg(sum("cnt").as("n"),
+        countDistinct(col("q")).as("n_qty_values"),
+        countDistinct(col("d")).as("n_disc_values"),
+        sum(expr("""CAST(cnt AS DECIMAL(38,0)) * (r2q - r2d)
+                    * (r2q - r2d)""")).as("s4"))
+      .select(col("rf").as("l_returnflag"),
+        col("n").cast("bigint").as("n"),
+        col("n_qty_values").cast("bigint").as("n_qty_values"),
+        col("n_disc_values").cast("bigint").as("n_disc_values"),
+        expr("""CAST(1000000 - (CAST(6 AS DECIMAL(38,0))
+                 * (s4 DIV n) * 1000000)
+                DIV nullif(CAST(4 AS DECIMAL(38,0)) * (CAST(n AS
+                 DECIMAL(38,0)) * n - 1), 0) AS BIGINT)""")
+          .as("rho_ppm"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
     "q309_fleiss_kappa" -> q309FleissKappa _,
     "q310_map" -> q310Map _,
-    "q311_confusion_sweep" -> q311ConfusionSweep _)
+    "q311_confusion_sweep" -> q311ConfusionSweep _,
+    "q312_brier_decomposition" -> q312BrierDecomposition _,
+    "q313_spearman_rho" -> q313SpearmanRho _)
 }
