@@ -161,5 +161,72 @@ object OraclesEval {
         |  CAST(1000000 - (6::HUGEINT * (s4 // n) * 1000000)
         |    // nullif(4::HUGEINT * (n::HUGEINT * n - 1), 0) AS BIGINT)
         |    AS rho_ppm
-        |FROM s ORDER BY 1""".stripMargin)
+        |FROM s ORDER BY 1""".stripMargin,
+
+    // q314: per-item disagreement with the lcm(1..20) denominator
+    // clearing, the >21-line exclusion, and the pre-floored alpha
+    // restated.
+    "q314_krippendorff_alpha" ->
+      """WITH g AS MATERIALIZED (
+        |  SELECT l_orderkey, count(*) AS m,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS nr,
+        |    sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS nn,
+        |    sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS na
+        |  FROM lineitem GROUP BY 1 HAVING count(*) >= 2),
+        |t AS (SELECT o_orderpriority,
+        |    sum(CASE WHEN m <= 21 THEN 1 ELSE 0 END) AS n_items,
+        |    sum(CASE WHEN m > 21 THEN 1 ELSE 0 END) AS n_wide,
+        |    sum(CASE WHEN m <= 21 THEN m ELSE 0 END) AS n,
+        |    sum(CASE WHEN m <= 21 THEN (232792560 // (m - 1))::HUGEINT
+        |        * (nr*(m-nr) + nn*(m-nn) + na*(m-na)) ELSE 0 END) AS sd,
+        |    sum(CASE WHEN m <= 21 THEN nr ELSE 0 END) AS sr,
+        |    sum(CASE WHEN m <= 21 THEN nn ELSE 0 END) AS sn,
+        |    sum(CASE WHEN m <= 21 THEN na ELSE 0 END) AS sa
+        |  FROM g JOIN orders ON o_orderkey = l_orderkey GROUP BY 1),
+        |e AS (SELECT *, sr::HUGEINT * (n - sr) + sn::HUGEINT * (n - sn)
+        |    + sa::HUGEINT * (n - sa) AS se FROM t)
+        |SELECT o_orderpriority, CAST(n_items AS BIGINT) AS n_items,
+        |  CAST(n_wide AS BIGINT) AS n_wide_items,
+        |  CAST(n AS BIGINT) AS n_values,
+        |  CAST((sd // 232792560) * 1000000 // n AS BIGINT) AS do_ppm,
+        |  CAST(se * 1000000 // (n::HUGEINT * (n - 1)) AS BIGINT)
+        |    AS de_ppm,
+        |  CAST(1000000 - (sd // 232792560) * (n - 1) * 1000000
+        |    // nullif(se, 0) AS BIGINT) AS alpha_ppm
+        |FROM e ORDER BY 1""".stripMargin,
+
+    // q315: identical tokenization, per-term pinned-log contributions,
+    // and the closed-form missing-mass tail restated.
+    "q315_js_divergence" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split(
+        |      trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |cs AS MATERIALIZED (
+        |  SELECT source, term, count(*) AS c FROM toks GROUP BY 1, 2),
+        |corpus AS MATERIALIZED (
+        |  SELECT term, sum(c) AS ct FROM cs GROUP BY 1),
+        |ntot AS (SELECT sum(ct) AS ntot FROM corpus),
+        |ns AS (SELECT source, sum(c) AS nsrc FROM cs GROUP BY 1),
+        |t0 AS (SELECT cs.source, cs.c, corpus.ct, ns.nsrc, ntot.ntot,
+        |    CAST(cs.c AS DOUBLE) / ns.nsrc AS p,
+        |    CAST(corpus.ct AS DOUBLE) / ntot.ntot AS qq
+        |  FROM cs
+        |  JOIN corpus USING (term)
+        |  JOIN ns ON ns.source = cs.source
+        |  CROSS JOIN ntot),
+        |terms AS (SELECT source, c, ct, nsrc, ntot,
+        |    CAST(round((p * log2(p / ((p + qq) / 2.0))
+        |      + qq * log2(qq / ((p + qq) / 2.0))) / 2.0, 9)
+        |      AS DECIMAL(18,9)) AS t
+        |  FROM t0)
+        |SELECT source, CAST(min(nsrc) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST((CAST(sum(t) * 1000000000 AS HUGEINT)
+        |    + (min(ntot) - sum(ct))::HUGEINT * 1000000000
+        |      // (2 * min(ntot))
+        |    + 500) // 1000 AS BIGINT) AS jsd_micro
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -276,10 +276,122 @@ object QueriesEval {
       .orderBy("l_returnflag")
   }
 
+  /** KRIPPENDORFF'S ALPHA (nominal) — the agreement metric when the
+    * rater count VARIES per item (Krippendorff 2004), complementing
+    * q302 (two raters) and q309 (fixed m): items are orders with ≥ 2
+    * lines, every line is a rater, categories are return flags.
+    * α = 1 − D_o/D_e with D_o = (1/n)Σ_u Σ_c n_uc(m_u−n_uc)/(m_u−1)
+    * over the n = Σm_u pairable values and D_e = Σ_c S_c(n−S_c) /
+    * (n(n−1)). Per-item denominators are cleared EXACTLY by
+    * L = lcm(1..20) = 232 792 560; items wider than 21 lines would
+    * break that clearing, so they are excluded and REPORTED
+    * (n_wide_items — 0 on any TPC-H-shaped fact, where order width is
+    * data-bounded ≤ 13) rather than silently floored. α comes out as
+    * 1e6 − (SD DIV L)·(n−1)·1e6 DIV SE (the documented pre-floor —
+    * SD DIV L ≤ 400N keeps the cross-product inside DECIMAL(38,0) at
+    * 1e12 items). Shape: ONE lineitem pass to per-order counts, a
+    * co-partitioned join to orders for the priority, then a 5-row
+    * grid.
+    */
+  def q314KrippendorffAlpha(s: SparkSession, dir: String): DataFrame = {
+    val L = 232792560L // lcm(1..20)
+    val perItem = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("nr"),
+        sum(when(col("l_returnflag") === "N", 1L).otherwise(0L)).as("nn"),
+        sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("na"))
+      .filter(col("m") >= 2)
+    perItem
+      .join(Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_orderpriority")), Seq("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(when(col("m") <= 21, 1L).otherwise(0L)).as("n_items"),
+        sum(when(col("m") > 21, 1L).otherwise(0L)).as("n_wide"),
+        sum(when(col("m") <= 21, col("m")).otherwise(0L)).as("n"),
+        sum(when(col("m") <= 21,
+          expr(s"CAST($L DIV (m - 1) AS DECIMAL(38,0))") *
+            (col("nr") * (col("m") - col("nr"))
+              + col("nn") * (col("m") - col("nn"))
+              + col("na") * (col("m") - col("na")))).otherwise(lit(0L)))
+          .as("sd"),
+        sum(when(col("m") <= 21, col("nr")).otherwise(0L)).as("sr"),
+        sum(when(col("m") <= 21, col("nn")).otherwise(0L)).as("sn"),
+        sum(when(col("m") <= 21, col("na")).otherwise(0L)).as("sa"))
+      .withColumn("se", expr("""CAST(sr AS DECIMAL(38,0)) * (n - sr)
+          + CAST(sn AS DECIMAL(38,0)) * (n - sn)
+          + CAST(sa AS DECIMAL(38,0)) * (n - sa)"""))
+      .select(col("o_orderpriority"),
+        col("n_items").cast("bigint").as("n_items"),
+        col("n_wide").cast("bigint").as("n_wide_items"),
+        col("n").cast("bigint").as("n_values"),
+        expr(s"CAST((sd DIV $L) * 1000000 DIV n AS BIGINT)").as("do_ppm"),
+        expr("""CAST(se * 1000000
+                DIV (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)""")
+          .as("de_ppm"),
+        expr(s"""CAST(1000000 - (sd DIV $L) * (n - 1) * 1000000
+                 DIV nullif(se, 0) AS BIGINT)""").as("alpha_ppm"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** JENSEN–SHANNON SOURCE DRIFT — the corpus-mixing diagnostic every
+    * multi-source training pipeline tracks: JSD(source ‖ corpus) over
+    * normalized-token unigram distributions, per source. The fact is
+    * tokenized ONCE; per-(source, term) counts are vocab-bounded, the
+    * corpus distribution derives from them (no second scan), and the
+    * JSD splits exactly into (a) per-term double contributions
+    * ((p·log2(p/m) + q·log2(q/m))/2, pinned by round(·,9) →
+    * DECIMAL(18,9) — the q77/q88 established log convention — summed
+    * exactly) and (b) the CLOSED-FORM tail for corpus terms absent
+    * from the source, where q/m = 2 exactly, so the tail is the
+    * integral (n_tot − Σ_{t∈src} c_t)·1e9 DIV (2·n_tot) nanos — no
+    * full-outer join, no per-missing-term rows. Output in micros with
+    * the q77 half-up nanos→micros fold.
+    */
+  def q315JsDivergence(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis.normalizeText
+    val toks = Tables.documents(s, dir).select(col("source"),
+      explode(filter(split(normalizeText(col("text")), " "),
+        t => t =!= "")).as("term"))
+    val cs = toks.groupBy("source", "term").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // corpus dist + per-source totals + terms
+    val corpus = cs.groupBy("term").agg(sum("c").as("ct"))
+    val ntot = corpus.agg(sum("ct").as("ntot"))
+    val ns = cs.groupBy("source").agg(sum("c").as("nsrc"))
+    cs.join(corpus, Seq("term"))
+      .join(ns, Seq("source"))
+      .crossJoin(broadcast(ntot))
+      .withColumn("p", col("c").cast("double") / col("nsrc"))
+      .withColumn("qq", col("ct").cast("double") / col("ntot"))
+      .withColumn("mm", (col("p") + col("qq")) / lit(2.0))
+      .withColumn("t", round((col("p") * log2(col("p") / col("mm"))
+          + col("qq") * log2(col("qq") / col("mm"))) / lit(2.0), 9)
+        .cast("decimal(18,9)"))
+      .groupBy("source")
+      .agg(first("nsrc").as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        first("ntot").as("__ntot"),
+        sum("t").as("__tsum"),
+        sum("ct").as("__ctsum"))
+      .select(col("source"),
+        col("n_tokens").cast("bigint").as("n_tokens"),
+        col("n_terms").cast("bigint").as("n_terms"),
+        // per-term nanos (exact: scale-9 decimal × 1e9) + closed-form
+        // missing-mass tail nanos, half-up to micros
+        expr("""CAST((CAST(__tsum * 1000000000 AS DECIMAL(28,0))
+                + CAST(__ntot - __ctsum AS DECIMAL(38,0)) * 1000000000
+                  DIV (2 * __ntot)
+                + 500) DIV 1000 AS BIGINT)""").as("jsd_micro"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "q309_fleiss_kappa" -> q309FleissKappa _,
     "q310_map" -> q310Map _,
     "q311_confusion_sweep" -> q311ConfusionSweep _,
     "q312_brier_decomposition" -> q312BrierDecomposition _,
-    "q313_spearman_rho" -> q313SpearmanRho _)
+    "q313_spearman_rho" -> q313SpearmanRho _,
+    "q314_krippendorff_alpha" -> q314KrippendorffAlpha _,
+    "q315_js_divergence" -> q315JsDivergence _)
 }
