@@ -228,5 +228,91 @@ object OraclesEval {
         |    + (min(ntot) - sum(ct))::HUGEINT * 1000000000
         |      // (2 * min(ntot))
         |    + 500) // 1000 AS BIGINT) AS jsd_micro
-        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q316: same tokenization; bigrams via list indexing over
+    // generate_series (empty when < 2 tokens); clipped multiset
+    // intersection against the min-doc_id exemplar per language.
+    "q316_rouge_exemplar" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(
+        |      trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |uni AS (SELECT doc_id, lang, 1 AS n, unnest(toks) AS gram
+        |        FROM base),
+        |bi AS (SELECT doc_id, lang, 2 AS n,
+        |    unnest(list_transform(
+        |      list_zip(toks[1:len(toks) - 1], toks[2:]),
+        |      x -> x[1] || ' ' || x[2])) AS gram
+        |  FROM base),
+        |counts AS MATERIALIZED (
+        |  SELECT doc_id, lang, n, gram, count(*) AS c
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+        |  GROUP BY 1, 2, 3, 4),
+        |refids AS (SELECT lang, min(doc_id) AS ref_id FROM base
+        |           GROUP BY 1),
+        |refc AS MATERIALIZED (
+        |  SELECT c.lang, c.n, c.gram, c.c AS cref
+        |  FROM counts c JOIN refids r
+        |    ON r.lang = c.lang AND r.ref_id = c.doc_id),
+        |reft AS (SELECT lang, n, sum(cref) AS nref FROM refc
+        |         GROUP BY 1, 2),
+        |ov AS (
+        |  SELECT c.doc_id, c.lang, c.n, sum(c.c) AS ncand,
+        |    sum(least(c.c, coalesce(rc.cref, 0))) AS ov
+        |  FROM counts c
+        |  JOIN refids r ON r.lang = c.lang AND c.doc_id <> r.ref_id
+        |  LEFT JOIN refc rc
+        |    ON rc.lang = c.lang AND rc.n = c.n AND rc.gram = c.gram
+        |  GROUP BY 1, 2, 3)
+        |SELECT o.doc_id, o.lang,
+        |  CAST(sum(CASE WHEN o.n = 1 THEN o.ov::HUGEINT * 1000000
+        |    // nullif(o.ncand, 0) END) AS BIGINT) AS r1_precision_ppm,
+        |  CAST(sum(CASE WHEN o.n = 1 THEN o.ov::HUGEINT * 1000000
+        |    // nullif(t.nref, 0) END) AS BIGINT) AS r1_recall_ppm,
+        |  CAST(sum(CASE WHEN o.n = 1 THEN 2 * o.ov::HUGEINT * 1000000
+        |    // nullif(o.ncand + t.nref, 0) END) AS BIGINT) AS r1_f1_ppm,
+        |  CAST(sum(CASE WHEN o.n = 2 THEN o.ov::HUGEINT * 1000000
+        |    // nullif(o.ncand, 0) END) AS BIGINT) AS r2_precision_ppm,
+        |  CAST(sum(CASE WHEN o.n = 2 THEN o.ov::HUGEINT * 1000000
+        |    // nullif(t.nref, 0) END) AS BIGINT) AS r2_recall_ppm,
+        |  CAST(sum(CASE WHEN o.n = 2 THEN 2 * o.ov::HUGEINT * 1000000
+        |    // nullif(o.ncand + t.nref, 0) END) AS BIGINT) AS r2_f1_ppm
+        |FROM ov o JOIN reft t ON t.lang = o.lang AND t.n = o.n
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // q317: the brand×month revenue grid, pairwise signed
+    // trunc-division slopes, and the lower-median election under the
+    // same (slope, m1, m2) total order.
+    "q317_theil_sen" ->
+      """WITH series AS MATERIALIZED (
+        |  SELECT p_brand,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+        |      AS BIGINT) AS m,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS y
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT a.p_brand, a.m AS m1, b.m AS m2,
+        |    CAST((b.y - a.y)::HUGEINT * 1000000 // (b.m - a.m)
+        |      AS BIGINT) AS slope
+        |  FROM series a JOIN series b
+        |    ON b.p_brand = a.p_brand AND a.m < b.m),
+        |r AS (SELECT p_brand, slope,
+        |    row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY slope, m1, m2) AS rn,
+        |    count(*) OVER (PARTITION BY p_brand) AS np
+        |  FROM pairs),
+        |nm AS (SELECT p_brand, count(*) AS n_months FROM series
+        |       GROUP BY 1)
+        |SELECT r.p_brand, CAST(n_months AS BIGINT) AS n_months,
+        |  CAST(np AS BIGINT) AS n_pairs,
+        |  CAST(slope AS BIGINT) AS sen_slope_micro
+        |FROM r JOIN nm ON nm.p_brand = r.p_brand
+        |WHERE rn = (np + 1) // 2
+        |ORDER BY 1""".stripMargin)
 }

@@ -386,6 +386,118 @@ object QueriesEval {
       .orderBy("source")
   }
 
+  /** ROUGE-1/2 AGAINST A PER-LANGUAGE EXEMPLAR — the n-gram-overlap
+    * summary metric (Lin 2004) in its corpus-audit posture: each
+    * language's exemplar is its min-doc_id document, and every other
+    * document of that language scores clipped unigram/bigram overlap
+    * against it (recall = covered exemplar grams, precision = matching
+    * candidate grams, F1 integral from counts as 2·ov·1e6 DIV
+    * (n_cand + n_ref)). Shape: ONE tokenize pass (the token arrays are
+    * localCheckpointed — the filter/transform lambdas would otherwise
+    * re-run per consumer, the documented CollapseProject hazard);
+    * unigrams and bigrams explode from that pinned frame; gram counts
+    * are per-doc bounded; the exemplar side is ≤ langs × one-doc-vocab
+    * rows and broadcasts. Clipping is Σ min(c_cand, c_ref) per gram —
+    * exact multiset intersection.
+    */
+  def q316RougeExemplar(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis.normalizeText
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        filter(split(normalizeText(col("text")), " "), t => t =!= "")
+          .as("toks"))
+      .localCheckpoint()
+    val uni = base.select(col("doc_id"), col("lang"), lit(1).as("n"),
+      explode(col("toks")).as("gram"))
+    val bi = base.select(col("doc_id"), col("lang"), lit(2).as("n"),
+      explode(expr("""CASE WHEN size(toks) < 2 THEN array()
+        ELSE transform(sequence(1, size(toks) - 1),
+          i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+        END""")).as("gram"))
+    val counts = uni.unionByName(bi)
+      .groupBy("doc_id", "lang", "n", "gram")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // candidate side + exemplar side + totals
+    val refIds = base.groupBy("lang").agg(min("doc_id").as("ref_id"))
+    val refCounts = counts.join(broadcast(refIds),
+        counts("doc_id") === refIds("ref_id") &&
+          counts("lang") === refIds("lang"))
+      .select(counts("lang"), col("n"), col("gram"), col("c").as("cref"))
+    val refTotals = refCounts.groupBy("lang", "n")
+      .agg(sum("cref").as("nref"))
+    val cand = counts.join(broadcast(refIds), Seq("lang"))
+      .filter(col("doc_id") =!= col("ref_id"))
+    val ov = cand
+      .join(broadcast(refCounts), Seq("lang", "n", "gram"), "left")
+      .groupBy("doc_id", "lang", "n")
+      .agg(sum("c").as("ncand"),
+        sum(least(col("c"), coalesce(col("cref"), lit(0L)))).as("ov"))
+      .join(broadcast(refTotals), Seq("lang", "n"))
+    def ppm(num: String, den: String) = expr(
+      s"CAST(CAST($num AS DECIMAL(38,0)) * 1000000 DIV nullif($den, 0) AS BIGINT)")
+    ov.groupBy("doc_id", "lang")
+      .agg(
+        sum(when(col("n") === 1, ppm("ov", "ncand"))).as("r1_precision_ppm"),
+        sum(when(col("n") === 1, ppm("ov", "nref"))).as("r1_recall_ppm"),
+        sum(when(col("n") === 1,
+          ppm("2 * ov", "ncand + nref"))).as("r1_f1_ppm"),
+        sum(when(col("n") === 2, ppm("ov", "ncand"))).as("r2_precision_ppm"),
+        sum(when(col("n") === 2, ppm("ov", "nref"))).as("r2_recall_ppm"),
+        sum(when(col("n") === 2,
+          ppm("2 * ov", "ncand + nref"))).as("r2_f1_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** THEIL–SEN ROBUST TREND — the outlier-resistant slope estimator
+    * (median of pairwise slopes) over each brand's monthly revenue
+    * series: the classic "is this segment growing" readout that OLS
+    * (q200) gets wrong under a few bad months. The fact collapses in
+    * ONE pass (plus the co-partitioned orders join for the date) to
+    * the ≤ brands × months grid; the pairwise self-join and median
+    * window then live entirely on that dimension-bounded grid (≤ ~3.2k
+    * pairs per brand at 80 months — bounded at ANY fact scale).
+    * Slopes are exact micro-cents/month via signed integral division
+    * (both engines truncate toward zero); the median is the LOWER
+    * median, rank (n+1) DIV 2 under the explicit total order
+    * (slope, m1, m2).
+    */
+  def q317TheilSen(s: SparkSession, dir: String): DataFrame = {
+    val series = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("bigint").as("m"))
+      .agg(sum(expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("y"))
+      .localCheckpoint() // ≤ brands × months rows; both join sides
+    val pairs = series.select(col("p_brand"), col("m").as("m1"),
+        col("y").as("y1"))
+      .join(series.select(col("p_brand"), col("m").as("m2"),
+        col("y").as("y2")), Seq("p_brand"))
+      .filter(col("m1") < col("m2"))
+      .select(col("p_brand"), col("m1"), col("m2"),
+        expr("""CAST(CAST(y2 - y1 AS DECIMAL(38,0)) * 1000000
+                DIV (m2 - m1) AS BIGINT)""").as("slope"))
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("slope"), col("m1"), col("m2"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy("p_brand")))
+      .filter(col("rn") === expr("(np + 1) DIV 2"))
+      .join(series.groupBy("p_brand").agg(count(lit(1)).as("n_months")),
+        Seq("p_brand"))
+      .select(col("p_brand"),
+        col("n_months").cast("bigint").as("n_months"),
+        col("np").cast("bigint").as("n_pairs"),
+        col("slope").cast("bigint").as("sen_slope_micro"))
+      .orderBy("p_brand")
+  }
+
   val queries: Map[String, Q] = Map(
     "q309_fleiss_kappa" -> q309FleissKappa _,
     "q310_map" -> q310Map _,
@@ -393,5 +505,7 @@ object QueriesEval {
     "q312_brier_decomposition" -> q312BrierDecomposition _,
     "q313_spearman_rho" -> q313SpearmanRho _,
     "q314_krippendorff_alpha" -> q314KrippendorffAlpha _,
-    "q315_js_divergence" -> q315JsDivergence _)
+    "q315_js_divergence" -> q315JsDivergence _,
+    "q316_rouge_exemplar" -> q316RougeExemplar _,
+    "q317_theil_sen" -> q317TheilSen _)
 }
