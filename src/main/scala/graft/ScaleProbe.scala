@@ -141,7 +141,16 @@ object ScaleProbe {
       // round-12 wave 6: per-group rank windows, cumulative-interval
       // FIFO join, distinct+degree moments, RAKE text pipeline
       "q214_percentile_cont", "q219_fifo_match",
-      "q215_degree_assortativity", "q206_rake_keywords")
+      "q215_degree_assortativity", "q206_rake_keywords",
+      // round-16 eval wave: fact-scale agreement/eval metrics (the
+      // value-bounded grids should probe near-flat; q310's windows
+      // grow with the per-customer order count under replication —
+      // the honest "more orders per key" posture; q315/q316 ride the
+      // salted documents replica)
+      "q309_fleiss_kappa", "q310_map", "q311_confusion_sweep",
+      "q312_brier_decomposition", "q313_spearman_rho",
+      "q314_krippendorff_alpha", "q315_js_divergence",
+      "q316_rouge_exemplar", "q317_theil_sen")
       .filter(wanted)
     def time(fn: => DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()

@@ -82,7 +82,24 @@ class PlanShapeSpec extends AnyFunSuite {
     "q305_pass_at_k" -> Shape(3, 1),
     "q306_bradley_terry" -> Shape(4, 0),
     "q307_mmr_rerank" -> Shape(1, 0),
-    "q308_ndcg" -> Shape(6, 6)
+    "q308_ndcg" -> Shape(6, 6),
+    // round-16 eval wave: q309/q314's orders join is declared as a
+    // plain fact-fact key join — AQE broadcasts the tiny orders side
+    // at THIS sf (the 1 below); at production scale it legitimately
+    // becomes a co-partitioned sort-merge. q311/q312/q313 collapse to
+    // value-bounded grids in one keyed shuffle; q316's exemplar side
+    // must stay broadcast; q317's pair join lives on the checkpointed
+    // brand×month grid tail (the broadcast part-dim join sits above
+    // the checkpoint, outside the returned plan)
+    "q309_fleiss_kappa" -> Shape(3, 1),
+    "q310_map" -> Shape(3, 1),
+    "q311_confusion_sweep" -> Shape(3, 2),
+    "q312_brier_decomposition" -> Shape(3, 1),
+    "q313_spearman_rho" -> Shape(7, 2),
+    "q314_krippendorff_alpha" -> Shape(3, 1),
+    "q315_js_divergence" -> Shape(6, 3),
+    "q316_rouge_exemplar" -> Shape(7, 5),
+    "q317_theil_sen" -> Shape(4, 0)
   )
 
   test("top-10 heaviest queries keep their pinned plan shapes") {

@@ -1,0 +1,267 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.FixtureLoader.spark
+
+/** Round-16 eval wave (q309–q317): each query's arithmetic is pinned
+  * here INDEPENDENTLY of the DuckDB gate — a driver-side Scala/BigInt
+  * re-implementation over the collected sf0.001 facts (small enough to
+  * fold exactly), or closed identities where the metric's definition
+  * provides them. The DuckDB gate pins cross-engine hashes at sf0.01;
+  * these specs pin the intended MATH, so an error that both engines
+  * replicate (shared formula typo) still fails.
+  */
+class Round16EvalSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val li = Tables.lineitem(spark, sf)
+    .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+      "l_discount")
+    .collect()
+    .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+      r.getDouble(3).toLong,
+      BigDecimal(r.getDouble(4)).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact))
+
+  private lazy val orderPrio = Tables.orders(spark, sf)
+    .select("o_orderkey", "o_orderpriority").collect()
+    .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("q309 Fleiss kappa matches an exact BigInt re-fold of the fact") {
+    val byOrder = li.groupBy(_._1)
+    val items = byOrder.collect {
+      case (ok, rows) if rows.length >= 3 =>
+        val first3 = rows.filter(_._2 <= 3)
+        val cnt = first3.groupBy(_._3).map { case (c, v) => c -> v.length }
+        (orderPrio(ok), cnt.getOrElse("R", 0).toLong,
+          cnt.getOrElse("N", 0).toLong, cnt.getOrElse("A", 0).toLong)
+    }.toSeq
+    val want = items.groupBy(_._1).map { case (prio, xs) =>
+      val n = BigInt(xs.size)
+      val sp = xs.map { case (_, r, nn, a) =>
+        BigInt(r * (r - 1) + nn * (nn - 1) + a * (a - 1)) }.sum
+      val (sr, sn, sa) = (BigInt(xs.map(_._2).sum),
+        BigInt(xs.map(_._3).sum), BigInt(xs.map(_._4).sum))
+      val ss = sr * sr + sn * sn + sa * sa
+      prio -> ((n.toLong, (sp * 1000000 / (6 * n)).toLong,
+        (ss * 1000000 / (9 * n * n)).toLong,
+        ((3 * n * sp - 2 * ss) * 1000000 / (18 * n * n - 2 * ss)).toLong))
+    }
+    val got = QueriesEval.q309FleissKappa(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == want.keySet)
+    for ((prio, (n, po, pe, k)) <- want) {
+      assert(got(prio) == ((n, po, pe, k)), s"$prio: ${got(prio)}")
+    }
+  }
+
+  test("q310 MAP matches an exact re-fold of per-customer rankings") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderstatus")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact,
+        r.getString(3) == "F"))
+    val seg = Tables.customer(spark, sf)
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perCust = orders.groupBy(_._1).map { case (ck, xs) =>
+      val ranked = xs.sortBy(o => (-o._3, o._2))
+      var cum = 0L
+      val terms = ranked.zipWithIndex.collect {
+        case ((_, _, _, rel), i) if rel =>
+          cum += 1; BigInt(cum) * 1000000 / (i + 1)
+      }
+      val p = ranked.count(_._4)
+      ck -> (if (p > 0) Some((terms.sum / p).toLong) else None)
+    }
+    val want = perCust.groupBy(x => seg(x._1)).map { case (sg, xs) =>
+      val aps = xs.values.flatten
+      sg -> ((aps.size.toLong, xs.values.count(_.isEmpty).toLong,
+        if (aps.nonEmpty) (aps.map(BigInt(_)).sum / aps.size).toLong
+        else -1L))
+    }
+    val got = QueriesEval.q310Map(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == want.keySet)
+    for ((sg, w) <- want) assert(got(sg) == w, s"$sg: ${got(sg)} vs $w")
+  }
+
+  test("q311 sweep satisfies exact confusion identities per threshold") {
+    val p = li.count(_._3 == "R").toLong
+    val n = li.size - p
+    val rows = QueriesEval.q311ConfusionSweep(spark, sf).collect()
+    assert(rows.length == 9)
+    var prevTp = Long.MaxValue
+    for (r <- rows) {
+      val (t, tp, fp, fn, tn) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      assert(tp + fn == p, s"t=$t P split")
+      assert(fp + tn == n, s"t=$t N split")
+      assert(tp == li.count(x => x._3 == "R" && x._4 > t).toLong, s"t=$t tp")
+      assert(fp == li.count(x => x._3 != "R" && x._4 > t).toLong, s"t=$t fp")
+      assert(tp <= prevTp, "tp monotone in threshold"); prevTp = tp
+      assert(r.getLong(5) <= 1000000 && r.getLong(6) <= 1000000)
+      assert(r.getLong(7) <= 1000000 && r.getLong(8) <= 1000000)
+    }
+  }
+
+  test("q312 Murphy components recompose to Brier within the floor band") {
+    val rows = QueriesEval.q312BrierDecomposition(spark, sf).collect()
+    assert(rows.length == 2)
+    for (r <- rows) {
+      val (brier, rel, res, unc) =
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      // each component floors its own ppm independently; with 11 bins
+      // the recomposition drift is a few ppm, never more
+      assert(math.abs(brier - (rel - res + unc)) <= 10,
+        s"identity: $brier vs ${rel - res + unc}")
+      assert(brier >= 0 && brier <= 1000000)
+    }
+    // n-weighted per-status sum equals the global exact numerator
+    val byLs = Tables.lineitem(spark, sf)
+      .select("l_linestatus", "l_returnflag", "l_discount").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact))
+    val want = byLs.groupBy(_._1).map { case (ls, xs) =>
+      val bsum = xs.map { x =>
+        val f = BigInt(x._3) * 100000 // discount pct → forecast ppm
+        val o = if (x._2 == "R") BigInt(1000000) else BigInt(0)
+        (f - o) * (f - o)
+      }.sum
+      ls -> (bsum / (BigInt(xs.size) * 1000000)).toLong
+    }
+    val got = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got == want, s"$got vs $want")
+  }
+
+  test("q313 Spearman matches an exact midrank re-fold") {
+    val want = li.groupBy(_._3).map { case (rf, xs) =>
+      def r2(vals: Seq[Long]): Map[Long, Long] = {
+        val grouped = vals.groupBy(identity).toSeq.sortBy(_._1)
+        var before = 0L
+        grouped.map { case (v, g) =>
+          val r = 2 * before + g.size + 1
+          before += g.size
+          v -> r
+        }.toMap
+      }
+      val rq = r2(xs.map(_._4).toSeq)
+      val rd = r2(xs.map(_._5).toSeq)
+      val n = BigInt(xs.size)
+      val s4 = xs.map { x =>
+        val d = BigInt(rq(x._4) - rd(x._5)); d * d
+      }.sum
+      rf -> (BigInt(1000000) -
+        (BigInt(6) * (s4 / n) * 1000000) / (BigInt(4) * (n * n - 1))).toLong
+    }
+    val got = QueriesEval.q313SpearmanRho(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(got == want, s"$got vs $want")
+  }
+
+  test("q314 Krippendorff alpha matches an exact BigInt re-fold") {
+    val L = BigInt(232792560L)
+    val byOrder = li.groupBy(_._1)
+    val items = byOrder.collect {
+      case (ok, rows) if rows.length >= 2 =>
+        val cnt = rows.groupBy(_._3).map { case (c, v) => c -> v.length }
+        (orderPrio(ok), rows.length.toLong,
+          cnt.getOrElse("R", 0).toLong, cnt.getOrElse("N", 0).toLong,
+          cnt.getOrElse("A", 0).toLong)
+    }.toSeq
+    val want = items.groupBy(_._1).map { case (prio, xs0) =>
+      val xs = xs0.filter(_._2 <= 21)
+      val n = BigInt(xs.map(_._2).sum)
+      val sd = xs.map { case (_, m, r, nn, a) =>
+        (L / (m - 1)) * BigInt(r * (m - r) + nn * (m - nn) + a * (m - a))
+      }.sum
+      val (sr, sn, sa) = (BigInt(xs.map(_._3).sum),
+        BigInt(xs.map(_._4).sum), BigInt(xs.map(_._5).sum))
+      val se = sr * (n - sr) + sn * (n - sn) + sa * (n - sa)
+      prio -> (BigInt(1000000) -
+        ((sd / L) * (n - 1) * 1000000) / se).toLong
+    }
+    val got = QueriesEval.q314KrippendorffAlpha(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(6))).toList
+    assert(got.forall(_._2 == 0L), "no wide items expected on TPC-H facts")
+    val gotAlpha = got.map(x => x._1 -> x._3).toMap
+    assert(gotAlpha == want, s"$gotAlpha vs $want")
+  }
+
+  test("q315 JSD values sit in [0, 1e6] micros with sane term counts") {
+    // sf0.001's documents table equals sf0.01's (500 docs) — range and
+    // structural invariants here; cross-engine hashes pin the values
+    val rows = QueriesEval.q315JsDivergence(spark, sf).collect()
+    assert(rows.length == 20)
+    for (r <- rows) {
+      val (nt, terms, jsd) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(terms <= nt, "distinct terms cannot exceed tokens")
+      assert(jsd >= 0 && jsd <= 1000000, s"jsd out of range: $jsd")
+    }
+  }
+
+  test("q316 ROUGE matches a direct Scala recount for every en doc") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    def grams(t: Seq[String], n: Int): Map[String, Int] =
+      t.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+    val en = docs.filter(_._2 == "en")
+    val refDoc = en.minBy(_._1)
+    val got = QueriesEval.q316RougeExemplar(spark, sf).collect()
+      .filter(_.getString(1) == "en")
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(!got.contains(refDoc._1), "exemplar must be excluded")
+    for ((id, _, text) <- en if id != refDoc._1) {
+      for (n <- Seq(1, 2)) {
+        val c = grams(toks(text), n); val rf = grams(toks(refDoc._3), n)
+        val ov = c.map { case (g, cc) => math.min(cc, rf.getOrElse(g, 0)) }
+          .sum.toLong
+        val (ncand, nref) = (c.values.sum.toLong, rf.values.sum.toLong)
+        val (wp, wr, wf) = (BigInt(ov) * 1000000 / ncand,
+          BigInt(ov) * 1000000 / nref,
+          BigInt(2) * ov * 1000000 / (ncand + nref))
+        if (n == 1)
+          assert(got(id) == ((wp.toLong, wr.toLong, wf.toLong)),
+            s"doc $id r1: ${got(id)} vs ($wp,$wr,$wf)")
+      }
+    }
+  }
+
+  test("q317 Theil-Sen matches an exact pairwise-median re-fold") {
+    val rows = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        org.apache.spark.sql.functions.expr("o_orderkey = l_orderkey"))
+      .join(Tables.part(spark, sf),
+        org.apache.spark.sql.functions.expr("p_partkey = l_partkey"))
+      .select("p_brand", "o_orderdate", "l_extendedprice").collect()
+      .map { r =>
+        val d = r.get(1).toString.substring(0, 7).split("-")
+        (r.getString(0), d(0).toLong * 12 + d(1).toLong - 1,
+          BigDecimal(r.getDouble(2)).setScale(2,
+            BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact)
+      }
+    val want = rows.groupBy(_._1).map { case (brand, xs) =>
+      val series = xs.groupBy(_._2).map { case (m, v) =>
+        m -> v.map(_._3).sum }.toSeq.sortBy(_._1)
+      val slopes = for {
+        (m1, y1) <- series; (m2, y2) <- series if m1 < m2
+      } yield ((BigInt(y2 - y1) * 1000000 / (m2 - m1)).toLong, m1, m2)
+      val sorted = slopes.sortBy(x => (x._1, x._2, x._3))
+      brand -> sorted((sorted.size + 1) / 2 - 1)._1
+    }
+    val got = QueriesEval.q317TheilSen(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got == want, s"diff: ${got.toSet.diff(want.toSet)}")
+  }
+}
