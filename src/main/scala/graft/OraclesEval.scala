@@ -8,6 +8,32 @@ package graft
   */
 object OraclesEval {
 
+  /** Shared tokenization CTE (q316/q318/q319/q320/q321) — the DuckDB
+    * twin of [[QueriesEval.tokenBase]]. */
+  private val baseCte =
+    """base AS MATERIALIZED (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split(
+      |      trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+      |      x -> x <> '') AS toks
+      |  FROM documents)""".stripMargin
+
+  /** Word n-gram rows off `base` — list_zip windows (empty below n
+    * tokens), the twin of [[QueriesEval.gramRows]]. */
+  private def gramCte(n: Int): String =
+    if (n == 1) "SELECT doc_id, lang, 1 AS n, unnest(toks) AS gram FROM base"
+    else {
+      // every slice exactly len−n+1 elements — list_zip pads unequal
+      // lists with NULLs, which would fabricate NULL grams
+      val lists = (0 until n).map(k =>
+        s"toks[${k + 1}:len(toks) - ${n - 1 - k}]").mkString(", ")
+      val parts = (1 to n).map(k => s"x[$k]").mkString(" || ' ' || ")
+      s"""SELECT doc_id, lang, $n AS n,
+         |    unnest(list_transform(list_zip($lists),
+         |      x -> $parts)) AS gram
+         |  FROM base WHERE len(toks) >= $n""".stripMargin
+    }
+
   val oracles: Map[String, String] = Map(
     // q309: the per-item rater-pair counts, category vote totals, and
     // the 18N² common-denominator kappa restated.
@@ -314,5 +340,185 @@ object OraclesEval {
         |  CAST(slope AS BIGINT) AS sen_slope_micro
         |FROM r JOIN nm ON nm.p_brand = r.p_brand
         |WHERE rn = (np + 1) // 2
-        |ORDER BY 1""".stripMargin)
+        |ORDER BY 1""".stripMargin,
+
+    // q318: the 1/2/3-gram totals and distinct counts, pivoted to ppm
+    // ratios.
+    "q318_distinct_n" ->
+      s"""WITH $baseCte,
+         |g AS (${gramCte(1)}
+         |  UNION ALL ${gramCte(2)}
+         |  UNION ALL ${gramCte(3)}),
+         |c AS (SELECT lang, n, count(*) AS total,
+         |    count(DISTINCT gram) AS uniq
+         |  FROM g GROUP BY 1, 2)
+         |SELECT lang,
+         |  CAST(sum(CASE WHEN n = 1 THEN total END) AS BIGINT)
+         |    AS n_tokens,
+         |  CAST(sum(CASE WHEN n = 1 THEN uniq END) AS BIGINT)
+         |    AS n_types,
+         |  CAST(sum(CASE WHEN n = 1 THEN uniq::HUGEINT * 1000000
+         |    // total END) AS BIGINT) AS distinct1_ppm,
+         |  CAST(sum(CASE WHEN n = 2 THEN uniq::HUGEINT * 1000000
+         |    // nullif(total, 0) END) AS BIGINT) AS distinct2_ppm,
+         |  CAST(sum(CASE WHEN n = 3 THEN uniq::HUGEINT * 1000000
+         |    // nullif(total, 0) END) AS BIGINT) AS distinct3_ppm
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q319: the top-100 rank ladder under the same (count desc, term)
+    // order, pinned-log points, one final double division.
+    "q319_zipf_slope" ->
+      s"""WITH $baseCte,
+         |u AS (${gramCte(1)}),
+         |counts AS (SELECT lang, gram, count(*) AS c FROM u
+         |           GROUP BY 1, 2),
+         |r AS (SELECT lang, c, row_number() OVER (PARTITION BY lang
+         |    ORDER BY c DESC, gram) AS r
+         |  FROM counts),
+         |pts AS (SELECT lang,
+         |    CAST(round(log2(CAST(r AS DOUBLE)), 9) AS DECIMAL(18,9))
+         |      AS x,
+         |    CAST(round(log2(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9))
+         |      AS y
+         |  FROM r WHERE r <= 100),
+         |s AS (SELECT lang, count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+         |    sum(x * y) AS sxy, sum(x * x) AS sxx
+         |  FROM pts GROUP BY 1)
+         |SELECT lang, CAST(k AS BIGINT) AS n_terms,
+         |  round(CAST(k * sxy - sx * sy AS DOUBLE)
+         |    / CAST(k * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+         |FROM s ORDER BY 1""".stripMargin,
+
+    // q320: first-occurrence docs, the 16-threshold grid, conditional
+    // cumulative sums, and the same pinned-log OLS.
+    "q320_heaps_law" ->
+      s"""WITH $baseCte,
+         |u AS (${gramCte(1)}),
+         |fd AS MATERIALIZED (SELECT lang, gram, min(doc_id) AS fd
+         |  FROM u GROUP BY 1, 2),
+         |dt AS MATERIALIZED (SELECT lang, doc_id, count(*) AS nt
+         |  FROM u GROUP BY 1, 2),
+         |mx AS (SELECT max(doc_id) AS mx FROM dt),
+         |grid AS (SELECT i AS ck, mx * i // 16 AS t
+         |  FROM generate_series(1, 16) g(i) CROSS JOIN mx),
+         |v AS (SELECT lang, ck, count(*) AS v
+         |  FROM fd JOIN grid ON fd.fd <= grid.t GROUP BY 1, 2),
+         |nn AS (SELECT lang, ck, sum(nt) AS ntok
+         |  FROM dt JOIN grid ON dt.doc_id <= grid.t GROUP BY 1, 2),
+         |pts AS (SELECT v.lang,
+         |    CAST(round(log2(CAST(ntok AS DOUBLE)), 9)
+         |      AS DECIMAL(18,9)) AS x,
+         |    CAST(round(log2(CAST(v AS DOUBLE)), 9) AS DECIMAL(18,9))
+         |      AS y
+         |  FROM v JOIN nn ON nn.lang = v.lang AND nn.ck = v.ck
+         |  WHERE v > 0 AND ntok > 0),
+         |s AS (SELECT lang, count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+         |    sum(x * y) AS sxy, sum(x * x) AS sxx
+         |  FROM pts GROUP BY 1)
+         |SELECT lang, CAST(k AS BIGINT) AS n_checkpoints,
+         |  round(CAST(k * sxy - sx * sy AS DOUBLE)
+         |    / CAST(k * sxx - sx * sx AS DOUBLE), 6) AS heaps_beta
+         |FROM s ORDER BY 1""".stripMargin,
+
+    // q321: corpus-pooled clipped matches for n = 1..4, integral
+    // p_n ppm, display-double brevity penalty and geometric mean in
+    // the same operation order.
+    "q321_bleu_corpus" ->
+      s"""WITH $baseCte,
+         |g AS (${gramCte(1)}
+         |  UNION ALL ${gramCte(2)}
+         |  UNION ALL ${gramCte(3)}
+         |  UNION ALL ${gramCte(4)}),
+         |counts AS MATERIALIZED (
+         |  SELECT doc_id, lang, n, gram, count(*) AS c
+         |  FROM g GROUP BY 1, 2, 3, 4),
+         |refids AS (SELECT lang, min(doc_id) AS ref_id FROM base
+         |           GROUP BY 1),
+         |refc AS MATERIALIZED (
+         |  SELECT c.lang, c.n, c.gram, c.c AS cref
+         |  FROM counts c JOIN refids r
+         |    ON r.lang = c.lang AND r.ref_id = c.doc_id),
+         |pooled AS (
+         |  SELECT c.lang, c.n, sum(c.c) AS ncand,
+         |    sum(least(c.c, coalesce(rc.cref, 0))) AS ov
+         |  FROM counts c
+         |  JOIN refids r ON r.lang = c.lang AND c.doc_id <> r.ref_id
+         |  LEFT JOIN refc rc
+         |    ON rc.lang = c.lang AND rc.n = c.n AND rc.gram = c.gram
+         |  GROUP BY 1, 2),
+         |p AS (SELECT lang,
+         |    sum(CASE WHEN n = 1 THEN ov::HUGEINT * 1000000
+         |      // nullif(ncand, 0) END) AS p1_ppm,
+         |    sum(CASE WHEN n = 2 THEN ov::HUGEINT * 1000000
+         |      // nullif(ncand, 0) END) AS p2_ppm,
+         |    sum(CASE WHEN n = 3 THEN ov::HUGEINT * 1000000
+         |      // nullif(ncand, 0) END) AS p3_ppm,
+         |    sum(CASE WHEN n = 4 THEN ov::HUGEINT * 1000000
+         |      // nullif(ncand, 0) END) AS p4_ppm
+         |  FROM pooled GROUP BY 1),
+         |lens AS (SELECT b.lang, b.doc_id, r.ref_id,
+         |    len(b.toks)::BIGINT AS len
+         |  FROM base b JOIN refids r ON r.lang = b.lang),
+         |rl AS (SELECT lang, len AS rlen FROM lens
+         |       WHERE doc_id = ref_id),
+         |cl AS (SELECT lang, sum(len) AS clen, count(*) AS ndocs
+         |  FROM lens WHERE doc_id <> ref_id GROUP BY 1),
+         |j AS (SELECT p.lang, p1_ppm, p2_ppm, p3_ppm, p4_ppm,
+         |    round(CASE WHEN clen >= rlen * ndocs THEN 1.0
+         |      ELSE exp(1.0 - CAST(rlen * ndocs AS DOUBLE)
+         |        / CAST(clen AS DOUBLE)) END, 6) AS bp
+         |  FROM p JOIN rl ON rl.lang = p.lang
+         |  JOIN cl ON cl.lang = p.lang)
+         |SELECT lang,
+         |  CAST(p1_ppm AS BIGINT) AS p1_ppm,
+         |  CAST(p2_ppm AS BIGINT) AS p2_ppm,
+         |  CAST(p3_ppm AS BIGINT) AS p3_ppm,
+         |  CAST(p4_ppm AS BIGINT) AS p4_ppm,
+         |  bp,
+         |  round(CASE WHEN p1_ppm > 0 AND p2_ppm > 0 AND p3_ppm > 0
+         |      AND p4_ppm > 0
+         |    THEN bp * pow(CAST(p1_ppm AS DOUBLE) / 1000000.0
+         |      * (CAST(p2_ppm AS DOUBLE) / 1000000.0)
+         |      * (CAST(p3_ppm AS DOUBLE) / 1000000.0)
+         |      * (CAST(p4_ppm AS DOUBLE) / 1000000.0), 0.25)
+         |    ELSE 0.0 END, 6) AS bleu
+         |FROM j ORDER BY 1""".stripMargin,
+
+    // q322: the 33-replicate hash assignments, floored microcent mean
+    // diffs, and the add-one permutation p-value restated.
+    "q322_sign_flip_test" ->
+      """WITH f AS MATERIALIZED (
+        |  SELECT c_mktsegment AS segment, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders JOIN customer ON c_custkey = o_custkey),
+        |reps AS MATERIALIZED (
+        |  SELECT segment, b,
+        |    sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN v = 1 THEN cents ELSE 0 END) AS s1,
+        |    sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS n0,
+        |    sum(CASE WHEN v = 0 THEN cents ELSE 0 END) AS s0
+        |  FROM (SELECT segment, cents, b,
+        |      ('0x' || substr(md5('perm:' || b::VARCHAR || ':'
+        |        || o_orderkey::VARCHAR), 1, 8))::BIGINT % 2 AS v
+        |    FROM f CROSS JOIN generate_series(0, 32) g(b))
+        |  GROUP BY 1, 2),
+        |st AS (SELECT *,
+        |    s1::HUGEINT * 1000000 // nullif(n1, 0)
+        |      - s0::HUGEINT * 1000000 // nullif(n0, 0) AS stat
+        |  FROM reps),
+        |obs AS (SELECT segment, stat AS obs_stat, n1 AS nt, n0 AS nc
+        |        FROM st WHERE b = 0)
+        |SELECT st.segment,
+        |  CAST(min(obs.nt) AS BIGINT) AS n_treat,
+        |  CAST(min(obs.nc) AS BIGINT) AS n_control,
+        |  CAST(min(obs.obs_stat) AS BIGINT) AS obs_diff_microcents,
+        |  CAST(sum(CASE WHEN abs(st.stat) >= abs(obs.obs_stat)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+        |  CAST((1 + sum(CASE WHEN abs(st.stat) >= abs(obs.obs_stat)
+        |    THEN 1 ELSE 0 END)) * 1000000 // 33 AS BIGINT)
+        |    AS p_value_ppm
+        |FROM st JOIN obs ON obs.segment = st.segment
+        |WHERE st.b > 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -400,21 +400,42 @@ object QueriesEval {
     * rows and broadcasts. Clipping is Σ min(c_cand, c_ref) per gram —
     * exact multiset intersection.
     */
-  def q316RougeExemplar(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, lang, toks) with the one-pass normalized token arrays
+    * PINNED by localCheckpoint — the filter lambda would otherwise
+    * re-run per consumer (the documented CollapseProject hazard).
+    * Shared base of the n-gram metric family (q316 ROUGE, q318
+    * distinct-n, q321 BLEU).
+    */
+  private def tokenBase(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextAnalysis.normalizeText
-    val base = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         filter(split(normalizeText(col("text")), " "), t => t =!= "")
           .as("toks"))
       .localCheckpoint()
-    val uni = base.select(col("doc_id"), col("lang"), lit(1).as("n"),
-      explode(col("toks")).as("gram"))
-    val bi = base.select(col("doc_id"), col("lang"), lit(2).as("n"),
-      explode(expr("""CASE WHEN size(toks) < 2 THEN array()
-        ELSE transform(sequence(1, size(toks) - 1),
-          i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
-        END""")).as("gram"))
-    val counts = uni.unionByName(bi)
+  }
+
+  /** Exploded word n-gram rows (doc_id, lang, n, gram) off a
+    * [[tokenBase]] frame — space-joined windows, empty for docs
+    * shorter than n tokens.
+    */
+  private def gramRows(base: DataFrame, n: Int): DataFrame =
+    if (n == 1)
+      base.select(col("doc_id"), col("lang"), lit(1).as("n"),
+        explode(col("toks")).as("gram"))
+    else {
+      val parts = (0 until n)
+        .map(k => s"element_at(toks, i + $k)").mkString(", ' ', ")
+      base.select(col("doc_id"), col("lang"), lit(n).as("n"),
+        explode(expr(s"""CASE WHEN size(toks) < $n THEN array()
+          ELSE transform(sequence(1, size(toks) - ${n - 1}),
+            i -> concat($parts))
+          END""")).as("gram"))
+    }
+
+  def q316RougeExemplar(s: SparkSession, dir: String): DataFrame = {
+    val base = tokenBase(s, dir)
+    val counts = gramRows(base, 1).unionByName(gramRows(base, 2))
       .groupBy("doc_id", "lang", "n", "gram")
       .agg(count(lit(1)).as("c"))
       .localCheckpoint() // candidate side + exemplar side + totals
@@ -498,6 +519,237 @@ object QueriesEval {
       .orderBy("p_brand")
   }
 
+  /** DISTINCT-N DIVERSITY — the generation-diversity readout (Li et
+    * al. 2016): distinct n-grams over total n-grams, n = 1..3, per
+    * source, plus token totals — the degenerate-repetition flag a
+    * sampling/curation pipeline watches. One tokenize pass off
+    * [[tokenBase]]; gram rows aggregate map-side to per-(source, n)
+    * distinct/total counts (vocab-bounded distinct state); ratios are
+    * exact integral ppm.
+    */
+  def q318DistinctN(s: SparkSession, dir: String): DataFrame = {
+    val base = tokenBase(s, dir)
+    val grams = (1 to 3).map(gramRows(base, _)).reduce(_.unionByName(_))
+    grams.groupBy(col("lang").as("src_lang"), col("n"))
+      .agg(count(lit(1)).as("total"),
+        countDistinct(col("gram")).as("uniq"))
+      .groupBy("src_lang")
+      .agg(
+        sum(when(col("n") === 1, col("total"))).cast("bigint")
+          .as("n_tokens"),
+        sum(when(col("n") === 1, col("uniq"))).cast("bigint")
+          .as("n_types"),
+        sum(when(col("n") === 1, expr(
+          "CAST(CAST(uniq AS DECIMAL(38,0)) * 1000000 DIV total AS BIGINT)")))
+          .as("distinct1_ppm"),
+        sum(when(col("n") === 2, expr(
+          "CAST(CAST(uniq AS DECIMAL(38,0)) * 1000000 DIV nullif(total, 0) AS BIGINT)")))
+          .as("distinct2_ppm"),
+        sum(when(col("n") === 3, expr(
+          "CAST(CAST(uniq AS DECIMAL(38,0)) * 1000000 DIV nullif(total, 0) AS BIGINT)")))
+          .as("distinct3_ppm"))
+      .select(col("src_lang").as("lang"), col("n_tokens"), col("n_types"),
+        col("distinct1_ppm"), col("distinct2_ppm"), col("distinct3_ppm"))
+      .orderBy("lang")
+  }
+
+  /** ZIPF SLOPE — the corpus-health power-law fit (Zipf 1949; a
+    * healthy natural-language corpus runs slope ≈ −1, templated or
+    * synthetic text drifts off): per language, OLS of log2(frequency)
+    * on log2(rank) over the top-100 terms (count desc, term asc — an
+    * explicit total order). Ranks live on vocab-bounded per-language
+    * partitions; the fit uses the pinned-log convention (round(log2,9)
+    * → DECIMAL(18,9), exact Σx/Σy/Σxy/Σx²) with ONE double division
+    * at the end, rounded for display — the established q77/q88
+    * arithmetic, applied to a regression.
+    */
+  def q319ZipfSlope(s: SparkSession, dir: String): DataFrame = {
+    val base = tokenBase(s, dir)
+    val counts = gramRows(base, 1)
+      .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("c").desc, col("gram").asc)
+    counts.withColumn("r", row_number().over(w))
+      .filter(col("r") <= 100)
+      .withColumn("x", round(log2(col("r").cast("double")), 9)
+        .cast("decimal(18,9)"))
+      .withColumn("y", round(log2(col("c").cast("double")), 9)
+        .cast("decimal(18,9)"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .select(col("lang"), col("k").cast("bigint").as("n_terms"),
+        round((col("k") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"),
+          6).as("zipf_slope"))
+      .orderBy("lang")
+  }
+
+  /** HEAPS' LAW — vocabulary growth V(N) ≈ k·N^β per language
+    * (Heaps 1978; β ≈ 0.5 for natural text — a near-1 β flags
+    * vocabulary explosion, near-0 flags template collapse), WITHOUT a
+    * running window: 16 doc_id-threshold checkpoints (a broadcast
+    * grid off max(doc_id)) turn the cumulative curve into conditional
+    * sums — V(T) counts terms whose FIRST-occurrence doc ≤ T (one
+    * vocab-bounded min aggregate), N(T) sums doc token counts ≤ T.
+    * The β fit is the same pinned-log OLS as q319, over log2 V vs
+    * log2 N at the non-empty checkpoints. Scale shape: no window ever
+    * sees a fact-scale partition; everything is keyed aggregation +
+    * one 16-row broadcast.
+    */
+  def q320HeapsLaw(s: SparkSession, dir: String): DataFrame = {
+    val base = tokenBase(s, dir)
+    val toks = gramRows(base, 1)
+    val firstDoc = toks.groupBy("lang", "gram")
+      .agg(min("doc_id").as("fd"))
+    val docTok = toks.groupBy("lang", "doc_id")
+      .agg(count(lit(1)).as("nt"))
+      .localCheckpoint() // thresholds grid + the max-doc probe
+    val maxDoc = docTok.agg(max("doc_id").as("__mx"))
+    val grid = s.range(1, 17).crossJoin(broadcast(maxDoc))
+      .select(col("id").as("ck"),
+        expr("CAST(__mx * id DIV 16 AS BIGINT)").as("t"))
+    val vPts = firstDoc.join(broadcast(grid), col("fd") <= col("t"))
+      .groupBy("lang", "ck", "t").agg(count(lit(1)).as("v"))
+    val nPts = docTok.join(broadcast(grid), col("doc_id") <= col("t"))
+      .groupBy(col("lang").as("lang2"), col("ck").as("ck2"))
+      .agg(sum("nt").as("ntok"))
+    vPts.join(nPts, col("lang") === col("lang2") && col("ck") === col("ck2"))
+      .filter(col("v") > 0 && col("ntok") > 0)
+      .withColumn("x", round(log2(col("ntok").cast("double")), 9)
+        .cast("decimal(18,9)"))
+      .withColumn("y", round(log2(col("v").cast("double")), 9)
+        .cast("decimal(18,9)"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .select(col("lang"), col("k").cast("bigint").as("n_checkpoints"),
+        round((col("k") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"),
+          6).as("heaps_beta"))
+      .orderBy("lang")
+  }
+
+  /** CORPUS BLEU vs PER-LANGUAGE EXEMPLAR — the precision-oriented
+    * complement of q316 (Papineni et al. 2002), at CORPUS granularity:
+    * clipped n-gram matches (n = 1..4) of every non-exemplar document
+    * against its language's exemplar are summed corpus-wide per
+    * language before dividing — the standard corpus-BLEU pooling, not
+    * a mean of per-doc scores. p_n are exact integral ppm; the final
+    * geometric mean and the brevity penalty exp(1 − r/c) are computed
+    * as ONE display double each (round 6), the established
+    * final-column convention. Reference length r is |exemplar| per
+    * candidate doc (summed), candidate length c is Σ|doc|.
+    */
+  def q321BleuCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = tokenBase(s, dir)
+    val counts = (1 to 4).map(gramRows(base, _)).reduce(_.unionByName(_))
+      .groupBy("doc_id", "lang", "n", "gram")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // candidate + exemplar sides
+    val refIds = base.groupBy("lang").agg(min("doc_id").as("ref_id"))
+    val refCounts = counts.join(broadcast(refIds),
+        counts("doc_id") === refIds("ref_id") &&
+          counts("lang") === refIds("lang"))
+      .select(counts("lang"), col("n"), col("gram"), col("c").as("cref"))
+    val cand = counts.join(broadcast(refIds), Seq("lang"))
+      .filter(col("doc_id") =!= col("ref_id"))
+    val pooled = cand
+      .join(broadcast(refCounts), Seq("lang", "n", "gram"), "left")
+      .groupBy("lang", "n")
+      .agg(sum("c").as("ncand"),
+        sum(least(col("c"), coalesce(col("cref"), lit(0L)))).as("ov"))
+    val lens = base.join(broadcast(refIds), Seq("lang"))
+      .withColumn("len", size(col("toks")).cast("long"))
+    val refLen = lens.filter(col("doc_id") === col("ref_id"))
+      .select(col("lang"), col("len").as("rlen"))
+    val candLen = lens.filter(col("doc_id") =!= col("ref_id"))
+      .groupBy("lang")
+      .agg(sum("len").as("clen"), count(lit(1)).as("ndocs"))
+    def p(n: Int) = sum(when(col("n") === n, expr(
+      "CAST(CAST(ov AS DECIMAL(38,0)) * 1000000 DIV nullif(ncand, 0) AS BIGINT)")))
+    pooled.groupBy("lang")
+      .agg(p(1).as("p1_ppm"), p(2).as("p2_ppm"), p(3).as("p3_ppm"),
+        p(4).as("p4_ppm"))
+      .join(broadcast(refLen), Seq("lang"))
+      .join(candLen, Seq("lang"))
+      .withColumn("bp", round(
+        when(col("clen") >= col("rlen") * col("ndocs"), 1.0)
+          .otherwise(exp(lit(1.0) -
+            (col("rlen") * col("ndocs")).cast("double") /
+              col("clen").cast("double"))), 6))
+      .select(col("lang"),
+        col("p1_ppm"), col("p2_ppm"), col("p3_ppm"), col("p4_ppm"),
+        col("bp"),
+        round(when(col("p1_ppm") > 0 && col("p2_ppm") > 0 &&
+            col("p3_ppm") > 0 && col("p4_ppm") > 0,
+          col("bp") * pow(
+            col("p1_ppm").cast("double") / 1e6 *
+              (col("p2_ppm").cast("double") / 1e6) *
+              (col("p3_ppm").cast("double") / 1e6) *
+              (col("p4_ppm").cast("double") / 1e6), 0.25))
+          .otherwise(0.0), 6).as("bleu"))
+      .orderBy("lang")
+  }
+
+  /** SIGN-FLIP PERMUTATION TEST — the exact-under-H0 significance
+    * check for an A/B readout (Fisher 1935 randomization; the
+    * large-scale form studied for online experiments): the observed
+    * assignment is the b = 0 hash split, and 32 REPLICATE assignments
+    * (b = 1..32, independent md5 salts) rebuild the mean-difference
+    * statistic under the null; p = (1 + #{|stat_b| ≥ |stat_0|}) /
+    * (B + 1), the standard add-one permutation p-value, reported in
+    * ppm. ONE fact pass: each order explodes to its 33 (b,
+    * assignment) pairs — q271's bootstrap-replicate shape — and
+    * map-side combine collapses straight to the (segment × 33 × 2)
+    * grid; stats are floored microcent means, mirrored in the oracle.
+    */
+  def q322SignFlipTest(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir).select(col("c_custkey")
+        .as("o_custkey"), col("c_mktsegment")), Seq("o_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    val reps = fact
+      .withColumn("b", explode(expr("sequence(0, 32)")))
+      .withColumn("v", pmod(graft.operators.Scale.md5Prefix32(
+        concat(lit("perm:"), col("b").cast("string"), lit(":"),
+          col("o_orderkey").cast("string"))), lit(2L)))
+      .groupBy("segment", "b")
+      .agg(sum(when(col("v") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("v") === 1L, col("cents")).otherwise(0L)).as("s1"),
+        sum(when(col("v") === 0L, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("v") === 0L, col("cents")).otherwise(0L)).as("s0"))
+      .withColumn("stat", expr(
+        """CAST(CAST(s1 AS DECIMAL(38,0)) * 1000000 DIV nullif(n1, 0)
+           - CAST(s0 AS DECIMAL(38,0)) * 1000000 DIV nullif(n0, 0)
+           AS BIGINT)"""))
+      .localCheckpoint() // 33 rows per segment; read twice below
+    val obs = reps.filter(col("b") === 0)
+      .select(col("segment"), col("stat").as("obs_stat"),
+        col("n1").as("n_treat"), col("n0").as("n_control"))
+    reps.filter(col("b") > 0)
+      .join(obs, Seq("segment"))
+      .groupBy("segment")
+      .agg(first("obs_stat").as("obs_diff_microcents"),
+        first("n_treat").as("nt"), first("n_control").as("nc"),
+        sum(when(abs(col("stat")) >= abs(col("obs_stat")), 1L)
+          .otherwise(0L)).as("n_extreme"))
+      .select(col("segment"),
+        col("nt").cast("bigint").as("n_treat"),
+        col("nc").cast("bigint").as("n_control"),
+        col("obs_diff_microcents").cast("bigint")
+          .as("obs_diff_microcents"),
+        col("n_extreme").cast("bigint").as("n_extreme"),
+        expr("CAST((1 + n_extreme) * 1000000 DIV 33 AS BIGINT)")
+          .as("p_value_ppm"))
+      .orderBy("segment")
+  }
+
   val queries: Map[String, Q] = Map(
     "q309_fleiss_kappa" -> q309FleissKappa _,
     "q310_map" -> q310Map _,
@@ -507,5 +759,10 @@ object QueriesEval {
     "q314_krippendorff_alpha" -> q314KrippendorffAlpha _,
     "q315_js_divergence" -> q315JsDivergence _,
     "q316_rouge_exemplar" -> q316RougeExemplar _,
-    "q317_theil_sen" -> q317TheilSen _)
+    "q317_theil_sen" -> q317TheilSen _,
+    "q318_distinct_n" -> q318DistinctN _,
+    "q319_zipf_slope" -> q319ZipfSlope _,
+    "q320_heaps_law" -> q320HeapsLaw _,
+    "q321_bleu_corpus" -> q321BleuCorpus _,
+    "q322_sign_flip_test" -> q322SignFlipTest _)
 }
