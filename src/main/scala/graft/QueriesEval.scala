@@ -521,7 +521,7 @@ object QueriesEval {
 
   /** DISTINCT-N DIVERSITY — the generation-diversity readout (Li et
     * al. 2016): distinct n-grams over total n-grams, n = 1..3, per
-    * source, plus token totals — the degenerate-repetition flag a
+    * language, plus token totals — the degenerate-repetition flag a
     * sampling/curation pipeline watches. One tokenize pass off
     * [[tokenBase]]; gram rows aggregate map-side to per-(source, n)
     * distinct/total counts (vocab-bounded distinct state); ratios are

@@ -150,7 +150,10 @@ object ScaleProbe {
       "q309_fleiss_kappa", "q310_map", "q311_confusion_sweep",
       "q312_brier_decomposition", "q313_spearman_rho",
       "q314_krippendorff_alpha", "q315_js_divergence",
-      "q316_rouge_exemplar", "q317_theil_sen")
+      "q316_rouge_exemplar", "q317_theil_sen",
+      // round-16 eval wave 3: n-gram corpus health + permutation test
+      "q318_distinct_n", "q319_zipf_slope", "q320_heaps_law",
+      "q321_bleu_corpus", "q322_sign_flip_test")
       .filter(wanted)
     def time(fn: => DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()

@@ -99,7 +99,16 @@ class PlanShapeSpec extends AnyFunSuite {
     "q314_krippendorff_alpha" -> Shape(3, 1),
     "q315_js_divergence" -> Shape(6, 3),
     "q316_rouge_exemplar" -> Shape(7, 5),
-    "q317_theil_sen" -> Shape(4, 0)
+    "q317_theil_sen" -> Shape(4, 0),
+    // eval wave 3: q318-q321 ride the checkpointed tokenBase (the
+    // explode/aggregate chains shuffle on vocab-bounded keys); q320's
+    // 16-threshold grid and q321's exemplar side must stay broadcast;
+    // q322 is one fact pass to the 33-replicate grid
+    "q318_distinct_n" -> Shape(4, 0),
+    "q319_zipf_slope" -> Shape(3, 0),
+    "q320_heaps_law" -> Shape(8, 4),
+    "q321_bleu_corpus" -> Shape(8, 7),
+    "q322_sign_flip_test" -> Shape(3, 0)
   )
 
   test("top-10 heaviest queries keep their pinned plan shapes") {

@@ -238,6 +238,121 @@ class Round16EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("q318 distinct-n matches a direct Scala gram recount") {
+    val docs = Tables.documents(spark, sf)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val want = docs.groupBy(_._1).map { case (lang, xs) =>
+      def stats(n: Int): (Long, Long) = {
+        val grams = xs.flatMap(d => toks(d._2).sliding(n)
+          .filter(_.size == n).map(_.mkString(" ")))
+        (grams.size.toLong, grams.distinct.size.toLong)
+      }
+      val Seq((t1, u1), (t2, u2), (t3, u3)) = (1 to 3).map(stats)
+      lang -> ((t1, u1, BigInt(u1) * 1000000 / t1,
+        BigInt(u2) * 1000000 / t2, BigInt(u3) * 1000000 / t3))
+    }
+    val got = QueriesEval.q318DistinctN(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        BigInt(r.getLong(3)), BigInt(r.getLong(4)),
+        BigInt(r.getLong(5))))).toMap
+    assert(got.keySet == want.keySet)
+    for ((l, w) <- want) assert(got(l) == w, s"$l: ${got(l)} vs $w")
+  }
+
+  test("q319/q320 power-law fits land in their structural ranges") {
+    // log arithmetic is pinned cross-engine by the DuckDB hash gate;
+    // here: shape invariants a broken ladder/grid would violate
+    for (r <- QueriesEval.q319ZipfSlope(spark, sf).collect()) {
+      // zh tokenizes to a handful of whitespace "words" — its ladder
+      // is shorter than the 100-rank cap
+      assert(r.getLong(1) >= 2 && r.getLong(1) <= 100, "ladder size")
+      val slope = r.getDouble(2)
+      assert(slope < 0 && slope > -5, s"zipf slope $slope")
+    }
+    for (r <- QueriesEval.q320HeapsLaw(spark, sf).collect()) {
+      assert(r.getLong(1) >= 2 && r.getLong(1) <= 16)
+      // the synthetic corpus draws from a small fixed vocabulary, so
+      // V(N) saturates within the first checkpoint and beta sits at
+      // ~0 — real corpora run ~0.5
+      val beta = r.getDouble(2)
+      assert(beta >= 0 && beta <= 1.2, s"heaps beta $beta")
+    }
+  }
+
+  test("q321 integral p_n match a Scala recount; BLEU recomposes") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    def grams(t: Seq[String], n: Int): Map[String, Int] =
+      t.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+    val got = QueriesEval.q321BleuCorpus(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    for ((lang, xs) <- docs.groupBy(_._2)) {
+      val ref = xs.minBy(_._1)
+      val cands = xs.filter(_._1 != ref._1)
+      val r = got(lang)
+      for (n <- 1 to 4) {
+        val rf = grams(toks(ref._3), n)
+        val (ov, nc) = cands.map { c =>
+          val g = grams(toks(c._3), n)
+          (g.map { case (k, v) => math.min(v, rf.getOrElse(k, 0)) }.sum,
+            g.values.sum)
+        }.foldLeft((0L, 0L)) { case ((a, b), (x, y)) => (a + x, b + y) }
+        assert(r.getLong(n) == (BigInt(ov) * 1000000 / nc).toLong,
+          s"$lang p$n")
+      }
+      val (p1, p2, p3, p4) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+      val (bp, bleu) = (r.getDouble(5), r.getDouble(6))
+      if (p1 > 0 && p2 > 0 && p3 > 0 && p4 > 0) {
+        val re = bp * math.pow(p1 / 1e6 * (p2 / 1e6) * (p3 / 1e6)
+          * (p4 / 1e6), 0.25)
+        assert(math.abs(bleu - re) < 2e-6, s"$lang bleu $bleu vs $re")
+      } else assert(bleu == 0.0)
+    }
+  }
+
+  test("q322 matches an exact md5-refold of all 33 assignments") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h2(sVal: String): Long = {
+      val d = md.digest(sVal.getBytes("UTF-8"))
+      val hex = d.take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    val seg = Tables.customer(spark, sf)
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fact = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice").collect()
+      .map(r => (seg(r.getLong(0)), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact))
+    val want = fact.groupBy(_._1).map { case (sg, xs) =>
+      def stat(b: Int): Long = {
+        val (s1, n1, s0, n0) = xs.foldLeft((BigInt(0), 0L, BigInt(0), 0L)) {
+          case ((a1, c1, a0, c0), (_, ok, cents)) =>
+            if (h2(s"perm:$b:$ok") == 1) (a1 + cents, c1 + 1, a0, c0)
+            else (a1, c1, a0 + cents, c0 + 1)
+        }
+        (s1 * 1000000 / n1 - s0 * 1000000 / n0).toLong
+      }
+      val obs = stat(0)
+      val extreme = (1 to 32).count(b => math.abs(stat(b)) >= math.abs(obs))
+      sg -> ((obs, extreme.toLong,
+        (BigInt(1 + extreme) * 1000000 / 33).toLong))
+    }
+    val got = QueriesEval.q322SignFlipTest(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == want, s"$got vs $want")
+  }
+
   test("q317 Theil-Sen matches an exact pairwise-median re-fold") {
     val rows = Tables.lineitem(spark, sf)
       .join(Tables.orders(spark, sf),
