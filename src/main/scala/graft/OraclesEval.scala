@@ -520,5 +520,170 @@ object OraclesEval {
         |    AS p_value_ppm
         |FROM st JOIN obs ON obs.segment = st.segment
         |WHERE st.b > 0
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q323: the q312 bin grid, cumulative interval lattice, and the
+    // minimax fold restated over floored ppm interval means.
+    "q323_isotonic_calibration" ->
+      """WITH g AS MATERIALIZED (
+        |  SELECT l_linestatus AS ls,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * 100000 AS f,
+        |    count(*) AS nk,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ok
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS MATERIALIZED (SELECT ls, f, nk, ok,
+        |    sum(nk) OVER (PARTITION BY ls ORDER BY f
+        |      ROWS UNBOUNDED PRECEDING) AS cn,
+        |    sum(ok) OVER (PARTITION BY ls ORDER BY f
+        |      ROWS UNBOUNDED PRECEDING) AS co
+        |  FROM g),
+        |iv AS (SELECT a.ls, a.f AS fj, b.f AS fk,
+        |    (b.co - (a.co - a.ok))::HUGEINT * 1000000
+        |      // (b.cn - (a.cn - a.nk)) AS m
+        |  FROM cum a JOIN cum b ON b.ls = a.ls AND a.f <= b.f),
+        |fit AS (SELECT ls, fi, max(mn) AS iso_ppm FROM (
+        |    SELECT iv.ls, g.f AS fi, iv.fj, min(iv.m) AS mn
+        |    FROM g JOIN iv ON iv.ls = g.ls
+        |      AND iv.fj <= g.f AND iv.fk >= g.f
+        |    GROUP BY 1, 2, 3)
+        |  GROUP BY 1, 2)
+        |SELECT g.ls AS l_linestatus, g.f AS forecast_ppm,
+        |  CAST(nk AS BIGINT) AS n,
+        |  CAST(ok::HUGEINT * 1000000 // nk AS BIGINT) AS raw_ppm,
+        |  CAST(iso_ppm AS BIGINT) AS iso_ppm
+        |FROM g JOIN fit ON fit.ls = g.ls AND fit.fi = g.f
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q324: the q275/q276 md5 point grid + the q100 register scheme,
+    // with each merge round rebuilt bit-for-bit and absence = 0
+    // cleared in closed form.
+    "q324_hyperanf" -> {
+      def merge(prev: String, next: String): String =
+        s"""$next AS MATERIALIZED (
+           |  SELECT id, bucket, max(reg) AS reg FROM (
+           |    SELECT * FROM $prev
+           |    UNION ALL
+           |    SELECT e.dst AS id, r.bucket, r.reg
+           |    FROM edges e JOIN $prev r ON r.id = e.src)
+           |  GROUP BY 1, 2)""".stripMargin
+      def est(tbl: String, h: Int): String =
+        s"""SELECT id, $h AS h,
+           |    sum(1::BIGINT << CAST(27 - reg AS INTEGER))
+           |      + (64 - count(*)) * 134217728 AS sum_pow,
+           |    64 - count(*) AS n_zero
+           |  FROM $tbl GROUP BY 1""".stripMargin
+      s"""WITH ${OraclesStats.gridCtes},
+         |r0 AS MATERIALIZED (
+         |  SELECT id, hv % 64 AS bucket,
+         |    CASE WHEN hv // 64 = 0 THEN 27
+         |         ELSE 27 - length(bin(hv // 64)) END AS reg
+         |  FROM (SELECT id,
+         |      ('0x' || substr(md5('anf:' || id::VARCHAR), 1, 8))
+         |        ::BIGINT AS hv
+         |    FROM p)),
+         |${merge("r0", "r1")},
+         |${merge("r1", "r2")},
+         |${merge("r2", "r3")},
+         |s AS (${est("r0", 0)}
+         |  UNION ALL ${est("r1", 1)}
+         |  UNION ALL ${est("r2", 2)}
+         |  UNION ALL ${est("r3", 3)})
+         |SELECT CAST(id AS BIGINT) AS id, CAST(h AS BIGINT) AS h,
+         |  CAST(sum_pow AS BIGINT) AS sum_pow,
+         |  CAST(n_zero AS BIGINT) AS n_zero,
+         |  CAST(CASE WHEN ((0.709::DOUBLE * 4096.0::DOUBLE)
+         |      * 134217728.0::DOUBLE) / CAST(sum_pow AS DOUBLE)
+         |      <= 160.0 AND n_zero > 0
+         |    THEN floor(64.0::DOUBLE
+         |      * ln(64.0::DOUBLE / CAST(n_zero AS DOUBLE))
+         |      * 1000000.0::DOUBLE)
+         |    ELSE floor((((0.709::DOUBLE * 4096.0::DOUBLE)
+         |      * 134217728.0::DOUBLE) / CAST(sum_pow AS DOUBLE))
+         |      * 1000000.0::DOUBLE)
+         |  END AS BIGINT) AS est_micros
+         |FROM s ORDER BY id, h""".stripMargin
+    },
+
+    // q325: journeys to first purchase, the transition grid, five
+    // removal variants, and six unrolled power rounds in micro
+    // fixed-point.
+    "q325_markov_attribution" -> {
+      def round(prev: String, next: String): String =
+        s"""$next AS MATERIALIZED (
+           |  SELECT st.removed, st.st,
+           |    CASE WHEN st.st = 'CONV' THEN 1000000
+           |         WHEN st.st = 'NULL' THEN 0
+           |         ELSE coalesce(nx.pn, 0) END AS p
+           |  FROM states st LEFT JOIN (
+           |    SELECT v.removed, v.src AS st,
+           |      CAST(sum(v.c::HUGEINT * pv.p) // sum(v.c) AS BIGINT)
+           |        AS pn
+           |    FROM vt v JOIN $prev pv
+           |      ON pv.removed = v.removed AND pv.st = v.dst
+           |    GROUP BY 1, 2) nx
+           |    ON nx.removed = st.removed AND nx.st = st.st)""".stripMargin
+      s"""WITH ev AS MATERIALIZED (
+         |  SELECT user_id, ts, event_id, event_type
+         |  FROM (SELECT user_id, ts, event_id, event_type,
+         |      sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |          ROWS UNBOUNDED PRECEDING) AS cp
+         |    FROM events)
+         |  WHERE cp - (CASE WHEN event_type = 'purchase' THEN 1
+         |              ELSE 0 END) = 0),
+         |steps AS (
+         |  SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id), 'START') AS src,
+         |    event_type AS dst
+         |  FROM ev),
+         |lasts AS (
+         |  SELECT event_type AS src,
+         |    CASE WHEN event_type = 'purchase' THEN 'CONV'
+         |         ELSE 'NULL' END AS dst
+         |  FROM (SELECT event_type, row_number() OVER (
+         |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+         |      AS rn FROM ev)
+         |  WHERE rn = 1),
+         |trans AS MATERIALIZED (
+         |  SELECT src, dst, count(*) AS c FROM (
+         |    SELECT * FROM steps UNION ALL SELECT * FROM lasts)
+         |  GROUP BY 1, 2),
+         |vr AS (SELECT unnest(['__full__', 'click', 'view', 'signup',
+         |                      'error']) AS removed),
+         |vt AS MATERIALIZED (
+         |  SELECT removed, src,
+         |    CASE WHEN dst = removed THEN 'NULL' ELSE dst END AS dst,
+         |    sum(c) AS c
+         |  FROM vr CROSS JOIN trans WHERE src <> removed
+         |  GROUP BY 1, 2, 3),
+         |states AS MATERIALIZED (SELECT DISTINCT removed, st FROM (
+         |  SELECT removed, src AS st FROM vt
+         |  UNION ALL SELECT removed, dst FROM vt)),
+         |p0 AS (SELECT removed, st,
+         |    CASE WHEN st = 'CONV' THEN 1000000 ELSE 0 END AS p
+         |  FROM states),
+         |${round("p0", "p1")},
+         |${round("p1", "p2")},
+         |${round("p2", "p3")},
+         |${round("p3", "p4")},
+         |${round("p4", "p5")},
+         |${round("p5", "p6")},
+         |ps AS (SELECT removed, p FROM p6 WHERE st = 'START'),
+         |eff AS MATERIALIZED (
+         |  SELECT a.removed AS channel, f.p AS p_full,
+         |    a.p AS p_removed,
+         |    greatest(f.p - a.p, 0) AS effect
+         |  FROM ps a CROSS JOIN (SELECT p FROM ps
+         |    WHERE removed = '__full__') f
+         |  WHERE a.removed <> '__full__')
+         |SELECT channel,
+         |  CAST(p_full AS BIGINT) AS p_conv_full_ppm,
+         |  CAST(p_removed AS BIGINT) AS p_conv_removed_ppm,
+         |  CAST(effect AS BIGINT) AS removal_effect_ppm,
+         |  CAST(effect::HUGEINT * 1000000
+         |    // nullif((SELECT sum(effect) FROM eff), 0) AS BIGINT)
+         |    AS share_ppm
+         |FROM eff ORDER BY channel""".stripMargin
+    })
 }

@@ -18,7 +18,7 @@ object OraclesStats {
     * geometry, verbatim — any drift here would break BOTH q276 and
     * q277 against their Spark twins, which is the point).
     */
-  private val gridCtes =
+  private[graft] val gridCtes =
     """n AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE)))
       |        AS BIGINT) * 1000 AS side
       |      FROM customer),

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -750,6 +750,219 @@ object QueriesEval {
       .orderBy("segment")
   }
 
+  /** ISOTONIC CALIBRATION — the monotone recalibration step between
+    * raw model scores and usable probabilities (Zadrozny & Elkan
+    * 2002), computed by the EXACT minimax characterization instead of
+    * the sequential PAV sweep: on the value-bounded forecast grid
+    * (q312's ≤ 11 bins per status), the weighted isotonic fit at bin i
+    * is max_{j≤i} min_{k≥i} mean(o over bins j..k) — a closed form
+    * over the ≤ B³ interval lattice, embarrassingly relational where
+    * PAV is inherently sequential. Interval means are FLOORED ppm (the
+    * q312 convention, restated in the oracle); the max-of-min over
+    * floored means is monotone by construction whatever the floors do.
+    * Shape: ONE fact pass to the bin grid; the interval lattice and
+    * both fold stages are dimension-sized at any corpus.
+    */
+  def q323IsotonicCalibration(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.lineitem(s, dir)
+      .select(col("l_linestatus").as("ls"),
+        (expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          * 100000L).as("f"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("o"))
+      .groupBy("ls", "f")
+      .agg(count(lit(1)).as("nk"), sum(col("o")).as("ok"))
+      .localCheckpoint() // ≤ 22 rows; cumulatives + the bin spine
+    val w = Window.partitionBy("ls").orderBy("f")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g
+      .withColumn("cn", sum("nk").over(w))
+      .withColumn("co", sum("ok").over(w))
+      .localCheckpoint() // ≤ 22 rows; both interval endpoints
+    val lo = cum.select(col("ls"), col("f").as("fj"),
+      (col("cn") - col("nk")).as("cnj"), (col("co") - col("ok")).as("coj"))
+    val hi = cum.select(col("ls").as("ls2"), col("f").as("fk"),
+      col("cn").as("cnk"), col("co").as("cok"))
+    val intervals = lo.join(hi,
+        col("ls") === col("ls2") && col("fj") <= col("fk"))
+      .select(col("ls"), col("fj"), col("fk"),
+        expr("""CAST(CAST(cok - coj AS DECIMAL(38,0)) * 1000000
+                DIV (cnk - cnj) AS BIGINT)""").as("m"))
+    val fit = g.select(col("ls").as("ls3"), col("f").as("fi"))
+      .join(intervals,
+        col("ls3") === col("ls") && col("fj") <= col("fi") &&
+          col("fk") >= col("fi"))
+      .groupBy("ls3", "fi", "fj").agg(min("m").as("mn"))
+      .groupBy("ls3", "fi").agg(max("mn").as("iso_ppm"))
+    g.join(fit, col("ls") === col("ls3") && col("f") === col("fi"))
+      .select(col("ls").as("l_linestatus"), col("f").as("forecast_ppm"),
+        col("nk").cast("bigint").as("n"),
+        expr("CAST(CAST(ok AS DECIMAL(38,0)) * 1000000 DIV nk AS BIGINT)")
+          .as("raw_ppm"),
+        col("iso_ppm").cast("bigint").as("iso_ppm"))
+      .orderBy("l_linestatus", "forecast_ppm")
+  }
+
+  /** HYPERANF NEIGHBORHOOD FUNCTION — |B(v, h)| for h = 0..3 per node
+    * by ITERATED HLL register merge (Boldi, Rosa & Vigna 2011), the
+    * canonical way to read distances off a graph too big for exact
+    * BFS frontiers: each node starts as the q100/q192 portable-HLL of
+    * {itself} (m = 64, md5-prefix-32, integer-bit-length rho), and
+    * each round elementwise-max-merges every neighbor's registers —
+    * a keyed join + max aggregate, per-round state ≤ 64 rows per node,
+    * on the constant-density grid graph whose degree never grows with
+    * the corpus. Register absence IS value 0, so the harmonic sum
+    * clears to Σ2^(27−reg) + (64−present)·2^27 WITHOUT a 64-bucket
+    * spine join; the estimate (with the q100 linear-counting branch)
+    * is the same pinned literal-product division. Registers are exact
+    * integers — the oracle rebuilds every round bit-for-bit.
+    */
+  def q324Hyperanf(s: SparkSession, dir: String): DataFrame = {
+    val pts = QueriesCore.adaptiveGridPoints(Tables.customer(s, dir)
+      .select(col("c_custkey").as("id")))
+    val pr = QueriesCore.gridRadiusPairs(pts, r = 1000L)
+    val edges = pr.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pr.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint() // probed once per merge round
+    val r0 = pts.select(col("id"),
+        graft.operators.Scale.md5Prefix32(concat(lit("anf:"),
+          col("id").cast("string"))).as("__h"))
+      .select(col("id"),
+        pmod(col("__h"), lit(64)).cast("int").as("bucket"),
+        expr("""CASE WHEN __h DIV 64 = 0 THEN CAST(27 AS BIGINT)
+                ELSE 27 - length(bin(__h DIV 64)) END""").as("reg"))
+    var regs = r0.localCheckpoint()
+    val perH = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def estimate(r: DataFrame, h: Int): DataFrame = r
+      .groupBy("id")
+      .agg(sum(expr(
+          "shiftleft(CAST(1 AS BIGINT), CAST(27 - reg AS INT))"))
+          .as("__present_pow"),
+        count(lit(1)).as("__nb"))
+      .select(col("id"), lit(h.toLong).as("h"),
+        (col("__present_pow") +
+          (lit(64L) - col("__nb")) * lit(134217728L)).as("sum_pow"),
+        (lit(64L) - col("__nb")).as("n_zero"))
+    perH += estimate(regs, 0)
+    for (h <- 1 to 3) {
+      regs = regs
+        .unionByName(edges
+          .join(regs.withColumnRenamed("id", "src"), Seq("src"))
+          .select(col("dst").as("id"), col("bucket"), col("reg")))
+        .groupBy("id", "bucket").agg(max("reg").as("reg"))
+        .localCheckpoint()
+      perH += estimate(regs, h)
+    }
+    val raw = ((lit(0.709) * 4096.0) * 134217728.0) /
+      col("sum_pow").cast("double")
+    perH.reduce(_.unionByName(_))
+      .withColumn("est_micros",
+        when(raw <= 160.0 && col("n_zero") > 0,
+          floor(lit(64.0) * log(lit(64.0) / col("n_zero").cast("double"))
+            * 1000000.0))
+          .otherwise(floor(raw * 1000000.0)).cast("bigint"))
+      .select(col("id").cast("bigint").as("id"), col("h"),
+        col("sum_pow").cast("bigint").as("sum_pow"),
+        col("n_zero").cast("bigint").as("n_zero"), col("est_micros"))
+      .orderBy("id", "h")
+  }
+
+  /** MARKOV REMOVAL-EFFECT ATTRIBUTION — the principled multi-touch
+    * model (Anderl et al. 2016) that q169's last-touch heuristic
+    * approximates: user journeys (events to the FIRST purchase, else
+    * to exhaustion) become a transition-count matrix over the ≤ 7
+    * states {START, 4 channels, CONV, NULL}; conversion probability
+    * from START is 6 synchronous power-iteration rounds in micro
+    * fixed-point (p(CONV) ≡ 1e6, p(NULL) ≡ 0, pᵢ ← Σc(i,j)·pⱼ DIV
+    * Σc(i,j)); each channel's removal effect re-runs the SAME rounds
+    * on the matrix with that channel's rows/columns redirected to
+    * NULL — five variants ride ONE frame with a variant key, so the
+    * whole attribution is a single bounded fixed-point after ONE fact
+    * pass (per-user ordered transitions via bounded per-user windows,
+    * map-side combined to the count grid). Shares (removal effect
+    * over Σ effects) are integral ppm.
+    */
+  def q325MarkovAttribution(s: SparkSession, dir: String): DataFrame = {
+    val wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("__cumP", sum(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)).over(wu.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      // keep events up to and including the first purchase
+      .filter(col("__cumP") - when(col("event_type") === "purchase", 1L)
+        .otherwise(0L) === 0L)
+    val steps = ev
+      .withColumn("__prev", lag("event_type", 1).over(wu))
+      .withColumn("src", coalesce(col("__prev"), lit("START")))
+      .withColumn("dst", col("event_type"))
+    val lasts = ev
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("__rn") === 1)
+      .select(col("event_type").as("src"),
+        when(col("event_type") === "purchase", "CONV")
+          .otherwise("NULL").as("dst"))
+    val trans = steps.select("src", "dst").unionByName(lasts)
+      // a purchase row's outgoing edge is the absorbing CONV edge
+      // added by `lasts`; purchase→x steps cannot exist (filtered)
+      .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // ≤ 7×7 rows; five variants read it
+    val variants = s.range(0, 5).select(
+      when(col("id") === 0, "__full__")
+        .when(col("id") === 1, "click").when(col("id") === 2, "view")
+        .when(col("id") === 3, "signup").otherwise("error")
+        .as("removed"))
+    val vTrans = broadcast(variants).crossJoin(trans)
+      .filter(col("src") =!= col("removed"))
+      .select(col("removed"), col("src"),
+        when(col("dst") === col("removed"), "NULL").otherwise(col("dst"))
+          .as("dst"),
+        col("c"))
+      .groupBy("removed", "src", "dst").agg(sum("c").as("c"))
+      .localCheckpoint() // ≤ 5·49 rows; read every power round
+    val states = vTrans.select(col("removed"), col("src").as("st"))
+      .unionByName(vTrans.select(col("removed"), col("dst").as("st")))
+      .distinct().localCheckpoint()
+    def pOf(st: Column, p: Column): Column =
+      when(st === "CONV", 1000000L).when(st === "NULL", 0L).otherwise(p)
+    var p = states.select(col("removed"), col("st"),
+      when(col("st") === "CONV", 1000000L).otherwise(0L).as("p"))
+      .localCheckpoint()
+    for (_ <- 1 to 6) {
+      val nxt = vTrans
+        .join(p.select(col("removed"), col("st").as("dst"),
+          col("p").as("pd")), Seq("removed", "dst"))
+        .groupBy(col("removed"), col("src").as("st"))
+        .agg(expr("""CAST(sum(CAST(c AS DECIMAL(38,0)) * pd)
+                     DIV sum(c) AS BIGINT)""").as("pn"))
+      p = states.join(nxt, Seq("removed", "st"), "left")
+        .select(col("removed"), col("st"),
+          pOf(col("st"), coalesce(col("pn"), lit(0L))).as("p"))
+        .localCheckpoint()
+    }
+    val pStart = p.filter(col("st") === "START")
+      .select(col("removed"), col("p"))
+    val full = pStart.filter(col("removed") === "__full__")
+      .select(col("p").as("p_full"))
+    val effects = pStart.filter(col("removed") =!= "__full__")
+      .crossJoin(broadcast(full))
+      .select(col("removed").as("channel"), col("p_full"),
+        col("p").as("p_removed"),
+        greatest(col("p_full") - col("p"), lit(0L)).as("effect"))
+      .localCheckpoint() // 4 rows; totals + shares
+    val tot = effects.agg(sum("effect").as("__te"))
+    effects.crossJoin(broadcast(tot))
+      .select(col("channel"),
+        col("p_full").cast("bigint").as("p_conv_full_ppm"),
+        col("p_removed").cast("bigint").as("p_conv_removed_ppm"),
+        col("effect").cast("bigint").as("removal_effect_ppm"),
+        expr("""CAST(CAST(effect AS DECIMAL(38,0)) * 1000000
+                DIV nullif(__te, 0) AS BIGINT)""").as("share_ppm"))
+      .orderBy("channel")
+  }
+
   val queries: Map[String, Q] = Map(
     "q309_fleiss_kappa" -> q309FleissKappa _,
     "q310_map" -> q310Map _,
@@ -764,5 +977,8 @@ object QueriesEval {
     "q319_zipf_slope" -> q319ZipfSlope _,
     "q320_heaps_law" -> q320HeapsLaw _,
     "q321_bleu_corpus" -> q321BleuCorpus _,
-    "q322_sign_flip_test" -> q322SignFlipTest _)
+    "q322_sign_flip_test" -> q322SignFlipTest _,
+    "q323_isotonic_calibration" -> q323IsotonicCalibration _,
+    "q324_hyperanf" -> q324Hyperanf _,
+    "q325_markov_attribution" -> q325MarkovAttribution _)
 }
