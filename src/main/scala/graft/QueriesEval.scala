@@ -816,9 +816,14 @@ object QueriesEval {
     * is the same pinned literal-product division. Registers are exact
     * integers — the oracle rebuilds every round bit-for-bit.
     */
-  def q324Hyperanf(s: SparkSession, dir: String): DataFrame = {
-    val pts = QueriesCore.adaptiveGridPoints(Tables.customer(s, dir)
-      .select(col("c_custkey").as("id")))
+  def q324Hyperanf(s: SparkSession, dir: String): DataFrame =
+    hyperanfFrom(Tables.customer(s, dir).select(col("c_custkey").as("id")))
+
+  /** q324's engine parametrized on the id population (the q274/q276
+    * grid-probe convention) so the scale probe can feed an N× world
+    * at constant density. */
+  private[graft] def hyperanfFrom(base: DataFrame): DataFrame = {
+    val pts = QueriesCore.adaptiveGridPoints(base)
     val pr = QueriesCore.gridRadiusPairs(pts, r = 1000L)
     val edges = pr.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pr.select(col("id_b").as("src"), col("id_a").as("dst")))

@@ -153,7 +153,10 @@ object ScaleProbe {
       "q316_rouge_exemplar", "q317_theil_sen",
       // round-16 eval wave 3: n-gram corpus health + permutation test
       "q318_distinct_n", "q319_zipf_slope", "q320_heaps_law",
-      "q321_bleu_corpus", "q322_sign_flip_test")
+      "q321_bleu_corpus", "q322_sign_flip_test",
+      // round-16 eval wave 4: the bin lattice is value-bounded; the
+      // journey windows ride the replicated (offset-user) events
+      "q323_isotonic_calibration", "q325_markov_attribution")
       .filter(wanted)
     def time(fn: => DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()
@@ -309,6 +312,12 @@ object ScaleProbe {
       measure("q277_local_clustering*",
         (_, _) => QueriesStats.localClusteringFrom(gridIds(1)),
         (_, _) => QueriesStats.localClusteringFrom(gridIds(factor)))
+    // q324 rides the same constant-density N× world: 3 register-merge
+    // rounds are |edges|-linear joins with ≤ 64 rows of state per node
+    if (wanted("q324_hyperanf*"))
+      measure("q324_hyperanf*",
+        (_, _) => QueriesEval.hyperanfFrom(gridIds(1)),
+        (_, _) => QueriesEval.hyperanfFrom(gridIds(factor)))
     // q278-q280/q282 run as declared against the replicated fact
     // tables: the MW/changepoint/backtest rollups are value-bounded
     // (qty ladder / calendar days / weeks), so the probe measures the

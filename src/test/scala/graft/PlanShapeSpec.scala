@@ -108,7 +108,14 @@ class PlanShapeSpec extends AnyFunSuite {
     "q319_zipf_slope" -> Shape(3, 0),
     "q320_heaps_law" -> Shape(8, 4),
     "q321_bleu_corpus" -> Shape(8, 7),
-    "q322_sign_flip_test" -> Shape(3, 0)
+    "q322_sign_flip_test" -> Shape(3, 0),
+    // eval wave 4: q323's interval lattice lives on the checkpointed
+    // 22-row grid; q324's register loop is checkpointed per round
+    // (pin is the post-loop estimate tail); q325's power rounds ride
+    // checkpointed dimension frames (pin is the share tail)
+    "q323_isotonic_calibration" -> Shape(3, 3),
+    "q324_hyperanf" -> Shape(5, 0),
+    "q325_markov_attribution" -> Shape(2, 1)
   )
 
   test("top-10 heaviest queries keep their pinned plan shapes") {

@@ -353,6 +353,150 @@ class Round16EvalSpec extends AnyFunSuite {
     assert(got == want, s"$got vs $want")
   }
 
+  test("q323 isotonic fit matches a BigInt minimax re-fold, monotone") {
+    val byLs = Tables.lineitem(spark, sf)
+      .select("l_linestatus", "l_returnflag", "l_discount").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact * 100000L))
+    val want = byLs.groupBy(_._1).flatMap { case (ls, xs) =>
+      val grid = xs.groupBy(_._3).toSeq.sortBy(_._1).map { case (f, g) =>
+        (f, g.size.toLong, g.count(_._2 == "R").toLong)
+      }
+      grid.map { case (fi, _, _) =>
+        val fits = for {
+          j <- grid.indices if grid(j)._1 <= fi
+        } yield (for {
+          k <- grid.indices if grid(k)._1 >= fi && k >= j
+        } yield {
+          val so = BigInt(grid.slice(j, k + 1).map(_._3).sum)
+          val sn = BigInt(grid.slice(j, k + 1).map(_._2).sum)
+          (so * 1000000 / sn).toLong
+        }).min
+        (ls, fi) -> fits.max
+      }
+    }
+    val got = QueriesEval.q323IsotonicCalibration(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(got == want.toMap, "minimax refold")
+    // monotone non-decreasing within each status
+    for ((ls, rows) <- got.groupBy(_._1._1)) {
+      val fits = rows.toSeq.sortBy(_._1._2).map(_._2)
+      assert(fits == fits.sorted, s"$ls not monotone: $fits")
+    }
+  }
+
+  test("q324 registers and estimates match a Scala HLL re-iteration") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(sVal: String): Long = {
+      val d = md.digest(sVal.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val ids = Tables.customer(spark, sf)
+      .select("c_custkey").collect().map(_.getLong(0)).sorted
+    val side = math.ceil(math.sqrt(ids.length.toDouble)).toLong * 1000L
+    val pts = ids.map(id => id -> ((h32(s"x:$id") % side,
+      h32(s"y:$id") % side))).toMap
+    val edges = (for {
+      a <- ids; b <- ids if a < b
+      (xa, ya) = pts(a); (xb, yb) = pts(b)
+      if (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= 1000000L
+    } yield Seq((a, b), (b, a))).flatten.groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSeq }
+    def rho(h: Long): Long = {
+      val rest = h / 64
+      if (rest == 0) 27L else 27L - (63 - java.lang.Long.numberOfLeadingZeros(rest) + 1)
+    }
+    var regs: Map[Long, Map[Int, Long]] = ids.map { id =>
+      val h = h32(s"anf:$id")
+      id -> Map((h % 64).toInt -> rho(h))
+    }.toMap
+    val hist = scala.collection.mutable.ArrayBuffer(regs)
+    for (_ <- 1 to 3) {
+      regs = ids.map { id =>
+        val mine = regs(id)
+        val nbrs = edges.getOrElse(id, Seq.empty[Long]).map(regs)
+        id -> (mine +: nbrs).flatten
+          .groupBy(_._1).map { case (b, v) => b -> v.map(_._2).max }
+      }.toMap
+      hist += regs
+    }
+    val got = QueriesEval.q324Hyperanf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    for (h <- 0 to 3; id <- ids) {
+      val m = hist(h)(id)
+      val sumPow = m.values.map(rg => 1L << (27 - rg).toInt).sum +
+        (64L - m.size) * 134217728L
+      val nZero = 64L - m.size
+      val raw = ((0.709 * 4096.0) * 134217728.0) / sumPow.toDouble
+      val est =
+        if (raw <= 160.0 && nZero > 0)
+          math.floor(64.0 * math.log(64.0 / nZero.toDouble) * 1000000.0)
+        else math.floor(raw * 1000000.0)
+      assert(got((id, h.toLong)) == ((sumPow, nZero, est.toLong)),
+        s"id=$id h=$h: ${got((id, h.toLong))} vs ($sumPow,$nZero,$est)")
+    }
+  }
+
+  test("q325 matches an exact BigInt power-iteration re-fold") {
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map { r =>
+        val i = r.getTimestamp(1).toInstant // microsecond-exact key
+        (r.getLong(0), i.getEpochSecond * 1000000L + i.getNano / 1000,
+          r.getLong(2), r.getString(3))
+      }
+    val journeys = ev.groupBy(_._1).map { case (_, xs) =>
+      val path = xs.sortBy(x => (x._2, x._3)).map(_._4)
+      val i = path.indexOf("purchase")
+      if (i >= 0) path.take(i + 1) else path
+    }
+    val trans = scala.collection.mutable.Map
+      .empty[(String, String), Long].withDefaultValue(0L)
+    for (p <- journeys) {
+      val states = "START" +: p.toSeq
+      for (Seq(a, b) <- states.sliding(2)) trans((a, b)) += 1
+      trans((p.last, if (p.last == "purchase") "CONV" else "NULL")) += 1
+    }
+    def converge(removed: String): Long = {
+      val vt = trans.toSeq.collect {
+        case ((s0, d0), c) if s0 != removed =>
+          (s0, if (d0 == removed) "NULL" else d0, c)
+      }.groupBy(x => (x._1, x._2))
+        .map { case (k, v) => k -> v.map(_._3).sum }
+      val states = (vt.keys.map(_._1) ++ vt.keys.map(_._2)).toSet
+      var p = states.map(st =>
+        st -> (if (st == "CONV") BigInt(1000000) else BigInt(0))).toMap
+      for (_ <- 1 to 6) {
+        p = states.map { st =>
+          st -> (if (st == "CONV") BigInt(1000000)
+          else if (st == "NULL") BigInt(0)
+          else {
+            val out = vt.filter(_._1._1 == st)
+            if (out.isEmpty) BigInt(0)
+            else out.map { case ((_, d0), c) => BigInt(c) * p(d0) }.sum /
+              out.values.map(BigInt(_)).sum
+          })
+        }.toMap
+      }
+      p("START").toLong
+    }
+    val full = converge("__none__")
+    val want = Seq("click", "error", "signup", "view").map { ch =>
+      ch -> math.max(full - converge(ch), 0L)
+    }.toMap
+    val tot = want.values.sum
+    val got = QueriesEval.q325MarkovAttribution(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got.keySet == want.keySet)
+    for ((ch, eff) <- want) {
+      assert(got(ch) == ((full, eff,
+        (BigInt(eff) * 1000000 / tot).toLong)), s"$ch: ${got(ch)}")
+    }
+  }
+
   test("q317 Theil-Sen matches an exact pairwise-median re-fold") {
     val rows = Tables.lineitem(spark, sf)
       .join(Tables.orders(spark, sf),
