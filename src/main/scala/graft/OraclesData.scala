@@ -11,25 +11,25 @@ object OraclesData {
   private val urlDerivation =
     """concat(
       |  CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'HTTPS'
-      |       WHEN 1 THEN 'https' ELSE 'http' END, '://',
+      |       WHEN 1 THEN 'https' ELSE 'Https' END, '://',
       |  CASE CAST(o_custkey % 2 AS INT) WHEN 0 THEN 'WWW.Shop'
       |       ELSE 'www.SHOP' END,
       |  CAST(o_custkey % 40 AS VARCHAR),
       |  CASE CAST(o_orderkey % 2 AS INT) WHEN 0 THEN '.COM'
       |       ELSE '.com' END,
-      |  CASE CAST(o_orderkey % 4 AS INT) WHEN 0 THEN ':443'
-      |       WHEN 1 THEN ':80' WHEN 2 THEN ':8080' ELSE '' END,
-      |  '/item/', CAST(o_orderkey % 500 AS VARCHAR),
+      |  CASE WHEN o_orderkey % 16 = 0 THEN ':8080'
+      |       WHEN o_orderkey % 4 = 1 THEN ':443' ELSE '' END,
+      |  '/item/', CAST(o_custkey % 25 AS VARCHAR),
       |  CASE WHEN o_orderkey % 5 = 0 THEN '/' ELSE '' END,
       |  CASE CAST(o_orderkey % 3 AS INT)
       |    WHEN 0 THEN concat('?utm_source=news&id=',
       |      CAST(o_custkey % 100 AS VARCHAR), '&ref=',
-      |      CAST(o_orderkey % 7 AS VARCHAR))
-      |    WHEN 1 THEN concat('?ref=', CAST(o_orderkey % 7 AS VARCHAR),
+      |      CAST(o_custkey % 7 AS VARCHAR))
+      |    WHEN 1 THEN concat('?ref=', CAST(o_custkey % 7 AS VARCHAR),
       |      '&id=', CAST(o_custkey % 100 AS VARCHAR),
       |      '&utm_campaign=spring')
       |    ELSE concat('?id=', CAST(o_custkey % 100 AS VARCHAR),
-      |      '&ref=', CAST(o_orderkey % 7 AS VARCHAR)) END,
+      |      '&ref=', CAST(o_custkey % 7 AS VARCHAR)) END,
       |  CASE WHEN o_orderkey % 6 = 0 THEN '#section-2' ELSE '' END
       |)""".stripMargin
 

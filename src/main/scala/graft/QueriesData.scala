@@ -44,28 +44,34 @@ object QueriesData {
     */
   def q326UrlCanonicalize(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.UrlFns
+    // the LOGICAL url derives from the customer (so many orders share
+    // one canonical target); the MESS — scheme/host case, default
+    // port, param order, tracking params, fragment — derives from the
+    // orderkey, so raw variants of the same logical url abound and the
+    // canonicalizer has real work to do. ok%16==0 injects a genuinely
+    // distinct :8080 variant that must NOT collapse.
     val raw = Tables.orders(s, dir).select(expr(
       """concat(
         |  CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'HTTPS'
-        |       WHEN 1 THEN 'https' ELSE 'http' END, '://',
+        |       WHEN 1 THEN 'https' ELSE 'Https' END, '://',
         |  CASE CAST(o_custkey % 2 AS INT) WHEN 0 THEN 'WWW.Shop'
         |       ELSE 'www.SHOP' END,
         |  CAST(o_custkey % 40 AS STRING),
         |  CASE CAST(o_orderkey % 2 AS INT) WHEN 0 THEN '.COM'
         |       ELSE '.com' END,
-        |  CASE CAST(o_orderkey % 4 AS INT) WHEN 0 THEN ':443'
-        |       WHEN 1 THEN ':80' WHEN 2 THEN ':8080' ELSE '' END,
-        |  '/item/', CAST(o_orderkey % 500 AS STRING),
+        |  CASE WHEN o_orderkey % 16 = 0 THEN ':8080'
+        |       WHEN o_orderkey % 4 = 1 THEN ':443' ELSE '' END,
+        |  '/item/', CAST(o_custkey % 25 AS STRING),
         |  CASE WHEN o_orderkey % 5 = 0 THEN '/' ELSE '' END,
         |  CASE CAST(o_orderkey % 3 AS INT)
         |    WHEN 0 THEN concat('?utm_source=news&id=',
         |      CAST(o_custkey % 100 AS STRING), '&ref=',
-        |      CAST(o_orderkey % 7 AS STRING))
-        |    WHEN 1 THEN concat('?ref=', CAST(o_orderkey % 7 AS STRING),
+        |      CAST(o_custkey % 7 AS STRING))
+        |    WHEN 1 THEN concat('?ref=', CAST(o_custkey % 7 AS STRING),
         |      '&id=', CAST(o_custkey % 100 AS STRING),
         |      '&utm_campaign=spring')
         |    ELSE concat('?id=', CAST(o_custkey % 100 AS STRING),
-        |      '&ref=', CAST(o_orderkey % 7 AS STRING)) END,
+        |      '&ref=', CAST(o_custkey % 7 AS STRING)) END,
         |  CASE WHEN o_orderkey % 6 = 0 THEN '#section-2' ELSE '' END
         |)""".stripMargin).as("url"))
     raw

@@ -115,7 +115,19 @@ class PlanShapeSpec extends AnyFunSuite {
     // checkpointed dimension frames (pin is the share tail)
     "q323_isotonic_calibration" -> Shape(3, 3),
     "q324_hyperanf" -> Shape(5, 0),
-    "q325_markov_attribution" -> Shape(2, 1)
+    "q325_markov_attribution" -> Shape(2, 1),
+    // wave 5 (crawl-curation): q326 is a pure per-row map + one keyed
+    // agg; q327/q328/q329 collapse to value-bounded grids whose
+    // cumulative/pair joins live on checkpointed ≤1k-row frames;
+    // q330's window is doc-partitioned above one spread explode;
+    // q331/q332 are single-pass sufficient-statistic folds
+    "q326_url_canonicalize" -> Shape(3, 0),
+    "q327_wasserstein_drift" -> Shape(5, 5),
+    "q328_kruskal_wallis" -> Shape(10, 6),
+    "q329_cliffs_delta" -> Shape(4, 0),
+    "q330_cdc_chunks" -> Shape(5, 0),
+    "q331_ridge_regression" -> Shape(2, 2),
+    "q332_anova_f" -> Shape(2, 1)
   )
 
   test("top-10 heaviest queries keep their pinned plan shapes") {
