@@ -781,5 +781,14 @@ object OraclesStats {
         |  CAST(sum(rev) AS BIGINT) AS actual_cents,
         |  CAST((sum(abs(rev - rev52))::HUGEINT * 1000000)
         |    // sum(rev) AS BIGINT) AS wape_ppm
-        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q333: the oracle is the EXACT top-20 (the q112 contract) — the
+    // streaming Misra-Gries state only prunes candidates, so
+    // hash-equality proves the sketch's coverage held.
+    "q333_stream_heavy_hitters" ->
+      """SELECT event_type || ':' || (user_id % 13)::VARCHAR AS item,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1
+        |ORDER BY n DESC, item LIMIT 20""".stripMargin)
 }

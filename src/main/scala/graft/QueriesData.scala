@@ -74,12 +74,21 @@ object QueriesData {
         |      '&ref=', CAST(o_custkey % 7 AS STRING)) END,
         |  CASE WHEN o_orderkey % 6 = 0 THEN '#section-2' ELSE '' END
         |)""".stripMargin).as("url"))
-    raw
+    // spread ahead of the interpreted canonicalize chain (single-row-
+    // group scan would run it in ONE task), then dedup to the
+    // (domain, canon, url) grid in a single keyed shuffle BEFORE any
+    // distinct aggregation — the grid is O(distinct URLs), so the
+    // distinct counts and min() run on deduped data, never through a
+    // fact-scale Expand (measured 20.6 → 1.3 s at sf0.1). url
+    // determines canon, so distinct urls per domain = grid rows.
+    val grid = Tables.spread(raw)
       .withColumn("canon", UrlFns.canonicalizeUrl(col("url")))
       .withColumn("domain", UrlFns.registeredDomain(col("canon")))
-      .groupBy("domain")
-      .agg(count(lit(1)).as("n_urls"),
-        countDistinct(col("url")).as("n_raw_distinct"),
+      .groupBy("domain", "canon", "url")
+      .agg(count(lit(1)).as("c"))
+    grid.groupBy("domain")
+      .agg(sum("c").as("n_urls"),
+        count(lit(1)).as("n_raw_distinct"),
         countDistinct(col("canon")).as("n_canonical"),
         min(col("canon")).as("first_canon"))
       .select(col("domain"), col("n_urls").cast("bigint").as("n_urls"),

@@ -677,6 +677,102 @@ object QueriesStats {
     }
   }
 
+  /** STREAMING MISRA–GRIES HEAVY HITTERS — the q112 sketch-prune-then-
+    * exact-recount contract (MG candidates gate an exact count; the
+    * sketch's own counts are never reported), with the sketch
+    * maintained as ARBITRARY bounded streaming state: one MG(k=56)
+    * summary per user-shard in `flatMapGroupsWithState` — the fourth
+    * stateful-operator shape in the streaming family (aggregation
+    * max/sum/or in q273/q281/q286, session maps in q105, and now
+    * bounded arbitrary state). Standing state is ≤ shards·k counters
+    * at ANY stream length. Within a micro-batch the items fold in
+    * sorted order after a count pre-aggregate, so the trajectory is
+    * deterministic under the pinned 3-batch replay; the batched
+    * decrement (subtract the minimum count, drop zeros) preserves the
+    * MG bound — total decrement ≤ N_shard/(k+1), so any item heavier
+    * than that per shard provably survives, and the global top-20
+    * clears it with wide margin (asserted against the exact oracle by
+    * the gate: a sketch coverage regression IS an oracle failure).
+    * Items are event_type:(user_id mod 13) = 65 keys per shard > k,
+    * so pruning is real, not vacuous. Finalization: union the 8 shard
+    * summaries' KEYS (latest snapshot per shard), broadcast into one
+    * exact recount, exact top-20.
+    */
+  def q333StreamHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val kCounters = 56
+    val nShards = 8L
+    val ev = Tables.events(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("q333-stream").toString
+    val name = java.nio.file.Paths.get(root).getFileName.toString
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    // fixture writes inside the try; coalesce(1) pins the 3-batch
+    // replay — see q281/q286's identical note
+    try {
+      val src = s"$root/src"
+      Seq(0, 1, 2).foreach { r =>
+        ev.filter(pmod(col("event_id"), lit(3)) === r)
+          .coalesce(1).write.mode("append").parquet(src)
+      }
+      val q = narrow(s, 4) {
+        graft.streaming.EventsStream
+          .readEvents(s, src, maxFilesPerTrigger = Some(1))
+          .select(pmod(col("user_id"), lit(nShards)).cast("int")
+            .as("shard"),
+            concat(col("event_type"), lit(":"),
+              pmod(col("user_id"), lit(13L)).cast("string")).as("item"))
+          .as[(Int, String)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState[(Map[String, Long], Long),
+            (Int, Long, String)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            case (shard, rows, state) =>
+              val (mg0, seq0) = state.getOption
+                .getOrElse((Map.empty[String, Long], 0L))
+              // canonical fold: batch counts first, then sorted items
+              var mg = mg0
+              val batch = rows.map(_._2).toSeq.groupBy(identity)
+                .view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+              for ((item, c) <- batch) {
+                mg = mg.updated(item, mg.getOrElse(item, 0L) + c)
+                if (mg.size > kCounters) {
+                  val dec = mg.valuesIterator.min
+                  mg = mg.collect {
+                    case (i, v) if v > dec => i -> (v - dec) }
+                }
+              }
+              val seq = seq0 + 1
+              state.update((mg, seq))
+              // emit the candidate-key snapshot tagged with the batch
+              // seq; the finalizer keeps only each shard's LATEST
+              mg.keysIterator.map(item => (shard, seq, item))
+          }
+          .toDF("shard", "seq", "item")
+          .writeStream.outputMode("append").format("memory")
+          .queryName(name).start()
+      }
+      try q.processAllAvailable() finally q.stop()
+      val snaps = s.table(name).localCheckpoint()
+      val latest = snaps.groupBy("shard").agg(max("seq").as("seq"))
+      val cands = snaps.join(broadcast(latest), Seq("shard", "seq"))
+        .select("item").distinct()
+      val out = ev
+        .select(concat(col("event_type"), lit(":"),
+          pmod(col("user_id"), lit(13L)).cast("string")).as("item"))
+        .join(broadcast(cands), Seq("item"))
+        .groupBy("item").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("item"))
+        .limit(20)
+        .localCheckpoint(true) // materialize before the finally deletes
+      out
+    } finally {
+      s.catalog.dropTempView(name)
+      TmpTrees.delete(root)
+    }
+  }
+
   /** CALIBRATION BINS — the reliability-diagram eval every scored
     * pipeline ships: customer-level return rate (target encoding,
     * exact ppm) as the "model score" for each lineitem, bucketed into
@@ -1355,5 +1451,6 @@ object QueriesStats {
     "q284_kendall_tau" -> q284KendallTau _,
     "q285_event_trigrams" -> q285EventTrigrams _,
     "q286_stream_bloom" -> q286StreamBloom _,
+    "q333_stream_heavy_hitters" -> q333StreamHeavyHitters _,
     "q287_calibration_bins" -> q287CalibrationBins _)
 }

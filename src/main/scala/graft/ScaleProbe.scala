@@ -156,7 +156,15 @@ object ScaleProbe {
       "q321_bleu_corpus", "q322_sign_flip_test",
       // round-16 eval wave 4: the bin lattice is value-bounded; the
       // journey windows ride the replicated (offset-user) events
-      "q323_isotonic_calibration", "q325_markov_attribution")
+      "q323_isotonic_calibration", "q325_markov_attribution",
+      // round-16 wave 5 (crawl curation): q326's map + keyed agg and
+      // q331/q332's sufficient-statistic folds should probe near-flat;
+      // q327/q330 ride the salted documents replica (tokenize/explode
+      // volume is the honest linear part); q328/q329's grids are
+      // value-bounded, so only the first fact agg grows
+      "q326_url_canonicalize", "q327_wasserstein_drift",
+      "q328_kruskal_wallis", "q329_cliffs_delta", "q330_cdc_chunks",
+      "q331_ridge_regression", "q332_anova_f")
       .filter(wanted)
     def time(fn: => DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()

@@ -121,7 +121,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // cumulative/pair joins live on checkpointed ≤1k-row frames;
     // q330's window is doc-partitioned above one spread explode;
     // q331/q332 are single-pass sufficient-statistic folds
-    "q326_url_canonicalize" -> Shape(3, 0),
+    // q326's 5 = spread + grid dedup + the distinct-agg pair on the
+    // deduped grid + the final order — all post-grid exchanges carry
+    // O(distinct URLs), not facts
+    "q326_url_canonicalize" -> Shape(5, 0),
     "q327_wasserstein_drift" -> Shape(5, 5),
     "q328_kruskal_wallis" -> Shape(10, 6),
     "q329_cliffs_delta" -> Shape(4, 0),

@@ -285,6 +285,55 @@ class Round16DataSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
+  // q333: independent Misra-Gries stream simulation (the exact
+  // 3-slice replay, per-shard MG(56) with sorted batched folds),
+  // then the q112 coverage contract: result == exact top-20 and the
+  // simulated candidate union covers it, with pruning forced.
+  // ---------------------------------------------------------------
+
+  test("q333 equals the exact top-20 and an MG stream simulation covers it") {
+    // sf0.01: at sf0.001 a shard sees fewer distinct items than
+    // counters and the MG state never decrements — this test wants
+    // the pruning regime (all 65 items per shard, k = 56)
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+      .select("event_id", "user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    def item(u: Long, t: String) = s"$t:${u % 13}"
+    val k = 56
+    var state = Map.empty[Int, Map[String, Long]]
+    var seen = Map.empty[Int, Set[String]].withDefaultValue(Set.empty)
+    for (r <- 0 to 2) {
+      val slice = ev.filter(e => math.floorMod(e._1, 3L) == r)
+      for ((shard, rows) <- slice.groupBy(e => (e._2 % 8).toInt)) {
+        var mg = state.getOrElse(shard, Map.empty[String, Long])
+        val batch = rows.map(e => item(e._2, e._3)).groupBy(identity)
+          .view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+        seen += shard -> (seen(shard) ++ batch.map(_._1))
+        for ((it, c) <- batch) {
+          mg = mg.updated(it, mg.getOrElse(it, 0L) + c)
+          if (mg.size > k) {
+            val dec = mg.valuesIterator.min
+            mg = mg.collect { case (i, v) if v > dec => i -> (v - dec) }
+          }
+        }
+        state += shard -> mg
+      }
+    }
+    val cands = state.values.flatMap(_.keys).toSet
+    val exact = ev.groupBy(e => item(e._2, e._3)).view
+      .mapValues(_.length.toLong).toSeq
+    val top20 = exact.sortBy { case (i, n) => (-n, i) }.take(20)
+    assert(top20.forall { case (i, _) => cands.contains(i) },
+      "MG candidate union must cover the exact top-20")
+    assert(state.exists { case (sh, mg) => seen(sh).size > k },
+      "pruning must be forced (a shard saw more items than counters)")
+    val got = QueriesStats
+      .q333StreamHeavyHitters(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == top20, s"got $got\nwant $top20")
+  }
+
+  // ---------------------------------------------------------------
   // q331: BigInt normal equations + a residual-optimality property
   // ---------------------------------------------------------------
 
