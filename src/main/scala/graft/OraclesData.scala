@@ -271,6 +271,181 @@ object OraclesData {
         |    AS b2_micro_cents
         |FROM m ORDER BY 1""".stripMargin,
 
+    // q334: same per-nation permutation p-values (q322 machinery,
+    // observed labels at b=0), same triangle-join ranks, same
+    // cross-multiplied BH step-up.
+    "q334_bh_fdr" ->
+      """WITH f AS MATERIALIZED (
+        |  SELECT n_name AS nation, o_orderkey,
+        |    (o_orderpriority < '3') AS hi,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey),
+        |reps AS MATERIALIZED (
+        |  SELECT nation, b,
+        |    sum(CASE WHEN t THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN t THEN cents ELSE 0 END) AS s1,
+        |    sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS n0,
+        |    sum(CASE WHEN NOT t THEN cents ELSE 0 END) AS s0
+        |  FROM (SELECT nation, cents, b,
+        |      CASE WHEN b = 0 THEN hi ELSE
+        |        ('0x' || substr(md5('bh:' || b::VARCHAR || ':'
+        |          || o_orderkey::VARCHAR), 1, 8))::BIGINT % 5 < 2 END
+        |        AS t
+        |    FROM f CROSS JOIN generate_series(0, 32) g(b))
+        |  GROUP BY 1, 2),
+        |st AS (SELECT *,
+        |    s1::HUGEINT * 1000000 // nullif(n1, 0)
+        |      - s0::HUGEINT * 1000000 // nullif(n0, 0) AS stat
+        |  FROM reps),
+        |obs AS (SELECT nation, stat AS obs_stat, n1 AS nt, n0 AS nc
+        |        FROM st WHERE b = 0),
+        |pv AS MATERIALIZED (SELECT st.nation,
+        |    min(obs.nt) AS n_treat, min(obs.nc) AS n_control,
+        |    min(obs.obs_stat) AS obs_diff,
+        |    CAST((1 + sum(CASE WHEN abs(st.stat) >= abs(obs.obs_stat)
+        |      THEN 1 ELSE 0 END)) * 1000000 // 33 AS BIGINT) AS p_ppm
+        |  FROM st JOIN obs ON obs.nation = st.nation
+        |  WHERE st.b > 0 GROUP BY 1),
+        |rk AS MATERIALIZED (SELECT a.nation, count(*) AS p_rank
+        |  FROM pv a JOIN pv b ON b.p_ppm < a.p_ppm
+        |    OR (b.p_ppm = a.p_ppm AND b.nation <= a.nation)
+        |  GROUP BY 1),
+        |cut AS (SELECT coalesce(max(CASE
+        |    WHEN pv.p_ppm * 25 <= rk.p_rank * 100000
+        |    THEN rk.p_rank END), 0) AS cut_rank
+        |  FROM pv JOIN rk ON rk.nation = pv.nation)
+        |SELECT pv.nation, CAST(n_treat AS BIGINT) AS n_treat,
+        |  CAST(n_control AS BIGINT) AS n_control,
+        |  CAST(obs_diff AS BIGINT) AS obs_diff_microcents,
+        |  p_ppm, CAST(p_rank AS BIGINT) AS p_rank,
+        |  CAST(p_rank * 100000 // 25 AS BIGINT) AS bh_threshold_ppm,
+        |  p_rank <= cut_rank AS rejected
+        |FROM pv JOIN rk ON rk.nation = pv.nation CROSS JOIN cut
+        |ORDER BY 1""".stripMargin,
+
+    // q335: same one-pass three-layout zoning (UNION ALL instead of
+    // the explode), same bound-derived predicate grids, same overlap
+    // test.
+    "q335_zonemap_advisor" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT datediff('day', DATE '1992-01-01',
+        |      CAST(l_shipdate AS DATE))::BIGINT AS sd,
+        |    l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |b AS (SELECT min(sd) AS sd_mn, max(sd) AS sd_mx,
+        |    min(ok) AS ok_mn, max(ok) AS ok_mx,
+        |    min(pk) AS pk_mn, max(pk) AS pk_mx FROM li),
+        |z AS MATERIALIZED (
+        |  SELECT layout, z, min(sd) AS sd_lo, max(sd) AS sd_hi,
+        |    min(pk) AS pk_lo, max(pk) AS pk_hi
+        |  FROM (
+        |    SELECT 'by_shipday' AS layout,
+        |      least(63, (sd - sd_mn) * 64 // (sd_mx - sd_mn + 1)) AS z,
+        |      sd, pk FROM li, b
+        |    UNION ALL SELECT 'by_orderkey',
+        |      least(63, (ok - ok_mn) * 64 // (ok_mx - ok_mn + 1)),
+        |      sd, pk FROM li, b
+        |    UNION ALL SELECT 'by_partkey',
+        |      least(63, (pk - pk_mn) * 64 // (pk_mx - pk_mn + 1)),
+        |      sd, pk FROM li, b)
+        |  GROUP BY 1, 2),
+        |p AS (SELECT 'ship_windows' AS family,
+        |    sd_mn + (sd_mx - sd_mn + 1) * i // 32 AS lo,
+        |    sd_mn + (sd_mx - sd_mn + 1) * (i + 2) // 32 - 1 AS hi
+        |  FROM range(0, 16) t(i), b
+        |  UNION ALL SELECT 'partkey_ranges',
+        |    pk_mn + (pk_mx - pk_mn + 1) * i // 32,
+        |    pk_mn + (pk_mx - pk_mn + 1) * (i + 2) // 32 - 1
+        |  FROM range(0, 16) t(i), b),
+        |nz AS (SELECT layout, count(*) AS n_zones FROM z GROUP BY 1),
+        |sc AS (SELECT layout, family,
+        |    sum(CASE WHEN (family = 'ship_windows'
+        |        AND sd_lo <= hi AND sd_hi >= lo)
+        |      OR (family = 'partkey_ranges'
+        |        AND pk_lo <= hi AND pk_hi >= lo)
+        |      THEN 1 ELSE 0 END) AS zones_scanned
+        |  FROM z CROSS JOIN p GROUP BY 1, 2)
+        |SELECT sc.layout, sc.family,
+        |  CAST(n_zones AS BIGINT) AS n_zones,
+        |  CAST(zones_scanned AS BIGINT) AS zones_scanned,
+        |  CAST(zones_scanned::HUGEINT * 1000000 // (n_zones * 16)
+        |    AS BIGINT) AS scan_ppm
+        |FROM sc JOIN nz ON nz.layout = sc.layout
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q336: per-prefix-dim exact top-10 under the q40 rounded-cosine
+    // total order, overlap vs the full-dim top-10.
+    "q336_matryoshka_eval" -> {
+      def topCte(name: String, d: Int) =
+        s"""$name AS MATERIALIZED (
+           |  SELECT query_id, neighbor_id,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY round(list_cosine_similarity(
+           |        qv[1:$d], cv[1:$d]), 6) DESC, neighbor_id)
+           |      AS INTEGER) AS rank
+           |  FROM q, c WHERE query_id <> neighbor_id
+           |  QUALIFY rank <= 10)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+         |      WHERE vec_id % 50 = 0),
+         |c AS (SELECT vec_id AS neighbor_id, v AS cv FROM e),
+         |${topCte("t8", 8)},
+         |${topCte("t16", 16)},
+         |${topCte("t32", 32)},
+         |${topCte("tf", 64)},
+         |tr AS (SELECT 8 AS d, * FROM t8
+         |  UNION ALL SELECT 16, * FROM t16
+         |  UNION ALL SELECT 32, * FROM t32),
+         |ov AS (SELECT tr.d,
+         |    count(DISTINCT tr.query_id) AS n_queries,
+         |    sum(CASE WHEN tf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS overlap
+         |  FROM tr LEFT JOIN tf ON tf.query_id = tr.query_id
+         |    AND tf.neighbor_id = tr.neighbor_id
+         |  GROUP BY 1),
+         |t1 AS (SELECT tr.d, sum(CASE WHEN tr.neighbor_id =
+         |      tf.neighbor_id THEN 1 ELSE 0 END) AS top1_matches
+         |  FROM tr JOIN tf ON tf.query_id = tr.query_id
+         |    AND tf.rank = 1
+         |  WHERE tr.rank = 1 GROUP BY 1)
+         |SELECT CAST(ov.d AS BIGINT) AS dim,
+         |  CAST(n_queries AS BIGINT) AS n_queries,
+         |  CAST(overlap AS BIGINT) AS overlap_at_10,
+         |  CAST(overlap::HUGEINT * 1000000 // (n_queries * 10)
+         |    AS BIGINT) AS recall_ppm,
+         |  CAST(top1_matches AS BIGINT) AS top1_matches
+         |FROM ov JOIN t1 ON t1.d = ov.d ORDER BY 1""".stripMargin
+    },
+
+    // q337: the q282 weekly frame and date-arithmetic lag join, scored
+    // with the integral pinball loss on a 3-row tau grid.
+    "q337_pinball_eval" ->
+      """WITH weekly AS MATERIALIZED (
+        |  SELECT n_name AS nation,
+        |    CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS rev
+        |  FROM orders
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT a.nation, a.rev, b.rev AS rev52
+        |  FROM weekly a JOIN weekly b
+        |    ON b.nation = a.nation AND b.wk + 364 = a.wk),
+        |t AS (SELECT unnest([10, 50, 90]) AS tau_pct)
+        |SELECT nation, CAST(tau_pct AS BIGINT) AS tau_pct,
+        |  CAST(count(*) AS BIGINT) AS n_weeks,
+        |  CAST(sum(greatest(tau_pct * (rev - rev52),
+        |    (tau_pct - 100) * (rev - rev52))) AS BIGINT)
+        |    AS pinball_x100_cents,
+        |  CAST(sum(greatest(tau_pct * (rev - rev52),
+        |    (tau_pct - 100) * (rev - rev52)))::HUGEINT
+        |    // (count(*) * 100) AS BIGINT) AS mean_pinball_cents
+        |FROM sc CROSS JOIN t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // q332: same floored-dollar sufficient statistics, same
     // dollar²-floored S²/n terms, same integral F and η².
     "q332_anova_f" ->

@@ -444,6 +444,246 @@ object QueriesData {
       .orderBy("prio")
   }
 
+  /** BENJAMINI–HOCHBERG FDR — the multiple-testing control an
+    * experiment platform applies before reading m parallel readouts
+    * (Benjamini & Hochberg 1995): per customer NATION (m = 25
+    * hypotheses), a permutation p-value for "do URGENT/HIGH orders
+    * spend differently?" (the q322 machinery: observed label split at
+    * b = 0, 32 md5-derived label shuffles at the same 2-of-5
+    * proportion, add-one p in ppm), then the BH step-up at q = 10 % —
+    * ranks and the cutoff rank computed by TRIANGLE JOINS on the
+    * 25-row p-value frame (no window at all), the acceptance test
+    * cross-multiplied exactly: p_(i)·m ≤ i·100000. One fact pass
+    * fans out the 33 replicate assignments; everything after is
+    * hypothesis-dimension-sized.
+    */
+  def q334BhFdr(s: SparkSession, dir: String): DataFrame = {
+    val m = 25
+    val fact = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir).select(col("c_custkey")
+        .as("o_custkey"), col("c_nationkey")), Seq("o_custkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
+        Seq("c_nationkey"))
+      .select(col("n_name").as("nation"), col("o_orderkey"),
+        (col("o_orderpriority") < "3").as("hi"), // '1-URGENT','2-HIGH'
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    // spread before the 33x md5 fan-out: the single-row-group scan
+    // would run the whole explode+digest in ONE task (5.1 -> 1.5 s)
+    val reps = Tables.spread(fact)
+      .withColumn("b", explode(expr("sequence(0, 32)")))
+      .withColumn("t", when(col("b") === 0, col("hi"))
+        .otherwise(pmod(graft.operators.Scale.md5Prefix32(
+          concat(lit("bh:"), col("b").cast("string"), lit(":"),
+            col("o_orderkey").cast("string"))), lit(5L)) < 2))
+      .groupBy("nation", "b")
+      .agg(sum(when(col("t"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("t"), col("cents")).otherwise(0L)).as("s1"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("n0"),
+        sum(when(!col("t"), col("cents")).otherwise(0L)).as("s0"))
+      .withColumn("stat", expr(
+        """CAST(CAST(s1 AS DECIMAL(38,0)) * 1000000 DIV nullif(n1, 0)
+           - CAST(s0 AS DECIMAL(38,0)) * 1000000 DIV nullif(n0, 0)
+           AS BIGINT)"""))
+      .localCheckpoint() // 33 rows per nation; obs + permutation reads
+    val obs = reps.filter(col("b") === 0)
+      .select(col("nation"), col("stat").as("obs_stat"),
+        col("n1").as("nt"), col("n0").as("nc"))
+    val pvals = reps.filter(col("b") > 0)
+      .join(obs, Seq("nation"))
+      .groupBy("nation")
+      .agg(first("obs_stat").as("obs_diff_microcents"),
+        first("nt").as("n_treat"), first("nc").as("n_control"),
+        expr("""CAST((1 + sum(CASE WHEN abs(stat) >= abs(obs_stat)
+                THEN 1 ELSE 0 END)) * 1000000 DIV 33 AS BIGINT)""")
+          .as("p_ppm"))
+      .localCheckpoint() // 25 rows; three bounded self-joins below
+    // rank by (p, nation) via triangle count — no window
+    val ranked = pvals.select(col("nation").as("n1x"), col("p_ppm")
+        .as("p1"))
+      .join(pvals.select(col("nation").as("n2x"), col("p_ppm").as("p2")),
+        col("p2") < col("p1") ||
+          (col("p2") === col("p1") && col("n2x") <= col("n1x")))
+      .groupBy(col("n1x").as("nation")).agg(count(lit(1)).as("p_rank"))
+    // BH cutoff: the LARGEST rank i with p_(i)·m ≤ i·100000
+    val cutoff = ranked.join(pvals, Seq("nation"))
+      .agg(coalesce(max(when(
+        col("p_ppm") * m <= col("p_rank") * 100000L, col("p_rank"))),
+        lit(0L)).as("cut_rank"))
+    pvals.join(ranked, Seq("nation"))
+      .crossJoin(broadcast(cutoff))
+      .select(col("nation"),
+        col("n_treat").cast("bigint").as("n_treat"),
+        col("n_control").cast("bigint").as("n_control"),
+        col("obs_diff_microcents").cast("bigint")
+          .as("obs_diff_microcents"),
+        col("p_ppm"), col("p_rank").cast("bigint").as("p_rank"),
+        expr(s"CAST(p_rank * 100000 DIV $m AS BIGINT)")
+          .as("bh_threshold_ppm"),
+        (col("p_rank") <= col("cut_rank")).as("rejected"))
+      .orderBy("nation")
+  }
+
+  /** ZONE-MAP PRUNING ADVISOR — the physical-design question behind
+    * every 100 TB table: which sort/cluster layout lets the most
+    * zone-map (min/max) pruning happen for the actual workload? Three
+    * candidate layouts (range-clustered by ship day, orderkey,
+    * partkey; 64 equal-width zones each) are simulated in ONE fact
+    * pass (a 3-way explode → (layout, zone) min/max of both workload
+    * columns), then a 16-predicate ship-window family and a
+    * 16-predicate partkey-range family (both derived from the
+    * broadcast bounds, no literals to go stale) test zone overlap:
+    * scanned = Σ zones whose [min,max] intersects the predicate.
+    * Output: scan_fraction_ppm per (layout × family) — the advisor's
+    * ranking. Everything after the first agg is 192 zone rows × 32
+    * predicates.
+    */
+  def q335ZonemapAdvisor(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(datediff(to_date(col("l_shipdate")),
+        lit("1992-01-01").cast("date")).cast("bigint").as("sd"),
+        col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val bounds = li.agg(
+      min("sd").as("sd_mn"), max("sd").as("sd_mx"),
+      min("ok").as("ok_mn"), max("ok").as("ok_mx"),
+      min("pk").as("pk_mn"), max("pk").as("pk_mx"))
+    val zones = li.crossJoin(broadcast(bounds))
+      .select(col("sd"), col("pk"), explode(array(
+        struct(lit("by_shipday").as("layout"),
+          expr("least(63, CAST((sd - sd_mn) * 64 DIV (sd_mx - sd_mn + 1) AS BIGINT))")
+            .as("z")),
+        struct(lit("by_orderkey").as("layout"),
+          expr("least(63, CAST((ok - ok_mn) * 64 DIV (ok_mx - ok_mn + 1) AS BIGINT))")
+            .as("z")),
+        struct(lit("by_partkey").as("layout"),
+          expr("least(63, CAST((pk - pk_mn) * 64 DIV (pk_mx - pk_mn + 1) AS BIGINT))")
+            .as("z")))).as("lz"))
+      .select(col("lz.layout").as("layout"), col("lz.z").as("z"),
+        col("sd"), col("pk"))
+      .groupBy("layout", "z")
+      .agg(min("sd").as("sd_lo"), max("sd").as("sd_hi"),
+        min("pk").as("pk_lo"), max("pk").as("pk_hi"))
+      .localCheckpoint() // ≤192 rows; joined against both families
+    val preds = s.range(0, 16).crossJoin(broadcast(bounds))
+      .select(explode(array(
+        struct(lit("ship_windows").as("family"),
+          expr("sd_mn + (sd_mx - sd_mn + 1) * id DIV 32").as("lo"),
+          expr("sd_mn + (sd_mx - sd_mn + 1) * (id + 2) DIV 32 - 1")
+            .as("hi")),
+        struct(lit("partkey_ranges").as("family"),
+          expr("pk_mn + (pk_mx - pk_mn + 1) * id DIV 32").as("lo"),
+          expr("pk_mn + (pk_mx - pk_mn + 1) * (id + 2) DIV 32 - 1")
+            .as("hi")))).as("p"))
+      .select(col("p.family").as("family"), col("p.lo").as("lo"),
+        col("p.hi").as("hi"))
+    val overlap = zones.crossJoin(broadcast(preds))
+      .withColumn("scan", when(col("family") === "ship_windows",
+        col("sd_lo") <= col("hi") && col("sd_hi") >= col("lo"))
+        .otherwise(col("pk_lo") <= col("hi") && col("pk_hi") >= col("lo")))
+    val nz = zones.groupBy("layout").agg(count(lit(1)).as("n_zones"))
+    overlap.groupBy("layout", "family")
+      .agg(sum(when(col("scan"), 1L).otherwise(0L)).as("zones_scanned"))
+      .join(broadcast(nz), Seq("layout"))
+      .select(col("layout"), col("family"),
+        col("n_zones").cast("bigint").as("n_zones"),
+        col("zones_scanned").cast("bigint").as("zones_scanned"),
+        expr("""CAST(CAST(zones_scanned AS DECIMAL(38,0)) * 1000000
+                DIV (n_zones * 16) AS BIGINT)""").as("scan_ppm"))
+      .orderBy("layout", "family")
+  }
+
+  /** MATRYOSHKA TRUNCATION EVAL — the modern embedding-cost question
+    * (Kusupati et al. 2022): how much ANN recall survives truncating
+    * vectors to a prefix (the cheap first-stage at 100 TB)? For d ∈
+    * {8, 16, 32}, exact cosine top-10 on the d-prefix (the gated
+    * [[graft.operators.Similarity.topK]] machinery on sliced columns)
+    * is compared to the full-64-dim top-10: per-dim recall@10 and
+    * top-1 agreement, exact integers. Ranks are deterministic by the
+    * established (rounded cos desc, id) total order.
+    */
+  def q336MatryoshkaEval(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    def at(d: Int): DataFrame = {
+      val v = Tables.embeddings(s, dir).select(col("vec_id"),
+        slice(col("embedding").cast("array<double>"), 1, d)
+          .as("embedding"))
+      Similarity.topK(v, v.filter(pmod(col("vec_id"), lit(50)) === 0),
+        "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }
+    val full = at(64).localCheckpoint() // compared against every d
+    val truncated = Seq(8, 16, 32).map { d =>
+      at(d).withColumn("d", lit(d))
+    }.reduce(_.unionByName(_))
+    val hits = truncated
+      .join(full.select(col("query_id"),
+        col("neighbor_id"), lit(1L).as("in_full")),
+        Seq("query_id", "neighbor_id"), "left")
+    val top1 = truncated.filter(col("rank") === 1)
+      .join(full.filter(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id").as("full_top1")),
+        Seq("query_id"))
+      .groupBy("d")
+      .agg(sum(when(col("neighbor_id") === col("full_top1"), 1L)
+        .otherwise(0L)).as("top1_matches"))
+    hits.groupBy("d")
+      .agg(countDistinct("query_id").as("n_queries"),
+        sum(coalesce(col("in_full"), lit(0L))).as("overlap"))
+      .join(top1, Seq("d"))
+      .select(col("d").cast("bigint").as("dim"),
+        col("n_queries").cast("bigint").as("n_queries"),
+        col("overlap").cast("bigint").as("overlap_at_10"),
+        expr("""CAST(CAST(overlap AS DECIMAL(38,0)) * 1000000
+                DIV (n_queries * 10) AS BIGINT)""").as("recall_ppm"),
+        col("top1_matches").cast("bigint").as("top1_matches"))
+      .orderBy("dim")
+  }
+
+  /** PINBALL (QUANTILE) LOSS BACKTEST — the eval a probabilistic
+    * forecaster ships beside q282's WAPE: the seasonal-naive forecast
+    * scored at τ = 10/50/90 % with the pinball loss, all integer
+    * cross-multiplied (100·loss = max(τ·d, (τ−100)·d), d in cents) —
+    * under-forecasting hurts τ=90 most, over-forecasting hurts τ=10,
+    * and the three totals expose the forecast's bias direction. Same
+    * one-checkpoint weekly frame + date-arithmetic lag join as q282;
+    * the τ grid is a 3-row broadcast.
+    */
+  def q337PinballEval(s: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir).select(col("c_custkey")
+        .as("o_custkey"), col("c_nationkey")), Seq("o_custkey"))
+      .join(broadcast(Tables.nation(s, dir).select(col("n_nationkey")
+        .as("c_nationkey"), col("n_name"))), Seq("c_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        to_date(date_trunc("week", col("o_orderdate"))).as("wk"))
+      .agg(sum(expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("rev"))
+      .localCheckpoint() // actuals AND the lag-52 self-join probe
+    val taus = s.range(0, 3).select(
+      (col("id") * 40 + 10).cast("bigint").as("tau_pct"))
+    weekly
+      .join(weekly.select(col("nation"),
+          date_add(col("wk"), 364).as("wk"), col("rev").as("rev52")),
+        Seq("nation", "wk"))
+      .crossJoin(broadcast(taus))
+      .groupBy("nation", "tau_pct")
+      .agg(count(lit(1)).as("n_weeks"),
+        sum(greatest(
+          col("tau_pct") * (col("rev") - col("rev52")),
+          (col("tau_pct") - 100) * (col("rev") - col("rev52"))))
+          .as("pinball_x100_cents"))
+      .select(col("nation"), col("tau_pct"),
+        col("n_weeks").cast("bigint").as("n_weeks"),
+        col("pinball_x100_cents").cast("bigint")
+          .as("pinball_x100_cents"),
+        expr("""CAST(CAST(pinball_x100_cents AS DECIMAL(38,0))
+                DIV (n_weeks * 100) AS BIGINT)""")
+          .as("mean_pinball_cents"))
+      .orderBy("nation", "tau_pct")
+  }
+
   val queries: Map[String, Q] = Map(
     "q326_url_canonicalize" -> q326UrlCanonicalize _,
     "q327_wasserstein_drift" -> q327WassersteinDrift _,
@@ -451,5 +691,9 @@ object QueriesData {
     "q329_cliffs_delta" -> q329CliffsDelta _,
     "q330_cdc_chunks" -> q330CdcChunks _,
     "q331_ridge_regression" -> q331RidgeRegression _,
-    "q332_anova_f" -> q332AnovaF _)
+    "q332_anova_f" -> q332AnovaF _,
+    "q334_bh_fdr" -> q334BhFdr _,
+    "q335_zonemap_advisor" -> q335ZonemapAdvisor _,
+    "q336_matryoshka_eval" -> q336MatryoshkaEval _,
+    "q337_pinball_eval" -> q337PinballEval _)
 }

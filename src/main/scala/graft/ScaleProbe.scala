@@ -164,7 +164,11 @@ object ScaleProbe {
       // value-bounded, so only the first fact agg grows
       "q326_url_canonicalize", "q327_wasserstein_drift",
       "q328_kruskal_wallis", "q329_cliffs_delta", "q330_cdc_chunks",
-      "q331_ridge_regression", "q332_anova_f")
+      "q331_ridge_regression", "q332_anova_f",
+      // wave 6: q334's replicate fan-out is the honest 33× linear
+      // part; q335 folds three layouts in one fact pass; q337 rides
+      // the replicated orders (the weekly grid itself is bounded)
+      "q334_bh_fdr", "q335_zonemap_advisor", "q337_pinball_eval")
       .filter(wanted)
     def time(fn: => DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()

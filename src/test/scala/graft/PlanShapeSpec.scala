@@ -130,7 +130,16 @@ class PlanShapeSpec extends AnyFunSuite {
     "q329_cliffs_delta" -> Shape(4, 0),
     "q330_cdc_chunks" -> Shape(5, 0),
     "q331_ridge_regression" -> Shape(2, 2),
-    "q332_anova_f" -> Shape(2, 1)
+    "q332_anova_f" -> Shape(2, 1),
+    // wave 6: q334's 33-replicate fan-out folds in one keyed shuffle
+    // off the checkpointed per-(nation,b) grid; q335's zone maps and
+    // predicate grids are all ≤192-row broadcast work above one fact
+    // agg; q336 runs four TopK kernels (exchange per kernel) with the
+    // full-dim side checkpointed; q337 is the q282 weekly frame tail
+    "q334_bh_fdr" -> Shape(6, 1),
+    "q335_zonemap_advisor" -> Shape(4, 3),
+    "q336_matryoshka_eval" -> Shape(13, 6),
+    "q337_pinball_eval" -> Shape(4, 1)
   )
 
   test("top-10 heaviest queries keep their pinned plan shapes") {

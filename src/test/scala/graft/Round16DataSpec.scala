@@ -334,6 +334,210 @@ class Round16DataSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
+  // q334: BigInt permutation p-values + an independent BH step-up
+  // ---------------------------------------------------------------
+
+  test("q334 matches a BigInt permutation + BH re-fold") {
+    val custNation = {
+      val cn = Tables.customer(spark, sf)
+        .select("c_custkey", "c_nationkey").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val nn = Tables.nation(spark, sf)
+        .select("n_nationkey", "n_name").collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+      cn.view.mapValues(nn).toMap
+    }
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+      .collect()
+      .map(r => (custNation(r.getLong(1)), r.getLong(0),
+        r.getString(2) < "3",
+        BigDecimal(r.getDouble(3)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact))
+    def split(b: Int, ok: Long): Boolean =
+      java.lang.Long.parseLong(md5Hex(s"bh:$b:$ok").take(8), 16) % 5 < 2
+    val pv = orders.groupBy(_._1).map { case (nation, xs) =>
+      def stat(assign: ((String, Long, Boolean, Long)) => Boolean)
+          : (BigInt, Long, Long) = {
+        val (t, c) = xs.partition(assign)
+        (BigInt(t.map(_._4).sum) * 1000000 / t.length -
+          BigInt(c.map(_._4).sum) * 1000000 / c.length,
+          t.length.toLong, c.length.toLong)
+      }
+      val (obs, nt, nc) = stat(_._3)
+      val extreme = (1 to 32).count { b =>
+        stat(o => split(b, o._2))._1.abs >= obs.abs
+      }
+      nation -> ((nt, nc, obs.toLong,
+        (BigInt(1 + extreme) * 1000000 / 33).toLong))
+    }
+    val ranks = pv.toSeq.sortBy { case (n, (_, _, _, p)) => (p, n) }
+      .zipWithIndex.map { case ((n, v), i) => n -> (v, i + 1L) }.toMap
+    val cut = ranks.values
+      .collect { case ((_, _, _, p), r) if BigInt(p) * 25 <= r * 100000L => r }
+      .foldLeft(0L)(math.max)
+    val got = QueriesData.q334BhFdr(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getBoolean(7)))).toMap
+    assert(got.keySet == ranks.keySet)
+    for ((n, ((nt, nc, obs, p), rk)) <- ranks) {
+      val w = (nt, nc, obs, p, rk, rk * 100000 / 25, rk <= cut)
+      assert(got(n) == w, s"$n: ${got(n)} != $w")
+    }
+    // ranks are a permutation of 1..m (the triangle join got ties right)
+    assert(got.values.map(_._5).toSeq.sorted == (1L to 25L))
+  }
+
+  // ---------------------------------------------------------------
+  // q335: integer zone/predicate re-fold + the advisor's point
+  // ---------------------------------------------------------------
+
+  test("q335 matches an integer zone-map re-fold; matched layouts prune") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_shipdate", "l_orderkey", "l_partkey").collect()
+      .map { r =>
+        val d = r.getAs[java.time.LocalDateTime](0).toLocalDate
+        (java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.of(1992, 1, 1), d),
+          r.getLong(1), r.getLong(2))
+      }
+    def mnmx(v: Seq[Long]) = (v.min, v.max)
+    val (sdMn, sdMx) = mnmx(li.map(_._1)); val (okMn, okMx) = mnmx(li.map(_._2))
+    val (pkMn, pkMx) = mnmx(li.map(_._3))
+    def zone(v: Long, mn: Long, mx: Long) =
+      math.min(63L, (v - mn) * 64 / (mx - mn + 1))
+    val layouts = Seq[(String, ((Long, Long, Long)) => Long)](
+      ("by_shipday", t => zone(t._1, sdMn, sdMx)),
+      ("by_orderkey", t => zone(t._2, okMn, okMx)),
+      ("by_partkey", t => zone(t._3, pkMn, pkMx)))
+    val zones = layouts.flatMap { case (name, zf) =>
+      li.groupBy(zf).map { case (z, xs) =>
+        (name, z, xs.map(_._1).min, xs.map(_._1).max,
+          xs.map(_._3).min, xs.map(_._3).max)
+      }
+    }
+    val preds =
+      (0 until 16).map(i => ("ship_windows",
+        sdMn + (sdMx - sdMn + 1) * i / 32,
+        sdMn + (sdMx - sdMn + 1) * (i + 2) / 32 - 1)) ++
+      (0 until 16).map(i => ("partkey_ranges",
+        pkMn + (pkMx - pkMn + 1) * i / 32,
+        pkMn + (pkMx - pkMn + 1) * (i + 2) / 32 - 1))
+    val want = (for {
+      (layout, fam) <- layouts.map(_._1)
+        .flatMap(l => Seq((l, "ship_windows"), (l, "partkey_ranges")))
+    } yield {
+      val zs = zones.filter(_._1 == layout)
+      val scanned = preds.filter(_._1 == fam).map { case (_, lo, hi) =>
+        zs.count { case (_, _, sdLo, sdHi, pkLo, pkHi) =>
+          if (fam == "ship_windows") sdLo <= hi && sdHi >= lo
+          else pkLo <= hi && pkHi >= lo
+        }.toLong
+      }.sum
+      (layout, fam) -> ((zs.length.toLong, scanned,
+        (BigInt(scanned) * 1000000 / (zs.length * 16)).toLong))
+    }).toMap
+    val got = QueriesData.q335ZonemapAdvisor(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want)
+    // the advisor's point: the matched layout prunes hard, the
+    // mismatched layouts scan everything
+    assert(got(("by_shipday", "ship_windows"))._3 < 200000)
+    assert(got(("by_partkey", "partkey_ranges"))._3 < 200000)
+    assert(got(("by_partkey", "ship_windows"))._3 == 1000000)
+    assert(got(("by_shipday", "partkey_ranges"))._3 == 1000000)
+  }
+
+  // ---------------------------------------------------------------
+  // q336: double-precision cosine re-fold with Spark's rounding
+  // ---------------------------------------------------------------
+
+  test("q336 matches a re-fold and recall is monotone in prefix dim") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val queries = vecs.filter(_._1 % 50 == 0)
+    def cos(a: Array[Double], b: Array[Double], d: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- 0 until d) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def rnd(x: Double): BigDecimal = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def top10(d: Int): Map[Long, Seq[Long]] = queries.map { case (qid, qv) =>
+      qid -> vecs.filter(_._1 != qid)
+        .map { case (cid, cv) => (cid, rnd(cos(qv, cv, d))) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(10).map(_._1).toSeq
+    }.toMap
+    val full = top10(64)
+    val want = Seq(8, 16, 32).map { d =>
+      val t = top10(d)
+      val overlap = queries.map { case (qid, _) =>
+        t(qid).count(full(qid).toSet).toLong }.sum
+      val top1 = queries.count { case (qid, _) =>
+        t(qid).head == full(qid).head }.toLong
+      d.toLong -> ((queries.length.toLong, overlap,
+        (BigInt(overlap) * 1000000 / (queries.length * 10)).toLong, top1))
+    }.toMap
+    val got = QueriesData.q336MatryoshkaEval(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want)
+    // truncation can only lose information: recall monotone in d
+    assert(got(8L)._3 <= got(16L)._3 && got(16L)._3 <= got(32L)._3)
+  }
+
+  // ---------------------------------------------------------------
+  // q337: BigInt pinball re-fold + the loss identity at tau = 50
+  // ---------------------------------------------------------------
+
+  test("q337 matches a BigInt pinball re-fold; tau=50 is half the MAE") {
+    val weekly = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderdate", "o_totalprice").collect()
+      .map { r =>
+        val d = r.getAs[java.time.LocalDateTime](1).toLocalDate
+        (r.getLong(0), d.minusDays((d.getDayOfWeek.getValue - 1).toLong),
+          BigDecimal(r.getDouble(2)).setScale(2,
+            BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact)
+      }
+    val custNation = {
+      val cn = Tables.customer(spark, sf)
+        .select("c_custkey", "c_nationkey").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val nn = Tables.nation(spark, sf)
+        .select("n_nationkey", "n_name").collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+      cn.view.mapValues(nn).toMap
+    }
+    val byWeek = weekly.groupBy(w => (custNation(w._1), w._2)).view
+      .mapValues(_.map(_._3).sum).toMap
+    val scored = byWeek.toSeq.flatMap { case ((n, wk), rev) =>
+      byWeek.get((n, wk.minusDays(364))).map(r52 => (n, rev, r52))
+    }
+    val want = (for {
+      (n, xs) <- scored.groupBy(_._1); tau <- Seq(10L, 50L, 90L)
+    } yield {
+      val pb = xs.map { case (_, y, f) =>
+        BigInt(math.max(tau * (y - f), (tau - 100) * (y - f))) }.sum
+      (n, tau) -> ((xs.length.toLong, pb.toLong,
+        (pb / (xs.length * 100)).toLong))
+    }).toMap
+    val got = QueriesData.q337PinballEval(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want)
+    // pinball at tau=50 is exactly half the absolute error in x100 units
+    for ((n, xs) <- scored.groupBy(_._1)) {
+      val mae = xs.map { case (_, y, f) => BigInt((y - f).abs) }.sum
+      assert(BigInt(got((n, 50L))._2) == mae * 50, n)
+    }
+  }
+
+  // ---------------------------------------------------------------
   // q331: BigInt normal equations + a residual-optimality property
   // ---------------------------------------------------------------
 
