@@ -446,6 +446,71 @@ object OraclesData {
         |    // (count(*) * 100) AS BIGINT) AS mean_pinball_cents
         |FROM sc CROSS JOIN t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // q338: the q279 scored pipeline extended with within-list pair
+    // diversity and brand-grid coverage.
+    "q338_rec_diversity" ->
+      """WITH bi AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |np AS MATERIALIZED (SELECT p, count(*) AS n_p FROM bi
+        |                    GROUP BY 1),
+        |co AS (SELECT a.p AS pa, b.p AS pb, count(*) AS co
+        |  FROM bi a JOIN bi b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2),
+        |sc AS MATERIALIZED (SELECT s.pa, s.pb,
+        |    CAST((s.co::HUGEINT * s.co * 1000000000000)
+        |      // (na.n_p::HUGEINT * nb.n_p) AS BIGINT) AS score_e12
+        |  FROM (SELECT pa, pb, co FROM co
+        |        UNION ALL SELECT pb, pa, co FROM co) s
+        |  JOIN np na ON na.p = s.pa
+        |  JOIN np nb ON nb.p = s.pb),
+        |recs AS MATERIALIZED (SELECT pa, pb, rnk, p_brand FROM
+        |  (SELECT pa, pb,
+        |     row_number() OVER (PARTITION BY pa
+        |       ORDER BY score_e12 DESC, pb) AS rnk
+        |   FROM sc) r JOIN part ON p_partkey = pa
+        |  WHERE rnk <= 3),
+        |prs AS (SELECT a.p_brand,
+        |    1000000000000 - coalesce(s2.score_e12, 0) AS div_e12
+        |  FROM recs a JOIN recs b ON b.pa = a.pa AND a.rnk < b.rnk
+        |  LEFT JOIN sc s2 ON s2.pa = a.pb AND s2.pb = b.pb),
+        |pg AS (SELECT p_brand, count(*) AS n_pairs,
+        |    sum(div_e12::HUGEINT) AS div_sum
+        |  FROM prs GROUP BY 1),
+        |cv AS (SELECT p_brand, count(DISTINCT pa) AS n_parts,
+        |    count(DISTINCT pb) AS distinct_neighbors
+        |  FROM recs GROUP BY 1),
+        |cat AS (SELECT count(*) AS n_cat FROM part)
+        |SELECT cv.p_brand,
+        |  CAST(n_parts AS BIGINT) AS n_parts,
+        |  CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(div_sum // n_pairs AS BIGINT) AS ild_mean_e12,
+        |  CAST(distinct_neighbors AS BIGINT) AS distinct_neighbors,
+        |  CAST(distinct_neighbors::HUGEINT * 1000000 // n_cat
+        |    AS BIGINT) AS coverage_ppm
+        |FROM cv JOIN pg ON pg.p_brand = cv.p_brand CROSS JOIN cat
+        |ORDER BY 1""".stripMargin,
+
+    // q339: same ppm-floored language-balancing weights, same exact
+    // ESS fold off the source×lang grid.
+    "q339_ess_diagnostics" ->
+      """WITH w AS (SELECT lang, count(*) AS n_l,
+        |    1000000 // count(*) AS ws
+        |  FROM documents GROUP BY 1),
+        |g AS (SELECT d.source, d.lang, count(*) AS k, max(ws) AS ws
+        |  FROM documents d JOIN w ON w.lang = d.lang
+        |  GROUP BY 1, 2)
+        |SELECT source, CAST(sum(k) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_langs,
+        |  CAST(sum(k::HUGEINT * ws) * sum(k::HUGEINT * ws) * 1000
+        |    // sum(k::HUGEINT * ws * ws) AS BIGINT) AS ess_milli,
+        |  CAST(sum(k::HUGEINT * ws) * sum(k::HUGEINT * ws) * 1000000
+        |    // (sum(k::HUGEINT * ws * ws) * sum(k)) AS BIGINT)
+        |    AS ess_ratio_ppm,
+        |  CAST(max(k)::HUGEINT * 1000000 // sum(k) AS BIGINT)
+        |    AS dom_lang_ppm
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // q332: same floored-dollar sufficient statistics, same
     // dollar²-floored S²/n terms, same integral F and η².
     "q332_anova_f" ->

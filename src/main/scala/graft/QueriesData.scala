@@ -684,6 +684,119 @@ object QueriesData {
       .orderBy("nation", "tau_pct")
   }
 
+  /** RECOMMENDATION DIVERSITY — the beyond-accuracy eval (Ziegler et
+    * al. 2005) for q279's item-cosine top-3: per seed-part brand,
+    * intra-list diversity (mean over within-list pairs of 1e12 −
+    * cosine_e12, a never-co-bought pair counting as fully diverse)
+    * and catalog coverage (distinct recommended items over the whole
+    * part catalog). Shape: the q279 scored frame built once and
+    * checkpointed (recommendations AND pair-diversity lookups read
+    * it); list pairs are ≤ C(3,2) per part; everything aggregates to
+    * the brand grid.
+    */
+  def q338RecDiversity(s: SparkSession, dir: String): DataFrame = {
+    val bi = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint() // item counts AND the pair self-join
+    val n = bi.groupBy("p").agg(count(lit(1)).as("n_p"))
+      .localCheckpoint() // part-dimension sized; broadcast twice below
+    // checkpoint the ASYMMETRIC co frame (half the symmetric scored
+    // frame) and re-derive scores per consumer against the broadcast
+    // count dim — materializing the full scored frame benched 2.5×
+    // slower than recomputing the cheap arithmetic twice
+    val co = bi.select(col("o"), col("p").as("pa"))
+      .join(bi.select(col("o"), col("p").as("pb")), Seq("o"))
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("co"))
+      .localCheckpoint()
+    def scoreOf(df: DataFrame): DataFrame = df
+      .join(broadcast(n.select(col("p").as("pa"), col("n_p").as("na"))),
+        Seq("pa"))
+      .join(broadcast(n.select(col("p").as("pb"), col("n_p").as("nb"))),
+        Seq("pb"))
+      .withColumn("score_e12",
+        expr("""CAST((CAST(co AS DECIMAL(38,0)) * co * 1000000000000)
+                DIV (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"""))
+      .select("pa", "pb", "score_e12")
+    val scored = scoreOf(co.unionByName(
+      co.select(col("pb").as("pa"), col("pa").as("pb"), col("co"))))
+    val win = Window.partitionBy("pa")
+      .orderBy(col("score_e12").desc, col("pb"))
+    val recs = scored.withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= 3)
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey").as("pa"), col("p_brand"))), Seq("pa"))
+      .localCheckpoint() // coverage aggregate AND the pair build
+    // the within-list pairs are oriented nb1 < nb2, so the ASYMMETRIC
+    // co frame already carries their scores — no symmetric pass needed
+    val pairs = recs.select(col("p_brand"), col("pa"),
+        col("pb").as("b1"), col("rnk").as("r1"))
+      .join(recs.select(col("pa"), col("pb").as("b2"),
+        col("rnk").as("r2")), Seq("pa"))
+      .filter(col("r1") < col("r2"))
+      .select(col("p_brand"),
+        least(col("b1"), col("b2")).as("nb1"),
+        greatest(col("b1"), col("b2")).as("nb2"))
+      .join(scoreOf(co).select(col("pa").as("nb1"), col("pb").as("nb2"),
+        col("score_e12").as("pair_score")), Seq("nb1", "nb2"), "left")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(lit(1000000000000L) - coalesce(col("pair_score"), lit(0L)))
+          .as("div_sum"))
+    val catalog = Tables.part(s, dir).agg(count(lit(1)).as("n_cat"))
+    recs.groupBy("p_brand")
+      .agg(countDistinct(col("pa")).as("n_parts"),
+        countDistinct(col("pb")).as("distinct_neighbors"))
+      .join(pairs, Seq("p_brand"))
+      .crossJoin(broadcast(catalog))
+      .select(col("p_brand"),
+        col("n_parts").cast("bigint").as("n_parts"),
+        col("n_pairs").cast("bigint").as("n_pairs"),
+        expr("CAST(CAST(div_sum AS DECIMAL(38,0)) DIV n_pairs AS BIGINT)")
+          .as("ild_mean_e12"),
+        col("distinct_neighbors").cast("bigint")
+          .as("distinct_neighbors"),
+        expr("""CAST(CAST(distinct_neighbors AS DECIMAL(38,0)) * 1000000
+                DIV n_cat AS BIGINT)""").as("coverage_ppm"))
+      .orderBy("p_brand")
+  }
+
+  /** EFFECTIVE SAMPLE SIZE — the importance-reweighting health check
+    * (Kong 1992): when each source's documents are reweighted so every
+    * LANGUAGE contributes equally (w ∝ 1/n_lang, the mixture-balancing
+    * weights against the corpus's genuinely skewed language mix), ESS
+    * = (Σw)²/Σw² says how many docs the reweighted source is really
+    * worth — a source that over-samples the dominant language
+    * collapses ESS long before anyone looks at a histogram. Weights
+    * are floored ppm (1e6 DIV n_lang, identical in both engines); ESS
+    * folds from the source×lang grid in exact DECIMAL with every DIV
+    * quotient bounded by n·1000. The dominant language share rides
+    * along.
+    */
+  def q339EssDiagnostics(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("lang"), col("source"))
+    val w = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+      .withColumn("w", expr("CAST(1000000 DIV n_l AS BIGINT)"))
+    docs.join(broadcast(w), Seq("lang"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("k"), max("w").as("ws"))
+      .groupBy("source")
+      .agg(sum("k").as("n_docs"),
+        sum(expr("CAST(k AS DECIMAL(38,0)) * ws")).as("sw"),
+        sum(expr("CAST(k AS DECIMAL(38,0)) * ws * ws")).as("sww"),
+        max("k").as("max_k"),
+        count(lit(1)).as("n_langs"))
+      .select(col("source"), col("n_docs").cast("bigint").as("n_docs"),
+        col("n_langs").cast("bigint").as("n_langs"),
+        expr("CAST(sw * sw * 1000 DIV sww AS BIGINT)").as("ess_milli"),
+        expr("CAST(sw * sw * 1000000 DIV (sww * n_docs) AS BIGINT)")
+          .as("ess_ratio_ppm"),
+        expr("""CAST(CAST(max_k AS DECIMAL(38,0)) * 1000000
+                DIV n_docs AS BIGINT)""").as("dom_lang_ppm"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "q326_url_canonicalize" -> q326UrlCanonicalize _,
     "q327_wasserstein_drift" -> q327WassersteinDrift _,
@@ -695,5 +808,7 @@ object QueriesData {
     "q334_bh_fdr" -> q334BhFdr _,
     "q335_zonemap_advisor" -> q335ZonemapAdvisor _,
     "q336_matryoshka_eval" -> q336MatryoshkaEval _,
-    "q337_pinball_eval" -> q337PinballEval _)
+    "q337_pinball_eval" -> q337PinballEval _,
+    "q338_rec_diversity" -> q338RecDiversity _,
+    "q339_ess_diagnostics" -> q339EssDiagnostics _)
 }

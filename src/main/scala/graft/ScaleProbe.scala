@@ -168,7 +168,10 @@ object ScaleProbe {
       // wave 6: q334's replicate fan-out is the honest 33× linear
       // part; q335 folds three layouts in one fact pass; q337 rides
       // the replicated orders (the weekly grid itself is bounded)
-      "q334_bh_fdr", "q335_zonemap_advisor", "q337_pinball_eval")
+      "q334_bh_fdr", "q335_zonemap_advisor", "q337_pinball_eval",
+      // wave 7: q338's basket pair join rides the replicated facts
+      // (bounded per-order baskets); q339 the salted documents
+      "q338_rec_diversity", "q339_ess_diagnostics")
       .filter(wanted)
     def time(fn: => DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()

@@ -139,7 +139,12 @@ class PlanShapeSpec extends AnyFunSuite {
     "q334_bh_fdr" -> Shape(6, 1),
     "q335_zonemap_advisor" -> Shape(4, 3),
     "q336_matryoshka_eval" -> Shape(13, 6),
-    "q337_pinball_eval" -> Shape(4, 1)
+    "q337_pinball_eval" -> Shape(4, 1),
+    // wave 7: q338's heavy stages (basket pairs, scores, recs) are
+    // all checkpointed — the returned plan is the brand-grid tail;
+    // q339 is one grid shuffle over the broadcast weight frame
+    "q338_rec_diversity" -> Shape(9, 3),
+    "q339_ess_diagnostics" -> Shape(4, 1)
   )
 
   test("top-10 heaviest queries keep their pinned plan shapes") {

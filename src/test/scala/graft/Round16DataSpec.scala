@@ -538,6 +538,80 @@ class Round16DataSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
+  // q338: brute-force co-occurrence + list-pair diversity re-fold
+  // ---------------------------------------------------------------
+
+  test("q338 matches a brute-force diversity re-fold") {
+    val bi = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val nP = bi.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val co = bi.groupBy(_._1).values.toSeq.flatMap { xs =>
+      val ps = xs.map(_._2).sorted.toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val score: Map[(Long, Long), Long] = co.flatMap { case ((a, b), c) =>
+      val s = (BigInt(c) * c * BigInt("1000000000000") /
+        (BigInt(nP(a)) * nP(b))).toLong
+      Seq((a, b) -> s, (b, a) -> s)
+    }.toMap
+    val brand = Tables.part(spark, sf)
+      .select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val recs = score.groupBy(_._1._1).map { case (pa, xs) =>
+      pa -> xs.toSeq.map { case ((_, pb), sc) => (pb, sc) }
+        .sortBy { case (pb, sc) => (-sc, pb) }.take(3).map(_._1)
+    }
+    val want = recs.groupBy(r => brand(r._1)).map { case (b, rs) =>
+      val pairs: Seq[BigInt] = rs.toSeq.flatMap {
+        case (_, nbs: Seq[Long] @unchecked) =>
+          for (i <- nbs.indices; j <- nbs.indices if i < j)
+            yield BigInt(1000000000000L) -
+              BigInt(score.getOrElse((nbs(i), nbs(j)), 0L))
+      }
+      val distinctNb = rs.values.flatten.toSet.size.toLong
+      b -> ((rs.size.toLong, pairs.length.toLong,
+        (pairs.sum / pairs.length).toLong, distinctNb,
+        (BigInt(distinctNb) * 1000000 / brand.size).toLong))
+    }
+    val got = QueriesData.q338RecDiversity(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == want.keySet)
+    for ((b, w) <- want) assert(got(b) == w, s"$b: ${got(b)} != $w")
+  }
+
+  // ---------------------------------------------------------------
+  // q339: BigInt ESS re-fold + the Cauchy-Schwarz bound
+  // ---------------------------------------------------------------
+
+  test("q339 matches a BigInt ESS re-fold and respects ESS <= n") {
+    val docs = Tables.documents(spark, sf)
+      .select("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val nL = docs.groupBy(_._1).view.mapValues(_.length).toMap
+    val w = nL.view.mapValues(n => 1000000L / n).toMap
+    val want = docs.groupBy(_._2).map { case (src, xs) =>
+      val grid = xs.groupBy(_._1).view.mapValues(_.length.toLong).toSeq
+      val sw = grid.map { case (l, k) => BigInt(k) * w(l) }.sum
+      val sww = grid.map { case (l, k) => BigInt(k) * w(l) * w(l) }.sum
+      val n = xs.length.toLong
+      src -> ((n, grid.length.toLong,
+        (sw * sw * 1000 / sww).toLong,
+        (sw * sw * 1000000 / (sww * n)).toLong,
+        (BigInt(grid.map(_._2).max) * 1000000 / n).toLong))
+    }
+    val got = QueriesData.q339EssDiagnostics(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == want)
+    // Cauchy-Schwarz: ESS <= n always; and the skewed language mix
+    // must make at least one source genuinely sub-n
+    assert(got.values.forall(v => v._4 <= 1000000L))
+    assert(got.values.exists(v => v._4 < 950000L))
+  }
+
+  // ---------------------------------------------------------------
   // q331: BigInt normal equations + a residual-optimality property
   // ---------------------------------------------------------------
 
