@@ -312,17 +312,19 @@ object OraclesData {
         |  FROM pv a JOIN pv b ON b.p_ppm < a.p_ppm
         |    OR (b.p_ppm = a.p_ppm AND b.nation <= a.nation)
         |  GROUP BY 1),
+        |m AS (SELECT count(*) AS m FROM pv),
         |cut AS (SELECT coalesce(max(CASE
-        |    WHEN pv.p_ppm * 25 <= rk.p_rank * 100000
+        |    WHEN pv.p_ppm * m.m <= rk.p_rank * 100000
         |    THEN rk.p_rank END), 0) AS cut_rank
-        |  FROM pv JOIN rk ON rk.nation = pv.nation)
+        |  FROM pv JOIN rk ON rk.nation = pv.nation CROSS JOIN m)
         |SELECT pv.nation, CAST(n_treat AS BIGINT) AS n_treat,
         |  CAST(n_control AS BIGINT) AS n_control,
         |  CAST(obs_diff AS BIGINT) AS obs_diff_microcents,
         |  p_ppm, CAST(p_rank AS BIGINT) AS p_rank,
-        |  CAST(p_rank * 100000 // 25 AS BIGINT) AS bh_threshold_ppm,
+        |  CAST(p_rank * 100000 // m.m AS BIGINT) AS bh_threshold_ppm,
         |  p_rank <= cut_rank AS rejected
-        |FROM pv JOIN rk ON rk.nation = pv.nation CROSS JOIN cut
+        |FROM pv JOIN rk ON rk.nation = pv.nation
+        |CROSS JOIN cut CROSS JOIN m
         |ORDER BY 1""".stripMargin,
 
     // q335: same one-pass three-layout zoning (UNION ALL instead of
@@ -495,7 +497,7 @@ object OraclesData {
     // ESS fold off the source×lang grid.
     "q339_ess_diagnostics" ->
       """WITH w AS (SELECT lang, count(*) AS n_l,
-        |    1000000 // count(*) AS ws
+        |    1000000000000 // count(*) AS ws
         |  FROM documents GROUP BY 1),
         |g AS (SELECT d.source, d.lang, count(*) AS k, max(ws) AS ws
         |  FROM documents d JOIN w ON w.lang = d.lang

@@ -114,7 +114,12 @@ object QueriesData {
     */
   def q327WassersteinDrift(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("source"), col("n_chars"))
-    val bounds = docs.agg(min("n_chars").as("__mn"), max("n_chars").as("__mx"))
+    // min/max/count in ONE fold, checkpointed (1 row): the corpus
+    // total is read again at the end — without the checkpoint that
+    // reuse would re-scan documents a third time
+    val bounds = docs.agg(min("n_chars").as("__mn"),
+      max("n_chars").as("__mx"), count(lit(1)).as("__nn"))
+      .localCheckpoint()
     val binned = docs.crossJoin(broadcast(bounds))
       .select(col("source"),
         least(lit(19), expr(
@@ -133,7 +138,7 @@ object QueriesData {
         binned("bin") <= col("i"), "left")
       .groupBy(col("src2"), col("i"), col("n_s"))
       .agg(coalesce(sum("c"), lit(0L)).as("cum_s"))
-    val n = docs.agg(count(lit(1)).as("nn"))
+    val n = bounds.select(col("__nn").as("nn"))
     srcCum
       .join(broadcast(corpCum), Seq("i"))
       .crossJoin(broadcast(n))
@@ -282,14 +287,19 @@ object QueriesData {
     * pattern), one digest aggregate.
     */
   def q330CdcChunks(s: SparkSession, dir: String): DataFrame = {
+    // the empty-toks CASE guards a whitespace-only document:
+    // sequence(1, 0) is DESCENDING [1, 0] in Spark, so the unguarded
+    // transform would hit element_at(toks, 0) and throw (the DuckDB
+    // twin's list_transform over [] is naturally empty)
     val rows = Tables.spread(docBase(s, dir))
       .select(col("doc_id"), col("source"), explode(expr(
-        """transform(sequence(1, size(toks)), i -> struct(
+        """CASE WHEN size(toks) = 0 THEN
+          |array() ELSE transform(sequence(1, size(toks)), i -> struct(
           |  i AS pos, element_at(toks, i) AS tok,
           |  CASE WHEN i >= 4 THEN concat_ws(' ',
           |    element_at(toks, i - 3), element_at(toks, i - 2),
-          |    element_at(toks, i - 1), element_at(toks, i)) END AS gram))"""
-          .stripMargin)).as("r"))
+          |    element_at(toks, i - 1), element_at(toks, i)) END AS gram))
+          |END""".stripMargin)).as("r"))
       .select(col("doc_id"), col("source"),
         col("r.pos").as("pos"), col("r.tok").as("tok"),
         when(col("r.gram").isNotNull,
@@ -458,7 +468,6 @@ object QueriesData {
     * hypothesis-dimension-sized.
     */
   def q334BhFdr(s: SparkSession, dir: String): DataFrame = {
-    val m = 25
     val fact = Tables.orders(s, dir)
       .join(Tables.customer(s, dir).select(col("c_custkey")
         .as("o_custkey"), col("c_nationkey")), Seq("o_custkey"))
@@ -506,11 +515,16 @@ object QueriesData {
         col("p2") < col("p1") ||
           (col("p2") === col("p1") && col("n2x") <= col("n1x")))
       .groupBy(col("n1x").as("nation")).agg(count(lit(1)).as("p_rank"))
-    // BH cutoff: the LARGEST rank i with p_(i)·m ≤ i·100000
+    // BH cutoff: the LARGEST rank i with p_(i)·m ≤ i·100000, m COUNTED
+    // from the hypothesis frame (a nation absent from the facts must
+    // shrink m, not leave a phantom hypothesis in the threshold)
+    val mF = pvals.agg(count(lit(1)).as("m"))
     val cutoff = ranked.join(pvals, Seq("nation"))
-      .agg(coalesce(max(when(
-        col("p_ppm") * m <= col("p_rank") * 100000L, col("p_rank"))),
-        lit(0L)).as("cut_rank"))
+      .crossJoin(broadcast(mF))
+      .agg(max("m").as("m"),
+        coalesce(max(when(
+          col("p_ppm") * col("m") <= col("p_rank") * 100000L,
+          col("p_rank"))), lit(0L)).as("cut_rank"))
     pvals.join(ranked, Seq("nation"))
       .crossJoin(broadcast(cutoff))
       .select(col("nation"),
@@ -519,7 +533,7 @@ object QueriesData {
         col("obs_diff_microcents").cast("bigint")
           .as("obs_diff_microcents"),
         col("p_ppm"), col("p_rank").cast("bigint").as("p_rank"),
-        expr(s"CAST(p_rank * 100000 DIV $m AS BIGINT)")
+        expr("CAST(p_rank * 100000 DIV m AS BIGINT)")
           .as("bh_threshold_ppm"),
         (col("p_rank") <= col("cut_rank")).as("rejected"))
       .orderBy("nation")
@@ -602,13 +616,25 @@ object QueriesData {
     * top-1 agreement, exact integers. Ranks are deterministic by the
     * established (rounded cos desc, id) total order.
     */
-  def q336MatryoshkaEval(s: SparkSession, dir: String): DataFrame = {
+  def q336MatryoshkaEval(s: SparkSession, dir: String): DataFrame =
+    matryoshkaEval(s, dir, Long.MaxValue)
+
+  /** Probe entry (the q307/q308 capped convention): `cap` pins the
+    * serving query batch to copy-0 ids so an N× replica measures
+    * corpus growth at a CONSTANT query set. */
+  private[graft] def matryoshkaEvalCapped(
+      s: SparkSession, dir: String, cap: Long): DataFrame =
+    matryoshkaEval(s, dir, cap)
+
+  private def matryoshkaEval(
+      s: SparkSession, dir: String, cap: Long): DataFrame = {
     import graft.operators.Similarity
     def at(d: Int): DataFrame = {
       val v = Tables.embeddings(s, dir).select(col("vec_id"),
         slice(col("embedding").cast("array<double>"), 1, d)
           .as("embedding"))
-      Similarity.topK(v, v.filter(pmod(col("vec_id"), lit(50)) === 0),
+      Similarity.topK(v, v.filter(pmod(col("vec_id"), lit(50)) === 0 &&
+          col("vec_id") < cap),
         "vec_id", "embedding", k = 10)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }
@@ -776,8 +802,13 @@ object QueriesData {
     */
   def q339EssDiagnostics(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("lang"), col("source"))
+    // ppt (1e12) weight floor, not ppm: a 1e6 numerator floors to 0
+    // once a language passes 1e6 docs, silently zeroing its mass and
+    // eventually dividing by zero — 1e12 holds to a trillion docs per
+    // language (every DIV quotient stays < L·1e12 « 2⁶³; the decimal
+    // products top out ~L²·1e30 « 1e38)
     val w = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
-      .withColumn("w", expr("CAST(1000000 DIV n_l AS BIGINT)"))
+      .withColumn("w", expr("CAST(1000000000000 DIV n_l AS BIGINT)"))
     docs.join(broadcast(w), Seq("lang"))
       .groupBy("source", "lang")
       .agg(count(lit(1)).as("k"), max("w").as("ws"))

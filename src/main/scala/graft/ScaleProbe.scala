@@ -384,6 +384,12 @@ object ScaleProbe {
       measure("q308_ndcg*",
         (sp, _) => QueriesSim.ndcgCapped(sp, sfDir, copy0),
         (sp, _) => QueriesSim.ndcgCapped(sp, work, copy0))
+    // q336 is quadratic by design (exact baseline); the capped probe
+    // holds the query batch at copy-0 so the slope reads corpus growth
+    if (wanted("q336_matryoshka_eval*"))
+      measure("q336_matryoshka_eval*",
+        (sp, _) => QueriesData.matryoshkaEvalCapped(sp, sfDir, copy0),
+        (sp, _) => QueriesData.matryoshkaEvalCapped(sp, work, copy0))
 
     // ——— streaming probes: N× independent key populations at the
     // same event-time distribution (see replicate) — state and

@@ -125,7 +125,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // deduped grid + the final order — all post-grid exchanges carry
     // O(distinct URLs), not facts
     "q326_url_canonicalize" -> Shape(5, 0),
-    "q327_wasserstein_drift" -> Shape(5, 5),
+    "q327_wasserstein_drift" -> Shape(4, 5),
     "q328_kruskal_wallis" -> Shape(10, 6),
     "q329_cliffs_delta" -> Shape(4, 0),
     "q330_cdc_chunks" -> Shape(5, 0),
@@ -136,7 +136,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // predicate grids are all ≤192-row broadcast work above one fact
     // agg; q336 runs four TopK kernels (exchange per kernel) with the
     // full-dim side checkpointed; q337 is the q282 weekly frame tail
-    "q334_bh_fdr" -> Shape(6, 1),
+    "q334_bh_fdr" -> Shape(7, 2),
     "q335_zonemap_advisor" -> Shape(4, 3),
     "q336_matryoshka_eval" -> Shape(13, 6),
     "q337_pinball_eval" -> Shape(4, 1),

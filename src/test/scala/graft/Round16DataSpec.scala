@@ -373,8 +373,9 @@ class Round16DataSpec extends AnyFunSuite {
     }
     val ranks = pv.toSeq.sortBy { case (n, (_, _, _, p)) => (p, n) }
       .zipWithIndex.map { case ((n, v), i) => n -> (v, i + 1L) }.toMap
+    val m = ranks.size
     val cut = ranks.values
-      .collect { case ((_, _, _, p), r) if BigInt(p) * 25 <= r * 100000L => r }
+      .collect { case ((_, _, _, p), r) if BigInt(p) * m <= r * 100000L => r }
       .foldLeft(0L)(math.max)
     val got = QueriesData.q334BhFdr(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
@@ -382,11 +383,11 @@ class Round16DataSpec extends AnyFunSuite {
         r.getBoolean(7)))).toMap
     assert(got.keySet == ranks.keySet)
     for ((n, ((nt, nc, obs, p), rk)) <- ranks) {
-      val w = (nt, nc, obs, p, rk, rk * 100000 / 25, rk <= cut)
+      val w = (nt, nc, obs, p, rk, rk * 100000 / m, rk <= cut)
       assert(got(n) == w, s"$n: ${got(n)} != $w")
     }
     // ranks are a permutation of 1..m (the triangle join got ties right)
-    assert(got.values.map(_._5).toSeq.sorted == (1L to 25L))
+    assert(got.values.map(_._5).toSeq.sorted == (1L to m.toLong))
   }
 
   // ---------------------------------------------------------------
@@ -590,7 +591,7 @@ class Round16DataSpec extends AnyFunSuite {
       .select("lang", "source").collect()
       .map(r => (r.getString(0), r.getString(1)))
     val nL = docs.groupBy(_._1).view.mapValues(_.length).toMap
-    val w = nL.view.mapValues(n => 1000000L / n).toMap
+    val w = nL.view.mapValues(n => 1000000000000L / n).toMap
     val want = docs.groupBy(_._2).map { case (src, xs) =>
       val grid = xs.groupBy(_._1).view.mapValues(_.length.toLong).toSeq
       val sw = grid.map { case (l, k) => BigInt(k) * w(l) }.sum
