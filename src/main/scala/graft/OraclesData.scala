@@ -33,7 +33,51 @@ object OraclesData {
       |  CASE WHEN o_orderkey % 6 = 0 THEN '#section-2' ELSE '' END
       |)""".stripMargin
 
+  /** q340's oracle: the truss peel unrolled
+    * [[QueriesData.trussMaxRounds]]+1 times over the brute-force edge
+    * set (the q257 k-core oracle scheme — Spark REQUIRES convergence
+    * within the same bound, so the engines can never disagree on a
+    * non-converged state; the extra round re-derives the final
+    * supports on the converged edge set).
+    */
+  private def kTrussOracle: String = {
+    val rounds = (1 to QueriesData.trussMaxRounds + 1).map { i =>
+      s"""a${i - 1} AS (SELECT ia AS id, ib AS nb FROM e${i - 1}
+         |  UNION ALL SELECT ib, ia FROM e${i - 1}),
+         |t$i AS MATERIALIZED (
+         |  SELECT e.ia, e.ib, count(*) AS sup
+         |  FROM e${i - 1} e
+         |  JOIN a${i - 1} x ON x.id = e.ia AND x.nb <> e.ib
+         |  JOIN e${i - 1} f ON f.ia = least(e.ib, x.nb)
+         |    AND f.ib = greatest(e.ib, x.nb)
+         |  GROUP BY 1, 2),
+         |e$i AS MATERIALIZED (SELECT ia, ib FROM t$i WHERE sup >= 2)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (
+       |  SELECT c_custkey AS id,
+       |    ('0x' || substr(md5('x:' || CAST(c_custkey AS VARCHAR)),
+       |      1, 8))::BIGINT % 100000 AS x,
+       |    ('0x' || substr(md5('y:' || CAST(c_custkey AS VARCHAR)),
+       |      1, 8))::BIGINT % 100000 AS y
+       |  FROM customer),
+       |e0 AS MATERIALIZED (
+       |  SELECT a.id AS ia, b.id AS ib
+       |  FROM p a JOIN p b ON a.id < b.id
+       |  WHERE (a.x - b.x) * (a.x - b.x)
+       |    + (a.y - b.y) * (a.y - b.y) <= 4000000),
+       |$rounds
+       |SELECT CAST(ia AS BIGINT) AS id_a, CAST(ib AS BIGINT) AS id_b,
+       |  CAST(sup AS BIGINT) AS support
+       |FROM t${QueriesData.trussMaxRounds + 1} WHERE sup >= 2
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+
+    // q340: the truss peel unrolled over the brute-force proximity
+    // edges — see kTrussOracle.
+    "q340_ktruss" -> kTrussOracle,
 
     // q326: same derivation, same canonicalization staged through
     // chained CTEs (lowercase scheme/host, default-port strip,

@@ -828,6 +828,60 @@ object QueriesData {
       .orderBy("source")
   }
 
+  /** Shared with the q340 oracle generator: the truss peel is
+    * unrolled this many times there, so Spark must converge within
+    * the same bound (measured: 3 rounds at sf0.01). */
+  val trussMaxRounds = 12
+
+  /** K-TRUSS (k = 4) of the q256 proximity graph — the EDGE-level
+    * cohesion peel (Cohen 2008) completing the graph family's
+    * node-level k-core (q257): repeatedly drop every edge lying in
+    * fewer than k−2 = 2 triangles among the surviving edges. Each
+    * round is one bounded triangle enumeration — edges ⋈ adjacency on
+    * one endpoint, semi-joined back on the canonical closing edge —
+    * over the constant-density grid graph (expected degree ≈ π at ANY
+    * scale, so per-round cost stays O(|E|), never O(|E|·maxdeg)).
+    * Converges ≤ [[trussMaxRounds]] rounds or fails loudly; the
+    * DuckDB twin unrolls the same bound, so the engines can never
+    * silently disagree on a non-converged state. Output: surviving
+    * edges with their final in-truss support.
+    */
+  def q340KTruss(s: SparkSession, dir: String): DataFrame =
+    kTrussPeel(QueriesCore.q256GridRadiusJoin(s, dir)
+      .select(col("id_a"), col("id_b")))
+
+  /** Core of q340, parametrized on the edge set for the scale probe
+    * (the kCorePeel convention). */
+  private[graft] def kTrussPeel(edgesIn: DataFrame): DataFrame = {
+    var e = edgesIn
+      .select(col("id_a").as("ia"), col("id_b").as("ib"))
+      .localCheckpoint()
+    var sup: DataFrame = null
+    var stable = false
+    var round = 0
+    while (round < trussMaxRounds && !stable) {
+      val adj = e.select(col("ia").as("id"), col("ib").as("nb"))
+        .unionByName(e.select(col("ib").as("id"), col("ia").as("nb")))
+      sup = e.join(adj, col("ia") === col("id"))
+        .filter(col("nb") =!= col("ib"))
+        .join(e.select(col("ia").as("fa"), col("ib").as("fb")),
+          least(col("ib"), col("nb")) === col("fa") &&
+            greatest(col("ib"), col("nb")) === col("fb"))
+        .groupBy(col("ia"), col("ib"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .localCheckpoint()
+      stable = sup.count() == e.count()
+      e = sup.select(col("ia"), col("ib")).localCheckpoint()
+      round += 1
+    }
+    require(stable, s"k-truss did not converge in $trussMaxRounds rounds")
+    sup.select(col("ia").cast("bigint").as("id_a"),
+        col("ib").cast("bigint").as("id_b"),
+        col("support").cast("bigint").as("support"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q326_url_canonicalize" -> q326UrlCanonicalize _,
     "q327_wasserstein_drift" -> q327WassersteinDrift _,
@@ -841,5 +895,6 @@ object QueriesData {
     "q336_matryoshka_eval" -> q336MatryoshkaEval _,
     "q337_pinball_eval" -> q337PinballEval _,
     "q338_rec_diversity" -> q338RecDiversity _,
-    "q339_ess_diagnostics" -> q339EssDiagnostics _)
+    "q339_ess_diagnostics" -> q339EssDiagnostics _,
+    "q340_ktruss" -> q340KTruss _)
 }

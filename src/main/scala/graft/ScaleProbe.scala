@@ -274,6 +274,10 @@ object ScaleProbe {
         (_, _) => QueriesCore.kCorePeel(tiledPoints(1), gridEdges(1), 3),
         (_, _) => QueriesCore.kCorePeel(tiledPoints(factor),
           gridEdges(factor), 3))
+    if (wanted("q340_ktruss*"))
+      measure("q340_ktruss*",
+        (_, _) => QueriesData.kTrussPeel(gridEdges(1)),
+        (_, _) => QueriesData.kTrussPeel(gridEdges(factor)))
     if (wanted("q260_link_predict*")) {
       measure("q260_link_predict*",
         (_, _) => QueriesCore.linkPredictPairs(gridEdges(1)),

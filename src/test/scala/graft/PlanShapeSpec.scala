@@ -144,7 +144,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // all checkpointed — the returned plan is the brand-grid tail;
     // q339 is one grid shuffle over the broadcast weight frame
     "q338_rec_diversity" -> Shape(9, 3),
-    "q339_ess_diagnostics" -> Shape(4, 1)
+    "q339_ess_diagnostics" -> Shape(4, 1),
+    // q340's peel checkpoints every round — the pin is the final
+    // order over the last checkpoint (the q275/q276 loop convention)
+    "q340_ktruss" -> Shape(1, 0)
   )
 
   test("top-10 heaviest queries keep their pinned plan shapes") {

@@ -613,6 +613,47 @@ class Round16DataSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
+  // q340: imperative truss peel on the brute-force proximity graph
+  // ---------------------------------------------------------------
+
+  test("q340 matches an imperative k-truss peel; every edge in >=2 triangles") {
+    // sf0.01: the sf0.001 grid has zero triangles (empty truss)
+    def h32(s: String): Long =
+      java.lang.Long.parseLong(md5Hex(s).take(8), 16)
+    val pts = Tables.customer(spark, "/root/testdata/sf0.01")
+      .select("c_custkey").collect().map(_.getLong(0))
+      .map(id => (id, h32(s"x:$id") % 100000, h32(s"y:$id") % 100000))
+    var edges = (for {
+      (a, xa, ya) <- pts; (b, xb, yb) <- pts if a < b
+      if (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= 4000000
+    } yield (a, b)).toSet
+    var done = false
+    while (!done) {
+      val es = edges
+      val adj = es.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val next = es.filter { case (a, b) =>
+        (adj(a) - b).count(c => es.contains(
+          (math.min(b, c), math.max(b, c)))) >= 2
+      }
+      done = next == es
+      edges = next
+    }
+    val support = edges.toSeq.map { case (a, b) =>
+      val adj = edges.toSeq.flatMap { case (x, y) => Seq(x -> y, y -> x) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      (a, b, (adj(a) - b).count(c => edges.contains(
+        (math.min(b, c), math.max(b, c)))).toLong)
+    }
+    val want = support.map { case (a, b, s) => (a, b) -> s }.toMap
+    val got = QueriesData.q340KTruss(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == want)
+    assert(got.nonEmpty && got.values.forall(_ >= 2))
+  }
+
+  // ---------------------------------------------------------------
   // q331: BigInt normal equations + a residual-optimality property
   // ---------------------------------------------------------------
 
