@@ -79,6 +79,16 @@ object OraclesData {
     // edges — see kTrussOracle.
     "q340_ktruss" -> kTrussOracle,
 
+    // q341: the same aggregate straight off the parquet source — a
+    // round-trip fidelity bug in the ORC path is a hash mismatch.
+    "q341_orc_roundtrip" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM lineitem WHERE l_quantity >= 25
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // q326: same derivation, same canonicalization staged through
     // chained CTEs (lowercase scheme/host, default-port strip,
     // fragment drop, utm_*/fbclid drop, param sort, trailing-slash

@@ -882,6 +882,38 @@ object QueriesData {
       .orderBy("id_a", "id_b")
   }
 
+  /** ORC ROUND-TRIP — the second columnar format a 100 TB lakehouse
+    * actually runs (Spark ships the ORC source in-box): a lineitem
+    * projection is written to ORC (4 files), read back THROUGH the ORC
+    * scan with a pushed predicate (l_quantity ≥ 25 reaches the reader
+    * as a PushedFilter — spec-asserted), and aggregated; the oracle
+    * computes the same aggregate from the PARQUET source, so a
+    * round-trip fidelity bug (type mapping, predicate semantics,
+    * writer truncation) is a hash mismatch. Temp tree deleted in a
+    * finally; the result is materialized first.
+    */
+  def q341OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("q341-orc").toString
+    try {
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
+        .repartition(4)
+        .write.mode("overwrite").orc(s"$root/li")
+      s.read.orc(s"$root/li")
+        .filter(col("l_quantity") >= 25)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+          sum(expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .as("sum_cents"))
+        .orderBy("l_returnflag")
+        .localCheckpoint(true) // materialize before the finally deletes
+    } finally TmpTrees.delete(root)
+  }
+
   val queries: Map[String, Q] = Map(
     "q326_url_canonicalize" -> q326UrlCanonicalize _,
     "q327_wasserstein_drift" -> q327WassersteinDrift _,
@@ -896,5 +928,6 @@ object QueriesData {
     "q337_pinball_eval" -> q337PinballEval _,
     "q338_rec_diversity" -> q338RecDiversity _,
     "q339_ess_diagnostics" -> q339EssDiagnostics _,
-    "q340_ktruss" -> q340KTruss _)
+    "q340_ktruss" -> q340KTruss _,
+    "q341_orc_roundtrip" -> q341OrcRoundtrip _)
 }

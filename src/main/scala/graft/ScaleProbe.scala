@@ -171,7 +171,10 @@ object ScaleProbe {
       "q334_bh_fdr", "q335_zonemap_advisor", "q337_pinball_eval",
       // wave 7: q338's basket pair join rides the replicated facts
       // (bounded per-order baskets); q339 the salted documents
-      "q338_rec_diversity", "q339_ess_diagnostics")
+      "q338_rec_diversity", "q339_ess_diagnostics",
+      // q341 writes + reads back the replicated facts through ORC —
+      // the slope is sink+scan volume
+      "q341_orc_roundtrip")
       .filter(wanted)
     def time(fn: => DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()

@@ -147,7 +147,10 @@ class PlanShapeSpec extends AnyFunSuite {
     "q339_ess_diagnostics" -> Shape(4, 1),
     // q340's peel checkpoints every round — the pin is the final
     // order over the last checkpoint (the q275/q276 loop convention)
-    "q340_ktruss" -> Shape(1, 0)
+    "q340_ktruss" -> Shape(1, 0),
+    // q341 materializes through localCheckpoint(true) — the pin is
+    // the ordered tail over the checkpointed aggregate
+    "q341_orc_roundtrip" -> Shape(0, 0)
   )
 
   test("top-10 heaviest queries keep their pinned plan shapes") {

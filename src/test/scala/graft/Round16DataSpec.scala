@@ -616,6 +616,27 @@ class Round16DataSpec extends AnyFunSuite {
   // q340: imperative truss peel on the brute-force proximity graph
   // ---------------------------------------------------------------
 
+  test("q341 ORC round-trip is lossless and the read pushes its predicate") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files
+      .createTempDirectory("q341-spec").toString
+    try {
+      val src = Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag")
+      src.repartition(4).write.mode("overwrite").orc(s"$root/li")
+      val back = spark.read.orc(s"$root/li")
+      // byte-for-byte row multiset identity through the ORC writer
+      assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+      // the quantity predicate must reach the ORC reader as a pushed
+      // filter, not a post-scan residual-only filter
+      val plan = back.filter(col("l_quantity") >= 25)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") &&
+        plan.contains("GreaterThanOrEqual(l_quantity,25"), plan)
+    } finally TmpTrees.delete(root)
+  }
+
   test("q340 matches an imperative k-truss peel; every edge in >=2 triangles") {
     // sf0.01: the sf0.001 grid has zero triangles (empty truss)
     def h32(s: String): Long =
