@@ -32,9 +32,40 @@ object Bench {
     ok.nonEmpty && med / math.max(ok.min, 1e-9) > 2.0 && med > 1.0
   }
 
+  /** 1-minute /proc/loadavg figure, 0.0 when unreadable. */
+  private def load1(csv: String): Double =
+    csv.split(",").headOption
+      .flatMap(x => scala.util.Try(x.toDouble).toOption).getOrElse(0.0)
+
+  /** "1min,5min,15min" /proc/loadavg sample ("" when unreadable). */
+  private def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split(" ").take(3).mkString(",")
+    catch { case _: Throwable => "" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // QUIET-BOX GUARD (round-16 finding: the official run started under
+    // loadavg 14.2 from unrelated processes and 13 queries needed
+    // isolated repair). Sampled BEFORE the session builds — at this
+    // point any load is OTHER processes, not us. Above the threshold we
+    // wait once for the box to drain, then proceed either way but stamp
+    // `"contended":true` into the artifact so a reader knows the
+    // interleaved medians were measured on a shared box WITHOUT having
+    // to reverse-engineer it from the suspect/isolated fields.
+    val loadMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX", "4.0").toDouble
+    var loadBoot = loadavg()
+    if (load1(loadBoot) > loadMax) {
+      System.err.println(s"[bench] box is busy at start (loadavg " +
+        s"$loadBoot, threshold $loadMax) — waiting 60 s for it to drain")
+      Thread.sleep(60000L)
+      loadBoot = loadavg()
+    }
+    val contended = load1(loadBoot) > loadMax
+    if (contended)
+      System.err.println(s"[bench] still busy (loadavg $loadBoot) — " +
+        "proceeding, artifact will carry contended:true")
     // optional comma-separated name filter for ISOLATED re-measurement
     // of suspect queries (interleave noise diagnosis); the driver sets
     // no filter and always measures the full surface. Parsed and
@@ -153,7 +184,8 @@ object Bench {
     // Contamination guard (round-12 finding: the official 344 s artifact
     // disagreed with a same-code run by >3× on six queries — box
     // contention, not plan cost). Two self-identifying signals in every
-    // artifact: (a) /proc/loadavg captured at start and end — a load
+    // artifact: (a) /proc/loadavg captured at boot (pre-session, see
+    // the quiet-box guard above), start, and end — a load
     // far above the allotted CPUs means OTHER processes competed for
     // the cores during the run; (b) per-query pass agreement — a
     // median is only trustworthy when its passes agree, so any query
@@ -162,10 +194,6 @@ object Bench {
     // max/min) is automatically RE-MEASURED ISOLATED at the end of the
     // run and both readings land in the artifact (see the
     // self-correction block below).
-    def loadavg(): String =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
-        .split(" ").take(3).mkString(",")
-      catch { case _: Throwable => "" }
     val loadStart = loadavg()
     val timings = scala.collection.mutable.Map.empty[String, List[Double]]
     for (_ <- 1 to passes; (name, fn) <- names) {
@@ -246,7 +274,7 @@ object Bench {
       if (isolated.isEmpty) ""
       else s""","isolated":${qsJson(isolated.toSeq.sortBy(_._1))}"""
     val guard =
-      s""","loadavg":"$loadStart;$loadEnd","suspect":${stillSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")}$isolatedJson"""
+      s""","loadavg":"$loadBoot;$loadStart;$loadEnd","contended":$contended,"suspect":${stillSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")}$isolatedJson"""
     def line(rs: Seq[(String, Double)], extra: String): String =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(rs)},"sf":"$sfDir","passes":$passes$guard$extra}"""
     val fullLine = line(results, "")

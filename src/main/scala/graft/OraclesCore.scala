@@ -1029,7 +1029,8 @@ object OraclesCore {
         |      RANGE UNBOUNDED PRECEDING) AS le
         |  FROM c)
         |SELECT c_custkey, n_name, bal_cents, CAST(rnk AS BIGINT) AS rnk,
-        |  CAST((rnk - 1) * 1000000 // (n - 1) AS BIGINT)
+        |  CAST(CASE WHEN n = 1 THEN 0
+        |    ELSE (rnk - 1) * 1000000 // (n - 1) END AS BIGINT)
         |    AS pct_rank_micros,
         |  CAST(le * 1000000 // n AS BIGINT) AS cume_dist_micros
         |FROM w ORDER BY n_name, bal_cents, c_custkey""".stripMargin,
@@ -1770,7 +1771,9 @@ object OraclesCore {
         |    ([16, 8, 4, 2, 1])[CAST(floor(date_diff('day',
         |       CAST(ts AS DATE), DATE '2024-01-30') / 7.0)
         |       AS INTEGER) + 1] AS w
-        |  FROM events)
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-31 00:00:00')
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(floor(CAST(sum(c * w) AS DOUBLE) / (16.0 * 100.0) * 1e6)
         |    AS BIGINT) AS score_micros

@@ -227,6 +227,7 @@ object OraclesData {
         |  CAST((gt - lt) * 1000000
         |    // nullif(n_r::HUGEINT * n_o, 0) AS BIGINT) AS delta_ppm,
         |  CASE
+        |    WHEN n_r::HUGEINT * n_o = 0 THEN NULL
         |    WHEN abs(gt - lt) * 1000 < n_r::HUGEINT * n_o * 147
         |      THEN 'negligible'
         |    WHEN abs(gt - lt) * 100 < n_r::HUGEINT * n_o * 33

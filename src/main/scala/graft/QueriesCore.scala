@@ -4227,12 +4227,18 @@ object QueriesCore {
     * partial aggregation — this is the portable shape.
     */
   def q174DecayScore(s: SparkSession, dir: String): DataFrame = {
-    // events span 2024-01-01 .. 2024-01-30 → age 0..29, k = 0..4
+    // the decay window is EXPLICIT, not assumed: only January 2024
+    // events score (age 0..29, k = 0..4). An out-of-window event used
+    // to drive k negative and throw on element_at index 0 — a
+    // fresh-seed dataset with one post-Jan-30 timestamp hit exactly
+    // that (seed-gate find, r17); the filter is mirrored in the oracle
     val age = datediff(lit("2024-01-30").cast("date"), to_date(col("ts")))
     val k = floor(age / lit(7.0)).cast("int")
     val cents = (col("value").cast("decimal(18,2)") * 100)
       .cast("decimal(18,0)")
     Tables.events(s, dir)
+      .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+        col("ts") < lit("2024-01-31").cast("timestamp"))
       .select(col("event_type"), cents.as("__c"),
         element_at(array(lit(16L), lit(8L), lit(4L), lit(2L), lit(1L)),
           k + 1).as("__w"))
@@ -5345,7 +5351,12 @@ object QueriesCore {
         byBal.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("c_custkey"), col("n_name"), col("bal_cents"),
         col("rnk").cast("bigint").as("rnk"),
-        expr("CAST(((rnk - 1) * 1000000L) DIV (__n - 1) AS BIGINT)")
+        // SQL-standard singleton partition: percent_rank of a 1-row
+        // group is 0, not a DIV-by-zero throw (a fresh-seed nation
+        // with exactly one customer hit this — seed-gate find, r17)
+        expr("""CAST(CASE WHEN __n = 1 THEN 0
+                ELSE ((rnk - 1) * 1000000L) DIV (__n - 1)
+                END AS BIGINT)""")
           .as("pct_rank_micros"),
         expr("CAST((__le * 1000000L) DIV __n AS BIGINT)")
           .as("cume_dist_micros"))

@@ -225,7 +225,9 @@ object QueriesData {
     * grid: gt/lt are grid×grid conditional products inside a nation
     * (≤ 50² rows each), never a row-level pair join. δ in ppm with the
     * standard |δ| magnitude bands (0.147/0.33/0.474, Romano et al.
-    * 2006) decided by exact cross-multiplication.
+    * 2006) decided by exact cross-multiplication; both δ and the band
+    * are NULL when a nation has no returned or no kept lines (the
+    * dominance probability is undefined on an empty side).
     */
   def q329CliffsDelta(s: SparkSession, dir: String): DataFrame = {
     val grid = Tables.lineitem(s, dir)
@@ -263,7 +265,12 @@ object QueriesData {
         expr("""CAST((gt - lt) * 1000000
                 DIV nullif(CAST(n_r AS DECIMAL(38,0)) * n_o, 0)
                 AS BIGINT)""").as("delta_ppm"),
+        // degenerate denominator (no returned or no kept lines): δ is
+        // undefined (delta_ppm above is NULL via nullif) — without
+        // this guard every '<' test is false and the band would read
+        // 'large', a misleading label both engines would share
         expr("""CASE
+                WHEN CAST(n_r AS DECIMAL(38,0)) * n_o = 0 THEN NULL
                 WHEN abs(gt - lt) * 1000 <
                   CAST(n_r AS DECIMAL(38,0)) * n_o * 147 THEN 'negligible'
                 WHEN abs(gt - lt) * 100 <
@@ -795,7 +802,8 @@ object QueriesData {
     * = (Σw)²/Σw² says how many docs the reweighted source is really
     * worth — a source that over-samples the dominant language
     * collapses ESS long before anyone looks at a histogram. Weights
-    * are floored ppm (1e6 DIV n_lang, identical in both engines); ESS
+    * are floored ppt (1e12 DIV n_lang, identical in both engines —
+    * see the overflow-budget note inline); ESS
     * folds from the source×lang grid in exact DECIMAL with every DIV
     * quotient bounded by n·1000. The dominant language share rides
     * along.
@@ -851,11 +859,36 @@ object QueriesData {
       .select(col("id_a"), col("id_b")))
 
   /** Core of q340, parametrized on the edge set for the scale probe
-    * (the kCorePeel convention). */
-  private[graft] def kTrussPeel(edgesIn: DataFrame): DataFrame = {
+    * (the kCorePeel convention).
+    *
+    * Skew guard: each peel round enumerates triangles via an
+    * edges ⋈ adjacency join whose cost is O(Σ deg²) — linear on the
+    * constant-degree proximity grid this targets (deg ≈ π at any
+    * scale), but quadratic-in-the-hub on a power-law graph, where it
+    * would OOM an executor long after the plan looked fine. Rather
+    * than fail deep inside round 1, we pre-compute the input's max
+    * degree (one O(|E|) aggregate, amortized over ≥1 rounds of the
+    * same cost) and refuse loudly when it exceeds `maxDegreeCap`:
+    * callers with a genuine hub-heavy graph need a different
+    * algorithm (hub-splitting / degree-ordered iteration), not this
+    * peel. Degrees only shrink as edges peel, so the input check
+    * bounds every round.
+    */
+  private[graft] def kTrussPeel(edgesIn: DataFrame,
+      maxDegreeCap: Long = 1024L): DataFrame = {
     var e = edgesIn
       .select(col("id_a").as("ia"), col("id_b").as("ib"))
       .localCheckpoint()
+    val maxDeg = e.select(col("ia").as("id"))
+      .unionByName(e.select(col("ib").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .agg(max("deg")).collect().headOption
+      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      .getOrElse(0L)
+    require(maxDeg <= maxDegreeCap,
+      s"kTrussPeel: max degree $maxDeg exceeds cap $maxDegreeCap — " +
+        "the per-round triangle join is O(sum deg^2) and unsafe on " +
+        "hub-heavy graphs; split hubs or raise the cap deliberately")
     var sup: DataFrame = null
     var stable = false
     var round = 0

@@ -327,8 +327,12 @@ object QueriesEval {
         col("n_wide").cast("bigint").as("n_wide_items"),
         col("n").cast("bigint").as("n_values"),
         expr(s"CAST((sd DIV $L) * 1000000 DIV n AS BIGINT)").as("do_ppm"),
+        // nullif: a 1-value group has no pairs — DuckDB's // by zero
+        // yields NULL, Spark ANSI DIV throws, so the guard is needed
+        // for engine parity on degenerate groups (seed-gate class)
         expr("""CAST(se * 1000000
-                DIV (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)""")
+                DIV nullif(CAST(n AS DECIMAL(38,0)) * (n - 1), 0)
+                AS BIGINT)""")
           .as("de_ppm"),
         expr(s"""CAST(1000000 - (sd DIV $L) * (n - 1) * 1000000
                  DIV nullif(se, 0) AS BIGINT)""").as("alpha_ppm"))

@@ -292,4 +292,20 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("kTrussPeel refuses a hub node above the degree cap, loudly") {
+    // one hub linked to 40 spokes: legal input, but its triangle
+    // round would be O(deg(hub)^2) — the guard must fire BEFORE the
+    // join, with an actionable message, not an executor OOM later
+    val star = (1L to 40L).map(i => (0L, i)).toList
+    val df = star.toDF("id_a", "id_b").repartition(5)
+    val ex = intercept[IllegalArgumentException] {
+      graft.QueriesData.kTrussPeel(df, maxDegreeCap = 16L)
+    }
+    assert(ex.getMessage.contains("max degree 40") &&
+      ex.getMessage.contains("cap 16"))
+    // at/below the cap the same star peels fine (to the empty truss:
+    // a star has no triangles, so every edge drops)
+    assert(graft.QueriesData.kTrussPeel(df, maxDegreeCap = 64L).isEmpty)
+  }
 }
