@@ -1,0 +1,242 @@
+package graft
+
+/** DuckDB twin of q342 (the whole-cycle composition gate). The Spark
+  * side builds JSON documents from the standard tables and runs the
+  * REAL pipeline (parse → shred → validate → HR derivation → folds →
+  * error expansion); this twin derives the SAME canonical (tbl, k, v)
+  * rows from the SAME base tables directly — an independent statement
+  * of the intended semantics, never a re-execution of the engine path.
+  * Every modulo class in `QueriesCycle.inputs` is restated here; a
+  * drift between the two is a hash mismatch.
+  */
+object OraclesCycle {
+
+  /** md5-derived surrogate uuid, bit-identical to
+    * [[graft.etl.PureDocs.derivedUuid]].
+    */
+  private def duuid(arg: String): String =
+    s"substr(md5($arg),1,8)||'-'||substr(md5($arg),9,4)||'-'||" +
+      s"substr(md5($arg),13,4)||'-'||substr(md5($arg),17,4)||'-'||" +
+      s"substr(md5($arg),21,12)"
+
+  val oracles: Map[String, String] = Map(
+    "q342_runner_cycle" ->
+      s"""WITH cust AS (
+         |  SELECT c_custkey AS c, c_nationkey AS nk, c_mktsegment AS seg
+         |  FROM customer),
+         |jdim AS (SELECT * FROM (VALUES
+         |  ('AUTOMOBILE', false), ('BUILDING', false),
+         |  ('FURNITURE', true), ('HOUSEHOLD', true),
+         |  ('MACHINERY', false)) AS t(seg, dprof)),
+         |pc AS (
+         |  SELECT c, nk, seg,
+         |    (c % 11 <> 1 AND c % 13 <> 2 AND c % 5 <> 3
+         |      AND c % 19 <> 4 AND c % 17 <> 3) AS valid,
+         |    CASE WHEN c % 5 = 0 THEN 'dbu'||c
+         |         ELSE ${duuid("'person:'||c")} END AS puid
+         |  FROM cust),
+         |po AS (
+         |  SELECT o_orderkey AS o, o_custkey AS oc FROM orders
+         |  WHERE o_orderkey % 100 < 2),
+         |pj AS (
+         |  SELECT o, pc.c, pc.nk,
+         |    -- the PUB-side person uuid comes from the EDW person dim,
+         |    -- which still carries the stale-skipped c%5=3 rows under
+         |    -- their existing 'dbu' uuids
+         |    CASE WHEN pc.c % 5 IN (0, 3) THEN 'dbu'||pc.c
+         |         ELSE pc.puid END AS puid,
+         |    (pc.valid OR pc.c % 5 IN (0, 3)) AS member
+         |  FROM po JOIN pc ON pc.c = po.oc),
+         |pcl AS (
+         |  SELECT *, CASE
+         |    WHEN o % 1000 = 500 THEN 'stale'
+         |    WHEN o % 100 = 1 THEN 'owner_org_not_in_edw'
+         |    WHEN NOT member THEN 'person_not_in_edw'
+         |    WHEN o % 1000 = 300 THEN 'person_missing_pure_uuid'
+         |    WHEN o % 300 = 200 THEN 'org_not_in_edw' END AS skip
+         |  FROM pj),
+         |vpub AS (
+         |  SELECT *, CASE WHEN o % 500 = 0 THEN 'dbp'||o
+         |    ELSE ${duuid("'pub:pub'||o")} END AS pub_uuid
+         |  FROM pcl WHERE skip IS NULL),
+         |hr AS ( -- one employee job per customer outside dept 23
+         |  SELECT cust.*, dprof,
+         |    CASE WHEN c % 10 = 0 THEN 'SV'||c ELSE c::VARCHAR END AS pid,
+         |    CASE WHEN nk IN (3, 10, 17, 24) THEN 'DIM'||nk
+         |         ELSE 'ORG'||nk END AS orgid,
+         |    (c % 4 <> 2) AS active,
+         |    CASE WHEN c % 4 <> 2 THEN NULL
+         |         WHEN c % 8 = 6 THEN '2019-05-06 00:00:00'
+         |         ELSE '2020-01-01 00:00:00' END AS end_s,
+         |    CASE WHEN c % 4 = 2 THEN 'nonacademic'
+         |         WHEN seg IN ('FURNITURE', 'MACHINERY') THEN 'academic'
+         |         ELSE 'nonacademic' END AS staff,
+         |    CASE WHEN c % 4 <> 2 AND c % 2 = 0 AND seg <> 'BUILDING'
+         |         THEN 'Public' ELSE 'Restricted' END AS vis,
+         |    CASE WHEN c % 4 = 2 THEN false
+         |         WHEN seg = 'MACHINERY' THEN nk % 8 = 0
+         |         ELSE dprof END AS prof,
+         |    'F'||c||CASE WHEN c % 2 = 0 THEN ' M' ELSE '' END AS fname,
+         |    CASE WHEN c % 3 <> 1 THEN 'u'||c END AS inet,
+         |    CASE WHEN c % 2 = 0 THEN 'TXXX' ELSE 'XOTH' END AS campus,
+         |    CASE WHEN c % 2 = 0 THEN 'TC' ELSE 'OT' END AS campus_d
+         |  FROM cust JOIN jdim USING (seg) WHERE nk <> 23),
+         |pid23 AS (SELECT count(*) AS n FROM cust WHERE nk = 23)
+         |
+         |SELECT 'org' AS tbl, 'o'||n_nationkey AS k, concat_ws('|',
+         |    'Y', n_name, 'ORG'||n_nationkey, 'r'||n_regionkey,
+         |    'RORG'||n_regionkey, 'department', '2020-06-01 00:00:00') AS v
+         |  FROM nation WHERE n_nationkey % 7 <> 3
+         |UNION ALL
+         |SELECT 'org', 'r'||r_regionkey, concat_ws('|',
+         |    'Y', r_name, 'RORG'||r_regionkey,
+         |    CASE WHEN r_regionkey = 4 THEN 'oz' ELSE '∅' END,
+         |    CASE WHEN r_regionkey = 4 THEN 'ORGZ' ELSE '∅' END,
+         |    'college', '2020-06-01 00:00:00')
+         |  FROM region
+         |UNION ALL
+         |SELECT 'org', 'x'||r_regionkey, concat_ws('|',
+         |    'N', 'X '||r_name, '∅', '∅', '∅', 'external collaborator',
+         |    '2020-06-01 00:00:00')
+         |  FROM region
+         |UNION ALL
+         |SELECT 'deptorg', nk::VARCHAR, 'ORG'||nk||'|o'||nk
+         |  FROM (SELECT n_nationkey AS nk FROM nation
+         |        WHERE n_nationkey % 7 <> 3 AND n_nationkey <> 23)
+         |UNION ALL
+         |SELECT 'person', 'p'||c, concat_ws('|', puid, 'PP'||c, 'Y',
+         |    c::VARCHAR,
+         |    coalesce(CASE WHEN c % 3 <> 1 THEN 'u'||c END, '∅'),
+         |    'PF'||c, 'PL'||c,
+         |    coalesce(CASE WHEN c % 21 = 5 THEN '0000-'||c END, '∅'),
+         |    coalesce(CASE WHEN c % 6 = 0 THEN (c % 40)::VARCHAR END, '∅'),
+         |    '2020-06-01 00:00:00')
+         |  FROM pc WHERE valid
+         |UNION ALL
+         |SELECT 'person', 'xp'||s_suppkey, concat_ws('|',
+         |    ${duuid("'ext-person:xp'||s_suppkey")}, '∅', 'N', '∅', '∅',
+         |    'XF'||s_suppkey, 'XL'||s_suppkey, '∅', '∅',
+         |    '2020-06-01 00:00:00')
+         |  FROM supplier
+         |UNION ALL
+         |SELECT 'upo', puid||'/o'||nk, concat_ws('|', 'PP'||c,
+         |    c::VARCHAR, '∅', 'Professor', 'Academic', 'academic',
+         |    '2015-09-01 00:00:00',
+         |    coalesce(CASE WHEN c % 23 = 7
+         |      THEN '2019-12-31 00:00:00' END, '∅'), 'Y')
+         |  FROM pc WHERE valid
+         |UNION ALL
+         |SELECT 'pub', 'pub'||o, concat_ws('|', pub_uuid,
+         |    coalesce(CASE WHEN o % 2 = 0 THEN 'EX'||o END, '∅'),
+         |    coalesce(CASE WHEN o % 5 = 0 THEN 'pm'||o END, '∅'),
+         |    CASE WHEN o % 6 = 0 THEN '10.1/b'||o ELSE '10.1/a'||o END,
+         |    'contributiontojournal', 'article', 'T'||o, 'J'||(o % 20),
+         |    '1234-'||(o % 10), (o % 9)::VARCHAR, (o % 11)::VARCHAR,
+         |    'p'||(o % 30), (o % 50)::VARCHAR, 'o'||(o % 25),
+         |    '2020-06-01 00:00:00',
+         |    '∅', coalesce(CASE WHEN o % 4 = 0 THEN 'false' END, '∅'), '∅',
+         |    '∅', '∅', '∅',
+         |    '∅', '∅', '∅',
+         |    strftime(make_timestamp(1995 + o % 6,
+         |      CASE WHEN o % 2 = 0 THEN o % 12 + 1 ELSE 1 END,
+         |      1, 0, 0, 0), '%Y-%m-%d %H:%M:%S'),
+         |    'true', CASE WHEN o % 2 = 0 THEN '31' ELSE '366' END,
+         |    '∅', '∅', '∅',
+         |    '∅', '∅', '∅')
+         |  FROM vpub
+         |UNION ALL
+         |SELECT 'pubperson', pub_uuid||'/'||puid, concat_ws('|',
+         |    '1', 'author', 'Y', 'AF1'||o, 'AL1'||o, c::VARCHAR)
+         |  FROM vpub
+         |UNION ALL
+         |SELECT 'pubperson',
+         |    pub_uuid||'/'||${duuid("'ext-person:xp'||(o % 10)")},
+         |    concat_ws('|', '2', 'author', 'N', 'AF2'||o, 'AL2'||o, '∅')
+         |  FROM vpub WHERE o % 3 = 0
+         |UNION ALL
+         |SELECT 'pubpersonorg', pub_uuid||'/'||puid||'/o'||nk, ''
+         |  FROM vpub
+         |UNION ALL
+         |SELECT 'pubpersonorg',
+         |    pub_uuid||'/'||${duuid("'ext-person:xp'||(o % 10)")}
+         |      ||'/x'||(o % 5), ''
+         |  FROM vpub WHERE o % 3 = 0
+         |UNION ALL
+         |SELECT 'pubcollab', pub_uuid||'/col'||(o % 4), concat_ws('|',
+         |    (2 + CASE WHEN o % 3 = 0 THEN 1 ELSE 0 END)::VARCHAR,
+         |    'author')
+         |  FROM vpub WHERE o % 7 = 0
+         |UNION ALL
+         |SELECT DISTINCT 'collab', 'col'||(o % 4), 'Collab '||(o % 4)
+         |  FROM vpub WHERE o % 7 = 0
+         |UNION ALL
+         |SELECT 'skip', 'o'||n_nationkey, 'stale' FROM nation
+         |  WHERE n_nationkey % 7 = 3
+         |UNION ALL
+         |SELECT 'skip', 'p'||c, 'missing_emplid' FROM cust WHERE c % 11 = 1
+         |UNION ALL
+         |SELECT 'skip', 'p'||c, 'missing_pure_id' FROM cust
+         |  WHERE c % 11 <> 1 AND c % 13 = 2
+         |UNION ALL
+         |SELECT 'skip', 'p'||c, 'stale' FROM cust
+         |  WHERE c % 11 <> 1 AND c % 13 <> 2 AND c % 5 = 3
+         |UNION ALL
+         |SELECT 'skip', 'p'||c, 'org_not_in_edw' FROM cust
+         |  WHERE c % 11 <> 1 AND c % 13 <> 2 AND c % 5 <> 3 AND c % 19 = 4
+         |UNION ALL
+         |SELECT 'skip', 'p'||c, 'missing_job_description' FROM cust
+         |  WHERE c % 11 <> 1 AND c % 13 <> 2 AND c % 5 <> 3 AND c % 17 = 3
+         |UNION ALL
+         |SELECT 'skip', 'pub'||o, skip FROM pcl WHERE skip IS NOT NULL
+         |UNION ALL
+         |SELECT 'persondata', pid, concat_ws('|', fname, 'L'||c, vis,
+         |    prof::VARCHAR, c::VARCHAR, coalesce(inet, '∅'),
+         |    coalesce(CASE WHEN c % 9 = 0 THEN 'Jr' END, '∅'))
+         |  FROM hr
+         |UNION ALL
+         |SELECT 'soa',
+         |    'autoid:'||pid||'-'||orgid||'-Desc '||seg||'-EA_'||seg
+         |      ||'-2016-03-04',
+         |    concat_ws('|', 'JC_'||seg, pid, '2016-03-04 00:00:00',
+         |      coalesce(end_s, '∅'), orgid, 'EA_'||seg, staff, vis,
+         |      'true', 'PJD '||seg, 'e'||c||'@x.org')
+         |  FROM hr
+         |UNION ALL
+         |SELECT 'userdata', pid, concat_ws('|', fname, 'L'||c, 'u'||c,
+         |    'u'||c||'@umn.edu')
+         |  FROM hr WHERE c % 3 <> 1
+         |UNION ALL
+         |SELECT 'err', 'ExpertsEtlUnknownDept', concat_ws('|',
+         |    'unknown department', '∅', '∅', '∅', '∅', '23', 'D23',
+         |    (SELECT n FROM pid23)::VARCHAR, 'CL2', 'CLD2',
+         |    CASE WHEN c % 2 = 0 THEN 'TXXX' ELSE 'XOTH' END,
+         |    CASE WHEN c % 2 = 0 THEN 'TC' ELSE 'OT' END)
+         |  FROM cust WHERE nk = 23
+         |UNION ALL
+         |SELECT 'err', 'ExpertsEtlJobWithUnknownDept', concat_ws('|',
+         |    'job with unknown department', c::VARCHAR, '∅',
+         |    'JC_'||seg, 'Desc '||seg, '23', 'D23', '∅', 'CL2', 'CLD2',
+         |    CASE WHEN c % 2 = 0 THEN 'TXXX' ELSE 'XOTH' END,
+         |    CASE WHEN c % 2 = 0 THEN 'TC' ELSE 'OT' END)
+         |  FROM cust WHERE nk = 23
+         |UNION ALL
+         |SELECT 'err', 'ExpertsEtlUnknownJobcodeDeptid', concat_ws('|',
+         |    'unknown overrideable jobcode/deptid pair', c::VARCHAR, '∅',
+         |    'JC_MACHINERY', 'Desc MACHINERY', nk::VARCHAR, 'D'||nk, '∅',
+         |    'CL'||(nk % 3), 'CLD'||(nk % 3), campus, campus_d)
+         |  FROM hr WHERE seg = 'MACHINERY' AND active AND nk % 2 = 1
+         |UNION ALL
+         |SELECT 'err', 'ExpertsEtlJobWithUnknownJobcodeDeptid',
+         |    concat_ws('|',
+         |    'job with unknown overrideable jobcode/deptid pair',
+         |    c::VARCHAR, '∅', 'JC_MACHINERY', 'Desc MACHINERY',
+         |    nk::VARCHAR, 'D'||nk, '∅',
+         |    'CL'||(nk % 3), 'CLD'||(nk % 3), campus, campus_d)
+         |  FROM hr WHERE seg = 'MACHINERY' AND active AND nk % 2 = 1
+         |UNION ALL
+         |SELECT 'err', 'ExpertsEtlPersonNoJobData', concat_ws('|',
+         |    'unable to find or generate any job data for person',
+         |    c::VARCHAR, '∅', '∅', '∅', '∅', '∅', '∅', '∅', '∅', '∅', '∅')
+         |  FROM cust WHERE nk = 23
+         |ORDER BY 1, 2, 3""".stripMargin)
+}

@@ -386,7 +386,8 @@ object OraclesEval {
          |  FROM pts GROUP BY 1)
          |SELECT lang, CAST(k AS BIGINT) AS n_terms,
          |  round(CAST(k * sxy - sx * sy AS DOUBLE)
-         |    / CAST(k * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+         |    / CAST(nullif(k * sxx - sx * sx, 0) AS DOUBLE), 6)
+         |    AS zipf_slope
          |FROM s ORDER BY 1""".stripMargin,
 
     // q320: first-occurrence docs, the 16-threshold grid, conditional
@@ -417,7 +418,8 @@ object OraclesEval {
          |  FROM pts GROUP BY 1)
          |SELECT lang, CAST(k AS BIGINT) AS n_checkpoints,
          |  round(CAST(k * sxy - sx * sy AS DOUBLE)
-         |    / CAST(k * sxx - sx * sx AS DOUBLE), 6) AS heaps_beta
+         |    / CAST(nullif(k * sxx - sx * sx, 0) AS DOUBLE), 6)
+         |    AS heaps_beta
          |FROM s ORDER BY 1""".stripMargin,
 
     // q321: corpus-pooled clipped matches for n = 1..4, integral

@@ -583,9 +583,13 @@ object QueriesEval {
       .agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
         sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
       .select(col("lang"), col("k").cast("bigint").as("n_terms"),
+        // nullif: one distinct term ⇒ one rank point ⇒ zero OLS
+        // denominator — same degenerate class the edge-seed gate hit
+        // in q320; slope undefined, NULL (oracle mirrored)
         round((col("k") * col("sxy") - col("sx") * col("sy"))
           .cast("double") /
-          (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"),
+          nullif((col("k") * col("sxx") - col("sx") * col("sx")), lit(0))
+            .cast("double"),
           6).as("zipf_slope"))
       .orderBy("lang")
   }
@@ -629,9 +633,15 @@ object QueriesEval {
       .agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
         sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
       .select(col("lang"), col("k").cast("bigint").as("n_checkpoints"),
+        // nullif: a language whose checkpoints all share one x (e.g. a
+        // single-document language — every threshold sees the same
+        // corpus) has a zero OLS denominator and NO defined slope;
+        // emit NULL instead of the DIV-by-zero throw the edge-seed
+        // gate hit (seed 99 --edge, r17). Mirrored in the oracle.
         round((col("k") * col("sxy") - col("sx") * col("sy"))
           .cast("double") /
-          (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"),
+          nullif((col("k") * col("sxx") - col("sx") * col("sx")), lit(0))
+            .cast("double"),
           6).as("heaps_beta"))
       .orderBy("lang")
   }

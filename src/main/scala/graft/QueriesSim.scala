@@ -620,7 +620,9 @@ object QueriesSim {
     "q131_vector_stats" -> q131VectorStats _,
     "q40_topk_brute_force" -> q40TopkBruteForce _,
     "q41_embedding_near_dup" -> q41EmbeddingNearDup _,
-    "q42_lsh_topk" -> q42LshTopk _,
+    // q42 (xxhash64 hyperplane LSH) left the declared surface in r17:
+    // q69's md5-seeded incremental variant is the hash-gated twin and
+    // q40 the exact-recall baseline; the fast path stays spec-gated.
     "q46_ivf_topk" -> q46IvfTopk _,
     "q56_lsh_topk_portable" -> q56LshTopkPortable _,
     "q60_quantized_topk" -> q60QuantizedTopk _,

@@ -72,7 +72,7 @@ object QueriesText {
   def q35NgramJaccard(s: SparkSession, dir: String): DataFrame =
     // scoped to every 5th doc: all-pairs verify on a tiny-vocabulary
     // corpus is quadratic in posting-list sizes by design — this is the
-    // oracle-checkable exact baseline; MinHash LSH (q36) is the scale path.
+    // oracle-checkable exact baseline; MinHash LSH (q55) is the scale path.
     Dedup.ngramJaccardPairs(
         Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0),
         "doc_id", "text", shingleLen = 3, threshold = 0.8)
@@ -1482,11 +1482,13 @@ object QueriesText {
     "q33_fingerprint" -> q33Fingerprint _,
     "q34_exact_dedup" -> q34ExactDedup _,
     "q35_ngram_jaccard" -> q35NgramJaccard _,
-    "q36_minhash_lsh" -> q36MinhashLsh _,
-    "q37_simhash" -> q37Simhash _,
+    // q36/q37/q38 (the xxhash64-native sketch variants) left the
+    // declared surface in r17: each duplicated its HASH-GATED portable
+    // twin below with only the hash family changed, and the twin is
+    // the stronger gate. The fast paths stay implemented + spec-gated
+    // (SketchSigsParitySpec, RollingWinnowSpec) as plan-shape variants.
     "q55_minhash_portable" -> q55MinhashPortable _,
     "q58_simhash_portable" -> q58SimhashPortable _,
-    "q38_winnow_fingerprint" -> q38Winnow _,
     "q59_winnow_portable" -> q59WinnowPortable _,
     "q61_sequence_packing" -> q61SequencePacking _,
     "q62_source_quota" -> q62SourceQuota _,

@@ -85,6 +85,35 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 
+  /** Append one measurement to PROBES_LOG.jsonl (the machine-readable
+    * twin of the stdout table). `tools/probes_merge.py` folds the log
+    * into PROBES.json — the registry ProbeRegistrySpec guards, so a
+    * query declared after its family's last probe can't ship unprobed
+    * silently. Probe labels ("q81_pq_trained*", "q256_grid_join*")
+    * resolve to the declared query that owns the number.
+    */
+  private def logRecord(label: String, factor: Int, exponent: Double,
+      t1: Double, tn: Double): Unit =
+    try {
+      val num = label.takeWhile(_ != '_')
+      val declared = SparkEntry.queries.keys
+        .filter(_.startsWith(num + "_")).toSeq match {
+          case Seq(one) => one
+          case _ => label.stripSuffix("*")
+        }
+      val date = java.time.LocalDate.now().toString
+      val line = f"""{"query":"$declared","label":"$label","factor":$factor,""" +
+        f""""exponent":${math.round(exponent * 100) / 100.0}%s,""" +
+        f""""t1":${math.round(t1 * 100) / 100.0}%s,""" +
+        f""""tN":${math.round(tn * 100) / 100.0}%s,"date":"$date"}%n"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/root/repo/PROBES_LOG.jsonl"), line,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Throwable =>
+      System.err.println(s"[probe] record append failed: ${e.getMessage}")
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val work = if (args.length > 1) args(1) else "/root/repo/tmp/scaleprobe"
@@ -136,7 +165,7 @@ object ScaleProbe {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def wanted(name: String): Boolean = only.forall(_.contains(name))
     val probes = Seq("q125_sparse_cosine", "q72_containment",
-      "q36_minhash_lsh", "q78_span_dedup", "q153_setsim_join",
+      "q55_minhash_portable", "q78_span_dedup", "q153_setsim_join",
       "q01_pricing_summary", "q139_star_join", "q143_only_returner",
       // round-12 wave 6: per-group rank windows, cumulative-interval
       // FIFO join, distinct+degree moments, RAKE text pipeline
@@ -202,6 +231,7 @@ object ScaleProbe {
       }
       val exp = math.log(tn / t1) / math.log(factor.toDouble)
       println(f"$name%-24s $t1%8.2f $tn%8.2f $r1%8d $rn%8d $exp%6.2f")
+      logRecord(name, factor, exp, t1, tn)
     }
     probes.foreach { name =>
       measure(name, SparkEntry.queries(name), SparkEntry.queries(name))

@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCore.queries ++ QueriesText.queries ++ QueriesSim.queries ++
-      QueriesStats.queries ++ QueriesEval.queries ++ QueriesData.queries
+      QueriesStats.queries ++ QueriesEval.queries ++ QueriesData.queries ++
+      QueriesCycle.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     OraclesCore.oracles ++ QueriesText.oracles ++ QueriesSim.oracles ++
-      OraclesStats.oracles ++ OraclesEval.oracles ++ OraclesData.oracles
+      OraclesStats.oracles ++ OraclesEval.oracles ++ OraclesData.oracles ++
+      OraclesCycle.oracles
 }

@@ -42,14 +42,9 @@ class SparkEntrySpec extends AnyFunSuite {
     * complete and free of stale entries.
     */
   private val rowsOnlyWhy: Map[String, String] = Map(
-    "q36_minhash_lsh" -> ("engine-native xxhash64 signatures; exact " +
-      "logic gated by portable-md5 twin q55_minhash_portable"),
-    "q37_simhash" -> ("engine-native xxhash64 bits; gated twin " +
-      "q58_simhash_portable"),
-    "q38_winnow_fingerprint" -> ("engine-native xxhash64 windows; " +
-      "gated twin q59_winnow_portable"),
-    "q42_lsh_topk" -> ("xxhash64 hyperplane seeds; recall property " +
-      "gated against exact q40_topk_brute_force in OperatorsSpec"),
+    // q36/q37/q38/q42 (xxhash64-native duplicates of hash-gated md5
+    // twins) were retired from the declared surface in r17 — their
+    // implementations remain spec-gated plan-shape variants.
     "q46_ivf_topk" -> ("kmeans-trained centroids (iteration order not " +
       "SQL); recall gated against exact q40 in OperatorsSpec"),
     "q48_compression" -> ("java.util.zip Deflater ratios are " +

@@ -4,13 +4,43 @@ given SF, then compare each query's parquet against DuckDB executing the
 declared oracle SQL over the same testdata tables.
 
 Usage: python3 tools/check.py [sfdir] [outdir] [--skip-verify] [query...]
-"""
-import json, sys, subprocess, glob, os
+       python3 tools/check.py --seed N [--edge] [query...]
 
-sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
-flags = [a for a in sys.argv[3:] if a.startswith("--")]
-only = [a for a in sys.argv[3:] if not a.startswith("--")]
+--seed N is the randomized-data gate (VERDICT r16 #1): it regenerates
+sf0.001-scale tables under seed N via tools/gen_testdata.py into
+tmp/seeddata/seed<N>[e] and runs the full gate there — same engine,
+same oracles, data the queries have never seen. --edge additionally
+injects rare degenerate-but-legal shapes (1-token docs, duplicate
+texts, a singleton language, empty orders). Results are appended to
+SEEDGATE.jsonl (the CI-style record that the gate is green off the
+default seed).
+"""
+import json, sys, subprocess, glob, os, datetime
+
+args = sys.argv[1:]
+seed = None
+if "--seed" in args:
+    i = args.index("--seed")
+    seed = int(args[i + 1])
+    args = args[:i] + args[i + 2:]
+    edge = "--edge" in args
+    if edge:
+        args.remove("--edge")
+    sfdir = f"/root/repo/tmp/seeddata/seed{seed}{'e' if edge else ''}"
+    outdir = f"/tmp/verify_seed{seed}{'e' if edge else ''}"
+    gen = subprocess.run(
+        [sys.executable, "tools/gen_testdata.py", sfdir,
+         "--seed", str(seed), "--sf", "0.001"] + (["--edge"] if edge else []),
+        cwd="/root/repo")
+    if gen.returncode != 0:
+        print("GENERATOR FAILED"); sys.exit(1)
+    flags = [a for a in args if a.startswith("--")]
+    only = [a for a in args if not a.startswith("--")]
+else:
+    sfdir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    outdir = args[1] if len(args) > 1 else "/tmp/verify_out"
+    flags = [a for a in args[2:] if a.startswith("--")]
+    only = [a for a in args[2:] if not a.startswith("--")]
 
 if "--skip-verify" not in flags:
     r = subprocess.run(
@@ -84,4 +114,12 @@ for name in names:
         print(f"{name:32s} OK ({len(g)} rows){note}")
 
 print(f"\n{len(names)-len(fails)}/{len(names)} pass")
+if seed is not None and not only:
+    rec = {"ts": datetime.datetime.now(datetime.timezone.utc)
+           .isoformat(timespec="seconds"),
+           "seed": seed, "edge": "--edge" in sys.argv, "sfdir": sfdir,
+           "pass": len(names) - len(fails), "total": len(names),
+           "fails": sorted(fails)}
+    with open("/root/repo/SEEDGATE.jsonl", "a") as f:
+        f.write(json.dumps(rec) + "\n")
 sys.exit(1 if fails else 0)
