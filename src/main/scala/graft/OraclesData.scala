@@ -89,6 +89,24 @@ object OraclesData {
         |FROM lineitem WHERE l_quantity >= 25
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // q343/q344: q341's parquet-derived aggregate for the CSV and
+    // JSON round-trips (different pushed predicates so the three
+    // format gates never share a literal).
+    "q343_csv_roundtrip" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM lineitem WHERE l_quantity <= 20
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q344_json_roundtrip" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM lineitem WHERE l_extendedprice >= 50000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // q326: same derivation, same canonicalization staged through
     // chained CTEs (lowercase scheme/host, default-port strip,
     // fragment drop, utm_*/fbclid drop, param sort, trailing-slash

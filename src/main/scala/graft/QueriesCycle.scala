@@ -409,7 +409,13 @@ object QueriesCycle {
     df.select(lit(tbl).as("tbl"), k.cast("string").as("k"), v(vs: _*).as("v"))
 
   def q342RunnerCycle(s: SparkSession, dir: String): DataFrame = {
-    val out = Runner.syncCycle(inputs(s, dir))
+    // one materialization per stage boundary (the mat hook): Spark has
+    // no cross-branch subplan reuse, so without it the 14-way
+    // serialization union below re-executes the cycle's deep shared
+    // lineage once per branch (measured 75 s at sf0.1 vs 13 s with the
+    // boundaries cut) — and the reference serializes the same
+    // boundaries through EDW stage tables between its subprocesses
+    val out = Runner.syncCycle(inputs(s, dir), _.localCheckpoint(false))
     val stems = Seq("eissued", "inpress", "inprep", "issued", "submitted",
       "unissued")
     val stateCols: Seq[Column] = stems.flatMap(st =>

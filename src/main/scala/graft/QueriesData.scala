@@ -947,7 +947,73 @@ object QueriesData {
     } finally TmpTrees.delete(root)
   }
 
+  /** CSV ROUND-TRIP — q341's shape for the row-oriented interchange
+    * format: the same lineitem projection is written as 4 CSV files
+    * (header on), read back through the CSV scan with an EXPLICIT
+    * schema (no inference pass — at 100 TB an inference scan doubles
+    * the read) and a pushed predicate, and aggregated; the oracle
+    * computes the same aggregate from the parquet source, so quoting,
+    * numeric formatting, or header bugs hash-fail. Completes the
+    * in-box format-fidelity family with q341 (ORC) / q344 (JSON).
+    */
+  def q343CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("q343-csv").toString
+    try {
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
+        .repartition(4)
+        .write.mode("overwrite").option("header", "true").csv(s"$root/li")
+      s.read
+        .schema("l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE," +
+          " l_extendedprice DOUBLE, l_returnflag STRING")
+        .option("header", "true").csv(s"$root/li")
+        .filter(col("l_quantity") <= 20)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+          sum(expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .as("sum_cents"))
+        .orderBy("l_returnflag")
+        .localCheckpoint(true)
+    } finally TmpTrees.delete(root)
+  }
+
+  /** JSON-LINES ROUND-TRIP — q341's shape for the log-interchange
+    * format every ingest pipeline still meets: 4 JSON-lines files
+    * written, read back with an explicit schema and a pushed
+    * predicate, aggregated against the parquet-derived oracle.
+    */
+  def q344JsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("q344-json").toString
+    try {
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
+        .repartition(4)
+        .write.mode("overwrite").json(s"$root/li")
+      s.read
+        .schema("l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE," +
+          " l_extendedprice DOUBLE, l_returnflag STRING")
+        .json(s"$root/li")
+        .filter(col("l_extendedprice") >= 50000.0)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+          sum(expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .as("sum_cents"))
+        .orderBy("l_returnflag")
+        .localCheckpoint(true)
+    } finally TmpTrees.delete(root)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q343_csv_roundtrip" -> q343CsvRoundtrip _,
+    "q344_json_roundtrip" -> q344JsonRoundtrip _,
     "q326_url_canonicalize" -> q326UrlCanonicalize _,
     "q327_wasserstein_drift" -> q327WassersteinDrift _,
     "q328_kruskal_wallis" -> q328KruskalWallis _,

@@ -203,7 +203,15 @@ object ScaleProbe {
       "q338_rec_diversity", "q339_ess_diagnostics",
       // q341 writes + reads back the replicated facts through ORC —
       // the slope is sink+scan volume
-      "q341_orc_roundtrip")
+      "q341_orc_roundtrip",
+      // q342 whole-cycle: customers/nations are DIMS (replicated
+      // verbatim), so the HR/person side is constant and the slope
+      // reads the pub-document side (2 % of the 10× orders) — the
+      // honest CDC-batch-growth posture
+      "q342_runner_cycle",
+      // q343/q344 ride the replicated lineitem through the CSV/JSON
+      // sinks+scans — like q341, the slope is format volume
+      "q343_csv_roundtrip", "q344_json_roundtrip")
       .filter(wanted)
     def time(fn: => DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()

@@ -26,6 +26,11 @@ object OitToEdw {
     * pipelines. Demographics columns per SURVEY §1.4 (emplid,
     * internet_id, first_name, last_name, middle_initial, name_suffix,
     * instl_email_addr, primary_empl_rcdno, timestamp).
+    *
+    * `mat` marks materializable stage boundaries (the
+    * [[PurePersons.shredInternalPersons]] convention): `persons`
+    * (six consumers), `typed` (two), `withAssoc` (three). Identity by
+    * default — existing callers' plans are unchanged.
     */
   def personSync(
       demogHistory: DataFrame,
@@ -38,9 +43,10 @@ object OitToEdw {
       poiJobcodes: DataFrame,
       affJobcodes: DataFrame,
       knownOverrideable: DataFrame,
-      overrides: DataFrame): SyncTables = {
+      overrides: DataFrame,
+      mat: DataFrame => DataFrame = identity): SyncTables = {
 
-    val persons = Demographics.extractPersons(demogHistory, scival)
+    val persons = mat(Demographics.extractPersons(demogHistory, scival))
 
     val (empJobs, empErrors) = HrJobs.employeeJobs(empEntries, deptOrg,
       empJobcodes, knownOverrideable, overrides)
@@ -50,11 +56,11 @@ object OitToEdw {
 
     val elected = PersonSync.electPrimaryJobs(empJobs, poiJobs, affJobs,
       persons.select("emplid", "primary_empl_rcdno"))
-    val typed = PersonSync.transformStaffType(elected)
-    val withAssoc = PersonSync.staffOrgAssocId(
+    val typed = mat(PersonSync.transformStaffType(elected))
+    val withAssoc = mat(PersonSync.staffOrgAssocId(
       typed.join(persons.select(col("emplid"), col("person_id")),
         Seq("emplid")),
-      col("person_id"))
+      col("person_id")))
 
     val profiled = PersonSync.transformProfiled(typed)
     // visibility folds over the POST-dedup job list (person.py:255-261

@@ -126,11 +126,18 @@ object PureDocs {
       authorCollabs: DataFrame,
       skips: DataFrame)
 
+  /** `mat` marks materializable stage boundaries (the
+    * [[PurePersons.shredInternalPersons]] convention): `fresh` (one
+    * JSON parse), `personAssocsRanked` (three consumers),
+    * `orgRefs` (two), `skipsAssoc` (five anti-joins). Identity by
+    * default — existing callers' plans are unchanged.
+    */
   def shredPubs(
       raw: DataFrame,
       existingPubs: DataFrame,
       persons: DataFrame,
-      orgs: DataFrame): PubShred = {
+      orgs: DataFrame,
+      mat: DataFrame => DataFrame = identity): PubShred = {
 
     val parsed = raw
       .withColumn("doc", from_json(col("json"), pubSchema))
@@ -149,10 +156,10 @@ object PureDocs {
     // nondeterministic uuid would mint DIFFERENT keys per action,
     // orphaning child rows. Name-based uuid from the source uuid is
     // stable across executions and collision-free per source.
-    val fresh = withDb.filter(
+    val fresh = mat(withDb.filter(
         Fns.isFresh(col("__db_modified"), col("modified")))
       .withColumn("pub_uuid",
-        coalesce(col("__db_uuid"), derivedUuid(lit("pub"), col("uuid"))))
+        coalesce(col("__db_uuid"), derivedUuid(lit("pub"), col("uuid")))))
 
     // owner org validation (pure_api_pub.py:207-225): no owner → skip;
     // owner not in org dim → skip
@@ -194,8 +201,8 @@ object PureDocs {
     // dup-person `continue` at pure_api_pub.py:337)
     val firstOcc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("uuid"), col("person_uuid"))
-    val personAssocsRanked = personAssocs.withColumn("__first_ord",
-      min(col("author_ordinal")).over(firstOcc))
+    val personAssocsRanked = mat(personAssocs.withColumn("__first_ord",
+      min(col("author_ordinal")).over(firstOcc)))
     val orgRefs = personAssocsRanked
       .filter(col("author_ordinal") === col("__first_ord"))
       .select(col("uuid"), col("pub_uuid"), col("person_uuid"),
@@ -209,6 +216,7 @@ object PureDocs {
         col("orgref.uuid").as("pure_org_uuid"))
       .join(broadcast(orgs.select(col("pure_uuid").as("pure_org_uuid"),
         lit(true).as("__org_ok"))), Seq("pure_org_uuid"), "left")
+    val orgRefsM = mat(orgRefs)
 
     val docValidity = personAssocs
       .groupBy("uuid")
@@ -217,18 +225,19 @@ object PureDocs {
           .as("__missing_uuid"),
         max(when(col("person_pure_uuid").isNotNull &&
           col("person_uuid").isNull, 1).otherwise(0)).as("__missing_person"))
-      .join(orgRefs.groupBy("uuid")
+      .join(orgRefsM.groupBy("uuid")
         .agg(max(when(col("__org_ok").isNull, 1).otherwise(0))
           .as("__missing_org")), Seq("uuid"), "outer")
       .na.fill(0, Seq("__missing_uuid", "__missing_person", "__missing_org"))
 
-    val skipsAssoc = docValidity
+    val skipsAssoc0 = docValidity
       .filter(col("__missing_uuid") === 1 || col("__missing_person") === 1 ||
         col("__missing_org") === 1)
       .select(col("uuid"),
         when(col("__missing_person") === 1, "person_not_in_edw")
           .when(col("__missing_uuid") === 1, "person_missing_pure_uuid")
           .otherwise("org_not_in_edw").as("skip_reason"))
+    val skipsAssoc = mat(skipsAssoc0)
 
     val validDocs = owned.join(skipsAssoc.select("uuid"), Seq("uuid"), "left_anti")
 
@@ -321,7 +330,7 @@ object PureDocs {
         col("emplid"))
 
     // D3: (person, org) pair dedup per pub
-    val pubPersonOrgs = orgRefs
+    val pubPersonOrgs = orgRefsM
       .join(skipsAssoc.select("uuid"), Seq("uuid"), "left_anti")
       .select(col("pub_uuid"), col("person_uuid"), col("pure_org_uuid"))
       .dropDuplicates("pub_uuid", "person_uuid", "pure_org_uuid")

@@ -62,12 +62,21 @@ object PurePersons {
     * stale, an api-only org absent from EDW, or any association missing
     * its en_US job description — all-or-nothing per person.
     */
+  /** `mat` marks the stage boundaries a caller may MATERIALIZE
+    * (localCheckpoint / persist / write-to-EDW): `fresh` (one JSON
+    * parse instead of one per downstream consumer) and `skipKeys`
+    * (five anti-join consumers). Identity by default — plans of
+    * existing callers are unchanged; the whole-cycle composition
+    * passes a checkpoint, mirroring the reference's stage-table
+    * serialization.
+    */
   def shredInternalPersons(
       raw: DataFrame,
       existingPersons: DataFrame,
       personOrgs: DataFrame,
       scopusIds: DataFrame,
-      orgs: DataFrame): PersonShred = {
+      orgs: DataFrame,
+      mat: DataFrame => DataFrame = identity): PersonShred = {
 
     val parsed = raw
       .withColumn("doc", from_json(col("json"), personSchema))
@@ -99,11 +108,11 @@ object PurePersons {
       .select(col("uuid"), Fns.staleReason(col("__db_modified"), col("modified")).as("skip_reason"))
     // deterministic surrogate (see PureDocs.derivedUuid): outputs are
     // written separately and must agree on new persons' keys
-    val fresh = withDb.filter(
+    val fresh = mat(withDb.filter(
         Fns.isFresh(col("__db_modified"), col("modified")))
       .withColumn("person_uuid", coalesce(col("__db_uuid"),
         PureDocs.derivedUuid(lit("person"), col("emplid"))))
-      .withColumn("__existed", col("__db_uuid").isNotNull)
+      .withColumn("__existed", col("__db_uuid").isNotNull))
 
     // org-set reconciliation (SO4, :163-186): api vs db association sets
     val apiOrgs = fresh.select(col("uuid"), col("person_uuid"),
@@ -139,7 +148,7 @@ object PurePersons {
     val skips = skipNoEmplid.unionByName(skipNoPureId)
       .unionByName(skipStale).unionByName(skipMissingOrg)
       .unionByName(skipNoJobDescr)
-    val skipKeys = skips.select("uuid").distinct()
+    val skipKeys = mat(skips.select("uuid").distinct())
 
     val validAssocs = assocs.join(skipKeys, Seq("uuid"), "left_anti")
     // D4: business-key dedup (person, org, job_description, start_date)

@@ -65,30 +65,39 @@ object Runner {
     * orgs), then person families, then publications (which validate
     * against both), then the HR → sync-staging derivation and its
     * downstream XML input tables.
+    *
+    * `mat` marks materializable stage boundaries, threaded through to
+    * every fact-scale shredder (identity by default — callers that
+    * want one plan per output pass nothing). A cycle whose outputs are
+    * serialized N ways should pass `_.localCheckpoint()`: Spark has no
+    * cross-branch subplan reuse, so each boundary otherwise re-executes
+    * once per downstream consumer — the reference materializes the
+    * same boundaries as EDW stage tables between its subprocesses.
     */
-  def syncCycle(in: CycleInputs): CycleOutputs = {
+  def syncCycle(in: CycleInputs,
+      mat: DataFrame => DataFrame = identity): CycleOutputs = {
     // 1. orgs (internal + external) — dims for everything downstream
     val (internalOrgs, deptOrgs, intOrgSkips) = PureOrgs.shredOrgs(
       PureExternals.latest(in.rawInternalOrgs), in.existingOrgs)
     val (externalOrgs, extOrgSkips) = PureExternals.shredExternalOrgs(
       PureExternals.latest(in.rawExternalOrgs), in.existingOrgs)
-    val orgs = internalOrgs.unionByName(externalOrgs,
-      allowMissingColumns = true)
-    val orgDim = in.existingOrgs.select("pure_uuid")
-      .unionByName(orgs.select("pure_uuid")).distinct()
+    val orgs = mat(internalOrgs.unionByName(externalOrgs,
+      allowMissingColumns = true))
+    val orgDim = mat(in.existingOrgs.select("pure_uuid")
+      .unionByName(orgs.select("pure_uuid")).distinct())
 
     // 2. persons (internal + external), validated against the org dim
     val internal = PurePersons.shredInternalPersons(
       PureExternals.latest(in.rawInternalPersons),
       in.existingPersons.select("uuid", "emplid", "pure_modified"),
-      in.personOrgs, in.scopusIds, orgDim)
+      in.personOrgs, in.scopusIds, orgDim, mat)
     val external = PureExternals.shredExternalPersons(
       PureExternals.latest(in.rawExternalPersons),
       in.existingPersons.select("uuid", "pure_uuid", "pure_modified"),
       in.personOrgs, in.scopusIds, orgDim)
     // external persons carry no pure_id column; align by name
-    val persons = internal.persons.unionByName(external.persons,
-      allowMissingColumns = true)
+    val persons = mat(internal.persons.unionByName(external.persons,
+      allowMissingColumns = true))
     val personDim = in.existingPersons
       .select(col("uuid"), col("pure_uuid"), col("emplid"))
       .unionByName(persons.select("uuid", "pure_uuid", "emplid"))
@@ -96,7 +105,8 @@ object Runner {
 
     // 3. publications, validated against person + org dims
     val pubShred = PureDocs.shredPubs(
-      PureDocs.latestDocs(in.rawPubs), in.existingPubs, personDim, orgDim)
+      PureDocs.latestDocs(in.rawPubs), in.existingPubs, personDim, orgDim,
+      mat)
 
     // 4. HR → sync staging (the oit_to_edw person flow). The dept→org
     // dim merge is deterministic: a freshly shredded row always beats
@@ -117,7 +127,7 @@ object Runner {
       in.empEntries, in.poiEntries, in.affEntries,
       deptOrgDim,
       in.empJobcodes, in.poiJobcodes, in.affJobcodes,
-      in.knownOverrideable, in.overrides)
+      in.knownOverrideable, in.overrides, mat)
 
     val skips = internal.skips.unionByName(external.skips)
       .unionByName(pubShred.skips).unionByName(extOrgSkips)
