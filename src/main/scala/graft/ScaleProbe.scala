@@ -209,6 +209,9 @@ object ScaleProbe {
       // reads the pub-document side (2 % of the 10× orders) — the
       // honest CDC-batch-growth posture
       "q342_runner_cycle",
+      // q345 chains TWO cycles; like q342 the dims are constant under
+      // replication, so the slope reads the pub-document side
+      "q345_second_cycle",
       // q343/q344 ride the replicated lineitem through the CSV/JSON
       // sinks+scans — like q341, the slope is format volume
       "q343_csv_roundtrip", "q344_json_roundtrip")

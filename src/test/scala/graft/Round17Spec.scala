@@ -96,4 +96,45 @@ class Round17Spec extends AnyFunSuite {
       "owner_org_not_in_edw", "person_not_in_edw",
       "person_missing_pure_uuid", "null_modified")))
   }
+
+  test("q345 second cycle holds its cross-cycle invariants") {
+    val rows = QueriesCycle.q345SecondCycle(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    def of(t: String) = rows.filter(_._1 == t)
+    val s3 = Tables.customer(spark, sf001)
+      .filter(col("c_custkey") % 3 === 0)
+    val nS = s3.count()
+    val n23 = s3.filter(col("c_nationkey") === 23).count()
+    // only the even-nk re-sends shred in cycle 2, with v2 names and
+    // the cycle-2 timestamp
+    assert(of("org").length == 13)
+    assert(of("org").forall(r => r._3.contains(" v2|") &&
+      r._3.endsWith("2021-06-01 00:00:00")))
+    // deptid claims now cover ALL even depts — including the two
+    // nations whose cycle-1 docs were stale (10, 24)
+    assert(of("deptorg").map(_._2).sorted.toSeq ==
+      (0 to 24 by 2).map(_.toString).sorted)
+    // HR org ids flipped to the cycle-2 dim merge: even ORG, odd DIM
+    assert(of("soa").forall { r =>
+      val org = r._3.split('|')(4)
+      org.startsWith("ORG") == (org.drop(3).toInt % 2 == 0)
+    })
+    // persons: only even-c re-sends are fresh; every emitted person
+    // carries the v2 content and a cycle-1-consistent uuid
+    assert(of("person").filter(_._2.startsWith("p"))
+      .forall(r => r._2.drop(1).toInt % 2 == 0 && r._3.contains("v2|")))
+    // odd re-deliveries of cycle-1-shredded docs skip as stale
+    assert(of("skip").exists(_._3 == "stale"))
+    // HR side unchanged by the CDC re-sends
+    assert(of("persondata").length == nS - n23)
+  }
+
+  test("the cycle's mat hook is semantics-free (identity ≡ checkpoint)") {
+    def canon(mat: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): Seq[String] =
+      QueriesCycle.cycleRows(spark, sf001, mat).collect()
+        .map(r => s"${r.getString(0)}|${r.getString(1)}|${r.getString(2)}")
+        .sorted.toSeq
+    assert(canon(identity) == canon(_.localCheckpoint()))
+  }
 }
