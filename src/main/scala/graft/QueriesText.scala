@@ -2965,11 +2965,11 @@ object QueriesText {
            |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
            |               CAST(count(*) AS BIGINT) AS v FROM rc),
            |lp AS (SELECT term,
-           |         CAST(round(log2((c + 1.0) / (n + v + 1.0)), 6)
-           |              AS DECIMAL(18,6)) AS lp
+           |         CAST(floor(log2((c + 1.0) / (n + v + 1.0)) * 1e6)
+           |              / 1e6 AS DECIMAL(18,6)) AS lp
            |       FROM rc, tot),
-           |oov AS (SELECT CAST(round(log2(1.0 / (n + v + 1.0)), 6)
-           |               AS DECIMAL(18,6)) AS lp FROM tot),
+           |oov AS (SELECT CAST(floor(log2(1.0 / (n + v + 1.0)) * 1e6)
+           |               / 1e6 AS DECIMAL(18,6)) AS lp FROM tot),
            |tf AS (SELECT doc_id, term, count(*) AS tf
            |       FROM toks GROUP BY 1, 2),
            |sc AS (
@@ -2977,8 +2977,10 @@ object QueriesText {
            |    sum(tf.tf * coalesce(lp.lp, (SELECT lp FROM oov))) AS bits
            |  FROM tf LEFT JOIN lp USING (term) GROUP BY tf.doc_id)
            |SELECT doc_id, n_tokens,
-           |  round(-CAST(bits AS DOUBLE) / n_tokens, 6) AS bits_per_token,
-           |  round(pow(2.0, round(-CAST(bits AS DOUBLE) / n_tokens, 6)), 2)
+           |  floor(-CAST(bits AS DOUBLE) / n_tokens * 1e6) / 1e6
+           |    AS bits_per_token,
+           |  round(pow(2.0,
+           |    floor(-CAST(bits AS DOUBLE) / n_tokens * 1e6) / 1e6), 2)
            |    AS ppl
            |FROM sc ORDER BY doc_id""".stripMargin,
 
@@ -3056,16 +3058,19 @@ object QueriesText {
            |       FROM bc GROUP BY 1, 2, 3),
            |lp AS (
            |  SELECT tf.doc_id, tf.tf,
-           |    CAST(round(log2((coalesce(c12, 0) + 1.0)
-           |      / (coalesce(c1, 0) + v + 1.0)), 6) AS DECIMAL(18,6)) AS lp
+           |    CAST(floor(log2((coalesce(c12, 0) + 1.0)
+           |      / (coalesce(c1, 0) + v + 1.0)) * 1e6) / 1e6
+           |      AS DECIMAL(18,6)) AS lp
            |  FROM tf LEFT JOIN refbi USING (w1, w2)
            |       LEFT JOIN refuni USING (w1), v),
            |sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
            |         sum(tf * lp) AS bits
            |       FROM lp GROUP BY doc_id)
            |SELECT doc_id, n_bigrams,
-           |  round(-CAST(bits AS DOUBLE) / n_bigrams, 6) AS bits_per_bigram,
-           |  round(pow(2.0, round(-CAST(bits AS DOUBLE) / n_bigrams, 6)), 2)
+           |  floor(-CAST(bits AS DOUBLE) / n_bigrams * 1e6) / 1e6
+           |    AS bits_per_bigram,
+           |  round(pow(2.0,
+           |    floor(-CAST(bits AS DOUBLE) / n_bigrams * 1e6) / 1e6), 2)
            |    AS ppl
            |FROM sc ORDER BY doc_id""".stripMargin,
 

@@ -921,14 +921,21 @@ object TextAnalysis {
       .agg(count(lit(1)).as("__c"))
     val totals = refCounts.agg(sum(col("__c")).as("__n"),
       count(lit(1)).as("__v"))
+    // floor-based fixed point, not round(x, 6): Spark rounds the
+    // double's shortest-decimal form, DuckDB the binary value, and a
+    // fresh-seed dataset landed a value exactly on the 6-dp boundary
+    // (seed-gate find, r17 — sf0.003 seed 11). floor of an identical
+    // IEEE double is bit-deterministic on both engines.
+    def f6(c: Column): Column =
+      (floor(c * lit(1e6)) / lit(1e6)).cast("decimal(18,6)")
     val logp = refCounts.crossJoin(broadcast(totals))
       .withColumn("__lp",
-        round(log(2.0, (col("__c") + lit(1.0)) /
-          (col("__n") + col("__v") + lit(1.0))), 6).cast("decimal(18,6)"))
+        f6(log(2.0, (col("__c") + lit(1.0)) /
+          (col("__n") + col("__v") + lit(1.0)))))
       .select("term", "__lp")
     val oov = totals.select(
-      round(log(2.0, lit(1.0) / (col("__n") + col("__v") + lit(1.0))), 6)
-        .cast("decimal(18,6)").as("__oov"))
+      f6(log(2.0, lit(1.0) / (col("__n") + col("__v") + lit(1.0))))
+        .as("__oov"))
     val tf = toks(docs).groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("__tf"))
     tf.join(logp, Seq("term"), "left")
@@ -937,8 +944,8 @@ object TextAnalysis {
       .agg(sum(col("__tf")).as("n_tokens"),
         sum(col("__tf") * coalesce(col("__lp"), col("__oov"))).as("__bits"))
       .select(col(idCol), col("n_tokens"),
-        round(-col("__bits").cast("double") / col("n_tokens"), 6)
-          .as("bits_per_token"))
+        (floor(-col("__bits").cast("double") / col("n_tokens") * lit(1e6))
+          / lit(1e6)).as("bits_per_token"))
       .withColumn("ppl", round(pow(lit(2.0), col("bits_per_token")), 2))
   }
 
@@ -1082,15 +1089,18 @@ object TextAnalysis {
     tf.join(refBi, Seq("w1", "w2"), "left")
       .join(refUni, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
-      .withColumn("__lp", round(log(2.0,
+      // floor fixed point — same cross-engine boundary rationale as
+      // lmPerplexity (seed-gate find, r17)
+      .withColumn("__lp", (floor(log(2.0,
         (coalesce(col("__c12"), lit(0L)) + lit(1.0)) /
-          (coalesce(col("__c1"), lit(0L)) + col("__v") + lit(1.0))), 6)
-        .cast("decimal(18,6)"))
+          (coalesce(col("__c1"), lit(0L)) + col("__v") + lit(1.0)))
+        * lit(1e6)) / lit(1e6)).cast("decimal(18,6)"))
       .groupBy(idCol)
       .agg(sum(col("__tf")).as("n_bigrams"),
         sum(col("__tf") * col("__lp")).as("__bits"))
       .select(col(idCol), col("n_bigrams"),
-        round(-col("__bits").cast("double") / col("n_bigrams"), 6)
+        (floor(-col("__bits").cast("double") / col("n_bigrams") * lit(1e6))
+          / lit(1e6))
           .as("bits_per_bigram"))
       .withColumn("ppl", round(pow(lit(2.0), col("bits_per_bigram")), 2))
   }

@@ -233,19 +233,19 @@ class TextRankingSpec extends AnyFunSuite {
 
   test("bigramPerplexity matches the hand-computed conditional LM") {
     // reference "a b a b": c12 (a,b)=2 (b,a)=1; c1 a=2 b=2; V=2 → denom 5
-    // p(b|a)=3/5 → −log2 = 0.736966; p(a|b)=2/5 → 1.321928;
-    // unseen w2 given b: 1/5 → 2.321928; unseen w1 z: 1/(0+2+1) → 1.584963
+    // floor-at-6dp log-probs (r17): p(b|a)=3/5 → −log2 = 0.736966;
+    // p(a|b)=2/5 → 1.321929; unseen w2 given b: 1/5 → 2.321929;
+    // unseen w1 z: 1/(0+2+1) → 1.584963
     val ref = Seq((1L, "a b a b")).toDF("doc_id", "text")
     val docs = Seq(
-      (10L, "a b x"), // bits = 0.736966 + 2.321928 over 2 bigrams
+      (10L, "a b x"), // bits = 0.736966 + 2.321929 over 2 bigrams
       (20L, "z a"),   // unseen-w1 backoff row
       (30L, "a"))     // <2 tokens → absent
       .toDF("doc_id", "text")
     val out = TextAnalysis.bigramPerplexity(docs, ref, "doc_id", "text")
       .select("doc_id", "n_bigrams", "bits_per_bigram")
       .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
-    val b10 = BigDecimal((0.736966 + 2.321928) / 2)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val b10 = math.floor((0.736966 + 2.321929) / 2 * 1e6) / 1e6
     assert(out(10L) == ((10L, 2L, b10)))
     assert(out(20L) == ((20L, 1L, 1.584963)))
     assert(!out.contains(30L))
@@ -278,8 +278,9 @@ class TextRankingSpec extends AnyFunSuite {
     val row = TextAnalysis.lmPerplexity(docs, ref, "doc_id", "text")
       .select("doc_id", "n_tokens", "bits_per_token", "ppl")
       .as[(Long, Long, Double, Double)].collect().toList
-    val bpt = BigDecimal(5.169926 / 3)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // floor fixed point (r17): bits_per_token truncates at 6 dp — the
+    // cross-engine-deterministic form (see lmPerplexity scaladoc)
+    val bpt = math.floor(5.169926 / 3 * 1e6) / 1e6
     val ppl = BigDecimal(math.pow(2.0, bpt))
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(row == List((10L, 3L, bpt, ppl)))

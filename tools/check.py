@@ -4,10 +4,10 @@ given SF, then compare each query's parquet against DuckDB executing the
 declared oracle SQL over the same testdata tables.
 
 Usage: python3 tools/check.py [sfdir] [outdir] [--skip-verify] [query...]
-       python3 tools/check.py --seed N [--edge] [query...]
+       python3 tools/check.py --seed N [--edge] [--sf F] [query...]
 
 --seed N is the randomized-data gate (VERDICT r16 #1): it regenerates
-sf0.001-scale tables under seed N via tools/gen_testdata.py into
+sf0.001-scale tables (override with --sf) under seed N via tools/gen_testdata.py into
 tmp/seeddata/seed<N>[e] and runs the full gate there — same engine,
 same oracles, data the queries have never seen. --edge additionally
 injects rare degenerate-but-legal shapes (1-token docs, duplicate
@@ -26,11 +26,17 @@ if "--seed" in args:
     edge = "--edge" in args
     if edge:
         args.remove("--edge")
-    sfdir = f"/root/repo/tmp/seeddata/seed{seed}{'e' if edge else ''}"
-    outdir = f"/tmp/verify_seed{seed}{'e' if edge else ''}"
+    sf = "0.001"
+    if "--sf" in args:
+        j = args.index("--sf")
+        sf = args[j + 1]
+        args = args[:j] + args[j + 2:]
+    tag = f"seed{seed}{'e' if edge else ''}" +         (f"_sf{sf}" if sf != "0.001" else "")
+    sfdir = f"/root/repo/tmp/seeddata/{tag}"
+    outdir = f"/tmp/verify_{tag}"
     gen = subprocess.run(
         [sys.executable, "tools/gen_testdata.py", sfdir,
-         "--seed", str(seed), "--sf", "0.001"] + (["--edge"] if edge else []),
+         "--seed", str(seed), "--sf", sf] + (["--edge"] if edge else []),
         cwd="/root/repo")
     if gen.returncode != 0:
         print("GENERATOR FAILED"); sys.exit(1)
@@ -117,7 +123,8 @@ print(f"\n{len(names)-len(fails)}/{len(names)} pass")
 if seed is not None and not only:
     rec = {"ts": datetime.datetime.now(datetime.timezone.utc)
            .isoformat(timespec="seconds"),
-           "seed": seed, "edge": "--edge" in sys.argv, "sfdir": sfdir,
+           "seed": seed, "edge": "--edge" in sys.argv, "sf": sf,
+           "sfdir": sfdir,
            "pass": len(names) - len(fails), "total": len(names),
            "fails": sorted(fails)}
     with open("/root/repo/SEEDGATE.jsonl", "a") as f:
