@@ -32,6 +32,73 @@ object Bench {
     ok.nonEmpty && med / math.max(ok.min, 1e-9) > 2.0 && med > 1.0
   }
 
+  /** Per-query medians over the last `lastN` CLEAN runs (same sf,
+    * `contended:false`) of a BENCH_HISTORY.jsonl file, with each run's
+    * isolated re-measurements substituted over its interleaved medians
+    * (the isolated numbers are the de-contaminated readings). This is
+    * the round-18 contamination detector the within-run spread rule
+    * can't provide: a box that is UNIFORMLY slow across all passes
+    * leaves every per-query spread small — the r17 official artifact
+    * shipped ~30 queries 1.5-6× their clean-battery values with
+    * `contended:false` because only pass-vs-pass disagreement was
+    * checked. History is the cross-run reference the spread rule
+    * lacks. Unparseable lines are skipped; no history → empty map
+    * (first run, new query names degrade to the spread rule alone).
+    */
+  private[graft] def historyMedians(path: String, sfDir: String,
+      lastN: Int = 5): Map[String, Double] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def num(v: JValue): Option[Double] = v match {
+      case JDouble(d) => Some(d)
+      case JInt(i) => Some(i.toDouble)
+      case JLong(l) => Some(l.toDouble)
+      case JDecimal(d) => Some(d.toDouble)
+      case _ => None
+    }
+    val runs: Seq[Map[String, Double]] =
+      scala.util.Try {
+        val p = java.nio.file.Paths.get(path)
+        if (!java.nio.file.Files.exists(p)) Seq.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.readAllLines(p).asScala.toSeq.flatMap { line =>
+            scala.util.Try {
+              val j = JsonMethods.parse(line)
+              val sfOk = (j \ "sf") == JString(sfDir)
+              val clean = (j \ "contended") match {
+                case JBool(b) => !b
+                case _ => true // pre-r16 lines carry no flag
+              }
+              if (!sfOk || !clean) None
+              else {
+                def toMap(v: JValue): Map[String, Double] = v match {
+                  case JObject(fs) =>
+                    fs.flatMap { case (k, x) => num(x).map(k -> _) }.toMap
+                  case _ => Map.empty
+                }
+                val vals = toMap(j \ "queries") ++ toMap(j \ "isolated")
+                if (vals.isEmpty) None else Some(vals)
+              }
+            }.toOption.flatten
+          }
+        }
+      }.getOrElse(Seq.empty)
+    val recent = runs.takeRight(lastN)
+    recent.flatMap(_.keys).distinct.flatMap { name =>
+      val vs = recent.flatMap(_.get(name)).filter(_ > 0).toList
+      if (vs.isEmpty) None else Some(name -> medianOf(vs))
+    }.toMap
+  }
+
+  /** The history-contamination rule: the interleaved median exceeds
+    * 1.5× this query's clean-history median AND by an absolute margin
+    * that rules out sub-100-ms jitter. Shared by the flagging site and
+    * BenchSpec.
+    */
+  private[graft] def histHot(med: Double, hist: Double): Boolean =
+    med > 0 && hist > 0 && med > 1.5 * hist && med - hist > 0.25
+
   /** 1-minute /proc/loadavg figure, 0.0 when unreadable. */
   private def load1(csv: String): Double =
     csv.split(",").headOption
@@ -54,7 +121,10 @@ object Bench {
     // `"contended":true` into the artifact so a reader knows the
     // interleaved medians were measured on a shared box WITHOUT having
     // to reverse-engineer it from the suspect/isolated fields.
-    val loadMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX", "4.0").toDouble
+    // Try-guarded like load1 above: a malformed env value must degrade
+    // to the default, not crash the bench before any measurement
+    val loadMax = sys.env.get("SPARK_GRAFT_BENCH_LOAD_MAX")
+      .flatMap(x => scala.util.Try(x.toDouble).toOption).getOrElse(4.0)
     var loadBoot = loadavg()
     if (load1(loadBoot) > loadMax) {
       System.err.println(s"[bench] box is busy at start (loadavg " +
@@ -62,8 +132,8 @@ object Bench {
       Thread.sleep(60000L)
       loadBoot = loadavg()
     }
-    val contended = load1(loadBoot) > loadMax
-    if (contended)
+    val loadContended = load1(loadBoot) > loadMax
+    if (loadContended)
       System.err.println(s"[bench] still busy (loadavg $loadBoot) — " +
         "proceeding, artifact will carry contended:true")
     // optional comma-separated name filter for ISOLATED re-measurement
@@ -217,6 +287,26 @@ object Bench {
       val ok = timings(name).filter(_ >= 0)
       if (ok.size >= 3 && spread(timings(name))) Some(name) else None
     }.sorted
+    // HISTORY flag (round-18, VERDICT r17 item 1): the spread rule only
+    // sees WITHIN-RUN disagreement, so a uniformly-contended run (all
+    // passes equally slow — the r17 signature: q338 16.8 vs 4.4 clean,
+    // q326 25.2 vs 4.5, with tight pass agreement) sailed through with
+    // contended:false. Compare each interleaved median against the
+    // per-query median of the last 5 clean same-sf BENCH_HISTORY runs
+    // (isolated-substituted) and re-measure every exceedance isolated;
+    // when >5% of the suite triggers, the whole run is stamped
+    // contended:true — that is a box problem, not 5% of queries
+    // independently regressing between rounds.
+    val histPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
+      "BENCH_HISTORY.jsonl")
+    val hist = historyMedians(histPath, sfDir)
+    val histSuspect = names.flatMap { case (name, _) =>
+      hist.get(name).filter(h => histHot(medianOf(timings(name)), h))
+        .map(_ => name)
+    }.sorted
+    if (histSuspect.nonEmpty)
+      System.err.println(s"[bench] ${histSuspect.size} queries exceed " +
+        s"1.5x their clean-history median: ${histSuspect.mkString(",")}")
     // SELF-CORRECTION (round-15 finding: BENCH_r15.json shipped 9
     // queries inflated 2–3.5× by box contention and a reader had to
     // cross-reference BENCH_HISTORY.jsonl to learn the truth). When
@@ -240,7 +330,7 @@ object Bench {
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     forced.foreach { n => require(names.exists(_._1 == n),
       s"SPARK_GRAFT_BENCH_ISOLATE names unknown query: $n") }
-    val toIsolate = (suspect ++ forced).distinct.sorted
+    val toIsolate = (suspect ++ histSuspect ++ forced).distinct.sorted
     val isolated: Map[String, Double] =
       if (toIsolate.isEmpty) Map.empty
       else {
@@ -253,12 +343,17 @@ object Bench {
           name -> r4(medianOf(ts))
         }.toMap
       }
-    // a suspect stays suspect only if even its isolated passes spread
-    // (genuinely bimodal cost or a still-contended box — either way
-    // the number deserves distrust); agreement clears the flag
+    // a suspect stays suspect if even its isolated passes spread
+    // (genuinely bimodal cost or a still-contended box), or if the
+    // isolated median STILL exceeds the history trigger (the isolation
+    // didn't de-contaminate it — either the box never quieted or the
+    // query genuinely regressed; both deserve a reader's distrust until
+    // a clean run confirms); agreement on both clears the flag
     val stillSuspect = toIsolate.filter { name =>
-      val ok = timings(s"__isolated__$name").filter(_ >= 0)
-      ok.size < passes || spread(timings(s"__isolated__$name"))
+      val iso = timings(s"__isolated__$name")
+      val ok = iso.filter(_ >= 0)
+      ok.size < passes || spread(iso) ||
+        hist.get(name).exists(h => histHot(medianOf(iso), h))
     }
     // loadavg end is captured AFTER the isolated re-measurement so the
     // artifact's load window covers everything that was timed
@@ -273,8 +368,18 @@ object Bench {
     val isolatedJson =
       if (isolated.isEmpty) ""
       else s""","isolated":${qsJson(isolated.toSeq.sortBy(_._1))}"""
+    // >5% of the suite over its clean-history trigger = the BOX was
+    // contaminated (queries don't regress in bulk between rounds) —
+    // stamp the run contended even when loadavg looked quiet
+    val contended = loadContended ||
+      histSuspect.size * 20 > math.max(1, names.size)
+    def strArr(xs: Seq[String]): String =
+      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val histJson =
+      if (histSuspect.isEmpty) ""
+      else s""","hist_flagged":${strArr(histSuspect)}"""
     val guard =
-      s""","loadavg":"$loadBoot;$loadStart;$loadEnd","contended":$contended,"suspect":${stillSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")}$isolatedJson"""
+      s""","loadavg":"$loadBoot;$loadStart;$loadEnd","contended":$contended,"suspect":${strArr(stillSuspect)}$histJson$isolatedJson"""
     def line(rs: Seq[(String, Double)], extra: String): String =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(rs)},"sf":"$sfDir","passes":$passes$guard$extra}"""
     val fullLine = line(results, "")
@@ -301,8 +406,6 @@ object Bench {
     // cross-round like-for-like comparisons were limited to whatever
     // per-query tail survived the driver's stdout window. Append every
     // full map (timestamped) to a JSONL history that no run truncates.
-    val histPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
-      "BENCH_HISTORY.jsonl")
     val histLine = s"""{"at":"${java.time.Instant.now()}",""" +
       fullLine.stripPrefix("{")
     try java.nio.file.Files.write(

@@ -95,11 +95,35 @@ object ScaleProbe {
   private def logRecord(label: String, factor: Int, exponent: Double,
       t1: Double, tn: Double): Unit =
     try {
+      // a broken measurement (t1 = 0, timing failure) yields a
+      // NaN/Infinite exponent; math.round would silently serialize it
+      // as 0.0 / ~9.2e16, and a bogus record then reads as a perfect
+      // flat slope in PROBES.json — refuse to record it instead
+      if (!exponent.isFinite || !t1.isFinite || !tn.isFinite || t1 <= 0) {
+        System.err.println(s"[probe] NOT recording $label: non-finite " +
+          s"measurement (exponent=$exponent t1=$t1 tN=$tn)")
+        return
+      }
       val num = label.takeWhile(_ != '_')
       val declared = SparkEntry.queries.keys
         .filter(_.startsWith(num + "_")).toSeq match {
           case Seq(one) => one
-          case _ => label.stripSuffix("*")
+          case other =>
+            // zero or multiple declared matches: the stripSuffix
+            // fallback is only valid when the label itself (sans the
+            // probe-variant '*') IS a declared query; anything else
+            // would plant an undeclared name in PROBES_LOG.jsonl that
+            // probes_merge.py folds into PROBES.json and
+            // ProbeRegistrySpec rejects much later with a confusing
+            // delayed error — skip the record loudly instead
+            val fallback = label.stripSuffix("*")
+            if (!SparkEntry.queries.contains(fallback)) {
+              System.err.println(s"[probe] NOT recording $label: " +
+                s"resolves to ${other.size} declared queries and " +
+                s"'$fallback' is not declared")
+              return
+            }
+            fallback
         }
       val date = java.time.LocalDate.now().toString
       val line = f"""{"query":"$declared","label":"$label","factor":$factor,""" +

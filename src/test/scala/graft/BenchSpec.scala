@@ -19,6 +19,45 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.medianOf(List(-1.0, 2.0, 4.0)) == 3.0)
   }
 
+  test("histHot fires on >1.5x clean-history median with absolute margin") {
+    // the r17 signature: tight pass agreement, uniformly inflated
+    assert(Bench.histHot(6.82, 2.95))   // q91's official vs clean
+    assert(Bench.histHot(16.76, 4.41))  // q338
+    // within 1.5x of history: clean
+    assert(!Bench.histHot(4.0, 3.0))
+    // ratio over 1.5x but sub-quarter-second absolute: jitter, not heat
+    assert(!Bench.histHot(0.30, 0.12))
+    // no history / failed run: never fires
+    assert(!Bench.histHot(-1.0, 3.0))
+    assert(!Bench.histHot(3.0, -1.0))
+    assert(!Bench.histHot(3.0, 0.0))
+  }
+
+  test("historyMedians reads clean same-sf runs, isolated-substituted") {
+    val dir = java.nio.file.Files.createTempDirectory("bench-hist")
+    val f = dir.resolve("h.jsonl")
+    val lines = Seq(
+      // wrong sf: ignored
+      """{"sf":"/x/sf0.01","contended":false,"queries":{"qa":9.0}}""",
+      // contended: ignored
+      """{"sf":"/x/sf0.1","contended":true,"queries":{"qa":9.0}}""",
+      // clean, isolated overrides the interleaved median for qa
+      """{"sf":"/x/sf0.1","contended":false,"queries":{"qa":8.0,"qb":1.0},"isolated":{"qa":2.0}}""",
+      // pre-r16 line without a contended flag counts as clean
+      """{"sf":"/x/sf0.1","queries":{"qa":4.0,"qb":3.0}}""",
+      """not json at all""",
+      """{"sf":"/x/sf0.1","contended":false,"queries":{"qa":3.0}}""")
+    java.nio.file.Files.write(f, String.join("\n", lines: _*)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val m = Bench.historyMedians(f.toString, "/x/sf0.1")
+    assert(m("qa") == 3.0) // median of 2.0 (isolated), 4.0, 3.0
+    assert(m("qb") == 2.0) // median of 1.0, 3.0
+    assert(Bench.historyMedians(f.toString, "/none") == Map.empty)
+    assert(Bench.historyMedians(dir.resolve("missing").toString,
+      "/x/sf0.1") == Map.empty)
+    TmpTrees.delete(dir.toString)
+  }
+
   test("spread fires on median > 2x best AND median > 1s") {
     // classic contamination: most passes slow, median far from best
     assert(Bench.spread(List(1.0, 5.0, 5.5)))

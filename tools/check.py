@@ -31,6 +31,9 @@ if "--seed" in args:
         j = args.index("--sf")
         sf = args[j + 1]
         args = args[:j] + args[j + 2:]
+    # normalize spellings (0.0010, .001) so equivalent scales share one
+    # tag / SEEDGATE record instead of diverging on the raw string
+    sf = repr(float(sf))
     tag = f"seed{seed}{'e' if edge else ''}" +         (f"_sf{sf}" if sf != "0.001" else "")
     sfdir = f"/root/repo/tmp/seeddata/{tag}"
     outdir = f"/tmp/verify_{tag}"
