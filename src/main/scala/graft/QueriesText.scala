@@ -242,12 +242,17 @@ object QueriesText {
   }
 
   /** Bloom decontamination beside its exact twin — q50's flag set
-    * recomputed by [[graft.operators.Dedup.bloomDecontaminate]] (the
-    * zero-shuffle membership-sketch path) and full-outer-joined against
-    * the exact [[graft.operators.Dedup.decontaminate]] counts. Sketch
-    * membership is engine-specific → rows-only at the gate; DedupSpec
-    * asserts the containment contract (no false negatives; false
-    * positives within the fpp bound).
+    * recomputed by the PORTABLE md5-k-hash Bloom
+    * ([[graft.operators.Dedup.bloomDecontaminatePortable]], round-18:
+    * explicit 2^20-bit bitmap, positions = md5-hex slices, so the
+    * DuckDB oracle reproduces the membership bit-for-bit — false
+    * positives included — via the equivalent position-set semi-join)
+    * and full-outer-joined against the exact
+    * [[graft.operators.Dedup.decontaminate]] counts. The engine-native
+    * `stat.bloomFilter` variant ([[graft.operators.Dedup.bloomDecontaminate]])
+    * stays the production default, spec-gated in DedupSpec against the
+    * same containment contract (no false negatives; false positives
+    * within fpp).
     */
   def q102BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -255,10 +260,9 @@ object QueriesText {
     val corpus = docs.filter(pmod(col("doc_id"), lit(100)) =!= 7)
     val exact = Dedup.decontaminate(corpus, bench, "doc_id", "text",
       shingleLen = 3, minOverlap = 2)
-    // fpp sized so that per-doc false flags at minOverlap=2 are
-    // negligible: λ ≈ shingles/doc · fpp ≈ 0.009 → P(≥2) ~ 4e-5
-    val bloom = Dedup.bloomDecontaminate(corpus, bench, "doc_id", "text",
-      shingleLen = 3, minOverlap = 2, fpp = 1e-4)
+    val bloom = Dedup.bloomDecontaminatePortable(corpus, bench,
+      "doc_id", "text", shingleLen = 3, minOverlap = 2,
+      mBits = 1 << 20, kHashes = 3)
     bloom.join(exact, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         coalesce(col("n_overlap"), lit(0L)).as("n_exact"),
@@ -2487,6 +2491,52 @@ object QueriesText {
            |SELECT doc_id, clean FROM keepers
            |WHERE doc_id NOT IN (SELECT doc_id FROM contam)
            |ORDER BY doc_id""".stripMargin,
+
+      // q102: q50's trigram sets pushed through the PORTABLE Bloom —
+      // the bitmap is restated as its position SET (bit p set iff p is
+      // a position of some bench shingle; a shingle is flagged iff all
+      // 3 of its md5-slice positions are set — bit-for-bit the Spark
+      // bitmap semantics, false positives included), beside the exact
+      // overlap counts in one full outer join
+      "q102_bloom_decontaminate" ->
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(lower(text), '\s+'),
+          |                t -> t <> '') AS l
+          |  FROM documents),
+          |sh AS (
+          |  SELECT doc_id, list_distinct(list_transform(
+          |    generate_series(1, len(l) - 2),
+          |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS s
+          |  FROM tok WHERE len(l) >= 3),
+          |bg AS (SELECT DISTINCT unnest(s) AS g FROM sh
+          |       WHERE doc_id % 100 = 7),
+          |bpos AS MATERIALIZED (
+          |  SELECT DISTINCT unnest([
+          |    ('0x' || substr(md5(g), 1, 8))::BIGINT % 1048576,
+          |    ('0x' || substr(md5(g), 9, 8))::BIGINT % 1048576,
+          |    ('0x' || substr(md5(g), 17, 8))::BIGINT % 1048576]) AS p
+          |  FROM bg),
+          |corp AS (SELECT doc_id, unnest(s) AS g FROM sh
+          |         WHERE doc_id % 100 <> 7),
+          |bloom AS (
+          |  SELECT doc_id, count(*) AS n_bloom FROM corp
+          |  WHERE ('0x' || substr(md5(g), 1, 8))::BIGINT % 1048576
+          |          IN (SELECT p FROM bpos)
+          |    AND ('0x' || substr(md5(g), 9, 8))::BIGINT % 1048576
+          |          IN (SELECT p FROM bpos)
+          |    AND ('0x' || substr(md5(g), 17, 8))::BIGINT % 1048576
+          |          IN (SELECT p FROM bpos)
+          |  GROUP BY doc_id HAVING count(*) >= 2),
+          |exact AS (
+          |  SELECT doc_id, count(*) AS n_exact
+          |  FROM corp JOIN bg USING (g)
+          |  GROUP BY doc_id HAVING count(*) >= 2)
+          |SELECT coalesce(bloom.doc_id, exact.doc_id) AS doc_id,
+          |  coalesce(n_exact, 0) AS n_exact,
+          |  coalesce(n_bloom, 0) AS n_bloom
+          |FROM bloom FULL OUTER JOIN exact ON bloom.doc_id = exact.doc_id
+          |ORDER BY doc_id""".stripMargin,
 
       "q50_decontaminate" ->
         """WITH tok AS (

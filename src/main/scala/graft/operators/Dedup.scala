@@ -925,6 +925,81 @@ object Dedup {
       .filter(col("n_overlap_bloom") >= minOverlap)
   }
 
+  /** Engine-PORTABLE Bloom decontamination — the md5-k-hash twin of
+    * [[bloomDecontaminate]] (round-18, the q55/q58/q59 portable-family
+    * pattern): same zero-join corpus path, but the sketch is an
+    * explicit `mBits`-bit bitmap whose `kHashes` positions per shingle
+    * are md5-hex slices (`conv(substr(md5(g), 1+8i, 8), 16, 10) %
+    * mBits`, Kirsch-Mitzenmacher-free because the slices of one digest
+    * are already independent), so a DuckDB oracle reproduces the EXACT
+    * membership — bit-for-bit, false positives included — via the
+    * equivalent position-set semi-join. Spark's `stat.bloomFilter`
+    * (murmur3, engine-specific layout) stays the production default;
+    * this variant makes the whole operator hash-gateable.
+    *
+    * Shape at scale is identical to the engine-native path: the
+    * benchmark side (tiny — the eval suite, never the 100 TB corpus)
+    * folds to ≤ kHashes·|shingles| distinct bit positions, collected
+    * once to the driver and embedded as ONE array literal
+    * (mBits/64 longs, 128 KB at the 2^20 default); the corpus path is
+    * a map-only projection — per document, count shingles whose k
+    * positions are all set ([[org.apache.spark.sql.catalyst.expressions.ShiftRight]]
+    * through the bridge because the functions API only takes literal
+    * shift amounts). No explode, no join, no shuffle.
+    *
+    * Returns (idCol, n_overlap_bloom) for docs with ≥ `minOverlap`
+    * flagged shingles.
+    */
+  def bloomDecontaminatePortable(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      minOverlap: Int = 1,
+      mBits: Int = 1 << 20,
+      kHashes: Int = 3): DataFrame = {
+    require(kHashes >= 1 && kHashes <= 4,
+      s"kHashes ($kHashes) must be 1..4 (md5 yields four 32-bit slices)")
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0 && mBits % 64 == 0,
+      s"mBits ($mBits) must be a power of two multiple of 64")
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.ShiftRight
+    def positions(g: Column): Seq[Column] = {
+      val h = md5(g)
+      (0 until kHashes).map(i =>
+        pmod(conv(substring(h, 1 + 8 * i, 8), 16, 10).cast("long"),
+          lit(mBits.toLong)))
+    }
+    // fold the benchmark's distinct shingles to their distinct bit
+    // positions (k rows per shingle — the only non-map stage, on the
+    // side that is NOT 100 TB), then set the bits driver-side
+    val benchShingles = benchmark
+      .select(explode(TextAnalysis.wordShingles(col(textCol), shingleLen))
+        .as("__g"))
+      .distinct()
+    val posDf = positions(col("__g"))
+      .map(p => benchShingles.select(p.as("p")))
+      .reduce(_.unionByName(_)).distinct()
+    val words = new Array[Long](mBits / 64)
+    posDf.collect().foreach { r =>
+      val p = r.getLong(0)
+      words((p / 64).toInt) |= 1L << (p % 64)
+    }
+    val bitmap = typedLit(words.toSeq)
+    def bitSet(p: Column): Column =
+      ColumnBridge.column(ShiftRight(
+        ColumnBridge.expression(element_at(bitmap, (p / 64).cast("int") + 1)),
+        ColumnBridge.expression(pmod(p, lit(64L)).cast("int"))))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    def flagged(g: Column): Column = positions(g).map(bitSet).reduce(_ && _)
+    corpus
+      .select(col(idCol),
+        size(filter(TextAnalysis.wordShingles(col(textCol), shingleLen),
+          g => flagged(g))).as("n_overlap_bloom"))
+      .filter(col("n_overlap_bloom") >= minOverlap)
+  }
+
   /** SimHash (64-bit) per document: per-bit signed vote (`+1` if the
     * token hash has the bit set, else `-1`) summed over tokens, sign →
     * bit — computed in ONE codegen pass per document

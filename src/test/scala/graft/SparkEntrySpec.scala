@@ -61,9 +61,9 @@ class SparkEntrySpec extends AnyFunSuite {
       "identity over the trained table"),
     "q91_bpe_segment" -> ("consumes q90's trained merges; the " +
       "q295_bpe_roundtrip gate covers segmentation exactness"),
-    "q102_bloom_decontaminate" -> ("spark.util.sketch.BloomFilter " +
-      "bit layout is engine-native; exact-set decontamination is " +
-      "gated q50_decontaminate, partial n-gram gated q294"),
+    // q102 gained a DuckDB oracle in r18 (portable md5-k-hash Bloom);
+    // the engine-native stat.bloomFilter variant stays spec-gated in
+    // DedupSpec.
     "q118_image_dhash" -> ("decoded-pixel dHash; invariance + " +
       "golden-pixel specs in SourcesSpec"),
     // round 13: real MJPEG decode — a JPEG codec is not SQL, so the
