@@ -19,50 +19,68 @@ object OraclesCycle {
       s"substr(md5($arg),13,4)||'-'||substr(md5($arg),17,4)||'-'||" +
       s"substr(md5($arg),21,12)"
 
+  /** The seed-derived branch salts — token-for-token the fold in
+    * [[QueriesCycle.salts]]; every skip/db/freshness residue below
+    * tests c+cs / o+os / nk+cs / sk+cs (round-18: seed-planted branch
+    * assignment).
+    */
+  private val saltCtes =
+    """csalt AS (SELECT CAST(coalesce(sum((c_nationkey + 1)
+      |    * (c_custkey % 97)), 0) % 1009 AS BIGINT) AS cs
+      |  FROM customer),
+      |osalt AS (SELECT CAST(coalesce(sum((o_custkey % 97 + 1)
+      |    * (o_orderkey % 89)), 0) % 1009 AS BIGINT) AS os
+      |  FROM orders)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q342_runner_cycle" ->
-      s"""WITH cust AS (
-         |  SELECT c_custkey AS c, c_nationkey AS nk, c_mktsegment AS seg
-         |  FROM customer),
+      s"""WITH $saltCtes,
+         |cust AS (
+         |  SELECT c_custkey AS c, c_nationkey AS nk, c_mktsegment AS seg,
+         |    cs
+         |  FROM customer, csalt),
          |jdim AS (SELECT * FROM (VALUES
          |  ('AUTOMOBILE', false), ('BUILDING', false),
          |  ('FURNITURE', true), ('HOUSEHOLD', true),
          |  ('MACHINERY', false)) AS t(seg, dprof)),
          |pc AS (
-         |  SELECT c, nk, seg,
-         |    (c % 11 <> 1 AND c % 13 <> 2 AND c % 5 <> 3
-         |      AND c % 19 <> 4 AND c % 17 <> 3) AS valid,
-         |    CASE WHEN c % 5 = 0 THEN 'dbu'||c
+         |  SELECT c, nk, seg, cs,
+         |    ((c+cs) % 11 <> 1 AND (c+cs) % 13 <> 2 AND (c+cs) % 5 <> 3
+         |      AND (c+cs) % 19 <> 4 AND (c+cs) % 17 <> 3) AS valid,
+         |    CASE WHEN (c+cs) % 5 = 0 THEN 'dbu'||c
          |         ELSE ${duuid("'person:'||c")} END AS puid
          |  FROM cust),
          |po AS (
-         |  SELECT o_orderkey AS o, o_custkey AS oc FROM orders
+         |  SELECT o_orderkey AS o, o_custkey AS oc, os
+         |  FROM orders, osalt
          |  WHERE o_orderkey % 100 < 2),
          |pj AS (
-         |  SELECT o, pc.c, pc.nk,
+         |  SELECT o, os, pc.c, pc.nk,
          |    -- the PUB-side person uuid comes from the EDW person dim,
-         |    -- which still carries the stale-skipped c%5=3 rows under
-         |    -- their existing 'dbu' uuids
-         |    CASE WHEN pc.c % 5 IN (0, 3) THEN 'dbu'||pc.c
+         |    -- which still carries the stale-skipped (c+cs)%5=3 rows
+         |    -- under their existing 'dbu' uuids
+         |    CASE WHEN (pc.c + pc.cs) % 5 IN (0, 3) THEN 'dbu'||pc.c
          |         ELSE pc.puid END AS puid,
-         |    (pc.valid OR pc.c % 5 IN (0, 3)) AS member
+         |    (pc.valid OR (pc.c + pc.cs) % 5 IN (0, 3)) AS member
          |  FROM po JOIN pc ON pc.c = po.oc),
          |pcl AS (
          |  SELECT *, CASE
-         |    WHEN o % 1000 = 500 THEN 'stale'
-         |    WHEN o % 100 = 1 THEN 'owner_org_not_in_edw'
+         |    WHEN (o+os) % 1000 = 500 THEN 'stale'
+         |    WHEN (o+os) % 100 = 1 THEN 'owner_org_not_in_edw'
          |    WHEN NOT member THEN 'person_not_in_edw'
-         |    WHEN o % 1000 = 300 THEN 'person_missing_pure_uuid'
-         |    WHEN o % 300 = 200 THEN 'org_not_in_edw' END AS skip
+         |    WHEN (o+os) % 1000 = 300 THEN 'person_missing_pure_uuid'
+         |    WHEN (o+os) % 300 = 200 THEN 'org_not_in_edw' END AS skip
          |  FROM pj),
          |vpub AS (
-         |  SELECT *, CASE WHEN o % 500 = 0 THEN 'dbp'||o
+         |  SELECT *, CASE WHEN (o+os) % 500 = 0 THEN 'dbp'||o
          |    ELSE ${duuid("'pub:pub'||o")} END AS pub_uuid
          |  FROM pcl WHERE skip IS NULL),
          |hr AS ( -- one employee job per customer outside dept 23
          |  SELECT cust.*, dprof,
          |    CASE WHEN c % 10 = 0 THEN 'SV'||c ELSE c::VARCHAR END AS pid,
-         |    CASE WHEN nk IN (3, 10, 17, 24) THEN 'DIM'||nk
+         |    -- the stale-skipped nations' deptid claims never shred,
+         |    -- so HR falls back to the 'DIM' dim rows for them
+         |    CASE WHEN (nk+cs) % 7 = 3 THEN 'DIM'||nk
          |         ELSE 'ORG'||nk END AS orgid,
          |    (c % 4 <> 2) AS active,
          |    CASE WHEN c % 4 <> 2 THEN NULL
@@ -86,7 +104,7 @@ object OraclesCycle {
          |SELECT 'org' AS tbl, 'o'||n_nationkey AS k, concat_ws('|',
          |    'Y', n_name, 'ORG'||n_nationkey, 'r'||n_regionkey,
          |    'RORG'||n_regionkey, 'department', '2020-06-01 00:00:00') AS v
-         |  FROM nation WHERE n_nationkey % 7 <> 3
+         |  FROM nation, csalt WHERE (n_nationkey+cs) % 7 <> 3
          |UNION ALL
          |SELECT 'org', 'r'||r_regionkey, concat_ws('|',
          |    'Y', r_name, 'RORG'||r_regionkey,
@@ -101,8 +119,8 @@ object OraclesCycle {
          |  FROM region
          |UNION ALL
          |SELECT 'deptorg', nk::VARCHAR, 'ORG'||nk||'|o'||nk
-         |  FROM (SELECT n_nationkey AS nk FROM nation
-         |        WHERE n_nationkey % 7 <> 3 AND n_nationkey <> 23)
+         |  FROM (SELECT n_nationkey AS nk FROM nation, csalt
+         |        WHERE (n_nationkey+cs) % 7 <> 3 AND n_nationkey <> 23)
          |UNION ALL
          |SELECT 'person', 'p'||c, concat_ws('|', puid, 'PP'||c, 'Y',
          |    c::VARCHAR,
@@ -170,22 +188,25 @@ object OraclesCycle {
          |SELECT DISTINCT 'collab', 'col'||(o % 4), 'Collab '||(o % 4)
          |  FROM vpub WHERE o % 7 = 0
          |UNION ALL
-         |SELECT 'skip', 'o'||n_nationkey, 'stale' FROM nation
-         |  WHERE n_nationkey % 7 = 3
+         |SELECT 'skip', 'o'||n_nationkey, 'stale' FROM nation, csalt
+         |  WHERE (n_nationkey+cs) % 7 = 3
          |UNION ALL
-         |SELECT 'skip', 'p'||c, 'missing_emplid' FROM cust WHERE c % 11 = 1
+         |SELECT 'skip', 'p'||c, 'missing_emplid' FROM cust
+         |  WHERE (c+cs) % 11 = 1
          |UNION ALL
          |SELECT 'skip', 'p'||c, 'missing_pure_id' FROM cust
-         |  WHERE c % 11 <> 1 AND c % 13 = 2
+         |  WHERE (c+cs) % 11 <> 1 AND (c+cs) % 13 = 2
          |UNION ALL
          |SELECT 'skip', 'p'||c, 'stale' FROM cust
-         |  WHERE c % 11 <> 1 AND c % 13 <> 2 AND c % 5 = 3
+         |  WHERE (c+cs) % 11 <> 1 AND (c+cs) % 13 <> 2 AND (c+cs) % 5 = 3
          |UNION ALL
          |SELECT 'skip', 'p'||c, 'org_not_in_edw' FROM cust
-         |  WHERE c % 11 <> 1 AND c % 13 <> 2 AND c % 5 <> 3 AND c % 19 = 4
+         |  WHERE (c+cs) % 11 <> 1 AND (c+cs) % 13 <> 2 AND (c+cs) % 5 <> 3
+         |    AND (c+cs) % 19 = 4
          |UNION ALL
          |SELECT 'skip', 'p'||c, 'missing_job_description' FROM cust
-         |  WHERE c % 11 <> 1 AND c % 13 <> 2 AND c % 5 <> 3 AND c % 17 = 3
+         |  WHERE (c+cs) % 11 <> 1 AND (c+cs) % 13 <> 2 AND (c+cs) % 5 <> 3
+         |    AND (c+cs) % 17 = 3
          |UNION ALL
          |SELECT 'skip', 'pub'||o, skip FROM pcl WHERE skip IS NOT NULL
          |UNION ALL
@@ -245,56 +266,68 @@ object OraclesCycle {
     // on it (person/pub dim membership, db modifieds); everything
     // serialized is CYCLE-2 output. See QueriesCycle.inputs2 for the
     // modulo classes.
-    "q345_second_cycle" ->
-      s"""WITH cust AS (
-         |  SELECT c_custkey AS c, c_nationkey AS nk, c_mktsegment AS seg
-         |  FROM customer WHERE c_custkey % 3 = 0),
+    "q345_second_cycle" -> secondCycleSql,
+
+    // q346: the STREAMING form of the same two-cycle composition must
+    // produce byte-identical cycle-2 outputs — the batch≡stream
+    // identity as one hash gate, so the twin is q345's verbatim.
+    "q346_stream_cycle" -> secondCycleSql)
+
+  private lazy val secondCycleSql: String =
+      s"""WITH $saltCtes,
+         |cust AS (
+         |  SELECT c_custkey AS c, c_nationkey AS nk, c_mktsegment AS seg,
+         |    cs
+         |  FROM customer, csalt WHERE c_custkey % 3 = 0),
          |jdim AS (SELECT * FROM (VALUES
          |  ('AUTOMOBILE', false), ('BUILDING', false),
          |  ('FURNITURE', true), ('HOUSEHOLD', true),
          |  ('MACHINERY', false)) AS t(seg, dprof)),
          |pc AS (
-         |  SELECT c, nk, seg,
-         |    (c % 11 <> 1 AND c % 13 <> 2 AND c % 19 <> 4 AND c % 17 <> 3)
-         |      AS cv,
-         |    CASE WHEN c % 5 IN (0, 3) THEN 'dbu'||c
+         |  SELECT c, nk, seg, cs,
+         |    ((c+cs) % 11 <> 1 AND (c+cs) % 13 <> 2 AND (c+cs) % 19 <> 4
+         |      AND (c+cs) % 17 <> 3) AS cv,
+         |    CASE WHEN (c+cs) % 5 IN (0, 3) THEN 'dbu'||c
          |         ELSE substr(md5('person:'||c),1,8)||'-'||substr(md5('person:'||c),9,4)||'-'||substr(md5('person:'||c),13,4)||'-'||substr(md5('person:'||c),17,4)||'-'||substr(md5('person:'||c),21,12) END AS puid
          |  FROM cust),
-         |-- cycle-2 person classification: even = fresh update, odd =
-         |-- exact re-delivery. A re-delivery is STALE only when the db
-         |-- row's modified >= t1: cycle-1-shredded rows (t1) and the
-         |-- kept t2 originals qualify; a c%5=0 original whose doc was
-         |-- SKIPPED in cycle 1 still sits at t0, so its re-delivery is
-         |-- fresh and falls through to the content skips
+         |-- cycle-2 person classification: even c+cs = fresh update,
+         |-- odd = exact re-delivery. A re-delivery is STALE only when
+         |-- the db row's modified >= t1: cycle-1-shredded rows (t1) and
+         |-- the kept t2 originals qualify; a (c+cs)%5=0 original whose
+         |-- doc was SKIPPED in cycle 1 still sits at t0, so its
+         |-- re-delivery is fresh and falls through to the content skips
          |p2 AS (
          |  SELECT *,
-         |    (c % 5 IN (0, 3) OR (cv AND c % 5 <> 3)) AS has_db,
-         |    ((cv AND c % 5 <> 3) OR c % 5 = 3) AS db_ge_t1,
-         |    (c % 2 = 0 AND cv) AS valid2
+         |    ((c+cs) % 5 IN (0, 3) OR (cv AND (c+cs) % 5 <> 3)) AS has_db,
+         |    ((cv AND (c+cs) % 5 <> 3) OR (c+cs) % 5 = 3) AS db_ge_t1,
+         |    ((c+cs) % 2 = 0 AND cv) AS valid2
          |  FROM pc),
          |po AS (
-         |  SELECT o_orderkey AS o, o_custkey AS oc FROM orders
+         |  SELECT o_orderkey AS o, o_custkey AS oc, os
+         |  FROM orders, osalt
          |  WHERE o_orderkey % 300 < 2),
          |pj AS (
-         |  SELECT o, p2.c, p2.nk, p2.puid, p2.has_db OR p2.valid2 AS member
+         |  SELECT o, os, p2.c, p2.nk, p2.puid,
+         |    p2.has_db OR p2.valid2 AS member
          |  FROM po JOIN p2 ON p2.c = po.oc),
          |pcl AS (
          |  SELECT *, CASE
-         |    WHEN o % 300 = 1 THEN 'owner_org_not_in_edw'
+         |    WHEN (o+os) % 100 = 1 THEN 'owner_org_not_in_edw'
          |    WHEN NOT member THEN 'person_not_in_edw'
-         |    WHEN o % 1000 = 300 THEN 'person_missing_pure_uuid' END AS skip
+         |    WHEN (o+os) % 1000 = 300 THEN 'person_missing_pure_uuid'
+         |      END AS skip
          |  FROM pj),
          |vpub AS (
-         |  SELECT *, CASE WHEN o % 500 = 0 THEN 'dbp'||o
+         |  SELECT *, CASE WHEN (o+os) % 500 = 0 THEN 'dbp'||o
          |    ELSE substr(md5('pub:pub'||o),1,8)||'-'||substr(md5('pub:pub'||o),9,4)||'-'||substr(md5('pub:pub'||o),13,4)||'-'||substr(md5('pub:pub'||o),17,4)||'-'||substr(md5('pub:pub'||o),21,12) END AS pub_uuid
          |  FROM pcl WHERE skip IS NULL),
          |hr AS (
          |  SELECT cust.*, dprof,
          |    CASE WHEN c % 10 = 0 THEN 'SV'||c ELSE c::VARCHAR END AS pid,
-         |    -- cycle-2 deptid claims come from the EVEN-nk re-sends
-         |    -- (incl. the two previously-stale nations), so the HR
+         |    -- cycle-2 deptid claims come from the EVEN-(nk+cs)
+         |    -- re-sends (incl. previously-stale nations), so the HR
          |    -- org ids flip parity-wise vs cycle 1
-         |    CASE WHEN nk % 2 = 0 THEN 'ORG'||nk
+         |    CASE WHEN (nk+cs) % 2 = 0 THEN 'ORG'||nk
          |         ELSE 'DIM'||nk END AS orgid,
          |    (c % 4 <> 2) AS active,
          |    CASE WHEN c % 4 <> 2 THEN NULL
@@ -318,11 +351,11 @@ object OraclesCycle {
          |SELECT 'org' AS tbl, 'o'||n_nationkey AS k, concat_ws('|',
          |    'Y', n_name||' v2', 'ORG'||n_nationkey, 'r'||n_regionkey,
          |    'RORG'||n_regionkey, 'department', '2021-06-01 00:00:00') AS v
-         |  FROM nation WHERE n_nationkey % 2 = 0
+         |  FROM nation, csalt WHERE (n_nationkey+cs) % 2 = 0
          |UNION ALL
          |SELECT 'deptorg', n_nationkey::VARCHAR,
          |    'ORG'||n_nationkey||'|o'||n_nationkey
-         |  FROM nation WHERE n_nationkey % 2 = 0
+         |  FROM nation, csalt WHERE (n_nationkey+cs) % 2 = 0
          |UNION ALL
          |SELECT 'person', 'p'||c, concat_ws('|', puid, 'PP'||c, 'Y',
          |    c::VARCHAR,
@@ -337,7 +370,8 @@ object OraclesCycle {
          |    substr(md5('ext-person:xp'||s_suppkey),1,8)||'-'||substr(md5('ext-person:xp'||s_suppkey),9,4)||'-'||substr(md5('ext-person:xp'||s_suppkey),13,4)||'-'||substr(md5('ext-person:xp'||s_suppkey),17,4)||'-'||substr(md5('ext-person:xp'||s_suppkey),21,12), '∅', 'N', '∅', '∅',
          |    'XF'||s_suppkey, 'XL'||s_suppkey||'v2', '∅', '∅',
          |    '2021-06-01 00:00:00')
-         |  FROM supplier WHERE s_suppkey % 6 = 0
+         |  FROM supplier, csalt
+         |  WHERE s_suppkey % 3 = 0 AND (s_suppkey+cs) % 2 = 0
          |UNION ALL
          |SELECT 'upo', puid||'/o'||nk, concat_ws('|', 'PP'||c,
          |    c::VARCHAR, '∅', 'Professor', 'Academic', 'academic',
@@ -379,21 +413,23 @@ object OraclesCycle {
          |SELECT DISTINCT 'collab', 'col'||(o % 4), 'Collab '||(o % 4)
          |  FROM vpub WHERE o % 7 = 0
          |UNION ALL
-         |SELECT 'skip', 'p'||c, 'missing_emplid' FROM p2 WHERE c % 11 = 1
+         |SELECT 'skip', 'p'||c, 'missing_emplid' FROM p2
+         |  WHERE (c+cs) % 11 = 1
          |UNION ALL
          |SELECT 'skip', 'p'||c, 'missing_pure_id' FROM p2
-         |  WHERE c % 11 <> 1 AND c % 13 = 2
+         |  WHERE (c+cs) % 11 <> 1 AND (c+cs) % 13 = 2
          |UNION ALL
          |SELECT 'skip', 'p'||c, 'stale' FROM p2
-         |  WHERE c % 11 <> 1 AND c % 13 <> 2 AND c % 2 = 1 AND db_ge_t1
+         |  WHERE (c+cs) % 11 <> 1 AND (c+cs) % 13 <> 2
+         |    AND (c+cs) % 2 = 1 AND db_ge_t1
          |UNION ALL
          |SELECT 'skip', 'p'||c, 'org_not_in_edw' FROM p2
-         |  WHERE c % 11 <> 1 AND c % 13 <> 2
-         |    AND NOT (c % 2 = 1 AND db_ge_t1) AND c % 19 = 4
+         |  WHERE (c+cs) % 11 <> 1 AND (c+cs) % 13 <> 2
+         |    AND NOT ((c+cs) % 2 = 1 AND db_ge_t1) AND (c+cs) % 19 = 4
          |UNION ALL
          |SELECT 'skip', 'p'||c, 'missing_job_description' FROM p2
-         |  WHERE c % 11 <> 1 AND c % 13 <> 2
-         |    AND NOT (c % 2 = 1 AND db_ge_t1) AND c % 17 = 3
+         |  WHERE (c+cs) % 11 <> 1 AND (c+cs) % 13 <> 2
+         |    AND NOT ((c+cs) % 2 = 1 AND db_ge_t1) AND (c+cs) % 17 = 3
          |UNION ALL
          |SELECT 'skip', 'pub'||o, skip FROM pcl WHERE skip IS NOT NULL
          |UNION ALL
@@ -446,6 +482,6 @@ object OraclesCycle {
          |    'unable to find or generate any job data for person',
          |    c::VARCHAR, '∅', '∅', '∅', '∅', '∅', '∅', '∅', '∅', '∅', '∅')
          |  FROM cust WHERE nk = 23
-         |ORDER BY 1, 2, 3""".stripMargin)
+         |ORDER BY 1, 2, 3""".stripMargin
 
 }

@@ -236,6 +236,10 @@ object ScaleProbe {
       // q345 chains TWO cycles; like q342 the dims are constant under
       // replication, so the slope reads the pub-document side
       "q345_second_cycle",
+      // q346 is q345 driven as streaming micro-batches — same constant
+      // dims, same pub-side slope, plus the (flat) per-batch streaming
+      // machinery
+      "q346_stream_cycle",
       // q343/q344 ride the replicated lineitem through the CSV/JSON
       // sinks+scans — like q341, the slope is format volume
       "q343_csv_roundtrip", "q344_json_roundtrip")

@@ -62,13 +62,15 @@ class Round17Spec extends AnyFunSuite {
     val nCust = Tables.customer(spark, sf001).count()
     val n23 = Tables.customer(spark, sf001)
       .filter(col("c_nationkey") === 23).count()
+    // the seed-derived branch salt (r18): the skip classes ride nk+cS
+    val (cS, _) = QueriesCycle.salts(spark, sf001)
+    val freshNations = (0 to 24).filter(n => (n + cS) % 7 != 3)
 
-    // org side: fresh nations (nk%7 != 3) + 5 regions + 5 externals
-    assert(of("org").length == 21 + 5 + 5)
+    // org side: fresh nations ((nk+cS)%7 != 3) + 5 regions + 5 externals
+    assert(of("org").length == freshNations.size + 5 + 5)
     // fresh deptid claims exclude the stale nations and dept 23
     assert(of("deptorg").map(_._2).sorted.toSeq ==
-      (0 to 24).filter(n => n % 7 != 3 && n != 23).map(_.toString)
-        .sorted)
+      freshNations.filter(_ != 23).map(_.toString).sorted)
     // every pubperson/pubpersonorg/pubcollab row hangs off an emitted pub
     val pubUuids = of("pub").map(_._3.split('|')(0)).toSet
     Seq("pubperson", "pubpersonorg", "pubcollab").foreach { t =>
@@ -105,24 +107,28 @@ class Round17Spec extends AnyFunSuite {
       .filter(col("c_custkey") % 3 === 0)
     val nS = s3.count()
     val n23 = s3.filter(col("c_nationkey") === 23).count()
-    // only the even-nk re-sends shred in cycle 2, with v2 names and
-    // the cycle-2 timestamp
-    assert(of("org").length == 13)
+    val (cS, _) = QueriesCycle.salts(spark, sf001)
+    val evenNations = (0 to 24).filter(n => (n + cS) % 2 == 0)
+    // only the even-(nk+cS) re-sends shred in cycle 2, with v2 names
+    // and the cycle-2 timestamp
+    assert(of("org").length == evenNations.size)
     assert(of("org").forall(r => r._3.contains(" v2|") &&
       r._3.endsWith("2021-06-01 00:00:00")))
-    // deptid claims now cover ALL even depts — including the two
-    // nations whose cycle-1 docs were stale (10, 24)
+    // deptid claims now cover ALL re-sent depts — including nations
+    // whose cycle-1 docs were stale
     assert(of("deptorg").map(_._2).sorted.toSeq ==
-      (0 to 24 by 2).map(_.toString).sorted)
-    // HR org ids flipped to the cycle-2 dim merge: even ORG, odd DIM
+      evenNations.map(_.toString).sorted)
+    // HR org ids flipped to the cycle-2 dim merge: re-sent ORG,
+    // others DIM
     assert(of("soa").forall { r =>
       val org = r._3.split('|')(4)
-      org.startsWith("ORG") == (org.drop(3).toInt % 2 == 0)
+      org.startsWith("ORG") == ((org.drop(3).toInt + cS) % 2 == 0)
     })
-    // persons: only even-c re-sends are fresh; every emitted person
-    // carries the v2 content and a cycle-1-consistent uuid
+    // persons: only even-(c+cS) re-sends are fresh; every emitted
+    // person carries the v2 content and a cycle-1-consistent uuid
     assert(of("person").filter(_._2.startsWith("p"))
-      .forall(r => r._2.drop(1).toInt % 2 == 0 && r._3.contains("v2|")))
+      .forall(r => (r._2.drop(1).toInt + cS) % 2 == 0 &&
+        r._3.contains("v2|")))
     // odd re-deliveries of cycle-1-shredded docs skip as stale
     assert(of("skip").exists(_._3 == "stale"))
     // HR side unchanged by the CDC re-sends
@@ -133,6 +139,21 @@ class Round17Spec extends AnyFunSuite {
     def canon(mat: org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.DataFrame): Seq[String] =
       QueriesCycle.cycleRows(spark, sf001, mat).collect()
+        .map(r => s"${r.getString(0)}|${r.getString(1)}|${r.getString(2)}")
+        .sorted.toSeq
+    assert(canon(identity) == canon(_.localCheckpoint()))
+  }
+
+  test("q345's mat hook is semantics-free on the second-cycle path too") {
+    // cycle 1 pinned checkpointed on both sides (identity there makes
+    // the 14-way serialization union re-expand the chained two-cycle
+    // lineage and the test runs for tens of minutes — see
+    // secondCycleSplit); cycle 2 + the cross-cycle handoff run under
+    // both hooks
+    def canon(mat2: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): Seq[String] =
+      QueriesCycle.secondCycleSplit(spark, sf001, _.localCheckpoint(),
+          mat2).collect()
         .map(r => s"${r.getString(0)}|${r.getString(1)}|${r.getString(2)}")
         .sorted.toSeq
     assert(canon(identity) == canon(_.localCheckpoint()))
