@@ -355,7 +355,11 @@ object OraclesCycle {
          |UNION ALL
          |SELECT 'deptorg', n_nationkey::VARCHAR,
          |    'ORG'||n_nationkey||'|o'||n_nationkey
-         |  FROM nation, csalt WHERE (n_nationkey+cs) % 2 = 0
+         |  -- dept 23 never claims a deptid (its org doc ships no
+         |  -- peoplesoft id), so no fresh deptorg row even when its
+         |  -- org re-send shreds — caught by the seed-37 salted gate
+         |  FROM nation, csalt
+         |  WHERE (n_nationkey+cs) % 2 = 0 AND n_nationkey <> 23
          |UNION ALL
          |SELECT 'person', 'p'||c, concat_ws('|', puid, 'PP'||c, 'Y',
          |    c::VARCHAR,

@@ -115,9 +115,10 @@ class Round17Spec extends AnyFunSuite {
     assert(of("org").forall(r => r._3.contains(" v2|") &&
       r._3.endsWith("2021-06-01 00:00:00")))
     // deptid claims now cover ALL re-sent depts — including nations
-    // whose cycle-1 docs were stale
+    // whose cycle-1 docs were stale, but never dept 23 (its org doc
+    // carries no peoplesoft deptid claim)
     assert(of("deptorg").map(_._2).sorted.toSeq ==
-      evenNations.map(_.toString).sorted)
+      evenNations.filter(_ != 23).map(_.toString).sorted)
     // HR org ids flipped to the cycle-2 dim merge: re-sent ORG,
     // others DIM
     assert(of("soa").forall { r =>
