@@ -992,11 +992,21 @@ object Dedup {
         ColumnBridge.expression(element_at(bitmap, (p / 64).cast("int") + 1)),
         ColumnBridge.expression(pmod(p, lit(64L)).cast("int"))))
         .bitwiseAND(lit(1L)) === lit(1L)
-    def flagged(g: Column): Column = positions(g).map(bitSet).reduce(_ && _)
+    // digest ONCE per shingle (transform), THEN test the k positions on
+    // the hex string: higher-order lambdas are interpreted with no
+    // common-subexpression elimination, so a filter computing md5(g)
+    // inside each of the k position tests would run k digests/shingle
+    def posOfHex(h: Column, i: Int): Column =
+      pmod(conv(substring(h, 1 + 8 * i, 8), 16, 10).cast("long"),
+        lit(mBits.toLong))
+    def flagged(h: Column): Column =
+      (0 until kHashes).map(i => bitSet(posOfHex(h, i))).reduce(_ && _)
     corpus
       .select(col(idCol),
-        size(filter(TextAnalysis.wordShingles(col(textCol), shingleLen),
-          g => flagged(g))).as("n_overlap_bloom"))
+        size(filter(
+          transform(TextAnalysis.wordShingles(col(textCol), shingleLen),
+            g => md5(g)),
+          h => flagged(h))).as("n_overlap_bloom"))
       .filter(col("n_overlap_bloom") >= minOverlap)
   }
 
