@@ -567,7 +567,7 @@ object QueriesCycle {
     *    orgs not re-sent (parent resolution must come from the MERGED
     *    dim).
     */
-  private def inputs2(s: SparkSession, dir: String,
+  private[graft] def inputs2(s: SparkSession, dir: String,
       prev: Runner.CycleOutputs): Runner.CycleInputs = {
     val base = inputs(s, dir, custMod = 3, ordsMod = 300)
     val f2 = rawFeeds2(s, dir)

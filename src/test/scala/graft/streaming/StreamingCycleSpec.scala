@@ -16,6 +16,42 @@ class StreamingCycleSpec extends AnyFunSuite {
 
   private val sf001 = "/root/testdata/sf0.001"
 
+  test("a replayed cycle-2 delivery leaves the EDW state unchanged " +
+    "(at-least-once safety)") {
+    // CycleStream's scaladoc claims checkpoint replay is safe because
+    // the per-batch composition is idempotent. Pin it: run cycle 2
+    // twice against the post-cycle-2 state — the upserted EDW state
+    // after the REPLAY must equal the state after the first delivery
+    // (a replayed doc either stale-skips or re-emits identical rows;
+    // both upsert to the same state).
+    import graft.etl.Runner
+    val ckpt: org.apache.spark.sql.DataFrame =>
+      org.apache.spark.sql.DataFrame = _.localCheckpoint()
+    val first = Runner.syncCycle(
+      QueriesCycle.inputs(spark, sf001, custMod = 3, ordsMod = 300), ckpt)
+    val in2 = QueriesCycle.inputs2(spark, sf001, first)
+    val second = Runner.syncCycle(in2, ckpt)
+    val afterSecond = QueriesCycle.stateAfter(in2, second)
+    // replay: same raw feeds, state already advanced by cycle 2
+    val replayOut = Runner.syncCycle(
+      afterSecond.copy(rawInternalOrgs = in2.rawInternalOrgs,
+        rawExternalOrgs = in2.rawExternalOrgs,
+        rawInternalPersons = in2.rawInternalPersons,
+        rawExternalPersons = in2.rawExternalPersons,
+        rawPubs = in2.rawPubs), ckpt)
+    val afterReplay = QueriesCycle.stateAfter(afterSecond, replayOut)
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toSeq.map(v => String.valueOf(v)).mkString("|"))
+        .toSet
+    assert(canon(afterReplay.existingOrgs) ==
+      canon(afterSecond.existingOrgs), "orgs state drifted on replay")
+    assert(canon(afterReplay.existingPersons) ==
+      canon(afterSecond.existingPersons),
+      "persons state drifted on replay")
+    assert(canon(afterReplay.existingPubs) ==
+      canon(afterSecond.existingPubs), "pubs state drifted on replay")
+  }
+
   test("q346 streamed cycle-2 outputs equal q345's batch outputs") {
     def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.collect()
