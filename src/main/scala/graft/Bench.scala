@@ -32,18 +32,25 @@ object Bench {
     ok.nonEmpty && med / math.max(ok.min, 1e-9) > 2.0 && med > 1.0
   }
 
-  /** Per-query medians over the last `lastN` CLEAN runs (same sf,
-    * `contended:false`) of a BENCH_HISTORY.jsonl file, with each run's
-    * isolated re-measurements substituted over its interleaved medians
-    * (the isolated numbers are the de-contaminated readings). This is
+  /** Per-query medians over each query's last `lastN` samples from
+    * CLEAN runs (same sf, `contended:false` — or contended runs that
+    * explicitly stamped `accepted_baseline:true`, the re-baseline
+    * escape hatch after a confirmed framework-wide change) of a
+    * BENCH_HISTORY.jsonl file, with each run's isolated
+    * re-measurements substituted over its interleaved medians (the
+    * isolated numbers are the de-contaminated readings). This is
     * the round-18 contamination detector the within-run spread rule
     * can't provide: a box that is UNIFORMLY slow across all passes
     * leaves every per-query spread small — the r17 official artifact
     * shipped ~30 queries 1.5-6× their clean-battery values with
     * `contended:false` because only pass-vs-pass disagreement was
     * checked. History is the cross-run reference the spread rule
-    * lacks. Unparseable lines are skipped; no history → empty map
-    * (first run, new query names degrade to the spread rule alone).
+    * lacks. Samples are taken newest-first PER QUERY (round 19): the
+    * old last-N-runs-globally window let a streak of
+    * SPARK_GRAFT_BENCH_ONLY subset runs evict the full-suite runs and
+    * silently strip most queries of their baseline. Unparseable lines
+    * are skipped; no history → empty map (first run, new query names
+    * degrade to the spread rule alone).
     */
   private[graft] def historyMedians(path: String, sfDir: String,
       lastN: Int = 5): Map[String, Double] = {
@@ -66,8 +73,9 @@ object Bench {
             scala.util.Try {
               val j = JsonMethods.parse(line)
               val sfOk = (j \ "sf") == JString(sfDir)
+              val accepted = (j \ "accepted_baseline") == JBool(true)
               val clean = (j \ "contended") match {
-                case JBool(b) => !b
+                case JBool(b) => !b || accepted
                 case _ => true // pre-r16 lines carry no flag
               }
               if (!sfOk || !clean) None
@@ -84,9 +92,11 @@ object Bench {
           }
         }
       }.getOrElse(Seq.empty)
-    val recent = runs.takeRight(lastN)
-    recent.flatMap(_.keys).distinct.flatMap { name =>
-      val vs = recent.flatMap(_.get(name)).filter(_ > 0).toList
+    // newest-first, up to lastN samples PER QUERY (a subset run only
+    // contributes to the names it actually measured)
+    val newest = runs.reverse
+    newest.flatMap(_.keys).distinct.flatMap { name =>
+      val vs = newest.flatMap(_.get(name)).filter(_ > 0).take(lastN).toList
       if (vs.isEmpty) None else Some(name -> medianOf(vs))
     }.toMap
   }
@@ -315,12 +325,12 @@ object Bench {
     // else sharing the JVM heap or the cores between its passes — and
     // publish BOTH readings: "queries" keeps the interleaved medians
     // (faithful record), "isolated" carries the re-measurements, and
-    // the HEADLINE total uses the isolated number for suspect entries
-    // so the one figure everyone compares across rounds is built from
-    // the trustworthy readings. An isolated re-run that still spreads
-    // >2× stays listed in "suspect"; one that agrees is removed —
-    // suspect:[] plus a non-empty "isolated" map is the signature of
-    // a self-corrected artifact.
+    // the HEADLINE total uses min(interleaved, isolated) for suspect
+    // entries so the one figure everyone compares across rounds is
+    // built from the trustworthy readings. An isolated re-run that
+    // still spreads >2× stays listed in "suspect"; one that agrees is
+    // removed — suspect:[] plus a non-empty "isolated" map is the
+    // signature of a self-corrected artifact.
     // SPARK_GRAFT_BENCH_ISOLATE=qA,qB forces isolated re-measurement
     // of named queries even when their spread flag didn't fire —
     // exercises the self-correction path on demand and lets an
@@ -331,55 +341,130 @@ object Bench {
     forced.foreach { n => require(names.exists(_._1 == n),
       s"SPARK_GRAFT_BENCH_ISOLATE names unknown query: $n") }
     val toIsolate = (suspect ++ histSuspect ++ forced).distinct.sorted
-    val isolated: Map[String, Double] =
+    val fnByName = names.toMap
+    // a query's isolated attempt is UNSTABLE when a pass failed or its
+    // own passes spread — the box-noise signature (a clean repeat of a
+    // deterministic plan does not disagree with itself 2×); it is
+    // CONFIRMED-ELEVATED when its passes agree but the median still
+    // exceeds the history trigger (a genuine regression, or a box so
+    // uniformly loaded even isolation couldn't help — the load stamps
+    // disambiguate)
+    def isoUnstable(ts: List[Double]): Boolean =
+      ts.count(_ >= 0) < passes || spread(ts)
+    def isoHistHot(name: String, ts: List[Double]): Boolean =
+      hist.get(name).exists(h => histHot(medianOf(ts), h))
+    def measureIsolated(qs: Seq[String], tag: String): Map[String, List[Double]] =
+      qs.map { name =>
+        val ts = (1 to passes).map(_ => runOnce(name, fnByName(name))).toList
+        timings(s"__${tag}__$name") = ts
+        name -> ts
+      }.toMap
+    val isoPass1: Map[String, List[Double]] =
       if (toIsolate.isEmpty) Map.empty
       else {
         System.err.println(s"[bench] re-measuring ${toIsolate.size} " +
           s"suspect queries isolated: ${toIsolate.mkString(",")}")
-        val fnByName = names.toMap
-        toIsolate.map { name =>
-          val ts = (1 to passes).map(_ => runOnce(name, fnByName(name))).toList
-          timings(s"__isolated__$name") = ts
-          name -> r4(medianOf(ts))
-        }.toMap
+        measureIsolated(toIsolate, "isolated")
       }
-    // a suspect stays suspect if even its isolated passes spread
-    // (genuinely bimodal cost or a still-contended box), or if the
-    // isolated median STILL exceeds the history trigger (the isolation
+    // RETRY ON A QUIET BOX (round 19 — the r18 headline carried ~104 s
+    // of box noise because the isolated phase itself ran under
+    // loadavg 7 and its contaminated readings were substituted into
+    // the headline anyway): any query whose isolated attempt is still
+    // unstable or still over history gets ONE more isolated attempt
+    // after waiting for the box to drain; the better (lower-median)
+    // attempt wins — contention only ever inflates, so min is the
+    // better estimator of true cost.
+    val retryNames = toIsolate.filter { n =>
+      val ts = isoPass1(n)
+      isoUnstable(ts) || isoHistHot(n, ts)
+    }
+    val isoBest: Map[String, List[Double]] =
+      if (retryNames.isEmpty) isoPass1
+      else {
+        var waited = 0
+        while (load1(loadavg()) > loadMax && waited < 300) {
+          System.err.println(s"[bench] box busy (loadavg ${loadavg()}) — " +
+            "waiting before isolated retry")
+          Thread.sleep(30000L); waited += 30
+        }
+        System.err.println(s"[bench] retrying ${retryNames.size} still-" +
+          s"suspect queries isolated: ${retryNames.mkString(",")}")
+        val retry = measureIsolated(retryNames, "isolated2")
+        isoPass1 ++ retry.map { case (n, ts2) =>
+          val ts1 = isoPass1(n)
+          n -> (if (medianOf(ts2) >= 0 &&
+            (medianOf(ts1) < 0 || medianOf(ts2) < medianOf(ts1))) ts2 else ts1)
+        }
+      }
+    val isolated: Map[String, Double] =
+      isoBest.map { case (n, ts) => n -> r4(medianOf(ts)) }
+    // a suspect stays suspect if even its best isolated attempt
+    // spreads (genuinely bimodal cost or a still-contended box), or if
+    // its median STILL exceeds the history trigger (the isolation
     // didn't de-contaminate it — either the box never quieted or the
     // query genuinely regressed; both deserve a reader's distrust until
     // a clean run confirms); agreement on both clears the flag
     val stillSuspect = toIsolate.filter { name =>
-      val iso = timings(s"__isolated__$name")
-      val ok = iso.filter(_ >= 0)
-      ok.size < passes || spread(iso) ||
-        hist.get(name).exists(h => histHot(medianOf(iso), h))
+      val ts = isoBest(name)
+      isoUnstable(ts) || isoHistHot(name, ts)
     }
+    // the unstable subset is a BOX verdict, not a query verdict — it
+    // feeds the contended stamp below; the stable-but-elevated
+    // remainder is a candidate regression and must NOT stamp the run
+    // contended (doing so would lock the stale baseline in forever:
+    // contended runs never enter history, so a genuine framework-wide
+    // regression could never re-baseline)
+    val unstableSuspect = stillSuspect.filter(n => isoUnstable(isoBest(n)))
     // loadavg end is captured AFTER the isolated re-measurement so the
     // artifact's load window covers everything that was timed
     val loadEnd = loadavg()
     def qsJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    // headline total: isolated medians where they exist (they are the
-    // de-contaminated readings), interleaved medians elsewhere
-    val total = r4(results.map { case (n, v) =>
-      isolated.getOrElse(n, v)
-    }.filter(_ >= 0).sum)
+    // headline total: min(interleaved, isolated) where an isolated
+    // reading exists — contention only ever inflates a reading, so the
+    // minimum of the two honest measurements is always the better
+    // estimator (round 19; the old rule substituted the isolated
+    // reading UNCONDITIONALLY, which inflated the r18 headline when
+    // the isolated phase itself ran on a loaded box: q326 53.3 s
+    // isolated vs 15.8 interleaved vs ~4.5 clean)
+    def headlineVal(n: String, interleaved: Double): Double =
+      isolated.get(n) match {
+        case Some(iso) =>
+          val pos = Seq(interleaved, iso).filter(_ >= 0)
+          if (pos.isEmpty) -1.0 else pos.min
+        case None => interleaved
+      }
+    val total = r4(results.map { case (n, v) => headlineVal(n, v) }
+      .filter(_ >= 0).sum)
     val isolatedJson =
       if (isolated.isEmpty) ""
       else s""","isolated":${qsJson(isolated.toSeq.sortBy(_._1))}"""
-    // >5% of the suite over its clean-history trigger = the BOX was
-    // contaminated (queries don't regress in bulk between rounds) —
-    // stamp the run contended even when loadavg looked quiet
-    val contended = loadContended ||
-      histSuspect.size * 20 > math.max(1, names.size)
+    // the box was contaminated when: load was high at boot OR at the
+    // end of the run (the r18 hole — loadEnd 7.19 never entered the
+    // determination), OR >5% of the suite sits over its clean-history
+    // trigger (queries don't regress in bulk between rounds), OR any
+    // query's isolated attempts stayed UNSTABLE even after the
+    // quiet-box retry (self-disagreeing repeats of a deterministic
+    // plan = something else on the cores, regardless of the 5% ratio)
+    val contended = loadContended || load1(loadEnd) > loadMax ||
+      histSuspect.size * 20 > math.max(1, names.size) ||
+      unstableSuspect.nonEmpty
+    // explicit re-baseline escape hatch (set after a known framework-
+    // wide change): the history line carries accepted_baseline:true so
+    // historyMedians admits it even when contended
+    val acceptBaseline = sys.env.contains("SPARK_GRAFT_BENCH_ACCEPT_BASELINE")
     def strArr(xs: Seq[String]): String =
       xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val histJson =
       if (histSuspect.isEmpty) ""
       else s""","hist_flagged":${strArr(histSuspect)}"""
+    val unstableJson =
+      if (unstableSuspect.isEmpty) ""
+      else s""","suspect_unstable":${strArr(unstableSuspect)}"""
+    val acceptJson =
+      if (acceptBaseline) ""","accepted_baseline":true""" else ""
     val guard =
-      s""","loadavg":"$loadBoot;$loadStart;$loadEnd","contended":$contended,"suspect":${strArr(stillSuspect)}$histJson$isolatedJson"""
+      s""","loadavg":"$loadBoot;$loadStart;$loadEnd","contended":$contended$acceptJson,"suspect":${strArr(stillSuspect)}$unstableJson$histJson$isolatedJson"""
     def line(rs: Seq[(String, Double)], extra: String): String =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(rs)},"sf":"$sfDir","passes":$passes$guard$extra}"""
     val fullLine = line(results, "")

@@ -58,6 +58,38 @@ class BenchSpec extends AnyFunSuite {
     TmpTrees.delete(dir.toString)
   }
 
+  test("historyMedians windows per query, not per run (subset runs don't evict)") {
+    val dir = java.nio.file.Files.createTempDirectory("bench-hist2")
+    val f = dir.resolve("h.jsonl")
+    // one old full run for qa, then six newer subset runs naming only
+    // qb — under the old last-5-runs-globally rule qa's baseline
+    // vanished; per-query sampling must keep it
+    val lines =
+      """{"sf":"/x/sf0.1","contended":false,"queries":{"qa":4.0,"qb":1.0}}""" +:
+        (1 to 6).map(i =>
+          s"""{"sf":"/x/sf0.1","contended":false,"queries":{"qb":$i.0}}""")
+    java.nio.file.Files.write(f, String.join("\n", lines: _*)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val m = Bench.historyMedians(f.toString, "/x/sf0.1")
+    assert(m("qa") == 4.0) // survives the subset streak
+    assert(m("qb") == 4.0) // newest 5 of 1,1..6 = 6,5,4,3,2 -> 4.0
+    TmpTrees.delete(dir.toString)
+  }
+
+  test("historyMedians admits contended lines stamped accepted_baseline") {
+    val dir = java.nio.file.Files.createTempDirectory("bench-hist3")
+    val f = dir.resolve("h.jsonl")
+    val lines = Seq(
+      """{"sf":"/x/sf0.1","contended":true,"queries":{"qa":9.0}}""",
+      """{"sf":"/x/sf0.1","contended":true,"accepted_baseline":true,"queries":{"qa":5.0}}""")
+    java.nio.file.Files.write(f, String.join("\n", lines: _*)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val m = Bench.historyMedians(f.toString, "/x/sf0.1")
+    // only the accepted line enters; the plain contended one stays out
+    assert(m("qa") == 5.0)
+    TmpTrees.delete(dir.toString)
+  }
+
   test("spread fires on median > 2x best AND median > 1s") {
     // classic contamination: most passes slow, median far from best
     assert(Bench.spread(List(1.0, 5.0, 5.5)))
