@@ -43,7 +43,6 @@ object QueriesData {
     * aggregate. dup_ppm = URLs collapsed per registered domain.
     */
   def q326UrlCanonicalize(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.UrlFns
     // the LOGICAL url derives from the customer (so many orders share
     // one canonical target); the MESS — scheme/host case, default
     // port, param order, tracking params, fragment — derives from the
@@ -74,16 +73,22 @@ object QueriesData {
         |      '&ref=', CAST(o_custkey % 7 AS STRING)) END,
         |  CASE WHEN o_orderkey % 6 = 0 THEN '#section-2' ELSE '' END
         |)""".stripMargin).as("url"))
-    // spread ahead of the interpreted canonicalize chain (single-row-
-    // group scan would run it in ONE task), then dedup to the
+    // spread ahead of the per-row canonicalize (single-row-group scan
+    // would run it in ONE task), then dedup to the
     // (domain, canon, url) grid in a single keyed shuffle BEFORE any
     // distinct aggregation — the grid is O(distinct URLs), so the
     // distinct counts and min() run on deduped data, never through a
     // fact-scale Expand (measured 20.6 → 1.3 s at sf0.1). url
     // determines canon, so distinct urls per domain = grid rows.
+    // canon + domain are the one-pass codegen [[UrlCanon]]/[[UrlDomain]]
+    // expressions (round 19): the composable UrlFns chain ran an
+    // interpreted higher-order filter plus multi-pass regexps per row,
+    // which made q326 the bench's box-noise magnifier (3-53 s swings
+    // on unchanged code); both fused forms read the RAW url so
+    // CollapseProject can't duplicate the canonicalization.
     val grid = Tables.spread(raw)
-      .withColumn("canon", UrlFns.canonicalizeUrl(col("url")))
-      .withColumn("domain", UrlFns.registeredDomain(col("canon")))
+      .withColumn("canon", graft.functions.UrlCanon.urlCanonical(col("url")))
+      .withColumn("domain", graft.functions.UrlCanon.urlDomain(col("url")))
       .groupBy("domain", "canon", "url")
       .agg(count(lit(1)).as("c"))
     grid.groupBy("domain")
