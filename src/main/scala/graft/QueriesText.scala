@@ -1531,6 +1531,106 @@ object QueriesText {
   )
 
   private val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** The q90/q91 BPE twins: full 20-round TRAINING unrolled in DuckDB
+    * (round 19 — these were the last gateable rows-only queries).
+    *
+    * The key observation that makes the greedy merge fold SET-BASED
+    * (and therefore SQL-expressible without a sequential reduce): a
+    * merge's output symbol pa||pb can never equal its own left side pa
+    * (pb is non-empty), so within one round a freshly merged symbol
+    * can never start another merge — greedy left-to-right application
+    * is exactly "select the non-overlapping matches, scanning left".
+    * Consecutive overlapping matches only arise when pa = pb (runs of
+    * the same symbol), where greedy takes every OTHER match from the
+    * run's start. That is the classic gaps-and-islands shape: flag
+    * matches with lead(), group consecutive match positions by
+    * i − row_number(), and take matches at EVEN offset from their
+    * run's minimum. Rows consumed as a merge's right half are the
+    * lag(taken) rows; everything else passes through. Each round then
+    * re-aggregates the per-position rows to the word's new symbol list
+    * with list(... ORDER BY i).
+    *
+    * Per round: one weighted pair count + (n DESC, pa, pb) LIMIT 1
+    * argmax (the merge-table row), LEFT JOIN ON TRUE so an EXHAUSTED
+    * corpus (empty argmax — fewer merges than rounds) degrades to the
+    * identity round exactly like the Scala trainer's early stop. All
+    * per-round CTEs are MATERIALIZED (the q257 lesson: multiply-
+    * referenced CTEs inline exponentially). q91's segmentation falls
+    * out for free: after 20 rounds the vocabulary state IS the
+    * trained segmentation (bpeSegment's scaladoc contract), so token
+    * counts are len(syms) of the final state joined back to the
+    * corpus words.
+    */
+  private def bpeRounds(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      s"""u$r AS MATERIALIZED (
+         |  SELECT word, wc, unnest(syms) AS s,
+         |    generate_subscripts(syms, 1) AS i
+         |  FROM v${r - 1}),
+         |m$r AS MATERIALIZED (
+         |  SELECT pa, pb, n FROM (
+         |    SELECT pa, pb, CAST(sum(wc) AS BIGINT) AS n FROM (
+         |      SELECT word, wc, s AS pa,
+         |        lead(s) OVER (PARTITION BY word ORDER BY i) AS pb
+         |      FROM u$r)
+         |    WHERE pb IS NOT NULL GROUP BY pa, pb)
+         |  ORDER BY n DESC, pa, pb LIMIT 1),
+         |c$r AS (
+         |  SELECT *, mt AND ((i - min(i) OVER (PARTITION BY word, grp))
+         |      % 2 = 0) AS taken
+         |  FROM (
+         |    SELECT *, CASE WHEN mt THEN
+         |        i - row_number() OVER (PARTITION BY word, mt ORDER BY i)
+         |      END AS grp
+         |    FROM (
+         |      SELECT u.word, u.wc, u.s, u.i, m.pa, m.pb,
+         |        coalesce(u.s = m.pa AND lead(u.s) OVER (
+         |          PARTITION BY u.word ORDER BY u.i) = m.pb, FALSE) AS mt
+         |      FROM u$r u LEFT JOIN m$r m ON TRUE))),
+         |v$r AS MATERIALIZED (
+         |  SELECT word, wc,
+         |    list(CASE WHEN taken THEN pa || pb ELSE s END ORDER BY i)
+         |      AS syms
+         |  FROM (SELECT *, coalesce(lag(taken) OVER (
+         |      PARTITION BY word ORDER BY i), FALSE) AS consumed
+         |    FROM c$r)
+         |  WHERE NOT consumed
+         |  GROUP BY word, wc)""".stripMargin
+    }.mkString(",\n")
+    s"""w AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS wc FROM (
+       |    SELECT unnest(list_filter(string_split($norm, ' '),
+       |      x -> x <> '')) AS word
+       |    FROM documents) GROUP BY word),
+       |v0 AS MATERIALIZED (
+       |  SELECT word, wc, list_transform(range(1, length(word) + 1),
+       |    i -> substr(word, CAST(i AS INTEGER), 1)) AS syms
+       |  FROM w),
+       |$rounds""".stripMargin
+  }
+
+  private def bpeTrainOracle(k: Int): String = {
+    val union = (1 to k).map(r =>
+      s"SELECT CAST($r AS INTEGER) AS round, pa AS pair_a, pb AS pair_b, n FROM m$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${bpeRounds(k)}
+       |SELECT * FROM (
+       |  $union)
+       |ORDER BY round""".stripMargin
+  }
+
+  private def bpeSegmentOracle(k: Int): String =
+    s"""WITH ${bpeRounds(k)},
+       |tok AS (
+       |  SELECT doc_id, unnest(list_filter(string_split($norm, ' '),
+       |    x -> x <> '')) AS word
+       |  FROM documents),
+       |wt AS (SELECT word, CAST(len(syms) AS BIGINT) AS nt FROM v$k)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(nt) AS BIGINT) AS n_bpe_tokens
+       |FROM tok JOIN wt USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   private def markerPat(ms: Seq[String]) =
     ms.mkString("(?i)\\b(", "|", ")\\b")
   private def hits(ms: Seq[String]) =
@@ -3123,6 +3223,11 @@ object QueriesText {
            |    floor(-CAST(bits AS DOUBLE) / n_bigrams * 1e6) / 1e6), 2)
            |    AS ppl
            |FROM sc ORDER BY doc_id""".stripMargin,
+
+      // q90/q91: the unrolled 20-round BPE trainer (see bpeRounds) —
+      // merge table and trained-segmentation token counts
+      "q90_bpe_train" -> bpeTrainOracle(20),
+      "q91_bpe_segment" -> bpeSegmentOracle(20),
 
       // q89: word-frequency table → lateral adjacent-pair unnest →
       // weighted pair counts → (n desc, pair) top-100; substr/length

@@ -56,11 +56,9 @@ class SparkEntrySpec extends AnyFunSuite {
       "sample); parity vs exact scan gated in PqSpec"),
     "q85_ivfpq_trained" -> ("trained IVF-PQ index; PqSpec gates " +
       "recall and code-assignment determinism"),
-    "q90_bpe_train" -> ("greedy merge-table argmax is inherently " +
-      "iterative; q295_bpe_roundtrip hash-gates the encode/decode " +
-      "identity over the trained table"),
-    "q91_bpe_segment" -> ("consumes q90's trained merges; the " +
-      "q295_bpe_roundtrip gate covers segmentation exactness"),
+    // q90/q91 gained DuckDB oracles in r19: the 20-round trainer
+    // unrolled set-based (greedy merge = run-parity match selection,
+    // since a merged symbol can never restart a merge in its round).
     // q102 gained a DuckDB oracle in r18 (portable md5-k-hash Bloom);
     // the engine-native stat.bloomFilter variant stays spec-gated in
     // DedupSpec.
