@@ -177,6 +177,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // see Verify.scala: Spark 4.1's union-partitioning claim is
+      // invalid for concatenating unions and breaks downstream joins
+      .config("spark.sql.unionOutputPartitioning", "false")
       .config("spark.sql.adaptive.enabled", "true")) {
         case (b, (k, v)) => b.config(k, v)
       }

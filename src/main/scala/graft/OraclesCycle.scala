@@ -271,7 +271,12 @@ object OraclesCycle {
     // q346: the STREAMING form of the same two-cycle composition must
     // produce byte-identical cycle-2 outputs — the batch≡stream
     // identity as one hash gate, so the twin is q345's verbatim.
-    "q346_stream_cycle" -> secondCycleSql)
+    "q346_stream_cycle" -> secondCycleSql,
+
+    // q347: crash-restart over the same feed — a planted mid-stream
+    // failure plus checkpoint recovery must STILL produce the
+    // identical cycle-2 outputs, so the twin is again q345's verbatim.
+    "q347_restart_cycle" -> secondCycleSql)
 
   private lazy val secondCycleSql: String =
       s"""WITH $saltCtes,
@@ -376,6 +381,17 @@ object OraclesCycle {
          |    '2021-06-01 00:00:00')
          |  FROM supplier, csalt
          |  WHERE s_suppkey % 3 = 0 AND (s_suppkey+cs) % 2 = 0
+         |UNION ALL
+         |-- late-delivered cycle-1 externals (QueriesCycle.Feeds2
+         |-- .lateExternalPersons): v1 content arriving in cycle 2, so
+         |-- their person rows join the serialized cycle-2 output
+         |SELECT 'person', 'xp'||s_suppkey, concat_ws('|',
+         |    substr(md5('ext-person:xp'||s_suppkey),1,8)||'-'||substr(md5('ext-person:xp'||s_suppkey),9,4)||'-'||substr(md5('ext-person:xp'||s_suppkey),13,4)||'-'||substr(md5('ext-person:xp'||s_suppkey),17,4)||'-'||substr(md5('ext-person:xp'||s_suppkey),21,12), '∅', 'N', '∅', '∅',
+         |    'XF'||s_suppkey, 'XL'||s_suppkey, '∅', '∅',
+         |    '2020-06-01 00:00:00')
+         |  FROM supplier, csalt
+         |  WHERE s_suppkey % 3 = 0 AND (s_suppkey+cs) % 2 = 1
+         |    AND (s_suppkey+cs) % 5 = 2 AND s_suppkey >= 10
          |UNION ALL
          |SELECT 'upo', puid||'/o'||nk, concat_ws('|', 'PP'||c,
          |    c::VARCHAR, '∅', 'Professor', 'Academic', 'academic',

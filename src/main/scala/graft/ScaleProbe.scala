@@ -240,6 +240,11 @@ object ScaleProbe {
       // dims, same pub-side slope, plus the (flat) per-batch streaming
       // machinery
       "q346_stream_cycle",
+      // q347 is q346 with a planted crash + checkpoint restart — the
+      // restart adds a fixed per-run cost (one extra stream boot and
+      // one replayed delivery), not a data-dependent one, so the
+      // slope should read like q346's
+      "q347_restart_cycle",
       // q343/q344 ride the replicated lineitem through the CSV/JSON
       // sinks+scans — like q341, the slope is format volume
       "q343_csv_roundtrip", "q344_json_roundtrip")

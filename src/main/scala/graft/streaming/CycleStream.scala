@@ -41,7 +41,11 @@ object CycleStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(onBatch)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    // stop in finally: when onBatch throws (the crash-restart gate
+    // plants one), processAllAvailable rethrows the streaming failure
+    // and the query must still be torn down before the caller
+    // restarts from the same checkpoint
+    try q.processAllAvailable()
+    finally q.stop()
   }
 }

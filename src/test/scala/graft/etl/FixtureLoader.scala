@@ -15,6 +15,7 @@ object FixtureLoader {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.unionOutputPartitioning", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

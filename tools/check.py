@@ -32,8 +32,16 @@ if "--seed" in args:
         sf = args[j + 1]
         args = args[:j] + args[j + 2:]
     # normalize spellings (0.0010, .001) so equivalent scales share one
-    # tag / SEEDGATE record instead of diverging on the raw string
-    sf = repr(float(sf))
+    # tag / SEEDGATE record instead of diverging on the raw string;
+    # integer-valued scales keep their integer spelling ('1', not
+    # '1.0') so tags match previously recorded runs, and a non-numeric
+    # value fails with a clear message instead of a traceback
+    try:
+        sf = repr(float(sf))
+    except ValueError:
+        print(f"--sf must be numeric, got {sf!r}"); sys.exit(2)
+    if sf.endswith(".0"):
+        sf = sf[:-2]
     tag = f"seed{seed}{'e' if edge else ''}" +         (f"_sf{sf}" if sf != "0.001" else "")
     sfdir = f"/root/repo/tmp/seeddata/{tag}"
     outdir = f"/tmp/verify_{tag}"
