@@ -138,7 +138,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // full-dim side checkpointed; q337 is the q282 weekly frame tail
     "q334_bh_fdr" -> Shape(7, 2),
     "q335_zonemap_advisor" -> Shape(4, 3),
-    "q336_matryoshka_eval" -> Shape(13, 6),
+    // 13→14 in r19: spark.sql.unionOutputPartitioning is now pinned
+    // OFF in every session (Spark 4.1's union-partitioning claim is
+    // invalid for concatenating unions and crashes downstream zips —
+    // see Verify.scala), so q336's dims union pays one real exchange
+    // it previously elided under the invalid claim
+    "q336_matryoshka_eval" -> Shape(14, 6),
     "q337_pinball_eval" -> Shape(4, 1),
     // wave 7: q338's heavy stages (basket pairs, scores, recs) are
     // all checkpointed — the returned plan is the brand-grid tail;
