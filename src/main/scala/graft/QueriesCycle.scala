@@ -566,12 +566,23 @@ object QueriesCycle {
     */
   private[graft] def cycleRows(s: SparkSession, dir: String,
       mat: DataFrame => DataFrame): DataFrame =
-    serializeOutputs(Runner.syncCycle(inputs(s, dir), mat))
+    serializeOutputs(Runner.syncCycle(inputs(s, dir), mat), mat)
 
   /** Canonical (tbl, k, v) serialization of ALL cycle outputs — shared
     * by q342 (first cycle) and q345 (second, incremental cycle).
+    *
+    * `mat` cuts the union ONCE before the global sort (round 19,
+    * guide §2.4/§5): a range sort SAMPLES its child to compute
+    * partition bounds and then shuffles it — executing the whole
+    * 14-way union twice, including every branch the cycle didn't
+    * checkpoint (deptOrgs, skips, errorRecords ride live lineage).
+    * Measured on q342 at sf0.1: the final serialize action dropped
+    * from ~4.5 s / 61 AQE stage-jobs to a single pass over the
+    * materialized union. Semantics-free like every mat hook
+    * (Round17Spec pins identity ≡ checkpoint).
     */
-  private def serializeOutputs(out: Runner.CycleOutputs): DataFrame = {
+  private def serializeOutputs(out: Runner.CycleOutputs,
+      mat: DataFrame => DataFrame = identity): DataFrame = {
     val stems = Seq("eissued", "inpress", "inprep", "issued", "submitted",
       "unissued")
     val stateCols: Seq[Column] = stems.flatMap(st =>
@@ -633,7 +644,7 @@ object QueriesCycle {
         col("jobcode_descr"), col("deptid"), col("deptid_descr"),
         col("persons_in_dept"), col("um_college"), col("um_college_descr"),
         col("um_campus"), col("um_campus_descr")))
-    parts.reduce(_.unionByName(_)).orderBy("tbl", "k", "v")
+    mat(parts.reduce(_.unionByName(_))).orderBy("tbl", "k", "v")
   }
 
 
@@ -977,7 +988,8 @@ object QueriesCycle {
         rawInternalPersons = f2.internalPersons,
         rawExternalPersons =
           f2.externalPersons.unionByName(f2.lateExternalPersons),
-        rawPubs = f2.pubs.unionByName(f2.latePubs)), _.localCheckpoint(false)))
+        rawPubs = f2.pubs.unionByName(f2.latePubs)), _.localCheckpoint(false)),
+        _.localCheckpoint(false))
         .localCheckpoint(true)
     }
 
@@ -1030,7 +1042,7 @@ object QueriesCycle {
       mat1: DataFrame => DataFrame,
       mat2: DataFrame => DataFrame): DataFrame = {
     val first = Runner.syncCycle(cycle1Inputs(s, dir), mat1)
-    serializeOutputs(Runner.syncCycle(inputs2(s, dir, first), mat2))
+    serializeOutputs(Runner.syncCycle(inputs2(s, dir, first), mat2), mat2)
   }
 
   /** q346: the STREAMING composition gate (VERDICT r17 item 2) — the
@@ -1146,7 +1158,7 @@ object QueriesCycle {
           rawInternalPersons = fam("iper"),
           rawExternalPersons = fam("xper"), rawPubs = fam("pub")), mat)
         if (nextCycle.get == 1L)
-          result.set(serializeOutputs(out).localCheckpoint(true))
+          result.set(serializeOutputs(out, mat).localCheckpoint(true))
         else
           // thread the EDW state to the next batch; eager pins because
           // the micro-batch frame is gone once this callback returns

@@ -94,7 +94,8 @@ object HrJobs {
       deptOrg: DataFrame,
       jobcodes: DataFrame,
       jcExtraCols: Seq[String],
-      withLdw: Boolean): EmpPoiStage = {
+      withLdw: Boolean,
+      mat: DataFrame => DataFrame): EmpPoiStage = {
 
     val grouped = sessionizeEntries(entries)
     val isC = when(col("status_flg") === "C", 1).otherwise(0)
@@ -145,10 +146,13 @@ object HrJobs {
 
     // J1: dept → org broadcast lookup; misses go to the error channel
     // (employee_job.py:118-137 records and skips).
-    val orgJoined = withEnd.join(
+    // mat boundary (round 19): orgJoined fans out to the jobs path AND
+    // two error branches — without it the sessionize→collapse window
+    // cascade above re-executes once per consumer
+    val orgJoined = mat(withEnd.join(
       broadcast(deptOrg.select(col("deptid").as("__dok"),
         col("pure_org_id").as("org_id"))),
-      col("ref.deptid") === col("__dok"), "left")
+      col("ref.deptid") === col("__dok"), "left"))
     val unknownDept = refErrors(orgJoined.filter(col("org_id").isNull),
       "unknown_dept")
 
@@ -207,10 +211,12 @@ object HrJobs {
       deptOrg: DataFrame,
       jobcodes: DataFrame,
       knownOverrideable: DataFrame,
-      overrides: DataFrame): (DataFrame, DataFrame) = {
+      overrides: DataFrame,
+      mat: DataFrame => DataFrame = identity): (DataFrame, DataFrame) = {
 
     val stage = empPoiStage(entries, deptOrg, jobcodes,
-      jcExtraCols = Seq("default_profiled_overrideable"), withLdw = true)
+      jcExtraCols = Seq("default_profiled_overrideable"), withLdw = true,
+      mat)
 
     // J3: two-level profiled override (employee_job.py:166-199)
     val withDefaults = stage.matched
@@ -249,9 +255,10 @@ object HrJobs {
   def poiJobs(
       entries: DataFrame,
       deptOrg: DataFrame,
-      jobcodes: DataFrame): (DataFrame, DataFrame) = {
+      jobcodes: DataFrame,
+      mat: DataFrame => DataFrame = identity): (DataFrame, DataFrame) = {
     val stage = empPoiStage(entries, deptOrg, jobcodes,
-      jcExtraCols = Nil, withLdw = false)
+      jcExtraCols = Nil, withLdw = false, mat)
     val profiled = when(col("end_date").isNull, col("default_profiled"))
       .otherwise(lit(false))
     (jobOutput(stage.matched, profiled),
@@ -267,7 +274,8 @@ object HrJobs {
   def affiliateJobs(
       entries: DataFrame,
       deptOrg: DataFrame,
-      jobcodes: DataFrame): (DataFrame, DataFrame) = {
+      jobcodes: DataFrame,
+      mat: DataFrame => DataFrame = identity): (DataFrame, DataFrame) = {
 
     val w = Window.partitionBy("emplid").orderBy(
       col("deptid"), col("um_affiliate_id"), col("um_affil_relation"),
@@ -291,10 +299,12 @@ object HrJobs {
       min(col("effdt")).as("start_date"),
       max_by(lastStruct, col("__ord")).as("last")))
 
-    val orgJoined = collapsed.join(
+    // mat boundary (round 19): consumed by the jobs path and both
+    // error branches — same re-execution cut as empPoiStage's
+    val orgJoined = mat(collapsed.join(
       broadcast(deptOrg.select(col("deptid").as("__dok"),
         col("pure_org_id").as("org_id"))),
-      col("deptid") === col("__dok"), "left")
+      col("deptid") === col("__dok"), "left"))
 
     val unknownDept = errorRows(orgJoined.filter(col("org_id").isNull),
       "unknown_dept", col("um_affil_relation"), col("last.title"),

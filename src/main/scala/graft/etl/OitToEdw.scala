@@ -49,10 +49,11 @@ object OitToEdw {
     val persons = mat(Demographics.extractPersons(demogHistory, scival))
 
     val (empJobs, empErrors) = HrJobs.employeeJobs(empEntries, deptOrg,
-      empJobcodes, knownOverrideable, overrides)
-    val (poiJobs, poiErrors) = HrJobs.poiJobs(poiEntries, deptOrg, poiJobcodes)
+      empJobcodes, knownOverrideable, overrides, mat)
+    val (poiJobs, poiErrors) = HrJobs.poiJobs(poiEntries, deptOrg,
+      poiJobcodes, mat)
     val (affJobs, affErrors) = HrJobs.affiliateJobs(affEntries, deptOrg,
-      affJobcodes)
+      affJobcodes, mat)
 
     val elected = PersonSync.electPrimaryJobs(empJobs, poiJobs, affJobs,
       persons.select("emplid", "primary_empl_rcdno"))

@@ -143,11 +143,14 @@ object PureDocs {
       .withColumn("doc", from_json(col("json"), pubSchema))
       .select(col("uuid"), col("modified"), col("doc"))
 
-    // P8 freshness + surrogate-uuid reuse: left join the pub dim
-    val withDb = parsed.join(
+    // P8 freshness + surrogate-uuid reuse: left join the pub dim.
+    // mat boundary (round 19): both the fresh path and the stale skip
+    // branch read withDb — without it the stale branch re-runs the
+    // full JSON parse above for a handful of skip rows
+    val withDb = mat(parsed.join(
       existingPubs.select(col("pure_uuid").as("uuid"),
         col("uuid").as("__db_uuid"), col("pure_modified").as("__db_modified")),
-      Seq("uuid"), "left")
+      Seq("uuid"), "left"))
     val stale = withDb.filter(
       Fns.isNotFresh(col("__db_modified"), col("modified")))
       .select(col("uuid"), Fns.staleReason(col("__db_modified"), col("modified")).as("skip_reason"))

@@ -51,7 +51,8 @@ object PureExternals {
       existingPersons: DataFrame, // (uuid, pure_uuid, pure_modified)
       personOrgs: DataFrame, // (person_uuid, pure_org_uuid)
       scopusIds: DataFrame, // (person_uuid, scopus_id)
-      orgs: DataFrame): ExternalPersonShred = {
+      orgs: DataFrame,
+      mat: DataFrame => DataFrame = identity): ExternalPersonShred = {
 
     val parsed = raw
       .withColumn("doc", from_json(col("json"), externalPersonSchema))
@@ -61,17 +62,21 @@ object PureExternals {
           "/dk/atira/pure/person/personsources/scopusauthor"),
         i => i.getField("value").getField("value"))))
 
-    val withDb = parsed.join(
+    // mat boundaries (round 19): withDb feeds the stale skip AND the
+    // fresh path; fresh fans out 5+ ways (org sets, scopus sets, the
+    // person projection); skipKeys anti-joins 3 consumers — each cut
+    // stops the JSON parse/dim join above re-executing per consumer
+    val withDb = mat(parsed.join(
       existingPersons.select(col("pure_uuid").as("uuid"),
         col("uuid").as("__db_uuid"), col("pure_modified").as("__db_modified")),
-      Seq("uuid"), "left")
+      Seq("uuid"), "left"))
     val skipStale = withDb.filter(
         Fns.isNotFresh(col("__db_modified"), col("modified")))
       .select(col("uuid"), Fns.staleReason(col("__db_modified"), col("modified")).as("skip_reason"))
-    val fresh = withDb.filter(
+    val fresh = mat(withDb.filter(
         Fns.isFresh(col("__db_modified"), col("modified")))
       .withColumn("person_uuid", coalesce(col("__db_uuid"),
-        PureDocs.derivedUuid(lit("ext-person"), col("uuid"))))
+        PureDocs.derivedUuid(lit("ext-person"), col("uuid")))))
 
     val apiOrgs = fresh.select(col("uuid"), col("person_uuid"),
         explode_outer(col("doc.externalOrganisations").getField("uuid"))
@@ -92,7 +97,7 @@ object PureExternals {
       .select(col("uuid"), lit("org_not_in_edw").as("skip_reason")).distinct()
 
     val skips = skipStale.unionByName(skipMissingOrg)
-    val skipKeys = skips.select("uuid").distinct()
+    val skipKeys = mat(skips.select("uuid").distinct())
     val valid = fresh.join(skipKeys, Seq("uuid"), "left_anti")
 
     val persons = valid.select(
@@ -132,14 +137,16 @@ object PureExternals {
     */
   def shredExternalOrgs(
       raw: DataFrame,
-      existingOrgs: DataFrame): (DataFrame, DataFrame) = {
+      existingOrgs: DataFrame,
+      mat: DataFrame => DataFrame = identity): (DataFrame, DataFrame) = {
     val parsed = raw
       .withColumn("doc", from_json(col("json"), externalOrgSchema))
       .select(col("uuid"), col("modified"), col("doc"))
-    val withDb = parsed.join(
+    // mat boundary (round 19): stale + fresh both read withDb
+    val withDb = mat(parsed.join(
       existingOrgs.select(col("pure_uuid").as("uuid"),
         col("pure_modified").as("__db_modified")),
-      Seq("uuid"), "left")
+      Seq("uuid"), "left"))
     val stale = withDb.filter(
         Fns.isNotFresh(col("__db_modified"), col("modified")))
       .select(col("uuid"), Fns.staleReason(col("__db_modified"), col("modified")).as("skip_reason"))

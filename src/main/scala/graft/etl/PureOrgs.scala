@@ -48,15 +48,19 @@ object PureOrgs {
     */
   def shredOrgs(
       raw: DataFrame,
-      existingOrgs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+      existingOrgs: DataFrame,
+      mat: DataFrame => DataFrame = identity): (DataFrame, DataFrame, DataFrame) = {
     val parsed = raw
       .withColumn("doc", from_json(col("json"), orgSchema))
       .select(col("uuid"), col("modified"), col("doc"))
 
-    val withDb = parsed.join(
+    // mat boundary (round 19): the fresh path and the stale-skip
+    // branch both read withDb; `base` below fans out 3 ways — without
+    // the cuts the parse+dim join re-executes once per consumer
+    val withDb = mat(parsed.join(
       existingOrgs.select(col("pure_uuid").as("uuid"),
         col("pure_modified").as("__db_modified")),
-      Seq("uuid"), "left")
+      Seq("uuid"), "left"))
     val fresh = withDb.filter(
       Fns.isFresh(col("__db_modified"), col("modified")))
     // stale docs are skipped, not silently dropped — same side-channel
@@ -68,7 +72,7 @@ object PureOrgs {
       .select(col("uuid"), Fns.staleReason(col("__db_modified"), col("modified")).as("skip_reason"))
 
     val doc = col("doc")
-    val base = fresh.select(
+    val base = mat(fresh.select(
       col("uuid").as("pure_uuid"),
       lit("Y").as("pure_internal"),
       localeEn(doc.getField("name").getField("text")).as("name_en"),
@@ -79,7 +83,7 @@ object PureOrgs {
         .as("type"),
       col("modified").as("pure_modified"),
       doc.getField("ids").as("__ids"),
-      col("modified").as("__modified"))
+      col("modified").as("__modified")))
 
     // J11: parent pure_id via self-join — the incoming batch's value
     // takes precedence; the existing dim only fills parents absent from

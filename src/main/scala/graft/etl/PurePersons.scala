@@ -78,7 +78,9 @@ object PurePersons {
       orgs: DataFrame,
       mat: DataFrame => DataFrame = identity): PersonShred = {
 
-    val parsed = raw
+    // mat boundary (round 19): three branches (two skip filters + the
+    // valid path) read parsed — without it the JSON parse runs 3×
+    val parsed = mat(raw
       .withColumn("doc", from_json(col("json"), personSchema))
       .select(col("uuid"), col("modified"), col("doc"))
       .withColumn("emplid",
@@ -88,7 +90,7 @@ object PurePersons {
       .withColumn("scopus_ids", array_distinct(transform(
         filter(col("doc.ids"), i => i.getField("type").getField("uri") ===
           "/dk/atira/pure/person/personsources/scopusauthor"),
-        i => i.getField("value").getField("value"))))
+        i => i.getField("value").getField("value")))))
 
     val skipNoEmplid = parsed.filter(col("emplid").isNull)
       .select(col("uuid"), lit("missing_emplid").as("skip_reason"))

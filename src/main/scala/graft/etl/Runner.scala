@@ -78,9 +78,9 @@ object Runner {
       mat: DataFrame => DataFrame = identity): CycleOutputs = {
     // 1. orgs (internal + external) — dims for everything downstream
     val (internalOrgs, deptOrgs, intOrgSkips) = PureOrgs.shredOrgs(
-      PureExternals.latest(in.rawInternalOrgs), in.existingOrgs)
+      PureExternals.latest(in.rawInternalOrgs), in.existingOrgs, mat)
     val (externalOrgs, extOrgSkips) = PureExternals.shredExternalOrgs(
-      PureExternals.latest(in.rawExternalOrgs), in.existingOrgs)
+      PureExternals.latest(in.rawExternalOrgs), in.existingOrgs, mat)
     val orgs = mat(internalOrgs.unionByName(externalOrgs,
       allowMissingColumns = true))
     val orgDim = mat(in.existingOrgs.select("pure_uuid")
@@ -94,7 +94,7 @@ object Runner {
     val external = PureExternals.shredExternalPersons(
       PureExternals.latest(in.rawExternalPersons),
       in.existingPersons.select("uuid", "pure_uuid", "pure_modified"),
-      in.personOrgs, in.scopusIds, orgDim)
+      in.personOrgs, in.scopusIds, orgDim, mat)
     // external persons carry no pure_id column; align by name
     val persons = mat(internal.persons.unionByName(external.persons,
       allowMissingColumns = true))
@@ -104,9 +104,16 @@ object Runner {
       .dropDuplicates("pure_uuid")
 
     // 3. publications, validated against person + org dims
-    val pubShred = PureDocs.shredPubs(
+    val pubShred0 = PureDocs.shredPubs(
       PureDocs.latestDocs(in.rawPubs), in.existingPubs, personDim, orgDim,
       mat)
+    // output boundary (see the CycleOutputs note below): the pub
+    // frames project wide nested-doc expression trees that would
+    // otherwise be re-optimized inside every serialization branch
+    val pubShred = PureDocs.PubShred(mat(pubShred0.pubs),
+      mat(pubShred0.pubPersons), mat(pubShred0.pubPersonOrgs),
+      mat(pubShred0.pubAuthorCollabs), mat(pubShred0.authorCollabs),
+      pubShred0.skips)
 
     // 4. HR → sync staging (the oit_to_edw person flow). The dept→org
     // dim merge is deterministic: a freshly shredded row always beats
@@ -129,20 +136,34 @@ object Runner {
       in.empJobcodes, in.poiJobcodes, in.affJobcodes,
       in.knownOverrideable, in.overrides, mat)
 
-    val skips = internal.skips.unionByName(external.skips)
+    val skips = mat(internal.skips.unionByName(external.skips)
       .unionByName(pubShred.skips).unionByName(extOrgSkips)
-      .unionByName(intOrgSkips)
+      .unionByName(intOrgSkips))
 
     // 5. error channel → content-addressed exception records. The
     // persons_in_dept enrichment counts the HR feed's distinct persons
     // per dept (the reference's count_pure_eligible_persons_in_dept
     // over EDW — the emp feed is the same population pre-load).
+    // errors is mat'ed first: errorRecords fans it out into SIX
+    // filtered branches, each of which would otherwise re-run the
+    // whole HR error channel (measured 1.6 s of the cycle's eager
+    // breakdown at sf0.1)
+    val syncErrors = mat(sync.errors)
     val eligible = in.empEntries.select(col("emplid"), col("deptid"))
       .distinct()
-    val errorRecords = graft.operators.Errors.errorRecords(
-      sync.errors, eligible)
+    val errorRecords = mat(graft.operators.Errors.errorRecords(
+      syncErrors, eligible))
 
-    CycleOutputs(sync, orgs, deptOrgs, persons,
-      internal.umnPersonPureOrgs, pubShred, skips, errorRecords)
+    // every output a caller serializes is a mat boundary (round 19):
+    // the N-way serialization union otherwise drags each unmaterialized
+    // output's full cycle lineage into ONE plan, and the driver spends
+    // seconds re-optimizing it per action (measured ~3.2 s of planning
+    // gap on q342's final union at sf0.1; the reference persists these
+    // same outputs as EDW tables between subprocesses)
+    CycleOutputs(
+      OitToEdw.SyncTables(mat(sync.personData),
+        mat(sync.staffOrgAssociations), mat(sync.userData), syncErrors),
+      orgs, mat(deptOrgs), persons,
+      mat(internal.umnPersonPureOrgs), pubShred, skips, errorRecords)
   }
 }
