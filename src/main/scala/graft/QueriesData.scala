@@ -897,6 +897,12 @@ object QueriesData {
     var sup: DataFrame = null
     var stable = false
     var round = 0
+    // edge count carried across rounds (round 19): e is always the
+    // previous round's survivor set, so e.count() re-counted what the
+    // last sup.count() already knew — and the projection e needs no
+    // second checkpoint, it is a narrow select over the checkpointed
+    // sup (2 actions/round instead of 4)
+    var eCount = e.count()
     while (round < trussMaxRounds && !stable) {
       val adj = e.select(col("ia").as("id"), col("ib").as("nb"))
         .unionByName(e.select(col("ib").as("id"), col("ia").as("nb")))
@@ -909,8 +915,10 @@ object QueriesData {
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)
         .localCheckpoint()
-      stable = sup.count() == e.count()
-      e = sup.select(col("ia"), col("ib")).localCheckpoint()
+      val supCount = sup.count()
+      stable = supCount == eCount
+      eCount = supCount
+      e = sup.select(col("ia"), col("ib"))
       round += 1
     }
     require(stable, s"k-truss did not converge in $trussMaxRounds rounds")

@@ -728,7 +728,10 @@ object QueriesEval {
         col("o_orderkey"),
         expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
           .as("cents"))
-    val reps = fact
+    // spread before the ×33 digest fan-out (round 19, Tables.spread
+    // contract): the single-row-group scan otherwise leaves ~5M md5
+    // computations in a one-task stage when the dim join broadcasts
+    val reps = Tables.spread(fact)
       .withColumn("b", explode(expr("sequence(0, 32)")))
       .withColumn("v", pmod(graft.operators.Scale.md5Prefix32(
         concat(lit("perm:"), col("b").cast("string"), lit(":"),
