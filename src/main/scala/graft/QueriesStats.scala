@@ -491,7 +491,10 @@ object QueriesStats {
     * agrees across engines on negatives — the q259 precedent).
     */
   def q284KendallTau(s: SparkSession, dir: String): DataFrame = {
-    val grid = Tables.lineitem(s, dir)
+    // spread the fact before the dim joins (round 19, Tables.spread
+    // contract): with the dims broadcast the whole 600k-row probe +
+    // partial agg otherwise runs in the single-row-group scan task
+    val grid = Tables.spread(Tables.lineitem(s, dir))
       .join(Tables.orders(s, dir).select(col("o_orderkey")
         .as("l_orderkey"), col("o_custkey")), Seq("l_orderkey"))
       .join(Tables.customer(s, dir).select(col("c_custkey")
@@ -513,7 +516,11 @@ object QueriesStats {
     // DECIMAL(38) (cnt·cnt2 alone tops BIGINT past ~10 TB) and the
     // DECLARED columns are the bounded ppm shares and τ_a, never the
     // raw magnitudes
-    val pairs = grid.join(broadcast(g2), Seq("nation"))
+    // spread the checkpointed grid too: the ~25-nation × ~550-cell
+    // pair probe is O(cells²) compute that AQE's coalescing would
+    // otherwise pack into one task (repartition-by-num is exempt from
+    // AQE coalescing, so the width sticks)
+    val pairs = Tables.spread(grid).join(broadcast(g2), Seq("nation"))
       .filter(col("x2") > col("x")) // each unordered pair once
       .groupBy("nation")
       .agg(sum(when(col("y2") > col("y"),

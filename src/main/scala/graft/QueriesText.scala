@@ -1166,7 +1166,10 @@ object QueriesText {
     */
   private[graft] def bm25PerQueryDoc(s: SparkSession, dir: String,
       queryIdCap: Long = Long.MaxValue): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    // spread before the tokenize explode (round 19, Tables.spread
+    // contract): the single-row-group scan otherwise normalizes and
+    // explodes the whole corpus in one task
+    val docs = Tables.spread(Tables.documents(s, dir))
     val toks = docs.select(col("doc_id"),
       explode(filter(split(TextAnalysis.normalizeText(col("text")), " "),
         t => t =!= "")).as("term"))
@@ -1188,8 +1191,11 @@ object QueriesText {
         Seq("score" -> false, "term" -> true), 3)
       .select("query_id", "term").localCheckpoint()
     // BM25 per (query, doc) over the elected terms; the qterms
-    // broadcast prunes the tf probe to matching terms before any join
-    val docLen = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    // broadcast prunes the tf probe to matching terms before any join.
+    // doc length = Σ tf over the CHECKPOINTED tf frame (identical to
+    // counting the raw token explode, without re-tokenizing the corpus
+    // a second time — round 19)
+    val docLen = tf.groupBy("doc_id").agg(sum(col("tf")).as("len"))
       .localCheckpoint()
     val corpus = docLen.agg(count(lit(1)).as("__nd"),
       avg(col("len")).as("__avglen"))
