@@ -872,9 +872,15 @@ object QueriesCore {
     val raw = s.read.parquet(s"$dir/events.parquet")
     val root = java.nio.file.Files.createTempDirectory("q93-stream").toString
     val src = s"$root/src"
-    Seq(0, 1, 2, 1).foreach { r =>
-      raw.filter(pmod(col("event_id"), lit(3)) === r)
-        .coalesce(1).write.mode("append").parquet(src)
+    // slice renders are memoized once per process (round 19,
+    // graft.FeedMemo): re-rendering identical feed files per bench
+    // pass was one single-task write job per slice per pass; the
+    // replayed slice is a second COPY of the same render
+    Seq(0, 1, 2, 1).zipWithIndex.foreach { case (r, i) =>
+      FeedMemo.copySlice(dir, s"q93_s$r", src,
+        1000000000000L + i * 60000L, nameSuffix = s"_d$i") {
+        raw.filter(pmod(col("event_id"), lit(3)) === r)
+      }
     }
     val name = java.nio.file.Paths.get(root).getFileName.toString
       .replaceAll("[^A-Za-z0-9_]", "_")
@@ -1005,28 +1011,17 @@ object QueriesCore {
     val src = s"$root/src"
     val bounds = Seq("1900-01-01", "2024-01-08", "2024-01-15",
       "2024-01-23", "2100-01-01")
+    // Arrival order pinned EXPLICITLY: FileStreamSource orders files
+    // by modification time, and this query's session state is the one
+    // place arrival order changes the answer — each memoized slice
+    // copy is stamped with a strictly increasing synthetic mtime
+    // (the renders are memoized once per process — graft.FeedMemo).
     bounds.sliding(2).zipWithIndex.foreach {
       case (Seq(a, b), i) =>
-        raw.filter(col("ts") >= lit(a).cast("timestamp") &&
+        FeedMemo.copySlice(dir, s"q105_s$i", src, 1000000000000L + i * 60000L) {
+          raw.filter(col("ts") >= lit(a).cast("timestamp") &&
             col("ts") < lit(b).cast("timestamp"))
-          .coalesce(1).write.mode("append").parquet(src)
-        // Pin arrival order EXPLICITLY: FileStreamSource orders files
-        // by modification time and breaks ties arbitrarily. Sequential
-        // writes usually produce increasing mtimes, but coarse
-        // filesystem timestamp granularity can tie two slices — and
-        // this query's session state is the one place arrival order
-        // changes the answer. Stamp each slice's fresh files with a
-        // strictly increasing synthetic mtime (real mtimes are decades
-        // later, so "fresh" is unambiguous).
-        val base = 1000000000000L // 2001-09; stamped < threshold < real
-        val ls = java.nio.file.Files.list(java.nio.file.Paths.get(src))
-        try ls.filter(p => p.toString.endsWith(".parquet")).forEach { p =>
-          if (java.nio.file.Files.getLastModifiedTime(p).toMillis >
-              base + 86400000L)
-            java.nio.file.Files.setLastModifiedTime(p,
-              java.nio.file.attribute.FileTime
-                .fromMillis(base + i * 60000L))
-        } finally ls.close()
+        }
       case _ => ()
     }
     val name = java.nio.file.Paths.get(root).getFileName.toString
@@ -1165,9 +1160,10 @@ object QueriesCore {
     val root = java.nio.file.Files.createTempDirectory("q113-stream").toString
     val src = s"$root/src"
     Seq(0, 1, 2).foreach { r =>
-      errs.filter(pmod(col("event_id"), lit(3)) === r)
-        .select("error_id", "ts")
-        .coalesce(1).write.mode("append").parquet(src)
+      FeedMemo.copySlice(dir, s"q113_s$r", src, 1000000000000L + r * 60000L) {
+        errs.filter(pmod(col("event_id"), lit(3)) === r)
+          .select("error_id", "ts")
+      }
     }
     val name = java.nio.file.Paths.get(root).getFileName.toString
       .replaceAll("[^A-Za-z0-9_]", "_")
@@ -1267,8 +1263,9 @@ object QueriesCore {
     val root = java.nio.file.Files.createTempDirectory("q119-stream").toString
     val src = s"$root/src"
     Seq(0, 1, 2).foreach { r =>
-      ev.filter(pmod(col("event_id"), lit(3)) === r)
-        .coalesce(1).write.mode("append").parquet(src)
+      FeedMemo.copySlice(dir, s"q119_s$r", src, 1000000000000L + r * 60000L) {
+        ev.filter(pmod(col("event_id"), lit(3)) === r)
+      }
     }
     val name = java.nio.file.Paths.get(root).getFileName.toString
       .replaceAll("[^A-Za-z0-9_]", "_")
@@ -1457,8 +1454,9 @@ object QueriesCore {
     val root = java.nio.file.Files.createTempDirectory("q128-stream").toString
     val src = s"$root/src"
     Seq(0, 1, 2).foreach { r =>
-      ev.filter(pmod(col("event_id"), lit(3)) === r)
-        .coalesce(1).write.mode("append").parquet(src)
+      FeedMemo.copySlice(dir, s"q128_s$r", src, 1000000000000L + r * 60000L) {
+        ev.filter(pmod(col("event_id"), lit(3)) === r)
+      }
     }
     val name = java.nio.file.Paths.get(root).getFileName.toString
       .replaceAll("[^A-Za-z0-9_]", "_")
@@ -2035,8 +2033,9 @@ object QueriesCore {
     val root = java.nio.file.Files.createTempDirectory("q246-stream").toString
     val src = s"$root/src"
     Seq(0, 1, 2).foreach { r =>
-      ev.filter(pmod(col("event_id"), lit(3)) === r)
-        .coalesce(1).write.mode("append").parquet(src)
+      FeedMemo.copySlice(dir, s"q246_s$r", src, 1000000000000L + r * 60000L) {
+        ev.filter(pmod(col("event_id"), lit(3)) === r)
+      }
     }
     val name = java.nio.file.Paths.get(root).getFileName.toString
       .replaceAll("[^A-Za-z0-9_]", "_")
@@ -2722,8 +2721,9 @@ object QueriesCore {
       .createTempDirectory("q273-stream").toString
     val src = s"$root/src"
     Seq(0, 1, 2).foreach { r =>
-      ev.filter(pmod(col("event_id"), lit(3)) === r)
-        .coalesce(1).write.mode("append").parquet(src)
+      FeedMemo.copySlice(dir, s"q273_s$r", src, 1000000000000L + r * 60000L) {
+        ev.filter(pmod(col("event_id"), lit(3)) === r)
+      }
     }
     val name = java.nio.file.Paths.get(root).getFileName.toString
       .replaceAll("[^A-Za-z0-9_]", "_")
@@ -3376,8 +3376,9 @@ object QueriesCore {
       .toString
     val src = s"$root/src"
     Seq(0, 1, 2).foreach { r =>
-      ev.filter(pmod(col("event_id"), lit(3)) === r)
-        .coalesce(1).write.mode("append").parquet(src)
+      FeedMemo.copySlice(dir, s"q261_s$r", src, 1000000000000L + r * 60000L) {
+        ev.filter(pmod(col("event_id"), lit(3)) === r)
+      }
     }
     val name = java.nio.file.Paths.get(root).getFileName.toString
       .replaceAll("[^A-Za-z0-9_]", "_")
@@ -4021,8 +4022,9 @@ object QueriesCore {
       .createTempDirectory("q168-stream").toString
     val src = s"$root/src"
     Seq(0, 1, 2).foreach { r =>
-      ev.filter(pmod(col("event_id"), lit(3)) === r)
-        .coalesce(1).write.mode("append").parquet(src)
+      FeedMemo.copySlice(dir, s"q168_s$r", src, 1000000000000L + r * 60000L) {
+        ev.filter(pmod(col("event_id"), lit(3)) === r)
+      }
     }
     val name = java.nio.file.Paths.get(root).getFileName.toString
       .replaceAll("[^A-Za-z0-9_]", "_")
@@ -5855,18 +5857,11 @@ object QueriesCore {
     val bounds = Seq("1900-01-01", "2024-01-11", "2024-01-21", "2100-01-01")
     bounds.sliding(2).zipWithIndex.foreach {
       case (Seq(a, b), i) =>
-        raw.filter(col("ts") >= lit(a).cast("timestamp") &&
+        // memoized render + pinned mtime order (graft.FeedMemo)
+        FeedMemo.copySlice(dir, s"q223_s$i", src, 1000000000000L + i * 60000L) {
+          raw.filter(col("ts") >= lit(a).cast("timestamp") &&
             col("ts") < lit(b).cast("timestamp"))
-          .coalesce(1).write.mode("append").parquet(src)
-        val base = 1000000000000L
-        val ls = java.nio.file.Files.list(java.nio.file.Paths.get(src))
-        try ls.filter(p => p.toString.endsWith(".parquet")).forEach { p =>
-          if (java.nio.file.Files.getLastModifiedTime(p).toMillis >
-              base + 86400000L)
-            java.nio.file.Files.setLastModifiedTime(p,
-              java.nio.file.attribute.FileTime
-                .fromMillis(base + i * 60000L))
-        } finally ls.close()
+        }
       case _ => ()
     }
     val name = java.nio.file.Paths.get(root).getFileName.toString

@@ -132,61 +132,18 @@ object QueriesCycle {
     */
   private object FeedCache {
     private val lock = new Object
-    private var root: Option[String] = None
-    private val built = scala.collection.mutable.HashSet.empty[String]
     private val saltsMemo =
       scala.collection.mutable.HashMap.empty[String, (Long, Long)]
-    private def rootDir(): String = root.getOrElse {
-      val d = java.nio.file.Files
-        .createTempDirectory("graft-cycle-feeds").toString
-      Runtime.getRuntime.addShutdownHook(
-        new Thread(() => TmpTrees.delete(d)))
-      root = Some(d); d
-    }
     def salts(dir: String)(build: => (Long, Long)): (Long, Long) =
       lock.synchronized(saltsMemo.getOrElseUpdate(dir, build))
+    // the parquet memo machinery is the shared graft.FeedMemo since
+    // round 19 (the streaming gates' slice feeds use the same memo)
     def frame(s: SparkSession, dir: String, key: String)(
-        build: => DataFrame): DataFrame = {
-      if (sys.env.contains("SPARK_GRAFT_NO_FEEDCACHE")) return build
-      s.read.parquet(path(dir, key)(build))
-    }
-    /** The memoized single-file parquet write behind [[frame]],
-      * exposed for the streaming gates (round 19): their delivery
-      * files are the same deterministic feed derivations, and
-      * re-rendering them per bench pass cost two coalesce(1) write
-      * jobs per stream run. Returns the memo directory; callers COPY
-      * the part file into their run-local source dir (the stream
-      * still reads its own files — only the render is shared).
-      */
-    def path(dir: String, key: String)(build: => DataFrame): String = {
-      val hash = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_))
-        .mkString
-      val noMemo = sys.env.contains("SPARK_GRAFT_NO_FEEDCACHE")
-      val safe =
-        if (noMemo) s"${key}_${hash}_${System.nanoTime()}" // fresh every call
-        else s"${key}_$hash"
-      lock.synchronized {
-        val p = s"${rootDir()}/$safe"
-        if (!built.contains(safe)) {
-          // one file per feed: a single-split scan gives every consumer
-          // the same partitioning story (feeds are thousands of rows)
-          build.coalesce(1).write.mode("overwrite").parquet(p)
-          built += safe
-        }
-        p
-      }
-    }
-    /** First data file of a memoized feed directory. */
-    def partFile(memoDir: String): java.nio.file.Path = {
-      val st = java.nio.file.Files.list(java.nio.file.Paths.get(memoDir))
-      try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
-        .filter(_.getFileName.toString.startsWith("part-"))
-        .sortBy(_.getFileName.toString).headOption
-        .getOrElse(throw new IllegalStateException(
-          s"no part file in feed memo $memoDir"))
-      finally st.close()
-    }
+        build: => DataFrame): DataFrame = FeedMemo.frame(s, dir, key)(build)
+    def path(dir: String, key: String)(build: => DataFrame): String =
+      FeedMemo.path(dir, key)(build)
+    def partFile(memoDir: String): java.nio.file.Path =
+      FeedMemo.partFile(memoDir)
   }
 
   /** The QueriesStats.narrow template: the cycle's frames are tiny

@@ -329,8 +329,9 @@ object QueriesStats {
     try {
       val src = s"$root/src"
       Seq(0, 1, 2).foreach { r =>
-        ev.filter(pmod(col("event_id"), lit(3)) === r)
-          .coalesce(1).write.mode("append").parquet(src)
+        FeedMemo.copySlice(dir, s"q281_s$r", src, 1000000000000L + r * 60000L) {
+          ev.filter(pmod(col("event_id"), lit(3)) === r)
+        }
       }
       val q = narrow(s, 4) {
         graft.streaming.EventsStream
@@ -613,8 +614,9 @@ object QueriesStats {
     try {
       val src = s"$root/src"
       Seq(0, 1, 2).foreach { r =>
-        ev.filter(pmod(col("event_id"), lit(3)) === r)
-          .coalesce(1).write.mode("append").parquet(src)
+        FeedMemo.copySlice(dir, s"q286_s$r", src, 1000000000000L + r * 60000L) {
+          ev.filter(pmod(col("event_id"), lit(3)) === r)
+        }
       }
       val q = narrow(s, 4) {
         graft.streaming.EventsStream
@@ -720,8 +722,9 @@ object QueriesStats {
     try {
       val src = s"$root/src"
       Seq(0, 1, 2).foreach { r =>
-        ev.filter(pmod(col("event_id"), lit(3)) === r)
-          .coalesce(1).write.mode("append").parquet(src)
+        FeedMemo.copySlice(dir, s"q333_s$r", src, 1000000000000L + r * 60000L) {
+          ev.filter(pmod(col("event_id"), lit(3)) === r)
+        }
       }
       val q = narrow(s, 4) {
         graft.streaming.EventsStream

@@ -473,16 +473,23 @@ object QueriesText {
     val root = java.nio.file.Files.createTempDirectory("q86-stream").toString
     val (src, ckp, idx, dcs, prs) =
       (s"$root/src", s"$root/ckp", s"$root/idx", s"$root/docs", s"$root/pairs")
-    graft.operators.Dedup.minhashBandIndexPortable(corpus, "doc_id", "text",
-        shingleLen = 3, numHashes = 16, bands = 4)
-      .write.parquet(s"$idx/batch_id=base")
-    corpus.write.parquet(s"$dcs/batch_id=base")
+    // base index/corpus fixtures memoized once per process like the
+    // slice feeds (round 19, graft.FeedMemo): the minhash band build
+    // was re-rendered per bench pass for an identical result
+    FeedMemo.copySlice(dir, "q86_idx_base", s"$idx/batch_id=base",
+      1000000000000L) {
+      graft.operators.Dedup.minhashBandIndexPortable(corpus, "doc_id",
+        "text", shingleLen = 3, numHashes = 16, bands = 4)
+    }
+    FeedMemo.copySlice(dir, "q86_docs_base", s"$dcs/batch_id=base",
+      1000000000000L)(corpus)
     // three ingest drops, one file each (coalesce(1) + append) so
     // maxFilesPerTrigger=1 yields three micro-batches; batch order is
     // irrelevant to the union invariant
     Seq(0, 3, 6).foreach { r =>
-      docs.filter(pmod(col("doc_id"), lit(9)) === r)
-        .coalesce(1).write.mode("append").parquet(src)
+      FeedMemo.copySlice(dir, s"q86_s$r", src, 1000000000000L + r * 20000L) {
+        docs.filter(pmod(col("doc_id"), lit(9)) === r)
+      }
     }
     try {
       // per-batch shuffles here carry a few hundred docs' bands —
