@@ -1150,9 +1150,10 @@ object QueriesStats {
     */
   def q295BpeRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // serving-side gate: consumes the once-per-process trained merge
+    // artifact (see QueriesText.bpeMerges20)
     graft.operators.TextAnalysis.bpeRoundtrip(docs, "doc_id", "text",
-      graft.operators.TextAnalysis.bpeTrain(docs, "doc_id", "text",
-        merges = 20))
+      QueriesText.bpeMerges20(s, dir))
   }
 
   /** SPLIT-LEAKAGE AUDIT — near-duplicate pairs that CROSS a

