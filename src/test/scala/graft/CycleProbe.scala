@@ -121,19 +121,20 @@ object CycleProbe {
       println(f"[probe] q342 lazy jobs=${all.size} sumJob=${all.map(j => j._2.end - j._2.start).sum / 1e3}%6.2f s")
     }
 
-    // A/B: whole-stage codegen off (isolates janino compile cost)
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    for (i <- 1 to 2) timed(s"q342 lazy wholeStage-off #$i") {
+    // A/B: AQE off on the restructured (flat-boundary) cycle
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    for (i <- 1 to 3) timed(s"q342 lazy AQE-off #$i") {
       QueriesCycle.q342RunnerCycle(spark, dir).write
         .format("noop").mode("overwrite").save()
     }
-    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-    for (i <- 1 to 2) timed(s"q342 lazy no-codegen #$i") {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // A/B: wider broadcast threshold (joins on tiny frames -> BHJ)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    for (i <- 1 to 2) timed(s"q342 lazy bcast64m #$i") {
       QueriesCycle.q342RunnerCycle(spark, dir).write
         .format("noop").mode("overwrite").save()
     }
-    spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
-    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10m")
 
     // q345 bench shape (cycle-2 only after the st1 memo)
     {
