@@ -5915,6 +5915,10 @@ object QueriesCore {
     */
   def q224QuantileNorm(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // checkpointed once (round 19): each of the three ranked() calls
+    // below range-repartitions a projection of this frame, and a range
+    // exchange SAMPLES its child before shuffling it — unpinned, the
+    // scan+casts executed six times (2× per column)
     val li = Tables.lineitem(s, dir).select(
       col("l_orderkey"), col("l_linenumber"),
       col("l_quantity").cast("decimal(18,0)").cast("bigint").as("__q"),
@@ -5922,6 +5926,7 @@ object QueriesCore {
         .cast("decimal(18,0)").cast("bigint").as("__p"),
       (col("l_discount").cast("decimal(18,2)") * 100)
         .cast("decimal(18,0)").cast("bigint").as("__d"))
+      .localCheckpoint()
     val nPart = scala.util.Try(
       s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
       .toOption.filter(_ > 0).getOrElse(32) // "auto"-safe parse

@@ -748,7 +748,12 @@ object Dedup {
     * check. Output: (id_a, id_b, pos) with id_a < id_b.
     */
   def hamming1Pairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
-    val masked = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+    // spread before the ×|s| deletion-neighborhood explode (the
+    // single-row-group scan otherwise runs it in one task), and
+    // checkpoint it once — BOTH sides of the blocking self-join
+    // consume this frame, and Spark has no cross-alias subplan reuse
+    val masked = graft.Tables.spread(
+        df.select(col(idCol).as("__id"), col(strCol).as("__s")))
       .select(col("__id"), col("__s"), explode(transform(
         sequence(lit(1), length(col("__s"))),
         i => struct(i.as("pos"),
@@ -757,6 +762,7 @@ object Dedup {
             .as("k")))).as("__m"))
       .select(col("__id"), col("__s"),
         col("__m.pos").as("pos"), col("__m.k").as("k"))
+      .localCheckpoint()
     masked.select(col("pos"), col("k"),
         col("__id").as("id_a"), col("__s").as("__sa"))
       .join(masked.select(col("pos"), col("k"),

@@ -808,9 +808,13 @@ object TextAnalysis {
     // reuses none of them (verified: 0 ReusedExchange, 4 parquet scans
     // — normalize+split+explode ran four times). Materialize the
     // tokenized form once; everything downstream derives from it.
-    val toks = df.select(col(idCol),
-      filter(split(normalizeText(col(textCol)), " "), t => t =!= "")
-        .as("__toks"))
+    // spread first (round 19): the checkpoint otherwise pins the
+    // one-row-group scan's SINGLE partition, and every downstream
+    // explode — including the per-span md5 fan-out — stays one task
+    val toks = graft.Tables.spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        filter(split(normalizeText(col(textCol)), " "), t => t =!= "")
+          .as("__toks"))
       .localCheckpoint()
     val tokPos = toks.select(col(idCol),
       posexplode(col("__toks")).as(Seq("pos", "tok")))
