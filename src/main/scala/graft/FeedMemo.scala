@@ -23,6 +23,38 @@ object FeedMemo {
   private var root: Option[String] = None
   private val built = scala.collection.mutable.HashSet.empty[String]
 
+  /** The memo's contract, PINNED (round 20, VERDICT r19 item 6): every
+    * key names a derived INPUT render — a feed slice, a delivery file,
+    * an EDW seed state, or the trained artifact a serving gate
+    * consumes — never a declared query's own output on its own path.
+    * The allowlist is deliberately closed: extending the memo to a new
+    * key requires editing this regex (a reviewable diff), and
+    * FeedMemoSpec asserts no declared query name can ever match it.
+    *
+    * Key families:
+    *  - `qNN_sK` / `q86_idx_base` / `q86_docs_base`: streaming gates'
+    *    input-slice renders (the files the stream consumes);
+    *  - `bpe_merges20`: the trained BPE merge table the SERVING gates
+    *    q91/q295 consume (q90 — the training gate — always trains
+    *    fully; see COVERAGE.md);
+    *  - `demog/scival/emp/deptorg/riorg/rxorg/riper/rxper/rpub/eorg/
+    *    eper/epub_<custMod>_<ordsMod>` and `f2_*`: the cycle gates'
+    *    deterministic feed derivations (JSON renders over base
+    *    tables);
+    *  - `st1_*`: q345's persisted cycle-1 EDW state (the reference
+    *    daemon's between-cycles EDW tables);
+    *  - `delivery_<cycle>`: the streaming cycle gates' delivery files.
+    */
+  private[graft] val allowedKey = (
+    "q(86|93|105|113|119|128|168|223|246|261|273|281|286|333)" +
+      "_(s\\d+|idx_base|docs_base)" +
+    "|bpe_merges20" +
+    "|(demog|scival|emp|deptorg|riorg|rxorg|riper|rxper|rpub" +
+      "|eorg|eper|epub)_\\d+_\\d+" +
+    "|f2_(riorg|riper|rxper|rpub|xlate|platep)" +
+    "|st1_(eorg|eper|epub|porg)" +
+    "|delivery_\\d+").r
+
   private def rootDir(): String = lock.synchronized {
     root.getOrElse {
       val d = java.nio.file.Files
@@ -39,6 +71,10 @@ object FeedMemo {
     * of rows at bench sf).
     */
   def path(dataDir: String, key: String)(build: => DataFrame): String = {
+    require(allowedKey.pattern.matcher(key).matches(),
+      s"FeedMemo key '$key' is not in the pinned derived-input " +
+        "allowlist — the memo must never hold a declared query's own " +
+        "output (see the allowedKey scaladoc)")
     val hash = java.security.MessageDigest.getInstance("MD5")
       .digest(dataDir.getBytes("UTF-8")).take(6).map("%02x".format(_))
       .mkString
