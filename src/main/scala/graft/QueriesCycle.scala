@@ -160,6 +160,13 @@ object QueriesCycle {
     // must survive a FOREIGN session too): the cycle's co-partitioned
     // family unions trigger the invalid union-partitioning claim
     val prevU = s.conf.getOption("spark.sql.unionOutputPartitioning")
+    // NOTE (round 20): a 64 MB autoBroadcastJoinThreshold inside this
+    // scope was re-tested under the real bench protocol after the par
+    // restructure (an in-JVM CycleProbe warm sequence suggested
+    // 4.25 → 3.6 s) and measured DECISIVELY worse — family 35.9 →
+    // 63.9 s isolated, q342 4.22 → 11.45 — consistent with r19's
+    // sequential-cycle measurement of the same knob. Reverted twice
+    // now; do not re-try without a real-protocol win.
     try {
       s.conf.set("spark.sql.shuffle.partitions", scaled.toString)
       s.conf.set("spark.sql.unionOutputPartitioning", "false")
@@ -537,16 +544,19 @@ object QueriesCycle {
   // scheduling), and the pinned result is what the caller sorts/sinks
   def q342RunnerCycle(s: SparkSession, dir: String): DataFrame =
     narrowed(s, 8) {
-      cycleRows(s, dir, _.localCheckpoint(false)).localCheckpoint(true)
+      cycleRows(s, dir, _.localCheckpoint(false), par = true)
+        .localCheckpoint(true)
     }
 
   /** q342 body parameterized on the stage materializer —
     * Round17Spec asserts `mat` is semantics-free (identity ≡
-    * checkpoint), so the perf hook can never change the gate.
+    * checkpoint), so the perf hook can never change the gate; `par`
+    * overlaps independent boundary materializations (Runner.syncCycle
+    * scaladoc) and Round20Spec pins par ≡ sequential.
     */
   private[graft] def cycleRows(s: SparkSession, dir: String,
-      mat: DataFrame => DataFrame): DataFrame =
-    serializeOutputs(Runner.syncCycle(inputs(s, dir), mat), mat)
+      mat: DataFrame => DataFrame, par: Boolean = false): DataFrame =
+    serializeOutputs(Runner.syncCycle(inputs(s, dir), mat, par), mat)
 
   /** Canonical (tbl, k, v) serialization of ALL cycle outputs — shared
     * by q342 (first cycle) and q345 (second, incremental cycle).
@@ -624,7 +634,8 @@ object QueriesCycle {
         col("jobcode_descr"), col("deptid"), col("deptid_descr"),
         col("persons_in_dept"), col("um_college"), col("um_college_descr"),
         col("um_campus"), col("um_campus_descr")))
-    mat(parts.reduce(_.unionByName(_))).orderBy("tbl", "k", "v")
+    mat(PlanSpy.spy("serialize_union_premat", parts.reduce(_.unionByName(_))))
+      .orderBy("tbl", "k", "v")
   }
 
 
@@ -671,20 +682,29 @@ object QueriesCycle {
     */
   private[graft] def stateAfter(base: Runner.CycleInputs,
       prev: Runner.CycleOutputs,
-      pin: DataFrame => DataFrame = identity): Runner.CycleInputs = {
+      pin: DataFrame => DataFrame = identity,
+      par: Boolean = false): Runner.CycleInputs = {
     import graft.operators.Relational.upsert
-    base.copy(
-      existingOrgs = pin(upsert(base.existingOrgs,
+    // the four state updates are independent (each reads one already-
+    // materialized cycle output), so the streaming gate's eager pins
+    // overlap under par (guide §2.6) instead of running four
+    // sequential checkpoint jobs per micro-batch
+    val pins: Seq[() => DataFrame] = Seq(
+      () => pin(upsert(base.existingOrgs,
         prev.orgs.select(col("pure_uuid"), col("pure_id"),
           col("pure_modified")), Seq("pure_uuid"))),
-      existingPersons = pin(upsert(base.existingPersons,
+      () => pin(upsert(base.existingPersons,
         prev.persons.select(col("uuid"), col("emplid"), col("pure_uuid"),
           col("pure_modified")), Seq("pure_uuid"))),
-      existingPubs = pin(upsert(base.existingPubs,
+      () => pin(upsert(base.existingPubs,
         prev.pubShred.pubs.select(col("uuid"), col("pure_uuid"),
           col("pure_modified")), Seq("pure_uuid"))),
-      personOrgs = pin(prev.umnPersonPureOrgs
+      () => pin(prev.umnPersonPureOrgs
         .select(col("person_uuid"), col("pure_org_uuid")).distinct()))
+    val Seq(eOrgs, ePersons, ePubs, pOrgs) =
+      if (par) graft.operators.Par.all(pins: _*) else pins.map(_())
+    base.copy(existingOrgs = eOrgs, existingPersons = ePersons,
+      existingPubs = ePubs, personOrgs = pOrgs)
   }
 
   /** The four non-empty raw CDC buffers of the cycle-2 re-send (see
@@ -968,7 +988,8 @@ object QueriesCycle {
         rawInternalPersons = f2.internalPersons,
         rawExternalPersons =
           f2.externalPersons.unionByName(f2.lateExternalPersons),
-        rawPubs = f2.pubs.unionByName(f2.latePubs)), _.localCheckpoint(false)),
+        rawPubs = f2.pubs.unionByName(f2.latePubs)),
+        _.localCheckpoint(false), par = true),
         _.localCheckpoint(false))
         .localCheckpoint(true)
     }
@@ -992,7 +1013,7 @@ object QueriesCycle {
   private def afterCycle1(s: SparkSession, dir: String): Runner.CycleInputs = {
     val base = cycle1Inputs(s, dir)
     lazy val after = stateAfter(base,
-      Runner.syncCycle(base, _.localCheckpoint(false)))
+      Runner.syncCycle(base, _.localCheckpoint(false), par = true))
     base.copy(
       existingOrgs = FeedCache.frame(s, dir, "st1_eorg")(after.existingOrgs),
       existingPersons =
@@ -1139,13 +1160,15 @@ object QueriesCycle {
         val out = Runner.syncCycle(state.get.copy(
           rawInternalOrgs = fam("iorg"), rawExternalOrgs = fam("xorg"),
           rawInternalPersons = fam("iper"),
-          rawExternalPersons = fam("xper"), rawPubs = fam("pub")), mat)
+          rawExternalPersons = fam("xper"), rawPubs = fam("pub")), mat,
+          par = true)
         if (nextCycle.get == 1L)
           result.set(serializeOutputs(out, mat).localCheckpoint(true))
         else
           // thread the EDW state to the next batch; eager pins because
           // the micro-batch frame is gone once this callback returns
-          state.set(stateAfter(state.get, out, _.localCheckpoint(true)))
+          state.set(stateAfter(state.get, out, _.localCheckpoint(true),
+            par = true))
         nextCycle.incrementAndGet()
       }
       if (crashOnce) {
