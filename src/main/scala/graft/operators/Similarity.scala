@@ -251,36 +251,55 @@ object Similarity {
       .select(col("centroid_id"), col("cvec"),
         l2norm(col("cvec")).as("cnorm"))
       .localCheckpoint(true)
-    try for (_ <- 1 to iters) {
-      val assigned = assignNearest(
-        corpusClean.select(col(idCol).as("__id"), col(vecCol).as("__v"),
-          l2norm(col(vecCol)).as("__n")), cents)
-      // element-wise mean via the typed VectorSum aggregator: shuffle
-      // one partial buffer per (partition × centroid), NOT dim rows per
-      // vector as a posexplode would. cleanVecs guarantees every __v is
-      // non-empty with no null elements, so count(1) == summed rows.
-      val means = assigned
-        .groupBy("centroid_id")
-        .agg(graft.functions.VectorAgg.vectorSum(col("__v")).as("__sum"),
-          count(lit(1)).as("__n"))
-        .select(col("centroid_id"),
-          transform(col("__sum"), x => x / col("__n")).as("__newvec"))
-      // a memberless centroid keeps its position — guard on size too so
-      // a degenerate empty sum can never overwrite a live centroid
-      val next = cents.join(means, Seq("centroid_id"), "left")
-        .select(col("centroid_id"),
-          coalesce(when(size(col("__newvec")) > 0, col("__newvec")),
-            col("cvec")).as("cvec"))
-        .withColumn("cnorm", l2norm(col("cvec")))
-        .localCheckpoint(true)
-      // the prior iteration's centroid checkpoint is dead once `next`
-      // is materialized (eager) — drop it rather than leak one small
-      // frame per Lloyd iteration into the session
-      Checkpoints.drop(cents)
-      cents = next
+    // LAZY per-round checkpoints (round 20, guide §5 — the q90 BPE
+    // trainer pattern): rounds 1..iters-1 checkpoint lazily, so the
+    // old eager count() job per round is gone — each round's frame
+    // materializes as a side effect of its successor's execution (the
+    // successor broadcasts it). Only the LAST round is eager: it is
+    // the returned frame, and its materialization transitively
+    // computes and persists every predecessor, which makes it safe to
+    // drop ALL intermediates afterwards (dropping earlier would race
+    // lineage truncation — a lazy frame whose parent's blocks are gone
+    // is unrecoverable, and whether a predecessor has materialized yet
+    // is an engine scheduling detail, not a contract).
+    val spent = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      for (i <- 1 to iters) {
+        val assigned = assignNearest(
+          corpusClean.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+            l2norm(col(vecCol)).as("__n")), cents)
+        // element-wise mean via the typed VectorSum aggregator: shuffle
+        // one partial buffer per (partition × centroid), NOT dim rows
+        // per vector as a posexplode would. cleanVecs guarantees every
+        // __v is non-empty with no null elements, so count(1) ==
+        // summed rows.
+        val means = assigned
+          .groupBy("centroid_id")
+          .agg(graft.functions.VectorAgg.vectorSum(col("__v")).as("__sum"),
+            count(lit(1)).as("__n"))
+          .select(col("centroid_id"),
+            transform(col("__sum"), x => x / col("__n")).as("__newvec"))
+        // a memberless centroid keeps its position — guard on size too
+        // so a degenerate empty sum can never overwrite a live centroid
+        val next = graft.PlanSpy.spy(s"lloyd_round${i}_prechk",
+          cents.join(means, Seq("centroid_id"), "left")
+            .select(col("centroid_id"),
+              coalesce(when(size(col("__newvec")) > 0, col("__newvec")),
+                col("cvec")).as("cvec"))
+            .withColumn("cnorm", l2norm(col("cvec"))))
+          .localCheckpoint(i == iters)
+        spent += cents
+        cents = next
+      }
+      // the final round is eager → every intermediate has materialized
+      // blocks and no live consumer; drop them all (they are one tiny
+      // frame per round, but a long-lived session shouldn't leak them)
+      spent.foreach(Checkpoints.drop(_))
     } catch { case t: Throwable =>
-      // a failed iteration abandons the current checkpoint — drop it
-      // so a caught exception leaks nothing
+      // a failed loop abandons the in-flight checkpoints — drop
+      // whatever materialized so a caught exception leaks nothing
+      // (unpersist of a never-materialized frame is a no-op)
+      spent.foreach(Checkpoints.drop(_))
       Checkpoints.drop(cents)
       throw t
     }
@@ -592,8 +611,12 @@ object Similarity {
               .orderBy(col("__h"), col(idCol))) - 1).cast("int"))
         .select(col("j"), col("c"), col("__s").as("cvec"))
         .localCheckpoint(true)
+      // lazy per-round checkpoints, intermediates dropped only after
+      // the final eager round — same pattern and rationale as
+      // [[trainCentroids]] (round 20, guide §5)
+      val spent = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       try {
-        for (_ <- 1 to iters) {
+        for (i <- 1 to iters) {
           val assigned = subs.join(broadcast(cents), "j")
             .withColumn("__d2",
               round(dot(col("__s"), col("__s")) +
@@ -609,15 +632,21 @@ object Similarity {
               count(lit(1)).as("__n"))
             .select(col("j"), col("c"),
               transform(col("__sum"), x => x / col("__n")).as("__newvec"))
-          val next = cents.join(means, Seq("j", "c"), "left")
-            .select(col("j"), col("c"),
-              coalesce(when(size(col("__newvec")) > 0, col("__newvec")),
-                col("cvec")).as("cvec"))
-            .localCheckpoint(true)
-          Checkpoints.drop(cents)
+          val next = graft.PlanSpy.spy(s"pq_lloyd_round${i}_prechk",
+            cents.join(means, Seq("j", "c"), "left")
+              .select(col("j"), col("c"),
+                coalesce(when(size(col("__newvec")) > 0, col("__newvec")),
+                  col("cvec")).as("cvec")))
+            .localCheckpoint(i == iters)
+          spent += cents
           cents = next
         }
-      } catch { case t: Throwable => Checkpoints.drop(cents); throw t }
+        spent.foreach(Checkpoints.drop(_))
+      } catch { case t: Throwable =>
+        spent.foreach(Checkpoints.drop(_))
+        Checkpoints.drop(cents)
+        throw t
+      }
       cents
     } finally Checkpoints.drop(subs)
   }
