@@ -2444,7 +2444,7 @@ object QueriesCore {
     val nBaskets = Tables.lineitem(s, dir)
       .select(col("l_orderkey")).distinct().count()
     val minTriple = math.max(2L, nBaskets / 7500L)
-    val (pairs, _, pruned) = copurchaseCounts(s, dir,
+    val (pairs, _, pruned, _) = copurchaseCounts(s, dir,
       minItem = math.max(25L, nBaskets / 600L), minPair = minTriple)
     val p = pairs.select("part_a", "part_b").localCheckpoint()
     val cand = p.select(col("part_a"), col("part_b"))
@@ -2493,8 +2493,12 @@ object QueriesCore {
     */
   def q270KmvJaccard(s: SparkSession, dir: String): DataFrame = {
     val k = 64
-    val np = Tables.lineitem(s, dir)
-      .select(col("l_suppkey"), col("l_partkey"))
+    // spread before the per-row md5 fan-out (round 20, §2.5): the
+    // single-row-group lineitem scan is ONE task, so 600k md5Prefix32
+    // evaluations (and the broadcast join + partial distinct above
+    // them) ran single-threaded ahead of the first exchange
+    val np = Tables.spread(Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), col("l_partkey")))
       .join(broadcast(Tables.supplier(s, dir)
         .select(col("s_suppkey"), col("s_nationkey"))),
         col("l_suppkey") === col("s_suppkey"))
@@ -3259,7 +3263,11 @@ object QueriesCore {
     * partition rebalancer runs.
     */
   def q262RendezvousShards(s: SparkSession, dir: String): DataFrame = {
-    val hashed = Tables.orders(s, dir).select(col("o_orderkey"))
+    // spread before the ×10 explode + md5 fan-out (round 20, §2.5
+    // input skew): the single-row-group orders scan is ONE task, so
+    // 1.5M md5Prefix32 evaluations ran single-threaded ahead of the
+    // first exchange
+    val hashed = Tables.spread(Tables.orders(s, dir).select(col("o_orderkey")))
       .withColumn("__s", explode(sequence(lit(0L), lit(9L))))
       .withColumn("__h", graft.operators.Scale.md5Prefix32(
         concat(col("o_orderkey").cast("string"), lit(":"),
@@ -3506,7 +3514,7 @@ object QueriesCore {
     * again and the result ranks by lift-free raw support.
     */
   def q149CopurchasePairs(s: SparkSession, dir: String): DataFrame = {
-    val (pairs, _, _) = copurchaseCounts(s, dir, minItem = 25L, minPair = 3L)
+    val (pairs, _, _, _) = copurchaseCounts(s, dir, minItem = 25L, minPair = 3L)
     pairs
       .select(col("part_a"), col("part_b"),
         col("__nab").cast("bigint").as("n_orders"))
@@ -4571,9 +4579,18 @@ object QueriesCore {
     * once so both sides of the self-join reuse one computation.
     */
   private def copurchaseCounts(s: SparkSession, dir: String,
-      minItem: Long, minPair: Long): (DataFrame, DataFrame, DataFrame) = {
+      minItem: Long, minPair: Long)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // round 20 (§2.4): pin the basket grid — it has two consumers in
+    // `pruned`'s single plan (the probe side and the support filter's
+    // lineage), so the distinct executed twice per call. A spread
+    // ahead of the distinct was ALSO tried and measured net-negative
+    // (the extra exchange of 600k pairs costs more than the
+    // single-task distinct partial saves at sf0.1) — reverted, like
+    // the same A/B on q288/q289/q338/q279.
     val baskets = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint()
     val itemSup = baskets.groupBy("l_partkey")
       .agg(count(lit(1)).as("__sup"))
     val frequent = itemSup.filter(col("__sup") >= minItem)
@@ -4588,7 +4605,7 @@ object QueriesCore {
       .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("__nab"))
       .filter(col("__nab") >= minPair)
-    (pairs, itemSup, pruned)
+    (pairs, itemSup, pruned, baskets)
   }
 
   /** Association rules from the a-priori pair pass — each surviving
@@ -4600,9 +4617,13 @@ object QueriesCore {
     * against the pair set.
     */
   def q184AssocRules(s: SparkSession, dir: String): DataFrame = {
-    val (pairs, itemSup, _) = copurchaseCounts(s, dir, 25L, 3L)
-    val nb = Tables.lineitem(s, dir)
-      .agg(countDistinct(col("l_orderkey")).as("__nb"))
+    val (pairs, itemSup, _, baskets) = copurchaseCounts(s, dir, 25L, 3L)
+    // basket count from the checkpointed UNPRUNED basket grid
+    // (round 20): the distinct orderkeys of the (order, part) grid ARE
+    // lineitem's distinct orderkeys (every lineitem row carries both
+    // keys), so this drops a third full fact pass whose countDistinct
+    // partial ran in the single scan task
+    val nb = baskets.agg(countDistinct(col("l_orderkey")).as("__nb"))
     val rules = pairs
       .select(col("part_a").as("antecedent"),
         col("part_b").as("consequent"), col("__nab"))
@@ -5915,45 +5936,62 @@ object QueriesCore {
     */
   def q224QuantileNorm(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // checkpointed once (round 19): each of the three ranked() calls
-    // below range-repartitions a projection of this frame, and a range
-    // exchange SAMPLES its child before shuffling it — unpinned, the
-    // scan+casts executed six times (2× per column)
-    val li = Tables.lineitem(s, dir).select(
-      col("l_orderkey"), col("l_linenumber"),
-      col("l_quantity").cast("decimal(18,0)").cast("bigint").as("__q"),
-      (col("l_extendedprice").cast("decimal(18,2)") * 100)
-        .cast("decimal(18,0)").cast("bigint").as("__p"),
-      (col("l_discount").cast("decimal(18,2)") * 100)
-        .cast("decimal(18,0)").cast("bigint").as("__d"))
-      .localCheckpoint()
+    // ONE multi-column pass (round 20, guide §2.4 — this was three
+    // independent range-sort → rank → join passes over the same frame,
+    // i.e. three full-data range shuffles plus two sort-merge joins on
+    // rank). The three columns ride ONE range exchange keyed
+    // (tag, v): tuples order lexicographically, so within each tag the
+    // values stay globally sorted across partitions and equal (tag, v)
+    // pairs land in one partition — exactly the per-column guarantee
+    // the old per-column exchanges gave, so each column's rank→value
+    // sequence is unchanged (ties swap positions only among EQUAL
+    // values, which cannot change the value at any rank). And because
+    // every rank appears exactly once per tag, the rank-wise mean
+    // needs no 3-way join: sum over the 3 tagged rows at a rank IS
+    // vq + vp + vd. At 100 TB: one range shuffle of 3N narrow rows
+    // instead of three of N plus two N-row join shuffles.
+    val li = Tables.lineitem(s, dir)
+    // checkpointed once (round 19): the range exchange SAMPLES its
+    // child before shuffling it — unpinned, the scan+casts+explode
+    // would execute twice
+    val tagged = li.select(explode(array(
+        struct(lit(0).as("tag"),
+          col("l_quantity").cast("decimal(18,0)").cast("bigint").as("v")),
+        struct(lit(1).as("tag"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("decimal(18,0)").cast("bigint").as("v")),
+        struct(lit(2).as("tag"),
+          (col("l_discount").cast("decimal(18,2)") * 100)
+            .cast("decimal(18,0)").cast("bigint").as("v"))))
+        .as("c"))
+      .select(col("c.tag").as("tag"), col("c.v").as("v"))
+    val taggedM = PlanSpy.spy("tagged_prechk", tagged).localCheckpoint()
     val nPart = scala.util.Try(
       s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
       .toOption.filter(_ > 0).getOrElse(32) // "auto"-safe parse
-    def ranked(c: String): DataFrame = {
-      // local rank per range partition (materialized once — the offset
-      // rollup below reads it again), then global rank = offset + local
-      val local = li.select(col(c).as("v"))
-        .repartitionByRange(nPart, col("v"))
-        .withColumn("__pid", spark_partition_id())
-        .withColumn("__lr", row_number().over(
-          Window.partitionBy("__pid").orderBy("v")))
-        .localCheckpoint()
-      val offsets = local.groupBy("__pid")
-        .agg(count(lit(1)).as("__n"))
-        .withColumn("__off",
-          coalesce(sum(col("__n")).over(Window.orderBy("__pid")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("__pid"), col("__off"))
-      local.join(broadcast(offsets), Seq("__pid"))
-        .select(col("v"), (col("__lr") + col("__off")).as("rank"))
-    }
-    val joined = ranked("__q").withColumnRenamed("v", "vq")
-      .join(ranked("__p").withColumnRenamed("v", "vp"), Seq("rank"))
-      .join(ranked("__d").withColumnRenamed("v", "vd"), Seq("rank"))
-    joined.select(col("rank").cast("bigint").as("rank"),
-      expr("CAST(((vq + vp + vd) * 1000000L) DIV 3 AS BIGINT)")
-        .as("ref_micros"))
+    // local rank per range partition (materialized once — the offset
+    // rollup below reads it again), then global rank = per-tag offset
+    // + local; 3× the per-column partition count keeps per-task volume
+    // identical to the old per-column exchanges at any width
+    val local = PlanSpy.spy("rank_prechk", taggedM
+      .repartitionByRange(3 * nPart, col("tag"), col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lr", row_number().over(
+        Window.partitionBy("__pid", "tag").orderBy("v"))))
+      .localCheckpoint()
+    val offsets = local.groupBy("__pid", "tag")
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(Window.partitionBy("tag")
+          .orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("tag"), col("__off"))
+    local.join(broadcast(offsets), Seq("__pid", "tag"))
+      .select((col("__lr") + col("__off")).as("rank"), col("v"))
+      .groupBy("rank")
+      .agg(sum(col("v")).as("__sum"))
+      .select(col("rank").cast("bigint").as("rank"),
+        expr("CAST((__sum * 1000000L) DIV 3 AS BIGINT)").as("ref_micros"))
       .orderBy("rank")
   }
 
@@ -6247,7 +6285,7 @@ object QueriesCore {
     * oracle replays via a bounded recursive CTE with a min-hop fold.
     */
   def q233BfsHops(s: SparkSession, dir: String): DataFrame = {
-    val (pairs, _, _) = copurchaseCounts(s, dir, minItem = 25L, minPair = 3L)
+    val (pairs, _, _, _) = copurchaseCounts(s, dir, minItem = 25L, minPair = 3L)
     val edges = pairs.select(col("part_a").as("src"), col("part_b").as("dst"))
       .unionByName(pairs.select(col("part_b").as("src"),
         col("part_a").as("dst")))

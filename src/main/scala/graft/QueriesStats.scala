@@ -1382,20 +1382,26 @@ object QueriesStats {
     val dp = duels.groupBy("winner", "loser")
       .agg(count(lit(1)).as("c")).localCheckpoint()
     narrow(s, 4) {
-      val wins = dp.groupBy(col("winner").as("brand"))
-        .agg(sum(col("c")).as("w")).localCheckpoint()
-      // symmetric pair counts: n_ij keyed by the UNORDERED pair
-      val pairs = dp
-        .select(least(col("winner"), col("loser")).as("a"),
-          greatest(col("winner"), col("loser")).as("b"), col("c"))
-        .groupBy("a", "b").agg(sum(col("c")).as("nij"))
-        .localCheckpoint()
+      // wins and the symmetric pair counts are independent aggregates
+      // of the checkpointed dp — overlap their eager materializations
+      // (round 20, guide §2.6)
+      val (wins, pairs) = graft.operators.Par.par2(
+        dp.groupBy(col("winner").as("brand"))
+          .agg(sum(col("c")).as("w")).localCheckpoint(),
+        // symmetric pair counts: n_ij keyed by the UNORDERED pair
+        dp.select(least(col("winner"), col("loser")).as("a"),
+            greatest(col("winner"), col("loser")).as("b"), col("c"))
+          .groupBy("a", "b").agg(sum(col("c")).as("nij"))
+          .localCheckpoint())
       val players = pairs.select(col("a").as("brand"))
         .unionByName(pairs.select(col("b").as("brand")))
         .unionByName(wins.select(col("brand"))).distinct()
         .localCheckpoint()
+      // no checkpoint on the initial gamma: it is a literal projection
+      // of the checkpointed players frame, so double consumption just
+      // re-reads that checkpoint (round 20)
       var gamma = players.select(col("brand"),
-        lit(1000000L).as("g")).localCheckpoint()
+        lit(1000000L).as("g"))
       for (_ <- 1 to 3) {
         val gA = gamma.select(col("brand").as("a"), col("g").as("ga"))
         val gB = gamma.select(col("brand").as("b"), col("g").as("gb"))
@@ -1418,11 +1424,15 @@ object QueriesStats {
         // scalar), z and the player count come from the same aggregate
         val z = raw.agg(sum(col("g0")).as("__z"),
           count(lit(1)).as("__np"))
+        // LAZY round checkpoint (round 20, guide §5 — the q90 trainer
+        // pattern): the next round's term join materializes it; the
+        // eager count() job per round is gone. Nothing here drops
+        // blocks, so lineage truncation can't race.
         gamma = raw.crossJoin(broadcast(z))
           .select(col("brand"), expr(
             """CAST(CAST(g0 AS DECIMAL(38,0)) * 1000000 * __np
               |DIV nullif(__z, 0) AS BIGINT)""".stripMargin).as("g"))
-          .localCheckpoint()
+          .localCheckpoint(false)
       }
       val totals = dp.select(col("winner").as("brand"), col("c"))
         .unionByName(dp.select(col("loser").as("brand"), col("c")))

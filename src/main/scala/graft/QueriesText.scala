@@ -1108,13 +1108,17 @@ object QueriesText {
     * aggregates on top of the audited operators themselves.
     */
   def q190DedupEval(s: SparkSession, dir: String): DataFrame = {
-    val truth = Dedup.prefixJaccardJoin(Tables.documents(s, dir),
-        "doc_id", "text", shingleLen = 3, tauNum = 4, tauDen = 5)
-      .select("id_a", "id_b").localCheckpoint()
-    val found = Dedup.minhashNearDupsPortable(Tables.documents(s, dir),
-        "doc_id", "text", shingleLen = 3, numHashes = 16, bands = 4,
-        threshold = 0.8)
-      .select("id_a", "id_b").localCheckpoint()
+    // the two audited pipelines are INDEPENDENT (exact ground truth vs
+    // banded MinHash) but their eager checkpoints ran back-to-back on
+    // one driver thread — overlap them (round 20, guide §2.6)
+    val (truth, found) = graft.operators.Par.par2(
+      Dedup.prefixJaccardJoin(Tables.documents(s, dir),
+          "doc_id", "text", shingleLen = 3, tauNum = 4, tauDen = 5)
+        .select("id_a", "id_b").localCheckpoint(),
+      Dedup.minhashNearDupsPortable(Tables.documents(s, dir),
+          "doc_id", "text", shingleLen = 3, numHashes = 16, bands = 4,
+          threshold = 0.8)
+        .select("id_a", "id_b").localCheckpoint())
     val tp = truth.intersect(found)
     truth.agg(count(lit(1)).as("n_truth"))
       .crossJoin(found.agg(count(lit(1)).as("n_found")))
@@ -1236,8 +1240,19 @@ object QueriesText {
       .agg(sum(col("part")).cast("double").as("bm25"))
   }
 
-  def q242RetrievalRecall(s: SparkSession, dir: String): DataFrame = {
-    val cands = graft.plans.TopK.topKPerKey(bm25PerQueryDoc(s, dir),
+  def q242RetrievalRecall(s: SparkSession, dir: String): DataFrame =
+    q242RetrievalRecallCapped(s, dir, Long.MaxValue)
+
+  /** q242 with the query batch capped to ids < `cap` — the ScaleProbe
+    * variant (round 20, the q269RrfFusionCapped pattern): replication
+    * grows the CORPUS N× while the capped batch holds the query set
+    * constant (copy-0 ids), so the probe measures per-query cost
+    * against corpus growth, the retrieval-serving posture. The
+    * declared query passes Long.MaxValue (a vacuous predicate).
+    */
+  private[graft] def q242RetrievalRecallCapped(s: SparkSession,
+      dir: String, cap: Long): DataFrame = {
+    val cands = graft.plans.TopK.topKPerKey(bm25PerQueryDoc(s, dir, cap),
         Seq("query_id"), Seq("bm25" -> false, "doc_id" -> true), 50)
       .select("query_id", "doc_id").localCheckpoint()
     // dense side: exact brute-force top-10 (the ground truth) and the
@@ -1245,10 +1260,12 @@ object QueriesText {
     val vecs = Tables.embeddings(s, dir).select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     val exact = operators.Similarity.topK(vecs,
-        vecs.filter(pmod(col("vec_id"), lit(50)) === 0), "vec_id", "v",
+        vecs.filter(pmod(col("vec_id"), lit(50)) === 0 &&
+          col("vec_id") < cap), "vec_id", "v",
         k = 10)
       .select("query_id", "neighbor_id").localCheckpoint()
-    val qv = vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val qv = vecs.filter(pmod(col("vec_id"), lit(50)) === 0 &&
+        col("vec_id") < cap)
       .select(col("vec_id").as("query_id"), col("v").as("__qv"))
     val hybrid = graft.plans.TopK.topKPerKey(
         cands.join(broadcast(qv), Seq("query_id"))

@@ -388,6 +388,12 @@ object ScaleProbe {
       measure("q269_rrf_fusion*",
         (sp, _) => QueriesText.q269RrfFusionCapped(sp, sfDir, copy0),
         (sp, _) => QueriesText.q269RrfFusionCapped(sp, work, copy0))
+    // q242 (round 20, VERDICT r19 item 8): same serving posture as
+    // q269 — constant copy-0 query batch, N× corpus
+    if (wanted("q242_retrieval_recall*"))
+      measure("q242_retrieval_recall*",
+        (sp, _) => QueriesText.q242RetrievalRecallCapped(sp, sfDir, copy0),
+        (sp, _) => QueriesText.q242RetrievalRecallCapped(sp, work, copy0))
     def gridIds(n: Int): DataFrame =
       (0 until n).map { k =>
         Tables.customer(spark, sfDir)

@@ -45,9 +45,17 @@ class PlanShapeSpec extends AnyFunSuite {
     "q242_retrieval_recall" -> Shape(9, 2),
     "q85_ivfpq_trained" -> Shape(7, 4),
     "q251_edit_distance_join" -> Shape(2, 3),
-    "q224_quantile_norm" -> Shape(7, 5),
+    // (7,5)→(4,1) in r20: the three per-column range-sort+rank passes
+    // fused into ONE (tag, v)-keyed range exchange and the 3-way join
+    // on rank became a single groupBy(rank) aggregation — guide §2.4,
+    // oracle hash-green (see OPTIMIZATION_r20.md §2)
+    "q224_quantile_norm" -> Shape(4, 1),
     "q125_sparse_cosine" -> Shape(2, 1),
-    "q184_assoc_rules" -> Shape(9, 5),
+    // (9,5)→(7,5) in r20: copurchaseCounts pins the basket grid once
+    // (it was re-derived per consumer inside `pruned`'s plan) and q184
+    // derives the basket count from that checkpoint instead of a third
+    // fact pass — two shuffles leave the returned plan (§2.4)
+    "q184_assoc_rules" -> Shape(7, 5),
     "q91_bpe_segment" -> Shape(3, 1),
     "q81_pq_trained" -> Shape(4, 3),
     "q189_trigram_search" -> Shape(5, 3),
