@@ -11,6 +11,25 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Round 20 (VERDICT r19 item 2): the driver's `sbt test` budget was
+// blown by ONE sequential test JVM using 4 of 32 cores (~30 min).
+// Split the suites deterministically into forked groups that run in
+// PARALLEL — each group is its own JVM with its own SparkSession
+// (local[4], so 4 groups ≈ 16 cores), no shared-session conf races,
+// same tests and assertions. Suites write only suite-unique table
+// names / per-JVM temp dirs, so groups never collide on state.
+val testGroupCount = 4
+Test / testGrouping := {
+  val tests = (Test / definedTests).value.sortBy(_.name)
+  val opts = (Test / forkOptions).value
+  tests.zipWithIndex.groupBy(_._2 % testGroupCount).toSeq.sortBy(_._1)
+    .map { case (i, ts) =>
+      Tests.Group(s"g$i", ts.map(_._1), Tests.SubProcess(opts))
+    }
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(math.max(4, java.lang.Runtime.getRuntime.availableProcessors)),
+  Tags.limit(Tags.ForkedTestGroup, testGroupCount))
 // The driver parses Bench's single JSON stdout line; sbt's default
 // LoggedOutput would prefix it with "[info] " and break json.loads.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
