@@ -159,8 +159,11 @@ class PlanShapeSpec extends AnyFunSuite {
     "q337_pinball_eval" -> Shape(4, 1),
     // wave 7: q338's heavy stages (basket pairs, scores, recs) are
     // all checkpointed — the returned plan is the brand-grid tail;
-    // q339 is one grid shuffle over the broadcast weight frame
-    "q338_rec_diversity" -> Shape(9, 3),
+    // q339 is one grid shuffle over the broadcast weight frame.
+    // (9,3)→(9,1) in r20: the one-pass symmetric scoring checkpoints
+    // the SCORED frame, so the two n-dim broadcast joins moved behind
+    // the checkpoint (OPTIMIZATION_r20.md §9)
+    "q338_rec_diversity" -> Shape(9, 1),
     "q339_ess_diagnostics" -> Shape(4, 1),
     // q340's peel checkpoints every round — the pin is the final
     // order over the last checkpoint (the q275/q276 loop convention)
